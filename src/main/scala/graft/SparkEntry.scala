@@ -1,13 +1,452 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.engine.{Num, Tables}
+import graft.operators._
+import graft.operators.NextK.{AggSpec, AvgAgg, MaxAgg, MinAgg, Order, SumAgg}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline layer), each with a DuckDB
+  * oracle twin in `oracleSql`. Column names/aliases match pairwise.
+  *
+  * Numeric policy (see graft.engine.Num): counts/min/max exact; sums of
+  * ≤2-decimal columns via exact decimal aggregation cast back to double;
+  * intrinsically-floating results (stddev, corr, percentile, cosine)
+  * rounded once at the end on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private def li(s: SparkSession, d: String)   = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String)  = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def prt(s: SparkSession, d: String)  = Tables.part(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String)  = Tables.embeddings(s, d)
+  private def ev(s: SparkSession, d: String)   = Tables.events(s, d)
+
+  // Shared bucket expression: 22 equal-width buckets of l_extendedprice
+  // over [0, 110000] (data range ~902..105000).
+  private val PriceLo = 0.0; private val PriceHi = 110000.0; private val PriceN = 22
+  private def priceBucket: Column =
+    Histograms.numericBucket(col("l_extendedprice"), PriceLo, PriceHi, PriceN)
+  private val priceBucketSql =
+    s"LEAST(CAST(FLOOR((l_extendedprice - 0.0) / ((110000.0 - 0.0) / 22.0)) AS INT), 21)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── relational core ────────────────────────────────────────────────
+    "q1_pricing_summary" -> ((s, d) =>
+      NextK.nextK(li(s, d), Seq(Order("l_returnflag"), Order("l_linestatus")), 10,
+        aggs = Seq(
+          AggSpec(SumAgg, "l_quantity", "sum_qty"),
+          AggSpec(SumAgg, "l_extendedprice", "sum_price"),
+          AggSpec(AvgAgg, "l_extendedprice", "avg_price"),
+          AggSpec(MinAgg, "l_discount", "min_disc"),
+          AggSpec(MaxAgg, "l_discount", "max_disc")))),
+    "f_range" -> ((s, d) =>
+      li(s, d).filter(Filters.range(col("l_extendedprice"), 1000.0, 5000.0))),
+    "f_comparison" -> ((s, d) =>
+      li(s, d).filter(Filters.comparison(col("l_quantity"), ">", 45.0))),
+    "f_string_contains" -> ((s, d) =>
+      ord(s, d).filter(Filters.stringMatch(col("o_orderpriority"), "URGENT"))),
+    "f_regex" -> ((s, d) =>
+      prt(s, d).filter(Filters.stringMatch(col("p_name"), "^(red|blue) .*t$", kind = "regex"))),
+    "f_isin" -> ((s, d) =>
+      li(s, d).filter(Filters.inList(col("l_returnflag"), Seq("A", "R")))),
+    "f_rowseek" -> ((s, d) =>
+      li(s, d).filter(Filters.rowSeek(
+        Seq(col("l_returnflag"), col("l_linestatus")), Seq("N", "O")))),
+    "f_compound" -> ((s, d) =>
+      li(s, d).filter(Filters.or(
+        Filters.and(col("l_quantity") > 30.0, col("l_discount") <= 0.05),
+        Filters.not(col("l_returnflag") === "N")))),
+    "nextk_basic" -> ((s, d) =>
+      NextK.nextK(ord(s, d), Seq(Order("o_orderpriority"), Order("o_orderstatus")), 8)),
+    "nextk_pivot_aggs" -> ((s, d) =>
+      NextK.nextK(li(s, d), Seq(Order("l_returnflag"), Order("l_linestatus")), 5,
+        pivot = Some(Seq("N", "F")),
+        aggs = Seq(AggSpec(SumAgg, "l_quantity", "sum_qty"),
+          AggSpec(MinAgg, "l_extendedprice", "min_price"),
+          AggSpec(MaxAgg, "l_extendedprice", "max_price")))),
+    "topk_sort" -> ((s, d) =>
+      TopK.topK(li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+        Seq(Order("l_extendedprice", ascending = false), Order("l_orderkey"), Order("l_linenumber")), 15)),
+
+    // ── histograms ─────────────────────────────────────────────────────
+    "hist_numeric" -> ((s, d) =>
+      Histograms.histogram1D(
+        li(s, d).filter(col("l_extendedprice").between(PriceLo, PriceHi)), priceBucket)),
+    "hist_string_buckets" -> ((s, d) =>
+      Histograms.histogram1D(cust(s, d),
+        Histograms.stringBucket(col("c_mktsegment"), Seq("A", "C", "F", "M")))),
+    "hist_2d" -> ((s, d) =>
+      Histograms.histogram2D(li(s, d),
+        Histograms.numericBucket(col("l_quantity"), 0.0, 50.0, 10),
+        Histograms.numericBucket(col("l_discount"), 0.0, 0.1, 5))),
+    "heatmap_singleton" -> ((s, d) =>
+      Histograms.heatmapWithSingleton(prt(s, d),
+        Histograms.numericBucket(col("p_size").cast("double"), 0.0, 50.0, 10),
+        col("p_brand"), col("p_partkey"))),
+    "hist_cdf" -> ((s, d) =>
+      Histograms.histogramWithCdf(
+        li(s, d).filter(col("l_extendedprice").between(PriceLo, PriceHi)), priceBucket)),
+    "bucket_quantiles" -> ((s, d) =>
+      Histograms.bucketQuantiles(li(s, d), col("l_returnflag"),
+        col("l_extendedprice"), Seq(0.25, 0.5, 0.75))),
+
+    // ── stats / sketch family ──────────────────────────────────────────
+    "summary_count" -> ((s, d) => Stats.rowCount(li(s, d))),
+    "stats_basic" -> ((s, d) => Stats.basicColStats(li(s, d), "l_extendedprice")),
+    "stats_range_date" -> ((s, d) => Stats.dataRange(li(s, d), "l_shipdate")),
+    "stats_corr" -> ((s, d) => Stats.correlation(li(s, d), "l_quantity", "l_extendedprice")),
+    "stats_centroids" -> ((s, d) =>
+      Stats.categoryCentroids(li(s, d), "l_returnflag", Seq("l_quantity", "l_extendedprice"))),
+    "distinct_count" -> ((s, d) =>
+      DistinctAndFrequency.distinctCount(li(s, d), Seq("l_partkey"))),
+    "distinct_values" -> ((s, d) =>
+      DistinctAndFrequency.distinctValues(li(s, d), Seq("l_returnflag", "l_linestatus"))),
+    "hll_distinct" -> ((s, d) =>
+      DistinctAndFrequency.approxDistinctCount(li(s, d), "l_partkey")),
+    "heavy_exact" -> ((s, d) =>
+      DistinctAndFrequency.heavyHittersExact(ord(s, d), Seq("o_orderpriority"), 0.05)),
+    "heavy_mg" -> ((s, d) =>
+      DistinctAndFrequency.heavyHittersMG(li(s, d), Seq("l_returnflag", "l_linestatus"), 0.05)),
+    "quantiles_exact" -> ((s, d) =>
+      Quantiles.quantiles(li(s, d), "l_extendedprice", Seq(0.25, 0.5, 0.75))),
+    "string_boundaries" -> ((s, d) =>
+      Quantiles.stringBoundaries(cust(s, d), "c_name", 8)
+        .withColumn("tile", col("tile").cast("int"))),
+
+    // ── set operations ─────────────────────────────────────────────────
+    "setop_union_view" -> ((s, d) =>
+      SetOps.viewUnion(ord(s, d),
+        col("o_orderpriority") === "1-URGENT", col("o_totalprice") > 400000.0)),
+    "setop_intersect_view" -> ((s, d) =>
+      SetOps.viewIntersect(ord(s, d),
+        col("o_orderpriority") === "1-URGENT", col("o_totalprice") > 200000.0)),
+    "setop_minus_view" -> ((s, d) =>
+      SetOps.viewMinus(ord(s, d),
+        col("o_orderpriority") === "1-URGENT", col("o_totalprice") > 200000.0)),
+    "setop_except" -> ((s, d) =>
+      SetOps.except(
+        cust(s, d).select(col("c_custkey").as("custkey")),
+        ord(s, d).select(col("o_custkey").as("custkey")))),
+    "set_compare" -> ((s, d) => {
+      val o = ord(s, d)
+      SetOps.compare(Seq(
+          "urgent" -> o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")),
+          "big" -> o.filter(col("o_totalprice") > 300000.0).select(col("o_orderkey"))))
+        .withColumn("sources", array_join(col("sources"), ","))
+    }),
+
+    // ── column ops ─────────────────────────────────────────────────────
+    "col_project_rename" -> ((s, d) =>
+      ColumnOps.rename(
+        ColumnOps.project(li(s, d), Seq("l_orderkey", "l_linenumber", "l_extendedprice")),
+        "l_extendedprice", "price")),
+    "col_convert" -> ((s, d) =>
+      ColumnOps.dateToString(
+        ColumnOps.convert(
+          li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate")),
+          "l_quantity", "qty_int", "int"),
+        "l_shipdate", "ship_str").drop("l_quantity", "l_shipdate")),
+    "col_extract_kv" -> ((s, d) =>
+      ColumnOps.extractValue(ev(s, d).select(col("event_id"), col("props")), "props", "k", "k_val")
+        .withColumn("k_val", col("k_val").cast("int")).drop("props")),
+    "col_linear_projection" -> ((s, d) =>
+      ColumnOps.linearProjection(
+        prt(s, d).select(col("p_partkey"), col("p_size"), col("p_retailprice")),
+        Seq("p_size", "p_retailprice"),
+        Seq(Seq(0.5, 0.25), Seq(-1.0, 0.125)),
+        Seq("proj0", "proj1")).drop("p_size", "p_retailprice")),
+    "interval_create" -> ((s, d) =>
+      ColumnOps.makeInterval(
+          li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_discount"), col("l_tax")),
+          "l_discount", "l_tax", "iv")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("iv.lo").as("lo"), col("iv.hi").as("hi"))),
+    "interval_range_filter" -> ((s, d) =>
+      li(s, d)
+        .filter(least(col("l_discount"), col("l_tax")) >= 0.02 &&
+          greatest(col("l_discount"), col("l_tax")) <= 0.06)
+        .select(col("l_orderkey"), col("l_linenumber"))),
+
+    // ── joins ──────────────────────────────────────────────────────────
+    "join_revenue_by_priority" -> ((s, d) =>
+      Joins.revenueByPriority(li(s, d), ord(s, d))),
+    "join_customers_per_region" -> ((s, d) =>
+      Joins.customersPerRegion(cust(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "join_semi_parts" -> ((s, d) =>
+      Joins.semiJoinFilter(
+          li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+          prt(s, d).filter(col("p_size") === 50).select(col("p_partkey").as("l_partkey")),
+          Seq("l_partkey"))),
+    "join_anti_customers" -> ((s, d) =>
+      Joins.antiJoinFilter(
+          cust(s, d).select(col("c_custkey")),
+          ord(s, d).select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"))),
+
+    // ── dedup / similarity / text (training-data pipeline) ─────────────
+    "dedup_exact" -> ((s, d) => graft.dedup.Dedup.exactGroups(docs(s, d))),
+    "dedup_jaccard_3gram" -> ((s, d) =>
+      graft.dedup.Dedup.jaccardPairs(docs(s, d), 3, 0.5, Long.MaxValue)),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 16, 8, 0.5)),
+    "dedup_simhash" -> ((s, d) => graft.dedup.SimHash.nearDupPairs(docs(s, d), 8)),
+    "dedup_embedding" -> ((s, d) => graft.ann.Similarity.nearDupPairs(emb(s, d), 0.4)),
+    "ann_topk" -> ((s, d) =>
+      graft.ann.Similarity.bruteForceTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    "ann_lsh_topk" -> ((s, d) =>
+      graft.ann.Similarity.lshTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    "text_quality" -> ((s, d) => graft.text.TextAnalysis.quality(docs(s, d))),
+    "text_tokens" -> ((s, d) => graft.text.TextAnalysis.tokenStats(docs(s, d))),
+    "text_langid" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        graft.text.TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "text_fingerprint" -> ((s, d) => graft.text.TextAnalysis.fingerprints(docs(s, d))),
+    "text_rolling_fp" -> ((s, d) => graft.text.TextAnalysis.rollingFingerprints(docs(s, d))),
+
+    // ── event streams ──────────────────────────────────────────────────
+    "events_hourly" -> ((s, d) => graft.streaming.Events.hourlyAgg(ev(s, d))),
+    "events_sessions" -> ((s, d) => graft.streaming.Events.sessionStats(ev(s, d), 30))
+  )
+
+  // ────────────────────────────────────────────────────────────────────
+  private val sumQty  = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+  private val sumPrice = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+  private val shingleCte =
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM
+      |  (SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS shingle
+      |   FROM w WHERE len(ws) >= 3)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(shared / (sa.sz + sb.sz - shared), 4) AS jaccard
+      |FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      |WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt, $sumQty AS sum_qty,
+         |$sumPrice AS sum_price,
+         |$sumPrice / count(l_extendedprice) AS avg_price,
+         |min(l_discount) AS min_disc, max(l_discount) AS max_disc
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10""".stripMargin,
+    "f_range" ->
+      "SELECT * FROM lineitem WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 5000.0",
+    "f_comparison" -> "SELECT * FROM lineitem WHERE l_quantity > 45.0",
+    "f_string_contains" -> "SELECT * FROM orders WHERE contains(o_orderpriority, 'URGENT')",
+    "f_regex" -> "SELECT * FROM part WHERE regexp_matches(p_name, '^(red|blue) .*t$')",
+    "f_isin" -> "SELECT * FROM lineitem WHERE l_returnflag IN ('A', 'R')",
+    "f_rowseek" ->
+      "SELECT * FROM lineitem WHERE (l_returnflag, l_linestatus) >= ('N', 'O')",
+    "f_compound" ->
+      """SELECT * FROM lineitem
+        |WHERE (l_quantity > 30.0 AND l_discount <= 0.05) OR NOT (l_returnflag = 'N')""".stripMargin,
+    "nextk_basic" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt FROM orders
+        |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 8""".stripMargin,
+    "nextk_pivot_aggs" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt, $sumQty AS sum_qty,
+         |min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+         |FROM lineitem WHERE (l_returnflag, l_linestatus) >= ('N', 'F')
+         |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 5""".stripMargin,
+    "topk_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15""".stripMargin,
+    "hist_numeric" ->
+      s"""SELECT $priceBucketSql AS bucket, count(*) AS cnt FROM lineitem
+         |WHERE l_extendedprice >= 0.0 AND l_extendedprice <= 110000.0 GROUP BY 1""".stripMargin,
+    "hist_string_buckets" ->
+      """SELECT CASE WHEN c_mktsegment >= 'M' THEN 3 WHEN c_mktsegment >= 'F' THEN 2
+        |WHEN c_mktsegment >= 'C' THEN 1 ELSE 0 END AS bucket, count(*) AS cnt
+        |FROM customer GROUP BY 1""".stripMargin,
+    "hist_2d" ->
+      """SELECT LEAST(CAST(FLOOR((l_quantity - 0.0) / ((50.0 - 0.0) / 10.0)) AS INT), 9) AS bx,
+        |LEAST(CAST(FLOOR((l_discount - 0.0) / ((0.1 - 0.0) / 5.0)) AS INT), 4) AS by,
+        |count(*) AS cnt FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "heatmap_singleton" ->
+      """SELECT LEAST(CAST(FLOOR((CAST(p_size AS DOUBLE) - 0.0) / ((50.0 - 0.0) / 10.0)) AS INT), 9) AS bx,
+        |p_brand AS by, count(*) AS cnt,
+        |CASE WHEN count(*) = 1 THEN min(p_partkey) END AS singleton
+        |FROM part GROUP BY 1, 2""".stripMargin,
+    "hist_cdf" ->
+      s"""WITH h AS (SELECT $priceBucketSql AS bucket, count(*) AS cnt FROM lineitem
+         |WHERE l_extendedprice >= 0.0 AND l_extendedprice <= 110000.0 GROUP BY 1)
+         |SELECT bucket, cnt, CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cdf FROM h""".stripMargin,
+    "bucket_quantiles" ->
+      """SELECT l_returnflag AS bucket, round(quantile_cont(l_extendedprice, 0.25), 4) AS q0,
+        |round(quantile_cont(l_extendedprice, 0.5), 4) AS q1,
+        |round(quantile_cont(l_extendedprice, 0.75), 4) AS q2
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "summary_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "stats_basic" ->
+      """SELECT min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
+        |count(l_extendedprice) AS present,
+        |count(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS missing,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS mean,
+        |round(sqrt(
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice)
+        |  - (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice))
+        |  * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice))), 4) AS stddev
+        |FROM lineitem""".stripMargin,
+    "stats_range_date" ->
+      """SELECT CAST(min(l_shipdate) AS TIMESTAMP) AS min_v, CAST(max(l_shipdate) AS TIMESTAMP) AS max_v,
+        |count(l_shipdate) AS present, count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS missing
+        |FROM lineitem""".stripMargin,
+    "stats_corr" ->
+      """SELECT round(
+        |  (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS corr
+        |FROM (SELECT count(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem)""".stripMargin,
+    "stats_centroids" ->
+      s"""SELECT l_returnflag, $sumQty / count(l_quantity) AS avg_l_quantity,
+         |$sumPrice / count(l_extendedprice) AS avg_l_extendedprice
+         |FROM lineitem GROUP BY 1""".stripMargin,
+    "distinct_count" -> "SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem",
+    "distinct_values" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY 1, 2""".stripMargin,
+    "heavy_exact" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1
+        |HAVING count(*) >= ceil(0.05 * (SELECT count(*) FROM orders))
+        |ORDER BY cnt DESC, o_orderpriority""".stripMargin,
+    "heavy_mg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2
+        |HAVING count(*) >= ceil(0.05 * (SELECT count(*) FROM lineitem))
+        |ORDER BY cnt DESC, l_returnflag, l_linestatus""".stripMargin,
+    "quantiles_exact" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+        |round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+        |round(quantile_cont(l_extendedprice, 0.75), 4) AS q75 FROM lineitem""".stripMargin,
+    "string_boundaries" ->
+      """SELECT CAST(tile AS INT) AS tile, max(c_name) AS boundary FROM
+        |(SELECT c_name, ntile(8) OVER (ORDER BY c_name) AS tile FROM
+        |  (SELECT DISTINCT c_name FROM customer WHERE c_name IS NOT NULL))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "setop_union_view" ->
+      "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT' OR o_totalprice > 400000.0",
+    "setop_intersect_view" ->
+      "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0",
+    "setop_minus_view" ->
+      "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT' AND NOT (o_totalprice > 200000.0)",
+    "setop_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT SELECT o_custkey AS custkey FROM orders""".stripMargin,
+    "set_compare" ->
+      """SELECT o_orderkey, array_to_string(list_sort(list(DISTINCT src)), ',') AS sources FROM
+        |(SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+        | UNION ALL
+        | SELECT o_orderkey, 'big' AS src FROM orders WHERE o_totalprice > 300000.0)
+        |GROUP BY 1""".stripMargin,
+    "col_project_rename" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice AS price FROM lineitem",
+    "col_convert" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty_int,
+        |strftime(l_shipdate, '%Y-%m-%d') AS ship_str FROM lineitem""".stripMargin,
+    "col_extract_kv" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k"\s*:\s*"?([^,}"]*)"?', 1) AS INT) AS k_val
+        |FROM events""".stripMargin,
+    "col_linear_projection" ->
+      """SELECT p_partkey, 0.5 * p_size + 0.25 * p_retailprice AS proj0,
+        |-1.0 * p_size + 0.125 * p_retailprice AS proj1 FROM part""".stripMargin,
+    "interval_create" ->
+      """SELECT l_orderkey, l_linenumber, LEAST(l_discount, l_tax) AS lo,
+        |GREATEST(l_discount, l_tax) AS hi FROM lineitem""".stripMargin,
+    "interval_range_filter" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE LEAST(l_discount, l_tax) >= 0.02 AND GREATEST(l_discount, l_tax) <= 0.06""".stripMargin,
+    "join_revenue_by_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_customers_per_region" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_semi_parts" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 50)""".stripMargin,
+    "join_anti_customers" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_jaccard_3gram" -> shingleCte,
+    "dedup_minhash_lsh" -> shingleCte,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4""".stripMargin,
+    "ann_topk" ->
+      """SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS INT) AS rank
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens,
+        |floor(((length(text) - (len(string_split(lower(text), ' ')) - 1)) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 10000.0) / 10000.0 AS mean_token_len,
+        |floor((len(list_filter(string_split(lower(text), ' '), x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of')) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 10000.0) / 10000.0 AS stopword_ratio,
+        |floor((LEAST(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.7 +
+        |  LEAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of')) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 10.0, 1.0) * 0.3) * 10000.0) / 10000.0 AS quality_score
+        |FROM documents""".stripMargin,
+    "text_tokens" ->
+      """SELECT source, count(*) AS n_docs,
+        |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_bpe_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id, CASE
+        |WHEN len(list_filter(string_split(lower(text), ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) >= len(list_filter(string_split(lower(text), ' '), x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und'))
+        |  AND len(list_filter(string_split(lower(text), ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) >= len(list_filter(string_split(lower(text), ' '), x -> x = 'le' OR x = 'la' OR x = 'les' OR x = 'et'))
+        |  AND len(list_filter(string_split(lower(text), ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) > 0 THEN 'en'
+        |WHEN len(list_filter(string_split(lower(text), ' '), x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und')) >= len(list_filter(string_split(lower(text), ' '), x -> x = 'le' OR x = 'la' OR x = 'les' OR x = 'et'))
+        |  AND len(list_filter(string_split(lower(text), ' '), x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und')) > 0 THEN 'de'
+        |WHEN len(list_filter(string_split(lower(text), ' '), x -> x = 'le' OR x = 'la' OR x = 'les' OR x = 'et')) > 0 THEN 'fr'
+        |ELSE 'und' END AS lang_pred FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "text_rolling_fp" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(lower(text), ' '),
+        |      w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT))),
+        |  (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rhash
+        |FROM documents""".stripMargin,
+    "events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessions" ->
+      """WITH x AS (SELECT user_id, value, epoch_ms(ts) AS ms,
+        |  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms FROM events),
+        |y AS (SELECT user_id, value,
+        |  CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session FROM x)
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

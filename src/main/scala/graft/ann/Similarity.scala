@@ -1,0 +1,135 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Scale posture: the brute-force path broadcasts the (small) query set
+  * and scans the corpus once — embarrassingly parallel, no shuffle of
+  * the corpus; top-k per query is a windowed rank over per-query
+  * candidate rows (bounded by corpus size per query; at real scale the
+  * LSH-bucketed path cuts candidates first, same top-k tail).
+  * All vector math is higher-order array expressions in double — no
+  * UDFs, deterministic, oracle-reproducible.
+  */
+object Similarity {
+
+  /** dot(a, b) computed in double via zip_with + aggregate. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Unrolled fixed-dimension dot product: 64 flat multiply-adds in
+    * whole-stage codegen, no per-pair array allocation — ~an order of
+    * magnitude faster than zip_with on the hot all-pairs path, with the
+    * same left-to-right summation order (oracle-stable).
+    */
+  def dotFixed(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  def normFixed(a: Column, dim: Int): Column =
+    sqrt((1 to dim).map { i =>
+      val x = element_at(a, i).cast("double"); x * x
+    }.reduce(_ + _))
+
+  /** cosine with precomputed norms (see nearDupPairs): dot/(na*nb). */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column, dim: Int): Column =
+    dotFixed(a, b, dim) / (na * nb)
+
+  /** Brute-force exact top-k cosine neighbors for a query-id set.
+    * Queries are broadcast; per-query ranking via row_number window
+    * (partitions = queries, so parallelism = #queries × corpus splits).
+    */
+  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    scored
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic random-hyperplane LSH bucket id: `planes` sign bits of
+    * dot(v, h_i), hyperplane components derived from md5 of (plane, dim)
+    * — reproducible without any RNG state.
+    */
+  def lshBucket(v: Column, dim: Int, planes: Int): Column = {
+    def coef(p: Int, d: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8"))
+      // first 4 bytes → uniform in [-1, 1]
+      val x = java.nio.ByteBuffer.wrap(md).getInt(0)
+      x.toDouble / Int.MaxValue.toDouble
+    }
+    val bits = (0 until planes).map { p =>
+      val proj = (0 until dim).map { d =>
+        element_at(v, d + 1).cast("double") * lit(coef(p, d))
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN via LSH buckets: corpus pre-bucketed (this is the index build —
+    * at scale, written once as a bucketed table); queries probe only
+    * their own bucket. Approximate: recall depends on `planes`.
+    */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      dim: Int = 64, planes: Int = 8): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), dim, planes))
+    val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val scored = bucketed
+      .join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    scored
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold. Exact
+    * (all-pairs) declaration for the oracle; the LSH variant above is the
+    * scale path. The self-join is keyed a<b to halve the work.
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
+    // Precompute each row's norm once (O(n)), so the O(n²) pair loop is
+    // just an unrolled dot + one divide per pair.
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      normFixed(col("embedding"), dim).as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      normFixed(col("embedding"), dim).as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosinePre(col("ea"), col("eb"), col("na"), col("nb"), dim), 4)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

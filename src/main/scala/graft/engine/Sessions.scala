@@ -1,0 +1,62 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-appropriate defaults.
+  *
+  * Local testing runs `local[32]`; on a real cluster the same settings
+  * (AQE, skew-join handling, modest shuffle parallelism overridden by the
+  * cluster submit) carry over. Reference behavior being reproduced:
+  * vmware/hillview's engine never shuffles (sketch monoids merge at the
+  * root); our Spark translation leans on AQE + partial aggregation to get
+  * the same "bounded data to the driver" property.
+  */
+object Sessions {
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Loaders for the driver-generated TPC-H-ish test tables (TESTDATA.md).
+  * Thin wrappers over `spark.read.parquet` — Catalyst column pruning and
+  * filter pushdown reach the scan because nothing here materializes.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String) =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String)   = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String)     = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String)   = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String)   = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String)       = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String)     = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String)     = table(spark, dir, "region")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    * default; read nanos as long and convert to a microsecond timestamp
+    * (floor division — matches DuckDB's ns→µs truncation).
+    */
+  def events(spark: SparkSession, dir: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+  def documents(spark: SparkSession, dir: String)  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String) = table(spark, dir, "embeddings")
+}

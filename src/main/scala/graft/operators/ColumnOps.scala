@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-level maps (maps/ProjectMap.java, RenameColumnMap.java,
+  * ConvertColumnMap.java:28-56, ExtractValueFromKeyMap.java:33-60,
+  * CreateIntervalColumnMap.java, LinearProjectionMap.java).
+  * All are narrow transformations — no shuffle, fused into the scan by
+  * whole-stage codegen.
+  */
+object ColumnOps {
+
+  /** ProjectMap: keep a subset of columns (column pruning reaches the
+    * parquet footer — ReadSchema shrinks).
+    */
+  def project(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** RenameColumnMap. */
+  def rename(df: DataFrame, from: String, to: String): DataFrame =
+    df.withColumnRenamed(from, to)
+
+  /** ConvertColumnMap: cast to a new kind, appended as a new column
+    * (conversion matrix docs/userManual.md:215-252).
+    */
+  def convert(df: DataFrame, column: String, newName: String, toType: String): DataFrame =
+    df.withColumn(newName, col(column).cast(toType))
+
+  /** Date → formatted string conversion (the String leg of the matrix). */
+  def dateToString(df: DataFrame, column: String, newName: String, fmt: String = "yyyy-MM-dd"): DataFrame =
+    df.withColumn(newName, date_format(col(column), fmt))
+
+  /** ExtractValueFromKeyMap: pull `key: value` out of a key-value string
+    * column (log exploration). The reference matches key:"value"; our
+    * test data uses JSON-ish {"k": 69}, same regex machinery.
+    */
+  def extractValue(df: DataFrame, column: String, key: String, newName: String): DataFrame =
+    df.withColumn(newName,
+      regexp_extract(col(column), "\"" + key + "\"\\s*:\\s*\"?([^,}\"]*)\"?", 1))
+
+  /** CreateIntervalColumnMap: two numeric columns → interval. Hillview
+    * intervals have unordered endpoints; we normalize to (lo, hi) with
+    * least/greatest so downstream range semantics ("both endpoints in
+    * range", RangeFilterDescription.java:63-67) are plain comparisons.
+    */
+  def makeInterval(df: DataFrame, startCol: String, endCol: String, name: String): DataFrame =
+    df.withColumn(name,
+      struct(
+        least(col(startCol), col(endCol)).as("lo"),
+        greatest(col(startCol), col(endCol)).as("hi")))
+
+  /** LinearProjectionMap: new columns = matrix × numeric columns (PCA
+    * projection). Pure expressions — codegen'd row-wise dot products.
+    */
+  def linearProjection(
+      df: DataFrame, inputs: Seq[String], matrix: Seq[Seq[Double]],
+      names: Seq[String]): DataFrame =
+    matrix.zip(names).foldLeft(df) { case (d, (row, name)) =>
+      d.withColumn(name,
+        row.zip(inputs).map { case (w, c) => col(c) * lit(w) }.reduce(_ + _))
+    }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distinct-count and heavy-hitter family (sketches/HLogLogSketch.java,
+  * MGFreqKSketch.java:49-175, ExactFreqSketch.java,
+  * SampleDistinctElementsSketch.java, NIThresholdSketch.java).
+  */
+object DistinctAndFrequency {
+
+  /** Exact distinct count — oracle-checkable form of HLogLogSketch. */
+  def distinctCount(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(countDistinct(col(cols.head), cols.tail.map(col): _*).as("n_distinct"))
+
+  /** HyperLogLog distinct count (HLogLogSketch.java:30-77): Spark's
+    * native HLL++ — bounded sketch merged partial/final, exactly the
+    * reference's monoid. Approximate → rows-only driver check.
+    */
+  def approxDistinctCount(df: DataFrame, column: String, rsd: Double = 0.05): DataFrame =
+    df.agg(approx_count_distinct(col(column), rsd).as("approx_distinct"))
+
+  /** NIThresholdSketch: "more than 2^t distinct values?" gate. */
+  def distinctExceeds(df: DataFrame, column: String, threshold: Long): Boolean =
+    df.agg(approx_count_distinct(col(column)).as("d"))
+      .head().getLong(0) > threshold
+
+  /** Exact heavy hitters over a column tuple: groupBy + HAVING count ≥
+    * ε·N. Oracle-checkable; the scan is one pass + one O(#groups)
+    * aggregate.
+    */
+  def heavyHittersExact(df: DataFrame, cols: Seq[String], epsilon: Double): DataFrame = {
+    val n = df.count()
+    df.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(math.ceil(epsilon * n)))
+      .orderBy(col("cnt").desc, struct(cols.map(col): _*).asc)
+  }
+
+  /** Misra-Gries heavy hitters with exact verification pass — the
+    * reference's production path (MGFreqKSketch → ExactFreqSketch,
+    * web RPC `checkHeavy`). Pass 1 runs the mergeable MG summary as a
+    * typed Aggregator (bounded k-entry state per partition, merged like
+    * any sketch); pass 2 recounts the ≤k candidates exactly with a
+    * broadcast isin filter. MG guarantees no false negatives above ε·N,
+    * so the verified output equals the exact heavy hitters — DuckDB
+    * oracle-checkable while exercising the custom sketch.
+    */
+  def heavyHittersMG(df: DataFrame, cols: Seq[String], epsilon: Double): DataFrame = {
+    import graft.functions.MisraGries
+    val k = math.max(16, math.ceil(2.0 / epsilon).toInt)
+    val keyed = df.select(concat_ws("\u0001", cols.map(col): _*).as("k"))
+    val candidates = MisraGries.run(keyed, "k", k)
+    val n = df.count()
+    df.filter(concat_ws("\u0001", cols.map(col): _*).isin(candidates: _*))
+      .groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(math.ceil(epsilon * n)))
+      .orderBy(col("cnt").desc, struct(cols.map(col): _*).asc)
+  }
+
+  /** Exact distinct values of a small-cardinality tuple
+    * (DistinctStringsSketch — bounded result).
+    */
+  def distinctValues(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+      .orderBy(cols.map(c => col(c).asc_nulls_last): _*)
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.engine.Num
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Column statistics sketches (sketches/BasicColStatSketch.java,
+  * DoubleDataRangeSketch.java, SummarySketch.java, CounterSketch.java).
+  * All are single-pass multi-aggregate jobs with O(1) results — Spark's
+  * partial/final HashAggregate is the reference's sketch-monoid merge.
+  */
+object Stats {
+
+  /** SummarySketch: row count (schema comes from df.schema for free). */
+  def rowCount(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"))
+
+  /** BasicColStatSketch for a numeric ≤2-decimal column: min, max,
+    * present/missing counts, mean and population stddev computed from
+    * exact decimal moments (the reference also derives stddev from
+    * moments at the root, web/.../targets/TableTarget.java:108-124).
+    * Decimal moments make the result deterministic & oracle-exact.
+    */
+  def basicColStats(df: DataFrame, column: String): DataFrame = {
+    val c = col(column)
+    val d = Num.dec2(c)
+    df.agg(
+        min(c).as("min_v"),
+        max(c).as("max_v"),
+        count(c).as("present"),
+        count(when(c.isNull, 1)).as("missing"),
+        sum(d).as("s1"),
+        sum(d * d).as("s2"))
+      .select(
+        col("min_v"), col("max_v"), col("present"), col("missing"),
+        (col("s1").cast(DoubleType) / col("present")).as("mean"),
+        round(
+          sqrt(
+            col("s2").cast(DoubleType) / col("present") -
+              (col("s1").cast(DoubleType) / col("present")) *
+              (col("s1").cast(DoubleType) / col("present"))),
+          4).as("stddev"))
+  }
+
+  /** DoubleDataRangeSketch / date range: min, max, present, missing. */
+  def dataRange(df: DataFrame, column: String): DataFrame = {
+    val c = col(column)
+    df.agg(
+      min(c).as("min_v"),
+      max(c).as("max_v"),
+      count(c).as("present"),
+      count(when(c.isNull, 1)).as("missing"))
+  }
+
+  /** Correlation matrix entry (PCACorrelationSketch) for a column pair —
+    * exact decimal moments, deterministic to the last bit before the one
+    * rounding at the end.
+    */
+  def correlation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = Num.dec2(col(xCol))
+    val y = Num.dec2(col(yCol))
+    val n = count(lit(1)).cast(DoubleType)
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(round(
+        ((col("sxy").cast(DoubleType) * col("n") -
+          col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+          (sqrt(col("n") * col("sxx").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+           sqrt(col("n") * col("syy").cast(DoubleType) -
+            col("sy").cast(DoubleType) * col("sy").cast(DoubleType)))),
+        4).as("corr"))
+  }
+
+  /** CategoryCentroidsSketch: per-category centroid of numeric columns. */
+  def categoryCentroids(
+      df: DataFrame, category: String, numeric: Seq[String]): DataFrame = {
+    val aggs = numeric.map(c => Num.avgExact(col(c)).as(s"avg_$c"))
+    df.groupBy(col(category)).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File sources/sinks with hillview-compatible schema support
+  * (storage/CsvFileLoader.java, JsonFileLoader.java, OrcFileLoader.java,
+  * ParquetFileLoader.java; schema format table/Schema.java, example
+  * data/ontime/short.schema). Thin declarative wrappers — Spark's
+  * readers already do distributed splits, column pruning, and pushdown.
+  */
+object Sources {
+
+  /** Hillview `.schema` file: JSON array of {name, kind}. Kind mapping
+    * follows SURVEY.md §1.2 (ContentsKind → Spark type).
+    */
+  def kindToSparkType(kind: String): DataType = kind match {
+    case "None"      => NullType
+    case "String"    => StringType
+    case "Json"      => StringType
+    case "Integer"   => IntegerType
+    case "Double"    => DoubleType
+    case "Date"      => TimestampType
+    case "LocalDate" => TimestampNTZType
+    case "Time"      => LongType // ms-of-day
+    case "Duration"  => DoubleType // ms
+    case "Interval"  =>
+      StructType(Seq(StructField("lo", DoubleType), StructField("hi", DoubleType)))
+    case other => throw new IllegalArgumentException(s"unknown kind: $other")
+  }
+
+  def readSchemaFile(path: String): StructType = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    val fields = (0 until root.size()).map { i =>
+      val f = root.get(i)
+      StructField(f.get("name").asText(), kindToSparkType(f.get("kind").asText()))
+    }
+    StructType(fields)
+  }
+
+  /** CSV with optional hillview schema file; without one, Spark's
+    * inference approximates the reference's None→Integer→Double→String
+    * lattice (GuessSchema.java:74-137).
+    */
+  def readCsv(spark: SparkSession, path: String, schemaFile: Option[String] = None,
+      header: Boolean = true): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schemaFile match {
+      case Some(sf) => r.schema(readSchemaFile(sf)).csv(path)
+      case None     => r.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** Newline-delimited JSON (JsonFileLoader). */
+  def readJson(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+  def readParquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Grok-ish log loader (storage/GrokLogs.java): text lines + regex
+    * with named groups → typed columns. The pattern runs distributed per
+    * line (regexp_extract is codegen'd).
+    */
+  def readLog(spark: SparkSession, path: String, pattern: String,
+      groups: Seq[(String, Int)]): DataFrame = {
+    val lines = spark.read.text(path)
+    groups.foldLeft(lines) { case (df, (name, idx)) =>
+      df.withColumn(name, regexp_extract(col("value"), pattern, idx))
+    }
+  }
+
+  /** SaveAsFileSketch equivalents: distributed per-partition writers. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** ParseErrorsSketch: count of corrupt records in a permissive read. */
+  def parseErrors(df: DataFrame): DataFrame =
+    df.agg(count(when(col("_corrupt_record").isNotNull, 1)).as("n_errors"))
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.engine.Num
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Event-stream analytics. The reference's "streaming" is progressive
+  * refinement, not unbounded ingestion (SURVEY.md §2.10) — here we go
+  * parity-plus: the same aggregations declared once, runnable as batch
+  * (oracle-checkable) or as a Structured Streaming job (watermark +
+  * windows + stateful sessionization).
+  */
+object Events {
+
+  /** Tumbling-window counts/sums per event type — batch form.
+    * groupBy(hour, type): one partial+final aggregate, output bounded by
+    * #windows × #types.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Num.sumExact(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Session statistics per user: sessions split at >gap-minute silences.
+    * Window functions partition by user — parallelism = #users, no
+    * single-partition window anywhere.
+    */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        Num.sumExact(col("value")).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Streaming form of hourlyAgg: watermarked tumbling windows. The
+    * caller supplies a readStream DataFrame with the events schema.
+    */
+  def hourlyAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: Long, n_events: Long, duration_ms: Long)
+
+  /** Stateful sessionization with flatMapGroupsWithState: emits a session
+    * row when the gap timeout closes it. State per user is O(1).
+    */
+  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid, evs, state: GroupState[SessionState]) =>
+          var out = List.empty[SessionOut]
+          var st = state.getOption
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case Some(s) if t - s.last <= gapMs =>
+                st = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                out ::= SessionOut(uid, s.start, s.n, s.last - s.start)
+                st = Some(SessionState(t, t, 1))
+              case None =>
+                st = Some(SessionState(t, t, 1))
+            }
+          }
+          st.foreach(state.update)
+          out.reverseIterator
+      }
+  }
+
+  /** Run the streaming hourly aggregation over a parquet directory with a
+    * memory sink — used by tests to validate the streaming plumbing
+    * against the batch oracle form.
+    */
+  def runHourlyStreamOnce(spark: SparkSession, dir: String): DataFrame = {
+    // events.parquet carries ns timestamps: read as long, convert (same
+    // handling as graft.engine.Tables.events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the streaming file source requires a directory: stage the single
+    // parquet file into a temp dir
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val q = hourlyAggStream(stream).writeStream
+      .outputMode("complete").format("memory").queryName("graft_hourly")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("graft_hourly")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis for training-data pipelines: language ID
+  * heuristic, quality scoring, token counting, document fingerprinting.
+  * Every metric is a pure column expression — narrow, codegen'd, and
+  * reproducible by a SQL oracle.
+  */
+object TextAnalysis {
+
+  private def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Stopword-marker language-ID heuristic (n-gram/marker style): score
+    * each language by its marker-token hits, pick the best, 'und' when
+    * nothing matches. The marker lists are tiny; real deployments swap in
+    * larger n-gram tables — the *plumbing* (scored CASE over token
+    * filters) is the operator.
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    def hitCount(ws: Seq[String]): Column =
+      size(filter(t, w => ws.map(s => w === lit(s)).reduce(_ || _)))
+    val en = hitCount(Seq("the", "a", "of", "and"))
+    val de = hitCount(Seq("der", "die", "das", "und"))
+    val fr = hitCount(Seq("le", "la", "les", "et"))
+    when(en >= de && en >= fr && en > 0, lit("en"))
+      .when(de >= fr && de > 0, lit("de"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("und"))
+  }
+
+  /** Per-document quality metrics: token count, mean token length,
+    * stopword ratio, uppercase ratio, and a composite score. All double
+    * arithmetic with single rounding at the end.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val stop = size(filter(t, w =>
+      w === "the" || w === "a" || w === "and" || w === "of"))
+    val meanLen = (length(col("text")) - (nTok - lit(1))).cast("double") / nTok
+    // floor-truncation instead of round: ratio metrics land on exact
+    // .5 boundaries often, where Spark's and an oracle engine's double
+    // rounding can disagree; floor(x*10^4)/10^4 is bit-stable.
+    def trunc4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      trunc4(meanLen).as("mean_token_len"),
+      trunc4(stop.cast("double") / nTok).as("stopword_ratio"),
+      trunc4(
+        least(nTok.cast("double") / lit(100.0), lit(1.0)) * lit(0.7) +
+          least(stop.cast("double") / nTok * lit(10.0), lit(1.0)) * lit(0.3))
+        .as("quality_score"))
+  }
+
+  /** Corpus token statistics per source (whitespace tokenization; a
+    * BPE-ish sub-token estimate as chars/4, the common LLM rule of
+    * thumb).
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("total_tokens"),
+        sum(ceil(length(col("text")).cast("double") / 4.0).cast("long"))
+          .as("est_bpe_tokens"))
+      .orderBy(col("source"))
+
+  /** Content-defined fingerprint: md5 over the sorted distinct token set
+    * (word-order/duplication insensitive — catches shuffled near-dups
+    * that exact hashing misses). Deterministic on any engine.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")
+        .cast("binary")).as("fingerprint"))
+
+  /** Polynomial rolling hash over tokens (Rabin-Karp style) — the
+    * order-sensitive fingerprint; higher-order aggregate, no UDF.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      tokens(text), lit(0L),
+      (acc, w) =>
+        // md5-derived 60-bit token hash (engine-portable); mod 2^31-1
+        // keeps acc*p + h < 2^63 (ANSI-safe, no overflow)
+        pmod(acc * lit(1000003L) +
+          conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long"),
+          lit(2147483647L)))
+
+  def rollingFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), rollingHash(col("text")).as("rhash"))
+}

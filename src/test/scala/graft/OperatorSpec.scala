@@ -1,0 +1,109 @@
+package graft
+
+import graft.engine.Tables
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantics for the relational core. */
+class OperatorSpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and most return rows at sf0.001") {
+    val empty = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    // near-dup pair queries may legitimately be empty at tiny sf
+    // near-dup pairs and anti-join/except can be legitimately empty at tiny sf
+    val allowedEmpty = Set("dedup_jaccard_3gram", "dedup_minhash_lsh",
+      "dedup_simhash", "dedup_embedding", "f_regex",
+      "setop_except", "join_anti_customers")
+    assert(empty.toSet.subsetOf(allowedEmpty), s"unexpected empty: $empty")
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("repartition invariance: aggregations are partition-independent") {
+    val li = Tables.lineitem(spark, sf)
+    for (parts <- Seq(1, 7)) {
+      val a = Histograms.histogram1D(li,
+        Histograms.numericBucket(col("l_extendedprice"), 0.0, 110000.0, 22))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val b = Histograms.histogram1D(li.repartition(parts),
+        Histograms.numericBucket(col("l_extendedprice"), 0.0, 110000.0, 22))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(a == b, s"histogram changed under repartition($parts)")
+    }
+  }
+
+  test("NextK seek: pivot row filtering is lexicographic") {
+    val li = Tables.lineitem(spark, sf)
+    val res = NextK.nextK(li, Seq(NextK.Order("l_returnflag"), NextK.Order("l_linestatus")),
+      100, pivot = Some(Seq("N", "F")))
+    val keys = res.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(keys.forall { case (rf, ls) => rf > "N" || (rf == "N" && ls >= "F") })
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("NextK counts sum to seeked row count") {
+    val li = Tables.lineitem(spark, sf)
+    val order = Seq(NextK.Order("l_returnflag"), NextK.Order("l_linestatus"))
+    val res = NextK.nextK(li, order, 1000)
+    val total = res.agg(sum("cnt")).head().getLong(0)
+    assert(total == li.count())
+  }
+
+  test("startPosition + seeked = total") {
+    val li = Tables.lineitem(spark, sf)
+    val order = Seq(NextK.Order("l_returnflag"), NextK.Order("l_linestatus"))
+    val pivot = Seq("N", "F")
+    val before = NextK.startPosition(li, order, pivot)
+    val after = li.filter(Filters.rowSeek(order.map(o => col(o.column)), pivot)).count()
+    assert(before + after == li.count())
+  }
+
+  test("histogram CDF last value equals filtered row count") {
+    val li = Tables.lineitem(spark, sf)
+    val inRange = li.filter(col("l_extendedprice").between(0.0, 110000.0))
+    val cdf = Histograms.histogramWithCdf(inRange,
+      Histograms.numericBucket(col("l_extendedprice"), 0.0, 110000.0, 22))
+    val last = cdf.orderBy(col("bucket").desc).head().getLong(2)
+    assert(last == inRange.count())
+  }
+
+  test("heavy hitters MG equals exact heavy hitters") {
+    val li = Tables.lineitem(spark, sf)
+    val cols = Seq("l_returnflag", "l_linestatus")
+    val exact = DistinctAndFrequency.heavyHittersExact(li, cols, 0.05)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val mg = DistinctAndFrequency.heavyHittersMG(li, cols, 0.05)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(mg == exact)
+  }
+
+  test("set ops view algebra consistent with except/intersect") {
+    val o = Tables.orders(spark, sf)
+    val p1 = col("o_orderpriority") === "1-URGENT"
+    val p2 = col("o_totalprice") > 200000.0
+    val union = SetOps.viewUnion(o, p1, p2).count()
+    val inter = SetOps.viewIntersect(o, p1, p2).count()
+    val only1 = SetOps.viewMinus(o, p1, p2).count()
+    val only2 = SetOps.viewMinus(o, p2, p1).count()
+    assert(union == inter + only1 + only2)
+  }
+
+  test("topk returns k rows in order") {
+    val li = Tables.lineitem(spark, sf)
+    val res = TopK.topK(li.select(col("l_extendedprice")),
+      Seq(NextK.Order("l_extendedprice", ascending = false)), 10).collect()
+    assert(res.length == 10)
+    val vs = res.map(_.getDouble(0))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a >= b })
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.dedup.{Dedup, SimHash}
+import graft.ann.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / text-analysis semantics on constructed inputs
+  * with known ground truth (mirrors the reference's TestTables
+  * approach, platform/.../utils/TestTables.java).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val d = docsDF(Seq("a b c", "a b c", "x y z", "a b c"))
+    val groups = Dedup.exactGroups(d).collect()
+    assert(groups.length == 2)
+    assert(groups.map(_.getLong(2)).sorted.sameElements(Array(1L, 3L)))
+  }
+
+  test("jaccard pairs find near-duplicates, skip dissimilar") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 28).map(i => s"w$i").mkString(" ") + " z1 z2"
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")
+    val pairs = Dedup.jaccardPairs(docsDF(Seq(base, nearDup, other)), 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("minhash-LSH pairs match exact jaccard pairs on near-dups") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nd = (1 to 38).map(i => s"w$i").mkString(" ") + " q1 q2"
+    val far = (200 to 240).map(i => s"u$i").mkString(" ")
+    val d = docsDF(Seq(base, nd, far))
+    val exact = Dedup.jaccardPairs(d, 3, 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(d, 3, 16, 8, 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact && exact.nonEmpty)
+  }
+
+  test("simhash: identical text distance 0; near text small distance") {
+    val t1 = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val t2 = (1 to 48).map(i => s"tok$i").mkString(" ") + " x y"
+    val fps = SimHash.fingerprints(docsDF(Seq(t1, t1, t2))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(1L))
+    assert(java.lang.Long.bitCount(fps(0L) ^ fps(2L)) < 20)
+    val pairs = SimHash.nearDupPairs(docsDF(Seq(t1, t1)), 8).collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L && r.getInt(2) == 0))
+  }
+
+  test("cosine of identical vectors is 1; orthogonal is 0") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 2.0f)),
+      (1L, Array(1.0f, 0.0f, 2.0f)),
+      (2L, Array(0.0f, 5.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(df, -1.0, dim = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(pairs((0L, 1L)) - 1.0) < 1e-9)
+    assert(math.abs(pairs((0L, 2L))) < 1e-9)
+  }
+
+  test("brute-force topk ranks the exact nearest first") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val res = Similarity.bruteForceTopK(emb, Seq(0L), 5).collect()
+    assert(res.length == 5)
+    val sims = res.map(_.getDouble(3))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("rolling hash is order-sensitive, fingerprint is order-insensitive") {
+    val d = docsDF(Seq("alpha beta gamma", "gamma beta alpha"))
+    val rh = TextAnalysis.rollingFingerprints(d).collect().map(_.getLong(1))
+    assert(rh(0) != rh(1))
+    val fp = TextAnalysis.fingerprints(d).collect().map(_.getString(1))
+    assert(fp(0) == fp(1))
+  }
+
+  test("quality metrics bounded") {
+    val q = TextAnalysis.quality(graft.engine.Tables.documents(spark, sf)).collect()
+    assert(q.forall { r =>
+      val score = r.getDouble(4)
+      score >= 0.0 && score <= 1.0 && r.getInt(1) > 0
+    })
+  }
+}

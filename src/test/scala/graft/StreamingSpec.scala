@@ -1,0 +1,68 @@
+package graft
+
+import graft.engine.Tables
+import graft.multimodal.Multimodal
+import graft.streaming.{Events, Memo, Progressive}
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly agg matches batch totals") {
+    val batch = Events.hourlyAgg(Tables.events(spark, sf))
+    val batchTotal = batch.agg(sum("n_events")).head().getLong(0)
+    val streamed = Events.runHourlyStreamOnce(spark, sf)
+    val streamTotal = streamed.agg(sum("n_events")).head().getLong(0)
+    assert(streamTotal == batchTotal)
+  }
+
+  test("session stats: session count bounded by event count") {
+    val st = Events.sessionStats(Tables.events(spark, sf), 30).collect()
+    assert(st.nonEmpty)
+    assert(st.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= r.getLong(2)))
+  }
+
+  test("progressive partials converge to the one-shot result") {
+    val li = Tables.lineitem(spark, sf).repartition(8)
+    var partials = List.empty[Double]
+    val fin = Progressive.run(li, 4)(df => df.agg(count(lit(1))))(p =>
+      partials ::= p.fractionDone)
+    assert(partials.head == 1.0)
+    assert(fin.head.getLong(0) == li.count())
+  }
+
+  test("memoized collect hits cache on identical plan") {
+    Memo.clear()
+    val li = Tables.lineitem(spark, sf)
+    val q1 = Memo.collectMemoized(li.groupBy("l_returnflag").count())
+    val q2 = Memo.collectMemoized(li.groupBy("l_returnflag").count())
+    assert(Memo.size == 1 && q1.sameElements(q2))
+  }
+
+  test("multimodal stub pipeline: features + chunk sampling") {
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.nonEmpty && feats.forall(f => f.n_bytes > 0 && f.feat0 > 0))
+    val chunks = Multimodal.sampleChunks(media, 64, 2).collect()
+    assert(chunks.nonEmpty)
+  }
+
+  test("schema file reader maps hillview kinds") {
+    val tmp = java.nio.file.Files.createTempFile("graft", ".schema")
+    java.nio.file.Files.writeString(tmp,
+      """[{"name":"c1","kind":"Integer"},{"name":"c2","kind":"String"},{"name":"c3","kind":"Date"}]""")
+    val st = graft.sources.Sources.readSchemaFile(tmp.toString)
+    assert(st.fields.map(_.name).sameElements(Array("c1", "c2", "c3")))
+    assert(st("c1").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(st("c3").dataType == org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("csv round-trip preserves data") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_returnflag").limit(100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    graft.sources.Sources.writeCsv(li, dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() == 100)
+    assert(back.columns.sameElements(li.columns))
+  }
+}
