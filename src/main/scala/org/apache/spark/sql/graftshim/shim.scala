@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's private[sql] Column↔Expression conversions so the
+  * engine's custom Catalyst expressions (FloatVecDot, SimHash60, …) can
+  * be exposed as user-facing Columns. Lives in the org.apache.spark.sql
+  * namespace solely for access; contains no Spark-derived logic.
+  */
+package object graftshim {
+  def exprToColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def columnToExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -52,6 +52,26 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L && r.getInt(2) == 0))
   }
 
+  test("SimHash60 custom expression matches the Column reference form") {
+    val d = graft.engine.Tables.documents(spark, sf).limit(50)
+    val both = d.select(
+      SimHash.simhash(col("text")).as("fast"),
+      SimHash.simhashReference(col("text")).as("ref")).collect()
+    assert(both.nonEmpty && both.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("FloatVecDot/Norm match the interpreted HOF forms") {
+    val e = graft.engine.Tables.embeddings(spark, sf).limit(20)
+    val hofDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val pairs = e.select(col("embedding").as("a")).crossJoin(
+      e.select(col("embedding").as("b")))
+    val rows = pairs.select(
+      Similarity.dot(col("a"), col("b")).as("fast"), hofDot.as("ref")).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("cosine of identical vectors is 1; orthogonal is 0") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f, 2.0f)),
