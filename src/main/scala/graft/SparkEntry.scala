@@ -191,6 +191,55 @@ object SparkEntry {
           ord(s, d).select(col("o_custkey").as("c_custkey")),
           Seq("c_custkey"))),
 
+    // ── find / position / contains / sampling / save ───────────────────
+    "find_pattern" -> ((s, d) =>
+      Find.find(prt(s, d),
+        Filters.stringMatch(col("p_name"), "widget"),
+        Seq(Order("p_name"), Order("p_partkey")),
+        Seq("m", 0L),
+        Seq("p_name", "p_partkey"))),
+    "row_at_position" -> ((s, d) =>
+      Find.rowAtPosition(
+        li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+        Seq(Order("l_extendedprice"), Order("l_orderkey"), Order("l_linenumber")), 1000)),
+    "contains_row" -> ((s, d) =>
+      Find.containsRow(li(s, d), col("l_orderkey") === 1L && col("l_linenumber") === 1)),
+    "sample_rows" -> ((s, d) =>
+      li(s, d).sample(withReplacement = false, 0.01, 42L)
+        .select(col("l_orderkey"), col("l_linenumber"))),
+    "save_roundtrip" -> ((s, d) =>
+      graft.sources.Sources.saveRoundTrip(
+        li(s, d).filter(col("l_quantity") > 48.0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))),
+
+    // ── more histograms / matrices / udf / quantization / windows ──────
+    "hist_3d" -> ((s, d) =>
+      Histograms.histogramND(li(s, d), Seq(
+        "bx" -> Histograms.numericBucket(col("l_quantity"), 0.0, 50.0, 5),
+        "by" -> Histograms.numericBucket(col("l_discount"), 0.0, 0.1, 3),
+        "bz" -> col("l_returnflag")))),
+    "hist_4d" -> ((s, d) =>
+      Histograms.histogramND(li(s, d), Seq(
+        "bx" -> Histograms.numericBucket(col("l_quantity"), 0.0, 50.0, 5),
+        "by" -> Histograms.numericBucket(col("l_discount"), 0.0, 0.1, 3),
+        "bz" -> col("l_returnflag"),
+        "bw" -> col("l_linestatus")))),
+    "corr_matrix" -> ((s, d) =>
+      Stats.correlationMatrix(li(s, d),
+        Seq("l_discount", "l_extendedprice", "l_quantity"))),
+    "udf_surface" -> ((s, d) => {
+      graft.functions.Udfs.registerAll(s)
+      li(s, d).groupBy(expr("qty_band(l_quantity)").as("band"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "dp_quantized_hist" -> ((s, d) =>
+      li(s, d)
+        .groupBy(graft.functions.Quantization.quantize(col("l_extendedprice"), 10000.0)
+          .as("qbucket"))
+        .agg(count(lit(1)).as("cnt"))),
+    "events_moving_avg" -> ((s, d) =>
+      graft.streaming.Events.movingAvg(ev(s, d), 3)),
+
     // ── dedup / similarity / text (training-data pipeline) ─────────────
     "dedup_exact" -> ((s, d) => graft.dedup.Dedup.exactGroups(docs(s, d))),
     "dedup_jaccard_3gram" -> ((s, d) =>
@@ -385,6 +434,60 @@ object SparkEntry {
     "join_anti_customers" ->
       """SELECT c_custkey FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "find_pattern" ->
+      """SELECT b.before_cnt, b.after_cnt, f.first_p_name, f.first_p_partkey FROM
+        |(SELECT count(CASE WHEN NOT ((p_name, p_partkey) >= ('m', 0)) THEN 1 END) AS before_cnt,
+        |        count(CASE WHEN (p_name, p_partkey) >= ('m', 0) THEN 1 END) AS after_cnt
+        | FROM part WHERE contains(p_name, 'widget')) b
+        |CROSS JOIN
+        |(SELECT p_name AS first_p_name, p_partkey AS first_p_partkey FROM part
+        | WHERE contains(p_name, 'widget') AND (p_name, p_partkey) >= ('m', 0)
+        | ORDER BY p_name, p_partkey LIMIT 1) f""".stripMargin,
+    "row_at_position" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice, l_orderkey, l_linenumber LIMIT 1 OFFSET 1000""".stripMargin,
+    "contains_row" ->
+      """SELECT (count(CASE WHEN l_orderkey = 1 AND l_linenumber = 1 THEN 1 END) > 0) AS found
+        |FROM lineitem""".stripMargin,
+    "save_roundtrip" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 48.0",
+    "hist_3d" ->
+      """SELECT LEAST(CAST(FLOOR((l_quantity - 0.0) / ((50.0 - 0.0) / 5.0)) AS INT), 4) AS bx,
+        |LEAST(CAST(FLOOR((l_discount - 0.0) / ((0.1 - 0.0) / 3.0)) AS INT), 2) AS by,
+        |l_returnflag AS bz, count(*) AS cnt FROM lineitem GROUP BY 1, 2, 3""".stripMargin,
+    "hist_4d" ->
+      """SELECT LEAST(CAST(FLOOR((l_quantity - 0.0) / ((50.0 - 0.0) / 5.0)) AS INT), 4) AS bx,
+        |LEAST(CAST(FLOOR((l_discount - 0.0) / ((0.1 - 0.0) / 3.0)) AS INT), 2) AS by,
+        |l_returnflag AS bz, l_linestatus AS bw, count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2, 3, 4""".stripMargin,
+    "corr_matrix" ->
+      """WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_e,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS p_dd,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p_de,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS p_dq,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p_ee,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS p_eq,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS p_qq
+        |  FROM lineitem)
+        |SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+        |  round((p_de * n - s_d * s_e) / (sqrt(n * p_dd - s_d * s_d) * sqrt(n * p_ee - s_e * s_e)), 4) AS corr FROM m
+        |UNION ALL SELECT 'l_discount', 'l_quantity',
+        |  round((p_dq * n - s_d * s_q) / (sqrt(n * p_dd - s_d * s_d) * sqrt(n * p_qq - s_q * s_q)), 4) FROM m
+        |UNION ALL SELECT 'l_extendedprice', 'l_quantity',
+        |  round((p_eq * n - s_e * s_q) / (sqrt(n * p_ee - s_e * s_e) * sqrt(n * p_qq - s_q * s_q)), 4) FROM m""".stripMargin,
+    "udf_surface" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid'
+        |ELSE 'high' END AS band, count(*) AS cnt FROM lineitem GROUP BY 1""".stripMargin,
+    "dp_quantized_hist" ->
+      """SELECT FLOOR(l_extendedprice / 10000.0) * 10000.0 AS qbucket, count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "events_moving_avg" ->
+      """SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id
+        |ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
+        |FROM events""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

@@ -65,6 +65,13 @@ object Histograms {
   def histogram2D(df: DataFrame, bx: Column, by: Column): DataFrame =
     df.groupBy(bx.as("bx"), by.as("by")).agg(count(lit(1)).as("cnt"))
 
+  /** 3-/4-D nested histograms (Histogram3DSketch/Histogram4DSketch —
+    * Trellis chart views): groupBy N bucket expressions, one pass.
+    */
+  def histogramND(df: DataFrame, buckets: Seq[(String, Column)]): DataFrame =
+    df.groupBy(buckets.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("cnt"))
+
   /** Heatmap with singleton detail (HeatmapSketch + CountAndSingleton):
     * per cell, the count plus a representative value exposed only when
     * the cell holds exactly one row.

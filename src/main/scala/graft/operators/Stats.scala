@@ -75,6 +75,37 @@ object Stats {
         4).as("corr"))
   }
 
+  /** Full correlation matrix (PCACorrelationSketch: one pass computing
+    * all pairwise moments, eigen-decomposition happens at the root in
+    * the reference). Single aggregation over the scan producing every
+    * sum/sum-of-squares/cross-product, then a constant-size reshape to
+    * (col_a, col_b, corr) rows — O(k²) result, one pass, exact decimal
+    * moments.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs =
+      Seq(count(lit(1)).cast(DoubleType).as("n")) ++
+      cols.map(c => sum(Num.dec2(col(c))).cast(DoubleType).as(s"s_$c")) ++
+      cols.flatMap(a => cols.filter(_ >= a).map { b =>
+        sum(Num.dec2(col(a)) * Num.dec2(col(b))).cast(DoubleType).as(s"p_${a}_$b")
+      })
+    // one row of moments; cached so each pair projection below reuses it
+    // instead of re-running the scan
+    val m = df.agg(aggs.head, aggs.tail: _*).cache()
+    def p(a: String, b: String) = if (a <= b) col(s"p_${a}_$b") else col(s"p_${b}_$a")
+    val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+    val rows = pairs.map { case (a, b) =>
+      m.select(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        round(
+          (p(a, b) * col("n") - col(s"s_$a") * col(s"s_$b")) /
+            (sqrt(col("n") * p(a, a) - col(s"s_$a") * col(s"s_$a")) *
+             sqrt(col("n") * p(b, b) - col(s"s_$b") * col(s"s_$b"))),
+          4).as("corr"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** CategoryCentroidsSketch: per-category centroid of numeric columns. */
   def categoryCentroids(
       df: DataFrame, category: String, numeric: Seq[String]): DataFrame = {

@@ -80,6 +80,16 @@ object Sources {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** SaveAsFileSketch round-trip: every worker writes its partition
+    * (distributed sink — no driver funnel), then the result is re-read.
+    * Returns the re-read DataFrame so the round-trip is checkable.
+    */
+  def saveRoundTrip(df: DataFrame, format: String = "parquet"): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_save").toString
+    df.write.mode("overwrite").format(format).save(dir)
+    df.sparkSession.read.format(format).load(dir)
+  }
+
   /** ParseErrorsSketch: count of corrupt records in a permissive read. */
   def parseErrors(df: DataFrame): DataFrame =
     df.agg(count(when(col("_corrupt_record").isNotNull, 1)).as("n_errors"))

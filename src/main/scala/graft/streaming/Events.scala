@@ -49,6 +49,19 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Trailing moving average per user (analytic window — parity-plus;
+    * the reference has no window functions, SURVEY.md §2.9). Partitioned
+    * by user: parallelism = #users, no global sort.
+    */
+  def movingAvg(events: DataFrame, trailing: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-trailing, Window.currentRow)
+    events.select(
+      col("event_id"), col("user_id"),
+      round(avg(col("value")).over(w), 4).as("mavg"))
+  }
+
   /** Streaming form of hourlyAgg: watermarked tumbling windows. The
     * caller supplies a readStream DataFrame with the events schema.
     */

@@ -98,6 +98,50 @@ class OperatorSpec extends SparkSpec {
     assert(union == inter + only1 + only2)
   }
 
+  test("find: before + after counts equal total matches") {
+    val p = Tables.part(spark, sf)
+    val res = Find.find(p, Filters.stringMatch(col("p_name"), "widget"),
+      Seq(NextK.Order("p_name"), NextK.Order("p_partkey")), Seq("m", 0L),
+      Seq("p_name", "p_partkey")).collect()
+    val total = p.filter(col("p_name").contains("widget")).count()
+    if (res.nonEmpty)
+      assert(res.head.getLong(0) + res.head.getLong(1) == total)
+  }
+
+  test("rowAtPosition returns the (k+1)-th smallest") {
+    val li = Tables.lineitem(spark, sf)
+    val k = 50
+    val got = Find.rowAtPosition(
+      li.select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      Seq(NextK.Order("l_extendedprice"), NextK.Order("l_orderkey"), NextK.Order("l_linenumber")), k)
+      .head().getDouble(0)
+    val expect = li.select(col("l_extendedprice")).orderBy(col("l_extendedprice"))
+      .limit(k + 1).collect().last.getDouble(0)
+    assert(got == expect)
+  }
+
+  test("containsRow gate") {
+    val li = Tables.lineitem(spark, sf)
+    assert(Find.containsRow(li, col("l_orderkey") === 1L).head().getBoolean(0))
+    assert(!Find.containsRow(li, col("l_orderkey") === -99L).head().getBoolean(0))
+  }
+
+  test("correlationMatrix pair matches single-pair correlation") {
+    val li = Tables.lineitem(spark, sf)
+    val m = Stats.correlationMatrix(li, Seq("l_extendedprice", "l_quantity"))
+      .collect().head.getDouble(2)
+    val single = Stats.correlation(li, "l_quantity", "l_extendedprice")
+      .head().getDouble(0)
+    assert(math.abs(m - single) <= 1e-4)
+  }
+
+  test("quantize snaps to grid") {
+    val li = Tables.lineitem(spark, sf)
+    val bad = li.select(graft.functions.Quantization.quantize(col("l_extendedprice"), 1000.0).as("q"))
+      .filter(pmod(col("q"), lit(1000.0)) =!= 0.0).count()
+    assert(bad == 0)
+  }
+
   test("topk returns k rows in order") {
     val li = Tables.lineitem(spark, sf)
     val res = TopK.topK(li.select(col("l_extendedprice")),
