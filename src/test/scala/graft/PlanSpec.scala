@@ -1,0 +1,63 @@
+package graft
+
+import graft.engine.Tables
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the properties that make these queries
+  * scale — filter pushdown to the parquet scan, column pruning,
+  * broadcast joins for dims, TakeOrderedAndProject for top-K — checked
+  * the way a human would read .explain output.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters are pushed down to the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(Filters.range(col("l_extendedprice"), 1000.0, 5000.0))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_extendedprice,1000.0"), p)
+  }
+
+  test("projection prunes the read schema") {
+    val df = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("dim joins broadcast, not shuffle") {
+    val df = Joins.customersPerRegion(
+      Tables.customer(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf))
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("top-K plans TakeOrderedAndProject (no full sort)") {
+    val df = TopK.topK(
+      Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_extendedprice")),
+      Seq(NextK.Order("l_extendedprice", ascending = false), NextK.Order("l_orderkey")), 15)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("histogram aggregates partially before the shuffle") {
+    val df = Histograms.histogram1D(Tables.lineitem(spark, sf),
+      Histograms.numericBucket(col("l_extendedprice"), 0.0, 110000.0, 22))
+    val p = plan(df)
+    // partial + final HashAggregate = the sketch-monoid dataflow
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("vector dot stays inside whole-stage codegen") {
+    val e = Tables.embeddings(spark, sf)
+    val df = e.select(graft.ann.Similarity.norm(col("embedding")).as("n"))
+    val p = plan(df)
+    // "*(n)" prefix = operator compiled into a WholeStageCodegen stage;
+    // a codegen-incompatible expression would print a bare Project
+    assert(p.contains("*(1) Project"), p)
+  }
+}
