@@ -239,6 +239,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))),
     "events_moving_avg" -> ((s, d) =>
       graft.streaming.Events.movingAvg(ev(s, d), 3)),
+    "jl_projection" -> ((s, d) =>
+      Projections.jlProject(
+        prt(s, d).select(col("p_partkey"), col("p_size"), col("p_retailprice")),
+        Seq("p_size", "p_retailprice"), 2).drop("p_size", "p_retailprice")),
 
     // ── dedup / similarity / text (training-data pipeline) ─────────────
     "dedup_exact" -> ((s, d) => graft.dedup.Dedup.exactGroups(docs(s, d))),
@@ -488,6 +492,15 @@ object SparkEntry {
       """SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id
         |ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
         |FROM events""".stripMargin,
+    "jl_projection" -> {
+      // the deterministic ±1 sign matrix is generated in Scala and
+      // inlined into the oracle so both engines compute the same map
+      val signs = Projections.jlSigns(2, 2)
+      s"""SELECT p_partkey,
+         |${signs(0)(0)} * p_size + ${signs(0)(1)} * p_retailprice AS jl0,
+         |${signs(1)(0)} * p_size + ${signs(1)(1)} * p_retailprice AS jl1
+         |FROM part""".stripMargin
+    },
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

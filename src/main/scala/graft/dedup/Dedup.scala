@@ -58,9 +58,9 @@ object Dedup {
     * comparisons). A 64-bit collision would take ~10¹⁰ distinct shingles
     * to matter; counts are otherwise identical to the string form.
     */
-  def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
+  def shingleHashes(docs: DataFrame, n: Int = 3, dedup: Boolean = true): DataFrame = {
     val words = col("__words")
-    docs
+    val exploded = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("__words"))
       .filter(size(words) >= n)
       .select(
@@ -71,7 +71,7 @@ object Dedup {
             when(i <= size(words) - n, xxhash64(concat_ws(" ", parts: _*)))
           })).as("shingle"))
       .filter(col("shingle").isNotNull)
-      .distinct()
+    if (dedup) exploded.distinct() else exploded
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs via inverted shingle
@@ -152,13 +152,19 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingleHashes(docs, n).cache()
-    val sig = minhashSignatures(sh, k)
+    // Signatures don't need distinct shingles (min over a multiset = min
+    // over its set), so the full-corpus pass skips the distinct shuffle
+    // and is never cached. Only candidate docs get the exact treatment.
+    val sigInput = shingleHashes(docs, n, dedup = false)
+    val sig = minhashSignatures(sigInput, k)
     val cand = lshCandidatePairs(sig, k, bands)
+    // Exact verification re-shingles ONLY docs that appear in a banded
+    // candidate pair — typically a small fraction of the corpus.
+    val candDocs = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val sh = shingleHashes(
+      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), n).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // Verify ONLY the banded candidates: fan the (few) candidate pairs
-    // out to their shingle sets and count the overlap — O(|cand|·|doc|)
-    // instead of re-running the full inverted-index self-join.
     val shared = broadcast(cand)
       .join(sh.as("a"), col("id_a") === col("a.doc_id"))
       .join(sh.as("b"),

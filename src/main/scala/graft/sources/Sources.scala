@@ -80,6 +80,15 @@ object Sources {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** JDBC table load (LoadDatabaseTableMap / JdbcDatabase.java) — thin
+    * wrapper; Spark's DSv2 JDBC already pushes filters/aggregates down,
+    * covering the reference's federated histogram/distinct-count mode
+    * for supported dialects. Untestable in this offline environment.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+
   /** SaveAsFileSketch round-trip: every worker writes its partition
     * (distributed sink — no driver funnel), then the result is re-read.
     * Returns the re-read DataFrame so the round-trip is checkable.

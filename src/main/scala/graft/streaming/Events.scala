@@ -81,10 +81,13 @@ object Events {
   def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
+    // NoTimeout: sessions close when a later-than-gap event arrives.
+    // (A timeout-based close would need ProcessingTimeTimeout, which
+    // keeps an AvailableNow run alive indefinitely re-checking timers.)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid, evs, state: GroupState[SessionState]) =>
           var out = List.empty[SessionOut]
           var st = state.getOption

@@ -142,6 +142,42 @@ class OperatorSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("PCA projection produces k components with max variance first") {
+    val li = Tables.lineitem(spark, sf)
+    val comps = Projections.principalComponents(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount"), 2)
+    assert(comps.length == 2 && comps.head.length == 3)
+    // component vectors are unit-norm
+    comps.foreach { c =>
+      assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-6)
+    }
+    val projected = Projections.pcaProject(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount"), 2)
+    assert(projected.columns.contains("pc0") && projected.count() == li.count())
+  }
+
+  test("LAMP maps control points near their own targets") {
+    val controls = Array(
+      (Array(0.0, 0.0), (0.0, 0.0)),
+      (Array(10.0, 0.0), (1.0, 0.0)),
+      (Array(0.0, 10.0), (0.0, 1.0)),
+      (Array(10.0, 10.0), (1.0, 1.0)))
+    import spark.implicits._
+    val df = Seq((0.0, 0.0), (10.0, 10.0), (5.0, 5.0)).toDF("x", "y")
+    val out = Projections.lampProject(df, Seq("x", "y"), controls)
+      .select("lamp_x", "lamp_y").collect()
+    // a control point projects very near its target; midpoint lands between
+    assert(math.abs(out(0).getDouble(0) - 0.0) < 0.1 && math.abs(out(1).getDouble(0) - 1.0) < 0.1)
+    assert(out(2).getDouble(0) > 0.2 && out(2).getDouble(0) < 0.8)
+  }
+
+  test("min-K-hash boundaries are sorted distinct sample values") {
+    val c = Tables.customer(spark, sf)
+    val bounds = graft.functions.MinKHash.stringBoundaries(c, "c_name", 8, 256)
+    assert(bounds.nonEmpty && bounds.size <= 8)
+    assert(bounds == bounds.sorted)
+  }
+
   test("topk returns k rows in order") {
     val li = Tables.lineitem(spark, sf)
     val res = TopK.topK(li.select(col("l_extendedprice")),

@@ -46,6 +46,40 @@ class StreamingSpec extends SparkSpec {
     assert(chunks.nonEmpty)
   }
 
+  test("stateful sessionization stream emits closed sessions") {
+    import spark.implicits._
+    val evs = Seq(
+      Events.Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      Events.Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
+      Events.Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 3.0),
+      Events.Ev(2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 4.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess")
+    evs.toDS().write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(evs.toDS().schema).parquet(dir.toString).as[Events.Ev]
+    val q = Events.sessionizeStream(stream, 30).writeStream
+      .outputMode("append").format("memory").queryName("graft_sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // user 1's first session (2 events) closes when the 2h-later event
+    // arrives in the same batch; open sessions stay in state
+    val closed = spark.table("graft_sessions").collect()
+    assert(closed.exists(r => r.getLong(0) == 1L && r.getLong(2) == 2L))
+  }
+
+  test("grok-style log reader extracts typed columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_log")
+    java.nio.file.Files.writeString(dir.resolve("app.log"),
+      """2024-01-01 10:00:01 INFO  starting up
+        |2024-01-01 10:00:02 ERROR disk full
+        |""".stripMargin)
+    val df = graft.sources.Sources.readLog(spark, dir.toString,
+      """^(\S+ \S+) (\w+)\s+(.*)$""", Seq("ts" -> 1, "level" -> 2, "msg" -> 3))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("level")).toSet == Set("INFO", "ERROR"))
+  }
+
   test("schema file reader maps hillview kinds") {
     val tmp = java.nio.file.Files.createTempFile("graft", ".schema")
     java.nio.file.Files.writeString(tmp,
