@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{FloatVecDot, FloatVecNorm, SimHash60}
+
+/** SparkSessionExtensions registering the engine's custom expressions as
+  * SQL functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works for
+  * SQL-first users:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * // or: spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float arrays"),
+      (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(a) - L2 norm of a float array"),
+      (args: Seq[Expression]) => FloatVecNorm(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(text) - 60-bit SimHash of a tokenized string"),
+      (args: Seq[Expression]) => SimHash60(args.head)))
+  }
+}

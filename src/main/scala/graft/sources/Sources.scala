@@ -54,6 +54,34 @@ object Sources {
     }
   }
 
+  /** Hillview's CSV type-inference lattice (GuessSchema.java:74-137):
+    * None → Integer → Double → String, promoted per column by what all
+    * non-empty values can parse as. One distributed aggregation pass
+    * over the string table (every() of parse predicates per column).
+    */
+  def guessSchema(raw: DataFrame): StructType = {
+    val intRe = "^-?\\d{1,18}$"
+    val dblRe = "^-?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+    val aggs = raw.columns.flatMap { c =>
+      val v = col(c)
+      val present = v.isNotNull && v =!= ""
+      Seq(
+        count(when(present, 1)).as(s"__n_$c"),
+        count(when(present && !v.rlike(intRe), 1)).as(s"__notint_$c"),
+        count(when(present && !v.rlike(dblRe), 1)).as(s"__notdbl_$c"))
+    }
+    val r = raw.agg(aggs.head, aggs.tail: _*).head()
+    StructType(raw.columns.map { c =>
+      val n = r.getAs[Long](s"__n_$c")
+      val t =
+        if (n == 0L) NullType
+        else if (r.getAs[Long](s"__notint_$c") == 0L) IntegerType
+        else if (r.getAs[Long](s"__notdbl_$c") == 0L) DoubleType
+        else StringType
+      StructField(c, t, nullable = true)
+    })
+  }
+
   /** Newline-delimited JSON (JsonFileLoader). */
   def readJson(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
 

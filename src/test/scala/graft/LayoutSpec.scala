@@ -1,0 +1,74 @@
+package graft
+
+import graft.engine.{Layout, Tables}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities: bucketed co-located joins, skew salting,
+  * extension-registered SQL functions, CSV type lattice.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    spark.sql("DROP TABLE IF EXISTS graft_li_b")
+    spark.sql("DROP TABLE IF EXISTS graft_o_b")
+    Layout.writeBucketed(li, "graft_li_b", Seq("l_orderkey"), 8)
+    Layout.writeBucketed(o, "graft_o_b", Seq("l_orderkey"), 8)
+    val joined = spark.table("graft_li_b")
+      .join(spark.table("graft_o_b"), Seq("l_orderkey"))
+    // disable broadcast so the join strategy is SMJ over bucketed scans
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(o, Seq("l_orderkey")).count()
+    val salted = Layout.saltedJoin(li, o, "l_orderkey", 4).count()
+    assert(salted == plain)
+  }
+
+  test("partitionsForBytes sizes to ~128MB") {
+    assert(Layout.partitionsForBytes(1L << 40) == 8192)
+    assert(Layout.partitionsForBytes(1L) == 1)
+  }
+
+  test("GraftExtensions registers SQL functions") {
+    // injectFunction on an existing session is not possible; register the
+    // same builders through the session's registry to prove them out
+    val reg = spark.sessionState.functionRegistry
+    new GraftExtensions()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", es => graft.functions.FloatVecDot(es(0), es(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60", es => graft.functions.SimHash60(es.head), "scala_udf")
+    val r = spark.sql(
+      "SELECT vec_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) AS d, " +
+        "simhash60('a b c') AS sh").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) != 0L)
+  }
+
+  test("type-inference lattice promotes correctly") {
+    import spark.implicits._
+    val raw = Seq(
+      ("1", "1.5", "x", ""),
+      ("22", "2", "y", ""),
+      ("-3", "3e2", "1", "")).toDF("i", "d", "s", "e")
+    val st = graft.sources.Sources.guessSchema(raw)
+    assert(st("i").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(st("d").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(st("s").dataType == org.apache.spark.sql.types.StringType)
+    assert(st("e").dataType == org.apache.spark.sql.types.NullType)
+  }
+}
