@@ -256,6 +256,8 @@ object SparkEntry {
       graft.ann.Similarity.bruteForceTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_lsh_topk" -> ((s, d) =>
       graft.ann.Similarity.lshTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    "ann_ivf_topk" -> ((s, d) =>
+      graft.ann.Similarity.ivfTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "text_quality" -> ((s, d) => graft.text.TextAnalysis.quality(docs(s, d))),
     "text_tokens" -> ((s, d) => graft.text.TextAnalysis.tokenStats(docs(s, d))),
     "text_langid" -> ((s, d) =>

@@ -101,6 +101,52 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: corpus is partitioned into `nlist` cells
+    * by nearest centroid (the index build — at scale, a one-time
+    * bucketed write); queries probe the `nprobe` nearest cells only.
+    * Centroids here are a deterministic hash-strided sample of the
+    * corpus (k-means iterations would refine them; the probe/assign
+    * dataflow — broadcast centroids, argmin assignment, cell-restricted
+    * scoring — is the part that matters at scale).
+    */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    // deterministic "sample": nlist rows with smallest xxhash64(vec_id)
+    val centroids = emb
+      .select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h")).limit(nlist)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex
+    def nearestCells(v: Column, n: Int): Column = {
+      // distances to all centroids; cell ids of the n smallest
+      val dists = array(centroids.map { case (c, i) =>
+        struct((lit(1.0) - cosine(v, lit(c))).as("d"), lit(i).as("cell"))
+      }: _*)
+      slice(transform(array_sort(dists), s => s.getField("cell")), 1, n)
+    }
+    val corpus = emb
+      .withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(nearestCells(col("embedding"), nprobe)).as("q_cell"))
+    val scored = corpus
+      .join(broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    scored
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. Exact
     * (all-pairs) declaration for the oracle; the LSH variant above is the
     * scale path. The self-join is keyed a<b to halve the work.

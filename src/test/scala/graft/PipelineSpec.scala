@@ -91,6 +91,18 @@ class PipelineSpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("IVF topk: self-cell recall includes exact top-1 for most queries") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ivf = Similarity.ivfTopK(emb, Seq(0L, 1L, 2L), 10, nlist = 4, nprobe = 4)
+      .collect().groupBy(_.getLong(0))
+    // with nprobe == nlist the search is exhaustive → exact top-1 present
+    exact.foreach { case (q, n1) =>
+      assert(ivf(q).map(_.getLong(2)).contains(n1), s"query $q missing $n1")
+    }
+  }
+
   test("rolling hash is order-sensitive, fingerprint is order-insensitive") {
     val d = docsDF(Seq("alpha beta gamma", "gamma beta alpha"))
     val rh = TextAnalysis.rollingFingerprints(d).collect().map(_.getLong(1))
