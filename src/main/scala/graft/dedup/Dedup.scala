@@ -149,15 +149,36 @@ object Dedup {
     * With j≥threshold pairs and bands·rows tuned, recall ≈ 1, so the
     * output equals the exact-Jaccard pair set — oracle-checkable.
     */
+  /** LSH banding over array signatures (one row per doc, signature from
+    * the MinHashSig expression): explode to (band, key) and self-join.
+    */
+  def lshCandidatePairsFromSig(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      concat_ws("|",
+        (b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
+    }
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "key"))).cache()
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
   def minhashLshPairs(
       docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    // Signatures don't need distinct shingles (min over a multiset = min
-    // over its set), so the full-corpus pass skips the distinct shuffle
-    // and is never cached. Only candidate docs get the exact treatment.
-    val sigInput = shingleHashes(docs, n, dedup = false)
-    val sig = minhashSignatures(sigInput, k)
-    val cand = lshCandidatePairs(sig, k, bands)
+    // Signature build is a narrow map (MinHashSig expression) — no
+    // shingle explode, no shuffle; the corpus is touched once.
+    val words = split(lower(col("text")), " ")
+    val sig = docs.select(col("doc_id"),
+        graft.functions.MinHashExpression.minhash_sig(words, n, k).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val cand = lshCandidatePairsFromSig(sig, k, bands)
     // Exact verification re-shingles ONLY docs that appear in a banded
     // candidate pair — typically a small fraction of the corpus.
     val candDocs = cand.select(col("id_a").as("doc_id"))
