@@ -169,6 +169,13 @@ object SparkEntry {
           "l_discount", "l_tax", "iv")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("iv.lo").as("lo"), col("iv.hi").as("hi"))),
+    "interval_hist" -> ((s, d) =>
+      Intervals.histogram(li(s, d),
+        Intervals.make(col("l_discount"), col("l_tax")), 0.0, 0.25, 10)),
+    "col_date_roundtrip" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        to_timestamp(date_format(col("l_shipdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
+          .as("ship_day"))),
     "interval_range_filter" -> ((s, d) =>
       li(s, d)
         .filter(least(col("l_discount"), col("l_tax")) >= 0.02 &&
@@ -424,6 +431,18 @@ object SparkEntry {
     "interval_range_filter" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE LEAST(l_discount, l_tax) >= 0.02 AND GREATEST(l_discount, l_tax) <= 0.06""".stripMargin,
+    "interval_hist" ->
+      """SELECT bucket, count(*) AS cnt FROM (
+        |  SELECT unnest(generate_series(
+        |    LEAST(CAST(FLOOR((GREATEST(LEAST(l_discount, l_tax), 0.0) - 0.0) / ((0.25 - 0.0) / 10.0)) AS INT), 9),
+        |    LEAST(CAST(FLOOR((LEAST(GREATEST(l_discount, l_tax), 0.25) - 0.0) / ((0.25 - 0.0) / 10.0)) AS INT), 9))) AS bucket
+        |  FROM lineitem
+        |  WHERE NOT (GREATEST(l_discount, l_tax) < 0.0 OR LEAST(l_discount, l_tax) > 0.25))
+        |GROUP BY 1""".stripMargin,
+    "col_date_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber,
+        |strptime(strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d'), '%Y-%m-%d') AS ship_day
+        |FROM lineitem""".stripMargin,
     "join_revenue_by_priority" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

@@ -135,6 +135,28 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(m - single) <= 1e-4)
   }
 
+  test("interval semantics: normalization, range, comparison, multi-bucket") {
+    import spark.implicits._
+    val df = Seq((5.0, 1.0), (2.0, 3.0)).toDF("a", "b")
+      .select(Intervals.make(col("a"), col("b")).as("iv"))
+    val rows = df.select(Intervals.lo(col("iv")), Intervals.hi(col("iv"))).collect()
+    assert(rows(0).getDouble(0) == 1.0 && rows(0).getDouble(1) == 5.0)
+    // both-endpoint range rule: [2,3] fits [0,4]; [1,5] does not
+    assert(df.filter(Intervals.inRange(col("iv"), 0.0, 4.0)).count() == 1)
+    // == means "contains the point"
+    assert(df.filter(Intervals.comparedTo(col("iv"), "==", 2.5)).count() == 2)
+    // interval [1,5] over [0,10] in 10 buckets covers buckets 1..5
+    val buckets = df.select(Intervals.overlappedBuckets(col("iv"), 0.0, 10.0, 10))
+      .collect()(0).getSeq[Int](0)
+    assert(buckets == Seq(1, 2, 3, 4, 5))
+    // total interval-histogram mass >= row count (multi-contribution)
+    val li = Tables.lineitem(spark, sf)
+    val mass = Intervals.histogram(li,
+      Intervals.make(col("l_discount"), col("l_tax")), 0.0, 0.25, 10)
+      .agg(sum("cnt")).head().getLong(0)
+    assert(mass >= li.count())
+  }
+
   test("quantize snaps to grid") {
     val li = Tables.lineitem(spark, sf)
     val bad = li.select(graft.functions.Quantization.quantize(col("l_extendedprice"), 1000.0).as("q"))
