@@ -265,6 +265,20 @@ object SparkEntry {
       graft.ann.Similarity.lshTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_ivf_topk" -> ((s, d) =>
       graft.ann.Similarity.ivfTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    "ann_topk_agg" -> ((s, d) =>
+      graft.ann.Similarity.bruteForceTopKAgg(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    "quantiles_approx" -> ((s, d) => {
+      val qs = Quantiles.approxQuantiles(li(s, d), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75), 0.01)
+      import s.implicits._
+      Seq((qs(0), qs(1), qs(2))).toDF("q25", "q50", "q75")
+    }),
+    "nextk_start_position" -> ((s, d) => {
+      val n = NextK.startPosition(li(s, d),
+        Seq(Order("l_returnflag"), Order("l_linestatus")), Seq("N", "F"))
+      import s.implicits._
+      Seq(n).toDF("start_position")
+    }),
     "text_quality" -> ((s, d) => graft.text.TextAnalysis.quality(docs(s, d))),
     "text_tokens" -> ((s, d) => graft.text.TextAnalysis.tokenStats(docs(s, d))),
     "text_langid" -> ((s, d) =>
@@ -541,6 +555,18 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
         |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_topk_agg" ->
+      """SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS INT) AS rank
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "nextk_start_position" ->
+      """SELECT count(*) AS start_position FROM lineitem
+        |WHERE NOT ((l_returnflag, l_linestatus) >= ('N', 'F'))""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens,
         |floor(((length(text) - (len(string_split(lower(text), ' ')) - 1)) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 10000.0) / 10000.0 AS mean_token_len,

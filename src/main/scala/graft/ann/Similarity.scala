@@ -53,6 +53,23 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** bruteForceTopK with the bounded-heap aggregator instead of a
+    * window: identical output, but each partition ships at most k
+    * candidates per query to the shuffle instead of sorting every
+    * query's full candidate list (see functions.TopKByKey).
+    */
+  def bruteForceTopKAgg(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    graft.functions.TopKByKey.topKPerKey(scored, "query_id", "cos", "neighbor_id", k)
+      .select(col("key").as("query_id"), col("rank"),
+        col("id").as("neighbor_id"), round(col("score"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic random-hyperplane LSH bucket id: `planes` sign bits of
     * dot(v, h_i), hyperplane components derived from md5 of (plane, dim)
     * — reproducible without any RNG state.
