@@ -115,6 +115,8 @@ object SparkEntry {
       DistinctAndFrequency.heavyHittersExact(ord(s, d), Seq("o_orderpriority"), 0.05)),
     "heavy_mg" -> ((s, d) =>
       DistinctAndFrequency.heavyHittersMG(li(s, d), Seq("l_returnflag", "l_linestatus"), 0.05)),
+    "heavy_sampled" -> ((s, d) =>
+      DistinctAndFrequency.heavyHittersSampled(ord(s, d), Seq("o_orderpriority"), 0.05)),
     "quantiles_exact" -> ((s, d) =>
       Quantiles.quantiles(li(s, d), "l_extendedprice", Seq(0.25, 0.5, 0.75))),
     "string_boundaries" -> ((s, d) =>

@@ -59,6 +59,25 @@ object DistinctAndFrequency {
       .orderBy(col("cnt").desc, struct(cols.map(col): _*).asc)
   }
 
+  /** Sampled heavy hitters (SampleHeavyHittersSketch.java): group-count
+    * on a uniform sample, scaled back up. The reference's cheap first
+    * pass before exact verification; approximate by construction.
+    */
+  def heavyHittersSampled(df: DataFrame, cols: Seq[String], epsilon: Double,
+      fraction: Double = 0.1, seed: Long = 42L): DataFrame = {
+    val sampled = df.sample(withReplacement = false, fraction, seed)
+    val n = sampled.count()
+    sampled.groupBy(cols.map(col): _*)
+      .agg((count(lit(1)) / lit(fraction)).cast("long").as("est_cnt"))
+      .filter(col("est_cnt") >= lit(math.ceil(epsilon * n / fraction)))
+      .orderBy(col("est_cnt").desc, struct(cols.map(col): _*).asc)
+  }
+
+  /** SampleDistinctRowsSketch: uniform sample of the distinct rows. */
+  def sampleDistinctRows(df: DataFrame, cols: Seq[String], fraction: Double,
+      seed: Long = 42L): DataFrame =
+    df.select(cols.map(col): _*).distinct().sample(withReplacement = false, fraction, seed)
+
   /** Exact distinct values of a small-cardinality tuple
     * (DistinctStringsSketch — bounded result).
     */

@@ -108,6 +108,17 @@ object Sources {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** FileSizeSketch (sketches/FileSizeSketch.java): count + total bytes
+    * of the files a glob would load — a driver-side metadata operation,
+    * like the reference's root-side glob.
+    */
+  def fileSizes(spark: SparkSession, pattern: String): (Long, Long) = {
+    val path = new org.apache.hadoop.fs.Path(pattern)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(path)).getOrElse(Array.empty)
+    (statuses.length.toLong, statuses.map(_.getLen).sum)
+  }
+
   /** JDBC table load (LoadDatabaseTableMap / JdbcDatabase.java) — thin
     * wrapper; Spark's DSv2 JDBC already pushes filters/aggregates down,
     * covering the reference's federated histogram/distinct-count mode
@@ -127,7 +138,11 @@ object Sources {
     df.sparkSession.read.format(format).load(dir)
   }
 
-  /** ParseErrorsSketch: count of corrupt records in a permissive read. */
+  /** ParseErrorsSketch: count of corrupt records in a permissive read.
+    * Spark disallows referencing only the corrupt-record column of a raw
+    * file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache first, as the
+    * error message itself prescribes.
+    */
   def parseErrors(df: DataFrame): DataFrame =
-    df.agg(count(when(col("_corrupt_record").isNotNull, 1)).as("n_errors"))
+    df.cache().agg(count(when(col("_corrupt_record").isNotNull, 1)).as("n_errors"))
 }

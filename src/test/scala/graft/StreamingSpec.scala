@@ -90,6 +90,26 @@ class StreamingSpec extends SparkSpec {
     assert(st("c3").dataType == org.apache.spark.sql.types.TimestampType)
   }
 
+  test("file sizes sketch counts glob matches") {
+    val (n, bytes) = graft.sources.Sources.fileSizes(spark, s"$sf/*.parquet")
+    assert(n == 10 && bytes > 0)
+  }
+
+  test("parse errors sketch counts corrupt JSON records") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json")
+    java.nio.file.Files.writeString(dir.resolve("data.json"),
+      """{"a": 1, "b": "x"}
+        |not valid json at all
+        |{"a": 2, "b": "y"}
+        |""".stripMargin)
+    val df = spark.read
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema("a INT, b STRING, _corrupt_record STRING")
+      .json(dir.toString)
+    val errs = graft.sources.Sources.parseErrors(df).head().getLong(0)
+    assert(errs == 1)
+  }
+
   test("csv round-trip preserves data") {
     val li = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_quantity", "l_returnflag").limit(100)
