@@ -269,6 +269,8 @@ object SparkEntry {
       graft.ann.Similarity.ivfTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_topk_agg" -> ((s, d) =>
       graft.ann.Similarity.bruteForceTopKAgg(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    "ann_topk_plan" -> ((s, d) =>
+      graft.ann.Similarity.bruteForceTopKPlan(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "quantiles_approx" -> ((s, d) => {
       val qs = Quantiles.approxQuantiles(li(s, d), "l_extendedprice",
         Seq(0.25, 0.5, 0.75), 0.01)
@@ -569,6 +571,15 @@ object SparkEntry {
     "nextk_start_position" ->
       """SELECT count(*) AS start_position FROM lineitem
         |WHERE NOT ((l_returnflag, l_linestatus) >= ('N', 'F'))""".stripMargin,
+    "ann_topk_plan" ->
+      """SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS INT) AS rank
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens,
         |floor(((length(text) - (len(string_split(lower(text), ' ')) - 1)) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 10000.0) / 10000.0 AS mean_token_len,

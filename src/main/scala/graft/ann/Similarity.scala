@@ -70,6 +70,23 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** bruteForceTopK through the GroupTopK custom operator (graft.plans):
+    * bounded per-partition heaps below the exchange — the plan the
+    * reference's MonoidTopK dataflow corresponds to.
+    */
+  def bruteForceTopKPlan(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    graft.plans.GroupTopK.groupTopK(scored, Seq("query_id"),
+        Seq(("cos", false), ("neighbor_id", true)), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic random-hyperplane LSH bucket id: `planes` sign bits of
     * dot(v, h_i), hyperplane components derived from md5 of (plane, dim)
     * — reproducible without any RNG state.

@@ -10,4 +10,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftshim {
   def exprToColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def columnToExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def analyzedPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  def experimentalStrategies(spark: SparkSession): ExperimentalMethods =
+    spark.asInstanceOf[classic.SparkSession].experimental
 }

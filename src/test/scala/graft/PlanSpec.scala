@@ -52,6 +52,38 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("GroupTopK custom operator matches the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val custom = graft.plans.GroupTopK.groupTopK(li,
+      Seq("l_returnflag"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 5)
+      .select("l_returnflag", "rank", "l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val window = li.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("l_returnflag", "rank", "l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(custom == window && custom.nonEmpty)
+  }
+
+  test("GroupTopK plans partial heap before the exchange") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"))
+    val df = graft.plans.GroupTopK.groupTopK(li,
+      Seq("l_returnflag"), Seq(("l_extendedprice", false), ("l_orderkey", true)), 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GroupTopKPartial"), p)
+    assert(p.contains("GroupTopKFinal"), p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+    // the partial heap must run BELOW the exchange (map-side pruning)
+    assert(p.indexOf("GroupTopKPartial") > p.indexOf("Exchange"), p)
+  }
+
   test("vector dot stays inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sf)
     val df = e.select(graft.ann.Similarity.norm(col("embedding")).as("n"))
