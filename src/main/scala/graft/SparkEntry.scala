@@ -64,6 +64,11 @@ object SparkEntry {
       li(s, d).filter(Filters.or(
         Filters.and(col("l_quantity") > 30.0, col("l_discount") <= 0.05),
         Filters.not(col("l_returnflag") === "N")))),
+    "f_udf_predicate" -> ((s, d) => {
+      graft.functions.Udfs.registerAll(s)
+      li(s, d).filter(expr("qty_band(l_quantity) = 'mid'"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
     "nextk_basic" -> ((s, d) =>
       NextK.nextK(ord(s, d), Seq(Order("o_orderpriority"), Order("o_orderstatus")), 8)),
     "nextk_pivot_aggs" -> ((s, d) =>
@@ -97,6 +102,34 @@ object SparkEntry {
     "bucket_quantiles" -> ((s, d) =>
       Histograms.bucketQuantiles(li(s, d), col("l_returnflag"),
         col("l_extendedprice"), Seq(0.25, 0.5, 0.75))),
+    "hist2d_quantiles" -> ((s, d) =>
+      li(s, d).withColumn("__qv", col("l_extendedprice"))
+        .groupBy(col("l_returnflag").as("b1"), col("l_linestatus").as("b2"))
+        .agg(round(expr("percentile(__qv, 0.25)"), 4).as("q0"),
+          round(expr("percentile(__qv, 0.5)"), 4).as("q1"),
+          round(expr("percentile(__qv, 0.75)"), 4).as("q2"))),
+    "interval_data_range" -> ((s, d) =>
+      li(s, d).agg(
+        min(least(col("l_discount"), col("l_tax"))).as("min_lo"),
+        max(greatest(col("l_discount"), col("l_tax"))).as("max_hi"),
+        count(lit(1)).as("present"))),
+    "ni_threshold" -> ((s, d) =>
+      li(s, d).agg((countDistinct(col("l_partkey")) > 1000L).as("exceeds"))),
+    "corr_grid" -> ((s, d) => {
+      // CorrelationSketch: grid of pairwise 2-D histograms over numeric
+      // column pairs, tagged by pair — one unioned aggregation set
+      val pairs = Seq(
+        ("l_quantity", 0.0, 50.0, 5, "l_discount", 0.0, 0.1, 5),
+        ("l_quantity", 0.0, 50.0, 5, "l_extendedprice", 0.0, 110000.0, 5),
+        ("l_discount", 0.0, 0.1, 5, "l_extendedprice", 0.0, 110000.0, 5))
+      pairs.map { case (cx, lx, hx, nx, cy, ly, hy, ny) =>
+        li(s, d).groupBy(
+            Histograms.numericBucket(col(cx), lx, hx, nx).as("bx"),
+            Histograms.numericBucket(col(cy), ly, hy, ny).as("by"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit(s"$cx:$cy").as("pair"), col("bx"), col("by"), col("cnt"))
+      }.reduce(_ unionByName _)
+    }),
 
     // ── stats / sketch family ──────────────────────────────────────────
     "summary_count" -> ((s, d) => Stats.rowCount(li(s, d))),
@@ -332,6 +365,36 @@ object SparkEntry {
     "nextk_basic" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt FROM orders
         |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 8""".stripMargin,
+    "f_udf_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity >= 10 AND l_quantity < 30""".stripMargin,
+    "hist2d_quantiles" ->
+      """SELECT l_returnflag AS b1, l_linestatus AS b2,
+        |round(quantile_cont(l_extendedprice, 0.25), 4) AS q0,
+        |round(quantile_cont(l_extendedprice, 0.5), 4) AS q1,
+        |round(quantile_cont(l_extendedprice, 0.75), 4) AS q2
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "interval_data_range" ->
+      """SELECT min(LEAST(l_discount, l_tax)) AS min_lo,
+        |max(GREATEST(l_discount, l_tax)) AS max_hi, count(*) AS present
+        |FROM lineitem""".stripMargin,
+    "ni_threshold" ->
+      "SELECT (count(DISTINCT l_partkey) > 1000) AS exceeds FROM lineitem",
+    "corr_grid" ->
+      """SELECT 'l_quantity:l_discount' AS pair,
+        |  LEAST(CAST(FLOOR((l_quantity - 0.0) / ((50.0 - 0.0) / 5.0)) AS INT), 4) AS bx,
+        |  LEAST(CAST(FLOOR((l_discount - 0.0) / ((0.1 - 0.0) / 5.0)) AS INT), 4) AS by,
+        |  count(*) AS cnt FROM lineitem GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'l_quantity:l_extendedprice',
+        |  LEAST(CAST(FLOOR((l_quantity - 0.0) / ((50.0 - 0.0) / 5.0)) AS INT), 4),
+        |  LEAST(CAST(FLOOR((l_extendedprice - 0.0) / ((110000.0 - 0.0) / 5.0)) AS INT), 4),
+        |  count(*) FROM lineitem GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'l_discount:l_extendedprice',
+        |  LEAST(CAST(FLOOR((l_discount - 0.0) / ((0.1 - 0.0) / 5.0)) AS INT), 4),
+        |  LEAST(CAST(FLOOR((l_extendedprice - 0.0) / ((110000.0 - 0.0) / 5.0)) AS INT), 4),
+        |  count(*) FROM lineitem GROUP BY 2, 3""".stripMargin,
     "nextk_pivot_aggs" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt, $sumQty AS sum_qty,
          |min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
