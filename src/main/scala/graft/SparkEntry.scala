@@ -653,6 +653,7 @@ object SparkEntry {
     "text_tokens" ->
       """SELECT source, count(*) AS n_docs,
         |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS regex_tokens,
         |CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_langid" ->

@@ -66,6 +66,8 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(size(tokens(col("text"))).cast("long")).as("total_tokens"),
+        sum(size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+          .cast("long")).as("regex_tokens"),
         sum(ceil(length(col("text")).cast("double") / 4.0).cast("long"))
           .as("est_bpe_tokens"))
       .orderBy(col("source"))
