@@ -41,6 +41,27 @@ object Sources {
     StructType(fields)
   }
 
+  /** Write a hillview `.schema` file for a DataFrame (inverse of
+    * readSchemaFile; format per table/Schema.java).
+    */
+  def writeSchemaFile(schema: StructType, path: String): Unit = {
+    def kindOf(dt: DataType): String = dt match {
+      case NullType                    => "None"
+      case StringType                  => "String"
+      case IntegerType                 => "Integer"
+      case LongType                    => "Integer"
+      case DoubleType | FloatType      => "Double"
+      case TimestampType               => "Date"
+      case TimestampNTZType            => "LocalDate"
+      case _: StructType               => "Interval"
+      case other                       => "String"
+    }
+    val json = schema.fields
+      .map(f => s"""{"name": "${f.name}", "kind": "${kindOf(f.dataType)}"}""")
+      .mkString("[", ",\n ", "]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
   /** CSV with optional hillview schema file; without one, Spark's
     * inference approximates the reference's None→Integer→Double→String
     * lattice (GuessSchema.java:74-137).
