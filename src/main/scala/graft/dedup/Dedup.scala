@@ -96,8 +96,8 @@ object Dedup {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .join(broadcast(sizes.as("sa")), col("id_a") === col("sa.doc_id"))
+      .join(broadcast(sizes.as("sb")), col("id_b") === col("sb.doc_id"))
       .select(
         col("id_a"), col("id_b"),
         round(col("shared") / (col("sa.sz") + col("sb.sz") - col("shared")), 4)
@@ -193,8 +193,8 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .join(broadcast(sizes.as("sa")), col("id_a") === col("sa.doc_id"))
+      .join(broadcast(sizes.as("sb")), col("id_b") === col("sb.doc_id"))
       .select(
         col("id_a"), col("id_b"),
         round(col("shared") / (col("sa.sz") + col("sb.sz") - col("shared")), 4)
