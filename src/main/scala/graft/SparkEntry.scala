@@ -150,6 +150,10 @@ object SparkEntry {
       DistinctAndFrequency.heavyHittersMG(li(s, d), Seq("l_returnflag", "l_linestatus"), 0.05)),
     "heavy_sampled" -> ((s, d) =>
       DistinctAndFrequency.heavyHittersSampled(ord(s, d), Seq("o_orderpriority"), 0.05)),
+    "exact_freq" -> ((s, d) =>
+      DistinctAndFrequency.exactFrequencies(ord(s, d),
+        Seq("o_orderpriority", "o_orderstatus"),
+        Seq(Seq("1-URGENT", "F"), Seq("5-LOW", "O"), Seq("3-MEDIUM", "Z")))),
     "quantiles_exact" -> ((s, d) =>
       Quantiles.quantiles(li(s, d), "l_extendedprice", Seq(0.25, 0.5, 0.75))),
     "string_boundaries" -> ((s, d) =>
@@ -324,6 +328,19 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => graft.text.TextAnalysis.fingerprints(docs(s, d))),
     "text_rolling_fp" -> ((s, d) => graft.text.TextAnalysis.rollingFingerprints(docs(s, d))),
 
+    // ── multimodal (binary media columns; stub decode, real plumbing) ──
+    "multimodal_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.syntheticMedia(docs(s, d)))
+        .toDF()
+        .select(col("id").as("doc_id"), col("kind"),
+          col("n_bytes").cast("long").as("n_bytes"), col("feat0"), col("feat1"))),
+    "multimodal_chunks" -> ((s, d) =>
+      graft.multimodal.Multimodal.sampleChunks(
+          graft.multimodal.Multimodal.syntheticMedia(docs(s, d)), 64, 2)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_len"),
+          col("chunk_prefix"))),
+
     // ── event streams ──────────────────────────────────────────────────
     "events_hourly" -> ((s, d) => graft.streaming.Events.hourlyAgg(ev(s, d))),
     "events_sessions" -> ((s, d) => graft.streaming.Events.sessionStats(ev(s, d), 30))
@@ -471,6 +488,12 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2
         |HAVING count(*) >= ceil(0.05 * (SELECT count(*) FROM lineitem))
         |ORDER BY cnt DESC, l_returnflag, l_linestatus""".stripMargin,
+    "exact_freq" ->
+      """SELECT c.p AS o_orderpriority, c.s AS o_orderstatus, COALESCE(g.cnt, 0) AS cnt
+        |FROM (VALUES ('1-URGENT','F'), ('5-LOW','O'), ('3-MEDIUM','Z')) c(p, s)
+        |LEFT JOIN (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2) g
+        |ON c.p = g.o_orderpriority AND c.s = g.o_orderstatus""".stripMargin,
     "quantiles_exact" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
         |round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
@@ -675,6 +698,19 @@ object SparkEntry {
         |      w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT))),
         |  (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rhash
         |FROM documents""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |CAST(length(text) AS BIGINT) AS n_bytes,
+        |list_sum(list_transform(range(1, length(text)+1), i -> ascii(substr(text,i,1)))) / CAST(length(text) AS DOUBLE) AS feat0,
+        |list_sum(list_transform(range(1, length(text)+1), i -> ascii(substr(text,i,1)) * ((i-1) % 7))) / CAST(length(text) AS DOUBLE) AS feat1
+        |FROM documents""".stripMargin,
+    "multimodal_chunks" ->
+      """SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+        |CAST(LEAST(64, length(text) - idx*64) AS INT) AS chunk_len,
+        |lower(hex(encode(substr(text, CAST(idx*64 + 1 AS INT), 8)))) AS chunk_prefix
+        |FROM (SELECT doc_id, text,
+        |  unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT), 2)) AS idx
+        |  FROM documents)""".stripMargin,
     "events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

@@ -73,6 +73,29 @@ object DistinctAndFrequency {
       .orderBy(col("est_cnt").desc, struct(cols.map(col): _*).asc)
   }
 
+  /** ExactFreqSketch (sketches/ExactFreqSketch.java; web RPC `checkHeavy`
+    * TableTarget.java:584-599): exact counts for an explicit candidate
+    * tuple list. Semi-join restricts the scan to candidate rows before
+    * the group-count; the final broadcast outer join reports absent
+    * candidates as 0 (the reference returns a count per candidate,
+    * present or not). Candidate list is O(k) — both joins broadcast.
+    */
+  def exactFrequencies(df: DataFrame, cols: Seq[String],
+      candidates: Seq[Seq[String]]): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      cols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)))
+    val cand = spark.createDataFrame(
+      java.util.Arrays.asList(
+        candidates.map(t => org.apache.spark.sql.Row.fromSeq(t)): _*), schema)
+    val counts = df.join(broadcast(cand), cols, "left_semi")
+      .groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    broadcast(cand).join(counts, cols, "left")
+      .select(cols.map(col) :+ coalesce(col("cnt"), lit(0L)).as("cnt"): _*)
+  }
+
   /** SampleDistinctRowsSketch: uniform sample of the distinct rows. */
   def sampleDistinctRows(df: DataFrame, cols: Seq[String], fraction: Double,
       seed: Long = 42L): DataFrame =

@@ -35,6 +35,63 @@ object Progressive {
     last
   }
 
+  /** True incremental progressive execution — the faithful analog of the
+    * reference's sketch protocol (ISketch.create per leaf + monoid add up
+    * the tree, PartialResult streamed per completed leaf): every
+    * partition is aggregated exactly ONCE via `runJob` over partition
+    * ranges, per-partition buffers are merged into a running monoid
+    * accumulator, and a partial is emitted after each chunk. Cumulative
+    * cost = one full pass over the data (unlike `run`, which re-reads
+    * each prefix), so progressive mode costs the same as one-shot mode
+    * plus `steps` job launches.
+    *
+    * `zero` is a thunk so mutable buffers are never shared across
+    * partitions; `seqOp`/`merge` mirror ISketch.increment/add.
+    */
+  def runIncremental[B: scala.reflect.ClassTag, R](
+      df: DataFrame, steps: Int, jobGroup: String = "graft-progressive")(
+      zero: () => B,
+      seqOp: (B, org.apache.spark.sql.Row) => B,
+      merge: (B, B) => B,
+      finish: B => R)(
+      emit: Partial[R] => Unit): R = {
+    val rdd = df.rdd
+    val n = math.max(rdd.getNumPartitions, 1)
+    val sc = df.sparkSession.sparkContext
+    sc.setJobGroup(jobGroup, s"progressive over $n partitions", interruptOnCancel = true)
+    try {
+      val cuts = (1 to steps).map(i => math.max(1, n * i / steps)).distinct
+      var acc = zero()
+      var done = 0
+      cuts.foreach { cut =>
+        val parts = (done until cut).toArray
+        if (parts.nonEmpty) {
+          val bufs = sc.runJob(rdd,
+            (it: Iterator[org.apache.spark.sql.Row]) => it.foldLeft(zero())(seqOp),
+            parts.toIndexedSeq)
+          acc = bufs.foldLeft(acc)(merge)
+          done = cut
+        }
+        emit(Partial(done.toDouble / n, finish(acc)))
+      }
+      finish(acc)
+    } finally sc.clearJobGroup()
+  }
+
+  /** Progressive grouped count (the histogram shape) over any bucket
+    * column — partials stream in as partitions complete, final result
+    * equals the one-shot `groupBy(bucket).count()`.
+    */
+  def groupedCount(df: DataFrame, bucket: String, steps: Int)(
+      emit: Partial[Map[Any, Long]] => Unit): Map[Any, Long] = {
+    runIncremental[scala.collection.mutable.Map[Any, Long], Map[Any, Long]](
+      df.select(bucket), steps)(
+      () => scala.collection.mutable.Map.empty[Any, Long],
+      (m, r) => { val k = r.get(0); m.update(k, m.getOrElse(k, 0L) + 1L); m },
+      (a, b) => { b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }; a },
+      _.toMap)(emit)
+  }
+
   /** Cancel a running progressive computation (RemoteDataSet
     * unsubscribe → here Spark job-group cancellation).
     */

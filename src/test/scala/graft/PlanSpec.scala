@@ -84,6 +84,26 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("GroupTopKPartial") > p.indexOf("Exchange"), p)
   }
 
+  test("exact_freq candidate joins broadcast (no corpus shuffle)") {
+    val df = DistinctAndFrequency.exactFrequencies(Tables.orders(spark, sf),
+      Seq("o_orderpriority", "o_orderstatus"),
+      Seq(Seq("1-URGENT", "F"), Seq("3-MEDIUM", "Z")))
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val rows = df.collect()
+    assert(rows.length == 2)
+    // absent candidate reports 0
+    assert(rows.exists(r => r.getString(1) == "Z" && r.getLong(2) == 0L), rows.mkString(","))
+  }
+
+  test("multimodal feature extraction is narrow (no exchange)") {
+    val df = graft.multimodal.Multimodal.extractFeatures(
+      graft.multimodal.Multimodal.syntheticMedia(Tables.documents(spark, sf))).toDF()
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("vector dot stays inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sf)
     val df = e.select(graft.ann.Similarity.norm(col("embedding")).as("n"))

@@ -30,6 +30,23 @@ class StreamingSpec extends SparkSpec {
     assert(fin.head.getLong(0) == li.count())
   }
 
+  test("incremental progressive: one pass, monotone partials, exact final") {
+    val li = Tables.lineitem(spark, sf).repartition(8)
+    val expected = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var fracs = List.empty[Double]
+    var partialTotals = List.empty[Long]
+    val fin = Progressive.groupedCount(li, "l_returnflag", 4) { p =>
+      fracs ::= p.fractionDone
+      partialTotals ::= p.value.values.sum
+    }
+    assert(fracs.reverse == fracs.reverse.sorted, "fractions monotone")
+    assert(fracs.head == 1.0)
+    // partial totals grow monotonically (each partition counted once)
+    assert(partialTotals.reverse == partialTotals.reverse.sorted)
+    assert(fin.map { case (k, v) => k.asInstanceOf[String] -> v } == expected)
+  }
+
   test("memoized collect hits cache on identical plan") {
     Memo.clear()
     val li = Tables.lineitem(spark, sf)
