@@ -185,7 +185,11 @@ object Similarity {
     * (all-pairs) declaration for the oracle; the LSH variant above is the
     * scale path. The self-join is keyed a<b to halve the work.
     */
-  def nearDupPairs(emb: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
+  def nearDupPairs(emb0: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
+    // The streamed side of the pair loop must be split across cores: a
+    // single-row-group parquet scans as one task, serializing the O(n²)
+    // dot loop (ParallelizerMap; no-op on well-partitioned input).
+    val emb = graft.engine.Layout.ensureParallelism(emb0)
     // Precompute each row's norm once (O(n)), so the O(n²) pair loop is
     // just a codegen'd dot loop + one divide per pair.
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),

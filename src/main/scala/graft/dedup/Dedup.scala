@@ -82,25 +82,29 @@ object Dedup {
   def jaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxShingleDocs: Long = 1000000L): DataFrame = {
-    val sh = shingleHashes(docs, n).cache()
+    // Per-doc distinct-shingle count is carried THROUGH the inverted-index
+    // join (one window over doc_id) instead of joined back from a separate
+    // sizes table: a sizes table is O(n_docs) — broadcastable at test SF
+    // but not at corpus scale — and carrying two longs per index row is
+    // free. Also turns the whole query into a single linear pipeline (no
+    // broadcast-build jobs).
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val sh = shingleHashes(docs, n).withColumn("sz", count(lit(1)).over(wDoc))
     val rare =
       if (maxShingleDocs == Long.MaxValue) sh
       else sh.withColumn("__df",
             count(lit(1)).over(
               org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
           .filter(col("__df") <= maxShingleDocs).drop("__df")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val shared = rare.as("a")
+    rare.as("a")
       .join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(broadcast(sizes.as("sa")), col("id_a") === col("sa.doc_id"))
-      .join(broadcast(sizes.as("sb")), col("id_b") === col("sb.doc_id"))
+      .agg(count(lit(1)).as("shared"),
+        min(col("a.sz")).as("sza"), min(col("b.sz")).as("szb"))
       .select(
         col("id_a"), col("id_b"),
-        round(col("shared") / (col("sa.sz") + col("sb.sz") - col("shared")), 4)
+        round(col("shared") / (col("sza") + col("szb") - col("shared")), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
@@ -178,26 +182,36 @@ object Dedup {
     val sig = docs.select(col("doc_id"),
         graft.functions.MinHashExpression.minhash_sig(words, n, k).as("sig"))
       .filter(size(col("sig")) > 0)
-    val cand = lshCandidatePairsFromSig(sig, k, bands)
+    // cache: the pair list is consumed three times (two semi-join sides
+    // and the verify join) — without it the band self-join re-runs per
+    // action
+    val cand = lshCandidatePairsFromSig(sig, k, bands).cache()
     // Exact verification re-shingles ONLY docs that appear in a banded
-    // candidate pair — typically a small fraction of the corpus.
+    // candidate pair — typically a small fraction of the corpus. No
+    // distinct on the id list: the semi-join dedups, and skipping it
+    // saves a shuffle.
     val candDocs = cand.select(col("id_a").as("doc_id"))
-      .union(cand.select(col("id_b").as("doc_id"))).distinct()
-    val sh = shingleHashes(
-      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), n).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val shared = broadcast(cand)
-      .join(sh.as("a"), col("id_a") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("id_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(broadcast(sizes.as("sa")), col("id_a") === col("sa.doc_id"))
-      .join(broadcast(sizes.as("sb")), col("id_b") === col("sb.doc_id"))
+      .union(cand.select(col("id_b").as("doc_id")))
+    // Per-doc sorted distinct shingle-hash ARRAY, built row-locally (one
+    // narrow map — no shingle explode, no distinct shuffle, no sizes
+    // window); exact Jaccard is then array_intersect on the two arrays.
+    // Everything in the verify stage is candidate-restricted, which is
+    // what keeps the broadcasts bounded at corpus scale.
+    val shs = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.MinHashExpression.shingle_set(
+          split(lower(col("text")), " "), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .cache() // consumed twice: streamed a-side and broadcast b-side
+    broadcast(cand)
+      .join(shs.as("a"), col("id_a") === col("a.doc_id"))
+      .join(broadcast(shs.as("b")), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("a.shs"), col("b.shs"))).as("shared"),
+        size(col("a.shs")).as("sza"), size(col("b.shs")).as("szb"))
       .select(
         col("id_a"), col("id_b"),
-        round(col("shared") / (col("sa.sz") + col("sb.sz") - col("shared")), 4)
+        round(col("shared") / (col("sza") + col("szb") - col("shared")), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))

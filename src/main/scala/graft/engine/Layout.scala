@@ -47,4 +47,18 @@ object Layout {
     */
   def partitionsForBytes(totalBytes: Long, targetBytesPerPartition: Long = 128L << 20): Int =
     math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
+
+  /** ParallelizerMap (reference maps/ParallelizerMap.java:31-45): split
+    * an under-partitioned input so narrow CPU-heavy maps (signature
+    * builds, all-pairs scoring) use every core. A single-row-group
+    * parquet file scans as ONE task no matter how many cores exist —
+    * exactly the case the reference splits a leaf for. No-op when the
+    * scan already has enough splits (the normal case at corpus scale),
+    * so the repartition cost is only paid when it buys parallelism.
+    */
+  def ensureParallelism(df: DataFrame, min: Int = 0): DataFrame = {
+    val target =
+      if (min > 0) min else df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

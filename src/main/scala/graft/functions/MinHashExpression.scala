@@ -40,22 +40,29 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
     val words = input.asInstanceOf[ArrayData]
     val m = words.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Long])
+    // Each word's bytes are hashed exactly once (a word participates in n
+    // shingles — re-hashing per shingle plus the String materialization
+    // was ~10× the arithmetic cost); a shingle hash is then an
+    // avalanche-fold of its n word hashes, order-sensitive.
+    val wh = new Array[Long](m)
+    var wi = 0
+    while (wi < m) {
+      val bytes = words.getUTF8String(wi).getBytes
+      var h = 0xcbf29ce484222325L // FNV-1a over bytes
+      var bi = 0
+      while (bi < bytes.length) { h = (h ^ bytes(bi)) * 0x100000001b3L; bi += 1 }
+      wh(wi) = avalanche(h)
+      wi += 1
+    }
     val mins = Array.fill(k)(Long.MaxValue)
-    val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i <= m - n) {
-      sb.setLength(0)
+      // fold from a seed so EVERY step is avalanche(prev)^word — a plain
+      // first-step XOR would be symmetric in the first two words and
+      // collide transposed bigrams
+      var base = 0x9e3779b97f4a7c15L
       var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(words.getUTF8String(i + j).toString)
-        j += 1
-      }
-      val s = sb.toString
-      var base = 0xcbf29ce484222325L // FNV offset as string seed
-      var c = 0
-      while (c < s.length) { base = (base ^ s.charAt(c)) * 0x100000001b3L; c += 1 }
-      base = avalanche(base)
+      while (j < n) { base = avalanche(base ^ wh(i + j)); j += 1 }
       var f = 0
       while (f < k) {
         val h = avalanche(base ^ (0x9e3779b97f4a7c15L * (f + 1)))
@@ -71,8 +78,68 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** Sorted distinct n-gram shingle-hash set of a token array, computed
+  * row-locally (same word-hash + fold scheme as MinHashSig, so the two
+  * expressions see the same shingle universe). Lets exact-Jaccard
+  * verification run as `array_intersect` on two per-doc arrays — one
+  * narrow map per doc instead of an explode + distinct + per-shingle
+  * join dataflow.
+  */
+case class ShingleHashSet(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def avalanche(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val wh = new Array[Long](m)
+    var wi = 0
+    while (wi < m) {
+      val bytes = words.getUTF8String(wi).getBytes
+      var h = 0xcbf29ce484222325L
+      var bi = 0
+      while (bi < bytes.length) { h = (h ^ bytes(bi)) * 0x100000001b3L; bi += 1 }
+      wh(wi) = avalanche(h)
+      wi += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      // seeded fold — see MinHashSig: keeps word order significant
+      var base = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < n) { base = avalanche(base ^ wh(i + j)); j += 1 }
+      out(i) = base
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedup of the sorted array
+    var w = 0
+    var r = 1
+    while (r < out.length) {
+      if (out(r) != out(w)) { w += 1; out(w) = out(r) }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w + 1))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinHashExpression {
   import org.apache.spark.sql.graftshim.{exprToColumn, columnToExpr}
   def minhash_sig(words: Column, n: Int, k: Int): Column =
     exprToColumn(MinHashSig(columnToExpr(words), n, k))
+  def shingle_set(words: Column, n: Int): Column =
+    exprToColumn(ShingleHashSet(columnToExpr(words), n))
 }

@@ -22,6 +22,21 @@ class PipelineSpec extends SparkSpec {
     assert(groups.map(_.getLong(2)).sorted.sameElements(Array(1L, 3L)))
   }
 
+  test("shingle hashes are order-sensitive (transposed words differ)") {
+    // regression: a fold whose first step XORs two word hashes is
+    // symmetric in them, silently merging "a b ..." with "b a ..."
+    // shingles and deflating exact-Jaccard set sizes
+    val d = docsDF(Seq("a b c", "b a c"))
+    val sets = d.select(graft.functions.MinHashExpression.shingle_set(
+        split(col("text"), " "), 3).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sets(0) != sets(1), s"transposed shingles collided: ${sets(0)}")
+    val sigs = d.select(graft.functions.MinHashExpression.minhash_sig(
+        split(col("text"), " "), 3, 8).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) != sigs(1))
+  }
+
   test("jaccard pairs find near-duplicates, skip dissimilar") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 28).map(i => s"w$i").mkString(" ") + " z1 z2"
