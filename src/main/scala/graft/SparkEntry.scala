@@ -211,6 +211,9 @@ object SparkEntry {
     "interval_hist" -> ((s, d) =>
       Intervals.histogram(li(s, d),
         Intervals.make(col("l_discount"), col("l_tax")), 0.0, 0.25, 10)),
+    "interval_hist_plan" -> ((s, d) =>
+      graft.plans.IntervalHistogram.histogram(
+        li(s, d), "l_discount", "l_tax", 0.0, 0.25, 10)),
     "col_date_roundtrip" -> ((s, d) =>
       li(s, d).select(col("l_orderkey"), col("l_linenumber"),
         to_timestamp(date_format(col("l_shipdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
@@ -536,6 +539,14 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE LEAST(l_discount, l_tax) >= 0.02 AND GREATEST(l_discount, l_tax) <= 0.06""".stripMargin,
     "interval_hist" ->
+      """SELECT bucket, count(*) AS cnt FROM (
+        |  SELECT unnest(generate_series(
+        |    LEAST(CAST(FLOOR((GREATEST(LEAST(l_discount, l_tax), 0.0) - 0.0) / ((0.25 - 0.0) / 10.0)) AS INT), 9),
+        |    LEAST(CAST(FLOOR((LEAST(GREATEST(l_discount, l_tax), 0.25) - 0.0) / ((0.25 - 0.0) / 10.0)) AS INT), 9))) AS bucket
+        |  FROM lineitem
+        |  WHERE NOT (GREATEST(l_discount, l_tax) < 0.0 OR LEAST(l_discount, l_tax) > 0.25))
+        |GROUP BY 1""".stripMargin,
+    "interval_hist_plan" ->
       """SELECT bucket, count(*) AS cnt FROM (
         |  SELECT unnest(generate_series(
         |    LEAST(CAST(FLOOR((GREATEST(LEAST(l_discount, l_tax), 0.0) - 0.0) / ((0.25 - 0.0) / 10.0)) AS INT), 9),

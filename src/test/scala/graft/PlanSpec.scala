@@ -84,6 +84,24 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("GroupTopKPartial") > p.indexOf("Exchange"), p)
   }
 
+  test("IntervalHistogram rule rewrites the custom node to pruned agg") {
+    val li = Tables.lineitem(spark, sf)
+    val custom = graft.plans.IntervalHistogram.histogram(
+      li, "l_discount", "l_tax", 0.0, 0.25, 10)
+    val combinator = Intervals.histogram(li,
+      Intervals.make(col("l_discount"), col("l_tax")), 0.0, 0.25, 10)
+    val a = custom.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val b = combinator.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(a == b && a.nonEmpty)
+    val opt = custom.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("IntervalHistogramNode"), opt)
+    val p = plan(custom)
+    // the rewrite projects only the bucket array → scan reads just the
+    // two endpoint columns
+    assert(p.contains("ReadSchema: struct<l_discount:double,l_tax:double>"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("exact_freq candidate joins broadcast (no corpus shuffle)") {
     val df = DistinctAndFrequency.exactFrequencies(Tables.orders(spark, sf),
       Seq("o_orderpriority", "o_orderstatus"),
