@@ -298,7 +298,7 @@ object SparkEntry {
     "dedup_jaccard_3gram" -> ((s, d) =>
       graft.dedup.Dedup.jaccardPairs(docs(s, d), 3, 0.5, Long.MaxValue)),
     "dedup_minhash_lsh" -> ((s, d) =>
-      graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 16, 8, 0.5)),
+      graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5)),
     "dedup_simhash" -> ((s, d) => graft.dedup.SimHash.nearDupPairs(docs(s, d), 8)),
     "dedup_embedding" -> ((s, d) => graft.ann.Similarity.nearDupPairs(emb(s, d), 0.4)),
     "ann_topk" -> ((s, d) =>
@@ -642,6 +642,25 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_jaccard_3gram" -> shingleCte,
     "dedup_minhash_lsh" -> shingleCte,
+    // brute-force simhash in SQL: same md5-derived 60-bit token hash and
+    // majority-bit fingerprint as SimHash60, all pairs checked exactly —
+    // verifies the Spark side's pigeonhole banding loses no pairs
+    "dedup_simhash" ->
+      """WITH th AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j) GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 8""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos

@@ -147,12 +147,6 @@ object Dedup {
       .distinct()
   }
 
-  /** Full MinHash-LSH dedup: candidates from banding, then *exact*
-    * Jaccard verification restricted to candidate pairs (the reference
-    * pattern for heavy hitters too: sketch pass + exact verify pass).
-    * With j≥threshold pairs and bands·rows tuned, recall ≈ 1, so the
-    * output equals the exact-Jaccard pair set — oracle-checkable.
-    */
   /** LSH banding over array signatures (one row per doc, signature from
     * the MinHashSig expression): explode to (band, key) and self-join.
     */
@@ -173,8 +167,19 @@ object Dedup {
       .distinct()
   }
 
+  /** Full MinHash-LSH dedup: candidates from banding, then *exact*
+    * Jaccard verification restricted to candidate pairs (the reference
+    * pattern for heavy hitters too: sketch pass + exact verify pass).
+    * Verification makes precision exact; recall is the banding's
+    * candidate recall 1-(1-j^rows)^bands. The k=64/bands=32 defaults put
+    * the miss probability at the j=0.5 threshold at (1-0.5²)³² ≈ 1e-4
+    * per pair (and falling fast above it) — effectively 1, but pairs AT
+    * the threshold are still probabilistic, not guaranteed, which is why
+    * the k=16/bands=8 defaults (miss ≈ 0.10 at j=0.5) were unsafe
+    * against an exact-Jaccard oracle.
+    */
   def minhashLshPairs(
-      docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 8,
+      docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
     // Signature build is a narrow map (MinHashSig expression) — no
     // shingle explode, no shuffle; the corpus is touched once.

@@ -47,23 +47,47 @@ object SimHash {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
 
-  /** Near-dup pairs with Hamming distance ≤ maxDist, banded on
-    * (maxDist+1) chunks of the fingerprint.
+  /** Near-dup pairs with Hamming distance ≤ maxDist — EXACT recall via
+    * pigeonhole banding (Manku et al., WWW'07 scheme): the fingerprint is
+    * split into `nChunks` contiguous chunks and each band key is the
+    * concatenation of one `chunksPerKey`-sized chunk combination. A pair
+    * within distance d has its differing bits in at most d chunks, so at
+    * least `nChunks - d ≥ chunksPerKey` chunks agree and some enumerated
+    * combination is fully clean — every qualifying pair collides on at
+    * least one band. Requires `nChunks - chunksPerKey >= maxDist`.
+    *
+    * Defaults (maxDist+1 chunks, 1 chunk per key) give the minimum band
+    * count (maxDist+1) with narrow keys (60/(d+1) bits). At corpus scale
+    * narrow keys over-collide: raise both, e.g. nChunks=12,
+    * chunksPerKey=4 for maxDist=8 → C(12,4)=495 bands of ~20-bit keys —
+    * more explode volume but collision buckets shrink geometrically.
+    * (For the common small-d web-dedup setting the combinatorics are
+    * mild: d=3 over 60 bits → nChunks=6, q=3, 20 bands of 30 bits.)
     */
-  def nearDupPairs(docs: DataFrame, maxDist: Int = 8): DataFrame = {
+  def nearDupPairs(docs: DataFrame, maxDist: Int = 8,
+      nChunks: Int = 0, chunksPerKey: Int = 1): DataFrame = {
+    val m = if (nChunks > 0) nChunks else maxDist + 1
+    val q = chunksPerKey
+    require(m - q >= maxDist,
+      s"pigeonhole guarantee needs nChunks - chunksPerKey >= maxDist (got $m - $q < $maxDist)")
+    require(q >= 1 && m <= Bits)
     val fp = fingerprints(docs).cache()
-    val chunks = maxDist / 15 + 1 // 15-bit chunks out of 60 bits
-    val nChunks = math.min(4, math.max(2, chunks))
-    val width = Bits / nChunks
-    val chunkCols = (0 until nChunks).map { i =>
-      shiftright(col("simhash"), i * width).bitwiseAND(lit((1L << width) - 1))
+    // per-chunk widths when Bits % m != 0: first (Bits % m) chunks one bit wider
+    val base = Bits / m; val rem = Bits % m
+    val widths = Seq.tabulate(m)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkVals = (0 until m).map { i =>
+      shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    }
+    val keyCols = (0 until m).combinations(q).toSeq.map { c =>
+      concat_ws(":", c.map(i => chunkVals(i).cast("string")): _*)
     }
     val banded = fp.select(
       col("doc_id"), col("simhash"),
-      posexplode(array(chunkCols: _*)).as(Seq("chunk", "key")))
+      posexplode(array(keyCols: _*)).as(Seq("band", "key")))
     banded.as("a")
       .join(banded.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

@@ -30,9 +30,12 @@ object MinKHash {
 
     override def reduce(b: KMVBuffer, v: String): KMVBuffer = {
       if (v != null) {
-        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
-          v.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-          v.length, 42).toLong & 0xffffffffL
+        // full UTF-8 byte length (v.length would truncate non-ASCII) and a
+        // 64-bit hash so distinct values virtually never collide in the KMV
+        val bytes = v.getBytes("UTF-8")
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, 42L)
         insert(b, h, v)
       }
       b

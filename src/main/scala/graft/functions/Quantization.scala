@@ -22,9 +22,10 @@ object Quantization {
   def laplaceNoise(key: Column, scale: Double, seed: Long = 42L): Column =
     if (scale == 0.0) lit(0.0)
     else {
-      // uniform in (-0.5, 0.5) from a hash of (seed, key)
-      val u = (pmod(xxhash64(lit(seed), key), lit(1000000L)).cast("double") /
-        lit(1000000.0)) - lit(0.5)
+      // uniform in (-0.5, 0.5) EXCLUSIVE from a hash of (seed, key):
+      // offset by half a grid step so |u| < 0.5 and log(1-2|u|) is finite
+      val u = ((pmod(xxhash64(lit(seed), key), lit(1000000L)).cast("double") +
+        lit(0.5)) / lit(1000000.0)) - lit(0.5)
       // inverse-CDF Laplace
       -lit(scale) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
     }
