@@ -346,7 +346,64 @@ object SparkEntry {
 
     // ── event streams ──────────────────────────────────────────────────
     "events_hourly" -> ((s, d) => graft.streaming.Events.hourlyAgg(ev(s, d))),
-    "events_sessions" -> ((s, d) => graft.streaming.Events.sessionStats(ev(s, d), 30))
+    "events_sessions" -> ((s, d) => graft.streaming.Events.sessionStats(ev(s, d), 30)),
+
+    // ── source/sink layer (round-trips exercise writer + schema file +
+    //    reader; the oracle sees the original table, so any loss in the
+    //    round-trip fails the gate) ─────────────────────────────────────
+    "csv_roundtrip" -> ((s, d) =>
+      graft.sources.Sources.csvRoundTrip(
+        li(s, d).filter(col("l_quantity") > 47.0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag")))),
+    "json_roundtrip" -> ((s, d) =>
+      graft.sources.Sources.jsonRoundTrip(
+        ord(s, d).filter(col("o_totalprice") > 400000.0)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")))),
+    "orc_roundtrip" -> ((s, d) =>
+      graft.sources.Sources.saveRoundTrip(
+        prt(s, d).filter(col("p_size") >= 45)
+          .select(col("p_partkey"), col("p_name"), col("p_size")), "orc")),
+    "log_parse" -> ((s, d) => {
+      // Grok-ish loader end-to-end: render events as log lines, write
+      // text, re-parse with the regex loader; oracle = the source fields
+      val dir = java.nio.file.Files.createTempDirectory("graft_log").toString
+      ev(s, d).select(concat(
+          lit("evt id="), col("event_id").cast("string"),
+          lit(" user="), col("user_id").cast("string"),
+          lit(" type="), col("event_type")).as("value"))
+        .write.mode("overwrite").text(dir)
+      graft.sources.Sources.readLog(s, dir,
+          "^evt id=(\\d+) user=(\\d+) type=(\\w+)$",
+          Seq(("eid", 1), ("uid", 2), ("etype", 3)))
+        .select(col("eid").cast("long"), col("uid").cast("long"), col("etype"))
+    }),
+    "schema_infer" -> ((s, d) =>
+      graft.sources.Sources.inferredKinds(
+        prt(s, d).select(
+          col("p_partkey").cast("string"),
+          col("p_retailprice").cast("string"),
+          col("p_name").cast("string")))),
+
+    // ── more projections / histograms ──────────────────────────────────
+    "pca_projection" -> ((s, d) =>
+      Projections.pca2Project(prt(s, d), "p_size", "p_retailprice", Seq("p_partkey"))),
+    "lamp_projection" -> ((s, d) => {
+      // four fixed control points (corners of the size×price plane) with
+      // pinned 2-D positions; deterministic, no oracle (SVD-based map)
+      val controls = Array(
+        (Array(1.0, 900.0), (0.0, 0.0)), (Array(50.0, 900.0), (1.0, 0.0)),
+        (Array(1.0, 2000.0), (0.0, 1.0)), (Array(50.0, 2000.0), (1.0, 1.0)))
+      Projections.lampProject(
+          prt(s, d).select(col("p_partkey"), col("p_size").cast("double"), col("p_retailprice")),
+          Seq("p_size", "p_retailprice"), controls)
+        .select(col("p_partkey"), round(col("lamp_x"), 4).as("lamp_x"),
+          round(col("lamp_y"), 4).as("lamp_y"))
+    }),
+    "hist_singleton_1d" -> ((s, d) =>
+      Histograms.histogramWithSingleton(prt(s, d),
+        Histograms.numericBucket(col("p_retailprice"), 900.0, 2000.0, 40),
+        col("p_partkey")))
   )
 
   // ────────────────────────────────────────────────────────────────────
@@ -746,6 +803,70 @@ object SparkEntry {
         |count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "csv_roundtrip" ->
+      """SELECT CAST(l_orderkey AS INT) AS l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+        |l_quantity, l_returnflag FROM lineitem WHERE l_quantity > 47.0""".stripMargin,
+    "json_roundtrip" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE o_totalprice > 400000.0""".stripMargin,
+    "orc_roundtrip" ->
+      "SELECT p_partkey, p_name, p_size FROM part WHERE p_size >= 45",
+    "log_parse" ->
+      """SELECT CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS uid,
+        |event_type AS etype FROM events""".stripMargin,
+    // the same None→Integer→Double→String promotion lattice
+    // (GuessSchema.java:74-137) evaluated in SQL over the same
+    // stringified columns — checks the inference itself, not a
+    // hardcoded expected answer
+    "schema_infer" ->
+      """WITH s AS (SELECT CAST(p_partkey AS VARCHAR) AS c1,
+        |  CAST(p_retailprice AS VARCHAR) AS c2, CAST(p_name AS VARCHAR) AS c3 FROM part),
+        |k AS (
+        |  SELECT 'p_partkey' AS col_name,
+        |    count(CASE WHEN c1 IS NOT NULL AND c1 <> '' THEN 1 END) AS n,
+        |    count(CASE WHEN c1 IS NOT NULL AND c1 <> '' AND NOT regexp_matches(c1, '^-?\d{1,18}$') THEN 1 END) AS notint,
+        |    count(CASE WHEN c1 IS NOT NULL AND c1 <> '' AND NOT regexp_matches(c1, '^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$') THEN 1 END) AS notdbl
+        |  FROM s
+        |  UNION ALL SELECT 'p_retailprice',
+        |    count(CASE WHEN c2 IS NOT NULL AND c2 <> '' THEN 1 END),
+        |    count(CASE WHEN c2 IS NOT NULL AND c2 <> '' AND NOT regexp_matches(c2, '^-?\d{1,18}$') THEN 1 END),
+        |    count(CASE WHEN c2 IS NOT NULL AND c2 <> '' AND NOT regexp_matches(c2, '^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$') THEN 1 END)
+        |  FROM s
+        |  UNION ALL SELECT 'p_name',
+        |    count(CASE WHEN c3 IS NOT NULL AND c3 <> '' THEN 1 END),
+        |    count(CASE WHEN c3 IS NOT NULL AND c3 <> '' AND NOT regexp_matches(c3, '^-?\d{1,18}$') THEN 1 END),
+        |    count(CASE WHEN c3 IS NOT NULL AND c3 <> '' AND NOT regexp_matches(c3, '^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$') THEN 1 END)
+        |  FROM s)
+        |SELECT col_name, CASE WHEN n = 0 THEN 'None' WHEN notint = 0 THEN 'Integer'
+        |  WHEN notdbl = 0 THEN 'Double' ELSE 'String' END AS kind FROM k""".stripMargin,
+    // closed-form 2×2 eigen from the same exact-decimal moments and the
+    // same operation order as Projections.pca2Project
+    "pca_projection" ->
+      """WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(p_size AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(p_size AS DECIMAL(18,2)) * CAST(p_size AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(p_size AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM part),
+        |e AS (SELECT sxx/n - (sx/n)*(sx/n) AS a, sxy/n - (sx/n)*(sy/n) AS c,
+        |  syy/n - (sy/n)*(sy/n) AS b FROM m),
+        |l AS (SELECT a, b, c, (a+b)/2 + sqrt((a-b)*(a-b)/4 + c*c) AS l0 FROM e),
+        |ev AS (SELECT CASE WHEN abs(c) > 1e-12 THEN c WHEN a >= b THEN 1.0 ELSE 0.0 END AS e0,
+        |  CASE WHEN abs(c) > 1e-12 THEN l0 - a WHEN a >= b THEN 0.0 ELSE 1.0 END AS e1 FROM l),
+        |vn AS (SELECT e0 / sqrt(e0*e0 + e1*e1) AS v0, e1 / sqrt(e0*e0 + e1*e1) AS v1 FROM ev),
+        |vs AS (SELECT CASE WHEN v0 < 0 OR (v0 = 0 AND v1 < 0) THEN -v0 ELSE v0 END AS v0,
+        |  CASE WHEN v0 < 0 OR (v0 = 0 AND v1 < 0) THEN -v1 ELSE v1 END AS v1 FROM vn),
+        |w AS (SELECT v0, v1,
+        |  CASE WHEN -v1 < 0 OR (-v1 = 0 AND v0 < 0) THEN v1 ELSE -v1 END AS w0,
+        |  CASE WHEN -v1 < 0 OR (-v1 = 0 AND v0 < 0) THEN -v0 ELSE v0 END AS w1 FROM vs)
+        |SELECT p_partkey, round(p_size * v0 + p_retailprice * v1, 4) AS pc0,
+        |  round(p_size * w0 + p_retailprice * w1, 4) AS pc1
+        |FROM part CROSS JOIN w""".stripMargin,
+    "hist_singleton_1d" ->
+      """SELECT LEAST(CAST(FLOOR((p_retailprice - 900.0) / ((2000.0 - 900.0) / 40.0)) AS INT), 39) AS bucket,
+        |count(*) AS cnt, CASE WHEN count(*) = 1 THEN min(p_partkey) END AS singleton
+        |FROM part GROUP BY 1""".stripMargin,
     "events_sessions" ->
       """WITH x AS (SELECT user_id, value, epoch_ms(ts) AS ms,
         |  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms FROM events),

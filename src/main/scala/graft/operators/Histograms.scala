@@ -83,6 +83,16 @@ object Histograms {
       .withColumn("singleton", when(col("cnt") === 1, col("det")))
       .drop("det")
 
+  /** 1-D histogram retaining the row detail of singleton buckets
+    * (HistogramAndSingletonSketch — the 1-D form of the heatmap's
+    * CountAndSingleton cells).
+    */
+  def histogramWithSingleton(df: DataFrame, bucket: Column, detail: Column): DataFrame =
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"), min(detail).as("det"))
+      .withColumn("singleton", when(col("cnt") === 1, col("det")))
+      .drop("det")
+
   /** Histogram + CDF in one result (DataWithCDFSketch): bucket counts
     * plus running cumulative sum. The window runs over O(#buckets) rows
     * post-aggregation — a driver-sized frame, not a data-sized one, so

@@ -36,6 +36,45 @@ object Projections {
     ColumnOps.linearProjection(df, cols, comps, (0 until k).map(i => s"pc$i"))
   }
 
+  /** Two-column PCA with fully pinned-down numerics — the reference's
+    * root-side eigen split (PCACorrelationSketch → jblas at root →
+    * LinearProjectionMap) made oracle-checkable: one exact-decimal moment
+    * aggregation (same policy as Stats.correlationMatrix), the 2×2
+    * population-covariance eigenvector in closed form at the driver, a
+    * deterministic sign rule (first nonzero component positive), then the
+    * projection as a codegen'd narrow map. Returns (id cols, pc0, pc1)
+    * rounded once at 4 decimals.
+    */
+  def pca2Project(df: DataFrame, c0: String, c1: String, keep: Seq[String]): DataFrame = {
+    val dec = (c: String) => col(c).cast("decimal(18,2)")
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      sum(dec(c0)).cast("double").as("sx"), sum(dec(c1)).cast("double").as("sy"),
+      sum(dec(c0) * dec(c0)).cast("double").as("sxx"),
+      sum(dec(c0) * dec(c1)).cast("double").as("sxy"),
+      sum(dec(c1) * dec(c1)).cast("double").as("syy")).head()
+    val n = r.getLong(0).toDouble
+    val (sx, sy, sxx, sxy, syy) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val a = sxx / n - (sx / n) * (sx / n)
+    val c = sxy / n - (sx / n) * (sy / n)
+    val b = syy / n - (sy / n) * (sy / n)
+    val l0 = (a + b) / 2 + math.sqrt((a - b) * (a - b) / 4 + c * c)
+    // eigenvector of [[a,c],[c,b]] for l0 is (c, l0-a); degenerate c≈0 →
+    // axis-aligned
+    val (e0, e1) =
+      if (math.abs(c) > 1e-12) (c, l0 - a)
+      else if (a >= b) (1.0, 0.0) else (0.0, 1.0)
+    val nrm = math.sqrt(e0 * e0 + e1 * e1) // not hypot: oracle SQL mirrors this exact form
+    var (v0, v1) = (e0 / nrm, e1 / nrm)
+    if (v0 < 0 || (v0 == 0 && v1 < 0)) { v0 = -v0; v1 = -v1 }
+    var (w0, w1) = (-v1, v0) // orthogonal second component
+    if (w0 < 0 || (w0 == 0 && w1 < 0)) { w0 = -w0; w1 = -w1 }
+    df.select(keep.map(col) ++ Seq(
+      round(col(c0) * v0 + col(c1) * v1, 4).as("pc0"),
+      round(col(c0) * w0 + col(c1) * w1, 4).as("pc1")): _*)
+  }
+
   /** LAMP (local affine multidimensional projection, Joia et al.; the
     * reference's LAMPMap): project each row to 2D from a small set of
     * control points with known 2D positions. Control points are

@@ -159,6 +159,45 @@ object Sources {
     df.sparkSession.read.format(format).load(dir)
   }
 
+  /** CSV round-trip through a hillview `.schema` file: write the frame
+    * as headered CSV plus its schema JSON, then read it back with the
+    * schema parsed from that file — exercises writer, schema
+    * serialization, and the schema-directed CSV reader in one checkable
+    * dataflow.
+    */
+  def csvRoundTrip(df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    writeCsv(df, s"$dir/data")
+    writeSchemaFile(df.schema, s"$dir/table.schema")
+    readCsv(df.sparkSession, s"$dir/data", Some(s"$dir/table.schema"))
+  }
+
+  /** Newline-delimited JSON round-trip (JsonFileLoader ↔ writer). */
+  def jsonRoundTrip(df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    df.write.mode("overwrite").json(dir)
+    readJson(df.sparkSession, dir)
+  }
+
+  /** Inferred-schema frame as (col_name, kind) rows — the reference's
+    * GuessSchema result surfaced as data so the lattice itself is
+    * oracle-checkable against the same promotion rules in SQL.
+    */
+  def inferredKinds(raw: DataFrame): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val inferred = guessSchema(raw)
+    inferred.fields.toSeq.map { f =>
+      val kind = f.dataType match {
+        case NullType    => "None"
+        case IntegerType => "Integer"
+        case DoubleType  => "Double"
+        case _           => "String"
+      }
+      (f.name, kind)
+    }.toDF("col_name", "kind")
+  }
+
   /** ParseErrorsSketch: count of corrupt records in a permissive read.
     * Spark disallows referencing only the corrupt-record column of a raw
     * file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache first, as the
