@@ -403,7 +403,18 @@ object SparkEntry {
     "hist_singleton_1d" -> ((s, d) =>
       Histograms.histogramWithSingleton(prt(s, d),
         Histograms.numericBucket(col("p_retailprice"), 900.0, 2000.0, 40),
-        col("p_partkey")))
+        col("p_partkey"))),
+    "asof_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      AsOfJoin.asofJoin(clicks, views, Seq("user_id"), "ts",
+          Seq("view_id", "view_value"), tiebreak = Some("view_id"))
+        .select(col("event_id"), col("user_id"), col("view_id"), col("view_value"))
+    })
   )
 
   // ────────────────────────────────────────────────────────────────────
@@ -867,6 +878,11 @@ object SparkEntry {
       """SELECT LEAST(CAST(FLOOR((p_retailprice - 900.0) / ((2000.0 - 900.0) / 40.0)) AS INT), 39) AS bucket,
         |count(*) AS cnt, CASE WHEN count(*) = 1 THEN min(p_partkey) END AS singleton
         |FROM part GROUP BY 1""".stripMargin,
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS view_id, r.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "events_sessions" ->
       """WITH x AS (SELECT user_id, value, epoch_ms(ts) AS ms,
         |  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms FROM events),

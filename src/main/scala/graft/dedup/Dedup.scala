@@ -131,8 +131,12 @@ object Dedup {
     */
   def lshCandidatePairs(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
+    // band key = xxhash64 of the band's signature slice: an 8-byte join
+    // key instead of a ~rows×20-char string — cheaper shuffle and
+    // comparison; a 64-bit collision only adds a candidate the exact
+    // verify pass discards
     val bandCols = (0 until bands).map { b =>
-      concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)
+      xxhash64((lit(b) +: (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))): _*)
     }
     // cache: the self-join would otherwise recompute the k-aggregate
     // signature pipeline once per side (no automatic subplan reuse)
@@ -152,9 +156,11 @@ object Dedup {
     */
   def lshCandidatePairsFromSig(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
+    // 8-byte hashed band keys (see lshCandidatePairs); false candidates
+    // from 64-bit collisions are removed by exact verification
     val bandCols = (0 until bands).map { b =>
-      concat_ws("|",
-        (b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
+      xxhash64((lit(b) +:
+        (b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1))): _*)
     }
     val banded = sig.select(
       col("doc_id"),

@@ -79,8 +79,13 @@ object SimHash {
     val chunkVals = (0 until m).map { i =>
       shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
     }
+    // long keys: the chunk itself for q=1, else an 8-byte hash of the
+    // combination (hash equality is implied by chunk equality, so no
+    // qualifying pair is lost; a collision only adds a candidate the
+    // exact hamming filter drops)
     val keyCols = (0 until m).combinations(q).toSeq.map { c =>
-      concat_ws(":", c.map(i => chunkVals(i).cast("string")): _*)
+      if (q == 1) chunkVals(c.head)
+      else xxhash64(c.map(i => chunkVals(i)): _*)
     }
     val banded = fp.select(
       col("doc_id"), col("simhash"),

@@ -89,13 +89,13 @@ object Stats {
       cols.flatMap(a => cols.filter(_ >= a).map { b =>
         sum(Num.dec2(col(a)) * Num.dec2(col(b))).cast(DoubleType).as(s"p_${a}_$b")
       })
-    // one row of moments; cached so each pair projection below reuses it
-    // instead of re-running the scan
-    val m = df.agg(aggs.head, aggs.tail: _*).cache()
+    val m = df.agg(aggs.head, aggs.tail: _*)
     def p(a: String, b: String) = if (a <= b) col(s"p_${a}_$b") else col(s"p_${b}_$a")
     val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
-    val rows = pairs.map { case (a, b) =>
-      m.select(
+    // all pairs as one explode over the single moments row — one job,
+    // not one union leg (job) per pair
+    val pairStructs = pairs.map { case (a, b) =>
+      struct(
         lit(a).as("col_a"), lit(b).as("col_b"),
         round(
           (p(a, b) * col("n") - col(s"s_$a") * col(s"s_$b")) /
@@ -103,7 +103,7 @@ object Stats {
              sqrt(col("n") * p(b, b) - col(s"s_$b") * col(s"s_$b"))),
           4).as("corr"))
     }
-    rows.reduce(_ unionByName _)
+    m.select(explode(array(pairStructs: _*)).as("r")).select(col("r.*"))
   }
 
   /** CategoryCentroidsSketch: per-category centroid of numeric columns. */

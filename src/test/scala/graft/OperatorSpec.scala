@@ -208,4 +208,50 @@ class OperatorSpec extends SparkSpec {
     val vs = res.map(_.getDouble(0))
     assert(vs.zip(vs.tail).forall { case (a, b) => a >= b })
   }
+
+  test("asof join matches per-row brute force and is repartition-invariant") {
+    import spark.implicits._
+    // (key, ts, id) rights; lefts probe at/between/before right times
+    val right = Seq((1, 10L, 100), (1, 20L, 101), (1, 20L, 102), (2, 5L, 200))
+      .toDF("k", "t", "rid")
+    val left = Seq((1, 9L, 1), (1, 10L, 2), (1, 25L, 3), (2, 4L, 4), (3, 7L, 5))
+      .toDF("k", "t", "lid")
+    def run(l: org.apache.spark.sql.DataFrame) =
+      AsOfJoin.asofJoin(l, right, Seq("k"), "t", Seq("rid"), tiebreak = Some("rid"))
+        .select("lid", "rid").as[(Int, Option[Int])].collect().toMap
+    val expected = Map(1 -> None, 2 -> Some(100), 3 -> Some(102), 4 -> None, 5 -> None)
+    assert(run(left) == expected)
+    assert(run(left.repartition(5)) == expected)
+  }
+
+  test("pca2 components are orthonormal and pc0 captures more variance") {
+    val p = Tables.part(spark, sf)
+    val out = Projections.pca2Project(p, "p_size", "p_retailprice", Seq("p_partkey"))
+    val stats = out.agg(
+      var_pop(col("pc0")), var_pop(col("pc1")),
+      corr(col("pc0"), col("pc1"))).head()
+    assert(stats.getDouble(0) >= stats.getDouble(1))
+    assert(math.abs(stats.getDouble(2)) < 0.05) // decorrelated after rotation
+  }
+
+  test("csv round-trip through a schema file preserves values and kinds") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .limit(50)
+    val back = graft.sources.Sources.csvRoundTrip(li)
+    assert(back.schema("l_quantity").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(back.agg(sum("l_quantity")).head().getDouble(0) ==
+      li.agg(sum("l_quantity")).head().getDouble(0))
+    assert(back.count() == 50)
+  }
+
+  test("schema inference lattice promotes correctly") {
+    import spark.implicits._
+    val raw = Seq(("1", "1.5", "abc", ""), ("22", "2", "7", ""))
+      .toDF("i", "d", "s", "e")
+    val kinds = graft.sources.Sources.inferredKinds(raw)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kinds == Map("i" -> "Integer", "d" -> "Double", "s" -> "String", "e" -> "None"))
+  }
 }
