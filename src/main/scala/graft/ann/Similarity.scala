@@ -200,6 +200,5 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosinePre(col("ea"), col("eb"), col("na"), col("nb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
   }
 }

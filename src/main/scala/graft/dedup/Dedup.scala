@@ -82,22 +82,30 @@ object Dedup {
   def jaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxShingleDocs: Long = 1000000L): DataFrame = {
-    // Per-doc distinct-shingle count is carried THROUGH the inverted-index
-    // join (one window over doc_id) instead of joined back from a separate
-    // sizes table: a sizes table is O(n_docs) — broadcastable at test SF
-    // but not at corpus scale — and carrying two longs per index row is
-    // free. Also turns the whole query into a single linear pipeline (no
-    // broadcast-build jobs).
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val sh = shingleHashes(docs, n).withColumn("sz", count(lit(1)).over(wDoc))
-    val rare =
-      if (maxShingleDocs == Long.MaxValue) sh
-      else sh.withColumn("__df",
+    // Per-doc distinct shingle set built ROW-LOCALLY (ShingleHashSet —
+    // dedup + size computed inside one narrow map), then exploded with
+    // the size carried on every index row. Compared to the explode →
+    // distinct → window formulation this removes two shuffles (the
+    // (doc,shingle) distinct and the doc_id window); the only remaining
+    // exchanges are the inverted-index self-join on shingle and the
+    // pair groupBy — the irreducible ones.
+    val sets = docs
+      .select(col("doc_id"),
+        graft.functions.MinHashExpression.shingle_set(
+          split(lower(col("text")), " "), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val sh0 = sets.select(col("doc_id"), size(col("shs")).as("sz"),
+      explode(col("shs")).as("shingle"))
+    // optional df-cut of ubiquitous shingles (skew guard); one window on
+    // the shingle key, only when a cut is requested
+    val sh =
+      if (maxShingleDocs == Long.MaxValue) sh0
+      else sh0.withColumn("__df",
             count(lit(1)).over(
               org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
           .filter(col("__df") <= maxShingleDocs).drop("__df")
-    rare.as("a")
-      .join(rare.as("b"),
+    sh.as("a")
+      .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"),
@@ -107,7 +115,6 @@ object Dedup {
         round(col("shared") / (col("sza") + col("szb") - col("shared")), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** MinHash signature: per doc, the minimum of k independent 64-bit
@@ -225,6 +232,5 @@ object Dedup {
         round(col("shared") / (col("sza") + col("szb") - col("shared")), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
   }
 }

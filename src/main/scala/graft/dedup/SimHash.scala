@@ -99,6 +99,5 @@ object SimHash {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
-      .orderBy(col("id_a"), col("id_b"))
   }
 }
