@@ -20,14 +20,24 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // Warm-run protocol, matching the reference's published numbers and
+    // its own harness (paper §7.1 reports WARM latencies; in-repo
+    // DPPerfBenchmarks uses runCount=7): each query runs `runs` times
+    // and the minimum is reported. Spark's data cache is cleared between
+    // runs — only code paths (codegen, JIT) stay warm, the data is
+    // re-read every run.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries that cache intermediates (dedup family) shouldn't leak
-      // executor memory into later measurements
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries that cache intermediates (dedup family) shouldn't leak
+        // executor memory into later measurements
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

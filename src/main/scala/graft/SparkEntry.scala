@@ -404,6 +404,27 @@ object SparkEntry {
       Histograms.histogramWithSingleton(prt(s, d),
         Histograms.numericBucket(col("p_retailprice"), 900.0, 2000.0, 40),
         col("p_partkey"))),
+    "merge_concat" -> ((s, d) => {
+      // mergeWith (TableTarget.java:734-746): bag concatenation of N
+      // same-schema datasets — unionByName, duplicates preserved
+      val o = ord(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .unionByName(o.filter(col("o_orderpriority") === "5-LOW"))
+        .unionByName(o.filter(col("o_orderkey") % 1000 === 0))
+    }),
+    "geo_tag" -> ((s, d) => {
+      // geo metadata join (TableTarget.getGeo, geo/PolygonSet): column
+      // value → small root-side metadata table, broadcast to every task
+      import s.implicits._
+      val zones = Seq(
+        ("AFRICA", "south"), ("AMERICA", "west"), ("ASIA", "east"),
+        ("EUROPE", "north"), ("MIDDLE EAST", "central")).toDF("r_name", "zone")
+      cust(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(zones), Seq("r_name"), "left")
+        .groupBy(col("zone")).agg(count(lit(1)).as("n_customers"))
+    }),
     "asof_join" -> ((s, d) => {
       val e = ev(s, d)
       val clicks = e.filter(col("event_type") === "click")
@@ -878,6 +899,20 @@ object SparkEntry {
       """SELECT LEAST(CAST(FLOOR((p_retailprice - 900.0) / ((2000.0 - 900.0) / 40.0)) AS INT), 39) AS bucket,
         |count(*) AS cnt, CASE WHEN count(*) = 1 THEN min(p_partkey) END AS singleton
         |FROM part GROUP BY 1""".stripMargin,
+    "merge_concat" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '5-LOW'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin,
+    "geo_tag" ->
+      """SELECT CASE r_name WHEN 'AFRICA' THEN 'south' WHEN 'AMERICA' THEN 'west'
+        |  WHEN 'ASIA' THEN 'east' WHEN 'EUROPE' THEN 'north'
+        |  WHEN 'MIDDLE EAST' THEN 'central' END AS zone,
+        |count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
     "asof_join" ->
       """SELECT l.event_id, l.user_id, r.event_id AS view_id, r.value AS view_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') l

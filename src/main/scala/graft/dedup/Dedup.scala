@@ -145,8 +145,9 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       xxhash64((lit(b) +: (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))): _*)
     }
-    // cache: the self-join would otherwise recompute the k-aggregate
-    // signature pipeline once per side (no automatic subplan reuse)
+    // cache: the k-aggregate signature pipeline shuffles per side; the
+    // cache makes the self-join read one materialization (this variant's
+    // sig comes from a groupBy, so the sides are not exchange-reusable)
     val banded = sig.select(
       col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "key"))).cache()
@@ -169,9 +170,12 @@ object Dedup {
       xxhash64((lit(b) +:
         (b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1))): _*)
     }
+    // no cache: banded is a narrow map over the scan, so the self-join's
+    // sides are identical subplans — the exchange materializes once and
+    // the other side reads it back (ReusedExchange), cache-free
     val banded = sig.select(
       col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "key"))).cache()
+      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -213,17 +217,19 @@ object Dedup {
     // Per-doc sorted distinct shingle-hash ARRAY, built row-locally (one
     // narrow map — no shingle explode, no distinct shuffle, no sizes
     // window); exact Jaccard is then array_intersect on the two arrays.
-    // Everything in the verify stage is candidate-restricted, which is
-    // what keeps the broadcasts bounded at corpus scale.
-    val shs = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    // Join strategy is left to AQE: with few candidates it broadcasts at
+    // runtime; with corpus-scale candidate sets (where a forced
+    // broadcast would OOM the driver) it shuffles — both correct, picked
+    // from actual sizes.
+    val shs = docs.join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         graft.functions.MinHashExpression.shingle_set(
           split(lower(col("text")), " "), n).as("shs"))
       .filter(size(col("shs")) > 0)
-      .cache() // consumed twice: streamed a-side and broadcast b-side
-    broadcast(cand)
+      .cache() // consumed twice: a-side and b-side of the verify join
+    cand
       .join(shs.as("a"), col("id_a") === col("a.doc_id"))
-      .join(broadcast(shs.as("b")), col("id_b") === col("b.doc_id"))
+      .join(shs.as("b"), col("id_b") === col("b.doc_id"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("a.shs"), col("b.shs"))).as("shared"),
         size(col("a.shs")).as("sza"), size(col("b.shs")).as("szb"))
