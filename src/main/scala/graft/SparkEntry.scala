@@ -299,6 +299,9 @@ object SparkEntry {
       graft.dedup.Dedup.jaccardPairs(docs(s, d), 3, 0.5, Long.MaxValue)),
     "dedup_minhash_lsh" -> ((s, d) =>
       graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5)),
+    // default 9 single-chunk bands: fastest at this corpus size; the
+    // (nChunks, chunksPerKey) lever trades band count for key width when
+    // narrow keys over-collide at larger corpora
     "dedup_simhash" -> ((s, d) => graft.dedup.SimHash.nearDupPairs(docs(s, d), 8)),
     "dedup_embedding" -> ((s, d) => graft.ann.Similarity.nearDupPairs(emb(s, d), 0.4)),
     "ann_topk" -> ((s, d) =>
@@ -404,6 +407,19 @@ object SparkEntry {
       Histograms.histogramWithSingleton(prt(s, d),
         Histograms.numericBucket(col("p_retailprice"), 900.0, 2000.0, 40),
         col("p_partkey"))),
+    // ── training-pipeline staples: shuffle / split / packing ───────────
+    "shuffle_rows" -> ((s, d) =>
+      graft.pipeline.Pipeline.deterministicShuffle(
+        docs(s, d).select(col("doc_id")), col("doc_id"))),
+    "train_test_split" -> ((s, d) =>
+      graft.pipeline.Pipeline.hashSplit(
+        docs(s, d).select(col("doc_id")), col("doc_id"), 80)),
+    "pack_sequences" -> ((s, d) =>
+      graft.pipeline.Pipeline.packSequences(
+          docs(s, d).select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          col("source"), col("doc_id"), col("n_tokens"), 2048L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))),
     "merge_concat" -> ((s, d) => {
       // mergeWith (TableTarget.java:734-746): bag concatenation of N
       // same-schema datasets — unionByName, duplicates preserved
@@ -899,6 +915,22 @@ object SparkEntry {
       """SELECT LEAST(CAST(FLOOR((p_retailprice - 900.0) / ((2000.0 - 900.0) / 40.0)) AS INT), 39) AS bucket,
         |count(*) AS cnt, CASE WHEN count(*) = 1 THEN min(p_partkey) END AS singleton
         |FROM part GROUP BY 1""".stripMargin,
+    "shuffle_rows" ->
+      """SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |  CAST(doc_id AS VARCHAR)) AS INT) AS shuffle_rank
+        |FROM documents""".stripMargin,
+    "train_test_split" ->
+      """SELECT doc_id, CASE WHEN
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
+        |  THEN 'train' ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "pack_sequences" ->
+      """SELECT doc_id, source, n_tokens,
+        |CAST(FLOOR((CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) - n_tokens) / 2048.0) AS BIGINT) AS bin
+        |FROM (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)""".stripMargin,
     "merge_concat" ->
       """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
         |UNION ALL
