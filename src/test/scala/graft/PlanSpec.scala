@@ -130,4 +130,36 @@ class PlanSpec extends SparkSpec {
     // a codegen-incompatible expression would print a bare Project
     assert(p.contains("*(1) Project"), p)
   }
+
+  test("asof join shuffles exactly once (on the key)") {
+    val e = Tables.events(spark, sf)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val df = AsOfJoin.asofJoin(clicks, views, Seq("user_id"), "ts", Seq("view_id"))
+    val p = plan(df)
+    // tagged union + one window: a single hash exchange on user_id, no
+    // join operator (and so no range cross-join) anywhere in the plan
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("hash split and packing are narrow / single-window") {
+    val docs = Tables.documents(spark, sf)
+    val split = graft.pipeline.Pipeline.hashSplit(
+      docs.select(col("doc_id")), col("doc_id"), 80)
+    assert(!plan(split).contains("Exchange"), plan(split))
+    val packed = graft.pipeline.Pipeline.packSequences(
+      docs.select(col("doc_id"), col("source"), lit(10L).as("n_tokens")),
+      col("source"), col("doc_id"), col("n_tokens"), 2048L)
+    assert("Exchange hashpartitioning".r.findAllIn(plan(packed)).length == 1, plan(packed))
+  }
+
+  test("geo metadata join broadcasts the metadata side") {
+    import spark.implicits._
+    val zones = Seq(("AFRICA", "south")).toDF("r_name", "zone")
+    val df = Tables.region(spark, sf).join(broadcast(zones), Seq("r_name"), "left")
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df))
+  }
 }
