@@ -104,7 +104,7 @@ object Dedup {
             count(lit(1)).over(
               org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
           .filter(col("__df") <= maxShingleDocs).drop("__df")
-    sh.as("a")
+    sh.as("a").hint("shuffle_merge")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -151,7 +151,9 @@ object Dedup {
     val banded = sig.select(
       col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "key"))).cache()
-    banded.as("a")
+    // never broadcast a self-join of identical exploded sides (see
+    // lshCandidatePairsFromSig)
+    banded.as("a").hint("shuffle_merge")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -176,7 +178,11 @@ object Dedup {
     val banded = sig.select(
       col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "key")))
-    banded.as("a")
+    // shuffle-join hint: post-explode row count is bands× the planner's
+    // pre-explode estimate, so Catalyst may wrongly broadcast-build an
+    // exploded corpus-scale side; the equal-sided shuffle join is the
+    // only strategy that survives any corpus size
+    banded.as("a").hint("shuffle_merge")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -90,7 +90,11 @@ object SimHash {
     val banded = fp.select(
       col("doc_id"), col("simhash"),
       posexplode(array(keyCols: _*)).as(Seq("band", "key")))
-    banded.as("a")
+    // shuffle-join hint: the sides are identical exploded corpora, so a
+    // broadcast build (which Catalyst picks from the pre-explode size
+    // estimate of the cached fingerprints) OOMs at corpus scale —
+    // observed at 100k docs × C(12,4) bands
+    banded.as("a").hint("shuffle_merge")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
