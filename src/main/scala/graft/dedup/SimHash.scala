@@ -72,24 +72,15 @@ object SimHash {
       s"pigeonhole guarantee needs nChunks - chunksPerKey >= maxDist (got $m - $q < $maxDist)")
     require(q >= 1 && m <= Bits)
     val fp = fingerprints(docs).cache()
-    // per-chunk widths when Bits % m != 0: first (Bits % m) chunks one bit wider
-    val base = Bits / m; val rem = Bits % m
-    val widths = Seq.tabulate(m)(i => if (i < rem) base + 1 else base)
-    val offsets = widths.scanLeft(0)(_ + _)
-    val chunkVals = (0 until m).map { i =>
-      shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
-    }
-    // long keys: the chunk itself for q=1, else an 8-byte hash of the
-    // combination (hash equality is implied by chunk equality, so no
-    // qualifying pair is lost; a collision only adds a candidate the
-    // exact hamming filter drops)
-    val keyCols = (0 until m).combinations(q).toSeq.map { c =>
-      if (q == 1) chunkVals(c.head)
-      else xxhash64(c.map(i => chunkVals(i)): _*)
-    }
+    // all C(m,q) band keys from ONE row-local expression (long keys —
+    // hash equality is implied by chunk equality, so no qualifying pair
+    // is lost; a collision only adds a candidate the exact hamming
+    // filter drops). A per-combination Column projection would generate
+    // C(m,q) expressions and fall out of codegen past ~hundreds.
     val banded = fp.select(
       col("doc_id"), col("simhash"),
-      posexplode(array(keyCols: _*)).as(Seq("band", "key")))
+      posexplode(graft.functions.SimHashExpression.bandKeys(col("simhash"), m, q))
+        .as(Seq("band", "key")))
     // shuffle-join hint: the sides are identical exploded corpora, so a
     // broadcast build (which Catalyst picks from the pre-explode size
     // estimate of the cached fingerprints) OOMs at corpus scale —

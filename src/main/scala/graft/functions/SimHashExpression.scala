@@ -55,7 +55,67 @@ case class SimHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** All pigeonhole band keys of a 60-bit SimHash fingerprint as one
+  * array: the fingerprint is cut into `nChunks` contiguous chunks
+  * (first `60 % nChunks` chunks one bit wider) and element i is a
+  * 64-bit mix of the i-th `chunksPerKey`-combination's chunk values.
+  *
+  * One expression replaces a C(nChunks, chunksPerKey)-column projection
+  * — at (12, 4) that projection is 495 generated expressions, which
+  * overflows Janino's 64 KB method limit and drops the whole stage out
+  * of codegen; here the combination loop is plain JVM code per row.
+  */
+case class SimHashBandKeys(child: Expression, nChunks: Int, chunksPerKey: Int)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  private val Bits = 60
+  @transient private lazy val widths: Array[Int] = {
+    val base = Bits / nChunks; val rem = Bits % nChunks
+    Array.tabulate(nChunks)(i => if (i < rem) base + 1 else base)
+  }
+  @transient private lazy val offsets: Array[Int] = widths.scanLeft(0)(_ + _)
+  @transient private lazy val combos: Array[Array[Int]] =
+    (0 until nChunks).combinations(chunksPerKey).map(_.toArray).toArray
+
+  private def avalanche(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val fp = input.asInstanceOf[Long]
+    val chunks = new Array[Long](nChunks)
+    var i = 0
+    while (i < nChunks) {
+      chunks(i) = (fp >>> offsets(i)) & ((1L << widths(i)) - 1)
+      i += 1
+    }
+    val out = new Array[Long](combos.length)
+    var b = 0
+    while (b < combos.length) {
+      val c = combos(b)
+      var h = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < c.length) { h = avalanche(h ^ chunks(c(j))); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SimHashExpression {
   import org.apache.spark.sql.graftshim.{exprToColumn => column, columnToExpr => expression}
   def simhash60(text: Column): Column = column(SimHash60(expression(text)))
+  def bandKeys(fp: Column, nChunks: Int, chunksPerKey: Int): Column =
+    column(SimHashBandKeys(expression(fp), nChunks, chunksPerKey))
 }
