@@ -90,4 +90,40 @@ class PropertySpec extends SparkSpec {
     val back = graft.sources.Sources.readSchemaFile(tmp.toString)
     assert(back.fields.map(_.name).sameElements(li.schema.fields.map(_.name)))
   }
+
+  // tolerance gates for the intrinsically-approximate paths (the oracle
+  // gate lists them rows-only; these bound their error like the
+  // reference's statistical assertions, e.g. SampleQuantileSketchTest)
+  test("approx distinct count within HLL error of exact") {
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0).toDouble
+    val approx = DistinctAndFrequency.approxDistinctCount(li, "l_partkey")
+      .head().getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.1, s"approx=$approx exact=$exact")
+  }
+
+  test("approx quantiles within relative error of exact") {
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val n = li.count()
+    val sorted = li.select(col("l_extendedprice")).orderBy(col("l_extendedprice"))
+      .collect().map(_.getDouble(0))
+    val approx = graft.operators.Quantiles.approxQuantiles(
+      li, "l_extendedprice", Seq(0.25, 0.5, 0.75), 0.01)
+    Seq(0.25, 0.5, 0.75).zip(approx).foreach { case (q, a) =>
+      // GK guarantee is on RANK error: the returned value's rank must be
+      // within ±1% of the target rank
+      val lo = sorted(math.max(0, ((q - 0.02) * n).toInt))
+      val hi = sorted(math.min(n.toInt - 1, ((q + 0.02) * n).toInt))
+      assert(a >= lo && a <= hi, s"q=$q a=$a not in [$lo,$hi]")
+    }
+  }
+
+  test("seeded sample size concentrates around rate and is deterministic") {
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val n = li.count().toDouble
+    val s1 = li.sample(withReplacement = false, 0.1, 42L).count()
+    val s2 = li.sample(withReplacement = false, 0.1, 42L).count()
+    assert(s1 == s2) // same seed, same partitioning → same sample
+    assert(math.abs(s1 - 0.1 * n) < 5 * math.sqrt(0.1 * 0.9 * n), s"s1=$s1 n=$n")
+  }
 }
