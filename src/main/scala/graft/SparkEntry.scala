@@ -218,6 +218,16 @@ object SparkEntry {
       li(s, d).select(col("l_orderkey"), col("l_linenumber"),
         to_timestamp(date_format(col("l_shipdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
           .as("ship_day"))),
+    // Duration kind (§1.2: ms-held-as-double + conversion helpers):
+    // order-to-ship latency as days and as Duration-ms
+    "col_duration" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .join(ord(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("latency_days"),
+          (datediff(col("l_shipdate"), col("o_orderdate")).cast("double") *
+            lit(86400000.0)).as("latency_ms"))),
     "interval_range_filter" -> ((s, d) =>
       li(s, d)
         .filter(least(col("l_discount"), col("l_tax")) >= 0.02 &&
@@ -663,6 +673,11 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |strptime(strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d'), '%Y-%m-%d') AS ship_day
         |FROM lineitem""".stripMargin,
+    "col_duration" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS latency_days,
+        |CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) * 86400000.0 AS latency_ms
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
     "join_revenue_by_priority" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
