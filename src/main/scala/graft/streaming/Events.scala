@@ -134,4 +134,31 @@ object Events {
     q.awaitTermination()
     spark.table("graft_hourly")
   }
+
+  /** Full readStream → watermarked agg → writeStream(parquet) loop with
+    * a checkpoint — the durable-sink shape (append mode emits a window
+    * once its end passes the watermark; exactly-once via checkpoint +
+    * file-sink manifest). Returns the re-read sink directory.
+    */
+  def runHourlyStreamToFiles(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out")
+    val q = hourlyAggStream(stream).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/data")
+  }
 }

@@ -118,6 +118,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("LSH topk: scores consistent with brute force, ordered, strong matches found") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    // exact cosine of every pair, via brute force with k = all
+    val exactAll = Similarity.bruteForceTopK(emb, qs, n).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.lshTopK(emb, qs, 10).collect()
+    assert(lsh.nonEmpty)
+    // 1) every LSH hit reports the same cosine as the exact computation
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(math.abs(r.getDouble(3) - exactAll(key)) < 1e-9, s"score mismatch at $key")
+    }
+    // 2) ranks are ordered by descending cosine within each query
+    lsh.groupBy(_.getLong(0)).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // 3) strong matches (cos >= 0.5 — likely bucket-colliding) are found
+    val strong = exactAll.filter { case ((q, _), c) => c >= 0.5 }
+    val found = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
+    strong.keys.foreach { k =>
+      assert(found.contains(k), s"strong match $k (cos=${exactAll(k)}) missed")
+    }
+  }
+
   test("rolling hash is order-sensitive, fingerprint is order-insensitive") {
     val d = docsDF(Seq("alpha beta gamma", "gamma beta alpha"))
     val rh = TextAnalysis.rollingFingerprints(d).collect().map(_.getLong(1))

@@ -15,6 +15,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamTotal == batchTotal)
   }
 
+  test("streaming file sink emits exactly the watermark-closed windows") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val sunk = Events.runHourlyStreamToFiles(spark, sf)
+    // append mode emits a window once watermark (max ts - 2h) passes its
+    // end; expected = batch windows with end <= that watermark
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val wm = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+    val expected = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("window.end") <= lit(wm))
+      .collect().map(r => (r.getStruct(0).getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val got = sunk.select(col("window.start"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected, s"got ${got.size} windows, expected ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
   test("session stats: session count bounded by event count") {
     val st = Events.sessionStats(Tables.events(spark, sf), 30).collect()
     assert(st.nonEmpty)
