@@ -356,6 +356,11 @@ object SparkEntry {
           graft.multimodal.Multimodal.syntheticMedia(docs(s, d)), 64, 2)
         .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_len"),
           col("chunk_prefix"))),
+    "multimodal_resize" -> ((s, d) =>
+      graft.multimodal.Multimodal.resize(
+          graft.multimodal.Multimodal.syntheticMedia(docs(s, d)), 4)
+        .select(col("id").as("doc_id"), col("kind"), col("n_bytes"),
+          col("resized_len"), col("resized_sum"))),
 
     // ── event streams ──────────────────────────────────────────────────
     "events_hourly" -> ((s, d) => graft.streaming.Events.hourlyAgg(ev(s, d))),
@@ -861,6 +866,13 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |  unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT), 2)) AS idx
         |  FROM documents)""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |CAST(length(text) AS INT) AS n_bytes,
+        |CAST(ceil(length(text) / 4.0) AS INT) AS resized_len,
+        |CAST(list_sum(list_transform(range(0, CAST(ceil(length(text)/4.0) AS BIGINT)),
+        |  i -> ascii(substr(text, CAST(i*4+1 AS INT), 1)))) AS BIGINT) AS resized_sum
+        |FROM documents""".stripMargin,
     "events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

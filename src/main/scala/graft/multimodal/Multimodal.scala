@@ -60,6 +60,20 @@ object Multimodal {
     }.toDF("id", "chunk_idx", "chunk_len", "chunk_prefix")
   }
 
+  /** Resize stand-in: stride-sample the payload to a smaller one (a real
+    * implementation decodes and bilinear-resamples pixels; the stub keeps
+    * every `stride`-th byte) and emit the new payload's metadata. Narrow
+    * map, batch-amortizable like extractFeatures.
+    */
+  def resize(media: Dataset[MediaRow], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      var i = 0; var sum = 0L; var n = 0
+      while (i < r.media.length) { sum += (r.media(i) & 0xff); n += 1; i += stride }
+      (r.id, r.kind, r.media.length, n, sum)
+    }.toDF("id", "kind", "n_bytes", "resized_len", "resized_sum")
+  }
+
   /** Build a synthetic media table from the documents table — binary
     * payloads derived from text so the pipeline has real (deterministic)
     * bytes to chew on in tests.
