@@ -138,16 +138,17 @@ object Similarity {
   /** IVF (inverted-file) ANN: corpus is partitioned into `nlist` cells
     * by nearest centroid (the index build — at scale, a one-time
     * bucketed write); queries probe the `nprobe` nearest cells only.
-    * Centroids here are a deterministic hash-strided sample of the
-    * corpus (k-means iterations would refine them; the probe/assign
-    * dataflow — broadcast centroids, argmin assignment, cell-restricted
-    * scoring — is the part that matters at scale).
+    * Centroids seed from a deterministic hash-strided sample and are
+    * refined by `refineIters` Lloyd steps — each step is ONE
+    * aggregation pass (argmin assign → per-cell per-dim mean), with an
+    * O(nlist×dim) driver-side result, so refinement scales like any
+    * other sketch.
     */
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 1): DataFrame = {
     val spark = emb.sparkSession
-    // deterministic "sample": nlist rows with smallest xxhash64(vec_id)
-    val centroids = emb
+    // deterministic seed "sample": nlist rows with smallest xxhash64(vec_id)
+    var centroids = emb
       .select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
       .orderBy(col("h")).limit(nlist)
       .select(col("embedding")).collect()
@@ -158,6 +159,23 @@ object Similarity {
         struct((lit(1.0) - cosine(v, lit(c))).as("d"), lit(i).as("cell"))
       }: _*)
       slice(transform(array_sort(dists), s => s.getField("cell")), 1, n)
+    }
+    (0 until refineIters).foreach { _ =>
+      val dims = emb
+        .withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("m"))
+        .collect()
+      val byCell = dims.groupBy(_.getInt(0))
+      centroids = centroids.map { case (old, i) =>
+        byCell.get(i) match {
+          case Some(rows) =>
+            val arr = old.clone()
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+            (arr, i)
+          case None => (old, i) // empty cell keeps its seed centroid
+        }
+      }
     }
     val corpus = emb
       .withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
