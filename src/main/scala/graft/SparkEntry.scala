@@ -435,6 +435,24 @@ object SparkEntry {
             size(split(col("text"), " ")).cast("long").as("n_tokens")),
           col("source"), col("doc_id"), col("n_tokens"), 2048L)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))),
+    // full pipeline composition: quality gate → language gate → exact
+    // dedup (keep lowest doc_id per content hash) → hash split → pack.
+    // One dataflow, three shuffles (dedup window, split-free, pack
+    // window) — what a real corpus-prep job looks like on this library.
+    "pipeline_end2end" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+      val kept = docs(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .filter(col("n_tokens") >= 20)
+        .filter(graft.text.TextAnalysis.langId(col("text")) === "en")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val split2 = graft.pipeline.Pipeline.hashSplit(kept, col("doc_id"), 80)
+      graft.pipeline.Pipeline.packSequences(
+          split2, col("split"), col("doc_id"), col("n_tokens"), 2048L)
+        .select(col("doc_id"), col("split"), col("n_tokens"), col("bin"))
+    }),
     "merge_concat" -> ((s, d) => {
       // mergeWith (TableTarget.java:734-746): bag concatenation of N
       // same-schema datasets — unionByName, duplicates preserved
@@ -958,6 +976,25 @@ object SparkEntry {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) - n_tokens) / 2048.0) AS BIGINT) AS bin
         |FROM (SELECT doc_id, source,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)""".stripMargin,
+    "pipeline_end2end" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS en_c,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und')) AS de_c,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x = 'le' OR x = 'la' OR x = 'les' OR x = 'et')) AS fr_c
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, n_tokens FROM t
+        |  WHERE n_tokens >= 20 AND en_c >= de_c AND en_c >= fr_c AND en_c > 0),
+        |k AS (SELECT doc_id, n_tokens,
+        |  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f),
+        |s AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
+        |    THEN 'train' ELSE 'test' END AS split
+        |  FROM k WHERE rn = 1)
+        |SELECT doc_id, split, n_tokens,
+        |  CAST(FLOOR((CAST(SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) - n_tokens) / 2048.0) AS BIGINT) AS bin
+        |FROM s""".stripMargin,
     "merge_concat" ->
       """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
         |UNION ALL
