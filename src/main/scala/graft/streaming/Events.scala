@@ -161,4 +161,26 @@ object Events {
     q.awaitTermination()
     spark.read.parquet(s"$out/data")
   }
+
+  /** Streaming exact dedup: first occurrence of each content hash passes
+    * through, later duplicates are dropped — `dropDuplicates` keeps
+    * O(distinct) keyed state (bound it with `withWatermark` + an
+    * event-time column on unbounded streams). Stages the documents
+    * parquet as a file stream and counts survivors.
+    */
+  def runDedupStreamOnce(spark: SparkSession, dir: String): Long = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val deduped = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .dropDuplicates("h")
+    val q = deduped.writeStream
+      .outputMode("append").format("memory").queryName("graft_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("graft_dedup").count()
+  }
 }

@@ -34,6 +34,13 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming dedup keeps exactly the distinct contents") {
+    import org.apache.spark.sql.functions._
+    val batchDistinct = Tables.documents(spark, sf)
+      .select(md5(col("text").cast("binary"))).distinct().count()
+    assert(Events.runDedupStreamOnce(spark, sf) == batchDistinct)
+  }
+
   test("session stats: session count bounded by event count") {
     val st = Events.sessionStats(Tables.events(spark, sf), 30).collect()
     assert(st.nonEmpty)
