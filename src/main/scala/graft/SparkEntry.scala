@@ -422,6 +422,24 @@ object SparkEntry {
       Histograms.histogramWithSingleton(prt(s, d),
         Histograms.numericBucket(col("p_retailprice"), 900.0, 2000.0, 40),
         col("p_partkey"))),
+    // SampleCorrelationSketch: correlation matrix over a seeded sample
+    // (rows-only gate; the exact form corr_matrix is the oracle twin)
+    "sample_corr" -> ((s, d) =>
+      Stats.correlationMatrix(
+        li(s, d).sample(withReplacement = false, 0.2, 42L),
+        Seq("l_discount", "l_extendedprice", "l_quantity"))),
+    // SampleDistinctRowsSketch: uniform sample of distinct rows plus the
+    // min/max row under the order (rows-only; sampled)
+    "sample_distinct_rows" -> ((s, d) => {
+      val dist = ord(s, d).select(col("o_orderpriority"), col("o_orderstatus")).distinct()
+      dist.sample(withReplacement = false, 0.5, 42L)
+        .withColumn("which", lit("sample"))
+        .unionByName(dist.orderBy(col("o_orderpriority").asc_nulls_last,
+          col("o_orderstatus").asc_nulls_last).limit(1).withColumn("which", lit("min")))
+        .unionByName(dist.orderBy(col("o_orderpriority").desc_nulls_first,
+          col("o_orderstatus").desc_nulls_first).limit(1).withColumn("which", lit("max")))
+    }),
+
     // ── training-pipeline staples: shuffle / split / packing ───────────
     "shuffle_rows" -> ((s, d) =>
       graft.pipeline.Pipeline.deterministicShuffle(
