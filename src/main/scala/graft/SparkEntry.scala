@@ -736,9 +736,11 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
     "find_pattern" ->
-      """SELECT b.before_cnt, b.after_cnt, f.first_p_name, f.first_p_partkey FROM
+      """SELECT b.before_cnt, b.at_cnt, b.after_cnt, f.first_p_name, f.first_p_partkey FROM
         |(SELECT count(CASE WHEN NOT ((p_name, p_partkey) >= ('m', 0)) THEN 1 END) AS before_cnt,
-        |        count(CASE WHEN (p_name, p_partkey) >= ('m', 0) THEN 1 END) AS after_cnt
+        |        count(CASE WHEN p_name = 'm' AND p_partkey = 0 THEN 1 END) AS at_cnt,
+        |        count(CASE WHEN (p_name, p_partkey) >= ('m', 0)
+        |          AND NOT (p_name = 'm' AND p_partkey = 0) THEN 1 END) AS after_cnt
         | FROM part WHERE contains(p_name, 'widget')) b
         |CROSS JOIN
         |(SELECT p_name AS first_p_name, p_partkey AS first_p_partkey FROM part

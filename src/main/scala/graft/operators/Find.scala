@@ -17,10 +17,15 @@ object Find {
       pivot: Seq[Any],
       firstRowCols: Seq[String]): DataFrame = {
     val after = Filters.rowSeek(order.map(o => col(o.column)), pivot)
+    // at = sort-key tuple equals the pivot exactly (FindSketch counts
+    // before / at / after separately; "after" here excludes "at")
+    val at = order.map(o => col(o.column)).zip(pivot)
+      .map { case (c, v) => c === lit(v) }.reduce(_ && _)
     val matches = df.filter(matchPred)
     val counts = matches.agg(
       count(when(!after, 1)).as("before_cnt"),
-      count(when(after, 1)).as("after_cnt"))
+      count(when(at, 1)).as("at_cnt"),
+      count(when(after && !at, 1)).as("after_cnt"))
     val first = matches.filter(after)
       .orderBy(order.map(_.col): _*)
       .limit(1)

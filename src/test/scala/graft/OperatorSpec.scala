@@ -98,14 +98,14 @@ class OperatorSpec extends SparkSpec {
     assert(union == inter + only1 + only2)
   }
 
-  test("find: before + after counts equal total matches") {
+  test("find: before + at + after counts equal total matches") {
     val p = Tables.part(spark, sf)
     val res = Find.find(p, Filters.stringMatch(col("p_name"), "widget"),
       Seq(NextK.Order("p_name"), NextK.Order("p_partkey")), Seq("m", 0L),
       Seq("p_name", "p_partkey")).collect()
     val total = p.filter(col("p_name").contains("widget")).count()
     if (res.nonEmpty)
-      assert(res.head.getLong(0) + res.head.getLong(1) == total)
+      assert(res.head.getLong(0) + res.head.getLong(1) + res.head.getLong(2) == total)
   }
 
   test("rowAtPosition returns the (k+1)-th smallest") {
