@@ -92,6 +92,10 @@ object SparkEntry {
       Histograms.histogram2D(li(s, d),
         Histograms.numericBucket(col("l_quantity"), 0.0, 50.0, 10),
         Histograms.numericBucket(col("l_discount"), 0.0, 0.1, 5))),
+    "hist_explicit" -> ((s, d) =>
+      Histograms.histogram1D(li(s, d),
+        Histograms.explicitBucket(col("l_quantity"),
+          Seq(0.0, 5.0, 15.0, 35.0, 50.0)))),
     "heatmap_singleton" -> ((s, d) =>
       Histograms.heatmapWithSingleton(prt(s, d),
         Histograms.numericBucket(col("p_size").cast("double"), 0.0, 50.0, 10),
@@ -586,6 +590,14 @@ object SparkEntry {
       """SELECT CASE WHEN c_mktsegment >= 'M' THEN 3 WHEN c_mktsegment >= 'F' THEN 2
         |WHEN c_mktsegment >= 'C' THEN 1 ELSE 0 END AS bucket, count(*) AS cnt
         |FROM customer GROUP BY 1""".stripMargin,
+    "hist_explicit" ->
+      """SELECT CASE
+        |  WHEN l_quantity >= 35.0 AND l_quantity <= 50.0 THEN 3
+        |  WHEN l_quantity >= 15.0 AND l_quantity < 35.0 THEN 2
+        |  WHEN l_quantity >= 5.0 AND l_quantity < 15.0 THEN 1
+        |  WHEN l_quantity >= 0.0 AND l_quantity < 5.0 THEN 0
+        |  ELSE -1 END AS bucket, count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "hist_2d" ->
       """SELECT LEAST(CAST(FLOOR((l_quantity - 0.0) / ((50.0 - 0.0) / 10.0)) AS INT), 9) AS bx,
         |LEAST(CAST(FLOOR((l_discount - 0.0) / ((0.1 - 0.0) / 5.0)) AS INT), 4) AS by,
