@@ -64,6 +64,17 @@ object SparkEntry {
       li(s, d).filter(Filters.or(
         Filters.and(col("l_quantity") > 30.0, col("l_discount") <= 0.05),
         Filters.not(col("l_returnflag") === "N")))),
+    "f_ci_complement" -> ((s, d) =>
+      prt(s, d).filter(Filters.stringMatch(col("p_brand"), "brAnd#1",
+        kind = "substring", caseSensitive = false, complement = true))),
+    "f_any_column" -> ((s, d) =>
+      ord(s, d).filter(Filters.anyColumnMatches(
+        Seq(col("o_orderpriority"), col("o_orderstatus")), "F"))),
+    "interval_compare" -> ((s, d) =>
+      li(s, d)
+        .filter(Intervals.comparedTo(
+          Intervals.make(col("l_discount"), col("l_tax")), "==", 0.05))
+        .select(col("l_orderkey"), col("l_linenumber"))),
     "f_udf_predicate" -> ((s, d) => {
       graft.functions.Udfs.registerAll(s)
       li(s, d).filter(expr("qty_band(l_quantity) = 'mid'"))
@@ -539,6 +550,14 @@ object SparkEntry {
     "f_isin" -> "SELECT * FROM lineitem WHERE l_returnflag IN ('A', 'R')",
     "f_rowseek" ->
       "SELECT * FROM lineitem WHERE (l_returnflag, l_linestatus) >= ('N', 'O')",
+    "f_ci_complement" ->
+      "SELECT * FROM part WHERE NOT contains(lower(p_brand), 'brand#1')",
+    "f_any_column" ->
+      """SELECT * FROM orders
+        |WHERE contains(o_orderpriority, 'F') OR contains(o_orderstatus, 'F')""".stripMargin,
+    "interval_compare" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE LEAST(l_discount, l_tax) <= 0.05 AND GREATEST(l_discount, l_tax) >= 0.05""".stripMargin,
     "f_compound" ->
       """SELECT * FROM lineitem
         |WHERE (l_quantity > 30.0 AND l_discount <= 0.05) OR NOT (l_returnflag = 'N')""".stripMargin,
