@@ -82,6 +82,9 @@ object SparkEntry {
     }),
     "nextk_basic" -> ((s, d) =>
       NextK.nextK(ord(s, d), Seq(Order("o_orderpriority"), Order("o_orderstatus")), 8)),
+    "nextk_desc" -> ((s, d) =>
+      NextK.nextK(ord(s, d),
+        Seq(Order("o_orderpriority", ascending = false), Order("o_orderstatus")), 5)),
     "nextk_pivot_aggs" -> ((s, d) =>
       NextK.nextK(li(s, d), Seq(Order("l_returnflag"), Order("l_linestatus")), 5,
         pivot = Some(Seq("N", "F")),
@@ -211,6 +214,11 @@ object SparkEntry {
     "col_extract_kv" -> ((s, d) =>
       ColumnOps.extractValue(ev(s, d).select(col("event_id"), col("props")), "props", "k", "k_val")
         .withColumn("k_val", col("k_val").cast("int")).drop("props")),
+    // Json kind, parity-plus: real JSON-path extraction (the reference
+    // only validates Json strings; get_json_object is codegen'd)
+    "col_json_path" -> ((s, d) =>
+      ev(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_json"))),
     "col_linear_projection" -> ((s, d) =>
       ColumnOps.linearProjection(
         prt(s, d).select(col("p_partkey"), col("p_size"), col("p_retailprice")),
@@ -716,6 +724,12 @@ object SparkEntry {
     "col_extract_kv" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k"\s*:\s*"?([^,}"]*)"?', 1) AS INT) AS k_val
         |FROM events""".stripMargin,
+    "col_json_path" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_json
+        |FROM events""".stripMargin,
+    "nextk_desc" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt FROM orders
+        |GROUP BY 1, 2 ORDER BY o_orderpriority DESC, o_orderstatus LIMIT 5""".stripMargin,
     "col_linear_projection" ->
       """SELECT p_partkey, 0.5 * p_size + 0.25 * p_retailprice AS proj0,
         |-1.0 * p_size + 0.125 * p_retailprice AS proj1 FROM part""".stripMargin,
