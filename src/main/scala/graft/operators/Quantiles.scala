@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Quantile family (sketches/SampleQuantileSketch.java:39-120,
@@ -29,18 +28,36 @@ object Quantiles {
     df.stat.approxQuantile(column, qs.toArray, relErr)
 
   /** Equi-depth string boundaries (SampleDistinctElementsSketch /
-    * StringQuantiles): split the ordered distinct strings into `n` tiles
-    * and report each tile's max. Declared with ntile over the distinct
-    * set — the distinct set is the small side (bounded by column
-    * cardinality); for unbounded cardinality the scale path samples
-    * distinct values first (min-K hashing), mirroring the reference.
+    * StringQuantiles, sketches/SampleDistinctElementsSketch.java:37-122):
+    * split the ordered distinct strings into `n` tiles and report each
+    * tile's max.
+    *
+    * Computed through the KMV min-K-hash distinct sampler
+    * (functions.MinKHash) — one aggregation pass with O(sampleK)
+    * mergeable state, exactly the reference's MinKSet. No global window,
+    * no single-partition sort of the distinct set. When the distinct
+    * cardinality is ≤ `sampleK` the sample is exhaustive and the
+    * boundaries are exactly the ntile tile-maxima (the oracle form);
+    * beyond that they are the sampled approximation the reference itself
+    * returns.
     */
-  def stringBoundaries(df: DataFrame, column: String, n: Int): DataFrame = {
-    val distinct = df.select(col(column)).where(col(column).isNotNull).distinct()
-    distinct
-      .withColumn("tile", ntile(n).over(Window.orderBy(col(column))))
-      .groupBy(col("tile"))
-      .agg(max(col(column)).as("boundary"))
-      .orderBy(col("tile"))
+  def stringBoundaries(df: DataFrame, column: String, n: Int,
+      sampleK: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df.select(col(column)).where(col(column).isNotNull).as[String]
+      .select(new graft.functions.MinKHash.MinKAggregator(sampleK).toColumn)
+      .head()
+    val size = sample.size
+    // ntile(n) semantics over the sampled distinct set: the first
+    // (size % n) tiles get ceil(size/n) values, the rest floor(size/n);
+    // boundary i = last value of tile i
+    val q = size / n
+    val r = size % n
+    val tiles = (1 to math.min(n, size)).map { i =>
+      val cum = i.toLong * q + math.min(i, r)
+      (i, sample(cum.toInt - 1))
+    }
+    tiles.toDF("tile", "boundary")
   }
 }

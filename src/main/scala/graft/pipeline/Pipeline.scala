@@ -7,8 +7,13 @@ import org.apache.spark.sql.functions._
 /** Training-data pipeline staples beyond the reference's surface:
   * deterministic corpus shuffling, hash-based dataset splits, and
   * token-budget sequence packing. All engine-portable (md5-derived
-  * hashes, no RNG) so every one is oracle-checkable, and all shaped as
-  * one hash-map + at most one shuffle — the forms that survive 100 TB.
+  * hashes, no RNG) so every one is oracle-checkable.
+  *
+  * Scale posture: no operation here funnels the corpus through a single
+  * partition. Global ranks and global prefix sums are decomposed into
+  * hash/range buckets + per-bucket windows + a driver-sized offset table
+  * (O(#buckets) rows collected, like the reference's root-side monoid
+  * merge) — the distributed-rank shape that survives 100 TB.
   */
 object Pipeline {
 
@@ -20,14 +25,40 @@ object Pipeline {
       .cast("long")
 
   /** Deterministic global shuffle: rank every row by a hash of its key.
-    * The standard "shuffle the corpus before training" pass — a global
-    * sort by an incompressible key, which Spark executes as range
-    * partitioning + per-partition sort (the scalable distributed sort);
-    * downstream writers consume the rank as the new row order.
+    * The standard "shuffle the corpus before training" pass.
+    *
+    * Distributed form: the 60-bit key hash is uniform, so equal-width
+    * hash ranges make a deterministic range partitioning (no sampled
+    * boundaries, no `Window.orderBy` single-partition funnel). Global
+    * rank = per-bucket rank (window partitioned by bucket) + the bucket's
+    * prefix-sum offset. The offsets come from one count-by-bucket pass
+    * whose result is O(nBuckets) — driver-sized, broadcast back.
+    * Two column-pruned scans total; every task handles ~N/nBuckets rows.
     */
-  def deterministicShuffle(df: DataFrame, key: Column): DataFrame =
-    df.withColumn("shuffle_rank",
-      row_number().over(Window.orderBy(keyHash(key), key.cast("string"))))
+  def deterministicShuffle(df: DataFrame, key: Column, nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a power of two (exact 2^60 range split)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val step = (1L << 60) / nBuckets
+    val withB = df
+      .withColumn("__h", keyHash(key))
+      .withColumn("__k", key.cast("string"))
+      .withColumn("__b", (col("__h") / lit(step)).cast("int"))
+    // bucket sizes → prefix-sum offsets, computed at the driver over
+    // O(nBuckets) rows (bounded like any sketch result)
+    val counts = withB.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+      .init.zip(counts).map { case ((_, off), (b, _)) => (b, off) }
+    val offDf = broadcast(offsets.toSeq.toDF("__b", "__off"))
+    val wLocal = Window.partitionBy(col("__b")).orderBy(col("__h"), col("__k"))
+    withB
+      .join(offDf, Seq("__b"))
+      .withColumn("shuffle_rank",
+        (col("__off") + row_number().over(wLocal)).cast("int"))
+      .drop("__h", "__k", "__b", "__off")
+  }
 
   /** Hash split: assign each row to train/test by key hash — stable
     * under any partitioning, reproducible across engines and runs,
@@ -39,19 +70,50 @@ object Pipeline {
         .otherwise(lit("test")))
 
   /** Token-budget sequence packing: within each group, documents are
-    * laid out in a deterministic order and cut into contiguous bins of
-    * ~`budget` tokens (bin = floor(preceding-token-count / budget) —
-    * fixed-boundary packing, the shuffle-free approximation of greedy
-    * first-fit). One window per group; groups pack independently, so
-    * the operation scales with the corpus, not a driver loop.
+    * laid out in `order` and cut into contiguous bins of ~`budget`
+    * tokens (bin = floor(preceding-token-count / budget) — fixed-
+    * boundary packing, the shuffle-free approximation of greedy
+    * first-fit).
+    *
+    * Two-level distributed form (groups can be few — e.g. two splits —
+    * so a per-group window would sort each group's whole corpus share in
+    * one task): rows are sub-bucketed by an equal-width range over the
+    * numeric `order` key (monotone in the order, so prefix sums
+    * compose); the cumulative count = per-(group, sub) window + a
+    * per-(group, sub) offset from one aggregate pass. The offset frame
+    * is O(#groups × nSub) — driver-sized; the data-sized window runs at
+    * #groups × nSub parallelism. Output is bit-identical to the
+    * single-window form.
     */
   def packSequences(docs: DataFrame, group: Column, order: Column,
-      nTokens: Column, budget: Long): DataFrame = {
-    val w = Window.partitionBy(group).orderBy(order)
+      nTokens: Column, budget: Long, nSub: Int = 32): DataFrame = {
+    val outCols = docs.columns
+    val mm = docs.agg(min(order.cast("double")), max(order.cast("double"))).head()
+    if (mm.isNullAt(0)) return docs.withColumn("bin", lit(null).cast("long")).limit(0)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val sub: Column =
+      if (hi == lo) lit(0)
+      else least(floor((order.cast("double") - lit(lo)) / lit((hi - lo) / nSub)),
+        lit(nSub - 1)).cast("int")
+    val withS = docs
+      .withColumn("__g", group)
+      .withColumn("__s", sub)
+      .withColumn("__n", nTokens)
+    // per-(group, sub-bucket) token totals → per-group running offsets;
+    // the window here runs over the aggregate (≤ nSub rows per group),
+    // not the data
+    val offs = withS.groupBy(col("__g"), col("__s")).agg(sum(col("__n")).as("__t"))
+      .withColumn("__off", coalesce(
+        sum(col("__t")).over(Window.partitionBy(col("__g")).orderBy(col("__s"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__g").as("__g2"), col("__s").as("__s2"), col("__off"))
+    val wLocal = Window.partitionBy(col("__g"), col("__s")).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("__cum", sum(nTokens).over(w))
-      .withColumn("bin", floor((col("__cum") - nTokens) / lit(budget)))
-      .drop("__cum")
+    withS
+      .join(broadcast(offs),
+        col("__g") === col("__g2") && col("__s") === col("__s2"))
+      .withColumn("__cum", col("__off") + sum(col("__n")).over(wLocal))
+      .withColumn("bin", floor((col("__cum") - col("__n")) / lit(budget)))
+      .select((outCols.map(col) :+ col("bin")): _*)
   }
 }

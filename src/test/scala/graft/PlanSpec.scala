@@ -145,7 +145,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("hash split and packing are narrow / single-window") {
+  test("hash split is narrow; packing has no single-partition stage") {
     val docs = Tables.documents(spark, sf)
     val split = graft.pipeline.Pipeline.hashSplit(
       docs.select(col("doc_id")), col("doc_id"), 80)
@@ -153,7 +153,45 @@ class PlanSpec extends SparkSpec {
     val packed = graft.pipeline.Pipeline.packSequences(
       docs.select(col("doc_id"), col("source"), lit(10L).as("n_tokens")),
       col("source"), col("doc_id"), col("n_tokens"), 2048L)
-    assert("Exchange hashpartitioning".r.findAllIn(plan(packed)).length == 1, plan(packed))
+    val p = plan(packed)
+    // two-level packing: data-sized window partitioned by (group, sub),
+    // never an unpartitioned window / single-partition exchange
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("deterministic shuffle ranks without a global window") {
+    val docs = Tables.documents(spark, sf)
+    val df = graft.pipeline.Pipeline.deterministicShuffle(
+      docs.select(col("doc_id")), col("doc_id"))
+    val p = plan(df)
+    // hash-bucketed rank + broadcast offsets: the corpus never funnels
+    // through one partition (the old Window.orderBy form did)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("string boundaries come from the KMV sampler, not a global ntile") {
+    val df = Quantiles.stringBoundaries(Tables.customer(spark, sf), "c_name", 8)
+    val p = plan(df)
+    // result is a driver-built frame fed by the bounded KMV aggregate —
+    // no window, no exchange anywhere in the declared plan
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("row_at_position seeks via buckets (bounded offset funnel)") {
+    val df = Find.rowAtPosition(
+      Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice")),
+      Seq(NextK.Order("l_extendedprice"), NextK.Order("l_orderkey"),
+        NextK.Order("l_linenumber")), 1000)
+    val p = plan(df)
+    // the seek sorts only one value-bucket's rows through a bounded
+    // top-(offset+1) heap — never a global Sort of the table
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
   test("geo metadata join broadcasts the metadata side") {
