@@ -284,6 +284,13 @@ object SparkEntry {
       Find.rowAtPosition(
         li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
         Seq(Order("l_extendedprice"), Order("l_orderkey"), Order("l_linenumber")), 1000)),
+    // the reference's sampled scrollbar scheme (rate res²/N) — rows-only
+    // gate; position error is tolerance-tested (PropertySpec)
+    "row_at_position_sampled" -> ((s, d) =>
+      Find.rowAtPositionSampled(
+        li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+        Seq(Order("l_extendedprice"), Order("l_orderkey"), Order("l_linenumber")),
+        1000L, resolution = 100)),
     "contains_row" -> ((s, d) =>
       Find.containsRow(li(s, d), col("l_orderkey") === 1L && col("l_linenumber") === 1)),
     "sample_rows" -> ((s, d) =>
@@ -337,6 +344,10 @@ object SparkEntry {
     // narrow keys over-collide at larger corpora
     "dedup_simhash" -> ((s, d) => graft.dedup.SimHash.nearDupPairs(docs(s, d), 8)),
     "dedup_embedding" -> ((s, d) => graft.ann.Similarity.nearDupPairs(emb(s, d), 0.4)),
+    // bucketed (LSH-banded) near-dup — the scale path; rows-only gate,
+    // recall vs the exact form is property-tested (PropertySpec)
+    "dedup_embedding_lsh" -> ((s, d) =>
+      graft.ann.Similarity.nearDupPairsLsh(emb(s, d), 0.4)),
     "ann_topk" -> ((s, d) =>
       graft.ann.Similarity.bruteForceTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_lsh_topk" -> ((s, d) =>

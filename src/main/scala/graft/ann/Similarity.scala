@@ -89,12 +89,14 @@ object Similarity {
 
   /** Deterministic random-hyperplane LSH bucket id: `planes` sign bits of
     * dot(v, h_i), hyperplane components derived from md5 of (plane, dim)
-    * — reproducible without any RNG state.
+    * — reproducible without any RNG state. `seed` selects an independent
+    * hyperplane family (banding over multiple LSH tables).
     */
-  def lshBucket(v: Column, dim: Int, planes: Int): Column = {
+  def lshBucket(v: Column, dim: Int, planes: Int, seed: Int = 0): Column = {
     def coef(p: Int, d: Int): Float = {
+      val key = if (seed == 0) s"$p:$d" else s"$seed:$p:$d"
       val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p:$d".getBytes("UTF-8"))
+        .digest(key.getBytes("UTF-8"))
       // first 4 bytes → uniform in [-1, 1]
       val x = java.nio.ByteBuffer.wrap(md).getInt(0)
       x.toFloat / Int.MaxValue.toFloat
@@ -217,6 +219,45 @@ object Similarity {
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosinePre(col("ea"), col("eb"), col("na"), col("nb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Bucketed embedding near-dup: hyperplane-LSH banding → candidate
+    * pairs → exact cosine verify — the 100 TB path, mirroring
+    * Dedup.minhashLshPairs (candidates only, never all pairs).
+    *
+    * Each of `bands` independent LSH tables hashes every vector to a
+    * `planes`-bit bucket; vectors colliding in any table become
+    * candidates (equal-sided shuffle self-join on (band, bucket) — the
+    * same `shuffle_merge` guard as text LSH, since the exploded side
+    * must never be broadcast). Exact verification keeps precision at 1;
+    * candidate recall at angle θ is 1-(1-(1-θ/π)^planes)^bands — the
+    * planes=4/bands=32 defaults give ≥0.996 at cos=0.4, rising with cos.
+    * At corpus scale, raise `planes` so buckets stay small (recall is
+    * then recovered with more bands).
+    */
+  def nearDupPairsLsh(emb0: DataFrame, threshold: Double, dim: Int = 64,
+      planes: Int = 4, bands: Int = 32): DataFrame = {
+    val emb = graft.engine.Layout.ensureParallelism(emb0)
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nm"))
+    val bucketCols = (0 until bands).map { b =>
+      lshBucket(col("embedding"), dim, planes, seed = b + 1)
+    }
+    val banded = withNorm.select(col("vec_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+    val cand = banded.as("a").hint("shuffle_merge")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(withNorm.as("x"), col("id_a") === col("x.vec_id"))
+      .join(withNorm.as("y"), col("id_b") === col("y.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        round(cosinePre(col("x.embedding"), col("y.embedding"),
+          col("x.nm"), col("y.nm")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

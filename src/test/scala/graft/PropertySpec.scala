@@ -118,6 +118,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH near-dup recall >= 0.95 vs exact all-pairs") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val exact = graft.ann.Similarity.nearDupPairs(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.ann.Similarity.nearDupPairsLsh(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact by construction (cosine verify); recall is the
+    // banding guarantee: 1-(1-(1-θ/π)^4)^32 ≥ 0.996 at cos = 0.4
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    if (exact.nonEmpty) {
+      val recall = (lsh & exact).size.toDouble / exact.size
+      assert(recall >= 0.95, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
+    }
+  }
+
+  test("sampled row-at-position lands within N/res of the target rank") {
+    import graft.operators.{Find, NextK}
+    val li = graft.engine.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val n = li.count()
+    val order = Seq(NextK.Order("l_extendedprice"), NextK.Order("l_orderkey"),
+      NextK.Order("l_linenumber"))
+    val res = 30 // small enough that the sample is a real subset at sf0.001
+    val position = n / 2
+    val row = Find.rowAtPositionSampled(li, order, position, resolution = res).head()
+    val (price, okey, lnum) = (row.getDouble(2), row.getLong(0), row.getInt(1))
+    // true rank of the returned row = #rows strictly before it
+    val rank = li.filter(
+      col("l_extendedprice") < price ||
+        (col("l_extendedprice") === price && col("l_orderkey") < okey) ||
+        (col("l_extendedprice") === price && col("l_orderkey") === okey &&
+          col("l_linenumber") < lnum)).count()
+    val tol = 4.0 * n / res
+    assert(math.abs(rank - position) <= tol, s"rank=$rank pos=$position tol=$tol")
+  }
+
   test("seeded sample size concentrates around rate and is deterministic") {
     val li = graft.engine.Tables.lineitem(spark, sf)
     val n = li.count().toDouble
