@@ -80,6 +80,21 @@ object SparkEntry {
       li(s, d).filter(expr("qty_band(l_quantity) = 'mid'"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
+    // runtime UDF surface (CreateColumnJSMap / JSFilterDescription):
+    // user-supplied expression STRINGS registered at runtime, parsed by
+    // Spark's parser — the predicate still pushes down to the scan
+    "dynamic_udf" -> ((s, d) => {
+      import graft.functions.DynamicUdf
+      DynamicUdf.registerExpr(s, "qty_mid_dyn", "q >= 10.0 AND q < 30.0", Seq("q"))
+      DynamicUdf.registerExpr(s, "ppu_dyn",
+        "CASE WHEN q = 0.0 THEN 0.0 ELSE floor(p / q * 10000.0) / 10000.0 END",
+        Seq("p", "q"))
+      li(s, d)
+        .filter(DynamicUdf.call(s, "qty_mid_dyn", col("l_quantity")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          DynamicUdf.call(s, "ppu_dyn", col("l_extendedprice"), col("l_quantity"))
+            .as("ppu"))
+    }),
     "nextk_basic" -> ((s, d) =>
       NextK.nextK(ord(s, d), Seq(Order("o_orderpriority"), Order("o_orderstatus")), 8)),
     "nextk_desc" -> ((s, d) =>
@@ -586,6 +601,11 @@ object SparkEntry {
     "f_udf_predicate" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity >= 10 AND l_quantity < 30""".stripMargin,
+    "dynamic_udf" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CASE WHEN l_quantity = 0.0 THEN 0.0
+        |  ELSE floor(l_extendedprice / l_quantity * 10000.0) / 10000.0 END AS ppu
+        |FROM lineitem WHERE l_quantity >= 10.0 AND l_quantity < 30.0""".stripMargin,
     "hist2d_quantiles" ->
       """SELECT l_returnflag AS b1, l_linestatus AS b2,
         |round(quantile_cont(l_extendedprice, 0.25), 4) AS q0,

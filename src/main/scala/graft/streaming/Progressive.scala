@@ -106,15 +106,21 @@ object Progressive {
   */
 object Memo {
   private val cache = mutable.Map.empty[String, Array[org.apache.spark.sql.Row]]
+  private var hitCount = 0L
 
   def fingerprint(df: DataFrame): String =
     df.queryExecution.optimizedPlan.canonicalized.toString
 
   def collectMemoized(df: DataFrame): Array[org.apache.spark.sql.Row] =
     cache.synchronized {
-      cache.getOrElseUpdate(fingerprint(df), df.collect())
+      val key = fingerprint(df)
+      if (cache.contains(key)) { hitCount += 1; cache(key) }
+      else { val r = df.collect(); cache.update(key, r); r }
     }
 
-  def clear(): Unit = cache.synchronized(cache.clear())
+  def clear(): Unit = cache.synchronized { cache.clear(); hitCount = 0L }
   def size: Int = cache.synchronized(cache.size)
+  /** Cache hits since the last clear — gesture-replay observability
+    * (MemoizedResults records the same). */
+  def hits: Long = cache.synchronized(hitCount)
 }

@@ -1,0 +1,96 @@
+package graft
+
+import graft.engine.{Tables, TargetRegistry}
+import graft.operators.{Histograms, NextK, Stats}
+import graft.operators.NextK.{AggSpec, Order, SumAgg}
+import graft.streaming.Memo
+import org.apache.spark.sql.functions._
+
+/** Interactive target/session layer: the SURVEY §3 entry-point gesture
+  * chains replayed through the registry (RpcTarget/TableTarget shape),
+  * with memoization hits on gesture replay (MemoizedResults semantics)
+  * and the runtime-UDF surface driving a gesture.
+  */
+class TargetsSpec extends SparkSpec {
+
+  test("Entry-B chain: load → filter → getNextK, replay hits the memo") {
+    Memo.clear()
+    val reg = new TargetRegistry(spark)
+    val root = reg.loadTable(sf, "lineitem")
+    val filtered = reg.filter(root.id,
+      col("l_extendedprice").between(1000.0, 50000.0))
+    val order = Seq(Order("l_returnflag"), Order("l_linestatus"))
+    val aggs = Seq(AggSpec(SumAgg, "l_quantity", "sum_qty"))
+    val got = reg.nextK(filtered.id, order, 5, aggs = aggs)
+    // equals the direct declaration over the same frame
+    val direct = NextK.nextK(
+      Tables.lineitem(spark, sf).filter(col("l_extendedprice").between(1000.0, 50000.0)),
+      order, 5, aggs = aggs).collect()
+    assert(got.toSeq == direct.toSeq && got.nonEmpty)
+    // replaying the same gesture is a cache hit, not a cluster job
+    val hitsBefore = Memo.hits
+    val replay = reg.nextK(filtered.id, order, 5, aggs = aggs)
+    assert(Memo.hits == hitsBefore + 1)
+    assert(replay.toSeq == got.toSeq)
+    // lineage reconstructs the gesture chain
+    assert(reg.lineage(filtered.id).head.startsWith("load:lineitem"))
+    assert(reg.lineage(filtered.id).last.startsWith("filter:"))
+  }
+
+  test("Entry-C chain: quantiles pass → histogram+CDF, replay hits the memo") {
+    Memo.clear()
+    val reg = new TargetRegistry(spark)
+    val root = reg.loadTable(sf, "lineitem")
+    // phase 1: getDataQuantiles → bucket boundaries
+    val range = reg.dataRange(root.id, "l_extendedprice").head
+    val (lo, hi) = (900.0, math.ceil(range.getDouble(1)))
+    // phase 2: histogramAndCDF with buckets from phase 1
+    val inRange = reg.filter(root.id, col("l_extendedprice").between(lo, hi))
+    val bucket = Histograms.numericBucket(col("l_extendedprice"), lo, hi, 20)
+    val got = reg.histogramCdf(inRange.id, bucket)
+    val direct = Histograms.histogramWithCdf(
+      Tables.lineitem(spark, sf).filter(col("l_extendedprice").between(lo, hi)),
+      bucket).collect()
+    assert(got.toSet == direct.toSet && got.nonEmpty)
+    val hitsBefore = Memo.hits
+    reg.histogramCdf(inRange.id, bucket)
+    reg.dataRange(root.id, "l_extendedprice")
+    assert(Memo.hits == hitsBefore + 2)
+  }
+
+  test("dynamic expression registration drives a gesture and folds into the plan") {
+    import graft.functions.DynamicUdf
+    val reg = new TargetRegistry(spark)
+    val root = reg.loadTable(sf, "lineitem")
+    DynamicUdf.registerExpr(spark, "spec_cheap", "p < 1500.0", Seq("p"))
+    val cheap = reg.filter(root.id, DynamicUdf.call(spark, "spec_cheap", col("l_extendedprice")))
+    val n = reg.summary(cheap.id).head.getLong(0)
+    val expect = Tables.lineitem(spark, sf).filter(col("l_extendedprice") < 1500.0).count()
+    assert(n == expect && n > 0)
+    // the parsed expression is a real Catalyst predicate: pushed to scan
+    val p = cheap.df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_extendedprice,1500.0"), p)
+  }
+
+  test("dynamic expression surface: validation, arity, closures") {
+    import graft.functions.DynamicUdf
+    intercept[Exception] {
+      DynamicUdf.registerExpr(spark, "bad", "CASE WHEN x THEN", Seq("x"))
+    }
+    DynamicUdf.registerExpr(spark, "spec_add", "a + b", Seq("a", "b"))
+    intercept[IllegalArgumentException] {
+      DynamicUdf.call(spark, "spec_add", lit(1))
+    }
+    intercept[IllegalArgumentException] {
+      DynamicUdf.call(spark, "spec_missing", lit(1))
+    }
+    import spark.implicits._
+    val two = Seq((1, 2)).toDF("x", "y")
+      .select(DynamicUdf.call(spark, "spec_add", col("x"), col("y")).as("s"))
+      .head.getInt(0)
+    assert(two == 3)
+    DynamicUdf.registerClosure[Int, Int](spark, "spec_sq", x => x * x)
+    val sq = Seq(7).toDF("x").selectExpr("spec_sq(x) AS s").head.getInt(0)
+    assert(sq == 49)
+  }
+}
