@@ -39,10 +39,23 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms-precision values keep the single JSON line compact (~2 KB for
+    // 110+ queries); emit it LAST, after spark.stop(), with an explicit
+    // flush — r2's driver capture truncated the tail and left the bench
+    // unparsed, so nothing may print after this line
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    println(json)
+    System.out.flush()
+    // fallback artifact in case the driver's stdout capture truncates
+    // (BENCH_r02.json arrived tail-cut and unparsed)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case _: Throwable => () }
   }
 }

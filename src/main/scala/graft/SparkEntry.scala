@@ -92,8 +92,10 @@ object SparkEntry {
       li(s, d)
         .filter(DynamicUdf.call(s, "qty_mid_dyn", col("l_quantity")))
         .select(col("l_orderkey"), col("l_linenumber"),
+          // SQL-parsed numeric literals promote to decimal — pin the
+          // declared output type to double (the oracle's type)
           DynamicUdf.call(s, "ppu_dyn", col("l_extendedprice"), col("l_quantity"))
-            .as("ppu"))
+            .cast("double").as("ppu"))
     }),
     "nextk_basic" -> ((s, d) =>
       NextK.nextK(ord(s, d), Seq(Order("o_orderpriority"), Order("o_orderstatus")), 8)),
@@ -341,6 +343,21 @@ object SparkEntry {
         .groupBy(graft.functions.Quantization.quantize(col("l_extendedprice"), 10000.0)
           .as("qbucket"))
         .agg(count(lit(1)).as("cnt"))),
+    // DPHistogram semantics: per-bucket Laplace noise on the quantized
+    // counts (deterministic hash-seeded noise → reproducible; rows-only
+    // gate, noise distribution property-tested)
+    "dp_noisy_hist" -> ((s, d) =>
+      li(s, d)
+        .groupBy(graft.functions.Quantization.quantize(col("l_extendedprice"), 10000.0)
+          .as("qbucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("noisy_cnt",
+          round(col("cnt") + graft.functions.Quantization.laplaceNoise(col("qbucket"), 5.0), 4))),
+    // percentile_approx twin of bucket_quantiles (rows-only; tolerance
+    // spec-gated) — the declared scale path with bounded per-group state
+    "bucket_quantiles_approx" -> ((s, d) =>
+      Histograms.bucketQuantilesApprox(li(s, d), col("l_returnflag"),
+        col("l_extendedprice"), Seq(0.25, 0.5, 0.75))),
     "events_moving_avg" -> ((s, d) =>
       graft.streaming.Events.movingAvg(ev(s, d), 3)),
     "jl_projection" -> ((s, d) =>
@@ -434,7 +451,7 @@ object SparkEntry {
     "log_parse" -> ((s, d) => {
       // Grok-ish loader end-to-end: render events as log lines, write
       // text, re-parse with the regex loader; oracle = the source fields
-      val dir = java.nio.file.Files.createTempDirectory("graft_log").toString
+      val dir = graft.sources.Sources.rtDir("log")
       ev(s, d).select(concat(
           lit("evt id="), col("event_id").cast("string"),
           lit(" user="), col("user_id").cast("string"),
@@ -444,6 +461,22 @@ object SparkEntry {
           "^evt id=(\\d+) user=(\\d+) type=(\\w+)$",
           Seq(("eid", 1), ("uid", 2), ("etype", 3)))
         .select(col("eid").cast("long"), col("uid").cast("long"), col("etype"))
+    }),
+    "log_parse_grok" -> ((s, d) => {
+      // full Grok path: pattern-dictionary compile + typed fields +
+      // timestamp-bounded read (GrokLogs.java + LogFiles.java semantics)
+      val dir = graft.sources.Sources.rtDir("log_grok")
+      ev(s, d).select(concat(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit(" INFO evt="), col("event_id").cast("string"),
+          lit(" user="), col("user_id").cast("string"),
+          lit(" type="), col("event_type")).as("value"))
+        .write.mode("overwrite").text(dir)
+      graft.sources.Grok.readLog(s, dir,
+          "%{TIMESTAMP_ISO8601:lts} %{LOGLEVEL:level} evt=%{INT:eid} user=%{INT:uid} type=%{WORD:etype}",
+          types = Map("eid" -> "long", "uid" -> "long", "lts" -> "timestamp"),
+          tsBounds = Some(("lts", "2024-01-10 00:00:00", "2024-01-20 00:00:00")))
+        .select(col("lts"), col("eid"), col("uid"), col("etype"))
     }),
     "schema_infer" -> ((s, d) =>
       graft.sources.Sources.inferredKinds(
@@ -541,15 +574,33 @@ object SparkEntry {
         .join(broadcast(zones), Seq("r_name"), "left")
         .groupBy(col("zone")).agg(count(lit(1)).as("n_customers"))
     }),
+    "geo_polygon_tag" -> ((s, d) => {
+      // real point-in-polygon containment (geo/PolygonSet.java): convex
+      // CCW features, broadcast; points derived deterministically from
+      // customer keys on an integer grid (exact in both engines)
+      val polys = graft.geo.Geo.polygonSet(s, Seq(
+        ("southwest", Seq((0.0, 0.0), (48.0, 0.0), (0.0, 48.0))),
+        ("east", Seq((49.0, 0.0), (96.0, 0.0), (96.0, 96.0), (49.0, 96.0))),
+        ("north", Seq((0.0, 49.0), (48.0, 49.0), (24.0, 96.0)))))
+      val pts = cust(s, d).select(
+        (col("c_custkey") % 97).cast("double").as("px"),
+        (expr("c_custkey div 97") % 97).cast("double").as("py"))
+      graft.geo.Geo.tagPoints(pts, polys, col("px"), col("py"))
+        .groupBy(col("poly")).agg(count(lit(1)).as("n_points"))
+    }),
     "asof_join" -> ((s, d) => {
       val e = ev(s, d)
       val clicks = e.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
+      // pre-dedup right rows sharing (user_id, ts) — keep the max-id view
+      // — so the asof pick is deterministic in BOTH engines (DuckDB's
+      // ASOF leaves the within-ts choice unspecified)
       val views = e.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"),
-          col("event_id").as("view_id"), col("value").as("view_value"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"),
+          expr("max_by(value, event_id)").as("view_value"))
       AsOfJoin.asofJoin(clicks, views, Seq("user_id"), "ts",
-          Seq("view_id", "view_value"), tiebreak = Some("view_id"))
+          Seq("view_id", "view_value"))
         .select(col("event_id"), col("user_id"), col("view_id"), col("view_value"))
     })
   )
@@ -1003,6 +1054,17 @@ object SparkEntry {
     "log_parse" ->
       """SELECT CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS uid,
         |event_type AS etype FROM events""".stripMargin,
+    // the log line carries second-truncated timestamps, so the oracle
+    // truncates the source ts the same way before bounding
+    "log_parse_grok" ->
+      """SELECT strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS lts,
+        |CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS uid,
+        |event_type AS etype
+        |FROM events
+        |WHERE strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+        |  >= TIMESTAMP '2024-01-10 00:00:00'
+        |AND strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+        |  < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
     // the same None→Integer→Double→String promotion lattice
     // (GuessSchema.java:74-137) evaluated in SQL over the same
     // stringified columns — checks the inference itself, not a
@@ -1105,10 +1167,27 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1""".stripMargin,
+    // the oracle states each convex polygon's edge half-planes
+    // (simplified cross products — identical truth values on the integer
+    // coordinate grid); polygons are disjoint so CASE order is immaterial
+    "geo_polygon_tag" ->
+      """WITH p AS (SELECT CAST(c_custkey % 97 AS DOUBLE) AS px,
+        |  CAST((c_custkey // 97) % 97 AS DOUBLE) AS py FROM customer),
+        |t AS (SELECT CASE
+        |  WHEN py >= 0 AND px >= 0 AND px + py <= 48 THEN 'southwest'
+        |  WHEN py >= 0 AND py <= 96 AND px >= 49 AND px <= 96 THEN 'east'
+        |  WHEN py >= 49 AND (-24*(py-49) - 47*(px-48)) >= 0
+        |    AND (-24*(py-96) + 47*(px-24)) >= 0 THEN 'north'
+        |  END AS poly FROM p)
+        |SELECT poly, count(*) AS n_points FROM t WHERE poly IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "asof_join" ->
-      """SELECT l.event_id, l.user_id, r.event_id AS view_id, r.value AS view_value
+      """SELECT l.event_id, l.user_id, r.view_id, r.view_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(event_id) AS view_id,
+        |    arg_max(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2) r
         |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "events_sessions" ->
       """WITH x AS (SELECT user_id, value, epoch_ms(ts) AS ms,

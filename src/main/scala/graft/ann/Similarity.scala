@@ -227,31 +227,45 @@ object Similarity {
     * Dedup.minhashLshPairs (candidates only, never all pairs).
     *
     * Each of `bands` independent LSH tables hashes every vector to a
-    * `planes`-bit bucket; vectors colliding in any table become
-    * candidates (equal-sided shuffle self-join on (band, bucket) — the
-    * same `shuffle_merge` guard as text LSH, since the exploded side
-    * must never be broadcast). Exact verification keeps precision at 1;
-    * candidate recall at angle θ is 1-(1-(1-θ/π)^planes)^bands — the
-    * planes=4/bands=32 defaults give ≥0.996 at cos=0.4, rising with cos.
-    * At corpus scale, raise `planes` so buckets stay small (recall is
-    * then recovered with more bands).
+    * `planes`-bit bucket (one HyperplaneBandKeys expression: the whole
+    * bands×planes projection is a single primitive loop per row);
+    * vectors colliding in any table become candidates (equal-sided
+    * shuffle self-join on (band, bucket) — the same `shuffle_merge`
+    * guard as text LSH, since the exploded side must never be
+    * broadcast). Exact verification keeps precision at 1; the pair
+    * dedup runs AFTER the threshold filter, so the bulky candidate
+    * stream flows straight from the join into two broadcast lookups and
+    * a codegen dot — only survivors shuffle for the distinct.
+    *
+    * Candidate recall at angle θ is 1-(1-(1-θ/π)^planes)^bands: the
+    * planes=7/bands=128 defaults give ≥0.994 at cos=0.4 (per band
+    * p=0.631⁷≈0.040, miss e⁻⁵·²) while random pairs collide at only
+    * 128/2⁷ ≈ 1 band on average — the planes/bands pair trades hash work against
+    * candidate volume at a fixed recall. At corpus scale, raise `planes`
+    * so buckets stay small (recall is then recovered with more bands).
     */
   def nearDupPairsLsh(emb0: DataFrame, threshold: Double, dim: Int = 64,
-      planes: Int = 4, bands: Int = 32): DataFrame = {
+      planes: Int = 7, bands: Int = 128): DataFrame = {
+    // only the banding side needs spread-out parallelism (65k mults/row);
+    // the verify side feeds a hash-relation build, so it reads the scan
+    // directly — two fewer round-robin exchanges
     val emb = graft.engine.Layout.ensureParallelism(emb0)
-    val withNorm = emb.select(col("vec_id"), col("embedding"),
+    val withNorm = emb0.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nm"))
-    val bucketCols = (0 until bands).map { b =>
-      lshBucket(col("embedding"), dim, planes, seed = b + 1)
-    }
-    val banded = withNorm.select(col("vec_id"),
-      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
-    val cand = banded.as("a").hint("shuffle_merge")
-      .join(banded.as("b"),
+    val banded = emb.select(col("vec_id"),
+      posexplode(graft.functions.VectorExpressions.band_keys(
+        col("embedding"), dim, planes, bands)).as(Seq("band", "bucket")))
+    // the shuffle_merge hint sits on BOTH sides: one-sided hints make
+    // the subplans canonically different and defeat ReusedExchange, so
+    // the banding projection would run twice
+    val cand = banded.hint("shuffle_merge").as("a")
+      .join(banded.hint("shuffle_merge").as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+    // verify-join strategy left to AQE (broadcast when the vector table
+    // fits, shuffle when it doesn't — forcing broadcast would OOM at
+    // corpus scale, exactly as in Dedup.minhashLshPairs's verify)
     cand
       .join(withNorm.as("x"), col("id_a") === col("x.vec_id"))
       .join(withNorm.as("y"), col("id_b") === col("y.vec_id"))
@@ -259,5 +273,6 @@ object Similarity {
         round(cosinePre(col("x.embedding"), col("y.embedding"),
           col("x.nm"), col("y.nm")), 4).as("cos"))
       .filter(col("cos") >= threshold)
+      .distinct()
   }
 }

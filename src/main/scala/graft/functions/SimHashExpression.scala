@@ -25,7 +25,9 @@ case class SimHash60(child: Expression)
     val sums = new Array[Int](60)
     var start = 0
     val n = text.length
-    while (start < n) {
+    // `start <= n` so a trailing space yields the trailing empty token —
+    // split(" ") and DuckDB string_split both keep it
+    while (start <= n) {
       var end = text.indexOf(' ', start)
       if (end < 0) end = n
       if (end >= start) { // split(" ") keeps empty tokens; match that

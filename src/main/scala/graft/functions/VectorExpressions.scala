@@ -85,9 +85,99 @@ case class FloatVecNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All `bands` hyperplane-LSH band keys of a float vector in one pass:
+  * element b = the `planes` sign bits of the vector projected on band
+  * b's hyperplanes. Hyperplane components reuse Similarity.lshBucket's
+  * derivation (md5 of "seed:plane:dim", seed = band+1), so the keys
+  * equal `lshBucket(v, dim, planes, seed = b+1)` for each band.
+  *
+  * One expression instead of bands×planes literal-array dot columns —
+  * that projection blows Janino's 64 KB method limit out of codegen and
+  * evaluates hundreds of interpreted dots per row; here the whole
+  * projection is one primitive JVM loop per row (CodegenFallback: a
+  * single virtual call).
+  */
+case class HyperplaneBandKeys(child: Expression, dim: Int, planes: Int, bands: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  // band-major flattened [bands*planes*dim] hyperplane matrix — served
+  // from the JVM-wide cache (65k md5 derivations take ~0.5 s; per-task
+  // lazy vals would pay that on every task)
+  @transient private lazy val planesArr: Array[Float] =
+    HyperplaneBandKeys.planeMatrix(dim, planes, bands)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val vec = new Array[Double](n)
+    var i = 0
+    while (i < n) { vec(i) = v.getFloat(i).toDouble; i += 1 }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var p = 0
+      while (p < planes) {
+        val off = (b * planes + p) * dim
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += vec(d) * planesArr(off + d).toDouble; d += 1 }
+        if (s > 0) key |= (1L << p)
+        p += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneBandKeys {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Float]]()
+
+  /** Deterministic hyperplane matrix, derived once per JVM (executor)
+    * and shared across tasks. Same md5 coefficient derivation as
+    * Similarity.lshBucket with seed = band+1.
+    */
+  def planeMatrix(dim: Int, planes: Int, bands: Int): Array[Float] =
+    cache.computeIfAbsent((dim, planes, bands), { _ =>
+      val arr = new Array[Float](bands * planes * dim)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var idx = 0
+      var b = 0
+      while (b < bands) {
+        var p = 0
+        while (p < planes) {
+          var d = 0
+          while (d < dim) {
+            md.reset()
+            val dig = md.digest(s"${b + 1}:$p:$d".getBytes("UTF-8"))
+            val x = java.nio.ByteBuffer.wrap(dig).getInt(0)
+            arr(idx) = x.toFloat / Int.MaxValue.toFloat
+            idx += 1; d += 1
+          }
+          p += 1
+        }
+        b += 1
+      }
+      arr
+    })
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim.{exprToColumn => column, columnToExpr => expression}
   def vec_dot(a: Column, b: Column): Column =
     column(FloatVecDot(expression(a), expression(b)))
   def vec_norm(a: Column): Column = column(FloatVecNorm(expression(a)))
+  def band_keys(v: Column, dim: Int, planes: Int, bands: Int): Column =
+    column(HyperplaneBandKeys(expression(v), dim, planes, bands))
 }

@@ -119,4 +119,22 @@ object Histograms {
       .groupBy(bucket.as("bucket"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Scale path for per-bucket quantiles: percentile_approx (mergeable
+    * bounded sketch per group — rank error ≤ 1/accuracy) instead of the
+    * exact percentile, which buffers every group value in memory. Same
+    * plan shape, same column names; the reference itself answers these
+    * from per-bucket reservoir samples (NumericSamplesSketch), so the
+    * approximate form is the higher-fidelity mapping.
+    */
+  def bucketQuantilesApprox(
+      df: DataFrame, bucket: Column, value: Column,
+      quantiles: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val aggs = quantiles.zipWithIndex.map { case (q, i) =>
+      round(expr(s"percentile_approx(__qv, $q, $accuracy)"), 4).as(s"q$i")
+    }
+    df.withColumn("__qv", value)
+      .groupBy(bucket.as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

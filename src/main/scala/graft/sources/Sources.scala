@@ -149,12 +149,23 @@ object Sources {
       props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** Fixed scratch directory per purpose (overwritten on reuse) — the
+    * round-trip helpers run once per bench iteration, so per-invocation
+    * fresh temp dirs would leak disk across long warm-run sweeps.
+    */
+  def rtDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_rt", name)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** SaveAsFileSketch round-trip: every worker writes its partition
     * (distributed sink — no driver funnel), then the result is re-read.
     * Returns the re-read DataFrame so the round-trip is checkable.
     */
   def saveRoundTrip(df: DataFrame, format: String = "parquet"): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_save").toString
+    val dir = rtDir(s"save_$format")
     df.write.mode("overwrite").format(format).save(dir)
     df.sparkSession.read.format(format).load(dir)
   }
@@ -166,7 +177,7 @@ object Sources {
     * dataflow.
     */
   def csvRoundTrip(df: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val dir = rtDir("csv")
     writeCsv(df, s"$dir/data")
     writeSchemaFile(df.schema, s"$dir/table.schema")
     readCsv(df.sparkSession, s"$dir/data", Some(s"$dir/table.schema"))
@@ -174,7 +185,7 @@ object Sources {
 
   /** Newline-delimited JSON round-trip (JsonFileLoader ↔ writer). */
   def jsonRoundTrip(df: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val dir = rtDir("json")
     df.write.mode("overwrite").json(dir)
     readJson(df.sparkSession, dir)
   }
@@ -205,4 +216,85 @@ object Sources {
     */
   def parseErrors(df: DataFrame): DataFrame =
     df.cache().agg(count(when(col("_corrupt_record").isNotNull, 1)).as("n_errors"))
+}
+
+/** Grok-style log parsing (storage/GrokLogs.java + resources/patterns):
+  * a dictionary of named sub-patterns composed via `%{NAME:field}`
+  * references, compiled once to a plain Java regex and run distributed
+  * per line (regexp_extract is codegen'd). Timestamp-bounded reads
+  * (storage/LogFiles.java's ts-range pruning) filter at the line level,
+  * immediately after the parse — rows outside the range never leave the
+  * scan stage.
+  */
+object Grok {
+
+  /** The core of the reference's pattern dictionary. */
+  val patterns: Map[String, String] = Map(
+    "INT" -> "[+-]?\\d+",
+    "NUMBER" -> "[+-]?\\d+(?:\\.\\d+)?",
+    "WORD" -> "\\w+",
+    "NOTSPACE" -> "\\S+",
+    "DATA" -> ".*?",
+    "GREEDYDATA" -> ".*",
+    "IP" -> "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}",
+    "LOGLEVEL" ->
+      "(?:TRACE|DEBUG|INFO|NOTICE|WARN|WARNING|ERROR|SEVERE|FATAL|CRITICAL)",
+    "TIMESTAMP_ISO8601" ->
+      "\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?",
+    "SYSLOGTIMESTAMP" -> "[A-Z][a-z]{2} +\\d{1,2} \\d{2}:\\d{2}:\\d{2}",
+    "HOSTNAME" -> "[a-zA-Z0-9._-]+",
+    "USERNAME" -> "[a-zA-Z0-9._-]+")
+
+  /** Compile a grok expression to (anchored regex, capture fields in
+    * order). `%{NAME:field}` captures, `%{NAME}` matches without
+    * capturing; literal text between references is regex-quoted.
+    */
+  def compile(grok: String): (String, Seq[String]) = {
+    val ref = "%\\{(\\w+)(?::(\\w+))?\\}".r
+    val sb = new StringBuilder("^")
+    val fields = Seq.newBuilder[String]
+    var last = 0
+    ref.findAllMatchIn(grok).foreach { m =>
+      if (m.start > last)
+        sb.append(java.util.regex.Pattern.quote(grok.substring(last, m.start)))
+      val pat = patterns.getOrElse(m.group(1),
+        throw new IllegalArgumentException(s"unknown grok pattern %{${m.group(1)}}"))
+      Option(m.group(2)) match {
+        case Some(f) => fields += f; sb.append("(").append(pat).append(")")
+        case None    => sb.append("(?:").append(pat).append(")")
+      }
+      last = m.end
+    }
+    if (last < grok.length)
+      sb.append(java.util.regex.Pattern.quote(grok.substring(last)))
+    (sb.append("$").toString, fields.result())
+  }
+
+  /** Read a text log through a grok pattern. Non-matching lines are
+    * dropped (the reference counts them as parse errors — compose with
+    * `Sources.parseErrors` for that). `types` casts named fields
+    * ("long", "double", "timestamp" via `tsFormat`); `tsBounds` keeps
+    * only rows with tsField in [lo, hi).
+    */
+  def readLog(spark: SparkSession, path: String, grok: String,
+      types: Map[String, String] = Map.empty,
+      tsFormat: String = "yyyy-MM-dd HH:mm:ss",
+      tsBounds: Option[(String, String, String)] = None): DataFrame = {
+    val (regex, fields) = compile(grok)
+    val lines = spark.read.text(path).filter(col("value").rlike(regex))
+    val parsed = fields.zipWithIndex.foldLeft(lines) { case (df, (f, i)) =>
+      df.withColumn(f, regexp_extract(col("value"), regex, i + 1))
+    }
+    val typed = types.foldLeft(parsed) { case (df, (f, t)) =>
+      df.withColumn(f,
+        if (t == "timestamp") to_timestamp(col(f), tsFormat) else col(f).cast(t))
+    }
+    val bounded = tsBounds match {
+      case Some((f, lo, hi)) =>
+        typed.filter(col(f) >= lit(lo).cast("timestamp") &&
+          col(f) < lit(hi).cast("timestamp"))
+      case None => typed
+    }
+    bounded.drop("value")
+  }
 }

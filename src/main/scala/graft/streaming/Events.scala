@@ -112,55 +112,74 @@ object Events {
     * memory sink — used by tests to validate the streaming plumbing
     * against the batch oracle form.
     */
-  def runHourlyStreamOnce(spark: SparkSession, dir: String): DataFrame = {
-    // events.parquet carries ns timestamps: read as long, convert (same
-    // handling as graft.engine.Tables.events).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the streaming file source requires a directory: stage the single
-    // parquet file into a temp dir
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
-    val q = hourlyAggStream(stream).writeStream
-      .outputMode("complete").format("memory").queryName("graft_hourly")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table("graft_hourly")
+  /** Run `body` with spark.sql.legacy.parquet.nanosAsLong set, restoring
+    * the previous value afterwards — the flag must not leak into later
+    * queries sharing the session (bench/verify run everything in one
+    * JVM). Safe here because the wrapped streaming queries are eager
+    * (awaitTermination inside).
+    */
+  private def withNanosAsLong[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
+
+  def runHourlyStreamOnce(spark: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(spark) {
+      // events.parquet carries ns timestamps: read as long, convert
+      // (same handling as graft.engine.Tables.events).
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      // the streaming file source requires a directory: stage the single
+      // parquet file into a temp dir
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+      val stream =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val q = hourlyAggStream(stream).writeStream
+        .outputMode("complete").format("memory").queryName("graft_hourly")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table("graft_hourly")
+    }
 
   /** Full readStream → watermarked agg → writeStream(parquet) loop with
     * a checkpoint — the durable-sink shape (append mode emits a window
     * once its end passes the watermark; exactly-once via checkpoint +
     * file-sink manifest). Returns the re-read sink directory.
     */
-  def runHourlyStreamToFiles(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_out")
-    val q = hourlyAggStream(stream).writeStream
-      .outputMode("append").format("parquet")
-      .option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/ckpt")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.read.parquet(s"$out/data")
-  }
+  def runHourlyStreamToFiles(spark: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(spark) {
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+      val stream =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val out = java.nio.file.Files.createTempDirectory("graft_stream_out")
+      val q = hourlyAggStream(stream).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // the sink parquet holds µs timestamps — decodes identically with
+      // the flag restored
+      spark.read.parquet(s"$out/data")
+    }
 
   /** Streaming exact dedup: first occurrence of each content hash passes
     * through, later duplicates are dropped — `dropDuplicates` keeps

@@ -254,4 +254,37 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(kinds == Map("i" -> "Integer", "d" -> "Double", "s" -> "String", "e" -> "None"))
   }
+
+  test("grok compile: captures, anonymous refs, quoted literals, unknowns") {
+    import graft.sources.Grok
+    val (re, fields) = Grok.compile("%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL} evt=%{INT:id}")
+    assert(fields == Seq("ts", "id"))
+    val m = java.util.regex.Pattern.compile(re)
+      .matcher("2024-01-05 10:20:30 WARN evt=42")
+    assert(m.matches() && m.group(1) == "2024-01-05 10:20:30" && m.group(2) == "42")
+    // literal text with regex metacharacters must be quoted
+    val (re2, _) = Grok.compile("a.b[%{INT:n}]")
+    assert(java.util.regex.Pattern.matches(re2, "a.b[7]"))
+    assert(!java.util.regex.Pattern.matches(re2, "axb[7]"))
+    intercept[IllegalArgumentException] { Grok.compile("%{NOPE:x}") }
+  }
+
+  test("grok log read: typed fields and timestamp bounds") {
+    import spark.implicits._
+    val dir = graft.sources.Sources.rtDir("spec_grok")
+    Seq(
+      "2024-01-01 00:00:01 INFO evt=1 user=10 type=click",
+      "2024-01-02 00:00:02 ERROR evt=2 user=20 type=view",
+      "2024-01-03 00:00:03 INFO evt=3 user=30 type=click",
+      "not a log line").toDF("value").coalesce(1)
+      .write.mode("overwrite").text(dir)
+    val out = graft.sources.Grok.readLog(spark, dir,
+      "%{TIMESTAMP_ISO8601:lts} %{LOGLEVEL:level} evt=%{INT:eid} user=%{INT:uid} type=%{WORD:etype}",
+      types = Map("eid" -> "long", "uid" -> "long", "lts" -> "timestamp"),
+      tsBounds = Some(("lts", "2024-01-01 12:00:00", "2024-01-03 00:00:00")))
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("eid") == 2L)
+    assert(out.schema("lts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
 }

@@ -118,6 +118,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("laplace noise distribution: mean ~0, mean|x| ~scale over buckets") {
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val scale = 10.0
+    // fine granularity → ~1000 distinct buckets for stable statistics
+    val noises = li
+      .groupBy(graft.functions.Quantization.quantize(col("l_extendedprice"), 100.0).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(graft.functions.Quantization.laplaceNoise(col("b"), scale).as("n"))
+      .collect().map(_.getDouble(0))
+    val nb = noises.length
+    assert(nb > 200, s"need many buckets, got $nb")
+    val mean = noises.sum / nb
+    val meanAbs = noises.map(math.abs).sum / nb
+    // Laplace(b): E[X]=0 (sd of mean = b*sqrt(2)/sqrt(nb)), E|X| = b
+    assert(math.abs(mean) <= 4 * scale * math.sqrt(2.0 / nb), s"mean=$mean nb=$nb")
+    assert(meanAbs > 0.6 * scale && meanAbs < 1.4 * scale, s"meanAbs=$meanAbs")
+  }
+
+  test("approx bucket quantiles within tolerance of exact, bounded-state plan") {
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val exact = graft.operators.Histograms.bucketQuantiles(
+      li, col("l_returnflag"), col("l_extendedprice"), Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approxDf = graft.operators.Histograms.bucketQuantilesApprox(
+      li, col("l_returnflag"), col("l_extendedprice"), Seq(0.25, 0.5, 0.75))
+    approxDf.collect().foreach { r =>
+      val e = exact(r.getString(0))
+      Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)).zip(e).foreach {
+        case (a, ex) => assert(math.abs(a - ex) / ex < 0.05, s"approx=$a exact=$ex")
+      }
+    }
+    // the scale property: a mergeable bounded sketch per group, never a
+    // buffer-every-value percentile
+    val p = approxDf.queryExecution.executedPlan.toString
+    assert(p.contains("approx_percentile") || p.contains("percentile_approx"), p)
+    assert(!p.contains("percentile(__qv"), p)
+  }
+
   test("embedding LSH near-dup recall >= 0.95 vs exact all-pairs") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val exact = graft.ann.Similarity.nearDupPairs(emb, 0.4)
