@@ -62,10 +62,19 @@ object MisraGries {
   }
 
   /** Run MG over a string key column; returns candidate keys (≤ k). */
-  def run(df: DataFrame, keyCol: String, k: Int): Seq[String] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val agg = new MGAggregator(k).toColumn
-    df.select(keyCol).as[String].select(agg).head().keys.toSeq
+  def run(df: DataFrame, keyCol: String, k: Int): Seq[String] =
+    runWithTotal(df, keyCol, k)._1
+
+  /** MG candidates plus the exact row total from the SAME pass (the
+    * total rides along as a second aggregate in one multi-agg job — no
+    * separate count scan, mirroring ConcurrentSketch).
+    */
+  def runWithTotal(df: DataFrame, keyCol: String, k: Int): (Seq[String], Long) = {
+    import org.apache.spark.sql.functions.{count, lit, udaf, col}
+    val mg = udaf(new MGAggregator(k))
+    val row = df
+      .agg(mg(col(keyCol)).as("mg"), count(lit(1)).as("n"))
+      .head()
+    (row.getAs[Map[String, Long]](0).keys.toSeq, row.getLong(1))
   }
 }

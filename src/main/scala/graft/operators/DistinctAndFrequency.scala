@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distinct-count and heavy-hitter family (sketches/HLogLogSketch.java,
@@ -26,16 +27,18 @@ object DistinctAndFrequency {
       .head().getLong(0) > threshold
 
   /** Exact heavy hitters over a column tuple: groupBy + HAVING count ≥
-    * ε·N. Oracle-checkable; the scan is one pass + one O(#groups)
-    * aggregate.
+    * ε·N. One scan: the total N is the sum of the group counts, taken by
+    * a window over the O(#groups) aggregate result (driver-sized frame —
+    * no second pass over the data).
     */
-  def heavyHittersExact(df: DataFrame, cols: Seq[String], epsilon: Double): DataFrame = {
-    val n = df.count()
+  def heavyHittersExact(df: DataFrame, cols: Seq[String], epsilon: Double): DataFrame =
     df.groupBy(cols.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= lit(math.ceil(epsilon * n)))
+      .withColumn("__n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("cnt") >= ceil(lit(epsilon) * col("__n")))
+      .drop("__n")
       .orderBy(col("cnt").desc, struct(cols.map(col): _*).asc)
-  }
 
   /** Misra-Gries heavy hitters with exact verification pass — the
     * reference's production path (MGFreqKSketch → ExactFreqSketch,
@@ -50,8 +53,10 @@ object DistinctAndFrequency {
     import graft.functions.MisraGries
     val k = math.max(16, math.ceil(2.0 / epsilon).toInt)
     val keyed = df.select(concat_ws("\u0001", cols.map(col): _*).as("k"))
-    val candidates = MisraGries.run(keyed, "k", k)
-    val n = df.count()
+    // candidates AND the exact total from one multi-aggregate pass
+    // (ConcurrentSketch shape) — the verify scan below is then the
+    // second and last pass over the data
+    val (candidates, n) = MisraGries.runWithTotal(keyed, "k", k)
     df.filter(concat_ws("\u0001", cols.map(col): _*).isin(candidates: _*))
       .groupBy(cols.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
