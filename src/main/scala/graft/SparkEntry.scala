@@ -375,6 +375,15 @@ object SparkEntry {
     // (nChunks, chunksPerKey) lever trades band count for key width when
     // narrow keys over-collide at larger corpora
     "dedup_simhash" -> ((s, d) => graft.dedup.SimHash.nearDupPairs(docs(s, d), 8)),
+    // pairs → connected components → one kept doc per cluster: the
+    // decision layer of dedup (min-label propagation, O(diameter) rounds)
+    "dedup_clusters" -> ((s, d) =>
+      graft.dedup.Dedup.connectedComponents(
+        graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5))),
+    "dedup_survivors" -> ((s, d) =>
+      graft.dedup.Dedup.survivors(docs(s, d),
+        graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5))
+        .select(col("doc_id"))),
     "dedup_embedding" -> ((s, d) => graft.ann.Similarity.nearDupPairs(emb(s, d), 0.4)),
     // bucketed (LSH-banded) near-dup — the scale path; rows-only gate,
     // recall vs the exact form is property-tested (PropertySpec)
@@ -484,6 +493,25 @@ object SparkEntry {
           col("p_partkey").cast("string"),
           col("p_retailprice").cast("string"),
           col("p_name").cast("string")))),
+
+    // ── federated JDBC (JdbcDatabase.java) against embedded Derby ──────
+    // fixture: customer.parquet loaded into an in-memory database once per
+    // session; each query below is answered BY the database (pushed SQL),
+    // oracled by DuckDB computing the same thing from the parquet original
+    "jdbc_roundtrip" -> ((s, d) => {
+      val url = graft.sources.Jdbc.customerDb(s, d)
+      graft.sources.Jdbc.readTable(s, url, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    }),
+    "jdbc_federated_hist" -> ((s, d) =>
+      graft.sources.Jdbc.Federation(s, graft.sources.Jdbc.customerDb(s, d))
+        .histogram("customer", "c_acctbal", -1000.0, 10000.0, 11)),
+    "jdbc_federated_range" -> ((s, d) =>
+      graft.sources.Jdbc.Federation(s, graft.sources.Jdbc.customerDb(s, d))
+        .numericRange("customer", "c_acctbal")),
+    "jdbc_federated_topfreq" -> ((s, d) =>
+      graft.sources.Jdbc.Federation(s, graft.sources.Jdbc.customerDb(s, d))
+        .topFreq("customer", Seq("c_mktsegment"), 150L)),
 
     // ── more projections / histograms ──────────────────────────────────
     "pca_projection" -> ((s, d) =>
@@ -608,6 +636,29 @@ object SparkEntry {
   // ────────────────────────────────────────────────────────────────────
   private val sumQty  = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
   private val sumPrice = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+  /** Connected components over the exact-Jaccard pair set (the same pair
+    * semantics as shingleCte) via DuckDB's recursive CTE: enumerate
+    * reachability, take the min reachable id per node — the ground truth
+    * for Dedup.connectedComponents' min-label propagation.
+    */
+  private val ccCte =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM
+      |  (SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS shingle
+      |   FROM w WHERE len(ws) >= 3)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |p AS (SELECT id_a, id_b
+      |  FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      |  WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+      |reach(node, r) AS (
+      |  SELECT src, src FROM e
+      |  UNION
+      |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.node),
+      |cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
   private val shingleCte =
     """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM
@@ -932,6 +983,12 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_jaccard_3gram" -> shingleCte,
     "dedup_minhash_lsh" -> shingleCte,
+    "dedup_clusters" -> (ccCte +
+      "\nSELECT node AS doc_id, cluster_id FROM cc"),
+    "dedup_survivors" -> (ccCte +
+      """
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM cc WHERE cluster_id <> node)""".stripMargin),
     // brute-force simhash in SQL: same md5-derived 60-bit token hash and
     // majority-bit fingerprint as SimHash60, all pairs checked exactly —
     // verifies the Spark side's pigeonhole banding loses no pairs
@@ -1090,6 +1147,22 @@ object SparkEntry {
         |  FROM s)
         |SELECT col_name, CASE WHEN n = 0 THEN 'None' WHEN notint = 0 THEN 'Integer'
         |  WHEN notdbl = 0 THEN 'Double' ELSE 'String' END AS kind FROM k""".stripMargin,
+    // federated JDBC: the database's own answers (embedded Derby) must
+    // equal DuckDB computing the same pushed SQL over the parquet original
+    "jdbc_roundtrip" ->
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
+    "jdbc_federated_hist" ->
+      """SELECT bucket, count(*) AS ct FROM (
+        |  SELECT CASE WHEN CAST(FLOOR((c_acctbal - -1000.0) / 1000.0) AS INT) > 10
+        |    THEN 10 ELSE CAST(FLOOR((c_acctbal - -1000.0) / 1000.0) AS INT) END AS bucket
+        |  FROM customer WHERE c_acctbal >= -1000.0 AND c_acctbal <= 10000.0) b
+        |GROUP BY bucket""".stripMargin,
+    "jdbc_federated_range" ->
+      """SELECT min(c_acctbal) AS min_v, max(c_acctbal) AS max_v,
+        |  count(c_acctbal) AS nonnulls, count(*) AS total FROM customer""".stripMargin,
+    "jdbc_federated_topfreq" ->
+      """SELECT c_mktsegment, count(*) AS ct FROM customer
+        |GROUP BY c_mktsegment HAVING count(*) >= 150""".stripMargin,
     // closed-form 2×2 eigen from the same exact-decimal moments and the
     // same operation order as Projections.pca2Project
     "pca_projection" ->

@@ -245,4 +245,62 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Connected components over a near-duplicate pair list → (doc_id,
+    * cluster_id) with cluster_id = min doc_id in the component. This is
+    * the step that turns pair mining into an actual dedup decision: a
+    * duplicate CLUSTER keeps one document, which pairwise output alone
+    * can't express (A~B, B~C but A≁C must still collapse to one doc).
+    *
+    * Iterative min-label propagation: every round each node adopts the
+    * smallest label in its 1-hop neighborhood; rounds = one join + one
+    * groupBy shuffle, state = one (node, label) row per node. Convergence
+    * is O(component diameter) rounds — near-dup components are banding
+    * cliques and short chains (diameter ≲ 4), so 2–4 rounds in practice;
+    * `maxIters` caps adversarial chain graphs (the O(log n) small-star/
+    * large-star variant is the escalation path if a corpus ever produces
+    * deep chains). Each round ends in an eager `localCheckpoint`: it cuts
+    * the lineage (no exponential re-execution of prior rounds) and
+    * materializes the loop state off-heap, which is exactly Pregel's
+    * per-superstep contract.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache() // read twice per round, every round
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIters) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(labels("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).as("__chg"))
+        .localCheckpoint()
+      converged = next.filter(col("__chg")).limit(1).count() == 0L // O(1)-row action
+      labels = next.drop("__chg")
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Documents that survive cluster-level dedup: the minimum-id member
+    * of every near-duplicate component plus every untouched document.
+    * One anti-join against the (small) non-representative id set.
+    */
+  def survivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val dupes = connectedComponents(pairs)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    docs.join(dupes, Seq("doc_id"), "left_anti")
+  }
 }

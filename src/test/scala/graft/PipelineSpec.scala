@@ -56,6 +56,30 @@ class PipelineSpec extends SparkSpec {
     assert(lsh == exact && exact.nonEmpty)
   }
 
+  test("connected components: chains merge, components stay apart, min id wins") {
+    // components: {1,2,3,5} via chain 1-2, 2-3, 3-5 (transitive, no direct
+    // 1-5 edge) and {10,11}; singleton 99 appears in no pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components converge on a long chain (diameter > 2 rounds)") {
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect().map(_.getLong(1)).distinct
+    assert(cc.toSeq == Seq(0L))
+  }
+
+  test("survivors keep one doc per cluster plus all untouched docs") {
+    val d = docsDF(Seq("a", "b", "c", "d", "e")) // ids 0..4
+    val pairs = Seq((0L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    val kept = Dedup.survivors(d, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 1L, 3L)) // 2 and 4 collapse into 0
+  }
+
   test("simhash: identical text distance 0; near text small distance") {
     val t1 = (1 to 50).map(i => s"tok$i").mkString(" ")
     val t2 = (1 to 48).map(i => s"tok$i").mkString(" ") + " x y"
