@@ -389,6 +389,33 @@ object SparkEntry {
     // recall vs the exact form is property-tested (PropertySpec)
     "dedup_embedding_lsh" -> ((s, d) =>
       graft.ann.Similarity.nearDupPairsLsh(emb(s, d), 0.4)),
+    // ── corpus hygiene ─────────────────────────────────────────────────
+    // benchmark decontamination: training docs sharing any 3-gram with a
+    // held-out eval slice (deterministic doc_id-mod split so the oracle
+    // sees the same sides)
+    "decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.text.TextAnalysis.contamination(
+        all.filter(pmod(col("doc_id"), lit(50L)) =!= 7L),
+        all.filter(pmod(col("doc_id"), lit(50L)) === 7L), 3)
+    }),
+    "text_repetition" -> ((s, d) =>
+      graft.text.TextAnalysis.repetitionSignals(docs(s, d))),
+    "pii_redact" -> ((s, d) =>
+      // inject deterministic PII so the redaction provably fires, then
+      // scrub it; the oracle applies the same regexes to the same text
+      docs(s, d).select(col("doc_id"),
+        graft.text.TextAnalysis.redactPii(concat(
+          col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+          lit("@ex-ample.com or 10.1."),
+          pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(".7 ph 555-123-4567"))).as("clean"))),
+    // seeded per-source Bernoulli rebalance; sampled ⇒ rows-only gate,
+    // proportions property-gated in PropertySpec
+    "stratified_sample" -> ((s, d) =>
+      graft.pipeline.Pipeline.stratifiedSample(docs(s, d), "source",
+        (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.8 else 0.2)).toMap)),
+
     "ann_topk" -> ((s, d) =>
       graft.ann.Similarity.bruteForceTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_lsh_topk" -> ((s, d) =>
@@ -983,6 +1010,35 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_jaccard_3gram" -> shingleCte,
     "dedup_minhash_lsh" -> shingleCte,
+    "decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM
+        |  (SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS shingle
+        |   FROM w WHERE len(ws) >= 3)),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 7)
+        |SELECT t.doc_id, count(*) AS n_shared_ngrams
+        |FROM (SELECT * FROM sh WHERE doc_id % 50 <> 7) t
+        |JOIN ev ON t.shingle = ev.shingle GROUP BY 1""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, len(ws) AS n_tokens,
+        |    floor((1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 10000) / 10000 AS dup_token_frac
+        |  FROM w WHERE len(ws) >= 2),
+        |g AS (SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]) AS gram
+        |  FROM w WHERE len(ws) >= 2),
+        |pg AS (SELECT doc_id, gram, count(*) AS ct FROM g GROUP BY 1, 2),
+        |gs AS (SELECT doc_id, sum(ct) AS n_2grams, max(ct) AS top_2gram_ct FROM pg GROUP BY 1)
+        |SELECT t.doc_id, t.n_tokens, t.dup_token_frac, gs.n_2grams, gs.top_2gram_ct,
+        |  floor(CAST(top_2gram_ct AS DOUBLE) / n_2grams * 10000) / 10000 AS top_2gram_frac
+        |FROM tok t JOIN gs USING (doc_id)""".stripMargin,
+    "pii_redact" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@ex-ample.com or 10.1.'
+        |    || CAST(doc_id % 256 AS VARCHAR) || '.7 ph 555-123-4567',
+        |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |  '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g'),
+        |  '(^|[^0-9.])((\d{1,3}\.){3}\d{1,3})([^0-9.]|$)', '\1<IP>\4', 'g') AS clean
+        |FROM documents""".stripMargin,
     "dedup_clusters" -> (ccCte +
       "\nSELECT node AS doc_id, cluster_id FROM cc"),
     "dedup_survivors" -> (ccCte +

@@ -116,4 +116,15 @@ object Pipeline {
       .withColumn("bin", floor((col("__cum") - col("__n")) / lit(budget)))
       .select((outCols.map(col) :+ col("bin")): _*)
   }
+
+  /** Stratified sampling: per-stratum Bernoulli fractions (e.g. rebalance
+    * sources or languages when mixing a training corpus). Thin wrapper
+    * over `DataFrameStatFunctions.sampleBy` — a seeded narrow map, no
+    * shuffle, each row kept iff its stratum's coin lands under the
+    * stratum's fraction. Sampled output ⇒ rows-only gate + a property
+    * spec on per-stratum proportions.
+    */
+  def stratifiedSample(df: DataFrame, stratum: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratum, fractions, seed)
 }

@@ -97,4 +97,72 @@ object TextAnalysis {
 
   def rollingFingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), rollingHash(col("text")).as("rhash"))
+
+  /** Benchmark decontamination: training documents sharing any word
+    * n-gram with the eval set (the standard 13-gram-overlap check, n
+    * scaled to the corpus). Both sides reduce to hashed shingle sets
+    * row-locally (no explode→distinct shuffle); the contaminated-doc
+    * report is one join on the shingle hash. The eval side is distinct
+    * shingles only — a benchmark is tiny next to a training corpus, so
+    * AQE broadcasts it and the corpus is touched exactly once.
+    */
+  def contamination(train: DataFrame, eval: DataFrame, n: Int = 3): DataFrame = {
+    def sh(df: DataFrame) = df.select(
+      col("doc_id"),
+      explode(graft.functions.MinHashExpression.shingle_set(
+        split(lower(col("text")), " "), n)).as("shingle"))
+    sh(train)
+      .join(sh(eval).select(col("shingle")).distinct(), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
+  /** Gopher-style repetition signals: duplicate-token fraction (row-local
+    * expression) and top-2-gram fraction. The 2-gram mode is computed
+    * distributed — explode → per-(doc, gram) count → per-doc max/total —
+    * NOT as a row-local O(len²) nested loop, so a 10k-token document
+    * costs 10k rows, not 10⁸ comparisons.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    def trunc4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
+    val t = tokens(col("text"))
+    val rowStats = docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      trunc4(lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
+        .as("dup_token_frac"))
+    val words = col("__words")
+    val grams = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("__words"))
+      .filter(size(words) >= 2)
+      .select(col("doc_id"),
+        explode(transform(words, (w, i) =>
+          when(i <= size(words) - 2,
+            concat_ws(" ", w, element_at(words, i + lit(2)))))).as("gram"))
+      .filter(col("gram").isNotNull)
+    val gramStats = grams
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("ct"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ct")).as("n_2grams"), max(col("ct")).as("top_2gram_ct"))
+      .select(col("doc_id"), col("n_2grams"), col("top_2gram_ct"),
+        trunc4(col("top_2gram_ct").cast("double") / col("n_2grams"))
+          .as("top_2gram_frac"))
+    rowStats.join(gramStats, Seq("doc_id"))
+  }
+
+  /** PII redaction: emails, US-style phone numbers, and IPv4 addresses
+    * replaced by type tokens. Pure regexp_replace chain (codegen'd,
+    * narrow); the patterns stay in the syntax intersection of Java regex
+    * and RE2 so any engine reproduces them.
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phone = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+    val ip = "(^|[^0-9.])((\\d{1,3}\\.){3}\\d{1,3})([^0-9.]|$)"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        phone, "<PHONE>"),
+      ip, "$1<IP>$4")
+  }
 }

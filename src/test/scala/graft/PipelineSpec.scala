@@ -80,6 +80,39 @@ class PipelineSpec extends SparkSpec {
     assert(kept.toSeq == Seq(0L, 1L, 3L)) // 2 and 4 collapse into 0
   }
 
+  test("contamination flags only docs sharing an n-gram with the eval set") {
+    val train = docsDF(Seq("alpha beta gamma delta", "x y z w")) // ids 0, 1
+    val eval = Seq((100L, "beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.contamination(train, eval, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // shared 3-grams: "beta gamma delta" only; doc 1 is clean
+    assert(got.toSeq == Seq((0L, 1L)))
+  }
+
+  test("repetition signals: uniform text scores low, repeated text scores high") {
+    val varied = (1 to 20).map(i => s"w$i").mkString(" ")
+    val loop = Seq.fill(10)("spam ham").mkString(" ")
+    val sig = graft.text.TextAnalysis.repetitionSignals(docsDF(Seq(varied, loop)))
+      .orderBy("doc_id").collect()
+    assert(sig(0).getAs[Double]("dup_token_frac") == 0.0)
+    assert(sig(0).getAs[Double]("top_2gram_frac") < 0.1)
+    assert(sig(1).getAs[Double]("dup_token_frac") > 0.8)
+    // "spam ham" repeated: "spam ham" 10× and "ham spam" 9× of 19 grams
+    assert(sig(1).getAs[Double]("top_2gram_frac") > 0.5)
+  }
+
+  test("PII redaction scrubs emails, phones, IPs; leaves prose and versions") {
+    val d = docsDF(Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "call 415-555-1234 or visit 10.0.0.1 today",
+      "version 1.2.3.4.5 stays, pi 3.14 stays"))
+    val out = d.select(graft.text.TextAnalysis.redactPii(col("text")).as("t"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "call <PHONE> or visit <IP> today")
+    assert(out(2) == "version 1.2.3.4.5 stays, pi 3.14 stays")
+  }
+
   test("simhash: identical text distance 0; near text small distance") {
     val t1 = (1 to 50).map(i => s"tok$i").mkString(" ")
     val t2 = (1 to 48).map(i => s"tok$i").mkString(" ") + " x y"

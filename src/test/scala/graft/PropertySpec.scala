@@ -200,4 +200,23 @@ class PropertySpec extends SparkSpec {
     assert(s1 == s2) // same seed, same partitioning → same sample
     assert(math.abs(s1 - 0.1 * n) < 5 * math.sqrt(0.1 * 0.9 * n), s"s1=$s1 n=$n")
   }
+
+  test("stratified sample: per-stratum proportions near fractions, deterministic") {
+    val orders = graft.engine.Tables.orders(spark, sf)
+    val fr = Map("1-URGENT" -> 0.8, "2-HIGH" -> 0.2, "3-MEDIUM" -> 0.5)
+    val take1 = graft.pipeline.Pipeline.stratifiedSample(orders, "o_orderpriority", fr)
+    val take2 = graft.pipeline.Pipeline.stratifiedSample(orders, "o_orderpriority", fr)
+    assert(take1.count() == take2.count()) // seeded → reproducible
+    val totals = orders.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = take1.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == fr.keySet) // unlisted strata drop entirely
+    fr.foreach { case (k, f) =>
+      val n = totals(k).toDouble
+      val tol = 5 * math.sqrt(f * (1 - f) * n)
+      assert(math.abs(kept(k) - f * n) <= tol,
+        s"stratum $k kept=${kept(k)} expected=${f * n} ± $tol")
+    }
+  }
 }
