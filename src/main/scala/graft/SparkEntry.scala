@@ -416,6 +416,10 @@ object SparkEntry {
       graft.pipeline.Pipeline.stratifiedSample(docs(s, d), "source",
         (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.8 else 0.2)).toMap)),
 
+    // int8 scalar quantization of the embedding column (4× storage);
+    // scalar report columns so the oracle compare is engine-stable
+    "embedding_quantize" -> ((s, d) =>
+      graft.ann.Similarity.quantizeReport(emb(s, d))),
     "ann_topk" -> ((s, d) =>
       graft.ann.Similarity.bruteForceTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_lsh_topk" -> ((s, d) =>
@@ -426,6 +430,9 @@ object SparkEntry {
       graft.ann.Similarity.bruteForceTopKAgg(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_topk_plan" -> ((s, d) =>
       graft.ann.Similarity.bruteForceTopKPlan(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    // search over the int8 codes: integer-exact scores, so fully oracled
+    "ann_topk_quantized" -> ((s, d) =>
+      graft.ann.Similarity.quantizedTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "quantiles_approx" -> ((s, d) => {
       val qs = Quantiles.approxQuantiles(li(s, d), "l_extendedprice",
         Seq(0.25, 0.5, 0.75), 0.01)
@@ -1031,6 +1038,32 @@ object SparkEntry {
         |SELECT t.doc_id, t.n_tokens, t.dup_token_frac, gs.n_2grams, gs.top_2gram_ct,
         |  floor(CAST(top_2gram_ct AS DOUBLE) / n_2grams * 10000) / 10000 AS top_2gram_frac
         |FROM tok t JOIN gs USING (doc_id)""".stripMargin,
+    "ann_topk_quantized" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |    CASE WHEN m = 0 THEN 1.0 ELSE CAST(m AS DOUBLE) / 127.0 END AS scale
+        |  FROM (SELECT vec_id, embedding,
+        |    list_max([abs(x) for x in embedding]) AS m FROM embeddings)),
+        |q AS (SELECT vec_id,
+        |    [floor(CAST(x AS DOUBLE) / scale + 0.5) for x in embedding] AS qe
+        |  FROM b)
+        |SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT a.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.qe, n.qe), 4) AS cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.qe, n.qe) DESC, n.vec_id) AS INT) AS rank
+        |  FROM q a JOIN q n ON n.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "embedding_quantize" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |    CASE WHEN m = 0 THEN 1.0 ELSE CAST(m AS DOUBLE) / 127.0 END AS scale
+        |  FROM (SELECT vec_id, embedding,
+        |    list_max([abs(x) for x in embedding]) AS m FROM embeddings)),
+        |q AS (SELECT vec_id, scale,
+        |    [CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT) for x in embedding] AS qs
+        |  FROM b)
+        |SELECT vec_id, scale, CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |  list_min(qs) AS q_min, list_max(qs) AS q_max FROM q""".stripMargin,
     "pii_redact" ->
       """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
         |  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@ex-ample.com or 10.1.'

@@ -265,9 +265,14 @@ object Dedup {
     * per-superstep contract.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // both edge directions from ONE scan of the pair pipeline (a union of
+    // two selects would execute the upstream pair mining twice before the
+    // cache fills — at corpus scale that's a second LSH pass)
     val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache() // read twice per round, every round
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))

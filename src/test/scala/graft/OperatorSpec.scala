@@ -18,9 +18,11 @@ class OperatorSpec extends SparkSpec {
     }
     // near-dup pair queries may legitimately be empty at tiny sf
     // near-dup pairs and anti-join/except can be legitimately empty at tiny sf
+    // jdbc_federated_topfreq thresholds at count>=150; sf0.001 customer
+    // has exactly 150 rows split over 5 segments, so no group qualifies
     val allowedEmpty = Set("dedup_jaccard_3gram", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_embedding", "f_regex",
-      "setop_except", "join_anti_customers")
+      "setop_except", "join_anti_customers", "jdbc_federated_topfreq")
     assert(empty.toSet.subsetOf(allowedEmpty), s"unexpected empty: $empty")
   }
 

@@ -202,6 +202,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: codes in [-127,127], dequantized cosine >= 0.999") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val scale = Similarity.quantizeInt8Scale(col("embedding"))
+    val q = Similarity.quantizeInt8(col("embedding"), scale)
+    val deq = Similarity.dequantize(q, scale)
+    val orig = transform(col("embedding"), x => x.cast("double"))
+    def dotD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val stats = e.select(
+      least(array_min(q), lit(127) - array_max(q)).as("bound"),
+      (dotD(orig, deq) / (sqrt(dotD(orig, orig)) * sqrt(dotD(deq, deq))))
+        .as("cos")).agg(min("bound"), min("cos")).head
+    assert(stats.getInt(0) >= -127) // codes within int8 range both ways
+    assert(stats.getDouble(1) >= 0.999, s"worst dequantized cosine ${stats.getDouble(1)}")
+  }
+
+  test("quantized top-k recall >= 0.9 vs exact full-precision ranking") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val exact = sets(Similarity.bruteForceTopK(e, qids, 10))
+    val quant = sets(Similarity.quantizedTopK(e, qids, 10))
+    val recall = qids.map(q => (exact(q) & quant(q)).size.toDouble / 10).sum / qids.size
+    assert(recall >= 0.9, s"quantized recall $recall")
+  }
+
   test("rolling hash is order-sensitive, fingerprint is order-insensitive") {
     val d = docsDF(Seq("alpha beta gamma", "gamma beta alpha"))
     val rh = TextAnalysis.rollingFingerprints(d).collect().map(_.getLong(1))

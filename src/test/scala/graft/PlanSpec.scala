@@ -200,4 +200,45 @@ class PlanSpec extends SparkSpec {
     val df = Tables.region(spark, sf).join(broadcast(zones), Seq("r_name"), "left")
     assert(plan(df).contains("BroadcastHashJoin"), plan(df))
   }
+
+  test("decontamination joins on shingle with no cartesian/nested-loop") {
+    val all = Tables.documents(spark, sf)
+    val df = graft.text.TextAnalysis.contamination(
+      all.filter(pmod(col("doc_id"), lit(50L)) =!= 7L),
+      all.filter(pmod(col("doc_id"), lit(50L)) === 7L), 3)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // corpus-side aggregation is partial+final (map-side combine)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("repetition signals: gram mode is aggregate-shaped, no row-local O(len^2)") {
+    val df = graft.text.TextAnalysis.repetitionSignals(Tables.documents(spark, sf))
+    val p = plan(df)
+    assert(p.contains("Generate explode"), p) // distributed 2-gram explode
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pii redaction is a narrow codegen'd map (no exchange)") {
+    val df = Tables.documents(spark, sf).select(col("doc_id"),
+      graft.text.TextAnalysis.redactPii(col("text")).as("clean"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    // "*(n)" prefixes mark whole-stage-codegen'd operators
+    assert(p.contains("*(1) Project"), p)
+  }
+
+  test("connected-components rounds have no single-partition exchange") {
+    import spark.implicits._
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      .repartition(4)
+    val cc = graft.dedup.Dedup.connectedComponents(pairs, maxIters = 3)
+    // rounds shuffle on node keys at the session's shuffle parallelism;
+    // AQE may coalesce tiny test data, but nothing may DEMAND one
+    // partition (that would serialize the corpus-scale label state)
+    assert(!plan(cc).contains("Exchange SinglePartition"), plan(cc))
+    // labels only move down, toward the component minimum (progress
+    // invariant; full convergence is PipelineSpec's chain test)
+    assert(cc.collect().forall(r => r.getLong(1) <= r.getLong(0)))
+  }
 }
