@@ -274,23 +274,40 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache() // read twice per round, every round
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // round 1 fused into initialization: with identity labels, each
+    // node's first-round label is just least(self, min direct neighbor) —
+    // one aggregate, no join. Banding cliques (diameter 1) then converge
+    // after a single confirming loop round instead of three.
+    // eager checkpoint: round 1 reads the init labels twice (nbrMin join
+    // + carry-forward join); a lazy persist would have both scans racing
+    // to populate the same cache blocks (measurably slower), so spend one
+    // small job materializing it up front
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("node"), col("label"))
       .localCheckpoint()
-    var round = 0
+    var round = 1
     var converged = false
+    var prev: DataFrame = null
     while (!converged && round < maxIters) {
       val nbrMin = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_min"))
+      // persist + full convergence count = ONE job per round (the count
+      // scans every partition, so it also fully populates the cache the
+      // next round reads); an eager localCheckpoint would make it two.
+      // Lineage still ends at the previous round's InMemoryRelation, so
+      // plans grow by one join per round, not exponentially.
       val next = labels
         .join(nbrMin, labels("node") === nbrMin("src"), "left")
         .select(labels("node"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           (coalesce(col("nbr_min"), col("label")) < col("label")).as("__chg"))
-        .localCheckpoint()
-      converged = next.filter(col("__chg")).limit(1).count() == 0L // O(1)-row action
+        .persist()
+      converged = next.filter(col("__chg")).count() == 0L
+      if (prev != null) prev.unpersist() // round state is O(nodes); keep ≤2 live
+      prev = next
       labels = next.drop("__chg")
       round += 1
     }
