@@ -29,6 +29,18 @@ object SparkEntry {
   private def emb(s: SparkSession, d: String)  = Tables.embeddings(s, d)
   private def ev(s: SparkSession, d: String)   = Tables.events(s, d)
 
+  // Linear quality-model vocabulary: all weights are exact dyadic
+  // rationals (k/64) so Σweights is bit-identical in any IEEE engine
+  // regardless of summation order — the oracle compare needs no
+  // tolerance.
+  private[graft] val modelVocab: Seq[(String, Double)] = Seq(
+    "the" -> 0.125, "and" -> 0.09375, "of" -> 0.0625, "a" -> 0.046875,
+    "data" -> 0.5, "analysis" -> 0.375, "result" -> 0.25,
+    "lorem" -> -0.5, "ipsum" -> -0.5, "click" -> -0.75, "buy" -> -0.75)
+  private[graft] def modelVocabSqlCase(v: String): String =
+    "CASE " + v + " " + modelVocab.map { case (t, w) =>
+      s"WHEN '$t' THEN $w" }.mkString(" ") + " ELSE 0.0 END"
+
   // Shared bucket expression: 22 equal-width buckets of l_extendedprice
   // over [0, 110000] (data range ~902..105000).
   private val PriceLo = 0.0; private val PriceHi = 110000.0; private val PriceN = 22
@@ -96,6 +108,19 @@ object SparkEntry {
           // declared output type to double (the oracle's type)
           DynamicUdf.call(s, "ppu_dyn", col("l_extendedprice"), col("l_quantity"))
             .cast("double").as("ppu"))
+    }),
+    // JSFilterDescription through the same runtime-string surface: the
+    // whole gesture (predicate text → filter) arrives at runtime, and the
+    // parsed predicate still reaches the scan as a pushed filter
+    "dynamic_filter" -> ((s, d) => {
+      import graft.functions.DynamicUdf
+      DynamicUdf.registerExpr(s, "ship_pick_dyn",
+        "q >= 45.0 AND m IN ('A', 'R')", Seq("q", "m"))
+      li(s, d)
+        .filter(DynamicUdf.call(s, "ship_pick_dyn",
+          col("l_quantity"), col("l_returnflag")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
     }),
     "nextk_basic" -> ((s, d) =>
       NextK.nextK(ord(s, d), Seq(Order("o_orderpriority"), Order("o_orderstatus")), 8)),
@@ -452,6 +477,26 @@ object SparkEntry {
         graft.text.TextAnalysis.langId(col("text")).as("lang_pred"))),
     "text_fingerprint" -> ((s, d) => graft.text.TextAnalysis.fingerprints(docs(s, d))),
     "text_rolling_fp" -> ((s, d) => graft.text.TextAnalysis.rollingFingerprints(docs(s, d))),
+    // RAG/context-window prep: 128-char chunks every 64 chars — one
+    // narrow explode, no shuffle, partitioning inherited from the scan
+    "text_chunks" -> ((s, d) => graft.text.TextAnalysis.chunk(docs(s, d), 128, 64)),
+    // fastText-style linear quality model over a literal vocab: weights
+    // are exact dyadic rationals so the fold is bit-identical on any
+    // engine (no float-association or libm divergence in the gate)
+    "quality_model_score" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        graft.text.TextAnalysis.modelScore(col("text"),
+          SparkEntry.modelVocab, -1.0).as("raw_score"))),
+    // exact substring-duplication signal (Lee et al. 2022 shape):
+    // positional 5-token windows hashed corpus-wide; per-doc dup fraction
+    "dup_passages" -> ((s, d) => graft.text.TextAnalysis.dupPassages(docs(s, d), 5)),
+    // C4-style rule cleaning at sentence granularity (row-local)
+    "sentence_filter" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        graft.text.TextAnalysis.sentenceFilter(col("text"), 4).as("clean"))),
+    // per-source top-5 TF-IDF terms, ranked through the GroupTopK
+    // custom plan (bounded heaps below the exchange)
+    "tfidf_topterms" -> ((s, d) => graft.text.TextAnalysis.tfidfTopTerms(docs(s, d), 5)),
 
     // ── multimodal (binary media columns; stub decode, real plumbing) ──
     "multimodal_features" -> ((s, d) =>
@@ -742,6 +787,48 @@ object SparkEntry {
         |CASE WHEN l_quantity = 0.0 THEN 0.0
         |  ELSE floor(l_extendedprice / l_quantity * 10000.0) / 10000.0 END AS ppu
         |FROM lineitem WHERE l_quantity >= 10.0 AND l_quantity < 30.0""".stripMargin,
+    "dynamic_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE l_quantity >= 45.0 AND l_returnflag IN ('A', 'R')""".stripMargin,
+    "text_chunks" ->
+      """SELECT doc_id, CAST((start - 1) // 64 AS INT) AS chunk_idx,
+        |  CAST(start AS INT) AS chunk_start,
+        |  substring(text, CAST(start AS INT), 128) AS chunk_text,
+        |  CAST(length(substring(text, CAST(start AS INT), 128)) AS INT) AS chunk_len
+        |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 64)) AS start
+        |  FROM documents WHERE length(text) > 0)""".stripMargin,
+    "quality_model_score" ->
+      s"""SELECT doc_id, -1.0 + coalesce(list_sum(
+         |  [${modelVocabSqlCase("x")} for x in string_split(lower(text), ' ')]),
+         |  0.0) AS raw_score
+         |FROM documents""".stripMargin,
+    "dup_passages" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws)-3)]) AS gram
+        |  FROM w WHERE len(ws) >= 5),
+        |nd AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY 1) WHERE c >= 2),
+        |per AS (SELECT doc_id, count(*) AS n FROM g JOIN nd USING (gram) GROUP BY 1)
+        |SELECT w.doc_id, CAST(len(ws) - 4 AS BIGINT) AS n_windows,
+        |  coalesce(per.n, 0) AS n_dup_windows,
+        |  floor(CAST(coalesce(per.n, 0) AS DOUBLE) / (len(ws) - 4) * 10000) / 10000 AS dup_frac
+        |FROM w LEFT JOIN per USING (doc_id) WHERE len(ws) >= 5""".stripMargin,
+    "sentence_filter" ->
+      """SELECT doc_id, array_to_string(
+        |  [s for s in string_split(text, '. ') if len(string_split(s, ' ')) >= 4 AND len(s) > 0],
+        |  '. ') AS clean
+        |FROM documents""".stripMargin,
+    "tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.source, tf.token, tf.tf, dfq.df,
+        |    floor(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df) * 10000) / 10000 AS tfidf
+        |  FROM tf JOIN dfq USING (token) CROSS JOIN n)
+        |SELECT source, token, tf, df, tfidf, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY tfidf DESC, token) AS INT) AS rank FROM s)
+        |WHERE rank <= 5""".stripMargin,
     "hist2d_quantiles" ->
       """SELECT l_returnflag AS b1, l_linestatus AS b2,
         |round(quantile_cont(l_extendedprice, 0.25), 4) AS q0,

@@ -165,4 +165,119 @@ object TextAnalysis {
         phone, "<PHONE>"),
       ip, "$1<IP>$4")
   }
+
+  /** Overlapping fixed-size chunking (RAG / context-window prep): cut
+    * each document into `chunkChars`-char windows starting every `stride`
+    * chars. One narrow explode per document — chunk count is
+    * ceil(len/stride) rows per doc, no shuffle at all; at corpus scale
+    * the output partitioning is inherited from the scan.
+    */
+  def chunk(docs: DataFrame, chunkChars: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkChars >= stride, "need chunkChars >= stride > 0")
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), length(col("text")), lit(stride)))
+          .as(Seq("chunk_idx", "chunk_start")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        col("text").substr(col("chunk_start"), lit(chunkChars)).as("chunk_text"),
+        length(col("text").substr(col("chunk_start"), lit(chunkChars)))
+          .as("chunk_len"))
+  }
+
+  /** Linear model scoring over a bounded vocabulary (fastText-style
+    * quality classifier): score = bias + Σ weight(token), squashed by a
+    * logistic. The weight table is a literal MAP, so the whole model is
+    * one row-local codegen'd expression — zero shuffle, the ideal 100 TB
+    * shape for a bounded vocab. (A corpus-derived vocabulary — e.g. IDF
+    * weights — would instead broadcast-join an aggregated weights frame.)
+    */
+  def modelScore(text: Column, weights: Seq[(String, Double)], bias: Double): Column = {
+    val m = map(weights.flatMap { case (t, w) => Seq(lit(t), lit(w)) }: _*)
+    aggregate(tokens(text), lit(bias),
+      (acc, t) => acc + coalesce(element_at(m, t), lit(0.0)))
+  }
+
+  /** Logistic squash of a raw model score. Kept out of the oracled
+    * output: exp() is libm-dependent (Java Math vs C libm can differ in
+    * the last ulp), so the gate compares the exact raw score and the
+    * probability stays a presentation column.
+    */
+  def modelProb(score: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-score))
+
+  /** Exact substring-duplication signal (the Lee et al. 2022
+    * "Deduplicating Training Data" shape at token granularity): every
+    * positional `w`-token window is hashed; windows whose hash occurs in
+    * ≥2 distinct documents are duplicated passages. Reports per-document
+    * duplicated-window fraction.
+    *
+    * Scale shape: windows are emitted row-locally (transform over the
+    * token array — no per-window row until the explode), the corpus-wide
+    * pass is one groupBy on a 60-bit window hash (not the window string:
+    * 8 bytes shuffled per window instead of ~8·w), and the per-doc
+    * report joins back on the same hash. Two shuffles total, both on
+    * uniform hashes.
+    */
+  def dupPassages(docs: DataFrame, w: Int = 5): DataFrame = {
+    val ws = tokens(col("text"))
+    // md5-prefix 60-bit hash of each positional window (engine-portable)
+    val windows = transform(
+      sequence(lit(1), size(ws) - lit(w - 1)),
+      i => conv(substring(md5(array_join(slice(ws, i, lit(w)), " ").cast("binary")),
+        1, 15), 16, 10).cast("long"))
+    val perDoc = docs
+      .filter(size(ws) >= w)
+      .select(col("doc_id"), explode(windows).as("ghash"))
+    val dupHashes = perDoc
+      .groupBy(col("ghash"))
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("ghash"))
+    perDoc
+      .join(dupHashes, Seq("ghash"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+      .join(docs.filter(size(ws) >= w)
+        .select(col("doc_id"), (size(ws) - lit(w - 1)).cast("long").as("n_windows")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (floor(coalesce(col("n_dup_windows"), lit(0L)).cast("double")
+          / col("n_windows") * lit(10000.0)) / lit(10000.0)).as("dup_frac"))
+  }
+
+  /** C4-style rule cleaning at sentence granularity: split on ". ", keep
+    * sentences with ≥ `minWords` words, reassemble. Row-local array
+    * pipeline (split → filter → array_join) — narrow, codegen'd, no
+    * shuffle; the deterministic subset of C4's line-level heuristics.
+    */
+  def sentenceFilter(text: Column, minWords: Int): Column =
+    array_join(
+      filter(split(text, "\\. "),
+        s => size(split(s, " ")) >= minWords && length(s) > 0),
+      ". ")
+
+  /** Per-source top-K terms by TF-IDF. Corpus-wide document frequency +
+    * per-source term frequency, scored tf·ln(N/df), ranked through the
+    * [[graft.plans.GroupTopK]] custom operator — per-partition bounded
+    * heaps below the exchange, so the shuffle carries O(partitions·
+    * sources·K) rows, not every (source, token) pair. The doc count N is
+    * a 1-row aggregate broadcast into the scoring join.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfq = tok.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        floor(col("tf") * log(col("__n").cast("double") / col("df"))
+          * lit(10000.0)) / lit(10000.0))
+      .select(col("source"), col("token"), col("tf"), col("df"), col("tfidf"))
+    graft.plans.GroupTopK.groupTopK(scored, Seq("source"),
+      Seq(("tfidf", false), ("token", true)), k)
+  }
 }

@@ -245,4 +245,63 @@ class PipelineSpec extends SparkSpec {
       score >= 0.0 && score <= 1.0 && r.getInt(1) > 0
     })
   }
+
+  test("chunking covers the document: stride-sized prefixes reassemble the text") {
+    val d = docsDF(Seq("abcdefghij" * 20, "short"))
+    val chunks = TextAnalysis.chunk(d, 8, 4).collect()
+    // every chunk is the substring it claims to be, and concatenating
+    // each chunk's first `stride` chars in order rebuilds the document
+    val byDoc = chunks.groupBy(_.getLong(0))
+    for ((id, rows) <- byDoc) {
+      val text = if (id == 0L) "abcdefghij" * 20 else "short"
+      rows.foreach { r =>
+        assert(r.getString(3) == text.substring(r.getInt(2) - 1,
+          math.min(r.getInt(2) - 1 + 8, text.length)))
+      }
+      val rebuilt = rows.sortBy(_.getInt(1))
+        .map(r => r.getString(3).take(4)).mkString
+      assert(rebuilt == text, s"doc $id reassembly")
+    }
+    // overlap: consecutive chunks share chunkChars - stride chars
+    val doc0 = byDoc(0L).sortBy(_.getInt(1))
+    assert(doc0(0).getString(3).drop(4) == doc0(1).getString(3).take(4))
+  }
+
+  test("model score sums matched dyadic weights from the bias") {
+    val d = docsDF(Seq("the data analysis", "click buy now", "nothing matches here"))
+    val s = d.select(col("doc_id"),
+        TextAnalysis.modelScore(col("text"),
+          Seq("the" -> 0.125, "data" -> 0.5, "analysis" -> 0.375,
+            "click" -> -0.75, "buy" -> -0.75), -1.0).as("raw"))
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    assert(s(0) == -1.0 + 0.125 + 0.5 + 0.375)
+    assert(s(1) == -1.0 - 0.75 - 0.75)
+    assert(s(2) == -1.0)
+    // logistic stays in (0,1) and is monotone in the raw score
+    val p = d.select(TextAnalysis.modelProb(
+      TextAnalysis.modelScore(col("text"), Seq("data" -> 0.5), 0.0)))
+      .collect().map(_.getDouble(0))
+    assert(p.forall(x => x > 0.0 && x < 1.0))
+  }
+
+  test("dup passages: shared 5-token window found, unique docs report zero") {
+    val shared = "one two three four five"
+    val d = docsDF(Seq(
+      s"intro words $shared trailing text here",
+      s"different lead-in then $shared and more",
+      "totally unrelated content with no overlap at all"))
+    val r = TextAnalysis.dupPassages(d, 5).orderBy("doc_id").collect()
+    assert(r.length == 3)
+    assert(r(0).getLong(2) >= 1 && r(1).getLong(2) >= 1) // n_dup_windows
+    assert(r(2).getLong(2) == 0)
+    assert(r(2).getDouble(3) == 0.0)
+  }
+
+  test("sentence filter keeps long sentences, drops short ones, reassembles") {
+    val d = docsDF(Seq("this one is long enough. no. way too short. " +
+      "here is another keeper sentence"))
+    val out = d.select(TextAnalysis.sentenceFilter(col("text"), 4))
+      .head.getString(0)
+    assert(out == "this one is long enough. here is another keeper sentence")
+  }
 }

@@ -241,4 +241,50 @@ class PlanSpec extends SparkSpec {
     // invariant; full convergence is PipelineSpec's chain test)
     assert(cc.collect().forall(r => r.getLong(1) <= r.getLong(0)))
   }
+
+  test("chunking is a narrow explode (no exchange)") {
+    val df = graft.text.TextAnalysis.chunk(Tables.documents(spark, sf), 128, 64)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate posexplode"), p)
+  }
+
+  test("model score is one narrow codegen'd map (literal vocab, no join)") {
+    val df = Tables.documents(spark, sf).select(col("doc_id"),
+      graft.text.TextAnalysis.modelScore(col("text"),
+        graft.SparkEntry.modelVocab, -1.0).as("raw_score"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dup passages shuffle on the window hash, never cross-join") {
+    val df = graft.text.TextAnalysis.dupPassages(Tables.documents(spark, sf), 5)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // the dup-hash restriction is a semi join, not a full materialization
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("tfidf top terms rank through GroupTopK partial heaps") {
+    val df = graft.text.TextAnalysis.tfidfTopTerms(Tables.documents(spark, sf), 5)
+    val p = plan(df)
+    assert(p.contains("GroupTopKPartial"), p) // heap below the exchange
+    // the only nested-loop join allowed is the broadcast of the 1-row N
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dynamic runtime filter pushes down to the parquet scan") {
+    import graft.functions.DynamicUdf
+    DynamicUdf.registerExpr(spark, "plan_spec_dyn",
+      "q >= 45.0 AND m IN ('A', 'R')", Seq("q", "m"))
+    val df = Tables.lineitem(spark, sf)
+      .filter(DynamicUdf.call(spark, "plan_spec_dyn",
+        col("l_quantity"), col("l_returnflag")))
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = plan(df)
+    // the runtime-supplied predicate reaches the scan like a built-in
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"), p)
+  }
 }
