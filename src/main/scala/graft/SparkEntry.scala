@@ -445,6 +445,14 @@ object SparkEntry {
     // scalar report columns so the oracle compare is engine-stable
     "embedding_quantize" -> ((s, d) =>
       graft.ann.Similarity.quantizeReport(emb(s, d))),
+    // deterministic k-means assignment (hash-seeded + Lloyd); sampled-
+    // seed clustering ⇒ rows-only gate, invariants property-gated
+    "embedding_kmeans" -> ((s, d) =>
+      graft.ann.Similarity.kmeansAssign(emb(s, d), 8, 2)),
+    // SemDeDup: within-cluster near-dup mining — precision-exact subset
+    // of dedup_embedding (property-gated), plus cluster structure
+    "dedup_embedding_semantic" -> ((s, d) =>
+      graft.ann.Similarity.semanticDedupPairs(emb(s, d), 0.4, 8, 2)),
     "ann_topk" -> ((s, d) =>
       graft.ann.Similarity.bruteForceTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_lsh_topk" -> ((s, d) =>

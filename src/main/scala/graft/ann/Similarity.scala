@@ -137,34 +137,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF (inverted-file) ANN: corpus is partitioned into `nlist` cells
-    * by nearest centroid (the index build — at scale, a one-time
-    * bucketed write); queries probe the `nprobe` nearest cells only.
-    * Centroids seed from a deterministic hash-strided sample and are
-    * refined by `refineIters` Lloyd steps — each step is ONE
-    * aggregation pass (argmin assign → per-cell per-dim mean), with an
-    * O(nlist×dim) driver-side result, so refinement scales like any
-    * other sketch.
+  /** Deterministic k-means centroids: seeds are the `nlist` rows with the
+    * smallest xxhash64(vec_id) (a hash-strided "sample" — reproducible,
+    * no RNG state), refined by `refineIters` Lloyd steps. Each step is
+    * ONE aggregation pass (argmin assign → per-cell per-dim mean) whose
+    * result is O(nlist×dim) driver rows — centroid refinement scales
+    * like any other sketch, never like the corpus.
     */
-  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 1): DataFrame = {
-    val spark = emb.sparkSession
-    // deterministic seed "sample": nlist rows with smallest xxhash64(vec_id)
+  def kmeansCentroids(emb: DataFrame, nlist: Int,
+      refineIters: Int): Array[(Array[Float], Int)] = {
     var centroids = emb
       .select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
       .orderBy(col("h")).limit(nlist)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray).zipWithIndex
-    def nearestCells(v: Column, n: Int): Column = {
-      // distances to all centroids; cell ids of the n smallest
-      val dists = array(centroids.map { case (c, i) =>
-        struct((lit(1.0) - cosine(v, lit(c))).as("d"), lit(i).as("cell"))
-      }: _*)
-      slice(transform(array_sort(dists), s => s.getField("cell")), 1, n)
-    }
     (0 until refineIters).foreach { _ =>
       val dims = emb
-        .withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
+        .withColumn("cell",
+          element_at(nearestCells(centroids, col("embedding"), 1), 1))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("m"))
         .collect()
@@ -179,6 +169,78 @@ object Similarity {
         }
       }
     }
+    centroids
+  }
+
+  /** Cell ids of the `n` nearest centroids (cosine distance), as one
+    * codegen'd expression: distances to all centroids → array_sort →
+    * slice. Centroids are literal float arrays (broadcast in the plan).
+    */
+  private def nearestCells(centroids: Array[(Array[Float], Int)],
+      v: Column, n: Int): Column = {
+    val dists = array(centroids.map { case (c, i) =>
+      struct((lit(1.0) - cosine(v, lit(c))).as("d"), lit(i).as("cell"))
+    }: _*)
+    slice(transform(array_sort(dists), s => s.getField("cell")), 1, n)
+  }
+
+  /** K-means cluster assignment (vec_id, cluster, centroid_cos) — the
+    * curation workhorse (cluster-balanced mixing, SemDeDup pruning,
+    * topic discovery). Assignment is a narrow map over the corpus
+    * against literal centroids; no shuffle beyond the Lloyd passes in
+    * [[kmeansCentroids]].
+    */
+  def kmeansAssign(emb: DataFrame, nlist: Int = 16,
+      refineIters: Int = 2): DataFrame = {
+    val centroids = kmeansCentroids(emb, nlist, refineIters)
+    val dists = array(centroids.map { case (c, i) =>
+      struct((lit(1.0) - cosine(col("embedding"), lit(c))).as("d"), lit(i).as("cell"))
+    }: _*)
+    val best = element_at(array_sort(dists), 1)
+    emb.select(col("vec_id"),
+      best.getField("cell").as("cluster"),
+      round(lit(1.0) - best.getField("d"), 4).as("centroid_cos"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * corpus by k-means, then mine near-duplicate pairs only WITHIN each
+    * cluster — the candidate join is keyed on the cluster id, so the
+    * pair space is Σ|cluster|² instead of n². Precision is exact (every
+    * emitted pair passes the true cosine threshold); recall misses only
+    * pairs split across clusters, which shrinks as the threshold rises
+    * (true near-dups land in the same cell). The hyperplane-LSH path
+    * ([[nearDupPairsLsh]]) is the recall-guaranteed alternative; this is
+    * the one that also yields the cluster structure for curation.
+    */
+  def semanticDedupPairs(emb0: DataFrame, threshold: Double,
+      nlist: Int = 16, refineIters: Int = 2): DataFrame = {
+    val emb = graft.engine.Layout.ensureParallelism(emb0)
+    val centroids = kmeansCentroids(emb0, nlist, refineIters)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nm"),
+      element_at(nearestCells(centroids, col("embedding"), 1), 1).as("cluster"))
+    // within-cluster self-join: shuffle on the cluster id; both sides
+    // hinted so the exchange is built once and reused
+    assigned.hint("shuffle_merge").as("a")
+      .join(assigned.hint("shuffle_merge").as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosinePre(col("a.embedding"), col("b.embedding"),
+          col("a.nm"), col("b.nm")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** IVF (inverted-file) ANN: corpus is partitioned into `nlist` cells
+    * by nearest centroid (the index build — at scale, a one-time
+    * bucketed write); queries probe the `nprobe` nearest cells only.
+    * Centroid build: [[kmeansCentroids]].
+    */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 1): DataFrame = {
+    val centroids = kmeansCentroids(emb, nlist, refineIters)
+    def nearestCells(v: Column, n: Int): Column =
+      Similarity.nearestCells(centroids, v, n)
     val corpus = emb
       .withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
       .select(col("vec_id"), col("embedding"), col("cell"))

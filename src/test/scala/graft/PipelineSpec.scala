@@ -230,6 +230,52 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"quantized recall $recall")
   }
 
+  test("kmeans assigns every vector to its argmax-cosine centroid") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = e.count()
+    val assigned = Similarity.kmeansAssign(e, 8, 2)
+    assert(assigned.count() == n)
+    val mm = assigned.agg(min("cluster"), max("cluster")).head
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 7)
+    // recompute the argmax in plain Scala for a sample of vectors
+    val cents = Similarity.kmeansCentroids(e, 8, 2)
+    def cos(v: Seq[Float], c: Array[Float]): Double = {
+      var dot = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
+      while (i < v.length) {
+        dot += v(i).toDouble * c(i); nv += v(i).toDouble * v(i)
+        nc += c(i).toDouble * c(i); i += 1
+      }
+      dot / (math.sqrt(nv) * math.sqrt(nc))
+    }
+    val byId = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    e.limit(30).collect().foreach { r =>
+      val v = r.getSeq[Float](1)
+      val best = cents.minBy { case (c, i) => (1.0 - cos(v, c), i) }._2
+      assert(byId(r.getLong(0)) == best, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("semantic dedup: clone pairs found within clusters, subset of exact") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // plant jittered clones (cos ≈ 0.999 to their original): SemDeDup's
+    // regime — true near-dups land in the same k-means cell
+    val clones = e.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val corpus = e.unionByName(clones)
+    val pairs = Similarity.semanticDedupPairs(corpus, 0.95, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = e.collect().map(_.getLong(0)).map(id => (id, id + 1000000L)).toSet
+    val recall = (pairs & expected).size.toDouble / expected.size
+    assert(recall >= 0.9, s"clone recall $recall (${expected.size} clones)")
+    // precision is exact by construction: every emitted pair re-passes
+    // the true cosine threshold
+    val exact = Similarity.nearDupPairs(corpus, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(exact), s"false positives: ${pairs -- exact}")
+  }
+
   test("rolling hash is order-sensitive, fingerprint is order-insensitive") {
     val d = docsDF(Seq("alpha beta gamma", "gamma beta alpha"))
     val rh = TextAnalysis.rollingFingerprints(d).collect().map(_.getLong(1))

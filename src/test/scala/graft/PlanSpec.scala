@@ -267,6 +267,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("kmeans assignment is a narrow map against literal centroids") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ann.Similarity.kmeansAssign(e, 8, 1))
+    assert(!p.contains("Exchange"), p) // Lloyd passes are separate jobs
+  }
+
+  test("semantic dedup self-join shuffles on the cluster key (no broadcast of the corpus)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ann.Similarity.semanticDedupPairs(e, 0.9, 8, 1))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("tfidf top terms rank through GroupTopK partial heaps") {
     val df = graft.text.TextAnalysis.tfidfTopTerms(Tables.documents(spark, sf), 5)
     val p = plan(df)
