@@ -204,6 +204,10 @@ object SparkEntry {
       DistinctAndFrequency.distinctValues(li(s, d), Seq("l_returnflag", "l_linestatus"))),
     "hll_distinct" -> ((s, d) =>
       DistinctAndFrequency.approxDistinctCount(li(s, d), "l_partkey")),
+    // GroupBy-combinator over the HLL sketch: one bounded sketch per
+    // group; approximate ⇒ rows-only gate + per-group error spec
+    "hll_group_distinct" -> ((s, d) =>
+      DistinctAndFrequency.approxDistinctByGroup(li(s, d), "l_returnflag", "l_partkey")),
     "heavy_exact" -> ((s, d) =>
       DistinctAndFrequency.heavyHittersExact(ord(s, d), Seq("o_orderpriority"), 0.05)),
     "heavy_mg" -> ((s, d) =>
@@ -421,6 +425,15 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => {
       val all = docs(s, d)
       graft.text.TextAnalysis.contamination(
+        all.filter(pmod(col("doc_id"), lit(50L)) =!= 7L),
+        all.filter(pmod(col("doc_id"), lit(50L)) === 7L), 3)
+    }),
+    // broadcast-Bloom decontamination — the shuffle-free 100 TB twin of
+    // `decontaminate`; FPs possible ⇒ rows-only gate, superset + FP-rate
+    // property-gated in PropertySpec
+    "decontaminate_bloom" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.text.TextAnalysis.contaminationBloom(
         all.filter(pmod(col("doc_id"), lit(50L)) =!= 7L),
         all.filter(pmod(col("doc_id"), lit(50L)) === 7L), 3)
     }),

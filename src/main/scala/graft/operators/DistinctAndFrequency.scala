@@ -21,6 +21,16 @@ object DistinctAndFrequency {
   def approxDistinctCount(df: DataFrame, column: String, rsd: Double = 0.05): DataFrame =
     df.agg(approx_count_distinct(col(column), rsd).as("approx_distinct"))
 
+  /** Per-group HLL++ distinct counts (the reference's GroupBy-combinator
+    * over HLogLogSketch — one bounded sketch per group, merged
+    * partial/final like any aggregate). Approximate → rows-only gate,
+    * per-group error property-gated.
+    */
+  def approxDistinctByGroup(df: DataFrame, groupCol: String, column: String,
+      rsd: Double = 0.02): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(column), rsd).as("approx_distinct"))
+
   /** NIThresholdSketch: "more than 2^t distinct values?" gate. */
   def distinctExceeds(df: DataFrame, column: String, threshold: Long): Boolean =
     df.agg(approx_count_distinct(col(column)).as("d"))

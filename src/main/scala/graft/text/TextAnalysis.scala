@@ -117,6 +117,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** Decontamination via a broadcast Bloom filter: the eval side's
+    * distinct shingle hashes are folded into one Bloom sketch
+    * (`DataFrameStatFunctions.bloomFilter` — a mergeable two-pass
+    * aggregate), and the corpus is then filtered by a membership probe
+    * that ships with the closure. Compared to [[contamination]]'s join,
+    * the corpus-side shuffle disappears entirely: the probe is a narrow
+    * map, and the only data movement is the O(bits) sketch broadcast —
+    * the shape that wins when the corpus is 100 TB and the benchmark is
+    * megabytes. False positives (rate `fpp`) can only over-flag; the
+    * join form is the exact twin (spec gates superset + FP rate).
+    */
+  def contaminationBloom(train: DataFrame, eval: DataFrame, n: Int = 3,
+      fpp: Double = 0.001): DataFrame = {
+    def sh(df: DataFrame) = df.select(
+      col("doc_id"),
+      explode(graft.functions.MinHashExpression.shingle_set(
+        split(lower(col("text")), " "), n)).as("shingle"))
+    val evalShingles = sh(eval).select(xxhash64(col("shingle")).as("h"))
+    val expected = math.max(evalShingles.count(), 1L)
+    val bloom = evalShingles.stat.bloomFilter("h", expected, fpp)
+    val mightContain = udf((h: Long) => bloom.mightContainLong(h))
+    sh(train)
+      .filter(mightContain(xxhash64(col("shingle"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_flagged_ngrams"))
+  }
+
   /** Gopher-style repetition signals: duplicate-token fraction (row-local
     * expression) and top-2-gram fraction. The 2-gram mode is computed
     * distributed — explode → per-(doc, gram) count → per-doc max/total —

@@ -267,6 +267,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("bucketed tables co-locate the join: zero exchanges in the plan") {
+    // the 100 TB join strategy: pre-bucket both fact tables on the join
+    // key once at write time; every later join on that key reads
+    // co-located buckets and shuffles nothing
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    val l = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    try {
+      o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("graft_bucketed_orders")
+      l.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("graft_bucketed_lineitem")
+      val j = spark.table("graft_bucketed_lineitem")
+        .hint("merge")
+        .join(spark.table("graft_bucketed_orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), p) // join AND aggregate reuse buckets
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
+    }
+  }
+
+  test("bloom decontamination probes without any corpus-side join") {
+    val all = Tables.documents(spark, sf)
+    val df = graft.text.TextAnalysis.contaminationBloom(
+      all.filter(pmod(col("doc_id"), lit(50L)) =!= 7L),
+      all.filter(pmod(col("doc_id"), lit(50L)) === 7L), 3)
+    val p = plan(df)
+    // the membership probe replaces the join: the only exchange left is
+    // the per-doc count aggregation
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("kmeans assignment is a narrow map against literal centroids") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(graft.ann.Similarity.kmeansAssign(e, 8, 1))

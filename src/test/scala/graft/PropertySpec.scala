@@ -17,6 +17,39 @@ class PropertySpec extends SparkSpec {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("bloom decontamination flags a superset of the exact join, FPs bounded") {
+    import graft.text.TextAnalysis
+    val all = graft.engine.Tables.documents(spark, sf)
+    val train = all.filter(pmod(col("doc_id"), lit(50L)) =!= 7L)
+    val ev = all.filter(pmod(col("doc_id"), lit(50L)) === 7L)
+    val exact = TextAnalysis.contamination(train, ev, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = TextAnalysis.contaminationBloom(train, ev, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a Bloom probe can only over-flag: every exactly-contaminated doc is
+    // present with at least its exact shared-ngram count
+    assert(exact.keySet.subsetOf(bloom.keySet),
+      s"missed: ${exact.keySet -- bloom.keySet}")
+    exact.foreach { case (id, n) => assert(bloom(id) >= n, s"doc $id") }
+    // FP inflation stays near the configured rate (loose 5% ceiling)
+    val extra = (bloom.keySet -- exact.keySet).size.toDouble
+    assert(extra <= math.max(5.0, 0.05 * train.count()), s"extra=$extra")
+  }
+
+  test("grouped HLL distinct within 5% of exact per group") {
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = DistinctAndFrequency
+      .approxDistinctByGroup(li, "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (g, d) =>
+      assert(math.abs(approx(g) - d) <= math.max(2.0, 0.05 * d), s"group $g")
+    }
+  }
+
   test("MG + exact verify equals exact heavy hitters on random data") {
     samples(Gen.listOfN(300, Gen.chooseNum(0, 20)), 5).foreach { keys =>
       val df = keys.map(_.toString).toDF("k")
