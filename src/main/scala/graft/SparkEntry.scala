@@ -318,6 +318,40 @@ object SparkEntry {
           cust(s, d).select(col("c_custkey")),
           ord(s, d).select(col("o_custkey").as("c_custkey")),
           Seq("c_custkey"))),
+    // binned range join: lineitems shipped inside each urgent Q1-1996
+    // order's first week — hash join on 7-day bins, never a nested loop
+    "range_join_week" -> ((s, d) => {
+      val ivs = ord(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_until"))
+      RangeJoin.pointInIntervalTs(
+          li(s, d).select(col("l_shipdate"), col("l_quantity")), col("l_shipdate"),
+          ivs, col("o_orderdate"), col("o_until"), 7 * 86400L)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_shipped"),
+             Num.sumExact(col("l_quantity")).as("sum_qty"))
+    }),
+    // salted skew join: per-source mean doc length joined back to docs
+    // with every `source` key hot (5% of the corpus each)
+    "join_skew_salted" -> ((s, d) => {
+      val dm = docs(s, d).groupBy(col("source"))
+        .agg(avg(col("n_chars")).as("src_avg"))
+      Joins.saltedJoin(docs(s, d), dm, "source", col("doc_id"), 8)
+        .filter(col("n_chars") > col("src_avg"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_above"))
+    }),
+    // rollup with grouping indicators (parity-plus OLAP subtotals)
+    "rollup_pricing" -> ((s, d) =>
+      li(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("cnt"),
+          Num.sumExact(col("l_quantity")).as("sum_qty"))),
 
     // ── find / position / contains / sampling / save ───────────────────
     "find_pattern" -> ((s, d) =>
@@ -389,6 +423,15 @@ object SparkEntry {
         col("l_extendedprice"), Seq(0.25, 0.5, 0.75))),
     "events_moving_avg" -> ((s, d) =>
       graft.streaming.Events.movingAvg(ev(s, d), 3)),
+    "events_funnel" -> ((s, d) =>
+      graft.streaming.Events.funnel(ev(s, d), Seq("view", "click", "purchase"))),
+    "events_cumulative" -> ((s, d) =>
+      graft.streaming.Events.cumulativeValue(ev(s, d))),
+    // weighted sample without replacement (rows-only: sampled by design;
+    // determinism + weight-bias property-gated in PipelineSpec)
+    "sample_weighted" -> ((s, d) =>
+      graft.pipeline.Pipeline.weightedSample(
+        docs(s, d), col("doc_id"), col("n_chars").cast("double"), 100)),
     "jl_projection" -> ((s, d) =>
       Projections.jlProject(
         prt(s, d).select(col("p_partkey"), col("p_size"), col("p_retailprice")),
@@ -1055,6 +1098,29 @@ object SparkEntry {
     "join_anti_customers" ->
       """SELECT c_custkey FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "range_join_week" ->
+      """SELECT o.o_orderkey, count(*) AS n_shipped,
+        |CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1""".stripMargin,
+    "join_skew_salted" ->
+      """WITH dim AS (SELECT source, avg(n_chars) AS src_avg
+        |             FROM documents GROUP BY 1)
+        |SELECT d.source, count(*) AS n_above
+        |FROM documents d JOIN dim USING (source)
+        |WHERE d.n_chars > dim.src_avg GROUP BY 1""".stripMargin,
+    "rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |count(*) AS cnt,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "find_pattern" ->
       """SELECT b.before_cnt, b.at_cnt, b.after_cnt, f.first_p_name, f.first_p_partkey FROM
         |(SELECT count(CASE WHEN NOT ((p_name, p_partkey) >= ('m', 0)) THEN 1 END) AS before_cnt,
@@ -1110,6 +1176,25 @@ object SparkEntry {
     "events_moving_avg" ->
       """SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id
         |ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
+        |FROM events""".stripMargin,
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS u_view,
+        |       (SELECT count(*) FROM s2) AS u_click,
+        |       (SELECT count(*) FROM s3) AS u_purchase""".stripMargin,
+    "events_cumulative" ->
+      """SELECT event_id, user_id,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS cum_value
         |FROM events""".stripMargin,
     "jl_projection" -> {
       // the deterministic ±1 sign matrix is generated in Scala and

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.engine.Num
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Joins — parity-plus over the reference (hillview has no general join,
@@ -49,4 +49,33 @@ object Joins {
   /** Complement (RPC filterListHeavy exclude-mode): broadcast anti-join. */
   def antiJoinFilter(df: DataFrame, candidates: DataFrame, keys: Seq[String]): DataFrame =
     df.join(broadcast(candidates), keys, "left_anti")
+
+  /** Salted equi-join for skewed keys. When a handful of join keys hold
+    * most of the fact rows (zipf user ids, a dominant `source`), a plain
+    * shuffle join sends every hot-key row to ONE reducer — a straggler
+    * task holding the whole hot key's share of 100 TB. Salting splits
+    * each key into `salts` sub-keys:
+    *
+    *   fact: __salt = pmod(hash(saltBy), salts)   (saltBy: any
+    *         high-cardinality column, so rows spread uniformly)
+    *   dim:  replicated once per salt value (explode of a literal range)
+    *   join on (key, __salt)
+    *
+    * Hot keys now land on `salts` reducers instead of 1. The dim side
+    * grows ×salts — use only when the dim is small relative to the fact
+    * but too big (or forced) to broadcast; AQE's skew-join handles the
+    * milder cases without replication.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltBy: Column, salts: Int): DataFrame = {
+    require(salts > 0)
+    val saltedFact = fact.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    // shuffle_hash on both sides: the demonstration is the shuffled-join
+    // skew shape — Spark would otherwise broadcast a small dim and hide it
+    saltedFact.hint("shuffle_hash")
+      .join(saltedDim.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binned range join: point-in-interval matching without a cross product.
+  *
+  * Parity-plus over the reference (hillview joins are membership algebra
+  * only, SURVEY.md §2.4); the shape every time-series enrichment needs —
+  * "which promotion window / session / outage does this record fall in".
+  *
+  * Spark executes a bare `p.ts BETWEEN i.lo AND i.hi` join as
+  * BroadcastNestedLoopJoin — O(|points|·|intervals|) comparisons, the
+  * classic 100 TB killer. Here both sides are mapped onto fixed-width
+  * bins of the join axis and equi-joined on the bin id first, so Catalyst
+  * plans a plain shuffled/broadcast HASH join; the residual range
+  * predicate then filters within each bin bucket:
+  *
+  *   points:    __bin = floor(t / w)                 (1 row per point)
+  *   intervals: __bin = explode(floor(lo/w) .. floor((hi-1)/w))
+  *   join on __bin && lo <= t < hi
+  *
+  * A point lives in exactly one bin and an interval covers that bin at
+  * most once, so the equi-join emits each (point, interval) pair at most
+  * once — no post-join dedup. Comparison cost drops from |P|·|I| to
+  * sum over bins of |P_bin|·|I_bin|; pick `binWidth` near the typical
+  * interval length so intervals replicate into O(1) bins each.
+  */
+object RangeJoin {
+
+  /** Join `points` to the `intervals` rows whose [lo, hi) range contains
+    * the point. `pointUs`, `loUs`, `hiUs` are on a common numeric axis
+    * (e.g. epoch micros); `binWidth` in the same unit.
+    */
+  /** Exact floor-division bin id for non-negative long axes: subtracting
+    * `pmod` first keeps every intermediate an exact integer in double,
+    * so boundary values can't misbin from FP rounding.
+    */
+  private def binOf(c: Column, w: Long): Column =
+    ((c.cast("long") - pmod(c.cast("long"), lit(w))) / lit(w)).cast("long")
+
+  def pointInInterval(
+      points: DataFrame, pointCol: Column,
+      intervals: DataFrame, loCol: Column, hiCol: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin", binOf(pointCol, binWidth))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(binOf(loCol, binWidth), binOf(hiCol - lit(1), binWidth))))
+    p.join(iv, p("__bin") === iv("__bin") && pointCol >= loCol && pointCol < hiCol)
+      .drop("__bin")
+  }
+
+  /** Timestamp convenience: bins on epoch micros. */
+  def pointInIntervalTs(
+      points: DataFrame, pointTs: Column,
+      intervals: DataFrame, loTs: Column, hiTs: Column,
+      binWidthSeconds: Long): DataFrame =
+    pointInInterval(
+      points.withColumn("__t", unix_micros(pointTs.cast("timestamp"))), col("__t"),
+      intervals
+        .withColumn("__lo", unix_micros(loTs.cast("timestamp")))
+        .withColumn("__hi", unix_micros(hiTs.cast("timestamp"))),
+      col("__lo"), col("__hi"),
+      binWidthSeconds * 1000000L)
+      .drop("__t", "__lo", "__hi")
+}

@@ -127,4 +127,25 @@ object Pipeline {
   def stratifiedSample(df: DataFrame, stratum: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratum, fractions, seed)
+
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-Res):
+    * each row draws u ∈ (0,1) and scores u^(1/w); the top-n scores are a
+    * weighted sample. u is md5-derived from the key, so the sample is
+    * deterministic and engine-portable (the "sample high-quality docs
+    * more often" pass of a training-data mix, reproducible across runs).
+    *
+    * One narrow map + TakeOrderedAndProject: per-partition top-n heaps,
+    * O(n) to the driver-side merge — no sort of the corpus, no shuffle of
+    * anything but n·#partitions candidate rows.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame = {
+    // u in (0,1): 60-bit hash scaled; +0.5 keeps u strictly inside (0,1)
+    val u = (keyHash(key).cast("double") + lit(0.5)) / lit((1L << 60).toDouble)
+    // log-domain score: ln(u)/w is monotone in u^(1/w) and avoids
+    // pow() underflow for tiny weights
+    df.withColumn("__score", log(u) / weight)
+      .orderBy(col("__score").desc)
+      .limit(n)
+      .drop("__score")
+  }
 }

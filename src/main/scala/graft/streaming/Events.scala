@@ -62,6 +62,50 @@ object Events {
       round(avg(col("value")).over(w), 4).as("mavg"))
   }
 
+  /** Per-user conversion funnel over an ordered stage sequence (e.g.
+    * view → click → purchase): stage k counts users whose earliest
+    * stage-k event STRICTLY follows their stage-(k-1) time. Everything is
+    * per-user windows + one final tiny aggregate — no joins, no global
+    * window; parallelism = #users at every step, so the plan is the same
+    * shape at 100 TB.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val wu = Window.partitionBy(col("user_id"))
+    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (stage, i)) =>
+      val t = s"__t$i"
+      val hit = col("event_type") === stage &&
+        (if (i == 0) lit(true) else col(s"__t${i - 1}").isNotNull &&
+          col("ts") > col(s"__t${i - 1}"))
+      df.withColumn(t, min(when(hit, col("ts"))).over(wu))
+    }
+    // one row per user (all window columns are per-user constants), then
+    // a single global count per stage — O(#stages) output
+    val aggCols = stages.indices.map(i => max(col(s"__t$i")).as(s"__t$i"))
+    val perUser = staged
+      .groupBy(col("user_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    perUser.select(
+      stages.indices.map(i =>
+        count(col(s"__t$i")).as(s"u_${stages(i)}")): _*)
+  }
+
+  /** Running (cumulative) per-user value total — partitioned prefix-sum
+    * window, ties broken by event_id. The sum is exact decimal (value
+    * has 2 decimals): engines are free to associate window sums any way
+    * they like (DuckDB uses segment trees), so only an exact
+    * representation is portable.
+    */
+  def cumulativeValue(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(
+      col("event_id"), col("user_id"),
+      sum(col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").as("cum_value"))
+  }
+
   /** Streaming form of hourlyAgg: watermarked tumbling windows. The
     * caller supplies a readStream DataFrame with the events schema.
     */

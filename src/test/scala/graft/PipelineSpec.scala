@@ -350,4 +350,57 @@ class PipelineSpec extends SparkSpec {
       .head.getString(0)
     assert(out == "this one is long enough. here is another keeper sentence")
   }
+
+  test("binned range join matches the naive theta join") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_shipdate"), col("l_quantity"))
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_until"))
+    val binned = graft.operators.RangeJoin.pointInIntervalTs(
+        li, col("l_shipdate"), orders, col("o_orderdate"), col("o_until"),
+        // bin width intentionally NOT the interval length: intervals
+        // straddle bins, exercising the explode+residual-filter path
+        3 * 86400L)
+      .groupBy(col("o_orderkey")).count()
+    val naive = li.join(orders,
+        col("l_shipdate") >= col("o_orderdate") && col("l_shipdate") < col("o_until"))
+      .groupBy(col("o_orderkey")).count()
+    assert(binned.count() == naive.count())
+    assert(binned.except(naive).isEmpty && naive.except(binned).isEmpty)
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val dim = docsDf.groupBy(col("source")).agg(avg(col("n_chars")).as("src_avg"))
+    val salted = graft.operators.Joins
+      .saltedJoin(docsDf, dim, "source", col("doc_id"), 8)
+      .select(col("doc_id"), col("src_avg"))
+    val plain = docsDf.join(dim, "source").select(col("doc_id"), col("src_avg"))
+    assert(salted.count() == plain.count()) // no row lost or duplicated
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("weighted sample is deterministic, sized, and weight-biased") {
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val s1 = graft.pipeline.Pipeline.weightedSample(docsDf, col("doc_id"),
+      col("n_chars").cast("double"), 50)
+    val s2 = graft.pipeline.Pipeline.weightedSample(docsDf, col("doc_id"),
+      col("n_chars").cast("double"), 50)
+    assert(s1.count() == 50)
+    assert(s1.except(s2).isEmpty) // md5-derived u ⇒ reproducible
+    // A-Res with weight=n_chars must oversample long docs
+    val sampleAvg = s1.agg(avg(col("n_chars"))).head.getDouble(0)
+    val corpusAvg = docsDf.agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampleAvg > corpusAvg,
+      s"sample avg $sampleAvg should exceed corpus avg $corpusAvg")
+  }
+
+  test("funnel stage counts are monotone non-increasing") {
+    val ev = graft.engine.Tables.events(spark, sf)
+    val r = graft.streaming.Events.funnel(ev, Seq("view", "click", "purchase")).head
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p)
+    assert(v > 0) // sf0.001 still has views
+  }
 }

@@ -326,6 +326,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("binned range join plans a hash join, never a nested loop") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_until"))
+    val li = Tables.lineitem(spark, sf).select(col("l_shipdate"), col("l_quantity"))
+    val p = plan(RangeJoin.pointInIntervalTs(
+      li, col("l_shipdate"), orders, col("o_orderdate"), col("o_until"), 7 * 86400L))
+    // the whole point: the range predicate rides an equi-join on the bin
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
+  test("salted join keys on (key, salt) and never broadcasts") {
+    val docsDf = Tables.documents(spark, sf)
+    val dim = docsDf.groupBy(col("source")).agg(avg(col("n_chars")).as("src_avg"))
+    val p = plan(Joins.saltedJoin(docsDf, dim, "source", col("doc_id"), 8))
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("__salt"), p) // the salt is part of the join key
+  }
+
+  test("weighted sample plans TakeOrderedAndProject (no corpus sort)") {
+    val p = plan(graft.pipeline.Pipeline.weightedSample(
+      Tables.documents(spark, sf), col("doc_id"), col("n_chars").cast("double"), 100))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("funnel windows are user-partitioned (no global window)") {
+    val p = plan(graft.streaming.Events.funnel(
+      Tables.events(spark, sf), Seq("view", "click", "purchase")))
+    assert(p.contains("Window ["), p)
+    // every Window node carries a non-empty partition spec (the final
+    // 3-column count is a 1-row aggregate, which is allowed its
+    // bounded-input SinglePartition exchange)
+    assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("dynamic runtime filter pushes down to the parquet scan") {
     import graft.functions.DynamicUdf
     DynamicUdf.registerExpr(spark, "plan_spec_dyn",
