@@ -178,10 +178,13 @@ object Dedup {
     val banded = sig.select(
       col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "key")))
-    // shuffle-join hint: post-explode row count is bands× the planner's
+    // Shuffle-join hint: post-explode row count is bands× the planner's
     // pre-explode estimate, so Catalyst may wrongly broadcast-build an
     // exploded corpus-scale side; the equal-sided shuffle join is the
-    // only strategy that survives any corpus size
+    // only strategy that survives any corpus size. shuffle_merge over
+    // shuffle_hash deliberately: A/B at sf0.1 shows no wall-clock
+    // difference, and sort-merge spills where a hash build (whose
+    // per-partition size is corpus×bands/P) can only grow.
     banded.as("a").hint("shuffle_merge")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
