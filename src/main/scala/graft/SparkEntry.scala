@@ -425,6 +425,10 @@ object SparkEntry {
       graft.streaming.Events.movingAvg(ev(s, d), 3)),
     "events_funnel" -> ((s, d) =>
       graft.streaming.Events.funnel(ev(s, d), Seq("view", "click", "purchase"))),
+    // streaming Misra-Gries (multi-batch stateful sketch; rows-only —
+    // the MG coverage guarantee is property-gated in StreamingSpec)
+    "heavy_mg_stream" -> ((s, d) =>
+      graft.streaming.Events.runHeavyHittersStream(s, d, 8, 4)),
     "events_cumulative" -> ((s, d) =>
       graft.streaming.Events.cumulativeValue(ev(s, d))),
     // weighted sample without replacement (rows-only: sampled by design;

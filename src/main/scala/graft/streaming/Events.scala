@@ -225,6 +225,80 @@ object Events {
       spark.read.parquet(s"$out/data")
     }
 
+  final case class MGRow(shard: Int, user_id: Long)
+  final case class MGState(counters: Map[Long, Long], seen: Long)
+  final case class MGOut(shard: Int, user_id: Long, lower_bound: Long, version: Long)
+
+  /** Streaming Misra-Gries heavy hitters — the streaming twin of the
+    * batch MGFreqKSketch (`heavy_mg`). State per shard is the O(k)
+    * counter map, merged across micro-batches exactly like the batch
+    * Aggregator merges partitions; all occurrences of a key hash to one
+    * shard, so any key with global frequency > shardN/k survives in its
+    * shard's counters (the MG guarantee, preserved across batches).
+    * Each batch emits the shard's current candidates stamped with a
+    * monotone version; the latest version per shard is the final sketch.
+    */
+  def heavyHittersStream(events: Dataset[MGRow], k: Int): Dataset[MGOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[MGState, MGOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard, rows, state: GroupState[MGState]) =>
+          var st = state.getOption.getOrElse(MGState(Map.empty, 0L))
+          var counters = st.counters
+          var seen = st.seen
+          rows.foreach { r =>
+            seen += 1
+            counters.get(r.user_id) match {
+              case Some(c) => counters = counters.updated(r.user_id, c + 1)
+              case None if counters.size < k =>
+                counters = counters.updated(r.user_id, 1L)
+              case None =>
+                // decrement-all step; drop zeroed counters
+                counters = counters.collect {
+                  case (id, c) if c > 1 => id -> (c - 1)
+                }
+            }
+          }
+          val version = seen // cumulative row count: monotone per shard
+          state.update(MGState(counters, version))
+          counters.iterator.map { case (id, c) => MGOut(shard, id, c, version) }
+      }
+  }
+
+  /** Drive heavyHittersStream over the events parquet staged as several
+    * files with maxFilesPerTrigger=1 — real multi-batch state, not a
+    * single-batch degenerate run. Returns the final (latest-version)
+    * candidate set per shard.
+    */
+  def runHeavyHittersStream(
+      spark: SparkSession, dir: String, k: Int, shards: Int): DataFrame =
+    withNanosAsLong(spark) {
+      import spark.implicits._
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_mg_stream")
+      // stage as 4 files so AvailableNow + maxFilesPerTrigger=1 yields
+      // 4 micro-batches carrying state across triggers
+      spark.read.parquet(s"$dir/events.parquet")
+        .repartition(4).write.mode("overwrite").parquet(streamDir.toString)
+      val raw = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      val typed = raw
+        .select(pmod(hash(col("user_id")), lit(shards)).cast("int").as("shard"),
+          col("user_id"))
+        .as[MGRow]
+      val q = heavyHittersStream(typed, k).writeStream
+        .outputMode("update").format("memory").queryName("graft_mg")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val all = spark.table("graft_mg")
+      val latest = all.groupBy(col("shard").as("s"))
+        .agg(max(col("version")).as("v"))
+      all.join(latest, col("shard") === col("s") && col("version") === col("v"))
+        .select(col("shard"), col("user_id"), col("lower_bound"))
+    }
+
   /** Streaming exact dedup: first occurrence of each content hash passes
     * through, later duplicates are dropped — `dropDuplicates` keeps
     * O(distinct) keyed state (bound it with `withWatermark` + an

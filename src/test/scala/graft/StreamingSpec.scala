@@ -41,6 +41,32 @@ class StreamingSpec extends SparkSpec {
     assert(Events.runDedupStreamOnce(spark, sf) == batchDistinct)
   }
 
+  test("streaming Misra-Gries candidates cover every provable heavy hitter") {
+    import org.apache.spark.sql.functions._
+    val k = 3
+    val shards = 4
+    val got = Events.runHeavyHittersStream(spark, sf, k, shards).collect()
+    // at most k surviving counters per shard (MG space bound)
+    got.groupBy(_.getInt(0)).foreach { case (_, rows) => assert(rows.length <= k) }
+    // the MG guarantee across micro-batches: any user with shard-local
+    // frequency > shardN/k must be in its shard's final counters
+    val exact = Tables.events(spark, sf)
+      .select(pmod(hash(col("user_id")), lit(shards)).cast("int").as("shard"),
+        col("user_id"))
+      .groupBy("shard", "user_id").agg(count(lit(1)).as("cnt"))
+    val shardTotals = exact.groupBy("shard").agg(sum("cnt").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val must = exact.collect().filter { r =>
+      r.getLong(2) > shardTotals(r.getInt(0)).toDouble / k
+    }
+    assert(must.nonEmpty, "test data should produce at least one provable HH")
+    val candidates = got.map(r => (r.getInt(0), r.getLong(1))).toSet
+    must.foreach { r =>
+      assert(candidates.contains((r.getInt(0), r.getLong(1))),
+        s"lost heavy hitter user ${r.getLong(1)} in shard ${r.getInt(0)}")
+    }
+  }
+
   test("session stats: session count bounded by event count") {
     val st = Events.sessionStats(Tables.events(spark, sf), 30).collect()
     assert(st.nonEmpty)
