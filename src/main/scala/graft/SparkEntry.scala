@@ -168,6 +168,12 @@ object SparkEntry {
         .agg(round(expr("percentile(__qv, 0.25)"), 4).as("q0"),
           round(expr("percentile(__qv, 0.5)"), 4).as("q1"),
           round(expr("percentile(__qv, 0.75)"), 4).as("q2"))),
+    // percentile_approx twin of hist2d_quantiles (rows-only; tolerance
+    // spec-gated) — bounded per-cell state at scale
+    "hist2d_quantiles_approx" -> ((s, d) =>
+      Histograms.bucketQuantilesApprox2D(li(s, d),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice"), Seq(0.25, 0.5, 0.75))),
     "interval_data_range" -> ((s, d) =>
       li(s, d).agg(
         min(least(col("l_discount"), col("l_tax"))).as("min_lo"),
@@ -425,10 +431,9 @@ object SparkEntry {
       graft.streaming.Events.movingAvg(ev(s, d), 3)),
     "events_funnel" -> ((s, d) =>
       graft.streaming.Events.funnel(ev(s, d), Seq("view", "click", "purchase"))),
-    // streaming Misra-Gries (multi-batch stateful sketch; rows-only —
-    // the MG coverage guarantee is property-gated in StreamingSpec)
-    "heavy_mg_stream" -> ((s, d) =>
-      graft.streaming.Events.runHeavyHittersStream(s, d, 8, 4)),
+    // (the streaming Misra-Gries twin of heavy_mg lives in
+    // streaming/Events.heavyHittersStream — spec-gated like the other
+    // Structured Streaming forms, not benched as a batch query)
     "events_cumulative" -> ((s, d) =>
       graft.streaming.Events.cumulativeValue(ev(s, d))),
     // weighted sample without replacement (rows-only: sampled by design;

@@ -137,4 +137,19 @@ object Histograms {
       .groupBy(bucket.as("bucket"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** 2-D twin of bucketQuantilesApprox (Histogram2DQuantilesSketch's
+    * scale path): bounded sketch state per (b1, b2) cell instead of
+    * buffering every cell value.
+    */
+  def bucketQuantilesApprox2D(
+      df: DataFrame, b1: Column, b2: Column, value: Column,
+      quantiles: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val aggs = quantiles.zipWithIndex.map { case (q, i) =>
+      round(expr(s"percentile_approx(__qv, $q, $accuracy)"), 4).as(s"q$i")
+    }
+    df.withColumn("__qv", value)
+      .groupBy(b1.as("b1"), b2.as("b2"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -189,6 +189,27 @@ class PropertySpec extends SparkSpec {
     assert(!p.contains("percentile(__qv"), p)
   }
 
+  test("approx 2-D bucket quantiles within tolerance, bounded-state plan") {
+    val li = graft.engine.Tables.lineitem(spark, sf)
+      .withColumn("__qv", col("l_extendedprice"))
+    val exact = li
+      .groupBy(col("l_returnflag").as("b1"), col("l_linestatus").as("b2"))
+      .agg(expr("percentile(__qv, 0.5)").as("m"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val approxDf = graft.operators.Histograms.bucketQuantilesApprox2D(
+      graft.engine.Tables.lineitem(spark, sf),
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_extendedprice"), Seq(0.25, 0.5, 0.75))
+    approxDf.collect().foreach { r =>
+      val ex = exact((r.getString(0), r.getString(1)))
+      val a = r.getDouble(3) // q1 = median
+      assert(math.abs(a - ex) / ex < 0.05, s"approx=$a exact=$ex")
+    }
+    val p = approxDf.queryExecution.executedPlan.toString
+    assert(p.contains("approx_percentile") || p.contains("percentile_approx"), p)
+    assert(!p.contains("percentile(__qv"), p)
+  }
+
   test("embedding LSH near-dup recall >= 0.95 vs exact all-pairs") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val exact = graft.ann.Similarity.nearDupPairs(emb, 0.4)
