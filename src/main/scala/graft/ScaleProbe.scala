@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probes: replicate an sf0.1 input N× (with key offsets so
+  * cardinalities scale too) and time an operator — the "would this plan
+  * survive 100×?" check. Wall-clock should grow ~linearly (shuffle-bound
+  * ops) — superlinear growth means a plan that dies at 100 TB.
+  *
+  * Usage: runMain graft.ScaleProbe [probe ...]   (default: all)
+  */
+object ScaleProbe {
+  private val sf = "/root/testdata/sf0.1"
+
+  private def replicate(df: DataFrame, copies: Int, keyCols: Map[String, Long]): DataFrame = {
+    val withRep = df.withColumn("__rep",
+      explode(sequence(lit(0), lit(copies - 1))))
+    keyCols.foldLeft(withRep) { case (d, (c, stride)) =>
+      d.withColumn(c, col(c) + col("__rep").cast("long") * stride)
+    }.drop("__rep")
+  }
+
+  private def time[T](body: => T): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val wanted: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet.contains
+
+    def probe(name: String, copies: Seq[Int])(run: Int => Long): Unit =
+      if (wanted(name)) copies.foreach { c =>
+        // min of 2: the first run absorbs codegen/JIT warm-up
+        val dt = math.min(time(run(c)), time(run(c)))
+        println(f"PROBE $name%-22s x$c%-3d ${dt}%7.2f s")
+      }
+
+    val events = engine.Tables.events(spark, sf).cache()
+    events.count()
+    val docs = engine.Tables.documents(spark, sf).cache()
+    docs.count()
+    val li = engine.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_shipdate", "l_quantity").cache()
+    li.count()
+    val ord = engine.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority").cache()
+    ord.count()
+
+    probe("events_funnel", Seq(1, 20)) { c =>
+      val ev = replicate(events, c, Map("event_id" -> 10000000L, "user_id" -> 1000000L))
+      streaming.Events.funnel(ev, Seq("view", "click", "purchase")).count()
+    }
+
+    probe("range_join_week", Seq(1, 20)) { c =>
+      // points scale ×c; intervals scale ×c on a disjoint key range but
+      // the SAME date axis, so per-bin density (the join's real load)
+      // scales ×c on both sides
+      val points = replicate(li, c, Map("l_orderkey" -> 100000000L))
+      val ivs = replicate(ord, c, Map("o_orderkey" -> 100000000L))
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_until"))
+      operators.RangeJoin.pointInIntervalTs(
+          points.select(col("l_shipdate"), col("l_quantity")), col("l_shipdate"),
+          ivs, col("o_orderdate"), col("o_until"), 7 * 86400L)
+        .groupBy(col("o_orderkey")).count().count()
+    }
+
+    probe("range_join_pts_only", Seq(1, 20)) { c =>
+      // the common shape: the fact side grows, the interval set is fixed
+      val points = replicate(li, c, Map("l_orderkey" -> 100000000L))
+      val ivs = ord
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_until"))
+      operators.RangeJoin.pointInIntervalTs(
+          points.select(col("l_shipdate"), col("l_quantity")), col("l_shipdate"),
+          ivs, col("o_orderdate"), col("o_until"), 7 * 86400L)
+        .groupBy(col("o_orderkey")).count().count()
+    }
+
+    probe("join_skew_salted", Seq(1, 20)) { c =>
+      // replicate WITHOUT touching `source`: the 20 hot keys stay 20 hot
+      // keys, each ×c heavier — the actual skew stress
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      val dim = d.groupBy(col("source")).agg(avg(col("n_chars")).as("src_avg"))
+      operators.Joins.saltedJoin(d, dim, "source", col("doc_id"), 8)
+        .filter(col("n_chars") > col("src_avg"))
+        .groupBy(col("source")).agg(count(lit(1))).count()
+    }
+
+    probe("sample_weighted", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      pipeline.Pipeline.weightedSample(
+        d, col("doc_id"), col("n_chars").cast("double"), 100).count()
+    }
+
+    probe("events_cumulative", Seq(1, 20)) { c =>
+      val ev = replicate(events, c, Map("event_id" -> 10000000L, "user_id" -> 1000000L))
+      streaming.Events.cumulativeValue(ev).count()
+    }
+
+    spark.stop()
+  }
+}
