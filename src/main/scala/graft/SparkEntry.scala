@@ -386,6 +386,13 @@ object SparkEntry {
       graft.sources.Sources.saveRoundTrip(
         li(s, d).filter(col("l_quantity") > 48.0)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))),
+    // hive-layout partitioned sink: write docs partitioned by lang,
+    // re-read, aggregate — proves the layout preserves every row/value
+    // (partition pruning on the re-read is plan-asserted in PlanSpec)
+    "sink_partitioned" -> ((s, d) =>
+      graft.sources.Sources.partitionedRoundTrip(docs(s, d), Seq("lang"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).cast("long").as("total_chars"))),
 
     // ── more histograms / matrices / udf / quantization / windows ──────
     "hist_3d" -> ((s, d) =>
@@ -1149,6 +1156,9 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
     "save_roundtrip" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 48.0",
+    "sink_partitioned" ->
+      """SELECT lang, source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "hist_3d" ->
       """SELECT LEAST(CAST(FLOOR((l_quantity - 0.0) / ((50.0 - 0.0) / 5.0)) AS INT), 4) AS bx,
         |LEAST(CAST(FLOOR((l_discount - 0.0) / ((0.1 - 0.0) / 3.0)) AS INT), 2) AS by,

@@ -170,6 +170,19 @@ object Sources {
     df.sparkSession.read.format(format).load(dir)
   }
 
+  /** Hive-layout partitioned sink + re-read: `partitionBy(cols)` lays
+    * the output out as `col=value/` directories so later reads prune
+    * whole partitions at planning time — the layout every selective
+    * re-read of a 100 TB corpus depends on (filter by lang/split/date
+    * without touching the other partitions' files). Returns the re-read
+    * frame; partition pruning on it is plan-asserted in PlanSpec.
+    */
+  def partitionedRoundTrip(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val dir = rtDir("partitioned_" + cols.mkString("_"))
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
+
   /** CSV round-trip through a hillview `.schema` file: write the frame
     * as headered CSV plus its schema JSON, then read it back with the
     * schema parsed from that file — exercises writer, schema
