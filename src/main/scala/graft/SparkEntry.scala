@@ -890,7 +890,7 @@ object SparkEntry {
         |per AS (SELECT doc_id, count(*) AS n FROM g JOIN nd USING (gram) GROUP BY 1)
         |SELECT w.doc_id, CAST(len(ws) - 4 AS BIGINT) AS n_windows,
         |  coalesce(per.n, 0) AS n_dup_windows,
-        |  floor(CAST(coalesce(per.n, 0) AS DOUBLE) / (len(ws) - 4) * 10000) / 10000 AS dup_frac
+        |  CAST(coalesce(per.n, 0) * 10000 // (len(ws) - 4) AS DOUBLE) / CAST(10000 AS DOUBLE) AS dup_frac
         |FROM w LEFT JOIN per USING (doc_id) WHERE len(ws) >= 5""".stripMargin,
     "sentence_filter" ->
       """SELECT doc_id, array_to_string(
@@ -1238,17 +1238,21 @@ object SparkEntry {
         |SELECT t.doc_id, count(*) AS n_shared_ngrams
         |FROM (SELECT * FROM sh WHERE doc_id % 50 <> 7) t
         |JOIN ev ON t.shingle = ev.shingle GROUP BY 1""".stripMargin,
+    // truncated ratios via exact integer division (k = num*10^4 // den,
+    // then k/10000.0): bit-identical to Spark's frac4 — the floor(double)
+    // form disagreed one ulp below the 1e-4 grid on boundary fractions
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |tok AS (SELECT doc_id, len(ws) AS n_tokens,
-        |    floor((1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 10000) / 10000 AS dup_token_frac
+        |    CAST((len(ws) - len(list_distinct(ws))) * 10000 // len(ws) AS DOUBLE)
+        |      / CAST(10000 AS DOUBLE) AS dup_token_frac
         |  FROM w WHERE len(ws) >= 2),
         |g AS (SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]) AS gram
         |  FROM w WHERE len(ws) >= 2),
         |pg AS (SELECT doc_id, gram, count(*) AS ct FROM g GROUP BY 1, 2),
         |gs AS (SELECT doc_id, sum(ct) AS n_2grams, max(ct) AS top_2gram_ct FROM pg GROUP BY 1)
         |SELECT t.doc_id, t.n_tokens, t.dup_token_frac, gs.n_2grams, gs.top_2gram_ct,
-        |  floor(CAST(top_2gram_ct AS DOUBLE) / n_2grams * 10000) / 10000 AS top_2gram_frac
+        |  CAST(top_2gram_ct * 10000 // n_2grams AS DOUBLE) / CAST(10000 AS DOUBLE) AS top_2gram_frac
         |FROM tok t JOIN gs USING (doc_id)""".stripMargin,
     "ann_topk_quantized" ->
       """WITH b AS (SELECT vec_id, embedding,
@@ -1344,13 +1348,24 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
         |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // exact 1e-4 integer-grid ratios (num*10^4 // den), widened to double
+    // once — mirrors TextAnalysis.quality's divE4 bit-for-bit
     "text_quality" ->
-      """SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens,
-        |floor(((length(text) - (len(string_split(lower(text), ' ')) - 1)) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 10000.0) / 10000.0 AS mean_token_len,
-        |floor((len(list_filter(string_split(lower(text), ' '), x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of')) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 10000.0) / 10000.0 AS stopword_ratio,
-        |floor((LEAST(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.7 +
-        |  LEAST(len(list_filter(string_split(lower(text), ' '), x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of')) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 10.0, 1.0) * 0.3) * 10000.0) / 10000.0 AS quality_score
-        |FROM documents""".stripMargin,
+      """WITH b AS (SELECT doc_id, length(text) AS len,
+        |    len(string_split(lower(text), ' ')) AS n,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of')) AS stop
+        |  FROM documents),
+        |e AS (SELECT doc_id, n,
+        |    (len - (n - 1)) * 10000 // n AS mlen_e4,
+        |    stop * 10000 // n AS stop_e4,
+        |    (LEAST(n * 100, 10000) * 7 + LEAST(stop * 100000 // n, 10000) * 3) // 10 AS score_e4
+        |  FROM b)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST(mlen_e4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS mean_token_len,
+        |  CAST(stop_e4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS stopword_ratio,
+        |  CAST(score_e4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS quality_score
+        |FROM e""".stripMargin,
     "text_tokens" ->
       """SELECT source, count(*) AS n_docs,
         |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

@@ -40,19 +40,24 @@ object TextAnalysis {
     val nTok = size(t)
     val stop = size(filter(t, w =>
       w === "the" || w === "a" || w === "and" || w === "of"))
-    val meanLen = (length(col("text")) - (nTok - lit(1))).cast("double") / nTok
-    // floor-truncation instead of round: ratio metrics land on exact
-    // .5 boundaries often, where Spark's and an oracle engine's double
-    // rounding can disagree; floor(x*10^4)/10^4 is bit-stable.
-    def trunc4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
+    // All ratio metrics are defined on an exact 1e-4 integer grid
+    // (num·10⁴ div den, then one k/10000.0 division) — see
+    // repetitionSignals.frac4 for why floor(double·10⁴) is NOT
+    // engine-stable at grid boundaries.
+    val lenE4 = (length(col("text")) - (nTok - lit(1))).cast("long") * lit(10000L)
+    val stopE4 = stop.cast("long") * lit(10000L)
+    def divE4(numE4: Column, den: Column): Column =
+      ((numE4 - pmod(numE4, den)) / den).cast("long")
+    val stopRatioE4 = divE4(stopE4, nTok.cast("long"))
+    // composite score on the same grid: 0.7·min(n/100,1) + 0.3·min(10·stop/n,1)
+    val scoreE4 = (least(nTok.cast("long") * lit(100L), lit(10000L)) * lit(7L) +
+      least(divE4(stopE4 * lit(10L), nTok.cast("long")), lit(10000L)) * lit(3L))
     docs.select(
       col("doc_id"),
       nTok.as("n_tokens"),
-      trunc4(meanLen).as("mean_token_len"),
-      trunc4(stop.cast("double") / nTok).as("stopword_ratio"),
-      trunc4(
-        least(nTok.cast("double") / lit(100.0), lit(1.0)) * lit(0.7) +
-          least(stop.cast("double") / nTok * lit(10.0), lit(1.0)) * lit(0.3))
+      (divE4(lenE4, nTok.cast("long")) / lit(10000.0)).as("mean_token_len"),
+      (stopRatioE4 / lit(10000.0)).as("stopword_ratio"),
+      (((scoreE4 - pmod(scoreE4, lit(10L))) / lit(10L)).cast("long") / lit(10000.0))
         .as("quality_score"))
   }
 
@@ -151,13 +156,20 @@ object TextAnalysis {
     * costs 10k rows, not 10⁸ comparisons.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    def trunc4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
+    // Truncated ratios are computed with exact *integer* division
+    // (num·10⁴ div den) and only then widened to double: k/10000.0 is a
+    // single correctly-rounded IEEE op, bit-identical on every engine.
+    // The earlier floor((1.0 - d/n)·10⁴) form sat one ulp below the grid
+    // on boundary fractions (1 - 8/10 → 1999 vs 2000) and disagreed
+    // between engines depending on constant-folding order.
+    def frac4(num: Column, den: Column): Column =
+      ((num * lit(10000L)) - pmod(num * lit(10000L), den)) / den / lit(10000.0)
     val t = tokens(col("text"))
     val rowStats = docs.select(
       col("doc_id"),
       size(t).as("n_tokens"),
-      trunc4(lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
-        .as("dup_token_frac"))
+      frac4((size(t) - size(array_distinct(t))).cast("long"),
+        size(t).cast("long")).as("dup_token_frac"))
     val words = col("__words")
     val grams = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("__words"))
@@ -172,8 +184,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("ct")).as("n_2grams"), max(col("ct")).as("top_2gram_ct"))
       .select(col("doc_id"), col("n_2grams"), col("top_2gram_ct"),
-        trunc4(col("top_2gram_ct").cast("double") / col("n_2grams"))
-          .as("top_2gram_frac"))
+        frac4(col("top_2gram_ct"), col("n_2grams")).as("top_2gram_frac"))
     rowStats.join(gramStats, Seq("doc_id"))
   }
 
@@ -269,8 +280,10 @@ object TextAnalysis {
         Seq("doc_id"), "right")
       .select(col("doc_id"), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        (floor(coalesce(col("n_dup_windows"), lit(0L)).cast("double")
-          / col("n_windows") * lit(10000.0)) / lit(10000.0)).as("dup_frac"))
+        // exact-grid ratio, see repetitionSignals.frac4
+        (((coalesce(col("n_dup_windows"), lit(0L)) * lit(10000L) -
+          pmod(coalesce(col("n_dup_windows"), lit(0L)) * lit(10000L), col("n_windows")))
+          / col("n_windows")).cast("long") / lit(10000.0)).as("dup_frac"))
   }
 
   /** C4-style rule cleaning at sentence granularity: split on ". ", keep

@@ -101,6 +101,23 @@ class PipelineSpec extends SparkSpec {
     assert(sig(1).getAs[Double]("top_2gram_frac") > 0.5)
   }
 
+  test("repetition fractions land exactly on the 1e-4 grid at boundary ratios") {
+    // (n, d): n tokens of which d distinct — engineered so 1 - d/n sits
+    // exactly on a k/10^4 grid line, where a floor(double*1e4) form sits
+    // one ulp short (1 - 8/10 -> 0.19999999999999996 -> 1999 not 2000).
+    val cases = Seq((10, 8), (25, 17), (16, 12), (5, 4), (20, 15), (1000, 993))
+    val rows = cases.zipWithIndex.map { case ((n, d), i) =>
+      (i.toLong, ((0 until d).map(j => s"w$j") ++ Seq.fill(n - d)("w0")).mkString(" "))
+    }
+    val out = TextAnalysis.repetitionSignals(rows.toDF("doc_id", "text"))
+      .select("doc_id", "n_tokens", "dup_token_frac").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    cases.zipWithIndex.foreach { case ((n, d), i) =>
+      val expect = ((n - d).toLong * 10000L / n).toDouble / 10000.0
+      assert(out(i.toLong) == ((n, expect)), s"n=$n d=$d got=${out(i.toLong)}")
+    }
+  }
+
   test("PII redaction scrubs emails, phones, IPs; leaves prose and versions") {
     val d = docsDF(Seq(
       "mail bob.smith+x@corp.example.org now",
