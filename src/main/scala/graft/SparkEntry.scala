@@ -457,6 +457,14 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => graft.dedup.Dedup.exactGroups(docs(s, d))),
     "dedup_jaccard_3gram" -> ((s, d) =>
       graft.dedup.Dedup.jaccardPairs(docs(s, d), 3, 0.5, Long.MaxValue)),
+    // df-cut path actually exercised: every doc is salted with a common
+    // tail phrase, whose fully-interior shingle lands in ALL docs and is
+    // dropped by the maxShingleDocs=50 cut (groupBy → broadcast
+    // anti-join, no skewed-key window). Set sizes stay pre-cut.
+    "dedup_jaccard_dfcut" -> ((s, d) =>
+      graft.dedup.Dedup.jaccardPairs(
+        docs(s, d).withColumn("text",
+          concat(col("text"), lit(" zz common tail"))), 3, 0.5, 50L)),
     "dedup_minhash_lsh" -> ((s, d) =>
       graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5)),
     // default 9 single-chunk bands: fastest at this corpus size; the
@@ -1228,6 +1236,22 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_jaccard_3gram" -> shingleCte,
+    // mirrors jaccardPairs' df-cut semantics: per-doc set sizes are
+    // computed BEFORE the cut, shared counts AFTER it
+    "dedup_jaccard_dfcut" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split(lower(text || ' zz common tail'), ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM
+        |  (SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS shingle
+        |   FROM w WHERE len(ws) >= 3)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |dfc AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1) WHERE df <= 50),
+        |cut AS (SELECT doc_id, shingle FROM sh JOIN dfc USING (shingle)),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM cut a JOIN cut b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(shared / (sa.sz + sb.sz - shared), 4) AS jaccard
+        |FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5""".stripMargin,
     "dedup_minhash_lsh" -> shingleCte,
     "decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),

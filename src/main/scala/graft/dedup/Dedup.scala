@@ -96,14 +96,22 @@ object Dedup {
       .filter(size(col("shs")) > 0)
     val sh0 = sets.select(col("doc_id"), size(col("shs")).as("sz"),
       explode(col("shs")).as("shingle"))
-    // optional df-cut of ubiquitous shingles (skew guard); one window on
-    // the shingle key, only when a cut is requested
+    // optional df-cut of ubiquitous shingles (skew guard). NOT a window
+    // over the shingle key: a ubiquitous shingle ("of the") is exactly
+    // the key whose partition won't fit one task — the rows the cut
+    // exists to drop would all land in a single window partition. A
+    // groupBy fully map-side-combines, the surviving hot-key list is
+    // tiny by construction (shingles in > maxShingleDocs docs), and the
+    // broadcast anti-join removes them with no skewed shuffle at all.
     val sh =
       if (maxShingleDocs == Long.MaxValue) sh0
-      else sh0.withColumn("__df",
-            count(lit(1)).over(
-              org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-          .filter(col("__df") <= maxShingleDocs).drop("__df")
+      else {
+        val hot = sh0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDocs)
+          .select(col("shingle"))
+        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
     sh.as("a").hint("shuffle_merge")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

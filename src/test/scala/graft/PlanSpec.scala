@@ -212,6 +212,17 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("jaccard df-cut: no window over the skewed shingle key, hot list broadcast") {
+    val salted = Tables.documents(spark, sf)
+      .withColumn("text", concat(col("text"), lit(" zz common tail")))
+    val df = graft.dedup.Dedup.jaccardPairs(salted, 3, 0.5, 50L)
+    val p = plan(df)
+    // the cut must be aggregate + broadcast anti-join: a window over the
+    // shingle key puts every occurrence of a ubiquitous shingle in one task
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
   test("repetition signals: gram mode is aggregate-shaped, no row-local O(len^2)") {
     val df = graft.text.TextAnalysis.repetitionSignals(Tables.documents(spark, sf))
     val p = plan(df)
