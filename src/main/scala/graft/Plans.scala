@@ -38,13 +38,18 @@ object Plans {
     sb ++= "broadcast only on genuinely small sides, WholeStageCodegen spans,\n"
     sb ++= "and NO `Exchange SinglePartition` on data-sized inputs.\n\n"
     names.foreach { name =>
-      SparkEntry.queries.get(name).foreach { fn =>
-        try {
-          val p = fn(spark, sfDir).queryExecution.explainString(FormattedMode)
-          sb ++= s"## $name\n\n```\n$p\n```\n\n"
-        } catch {
-          case e: Throwable => sb ++= s"## $name\n\nFAILED: ${e.getMessage}\n\n"
-        }
+      SparkEntry.queries.get(name) match {
+        case None =>
+          // a typo'd name must be visible in the evidence file, not a
+          // silently absent section
+          sb ++= s"## $name\n\nMISSING: no such query in SparkEntry.queries\n\n"
+        case Some(fn) =>
+          try {
+            val p = fn(spark, sfDir).queryExecution.explainString(FormattedMode)
+            sb ++= s"## $name\n\n```\n$p\n```\n\n"
+          } catch {
+            case e: Throwable => sb ++= s"## $name\n\nFAILED: ${e.getMessage}\n\n"
+          }
       }
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)

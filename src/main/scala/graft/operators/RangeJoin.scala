@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim
 
 /** Binned range join: point-in-interval matching without a cross product.
   *
@@ -32,12 +33,18 @@ object RangeJoin {
     * the point. `pointUs`, `loUs`, `hiUs` are on a common numeric axis
     * (e.g. epoch micros); `binWidth` in the same unit.
     */
-  /** Exact floor-division bin id for non-negative long axes: subtracting
-    * `pmod` first keeps every intermediate an exact integer in double,
-    * so boundary values can't misbin from FP rounding.
+  /** Exact floor-division bin id: subtract `pmod` (non-negative
+    * remainder) so the numerator is the exact floor multiple, then
+    * integral-divide. All-integer arithmetic — a double division here
+    * misbins once the axis exceeds 2^53 (epoch *nanos* are ~1.7e18, well
+    * past it), silently dropping matching pairs at bin boundaries.
     */
-  private def binOf(c: Column, w: Long): Column =
-    ((c.cast("long") - pmod(c.cast("long"), lit(w))) / lit(w)).cast("long")
+  private def binOf(c: Column, w: Long): Column = {
+    val cl = graftshim.columnToExpr(c.cast("long") - pmod(c.cast("long"), lit(w)))
+    graftshim.exprToColumn(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        cl, graftshim.columnToExpr(lit(w))))
+  }
 
   def pointInInterval(
       points: DataFrame, pointCol: Column,
@@ -45,7 +52,11 @@ object RangeJoin {
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val p = points.withColumn("__bin", binOf(pointCol, binWidth))
-    val iv = intervals.withColumn("__bin",
+    // empty/inverted intervals ([lo, hi) with hi <= lo) match nothing by
+    // definition; without the pre-filter, sequence(binLo, binHi) with
+    // binHi < binLo generates a DESCENDING bin list — spurious rows at
+    // best, a sequence-length blowup (hi << lo) at worst.
+    val iv = intervals.filter(hiCol > loCol).withColumn("__bin",
       explode(sequence(binOf(loCol, binWidth), binOf(hiCol - lit(1), binWidth))))
     p.join(iv, p("__bin") === iv("__bin") && pointCol >= loCol && pointCol < hiCol)
       .drop("__bin")

@@ -142,8 +142,11 @@ object Pipeline {
     // u in (0,1): 60-bit hash scaled; +0.5 keeps u strictly inside (0,1)
     val u = (keyHash(key).cast("double") + lit(0.5)) / lit((1L << 60).toDouble)
     // log-domain score: ln(u)/w is monotone in u^(1/w) and avoids
-    // pow() underflow for tiny weights
-    df.withColumn("__score", log(u) / weight)
+    // pow() underflow for tiny weights. A-Res is defined only for w > 0:
+    // w <= 0 would score +Inf (ln(u)<0 / negative w) and silently win
+    // every draw, so non-positive weights are excluded up front.
+    df.filter(weight > lit(0.0))
+      .withColumn("__score", log(u) / weight)
       .orderBy(col("__score").desc)
       .limit(n)
       .drop("__score")

@@ -387,6 +387,28 @@ class PipelineSpec extends SparkSpec {
     assert(binned.except(naive).isEmpty && naive.except(binned).isEmpty)
   }
 
+  test("range join bins exactly past 2^53 (nanos axis) and skips inverted intervals") {
+    // pick an axis value beyond 2^53 whose exact bin multiple is NOT
+    // double-representable: the old double-division binOf misbinned it
+    // (flips when the quotient's ulp is below the numerator's rounding
+    // error — i.e. small bin widths, like 1 µs bins on a nanos axis)
+    val w = 1000L // 1µs in nanos
+    val k = (0L to 5000L).map(_ + 1700000000000000L)
+      .find(k => ((k * w).toDouble / w.toDouble).toLong != k)
+      .getOrElse(fail("no witness value found"))
+    val t = k * w // exactly on a bin boundary, ~1.7e18 > 2^53
+    val pts = Seq((1L, t)).toDF("pid", "ts")
+    val ivs = Seq(
+      (10L, t, t + w),        // contains the point
+      (11L, t + w, t),        // inverted: must produce nothing, not blow up
+      (12L, t + w, t - 5 * w) // badly inverted (old code: huge desc sequence)
+    ).toDF("iid", "lo", "hi")
+    val got = graft.operators.RangeJoin
+      .pointInInterval(pts, col("ts"), ivs, col("lo"), col("hi"), w)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 10L)), got.toSeq.toString)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
     val dim = docsDf.groupBy(col("source")).agg(avg(col("n_chars")).as("src_avg"))
