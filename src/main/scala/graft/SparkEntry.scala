@@ -659,7 +659,13 @@ object SparkEntry {
         prt(s, d).select(
           col("p_partkey").cast("string"),
           col("p_retailprice").cast("string"),
-          col("p_name").cast("string")))),
+          col("p_name").cast("string"),
+          // well-formed yyyy-MM-dd strings: exercises the Date rung of
+          // the lattice (zero-padded so strict java.time and a laxer
+          // oracle strptime agree)
+          date_format(
+            date_add(to_date(lit("1992-01-01")), pmod(col("p_partkey"), lit(2000)).cast("int")),
+            "yyyy-MM-dd").as("p_pseudo_date")))),
 
     // ── federated JDBC (JdbcDatabase.java) against embedded Derby ──────
     // fixture: customer.parquet loaded into an in-memory database once per
@@ -837,6 +843,40 @@ object SparkEntry {
       |SELECT id_a, id_b, round(shared / (sa.sz + sb.sz - shared), 4) AS jaccard
       |FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
       |WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5""".stripMargin
+
+  /** Inference-lattice oracle, generated per column: None → Integer →
+    * Double → Date → String. The Date rung mirrors guessSchema's
+    * single-format-per-column rule as least() over per-format failure
+    * counts (DuckDB try_strptime ↔ Spark try_to_timestamp).
+    */
+  private val schemaInferOracle: String = {
+    val cols = Seq("p_partkey" -> "c1", "p_retailprice" -> "c2",
+      "p_name" -> "c3", "p_pseudo_date" -> "c4")
+    val fmts = Seq("%Y-%m-%d", "%Y/%m/%d", "%m/%d/%Y",
+      "%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S")
+    def block(name: String, c: String): String = {
+      val p = s"$c IS NOT NULL AND $c <> ''"
+      val nds = fmts.zipWithIndex.map { case (f, i) =>
+        s"count(CASE WHEN $p AND try_strptime($c, '$f') IS NULL THEN 1 END) AS nd$i"
+      }.mkString(", ")
+      s"SELECT '$name' AS col_name, " +
+        s"count(CASE WHEN $p THEN 1 END) AS n, " +
+        s"count(CASE WHEN $p AND NOT regexp_matches($c, '^-?\\d{1,18}$$') THEN 1 END) AS notint, " +
+        s"count(CASE WHEN $p AND NOT regexp_matches($c, '^-?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$$') THEN 1 END) AS notdbl, " +
+        s"$nds FROM s"
+    }
+    val blocks = cols.map { case (n, c) => block(n, c) }.mkString("\n  UNION ALL ")
+    s"""WITH s AS (SELECT CAST(p_partkey AS VARCHAR) AS c1,
+       |  CAST(p_retailprice AS VARCHAR) AS c2, CAST(p_name AS VARCHAR) AS c3,
+       |  strftime(DATE '1992-01-01' + CAST(p_partkey % 2000 AS INT), '%Y-%m-%d') AS c4
+       |  FROM part),
+       |k AS (
+       |  $blocks)
+       |SELECT col_name, CASE WHEN n = 0 THEN 'None' WHEN notint = 0 THEN 'Integer'
+       |  WHEN notdbl = 0 THEN 'Double'
+       |  WHEN least(nd0, nd1, nd2, nd3, nd4) = 0 THEN 'Date'
+       |  ELSE 'String' END AS kind FROM k""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1466,27 +1506,7 @@ object SparkEntry {
     // (GuessSchema.java:74-137) evaluated in SQL over the same
     // stringified columns — checks the inference itself, not a
     // hardcoded expected answer
-    "schema_infer" ->
-      """WITH s AS (SELECT CAST(p_partkey AS VARCHAR) AS c1,
-        |  CAST(p_retailprice AS VARCHAR) AS c2, CAST(p_name AS VARCHAR) AS c3 FROM part),
-        |k AS (
-        |  SELECT 'p_partkey' AS col_name,
-        |    count(CASE WHEN c1 IS NOT NULL AND c1 <> '' THEN 1 END) AS n,
-        |    count(CASE WHEN c1 IS NOT NULL AND c1 <> '' AND NOT regexp_matches(c1, '^-?\d{1,18}$') THEN 1 END) AS notint,
-        |    count(CASE WHEN c1 IS NOT NULL AND c1 <> '' AND NOT regexp_matches(c1, '^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$') THEN 1 END) AS notdbl
-        |  FROM s
-        |  UNION ALL SELECT 'p_retailprice',
-        |    count(CASE WHEN c2 IS NOT NULL AND c2 <> '' THEN 1 END),
-        |    count(CASE WHEN c2 IS NOT NULL AND c2 <> '' AND NOT regexp_matches(c2, '^-?\d{1,18}$') THEN 1 END),
-        |    count(CASE WHEN c2 IS NOT NULL AND c2 <> '' AND NOT regexp_matches(c2, '^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$') THEN 1 END)
-        |  FROM s
-        |  UNION ALL SELECT 'p_name',
-        |    count(CASE WHEN c3 IS NOT NULL AND c3 <> '' THEN 1 END),
-        |    count(CASE WHEN c3 IS NOT NULL AND c3 <> '' AND NOT regexp_matches(c3, '^-?\d{1,18}$') THEN 1 END),
-        |    count(CASE WHEN c3 IS NOT NULL AND c3 <> '' AND NOT regexp_matches(c3, '^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$') THEN 1 END)
-        |  FROM s)
-        |SELECT col_name, CASE WHEN n = 0 THEN 'None' WHEN notint = 0 THEN 'Integer'
-        |  WHEN notdbl = 0 THEN 'Double' ELSE 'String' END AS kind FROM k""".stripMargin,
+    "schema_infer" -> schemaInferOracle,
     // federated JDBC: the database's own answers (embedded Derby) must
     // equal DuckDB computing the same pushed SQL over the parquet original
     "jdbc_roundtrip" ->

@@ -75,10 +75,24 @@ object Sources {
     }
   }
 
+  /** Candidate date/datetime formats for the inference lattice, in the
+    * reference's try-in-order style (utils/DateParsing.java:29 guesses
+    * one format per column from a fixed list). `true` marks formats
+    * carrying a time-of-day. Patterns are java.time (strict 2-digit
+    * fields); an oracle engine's strptime may be laxer on 1-digit
+    * values, so gated inputs should be zero-padded.
+    */
+  private val dateFormats: Seq[(String, Boolean)] = Seq(
+    ("yyyy-MM-dd", false), ("yyyy/MM/dd", false), ("MM/dd/yyyy", false),
+    ("yyyy-MM-dd HH:mm:ss", true), ("yyyy-MM-dd'T'HH:mm:ss", true))
+
   /** Hillview's CSV type-inference lattice (GuessSchema.java:74-137):
-    * None → Integer → Double → String, promoted per column by what all
-    * non-empty values can parse as. One distributed aggregation pass
-    * over the string table (every() of parse predicates per column).
+    * None → Integer → Double → Date → String, promoted per column by
+    * what all non-empty values can parse as. Date follows the
+    * reference's single-format-per-column rule: some ONE format from
+    * [[dateFormats]] must parse every value (a half-ISO, half-US column
+    * stays String). One distributed aggregation pass over the string
+    * table (every() of parse predicates per column).
     */
   def guessSchema(raw: DataFrame): StructType = {
     val intRe = "^-?\\d{1,18}$"
@@ -89,16 +103,26 @@ object Sources {
       Seq(
         count(when(present, 1)).as(s"__n_$c"),
         count(when(present && !v.rlike(intRe), 1)).as(s"__notint_$c"),
-        count(when(present && !v.rlike(dblRe), 1)).as(s"__notdbl_$c"))
+        count(when(present && !v.rlike(dblRe), 1)).as(s"__notdbl_$c")) ++
+        dateFormats.zipWithIndex.map { case ((fmt, _), i) =>
+          count(when(present && try_to_timestamp(v, lit(fmt)).isNull, 1))
+            .as(s"__notdate${i}_$c")
+        }
     }
     val r = raw.agg(aggs.head, aggs.tail: _*).head()
     StructType(raw.columns.map { c =>
       val n = r.getAs[Long](s"__n_$c")
+      lazy val dateHit = dateFormats.indices
+        .find(i => r.getAs[Long](s"__notdate${i}_$c") == 0L)
       val t =
         if (n == 0L) NullType
         else if (r.getAs[Long](s"__notint_$c") == 0L) IntegerType
         else if (r.getAs[Long](s"__notdbl_$c") == 0L) DoubleType
-        else StringType
+        else dateHit match {
+          case Some(i) if dateFormats(i)._2 => TimestampType
+          case Some(_)                      => DateType
+          case None                         => StringType
+        }
       StructField(c, t, nullable = true)
     })
   }
@@ -213,10 +237,11 @@ object Sources {
     val inferred = guessSchema(raw)
     inferred.fields.toSeq.map { f =>
       val kind = f.dataType match {
-        case NullType    => "None"
-        case IntegerType => "Integer"
-        case DoubleType  => "Double"
-        case _           => "String"
+        case NullType                  => "None"
+        case IntegerType               => "Integer"
+        case DoubleType                => "Double"
+        case DateType | TimestampType  => "Date"
+        case _                         => "String"
       }
       (f.name, kind)
     }.toDF("col_name", "kind")

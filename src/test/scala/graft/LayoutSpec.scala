@@ -71,4 +71,19 @@ class LayoutSpec extends SparkSpec {
     assert(st("s").dataType == org.apache.spark.sql.types.StringType)
     assert(st("e").dataType == org.apache.spark.sql.types.NullType)
   }
+
+  test("inference lattice: Date rung between Double and String") {
+    import spark.implicits._
+    val raw = Seq(
+      ("2024-01-15", "01/15/2024", "2024-01-15 10:30:00", "2024-01-15"),
+      ("1999-12-31", "12/31/1999", "1999-12-31 23:59:59", "12/31/1999"),
+      ("2000-02-29", "02/29/2000", "2000-02-29 00:00:00", "2000-02-29")
+    ).toDF("iso", "us", "dt", "mixed")
+    val st = graft.sources.Sources.guessSchema(raw)
+    assert(st("iso").dataType == org.apache.spark.sql.types.DateType)
+    assert(st("us").dataType == org.apache.spark.sql.types.DateType)
+    assert(st("dt").dataType == org.apache.spark.sql.types.TimestampType)
+    // single-format-per-column rule: a half-ISO half-US column is String
+    assert(st("mixed").dataType == org.apache.spark.sql.types.StringType)
+  }
 }
