@@ -419,6 +419,17 @@ object SparkEntry {
         .groupBy(graft.functions.Quantization.quantize(col("l_extendedprice"), 10000.0)
           .as("qbucket"))
         .agg(count(lit(1)).as("cnt"))),
+    // QuantizedTable on a STRING axis (StringColumnQuantization.java:28):
+    // names snapped to a letter grid before the histogram sees them
+    "dp_quantized_hist_str" -> ((s, d) =>
+      prt(s, d)
+        .groupBy(graft.functions.Quantization.quantizeString(col("p_name"),
+          Seq("a", "e", "i", "o", "u"), "zzzzzz").as("qbucket"))
+        .agg(count(lit(1)).as("cnt"))),
+    // NoisyHLogLog: rows-only (sketch + seeded noise); zero-noise twin
+    // equals hll_distinct, radius composition property-gated
+    "dp_noisy_distinct" -> ((s, d) =>
+      graft.functions.Quantization.noisyDistinct(li(s, d), "l_partkey", 0.05, 5.0)),
     // DPHistogram semantics: per-bucket Laplace noise on the quantized
     // counts (deterministic hash-seeded noise → reproducible; rows-only
     // gate, noise distribution property-tested)
@@ -1240,6 +1251,12 @@ object SparkEntry {
     "dp_quantized_hist" ->
       """SELECT FLOOR(l_extendedprice / 10000.0) * 10000.0 AS qbucket, count(*) AS cnt
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "dp_quantized_hist_str" ->
+      """SELECT CASE WHEN p_name IS NULL OR p_name > 'zzzzzz' THEN NULL
+        |  WHEN p_name >= 'u' THEN 'u' WHEN p_name >= 'o' THEN 'o'
+        |  WHEN p_name >= 'i' THEN 'i' WHEN p_name >= 'e' THEN 'e'
+        |  WHEN p_name >= 'a' THEN 'a' ELSE NULL END AS qbucket, count(*) AS cnt
+        |FROM part GROUP BY 1""".stripMargin,
     "events_moving_avg" ->
       """SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id
         |ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg

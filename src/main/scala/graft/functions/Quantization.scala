@@ -15,6 +15,40 @@ object Quantization {
   def quantize(c: Column, granularity: Double): Column =
     floor(c / lit(granularity)) * lit(granularity)
 
+  /** String-column quantization (table/columns/StringColumnQuantization
+    * .java:28): snap each value to the largest grid boundary <= it;
+    * values below the first boundary or above `globalMax` are
+    * out-of-range (null — the reference routes them to its missing
+    * bucket). The sorted boundary list unrolls to a codegen'd CASE chain
+    * — bounded vocab, zero shuffle, so DP histograms work on string axes
+    * exactly like numeric ones.
+    */
+  def quantizeString(c: Column, boundaries: Seq[String], globalMax: String): Column = {
+    require(boundaries.nonEmpty, "need at least one boundary")
+    require(boundaries == boundaries.sorted, "boundaries must be sorted")
+    val snapped = boundaries.foldLeft(lit(null).cast("string")) {
+      (acc, b) => when(c >= lit(b), lit(b)).otherwise(acc)
+    }
+    when(c.isNull || c > lit(globalMax), lit(null).cast("string")).otherwise(snapped)
+  }
+
+  /** NoisyHLogLog (sketches/results/NoisyHLogLog.java:12): distinct
+    * count with a confidence radius, optionally Laplace-noised for DP.
+    * The HLL++ estimate contributes z·rsd·count to the 95% radius; a
+    * nonzero noise scale adds the Laplace 95% quantile b·ln(20)
+    * (reference default is the zero-noise path, scale = 0 → exact
+    * sketch value, radius purely from the sketch error).
+    */
+  def noisyDistinct(df: org.apache.spark.sql.DataFrame, column: String,
+      rsd: Double = 0.05, noiseScale: Double = 0.0, seed: Long = 42L)
+      : org.apache.spark.sql.DataFrame =
+    df.agg(approx_count_distinct(col(column), rsd).as("__raw"))
+      .select(
+        round(col("__raw") +
+          laplaceNoise(lit(column), noiseScale, seed), 4).as("noisy_distinct"),
+        round(lit(1.96 * rsd) * col("__raw") +
+          lit(noiseScale * math.log(20.0)), 4).as("conf_radius"))
+
   /** Deterministic pseudo-Laplace noise from a seed column — for DP
     * histogram counts. scale=0 → exact (the default, as in the
     * reference's NoisyHLogLog/DPHistogram zero-noise path).

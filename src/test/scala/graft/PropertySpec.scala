@@ -116,6 +116,35 @@ class PropertySpec extends SparkSpec {
     assert(a.sameElements(b) && a.exists(_ != 0.0))
   }
 
+  test("noisy distinct: zero noise equals the bare sketch; radius composes") {
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val raw = li.agg(approx_count_distinct(col("l_partkey"), 0.05)).head.getLong(0)
+    val zero = graft.functions.Quantization.noisyDistinct(li, "l_partkey", 0.05, 0.0).head
+    assert(zero.getDouble(0) == raw.toDouble)
+    assert(math.abs(zero.getDouble(1) - 1.96 * 0.05 * raw) < 1e-6)
+    // nonzero noise: deterministic, shifts the count, widens the radius
+    // by the Laplace 95% quantile b*ln(20)
+    val noisy = graft.functions.Quantization.noisyDistinct(li, "l_partkey", 0.05, 5.0).head
+    val noisy2 = graft.functions.Quantization.noisyDistinct(li, "l_partkey", 0.05, 5.0).head
+    assert(noisy == noisy2)
+    assert(math.abs(noisy.getDouble(1) - (1.96 * 0.05 * raw + 5.0 * math.log(20.0))) < 1e-4)
+  }
+
+  test("string quantization snaps to the largest boundary <= value") {
+    val df = Seq("apple", "dog", "iris", "unicorn", "zz", "zzzzzzz", "Zebra")
+      .toDF("s")
+    val got = df.select(col("s"), graft.functions.Quantization
+        .quantizeString(col("s"), Seq("a", "e", "i", "o", "u"), "zzzzzz").as("q"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("apple") == Some("a"))
+    assert(got("dog") == Some("a"))   // between 'a' and 'e'... 'd' >= 'a'
+    assert(got("iris") == Some("i"))
+    assert(got("unicorn") == Some("u"))
+    assert(got("zz") == Some("u"))
+    assert(got("zzzzzzz") == None)    // past globalMax -> out of range
+    assert(got("Zebra") == None)      // below first boundary (binary order)
+  }
+
   test("schema file round-trip") {
     val li = graft.engine.Tables.lineitem(spark, sf)
     val tmp = java.nio.file.Files.createTempFile("graft_schema", ".schema")
