@@ -112,6 +112,15 @@ object ScaleProbe {
       streaming.Events.cumulativeValue(ev).count()
     }
 
+    probe("dedup_embedding_lsh", Seq(1, 20)) { c =>
+      // auto planes/bands: the log2(n) contract must keep candidate
+      // volume (and so wall-clock) ~linear as n scales — the r3 probe
+      // with FIXED planes showed superlinear growth here
+      val emb = replicate(engine.Tables.embeddings(spark, sf), c,
+        Map("vec_id" -> 100000000L))
+      ann.Similarity.nearDupPairsLsh(emb, 0.4).count()
+    }
+
     spark.stop()
   }
 }

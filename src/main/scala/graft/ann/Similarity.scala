@@ -87,6 +87,29 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hyperplane count that holds expected bucket occupancy ~flat as the
+    * corpus grows: planes = ceil(log₂(n / targetBucket)). The r3 20×
+    * scale probe showed FIXED planes make buckets (and so candidate
+    * volume) grow linearly with n — the 100 TB contract is planes ~
+    * log₂(n), recovered recall via bands ([[autoBands]]). Clamped to
+    * [4, 24]; n is a count() or any cheap estimate (row-count metadata).
+    */
+  def autoPlanes(n: Long, targetBucket: Long = 64L): Int = {
+    val buckets = math.max(1.0, n.toDouble / math.max(1L, targetBucket).toDouble)
+    math.min(24, math.max(4, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
+
+  /** Band count that holds candidate recall at a target miss rate e⁻⁵
+    * (≥0.993) for pairs at `threshold` cosine, given `planes`-bit
+    * buckets: per-band collision p = (1 - θ/π)^planes, bands = ⌈5/p⌉.
+    * Grows as planes grow — hash work trades against candidate volume
+    * at fixed recall. Clamped to [16, 1024].
+    */
+  def autoBands(planes: Int, threshold: Double): Int = {
+    val p = math.pow(1.0 - math.acos(threshold) / math.Pi, planes)
+    math.min(1024, math.max(16, math.ceil(5.0 / p).toInt))
+  }
+
   /** Deterministic random-hyperplane LSH bucket id: `planes` sign bits of
     * dot(v, h_i), hyperplane components derived from md5 of (plane, dim)
     * — reproducible without any RNG state. `seed` selects an independent
@@ -114,10 +137,14 @@ object Similarity {
   /** ANN via LSH buckets: corpus pre-bucketed (this is the index build —
     * at scale, written once as a bucketed table); queries probe only
     * their own bucket. Approximate: recall depends on `planes`.
+    * `planes <= 0` (the default) self-tunes via [[autoPlanes]] with a
+    * bucket target of max(64, 8k) — the log₂(n) contract by default.
     */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      dim: Int = 64, planes: Int = 8): DataFrame = {
-    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), dim, planes))
+      dim: Int = 64, planes: Int = 0): DataFrame = {
+    val np = if (planes > 0) planes
+      else autoPlanes(emb.count(), math.max(64L, 8L * k))
+    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), dim, np))
     val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"))
@@ -303,11 +330,18 @@ object Similarity {
     * planes=7/bands=128 defaults give ≥0.994 at cos=0.4 (per band
     * p=0.631⁷≈0.040, miss e⁻⁵·²) while random pairs collide at only
     * 128/2⁷ ≈ 1 band on average — the planes/bands pair trades hash work against
-    * candidate volume at a fixed recall. At corpus scale, raise `planes`
-    * so buckets stay small (recall is then recovered with more bands).
+    * candidate volume at a fixed recall.
+    *
+    * `planes <= 0` / `bands <= 0` (the defaults) self-tune: planes from
+    * [[autoPlanes]] (one count(); ~log₂(n), so buckets stay small as the
+    * corpus grows) and bands from [[autoBands]] (recall re-pinned at
+    * ≥0.993 for pairs at `threshold`). Explicit values override both —
+    * the sf0.01 auto choice (7/125) ≈ the old fixed defaults (7/128).
     */
   def nearDupPairsLsh(emb0: DataFrame, threshold: Double, dim: Int = 64,
-      planes: Int = 7, bands: Int = 128): DataFrame = {
+      planes: Int = 0, bands: Int = 0): DataFrame = {
+    val np = if (planes > 0) planes else autoPlanes(emb0.count())
+    val nb = if (bands > 0) bands else autoBands(np, threshold)
     // only the banding side needs spread-out parallelism (65k mults/row);
     // the verify side feeds a hash-relation build, so it reads the scan
     // directly — two fewer round-robin exchanges
@@ -316,7 +350,7 @@ object Similarity {
       norm(col("embedding")).as("nm"))
     val banded = emb.select(col("vec_id"),
       posexplode(graft.functions.VectorExpressions.band_keys(
-        col("embedding"), dim, planes, bands)).as(Seq("band", "bucket")))
+        col("embedding"), dim, np, nb)).as(Seq("band", "bucket")))
     // the shuffle_merge hint sits on BOTH sides: one-sided hints make
     // the subplans canonically different and defeat ReusedExchange, so
     // the banding projection would run twice
