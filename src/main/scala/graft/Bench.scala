@@ -27,6 +27,16 @@ object Bench {
     // runs — only code paths (codegen, JIT) stay warm, the data is
     // re-read every run.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // Throwaway execution of one REAL query before any timing: the
+    // generic warmup above doesn't touch the aggregate/shuffle codegen
+    // paths, so the first timed query absorbed ~1.6 s of residual
+    // session warmup (r3: nextk_basic 1.78 s vs the identically-shaped
+    // nextk_desc 0.17 s) — distorting cross-round comparisons whenever
+    // the driver runs with SPARK_GRAFT_RUNS=1.
+    selected.headOption.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
