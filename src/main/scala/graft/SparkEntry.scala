@@ -303,6 +303,15 @@ object SparkEntry {
           datediff(col("l_shipdate"), col("o_orderdate")).as("latency_days"),
           (datediff(col("l_shipdate"), col("o_orderdate")).cast("double") *
             lit(86400000.0)).as("latency_ms"))),
+    // Time kind (ms-of-day) round-trip: extract from a timestamp,
+    // format to HH:mm:ss.SSS, parse back — back_ms must equal ms_of_day
+    "col_time_roundtrip" -> ((s, d) =>
+      ev(s, d).select(col("event_id"),
+          graft.operators.ColumnOps.timeOfDayMs(col("ts")).as("ms_of_day"))
+        .withColumn("time_str",
+          graft.operators.ColumnOps.msOfDayToString(col("ms_of_day")))
+        .withColumn("back_ms",
+          graft.operators.ColumnOps.stringToMsOfDay(col("time_str")))),
     "interval_range_filter" -> ((s, d) =>
       li(s, d)
         .filter(least(col("l_discount"), col("l_tax")) >= 0.02 &&
@@ -1257,6 +1266,13 @@ object SparkEntry {
         |  WHEN p_name >= 'i' THEN 'i' WHEN p_name >= 'e' THEN 'e'
         |  WHEN p_name >= 'a' THEN 'a' ELSE NULL END AS qbucket, count(*) AS cnt
         |FROM part GROUP BY 1""".stripMargin,
+    "col_time_roundtrip" ->
+      """WITH t AS (SELECT event_id, epoch_ms(ts) % 86400000 AS ms_of_day FROM events),
+        |f AS (SELECT event_id, ms_of_day,
+        |  strftime(epoch_ms(ms_of_day), '%H:%M:%S.%g') AS time_str FROM t)
+        |SELECT event_id, ms_of_day, time_str,
+        |  epoch_ms(strptime('1970-01-01 ' || time_str, '%Y-%m-%d %H:%M:%S.%g')) AS back_ms
+        |FROM f""".stripMargin,
     "events_moving_avg" ->
       """SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id
         |ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg

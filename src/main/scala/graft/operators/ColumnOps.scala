@@ -31,6 +31,25 @@ object ColumnOps {
   def dateToString(df: DataFrame, column: String, newName: String, fmt: String = "yyyy-MM-dd"): DataFrame =
     df.withColumn(newName, date_format(col(column), fmt))
 
+  /** The `Time` kind (ContentsKind.java:25-35): time-of-day divorced
+    * from the date, stored as ms-of-day in a LongType (SURVEY §1.2 —
+    * Spark has no bare time type). Truncation to ms is floor, matching
+    * integer epoch-ms division in any engine.
+    */
+  def timeOfDayMs(ts: Column): Column =
+    pmod(unix_millis(ts), lit(86400000L))
+
+  /** ms-of-day → "HH:mm:ss.SSS" (the String leg of the Time matrix). */
+  def msOfDayToString(ms: Column): Column =
+    date_format(timestamp_millis(ms), "HH:mm:ss.SSS")
+
+  /** "HH:mm:ss.SSS" → ms-of-day (the parse leg; anchored at the epoch
+    * date so the formatter needs no date fields of its own).
+    */
+  def stringToMsOfDay(s: Column): Column =
+    unix_millis(to_timestamp(concat(lit("1970-01-01 "), s),
+      "yyyy-MM-dd HH:mm:ss.SSS"))
+
   /** ExtractValueFromKeyMap: pull `key: value` out of a key-value string
     * column (log exploration). The reference matches key:"value"; our
     * test data uses JSON-ish {"k": 69}, same regex machinery.
