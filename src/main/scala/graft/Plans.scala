@@ -17,7 +17,9 @@ object Plans {
     "ann_topk_plan", "interval_hist_plan", "pack_sequences", "shuffle_rows",
     "string_boundaries", "row_at_position", "dedup_embedding_lsh",
     "range_join_week", "join_skew_salted", "rollup_pricing", "events_funnel",
-    "sample_weighted", "events_cumulative")
+    "sample_weighted", "events_cumulative",
+    "dedup_jaccard_dfcut", "dp_quantized_hist_str", "schema_infer",
+    "col_time_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
