@@ -487,6 +487,14 @@ object SparkEntry {
           concat(col("text"), lit(" zz common tail"))), 3, 0.5, 50L)),
     "dedup_minhash_lsh" -> ((s, d) =>
       graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5)),
+    // incremental ingestion gate: the doc_id%10==0 "delta" deduped
+    // against the rest of the corpus, banding delta×corpus (no self-join)
+    "dedup_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.dedup.Dedup.minhashLshAgainst(
+        all.filter(pmod(col("doc_id"), lit(10L)) === 0L),
+        all.filter(pmod(col("doc_id"), lit(10L)) =!= 0L), 3, 64, 32, 0.5)
+    }),
     // default 9 single-chunk bands: fastest at this corpus size; the
     // (nChunks, chunksPerKey) lever trades band count for key width when
     // narrow keys over-collide at larger corpora
@@ -526,6 +534,13 @@ object SparkEntry {
     }),
     "text_repetition" -> ((s, d) =>
       graft.text.TextAnalysis.repetitionSignals(docs(s, d))),
+    "text_dup_lines" -> ((s, d) =>
+      graft.text.TextAnalysis.dupLineFraction(docs(s, d))),
+    // Time kind feeding a sketch: hour-of-day histogram over events
+    "hist_time_of_day" -> ((s, d) =>
+      Histograms.histogram1D(ev(s, d),
+        floor(graft.operators.ColumnOps.timeOfDayMs(col("ts")) / lit(3600000L))
+          .cast("long"))),
     "pii_redact" -> ((s, d) =>
       // inject deterministic PII so the redaction provably fires, then
       // scrub it; the oracle applies the same regexes to the same text
@@ -1266,6 +1281,17 @@ object SparkEntry {
         |  WHEN p_name >= 'i' THEN 'i' WHEN p_name >= 'e' THEN 'e'
         |  WHEN p_name >= 'a' THEN 'a' ELSE NULL END AS qbucket, count(*) AS cnt
         |FROM part GROUP BY 1""".stripMargin,
+    "text_dup_lines" ->
+      """WITH l AS (SELECT doc_id,
+        |    [s for s in string_split(text, '. ') if len(s) > 0] AS ls FROM documents)
+        |SELECT doc_id, len(ls) AS n_lines,
+        |  len(ls) - len(list_distinct(ls)) AS n_dup_lines,
+        |  CAST((len(ls) - len(list_distinct(ls))) * 10000 // len(ls) AS DOUBLE)
+        |    / CAST(10000 AS DOUBLE) AS dup_line_frac
+        |FROM l WHERE len(ls) >= 1""".stripMargin,
+    "hist_time_of_day" ->
+      """SELECT (epoch_ms(ts) % 86400000) // 3600000 AS bucket, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
     "col_time_roundtrip" ->
       """WITH t AS (SELECT event_id, epoch_ms(ts) % 86400000 AS ms_of_day FROM events),
         |f AS (SELECT event_id, ms_of_day,
@@ -1326,6 +1352,19 @@ object SparkEntry {
         |FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
         |WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5""".stripMargin,
     "dedup_minhash_lsh" -> shingleCte,
+    // exact cross-split Jaccard: delta (doc_id%10=0) vs corpus (rest)
+    "dedup_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM
+        |  (SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS shingle
+        |   FROM w WHERE len(ws) >= 3)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2)
+        |SELECT new_id, corpus_id, round(shared / (sa.sz + sb.sz - shared), 4) AS jaccard
+        |FROM shared JOIN sz sa ON new_id = sa.doc_id JOIN sz sb ON corpus_id = sb.doc_id
+        |WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5""".stripMargin,
     "decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |sh AS (SELECT DISTINCT doc_id, shingle FROM

@@ -169,23 +169,30 @@ object Dedup {
       .distinct()
   }
 
-  /** LSH banding over array signatures (one row per doc, signature from
-    * the MinHashSig expression): explode to (band, key) and self-join.
+  /** (band, key) explosion of an array signature — the shared banding
+    * step of the self-join and cross-corpus LSH variants. 8-byte hashed
+    * band keys (see lshCandidatePairs); false candidates from 64-bit
+    * collisions are removed by exact verification.
     */
-  def lshCandidatePairsFromSig(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+  private def bandExplode(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    // 8-byte hashed band keys (see lshCandidatePairs); false candidates
-    // from 64-bit collisions are removed by exact verification
     val bandCols = (0 until bands).map { b =>
       xxhash64((lit(b) +:
         (b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1))): _*)
     }
+    sig.select(
+      col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
+  }
+
+  /** LSH banding over array signatures (one row per doc, signature from
+    * the MinHashSig expression): explode to (band, key) and self-join.
+    */
+  def lshCandidatePairsFromSig(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     // no cache: banded is a narrow map over the scan, so the self-join's
     // sides are identical subplans — the exchange materializes once and
     // the other side reads it back (ReusedExchange), cache-free
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
+    val banded = bandExplode(sig, k, bands)
     // Shuffle-join hint: post-explode row count is bands× the planner's
     // pre-explode estimate, so Catalyst may wrongly broadcast-build an
     // exploded corpus-scale side; the equal-sided shuffle join is the
@@ -252,6 +259,51 @@ object Dedup {
         size(col("a.shs")).as("sza"), size(col("b.shs")).as("szb"))
       .select(
         col("id_a"), col("id_b"),
+        round(col("shared") / (col("sza") + col("szb") - col("shared")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental cross-corpus dedup: which NEW documents near-duplicate
+    * something already in the training corpus — the ingestion gate of a
+    * data pipeline (dedup the delta against 100 TB of existing data
+    * WITHOUT self-joining the corpus). Same banding → candidates →
+    * exact-verify shape as [[minhashLshPairs]], but the band join is
+    * delta×corpus: candidate volume scales with the delta, and the
+    * corpus contributes one narrow banding map plus a semi-join-
+    * restricted re-shingle of only its candidate docs — never a square.
+    * Returns (new_id, corpus_id, jaccard) for verified pairs.
+    */
+  def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
+      k: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    def sig(df: DataFrame) = df.select(col("doc_id"),
+        graft.functions.MinHashExpression.minhash_sig(words, n, k).as("sig"))
+      .filter(size(col("sig")) > 0)
+    // both sides keep the shuffle_merge guard: post-explode row counts
+    // are bands× the planner's estimate, so a "small" side can still be
+    // a broadcast OOM at corpus scale
+    val cand = bandExplode(sig(newDocs), k, bands).as("a").hint("shuffle_merge")
+      .join(bandExplode(sig(corpus), k, bands).as("b").hint("shuffle_merge"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+      .cache()
+    def shs(df: DataFrame, ids: DataFrame) =
+      df.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          graft.functions.MinHashExpression.shingle_set(
+            split(lower(col("text")), " "), n).as("shs"))
+        .filter(size(col("shs")) > 0)
+    val newShs = shs(newDocs, cand.select(col("new_id").as("doc_id")))
+    val corpusShs = shs(corpus, cand.select(col("corpus_id").as("doc_id")))
+    cand
+      .join(newShs.as("a"), col("new_id") === col("a.doc_id"))
+      .join(corpusShs.as("b"), col("corpus_id") === col("b.doc_id"))
+      .select(col("new_id"), col("corpus_id"),
+        size(array_intersect(col("a.shs"), col("b.shs"))).as("shared"),
+        size(col("a.shs")).as("sza"), size(col("b.shs")).as("szb"))
+      .select(col("new_id"), col("corpus_id"),
         round(col("shared") / (col("sza") + col("szb") - col("shared")), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -188,6 +188,25 @@ object TextAnalysis {
     rowStats.join(gramStats, Seq("doc_id"))
   }
 
+  /** Gopher-style duplicate-line fraction: of a document's sentences
+    * (". "-separated), what share are exact repeats of an earlier one.
+    * Row-local array pipeline on the exact 1e-4 integer grid — narrow,
+    * codegen'd, zero shuffle (the within-document complement of the
+    * corpus-wide [[dupPassages]]).
+    */
+  def dupLineFraction(docs: DataFrame): DataFrame = {
+    val lines = filter(split(col("text"), "\\. "), s => length(s) > 0)
+    val nL = size(lines)
+    val nDistinct = size(array_distinct(lines))
+    val dupE4 = (nL - nDistinct).cast("long") * lit(10000L)
+    docs.filter(nL >= 1).select(
+      col("doc_id"),
+      nL.as("n_lines"),
+      (nL - nDistinct).as("n_dup_lines"),
+      (((dupE4 - pmod(dupE4, nL.cast("long"))) / nL.cast("long")).cast("long")
+        / lit(10000.0)).as("dup_line_frac"))
+  }
+
   /** PII redaction: emails, US-style phone numbers, and IPv4 addresses
     * replaced by type tokens. Pure regexp_replace chain (codegen'd,
     * narrow); the patterns stay in the syntax intersection of Java regex
