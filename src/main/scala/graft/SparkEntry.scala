@@ -765,6 +765,13 @@ object SparkEntry {
     "train_test_split" -> ((s, d) =>
       graft.pipeline.Pipeline.hashSplit(
         docs(s, d).select(col("doc_id")), col("doc_id"), 80)),
+    // deterministic token-budget mix: src0/src1 capped (partial prefix),
+    // src2 unconstrained (whole source), every other source dropped
+    "corpus_mix" -> ((s, d) =>
+      graft.pipeline.Pipeline.corpusMix(
+        docs(s, d).withColumn("n_toks", size(split(col("text"), " ")).cast("long")),
+        col("doc_id"), col("source"), col("n_toks"),
+        Map("src0" -> 800L, "src1" -> 600L, "src2" -> 2000000L))),
     "pack_sequences" -> ((s, d) =>
       graft.pipeline.Pipeline.packSequences(
           docs(s, d).select(col("doc_id"), col("source"),
@@ -1633,6 +1640,18 @@ object SparkEntry {
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
         |  THEN 'train' ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "corpus_mix" ->
+      """WITH t AS (SELECT doc_id, text, lang, source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |b AS (SELECT *, CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 600
+        |    ELSE 2000000 END AS bud FROM t),
+        |c AS (SELECT *, sum(n_toks) OVER (PARTITION BY source
+        |    ORDER BY h, CAST(doc_id AS VARCHAR)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b)
+        |SELECT doc_id, text, lang, source, n_chars, n_toks, cum AS cum_tokens
+        |FROM c WHERE cum <= bud""".stripMargin,
     "pack_sequences" ->
       """SELECT doc_id, source, n_tokens,
         |CAST(FLOOR((CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id

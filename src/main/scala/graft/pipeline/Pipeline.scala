@@ -117,6 +117,53 @@ object Pipeline {
       .select((outCols.map(col) :+ col("bin")): _*)
   }
 
+  /** Token-budget corpus mixing: from each source take documents in
+    * deterministic hash order until that source's token budget is
+    * exhausted — the "mix N tokens of web + M of code" step of training
+    * prep, reproducible across runs and engines (md5 order, no RNG).
+    * Sources without a budget are dropped. Greedy prefix: a document is
+    * kept iff the running token total INCLUDING it stays ≤ budget.
+    *
+    * Scale shape: the naive form is one Window over each source's whole
+    * corpus share. Here the hash order is sub-bucketed by its top bits
+    * (uniform → equal-width ranges compose in order), per-(source,sub)
+    * token subtotals aggregate first, a window over that O(sources×nSub)
+    * aggregate yields running offsets, and the data-sized window runs at
+    * sources×nSub parallelism — same two-level prefix-sum contract as
+    * [[packSequences]], bit-identical to the single-window form.
+    */
+  def corpusMix(docs: DataFrame, key: Column, source: Column, nTokens: Column,
+      budgets: Map[String, Long], nSub: Int = 32): DataFrame = {
+    require(budgets.nonEmpty, "need at least one source budget")
+    val outCols = docs.columns
+    val step = (1L << 60) / nSub
+    val budgetCol = element_at(
+      map(budgets.toSeq.flatMap { case (s, b) => Seq(lit(s), lit(b)) }: _*),
+      source)
+    val withS = docs
+      .withColumn("__bud", budgetCol)
+      .filter(col("__bud").isNotNull)
+      .withColumn("__h", keyHash(key))
+      .withColumn("__k", key.cast("string"))
+      .withColumn("__g", source)
+      .withColumn("__s", (col("__h") / lit(step)).cast("int"))
+      .withColumn("__n", nTokens.cast("long"))
+    val offs = withS.groupBy(col("__g"), col("__s")).agg(sum(col("__n")).as("__t"))
+      .withColumn("__off", coalesce(
+        sum(col("__t")).over(Window.partitionBy(col("__g")).orderBy(col("__s"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__g").as("__g2"), col("__s").as("__s2"), col("__off"))
+    val wLocal = Window.partitionBy(col("__g"), col("__s"))
+      .orderBy(col("__h"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withS
+      .join(broadcast(offs),
+        col("__g") === col("__g2") && col("__s") === col("__s2"))
+      .withColumn("__cum", col("__off") + sum(col("__n")).over(wLocal))
+      .filter(col("__cum") <= col("__bud"))
+      .select((outCols.map(col) :+ col("__cum").as("cum_tokens")): _*)
+  }
+
   /** Stratified sampling: per-stratum Bernoulli fractions (e.g. rebalance
     * sources or languages when mixing a training corpus). Thin wrapper
     * over `DataFrameStatFunctions.sampleBy` — a seeded narrow map, no

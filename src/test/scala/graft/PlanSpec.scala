@@ -172,6 +172,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("corpus mix cumulates per (source, sub-bucket), offsets broadcast") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+    val df = graft.pipeline.Pipeline.corpusMix(docs, col("doc_id"),
+      col("source"), col("n_toks"), Map("src0" -> 800L, "src1" -> 600L))
+    val p = plan(df)
+    // the data-sized window must be keyed by (source, sub-bucket) — a
+    // source-only partition spec would sort each source's whole corpus
+    // share in one task
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert("Window \\[[^\\]]*\\], \\[__g[^,]*, __s[^\\]]*\\]".r.findFirstIn(p).nonEmpty, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("string boundaries come from the KMV sampler, not a global ntile") {
     val df = Quantiles.stringBoundaries(Tables.customer(spark, sf), "c_name", 8)
     val p = plan(df)
