@@ -226,8 +226,12 @@ object SparkEntry {
         Seq(Seq("1-URGENT", "F"), Seq("5-LOW", "O"), Seq("3-MEDIUM", "Z")))),
     "quantiles_exact" -> ((s, d) =>
       Quantiles.quantiles(li(s, d), "l_extendedprice", Seq(0.25, 0.5, 0.75))),
+    // sampleK pins the KMV sampler's EXACT regime for the oracle gate
+    // (exact iff distinct <= k: customer has 15k names at sf0.1, 150k at
+    // sf1). The operator's bounded default (4096) is the production
+    // sampled regime, property-gated like the other sampled forms.
     "string_boundaries" -> ((s, d) =>
-      Quantiles.stringBoundaries(cust(s, d), "c_name", 8)
+      Quantiles.stringBoundaries(cust(s, d), "c_name", 8, sampleK = 262144)
         .withColumn("tile", col("tile").cast("int"))),
 
     // ── set operations ─────────────────────────────────────────────────
