@@ -112,6 +112,24 @@ object ScaleProbe {
       streaming.Events.cumulativeValue(ev).count()
     }
 
+    probe("dedup_incremental", Seq(1, 20)) { c =>
+      // the delta stays FIXED while the corpus scales x c — the shape
+      // that matters: cost must track the delta + one corpus banding
+      // map, not the corpus squared
+      val delta = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      val corpus = replicate(docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
+        c, Map("doc_id" -> 10000000L))
+      dedup.Dedup.minhashLshAgainst(delta, corpus, 3, 64, 32, 0.5).count()
+    }
+
+    probe("corpus_mix", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      pipeline.Pipeline.corpusMix(d, col("doc_id"), col("source"),
+        col("n_toks"), Map("src0" -> 800000L, "src1" -> 600000L,
+          "src2" -> 2000000000L)).count()
+    }
+
     probe("dedup_embedding_lsh", Seq(1, 20)) { c =>
       // auto planes/bands: the log2(n) contract must keep candidate
       // volume (and so wall-clock) ~linear as n scales — the r3 probe

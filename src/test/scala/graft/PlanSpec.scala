@@ -172,6 +172,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("incremental dedup bands shuffle on both sides (no exploded broadcast)") {
+    val docs = Tables.documents(spark, sf)
+    val df = graft.dedup.Dedup.minhashLshAgainst(
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 0L),
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L), 3, 64, 32, 0.5)
+    val p = plan(df)
+    // band join: post-explode sizes are bands x the planner's estimate,
+    // so neither side may be broadcast; shuffle on (band, key) only
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("corpus mix cumulates per (source, sub-bucket), offsets broadcast") {
     val docs = Tables.documents(spark, sf)
       .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
