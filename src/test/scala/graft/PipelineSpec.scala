@@ -409,6 +409,32 @@ class PipelineSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 10L)), got.toSeq.toString)
   }
 
+  test("corpus mix equals the naive single-window form (incl. edge budgets)") {
+    import org.apache.spark.sql.expressions.Window
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+    val budgets = Map("src0" -> 800L, "src1" -> 1L, "src2" -> 2000000L)
+    val fast = graft.pipeline.Pipeline.corpusMix(
+      docsDf, col("doc_id"), col("source"), col("n_toks"), budgets)
+    // naive form: one window per source over its whole share
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val bud = element_at(
+      map(budgets.toSeq.flatMap { case (s, b) => Seq(lit(s), lit(b)) }: _*),
+      col("source"))
+    val naive = docsDf.filter(bud.isNotNull)
+      .withColumn("__cum", sum(col("n_toks")).over(
+        Window.partitionBy(col("source"))
+          .orderBy(h, col("doc_id").cast("string"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__cum") <= bud)
+      .select((docsDf.columns.map(col) :+ col("__cum").as("cum_tokens")): _*)
+    assert(fast.count() == naive.count())
+    assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty)
+    // src1's budget (1 token) admits no document
+    assert(fast.filter(col("source") === "src1").count() == 0)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
     val dim = docsDf.groupBy(col("source")).agg(avg(col("n_chars")).as("src_avg"))
