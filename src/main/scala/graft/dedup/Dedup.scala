@@ -255,7 +255,10 @@ object Dedup {
       .join(shs.as("a"), col("id_a") === col("a.doc_id"))
       .join(shs.as("b"), col("id_b") === col("b.doc_id"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("a.shs"), col("b.shs"))).as("shared"),
+        // sorted-merge intersect (ShingleHashSet arrays are sorted sets)
+        // — allocation-free vs array_intersect's per-pair hash build
+        graft.functions.MinHashExpression.sorted_intersect_size(
+          col("a.shs"), col("b.shs")).as("shared"),
         size(col("a.shs")).as("sza"), size(col("b.shs")).as("szb"))
       .select(
         col("id_a"), col("id_b"),
@@ -301,7 +304,8 @@ object Dedup {
       .join(newShs.as("a"), col("new_id") === col("a.doc_id"))
       .join(corpusShs.as("b"), col("corpus_id") === col("b.doc_id"))
       .select(col("new_id"), col("corpus_id"),
-        size(array_intersect(col("a.shs"), col("b.shs"))).as("shared"),
+        graft.functions.MinHashExpression.sorted_intersect_size(
+          col("a.shs"), col("b.shs")).as("shared"),
         size(col("a.shs")).as("sza"), size(col("b.shs")).as("szb"))
       .select(col("new_id"), col("corpus_id"),
         round(col("shared") / (col("sza") + col("szb") - col("shared")), 4)

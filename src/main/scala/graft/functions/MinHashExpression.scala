@@ -136,10 +136,43 @@ case class ShingleHashSet(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** |A ∩ B| of two SORTED deduped long arrays (ShingleHashSet output) by
+  * two-pointer merge: O(|A|+|B|), zero allocation. Spark's
+  * `array_intersect` hash-builds a set per row pair — on the exact-
+  * verify hot path of the LSH dedups (every candidate pair) the merge
+  * is both cheaper and allocation-free. Inputs MUST be sorted sets;
+  * ShingleHashSet guarantees it by construction.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object MinHashExpression {
   import org.apache.spark.sql.graftshim.{exprToColumn, columnToExpr}
   def minhash_sig(words: Column, n: Int, k: Int): Column =
     exprToColumn(MinHashSig(columnToExpr(words), n, k))
   def shingle_set(words: Column, n: Int): Column =
     exprToColumn(ShingleHashSet(columnToExpr(words), n))
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    exprToColumn(SortedIntersectSize(columnToExpr(a), columnToExpr(b)))
 }

@@ -101,6 +101,21 @@ class PipelineSpec extends SparkSpec {
     assert(sig(1).getAs[Double]("top_2gram_frac") > 0.5)
   }
 
+  test("sorted intersect size equals array_intersect on shingle sets") {
+    val d = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+      .select(col("doc_id"), graft.functions.MinHashExpression.shingle_set(
+        split(lower(col("text")), " "), 3).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val pairs = d.as("a").crossJoin(d.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id")).limit(5000)
+      .select(
+        graft.functions.MinHashExpression.sorted_intersect_size(
+          col("a.shs"), col("b.shs")).as("fast"),
+        size(array_intersect(col("a.shs"), col("b.shs"))).as("ref"))
+    assert(pairs.filter(col("fast") =!= col("ref")).count() == 0)
+    assert(pairs.filter(col("fast") > 0).count() > 0) // non-trivial overlap
+  }
+
   test("repetition fractions land exactly on the 1e-4 grid at boundary ratios") {
     // (n, d): n tokens of which d distinct — engineered so 1 - d/n sits
     // exactly on a k/10^4 grid line, where a floor(double*1e4) form sits
