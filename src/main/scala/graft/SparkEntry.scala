@@ -769,6 +769,10 @@ object SparkEntry {
     "train_test_split" -> ((s, d) =>
       graft.pipeline.Pipeline.hashSplit(
         docs(s, d).select(col("doc_id")), col("doc_id"), 80)),
+    // exactly-5-per-source deterministic sample (hash order) through the
+    // GroupTopK bounded-heap operator
+    "sample_per_source" -> ((s, d) =>
+      graft.pipeline.Pipeline.samplePerGroup(docs(s, d), col("doc_id"), "source", 5)),
     // deterministic token-budget mix: src0/src1 capped (partial prefix),
     // src2 unconstrained (whole source), every other source dropped
     "corpus_mix" -> ((s, d) =>
@@ -1644,6 +1648,12 @@ object SparkEntry {
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
         |  THEN 'train' ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "sample_per_source" ->
+      """SELECT doc_id, text, lang, source, n_chars, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |    CAST(doc_id AS VARCHAR)) AS INT) AS rank
+        |  FROM documents) WHERE rank <= 5""".stripMargin,
     "corpus_mix" ->
       """WITH t AS (SELECT doc_id, text, lang, source, n_chars,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,

@@ -164,6 +164,23 @@ object Pipeline {
       .select((outCols.map(col) :+ col("__cum").as("cum_tokens")): _*)
   }
 
+  /** Deterministic fixed-size per-group sample: exactly min(k, |group|)
+    * rows per group, chosen by md5-hash order of the key — the
+    * "k examples per source/language" inspection or eval-set draw,
+    * reproducible across engines. Ranked through the
+    * [[graft.plans.GroupTopK]] custom physical operator: per-partition
+    * bounded heaps below the exchange, so the shuffle carries
+    * O(partitions·groups·k) rows, never the corpus.
+    */
+  def samplePerGroup(df: DataFrame, key: Column, group: String, k: Int): DataFrame = {
+    val withH = df
+      .withColumn("__h", keyHash(key))
+      .withColumn("__k", key.cast("string"))
+    graft.plans.GroupTopK.groupTopK(
+        withH, Seq(group), Seq(("__h", true), ("__k", true)), k)
+      .drop("__h", "__k")
+  }
+
   /** Stratified sampling: per-stratum Bernoulli fractions (e.g. rebalance
     * sources or languages when mixing a training corpus). Thin wrapper
     * over `DataFrameStatFunctions.sampleBy` — a seeded narrow map, no
