@@ -307,6 +307,13 @@ object SparkEntry {
           datediff(col("l_shipdate"), col("o_orderdate")).as("latency_days"),
           (datediff(col("l_shipdate"), col("o_orderdate")).cast("double") *
             lit(86400000.0)).as("latency_ms"))),
+    // Morton key for two-dimensional file clustering (oracled: the
+    // magic-mask spread is pure integer arithmetic in any engine)
+    "col_zorder" -> ((s, d) =>
+      ev(s, d).select(col("event_id"),
+        graft.engine.Layout.zorder16(
+          pmod(col("user_id"), lit(65536L)),
+          pmod(col("event_id"), lit(65536L))).as("z"))),
     // Time kind (ms-of-day) round-trip: extract from a timestamp,
     // format to HH:mm:ss.SSS, parse back — back_ms must equal ms_of_day
     "col_time_roundtrip" -> ((s, d) =>
@@ -1296,6 +1303,14 @@ object SparkEntry {
         |  WHEN p_name >= 'i' THEN 'i' WHEN p_name >= 'e' THEN 'e'
         |  WHEN p_name >= 'a' THEN 'a' ELSE NULL END AS qbucket, count(*) AS cnt
         |FROM part GROUP BY 1""".stripMargin,
+    // Morton spread via binary-magic-numbers, step-by-step CTEs
+    "col_zorder" ->
+      """WITH s0 AS (SELECT event_id, user_id % 65536 AS a, event_id % 65536 AS b FROM events),
+        |s1 AS (SELECT event_id, (a | (a << 8)) & 16711935 AS a, (b | (b << 8)) & 16711935 AS b FROM s0),
+        |s2 AS (SELECT event_id, (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b FROM s1),
+        |s3 AS (SELECT event_id, (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b FROM s2),
+        |s4 AS (SELECT event_id, (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b FROM s3)
+        |SELECT event_id, a | (b << 1) AS z FROM s4""".stripMargin,
     "text_dup_lines" ->
       """WITH l AS (SELECT doc_id,
         |    [s for s in string_split(text, '. ') if len(s) > 0] AS ls FROM documents)

@@ -61,4 +61,46 @@ object Layout {
       if (min > 0) min else df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** 16-bit Morton spread: the low 16 bits of x distributed to the even
+    * bit positions of a 32-bit value, via the standard magic-mask
+    * doubling — 4 shift/and steps, pure codegen'd integer ops.
+    */
+  private def spread16(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    val a = x.bitwiseAND(lit(0xFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val c = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) key of two 16-bit bucket ids: bits of `a` and `b`
+    * interleaved, so sorting by the key clusters rows that are close in
+    * BOTH dimensions into the same files. At 100 TB this is the
+    * file-skipping lever for two-column predicates: parquet min/max
+    * stats prune on either column, where a one-column sort only prunes
+    * on its leading column. Pure integer expressions — engine-portable
+    * and oracle-checkable (the magic-mask spread is public domain
+    * bit-twiddling, e.g. Bit Twiddling Hacks "Interleave bits by Binary
+    * Magic Numbers").
+    */
+  def zorder16(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Write `df` z-clustered on two bucketed dimensions: range-partition
+    * + sort by the Morton key, so each output file covers a tight
+    * rectangle of (a, b) space (gated in LayoutSpec by comparing
+    * per-file bounding-box area against a one-column sort layout).
+    */
+  def writeZOrdered(df: DataFrame, a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, path: String, nFiles: Int): Unit = {
+    val z = zorder16(a, b)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

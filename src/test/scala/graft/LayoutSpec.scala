@@ -72,6 +72,37 @@ class LayoutSpec extends SparkSpec {
     assert(st("e").dataType == org.apache.spark.sql.types.NullType)
   }
 
+  test("z-order layout bounds the second dimension far tighter than a single sort") {
+    import org.apache.spark.sql.DataFrame
+    val ev = graft.engine.Tables.events(spark, sf)
+      .select(col("user_id"), col("value"))
+    // 16-bit bucket ids on both dimensions
+    val xa = pmod(col("user_id"), lit(65536L))
+    val xb = pmod(floor(col("value") * 100).cast("long"), lit(65536L))
+    val zDir = java.nio.file.Files.createTempDirectory("zord").toString
+    val sDir = java.nio.file.Files.createTempDirectory("sorted").toString
+    graft.engine.Layout.writeZOrdered(ev, xa, xb, zDir, 16)
+    ev.withColumn("__a", xa).repartitionByRange(16, col("__a"))
+      .sortWithinPartitions(col("__a")).drop("__a")
+      .write.mode("overwrite").parquet(sDir)
+    // mean per-file SECOND-dimension coverage: the share of value-range a
+    // scan of that file cannot prune. Sorting by user_id alone leaves it
+    // ~1 (no pruning on value); z-order bounds both dimensions.
+    def meanValueCoverage(path: String): Double = {
+      val df = spark.read.parquet(path)
+        .select(col("value"), input_file_name().as("f"))
+      val mm = df.agg(min(col("value")), max(col("value"))).head()
+      val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+      val per = df.groupBy(col("f"))
+        .agg(((max(col("value")) - min(col("value"))) / lit(hi - lo)).as("cov"))
+        .agg(avg(col("cov"))).head().getDouble(0)
+      per
+    }
+    val zCov = meanValueCoverage(zDir)
+    val sCov = meanValueCoverage(sDir)
+    assert(zCov < 0.6 * sCov, s"z-order should bound value: z=$zCov vs sorted=$sCov")
+  }
+
   test("inference lattice: Date rung between Double and String") {
     import spark.implicits._
     val raw = Seq(
