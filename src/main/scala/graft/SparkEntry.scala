@@ -402,6 +402,12 @@ object SparkEntry {
     "sample_rows" -> ((s, d) =>
       li(s, d).sample(withReplacement = false, 0.01, 42L)
         .select(col("l_orderkey"), col("l_linenumber"))),
+    // deterministic Bernoulli twin of sample_rows: engine-portable hash
+    // membership, so this one IS oracle-checkable
+    "sample_rows_hash" -> ((s, d) =>
+      graft.pipeline.Pipeline.hashSample(
+        li(s, d).select(col("l_orderkey"), col("l_linenumber")),
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")), 100)),
     "save_roundtrip" -> ((s, d) =>
       graft.sources.Sources.saveRoundTrip(
         li(s, d).filter(col("l_quantity") > 48.0)
@@ -450,6 +456,19 @@ object SparkEntry {
     // equals hll_distinct, radius composition property-gated
     "dp_noisy_distinct" -> ((s, d) =>
       graft.functions.Quantization.noisyDistinct(li(s, d), "l_partkey", 0.05, 5.0)),
+    // DPWrapper parity: the noise scale comes from the PrivacySchema
+    // budget lookup (1/epsilon for the queried column set), not a knob
+    "dp_noisy_hist_budgeted" -> ((s, d) => {
+      val schema = graft.functions.PrivacySchema(
+        Map(Seq("l_extendedprice") -> 0.2), defaultEpsilon = 0.1)
+      li(s, d)
+        .groupBy(graft.functions.Quantization.quantize(col("l_extendedprice"), 10000.0)
+          .as("qbucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("noisy_cnt",
+          round(col("cnt") + graft.functions.Quantization.laplaceNoise(
+            col("qbucket"), schema.noiseScale("l_extendedprice")), 4))
+    }),
     // DPHistogram semantics: per-bucket Laplace noise on the quantized
     // counts (deterministic hash-seeded noise → reproducible; rows-only
     // gate, noise distribution property-tested)
@@ -1663,6 +1682,11 @@ object SparkEntry {
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
         |  THEN 'train' ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "sample_rows_hash" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE CAST(('0x' || substr(md5(
+        |  CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+        |  ), 1, 15)) AS BIGINT) % 10000 < 100""".stripMargin,
     "sample_per_source" ->
       """SELECT doc_id, text, lang, source, n_chars, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY

@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
   * injection (web/.../DPWrapper.java) defaults to zero in the reference
   * RPC path and is modeled the same way here.
   */
+/** PrivacySchema (table/PrivacySchema.java:47-99): the DP budget
+  * lookup — per-column-combination epsilons with a fallback default,
+  * keyed by the SORTED column set exactly as the reference; ε ≤ 0 is an
+  * error, never silent zero noise. Laplace noise scale for a count
+  * query is 1/ε (DPWrapper.computeCountNoise, web/.../DPWrapper
+  * .java:187-205).
+  */
+case class PrivacySchema(epsilons: Map[Seq[String], Double],
+    defaultEpsilon: Double = 0.0) {
+  def epsilon(cols: String*): Double = {
+    val e = epsilons.getOrElse(cols.sorted.toSeq, defaultEpsilon)
+    require(e > 0.0, s"Zero epsilon for column set ${cols.sorted.mkString("+")}")
+    e
+  }
+  def noiseScale(cols: String*): Double = 1.0 / epsilon(cols: _*)
+}
+
 object Quantization {
   /** Snap to multiples of `granularity` (left edge). */
   def quantize(c: Column, granularity: Double): Column =

@@ -60,6 +60,19 @@ object Pipeline {
       .drop("__h", "__k", "__b", "__off")
   }
 
+  /** Deterministic Bernoulli sample: keep a row iff its key hash lands
+    * in the first `basisPoints`/10000 of the hash range. Unlike seeded
+    * RNG sampling this is reproducible across engines AND stable under
+    * any partitioning or re-run — the oracled twin of the seeded
+    * `sample()` surface, and the right default when a sample must be
+    * consistent between pipeline stages (the same doc is in or out
+    * everywhere its key appears).
+    */
+  def hashSample(df: DataFrame, key: Column, basisPoints: Int): DataFrame = {
+    require(basisPoints >= 0 && basisPoints <= 10000, "basisPoints in [0,10000]")
+    df.filter(pmod(keyHash(key), lit(10000L)) < basisPoints)
+  }
+
   /** Hash split: assign each row to train/test by key hash — stable
     * under any partitioning, reproducible across engines and runs,
     * leak-free as long as the key identifies the leakage unit.

@@ -130,6 +130,17 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(noisy.getDouble(1) - (1.96 * 0.05 * raw + 5.0 * math.log(20.0))) < 1e-4)
   }
 
+  test("privacy schema: sorted-key lookup, default fallback, zero rejected") {
+    val ps = graft.functions.PrivacySchema(
+      Map(Seq("a") -> 0.5, Seq("a", "b") -> 0.25), defaultEpsilon = 0.1)
+    assert(ps.epsilon("a") == 0.5)
+    assert(ps.epsilon("b", "a") == 0.25) // order-insensitive, as in the reference
+    assert(ps.epsilon("c") == 0.1)       // default
+    assert(ps.noiseScale("a", "b") == 4.0)
+    val zero = graft.functions.PrivacySchema(Map.empty, defaultEpsilon = 0.0)
+    intercept[IllegalArgumentException](zero.epsilon("x"))
+  }
+
   test("string quantization snaps to the largest boundary <= value") {
     val df = Seq("apple", "dog", "iris", "unicorn", "zz", "zzzzzzz", "Zebra")
       .toDF("s")
