@@ -37,5 +37,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(text) - 60-bit SimHash of a tokenized string"),
       (args: Seq[Expression]) => SimHash60(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(words, n, k) - k-function MinHash signature of the n-gram shingles"),
+      (args: Seq[Expression]) => graft.functions.MinHashSig(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_set"),
+      info("shingle_set",
+        "shingle_set(words, n) - sorted distinct n-gram shingle hashes"),
+      (args: Seq[Expression]) => graft.functions.ShingleHashSet(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_size"),
+      info("sorted_intersect_size",
+        "sorted_intersect_size(a, b) - |A∩B| of two sorted long-array sets"),
+      (args: Seq[Expression]) =>
+        graft.functions.SortedIntersectSize(args(0), args(1))))
   }
 }

@@ -51,12 +51,21 @@ class LayoutSpec extends SparkSpec {
       "vec_dot", es => graft.functions.FloatVecDot(es(0), es(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", es => graft.functions.SimHash60(es.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_set", es => graft.functions.ShingleHashSet(es(0),
+        es(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_size",
+      es => graft.functions.SortedIntersectSize(es(0), es(1)), "scala_udf")
     val r = spark.sql(
       "SELECT vec_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
         "array(cast(3.0 as float), cast(4.0 as float))) AS d, " +
-        "simhash60('a b c') AS sh").head()
+        "simhash60('a b c') AS sh, " +
+        "sorted_intersect_size(shingle_set(split('a b c d', ' '), 3), " +
+        "shingle_set(split('a b c e', ' '), 3)) AS isz").head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) != 0L)
+    assert(r.getInt(2) == 1) // shared shingle: "a b c"
   }
 
   test("type-inference lattice promotes correctly") {
