@@ -59,6 +59,36 @@ object SparkEntry {
           AggSpec(AvgAgg, "l_extendedprice", "avg_price"),
           AggSpec(MinAgg, "l_discount", "min_disc"),
           AggSpec(MaxAgg, "l_discount", "max_disc")))),
+    // Classic multi-join plan health: filters pushed to all three scans,
+    // dims broadcast, partial aggregation below the exchange, top-10 via
+    // TakeOrderedAndProject. Revenue summed in DECIMAL (exact, engine-
+    // order-independent), widened to double once.
+    "q3_shipping_priority" -> ((s, d) =>
+      cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(graft.engine.Num.sumExact(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)),
+    "q5_local_supplier" -> ((s, d) =>
+      Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.supplier(s, d), col("n_nationkey") === col("s_nationkey"))
+        .join(li(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust(s, d),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(graft.engine.Num.sumExact(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))),
     "f_range" -> ((s, d) =>
       li(s, d).filter(Filters.range(col("l_extendedprice"), 1000.0, 5000.0))),
     "f_comparison" -> ((s, d) =>
@@ -963,6 +993,26 @@ object SparkEntry {
          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 10""".stripMargin,
     "f_range" ->
       "SELECT * FROM lineitem WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 5000.0",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN supplier ON n_nationkey = s_nationkey
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "f_comparison" -> "SELECT * FROM lineitem WHERE l_quantity > 45.0",
     "f_string_contains" -> "SELECT * FROM orders WHERE contains(o_orderpriority, 'URGENT')",
     "f_regex" -> "SELECT * FROM part WHERE regexp_matches(p_name, '^(red|blue) .*t$')",

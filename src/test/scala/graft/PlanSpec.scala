@@ -172,6 +172,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q3/q5 multi-join: filters pushed to scans, top-10 bounded, dims broadcast") {
+    val q3 = SparkEntry.queries("q3_shipping_priority")(spark, sf)
+    val p3 = plan(q3)
+    assert(p3.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), p3)
+    assert(p3.contains("TakeOrderedAndProject"), p3)
+    val q5 = SparkEntry.queries("q5_local_supplier")(spark, sf)
+    val p5 = plan(q5)
+    assert(p5.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"), p5)
+    assert(p5.contains("BroadcastHashJoin"), p5)
+  }
+
   test("incremental dedup bands shuffle on both sides (no exploded broadcast)") {
     val docs = Tables.documents(spark, sf)
     val df = graft.dedup.Dedup.minhashLshAgainst(
