@@ -408,6 +408,18 @@ object SparkEntry {
           grouping(col("l_linestatus")).cast("long").as("g_status"),
           count(lit(1)).as("cnt"),
           Num.sumExact(col("l_quantity")).as("sum_qty"))),
+    "cube_pricing" -> ((s, d) =>
+      li(s, d).cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("cnt"),
+          Num.sumExact(col("l_quantity")).as("sum_qty"))),
+    // Count-Min frequency estimates (rows-only: sketch estimates;
+    // one-sided error property-gated vs exact counts)
+    "cms_freq" -> ((s, d) =>
+      DistinctAndFrequency.countMinFreq(ord(s, d), "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))),
 
     // ── find / position / contains / sampling / save ───────────────────
     "find_pattern" -> ((s, d) =>
@@ -1311,6 +1323,13 @@ object SparkEntry {
         |count(*) AS cnt,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |count(*) AS cnt,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "find_pattern" ->
       """SELECT b.before_cnt, b.at_cnt, b.after_cnt, f.first_p_name, f.first_p_partkey FROM
         |(SELECT count(CASE WHEN NOT ((p_name, p_partkey) >= ('m', 0)) THEN 1 END) AS before_cnt,

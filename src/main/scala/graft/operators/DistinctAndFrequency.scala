@@ -31,6 +31,21 @@ object DistinctAndFrequency {
     df.groupBy(col(groupCol))
       .agg(approx_count_distinct(col(column), rsd).as("approx_distinct"))
 
+  /** Count-Min frequency estimates for requested items (the sketch
+    * cousin of Misra-Gries: bounded depth×width counters, mergeable
+    * partial/final, one-sided error — estimate ∈ [true, true + εN] with
+    * prob. 1-δ). Spark's `stat.countMinSketch` does the distributed
+    * build; the probe is a driver-side lookup over the requested items
+    * (O(items) rows out, like any sketch result).
+    */
+  def countMinFreq(df: DataFrame, column: String, items: Seq[String],
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cms = df.stat.countMinSketch(col(column), eps, confidence, seed)
+    items.map(v => (v, cms.estimateCount(v))).toDF(column, "est_count")
+  }
+
   /** NIThresholdSketch: "more than 2^t distinct values?" gate. */
   def distinctExceeds(df: DataFrame, column: String, threshold: Long): Boolean =
     df.agg(approx_count_distinct(col(column)).as("d"))

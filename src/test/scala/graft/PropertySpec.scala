@@ -130,6 +130,21 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(noisy.getDouble(1) - (1.96 * 0.05 * raw + 5.0 * math.log(20.0))) < 1e-4)
   }
 
+  test("count-min estimates are one-sided: exact <= est <= exact + eps*N") {
+    val ord = graft.engine.Tables.orders(spark, sf)
+    val items = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val exact = ord.groupBy(col("o_orderpriority")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = ord.count()
+    val est = DistinctAndFrequency.countMinFreq(ord, "o_orderpriority", items,
+        eps = 0.001).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    items.foreach { v =>
+      val e = exact.getOrElse(v, 0L)
+      assert(est(v) >= e, s"$v under-estimated: ${est(v)} < $e")
+      assert(est(v) <= e + math.ceil(0.001 * n).toLong * 3, s"$v over: ${est(v)} vs $e")
+    }
+  }
+
   test("privacy schema: sorted-key lookup, default fallback, zero rejected") {
     val ps = graft.functions.PrivacySchema(
       Map(Seq("a") -> 0.5, Seq("a", "b") -> 0.25), defaultEpsilon = 0.1)
