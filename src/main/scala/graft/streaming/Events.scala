@@ -115,6 +115,27 @@ object Events {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
 
+  /** Stream-stream windowed join (the canonical Structured Streaming
+    * attribution shape): every click joined to the SAME user's view
+    * within the preceding `windowMinutes`. Both sides carry watermarks,
+    * so the state store provably evicts rows older than the window —
+    * bounded state per key, the property that lets this run forever.
+    */
+  def viewClickJoinStream(views: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 60): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", s"$windowMinutes minutes")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", s"$windowMinutes minutes")
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: Long, n_events: Long, duration_ms: Long)

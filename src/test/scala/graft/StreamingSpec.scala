@@ -136,6 +136,41 @@ class StreamingSpec extends SparkSpec {
     assert(closed.exists(r => r.getLong(0) == 1L && r.getLong(2) == 2L))
   }
 
+  test("stream-stream view->click join matches the batch join") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 0.0),
+      (1L, ts("2024-01-01 02:00:00"), 0.0),
+      (2L, ts("2024-01-01 00:30:00"), 0.0)).toDF("user_id", "ts", "value")
+    val clicks = Seq(
+      (1L, ts("2024-01-01 00:40:00"), 5.0),  // joins view@00:00 (40min)
+      (1L, ts("2024-01-01 02:10:00"), 7.0),  // joins view@02:00 only
+      (2L, ts("2024-01-01 03:00:00"), 9.0),  // view 2.5h earlier: no match
+      (3L, ts("2024-01-01 01:00:00"), 1.0)). // no view at all
+      toDF("user_id", "ts", "value")
+    val (vDir, cDir) = (
+      java.nio.file.Files.createTempDirectory("graft_v").toString,
+      java.nio.file.Files.createTempDirectory("graft_c").toString)
+    views.write.mode("overwrite").parquet(vDir)
+    clicks.write.mode("overwrite").parquet(cDir)
+    val q = graft.streaming.Events.viewClickJoinStream(
+        spark.readStream.schema(views.schema).parquet(vDir),
+        spark.readStream.schema(clicks.schema).parquet(cDir), 60)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_vc")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("graft_vc")
+      .select(col("c_user"), col("c_value"), col("v_ts")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2).toString))
+      .toSet
+    val expect = Set(
+      (1L, 5.0, "2024-01-01 00:00:00.0"),
+      (1L, 7.0, "2024-01-01 02:00:00.0"))
+    assert(got == expect, got.toString)
+  }
+
   test("grok-style log reader extracts typed columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft_log")
     java.nio.file.Files.writeString(dir.resolve("app.log"),
