@@ -19,7 +19,8 @@ object Plans {
     "range_join_week", "join_skew_salted", "rollup_pricing", "events_funnel",
     "sample_weighted", "events_cumulative",
     "dedup_jaccard_dfcut", "dp_quantized_hist_str", "schema_infer",
-    "col_time_roundtrip", "corpus_mix", "dedup_incremental")
+    "col_time_roundtrip", "corpus_mix", "dedup_incremental",
+    "q3_shipping_priority", "q5_local_supplier", "sample_per_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
