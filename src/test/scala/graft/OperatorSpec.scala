@@ -20,9 +20,12 @@ class OperatorSpec extends SparkSpec {
     // near-dup pairs and anti-join/except can be legitimately empty at tiny sf
     // jdbc_federated_topfreq thresholds at count>=150; sf0.001 customer
     // has exactly 150 rows split over 5 segments, so no group qualifies
+    // q5's ASIA + same-nation customer-supplier constraint finds no
+    // qualifying lineitem at sf0.001's 6k rows
     val allowedEmpty = Set("dedup_jaccard_3gram", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_embedding", "f_regex",
-      "setop_except", "join_anti_customers", "jdbc_federated_topfreq")
+      "setop_except", "join_anti_customers", "jdbc_federated_topfreq",
+      "q5_local_supplier")
     assert(empty.toSet.subsetOf(allowedEmpty), s"unexpected empty: $empty")
   }
 

@@ -173,6 +173,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q3/q5 multi-join: filters pushed to scans, top-10 bounded, dims broadcast") {
+    // earlier suites may have cached whole tables (the JDBC fixture
+    // caches customer); the cache manager would substitute the
+    // InMemoryRelation and hide the scan this test asserts on
+    spark.catalog.clearCache()
     val q3 = SparkEntry.queries("q3_shipping_priority")(spark, sf)
     val p3 = plan(q3)
     assert(p3.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), p3)
