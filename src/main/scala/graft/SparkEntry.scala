@@ -714,6 +714,8 @@ object SparkEntry {
     // ── event streams ──────────────────────────────────────────────────
     "events_hourly" -> ((s, d) => graft.streaming.Events.hourlyAgg(ev(s, d))),
     "events_sessions" -> ((s, d) => graft.streaming.Events.sessionStats(ev(s, d), 30)),
+    "events_sessions_native" -> ((s, d) =>
+      graft.streaming.Events.sessionStatsNative(ev(s, d), 30)),
 
     // ── source/sink layer (round-trips exercise writer + schema file +
     //    reader; the oracle sees the original table, so any loss in the
@@ -1835,6 +1837,16 @@ object SparkEntry {
         |    arg_max(value, event_id) AS view_value
         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2) r
         |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // half-open session windows: a gap of exactly 30min starts a new
+    // session (>=), unlike the lag form's strict >
+    "events_sessions_native" ->
+      """WITH x AS (SELECT user_id, value, epoch_ms(ts) AS ms,
+        |  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms FROM events),
+        |y AS (SELECT user_id, value,
+        |  CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END AS new_session FROM x)
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_sessions" ->
       """WITH x AS (SELECT user_id, value, epoch_ms(ts) AS ms,
         |  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms FROM events),

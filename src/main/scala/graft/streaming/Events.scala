@@ -49,6 +49,25 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Native `session_window` twin of [[sessionStats]]: Spark's built-in
+    * session windows (one groupBy, no lag window), aggregated up to the
+    * same per-user shape. Boundary semantics differ from the lag form by
+    * design: windows are half-open, so a gap of EXACTLY `gapMinutes`
+    * starts a new session (lag form: `>` keeps it). Value sums stay
+    * DECIMAL through both aggregation levels, widened once.
+    */
+  def sessionStatsNative(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("__n"), sum(Num.dec2(col("value"))).as("__v"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("__n")).as("n_events"),
+        sum(col("__v")).cast("double").as("total_value"))
+      .orderBy(col("user_id"))
+
   /** Trailing moving average per user (analytic window — parity-plus;
     * the reference has no window functions, SURVEY.md §2.9). Partitioned
     * by user: parallelism = #users, no global sort.
