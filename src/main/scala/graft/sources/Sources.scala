@@ -94,7 +94,12 @@ object Sources {
     * stays String). One distributed aggregation pass over the string
     * table (every() of parse predicates per column).
     */
-  def guessSchema(raw: DataFrame): StructType = {
+  def guessSchema(raw0: DataFrame, sampleRows: Int = 10000): StructType = {
+    // the reference infers from a bounded prefix (GuessSchema samples),
+    // not the whole table — at corpus scale a limit() reads one file
+    // split, which is the right cost for schema inference. sampleRows=0
+    // forces the full scan.
+    val raw = if (sampleRows > 0) raw0.limit(sampleRows) else raw0
     val intRe = "^-?\\d{1,18}$"
     val dblRe = "^-?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
     val aggs = raw.columns.flatMap { c =>
