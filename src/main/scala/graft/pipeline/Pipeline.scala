@@ -159,6 +159,11 @@ object Pipeline {
       .withColumn("__h", keyHash(key))
       .withColumn("__k", key.cast("string"))
       .withColumn("__g", source)
+      // double division of a 60-bit hash can be one ulp off near bucket
+      // boundaries (see RangeJoin.binOf), but here only MONOTONICITY of
+      // h -> bucket matters: every row uses the same expression, so the
+      // (bucket, h) order equals the h order and the prefix sums are
+      // exact regardless of which side of a boundary a hash rounds to
       .withColumn("__s", (col("__h") / lit(step)).cast("int"))
       .withColumn("__n", nTokens.cast("long"))
     val offs = withS.groupBy(col("__g"), col("__s")).agg(sum(col("__n")).as("__t"))
