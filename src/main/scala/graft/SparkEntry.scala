@@ -461,6 +461,18 @@ object SparkEntry {
       graft.sources.Sources.partitionedRoundTrip(docs(s, d), Seq("lang"))
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).cast("long").as("total_chars"))),
+    // z-ordered sink round-trip: layout must not lose or alter rows; the
+    // oracle aggregates the ORIGINAL table, so any loss fails the gate
+    "sink_zorder" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_zsink").toString
+      graft.engine.Layout.writeZOrdered(ev(s, d),
+        pmod(col("user_id"), lit(65536L)),
+        pmod(floor(col("value") * 100).cast("long"), lit(65536L)), out, 8)
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.engine.Num.sumExact(col("value")).as("total_value"))
+    }),
 
     // ── more histograms / matrices / udf / quantization / windows ──────
     "hist_3d" -> ((s, d) =>
@@ -1837,6 +1849,10 @@ object SparkEntry {
         |    arg_max(value, event_id) AS view_value
         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2) r
         |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "sink_zorder" ->
+      """SELECT event_type, count(*) AS cnt,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
     // half-open session windows: a gap of exactly 30min starts a new
     // session (>=), unlike the lag form's strict >
     "events_sessions_native" ->
