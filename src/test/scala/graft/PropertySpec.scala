@@ -130,6 +130,52 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(noisy.getDouble(1) - (1.96 * 0.05 * raw + 5.0 * math.log(20.0))) < 1e-4)
   }
 
+  test("zorder16 equals direct bit interleave on random 16-bit pairs") {
+    def interleave(a: Int, b: Int): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1).toLong << (2 * i)) |
+          (((b >> i) & 1).toLong << (2 * i + 1))
+      }
+    val pairs = samples(Gen.zip(Gen.chooseNum(0, 65535), Gen.chooseNum(0, 65535)), 200) ++
+      Seq((0, 0), (65535, 65535), (0, 65535), (1, 32768))
+    val df = pairs.map { case (a, b) => (a.toLong, b.toLong) }.toDF("a", "b")
+    val got = df.select(col("a"), col("b"),
+        graft.engine.Layout.zorder16(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a.toLong, b.toLong)) == interleave(a, b), s"($a, $b)")
+    }
+  }
+
+  test("integer-grid truncation equals BigInt math on random ratios") {
+    val cases = samples(Gen.zip(Gen.chooseNum(0L, 1000000L), Gen.chooseNum(1L, 1000000L)), 300)
+      .map { case (num, den) => (math.min(num, den), den) } // num <= den: a ratio
+    val df = cases.toDF("num", "den")
+    // same form as TextAnalysis.frac4
+    val frac = ((col("num") * lit(10000L) - pmod(col("num") * lit(10000L), col("den")))
+      / col("den")).cast("long") / lit(10000.0)
+    val got = df.select(col("num"), col("den"), frac.as("f")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    cases.foreach { case (num, den) =>
+      val expect = ((BigInt(num) * 10000) / BigInt(den)).toLong / 10000.0
+      assert(got((num, den)) == expect, s"$num/$den")
+    }
+  }
+
+  test("string quantization equals linear boundary search on random strings") {
+    val bounds = Seq("b", "f", "m", "r", "w")
+    val gMax = "yy"
+    def expected(s: String): Option[String] =
+      if (s > gMax) None else bounds.reverse.find(b => s >= b)
+    val strs = samples(Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString), 200) ++
+      Seq("a", "b", "yy", "yz", "z", "w", "vzz")
+    val df = strs.toDF("s")
+    val got = df.select(col("s"), graft.functions.Quantization
+        .quantizeString(col("s"), bounds, gMax).as("q"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    strs.foreach { s => assert(got(s) == expected(s), s"'$s'") }
+  }
+
   test("count-min estimates are one-sided: exact <= est <= exact + eps*N") {
     val ord = graft.engine.Tables.orders(spark, sf)
     val items = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
