@@ -144,8 +144,7 @@ case class ShingleHashSet(child: Expression, n: Int)
   * ShingleHashSet guarantees it by construction.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -161,6 +160,30 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     }
     c
   }
+
+  // this runs once per CANDIDATE PAIR (the verify join's volume at
+  // corpus scale), so it gets a primitive codegen loop like FloatVecDot
+  // rather than the single-call CodegenFallback of the per-DOC kernels
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("ia"); val j = ctx.freshName("jb")
+      val c = ctx.freshName("cnt")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("xv"); val y = ctx.freshName("yv")
+      s"""
+         |int $i = 0, $j = 0, $c = 0;
+         |int $na = $a.numElements(), $nb = $b.numElements();
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
