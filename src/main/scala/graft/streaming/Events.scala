@@ -360,4 +360,51 @@ object Events {
     q.awaitTermination()
     spark.table("graft_dedup").count()
   }
+
+  /** Streaming ingestion gate: each micro-batch of NEW documents
+    * near-dup-checked against the static training corpus, via
+    * foreachBatch reusing [[graft.dedup.Dedup.minhashLshAgainst]]
+    * verbatim — the canonical Spark pattern for complex batch logic on
+    * a stream (no operator re-derivation, no cross-batch state; the
+    * corpus side is a static relation re-planned per batch). Returns
+    * the accumulated (new_id, corpus_id, jaccard) verdicts.
+    */
+  def nearDupIngestGate(newDocs: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.5)(
+      onVerdicts: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onVerdicts(graft.dedup.Dedup
+          .minhashLshAgainst(batch.toDF(), corpus, 3, 64, 32, threshold))
+        ()
+    }
+
+  /** Test/driver runner for [[nearDupIngestGate]]: streams the docs whose
+    * doc_id % 10 == 0 (one file per micro-batch) against the rest as the
+    * static corpus, collecting verdicts into an in-memory table.
+    */
+  def runNearDupIngest(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = all.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_ingest")
+    // two delta files -> two micro-batches under maxFilesPerTrigger=1
+    all.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      .filter(col("doc_id") < 250L).coalesce(1)
+      .write.mode("overwrite").parquet(streamDir.resolve("b0").toString)
+    all.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      .filter(col("doc_id") >= 250L).coalesce(1)
+      .write.mode("append").parquet(streamDir.resolve("b0").toString)
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.resolve("b0").toString)
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = nearDupIngestGate(stream, corpus, threshold)(
+        verdicts => verdicts.collect().foreach(sink.add))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val rows = sink.asScala.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    import spark.implicits._
+    rows.toDF("new_id", "corpus_id", "jaccard")
+  }
 }

@@ -136,6 +136,20 @@ class StreamingSpec extends SparkSpec {
     assert(closed.exists(r => r.getLong(0) == 1L && r.getLong(2) == 2L))
   }
 
+  test("streaming ingest gate equals the batch cross-corpus dedup") {
+    val got = graft.streaming.Events.runNearDupIngest(spark, sf, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val expect = graft.dedup.Dedup.minhashLshAgainst(
+        all.filter(pmod(col("doc_id"), lit(10L)) === 0L),
+        all.filter(pmod(col("doc_id"), lit(10L)) =!= 0L), 3, 64, 32, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // per-batch verdicts accumulate to exactly the one-shot batch result
+    // (the gate is stateless across batches: each doc's bands live in
+    // its own micro-batch)
+    assert(got == expect, s"stream=$got batch=$expect")
+  }
+
   test("stream-stream view->click join matches the batch join") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
