@@ -620,6 +620,10 @@ object SparkEntry {
       graft.text.TextAnalysis.repetitionSignals(docs(s, d))),
     "text_dup_lines" -> ((s, d) =>
       graft.text.TextAnalysis.dupLineFraction(docs(s, d))),
+    "corpus_ngrams" -> ((s, d) =>
+      graft.text.TextAnalysis.topNgrams(docs(s, d), 2, 20)),
+    "corpus_report" -> ((s, d) =>
+      graft.text.TextAnalysis.corpusReport(docs(s, d))),
     // Time kind feeding a sketch: hour-of-day histogram over events
     "hist_time_of_day" -> ((s, d) =>
       Histograms.histogram1D(ev(s, d),
@@ -1424,6 +1428,25 @@ object SparkEntry {
     "hist_time_of_day" ->
       """SELECT (epoch_ms(ts) % 86400000) // 3600000 AS bucket, count(*) AS cnt
         |FROM events GROUP BY 1""".stripMargin,
+    "corpus_ngrams" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (SELECT unnest([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]) AS gram
+        |  FROM w WHERE len(ws) >= 2)
+        |SELECT gram, count(*) AS cnt FROM g GROUP BY 1
+        |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
+    "corpus_report" ->
+      """WITH b AS (SELECT source, string_split(lower(text), ' ') AS ws, length(text) AS len
+        |  FROM documents),
+        |a AS (SELECT source, count(*) AS n_docs,
+        |    CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(len) AS BIGINT) AS total_chars,
+        |    CAST(SUM(CASE WHEN len(ws) < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs,
+        |    CAST(SUM(len(ws) - len(list_distinct(ws))) AS BIGINT) AS dup_toks
+        |  FROM b GROUP BY 1)
+        |SELECT source, n_docs, total_tokens, total_chars, n_short_docs,
+        |  CAST(dup_toks * 10000 // total_tokens AS DOUBLE) / CAST(10000 AS DOUBLE)
+        |    AS dup_token_share
+        |FROM a ORDER BY 1""".stripMargin,
     "col_time_roundtrip" ->
       """WITH t AS (SELECT event_id, epoch_ms(ts) % 86400000 AS ms_of_day FROM events),
         |f AS (SELECT event_id, ms_of_day,

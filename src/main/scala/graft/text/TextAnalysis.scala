@@ -316,6 +316,53 @@ object TextAnalysis {
         s => size(split(s, " ")) >= minWords && length(s) > 0),
       ". ")
 
+  /** Corpus-wide top-K word n-grams (the classic corpus statistic):
+    * row-local n-gram emission (no per-gram row before the explode), one
+    * partial-aggregated count shuffle, TakeOrderedAndProject for the
+    * global top-K — O(K) to the driver, deterministic tiebreak on the
+    * gram text.
+    */
+  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val words = col("__words")
+    docs
+      .select(split(lower(col("text")), " ").as("__words"))
+      .filter(size(words) >= n)
+      .select(explode(transform(words, (w, i) => {
+        val parts = w +: (1 until n).map(j => element_at(words, i + lit(j + 1)))
+        when(i <= size(words) - n, concat_ws(" ", parts: _*))
+      })).as("gram"))
+      .filter(col("gram").isNotNull)
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
+  /** One-pass per-source corpus health report: document/token volume,
+    * mean quality-proxy metrics, short-doc share — the "is this source
+    * worth training on" dashboard row, all from a single aggregation
+    * (no joins, exact integer-grid ratios).
+    */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val dup = nTok - size(array_distinct(t)).cast("long")
+    docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTok).as("total_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        sum(when(nTok < 10L, 1L).otherwise(0L)).as("n_short_docs"),
+        sum(dup).as("total_dup_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("total_chars"), col("n_short_docs"),
+        // corpus-level duplicate-token share on the exact 1e-4 grid
+        (((col("total_dup_tokens") * lit(10000L) -
+          pmod(col("total_dup_tokens") * lit(10000L), col("total_tokens")))
+          / col("total_tokens")).cast("long") / lit(10000.0)).as("dup_token_share"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source top-K terms by TF-IDF. Corpus-wide document frequency +
     * per-source term frequency, scored tf·ln(N/df), ranked through the
     * [[graft.plans.GroupTopK]] custom operator — per-partition bounded
