@@ -27,6 +27,38 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Interactive multi-user posture (the reference serves many
+    * concurrent dashboard sessions): FAIR scheduling so one user's long
+    * scan doesn't head-of-line-block another's sub-second histogram.
+    * Queries opt into a pool via `inPool`. On a cluster the same two
+    * settings apply — pools are per-SparkContext, independent of the
+    * cluster manager's queues.
+    */
+  def interactive(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Run `body`'s jobs in the named FAIR pool (per-thread property, the
+    * unit of isolation between concurrent interactive users).
+    */
+  def inPool[T](spark: SparkSession, pool: String)(body: => T): T = {
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+    try body
+    finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+  }
 }
 
 /** Loaders for the driver-generated TPC-H-ish test tables (TESTDATA.md).

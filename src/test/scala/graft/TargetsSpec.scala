@@ -13,6 +13,27 @@ import org.apache.spark.sql.functions._
   */
 class TargetsSpec extends SparkSpec {
 
+  test("concurrent sessions in separate FAIR pools both complete correctly") {
+    // two "users" issue queries concurrently from different threads/pools;
+    // correctness must be thread-independent (results identical to serial)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val serial = li.groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val futures = (1 to 4).map { u =>
+      Future {
+        graft.engine.Sessions.inPool(spark, s"user$u") {
+          li.groupBy(col("l_returnflag")).count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+      .foreach(m => assert(m == serial))
+  }
+
   test("Entry-B chain: load → filter → getNextK, replay hits the memo") {
     Memo.clear()
     val reg = new TargetRegistry(spark)
