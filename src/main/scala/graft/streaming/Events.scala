@@ -374,9 +374,13 @@ object Events {
       onVerdicts: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     newDocs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        onVerdicts(graft.dedup.Dedup
+        try onVerdicts(graft.dedup.Dedup
           .minhashLshAgainst(batch.toDF(), corpus, 3, 64, 32, threshold))
-        ()
+        // the batch operator caches its candidate/shingle frames for its
+        // own multi-consumer plan; on a long-running stream those caches
+        // would accrete across micro-batches — drop them once the
+        // batch's verdicts are consumed
+        finally batch.sparkSession.catalog.clearCache()
     }
 
   /** Test/driver runner for [[nearDupIngestGate]]: streams the docs whose
