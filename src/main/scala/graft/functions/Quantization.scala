@@ -19,8 +19,13 @@ import org.apache.spark.sql.functions._
   */
 case class PrivacySchema(epsilons: Map[Seq[String], Double],
     defaultEpsilon: Double = 0.0) {
+  // keys are canonicalized at construction: a budget stored under
+  // Seq("b","a") must match a lookup of ("a","b") — silently falling to
+  // the default would over-noise (or under-protect) the column pair
+  private val normalized: Map[Seq[String], Double] =
+    epsilons.map { case (k, v) => (k.sorted, v) }
   def epsilon(cols: String*): Double = {
-    val e = epsilons.getOrElse(cols.sorted.toSeq, defaultEpsilon)
+    val e = normalized.getOrElse(cols.sorted.toSeq, defaultEpsilon)
     require(e > 0.0, s"Zero epsilon for column set ${cols.sorted.mkString("+")}")
     e
   }

@@ -193,9 +193,10 @@ class PropertySpec extends SparkSpec {
 
   test("privacy schema: sorted-key lookup, default fallback, zero rejected") {
     val ps = graft.functions.PrivacySchema(
-      Map(Seq("a") -> 0.5, Seq("a", "b") -> 0.25), defaultEpsilon = 0.1)
+      Map(Seq("a") -> 0.5, Seq("b", "a") -> 0.25), defaultEpsilon = 0.1)
     assert(ps.epsilon("a") == 0.5)
-    assert(ps.epsilon("b", "a") == 0.25) // order-insensitive, as in the reference
+    // order-insensitive on BOTH sides (stored unsorted above)
+    assert(ps.epsilon("a", "b") == 0.25 && ps.epsilon("b", "a") == 0.25)
     assert(ps.epsilon("c") == 0.1)       // default
     assert(ps.noiseScale("a", "b") == 4.0)
     val zero = graft.functions.PrivacySchema(Map.empty, defaultEpsilon = 0.0)
