@@ -42,13 +42,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_sig",
         "minhash_sig(words, n, k) - k-function MinHash signature of the n-gram shingles"),
       (args: Seq[Expression]) => graft.functions.MinHashSig(args(0),
-        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+        args(1).eval().asInstanceOf[Number].intValue,
+        args(2).eval().asInstanceOf[Number].intValue)))
     ext.injectFunction((
       new FunctionIdentifier("shingle_set"),
       info("shingle_set",
         "shingle_set(words, n) - sorted distinct n-gram shingle hashes"),
       (args: Seq[Expression]) => graft.functions.ShingleHashSet(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        args(1).eval().asInstanceOf[Number].intValue)))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_size"),
       info("sorted_intersect_size",
