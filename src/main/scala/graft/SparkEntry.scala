@@ -70,8 +70,8 @@ object SparkEntry {
         .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
         .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(graft.engine.Num.sumExact(
-          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(graft.engine.Num.sumRevenue(
+          col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)),
     "q5_local_supplier" -> ((s, d) =>
@@ -86,9 +86,35 @@ object SparkEntry {
         .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
         .groupBy(col("n_name"))
-        .agg(graft.engine.Num.sumExact(
-          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(graft.engine.Num.sumRevenue(
+          col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))),
+    // TPC-H q6 shape: tight scan-side conjunction (all four predicates
+    // reach the parquet scan as PushedFilters) feeding a single partial
+    // + final agg — the canonical pushdown anchor.
+    "q6_forecast_revenue" -> ((s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(graft.engine.Num.sumProductExact(
+          col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))),
+    // TPC-H q4 shape: EXISTS decorrelated to a left-semi join whose
+    // condition references both sides (late shipment vs the order's own
+    // date), then a tiny group-by on priority.
+    "q4_order_priority" -> ((s, d) =>
+      ord(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .join(li(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))),
     "f_range" -> ((s, d) =>
       li(s, d).filter(Filters.range(col("l_extendedprice"), 1000.0, 5000.0))),
     "f_comparison" -> ((s, d) =>
@@ -571,6 +597,10 @@ object SparkEntry {
           concat(col("text"), lit(" zz common tail"))), 3, 0.5, 50L)),
     "dedup_minhash_lsh" -> ((s, d) =>
       graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5)),
+    // fuzzy dedup with an exact edit-distance verify: shared-window
+    // candidates (never all-pairs), band-limited levenshtein ≤ 64
+    "dedup_edit_distance" -> ((s, d) =>
+      graft.dedup.Dedup.editDistancePairs(docs(s, d), 5, 64)),
     // incremental ingestion gate: the doc_id%10==0 "delta" deduped
     // against the rest of the corpus, banding delta×corpus (no self-join)
     "dedup_incremental" -> ((s, d) => {
@@ -620,6 +650,10 @@ object SparkEntry {
       graft.text.TextAnalysis.repetitionSignals(docs(s, d))),
     "text_dup_lines" -> ((s, d) =>
       graft.text.TextAnalysis.dupLineFraction(docs(s, d))),
+    // duplicated-passage removal (keep the lowest-doc_id copy, cut the
+    // rest, reassemble) — the transform half next to dup_passages
+    "text_remove_dup_spans" -> ((s, d) =>
+      graft.text.TextAnalysis.removeDupSpans(docs(s, d), 5)),
     "corpus_ngrams" -> ((s, d) =>
       graft.text.TextAnalysis.topNgrams(docs(s, d), 2, 20)),
     "corpus_report" -> ((s, d) =>
@@ -1025,7 +1059,7 @@ object SparkEntry {
       "SELECT * FROM lineitem WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 5000.0",
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -1034,7 +1068,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM region JOIN nation ON r_regionkey = n_regionkey
         |JOIN supplier ON n_nationkey = s_nationkey
         |JOIN lineitem ON s_suppkey = l_suppkey
@@ -1043,6 +1077,18 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1995-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "f_comparison" -> "SELECT * FROM lineitem WHERE l_quantity > 45.0",
     "f_string_contains" -> "SELECT * FROM orders WHERE contains(o_orderpriority, 'URGENT')",
     "f_regex" -> "SELECT * FROM part WHERE regexp_matches(p_name, '^(red|blue) .*t$')",
@@ -1096,6 +1142,35 @@ object SparkEntry {
         |  coalesce(per.n, 0) AS n_dup_windows,
         |  CAST(coalesce(per.n, 0) * 10000 // (len(ws) - 4) AS DOUBLE) / CAST(10000 AS DOUBLE) AS dup_frac
         |FROM w LEFT JOIN per USING (doc_id) WHERE len(ws) >= 5""".stripMargin,
+    "text_remove_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest([i for i in range(1, len(ws)-3)]) AS pos,
+        |    unnest([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws)-3)]) AS gram
+        |  FROM w WHERE len(ws) >= 5),
+        |d AS (SELECT gram, min(doc_id) AS keeper
+        |  FROM (SELECT gram, doc_id FROM g GROUP BY 1, 2)
+        |  GROUP BY gram HAVING count(*) >= 2),
+        |st AS (SELECT g.doc_id, list(g.pos) AS ps FROM g JOIN d USING (gram)
+        |  WHERE g.doc_id <> d.keeper GROUP BY 1),
+        |k AS (SELECT w.doc_id, ws, coalesce(st.ps, []) AS ps
+        |  FROM w LEFT JOIN st USING (doc_id) WHERE len(ws) >= 5)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(kept, ' '), '') AS clean_text
+        |FROM (SELECT doc_id, ws,
+        |    list_filter(ws, (t, j) -> len(list_filter(ps, p -> j >= p AND j <= p + 4)) = 0) AS kept
+        |  FROM k)""".stripMargin,
+    "dedup_edit_distance" ->
+      """WITH w AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws)-3)]) AS gram
+        |  FROM w WHERE len(ws) >= 5)),
+        |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(levenshtein(wa.t, wb.t) AS BIGINT) AS edit_dist
+        |FROM p JOIN w wa ON wa.doc_id = id_a JOIN w wb ON wb.doc_id = id_b
+        |WHERE levenshtein(wa.t, wb.t) <= 64""".stripMargin,
     "sentence_filter" ->
       """SELECT doc_id, array_to_string(
         |  [s for s in string_split(text, '. ') if len(string_split(s, ' ')) >= 4 AND len(s) > 0],

@@ -125,6 +125,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Fuzzy-dedup exact verify via edit distance: candidate pairs come
+    * from an inverted index on positional `w`-token window hashes (a
+    * pair is a candidate iff it shares at least one full window — the
+    * same banding discipline as the MinHash/SimHash paths: never
+    * all-pairs), then each candidate is verified with the exact
+    * Levenshtein distance, keeping pairs within `maxDist`.
+    *
+    * Scale shape: the only exchanges are the inverted-index self-join
+    * on the 60-bit window hash and the distinct-pair aggregation. The
+    * quadratic-cost Levenshtein runs once per *candidate* pair, and
+    * only after a free length prefilter (|len_a − len_b| > maxDist
+    * already implies distance > maxDist), using Spark's band-limited
+    * threshold form (O(len·maxDist), −1 past the bound) so a giant
+    * non-dup candidate can't cost len² work.
+    */
+  def editDistancePairs(docs: DataFrame, w: Int = 5, maxDist: Int = 64): DataFrame = {
+    val ws = split(lower(col("text")), " ")
+    val windows = transform(
+      sequence(lit(1), size(ws) - lit(w - 1)),
+      i => conv(substring(md5(array_join(slice(ws, i, lit(w)), " ").cast("binary")),
+        1, 15), 16, 10).cast("long"))
+    val idx = docs.filter(size(ws) >= w)
+      .select(col("doc_id"), explode(windows).as("ghash"))
+      .distinct()
+    val pairs = idx.as("a").hint("shuffle_merge")
+      .join(idx.as("b"),
+        col("a.ghash") === col("b.ghash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val ta = docs.select(col("doc_id").as("id_a"), lower(col("text")).as("__ta"))
+    val tb = docs.select(col("doc_id").as("id_b"), lower(col("text")).as("__tb"))
+    pairs.join(ta, "id_a").join(tb, "id_b")
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0L)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   /** MinHash signature: per doc, the minimum of k independent 64-bit
     * hashes of its shingle set (xxhash64 seeded by the function index —
     * codegen'd, no string materialization). One aggregation pass over

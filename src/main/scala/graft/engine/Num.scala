@@ -31,4 +31,14 @@ object Num {
     */
   def sumRevenue(price: Column, discount: Column): Column =
     sum(dec2(price) * (lit(1) - dec2(discount))).cast(DoubleType)
+
+  /** Exact sum of a product of two ≤2-decimal columns. Each FACTOR is
+    * cast to decimal (unambiguous — a stored 2-decimal value sits ~1e-13
+    * from its decimal, never near a .005 boundary), then multiplied
+    * exactly in decimal. Casting the double *product* instead would
+    * round a genuinely 4-decimal value to 2 places from an inexact
+    * double — engines disagree on which side of .005 such doubles fall.
+    */
+  def sumProductExact(a: Column, b: Column): Column =
+    sum(dec2(a) * dec2(b)).cast(DoubleType)
 }

@@ -305,6 +305,54 @@ object TextAnalysis {
           / col("n_windows")).cast("long") / lit(10000.0)).as("dup_frac"))
   }
 
+  /** Duplicated-passage REMOVAL — the transform half of the Lee et al.
+    * 2022 exact-substring dedup (detection is [[dupPassages]]): every
+    * positional `w`-token window occurring in ≥2 distinct documents is a
+    * duplicated passage; the copy in the lowest-doc_id document is kept
+    * (one canonical occurrence survives) and every covered token in all
+    * other documents is cut, then the text is reassembled in original
+    * token order.
+    *
+    * Scale shape: identical to [[dupPassages]] — windows emitted
+    * row-locally, one groupBy on the 60-bit window hash carrying
+    * (distinct-doc count, min doc_id), one join back to tag removable
+    * window starts, one groupBy doc_id to collect start positions
+    * (bounded by document length), and a row-local indexed-filter over
+    * the token array for the actual cut. No per-token shuffle rows.
+    */
+  def removeDupSpans(docs: DataFrame, w: Int = 5): DataFrame = {
+    val ws = tokens(col("text"))
+    val windows = transform(
+      sequence(lit(1), size(ws) - lit(w - 1)),
+      i => conv(substring(md5(array_join(slice(ws, i, lit(w)), " ").cast("binary")),
+        1, 15), 16, 10).cast("long"))
+    val eligible = docs.filter(size(ws) >= w)
+    val grams = eligible
+      .select(col("doc_id"), posexplode(windows))
+      .toDF("doc_id", "pos0", "ghash")
+    val dup = grams
+      .groupBy(col("ghash"))
+      .agg(count_distinct(col("doc_id")).as("__nd"), min(col("doc_id")).as("__keeper"))
+      .filter(col("__nd") >= 2)
+      .select(col("ghash"), col("__keeper"))
+    // 1-based start positions of windows to cut, per non-keeper document
+    val starts = grams
+      .join(dup, Seq("ghash"))
+      .filter(col("doc_id") =!= col("__keeper"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos0") + lit(1)).as("__ps"))
+    val ps = coalesce(col("__ps"), array().cast("array<int>"))
+    // token j (0-based) is cut iff some removable window [p, p+w) covers it
+    val kept = filter(ws, (t, j) =>
+      !exists(ps, p => j + lit(1) >= p && j + lit(1) <= p + lit(w - 1)))
+    eligible
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, " ").as("clean_text"))
+  }
+
   /** C4-style rule cleaning at sentence granularity: split on ". ", keep
     * sentences with ≥ `minWords` words, reassemble. Row-local array
     * pipeline (split → filter → array_join) — narrow, codegen'd, no

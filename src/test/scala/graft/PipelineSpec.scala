@@ -375,6 +375,34 @@ class PipelineSpec extends SparkSpec {
     assert(r(2).getDouble(3) == 0.0)
   }
 
+  test("remove dup spans keeps the lowest-doc copy and cuts the rest") {
+    val d = docsDF(Seq(
+      "a b c v w x y z q r",          // doc0: keeper of every shared window
+      "m n v w x y z o p k",          // doc1: shares exactly "v w x y z"
+      "totally different words here now okay", // doc2: untouched
+      "a b c v w x y z q r"))         // doc3: full copy of doc0 → fully cut
+    val r = TextAnalysis.removeDupSpans(d, 5).orderBy("doc_id").collect()
+    assert(r.length == 4)
+    assert(r(0).getString(3) == "a b c v w x y z q r") // keeper intact
+    assert(r(1).getString(3) == "m n o p k")           // window cut
+    assert(r(1).getLong(2) == 5L)
+    assert(r(2).getString(3) == "totally different words here now okay")
+    assert(r(3).getLong(2) == 0L && r(3).getString(3) == "") // copy erased
+  }
+
+  test("edit-distance dedup verifies shared-window candidates exactly") {
+    val d = docsDF(Seq(
+      "the quick brown fox jumps over the lazy dog today",
+      "the quick brown fox jumps over the lazy cat today",
+      "completely unrelated text with zero shared windows"))
+    val r = Dedup.editDistancePairs(d, 5, 64).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 0L && r(0).getLong(1) == 1L)
+    assert(r(0).getLong(2) == 3L) // dog → cat
+    // band-limited verify: same candidates, threshold below the distance
+    assert(Dedup.editDistancePairs(d, 5, 2).isEmpty)
+  }
+
   test("sentence filter keeps long sentences, drops short ones, reassembles") {
     val d = docsDF(Seq("this one is long enough. no. way too short. " +
       "here is another keeper sentence"))

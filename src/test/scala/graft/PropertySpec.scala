@@ -17,6 +17,66 @@ class PropertySpec extends SparkSpec {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("remove dup spans equals the plain-Scala reference on random corpora") {
+    val w = 5
+    val docGen = Gen.listOfN(12, Gen.oneOf("ax", "bx", "cx"))
+    samples(Gen.zip(Gen.listOfN(4, docGen), Gen.chooseNum(0, 11)), 5).foreach {
+      case (base, mutPos) =>
+      // plant an exact copy and a one-token mutation: keeper, full-cut,
+      // and partial-cut paths all exercised every sample
+      val corpus = base ++ Seq(base(0),
+        base(1).updated(mutPos, "zz"))
+      val texts = corpus.map(_.mkString(" "))
+      // reference: windows → dup set w/ min-doc keeper → covered positions
+      val wins = texts.zipWithIndex.map { case (t, i) =>
+        val ts = t.split(" ")
+        (i.toLong, ts, ts.sliding(w).zipWithIndex.map { case (g, p) => (g.mkString(" "), p + 1) }.toSeq)
+      }
+      val byGram = wins.flatMap { case (id, _, gs) => gs.map { case (g, _) => (g, id) } }
+        .groupBy(_._1).map { case (g, occ) => (g, occ.map(_._2).distinct) }
+      val keeper = byGram.collect { case (g, ids) if ids.size >= 2 => (g, ids.min) }
+      val expected = wins.map { case (id, ts, gs) =>
+        val cut = gs.collect { case (g, p) if keeper.get(g).exists(_ != id) => p }
+        val kept = ts.zipWithIndex.collect {
+          case (t, j0) if !cut.exists(p => j0 + 1 >= p && j0 + 1 <= p + w - 1) => t
+        }
+        (id, ts.length.toLong, kept.length.toLong, kept.mkString(" "))
+      }.toSet
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.text.TextAnalysis.removeDupSpans(df, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == expected)
+    }
+  }
+
+  test("edit-distance dedup equals shared-window candidates + DP levenshtein") {
+    val w = 5
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val docGen = Gen.listOfN(12, Gen.oneOf("ax", "bx", "cx"))
+    samples(Gen.zip(Gen.listOfN(4, docGen), Gen.chooseNum(0, 11)), 5).foreach {
+      case (base, mutPos) =>
+      val corpus = base ++ Seq(base(0), base(1).updated(mutPos, "zz"))
+      val texts = corpus.map(_.mkString(" "))
+      val winSets = texts.map(_.split(" ").sliding(w).map(_.mkString(" ")).toSet)
+      val maxDist = 8
+      val expected = (for {
+        a <- texts.indices; b <- texts.indices
+        if a < b && winSets(a).intersect(winSets(b)).nonEmpty
+        d = lev(texts(a), texts(b)) if d <= maxDist
+      } yield (a.toLong, b.toLong, d.toLong)).toSet
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.dedup.Dedup.editDistancePairs(df, w, maxDist).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected)
+    }
+  }
+
   test("bloom decontamination flags a superset of the exact join, FPs bounded") {
     import graft.text.TextAnalysis
     val all = graft.engine.Tables.documents(spark, sf)
