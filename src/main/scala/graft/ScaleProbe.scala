@@ -130,6 +130,29 @@ object ScaleProbe {
           "src2" -> 2000000000L)).count()
     }
 
+    // per-replica token salting: every token carries its replica id, so
+    // replicas are NOT near-dups of each other — duplicate-structure
+    // density stays constant while the corpus scales ×c (the input-bound
+    // probe; unsalted replication would instead measure the ×c² pair
+    // blow-up of making every doc a 20-way duplicate)
+    def saltedDocs(c: Int): DataFrame = {
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      val rep = (col("doc_id") / lit(10000000L)).cast("long")
+      d.withColumn("text",
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("_"), rep)), " "))
+    }
+
+    probe("remove_dup_spans", Seq(1, 20)) { c =>
+      // aggregate over clean_text so column pruning can't skip the cut
+      text.TextAnalysis.removeDupSpans(saltedDocs(c), 5)
+        .agg(sum(length(col("clean_text"))), sum(col("n_kept"))).count()
+    }
+
+    probe("dedup_edit_distance", Seq(1, 20)) { c =>
+      dedup.Dedup.editDistancePairs(saltedDocs(c), 5, 64).count()
+    }
+
     probe("dedup_embedding_lsh", Seq(1, 20)) { c =>
       // auto planes/bands: the log2(n) contract must keep candidate
       // volume (and so wall-clock) ~linear as n scales — the r3 probe

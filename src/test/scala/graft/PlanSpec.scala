@@ -187,6 +187,30 @@ class PlanSpec extends SparkSpec {
     assert(p5.contains("BroadcastHashJoin"), p5)
   }
 
+  test("q6/q4: full predicate pushdown; EXISTS becomes a semi join") {
+    spark.catalog.clearCache()
+    // FormattedMode: the simple plan truncates long PushedFilters lists
+    val p6 = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // all four predicates must reach the scan — the point of the anchor
+    assert(p6.contains("GreaterThanOrEqual(l_shipdate,"), p6)
+    assert(p6.contains("GreaterThanOrEqual(l_discount,0.05)"), p6)
+    assert(p6.contains("LessThanOrEqual(l_discount,0.07)"), p6)
+    assert(p6.contains("LessThan(l_quantity,24.0)"), p6)
+    val p4 = plan(SparkEntry.queries("q4_order_priority")(spark, sf))
+    assert(p4.contains("LeftSemi"), p4)
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"), p4)
+  }
+
+  test("edit-distance dedup: candidates via hash join, bounded verify") {
+    spark.catalog.clearCache()
+    val p = plan(SparkEntry.queries("dedup_edit_distance")(spark, sf))
+    // inverted-index self-join and text joins are all equi-joins —
+    // never an all-pairs nested loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("incremental dedup bands shuffle on both sides (no exploded broadcast)") {
     val docs = Tables.documents(spark, sf)
     val df = graft.dedup.Dedup.minhashLshAgainst(
