@@ -142,10 +142,13 @@ object Dedup {
     */
   def editDistancePairs(docs: DataFrame, w: Int = 5, maxDist: Int = 64): DataFrame = {
     val ws = split(lower(col("text")), " ")
+    // the window hash never leaves the engine (the oracle regenerates
+    // candidates from gram strings), so the cheapest 64-bit hash wins:
+    // xxhash64 over the token slice directly — no string re-join, no
+    // md5, no hex→decimal conv (this was the whole-query hot spot)
     val windows = transform(
       sequence(lit(1), size(ws) - lit(w - 1)),
-      i => conv(substring(md5(array_join(slice(ws, i, lit(w)), " ").cast("binary")),
-        1, 15), 16, 10).cast("long"))
+      i => xxhash64(slice(ws, i, lit(w))))
     val idx = docs.filter(size(ws) >= w)
       .select(col("doc_id"), explode(windows).as("ghash"))
       .distinct()
