@@ -144,9 +144,12 @@ object ScaleProbe {
     }
 
     probe("remove_dup_spans", Seq(1, 20)) { c =>
-      // aggregate over clean_text so column pruning can't skip the cut
+      // COLLECT the aggregate row — a .count() on a global agg lets the
+      // optimizer prune the sums (Aggregate [count(1)] over an empty
+      // Project), skipping the row-local cut this probe exists to time
       text.TextAnalysis.removeDupSpans(saltedDocs(c), 5)
-        .agg(sum(length(col("clean_text"))), sum(col("n_kept"))).count()
+        .agg(sum(length(col("clean_text"))), sum(col("n_kept")))
+        .collect()(0).getLong(1)
     }
 
     probe("dedup_edit_distance", Seq(1, 20)) { c =>

@@ -1154,7 +1154,7 @@ object SparkEntry {
         |st AS (SELECT g.doc_id, list(g.pos) AS ps FROM g JOIN d USING (gram)
         |  WHERE g.doc_id <> d.keeper GROUP BY 1),
         |k AS (SELECT w.doc_id, ws, coalesce(st.ps, []) AS ps
-        |  FROM w LEFT JOIN st USING (doc_id) WHERE len(ws) >= 5)
+        |  FROM w LEFT JOIN st USING (doc_id))
         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
         |  CAST(len(kept) AS BIGINT) AS n_kept,
         |  coalesce(array_to_string(kept, ' '), '') AS clean_text
@@ -1168,9 +1168,11 @@ object SparkEntry {
         |  FROM w WHERE len(ws) >= 5)),
         |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, CAST(levenshtein(wa.t, wb.t) AS BIGINT) AS edit_dist
-        |FROM p JOIN w wa ON wa.doc_id = id_a JOIN w wb ON wb.doc_id = id_b
-        |WHERE levenshtein(wa.t, wb.t) <= 64""".stripMargin,
+        |SELECT id_a, id_b, CAST(d AS BIGINT) AS edit_dist FROM (
+        |  SELECT id_a, id_b, levenshtein(wa.t, wb.t) AS d
+        |  FROM p JOIN w wa ON wa.doc_id = id_a JOIN w wb ON wb.doc_id = id_b
+        |  WHERE abs(length(wa.t) - length(wb.t)) <= 64)
+        |WHERE d <= 64""".stripMargin,
     "sentence_filter" ->
       """SELECT doc_id, array_to_string(
         |  [s for s in string_split(text, '. ') if len(string_split(s, ' ')) >= 4 AND len(s) > 0],

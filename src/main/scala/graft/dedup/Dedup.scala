@@ -133,7 +133,7 @@ object Dedup {
     * Levenshtein distance, keeping pairs within `maxDist`.
     *
     * Scale shape: the only exchanges are the inverted-index self-join
-    * on the 60-bit window hash and the distinct-pair aggregation. The
+    * on the 64-bit window hash and the distinct-pair aggregation. The
     * quadratic-cost Levenshtein runs once per *candidate* pair, and
     * only after a free length prefilter (|len_a − len_b| > maxDist
     * already implies distance > maxDist), using Spark's band-limited

@@ -271,18 +271,24 @@ object TextAnalysis {
     *
     * Scale shape: windows are emitted row-locally (transform over the
     * token array — no per-window row until the explode), the corpus-wide
-    * pass is one groupBy on a 60-bit window hash (not the window string:
+    * pass is one groupBy on a 64-bit window hash (not the window string:
     * 8 bytes shuffled per window instead of ~8·w), and the per-doc
     * report joins back on the same hash. Two shuffles total, both on
     * uniform hashes.
     */
+  /** 64-bit positional window hashes, 1-based starts. Internal-only:
+    * every oracle regenerates windows from gram STRINGS, so the hash
+    * never needs to be engine-portable — xxhash64 over the token slice
+    * skips the string re-join + md5 + hex→decimal chain that profiling
+    * showed dominating the window-dedup queries.
+    */
+  private def windowHashes(ws: Column, w: Int): Column =
+    transform(sequence(lit(1), size(ws) - lit(w - 1)),
+      i => xxhash64(slice(ws, i, lit(w))))
+
   def dupPassages(docs: DataFrame, w: Int = 5): DataFrame = {
     val ws = tokens(col("text"))
-    // md5-prefix 60-bit hash of each positional window (engine-portable)
-    val windows = transform(
-      sequence(lit(1), size(ws) - lit(w - 1)),
-      i => conv(substring(md5(array_join(slice(ws, i, lit(w)), " ").cast("binary")),
-        1, 15), 16, 10).cast("long"))
+    val windows = windowHashes(ws, w)
     val perDoc = docs
       .filter(size(ws) >= w)
       .select(col("doc_id"), explode(windows).as("ghash"))
@@ -314,7 +320,7 @@ object TextAnalysis {
     * token order.
     *
     * Scale shape: identical to [[dupPassages]] — windows emitted
-    * row-locally, one groupBy on the 60-bit window hash carrying
+    * row-locally, one groupBy on the 64-bit window hash carrying
     * (distinct-doc count, min doc_id), one join back to tag removable
     * window starts, one groupBy doc_id to collect start positions
     * (bounded by document length), and a row-local indexed-filter over
@@ -322,12 +328,8 @@ object TextAnalysis {
     */
   def removeDupSpans(docs: DataFrame, w: Int = 5): DataFrame = {
     val ws = tokens(col("text"))
-    val windows = transform(
-      sequence(lit(1), size(ws) - lit(w - 1)),
-      i => conv(substring(md5(array_join(slice(ws, i, lit(w)), " ").cast("binary")),
-        1, 15), 16, 10).cast("long"))
-    val eligible = docs.filter(size(ws) >= w)
-    val grams = eligible
+    val windows = windowHashes(ws, w)
+    val grams = docs.filter(size(ws) >= w)
       .select(col("doc_id"), posexplode(windows))
       .toDF("doc_id", "pos0", "ghash")
     val dup = grams
@@ -345,7 +347,10 @@ object TextAnalysis {
     // token j (0-based) is cut iff some removable window [p, p+w) covers it
     val kept = filter(ws, (t, j) =>
       !exists(ps, p => j + lit(1) >= p && j + lit(1) <= p + lit(w - 1)))
-    eligible
+    // ALL docs pass through — a doc shorter than w tokens has no
+    // windows and must come out uncut, not dropped (it's a transform,
+    // not a filter); its missing `starts` row coalesces to no cuts
+    docs
       .join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(ws).cast("long").as("n_tokens"),

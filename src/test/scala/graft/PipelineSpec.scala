@@ -380,14 +380,17 @@ class PipelineSpec extends SparkSpec {
       "a b c v w x y z q r",          // doc0: keeper of every shared window
       "m n v w x y z o p k",          // doc1: shares exactly "v w x y z"
       "totally different words here now okay", // doc2: untouched
-      "a b c v w x y z q r"))         // doc3: full copy of doc0 → fully cut
+      "a b c v w x y z q r",          // doc3: full copy of doc0 → fully cut
+      "tiny doc"))                    // doc4: < w tokens → passes through
     val r = TextAnalysis.removeDupSpans(d, 5).orderBy("doc_id").collect()
-    assert(r.length == 4)
+    assert(r.length == 5)
     assert(r(0).getString(3) == "a b c v w x y z q r") // keeper intact
     assert(r(1).getString(3) == "m n o p k")           // window cut
     assert(r(1).getLong(2) == 5L)
     assert(r(2).getString(3) == "totally different words here now okay")
     assert(r(3).getLong(2) == 0L && r(3).getString(3) == "") // copy erased
+    // a transform must not DROP windowless docs
+    assert(r(4).getLong(1) == 2L && r(4).getString(3) == "tiny doc")
   }
 
   test("edit-distance dedup verifies shared-window candidates exactly") {
