@@ -149,9 +149,11 @@ object Dedup {
     val windows = transform(
       sequence(lit(1), size(ws) - lit(w - 1)),
       i => xxhash64(slice(ws, i, lit(w))))
+    // within-doc dedup is row-local (array_distinct BEFORE the explode)
+    // — a .distinct() after the explode would shuffle every (doc, hash)
+    // row just to drop within-doc repeats
     val idx = docs.filter(size(ws) >= w)
-      .select(col("doc_id"), explode(windows).as("ghash"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(windows)).as("ghash"))
     val pairs = idx.as("a").hint("shuffle_merge")
       .join(idx.as("b"),
         col("a.ghash") === col("b.ghash") && col("a.doc_id") < col("b.doc_id"))
