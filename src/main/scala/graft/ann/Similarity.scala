@@ -141,9 +141,13 @@ object Similarity {
     * bucket target of max(64, 8k) — the log₂(n) contract by default.
     */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      dim: Int = 64, planes: Int = 0): DataFrame = {
+      dim: Int = 64, planes: Int = 0, nEstimate: Long = 0L): DataFrame = {
+    // nEstimate > 0 sizes the auto-tuning without the eager count()
+    // job (construction stays plan-only — callers that know the corpus
+    // cardinality, or read it from table metadata, should pass it)
     val np = if (planes > 0) planes
-      else autoPlanes(emb.count(), math.max(64L, 8L * k))
+      else autoPlanes(if (nEstimate > 0) nEstimate else emb.count(),
+        math.max(64L, 8L * k))
     val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), dim, np))
     val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -339,8 +343,10 @@ object Similarity {
     * the sf0.01 auto choice (7/125) ≈ the old fixed defaults (7/128).
     */
   def nearDupPairsLsh(emb0: DataFrame, threshold: Double, dim: Int = 64,
-      planes: Int = 0, bands: Int = 0): DataFrame = {
-    val np = if (planes > 0) planes else autoPlanes(emb0.count())
+      planes: Int = 0, bands: Int = 0, nEstimate: Long = 0L): DataFrame = {
+    // nEstimate > 0 sizes the auto-tuning without the eager count() job
+    val np = if (planes > 0) planes
+      else autoPlanes(if (nEstimate > 0) nEstimate else emb0.count())
     val nb = if (bands > 0) bands else autoBands(np, threshold)
     // only the banding side needs spread-out parallelism (65k mults/row);
     // the verify side feeds a hash-relation build, so it reads the scan

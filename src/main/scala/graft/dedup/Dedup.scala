@@ -100,9 +100,13 @@ object Dedup {
     // over the shingle key: a ubiquitous shingle ("of the") is exactly
     // the key whose partition won't fit one task — the rows the cut
     // exists to drop would all land in a single window partition. A
-    // groupBy fully map-side-combines, the surviving hot-key list is
-    // tiny by construction (shingles in > maxShingleDocs docs), and the
-    // broadcast anti-join removes them with no skewed shuffle at all.
+    // groupBy fully map-side-combines and the anti-join removes the hot
+    // keys with no skewed shuffle. The broadcast decision is left to
+    // AQE on purpose: the hot list is tiny for sane thresholds (its
+    // size is bounded by N/maxShingleDocs) and AQE broadcasts it
+    // post-shuffle, but a FORCED broadcast() would bypass the size
+    // check and OOM the driver if a caller passes a tiny threshold
+    // over a huge corpus (N/T keys is unbounded in general).
     val sh =
       if (maxShingleDocs == Long.MaxValue) sh0
       else {
@@ -110,7 +114,7 @@ object Dedup {
           .agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxShingleDocs)
           .select(col("shingle"))
-        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+        sh0.join(hot, Seq("shingle"), "left_anti")
       }
     sh.as("a").hint("shuffle_merge")
       .join(sh.as("b"),
@@ -322,7 +326,19 @@ object Dedup {
     * Returns (new_id, corpus_id, jaccard) for verified pairs.
     */
   def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
-      k: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+      k: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame =
+    minhashLshAgainstWithHandle(newDocs, corpus, n, k, bands, threshold)._1
+
+  /** As [[minhashLshAgainst]], also returning the internally cached
+    * candidate frame. The cache serves the returned plan's three
+    * consumers within one evaluation; a caller that invokes this
+    * repeatedly with a bounded lifetime per call (a per-micro-batch
+    * ingest gate, a daily delta job in a long-lived session) should
+    * `unpersist()` the handle once the verdicts are consumed —
+    * otherwise each call pins a new cache entry forever.
+    */
+  def minhashLshAgainstWithHandle(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
+      k: Int = 64, bands: Int = 32, threshold: Double = 0.5): (DataFrame, DataFrame) = {
     val words = split(lower(col("text")), " ")
     def sig(df: DataFrame) = df.select(col("doc_id"),
         graft.functions.MinHashExpression.minhash_sig(words, n, k).as("sig"))
@@ -344,7 +360,7 @@ object Dedup {
         .filter(size(col("shs")) > 0)
     val newShs = shs(newDocs, cand.select(col("new_id").as("doc_id")))
     val corpusShs = shs(corpus, cand.select(col("corpus_id").as("doc_id")))
-    cand
+    val verdicts = cand
       .join(newShs.as("a"), col("new_id") === col("a.doc_id"))
       .join(corpusShs.as("b"), col("corpus_id") === col("b.doc_id"))
       .select(col("new_id"), col("corpus_id"),
@@ -355,6 +371,7 @@ object Dedup {
         round(col("shared") / (col("sza") + col("szb") - col("shared")), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (verdicts, cand)
   }
 
   /** Connected components over a near-duplicate pair list → (doc_id,

@@ -47,17 +47,30 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // scheduler mode is frozen at SparkContext creation: if another
+    // session already exists, getOrCreate silently reuses it and the
+    // FAIR config above is ignored — pools would be no-ops and the
+    // isolation this API promises would silently not exist. Fail fast
+    // instead: the interactive session must be created first.
+    val mode = spark.sparkContext.getConf.get("spark.scheduler.mode", "FIFO")
+    require(mode.equalsIgnoreCase("FAIR"),
+      s"Sessions.interactive reused an existing SparkContext with scheduler mode $mode; " +
+        "FAIR scheduling cannot be enabled after context creation — " +
+        "create the interactive session before any other session")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
 
   /** Run `body`'s jobs in the named FAIR pool (per-thread property, the
-    * unit of isolation between concurrent interactive users).
+    * unit of isolation between concurrent interactive users). The
+    * PREVIOUS pool assignment is restored on exit — nulling it would
+    * silently drop an outer per-user pool after any nested use.
     */
   def inPool[T](spark: SparkSession, pool: String)(body: => T): T = {
+    val prev = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
     try body
-    finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", prev)
   }
 }
 

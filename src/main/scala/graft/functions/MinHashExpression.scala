@@ -147,6 +147,25 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
+  // type validation matters: this is registered as the SQL function
+  // sorted_intersect_size, and without it an array<int> argument
+  // passes analysis but getLong() then reads 8 bytes per 4-byte
+  // element in codegen — silent garbage instead of an analysis error
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isLongArray(t: DataType): Boolean = t match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "sorted_intersect_size expects two array<bigint> arguments " +
+          s"(sorted sets), got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]

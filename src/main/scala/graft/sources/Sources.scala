@@ -94,11 +94,14 @@ object Sources {
     * stays String). One distributed aggregation pass over the string
     * table (every() of parse predicates per column).
     */
-  def guessSchema(raw0: DataFrame, sampleRows: Int = 10000): StructType = {
-    // the reference infers from a bounded prefix (GuessSchema samples),
-    // not the whole table — at corpus scale a limit() reads one file
-    // split, which is the right cost for schema inference. sampleRows=0
-    // forces the full scan.
+  def guessSchema(raw0: DataFrame, sampleRows: Int = 0): StructType = {
+    // sampleRows > 0 infers from a bounded prefix (the reference's
+    // GuessSchema samples too) — at corpus scale a limit() reads one
+    // file split, the right cost for schema inference, and callers at
+    // 100 TB should pass a bound. The DEFAULT is the full scan: a
+    // silent prefix default gives a type that later rows contradict
+    // (ints for 10k rows, "N/A" at 10001 → nulled-out values on the
+    // typed read), and it desynchronizes from any full-scan oracle.
     val raw = if (sampleRows > 0) raw0.limit(sampleRows) else raw0
     val intRe = "^-?\\d{1,18}$"
     val dblRe = "^-?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"

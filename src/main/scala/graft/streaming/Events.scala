@@ -374,13 +374,17 @@ object Events {
       onVerdicts: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     newDocs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        try onVerdicts(graft.dedup.Dedup
-          .minhashLshAgainst(batch.toDF(), corpus, 3, 64, 32, threshold))
-        // the batch operator caches its candidate/shingle frames for its
-        // own multi-consumer plan; on a long-running stream those caches
-        // would accrete across micro-batches — drop them once the
-        // batch's verdicts are consumed
-        finally batch.sparkSession.catalog.clearCache()
+        // the batch operator caches its candidate frame for its own
+        // multi-consumer plan; on a long-running stream those caches
+        // would accrete across micro-batches. Unpersist exactly THIS
+        // batch's cache via its handle — a catalog.clearCache() here
+        // would also evict caches other workloads in the shared session
+        // rely on (the static corpus, an interactive user's tables) and
+        // trigger a recompute storm.
+        val (verdicts, cacheHandle) = graft.dedup.Dedup
+          .minhashLshAgainstWithHandle(batch.toDF(), corpus, 3, 64, 32, threshold)
+        try onVerdicts(verdicts)
+        finally cacheHandle.unpersist(blocking = false)
     }
 
   /** Test/driver runner for [[nearDupIngestGate]]: streams the docs whose

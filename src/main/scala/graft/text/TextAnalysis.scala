@@ -12,6 +12,20 @@ object TextAnalysis {
 
   private def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** Exact 1e-4-grid truncated ratio num/den: (num·10⁴ div den) in
+    * integer arithmetic, widened to double ONCE (k/10000.0 is a single
+    * correctly-rounded IEEE op — bit-identical on every engine). This
+    * is the one blessed formulation for every oracled ratio metric:
+    * floor(double·10⁴) sits one ulp below the grid on boundary
+    * fractions (1 − 8/10 → 1999 vs 2000) and flips between engines
+    * with constant-folding order. Keep all call sites on THIS helper so
+    * they cannot desynchronize from their oracles.
+    */
+  private[text] def frac4(num: Column, den: Column): Column = {
+    val e4 = num.cast("long") * lit(10000L)
+    ((e4 - pmod(e4, den)) / den).cast("long") / lit(10000.0)
+  }
+
   /** Stopword-marker language-ID heuristic (n-gram/marker style): score
     * each language by its marker-token hits, pick the best, 'und' when
     * nothing matches. The marker lists are tiny; real deployments swap in
@@ -40,10 +54,11 @@ object TextAnalysis {
     val nTok = size(t)
     val stop = size(filter(t, w =>
       w === "the" || w === "a" || w === "and" || w === "of"))
-    // All ratio metrics are defined on an exact 1e-4 integer grid
-    // (num·10⁴ div den, then one k/10000.0 division) — see
-    // repetitionSignals.frac4 for why floor(double·10⁴) is NOT
-    // engine-stable at grid boundaries.
+    // All ratio metrics are defined on an exact 1e-4 integer grid —
+    // see [[frac4]] for why floor(double·10⁴) is NOT engine-stable at
+    // grid boundaries. These sites pre-multiply and compose (the score
+    // divides by 10 again), so they use the local divE4 on the same
+    // integer-div formulation rather than frac4 directly.
     val lenE4 = (length(col("text")) - (nTok - lit(1))).cast("long") * lit(10000L)
     val stopE4 = stop.cast("long") * lit(10000L)
     def divE4(numE4: Column, den: Column): Column =
@@ -156,14 +171,8 @@ object TextAnalysis {
     * costs 10k rows, not 10⁸ comparisons.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    // Truncated ratios are computed with exact *integer* division
-    // (num·10⁴ div den) and only then widened to double: k/10000.0 is a
-    // single correctly-rounded IEEE op, bit-identical on every engine.
-    // The earlier floor((1.0 - d/n)·10⁴) form sat one ulp below the grid
-    // on boundary fractions (1 - 8/10 → 1999 vs 2000) and disagreed
-    // between engines depending on constant-folding order.
-    def frac4(num: Column, den: Column): Column =
-      ((num * lit(10000L)) - pmod(num * lit(10000L), den)) / den / lit(10000.0)
+    // truncated ratios via the shared exact-grid [[frac4]] (see its doc
+    // for why floor(double·10⁴) is not engine-stable)
     val t = tokens(col("text"))
     val rowStats = docs.select(
       col("doc_id"),
@@ -198,13 +207,12 @@ object TextAnalysis {
     val lines = filter(split(col("text"), "\\. "), s => length(s) > 0)
     val nL = size(lines)
     val nDistinct = size(array_distinct(lines))
-    val dupE4 = (nL - nDistinct).cast("long") * lit(10000L)
     docs.filter(nL >= 1).select(
       col("doc_id"),
       nL.as("n_lines"),
       (nL - nDistinct).as("n_dup_lines"),
-      (((dupE4 - pmod(dupE4, nL.cast("long"))) / nL.cast("long")).cast("long")
-        / lit(10000.0)).as("dup_line_frac"))
+      frac4((nL - nDistinct).cast("long"), nL.cast("long"))
+        .as("dup_line_frac"))
   }
 
   /** PII redaction: emails, US-style phone numbers, and IPv4 addresses
@@ -305,10 +313,8 @@ object TextAnalysis {
         Seq("doc_id"), "right")
       .select(col("doc_id"), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        // exact-grid ratio, see repetitionSignals.frac4
-        (((coalesce(col("n_dup_windows"), lit(0L)) * lit(10000L) -
-          pmod(coalesce(col("n_dup_windows"), lit(0L)) * lit(10000L), col("n_windows")))
-          / col("n_windows")).cast("long") / lit(10000.0)).as("dup_frac"))
+        frac4(coalesce(col("n_dup_windows"), lit(0L)), col("n_windows"))
+          .as("dup_frac"))
   }
 
   /** Duplicated-passage REMOVAL — the transform half of the Lee et al.
@@ -320,15 +326,26 @@ object TextAnalysis {
     * token order.
     *
     * Scale shape: identical to [[dupPassages]] — windows emitted
-    * row-locally, one groupBy on the 64-bit window hash carrying
-    * (distinct-doc count, min doc_id), one join back to tag removable
-    * window starts, one groupBy doc_id to collect start positions
-    * (bounded by document length), and a row-local indexed-filter over
-    * the token array for the actual cut. No per-token shuffle rows.
+    * row-locally, one groupBy on the window key carrying (distinct-doc
+    * count, min doc_id), one join back to tag removable window starts,
+    * one groupBy doc_id to collect start positions (bounded by document
+    * length), and a row-local indexed-filter over the token array for
+    * the actual cut. No per-token shuffle rows.
+    *
+    * The window key is 128-bit (two independently seeded xxhash64s):
+    * detection-only [[dupPassages]] tolerates a 64-bit birthday
+    * coincidence as an off-by-one count, but a DESTRUCTIVE transform
+    * must not delete w tokens of unrelated text on one — at ~1e12
+    * windows the expected 64-bit cross-collisions number in the tens of
+    * thousands, while 128 bits push the expectation below 1e-13.
     */
   def removeDupSpans(docs: DataFrame, w: Int = 5): DataFrame = {
     val ws = tokens(col("text"))
-    val windows = windowHashes(ws, w)
+    val windows = transform(
+      sequence(lit(1), size(ws) - lit(w - 1)),
+      i => struct(
+        xxhash64(slice(ws, i, lit(w))).as("h1"),
+        xxhash64(lit(1L), slice(ws, i, lit(w))).as("h2")))
     val grams = docs.filter(size(ws) >= w)
       .select(col("doc_id"), posexplode(windows))
       .toDF("doc_id", "pos0", "ghash")
@@ -410,9 +427,8 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"), col("total_tokens"),
         col("total_chars"), col("n_short_docs"),
         // corpus-level duplicate-token share on the exact 1e-4 grid
-        (((col("total_dup_tokens") * lit(10000L) -
-          pmod(col("total_dup_tokens") * lit(10000L), col("total_tokens")))
-          / col("total_tokens")).cast("long") / lit(10000.0)).as("dup_token_share"))
+        frac4(col("total_dup_tokens"), col("total_tokens"))
+          .as("dup_token_share"))
       .orderBy(col("source"))
   }
 

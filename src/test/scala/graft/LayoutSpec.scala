@@ -66,6 +66,12 @@ class LayoutSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) != 0L)
     assert(r.getInt(2) == 1) // shared shingle: "a b c"
+    // wrong-typed input must fail ANALYSIS, not silently read int
+    // elements as longs in codegen
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_intersect_size(array(1, 2), array(2, 3))").head()
+    }
+    assert(err.getMessage.contains("array<bigint>"), err.getMessage)
   }
 
   test("type-inference lattice promotes correctly") {

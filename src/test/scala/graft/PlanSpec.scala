@@ -281,9 +281,13 @@ class PlanSpec extends SparkSpec {
     val salted = Tables.documents(spark, sf)
       .withColumn("text", concat(col("text"), lit(" zz common tail")))
     val df = graft.dedup.Dedup.jaccardPairs(salted, 3, 0.5, 50L)
+    // the cut must be aggregate + anti-join: a window over the shingle
+    // key puts every occurrence of a ubiquitous shingle in one task.
+    // The broadcast is AQE's runtime decision (a forced broadcast()
+    // would be unbounded for tiny thresholds) — materialize and assert
+    // the FINAL adaptive plan chose a broadcast anti-join here.
+    df.collect()
     val p = plan(df)
-    // the cut must be aggregate + broadcast anti-join: a window over the
-    // shingle key puts every occurrence of a ubiquitous shingle in one task
     assert(!p.contains("Window"), p)
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
   }
