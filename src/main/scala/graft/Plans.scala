@@ -21,8 +21,8 @@ object Plans {
     "dedup_jaccard_dfcut", "dp_quantized_hist_str", "schema_infer",
     "col_time_roundtrip", "corpus_mix", "dedup_incremental",
     "q3_shipping_priority", "q5_local_supplier", "sample_per_source",
-    "q6_forecast_revenue", "q4_order_priority", "text_remove_dup_spans",
-    "dedup_edit_distance")
+    "q6_forecast_revenue", "q4_order_priority", "q17_small_qty_revenue",
+    "text_remove_dup_spans", "dedup_edit_distance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -115,6 +115,23 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
         .orderBy(col("o_orderpriority"))),
+    // TPC-H q17 shape, deliberately written as SQL TEXT with the
+    // correlated scalar subquery intact: anchors Catalyst's
+    // decorrelation (subquery → per-key aggregate + join), the third
+    // rewrite family next to q4's EXISTS and the view set-ops.
+    // l_quantity is integral-valued, so avg = exact-int-sum/count is
+    // deterministic across engines and the 0.2·avg comparison is safe.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      li(s, d).createOrReplaceTempView("q17_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("q17_part")
+      s.sql(
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+          |  count(*) AS n_rows
+          |FROM q17_lineitem JOIN q17_part ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#1'
+          |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+          |                    FROM q17_lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    }),
     "f_range" -> ((s, d) =>
       li(s, d).filter(Filters.range(col("l_extendedprice"), 1000.0, 5000.0))),
     "f_comparison" -> ((s, d) =>
@@ -1089,6 +1106,13 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "f_comparison" -> "SELECT * FROM lineitem WHERE l_quantity > 45.0",
     "f_string_contains" -> "SELECT * FROM orders WHERE contains(o_orderpriority, 'URGENT')",
     "f_regex" -> "SELECT * FROM part WHERE regexp_matches(p_name, '^(red|blue) .*t$')",

@@ -201,6 +201,11 @@ class PlanSpec extends SparkSpec {
     val p4 = plan(SparkEntry.queries("q4_order_priority")(spark, sf))
     assert(p4.contains("LeftSemi"), p4)
     assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"), p4)
+    // q17: the correlated scalar subquery must decorrelate into a
+    // per-key aggregate + equi-join, never a per-row nested loop
+    val p17 = plan(SparkEntry.queries("q17_small_qty_revenue")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p17).size >= 2, p17)
+    assert(!p17.contains("CartesianProduct") && !p17.contains("BroadcastNestedLoopJoin"), p17)
   }
 
   test("edit-distance dedup: candidates via hash join, bounded verify") {

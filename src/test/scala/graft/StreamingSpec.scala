@@ -150,6 +150,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == expect, s"stream=$got batch=$expect")
   }
 
+  test("ingest gate drops only its own caches, not other workloads'") {
+    // an unrelated workload's cache in the same session: the gate's
+    // per-batch cleanup must unpersist exactly its own candidate frame
+    // (a catalog.clearCache() here once caused a recompute storm for
+    // every cohabiting workload)
+    val other = spark.read.parquet(s"$sf/customer.parquet").cache()
+    other.count() // materialize
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedBefore >= 1)
+    graft.streaming.Events.runNearDupIngest(spark, sf, 0.5).collect()
+    // the unrelated cache survived...
+    assert(spark.sparkContext.getPersistentRDDs.size >= 1)
+    assert(other.storageLevel.useMemory, "unrelated cache was evicted")
+    // ...and the gate's own per-batch caches did not accrete
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore,
+      s"gate leaked caches: ${spark.sparkContext.getPersistentRDDs.size} > $cachedBefore")
+    other.unpersist(blocking = true)
+  }
+
   test("stream-stream view->click join matches the batch join") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -34,6 +34,20 @@ class TargetsSpec extends SparkSpec {
       .foreach(m => assert(m == serial))
   }
 
+  test("nested inPool restores the outer pool on exit") {
+    val sc = spark.sparkContext
+    graft.engine.Sessions.inPool(spark, "userA") {
+      graft.engine.Sessions.inPool(spark, "etl") {
+        assert(sc.getLocalProperty("spark.scheduler.pool") == "etl")
+      }
+      // the outer per-user pool must survive a nested helper's exit —
+      // nulling it would silently move the rest of userA's request to
+      // the default pool
+      assert(sc.getLocalProperty("spark.scheduler.pool") == "userA")
+    }
+    assert(sc.getLocalProperty("spark.scheduler.pool") == null)
+  }
+
   test("Entry-B chain: load → filter → getNextK, replay hits the memo") {
     Memo.clear()
     val reg = new TargetRegistry(spark)
