@@ -122,15 +122,19 @@ object SparkEntry {
     // l_quantity is integral-valued, so avg = exact-int-sum/count is
     // deterministic across engines and the 0.2·avg comparison is safe.
     "q17_small_qty_revenue" -> ((s, d) => {
-      li(s, d).createOrReplaceTempView("q17_lineitem")
-      Tables.part(s, d).createOrReplaceTempView("q17_part")
+      // view names keyed by the data dir: concurrent invocations on the
+      // same session with different dirs must not race on a shared view
+      // name (same-dir re-registration is idempotent)
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      li(s, d).createOrReplaceTempView(s"q17_lineitem_$tag")
+      Tables.part(s, d).createOrReplaceTempView(s"q17_part_$tag")
       s.sql(
-        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
-          |  count(*) AS n_rows
-          |FROM q17_lineitem JOIN q17_part ON p_partkey = l_partkey
-          |WHERE p_brand = 'Brand#1'
-          |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
-          |                    FROM q17_lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+        s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           |  count(*) AS n_rows
+           |FROM q17_lineitem_$tag JOIN q17_part_$tag ON p_partkey = l_partkey
+           |WHERE p_brand = 'Brand#1'
+           |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+           |                    FROM q17_lineitem_$tag l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
     }),
     "f_range" -> ((s, d) =>
       li(s, d).filter(Filters.range(col("l_extendedprice"), 1000.0, 5000.0))),

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim
 
 /** Text-corpus analysis for training-data pipelines: language ID
   * heuristic, quality scoring, token counting, document fingerprinting.
@@ -21,9 +22,18 @@ object TextAnalysis {
     * with constant-folding order. Keep all call sites on THIS helper so
     * they cannot desynchronize from their oracles.
     */
-  private[text] def frac4(num: Column, den: Column): Column = {
+  private[graft] def frac4(num: Column, den: Column): Column = {
     val e4 = num.cast("long") * lit(10000L)
-    ((e4 - pmod(e4, den)) / den).cast("long") / lit(10000.0)
+    // IntegralDivide, NOT Column./ — Spark's `/` on longs is a double
+    // division, which re-introduces the 2^53 rounding hazard this
+    // helper exists to kill (num·10⁴ > 2^53 at ~1 TB of tokens per
+    // group; the DuckDB oracles use exact `//`). Same pattern as
+    // RangeJoin.binOf.
+    val q = graftshim.exprToColumn(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        graftshim.columnToExpr(e4 - pmod(e4, den)),
+        graftshim.columnToExpr(den.cast("long"))))
+    q / lit(10000.0)
   }
 
   /** Stopword-marker language-ID heuristic (n-gram/marker style): score
@@ -341,11 +351,16 @@ object TextAnalysis {
     */
   def removeDupSpans(docs: DataFrame, w: Int = 5): DataFrame = {
     val ws = tokens(col("text"))
+    // slice each window ONCE, then hash it under both seeds: lambda
+    // bodies get no common-subexpression elimination, so naming the
+    // slice in an outer transform halves the per-window array
+    // materializations on this corpus-scale hot path
     val windows = transform(
-      sequence(lit(1), size(ws) - lit(w - 1)),
-      i => struct(
-        xxhash64(slice(ws, i, lit(w))).as("h1"),
-        xxhash64(lit(1L), slice(ws, i, lit(w))).as("h2")))
+      transform(sequence(lit(1), size(ws) - lit(w - 1)),
+        i => slice(ws, i, lit(w))),
+      sl => struct(
+        xxhash64(sl).as("h1"),
+        xxhash64(lit(1L), sl).as("h2")))
     val grams = docs.filter(size(ws) >= w)
       .select(col("doc_id"), posexplode(windows))
       .toDF("doc_id", "pos0", "ghash")

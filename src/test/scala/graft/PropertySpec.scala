@@ -208,13 +208,19 @@ class PropertySpec extends SparkSpec {
   }
 
   test("integer-grid truncation equals BigInt math on random ratios") {
-    val cases = samples(Gen.zip(Gen.chooseNum(0L, 1000000L), Gen.chooseNum(1L, 1000000L)), 300)
+    // test the ACTUAL shared helper (not a re-derivation that could
+    // drift), including num·10⁴ past 2^53 — where a double division of
+    // longs truncates one ulp low. 9.2e14·10⁴ stays inside Long.
+    val small = samples(Gen.zip(Gen.chooseNum(0L, 1000000L), Gen.chooseNum(1L, 1000000L)), 300)
       .map { case (num, den) => (math.min(num, den), den) } // num <= den: a ratio
+    val big = samples(
+      Gen.zip(Gen.chooseNum(900000000000000L, 920000000000000L),
+        Gen.chooseNum(900000000000000L, 999999999999999L)), 100)
+      .map { case (num, den) => (math.min(num, den), den) }
+    val cases = small ++ big
     val df = cases.toDF("num", "den")
-    // same form as TextAnalysis.frac4
-    val frac = ((col("num") * lit(10000L) - pmod(col("num") * lit(10000L), col("den")))
-      / col("den")).cast("long") / lit(10000.0)
-    val got = df.select(col("num"), col("den"), frac.as("f")).collect()
+    val got = df.select(col("num"), col("den"),
+        graft.text.TextAnalysis.frac4(col("num"), col("den")).as("f")).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     cases.foreach { case (num, den) =>
       val expect = ((BigInt(num) * 10000) / BigInt(den)).toLong / 10000.0

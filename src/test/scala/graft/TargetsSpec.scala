@@ -34,6 +34,16 @@ class TargetsSpec extends SparkSpec {
       .foreach(m => assert(m == serial))
   }
 
+  test("interactive() fails fast instead of silently reusing a FIFO context") {
+    // this suite's shared session is FIFO; scheduler mode is frozen at
+    // context creation, so interactive() must refuse rather than hand
+    // back a session whose pools are silent no-ops
+    val e = intercept[IllegalArgumentException] {
+      graft.engine.Sessions.interactive()
+    }
+    assert(e.getMessage.contains("FAIR"), e.getMessage)
+  }
+
   test("nested inPool restores the outer pool on exit") {
     val sc = spark.sparkContext
     graft.engine.Sessions.inPool(spark, "userA") {
