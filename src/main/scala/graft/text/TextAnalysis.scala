@@ -22,19 +22,18 @@ object TextAnalysis {
     * with constant-folding order. Keep all call sites on THIS helper so
     * they cannot desynchronize from their oracles.
     */
-  private[graft] def frac4(num: Column, den: Column): Column = {
-    val e4 = num.cast("long") * lit(10000L)
-    // IntegralDivide, NOT Column./ — Spark's `/` on longs is a double
-    // division, which re-introduces the 2^53 rounding hazard this
-    // helper exists to kill (num·10⁴ > 2^53 at ~1 TB of tokens per
-    // group; the DuckDB oracles use exact `//`). Same pattern as
-    // RangeJoin.binOf.
-    val q = graftshim.exprToColumn(
+  // exact long floor-division core: IntegralDivide, NOT Column./ —
+  // Spark's `/` on longs is a double division, which past 2^53
+  // truncates one ulp below the exact quotient (the DuckDB oracles use
+  // exact `//`). Same pattern as RangeJoin.binOf.
+  private def intDiv(num: Column, den: Column): Column =
+    graftshim.exprToColumn(
       new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        graftshim.columnToExpr(e4 - pmod(e4, den)),
+        graftshim.columnToExpr(num - pmod(num, den)),
         graftshim.columnToExpr(den.cast("long"))))
-    q / lit(10000.0)
-  }
+
+  private[graft] def frac4(num: Column, den: Column): Column =
+    intDiv(num.cast("long") * lit(10000L), den) / lit(10000.0)
 
   /** Stopword-marker language-ID heuristic (n-gram/marker style): score
     * each language by its marker-token hits, pick the best, 'und' when
@@ -67,23 +66,20 @@ object TextAnalysis {
     // All ratio metrics are defined on an exact 1e-4 integer grid —
     // see [[frac4]] for why floor(double·10⁴) is NOT engine-stable at
     // grid boundaries. These sites pre-multiply and compose (the score
-    // divides by 10 again), so they use the local divE4 on the same
-    // integer-div formulation rather than frac4 directly.
+    // divides by 10 again), so they use the shared [[intDiv]] core
+    // rather than frac4 directly.
     val lenE4 = (length(col("text")) - (nTok - lit(1))).cast("long") * lit(10000L)
     val stopE4 = stop.cast("long") * lit(10000L)
-    def divE4(numE4: Column, den: Column): Column =
-      ((numE4 - pmod(numE4, den)) / den).cast("long")
-    val stopRatioE4 = divE4(stopE4, nTok.cast("long"))
+    val stopRatioE4 = intDiv(stopE4, nTok.cast("long"))
     // composite score on the same grid: 0.7·min(n/100,1) + 0.3·min(10·stop/n,1)
     val scoreE4 = (least(nTok.cast("long") * lit(100L), lit(10000L)) * lit(7L) +
-      least(divE4(stopE4 * lit(10L), nTok.cast("long")), lit(10000L)) * lit(3L))
+      least(intDiv(stopE4 * lit(10L), nTok.cast("long")), lit(10000L)) * lit(3L))
     docs.select(
       col("doc_id"),
       nTok.as("n_tokens"),
-      (divE4(lenE4, nTok.cast("long")) / lit(10000.0)).as("mean_token_len"),
+      (intDiv(lenE4, nTok.cast("long")) / lit(10000.0)).as("mean_token_len"),
       (stopRatioE4 / lit(10000.0)).as("stopword_ratio"),
-      (((scoreE4 - pmod(scoreE4, lit(10L))) / lit(10L)).cast("long") / lit(10000.0))
-        .as("quality_score"))
+      (intDiv(scoreE4, lit(10L)) / lit(10000.0)).as("quality_score"))
   }
 
   /** Corpus token statistics per source (whitespace tokenization; a
