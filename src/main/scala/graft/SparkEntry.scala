@@ -122,10 +122,11 @@ object SparkEntry {
     // l_quantity is integral-valued, so avg = exact-int-sum/count is
     // deterministic across engines and the 0.2·avg comparison is safe.
     "q17_small_qty_revenue" -> ((s, d) => {
-      // view names keyed by the data dir: concurrent invocations on the
-      // same session with different dirs must not race on a shared view
+      // view names keyed by the SANITIZED FULL dir (collision-free,
+      // unlike a 32-bit hashCode): concurrent invocations on the same
+      // session with different dirs must not race on a shared view
       // name (same-dir re-registration is idempotent)
-      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       li(s, d).createOrReplaceTempView(s"q17_lineitem_$tag")
       Tables.part(s, d).createOrReplaceTempView(s"q17_part_$tag")
       s.sql(

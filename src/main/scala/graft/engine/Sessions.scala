@@ -36,6 +36,18 @@ object Sessions {
     * cluster manager's queues.
     */
   def interactive(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    // pre-check BEFORE the builder: getOrCreate on an existing session
+    // would both ignore the FAIR setting (scheduler mode is frozen at
+    // context creation) and apply the modifiable SQL configs below to
+    // the existing session — silently changing e.g. shuffle.partitions
+    // for every other user of that session
+    SparkSession.getDefaultSession.foreach { existing =>
+      val mode = existing.sparkContext.getConf.get("spark.scheduler.mode", "FIFO")
+      require(mode.equalsIgnoreCase("FAIR"),
+        s"Sessions.interactive found an existing SparkContext with scheduler mode $mode; " +
+          "FAIR scheduling cannot be enabled after context creation — " +
+          "create the interactive session before any other session")
+    }
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")

@@ -22,14 +22,16 @@ object TextAnalysis {
     * with constant-folding order. Keep all call sites on THIS helper so
     * they cannot desynchronize from their oracles.
     */
-  // exact long floor-division core: IntegralDivide, NOT Column./ —
-  // Spark's `/` on longs is a double division, which past 2^53
-  // truncates one ulp below the exact quotient (the DuckDB oracles use
-  // exact `//`). Same pattern as RangeJoin.binOf.
+  // exact long division core: IntegralDivide, NOT Column./ — Spark's
+  // `/` on longs is a double division, which past 2^53 truncates one
+  // ulp below the exact quotient (the DuckDB oracles use exact `//`).
+  // PRECONDITION num >= 0: truncation == floor there, so no pmod
+  // floor-correction is needed (RangeJoin.binOf keeps it for its
+  // possibly-negative epoch axis). Every caller here divides counts.
   private def intDiv(num: Column, den: Column): Column =
     graftshim.exprToColumn(
       new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        graftshim.columnToExpr(num - pmod(num, den)),
+        graftshim.columnToExpr(num),
         graftshim.columnToExpr(den.cast("long"))))
 
   private[graft] def frac4(num: Column, den: Column): Column =

@@ -37,11 +37,17 @@ class TargetsSpec extends SparkSpec {
   test("interactive() fails fast instead of silently reusing a FIFO context") {
     // this suite's shared session is FIFO; scheduler mode is frozen at
     // context creation, so interactive() must refuse rather than hand
-    // back a session whose pools are silent no-ops
+    // back a session whose pools are silent no-ops. Touch the fixture
+    // first so the FIFO context definitely exists even when this test
+    // is run in isolation, and assert the pre-check left the shared
+    // session's modifiable confs untouched.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
     val e = intercept[IllegalArgumentException] {
       graft.engine.Sessions.interactive()
     }
     assert(e.getMessage.contains("FAIR"), e.getMessage)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "interactive() must not mutate the existing session's confs")
   }
 
   test("nested inPool restores the outer pool on exit") {
