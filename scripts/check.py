@@ -52,6 +52,14 @@ for qdir in sorted(OUT.iterdir()):
     ok = True
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Dtype-strict: the driver hashes typed values, so int64-vs-float64
+        # (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float64) must FAIL here even
+        # when every value compares equal (r3/r4 text_repetition/corpus_mix).
+        kinds = {av.dtype.kind, bv.dtype.kind}
+        if kinds & {"i", "u"} and "f" in kinds:
+            failed.append((name, f"col {c} dtype mismatch: spark={av.dtype} duck={bv.dtype}"))
+            ok = False
+            break
         try:
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 close = ((av.isna() & bv.isna()) |

@@ -1647,7 +1647,7 @@ object SparkEntry {
         |g AS (SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]) AS gram
         |  FROM w WHERE len(ws) >= 2),
         |pg AS (SELECT doc_id, gram, count(*) AS ct FROM g GROUP BY 1, 2),
-        |gs AS (SELECT doc_id, sum(ct) AS n_2grams, max(ct) AS top_2gram_ct FROM pg GROUP BY 1)
+        |gs AS (SELECT doc_id, CAST(sum(ct) AS BIGINT) AS n_2grams, max(ct) AS top_2gram_ct FROM pg GROUP BY 1)
         |SELECT t.doc_id, t.n_tokens, t.dup_token_frac, gs.n_2grams, gs.top_2gram_ct,
         |  CAST(top_2gram_ct * 10000 // n_2grams AS DOUBLE) / CAST(10000 AS DOUBLE) AS top_2gram_frac
         |FROM tok t JOIN gs USING (doc_id)""".stripMargin,
@@ -1912,9 +1912,9 @@ object SparkEntry {
         |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
         |b AS (SELECT *, CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 600
         |    ELSE 2000000 END AS bud FROM t),
-        |c AS (SELECT *, sum(n_toks) OVER (PARTITION BY source
+        |c AS (SELECT *, CAST(sum(n_toks) OVER (PARTITION BY source
         |    ORDER BY h, CAST(doc_id AS VARCHAR)
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM b)
         |SELECT doc_id, text, lang, source, n_chars, n_toks, cum AS cum_tokens
         |FROM c WHERE cum <= bud""".stripMargin,
     "pack_sequences" ->
