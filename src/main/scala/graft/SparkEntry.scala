@@ -623,6 +623,15 @@ object SparkEntry {
     // candidates (never all-pairs), band-limited levenshtein ≤ 64
     "dedup_edit_distance" -> ((s, d) =>
       graft.dedup.Dedup.editDistancePairs(docs(s, d), 5, 64)),
+    // df-cut path exercised: every doc is salted with a 5-token tail
+    // whose fully-interior window lands in ALL docs (df = corpus size)
+    // and is dropped by the maxWindowDocs=50 cap INSIDE the single
+    // postings aggregation (bounded buffer, no second count pass) —
+    // without the cut it would make every doc pair a candidate
+    "dedup_edit_dfcut" -> ((s, d) =>
+      graft.dedup.Dedup.editDistancePairs(
+        docs(s, d).withColumn("text",
+          concat(col("text"), lit(" zq0 zq1 zq2 zq3 zq4"))), 5, 64, 50)),
     // incremental ingestion gate: the doc_id%10==0 "delta" deduped
     // against the rest of the corpus, banding delta×corpus (no self-join)
     "dedup_incremental" -> ((s, d) => {
@@ -1197,6 +1206,21 @@ object SparkEntry {
         |  FROM w WHERE len(ws) >= 5)),
         |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(d AS BIGINT) AS edit_dist FROM (
+        |  SELECT id_a, id_b, levenshtein(wa.t, wb.t) AS d
+        |  FROM p JOIN w wa ON wa.doc_id = id_a JOIN w wb ON wb.doc_id = id_b
+        |  WHERE abs(length(wa.t) - length(wb.t)) <= 64)
+        |WHERE d <= 64""".stripMargin,
+    "dedup_edit_dfcut" ->
+      """WITH w AS (SELECT doc_id, lower(text || ' zq0 zq1 zq2 zq3 zq4') AS t,
+        |  string_split(lower(text || ' zq0 zq1 zq2 zq3 zq4'), ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws)-3)]) AS gram
+        |  FROM w WHERE len(ws) >= 5)),
+        |ok AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+        |g2 AS (SELECT g.doc_id, g.gram FROM g JOIN ok USING (gram)),
+        |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g2 a JOIN g2 b USING (gram) WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(d AS BIGINT) AS edit_dist FROM (
         |  SELECT id_a, id_b, levenshtein(wa.t, wb.t) AS d
         |  FROM p JOIN w wa ON wa.doc_id = id_a JOIN w wb ON wb.doc_id = id_b

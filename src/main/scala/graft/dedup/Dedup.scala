@@ -136,16 +136,35 @@ object Dedup {
     * all-pairs), then each candidate is verified with the exact
     * Levenshtein distance, keeping pairs within `maxDist`.
     *
-    * Scale shape: the only exchanges are the inverted-index self-join
-    * on the 64-bit window hash and the distinct-pair aggregation. The
-    * quadratic-cost Levenshtein runs once per *candidate* pair, and
-    * only after a free length prefilter (|len_a − len_b| > maxDist
-    * already implies distance > maxDist), using Spark's band-limited
-    * threshold form (O(len·maxDist), −1 past the bound) so a giant
-    * non-dup candidate can't cost len² work.
+    * Scale shape: ONE exchange builds the inverted index as posting
+    * lists — `groupByKey(window hash)` with a bounded collector
+    * ([[graft.functions.BoundedCollect.PostingsAgg]]) that stops
+    * growing at `maxWindowDocs + 1` entries, so a boilerplate window
+    * shared by millions of docs costs O(cap) state, not O(df), and is
+    * dropped in the same shuffle (a window shared by > cap docs can't
+    * discriminate — it would contribute df² candidate pairs while any
+    * true near-dup pair it witnesses is also witnessed by the pair's
+    * rarer windows; same df-cut semantics as `jaccardPairs`'
+    * maxShingleDocs, but single-pass instead of count → hot-list →
+    * anti-join). Candidate pairs are then generated ROW-LOCALLY from
+    * each ≤cap posting list, length-prefiltered (|len_a − len_b| >
+    * maxDist already implies distance > maxDist) before the distinct-
+    * pair exchange. The quadratic-cost Levenshtein runs once per
+    * surviving pair, using Spark's band-limited threshold form
+    * (O(len·maxDist), −1 past the bound) so a giant non-dup candidate
+    * can't cost len² work.
     */
-  def editDistancePairs(docs: DataFrame, w: Int = 5, maxDist: Int = 64): DataFrame = {
-    val ws = split(lower(col("text")), " ")
+  def editDistancePairs(docs: DataFrame, w: Int = 5, maxDist: Int = 64,
+      maxWindowDocs: Int = 10000): DataFrame = {
+    val ws0 = split(lower(col("text")), " ")
+    // the token array MUST be projected to an attribute before the
+    // window lambda: lambda bodies get no common-subexpression
+    // elimination, so `slice(split(...), i, w)` re-splits the whole
+    // text once per window — O(L²) per doc, measured 4× on this stage
+    val pre = docs.filter(size(ws0) >= w)
+      .select(col("doc_id"), ws0.as("__ws"),
+        length(lower(col("text"))).cast("int").as("len"))
+    val ws = col("__ws")
     // the window hash never leaves the engine (the oracle regenerates
     // candidates from gram strings), so the cheapest 64-bit hash wins:
     // xxhash64 over the token slice directly — no string re-join, no
@@ -155,18 +174,32 @@ object Dedup {
       i => xxhash64(slice(ws, i, lit(w))))
     // within-doc dedup is row-local (array_distinct BEFORE the explode)
     // — a .distinct() after the explode would shuffle every (doc, hash)
-    // row just to drop within-doc repeats
-    val idx = docs.filter(size(ws) >= w)
-      .select(col("doc_id"), explode(array_distinct(windows)).as("ghash"))
-    val pairs = idx.as("a").hint("shuffle_merge")
-      .join(idx.as("b"),
-        col("a.ghash") === col("b.ghash") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // row just to drop within-doc repeats. The lowercase length rides
+    // along so the prefilter needs no join back to the text.
+    val idx = pre
+      .select(col("doc_id"), explode(array_distinct(windows)).as("ghash"),
+        col("len"))
+    val postings = idx
+      .groupBy(col("ghash"))
+      .agg(graft.functions.BoundedCollect
+        .boundedPostings(col("doc_id"), col("len"), maxWindowDocs).as("ds"))
+      .filter(size(col("ds")).between(2, maxWindowDocs))
+    // the list is sorted by doc_id, so nested prefix iteration
+    // yields id_a < id_b for free; slice is 1-based, transform's index
+    // 0-based — slice(ds, i+2, …) is exactly the strict suffix after x
+    val ds = col("ds")
+    val pairsCol = flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + lit(2), size(ds)), y =>
+        struct(x("doc_id").as("id_a"), y("doc_id").as("id_b"),
+          x("len").as("la"), y("len").as("lb")))))
+    val pairs = postings
+      .select(explode(pairsCol).as("p"))
+      .filter(abs(col("p.la") - col("p.lb")) <= maxDist)
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
     val ta = docs.select(col("doc_id").as("id_a"), lower(col("text")).as("__ta"))
     val tb = docs.select(col("doc_id").as("id_b"), lower(col("text")).as("__tb"))
     pairs.join(ta, "id_a").join(tb, "id_b")
-      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
       .withColumn("edit_dist",
         levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
       .filter(col("edit_dist") >= 0L)

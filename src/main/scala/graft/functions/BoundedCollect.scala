@@ -1,0 +1,128 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** Bounded posting-list collector for inverted-index candidate
+  * generation (fuzzy dedup): per key, collect at most `cap + 1`
+  * (id, len) entries and STOP GROWING past that — an over-full buffer
+  * only ever means "this key is hot, drop it", so nothing beyond
+  * cap + 1 elements is needed. This is the same bounded-state monoid
+  * discipline as hillview's mergeable sketches (platform/src/main/java/
+  * org/hillview/sketches/results/MonoidTopK.java): update and merge
+  * both cap the buffer, so map-side partials ship O(cap) bytes per key
+  * no matter how pathological the key ("the the the ..." shared by
+  * millions of docs), where a plain `collect_list` + size filter would
+  * materialize the full multi-million-entry list before dropping it.
+  *
+  * Compared to the two-pass df-cut used by the string-shingle path
+  * (count per key → hot list → left-anti join: two shuffles over the
+  * full index), this applies the cut inside the SAME single
+  * aggregation shuffle.
+  *
+  * Determinism: a buffer that never exceeds the cap holds exactly its
+  * key's complete posting list (sorted by id in eval()); an over-cap
+  * buffer's contents depend on merge order, but callers only consume
+  * its SIZE (> cap ⇒ drop the key), which is order-independent.
+  *
+  * Implemented as a native [[TypedImperativeAggregate]] (the same shape
+  * as Spark's own collect_list) rather than a typed Dataset
+  * `Aggregator`: the typed path pays a row↔tuple conversion per input
+  * row plus a Kryo round-trip per partial buffer, measured ~2× on this
+  * aggregation at sf0.1.
+  */
+object BoundedCollect {
+
+  /** `bounded_postings(id, len, cap)` as a Column aggregate; result is
+    * array<struct<doc_id: long, len: int>>, sorted by doc_id when the
+    * list is complete (size ≤ cap), arbitrary (cap+1)-sized otherwise.
+    */
+  def boundedPostings(id: Column, len: Column, cap: Int): Column =
+    graftshim.exprToColumn(
+      BoundedPostingsAgg(
+        graftshim.columnToExpr(id), graftshim.columnToExpr(len), cap)
+        .toAggregateExpression())
+}
+
+case class BoundedPostingsAgg(
+    left: Expression,
+    right: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[(Long, Int)]]
+  with BinaryLike[Expression] {
+
+  private val limit = cap + 1
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[(Long, Int)] =
+    mutable.ArrayBuffer.empty
+
+  override def update(
+      buf: mutable.ArrayBuffer[(Long, Int)],
+      input: InternalRow): mutable.ArrayBuffer[(Long, Int)] = {
+    if (buf.size < limit) {
+      val id = left.eval(input)
+      val ln = right.eval(input)
+      if (id != null && ln != null) {
+        buf += ((id.asInstanceOf[Long], ln.asInstanceOf[Int]))
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      a: mutable.ArrayBuffer[(Long, Int)],
+      b: mutable.ArrayBuffer[(Long, Int)]): mutable.ArrayBuffer[(Long, Int)] = {
+    val room = limit - a.size
+    if (room > 0) a ++= b.take(room)
+    a
+  }
+
+  override def eval(buf: mutable.ArrayBuffer[(Long, Int)]): Any = {
+    val xs = if (buf.size >= limit) buf else buf.sortBy(_._1)
+    new GenericArrayData(xs.map { case (id, ln) =>
+      InternalRow(id, ln)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.ArrayBuffer[(Long, Int)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 12)
+    bb.putInt(buf.size)
+    buf.foreach { case (id, ln) => bb.putLong(id); bb.putInt(ln) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(Long, Int)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new mutable.ArrayBuffer[(Long, Int)](n)
+    var i = 0
+    while (i < n) { buf += ((bb.getLong, bb.getInt)); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("len", IntegerType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bounded_postings"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedPostingsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedPostingsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BoundedPostingsAgg =
+    copy(left = newLeft, right = newRight)
+}

@@ -303,11 +303,14 @@ object TextAnalysis {
       i => xxhash64(slice(ws, i, lit(w))))
 
   def dupPassages(docs: DataFrame, w: Int = 5): DataFrame = {
-    val ws = tokens(col("text"))
+    // project the token array to an attribute BEFORE the window lambda:
+    // lambda bodies get no common-subexpression elimination, so
+    // slice(split(...), i, w) would re-split the text once per window
+    val pre = docs.filter(size(tokens(col("text"))) >= w)
+      .select(col("doc_id"), tokens(col("text")).as("__ws"))
+    val ws = col("__ws")
     val windows = windowHashes(ws, w)
-    val perDoc = docs
-      .filter(size(ws) >= w)
-      .select(col("doc_id"), explode(windows).as("ghash"))
+    val perDoc = pre.select(col("doc_id"), explode(windows).as("ghash"))
     val dupHashes = perDoc
       .groupBy(col("ghash"))
       .agg(count_distinct(col("doc_id")).as("__nd"))
@@ -316,7 +319,7 @@ object TextAnalysis {
     perDoc
       .join(dupHashes, Seq("ghash"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
-      .join(docs.filter(size(ws) >= w)
+      .join(pre
         .select(col("doc_id"), (size(ws) - lit(w - 1)).cast("long").as("n_windows")),
         Seq("doc_id"), "right")
       .select(col("doc_id"), col("n_windows"),
@@ -348,18 +351,19 @@ object TextAnalysis {
     * thousands, while 128 bits push the expectation below 1e-13.
     */
   def removeDupSpans(docs: DataFrame, w: Int = 5): DataFrame = {
-    val ws = tokens(col("text"))
-    // slice each window ONCE, then hash it under both seeds: lambda
-    // bodies get no common-subexpression elimination, so naming the
-    // slice in an outer transform halves the per-window array
-    // materializations on this corpus-scale hot path
+    // project the token array to an attribute FIRST (lambda bodies get
+    // no common-subexpression elimination — a split referenced inside
+    // the window lambda would re-split the text once per window), and
+    // slice each window ONCE, then hash it under both seeds
+    val pre = docs.select(col("doc_id"), tokens(col("text")).as("__ws"))
+    val ws = col("__ws")
     val windows = transform(
       transform(sequence(lit(1), size(ws) - lit(w - 1)),
         i => slice(ws, i, lit(w))),
       sl => struct(
         xxhash64(sl).as("h1"),
         xxhash64(lit(1L), sl).as("h2")))
-    val grams = docs.filter(size(ws) >= w)
+    val grams = pre.filter(size(ws) >= w)
       .select(col("doc_id"), posexplode(windows))
       .toDF("doc_id", "pos0", "ghash")
     val dup = grams
@@ -380,7 +384,7 @@ object TextAnalysis {
     // ALL docs pass through — a doc shorter than w tokens has no
     // windows and must come out uncut, not dropped (it's a transform,
     // not a filter); its missing `starts` row coalesces to no cuts
-    docs
+    pre
       .join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(ws).cast("long").as("n_tokens"),

@@ -406,6 +406,25 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.editDistancePairs(d, 5, 2).isEmpty)
   }
 
+  test("edit-distance df-cut drops hot windows without losing true pairs") {
+    // every doc carries the same 5-token tail → one fully-interior
+    // window with df = 3 (the whole corpus)
+    val salt = " zq0 zq1 zq2 zq3 zq4"
+    val d = docsDF(Seq(
+      "the quick brown fox jumps over the lazy dog today" + salt,
+      "the quick brown fox jumps over the lazy cat today" + salt,
+      "completely unrelated text with zero shared windows" + salt))
+    // uncapped: the ubiquitous salt window makes EVERY pair a candidate,
+    // and at maxDist=64 even the unrelated doc verifies within distance
+    assert(Dedup.editDistancePairs(d, 5, 64).count() == 3)
+    // cap 2 < df 3: the salt window is dropped in the postings
+    // aggregation; the true near-dup pair survives via its rarer shared
+    // windows, the hot-window-only pairs disappear
+    val r = Dedup.editDistancePairs(d, 5, 64, 2).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 0L && r(0).getLong(1) == 1L && r(0).getLong(2) == 3L)
+  }
+
   test("sentence filter keeps long sentences, drops short ones, reassembles") {
     val d = docsDF(Seq("this one is long enough. no. way too short. " +
       "here is another keeper sentence"))

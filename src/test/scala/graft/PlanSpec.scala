@@ -211,8 +211,10 @@ class PlanSpec extends SparkSpec {
   test("edit-distance dedup: candidates via hash join, bounded verify") {
     spark.catalog.clearCache()
     val p = plan(SparkEntry.queries("dedup_edit_distance")(spark, sf))
-    // inverted-index self-join and text joins are all equi-joins —
+    // candidate pairs come from ONE bounded postings aggregation over
+    // the window-hash index (the df-cut happens inside this shuffle),
     // never an all-pairs nested loop
+    assert(p.contains("bounded_postings"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
