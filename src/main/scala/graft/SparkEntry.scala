@@ -581,6 +581,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .withColumn("noisy_cnt",
           round(col("cnt") + graft.functions.Quantization.laplaceNoise(col("qbucket"), 5.0), 4))),
+    // binary-mechanism DP CDF (IntervalDecomposition.java:63 +
+    // DPHistogram.java postProcess): one independent Laplace variable
+    // per dyadic interval-tree node, each prefix [0, r) summing only
+    // its O(log T) covering nodes — rows-only (seeded noise; the cover,
+    // variance bound, and monotone clamp are property-gated)
+    "dp_noisy_cdf" -> ((s, d) =>
+      graft.functions.Quantization.noisyHistogramDyadic(
+        li(s, d), "l_extendedprice", 0.0, 1000.0, 128,
+        Seq(0, 16, 32, 48, 64, 80, 96, 112), epsilon = 0.5,
+        branching = 2, cdf = true)),
     // percentile_approx twin of bucket_quantiles (rows-only; tolerance
     // spec-gated) — the declared scale path with bounded per-group state
     "bucket_quantiles_approx" -> ((s, d) =>

@@ -85,6 +85,151 @@ object Quantization {
       // inverse-CDF Laplace
       -lit(scale) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
     }
+
+  /** Dyadic decomposition of the leaf interval [left, right) — the
+    * binary-mechanism interval cover (Chan/Song/Shi TISSEC '11) the
+    * reference computes in web/src/main/java/org/hillview/
+    * dataStructures/IntervalDecomposition.java:63: repeatedly take the
+    * largest aligned power-of-two interval starting at `left` that does
+    * not extend past `right`. Returns (start, size) pairs. Any [l, r)
+    * over T leaves decomposes into ≤ 2·log₂T intervals, so a noisy
+    * range/CDF query sums O(log T) independent noise variables instead
+    * of O(r − l) per-bucket ones.
+    */
+  def dyadicDecomposition(left: Int, right: Int): Seq[(Int, Int)] = {
+    require(left >= 0 && right >= left, s"invalid interval $left:$right")
+    val nodes = Seq.newBuilder[(Int, Int)]
+    var l = left
+    while (l < right) {
+      val lob = java.lang.Integer.lowestOneBit(l)
+      val lsb = if (lob > 0) 31 - java.lang.Integer.numberOfLeadingZeros(lob) else -1
+      val rem = 31 - java.lang.Integer.numberOfLeadingZeros(right - l)
+      val pow = if (lsb < 0) rem else math.min(lsb, rem)
+      val sz = 1 << pow
+      nodes += ((l, sz))
+      l += sz
+    }
+    nodes.result()
+  }
+
+  /** k-adic decomposition (IntervalDecomposition.java:94
+    * kadicDecomposition) for a degree-k interval tree — the reference's
+    * default branching factor is 20 (BRANCHING_FACTOR). Mirrors the
+    * reference's alignment rule, including its quirk of using
+    * floor(log_k(left)) rather than the largest power of k DIVIDING
+    * left: the emitted intervals are what seed the per-interval noise,
+    * so matching the reference's cover keeps noise composition
+    * behavior-identical even where the cover is not a strict tree-node
+    * set. A full-width interval of exactly k leaves is emitted as k
+    * unit leaves ("no root node").
+    */
+  def kadicDecomposition(left: Int, right: Int, k: Int): Seq[(Int, Int)] = {
+    require(left >= 0 && right >= left, s"invalid interval $left:$right")
+    if (k == 2) return dyadicDecomposition(left, right)
+    if (right - left == k) return (left until right).map(i => (i, 1))
+    val nodes = Seq.newBuilder[(Int, Int)]
+    var l = left
+    while (l < right) {
+      val smallestPower =
+        if (l > 0) math.floor(math.log(l) / math.log(k)).toInt else -1
+      val rem = (math.log(right - l) / math.log(k)).toInt
+      val pow = if (smallestPower < 0) rem else math.min(smallestPower, rem)
+      val sz = math.pow(k, pow).toInt
+      nodes += ((l, sz))
+      l += sz
+    }
+    nodes.result()
+  }
+
+  /** Laplace scale for the interval-tree mechanism
+    * (PrivacyUtils.computeNoiseScale, web/.../utils/PrivacyUtils
+    * .java:18): ceil(log_branching(leaves)) / ε — each level of the
+    * tree consumes an equal share of the budget.
+    */
+  def noiseScaleForLeaves(epsilon: Double, leaves: Int, branching: Int = 20): Double = {
+    require(epsilon > 0.0, "epsilon must be positive")
+    math.ceil(math.log(leaves.toDouble) / math.log(branching.toDouble)) / epsilon
+  }
+
+  /** DP histogram / CDF over a quantized numeric axis with PER-DYADIC-
+    * INTERVAL noise (DPHistogram.java postProcess + noiseForRange):
+    * each interval-tree node carries one independent Laplace(scale)
+    * variable (deterministically seeded by the node, so repeated and
+    * overlapping queries see CONSISTENT noise — the binary-mechanism
+    * composition property), and a bucket's noise is the sum over its
+    * range's k-adic decomposition. With `cdf = true` each bucket uses
+    * the decomposition of [0, bucketEnd) — O(log T) variables — and the
+    * noisy CDF is clamped monotone exactly as the reference.
+    *
+    * Output per bucket: exact count, noisy count, number of noise
+    * variables, and a 99% confidence radius (reference alpha = 0.01;
+    * the reference simulates the n-fold Laplace sum's quantile — here
+    * the exact Laplace quantile is used for n = 1 and the CLT normal
+    * approximation for n > 1, documented deviation).
+    *
+    * Scale shape: one partial-aggregated histogram pass over the data;
+    * the decomposition, noise, and CI live on the O(buckets) result
+    * (the tiny post-agg single partition the plan audit already
+    * accepts for hist_cdf). The interval table is driver-generated
+    * metadata (O(buckets·log leaves) rows), never data.
+    */
+  def noisyHistogramDyadic(
+      df: org.apache.spark.sql.DataFrame, column: String,
+      minValue: Double, granularity: Double, leaves: Int,
+      bucketStarts: Seq[Int], epsilon: Double, branching: Int = 20,
+      cdf: Boolean = false, seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    require(bucketStarts.nonEmpty && bucketStarts == bucketStarts.sorted,
+      "bucketStarts must be sorted")
+    require(bucketStarts.head == 0, "first bucket starts at leaf 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nb = bucketStarts.length
+    val ends = bucketStarts.drop(1) :+ leaves
+    val scale = noiseScaleForLeaves(epsilon, leaves, branching)
+    // driver-side metadata: per bucket, its range's interval cover
+    val decomp: Seq[(Int, Int, Int)] = (0 until nb).flatMap { i =>
+      val l = if (cdf) 0 else bucketStarts(i)
+      kadicDecomposition(l, ends(i), branching).map { case (lo, sz) => (i, lo, sz) }
+    }
+    val noisePerBucket = decomp.toDF("bucket", "ilo", "isz")
+      .groupBy(col("bucket"))
+      .agg(
+        sum(laplaceNoise(concat_ws(":", col("ilo"), col("isz")), scale, seed))
+          .as("__noise"),
+        count(lit(1)).as("n_intervals"))
+    // exact per-bucket histogram: leaf = grid cell, bucket = largest
+    // start ≤ leaf (codegen'd CASE chain — buckets are bounded)
+    val leaf = floor((col(column) - lit(minValue)) / lit(granularity)).cast("int")
+    val bucketOf = bucketStarts.zipWithIndex.tail.foldLeft(lit(0)) {
+      case (acc, (s, i)) => when(leaf >= lit(s), lit(i)).otherwise(acc)
+    }
+    val counts = df
+      .filter(col(column).isNotNull && leaf >= 0 && leaf < lit(leaves))
+      .groupBy(bucketOf.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val winAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val base = noisePerBucket
+      .join(counts, Seq("bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val measured =
+      if (cdf) base.withColumn("cnt", sum(col("cnt")).over(winAll)) else base
+    val noisy = measured
+      .withColumn("__raw", col("cnt") + col("__noise"))
+    val clamped =
+      if (cdf) noisy.withColumn("__raw", max(col("__raw")).over(winAll))
+      else noisy
+    clamped.select(
+      col("bucket"),
+      col("cnt"),
+      round(col("__raw"), 4).as("noisy_cnt"),
+      col("n_intervals"),
+      round(when(col("n_intervals") === 1, lit(scale * math.log(100.0)))
+        .otherwise(lit(2.576) * sqrt(col("n_intervals") * lit(2.0 * scale * scale))), 4)
+        .as("conf_radius"))
+      .orderBy(col("bucket"))
+  }
 }
 
 /** The row-wise UDF surface — hillview's JavaScript map/filter columns

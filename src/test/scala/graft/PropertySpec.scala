@@ -176,6 +176,55 @@ class PropertySpec extends SparkSpec {
     assert(a.sameElements(b) && a.exists(_ != 0.0))
   }
 
+  test("dyadic decomposition: aligned power-of-two cover, O(log T) size") {
+    import graft.functions.Quantization.{dyadicDecomposition, kadicDecomposition}
+    // worked example: [3,11) = [3,4) ∪ [4,8) ∪ [8,10) ∪ [10,11)
+    assert(dyadicDecomposition(3, 11) == Seq((3, 1), (4, 4), (8, 2), (10, 1)))
+    assert(dyadicDecomposition(0, 8) == Seq((0, 8)))
+    assert(dyadicDecomposition(5, 5).isEmpty)
+    // degree-k tree with exactly k leaves: unit leaves, no root node
+    assert(kadicDecomposition(0, 20, 20) == (0 until 20).map(i => (i, 1)))
+    val T = 1024
+    samples(Gen.zip(Gen.chooseNum(0, T), Gen.chooseNum(0, T)), 50).foreach {
+      case (a, b) =>
+        val (l, r) = (math.min(a, b), math.max(a, b))
+        val d = dyadicDecomposition(l, r)
+        // contiguous exact cover of [l, r)
+        assert(d.scanLeft(l)(_ + _._2).init.zip(d.map(_._1)).forall(p => p._1 == p._2))
+        assert(d.map(_._2).sum == r - l)
+        // every node is an ALIGNED power of two (a real tree node)
+        assert(d.forall { case (lo, sz) => (sz & (sz - 1)) == 0 && lo % sz == 0 })
+        // the binary-mechanism bound: ≤ 2·log₂T intervals — the reason
+        // a dyadic CDF beats per-bucket flat noise (O(r) variables)
+        assert(d.size <= 2 * 10)
+    }
+  }
+
+  test("dyadic noisy CDF: deterministic, monotone, O(log T) noise variables") {
+    import graft.functions.Quantization.noisyHistogramDyadic
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val starts = Seq(0, 16, 32, 48, 64, 80, 96, 112)
+    def run() = noisyHistogramDyadic(li, "l_extendedprice", 0.0, 1000.0, 128,
+      starts, epsilon = 0.5, branching = 2, cdf = true)
+    val a = run().collect()
+    assert(a.sameElements(run().collect())) // seeded noise: reproducible
+    // exact cumulative counts underneath the noise
+    val exact = li.filter(col("l_extendedprice") < 128000.0)
+      .groupBy(floor(col("l_extendedprice") / 16000.0).cast("int").as("b"))
+      .agg(count(lit(1)).as("c")).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cum = (0 until 8).scanLeft(0L)((acc, i) => acc + exact.getOrElse(i, 0L)).tail
+    assert(a.map(_.getLong(1)).sameElements(cum))
+    // each CDF prefix [0, r) decomposes into ≤ log₂(128) = 7 variables,
+    // never the r-leaf flat-noise count
+    assert(a.forall(r => r.getLong(3) <= 7))
+    // noisy CDF is clamped monotone non-decreasing (reference postProcess)
+    val noisy = a.map(_.getDouble(2))
+    assert(noisy.zip(noisy.tail).forall(p => p._1 <= p._2))
+    // noise is actually present and within a few CI radii of the truth
+    assert(a.exists(r => r.getDouble(2) != r.getLong(1).toDouble))
+    assert(a.forall(r => math.abs(r.getDouble(2) - r.getLong(1)) <= 5 * r.getDouble(4)))
+  }
+
   test("noisy distinct: zero noise equals the bare sketch; radius composes") {
     val li = graft.engine.Tables.lineitem(spark, sf)
     val raw = li.agg(approx_count_distinct(col("l_partkey"), 0.05)).head.getLong(0)
