@@ -885,6 +885,12 @@ object SparkEntry {
     "jdbc_federated_topfreq" -> ((s, d) =>
       graft.sources.Jdbc.Federation(s, graft.sources.Jdbc.customerDb(s, d))
         .topFreq("customer", Seq("c_mktsegment"), 150L)),
+    // histogram2D (JdbcDatabase.java:265): both bucket axes computed in
+    // the pushed SQL, only O(buckets_x × buckets_y) rows cross the wire
+    "jdbc_federated_hist2d" -> ((s, d) =>
+      graft.sources.Jdbc.Federation(s, graft.sources.Jdbc.customerDb(s, d))
+        .heatmap("customer", "c_acctbal", -1000.0, 10000.0, 11,
+          "c_nationkey", 0.0, 25.0, 5)),
 
     // ── more projections / histograms ──────────────────────────────────
     "pca_projection" -> ((s, d) =>
@@ -1890,6 +1896,15 @@ object SparkEntry {
     "jdbc_federated_topfreq" ->
       """SELECT c_mktsegment, count(*) AS ct FROM customer
         |GROUP BY c_mktsegment HAVING count(*) >= 150""".stripMargin,
+    "jdbc_federated_hist2d" ->
+      """SELECT bucket_x, bucket_y, count(*) AS ct FROM (
+        |  SELECT CASE WHEN CAST(FLOOR((c_acctbal - -1000.0) / 1000.0) AS INT) > 10
+        |    THEN 10 ELSE CAST(FLOOR((c_acctbal - -1000.0) / 1000.0) AS INT) END AS bucket_x,
+        |  CASE WHEN CAST(FLOOR((c_nationkey - 0.0) / 5.0) AS INT) > 4
+        |    THEN 4 ELSE CAST(FLOOR((c_nationkey - 0.0) / 5.0) AS INT) END AS bucket_y
+        |  FROM customer WHERE c_acctbal >= -1000.0 AND c_acctbal <= 10000.0
+        |    AND c_nationkey >= 0.0 AND c_nationkey <= 25.0) b
+        |GROUP BY bucket_x, bucket_y""".stripMargin,
     // closed-form 2×2 eigen from the same exact-decimal moments and the
     // same operation order as Projections.pca2Project
     "pca_projection" ->
