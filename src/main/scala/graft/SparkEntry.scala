@@ -1006,6 +1006,21 @@ object SparkEntry {
       graft.geo.Geo.tagPoints(pts, polys, col("px"), col("py"))
         .groupBy(col("poly")).agg(count(lit(1)).as("n_points"))
     }),
+    "geo_polygon_concave" -> ((s, d) => {
+      // NON-convex feature (an L-shape) via even-odd ray casting — the
+      // general simple-polygon case the reference reads from shapefiles
+      // (geo/PolygonSet.java); the convex half-plane test cannot
+      // express it. Same deterministic integer point grid.
+      val polys = graft.geo.Geo.polygonSet(s, Seq(
+        ("lshape", Seq((0.0, 0.0), (48.0, 0.0), (48.0, 24.0), (24.0, 24.0),
+          (24.0, 96.0), (0.0, 96.0))),
+        ("east", Seq((49.0, 0.0), (96.0, 0.0), (96.0, 96.0), (49.0, 96.0)))))
+      val pts = cust(s, d).select(
+        (col("c_custkey") % 97).cast("double").as("px"),
+        (expr("c_custkey div 97") % 97).cast("double").as("py"))
+      graft.geo.Geo.tagPoints(pts, polys, col("px"), col("py"), convex = false)
+        .groupBy(col("poly")).agg(count(lit(1)).as("n_points"))
+    }),
     "asof_join" -> ((s, d) => {
       val e = ev(s, d)
       val clicks = e.filter(col("event_type") === "click")
@@ -2016,6 +2031,19 @@ object SparkEntry {
         |  WHEN py >= 0 AND py <= 96 AND px >= 49 AND px <= 96 THEN 'east'
         |  WHEN py >= 49 AND (-24*(py-49) - 47*(px-48)) >= 0
         |    AND (-24*(py-96) + 47*(px-24)) >= 0 THEN 'north'
+        |  END AS poly FROM p)
+        |SELECT poly, count(*) AS n_points FROM t WHERE poly IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    // the L-shape is the union of two closed axis-aligned rectangles —
+    // on the integer grid the even-odd rule plus inclusive boundary
+    // equals this region predicate exactly
+    "geo_polygon_concave" ->
+      """WITH p AS (SELECT CAST(c_custkey % 97 AS DOUBLE) AS px,
+        |  CAST((c_custkey // 97) % 97 AS DOUBLE) AS py FROM customer),
+        |t AS (SELECT CASE
+        |  WHEN (px BETWEEN 0 AND 48 AND py BETWEEN 0 AND 24)
+        |    OR (px BETWEEN 0 AND 24 AND py BETWEEN 24 AND 96) THEN 'lshape'
+        |  WHEN px >= 49 AND px <= 96 AND py >= 0 AND py <= 96 THEN 'east'
         |  END AS poly FROM p)
         |SELECT poly, count(*) AS n_points FROM t WHERE poly IS NOT NULL
         |GROUP BY 1""".stripMargin,

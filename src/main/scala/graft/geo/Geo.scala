@@ -31,6 +31,40 @@ object Geo {
       ok => ok)
   }
 
+  /** Point-in-polygon for an ARBITRARY simple polygon (convex or not,
+    * either winding) by the even-odd ray-casting rule — the general
+    * case the reference gets from JTS contains() on shapefile features
+    * (geo/PolygonSet.java:20-27): a rightward horizontal ray from the
+    * point crosses an odd number of edges iff the point is interior.
+    * Boundary points are inside (matching [[containsPoint]]).
+    *
+    * The crossing test is division-free: `px < ax + (bx−ax)·(py−ay)/
+    * (by−ay)` is cross-multiplied into a sign comparison, so on
+    * integer-valued grids every product is exact in doubles and the
+    * predicate is engine-portable (an inexact division could flip a
+    * grid point lying exactly under a vertex). The half-open vertex
+    * rule ((ay > py) ≠ (by > py)) counts a vertex-touching ray once.
+    * Still a pure codegen'd array expression — no UDF, no JTS.
+    */
+  def containsPointRayCast(verts: Column, px: Column, py: Column): Column = {
+    val nxt = concat(slice(verts, lit(2), size(verts)), slice(verts, 1, 1))
+    val edges = zip_with(verts, nxt, (a, b) =>
+      struct(a("x").as("ax"), a("y").as("ay"), b("x").as("bx"), b("y").as("by")))
+    val onEdge = exists(edges, e => {
+      val cross = (e("bx") - e("ax")) * (py - e("ay")) -
+        (e("by") - e("ay")) * (px - e("ax"))
+      cross === 0 &&
+        px >= least(e("ax"), e("bx")) && px <= greatest(e("ax"), e("bx")) &&
+        py >= least(e("ay"), e("by")) && py <= greatest(e("ay"), e("by"))
+    })
+    val crossings = size(filter(edges, e => {
+      val num = (e("bx") - e("ax")) * (py - e("ay")) -
+        (px - e("ax")) * (e("by") - e("ay"))
+      ((e("ay") > py) =!= (e("by") > py)) && ((num > 0) === (e("by") > e("ay")))
+    }))
+    onEdge || crossings % 2 === 1
+  }
+
   /** Build the polygon metadata frame from (name, vertex list) pairs. */
   def polygonSet(spark: org.apache.spark.sql.SparkSession,
       polys: Seq[(String, Seq[(Double, Double)])]): DataFrame = {
@@ -41,10 +75,15 @@ object Geo {
 
   /** Tag each point row with the polygon containing it (rows outside
     * every polygon are dropped; polygons are assumed disjoint, else a
-    * row is tagged once per containing feature).
+    * row is tagged once per containing feature). `convex = true` uses
+    * the cheaper all-half-planes test and requires CCW winding;
+    * `convex = false` handles any simple polygon via ray casting.
     */
   def tagPoints(points: DataFrame, polygons: DataFrame,
-      px: Column, py: Column): DataFrame =
-    points.join(broadcast(polygons), containsPoint(col("verts"), px, py))
-      .drop("verts")
+      px: Column, py: Column, convex: Boolean = true): DataFrame = {
+    val pred =
+      if (convex) containsPoint(col("verts"), px, py)
+      else containsPointRayCast(col("verts"), px, py)
+    points.join(broadcast(polygons), pred).drop("verts")
+  }
 }

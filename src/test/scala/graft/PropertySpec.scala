@@ -225,6 +225,45 @@ class PropertySpec extends SparkSpec {
     assert(a.forall(r => math.abs(r.getDouble(2) - r.getLong(1)) <= 5 * r.getDouble(4)))
   }
 
+  test("ray-cast containment equals classic even-odd on a full grid") {
+    // reference even-odd implementation (with inclusive boundary) in
+    // plain Scala, checked over every grid point against the expression
+    def inside(vs: Seq[(Double, Double)], px: Double, py: Double): Boolean = {
+      val es = vs.zip(vs.tail :+ vs.head)
+      val on = es.exists { case ((ax, ay), (bx, by)) =>
+        (bx - ax) * (py - ay) - (by - ay) * (px - ax) == 0 &&
+          px >= math.min(ax, bx) && px <= math.max(ax, bx) &&
+          py >= math.min(ay, by) && py <= math.max(ay, by)
+      }
+      val n = es.count { case ((ax, ay), (bx, by)) =>
+        ((ay > py) != (by > py)) &&
+          (((bx - ax) * (py - ay) - (px - ax) * (by - ay) > 0) == (by > ay))
+      }
+      on || n % 2 == 1
+    }
+    // concave L, a chevron (CW winding!), and a convex triangle
+    val shapes = Seq(
+      Seq((0.0, 0.0), (8.0, 0.0), (8.0, 4.0), (4.0, 4.0), (4.0, 8.0), (0.0, 8.0)),
+      Seq((0.0, 0.0), (4.0, 8.0), (8.0, 0.0), (4.0, 3.0)),
+      Seq((1.0, 1.0), (7.0, 2.0), (3.0, 7.0)))
+    val grid = for (x <- 0 to 8; y <- 0 to 8) yield (x.toDouble, y.toDouble)
+    val pts = grid.toDF("px", "py")
+    shapes.foreach { vs =>
+      val polys = graft.geo.Geo.polygonSet(spark, Seq(("s", vs)))
+      val got = graft.geo.Geo
+        .tagPoints(pts, polys, col("px"), col("py"), convex = false)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+      val expect = grid.filter(p => inside(vs, p._1, p._2)).toSet
+      assert(got == expect, s"shape $vs")
+    }
+    // convex path and ray-cast agree on the CCW triangle
+    val tri = Seq(("t", shapes(2)))
+    val convexGot = graft.geo.Geo
+      .tagPoints(pts, graft.geo.Geo.polygonSet(spark, tri), col("px"), col("py"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(convexGot == grid.filter(p => inside(shapes(2), p._1, p._2)).toSet)
+  }
+
   test("noisy distinct: zero noise equals the bare sketch; radius composes") {
     val li = graft.engine.Tables.lineitem(spark, sf)
     val raw = li.agg(approx_count_distinct(col("l_partkey"), 0.05)).head.getLong(0)
