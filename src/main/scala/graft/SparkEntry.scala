@@ -791,6 +791,16 @@ object SparkEntry {
         .toDF()
         .select(col("id").as("doc_id"), col("kind"),
           col("n_bytes").cast("long").as("n_bytes"), col("feat0"), col("feat1"))),
+    // REAL header decode: payloads carry valid PNG/JPEG/GIF container
+    // headers (format by doc_id mod 3, dims from the body length);
+    // imageDims parses them back byte-by-byte — the oracle checks the
+    // encode∘decode round-trip from the source columns alone
+    "multimodal_image_dims" -> ((s, d) =>
+      graft.multimodal.Multimodal.decodeImageMeta(
+          graft.multimodal.Multimodal.syntheticImages(docs(s, d)))
+        .toDF()
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("n_bytes").cast("long").as("n_bytes"))),
     "multimodal_chunks" -> ((s, d) =>
       graft.multimodal.Multimodal.sampleChunks(
           graft.multimodal.Multimodal.syntheticMedia(docs(s, d)), 64, 2)
@@ -1848,6 +1858,15 @@ object SparkEntry {
         |CAST(length(text) AS BIGINT) AS n_bytes,
         |list_sum(list_transform(range(1, length(text)+1), i -> ascii(substr(text,i,1)))) / CAST(length(text) AS DOUBLE) AS feat0,
         |list_sum(list_transform(range(1, length(text)+1), i -> ascii(substr(text,i,1)) * ((i-1) % 7))) / CAST(length(text) AS DOUBLE) AS feat1
+        |FROM documents""".stripMargin,
+    // header sizes: PNG sig+len+IHDR+dims = 24, JPEG SOI+SOF0 seg = 15,
+    // GIF6+screen = 10 (texts are ASCII so length(text) = body bytes)
+    "multimodal_image_dims" ->
+      """SELECT doc_id,
+        |CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |CAST(1 + length(text) % 640 AS INT) AS width,
+        |CAST(1 + length(text) % 480 AS INT) AS height,
+        |CAST(length(text) + CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 15 ELSE 10 END AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
     "multimodal_chunks" ->
       """SELECT doc_id, CAST(idx AS INT) AS chunk_idx,

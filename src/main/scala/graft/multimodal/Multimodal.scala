@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque binary
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is a clearly-marked deterministic stub; everything around
-  * it — schema, batch iteration, partition-parallel feature extraction,
-  * metadata propagation — is the real Spark plumbing a production
-  * pipeline would keep, swapping `decodeStub` for a JNI/native decoder.
+  * The PIXEL codecs are NOT available in this environment, so pixel-
+  * level features remain a clearly-marked deterministic stub — but the
+  * container-header layer is REAL: [[imageDims]] parses PNG IHDR, JPEG
+  * SOF, and GIF logical-screen headers (public byte formats) straight
+  * off the binary column, and [[syntheticImages]] builds payloads with
+  * valid headers so the encode→parse round-trip is oracled end-to-end.
+  * Everything around the stub — schema, batch iteration, partition-
+  * parallel extraction, metadata propagation — is the real Spark
+  * plumbing a production pipeline would keep, swapping `decodeStub`
+  * for a JNI/native pixel decoder.
   */
 object Multimodal {
 
@@ -72,6 +77,125 @@ object Multimodal {
       while (i < r.media.length) { sum += (r.media(i) & 0xff); n += 1; i += stride }
       (r.id, r.kind, r.media.length, n, sum)
     }.toDF("id", "kind", "n_bytes", "resized_len", "resized_sum")
+  }
+
+  // ── real container-header codecs (PNG / JPEG / GIF) ────────────────
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  /** Parse (format, width, height) from an image payload's container
+    * header — PNG (8-byte signature, IHDR width/height big-endian at
+    * offsets 16/20), JPEG (marker walk to the first SOF0/1/2 frame
+    * header: height/width big-endian after the precision byte), GIF
+    * ("GIF87a"/"GIF89a", logical screen size little-endian at offset
+    * 6). Pure byte inspection of public formats — no codec library —
+    * and None for anything unrecognized (a real pipeline routes those
+    * to a quarantine bucket rather than failing the task).
+    */
+  def imageDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+    if (b.length >= 24 && pngSig.indices.forall(i => b(i) == pngSig(i)) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      Some(("png", be32(b, 16), be32(b, 20)))
+    } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      // JPEG: walk FF-prefixed segments until a start-of-frame
+      var i = 2
+      while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          if (i + 8 < b.length)
+            return Some(("jpeg", be16(b, i + 7), be16(b, i + 5)))
+          else return None
+        } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i += 2 // standalone marker, no length field
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return None // end of image / start of scan without a SOF
+        } else {
+          i += 2 + be16(b, i + 2)
+        }
+      }
+      None
+    } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      Some(("gif", le16(b, 6), le16(b, 8)))
+    } else None
+  }
+
+  /** Minimal valid-header payload builders (the inverse of
+    * [[imageDims]] for test/synthetic data): a correct container header
+    * followed by arbitrary payload bytes.
+    */
+  def pngPayload(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val hdr = java.nio.ByteBuffer.allocate(24)
+    hdr.put(pngSig)
+    hdr.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+    hdr.array() ++ body
+  }
+  def jpegPayload(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    // SOI(2) + SOF0 marker(2) + segment(len 11: 2 len + 1 precision +
+    // 2 height + 2 width + 1 ncomp + 3 component spec) = 15 bytes
+    val hdr = java.nio.ByteBuffer.allocate(15)
+    hdr.put(Array(0xff, 0xd8, 0xff, 0xc0).map(_.toByte)) // SOI + SOF0
+    hdr.putShort(11.toShort).put(8.toByte)               // seg len, precision
+    hdr.putShort(h.toShort).putShort(w.toShort)
+    hdr.put(1.toByte).put(Array(1, 0x11, 0).map(_.toByte)) // 1 component
+    hdr.array() ++ body
+  }
+  def gifPayload(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val hdr = java.nio.ByteBuffer.allocate(10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put("GIF89a".getBytes("US-ASCII"))
+    hdr.putShort(w.toShort).putShort(h.toShort)
+    hdr.array() ++ body
+  }
+
+  final case class ImageMeta(id: Long, format: String, width: Int,
+      height: Int, n_bytes: Int)
+
+  /** Header-decode pass over a binary media column: mapPartitions (the
+    * batch shape a pixel decoder would also use), narrow, no shuffle.
+    * Unparseable payloads are dropped here; count them upstream via
+    * `imageDims(...).isEmpty` if a quarantine split is needed.
+    */
+  def decodeImageMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        imageDims(r.media).map { case (fmt, w, h) =>
+          ImageMeta(r.id, fmt, w, h, r.media.length)
+        }
+      }
+    }
+  }
+
+  /** Synthetic image table: REAL container headers (format by
+    * doc_id mod 3, dimensions derived from the text length) wrapping
+    * the text bytes as body — so header parsing is exercised on valid
+    * bytes and the (encode ∘ decode) round-trip is oracle-checkable
+    * from the source columns alone.
+    */
+  def syntheticImages(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val body = text.getBytes("UTF-8")
+        val w = 1 + body.length % 640
+        val h = 1 + body.length % 480
+        val payload = id % 3 match {
+          case 0 => pngPayload(w, h, body)
+          case 1 => jpegPayload(w, h, body)
+          case _ => gifPayload(w, h, body)
+        }
+        MediaRow(id, "image", payload, w, h)
+      }
   }
 
   /** Build a synthetic media table from the documents table — binary

@@ -115,6 +115,43 @@ class StreamingSpec extends SparkSpec {
     assert(chunks.nonEmpty)
   }
 
+  test("image header codecs: encode/parse round-trip, junk rejected") {
+    val body = "payload bytes".getBytes("UTF-8")
+    for ((w, h) <- Seq((1, 1), (640, 480), (13, 479), (639, 1))) {
+      assert(Multimodal.imageDims(Multimodal.pngPayload(w, h, body))
+        .contains(("png", w, h)))
+      assert(Multimodal.imageDims(Multimodal.jpegPayload(w, h, body))
+        .contains(("jpeg", w, h)))
+      assert(Multimodal.imageDims(Multimodal.gifPayload(w, h, body))
+        .contains(("gif", w, h)))
+    }
+    // JPEG with APP0/comment segments BEFORE the SOF still parses
+    val app0 = Array(0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46).map(_.toByte)
+    val jfif = Array(0xff.toByte, 0xd8.toByte) ++ app0 ++
+      Multimodal.jpegPayload(33, 44, body).drop(2)
+    assert(Multimodal.imageDims(jfif).contains(("jpeg", 33, 44)))
+    // junk, truncation, and text bytes are rejected, not mis-parsed
+    assert(Multimodal.imageDims("not an image at all".getBytes).isEmpty)
+    assert(Multimodal.imageDims(Multimodal.pngPayload(9, 9, body).take(12)).isEmpty)
+    assert(Multimodal.imageDims(Array[Byte]()).isEmpty)
+    assert(Multimodal.imageDims(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+  }
+
+  test("synthetic image table: header decode recovers the declared dims") {
+    val media = Multimodal.syntheticImages(Tables.documents(spark, sf))
+    val decoded = Multimodal.decodeImageMeta(media).collect()
+    val declared = media.collect()
+    assert(decoded.length == declared.length) // every payload parses
+    val byId = declared.map(m => m.id -> m).toMap
+    decoded.foreach { m =>
+      assert(m.width == byId(m.id).width && m.height == byId(m.id).height)
+      val expectFmt = m.id % 3 match {
+        case 0 => "png"; case 1 => "jpeg"; case _ => "gif"
+      }
+      assert(m.format == expectFmt)
+    }
+  }
+
   test("stateful sessionization stream emits closed sessions") {
     import spark.implicits._
     val evs = Seq(
