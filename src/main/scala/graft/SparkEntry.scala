@@ -1576,6 +1576,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "dp_quantized_hist_str" ->
       """SELECT CASE WHEN p_name IS NULL OR p_name > 'zzzzzz' THEN NULL
+        |  WHEN p_name = 'zzzzzz' THEN 'zzzzzz'
         |  WHEN p_name >= 'u' THEN 'u' WHEN p_name >= 'o' THEN 'o'
         |  WHEN p_name >= 'i' THEN 'i' WHEN p_name >= 'e' THEN 'e'
         |  WHEN p_name >= 'a' THEN 'a' ELSE NULL END AS qbucket, count(*) AS cnt

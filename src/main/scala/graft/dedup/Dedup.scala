@@ -360,18 +360,31 @@ object Dedup {
     */
   def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
       k: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame =
-    minhashLshAgainstWithHandle(newDocs, corpus, n, k, bands, threshold)._1
+    lshAgainstImpl(newDocs, corpus, n, k, bands, threshold,
+      // fire-and-forget callers (benchmarks, probes, one-shot jobs) get
+      // RDD-level materialization via localCheckpoint: computed once,
+      // shared by the three consumers, and RELEASED by the
+      // ContextCleaner when the plan is garbage-collected — repeated
+      // calls can't accrete CacheManager entries the way the cached
+      // handle (which only a deliberate unpersist() frees) would
+      viaCache = false)._1
 
   /** As [[minhashLshAgainst]], also returning the internally cached
     * candidate frame. The cache serves the returned plan's three
     * consumers within one evaluation; a caller that invokes this
     * repeatedly with a bounded lifetime per call (a per-micro-batch
-    * ingest gate, a daily delta job in a long-lived session) should
+    * ingest gate, a daily delta job in a long-lived session) MUST
     * `unpersist()` the handle once the verdicts are consumed —
-    * otherwise each call pins a new cache entry forever.
+    * otherwise each call pins a new cache entry forever. Callers that
+    * won't manage the handle should use [[minhashLshAgainst]], whose
+    * materialization is cleaner-managed.
     */
   def minhashLshAgainstWithHandle(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
-      k: Int = 64, bands: Int = 32, threshold: Double = 0.5): (DataFrame, DataFrame) = {
+      k: Int = 64, bands: Int = 32, threshold: Double = 0.5): (DataFrame, DataFrame) =
+    lshAgainstImpl(newDocs, corpus, n, k, bands, threshold, viaCache = true)
+
+  private def lshAgainstImpl(newDocs: DataFrame, corpus: DataFrame, n: Int,
+      k: Int, bands: Int, threshold: Double, viaCache: Boolean): (DataFrame, DataFrame) = {
     val words = split(lower(col("text")), " ")
     def sig(df: DataFrame) = df.select(col("doc_id"),
         graft.functions.MinHashExpression.minhash_sig(words, n, k).as("sig"))
@@ -379,12 +392,12 @@ object Dedup {
     // both sides keep the shuffle_merge guard: post-explode row counts
     // are bands× the planner's estimate, so a "small" side can still be
     // a broadcast OOM at corpus scale
-    val cand = bandExplode(sig(newDocs), k, bands).as("a").hint("shuffle_merge")
+    val cand0 = bandExplode(sig(newDocs), k, bands).as("a").hint("shuffle_merge")
       .join(bandExplode(sig(corpus), k, bands).as("b").hint("shuffle_merge"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
       .distinct()
-      .cache()
+    val cand = if (viaCache) cand0.cache() else cand0.localCheckpoint(eager = false)
     def shs(df: DataFrame, ids: DataFrame) =
       df.join(ids, Seq("doc_id"), "left_semi")
         .select(col("doc_id"),

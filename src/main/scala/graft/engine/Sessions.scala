@@ -40,14 +40,18 @@ object Sessions {
     // would both ignore the FAIR setting (scheduler mode is frozen at
     // context creation) and apply the modifiable SQL configs below to
     // the existing session — silently changing e.g. shuffle.partitions
-    // for every other user of that session
-    SparkSession.getDefaultSession.foreach { existing =>
-      val mode = existing.sparkContext.getConf.get("spark.scheduler.mode", "FIFO")
-      require(mode.equalsIgnoreCase("FAIR"),
-        s"Sessions.interactive found an existing SparkContext with scheduler mode $mode; " +
-          "FAIR scheduling cannot be enabled after context creation — " +
-          "create the interactive session before any other session")
-    }
+    // for every other user of that session. getOrCreate prefers the
+    // thread-local ACTIVE session over the default one, so an
+    // active-but-not-default session must be checked too or it slips
+    // past the guard and still takes the config overwrite
+    (SparkSession.getActiveSession.toSeq ++ SparkSession.getDefaultSession)
+      .foreach { existing =>
+        val mode = existing.sparkContext.getConf.get("spark.scheduler.mode", "FIFO")
+        require(mode.equalsIgnoreCase("FAIR"),
+          s"Sessions.interactive found an existing SparkContext with scheduler mode $mode; " +
+            "FAIR scheduling cannot be enabled after context creation — " +
+            "create the interactive session before any other session")
+      }
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")

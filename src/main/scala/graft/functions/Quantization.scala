@@ -48,10 +48,19 @@ object Quantization {
   def quantizeString(c: Column, boundaries: Seq[String], globalMax: String): Column = {
     require(boundaries.nonEmpty, "need at least one boundary")
     require(boundaries == boundaries.sorted, "boundaries must be sorted")
+    // constructor parity (StringColumnQuantization.java:50): the last
+    // boundary must sit strictly below globalMax
+    require(boundaries.last < globalMax,
+      s"globalMax '$globalMax' must exceed the last boundary '${boundaries.last}'")
     val snapped = boundaries.foldLeft(lit(null).cast("string")) {
       (acc, b) => when(c >= lit(b), lit(b)).otherwise(acc)
     }
-    when(c.isNull || c > lit(globalMax), lit(null).cast("string")).otherwise(snapped)
+    // roundDown parity: value == globalMax snaps to globalMax itself
+    // (the reference's value >= globalMax branch); only value >
+    // globalMax is out of range (outOfRange's strict compare)
+    when(c.isNull || c > lit(globalMax), lit(null).cast("string"))
+      .when(c === lit(globalMax), lit(globalMax))
+      .otherwise(snapped)
   }
 
   /** NoisyHLogLog (sketches/results/NoisyHLogLog.java:12): distinct

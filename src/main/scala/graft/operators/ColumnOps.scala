@@ -39,16 +39,33 @@ object ColumnOps {
   def timeOfDayMs(ts: Column): Column =
     pmod(unix_millis(ts), lit(86400000L))
 
-  /** ms-of-day → "HH:mm:ss.SSS" (the String leg of the Time matrix). */
+  /** ms-of-day → "HH:mm:ss.SSS" (the String leg of the Time matrix).
+    * Rendered from integer div/mod fields, NOT date_format over a
+    * reconstructed timestamp: date_format uses the SESSION timezone, so
+    * a non-UTC session would shift the string while [[timeOfDayMs]]
+    * (unix_millis) stays timezone-independent. ms-of-day < 2^27, so the
+    * double divisions under floor are exact.
+    */
   def msOfDayToString(ms: Column): Column =
-    date_format(timestamp_millis(ms), "HH:mm:ss.SSS")
+    concat(
+      lpad(floor(ms / lit(3600000L)).cast("long").cast("string"), 2, "0"),
+      lit(":"),
+      lpad(pmod(floor(ms / lit(60000L)).cast("long"), lit(60L)).cast("string"), 2, "0"),
+      lit(":"),
+      lpad(pmod(floor(ms / lit(1000L)).cast("long"), lit(60L)).cast("string"), 2, "0"),
+      lit("."),
+      lpad(pmod(ms, lit(1000L)).cast("string"), 3, "0"))
 
-  /** "HH:mm:ss.SSS" → ms-of-day (the parse leg; anchored at the epoch
-    * date so the formatter needs no date fields of its own).
+  /** "HH:mm:ss.SSS" → ms-of-day (the parse leg): fixed-offset field
+    * extraction recombined by place value — the exact inverse of
+    * [[msOfDayToString]], no timestamp (and therefore no session
+    * timezone) in the path.
     */
   def stringToMsOfDay(s: Column): Column =
-    unix_millis(to_timestamp(concat(lit("1970-01-01 "), s),
-      "yyyy-MM-dd HH:mm:ss.SSS"))
+    substring(s, 1, 2).cast("long") * lit(3600000L) +
+      substring(s, 4, 2).cast("long") * lit(60000L) +
+      substring(s, 7, 2).cast("long") * lit(1000L) +
+      substring(s, 10, 3).cast("long")
 
   /** ExtractValueFromKeyMap: pull `key: value` out of a key-value string
     * column (log exploration). The reference matches key:"value"; our

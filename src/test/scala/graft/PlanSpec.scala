@@ -218,6 +218,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("plain cross-corpus wrapper pins no session-lifetime cache") {
+    val docs = Tables.documents(spark, sf)
+    val delta = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+    graft.dedup.Dedup.minhashLshAgainst(delta, corpus, 3, 64, 32, 0.5).count()
+    // a second identical call must not be answered from a CacheManager
+    // entry the first call left pinned (the benchmark/probe accretion
+    // this wrapper used to cause); its own materialization is RDD-level
+    // and cleaner-managed
+    val p = plan(graft.dedup.Dedup.minhashLshAgainst(delta, corpus, 3, 64, 32, 0.5))
+    assert(!p.contains("InMemoryTableScan"), p)
+  }
+
   test("incremental dedup bands shuffle on both sides (no exploded broadcast)") {
     val docs = Tables.documents(spark, sf)
     val df = graft.dedup.Dedup.minhashLshAgainst(
