@@ -49,10 +49,6 @@ object Bench {
       }
       name -> times.min
     }
-    // ms-precision values keep the single JSON line compact (~2 KB for
-    // 110+ queries); emit it LAST, after spark.stop(), with an explicit
-    // flush — r2's driver capture truncated the tail and left the bench
-    // unparsed, so nothing may print after this line
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -60,12 +56,35 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    // The full per-query line is >2 KB (150+ queries), so a 2000-char
+    // stdout tail cannot hold it whole. Survival strategy:
+    //   1. full JSON printed first (whole-capture consumers get it even
+    //      if something after it fails),
+    //   2. durable file artifacts: bench_out.json (driver contract) and
+    //      a round-stamped bench_out_r{N}.json, both written ONLY by
+    //      full runs — a SPARK_GRAFT_ONLY profiling/probe run must not
+    //      clobber the full map (r4 lost bench_out.json to exactly such
+    //      a probe) — with the round-stamped copy committed to git,
+    //   3. the same full JSON again as the LAST line (the r3/r4 driver
+    //      contract: one parseable {"metric",...,"queries"} line at the
+    //      end, nothing after it).
+    println(json)
+    if (only.isEmpty) {
+      val round = sys.env.get("SPARK_GRAFT_ROUND").orElse {
+        // infer: this round = highest committed CORRECTNESS_r{N} + 1
+        val re = "CORRECTNESS_r(\\d+)\\.json".r
+        val prev = Option(new java.io.File(".").list()).toSeq.flatten
+          .collect { case re(n) => n.toInt }
+        prev.maxOption.map(n => (n + 1).toString)
+      }
+      val files = Seq(java.nio.file.Paths.get("bench_out.json")) ++
+        round.map(r => java.nio.file.Paths.get(s"bench_out_r$r.json"))
+      files.foreach { p =>
+        try java.nio.file.Files.writeString(p, json + "\n")
+        catch { case _: Throwable => () }
+      }
+    }
     println(json)
     System.out.flush()
-    // fallback artifact in case the driver's stdout capture truncates
-    // (BENCH_r02.json arrived tail-cut and unparsed)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), json + "\n")
-    catch { case _: Throwable => () }
   }
 }
