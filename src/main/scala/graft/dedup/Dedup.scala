@@ -234,12 +234,14 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       xxhash64((lit(b) +: (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))): _*)
     }
-    // cache: the k-aggregate signature pipeline shuffles per side; the
-    // cache makes the self-join read one materialization (this variant's
-    // sig comes from a groupBy, so the sides are not exchange-reusable)
+    // materialize once: the k-aggregate signature pipeline shuffles per
+    // side, and this variant's sig comes from a groupBy, so the sides
+    // are not exchange-reusable. Lazy localCheckpoint (cleaner-managed)
+    // instead of cache() so repeated calls don't pin cache entries.
     val banded = sig.select(
       col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "key"))).cache()
+      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
+      .localCheckpoint(eager = false)
     // never broadcast a self-join of identical exploded sides (see
     // lshCandidatePairsFromSig)
     banded.as("a").hint("shuffle_merge")
@@ -309,10 +311,15 @@ object Dedup {
     val sig = docs.select(col("doc_id"),
         graft.functions.MinHashExpression.minhash_sig(words, n, k).as("sig"))
       .filter(size(col("sig")) > 0)
-    // cache: the pair list is consumed three times (two semi-join sides
-    // and the verify join) — without it the band self-join re-runs per
-    // action
-    val cand = lshCandidatePairsFromSig(sig, k, bands).cache()
+    // materialize once: the pair list is consumed three times (two
+    // semi-join sides and the verify join) — without it the band
+    // self-join re-runs per consumer. Lazy localCheckpoint over cache()
+    // so repeated calls (benchmarks, per-batch jobs) can't accrete
+    // CacheManager entries: RDD blocks are ContextCleaner-freed once the
+    // returned plan is garbage-collected (same reasoning as
+    // minhashLshAgainst).
+    val cand = lshCandidatePairsFromSig(sig, k, bands)
+      .localCheckpoint(eager = false)
     // Exact verification re-shingles ONLY docs that appear in a banded
     // candidate pair — typically a small fraction of the corpus. No
     // distinct on the id list: the semi-join dedups, and skipping it
@@ -331,7 +338,9 @@ object Dedup {
         graft.functions.MinHashExpression.shingle_set(
           split(lower(col("text")), " "), n).as("shs"))
       .filter(size(col("shs")) > 0)
-      .cache() // consumed twice: a-side and b-side of the verify join
+      // consumed twice (a-side and b-side of the verify join); lazy
+      // localCheckpoint for the same cleaner-managed lifetime as cand
+      .localCheckpoint(eager = false)
     cand
       .join(shs.as("a"), col("id_a") === col("a.doc_id"))
       .join(shs.as("b"), col("id_b") === col("b.doc_id"))
