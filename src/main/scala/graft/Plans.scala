@@ -22,6 +22,7 @@ object Plans {
     "col_time_roundtrip", "corpus_mix", "dedup_incremental",
     "q3_shipping_priority", "q5_local_supplier", "sample_per_source",
     "q6_forecast_revenue", "q4_order_priority", "q17_small_qty_revenue",
+    "q18_large_volume_customer", "q21_waiting_supplier",
     "text_remove_dup_spans", "dedup_edit_distance")
 
   def main(args: Array[String]): Unit = {

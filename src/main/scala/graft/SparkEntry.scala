@@ -137,6 +137,60 @@ object SparkEntry {
            |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
            |                    FROM q17_lineitem_$tag l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
     }),
+    // TPC-H q18 shape (large-volume customer): the big-order set is
+    // computed by a lineitem-only partial+final aggregate FIRST, then
+    // joined — the agg output (~1% of orders) broadcasts, so the
+    // customer/orders join never shuffles lineitem a second time. The
+    // HAVING-subquery formulation in the oracle is semantically
+    // identical because l_orderkey determines the whole group.
+    // l_quantity is integral-valued, so the double sum is exact.
+    "q18_large_volume_customer" -> ((s, d) => {
+      val big = li(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250.0)
+      cust(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
+    // TPC-H q21 shape adapted to this schema (no l_receiptdate /
+    // l_commitdate: "late" is l_shipdate > o_orderdate + 60 days).
+    // Suppliers in one nation who were the SOLE late supplier on a
+    // multi-supplier finished order: EXISTS(other supplier) → LeftSemi,
+    // NOT EXISTS(other LATE supplier) → LeftAnti, both equi-keyed on
+    // l_orderkey with the supplier-inequality as a residual condition —
+    // never a nested loop. The nation filter is applied BEFORE the two
+    // self-joins (the exists conditions don't depend on it), cutting
+    // the probe side ~25× — reference: hillview has no multi-join
+    // planner; this anchors Catalyst's semi/anti chain instead.
+    "q21_waiting_supplier" -> ((s, d) => {
+      val supps = Tables.supplier(s, d)
+        .join(Tables.nation(s, d).filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val l1 = li(s, d)
+        .join(ord(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .join(supps, col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("o_orderdate"), col("s_name"))
+      val lAll = li(s, d).select(col("l_orderkey").as("x_orderkey"),
+        col("l_suppkey").as("x_suppkey"), col("l_shipdate").as("x_shipdate"))
+      l1.join(lAll,
+          col("l_orderkey") === col("x_orderkey") &&
+            col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+        .join(lAll,
+          col("l_orderkey") === col("x_orderkey") &&
+            col("l_suppkey") =!= col("x_suppkey") &&
+            col("x_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_anti")
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
     "f_range" -> ((s, d) =>
       li(s, d).filter(Filters.range(col("l_extendedprice"), 1000.0, 5000.0))),
     "f_comparison" -> ((s, d) =>
@@ -1168,6 +1222,29 @@ object SparkEntry {
         |WHERE p_brand = 'Brand#1'
         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q18_large_volume_customer" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum(l_quantity) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |HAVING sum(l_quantity) > 250.0
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND n_name = 'NATION_3'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "f_comparison" -> "SELECT * FROM lineitem WHERE l_quantity > 45.0",
     "f_string_contains" -> "SELECT * FROM orders WHERE contains(o_orderpriority, 'URGENT')",
     "f_regex" -> "SELECT * FROM part WHERE regexp_matches(p_name, '^(red|blue) .*t$')",

@@ -208,6 +208,25 @@ class PlanSpec extends SparkSpec {
     assert(!p17.contains("CartesianProduct") && !p17.contains("BroadcastNestedLoopJoin"), p17)
   }
 
+  test("q18/q21: pre-join aggregate; semi/anti chain stays equi-keyed") {
+    spark.catalog.clearCache()
+    // q18: the big-order set must be aggregated BEFORE the join (one
+    // lineitem shuffle), and the top-100 must be bounded
+    val p18 = plan(SparkEntry.queries("q18_large_volume_customer")(spark, sf))
+    assert(p18.contains("TakeOrderedAndProject"), p18)
+    assert(!p18.contains("CartesianProduct") && !p18.contains("BroadcastNestedLoopJoin"), p18)
+    // partial agg on lineitem feeds the join — at least two
+    // HashAggregates (partial+final) appear below the join in the plan
+    assert("HashAggregate".r.findAllIn(p18).size >= 2, p18)
+    // q21: EXISTS → LeftSemi and NOT EXISTS → LeftAnti, both hash/merge
+    // joins on l_orderkey with the supplier inequality as a residual —
+    // never a nested loop over lineitem
+    val p21 = plan(SparkEntry.queries("q21_waiting_supplier")(spark, sf))
+    assert(p21.contains("LeftSemi"), p21)
+    assert(p21.contains("LeftAnti"), p21)
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"), p21)
+  }
+
   test("edit-distance dedup: candidates via hash join, bounded verify") {
     spark.catalog.clearCache()
     val p = plan(SparkEntry.queries("dedup_edit_distance")(spark, sf))

@@ -320,7 +320,11 @@ class PropertySpec extends SparkSpec {
     val bounds = Seq("b", "f", "m", "r", "w")
     val gMax = "yy"
     def expected(s: String): Option[String] =
-      if (s > gMax) None else bounds.reverse.find(b => s >= b)
+      // roundDown parity: == globalMax snaps to globalMax itself; only
+      // strictly-above is out of range (Quantization.quantizeString)
+      if (s > gMax) None
+      else if (s == gMax) Some(gMax)
+      else bounds.reverse.find(b => s >= b)
     val strs = samples(Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString), 200) ++
       Seq("a", "b", "yy", "yz", "z", "w", "vzz")
     val df = strs.toDF("s")
