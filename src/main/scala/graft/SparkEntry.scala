@@ -645,6 +645,16 @@ object SparkEntry {
         li(s, d), "l_extendedprice", 0.0, 1000.0, 128,
         Seq(0, 16, 32, 48, 64, 80, 96, 112), epsilon = 0.5,
         branching = 2, cdf = true)),
+    // 2-D binary mechanism (DPHeatmapSketch.java:54): one Laplace
+    // variable per (x-interval × y-interval) tree rectangle, summed
+    // over the cross product of the two axes' dyadic covers — rows-only
+    // (seeded noise; cover size, exact counts, and CI are spec-gated)
+    "dp_noisy_heatmap" -> ((s, d) =>
+      graft.functions.Quantization.noisyHeatmapDyadic(
+        li(s, d), "l_extendedprice", "l_quantity",
+        0.0, 1000.0, 128, Seq(0, 16, 32, 48, 64, 80, 96, 112),
+        0.0, 1.0, 64, Seq(0, 8, 16, 24, 32, 40, 48, 56),
+        epsilon = 0.5, branching = 2)),
     // percentile_approx twin of bucket_quantiles (rows-only; tolerance
     // spec-gated) — the declared scale path with bounded per-group state
     "bucket_quantiles_approx" -> ((s, d) =>

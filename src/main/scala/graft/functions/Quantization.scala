@@ -239,6 +239,86 @@ object Quantization {
         .as("conf_radius"))
       .orderBy(col("bucket"))
   }
+
+  /** DP heatmap with PER-2-D-DYADIC-RECTANGLE noise (DPHeatmapSketch
+    * .java:54 noiseForDecomposition + postProcess): each (x-interval ×
+    * y-interval) tree-node rectangle carries one independent
+    * Laplace(scale) variable seeded by the rectangle, and a cell's
+    * noise sums over the CROSS PRODUCT of its two axes' k-adic covers —
+    * O(log Tx · log Ty) variables per cell instead of O(area) flat
+    * ones, so 2-D range queries over the noisy heatmap compose with
+    * bounded variance exactly like the 1-D binary mechanism. The scale
+    * multiplies the per-axis tree depths (PrivacyUtils.java:18
+    * computeNoiseScale over both decompositions: ceil(log_b Tx) ·
+    * ceil(log_b Ty) / ε). Confidence radius at alpha = 0.01 follows the
+    * 1-D policy (exact Laplace quantile for one variable, CLT
+    * approximation otherwise — documented deviation from the
+    * reference's simulated quantile).
+    *
+    * Scale shape: one partial-aggregated 2-D histogram pass; the
+    * noise table is driver metadata, O(cells · log Tx · log Ty) rows
+    * joined on the O(cells) post-agg result.
+    */
+  def noisyHeatmapDyadic(
+      df: org.apache.spark.sql.DataFrame, xColumn: String, yColumn: String,
+      xMin: Double, xGranularity: Double, xLeaves: Int, xBucketStarts: Seq[Int],
+      yMin: Double, yGranularity: Double, yLeaves: Int, yBucketStarts: Seq[Int],
+      epsilon: Double, branching: Int = 20, seed: Long = 42L)
+      : org.apache.spark.sql.DataFrame = {
+    require(xBucketStarts.nonEmpty && xBucketStarts == xBucketStarts.sorted &&
+      xBucketStarts.head == 0, "xBucketStarts must be sorted from 0")
+    require(yBucketStarts.nonEmpty && yBucketStarts == yBucketStarts.sorted &&
+      yBucketStarts.head == 0, "yBucketStarts must be sorted from 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def depth(leaves: Int) =
+      math.ceil(math.log(leaves.toDouble) / math.log(branching.toDouble))
+    val scale = depth(xLeaves) * depth(yLeaves) / epsilon
+    val xEnds = xBucketStarts.drop(1) :+ xLeaves
+    val yEnds = yBucketStarts.drop(1) :+ yLeaves
+    val xCovers = xBucketStarts.indices.map(i =>
+      kadicDecomposition(xBucketStarts(i), xEnds(i), branching))
+    val yCovers = yBucketStarts.indices.map(j =>
+      kadicDecomposition(yBucketStarts(j), yEnds(j), branching))
+    // driver-side metadata: per cell, the cross product of its covers
+    val decomp: Seq[(Int, Int, Int, Int, Int, Int)] = for {
+      i <- xBucketStarts.indices; j <- yBucketStarts.indices
+      (xlo, xsz) <- xCovers(i); (ylo, ysz) <- yCovers(j)
+    } yield (i, j, xlo, xsz, ylo, ysz)
+    val noisePerCell = decomp.toDF("bx", "by", "xlo", "xsz", "ylo", "ysz")
+      .groupBy(col("bx"), col("by"))
+      .agg(
+        sum(laplaceNoise(
+          concat_ws(":", col("xlo"), col("xsz"), col("ylo"), col("ysz")),
+          scale, seed)).as("__noise"),
+        count(lit(1)).as("n_intervals"))
+    def bucketOf(c: String, minV: Double, gran: Double, starts: Seq[Int]) = {
+      val leaf = floor((col(c) - lit(minV)) / lit(gran)).cast("int")
+      starts.zipWithIndex.tail.foldLeft(lit(0)) {
+        case (acc, (s, i)) => when(leaf >= lit(s), lit(i)).otherwise(acc)
+      }
+    }
+    val xLeaf = floor((col(xColumn) - lit(xMin)) / lit(xGranularity)).cast("int")
+    val yLeaf = floor((col(yColumn) - lit(yMin)) / lit(yGranularity)).cast("int")
+    val counts = df
+      .filter(col(xColumn).isNotNull && xLeaf >= 0 && xLeaf < lit(xLeaves) &&
+        col(yColumn).isNotNull && yLeaf >= 0 && yLeaf < lit(yLeaves))
+      .groupBy(
+        bucketOf(xColumn, xMin, xGranularity, xBucketStarts).as("bx"),
+        bucketOf(yColumn, yMin, yGranularity, yBucketStarts).as("by"))
+      .agg(count(lit(1)).as("cnt"))
+    noisePerCell
+      .join(counts, Seq("bx", "by"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .select(
+        col("bx"), col("by"), col("cnt"),
+        round(col("cnt") + col("__noise"), 4).as("noisy_cnt"),
+        col("n_intervals"),
+        round(when(col("n_intervals") === 1, lit(scale * math.log(100.0)))
+          .otherwise(lit(2.576) * sqrt(col("n_intervals") * lit(2.0 * scale * scale))), 4)
+          .as("conf_radius"))
+      .orderBy(col("bx"), col("by"))
+  }
 }
 
 /** The row-wise UDF surface — hillview's JavaScript map/filter columns

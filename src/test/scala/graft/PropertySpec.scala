@@ -225,6 +225,36 @@ class PropertySpec extends SparkSpec {
     assert(a.forall(r => math.abs(r.getDouble(2) - r.getLong(1)) <= 5 * r.getDouble(4)))
   }
 
+  test("dyadic noisy heatmap: deterministic, exact counts, O(logTx*logTy) vars") {
+    import graft.functions.Quantization.noisyHeatmapDyadic
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    def run() = noisyHeatmapDyadic(li, "l_extendedprice", "l_quantity",
+      0.0, 1000.0, 128, Seq(0, 16, 32, 48, 64, 80, 96, 112),
+      0.0, 1.0, 64, Seq(0, 8, 16, 24, 32, 40, 48, 56),
+      epsilon = 0.5, branching = 2)
+    val a = run().collect()
+    assert(a.length == 64) // full 8×8 grid, zero cells included
+    assert(a.sameElements(run().collect())) // seeded noise: reproducible
+    // exact 2-D counts underneath the noise
+    val exact = li.filter(col("l_extendedprice") >= 0.0 &&
+        col("l_extendedprice") < 128000.0 &&
+        col("l_quantity") >= 0.0 && col("l_quantity") < 64.0)
+      .groupBy(floor(col("l_extendedprice") / 16000.0).cast("int").as("bx"),
+        floor(col("l_quantity") / 8.0).cast("int").as("by"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    a.foreach { r =>
+      assert(r.getLong(2) == exact.getOrElse((r.getInt(0), r.getInt(1)), 0L))
+    }
+    // each aligned 16-leaf x-bucket is ONE dyadic node, each 8-leaf
+    // y-bucket one node → exactly 1 rectangle per cell here; the bound
+    // for arbitrary ranges is 2log₂Tx · 2log₂Ty, never O(area)
+    assert(a.forall(_.getLong(4) == 1L))
+    // noise present, and every cell within a few CI radii of the truth
+    assert(a.exists(r => r.getDouble(3) != r.getLong(2).toDouble))
+    assert(a.forall(r => math.abs(r.getDouble(3) - r.getLong(2)) <= 5 * r.getDouble(5)))
+  }
+
   test("ray-cast containment equals classic even-odd on a full grid") {
     // reference even-odd implementation (with inclusive boundary) in
     // plain Scala, checked over every grid point against the expression
