@@ -865,6 +865,18 @@ object SparkEntry {
         .toDF()
         .select(col("id").as("doc_id"), col("format"), col("width"),
           col("height"), col("n_bytes").cast("long").as("n_bytes"))),
+    // WAV/RIFF twin of multimodal_image_dims: syntheticAudio wraps the
+    // text bytes in a real 44-byte PCM header (layout derived from
+    // doc_id), wavMeta chunk-walks it back — the oracle recomputes
+    // every field from the source columns alone (ASCII texts, so
+    // length(text) = body bytes; frame/duration math is exact integer)
+    "multimodal_audio_meta" -> ((s, d) =>
+      graft.multimodal.Multimodal.decodeAudioMeta(
+          graft.multimodal.Multimodal.syntheticAudio(docs(s, d)))
+        .toDF()
+        .select(col("id").as("doc_id"), col("format"), col("channels"),
+          col("sample_rate"), col("bits_per_sample"), col("n_frames"),
+          col("duration_ms"))),
     "multimodal_chunks" -> ((s, d) =>
       graft.multimodal.Multimodal.sampleChunks(
           graft.multimodal.Multimodal.syntheticMedia(docs(s, d)), 64, 2)
@@ -1955,6 +1967,17 @@ object SparkEntry {
         |CAST(1 + length(text) % 640 AS INT) AS width,
         |CAST(1 + length(text) % 480 AS INT) AS height,
         |CAST(length(text) + CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 15 ELSE 10 END AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    // blockAlign = channels·bits/8; frames = body // blockAlign;
+    // duration = frames·1000 // rate — all exact integer math
+    "multimodal_audio_meta" ->
+      """SELECT doc_id, 'wav' AS format,
+        |CAST(1 + doc_id % 2 AS INT) AS channels,
+        |CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
+        |CAST(8 * (1 + (doc_id // 2) % 2) AS INT) AS bits_per_sample,
+        |CAST(length(text) // ((1 + doc_id % 2) * (1 + (doc_id // 2) % 2)) AS BIGINT) AS n_frames,
+        |CAST((length(text) // ((1 + doc_id % 2) * (1 + (doc_id // 2) % 2))) * 1000
+        |  // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END) AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
     "multimodal_chunks" ->
       """SELECT doc_id, CAST(idx AS INT) AS chunk_idx,

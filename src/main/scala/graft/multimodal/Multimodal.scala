@@ -157,6 +157,97 @@ object Multimodal {
     hdr.array() ++ body
   }
 
+  // ── real container-header codec (WAV / RIFF) ───────────────────────
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    s.indices.forall(k => b(i + k) == s.charAt(k).toByte)
+
+  final case class WavMeta(channels: Int, sampleRate: Int,
+      bitsPerSample: Int, nFrames: Long)
+
+  /** Parse a WAV (RIFF/WAVE) container header: "RIFF" + size + "WAVE",
+    * then a chunk walk — "fmt " carries channels/sample-rate/block-
+    * align/bits (all little-endian, PCM layout), "data" carries the
+    * payload size; frames = data size / block align. Chunks are
+    * word-aligned (odd sizes pad one byte). Pure byte inspection of a
+    * public format; None for anything unrecognized or truncated.
+    */
+  def wavMeta(b: Array[Byte]): Option[WavMeta] = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+    var channels = 0; var rate = 0; var bits = 0; var blockAlign = 0
+    var dataSize = -1L; var haveFmt = false
+    var i = 12
+    while (i + 8 <= b.length) {
+      val sz = le32(b, i + 4)
+      if (tag(b, i, "fmt ") && sz >= 16 && i + 8 + 16 <= b.length) {
+        channels = le16(b, i + 10); rate = le32(b, i + 12).toInt
+        blockAlign = le16(b, i + 20); bits = le16(b, i + 22)
+        haveFmt = true
+      } else if (tag(b, i, "data")) {
+        dataSize = math.min(sz, (b.length - i - 8).toLong) // tolerate truncation
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (haveFmt && dataSize >= 0 && blockAlign > 0)
+      Some(WavMeta(channels, rate, bits, dataSize / blockAlign))
+    else None
+  }
+
+  /** Minimal valid 44-byte PCM WAV header around arbitrary body bytes
+    * (the inverse of [[wavMeta]] for synthetic data). */
+  def wavPayload(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      body: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val hdr = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put("RIFF".getBytes("US-ASCII")).putInt(36 + body.length)
+    hdr.put("WAVE".getBytes("US-ASCII"))
+    hdr.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    hdr.putShort(1.toShort).putShort(channels.toShort) // PCM
+    hdr.putInt(sampleRate).putInt(sampleRate * blockAlign)
+    hdr.putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+    hdr.put("data".getBytes("US-ASCII")).putInt(body.length)
+    hdr.array() ++ body
+  }
+
+  final case class AudioMeta(id: Long, format: String, channels: Int,
+      sample_rate: Int, bits_per_sample: Int, n_frames: Long,
+      duration_ms: Long)
+
+  /** Header-decode pass over audio payloads — same narrow mapPartitions
+    * batch shape as [[decodeImageMeta]]; unparseable payloads drop. */
+  def decodeAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        wavMeta(r.media).map { m =>
+          AudioMeta(r.id, "wav", m.channels, m.sampleRate, m.bitsPerSample,
+            m.nFrames, if (m.sampleRate > 0) m.nFrames * 1000L / m.sampleRate else 0L)
+        }
+      }
+    }
+  }
+
+  /** Synthetic audio table: REAL PCM WAV headers (layout derived from
+    * doc_id, body = text bytes) so the encode∘decode round-trip is
+    * oracle-checkable from the source columns alone. */
+  def syntheticAudio(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val body = text.getBytes("UTF-8")
+        val channels = 1 + (id % 2).toInt
+        val rate = (id % 3) match {
+          case 0 => 8000; case 1 => 16000; case _ => 44100
+        }
+        val bits = 8 * (1 + ((id / 2) % 2).toInt)
+        MediaRow(id, "audio", wavPayload(channels, rate, bits, body), 0, 0)
+      }
+  }
+
   final case class ImageMeta(id: Long, format: String, width: Int,
       height: Int, n_bytes: Int)
 

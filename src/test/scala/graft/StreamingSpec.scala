@@ -137,6 +137,28 @@ class StreamingSpec extends SparkSpec {
     assert(Multimodal.imageDims(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
   }
 
+  test("wav header codec: encode/parse round-trip, junk rejected") {
+    val body = "pcm sample bytes!!".getBytes("UTF-8") // 18 bytes
+    for ((ch, rate, bits) <- Seq((1, 8000, 8), (2, 16000, 16), (2, 44100, 8), (1, 44100, 16))) {
+      val m = Multimodal.wavMeta(Multimodal.wavPayload(ch, rate, bits, body))
+      val blockAlign = ch * bits / 8
+      assert(m.contains(Multimodal.WavMeta(ch, rate, bits, body.length / blockAlign)),
+        s"$ch/$rate/$bits -> $m")
+    }
+    // an extra LIST chunk before data still parses (chunk walk, and
+    // odd-size chunks advance by the word-aligned pad)
+    val wav = Multimodal.wavPayload(2, 16000, 16, body)
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 65, 66, 67, 0)
+    val withList = wav.take(12) ++ list ++ wav.drop(12)
+    assert(Multimodal.wavMeta(withList)
+      .contains(Multimodal.WavMeta(2, 16000, 16, body.length / 4)))
+    // junk, truncation, empty: rejected, not mis-parsed
+    assert(Multimodal.wavMeta("RIFFnot really a wav".getBytes).isEmpty)
+    assert(Multimodal.wavMeta(wav.take(20)).isEmpty)
+    assert(Multimodal.wavMeta(Array[Byte]()).isEmpty)
+    assert(Multimodal.wavMeta("plain text document".getBytes).isEmpty)
+  }
+
   test("synthetic image table: header decode recovers the declared dims") {
     val media = Multimodal.syntheticImages(Tables.documents(spark, sf))
     val decoded = Multimodal.decodeImageMeta(media).collect()
