@@ -165,6 +165,54 @@ object ScaleProbe {
       ann.Similarity.nearDupPairsLsh(emb, 0.4).count()
     }
 
+    // q18/q21 anchors: lineitem and orders replicate with the SAME
+    // orderkey offset so the copies stay join-aligned; dims stay fixed.
+    // Both shapes are keyed shuffles on l_orderkey — cost must track ×c.
+    val liWide = engine.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_quantity", "l_shipdate").cache()
+    liWide.count()
+    val ordWide = engine.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+        "o_totalprice").cache()
+    ordWide.count()
+
+    probe("q18_big_orders", Seq(1, 20)) { c =>
+      val l = replicate(liWide, c, Map("l_orderkey" -> 100000000L))
+      val o = replicate(ordWide, c, Map("o_orderkey" -> 100000000L))
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250.0)
+      engine.Tables.customer(spark, sf)
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .count()
+    }
+
+    probe("q21_sole_late", Seq(1, 20)) { c =>
+      val l = replicate(liWide, c, Map("l_orderkey" -> 100000000L))
+      val o = replicate(ordWide, c, Map("o_orderkey" -> 100000000L))
+      val supps = engine.Tables.supplier(spark, sf)
+        .join(engine.Tables.nation(spark, sf).filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val l1 = l.join(o.filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .join(supps, col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("o_orderdate"), col("s_name"))
+      val lAll = l.select(col("l_orderkey").as("x_orderkey"),
+        col("l_suppkey").as("x_suppkey"), col("l_shipdate").as("x_shipdate"))
+      l1.join(lAll,
+          col("l_orderkey") === col("x_orderkey") &&
+            col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+        .join(lAll,
+          col("l_orderkey") === col("x_orderkey") &&
+            col("l_suppkey") =!= col("x_suppkey") &&
+            col("x_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_anti")
+        .groupBy(col("s_name")).agg(count(lit(1))).count()
+    }
+
     spark.stop()
   }
 }
