@@ -179,17 +179,22 @@ object Multimodal {
     if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
     var channels = 0; var rate = 0; var bits = 0; var blockAlign = 0
     var dataSize = -1L; var haveFmt = false
-    var i = 12
+    // Long cursor: a corrupt size field (up to 2^32-1, unsigned LE) cast
+    // to Int goes negative and would walk the cursor BACKWARDS — an
+    // infinite loop on adversarial bytes. As a Long the cursor is
+    // monotone (+≥8 per chunk) and simply runs off the end.
+    var i = 12L
     while (i + 8 <= b.length) {
-      val sz = le32(b, i + 4)
-      if (tag(b, i, "fmt ") && sz >= 16 && i + 8 + 16 <= b.length) {
-        channels = le16(b, i + 10); rate = le32(b, i + 12).toInt
-        blockAlign = le16(b, i + 20); bits = le16(b, i + 22)
+      val c = i.toInt
+      val sz = le32(b, c + 4)
+      if (tag(b, c, "fmt ") && sz >= 16 && i + 8 + 16 <= b.length) {
+        channels = le16(b, c + 10); rate = le32(b, c + 12).toInt
+        blockAlign = le16(b, c + 20); bits = le16(b, c + 22)
         haveFmt = true
-      } else if (tag(b, i, "data")) {
-        dataSize = math.min(sz, (b.length - i - 8).toLong) // tolerate truncation
+      } else if (tag(b, c, "data")) {
+        dataSize = math.min(sz, (b.length - i - 8)) // tolerate truncation
       }
-      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      i += 8 + sz + (sz & 1) // chunks are word-aligned
     }
     if (haveFmt && dataSize >= 0 && blockAlign > 0)
       Some(WavMeta(channels, rate, bits, dataSize / blockAlign))

@@ -157,6 +157,11 @@ class StreamingSpec extends SparkSpec {
     assert(Multimodal.wavMeta(wav.take(20)).isEmpty)
     assert(Multimodal.wavMeta(Array[Byte]()).isEmpty)
     assert(Multimodal.wavMeta("plain text document".getBytes).isEmpty)
+    // adversarial chunk size with the top bit set (Int-negative as LE32):
+    // the walk must terminate, not loop — and still reject the payload
+    val evil = wav.take(12) ++ "evil".getBytes("US-ASCII") ++
+      Array[Byte](0x10, 0, 0, 0x80.toByte) ++ wav.drop(12)
+    assert(Multimodal.wavMeta(evil).isEmpty)
   }
 
   test("synthetic image table: header decode recovers the declared dims") {
