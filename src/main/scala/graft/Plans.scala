@@ -23,6 +23,9 @@ object Plans {
     "q3_shipping_priority", "q5_local_supplier", "sample_per_source",
     "q6_forecast_revenue", "q4_order_priority", "q17_small_qty_revenue",
     "q18_large_volume_customer", "q21_waiting_supplier",
+    "q2_min_cost_supplier", "q7_volume_shipping", "q10_returned_items",
+    "q14_promo_effect", "q16_supplier_part_cnt", "q19_disjunctive_revenue",
+    "q20_part_promotion", "q22_global_sales_opportunity",
     "text_remove_dup_spans", "dedup_edit_distance")
 
   def main(args: Array[String]): Unit = {
@@ -33,6 +36,7 @@ object Plans {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -191,6 +191,169 @@ object SparkEntry {
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
     }),
+    // TPC-H q2 shape adapted (no partsupp: "cost" is the lineitem sale
+    // price). Min-cost supplier per size-15 part sold in EUROPE. The
+    // correlated MIN subquery is written as its decorrelated form —
+    // aggregate-first, then join — so the tiny per-part min table
+    // (≤ #parts rows) BROADCASTS to the lineitem probe; lineitem is
+    // scanned twice but shuffled zero times.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val p15 = prt(s, d).filter(col("p_size") === 15).select(col("p_partkey"))
+      val mins = li(s, d)
+        .join(broadcast(p15), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      val eurSupp = Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      li(s, d)
+        .join(broadcast(mins),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_extendedprice") === col("min_price"))
+        .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("p_partkey"), col("min_price"))
+        .distinct()
+        .orderBy(col("s_name"), col("p_partkey"))
+    }),
+    // TPC-H q7 shape (volume shipping between two nations, by year).
+    // Both nation dims are pre-filtered to the 2-name set BEFORE the
+    // broadcast joins — the inner joins then drop ~96% of rows early —
+    // and the cross-nation disjunction remains as the residual filter.
+    "q7_volume_shipping" -> ((s, d) => {
+      val names = Seq("NATION_10", "NATION_12")
+      val n1 = Tables.nation(s, d).filter(col("n_name").isin(names: _*))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).filter(col("n_name").isin(names: _*))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12") ||
+          (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(Num.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    // TPC-H q10 shape (returned-item reporting): one quarter of orders,
+    // only returned lines, revenue per customer, top 20. Customer keys
+    // carry through the group-by so no second customer join is needed.
+    "q10_returned_items" -> ((s, d) =>
+      cust(s, d)
+        .join(ord(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(li(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(Num.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+    // TPC-H q14 shape (promotion effect): conditional-sum / total-sum
+    // ratio in ONE aggregate pass. Both sums are exact decimals widened
+    // to double once, so the single division is deterministic across
+    // engines; the expression order (100 * num) / den matches the oracle
+    // textually.
+    "q14_promo_effect" -> ((s, d) => {
+      val rev = Num.dec2(col("l_extendedprice")) * (lit(1) - Num.dec2(col("l_discount")))
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(prt(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          ((lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0))).cast("double"))
+            / sum(rev).cast("double")).as("promo_pct"),
+          count(lit(1)).as("n_rows"))
+    }),
+    // TPC-H q16 shape (supplier-part relationship count). The NOT IN
+    // over complaint suppliers (here: negative balance) is formulated as
+    // a LEFT ANTI broadcast join — the exact rewrite Catalyst produces
+    // for NOT IN over a provably non-null key — then a distinct-count
+    // per (brand, type, size).
+    "q16_supplier_part_cnt" -> ((s, d) => {
+      val parts = prt(s, d)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 4, 7))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      li(s, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+    // TPC-H q19 shape (discounted revenue): three OR'd brand/size/qty
+    // conjunctions across BOTH join sides. Anchors Catalyst's
+    // disjunction handling: the per-side factors of the OR are derived
+    // and pushed below the join (part gets brand∨brand∨brand + size
+    // bounds, lineitem gets the qty envelope) while the full predicate
+    // stays as the post-join residual.
+    "q19_disjunctive_revenue" -> ((s, d) =>
+      li(s, d)
+        .join(broadcast(prt(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(Num.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows"))),
+    // TPC-H q20 shape (potential part promotion): suppliers who moved
+    // >300 units of 'red%' parts in 1997. The IN subquery is the
+    // aggregate-then-semi-join form: the qualified-supplier set (≤ #supp
+    // rows) comes out of a lineitem aggregate and semi-joins supplier —
+    // supplier itself is never shuffled.
+    "q20_part_promotion" -> ((s, d) => {
+      val redParts = prt(s, d).filter(col("p_name").startsWith("red"))
+        .select(col("p_partkey"))
+      val qualified = li(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 300.0)
+        .select(col("l_suppkey"))
+      Tables.supplier(s, d)
+        .join(broadcast(qualified), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+    // TPC-H q22 shape, written as SQL TEXT (like q17) to anchor the two
+    // remaining subquery rewrites in one plan: an UNCORRELATED scalar
+    // subquery (global above-average balance — computed once, reused as
+    // a literal-like broadcast) and NOT EXISTS → LeftAnti. The average
+    // is exact-decimal-sum / count so both engines divide identical
+    // doubles.
+    "q22_global_sales_opportunity" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      cust(s, d).createOrReplaceTempView(s"q22_customer_$tag")
+      ord(s, d).createOrReplaceTempView(s"q22_orders_$tag")
+      s.sql(
+        s"""SELECT c_nationkey AS nation, count(*) AS numcust,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+           |FROM q22_customer_$tag c
+           |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           |                   FROM q22_customer_$tag WHERE c_acctbal > 0.0)
+           |  AND c_nationkey IN (0, 3, 10, 11, 16, 17, 19)
+           |  AND NOT EXISTS (SELECT 1 FROM q22_orders_$tag o
+           |                  WHERE o.o_custkey = c.c_custkey
+           |                    AND o.o_orderpriority = '1-URGENT')
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
     "f_range" -> ((s, d) =>
       li(s, d).filter(Filters.range(col("l_extendedprice"), 1000.0, 5000.0))),
     "f_comparison" -> ((s, d) =>
@@ -1267,6 +1430,80 @@ object SparkEntry {
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """SELECT DISTINCT s_name, p_partkey, l_extendedprice AS min_price
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND p_size = 15
+        |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |ORDER BY s_name, p_partkey""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12')
+        |    OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_effect" ->
+      """SELECT (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE 0 END) AS DOUBLE))
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    "q16_supplier_part_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM' AND p_size IN (1, 4, 7)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q20_part_promotion" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey HAVING sum(l_quantity) > 300.0)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_global_sales_opportunity" ->
+      """SELECT c_nationkey AS nation, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
+        |  AND c_nationkey IN (0, 3, 10, 11, 16, 17, 19)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "f_comparison" -> "SELECT * FROM lineitem WHERE l_quantity > 45.0",
     "f_string_contains" -> "SELECT * FROM orders WHERE contains(o_orderpriority, 'URGENT')",
     "f_regex" -> "SELECT * FROM part WHERE regexp_matches(p_name, '^(red|blue) .*t$')",

@@ -22,6 +22,7 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -61,6 +62,7 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // scheduler mode is frozen at SparkContext creation: if another
@@ -95,8 +97,17 @@ object Sessions {
   * filter pushdown reach the scan because nothing here materializes.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String) =
+  def table(spark: SparkSession, dir: String, name: String) = {
+    // The generated tables store timestamps as parquet TIMESTAMP(MICROS)
+    // with isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ
+    // by default. NTZ breaks streaming watermarks and unix_millis, and
+    // the whole engine (+ the DuckDB oracle compare) is pinned to
+    // UTC-session TIMESTAMP semantics, so force classic inference. This
+    // is a runtime-modifiable conf; setting it here covers sessions we
+    // didn't build (same pattern as the nanosAsLong handling below).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(spark: SparkSession, dir: String)   = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String)     = table(spark, dir, "orders")
