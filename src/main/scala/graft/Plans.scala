@@ -26,6 +26,8 @@ object Plans {
     "q2_min_cost_supplier", "q7_volume_shipping", "q10_returned_items",
     "q14_promo_effect", "q16_supplier_part_cnt", "q19_disjunctive_revenue",
     "q20_part_promotion", "q22_global_sales_opportunity",
+    "q8_market_share", "q12_late_lines", "q13_customer_distribution",
+    "q15_top_supplier",
     "text_remove_dup_spans", "dedup_edit_distance")
 
   def main(args: Array[String]): Unit = {

@@ -332,6 +332,87 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
         .orderBy(col("s_suppkey"))
     }),
+    // TPC-H q8 shape (national market share): the fraction of AMERICA
+    // customers' ECONOMY-part revenue supplied from one nation, by
+    // year — a conditional-sum / total-sum ratio per group over a
+    // six-table join. Dim chains (nation→region, supplier→nation) are
+    // broadcast; the ratio divides two exact decimal sums widened to
+    // double once per group.
+    "q8_market_share" -> ((s, d) => {
+      val rev = Num.dec2(col("l_extendedprice")) * (lit(1) - Num.dec2(col("l_discount")))
+      val supN = Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val amerCust = cust(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_reg"))),
+          col("c_nationkey") === col("cn_key"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+          col("cn_reg") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      li(s, d)
+        .join(broadcast(prt(s, d).filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(amerCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0))).cast("double")
+          / sum(rev).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+    // TPC-H q12 shape adapted (no l_shipmode/l_receiptdate: "mode" is
+    // l_returnflag, "late" is shipdate > orderdate + 90 days): one join
+    // + two conditional counts per group — the pivot-style aggregate.
+    "q12_late_lines" -> ((s, d) =>
+      li(s, d).filter(col("l_returnflag").isin("A", "N"))
+        .join(ord(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))),
+    // TPC-H q13 shape (customer order distribution): LEFT OUTER join
+    // with the filter in the JOIN CONDITION (not a WHERE — customers
+    // with zero matching orders must survive with count 0), then a
+    // second aggregation over the first's output — the double-agg plan.
+    "q13_customer_distribution" -> ((s, d) =>
+      cust(s, d)
+        .join(ord(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+        .limit(10)),
+    // TPC-H q15 shape (top supplier), SQL TEXT: a per-supplier revenue
+    // CTE consumed twice — once as the join input, once under a scalar
+    // MAX subquery. Anchors aggregate reuse + scalar-subquery gating;
+    // the double equality is safe because both sides come from the
+    // same exact decimal sum.
+    "q15_top_supplier" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      li(s, d).createOrReplaceTempView(s"q15_lineitem_$tag")
+      Tables.supplier(s, d).createOrReplaceTempView(s"q15_supplier_$tag")
+      s.sql(
+        s"""WITH rev AS (
+           |  SELECT l_suppkey,
+           |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev
+           |  FROM q15_lineitem_$tag
+           |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+           |  GROUP BY l_suppkey)
+           |SELECT s_suppkey, s_name, total_rev
+           |FROM q15_supplier_$tag JOIN rev ON s_suppkey = l_suppkey
+           |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+           |ORDER BY s_suppkey""".stripMargin)
+    }),
     // TPC-H q22 shape, written as SQL TEXT (like q17) to anchor the two
     // remaining subquery rewrites in one plan: an UNCORRELATED scalar
     // subquery (global above-average balance — computed once, reused as
@@ -1492,6 +1573,49 @@ object SparkEntry {
         |  WHERE p_name LIKE 'red%'
         |    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |  GROUP BY l_suppkey HAVING sum(l_quantity) > 300.0)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE 0 END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_late_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('A', 'N')
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC LIMIT 10""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
     "q22_global_sales_opportunity" ->
       """SELECT c_nationkey AS nation, count(*) AS numcust,
