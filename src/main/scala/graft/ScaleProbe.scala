@@ -189,6 +189,41 @@ object ScaleProbe {
         .count()
     }
 
+    // q13 anchor: customers and orders replicate with the SAME custkey
+    // offset so the outer join stays aligned; the double aggregation's
+    // first groupBy is on c_custkey (cardinality ×c), the second on
+    // c_count (cardinality ~constant) — cost must track the first.
+    probe("q13_distribution", Seq(1, 20)) { c =>
+      val cst = replicate(engine.Tables.customer(spark, sf)
+        .select("c_custkey"), c, Map("c_custkey" -> 100000000L))
+      val o = replicate(ordWide.select("o_custkey", "o_orderkey"), c,
+        Map("o_custkey" -> 100000000L, "o_orderkey" -> 100000000L))
+      cst.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1))).count()
+    }
+
+    // q2 anchor: the decorrelated per-part MIN must stay two narrow
+    // lineitem passes + a broadcast of the (fixed-size) min table as the
+    // fact side scales — superlinear growth would mean the min table is
+    // being shuffled against the facts.
+    probe("q2_min_equality", Seq(1, 20)) { c =>
+      val l = replicate(engine.Tables.lineitem(spark, sf)
+          .select("l_partkey", "l_suppkey", "l_extendedprice"), c,
+        Map("l_suppkey" -> 100000000L))
+      val p15 = engine.Tables.part(spark, sf)
+        .filter(col("p_size") === 15).select(col("p_partkey"))
+      val mins = l.join(broadcast(p15), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      l.join(broadcast(mins),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_extendedprice") === col("min_price"))
+        .select(col("l_suppkey"), col("p_partkey"), col("min_price"))
+        .distinct().count()
+    }
+
     probe("q21_sole_late", Seq(1, 20)) { c =>
       val l = replicate(liWide, c, Map("l_orderkey" -> 100000000L))
       val o = replicate(ordWide, c, Map("o_orderkey" -> 100000000L))

@@ -1301,6 +1301,10 @@ object SparkEntry {
           split2, col("split"), col("doc_id"), col("n_tokens"), 2048L)
         .select(col("doc_id"), col("split"), col("n_tokens"), col("bin"))
     }),
+    // cluster management (reference management/PingSketch.java:32,
+    // MemoryUse.java:28): executor + driver liveness/memory rows —
+    // rows-only (machine metrics, no data oracle by construction)
+    "cluster_health" -> ((s, d) => graft.engine.Cluster.health(s)),
     "merge_concat" -> ((s, d) => {
       // mergeWith (TableTarget.java:734-746): bag concatenation of N
       // same-schema datasets — unionByName, duplicates preserved

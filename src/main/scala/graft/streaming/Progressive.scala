@@ -107,16 +107,25 @@ object Progressive {
 object Memo {
   private val cache = mutable.Map.empty[String, Array[org.apache.spark.sql.Row]]
   private var hitCount = 0L
+  // SetMemoization (management/SetMemoization.java): a disabled cache
+  // passes collects straight through WITHOUT recording — existing
+  // entries are kept (and still served once re-enabled) exactly like
+  // the reference, which toggles lookup, not retention.
+  @volatile private var enabled = true
 
   def fingerprint(df: DataFrame): String =
     df.queryExecution.optimizedPlan.canonicalized.toString
 
   def collectMemoized(df: DataFrame): Array[org.apache.spark.sql.Row] =
-    cache.synchronized {
+    if (!enabled) df.collect()
+    else cache.synchronized {
       val key = fingerprint(df)
       if (cache.contains(key)) { hitCount += 1; cache(key) }
       else { val r = df.collect(); cache.update(key, r); r }
     }
+
+  def setEnabled(on: Boolean): Unit = enabled = on
+  def isEnabled: Boolean = enabled
 
   def clear(): Unit = cache.synchronized { cache.clear(); hitCount = 0L }
   def size: Int = cache.synchronized(cache.size)

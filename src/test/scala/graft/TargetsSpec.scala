@@ -144,4 +144,39 @@ class TargetsSpec extends SparkSpec {
     val sq = Seq(7).toDF("x").selectExpr("spec_sq(x) AS s").head.getInt(0)
     assert(sq == 49)
   }
+
+  test("cluster management: ping, memory rows, memoization toggle/purge") {
+    import graft.engine.Cluster
+    import graft.streaming.Memo
+    // ping actually round-trips tasks: every slot reports an executor id
+    val hosts = Cluster.ping(spark)
+    assert(hosts.nonEmpty && hosts.forall(_.contains("@")))
+    // health = >=1 executor row + the driver row; metrics are sane
+    val h = Cluster.health(spark).collect()
+    assert(h.length >= 2)
+    assert(h.exists(_.getString(0) == "driver"))
+    assert(h.forall(r => r.getLong(1) >= 0L && r.getLong(2) >= 0L))
+    // memoization toggle: disabled collects must not record entries;
+    // re-enabled ones must; purge drops everything
+    Cluster.purgeMemoization()
+    val df = Tables.lineitem(spark, sf).groupBy(col("l_returnflag")).count()
+    Cluster.setMemoization(false)
+    try {
+      Memo.collectMemoized(df)
+      assert(Memo.size == 0, "disabled memo recorded an entry")
+    } finally Cluster.setMemoization(true)
+    Memo.collectMemoized(df)
+    assert(Memo.size == 1)
+    Memo.collectMemoized(df)
+    assert(Memo.hits == 1)
+    Cluster.purgeMemoization()
+    assert(Memo.size == 0 && Memo.hits == 0)
+    // purgeCachedData drops cached relations; lineage recomputes
+    val cached = Tables.part(spark, sf).cache()
+    cached.count()
+    assert(cached.storageLevel.useMemory)
+    Cluster.purgeCachedData(spark)
+    assert(cached.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(cached.count() > 0)
+  }
 }
