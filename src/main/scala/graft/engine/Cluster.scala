@@ -31,8 +31,11 @@ object Cluster {
     val slots = math.max(sc.defaultParallelism, 1)
     sc.parallelize(1 to slots, slots)
       .mapPartitions { _ =>
-        Iterator(org.apache.spark.SparkEnv.get.executorId + "@" +
-          java.net.InetAddress.getLocalHost.getHostName)
+        // A misconfigured resolver on one host must degrade that host's
+        // label, not fail the whole liveness probe.
+        val host = scala.util.Try(
+          java.net.InetAddress.getLocalHost.getHostName).getOrElse("unknown")
+        Iterator(org.apache.spark.SparkEnv.get.executorId + "@" + host)
       }
       .distinct().collect().sorted.toSeq
   }
@@ -56,12 +59,16 @@ object Cluster {
   }
 
   /** Driver-JVM used memory in bytes (the MemoryUse number for the
-    * coordinating process). Like the reference, a System.gc() first —
-    * and like the reference's own comment, the result may still count
-    * dead objects; it is an observability number, not an accounting one.
+    * coordinating process). The reference runs a System.gc() first so
+    * the number excludes trivially-dead garbage; here that is OPT-IN
+    * (`forceGc = true` for the interactive management call) because
+    * `cluster_health` also runs inside the bench suite, where a forced
+    * full GC mid-suite perturbs adjacent query timings and folds pause
+    * time into the reported total. Without the GC the result may count
+    * dead objects — it is an observability number, not an accounting one.
     */
-  def driverMemoryUsed(): Long = {
-    System.gc()
+  def driverMemoryUsed(forceGc: Boolean = false): Long = {
+    if (forceGc) System.gc()
     val rt = Runtime.getRuntime
     rt.totalMemory() - rt.freeMemory()
   }
@@ -81,13 +88,24 @@ object Cluster {
   /** One-stop health row set for dashboards: executor rows from
     * [[memoryUse]] plus a `driver` row, so a single bounded query
     * answers "is the cluster alive and how full is it".
+    *
+    * The memory columns are deliberately neutral (`mem_used`/`mem_total`)
+    * because their meaning differs by `kind`: executor rows report
+    * storage-pool memory (used / total on+off-heap storage), while the
+    * driver row reports JVM heap (used / max). Consumers must split on
+    * `kind` before comparing rows — the schema says so instead of two
+    * incompatible metrics silently sharing a "storage" name.
     */
   def health(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    val execs = memoryUse(spark)
+      .withColumnRenamed("storage_used", "mem_used")
+      .withColumnRenamed("storage_total", "mem_total")
+      .withColumn("kind", org.apache.spark.sql.functions.lit("executor"))
     val driver = Seq((
       "driver", driverMemoryUsed(), Runtime.getRuntime.maxMemory(),
-      0L, 0)).toDF("host", "storage_used", "storage_total",
-      "cache_size", "running_tasks")
-    memoryUse(spark).unionByName(driver)
+      0L, 0, "driver")).toDF("host", "mem_used", "mem_total",
+      "cache_size", "running_tasks", "kind")
+    execs.unionByName(driver)
   }
 }

@@ -151,11 +151,15 @@ class TargetsSpec extends SparkSpec {
     // ping actually round-trips tasks: every slot reports an executor id
     val hosts = Cluster.ping(spark)
     assert(hosts.nonEmpty && hosts.forall(_.contains("@")))
-    // health = >=1 executor row + the driver row; metrics are sane
+    // health = >=1 executor row + the driver row; metrics are sane and
+    // every row declares its kind (the mem columns mean storage-pool
+    // memory for executors but JVM heap for the driver)
     val h = Cluster.health(spark).collect()
     assert(h.length >= 2)
     assert(h.exists(_.getString(0) == "driver"))
     assert(h.forall(r => r.getLong(1) >= 0L && r.getLong(2) >= 0L))
+    assert(h.map(_.getAs[String]("kind")).toSet.subsetOf(Set("executor", "driver")))
+    assert(h.count(_.getAs[String]("kind") == "driver") == 1)
     // memoization toggle: disabled collects must not record entries;
     // re-enabled ones must; purge drops everything
     Cluster.purgeMemoization()
