@@ -35,6 +35,37 @@ class JdbcSpec extends SparkSpec {
     assert(part.count() === customer.count())
   }
 
+  test("dialect matrix renders engine-correct pushdown SQL (string level)") {
+    import Jdbc.{Dialect, Limit, SketchSql}
+    // MySQL: backticked identifiers, SIGNED integer casts (MySQL rejects
+    // CAST(x AS INT)) — the MySqlJdbcConnection surface at string level
+    val myHist = SketchSql.histogram(Dialect.MySql, "customer", "c_acctbal", 0, 10000, 10)
+    assert(myHist.contains("CAST(FLOOR((`c_acctbal` - 0.0) / 1000.0) AS SIGNED)"), myHist)
+    assert(myHist.contains("CAST(COUNT(*) AS SIGNED) AS `ct`"), myHist)
+    assert(!myHist.contains("\""), myHist)
+    // Postgres/Greenplum: ANSI double quotes + BIGINT casts
+    val pgCount = SketchSql.rowCount(Dialect.Postgres, "customer",
+      Seq(Limit("c_mktsegment", "A", "B", quoted = true)))
+    assert(pgCount == "SELECT CAST(COUNT(*) AS BIGINT) AS \"n_rows\" FROM customer" +
+      " WHERE (\"c_mktsegment\" >= 'A' AND \"c_mktsegment\" <= 'B')", pgCount)
+    assert(SketchSql.rowCount(Dialect.Greenplum, "t") == SketchSql.rowCount(Dialect.Postgres, "t"))
+    // Impala: backticks like MySQL, ANSI casts unlike it
+    val imp = SketchSql.orderedDistinct(Dialect.Impala, "t", "c")
+    assert(imp == "SELECT DISTINCT `c` AS `v` FROM t ORDER BY `v`", imp)
+    // quoted string limits escape embedded quotes; identifiers double
+    // their quote char (injection hygiene at the generator)
+    val esc = Limit("c", "O'Brien", "Z", quoted = true).sql(Dialect.Ansi)
+    assert(esc.contains("'O''Brien'"), esc)
+    assert(Dialect.MySql.q("we`ird") == "`we``ird`")
+    // every dialect renders every sketch (no partial matrix)
+    for (d <- Dialect.All) {
+      assert(SketchSql.heatmap(d, "t", "x", 0, 1, 2, "y", 0, 1, 2).contains("GROUP BY"))
+      assert(SketchSql.topFreq(d, "t", Seq("a", "b"), 3).contains("HAVING COUNT(*) >= 3"))
+      assert(SketchSql.numericRange(d, "t", "c").contains("MIN("))
+      assert(SketchSql.distinctCount(d, "t", "c").contains("COUNT(DISTINCT"))
+    }
+  }
+
   test("federated rowCount / distinctCount match Spark") {
     assert(fed.rowCount("customer").head.getLong(0) === customer.count())
     val d = fed.distinctCount("customer", "c_mktsegment").head.getLong(0)
