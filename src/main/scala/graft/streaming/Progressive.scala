@@ -78,6 +78,36 @@ object Progressive {
     } finally sc.clearJobGroup()
   }
 
+  /** Time-bounded partial emission — the reference's latency contract
+    * (ParallelDataSet.java:133-173: partial results are BUNDLED and
+    * flushed at most once per bundling window, 300 ms by default, so a
+    * fast source cannot flood the consumer). Chunks are still
+    * aggregated exactly once ([[runIncremental]] underneath); `emit`
+    * fires for the first partial, then only when at least `bundleMs`
+    * has elapsed since the previous flush — except the FINAL partial,
+    * which always flushes so the consumer ends at fractionDone = 1 with
+    * the exact result. A slow consumer therefore sees
+    * O(runtime / bundleMs) callbacks regardless of partition count.
+    */
+  def runBundled[B: scala.reflect.ClassTag, R](
+      df: DataFrame, steps: Int, bundleMs: Long = 300L,
+      jobGroup: String = "graft-progressive")(
+      zero: () => B,
+      seqOp: (B, org.apache.spark.sql.Row) => B,
+      merge: (B, B) => B,
+      finish: B => R)(
+      emit: Partial[R] => Unit): R = {
+    var lastFlush = Long.MinValue
+    runIncremental(df, steps, jobGroup)(zero, seqOp, merge, finish) { p =>
+      val now = System.nanoTime()
+      if (p.fractionDone >= 1.0 || lastFlush == Long.MinValue ||
+          now - lastFlush >= bundleMs * 1000000L) {
+        emit(p)
+        lastFlush = now
+      }
+    }
+  }
+
   /** Progressive grouped count (the histogram shape) over any bucket
     * column — partials stream in as partitions complete, final result
     * equals the one-shot `groupBy(bucket).count()`.
