@@ -28,7 +28,11 @@ object Plans {
     "q20_part_promotion", "q22_global_sales_opportunity",
     "q8_market_share", "q12_late_lines", "q13_customer_distribution",
     "q15_top_supplier",
-    "text_remove_dup_spans", "dedup_edit_distance")
+    "text_remove_dup_spans", "dedup_edit_distance",
+    // r6 additions: partsupp-proxy anchors, the headline jaccard with
+    // its df-cut ON, shapefile-fed geo, and real-decode multimodal
+    "q9_profit_by_nation", "q11_important_parts", "dedup_jaccard_3gram",
+    "geo_shapefile_tag", "multimodal_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -284,7 +284,13 @@ object SparkEntry {
         .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "MEDIUM" &&
           col("p_size").isin(1, 4, 7))
         .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
-      val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      // NOT IN ≡ left_anti ONLY while the subquery side is non-null (one
+      // null in NOT IN's list empties the whole result). Enforce the
+      // precondition instead of assuming it: with the filter, a future
+      // null s_suppkey is dropped from the exclusion list — the same
+      // non-null guard Catalyst itself requires for this rewrite.
+      val bad = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0 && col("s_suppkey").isNotNull)
         .select(col("s_suppkey"))
       li(s, d)
         .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
@@ -292,6 +298,51 @@ object SparkEntry {
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+    // TPC-H q9 shape (product-type profit by nation and year). The real
+    // q9 prices cost from partsupp.ps_supplycost; /root/testdata ships
+    // no partsupp, so the cost side is proxied by the part's own
+    // p_retailprice (same join/aggregate geometry: five tables, a
+    // LIKE-filtered part dim, profit = revenue − cost·qty as one exact
+    // decimal expression summed per (nation, year)). Dims broadcast;
+    // the only fact-fact shuffle is lineitem×orders — irreducible.
+    "q9_profit_by_nation" -> ((s, d) => {
+      val profit =
+        Num.dec2(col("l_extendedprice")) * (lit(1) - Num.dec2(col("l_discount"))) -
+          Num.dec2(col("p_retailprice")) * Num.dec2(col("l_quantity"))
+      // q9 proper says '%green%'; this corpus names parts '<adj> <noun>'
+      // with 'red' the only q9-style color token present at every SF —
+      // same selectivity role, non-vacuous result at sf0.001
+      val greenParts = prt(s, d).filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supN = Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      li(s, d)
+        .join(broadcast(greenParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(ord(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(profit).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    // TPC-H q11 shape (important stock identification): per-key value
+    // aggregate kept only where it exceeds a FRACTION OF THE GLOBAL
+    // TOTAL — the scalar-subquery HAVING. The real q11 values partsupp
+    // stock; absent partsupp, per-part lineitem revenue stands in with
+    // identical geometry: one per-key aggregate (map-side combined),
+    // one 1-row global total BROADCAST to the filter (never a window,
+    // never a driver collect).
+    "q11_important_parts" -> ((s, d) => {
+      val rev = Num.dec2(col("l_extendedprice")) * (lit(1) - Num.dec2(col("l_discount")))
+      val perPart = li(s, d).groupBy(col("l_partkey")).agg(sum(rev).as("__val"))
+      val total = perPart.agg(sum(col("__val")).cast("double").as("__tot"))
+      perPart.join(broadcast(total))
+        .filter(col("__val").cast("double") > col("__tot") * lit(0.001))
+        .select(col("l_partkey").as("p_partkey"),
+          col("__val").cast("double").as("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
     }),
     // TPC-H q19 shape (discounted revenue): three OR'd brand/size/qty
     // conjunctions across BOTH join sides. Anchors Catalyst's
@@ -925,8 +976,12 @@ object SparkEntry {
 
     // ── dedup / similarity / text (training-data pipeline) ─────────────
     "dedup_exact" -> ((s, d) => graft.dedup.Dedup.exactGroups(docs(s, d))),
+    // the function's default 1 M df-cut stays ON (r5 verdict: disabling
+    // it here turned off the operator's 100 TB skew guard — stopword
+    // shingles make the inverted-index self-join quadratic in df). At
+    // sf0.1 no shingle approaches 1 M docs, so the oracle is unchanged.
     "dedup_jaccard_3gram" -> ((s, d) =>
-      graft.dedup.Dedup.jaccardPairs(docs(s, d), 3, 0.5, Long.MaxValue)),
+      graft.dedup.Dedup.jaccardPairs(docs(s, d), 3, 0.5)),
     // df-cut path actually exercised: every doc is salted with a common
     // tail phrase, whose fully-interior shingle lands in ALL docs and is
     // dropped by the maxShingleDocs=50 cut (groupBy → broadcast
@@ -1092,10 +1147,14 @@ object SparkEntry {
     // custom plan (bounded heaps below the exchange)
     "tfidf_topterms" -> ((s, d) => graft.text.TextAnalysis.tfidfTopTerms(docs(s, d), 5)),
 
-    // ── multimodal (binary media columns; stub decode, real plumbing) ──
+    // ── multimodal (binary media columns; REAL content codecs) ─────────
+    // true pixel/PCM statistics: payloads are real encoded BMP/PPM/WAV
+    // bytes (pixel p = text byte p mod len; sample k = (byte_k−128)·256),
+    // extractFeatures DECODES them (row flip, padding, BGR, sign-extend)
+    // and the oracle recomputes the exact integer-sum stats from text
     "multimodal_features" -> ((s, d) =>
       graft.multimodal.Multimodal.extractFeatures(
-          graft.multimodal.Multimodal.syntheticMedia(docs(s, d)))
+          graft.multimodal.Multimodal.syntheticPixelMedia(docs(s, d)))
         .toDF()
         .select(col("id").as("doc_id"), col("kind"),
           col("n_bytes").cast("long").as("n_bytes"), col("feat0"), col("feat1"))),
@@ -1355,6 +1414,26 @@ object SparkEntry {
       graft.geo.Geo.tagPoints(pts, polys, col("px"), col("py"), convex = false)
         .groupBy(col("poly")).agg(count(lit(1)).as("n_points"))
     }),
+    "geo_shapefile_tag" -> ((s, d) => {
+      // the reference's actual ingestion path (geo/PolygonSet.java:20-27
+      // loads .shp feature sets + names): REAL shapefile bytes — written
+      // then parsed via the public ESRI/dBASE formats, no GIS library —
+      // feeding the same broadcast ray-cast containment as the inline
+      // polygon queries. Same features/grid as geo_polygon_tag, so the
+      // oracle is the identical region predicate.
+      val dir = java.nio.file.Files.createTempDirectory("graft_shp")
+      val base = dir.resolve("features").toString
+      graft.geo.Shapefile.writePolygons(base, Seq(
+        ("southwest", Seq((0.0, 0.0), (48.0, 0.0), (0.0, 48.0))),
+        ("east", Seq((49.0, 0.0), (96.0, 0.0), (96.0, 96.0), (49.0, 96.0))),
+        ("north", Seq((0.0, 49.0), (48.0, 49.0), (24.0, 96.0)))))
+      val polys = graft.geo.Shapefile.readPolygons(s, base)
+      val pts = cust(s, d).select(
+        (col("c_custkey") % 97).cast("double").as("px"),
+        (expr("c_custkey div 97") % 97).cast("double").as("py"))
+      graft.geo.Geo.tagPoints(pts, polys, col("px"), col("py"), convex = false)
+        .groupBy(col("poly")).agg(count(lit(1)).as("n_points"))
+    }),
     "asof_join" -> ((s, d) => {
       val e = ev(s, d)
       val clicks = e.filter(col("event_type") === "click")
@@ -1563,6 +1642,30 @@ object SparkEntry {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // q9 proxy: profit = revenue − p_retailprice·qty (cost side proxied —
+    // no partsupp in the test data), exact decimal sum per (nation, year)
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |         - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+    // q11 proxy: per-part value vs a fraction of the global total (the
+    // scalar-subquery HAVING); values summed exactly as decimals, the
+    // threshold comparison done in double on both engines
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS value
+        |FROM v
+        |WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) FROM v) * 0.001""".stripMargin,
     "q19_disjunctive_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  count(*) AS n_rows
@@ -2318,12 +2421,34 @@ object SparkEntry {
         |      w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT))),
         |  (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rhash
         |FROM documents""".stripMargin,
+    // real-content twin: recompute the decoded pixel/PCM statistics from
+    // the source text (pixel p = byte p mod len; sample k = (byte_k−128)·256).
+    // Sums are exact integers on both sides; the single double division of
+    // the same rational is correctly rounded identically by both engines.
+    // n_bytes: BMP = 54 hdr + padded rows; PPM = "P6\n{w} {h}\n255\n" + 3wh;
+    // WAV = 44 hdr + 2·len.
     "multimodal_features" ->
-      """SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-        |CAST(length(text) AS BIGINT) AS n_bytes,
-        |list_sum(list_transform(range(1, length(text)+1), i -> ascii(substr(text,i,1)))) / CAST(length(text) AS DOUBLE) AS feat0,
-        |list_sum(list_transform(range(1, length(text)+1), i -> ascii(substr(text,i,1)) * ((i-1) % 7))) / CAST(length(text) AS DOUBLE) AS feat1
-        |FROM documents""".stripMargin,
+      """SELECT doc_id,
+        |CASE WHEN doc_id % 4 = 0 THEN 'bmp' WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS kind,
+        |CAST(CASE WHEN doc_id % 4 = 0 THEN 54 + ((3*w + 3) // 4 * 4) * h
+        |  WHEN doc_id % 2 = 0 THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h
+        |  ELSE 44 + 2*len END AS BIGINT) AS n_bytes,
+        |CASE WHEN doc_id % 2 = 0
+        |  THEN CAST(list_sum(list_transform(range(0, w*h),
+        |    p -> ascii(substr(text, CAST(p % len AS INT) + 1, 1)))) AS DOUBLE) / (w*h)
+        |  ELSE CAST(list_sum(list_transform(range(1, len + 1),
+        |    k -> (ascii(substr(text, CAST(k AS INT), 1)) - 128) * 256)) AS DOUBLE) / len
+        |END AS feat0,
+        |CASE WHEN doc_id % 2 = 0
+        |  THEN CAST(list_sum(list_transform(range(0, w*h),
+        |    p -> ascii(substr(text, CAST(p % len AS INT) + 1, 1))
+        |       * ascii(substr(text, CAST(p % len AS INT) + 1, 1)))) AS DOUBLE) / (w*h)
+        |  ELSE CAST(list_sum(list_transform(range(1, len + 1),
+        |    k -> abs((ascii(substr(text, CAST(k AS INT), 1)) - 128) * 256))) AS DOUBLE) / len
+        |END AS feat1
+        |FROM (SELECT doc_id, text, length(text) AS len,
+        |        1 + length(text) % 32 AS w, 1 + length(text) % 24 AS h
+        |      FROM documents)""".stripMargin,
     // header sizes: PNG sig+len+IHDR+dims = 24, JPEG SOI+SOF0 seg = 15,
     // GIF6+screen = 10 (texts are ASCII so length(text) = body bytes)
     "multimodal_image_dims" ->
@@ -2519,6 +2644,20 @@ object SparkEntry {
     // (simplified cross products — identical truth values on the integer
     // coordinate grid); polygons are disjoint so CASE order is immaterial
     "geo_polygon_tag" ->
+      """WITH p AS (SELECT CAST(c_custkey % 97 AS DOUBLE) AS px,
+        |  CAST((c_custkey // 97) % 97 AS DOUBLE) AS py FROM customer),
+        |t AS (SELECT CASE
+        |  WHEN py >= 0 AND px >= 0 AND px + py <= 48 THEN 'southwest'
+        |  WHEN py >= 0 AND py <= 96 AND px >= 49 AND px <= 96 THEN 'east'
+        |  WHEN py >= 49 AND (-24*(py-49) - 47*(px-48)) >= 0
+        |    AND (-24*(py-96) + 47*(px-24)) >= 0 THEN 'north'
+        |  END AS poly FROM p)
+        |SELECT poly, count(*) AS n_points FROM t WHERE poly IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    // shapefile-loaded twin of geo_polygon_tag: same features, same
+    // grid — the oracle region predicate is identical (ray cast and
+    // half-plane tests agree on convex polygons, boundary-inclusive)
+    "geo_shapefile_tag" ->
       """WITH p AS (SELECT CAST(c_custkey % 97 AS DOUBLE) AS px,
         |  CAST((c_custkey // 97) % 97 AS DOUBLE) AS py FROM customer),
         |t AS (SELECT CASE

@@ -294,6 +294,32 @@ class PropertySpec extends SparkSpec {
     assert(convexGot == grid.filter(p => inside(shapes(2), p._1, p._2)).toSet)
   }
 
+  test("shapefile: write→parse round-trips features; tagging matches inline polygons") {
+    import graft.geo.Shapefile
+    val feats = Seq(
+      ("lshape", Seq((0.0, 0.0), (8.0, 0.0), (8.0, 4.0), (4.0, 4.0), (4.0, 8.0), (0.0, 8.0))),
+      ("tri", Seq((1.0, 1.0), (7.0, 2.0), (3.0, 7.0))))
+    val base = java.nio.file.Files.createTempDirectory("shp_spec")
+      .resolve("f").toString
+    Shapefile.writePolygons(base, feats)
+    // byte-level round-trip: names from the .dbf, rings reopened (the
+    // spec's closing duplicate vertex dropped), order preserved
+    assert(Shapefile.parsePolygons(base) == feats)
+    // a shapefile-loaded frame tags identically to the inline frame
+    val grid = for (x <- 0 to 8; y <- 0 to 8) yield (x.toDouble, y.toDouble)
+    val pts = grid.toDF("px", "py")
+    def tags(polys: org.apache.spark.sql.DataFrame) =
+      graft.geo.Geo.tagPoints(pts, polys, col("px"), col("py"), convex = false)
+        .collect().map(r => (r.getString(2), r.getDouble(0), r.getDouble(1))).toSet
+    assert(tags(Shapefile.readPolygons(spark, base)) ==
+      tags(graft.geo.Geo.polygonSet(spark, feats)))
+    // malformed inputs are refused loudly, not half-loaded
+    val junk = java.nio.file.Files.createTempDirectory("shp_junk").resolve("j")
+    java.nio.file.Files.write(junk.resolveSibling("j.shp"),
+      "not a shapefile at all........".getBytes)
+    intercept[IllegalArgumentException] { Shapefile.parsePolygons(junk.toString) }
+  }
+
   test("noisy distinct: zero noise equals the bare sketch; radius composes") {
     val li = graft.engine.Tables.lineitem(spark, sf)
     val raw = li.agg(approx_count_distinct(col("l_partkey"), 0.05)).head.getLong(0)

@@ -99,6 +99,49 @@ class StreamingSpec extends SparkSpec {
     assert(fin.map { case (k, v) => k.asInstanceOf[String] -> v } == expected)
   }
 
+  test("bundled partials: wide window collapses to first+final flush; final exact") {
+    val li = Tables.lineitem(spark, sf).repartition(8)
+    var fracs = List.empty[Double]
+    val fin = Progressive.runBundled[Long, Long](
+      li.select("l_orderkey"), 8, bundleMs = 60000L)(
+      () => 0L, (b, _) => b + 1, _ + _, identity)(p => fracs ::= p.fractionDone)
+    // first partial flushes immediately (the consumer sees progress
+    // start), intermediates bundle away, the final ALWAYS flushes exact
+    assert(fracs.length == 2, fracs)
+    assert(fracs.head == 1.0 && fracs.last < 1.0, fracs)
+    assert(fin == li.count())
+    // bundleMs = 0 degrades to per-chunk emission (runIncremental cadence)
+    var n = 0
+    Progressive.runBundled[Long, Long](li.select("l_orderkey"), 8, 0L)(
+      () => 0L, (b, _) => b + 1, _ + _, identity)(_ => n += 1)
+    assert(n == 8, n)
+  }
+
+  test("progressive cancellation: cancelJobGroup mid-stream stops cleanly") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    // 8 chunks × (8 rows × 200 ms) each — cancel lands mid-chunk 1/2
+    val slow = (1 to 64).toDF("x").repartition(8)
+    @volatile var emitted = 0
+    val group = "graft-progressive-cancel-spec"
+    val fut = Future {
+      Progressive.runIncremental[Long, Long](slow, 8, group)(
+        () => 0L,
+        (b, _) => { Thread.sleep(200); b + 1 },
+        _ + _, identity)(_ => emitted += 1)
+    }
+    Thread.sleep(700)
+    Progressive.cancel(spark, group)
+    // the run surfaces the cancellation as an exception (unsubscribe
+    // semantics: RemoteDataSet drops the subscription, work stops)
+    intercept[Exception] { Await.result(fut, 60.seconds) }
+    assert(emitted < 8, s"cancel arrived after $emitted emissions")
+    // the session survives: unrelated work still runs in this context
+    assert(slow.count() == 64)
+  }
+
   test("memoized collect hits cache on identical plan") {
     Memo.clear()
     val li = Tables.lineitem(spark, sf)
@@ -107,12 +150,46 @@ class StreamingSpec extends SparkSpec {
     assert(Memo.size == 1 && q1.sameElements(q2))
   }
 
-  test("multimodal stub pipeline: features + chunk sampling") {
-    val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
+  test("multimodal pipeline: real decoded features + chunk sampling") {
+    val media = Multimodal.syntheticPixelMedia(Tables.documents(spark, sf))
     val feats = Multimodal.extractFeatures(media).collect()
-    assert(feats.nonEmpty && feats.forall(f => f.n_bytes > 0 && f.feat0 > 0))
-    val chunks = Multimodal.sampleChunks(media, 64, 2).collect()
+    // every payload decodes (all synthetic media is valid BMP/PPM/WAV)
+    assert(feats.nonEmpty && feats.length == media.count())
+    // image intensities live in [0,255]; mean|sample| is non-negative
+    // and mean-square dominates squared-mean (Jensen) for pixels
+    assert(feats.filter(f => f.kind == "bmp" || f.kind == "ppm").forall(f =>
+      f.feat0 >= 0 && f.feat0 <= 255 && f.feat1 >= f.feat0 * f.feat0 - 1e-9))
+    assert(feats.filter(_.kind == "wav").forall(f =>
+      f.feat1 >= 0 && math.abs(f.feat0) <= f.feat1 + 1e-9))
+    val chunks = Multimodal.sampleChunks(
+      Multimodal.syntheticMedia(Tables.documents(spark, sf)), 64, 2).collect()
     assert(chunks.nonEmpty)
+  }
+
+  test("pixel/PCM codecs: encode→decode round-trips content exactly") {
+    // BMP: padding + bottom-up row flip must reconstruct top-down order
+    for ((w, h) <- Seq((1, 1), (5, 3), (32, 24), (4, 2))) {
+      val gray = (p: Int) => (p * 37 + 11) % 256
+      for (payload <- Seq(Multimodal.bmpPayload(w, h, gray),
+                          Multimodal.ppmPayload(w, h, gray))) {
+        val Some((fmt, dw, dh, px)) = Multimodal.decodePixels(payload)
+        assert(dw == w && dh == h && px.length == 3 * w * h, fmt)
+        for (p <- 0 until w * h; c <- 0 until 3)
+          assert(px(3 * p + c) == gray(p), s"$fmt pixel $p channel $c")
+      }
+    }
+    // WAV PCM16: signed samples survive the LE encode/decode (incl.
+    // negative values via sign extension)
+    val samples = Array(-32768, -1, 0, 1, 255, -256, 32767)
+    val body = new Array[Byte](2 * samples.length)
+    samples.zipWithIndex.foreach { case (s, k) =>
+      body(2 * k) = (s & 0xff).toByte; body(2 * k + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val wav = Multimodal.wavPayload(1, 16000, 16, body)
+    assert(Multimodal.decodePcm16(wav).exists(_.sameElements(samples)))
+    // junk and 8-bit WAVs are refused, not mis-decoded
+    assert(Multimodal.decodePixels("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodePcm16(Multimodal.wavPayload(1, 8000, 8, body)).isEmpty)
   }
 
   test("image header codecs: encode/parse round-trip, junk rejected") {
