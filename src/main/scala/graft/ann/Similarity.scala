@@ -410,14 +410,19 @@ object Similarity {
     */
   def quantizedTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val qcodes = quantizeInt8(col("embedding"), quantizeInt8Scale(col("embedding")))
-    // codes ≤127 are exact in float; the dot's double accumulation of
-    // integer products stays < 2^53, so it is exact too
-    val quant = emb.select(col("vec_id"), transform(qcodes, _.cast("float")).as("qe"))
+    // the codes stay array<int> end-to-end: IntVecDot/IntVecNorm
+    // accumulate the ≤127-magnitude codes in an exact long, so there is
+    // no per-row float-array rematerialization (the transform(cast) this
+    // replaces built a second dim-length array per scored row) and the
+    // score is still bit-reproducible
+    val quant = emb.select(col("vec_id"), qcodes.as("qe"))
     val q = quant.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("qe").as("q_emb"))
+    import graft.functions.VectorExpressions.{vec_dot_int, vec_norm_int}
     val scored = quant.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q_emb"), col("qe")).as("cos"))
+        (vec_dot_int(col("q_emb"), col("qe")) /
+          (vec_norm_int(col("q_emb")) * vec_norm_int(col("qe")))).as("cos"))
     graft.plans.GroupTopK.groupTopK(scored, Seq("query_id"),
         Seq(("cos", false), ("neighbor_id", true)), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

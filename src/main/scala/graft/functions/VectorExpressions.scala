@@ -51,6 +51,80 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product over two int arrays (the int8 quantized codes stay
+  * integer end-to-end — no per-row float-array rematerialization).
+  * Codes are ≤127 in magnitude, so every elementwise product ≤ 16129
+  * and the long accumulator is exact for any realistic dim; the result
+  * converts to double once, at the end.
+  */
+case class IntVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getInt(i).toLong * y.getInt(i).toLong; i += 1 }
+    s.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("dotSum")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |long $s = 0L;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |}
+         |${ev.value} = (double) $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sqrt(Σ xᵢ²) over an int array — exact long accumulation, one
+  * conversion to double at the sqrt.
+  */
+case class IntVecNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0L
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getInt(i).toLong; s += v * v; i += 1 }
+    math.sqrt(s.toDouble)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("normSum")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |long $s = 0L;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $v = (long) $a.getInt($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt((double) $s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** sqrt(Σ xᵢ²) over a float array — same codegen rationale as
   * [[FloatVecDot]].
   */
@@ -178,6 +252,9 @@ object VectorExpressions {
   def vec_dot(a: Column, b: Column): Column =
     column(FloatVecDot(expression(a), expression(b)))
   def vec_norm(a: Column): Column = column(FloatVecNorm(expression(a)))
+  def vec_dot_int(a: Column, b: Column): Column =
+    column(IntVecDot(expression(a), expression(b)))
+  def vec_norm_int(a: Column): Column = column(IntVecNorm(expression(a)))
   def band_keys(v: Column, dim: Int, planes: Int, bands: Int): Column =
     column(HyperplaneBandKeys(expression(v), dim, planes, bands))
 }
