@@ -2118,17 +2118,20 @@ object SparkEntry {
         |l_returnflag AS bz, l_linestatus AS bw, count(*) AS cnt
         |FROM lineitem GROUP BY 1, 2, 3, 4""".stripMargin,
     "corr_matrix" ->
-      """WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_e,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS p_dd,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p_de,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS p_dq,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p_ee,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS p_eq,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS p_qq
-        |  FROM lineitem)
+      """WITH c AS (SELECT CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS d,
+        |  CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS e,
+        |  CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS q FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(d AS DECIMAL(20,0))) AS DOUBLE) AS s_d,
+        |  CAST(SUM(CAST(e AS DECIMAL(20,0))) AS DOUBLE) AS s_e,
+        |  CAST(SUM(CAST(q AS DECIMAL(20,0))) AS DOUBLE) AS s_q,
+        |  CAST(SUM(CAST(d*d AS DECIMAL(20,0))) AS DOUBLE) AS p_dd,
+        |  CAST(SUM(CAST(d*e AS DECIMAL(20,0))) AS DOUBLE) AS p_de,
+        |  CAST(SUM(CAST(d*q AS DECIMAL(20,0))) AS DOUBLE) AS p_dq,
+        |  CAST(SUM(CAST(e*e AS DECIMAL(20,0))) AS DOUBLE) AS p_ee,
+        |  CAST(SUM(CAST(e*q AS DECIMAL(20,0))) AS DOUBLE) AS p_eq,
+        |  CAST(SUM(CAST(q*q AS DECIMAL(20,0))) AS DOUBLE) AS p_qq
+        |  FROM c)
         |SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
         |  round((p_de * n - s_d * s_e) / (sqrt(n * p_dd - s_d * s_d) * sqrt(n * p_ee - s_e * s_e)), 4) AS corr FROM m
         |UNION ALL SELECT 'l_discount', 'l_quantity',

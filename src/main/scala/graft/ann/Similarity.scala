@@ -322,10 +322,12 @@ object Similarity {
     * Each of `bands` independent LSH tables hashes every vector to a
     * `planes`-bit bucket (one HyperplaneBandKeys expression: the whole
     * bands×planes projection is a single primitive loop per row);
-    * vectors colliding in any table become candidates (equal-sided
-    * shuffle self-join on (band, bucket) — the same `shuffle_merge`
-    * guard as text LSH, since the exploded side must never be
-    * broadcast). Exact verification keeps precision at 1; the pair
+    * vectors colliding in any table become candidates (hot-bucket
+    * df-cut, then an equal-sided shuffle self-join on (band, bucket) —
+    * the same `shuffle_merge` guard as text LSH, since the exploded
+    * side must never be broadcast; see the inline note for the A/B
+    * against bounded-postings pair generation). Exact verification
+    * keeps precision at 1; the pair
     * dedup runs AFTER the threshold filter, so the bulky candidate
     * stream flows straight from the join into two broadcast lookups and
     * a codegen dot — only survivors shuffle for the distinct.
@@ -343,7 +345,8 @@ object Similarity {
     * the sf0.01 auto choice (7/125) ≈ the old fixed defaults (7/128).
     */
   def nearDupPairsLsh(emb0: DataFrame, threshold: Double, dim: Int = 64,
-      planes: Int = 0, bands: Int = 0, nEstimate: Long = 0L): DataFrame = {
+      planes: Int = 0, bands: Int = 0, nEstimate: Long = 0L,
+      maxBucket: Int = 10000): DataFrame = {
     // nEstimate > 0 sizes the auto-tuning without the eager count() job
     val np = if (planes > 0) planes
       else autoPlanes(if (nEstimate > 0) nEstimate else emb0.count())
@@ -357,11 +360,26 @@ object Similarity {
     val banded = emb.select(col("vec_id"),
       posexplode(graft.functions.VectorExpressions.band_keys(
         col("embedding"), dim, np, nb)).as(Seq("band", "bucket")))
+    // Hot-bucket cut BEFORE the self-join: a hyperplane cell holding
+    // >maxBucket vectors (degenerate region — mass-duplicate or zero-ish
+    // embeddings at corpus scale) would contribute m² candidates per
+    // band while discriminating nothing; any true near-dup pair it
+    // witnesses is near-certainly witnessed again by the other band
+    // tables (recall is per-band independent). One map-side-combined
+    // count pass → tiny hot list → broadcast anti-join, the identical
+    // df-cut shape as jaccardPairs' maxShingleDocs. (A bounded-postings
+    // aggregation with row-local pair generation was A/B'd here: the
+    // higher-order pair-gen evaluates interpreted and measured 2.5×
+    // slower than the codegen'd sort-merge join at equal output.)
+    val hot = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val kept = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     // the shuffle_merge hint sits on BOTH sides: one-sided hints make
     // the subplans canonically different and defeat ReusedExchange, so
     // the banding projection would run twice
-    val cand = banded.hint("shuffle_merge").as("a")
-      .join(banded.hint("shuffle_merge").as("b"),
+    val cand = kept.hint("shuffle_merge").as("a")
+      .join(kept.hint("shuffle_merge").as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))

@@ -23,6 +23,14 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // ObjectHashAggregate (TypedImperativeAggregate groupBys: bounded
+      // postings, Misra-Gries) falls back to SORT-based aggregation after
+      // only 128 distinct in-memory keys by default — a per-row serialize
+      // + sort penalty on every many-key sketch aggregation. Our object
+      // buffers are size-bounded by construction (that is their point),
+      // so an 8k-key hash map is ≤ ~megabytes; past that the sort
+      // fallback still protects memory.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,6 +71,7 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // scheduler mode is frozen at SparkContext creation: if another

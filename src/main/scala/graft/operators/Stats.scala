@@ -83,11 +83,33 @@ object Stats {
     * moments.
     */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // Exact moments WITHOUT per-row decimal products: dec2 × dec2 types
+    // as decimal(37,4), which exceeds the compact-long precision and
+    // drags every row through java.math.BigDecimal (measured: this one
+    // pass over lineitem cost 1.1 s at sf0.1, and its allocation churn
+    // made the query 2× worse again under suite heap pressure). Instead
+    // each ≤2-decimal value becomes exact integer cents
+    // (floor(x·100 + 0.5), the same primitive half-up the int8 quantizer
+    // uses — Spark's round() on doubles allocates a BigDecimal per value;
+    // the double sits ≪0.5 from the true integer, so half-up is exact),
+    // products are exact primitive long arithmetic (|cents| ≤ ~1e7 →
+    // product ≤ ~1e14 ≪ 2^63), and only the SUM widens to decimal for
+    // corpus-scale exactness — per-row casts stay at precision 18 (the
+    // compact-long ceiling, no BigDecimal), the sum result widens to
+    // decimal(28,0) ≈ 1e28 ≫ 1e26 = 100 TB worth of max products.
+    // Correlation is invariant under the
+    // uniform ×100 per-column scaling, so the closed form is unchanged;
+    // the oracle applies the identical cents transform.
+    def cents(c: String): Column =
+      floor(col(c) * lit(100) + lit(0.5)).cast("long")
     val aggs =
       Seq(count(lit(1)).cast(DoubleType).as("n")) ++
-      cols.map(c => sum(Num.dec2(col(c))).cast(DoubleType).as(s"s_$c")) ++
+      cols.map(c => sum(cents(c)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 0)))
+        .cast(DoubleType).as(s"s_$c")) ++
       cols.flatMap(a => cols.filter(_ >= a).map { b =>
-        sum(Num.dec2(col(a)) * Num.dec2(col(b))).cast(DoubleType).as(s"p_${a}_$b")
+        sum((cents(a) * cents(b)).cast(org.apache.spark.sql.types.DecimalType(18, 0)))
+          .cast(DoubleType).as(s"p_${a}_$b")
       })
     val m = df.agg(aggs.head, aggs.tail: _*)
     def p(a: String, b: String) = if (a <= b) col(s"p_${a}_$b") else col(s"p_${b}_$a")
