@@ -541,6 +541,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH hot-bucket cut drops only the degenerate cell's pairs") {
+    // A mass-duplicate cluster (every copy identical → same bucket in
+    // EVERY band) is exactly the skew the maxBucket df-cut exists for:
+    // its cell would contribute m² candidates per band while
+    // discriminating nothing. Build 300 identical vectors (plus a near
+    // neighbor and an orthogonal outlier) and check that a small cap
+    // cuts every pair riding through the mega-cell, while the default
+    // cap recovers the full clique.
+    val dim = 8
+    val base = Array.fill(dim)(0.5f)
+    val near = base.clone(); near(0) = 0.55f
+    val other = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val rows =
+      (0L until 300L).map(i => (i, base)) ++
+        Seq((1000L, near), (2000L, other))
+    val emb = rows.toDF("vec_id", "embedding")
+    def pairs(cap: Int): Set[(Long, Long)] =
+      graft.ann.Similarity.nearDupPairsLsh(
+        emb, 0.9, dim = dim, planes = 4, bands = 16, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cut = pairs(100)
+    // base×base and base×near pairs ride through the 300-member cell and
+    // are dropped by the cap; nothing else shares a full-band bucket at
+    // these sizes reliably, so only cluster-free survivors remain
+    assert(!cut.exists { case (a, b) => a < 300L && b < 300L },
+      s"mega-cluster pair survived the cut: $cut")
+    val uncut = pairs(10000)
+    assert(uncut.exists { case (a, b) => a < 300L && b < 300L },
+      s"default cap should keep the cluster pairs, got ${uncut.size}")
+    // the identical-vector clique is fully recovered when uncut
+    assert(uncut.size >= 300 * 299 / 2,
+      s"expected the full 300-clique, got ${uncut.size}")
+  }
+
   test("sampled row-at-position lands within N/res of the target rank") {
     import graft.operators.{Find, NextK}
     val li = graft.engine.Tables.lineitem(spark, sf)
