@@ -357,6 +357,10 @@ object Similarity {
     val emb = graft.engine.Layout.ensureParallelism(emb0)
     val withNorm = emb0.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nm"))
+    // no checkpoint: the hot-list count and both self-join sides are
+    // identical subplans over this narrow map, so ReuseExchange
+    // materializes the banding exchange once at runtime (an explicit
+    // localCheckpoint was A/B'd and only added a blocking job)
     val banded = emb.select(col("vec_id"),
       posexplode(graft.functions.VectorExpressions.band_keys(
         col("embedding"), dim, np, nb)).as(Seq("band", "bucket")))
