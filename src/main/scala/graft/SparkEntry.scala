@@ -641,6 +641,29 @@ object SparkEntry {
     // group; approximate ⇒ rows-only gate + per-group error spec
     "hll_group_distinct" -> ((s, d) =>
       DistinctAndFrequency.approxDistinctByGroup(li(s, d), "l_returnflag", "l_partkey")),
+    // Persistable sketch surface: per-source HLL register arrays built in
+    // ONE corpus scan, then the global distinct answered by max-merging
+    // the kilobyte sketches — the cross-job form of partial aggregation
+    // (store the per-partition sketch, never rescan). Approximate ⇒
+    // rows-only; exact countDistinct twin rides in the same result and
+    // the ≤5% bound + merge monoid laws are property-gated.
+    "sketch_distinct_rollup" -> ((s, d) => {
+      import graft.functions.HllSketch
+      val dd = docs(s, d)
+      val perSrc = dd.groupBy(col("source"))
+        .agg(HllSketch.hll_build(col("text")).as("sk"),
+          countDistinct(col("text")).as("exact_distinct"))
+      val srcRows = perSrc.select(col("source"),
+        floor(HllSketch.hll_estimate(col("sk"))).cast("long").as("est_distinct"),
+        col("exact_distinct"))
+      val globalExact = dd.agg(countDistinct(col("text")).as("exact_distinct"))
+      val globalRow = perSrc.agg(HllSketch.hll_merge(col("sk")).as("sk"))
+        .crossJoin(globalExact)
+        .select(lit("__all__").as("source"),
+          floor(HllSketch.hll_estimate(col("sk"))).cast("long").as("est_distinct"),
+          col("exact_distinct"))
+      srcRows.unionAll(globalRow).orderBy(col("source"))
+    }),
     "heavy_exact" -> ((s, d) =>
       DistinctAndFrequency.heavyHittersExact(ord(s, d), Seq("o_orderpriority"), 0.05)),
     "heavy_mg" -> ((s, d) =>

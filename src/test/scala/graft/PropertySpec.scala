@@ -541,6 +541,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hll sketch: <=5% error, partition-merge == whole-corpus sketch, deterministic") {
+    import graft.functions.HllSketch._
+    val dd = graft.engine.Tables.documents(spark, sf)
+    // the rollup query's own exact twin bounds every row (per-source and
+    // the merged __all__ row); p=12 -> rsd 1.6%, gate at 5%
+    val rows = graft.SparkEntry.queries("sketch_distinct_rollup")(spark, sf).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val est = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      // 5% relative with a small absolute floor: at tiny per-source
+      // cardinalities (tens) a single register collision moves the
+      // linear-counting estimate by 1-2 — that's resolution, not error
+      assert(math.abs(est - exact) <= math.max(0.05 * exact, 3.0),
+        s"${r.getString(0)}: est=$est exact=$exact")
+    }
+    // monoid law that makes the sketch STORABLE: max-merging arbitrary
+    // partition sketches reproduces the whole-corpus registers bit for bit
+    val whole = dd.agg(hll_build(col("text")).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    val merged = dd.groupBy(pmod(col("doc_id"), lit(7L)).as("part"))
+      .agg(hll_build(col("text")).as("sk"))
+      .agg(hll_merge(col("sk")).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    assert(merged.sameElements(whole), "partition merge diverged from whole")
+    // determinism: rebuilding yields identical bytes (fixed seed hash)
+    val again = dd.agg(hll_build(col("text")).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    assert(again.sameElements(whole))
+  }
+
   test("embedding LSH hot-bucket cut drops only the degenerate cell's pairs") {
     // A mass-duplicate cluster (every copy identical → same bucket in
     // EVERY band) is exactly the skew the maxBucket df-cut exists for:
