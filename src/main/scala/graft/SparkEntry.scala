@@ -664,6 +664,33 @@ object SparkEntry {
           col("exact_distinct"))
       srcRows.unionAll(globalRow).orderBy(col("source"))
     }),
+    // Storable-sketch heavy hitters: per-source MG summary blobs built in
+    // one scan, max-merged (Agarwal mergeable-summaries combine), then the
+    // ≤cap candidate set exactly verified with a broadcast semi-join —
+    // the result is EXACT (MG guarantees no key above N/(cap+1) ≥ the
+    // 1% threshold is missed), so the query oracles like heavy_mg while
+    // the sketch blobs are storable/re-mergeable across jobs.
+    "sketch_heavy_rollup" -> ((s, d) => {
+      import graft.functions.MgSketch
+      val cap = 200
+      val toks = docs(s, d).select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val perSrc = toks.groupBy(col("source"))
+        .agg(MgSketch.mg_build(col("tok"), cap).as("sk"),
+          count(lit(1)).as("n"))
+      val merged = perSrc.agg(MgSketch.mg_merge(col("sk"), cap).as("sk"),
+        sum(col("n")).as("n"))
+      val cands = merged.select(
+          explode(MgSketch.mg_entries(col("sk"))).as("e"))
+        .select(col("e.key").as("tok"))
+      val counts = toks.join(broadcast(cands), Seq("tok"), "left_semi")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      counts.crossJoin(broadcast(merged.select(col("n"))))
+        .filter(col("cnt") >= ceil(lit(0.01) * col("n")))
+        .select(col("tok"), col("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
     "heavy_exact" -> ((s, d) =>
       DistinctAndFrequency.heavyHittersExact(ord(s, d), Seq("o_orderpriority"), 0.05)),
     "heavy_mg" -> ((s, d) =>
@@ -1977,6 +2004,12 @@ object SparkEntry {
     "distinct_values" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY 1, 2""".stripMargin,
+    "sketch_heavy_rollup" ->
+      """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |tt AS (SELECT tok FROM t WHERE length(tok) > 0)
+        |SELECT tok, count(*) AS cnt FROM tt GROUP BY 1
+        |HAVING count(*) >= ceil(0.01 * (SELECT count(*) FROM tt))
+        |ORDER BY cnt DESC, tok""".stripMargin,
     "heavy_exact" ->
       """SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1
         |HAVING count(*) >= ceil(0.05 * (SELECT count(*) FROM orders))

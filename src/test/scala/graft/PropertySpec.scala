@@ -572,6 +572,48 @@ class PropertySpec extends SparkSpec {
     assert(again.sameElements(whole))
   }
 
+  test("mg sketch: no heavy key missed, counts are lower bounds, under any split") {
+    import graft.functions.MgSketch._
+    // vocab (500) >> cap (20): the streaming decrement AND the merge's
+    // (cap+1)-th-largest subtraction both actually fire — unlike the
+    // rollup query's corpus, whose 31-token vocab fits any cap
+    val heavy = (0 until 4).flatMap(h => Seq.fill(400)(s"heavy_$h"))
+    val tail = (0 until 496).flatMap(t => Seq.fill(3)(s"tail_$t"))
+    val data = new scala.util.Random(7).shuffle(heavy ++ tail)
+    val n = data.size.toLong
+    val cap = 20
+    val exact = data.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    for (parts <- Seq(1, 7, 32)) {
+      val df = data.toDF("tok").repartition(parts)
+      val sk = df.agg(mg_build(col("tok"), cap).as("sk"))
+        .head.getAs[Array[Byte]]("sk")
+      val entries = graft.functions.MgSketch.deserialize(sk)
+      assert(entries.size <= cap)
+      // MG guarantee over the merged partials: every key with true count
+      // > n/(cap+1) survives, and every reported count is a lower bound
+      // with deficit <= n/(cap+1)
+      val bound = n.toDouble / (cap + 1)
+      exact.foreach { case (k, c) =>
+        if (c > bound) assert(entries.contains(k), s"missed heavy $k ($c > $bound) at parts=$parts")
+      }
+      entries.foreach { case (k, c) =>
+        val t = exact(k)
+        assert(c <= t, s"$k: sketch count $c above true $t")
+        assert(t - c <= bound + 1, s"$k: deficit ${t - c} beyond $bound")
+      }
+      // storable path: per-split blobs re-merged with mg_merge keep the
+      // same guarantee
+      val remerged = df.withColumn("part", pmod(crc32(col("tok")), lit(5)))
+        .groupBy(col("part")).agg(mg_build(col("tok"), cap).as("sk"))
+        .agg(mg_merge(col("sk"), cap).as("sk"))
+        .head.getAs[Array[Byte]]("sk")
+      val m2 = graft.functions.MgSketch.deserialize(remerged)
+      exact.foreach { case (k, c) =>
+        if (c > bound) assert(m2.contains(k), s"merge missed heavy $k at parts=$parts")
+      }
+    }
+  }
+
   test("embedding LSH hot-bucket cut drops only the degenerate cell's pairs") {
     // A mass-duplicate cluster (every copy identical → same bucket in
     // EVERY band) is exactly the skew the maxBucket df-cut exists for:
