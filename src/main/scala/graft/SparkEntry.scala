@@ -691,6 +691,26 @@ object SparkEntry {
         .select(col("tok"), col("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
     }),
+    // Storable-sketch quantiles: per-source KLL blobs, merged, quartiles
+    // read off the merged sketch; the exact percentile twin rides in the
+    // same result (approximate ⇒ rows-only; rank-error and split
+    // invariance property-gated).
+    "sketch_quantile_rollup" -> ((s, d) => {
+      import graft.functions.KllSketch
+      val dd = docs(s, d)
+      val perSrc = dd.groupBy(col("source"))
+        .agg(KllSketch.kll_build(col("n_chars")).as("sk"))
+      val merged = perSrc.agg(KllSketch.kll_merge(col("sk")).as("sk"))
+      val exact = dd.agg(
+        expr("percentile(n_chars, 0.25)").as("exact_q25"),
+        expr("percentile(n_chars, 0.5)").as("exact_q50"),
+        expr("percentile(n_chars, 0.75)").as("exact_q75"))
+      merged.crossJoin(exact).select(
+        KllSketch.kll_quantile(col("sk"), 0.25).as("est_q25"),
+        KllSketch.kll_quantile(col("sk"), 0.5).as("est_q50"),
+        KllSketch.kll_quantile(col("sk"), 0.75).as("est_q75"),
+        col("exact_q25"), col("exact_q50"), col("exact_q75"))
+    }),
     "heavy_exact" -> ((s, d) =>
       DistinctAndFrequency.heavyHittersExact(ord(s, d), Seq("o_orderpriority"), 0.05)),
     "heavy_mg" -> ((s, d) =>

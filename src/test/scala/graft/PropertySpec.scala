@@ -572,6 +572,41 @@ class PropertySpec extends SparkSpec {
     assert(again.sameElements(whole))
   }
 
+  test("kll sketch: rank error <= 3% at the quartiles, under any split") {
+    import graft.functions.KllSketch._
+    val dd = graft.engine.Tables.documents(spark, sf)
+      .select(col("n_chars").cast("double").as("v"))
+    val vals = dd.collect().map(_.getDouble(0)).sorted
+    val n = vals.length.toDouble
+    // two-sided rank check (tie-safe): the estimated quantile's strict
+    // rank must sit below q+eps and its inclusive rank above q-eps.
+    // k=200 -> theoretical eps well under 1%; gate at 3%
+    def rankCheck(est: Double, q: Double, ctx: String): Unit = {
+      val lo = vals.count(_ < est) / n
+      val hi = vals.count(_ <= est) / n
+      assert(lo <= q + 0.03 && hi >= q - 0.03,
+        s"$ctx q=$q est=$est lo=$lo hi=$hi")
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = dd.repartition(parts)
+        .agg(kll_build(col("v")).as("sk")).head.getAs[Array[Byte]]("sk")
+      val buf = graft.functions.KllSketch.deserialize(sk)
+      assert(buf.n == vals.length.toLong)
+      for (q <- Seq(0.25, 0.5, 0.75))
+        rankCheck(graft.functions.KllSketch.quantile(buf, q), q, s"parts=$parts")
+      // storable path: per-split blobs re-merged keep the bound
+      val remerged = dd.repartition(parts)
+        .withColumn("part", pmod(crc32(col("v").cast("string")), lit(5)))
+        .groupBy(col("part")).agg(kll_build(col("v")).as("sk"))
+        .agg(kll_merge(col("sk")).as("sk"))
+        .head.getAs[Array[Byte]]("sk")
+      val m = graft.functions.KllSketch.deserialize(remerged)
+      assert(m.n == vals.length.toLong)
+      for (q <- Seq(0.25, 0.5, 0.75))
+        rankCheck(graft.functions.KllSketch.quantile(m, q), q, s"remerged parts=$parts")
+    }
+  }
+
   test("mg sketch: no heavy key missed, counts are lower bounds, under any split") {
     import graft.functions.MgSketch._
     // vocab (500) >> cap (20): the streaming decrement AND the merge's
