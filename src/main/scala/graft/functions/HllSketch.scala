@@ -45,10 +45,10 @@ object HllSketch {
   def hll_estimate(c: Column): Column =
     graftshim.exprToColumn(HllEstimate(graftshim.columnToExpr(c)))
 
-  private[functions] def emptyRegisters(p: Int): Array[Byte] =
+  private[graft] def emptyRegisters(p: Int): Array[Byte] =
     new Array[Byte](1 << p)
 
-  private[functions] def addHash(regs: Array[Byte], hash: Long): Unit = {
+  private[graft] def addHash(regs: Array[Byte], hash: Long): Unit = {
     val p = Integer.numberOfTrailingZeros(regs.length)
     val idx = (hash >>> (64 - p)).toInt
     val w = hash << p
@@ -58,7 +58,7 @@ object HllSketch {
     if (r > regs(idx)) regs(idx) = r
   }
 
-  private[functions] def maxMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+  private[graft] def maxMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     require(a.length == b.length,
       s"cannot merge HLL sketches of different precision (${a.length} vs ${b.length} registers)")
     var i = 0
@@ -66,7 +66,7 @@ object HllSketch {
     a
   }
 
-  private[functions] def estimate(regs: Array[Byte]): Double = {
+  private[graft] def estimate(regs: Array[Byte]): Double = {
     val m = regs.length
     val alpha = m match {
       case 16 => 0.673

@@ -339,6 +339,75 @@ object Events {
         .select(col("shard"), col("user_id"), col("lower_bound"))
     }
 
+  final case class HllRow(shard: Int, key: Long)
+  final case class HllState(regs: Array[Byte], seen: Long)
+  final case class HllOut(shard: Int, regs: Array[Byte], version: Long)
+
+  /** Streaming distinct-count via HLL register state — the streaming twin
+    * of the storable [[graft.functions.HllSketch]]. Per-shard state is
+    * the fixed 2^p-byte register array, updated per micro-batch with the
+    * SAME xxhash64/seed-42 routing as the batch `hll_build`; because the
+    * register merge is an idempotent, commutative max, the shard split is
+    * purely for parallelism (a key may hit any shard) and the final
+    * merged registers equal the batch sketch of the same rows BIT FOR
+    * BIT — gated in StreamingSpec, a stronger contract than the MG
+    * twin's order-dependent candidates.
+    */
+  def distinctStream(events: Dataset[HllRow], p: Int): Dataset[HllOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[HllState, HllOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard, rows, state: GroupState[HllState]) =>
+          val st = state.getOption.getOrElse(
+            HllState(graft.functions.HllSketch.emptyRegisters(p), 0L))
+          val regs = st.regs.clone()
+          var seen = st.seen
+          rows.foreach { r =>
+            seen += 1
+            graft.functions.HllSketch.addHash(regs,
+              org.apache.spark.sql.catalyst.expressions.XxHash64Function
+                .hash(r.key, org.apache.spark.sql.types.LongType, 42L))
+          }
+          state.update(HllState(regs, seen))
+          Iterator.single(HllOut(shard, regs, seen))
+      }
+  }
+
+  /** Drive distinctStream over the events parquet staged as 4 files
+    * (AvailableNow + maxFilesPerTrigger=1 → real multi-batch state) and
+    * return the final merged register array.
+    */
+  def runDistinctStream(
+      spark: SparkSession, dir: String, p: Int, shards: Int): Array[Byte] =
+    withNanosAsLong(spark) {
+      import spark.implicits._
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_hll_stream")
+      spark.read.parquet(s"$dir/events.parquet")
+        .repartition(4).write.mode("overwrite").parquet(streamDir.toString)
+      val raw = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      val typed = raw
+        .select(pmod(hash(col("user_id")), lit(shards)).cast("int").as("shard"),
+          col("user_id").as("key"))
+        .as[HllRow]
+      val q = distinctStream(typed, p).writeStream
+        .outputMode("update").format("memory").queryName("graft_hll")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val all = spark.table("graft_hll")
+      val latest = all.groupBy(col("shard").as("s"))
+        .agg(max(col("version")).as("v"))
+      val finals = all
+        .join(latest, col("shard") === col("s") && col("version") === col("v"))
+        .select(col("regs")).collect().map(_.getAs[Array[Byte]](0))
+      finals.reduce { (a, b) =>
+        graft.functions.HllSketch.maxMerge(a.clone(), b)
+      }
+    }
+
   /** Streaming exact dedup: first occurrence of each content hash passes
     * through, later duplicates are dropped — `dropDuplicates` keeps
     * O(distinct) keyed state (bound it with `withWatermark` + an

@@ -67,6 +67,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming HLL registers equal the batch sketch bit for bit") {
+    import org.apache.spark.sql.functions._
+    val p = 10
+    // multi-batch (4 triggers), multi-shard streaming state...
+    val streamed = Events.runDistinctStream(spark, sf, p, shards = 4)
+    // ...must land on EXACTLY the batch registers: the max-merge monoid is
+    // idempotent/commutative, so micro-batching and sharding are invisible
+    val batch = Tables.events(spark, sf)
+      .agg(graft.functions.HllSketch.hll_build(col("user_id"), p).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    assert(streamed.sameElements(batch), "streaming registers diverged from batch")
+    // and the estimate is within the p=10 rsd envelope of the exact count
+    val est = graft.functions.HllSketch.estimate(streamed)
+    val exact = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(math.abs(est - exact) <= math.max(0.1 * exact, 3.0),
+      s"est=$est exact=$exact")
+  }
+
   test("session stats: session count bounded by event count") {
     val st = Events.sessionStats(Tables.events(spark, sf), 30).collect()
     assert(st.nonEmpty)
