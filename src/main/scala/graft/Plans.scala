@@ -32,7 +32,9 @@ object Plans {
     // r6 additions: partsupp-proxy anchors, the headline jaccard with
     // its df-cut ON, shapefile-fed geo, and real-decode multimodal
     "q9_profit_by_nation", "q11_important_parts", "dedup_jaccard_3gram",
-    "geo_shapefile_tag", "multimodal_features")
+    "geo_shapefile_tag", "multimodal_features",
+    // r6 storable-sketch trio: one partial-agg pass + blob merges
+    "sketch_distinct_rollup", "sketch_heavy_rollup", "sketch_quantile_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -131,6 +131,35 @@ object ScaleProbe {
           "src2" -> 2000000000L)).count()
     }
 
+    // storable-sketch rollup: bounded O(cap)/O(2^p) state per group, so
+    // cost must track the token scan, never the vocabulary or history
+    probe("sketch_heavy_rollup", Seq(1, 20)) { c =>
+      import graft.functions.MgSketch
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      val toks = d.select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val perSrc = toks.groupBy(col("source"))
+        .agg(MgSketch.mg_build(col("tok"), 200).as("sk"),
+          count(lit(1)).as("n"))
+      val merged = perSrc.agg(MgSketch.mg_merge(col("sk"), 200).as("sk"),
+        sum(col("n")).as("n"))
+      val cands = merged.select(
+          explode(MgSketch.mg_entries(col("sk"))).as("e"))
+        .select(col("e.key").as("tok"))
+      toks.join(broadcast(cands), Seq("tok"), "left_semi")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")).count()
+    }
+
+    probe("sketch_distinct_rollup", Seq(1, 20)) { c =>
+      import graft.functions.HllSketch
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      d.groupBy(col("source"))
+        .agg(HllSketch.hll_build(col("text")).as("sk"))
+        .agg(HllSketch.hll_merge(col("sk")).as("sk"))
+        .select(HllSketch.hll_estimate(col("sk"))).count()
+    }
+
     // per-replica token salting: every token carries its replica id, so
     // replicas are NOT near-dups of each other — duplicate-structure
     // density stays constant while the corpus scales ×c (the input-bound
