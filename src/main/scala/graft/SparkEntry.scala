@@ -264,14 +264,14 @@ object SparkEntry {
     // engines; the expression order (100 * num) / den matches the oracle
     // textually.
     "q14_promo_effect" -> ((s, d) => {
-      val rev = Num.dec2(col("l_extendedprice")) * (lit(1) - Num.dec2(col("l_discount")))
+      val rev = Num.revenueScaled(col("l_extendedprice"), col("l_discount"))
       li(s, d)
         .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
         .join(broadcast(prt(s, d)), col("l_partkey") === col("p_partkey"))
         .agg(
-          ((lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0))).cast("double"))
-            / sum(rev).cast("double")).as("promo_pct"),
+          ((lit(100.0) * Num.descale4(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)))))
+            / Num.descale4(sum(rev))).as("promo_pct"),
           count(lit(1)).as("n_rows"))
     }),
     // TPC-H q16 shape (supplier-part relationship count). The NOT IN
@@ -308,8 +308,8 @@ object SparkEntry {
     // the only fact-fact shuffle is lineitem×orders — irreducible.
     "q9_profit_by_nation" -> ((s, d) => {
       val profit =
-        Num.dec2(col("l_extendedprice")) * (lit(1) - Num.dec2(col("l_discount"))) -
-          Num.dec2(col("p_retailprice")) * Num.dec2(col("l_quantity"))
+        Num.revenueScaled(col("l_extendedprice"), col("l_discount")) -
+          Num.productScaled(col("p_retailprice"), col("l_quantity"))
       // q9 proper says '%green%'; this corpus names parts '<adj> <noun>'
       // with 'red' the only q9-style color token present at every SF —
       // same selectivity role, non-vacuous result at sf0.001
@@ -324,7 +324,7 @@ object SparkEntry {
         .join(ord(s, d).select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(sum(profit).cast("double").as("sum_profit"))
+        .agg(Num.descale4(sum(profit)).as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
     // TPC-H q11 shape (important stock identification): per-key value
@@ -335,13 +335,13 @@ object SparkEntry {
     // one 1-row global total BROADCAST to the filter (never a window,
     // never a driver collect).
     "q11_important_parts" -> ((s, d) => {
-      val rev = Num.dec2(col("l_extendedprice")) * (lit(1) - Num.dec2(col("l_discount")))
+      val rev = Num.revenueScaled(col("l_extendedprice"), col("l_discount"))
       val perPart = li(s, d).groupBy(col("l_partkey")).agg(sum(rev).as("__val"))
-      val total = perPart.agg(sum(col("__val")).cast("double").as("__tot"))
+      val total = perPart.agg(Num.descale4(sum(col("__val"))).as("__tot"))
       perPart.join(broadcast(total))
-        .filter(col("__val").cast("double") > col("__tot") * lit(0.001))
+        .filter(Num.descale4(col("__val")) > col("__tot") * lit(0.001))
         .select(col("l_partkey").as("p_partkey"),
-          col("__val").cast("double").as("value"))
+          Num.descale4(col("__val")).as("value"))
         .orderBy(col("value").desc, col("p_partkey"))
     }),
     // TPC-H q19 shape (discounted revenue): three OR'd brand/size/qty
@@ -390,7 +390,7 @@ object SparkEntry {
     // broadcast; the ratio divides two exact decimal sums widened to
     // double once per group.
     "q8_market_share" -> ((s, d) => {
-      val rev = Num.dec2(col("l_extendedprice")) * (lit(1) - Num.dec2(col("l_discount")))
+      val rev = Num.revenueScaled(col("l_extendedprice"), col("l_discount"))
       val supN = Tables.supplier(s, d)
         .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("supp_nation"))
@@ -408,8 +408,8 @@ object SparkEntry {
         .join(amerCust, col("o_custkey") === col("c_custkey"), "left_semi")
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg((sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0))).cast("double")
-          / sum(rev).cast("double")).as("mkt_share"))
+        .agg((Num.descale4(sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0))))
+          / Num.descale4(sum(rev))).as("mkt_share"))
         .orderBy(col("o_year"))
     }),
     // TPC-H q12 shape adapted (no l_shipmode/l_receiptdate: "mode" is

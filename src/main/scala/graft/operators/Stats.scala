@@ -25,19 +25,22 @@ object Stats {
   def basicColStats(df: DataFrame, column: String): DataFrame = {
     val c = col(column)
     val d = Num.dec2(c)
+    // s2 via integer-cents products (Num.sumSquaresExact): the dec2×dec2
+    // product types decimal(37,4) — a BigDecimal per row; the cents form
+    // is bit-identical after the exact decimal de-scaling
     df.agg(
         min(c).as("min_v"),
         max(c).as("max_v"),
         count(c).as("present"),
         count(when(c.isNull, 1)).as("missing"),
         sum(d).as("s1"),
-        sum(d * d).as("s2"))
+        Num.sumProductExact(c, c).as("s2"))
       .select(
         col("min_v"), col("max_v"), col("present"), col("missing"),
         (col("s1").cast(DoubleType) / col("present")).as("mean"),
         round(
           sqrt(
-            col("s2").cast(DoubleType) / col("present") -
+            col("s2") / col("present") -
               (col("s1").cast(DoubleType) / col("present")) *
               (col("s1").cast(DoubleType) / col("present"))),
           4).as("stddev"))
@@ -60,17 +63,21 @@ object Stats {
   def correlation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val x = Num.dec2(col(xCol))
     val y = Num.dec2(col(yCol))
-    val n = count(lit(1)).cast(DoubleType)
+    // moment products via integer cents (see correlationMatrix below) —
+    // descaled to the bit-identical doubles of the decimal formulation,
+    // so the closed form and the oracle are unchanged
     df.agg(
         count(lit(1)).as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        Num.sumProductExact(col(xCol), col(yCol)).as("sxy"),
+        Num.sumProductExact(col(xCol), col(xCol)).as("sxx"),
+        Num.sumProductExact(col(yCol), col(yCol)).as("syy"))
       .select(round(
-        ((col("sxy").cast(DoubleType) * col("n") -
+        ((col("sxy") * col("n") -
           col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
-          (sqrt(col("n") * col("sxx").cast(DoubleType) -
+          (sqrt(col("n") * col("sxx") -
             col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
-           sqrt(col("n") * col("syy").cast(DoubleType) -
+           sqrt(col("n") * col("syy") -
             col("sy").cast(DoubleType) * col("sy").cast(DoubleType)))),
         4).as("corr"))
   }
