@@ -56,5 +56,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_size(a, b) - |A∩B| of two sorted long-array sets"),
       (args: Seq[Expression]) =>
         graft.functions.SortedIntersectSize(args(0), args(1))))
+    // storable-sketch surface for SQL users (aggregates + readers)
+    ext.injectFunction((
+      new FunctionIdentifier("hll_build"),
+      info("hll_build", "hll_build(v[, p]) - binary HLL sketch of the values"),
+      (args: Seq[Expression]) => graft.functions.HllBuildAgg(args.head,
+        if (args.length > 1) args(1).eval().asInstanceOf[Number].intValue
+        else graft.functions.HllSketch.DefaultP).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_merge"),
+      info("hll_merge", "hll_merge(sketch) - max-merge binary HLL sketches"),
+      (args: Seq[Expression]) =>
+        graft.functions.HllMergeAgg(args.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_estimate"),
+      info("hll_estimate", "hll_estimate(sketch) - distinct estimate of an HLL sketch"),
+      (args: Seq[Expression]) => graft.functions.HllEstimate(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("mg_build"),
+      info("mg_build", "mg_build(key, cap) - binary Misra-Gries summary of string keys"),
+      (args: Seq[Expression]) => graft.functions.MgBuildAgg(args.head,
+        args(1).eval().asInstanceOf[Number].intValue).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("mg_merge"),
+      info("mg_merge", "mg_merge(sketch, cap) - combine Misra-Gries summaries"),
+      (args: Seq[Expression]) => graft.functions.MgMergeAgg(args.head,
+        args(1).eval().asInstanceOf[Number].intValue).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("mg_entries"),
+      info("mg_entries", "mg_entries(sketch) - array<struct<key,lower_count>> of a summary"),
+      (args: Seq[Expression]) => graft.functions.MgEntries(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_build"),
+      info("kll_build", "kll_build(v[, k]) - binary KLL quantile sketch"),
+      (args: Seq[Expression]) => graft.functions.KllBuildAgg(args.head,
+        if (args.length > 1) args(1).eval().asInstanceOf[Number].intValue
+        else graft.functions.KllSketch.DefaultK).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_merge"),
+      info("kll_merge", "kll_merge(sketch) - combine KLL sketches"),
+      (args: Seq[Expression]) =>
+        graft.functions.KllMergeAgg(args.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_quantile"),
+      info("kll_quantile", "kll_quantile(sketch, q) - quantile at fraction q"),
+      (args: Seq[Expression]) => graft.functions.KllQuantile(args.head,
+        // SQL fractional literals eval as Decimal, not java.lang.Number
+        args(1).eval() match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number                              => n.doubleValue
+        })))
   }
 }

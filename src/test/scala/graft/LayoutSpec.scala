@@ -72,6 +72,33 @@ class LayoutSpec extends SparkSpec {
       spark.sql("SELECT sorted_intersect_size(array(1, 2), array(2, 3))").head()
     }
     assert(err.getMessage.contains("array<bigint>"), err.getMessage)
+    // the storable-sketch SQL surface: build + merge + read end-to-end
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_build", es => graft.functions.HllBuildAgg(es.head, 10)
+        .toAggregateExpression(), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_merge", es => graft.functions.HllMergeAgg(es.head)
+        .toAggregateExpression(), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_estimate", es => graft.functions.HllEstimate(es.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_build", es => graft.functions.KllBuildAgg(es.head, 200)
+        .toAggregateExpression(), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_quantile", es => graft.functions.KllQuantile(es.head,
+        es(1).eval() match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number                              => n.doubleValue
+        }), "scala_udf")
+    val sk = spark.sql(
+      """SELECT hll_estimate(hll_merge(sk)) AS est FROM (
+        |  SELECT id % 4 AS g, hll_build(id) AS sk FROM range(1000) GROUP BY 1)""".stripMargin)
+      .head()
+    assert(math.abs(sk.getDouble(0) - 1000.0) <= 100.0, s"hll est ${sk.getDouble(0)}")
+    val kq = spark.sql(
+      "SELECT kll_quantile(kll_build(cast(id AS double)), 0.5) AS med FROM range(10000)")
+      .head()
+    assert(math.abs(kq.getDouble(0) - 5000.0) <= 300.0, s"kll median ${kq.getDouble(0)}")
   }
 
   test("type-inference lattice promotes correctly") {
