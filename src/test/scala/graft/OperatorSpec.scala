@@ -131,6 +131,35 @@ class OperatorSpec extends SparkSpec {
     assert(!Find.containsRow(li, col("l_orderkey") === -99L).head().getBoolean(0))
   }
 
+  test("integer-cents sums are bit-identical to the decimal formulation") {
+    import graft.engine.Num
+    val li = Tables.lineitem(spark, sf)
+    // global and per-group: the cents path must reproduce the decimal
+    // path's double EXACTLY (same nearest-double of the same exact
+    // rational) — this is the invariant that lets the DuckDB oracles
+    // keep their decimal form
+    val decRev = sum(Num.dec2(col("l_extendedprice")) *
+      (lit(1) - Num.dec2(col("l_discount")))).cast("double")
+    val a = li.agg(Num.sumRevenue(col("l_extendedprice"), col("l_discount")))
+      .head.getDouble(0)
+    val b = li.agg(decRev).head.getDouble(0)
+    assert(a == b, s"global: cents=$a decimal=$b")
+    val perGroup = li.groupBy(col("l_returnflag"))
+      .agg(Num.sumRevenue(col("l_extendedprice"), col("l_discount")).as("c"),
+        decRev.as("d"))
+      .collect()
+    perGroup.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"${r.getString(0)}: cents=${r.getDouble(1)} decimal=${r.getDouble(2)}")
+    }
+    val decProd = sum(Num.dec2(col("l_extendedprice")) *
+      Num.dec2(col("l_discount"))).cast("double")
+    val p1 = li.agg(Num.sumProductExact(col("l_extendedprice"), col("l_discount")))
+      .head.getDouble(0)
+    val p2 = li.agg(decProd).head.getDouble(0)
+    assert(p1 == p2, s"product: cents=$p1 decimal=$p2")
+  }
+
   test("correlationMatrix pair matches single-pair correlation") {
     val li = Tables.lineitem(spark, sf)
     val m = Stats.correlationMatrix(li, Seq("l_extendedprice", "l_quantity"))
