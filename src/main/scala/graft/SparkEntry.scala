@@ -662,7 +662,7 @@ object SparkEntry {
         .select(lit("__all__").as("source"),
           floor(HllSketch.hll_estimate(col("sk"))).cast("long").as("est_distinct"),
           col("exact_distinct"))
-      srcRows.unionAll(globalRow).orderBy(col("source"))
+      srcRows.union(globalRow).orderBy(col("source"))
     }),
     // Storable-sketch heavy hitters: per-source MG summary blobs built in
     // one scan, max-merged (Agarwal mergeable-summaries combine), then the
