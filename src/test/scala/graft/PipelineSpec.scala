@@ -533,4 +533,52 @@ class PipelineSpec extends SparkSpec {
     assert(v >= c && c >= p)
     assert(v > 0) // sf0.001 still has views
   }
+
+  test("sketch blobs survive a parquet round-trip and a delta re-merge") {
+    // the STORABLE contract end-to-end: per-source sketches of the
+    // historical corpus written to parquet as ordinary binary cells,
+    // read back cold, merged with a fresh delta's sketches — equal to
+    // sketching the full corpus directly. No corpus rescan.
+    import graft.functions.{HllSketch, KllSketch, MgSketch}
+    val dd = graft.engine.Tables.documents(spark, sf)
+    val hist = dd.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+    val delta = dd.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_store")
+    hist.groupBy(col("source"))
+      .agg(HllSketch.hll_build(col("text")).as("hll"),
+        MgSketch.mg_build(col("lang"), 16).as("mg"),
+        KllSketch.kll_build(col("n_chars").cast("double")).as("kll"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val stored = spark.read.parquet(dir.toString)
+    val deltaSk = delta.groupBy(col("source"))
+      .agg(HllSketch.hll_build(col("text")).as("hll"),
+        MgSketch.mg_build(col("lang"), 16).as("mg"),
+        KllSketch.kll_build(col("n_chars").cast("double")).as("kll"))
+    val merged = stored.select(col("hll"), col("mg"), col("kll"))
+      .union(deltaSk.select(col("hll"), col("mg"), col("kll")))
+      .agg(HllSketch.hll_merge(col("hll")).as("hll"),
+        MgSketch.mg_merge(col("mg"), 16).as("mg"),
+        KllSketch.kll_merge(col("kll")).as("kll"))
+      .head
+    // HLL: idempotent max-merge -> bit parity with the direct sketch
+    val direct = dd.agg(HllSketch.hll_build(col("text")).as("hll"))
+      .head.getAs[Array[Byte]]("hll")
+    assert(merged.getAs[Array[Byte]]("hll").sameElements(direct),
+      "parquet-stored HLL diverged from the direct sketch")
+    // MG: guarantee-level parity — every heavy lang present
+    val n = dd.count()
+    val langs = graft.functions.MgSketch.deserialize(merged.getAs[Array[Byte]]("mg"))
+    dd.groupBy(col("lang")).count().collect().foreach { r =>
+      if (r.getLong(1) > n.toDouble / 17)
+        assert(langs.contains(r.getString(0)), s"lost heavy lang ${r.getString(0)}")
+    }
+    // KLL: merged rank error within the gate at the median
+    val kll = graft.functions.KllSketch.deserialize(merged.getAs[Array[Byte]]("kll"))
+    assert(kll.n == n)
+    val med = graft.functions.KllSketch.quantile(kll, 0.5)
+    val vals = dd.select(col("n_chars").cast("double")).collect().map(_.getDouble(0)).sorted
+    val lo = vals.count(_ < med).toDouble / n
+    val hi = vals.count(_ <= med).toDouble / n
+    assert(lo <= 0.53 && hi >= 0.47, s"median rank drifted: lo=$lo hi=$hi")
+  }
 }
