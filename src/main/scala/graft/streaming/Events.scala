@@ -408,6 +408,69 @@ object Events {
       }
     }
 
+  final case class KllRow(shard: Int, v: Double)
+  final case class KllState(blob: Array[Byte], seen: Long)
+  final case class KllOut(shard: Int, blob: Array[Byte], version: Long)
+
+  /** Streaming quantile sketch — the KLL member of the streaming-twin
+    * set (MG candidates, HLL registers, this). Per-shard state is the
+    * serialized KLL buffer; each micro-batch folds its rows in and
+    * re-serializes. Unlike HLL the merged bytes are not canonical
+    * (compaction coins depend on arrival order), so the contract is the
+    * rank-error bound of the shard-merged sketch, gated in StreamingSpec
+    * against the exact batch ranks.
+    */
+  def quantileStream(events: Dataset[KllRow], k: Int): Dataset[KllOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[KllState, KllOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard, rows, state: GroupState[KllState]) =>
+          val buf = state.getOption match {
+            case Some(st) => graft.functions.KllSketch.deserialize(st.blob)
+            case None     => graft.functions.KllSketch.emptyBuf(k)
+          }
+          var seen = state.getOption.map(_.seen).getOrElse(0L)
+          rows.foreach { r => seen += 1; graft.functions.KllSketch.add(buf, r.v) }
+          val blob = graft.functions.KllSketch.serialize(buf)
+          state.update(KllState(blob, seen))
+          Iterator.single(KllOut(shard, blob, seen))
+      }
+  }
+
+  /** Drive quantileStream over the events parquet staged as 4 files and
+    * return the final shard-merged KLL buffer.
+    */
+  def runQuantileStream(
+      spark: SparkSession, dir: String, k: Int, shards: Int): graft.functions.KllSketch.Buf =
+    withNanosAsLong(spark) {
+      import spark.implicits._
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_kll_stream")
+      spark.read.parquet(s"$dir/events.parquet")
+        .repartition(4).write.mode("overwrite").parquet(streamDir.toString)
+      val raw = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      val typed = raw
+        .select(pmod(hash(col("user_id")), lit(shards)).cast("int").as("shard"),
+          col("value").cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .as[KllRow]
+      val q = quantileStream(typed, k).writeStream
+        .outputMode("update").format("memory").queryName("graft_kll")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val all = spark.table("graft_kll")
+      val latest = all.groupBy(col("shard").as("s"))
+        .agg(max(col("version")).as("v"))
+      val finals = all
+        .join(latest, col("shard") === col("s") && col("version") === col("v"))
+        .select(col("blob")).collect()
+        .map(r => graft.functions.KllSketch.deserialize(r.getAs[Array[Byte]](0)))
+      finals.reduce(graft.functions.KllSketch.mergeBufs)
+    }
+
   /** Streaming exact dedup: first occurrence of each content hash passes
     * through, later duplicates are dropped — `dropDuplicates` keeps
     * O(distinct) keyed state (bound it with `withWatermark` + an

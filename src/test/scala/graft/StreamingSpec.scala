@@ -85,6 +85,22 @@ class StreamingSpec extends SparkSpec {
       s"est=$est exact=$exact")
   }
 
+  test("streaming KLL quantiles hold the rank gate vs exact batch ranks") {
+    import org.apache.spark.sql.functions._
+    val buf = Events.runQuantileStream(spark, sf, k = 200, shards = 4)
+    val vals = Tables.events(spark, sf)
+      .select(col("value").cast("double")).filter(col("value").isNotNull)
+      .collect().map(_.getDouble(0)).sorted
+    assert(buf.n == vals.length.toLong, s"n=${buf.n} vs ${vals.length}")
+    val n = vals.length.toDouble
+    for (q <- Seq(0.25, 0.5, 0.75)) {
+      val est = graft.functions.KllSketch.quantile(buf, q)
+      val lo = vals.count(_ < est) / n
+      val hi = vals.count(_ <= est) / n
+      assert(lo <= q + 0.03 && hi >= q - 0.03, s"q=$q est=$est lo=$lo hi=$hi")
+    }
+  }
+
   test("session stats: session count bounded by event count") {
     val st = Events.sessionStats(Tables.events(spark, sf), 30).collect()
     assert(st.nonEmpty)
