@@ -691,6 +691,38 @@ object SparkEntry {
         .select(col("tok"), col("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
     }),
+    // ConcurrentSketch made concrete: ONE aggregation pass per source
+    // computes all three storable sketches (HLL distinct, MG lang
+    // summary, KLL length quantiles) PLUS their exact twins — the
+    // reference's multi-sketch-one-scan contract
+    // (ConcurrentSketch/MultiSketch) expressed as a single agg(...).
+    // Rows-only (sketch estimates aren't SQL-reproducible); every
+    // estimate is bounded against its in-result exact twin in
+    // PropertySpec. top_lang is deterministic: cap=16 exceeds the lang
+    // vocabulary, so MG counts are exact, and the argmax tie-breaks by
+    // key.
+    "corpus_sketch_report" -> ((s, d) => {
+      import graft.functions.{HllSketch, KllSketch, MgSketch}
+      val rep = docs(s, d).groupBy(col("source")).agg(
+        HllSketch.hll_build(col("text")).as("hll"),
+        MgSketch.mg_build(col("lang"), 16).as("mg"),
+        KllSketch.kll_build(col("n_chars").cast("double")).as("kll"),
+        countDistinct(col("text")).as("exact_distinct"),
+        expr("percentile(n_chars, 0.5)").as("exact_median"))
+      val e = MgSketch.mg_entries(col("mg"))
+      val topLang = aggregate(e,
+        struct(lit("").as("key"), lit(-1L).as("lower_count")),
+        (acc, x) => when(x("lower_count") > acc("lower_count") ||
+            (x("lower_count") === acc("lower_count") && x("key") < acc("key")),
+          x).otherwise(acc))("key")
+      rep.select(col("source"),
+        floor(HllSketch.hll_estimate(col("hll"))).cast("long").as("est_distinct"),
+        col("exact_distinct"),
+        topLang.as("top_lang"),
+        KllSketch.kll_quantile(col("kll"), 0.5).as("est_median"),
+        col("exact_median"))
+        .orderBy(col("source"))
+    }),
     // Storable-sketch quantiles: per-source KLL blobs, merged, quartiles
     // read off the merged sketch; the exact percentile twin rides in the
     // same result (approximate ⇒ rows-only; rank-error and split

@@ -572,6 +572,34 @@ class PropertySpec extends SparkSpec {
     assert(again.sameElements(whole))
   }
 
+  test("corpus sketch report: every estimate bounded by its exact twin") {
+    val rows = graft.SparkEntry.queries("corpus_sketch_report")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exact modes per source, computed independently (ties -> min key,
+    // matching the report's argmax tie-break)
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val modes = docs.groupBy(col("source"), col("lang")).count().collect()
+      .groupBy(_.getString(0)).map { case (src, rs) =>
+        src -> rs.map(r => (r.getString(1), r.getLong(2)))
+          .sortBy { case (k, c) => (-c, k) }.head._1
+      }
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val est = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(est - exact) <= math.max(0.05 * exact, 3.0),
+        s"$src distinct: est=$est exact=$exact")
+      assert(r.getString(3) == modes(src),
+        s"$src top_lang=${r.getString(3)} expected ${modes(src)}")
+      // median estimate within the rank gate is covered by the kll spec;
+      // here just bound it within the source's min/max
+      val stats = docs.filter(col("source") === src)
+        .agg(min(col("n_chars")), max(col("n_chars"))).head
+      assert(r.getDouble(4) >= stats.getLong(0).toDouble &&
+        r.getDouble(4) <= stats.getLong(1).toDouble)
+    }
+  }
+
   test("kll sketch: rank error <= 3% at the quartiles, under any split") {
     import graft.functions.KllSketch._
     val dd = graft.engine.Tables.documents(spark, sf)
