@@ -34,7 +34,8 @@ object Plans {
     "q9_profit_by_nation", "q11_important_parts", "dedup_jaccard_3gram",
     "geo_shapefile_tag", "multimodal_features",
     // r6 storable-sketch trio: one partial-agg pass + blob merges
-    "sketch_distinct_rollup", "sketch_heavy_rollup", "sketch_quantile_rollup")
+    "sketch_distinct_rollup", "sketch_heavy_rollup", "sketch_quantile_rollup",
+    "corpus_sketch_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
