@@ -173,6 +173,14 @@ object ScaleProbe {
           t => concat(t, lit("_"), rep)), " "))
     }
 
+    // CC rounds are O(component diameter); salted replication scales the
+    // COUNT of near-dup components, not their size, so round count must
+    // stay flat and wall-clock ~linear in the pair-mining volume
+    probe("dedup_clusters", Seq(1, 20)) { c =>
+      dedup.Dedup.connectedComponents(
+        dedup.Dedup.minhashLshPairs(saltedDocs(c), 3, 64, 32, 0.5)).count()
+    }
+
     probe("remove_dup_spans", Seq(1, 20)) { c =>
       // COLLECT the aggregate row — a .count() on a global agg lets the
       // optimizer prune the sums (Aggregate [count(1)] over an empty

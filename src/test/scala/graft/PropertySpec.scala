@@ -572,6 +572,42 @@ class PropertySpec extends SparkSpec {
     assert(again.sameElements(whole))
   }
 
+  test("sketch trio edge cases: nulls, constants, empties") {
+    import graft.functions.{HllSketch, KllSketch, MgSketch}
+    import graft.functions.HllSketch._
+    import graft.functions.KllSketch._
+    import graft.functions.MgSketch._
+    // all-null column: HLL estimate 0 (all registers zero -> linear
+    // counting of m/m), MG summary empty, KLL quantile NaN
+    val nulls = Seq.fill(100)(Option.empty[String]).toDF("v")
+    val hn = nulls.agg(hll_build(col("v")).as("sk"))
+      .select(hll_estimate(col("sk"))).head.getDouble(0)
+    assert(hn == 0.0, s"null HLL est $hn")
+    val mn = nulls.agg(mg_build(col("v"), 4).as("sk")).head.getAs[Array[Byte]](0)
+    assert(MgSketch.deserialize(mn).isEmpty)
+    val kn = Seq.fill(10)(Option.empty[java.lang.Double]).toDF("v")
+      .agg(kll_build(col("v")).as("sk"))
+      .select(kll_quantile(col("sk"), 0.5)).head.getDouble(0)
+    assert(kn.isNaN)
+    // constant column: every quantile IS the constant, distinct est 1,
+    // the single MG key carries the full exact count
+    val const = Seq.fill(5000)(42.0).toDF("v")
+    for (q <- Seq(0.0, 0.25, 0.5, 1.0))
+      assert(const.agg(kll_build(col("v")).as("sk"))
+        .select(kll_quantile(col("sk"), q)).head.getDouble(0) == 42.0)
+    val h1 = Seq.fill(1000)("same").toDF("v")
+      .agg(hll_build(col("v")).as("sk"))
+      .select(hll_estimate(col("sk"))).head.getDouble(0)
+    assert(math.abs(h1 - 1.0) < 0.5, s"constant HLL est $h1")
+    val m1 = MgSketch.deserialize(Seq.fill(1000)("same").toDF("v")
+      .agg(mg_build(col("v"), 4).as("sk")).head.getAs[Array[Byte]](0))
+    assert(m1 == scala.collection.mutable.HashMap("same" -> 1000L))
+    // heavy ties: KLL median of 90% zeros is zero
+    val ties = (Seq.fill(900)(0.0) ++ Seq.fill(100)(9.0)).toDF("v")
+    assert(ties.agg(kll_build(col("v")).as("sk"))
+      .select(kll_quantile(col("sk"), 0.5)).head.getDouble(0) == 0.0)
+  }
+
   test("corpus sketch report: every estimate bounded by its exact twin") {
     val rows = graft.SparkEntry.queries("corpus_sketch_report")(spark, sf).collect()
     assert(rows.nonEmpty)
