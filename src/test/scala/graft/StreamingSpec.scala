@@ -133,6 +133,39 @@ class StreamingSpec extends SparkSpec {
     assert(fin.map { case (k, v) => k.asInstanceOf[String] -> v } == expected)
   }
 
+  test("progressive HLL distinct: monotone partials, final == batch sketch") {
+    // the reference's signature UX on the storable sketch: distinct-count
+    // refines as partitions complete. HLL registers only grow under the
+    // monoid, so the estimate is monotone non-decreasing BY CONSTRUCTION
+    // — a visible convergence guarantee the UI can rely on — and the
+    // final registers equal the one-shot batch sketch exactly.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Tables.documents(spark, sf).select("text").repartition(8)
+    var ests = List.empty[Double]
+    val p = 12
+    val finalRegs = Progressive.runIncremental[Array[Byte], Array[Byte]](
+      docs, 4)(
+      () => graft.functions.HllSketch.emptyRegisters(p),
+      (regs, row) => {
+        if (!row.isNullAt(0)) {
+          graft.functions.HllSketch.addHash(regs,
+            org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+              UTF8String.fromString(row.getString(0)),
+              org.apache.spark.sql.types.StringType, 42L))
+        }
+        regs
+      },
+      (a, b) => graft.functions.HllSketch.maxMerge(a, b),
+      identity)(part =>
+        ests ::= graft.functions.HllSketch.estimate(part.value))
+    assert(ests.reverse == ests.reverse.sorted, s"partials not monotone: ${ests.reverse}")
+    val batch = Tables.documents(spark, sf)
+      .agg(graft.functions.HllSketch.hll_build(col("text"), p).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    assert(finalRegs.sameElements(batch), "progressive final != batch sketch")
+  }
+
   test("bundled partials: wide window collapses to first+final flush; final exact") {
     val li = Tables.lineitem(spark, sf).repartition(8)
     var fracs = List.empty[Double]
