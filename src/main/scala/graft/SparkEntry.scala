@@ -1282,6 +1282,30 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("format"), col("channels"),
           col("sample_rate"), col("bits_per_sample"), col("n_frames"),
           col("duration_ms"))),
+    // MP4/ISO-BMFF twin for the VIDEO column: syntheticVideo builds a
+    // real box tree (ftyp + moov[mvhd + tkhd per track] + mdat around
+    // the text bytes); mp4Meta walks it back — brand, movie timescale,
+    // duration, track count, and the 16.16-fixed video dimensions are
+    // all recomputed by the oracle from the source columns alone
+    "multimodal_video_meta" -> ((s, d) =>
+      graft.multimodal.Multimodal.decodeVideoMeta(
+          graft.multimodal.Multimodal.syntheticVideo(docs(s, d)))
+        .toDF()
+        .select(col("id").as("doc_id"), col("brand"), col("timescale"),
+          col("duration"), col("duration_ms"), col("n_tracks"),
+          col("width"), col("height"))),
+    // COMMERCIAL-codec pixel decode: payloads are real DEFLATE/LZW
+    // compressed PNG (doc_id%3=0), GIF (=1), TIFF (=2) streams encoded
+    // through javax.imageio; extractCodecFeatures entropy-DECODES them
+    // back to pixels. All three formats are lossless, so the decoded
+    // intensity statistics hash-match an oracle recomputed from the
+    // source text — even though the payload bytes are encoder-owned.
+    "multimodal_codec_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractCodecFeatures(
+          graft.multimodal.Multimodal.syntheticCodecMedia(docs(s, d)))
+        .toDF()
+        .select(col("id").as("doc_id"), col("kind"), col("width"),
+          col("height"), col("feat0"), col("feat1"))),
     "multimodal_chunks" -> ((s, d) =>
       graft.multimodal.Multimodal.sampleChunks(
           graft.multimodal.Multimodal.syntheticMedia(docs(s, d)), 64, 2)
@@ -2557,6 +2581,37 @@ object SparkEntry {
         |  ELSE CAST(list_sum(list_transform(range(1, len + 1),
         |    k -> abs((ascii(substr(text, CAST(k AS INT), 1)) - 128) * 256))) AS DOUBLE) / len
         |END AS feat1
+        |FROM (SELECT doc_id, text, length(text) AS len,
+        |        1 + length(text) % 32 AS w, 1 + length(text) % 24 AS h
+        |      FROM documents)""".stripMargin,
+    // MP4 box-walk twin: duration = 7·len+13 movie-timescale units,
+    // duration_ms = duration·1000 // timescale — exact integer math on
+    // both sides; dims are the encoded 16.16 integer parts
+    "multimodal_video_meta" ->
+      """SELECT doc_id,
+        |CASE doc_id % 2 WHEN 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS BIGINT) AS timescale,
+        |CAST(7 * length(text) + 13 AS BIGINT) AS duration,
+        |CAST((7 * length(text) + 13) * 1000
+        |  // (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END) AS BIGINT) AS duration_ms,
+        |CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+        |CAST(16 * (1 + length(text) % 80) AS INT) AS width,
+        |CAST(16 * (1 + length(text) % 45) AS INT) AS height
+        |FROM documents""".stripMargin,
+    // commercial-codec twin: payload bytes are encoder-owned DEFLATE/LZW
+    // streams, but PNG/GIF/TIFF are LOSSLESS, so the decoded pixel
+    // statistics are still the exact integer sums over the source text
+    // bytes (pixel p = byte p mod len) — same stat shape as
+    // multimodal_features, plus the decoded dimensions
+    "multimodal_codec_features" ->
+      """SELECT doc_id,
+        |CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'tiff' END AS kind,
+        |CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |CAST(list_sum(list_transform(range(0, w*h),
+        |  p -> ascii(substr(text, CAST(p % len AS INT) + 1, 1)))) AS DOUBLE) / (w*h) AS feat0,
+        |CAST(list_sum(list_transform(range(0, w*h),
+        |  p -> ascii(substr(text, CAST(p % len AS INT) + 1, 1))
+        |     * ascii(substr(text, CAST(p % len AS INT) + 1, 1)))) AS DOUBLE) / (w*h) AS feat1
         |FROM (SELECT doc_id, text, length(text) AS len,
         |        1 + length(text) % 32 AS w, 1 + length(text) % 24 AS h
         |      FROM documents)""".stripMargin,

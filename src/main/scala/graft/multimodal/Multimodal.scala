@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   *    rows, 4-byte row padding, BGR) and PPM P6 (ASCII header + RGB
   *    triples), [[decodePcm16]] decodes WAV 16-bit little-endian PCM
   *    samples — so [[extractFeatures]] emits TRUE pixel/amplitude
-  *    statistics computed from the decoded content.
+  *    statistics computed from the decoded content;
+  *  - compressed codecs: [[decodePixelsCodec]] decodes PNG/GIF/JPEG/TIFF
+  *    pixel content through the JDK's javax.imageio (DEFLATE/LZW/DCT
+  *    entropy decode — still zero added dependencies).
   * [[syntheticImages]]/[[syntheticAudio]]/[[syntheticPixelMedia]] build
   * payloads with valid bytes from the documents table, so every
   * encode→decode round-trip is oracle-checkable from the source columns
@@ -37,6 +40,8 @@ object Multimodal {
     *  - BMP / PPM → feat0 = mean channel intensity, feat1 = mean squared
     *    channel intensity (sums are exact longs; one double division at
     *    the end, so the statistics are reproducible bit-for-bit);
+    *  - PNG / GIF / JPEG / TIFF → same intensity statistics over the
+    *    ImageIO-decoded pixels ([[decodePixelsCodec]]);
     *  - WAV 16-bit PCM → feat0 = mean signed sample, feat1 = mean
     *    absolute sample (amplitude).
     * Unrecognized payloads drop (a production pipeline routes them to a
@@ -47,7 +52,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val b = r.media
-        decodePixels(b).map { case (fmt, _, _, px) =>
+        decodePixels(b).orElse(decodePixelsCodec(b)).map { case (fmt, _, _, px) =>
           var s = 0L; var s2 = 0L; var i = 0
           while (i < px.length) { val v = px(i); s += v; s2 += v.toLong * v; i += 1 }
           val n = math.max(px.length, 1)
@@ -233,6 +238,158 @@ object Multimodal {
     hdr.array() ++ body
   }
 
+  // ── real container codec (MP4 / ISO base media file format) ────────
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i) & 0xffffffffL) << 32) | (be32(b, i + 4) & 0xffffffffL)
+
+  final case class Mp4Meta(brand: String, timescale: Long, duration: Long,
+      durationMs: Long, nTracks: Int, width: Int, height: Int)
+
+  /** Walk the box structure of an ISO BMFF (MP4) container — the public
+    * video format the chunk/frame-sampling pipeline carries as opaque
+    * bytes. Boxes are [32-bit BE size][4-char type][payload] with the
+    * spec's two size escapes (1 → 64-bit largesize, 0 → to-end);
+    * `ftyp` yields the major brand, `moov`/`trak` recurse (depth-bounded
+    * against adversarial nesting), `mvhd` v0/v1 yields movie timescale
+    * and duration, and the first `tkhd` with nonzero 16.16-fixed
+    * width/height is taken as the video track. Monotone Long cursor for
+    * the same adversarial-size reason as [[wavMeta]]; None for anything
+    * unrecognized or truncated.
+    */
+  def mp4Meta(b: Array[Byte]): Option[Mp4Meta] = {
+    if (b.length < 12 || !tag(b, 4, "ftyp")) return None
+    var brand: String = null
+    var timescale = 0L; var duration = -1L
+    var nTracks = 0; var width = 0; var height = 0
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var i = start
+      var ok = true
+      while (ok && i + 8 <= end) {
+        val c = i.toInt
+        var sz = be32(b, c) & 0xffffffffL
+        var hdr = 8L
+        if (sz == 1 && i + 16 <= end) { sz = be64(b, c + 8); hdr = 16 }
+        else if (sz == 0) sz = end - i // final box extends to end
+        if (sz < hdr) ok = false // corrupt size: stop, don't loop
+        else {
+          val p = i + hdr
+          val pEnd = math.min(i + sz, end)
+          if (tag(b, c + 4, "ftyp")) {
+            if (p + 4 <= pEnd) brand = new String(b, p.toInt, 4, "US-ASCII")
+          } else if (tag(b, c + 4, "moov") || tag(b, c + 4, "trak")) {
+            if (depth < 4) walk(p, pEnd, depth + 1)
+          } else if (tag(b, c + 4, "mvhd")) {
+            val v = if (p < pEnd) b(p.toInt) & 0xff else -1
+            if (v == 0 && p + 20 <= pEnd) {
+              timescale = be32(b, p.toInt + 12) & 0xffffffffL
+              duration = be32(b, p.toInt + 16) & 0xffffffffL
+            } else if (v == 1 && p + 32 <= pEnd) {
+              timescale = be32(b, p.toInt + 20) & 0xffffffffL
+              duration = be64(b, p.toInt + 24)
+            }
+          } else if (tag(b, c + 4, "tkhd")) {
+            nTracks += 1
+            val v = if (p < pEnd) b(p.toInt) & 0xff else -1
+            val wOff = if (v == 1) 88L else 76L // v1 widens 3 fields by 4
+            if (v >= 0 && p + wOff + 8 <= pEnd) {
+              val tw = be32(b, (p + wOff).toInt) >>> 16 // 16.16 fixed point
+              val th = be32(b, (p + wOff + 4).toInt) >>> 16
+              if (width == 0 && tw > 0 && th > 0) { width = tw; height = th }
+            }
+          }
+          i += sz
+        }
+      }
+    }
+    walk(0L, b.length.toLong, 0)
+    if (brand != null && timescale > 0 && duration >= 0)
+      Some(Mp4Meta(brand, timescale, duration,
+        duration * 1000 / timescale, nTracks, width, height))
+    else None
+  }
+
+  /** Minimal valid MP4 around arbitrary mdat body bytes (the inverse of
+    * [[mp4Meta]] for synthetic data): ftyp + moov(mvhd v0 + one trak
+    * per (trackId, width, height), unity matrices) + mdat. */
+  def mp4Payload(brand: String, timescale: Int, duration: Long,
+      tracks: Seq[(Int, Int, Int)], body: Array[Byte]): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+      buf.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      buf.array()
+    }
+    val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(12)
+      .put(brand.getBytes("US-ASCII")).putInt(0)
+      .put("isom".getBytes("US-ASCII")).array())
+    val unity = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    val mvhd = {
+      val p = java.nio.ByteBuffer.allocate(100)
+      p.putInt(0)                      // version 0 + flags
+      p.putInt(0).putInt(0)            // creation, modification
+      p.putInt(timescale).putInt(duration.toInt)
+      p.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume
+      p.putInt(0).putInt(0)            // reserved
+      unity.foreach(p.putInt)
+      (0 until 6).foreach(_ => p.putInt(0)) // pre_defined
+      p.putInt(tracks.size + 1)        // next_track_ID
+      box("mvhd", p.array())
+    }
+    val traks = tracks.map { case (tid, w, h) =>
+      val p = java.nio.ByteBuffer.allocate(84)
+      p.putInt(7)                      // v0; enabled | in-movie | in-preview
+      p.putInt(0).putInt(0)            // creation, modification
+      p.putInt(tid).putInt(0).putInt(duration.toInt)
+      p.putLong(0)                     // reserved
+      p.putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/volume
+      unity.foreach(p.putInt)
+      p.putInt(w << 16).putInt(h << 16) // 16.16 fixed
+      box("trak", box("tkhd", p.array()))
+    }
+    ftyp ++ box("moov", (mvhd +: traks).reduce(_ ++ _)) ++ box("mdat", body)
+  }
+
+  final case class VideoMeta(id: Long, brand: String, timescale: Long,
+      duration: Long, duration_ms: Long, n_tracks: Int, width: Int,
+      height: Int)
+
+  /** Container-metadata pass over video payloads — same narrow
+    * mapPartitions batch shape as the image/audio decoders. */
+  def decodeVideoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        mp4Meta(r.media).map { m =>
+          VideoMeta(r.id, m.brand, m.timescale, m.duration, m.durationMs,
+            m.nTracks, m.width, m.height)
+        }
+      }
+    }
+  }
+
+  /** Synthetic video table: REAL MP4 box structure (brand/timescale/
+    * duration/track layout derived from doc_id and the text length,
+    * text bytes as the mdat body) so the box walk is oracle-checkable
+    * from the source columns alone. Odd ids add a second, dimensionless
+    * (audio-like) track. */
+  def syntheticVideo(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val body = text.getBytes("UTF-8")
+        val len = body.length
+        val brand = if (id % 2 == 0) "isom" else "mp42"
+        val timescale = (id % 3) match {
+          case 0 => 600; case 1 => 1000; case _ => 90000
+        }
+        val duration = 7L * len + 13
+        val w = 16 * (1 + len % 80)
+        val h = 16 * (1 + len % 45)
+        val tracks = if (id % 2 == 0) Seq((1, w, h)) else Seq((1, w, h), (2, 0, 0))
+        MediaRow(id, "mp4", mp4Payload(brand, timescale, duration, tracks, body), w, h)
+      }
+  }
+
   // ── real pixel/PCM content codecs (BMP 24bpp / PPM P6 / WAV PCM16) ──
 
   /** Encode a grayscale image as a REAL 24bpp BMP: 14-byte file header
@@ -379,6 +536,209 @@ object Multimodal {
         out
       }
     }
+
+  // ── commercial-codec pixel decode (PNG / GIF / JPEG / TIFF) ────────
+  //
+  // javax.imageio ships with Java SE (the java.desktop module) — zero
+  // added dependencies — and carries full entropy decoders for the
+  // compressed public formats the hand-rolled layer above deliberately
+  // does not: PNG (DEFLATE), GIF (LZW), JPEG (DCT), TIFF. PNG/GIF/TIFF
+  // are lossless, so (encodeImage ∘ decodePixelsCodec) is bit-exact and
+  // the decoded-content statistics stay oracle-checkable from the source
+  // column; JPEG is lossy by design and is spec-gated with a tolerance
+  // instead.
+
+  /** One-time per-JVM ImageIO setup: headless AWT (executor JVMs have no
+    * display) and no disk-backed stream cache, so decode stays entirely
+    * in-memory inside tasks. */
+  private lazy val imageIoReady: Unit = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** Magic-number dispatch for the ImageIO-decodable formats. Gating on
+    * the signature keeps ImageIO (reader lookup + exception control
+    * flow) off the hot path for payloads that cannot possibly match. */
+  private def codecFormat(b: Array[Byte]): Option[String] = {
+    if (b.length < 8) None
+    else if (pngSig.indices.forall(i => b(i) == pngSig(i))) Some("png")
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') Some("gif")
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) Some("jpeg")
+    else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+             (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) Some("tiff")
+    else None
+  }
+
+  /** Decode pixel CONTENT from a PNG/GIF/JPEG/TIFF payload through the
+    * JDK's ImageIO: returns (format, width, height, channel intensities
+    * 0–255, alpha dropped, palette-indexed images mapped through their
+    * color table so values are true intensities, not indices). None for
+    * unrecognized magics or corrupt streams (quarantine-not-fail, like
+    * [[decodePixels]]). */
+  def decodePixelsCodec(b: Array[Byte]): Option[(String, Int, Int, Array[Int])] =
+    codecFormat(b).flatMap { fmt =>
+      imageIoReady
+      scala.util.Try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val raster = img.getRaster
+          val out = img.getColorModel match {
+            case icm: java.awt.image.IndexColorModel =>
+              // GIF / palette PNG: raster samples are palette INDICES
+              val arr = new Array[Int](3 * w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val idx = raster.getSample(x, y, 0)
+                  val o = 3 * (y * w + x)
+                  arr(o) = icm.getRed(idx)
+                  arr(o + 1) = icm.getGreen(idx)
+                  arr(o + 2) = icm.getBlue(idx)
+                  x += 1
+                }
+                y += 1
+              }
+              arr
+            case _ =>
+              val bands = math.min(raster.getNumBands, 3) // drop alpha
+              val arr = new Array[Int](bands * w * h)
+              var k = 0; var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  var c = 0
+                  while (c < bands) { arr(k) = raster.getSample(x, y, c); k += 1; c += 1 }
+                  x += 1
+                }
+                y += 1
+              }
+              arr
+          }
+          Some((fmt, w, h, out))
+        }
+      }.toOption.flatten
+    }
+
+  /** Encode a grayscale image through a REAL ImageIO codec ("png",
+    * "gif", "tiff", "jpg"): the compressed inverse of
+    * [[decodePixelsCodec]] for synthetic data. `gray(p)` supplies pixel
+    * p in top-down row-major order, like [[bmpPayload]]. */
+  def encodeImage(fmt: String, w: Int, h: Int, gray: Int => Int): Array[Byte] = {
+    imageIoReady
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, gray(y * w + x) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no ImageIO writer for $fmt")
+    bos.toByteArray
+  }
+
+  /** Encode a grayscale image as a REAL GIF89a stream by hand: 256-gray
+    * global color table and the classic "uncompressed LZW" technique —
+    * every pixel emitted as a 9-bit literal code, a CLEAR code injected
+    * before the dictionary could force a code-width growth, END code,
+    * 255-byte sub-blocks. Exists because the JDK's GIF *writer* corrupts
+    * images with height 2–4 (rows shift; its *reader* is verified
+    * correct on 1200 dimension combinations), so synthetic GIF content
+    * is built here and entropy-decoded through ImageIO. */
+  def gifPixelPayload(w: Int, h: Int, gray: Int => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.writeBytes("GIF89a".getBytes("US-ASCII"))
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0xf7); out.write(0); out.write(0) // 256-entry GCT, bg 0
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2c) // image descriptor at (0,0), full size
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0) // no local table, not interlaced
+    out.write(8) // LZW minimum code size (CLEAR=256, END=257)
+    val data = new java.io.ByteArrayOutputStream()
+    var acc = 0; var nbits = 0
+    def emit(code: Int): Unit = {
+      acc |= code << nbits; nbits += 9
+      while (nbits >= 8) { data.write(acc & 0xff); acc >>= 8; nbits -= 8 }
+    }
+    var sinceClear = Int.MaxValue - 1
+    var p = 0
+    while (p < w * h) {
+      // each literal grows the decoder dictionary; clear before code 512
+      // would be reached so the stream stays at 9 bits throughout
+      if (sinceClear >= 250) { emit(256); sinceClear = 0 }
+      emit(gray(p) & 0xff); sinceClear += 1
+      p += 1
+    }
+    emit(257)
+    if (nbits > 0) data.write(acc & 0xff)
+    val d = data.toByteArray
+    var o = 0
+    while (o < d.length) {
+      val n = math.min(255, d.length - o)
+      out.write(n); out.write(d, o, n)
+      o += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  final case class CodecFeatures(id: Long, kind: String, width: Int,
+      height: Int, feat0: Double, feat1: Double)
+
+  /** Pixel statistics decoded through the commercial codecs: mean and
+    * mean-squared channel intensity, like [[extractFeatures]], plus the
+    * decoded dimensions. Payload SIZE is deliberately not a column —
+    * compressed sizes are encoder-dependent — which is exactly why the
+    * lossless formats stay hash-oracleable on content alone. Narrow
+    * mapPartitions, no shuffle. */
+  def extractCodecFeatures(media: Dataset[MediaRow]): Dataset[CodecFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePixelsCodec(r.media).map { case (fmt, w, h, px) =>
+          var s = 0L; var s2 = 0L; var i = 0
+          while (i < px.length) { val v = px(i); s += v; s2 += v.toLong * v; i += 1 }
+          val n = math.max(px.length, 1)
+          CodecFeatures(r.id, fmt, w, h, s.toDouble / n, s2.toDouble / n)
+        }
+      }
+    }
+  }
+
+  /** Synthetic media with REAL compressed payloads — PNG (id%3=0), GIF
+    * (=1), TIFF (=2), all lossless — same deterministic gray pattern and
+    * dimension formulas as [[syntheticPixelMedia]], so decoded-content
+    * statistics are oracle-checkable from the source text even though
+    * the payload BYTES are encoder-owned (DEFLATE/LZW streams). */
+  def syntheticCodecMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val t = text.getBytes("UTF-8")
+        val len = math.max(t.length, 1)
+        val w = 1 + (t.length % 32)
+        val h = 1 + (t.length % 24)
+        val gray = (p: Int) => if (t.isEmpty) 0 else t(p % len) & 0xff
+        (id % 3) match {
+          case 0 => MediaRow(id, "png", encodeImage("png", w, h, gray), w, h)
+          // hand-rolled GIF stream: the JDK GIF writer mangles h∈{2,3,4}
+          case 1 => MediaRow(id, "gif", gifPixelPayload(w, h, gray), w, h)
+          case _ => MediaRow(id, "tiff", encodeImage("tiff", w, h, gray), w, h)
+        }
+      }
+  }
 
   /** Synthetic media table with REAL pixel/PCM content, derived
     * deterministically from the documents table so the decode path is

@@ -259,6 +259,63 @@ class StreamingSpec extends SparkSpec {
     assert(Multimodal.decodePcm16(Multimodal.wavPayload(1, 8000, 8, body)).isEmpty)
   }
 
+  test("commercial codecs: ImageIO pixel decode exact for lossless formats") {
+    val gray = (p: Int) => (p * 37 + 11) % 256
+    // GIF payloads come from the hand-rolled encoder: the JDK GIF
+    // *writer* shifts rows for heights 2–4 (its reader is correct),
+    // so (5,3) here exercises exactly the dims ImageIO's writer mangles
+    for ((w, h) <- Seq((1, 1), (5, 3), (32, 24)); fmt <- Seq("png", "gif", "tiff")) {
+      val payload =
+        if (fmt == "gif") Multimodal.gifPixelPayload(w, h, gray)
+        else Multimodal.encodeImage(fmt, w, h, gray)
+      val Some((dfmt, dw, dh, px)) = Multimodal.decodePixelsCodec(payload)
+      assert(dfmt == fmt && dw == w && dh == h, s"$fmt ${w}x$h")
+      // lossless entropy coding: every decoded intensity equals the
+      // source value (GIF comes back palette-mapped to 3 bands)
+      val bands = px.length / (w * h)
+      for (p <- 0 until w * h; c <- 0 until bands)
+        assert(px(bands * p + c) == gray(p), s"$fmt pixel $p band $c")
+    }
+    // JPEG is lossy by design: dimensions exact, content within tolerance
+    val flat = Multimodal.encodeImage("jpg", 16, 16, _ => 128)
+    val Some((jf, jw, jh, jpx)) = Multimodal.decodePixelsCodec(flat)
+    assert(jf == "jpeg" && jw == 16 && jh == 16)
+    val mean = jpx.map(_.toDouble).sum / jpx.length
+    assert(math.abs(mean - 128) <= 2, s"jpeg flat-field mean $mean")
+    // corrupt streams refused, not mis-decoded: valid JPEG magic with a
+    // garbage body (the header-only synthetic payload) must yield None
+    assert(Multimodal.decodePixelsCodec(
+      Multimodal.jpegPayload(8, 8, "garbage".getBytes)).isEmpty)
+    assert(Multimodal.decodePixelsCodec("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodePixelsCodec(Array[Byte]()).isEmpty)
+  }
+
+  test("codec media on Spark: lossless decode stats equal text-derived truth") {
+    val docsDf = Tables.documents(spark, sf)
+    val got = Multimodal.extractCodecFeatures(
+      Multimodal.syntheticCodecMedia(docsDf)).collect().map(f => f.id -> f).toMap
+    val docs = docsDf.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == docs.length) // every compressed payload decoded
+    for ((id, text) <- docs) {
+      val t = text.getBytes("UTF-8"); val len = math.max(t.length, 1)
+      val w = 1 + t.length % 32; val h = 1 + t.length % 24
+      var s = 0L; var s2 = 0L
+      for (p <- 0 until w * h) {
+        val v = if (t.isEmpty) 0 else t(p % len) & 0xff
+        s += v; s2 += v.toLong * v
+      }
+      val f = got(id)
+      val kind = (id % 3) match { case 0 => "png"; case 1 => "gif"; case _ => "tiff" }
+      assert(f.kind == kind && f.width == w && f.height == h, s"doc $id meta")
+      // GIF decodes to 3 replicated bands, PNG/TIFF to 1 — the mean of
+      // exact integer sums is band-replication-invariant, and division
+      // of exact doubles rounds the same real quotient identically
+      assert(f.feat0 == s.toDouble / (w * h), s"doc $id feat0")
+      assert(f.feat1 == s2.toDouble / (w * h), s"doc $id feat1")
+    }
+  }
+
   test("image header codecs: encode/parse round-trip, junk rejected") {
     val body = "payload bytes".getBytes("UTF-8")
     for ((w, h) <- Seq((1, 1), (640, 480), (13, 479), (639, 1))) {
@@ -279,6 +336,52 @@ class StreamingSpec extends SparkSpec {
     assert(Multimodal.imageDims(Multimodal.pngPayload(9, 9, body).take(12)).isEmpty)
     assert(Multimodal.imageDims(Array[Byte]()).isEmpty)
     assert(Multimodal.imageDims(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+  }
+
+  test("mp4 box codec: encode/walk round-trip, junk rejected") {
+    val body = "mdat payload".getBytes("UTF-8")
+    val one = Multimodal.mp4Meta(
+      Multimodal.mp4Payload("isom", 1000, 5000, Seq((1, 640, 360)), body))
+    assert(one.contains(Multimodal.Mp4Meta("isom", 1000, 5000, 5000, 1, 640, 360)))
+    // two tracks; the dimensionless (audio) track is counted but the
+    // video dims come from the first track with nonzero 16.16 extent;
+    // duration→ms is integer math on the movie timescale
+    val two = Multimodal.mp4Meta(Multimodal.mp4Payload(
+      "mp42", 600, 1234, Seq((1, 1920, 1080), (2, 0, 0)), body))
+    assert(two.contains(
+      Multimodal.Mp4Meta("mp42", 600, 1234, 1234L * 1000 / 600, 2, 1920, 1080)))
+    // junk / truncation: refused, not mis-parsed
+    assert(Multimodal.mp4Meta("not an mp4 at all".getBytes).isEmpty)
+    assert(Multimodal.mp4Meta(Array[Byte]()).isEmpty)
+    val good = Multimodal.mp4Payload("isom", 1000, 99, Seq((1, 64, 64)), body)
+    assert(Multimodal.mp4Meta(good.take(16)).isEmpty)
+    // adversarial sizes must terminate, never loop: top-bit-set box size
+    // (Int-negative) and the largesize escape with a garbage 64-bit size
+    val evilA = good.clone()
+    evilA(20) = 0xff.toByte; evilA(21) = 0xff.toByte
+    evilA(22) = 0xff.toByte; evilA(23) = 0xff.toByte
+    Multimodal.mp4Meta(evilA) // terminates (clamped cursor)
+    val evilB = good.clone()
+    evilB(20) = 0; evilB(21) = 0; evilB(22) = 0; evilB(23) = 1 // largesize
+    Multimodal.mp4Meta(evilB) // terminates (sz < hdr stops the walk)
+  }
+
+  test("video media on Spark: box-walk meta equals doc-derived truth") {
+    val vids = Multimodal.decodeVideoMeta(
+      Multimodal.syntheticVideo(Tables.documents(spark, sf))).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(vids.length == docs.size) // every payload walks
+    for (v <- vids) {
+      val len = docs(v.id).getBytes("UTF-8").length
+      val ts = (v.id % 3) match { case 0 => 600; case 1 => 1000; case _ => 90000 }
+      assert(v.brand == (if (v.id % 2 == 0) "isom" else "mp42"), s"doc ${v.id}")
+      assert(v.timescale == ts && v.duration == 7L * len + 13, s"doc ${v.id}")
+      assert(v.duration_ms == (7L * len + 13) * 1000 / ts, s"doc ${v.id}")
+      assert(v.n_tracks == 1 + (v.id % 2).toInt, s"doc ${v.id}")
+      assert(v.width == 16 * (1 + len % 80) &&
+        v.height == 16 * (1 + len % 45), s"doc ${v.id}")
+    }
   }
 
   test("wav header codec: encode/parse round-trip, junk rejected") {
