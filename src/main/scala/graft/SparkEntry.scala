@@ -1311,6 +1311,15 @@ object SparkEntry {
           graft.multimodal.Multimodal.syntheticMedia(docs(s, d)), 64, 2)
         .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_len"),
           col("chunk_prefix"))),
+    // TRUE pixel resize through the compressed codecs: entropy-decode
+    // PNG/GIF/TIFF, 2×2 box-average pool (edge boxes average what's
+    // present, exact integer floor division), stats of the RESIZED image
+    "multimodal_resize_pixels" -> ((s, d) =>
+      graft.multimodal.Multimodal.resizePixels(
+          graft.multimodal.Multimodal.syntheticCodecMedia(docs(s, d)))
+        .toDF()
+        .select(col("id").as("doc_id"), col("kind"), col("width"),
+          col("height"), col("feat0"), col("feat1"))),
     "multimodal_resize" -> ((s, d) =>
       graft.multimodal.Multimodal.resize(
           graft.multimodal.Multimodal.syntheticMedia(docs(s, d)), 4)
@@ -2642,6 +2651,35 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |  unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT), 2)) AS idx
         |  FROM documents)""".stripMargin,
+    // true-resize twin: out pixel (i,j) = floor-average of the 2×2 box
+    // at (2i,2j) clipped to the image (pixel p of the source = text byte
+    // p mod len) — exact integer division on both sides, then the same
+    // exact-sum statistics as the other decode twins
+    "multimodal_resize_pixels" ->
+      """SELECT doc_id, kind, CAST(ow AS INT) AS width, CAST(oh AS INT) AS height,
+        |CAST(list_sum(vals) AS DOUBLE) / (ow*oh) AS feat0,
+        |CAST(list_sum(list_transform(vals, v -> v*v)) AS DOUBLE) / (ow*oh) AS feat1
+        |FROM (
+        |SELECT doc_id, kind, ow, oh,
+        |  list_transform(range(0, ow*oh), p ->
+        |    ( ascii(substr(text, CAST((2*(p//ow)*w + 2*(p%ow)) % len AS INT) + 1, 1))
+        |    + CASE WHEN 2*(p%ow)+1 < w
+        |        THEN ascii(substr(text, CAST((2*(p//ow)*w + 2*(p%ow)+1) % len AS INT) + 1, 1))
+        |        ELSE 0 END
+        |    + CASE WHEN 2*(p//ow)+1 < h
+        |        THEN ascii(substr(text, CAST(((2*(p//ow)+1)*w + 2*(p%ow)) % len AS INT) + 1, 1))
+        |        ELSE 0 END
+        |    + CASE WHEN 2*(p%ow)+1 < w AND 2*(p//ow)+1 < h
+        |        THEN ascii(substr(text, CAST(((2*(p//ow)+1)*w + 2*(p%ow)+1) % len AS INT) + 1, 1))
+        |        ELSE 0 END
+        |    ) // ((CASE WHEN 2*(p%ow)+1 < w THEN 2 ELSE 1 END)
+        |         * (CASE WHEN 2*(p//ow)+1 < h THEN 2 ELSE 1 END))) AS vals
+        |FROM (SELECT doc_id, text, length(text) AS len,
+        |        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'tiff' END AS kind,
+        |        1 + length(text) % 32 AS w, 1 + length(text) % 24 AS h,
+        |        (1 + length(text) % 32 + 1) // 2 AS ow,
+        |        (1 + length(text) % 24 + 1) // 2 AS oh
+        |      FROM documents))""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
         |CAST(length(text) AS INT) AS n_bytes,

@@ -85,10 +85,9 @@ object Multimodal {
     }.toDF("id", "chunk_idx", "chunk_len", "chunk_prefix")
   }
 
-  /** Resize stand-in: stride-sample the payload to a smaller one (a real
-    * implementation decodes and bilinear-resamples pixels; the stub keeps
-    * every `stride`-th byte) and emit the new payload's metadata. Narrow
-    * map, batch-amortizable like extractFeatures.
+  /** Byte-stride subsample of the raw payload (cheap size-reduction for
+    * opaque bytes; for true pixel resampling see [[resizePixels]]).
+    * Narrow map, batch-amortizable like extractFeatures.
     */
   def resize(media: Dataset[MediaRow], stride: Int): DataFrame = {
     import media.sparkSession.implicits._
@@ -236,6 +235,60 @@ object Multimodal {
     hdr.putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
     hdr.put("data".getBytes("US-ASCII")).putInt(body.length)
     hdr.array() ++ body
+  }
+
+  final case class ResizedFeatures(id: Long, kind: String, width: Int,
+      height: Int, feat0: Double, feat1: Double)
+
+  /** TRUE pixel resize: decode the payload (hand-rolled BMP/PPM or any
+    * ImageIO codec), 2×2 box-average pool each band — edge boxes
+    * average the 1 or 2 pixels actually present; per-box floor division
+    * keeps every value an exact integer — and emit the resized
+    * dimensions plus mean / mean-squared intensity of the RESIZED
+    * image (exact integer sums, one double division). Narrow
+    * mapPartitions; undecodable payloads quarantine-drop. */
+  def resizePixels(media: Dataset[MediaRow]): Dataset[ResizedFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePixels(r.media).orElse(decodePixelsCodec(r.media)).map {
+          case (fmt, w, h, px) =>
+            val bands = px.length / (w * h)
+            val ow = (w + 1) / 2; val oh = (h + 1) / 2
+            var s = 0L; var s2 = 0L
+            var i = 0
+            while (i < oh) {
+              var j = 0
+              while (j < ow) {
+                var c = 0
+                while (c < bands) {
+                  var sum = 0; var cnt = 0
+                  var di = 0
+                  while (di < 2) {
+                    val y = 2 * i + di
+                    if (y < h) {
+                      var dj = 0
+                      while (dj < 2) {
+                        val x = 2 * j + dj
+                        if (x < w) { sum += px(bands * (y * w + x) + c); cnt += 1 }
+                        dj += 1
+                      }
+                    }
+                    di += 1
+                  }
+                  val v = sum / cnt
+                  s += v; s2 += v.toLong * v
+                  c += 1
+                }
+                j += 1
+              }
+              i += 1
+            }
+            val n = math.max(bands * ow * oh, 1)
+            ResizedFeatures(r.id, fmt, ow, oh, s.toDouble / n, s2.toDouble / n)
+        }
+      }
+    }
   }
 
   // ── real container codec (MP4 / ISO base media file format) ────────

@@ -316,6 +316,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("pixel resize: 2x2 box-average pooling is exact, incl. edges") {
+    import spark.implicits._
+    def mk(id: Long, fmt: String, w: Int, h: Int, vals: Array[Int]) = {
+      val payload = fmt match {
+        case "png" => Multimodal.encodeImage("png", w, h, vals(_))
+        case "gif" => Multimodal.gifPixelPayload(w, h, vals(_))
+        case _     => Multimodal.bmpPayload(w, h, vals(_))
+      }
+      Multimodal.MediaRow(id, fmt, payload, w, h)
+    }
+    val v44 = Array(10, 20, 30, 40, 50, 60, 70, 80,
+                    90, 100, 110, 120, 130, 140, 150, 160)
+    val v33 = Array(8, 16, 24, 32, 40, 48, 56, 64, 72)
+    val rows = Seq(mk(0, "png", 4, 4, v44), mk(1, "gif", 3, 3, v33),
+                   mk(2, "bmp", 4, 4, v44))
+    val out = Multimodal.resizePixels(spark.createDataset(rows))
+      .collect().map(f => f.id -> f).toMap
+    // 4x4 -> 2x2 boxes: (10+20+50+60)/4=35 (30+40+70+80)/4=55
+    //                   (90+100+130+140)/4=115 (110+120+150+160)/4=135
+    for (id <- Seq(0L, 2L)) {
+      val f = out(id)
+      assert(f.width == 2 && f.height == 2)
+      assert(f.feat0 == (35 + 55 + 115 + 135) / 4.0, s"id $id")
+      assert(f.feat1 == (35.0*35 + 55.0*55 + 115.0*115 + 135.0*135) / 4.0)
+    }
+    // 3x3 -> 2x2 with edge boxes: full box (8+16+32+40)/4=24, right
+    // edge (24+48)/2=36, bottom edge (56+64)/2=60, corner 72
+    val g = out(1L)
+    assert(g.width == 2 && g.height == 2)
+    assert(g.feat0 == (24 + 36 + 60 + 72) / 4.0)
+    // constant image resizes to the same constant (any codec)
+    val const = Multimodal.resizePixels(spark.createDataset(Seq(
+      mk(3, "png", 7, 5, Array.fill(35)(77))))).collect().head
+    assert(const.width == 4 && const.height == 3 &&
+      const.feat0 == 77.0 && const.feat1 == 77.0 * 77)
+  }
+
   test("image header codecs: encode/parse round-trip, junk rejected") {
     val body = "payload bytes".getBytes("UTF-8")
     for ((w, h) <- Seq((1, 1), (640, 480), (13, 479), (639, 1))) {
