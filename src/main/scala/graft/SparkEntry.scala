@@ -1311,6 +1311,16 @@ object SparkEntry {
           graft.multimodal.Multimodal.syntheticMedia(docs(s, d)), 64, 2)
         .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_len"),
           col("chunk_prefix"))),
+    // G.711 µ-law telephony audio: payloads are real format-tag-7 WAVs
+    // (one µ-law byte per text byte); extractFeatures expands each
+    // sample through the canonical companding formula — the oracle
+    // applies the same exact integer expansion to the source bytes
+    "multimodal_ulaw_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.syntheticUlawAudio(docs(s, d)))
+        .toDF()
+        .select(col("id").as("doc_id"), col("kind"),
+          col("n_bytes").cast("long").as("n_bytes"), col("feat0"), col("feat1"))),
     // TRUE pixel resize through the compressed codecs: entropy-decode
     // PNG/GIF/TIFF, 2×2 box-average pool (edge boxes average what's
     // present, exact integer floor division), stats of the RESIZED image
@@ -2651,6 +2661,27 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |  unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT), 2)) AS idx
         |  FROM documents)""".stripMargin,
+    // µ-law twin: the G.711 expansion (complement; (mantissa·8+132)
+    // shifted by segment; bias subtracted; sign applied) in exact
+    // integer SQL over the same source bytes
+    "multimodal_ulaw_features" ->
+      """SELECT doc_id, 'ulaw' AS kind,
+        |CAST(44 + length(text) AS BIGINT) AS n_bytes,
+        |CAST(list_sum(list_transform(range(1, length(text) + 1), k ->
+        |  CASE WHEN (xor(ascii(substr(text, CAST(k AS INT), 1)), 255) & 128) != 0
+        |    THEN 132 - ((((xor(ascii(substr(text, CAST(k AS INT), 1)), 255) & 15) << 3) + 132)
+        |                 << ((xor(ascii(substr(text, CAST(k AS INT), 1)), 255) & 112) >> 4))
+        |    ELSE ((((xor(ascii(substr(text, CAST(k AS INT), 1)), 255) & 15) << 3) + 132)
+        |            << ((xor(ascii(substr(text, CAST(k AS INT), 1)), 255) & 112) >> 4)) - 132
+        |  END)) AS DOUBLE) / length(text) AS feat0,
+        |CAST(list_sum(list_transform(range(1, length(text) + 1), k ->
+        |  abs(CASE WHEN (xor(ascii(substr(text, CAST(k AS INT), 1)), 255) & 128) != 0
+        |    THEN 132 - ((((xor(ascii(substr(text, CAST(k AS INT), 1)), 255) & 15) << 3) + 132)
+        |                 << ((xor(ascii(substr(text, CAST(k AS INT), 1)), 255) & 112) >> 4))
+        |    ELSE ((((xor(ascii(substr(text, CAST(k AS INT), 1)), 255) & 15) << 3) + 132)
+        |            << ((xor(ascii(substr(text, CAST(k AS INT), 1)), 255) & 112) >> 4)) - 132
+        |  END))) AS DOUBLE) / length(text) AS feat1
+        |FROM documents""".stripMargin,
     // true-resize twin: out pixel (i,j) = floor-average of the 2×2 box
     // at (2i,2j) clipped to the image (pixel p of the source = text byte
     // p mod len) — exact integer division on both sides, then the same

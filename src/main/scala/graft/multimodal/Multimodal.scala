@@ -43,7 +43,9 @@ object Multimodal {
     *  - PNG / GIF / JPEG / TIFF → same intensity statistics over the
     *    ImageIO-decoded pixels ([[decodePixelsCodec]]);
     *  - WAV 16-bit PCM → feat0 = mean signed sample, feat1 = mean
-    *    absolute sample (amplitude).
+    *    absolute sample (amplitude);
+    *  - WAV G.711 µ-law (format tag 7) → the same amplitude statistics
+    *    over [[muLawToLinear]]-expanded 16-bit samples.
     * Unrecognized payloads drop (a production pipeline routes them to a
     * quarantine split instead of failing the task).
     */
@@ -58,14 +60,16 @@ object Multimodal {
           val n = math.max(px.length, 1)
           MediaFeatures(r.id, fmt, b.length, s.toDouble / n, s2.toDouble / n)
         }.orElse {
-          decodePcm16(b).map { samples =>
-            var s = 0L; var sa = 0L; var k = 0
-            while (k < samples.length) {
-              val v = samples(k); s += v; sa += math.abs(v); k += 1
+          decodePcm16(b).map(("wav", _))
+            .orElse(decodePcmMuLaw(b).map(("ulaw", _)))
+            .map { case (kind, samples) =>
+              var s = 0L; var sa = 0L; var k = 0
+              while (k < samples.length) {
+                val v = samples(k); s += v; sa += math.abs(v); k += 1
+              }
+              val n = math.max(samples.length, 1)
+              MediaFeatures(r.id, kind, b.length, s.toDouble / n, sa.toDouble / n)
             }
-            val n = math.max(samples.length, 1)
-            MediaFeatures(r.id, "wav", b.length, s.toDouble / n, sa.toDouble / n)
-          }
         }
       }
     }
@@ -223,18 +227,70 @@ object Multimodal {
   /** Minimal valid 44-byte PCM WAV header around arbitrary body bytes
     * (the inverse of [[wavMeta]] for synthetic data). */
   def wavPayload(channels: Int, sampleRate: Int, bitsPerSample: Int,
-      body: Array[Byte]): Array[Byte] = {
+      body: Array[Byte]): Array[Byte] =
+    wavPayload(1, channels, sampleRate, bitsPerSample, body)
+
+  /** WAV header with an explicit format tag (1 = linear PCM, 7 = G.711
+    * µ-law, ...). */
+  def wavPayload(formatTag: Int, channels: Int, sampleRate: Int,
+      bitsPerSample: Int, body: Array[Byte]): Array[Byte] = {
     val blockAlign = channels * bitsPerSample / 8
     val hdr = java.nio.ByteBuffer.allocate(44)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     hdr.put("RIFF".getBytes("US-ASCII")).putInt(36 + body.length)
     hdr.put("WAVE".getBytes("US-ASCII"))
     hdr.put("fmt ".getBytes("US-ASCII")).putInt(16)
-    hdr.putShort(1.toShort).putShort(channels.toShort) // PCM
+    hdr.putShort(formatTag.toShort).putShort(channels.toShort)
     hdr.putInt(sampleRate).putInt(sampleRate * blockAlign)
     hdr.putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
     hdr.put("data".getBytes("US-ASCII")).putInt(body.length)
     hdr.array() ++ body
+  }
+
+  /** Audio format tag from the fmt chunk (1 = PCM, 7 = µ-law), or -1. */
+  private def wavFmtTag(b: Array[Byte]): Int = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return -1
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val c = i.toInt
+      val sz = le32(b, c + 4)
+      if (tag(b, c, "fmt ") && sz >= 16 && i + 8 + 16 <= b.length)
+        return le16(b, c + 8)
+      i += 8 + sz + (sz & 1)
+    }
+    -1
+  }
+
+  /** ITU-T G.711 µ-law expansion to 16-bit linear (canonical public
+    * formula: complement, mantissa·8 + bias 0x84, shift by segment,
+    * subtract bias, apply sign). Exact integer math. */
+  def muLawToLinear(u: Int): Int = {
+    val c = ~u & 0xff
+    val t = (((c & 0x0f) << 3) + 0x84) << ((c & 0x70) >> 4)
+    if ((c & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Decode G.711 µ-law sample CONTENT (format tag 7, 8 bits/sample):
+    * each data byte expands to a signed 16-bit linear sample. */
+  def decodePcmMuLaw(b: Array[Byte]): Option[Array[Int]] =
+    wavMeta(b).filter(m => m.bitsPerSample == 8 && wavFmtTag(b) == 7)
+      .flatMap { _ =>
+        wavDataRange(b).map { case (off, size) =>
+          Array.tabulate(size.toInt)(k => muLawToLinear(b((off + k).toInt) & 0xff))
+        }
+      }
+
+  /** Synthetic telephony-audio table: REAL G.711 µ-law WAV payloads
+    * (mono 8 kHz, format tag 7, one µ-law byte per text byte) so the
+    * companding expansion is oracle-checkable from the source columns
+    * alone. */
+  def syntheticUlawAudio(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRow(id, "ulaw",
+          wavPayload(7, 1, 8000, 8, text.getBytes("UTF-8")), 0, 0)
+      }
   }
 
   final case class ResizedFeatures(id: Long, kind: String, width: Int,
@@ -577,7 +633,8 @@ object Multimodal {
     * from the data chunk (channels interleaved — amplitude statistics
     * are channel-agnostic). None unless the header says PCM 16-bit. */
   def decodePcm16(b: Array[Byte]): Option[Array[Int]] =
-    wavMeta(b).filter(_.bitsPerSample == 16).flatMap { _ =>
+    wavMeta(b).filter(m => m.bitsPerSample == 16 && wavFmtTag(b) == 1)
+      .flatMap { _ =>
       wavDataRange(b).map { case (off, size) =>
         val n = (size / 2).toInt
         val out = new Array[Int](n)

@@ -375,6 +375,34 @@ class StreamingSpec extends SparkSpec {
     assert(Multimodal.imageDims(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
   }
 
+  test("g711 mu-law codec: canonical expansion, format-tag dispatch") {
+    // published ITU table endpoints: 0x00 -> -32124, 0x80 -> +32124,
+    // both "zero" codes (0xff positive, 0x7f negative) -> 0
+    assert(Multimodal.muLawToLinear(0x00) == -32124)
+    assert(Multimodal.muLawToLinear(0x80) == 32124)
+    assert(Multimodal.muLawToLinear(0xff) == 0)
+    assert(Multimodal.muLawToLinear(0x7f) == 0)
+    // monotone decreasing over the negative half (0x00..0x7f)
+    for (u <- 0 until 0x7f)
+      assert(Multimodal.muLawToLinear(u) < Multimodal.muLawToLinear(u + 1), s"u=$u")
+    val body = Array(0x00, 0x80, 0xff, 0x13, 0xd4).map(_.toByte)
+    val ulaw = Multimodal.wavPayload(7, 1, 8000, 8, body)
+    assert(Multimodal.decodePcmMuLaw(ulaw).exists(_.sameElements(
+      body.map(b => Multimodal.muLawToLinear(b & 0xff)))))
+    // dispatch is format-tag-strict both ways: a tag-1 8-bit WAV is not
+    // mu-law, a tag-7 WAV is not linear PCM
+    assert(Multimodal.decodePcmMuLaw(Multimodal.wavPayload(1, 1, 8000, 8, body)).isEmpty)
+    assert(Multimodal.decodePcm16(Multimodal.wavPayload(7, 1, 8000, 16, body)).isEmpty)
+    // extractFeatures routes tag-7 payloads through the expansion
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(spark.createDataset(Seq(
+      Multimodal.MediaRow(1, "ulaw", ulaw, 0, 0)))).collect()
+    assert(feats.length == 1 && feats.head.kind == "ulaw")
+    val lin = body.map(b => Multimodal.muLawToLinear(b & 0xff))
+    assert(feats.head.feat0 == lin.map(_.toLong).sum.toDouble / lin.length)
+    assert(feats.head.feat1 == lin.map(v => math.abs(v).toLong).sum.toDouble / lin.length)
+  }
+
   test("mp4 box codec: encode/walk round-trip, junk rejected") {
     val body = "mdat payload".getBytes("UTF-8")
     val one = Multimodal.mp4Meta(
