@@ -87,6 +87,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("mg_entries", "mg_entries(sketch) - array<struct<key,lower_count>> of a summary"),
       (args: Seq[Expression]) => graft.functions.MgEntries(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("theta_build"),
+      info("theta_build", "theta_build(v[, k]) - binary KMV/theta sketch of the values"),
+      (args: Seq[Expression]) => graft.functions.ThetaBuildAgg(args.head,
+        if (args.length > 1) args(1).eval().asInstanceOf[Number].intValue
+        else graft.functions.ThetaSketch.DefaultK).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("theta_merge"),
+      info("theta_merge", "theta_merge(sketch) - union theta sketches"),
+      (args: Seq[Expression]) =>
+        graft.functions.ThetaMergeAgg(args.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("theta_estimate"),
+      info("theta_estimate", "theta_estimate(sketch) - distinct estimate"),
+      (args: Seq[Expression]) => graft.functions.ThetaEstimate(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("theta_union"),
+      info("theta_union", "theta_union(a, b) - row-wise union of two sketches"),
+      (args: Seq[Expression]) =>
+        graft.functions.ThetaUnionPair(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("theta_intersect"),
+      info("theta_intersect", "theta_intersect(a, b) - |A∩B| estimate"),
+      (args: Seq[Expression]) =>
+        graft.functions.ThetaIntersectEst(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("theta_anotb"),
+      info("theta_anotb", "theta_anotb(a, b) - |A∖B| estimate"),
+      (args: Seq[Expression]) =>
+        graft.functions.ThetaAnotBEst(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("theta_jaccard"),
+      info("theta_jaccard", "theta_jaccard(a, b) - Jaccard similarity estimate"),
+      (args: Seq[Expression]) =>
+        graft.functions.ThetaJaccardEst(args(0), args(1))))
+    ext.injectFunction((
       new FunctionIdentifier("kll_build"),
       info("kll_build", "kll_build(v[, k]) - binary KLL quantile sketch"),
       (args: Seq[Expression]) => graft.functions.KllBuildAgg(args.head,

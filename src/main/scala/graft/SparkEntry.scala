@@ -664,6 +664,33 @@ object SparkEntry {
           col("exact_distinct"))
       srcRows.union(globalRow).orderBy(col("source"))
     }),
+    // Storable theta/KMV sketches: set ALGEBRA over stored subsets —
+    // the question HLL blobs cannot answer. One scan builds a per-source
+    // vocabulary sketch; every pairwise overlap (|A∩B|, |A∖B|, Jaccard)
+    // is then answered from kilobyte blobs with NO rescan or token
+    // join. At verify scale k=1024 exceeds every vocabulary, so the
+    // sketches are exhaustive and the estimates EXACT ⇒ fully oracled
+    // (DuckDB recomputes the true pairwise overlaps); the sampled
+    // regime (vocab ≫ k) is property-gated with error bounds.
+    "sketch_theta_algebra" -> ((s, d) => {
+      import graft.functions.ThetaSketch
+      val toks = docs(s, d).select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val perSrc = toks.groupBy(col("source"))
+        .agg(ThetaSketch.theta_build(col("tok")).as("sk"))
+      val a = perSrc.select(col("source").as("source_a"), col("sk").as("sk_a"))
+      val b = perSrc.select(col("source").as("source_b"), col("sk").as("sk_b"))
+      a.crossJoin(broadcast(b)) // sketch-sized frame: #sources² kilobyte rows
+        .filter(col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          round(ThetaSketch.theta_intersect(col("sk_a"), col("sk_b")))
+            .cast("long").as("common_tokens"),
+          round(ThetaSketch.theta_anotb(col("sk_a"), col("sk_b")))
+            .cast("long").as("a_only_tokens"),
+          ThetaSketch.theta_jaccard(col("sk_a"), col("sk_b")).as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
     // Storable-sketch heavy hitters: per-source MG summary blobs built in
     // one scan, max-merged (Agarwal mergeable-summaries combine), then the
     // ≤cap candidate set exactly verified with a broadcast semi-join —
@@ -2099,6 +2126,28 @@ object SparkEntry {
     "distinct_values" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY 1, 2""".stripMargin,
+    // theta set algebra in the exhaustive regime: k=1024 exceeds every
+    // per-source vocabulary, so the sketch-path answers are EXACT and
+    // DuckDB recomputes the true pairwise overlaps. Jaccard is one
+    // division of exact integer counts — both engines round the same
+    // real quotient identically.
+    "sketch_theta_algebra" ->
+      """WITH toks AS (SELECT DISTINCT source, tok FROM
+        |  (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |  WHERE tok <> ''),
+        |counts AS (SELECT source, count(*) AS n FROM toks GROUP BY source),
+        |common AS (
+        |  SELECT x.source AS sa, y.source AS sb, count(*) AS c
+        |  FROM toks x JOIN toks y ON x.tok = y.tok AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT ca.source AS source_a, cb.source AS source_b,
+        |  CAST(COALESCE(c.c, 0) AS BIGINT) AS common_tokens,
+        |  CAST(ca.n - COALESCE(c.c, 0) AS BIGINT) AS a_only_tokens,
+        |  CAST(COALESCE(c.c, 0) AS DOUBLE)
+        |    / (ca.n + cb.n - COALESCE(c.c, 0)) AS jaccard
+        |FROM counts ca JOIN counts cb ON ca.source < cb.source
+        |LEFT JOIN common c ON c.sa = ca.source AND c.sb = cb.source
+        |ORDER BY source_a, source_b""".stripMargin,
     "sketch_heavy_rollup" ->
       """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
         |tt AS (SELECT tok FROM t WHERE length(tok) > 0)

@@ -99,6 +99,23 @@ class LayoutSpec extends SparkSpec {
       "SELECT kll_quantile(kll_build(cast(id AS double)), 0.5) AS med FROM range(10000)")
       .head()
     assert(math.abs(kq.getDouble(0) - 5000.0) <= 300.0, s"kll median ${kq.getDouble(0)}")
+    // theta set algebra from SQL: exhaustive regime -> exact answers
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_build", es => graft.functions.ThetaBuildAgg(es.head, 1024)
+        .toAggregateExpression(), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_intersect",
+      es => graft.functions.ThetaIntersectEst(es(0), es(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_jaccard",
+      es => graft.functions.ThetaJaccardEst(es(0), es(1)), "scala_udf")
+    val th = spark.sql(
+      """SELECT theta_intersect(a.sk, b.sk) AS i, theta_jaccard(a.sk, b.sk) AS j
+        |FROM (SELECT theta_build(id) AS sk FROM range(0, 300)) a,
+        |     (SELECT theta_build(id) AS sk FROM range(200, 500)) b""".stripMargin)
+      .head()
+    assert(th.getDouble(0) == 100.0, s"theta intersect ${th.getDouble(0)}")
+    assert(th.getDouble(1) == 0.2, s"theta jaccard ${th.getDouble(1)}")
   }
 
   test("type-inference lattice promotes correctly") {

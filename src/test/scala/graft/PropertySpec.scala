@@ -608,6 +608,84 @@ class PropertySpec extends SparkSpec {
       .select(kll_quantile(col("sk"), 0.5)).head.getDouble(0) == 0.0)
   }
 
+  test("theta sketch: exact regime, split bit-parity, sampled error bounds") {
+    import graft.functions.ThetaSketch._
+    // storable monoid law: merging arbitrary partition sketches equals
+    // the whole-corpus sketch bit for bit, even in the SAMPLED regime
+    // (k=64 < 500 docs), and rebuilding is deterministic
+    val dd = graft.engine.Tables.documents(spark, sf)
+    val whole = dd.agg(theta_build(col("text"), 64).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    for (parts <- Seq(1L, 7L, 32L)) {
+      val merged = dd.groupBy(pmod(col("doc_id"), lit(parts)).as("part"))
+        .agg(theta_build(col("text"), 64).as("sk"))
+        .agg(theta_merge(col("sk")).as("sk"))
+        .head.getAs[Array[Byte]]("sk")
+      assert(merged.sameElements(whole), s"$parts-way split diverged")
+    }
+    assert(dd.agg(theta_build(col("text"), 64).as("sk"))
+      .head.getAs[Array[Byte]]("sk").sameElements(whole))
+    // exact regime (k ≥ set sizes): every set-algebra answer is exact.
+    // A = {0..299}, B = {200..499}: |A∩B|=100, |A∖B|=200, |A∪B|=500
+    val ab = ((0 until 300).map(i => ("a", i.toLong)) ++
+              (200 until 500).map(i => ("b", i.toLong))).toDF("s", "v")
+      .groupBy("s").agg(theta_build(col("v")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val exactRow = Seq((ab("a"), ab("b"))).toDF("a", "b")
+      .select(theta_intersect(col("a"), col("b")),
+        theta_anotb(col("a"), col("b")),
+        theta_jaccard(col("a"), col("b")),
+        theta_estimate(theta_union(col("a"), col("b"))),
+        theta_estimate(col("a"))).head
+    assert(exactRow.getDouble(0) == 100.0 && exactRow.getDouble(1) == 200.0)
+    assert(exactRow.getDouble(2) == 100.0 / 500.0)
+    assert(exactRow.getDouble(3) == 500.0 && exactRow.getDouble(4) == 300.0)
+    // sampled regime (60k/90k values ≫ k=1024, rsd ≈ 3%): A = [0,60k),
+    // B = [30k,90k) — estimates inside 5σ-ish gates
+    val big = (spark.range(0, 60000).select(lit("x").as("s"), col("id").as("v"))
+        union spark.range(30000, 90000).select(lit("y").as("s"), col("id").as("v")))
+      .groupBy("s").agg(theta_build(col("v")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val bigRow = Seq((big("x"), big("y"))).toDF("a", "b")
+      .select(theta_estimate(col("a")),
+        theta_intersect(col("a"), col("b")),
+        theta_anotb(col("a"), col("b")),
+        theta_jaccard(col("a"), col("b")),
+        theta_estimate(theta_union(col("a"), col("b")))).head
+    assert(math.abs(bigRow.getDouble(0) - 60000) <= 0.10 * 60000, s"A est ${bigRow.getDouble(0)}")
+    assert(math.abs(bigRow.getDouble(1) - 30000) <= 0.20 * 30000, s"A∩B est ${bigRow.getDouble(1)}")
+    assert(math.abs(bigRow.getDouble(2) - 30000) <= 0.20 * 30000, s"A∖B est ${bigRow.getDouble(2)}")
+    assert(math.abs(bigRow.getDouble(3) - 1.0 / 3) <= 0.06, s"jaccard ${bigRow.getDouble(3)}")
+    assert(math.abs(bigRow.getDouble(4) - 90000) <= 0.10 * 90000, s"A∪B est ${bigRow.getDouble(4)}")
+    // edges: all-null builds an empty (exact zero) sketch; empty sets
+    // intersect/estimate to exactly zero
+    val nullSk = Seq.fill(50)(Option.empty[String]).toDF("v")
+      .agg(theta_build(col("v")).as("sk")).head.getAs[Array[Byte]]("sk")
+    val nullRow = Seq((nullSk, ab("a"))).toDF("a", "b")
+      .select(theta_estimate(col("a")), theta_intersect(col("a"), col("b")),
+        theta_jaccard(col("a"), col("a"))).head
+    assert(nullRow.getDouble(0) == 0.0 && nullRow.getDouble(1) == 0.0)
+    assert(nullRow.getDouble(2) == 0.0) // empty/empty Jaccard defined as 0
+    // the storable contract end-to-end: per-source blobs through parquet
+    // cold, re-read, pairwise ops unchanged vs in-memory
+    val tmp = java.nio.file.Files.createTempDirectory("theta_store").toString
+    val toks = dd.select(col("source"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    toks.groupBy("source").agg(theta_build(col("tok")).as("sk"))
+      .write.mode("overwrite").parquet(tmp)
+    val cold = spark.read.parquet(tmp)
+    val inMem = toks.groupBy("source").agg(theta_build(col("tok")).as("sk"))
+    def pairSum(df: org.apache.spark.sql.DataFrame): Double = {
+      val a = df.select(col("source").as("sa"), col("sk").as("ka"))
+      val b = df.select(col("source").as("sb"), col("sk").as("kb"))
+      a.crossJoin(b).filter(col("sa") < col("sb"))
+        .select(theta_intersect(col("ka"), col("kb")).as("i"))
+        .agg(sum(col("i"))).head.getDouble(0)
+    }
+    assert(pairSum(cold) == pairSum(inMem))
+  }
+
   test("corpus sketch report: every estimate bounded by its exact twin") {
     val rows = graft.SparkEntry.queries("corpus_sketch_report")(spark, sf).collect()
     assert(rows.nonEmpty)
