@@ -408,6 +408,77 @@ object Events {
       }
     }
 
+  final case class ThetaRow(shard: Int, key: Long)
+  final case class ThetaState(blob: Array[Byte], seen: Long)
+  final case class ThetaOut(shard: Int, blob: Array[Byte], version: Long)
+
+  /** Streaming theta sketch — the set-algebra member of the
+    * streaming-twin family (MG candidates, HLL registers, KLL buffers,
+    * this). Per-shard state is the serialized k-smallest-unique-hash
+    * buffer; "the k smallest of a union" is order-insensitive and
+    * deterministic, so the shard-merged canonical blob equals the batch
+    * `theta_build` of the same rows BIT FOR BIT — the same strength of
+    * contract as the HLL twin, gated in StreamingSpec.
+    */
+  def thetaStream(events: Dataset[ThetaRow], k: Int): Dataset[ThetaOut] = {
+    import events.sparkSession.implicits._
+    import graft.functions.ThetaSketch
+    events
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[ThetaState, ThetaOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard, rows, state: GroupState[ThetaState]) =>
+          val buf = state.getOption
+            .map(s => ThetaSketch.deserToBuf(s.blob))
+            .getOrElse(ThetaSketch.emptyBuf(k))
+          var seen = state.getOption.map(_.seen).getOrElse(0L)
+          rows.foreach { r =>
+            seen += 1
+            buf.addHash(org.apache.spark.sql.catalyst.expressions
+              .XxHash64Function.hash(r.key,
+                org.apache.spark.sql.types.LongType, 42L) & Long.MaxValue)
+          }
+          val blob = ThetaSketch.ser(buf)
+          state.update(ThetaState(blob, seen))
+          Iterator.single(ThetaOut(shard, blob, seen))
+      }
+  }
+
+  /** Drive thetaStream over the events parquet staged as 4 files (real
+    * multi-batch state) and return the final canonical merged blob. */
+  def runThetaStream(
+      spark: SparkSession, dir: String, k: Int, shards: Int): Array[Byte] =
+    withNanosAsLong(spark) {
+      import spark.implicits._
+      import graft.functions.ThetaSketch
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_theta_stream")
+      spark.read.parquet(s"$dir/events.parquet")
+        .repartition(4).write.mode("overwrite").parquet(streamDir.toString)
+      val raw = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      val typed = raw
+        .select(pmod(hash(col("user_id")), lit(shards)).cast("int").as("shard"),
+          col("user_id").as("key"))
+        .as[ThetaRow]
+      val q = thetaStream(typed, k).writeStream
+        .outputMode("update").format("memory").queryName("graft_theta")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val all = spark.table("graft_theta")
+      val latest = all.groupBy(col("shard").as("s"))
+        .agg(max(col("version")).as("v"))
+      val finals = all
+        .join(latest, col("shard") === col("s") && col("version") === col("v"))
+        .select(col("blob")).collect().map(_.getAs[Array[Byte]](0))
+      val acc = ThetaSketch.deserToBuf(finals.head)
+      finals.tail.foreach { b =>
+        val blob = ThetaSketch.deser(b)
+        ThetaSketch.foldInto(acc, blob.k, blob.theta, blob.vs.iterator)
+      }
+      ThetaSketch.canonical(acc)
+    }
+
   final case class KllRow(shard: Int, v: Double)
   final case class KllState(blob: Array[Byte], seen: Long)
   final case class KllOut(shard: Int, blob: Array[Byte], version: Long)

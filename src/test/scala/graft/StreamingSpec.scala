@@ -85,6 +85,21 @@ class StreamingSpec extends SparkSpec {
       s"est=$est exact=$exact")
   }
 
+  test("streaming theta sketch equals the batch sketch bit for bit") {
+    import org.apache.spark.sql.functions._
+    val k = 128 // < distinct user count -> genuinely sampled regime
+    val streamed = Events.runThetaStream(spark, sf, k, shards = 4)
+    val batch = Tables.events(spark, sf)
+      .agg(graft.functions.ThetaSketch.theta_build(col("user_id"), k).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    assert(streamed.sameElements(batch), "streaming theta diverged from batch")
+    // and the estimate lands inside the ~1/sqrt(k-1) envelope (x3)
+    val est = graft.functions.ThetaSketch.estimateBlob(streamed)
+    val exact = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(math.abs(est - exact) <= math.max(3.0 / math.sqrt(k - 1) * exact, 3.0),
+      s"est=$est exact=$exact")
+  }
+
   test("streaming KLL quantiles hold the rank gate vs exact batch ranks") {
     import org.apache.spark.sql.functions._
     val buf = Events.runQuantileStream(spark, sf, k = 200, shards = 4)
