@@ -35,7 +35,12 @@ object Plans {
     "geo_shapefile_tag", "multimodal_features",
     // r6 storable-sketch trio: one partial-agg pass + blob merges
     "sketch_distinct_rollup", "sketch_heavy_rollup", "sketch_quantile_rollup",
-    "corpus_sketch_report")
+    "corpus_sketch_report",
+    // r6 late additions: commercial-codec decode (narrow maps), MP4
+    // box walk, true pixel resize, G.711 expansion, theta set algebra
+    "multimodal_codec_features", "multimodal_video_meta",
+    "multimodal_resize_pixels", "multimodal_ulaw_features",
+    "sketch_theta_algebra")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -160,6 +160,20 @@ object ScaleProbe {
         .select(HllSketch.hll_estimate(col("sk"))).count()
     }
 
+    // narrow per-row codec work (encode + entropy-decode per payload):
+    // must scale linearly — there is no shuffle to misbehave
+    probe("multimodal_codec", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      multimodal.Multimodal.extractCodecFeatures(
+        multimodal.Multimodal.syntheticCodecMedia(d)).toDF().count()
+    }
+
+    probe("multimodal_video", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      multimodal.Multimodal.decodeVideoMeta(
+        multimodal.Multimodal.syntheticVideo(d)).toDF().count()
+    }
+
     // per-replica token salting: every token carries its replica id, so
     // replicas are NOT near-dups of each other — duplicate-structure
     // density stays constant while the corpus scales ×c (the input-bound
@@ -171,6 +185,24 @@ object ScaleProbe {
       d.withColumn("text",
         array_join(transform(split(col("text"), " "),
           t => concat(t, lit("_"), rep)), " "))
+    }
+
+    // salted tokens scale the vocabulary ×c past k=1024, so this probes
+    // the SAMPLED regime: sketch build is one token scan + bounded
+    // per-source state; the pairwise algebra stays #sources² kilobyte
+    // blobs regardless of corpus size
+    probe("sketch_theta_algebra", Seq(1, 20)) { c =>
+      import graft.functions.ThetaSketch
+      val toks = saltedDocs(c).select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val perSrc = toks.groupBy(col("source"))
+        .agg(ThetaSketch.theta_build(col("tok")).as("sk"))
+      val a = perSrc.select(col("source").as("sa"), col("sk").as("ka"))
+      val b = perSrc.select(col("source").as("sb"), col("sk").as("kb"))
+      a.crossJoin(broadcast(b)).filter(col("sa") < col("sb"))
+        .select(ThetaSketch.theta_intersect(col("ka"), col("kb")).as("i"))
+        .agg(sum(col("i"))).count()
     }
 
     // CC rounds are O(component diameter); salted replication scales the
