@@ -729,11 +729,12 @@ object SparkEntry {
     // vocabulary, so MG counts are exact, and the argmax tie-breaks by
     // key.
     "corpus_sketch_report" -> ((s, d) => {
-      import graft.functions.{HllSketch, KllSketch, MgSketch}
+      import graft.functions.{HllSketch, KllSketch, MgSketch, ThetaSketch}
       val rep = docs(s, d).groupBy(col("source")).agg(
         HllSketch.hll_build(col("text")).as("hll"),
         MgSketch.mg_build(col("lang"), 16).as("mg"),
         KllSketch.kll_build(col("n_chars").cast("double")).as("kll"),
+        ThetaSketch.theta_build(col("text")).as("theta"),
         countDistinct(col("text")).as("exact_distinct"),
         expr("percentile(n_chars, 0.5)").as("exact_median"))
       val e = MgSketch.mg_entries(col("mg"))
@@ -747,7 +748,11 @@ object SparkEntry {
         col("exact_distinct"),
         topLang.as("top_lang"),
         KllSketch.kll_quantile(col("kll"), 0.5).as("est_median"),
-        col("exact_median"))
+        col("exact_median"),
+        // theta member of the one-scan family: exhaustive at this
+        // per-source cardinality, so its estimate must EQUAL the twin
+        round(ThetaSketch.theta_estimate(col("theta")))
+          .cast("long").as("theta_distinct"))
         .orderBy(col("source"))
     }),
     // Storable-sketch quantiles: per-source KLL blobs, merged, quartiles
@@ -1309,6 +1314,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("format"), col("channels"),
           col("sample_rate"), col("bits_per_sample"), col("n_frames"),
           col("duration_ms"))),
+    // JPEG (DCT, lossy by design): real entropy decode of ImageIO-
+    // written streams; rows-only — the spec gates exact dims and a
+    // DC-preservation band on the mean instead of a hash oracle
+    "multimodal_jpeg_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractCodecFeatures(
+          graft.multimodal.Multimodal.syntheticJpegMedia(docs(s, d)))
+        .toDF()
+        .select(col("id").as("doc_id"), col("kind"), col("width"),
+          col("height"), col("feat0"), col("feat1"))),
     // MP4/ISO-BMFF twin for the VIDEO column: syntheticVideo builds a
     // real box tree (ftyp + moov[mvhd + tkhd per track] + mdat around
     // the text bytes); mp4Meta walks it back — brand, movie timescale,

@@ -850,6 +850,24 @@ object Multimodal {
       }
   }
 
+  /** Synthetic JPEG media: real DCT-encoded streams (ImageIO writer)
+    * over the same deterministic gray pattern as [[syntheticCodecMedia]].
+    * JPEG is lossy by design, so the decode twin is spec-gated with a
+    * tolerance (dims exact, mean intensity within a DC-preservation
+    * band) instead of hash-oracled. */
+  def syntheticJpegMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val t = text.getBytes("UTF-8")
+        val len = math.max(t.length, 1)
+        val w = 1 + (t.length % 32)
+        val h = 1 + (t.length % 24)
+        val gray = (p: Int) => if (t.isEmpty) 0 else t(p % len) & 0xff
+        MediaRow(id, "jpeg", encodeImage("jpg", w, h, gray), w, h)
+      }
+  }
+
   /** Synthetic media table with REAL pixel/PCM content, derived
     * deterministically from the documents table so the decode path is
     * oracle-checkable from the source columns alone:

@@ -711,6 +711,9 @@ class PropertySpec extends SparkSpec {
         .agg(min(col("n_chars")), max(col("n_chars"))).head
       assert(r.getDouble(4) >= stats.getLong(0).toDouble &&
         r.getDouble(4) <= stats.getLong(1).toDouble)
+      // theta member: exhaustive at per-source cardinality ⇒ EXACT
+      assert(r.getLong(6) == r.getLong(2),
+        s"$src theta_distinct=${r.getLong(6)} exact=${r.getLong(2)}")
     }
   }
 

@@ -368,6 +368,64 @@ class StreamingSpec extends SparkSpec {
       const.feat0 == 77.0 && const.feat1 == 77.0 * 77)
   }
 
+  test("jpeg decode: dims exact, mean inside the DC-preservation band") {
+    val docsDf = Tables.documents(spark, sf)
+    val got = Multimodal.extractCodecFeatures(
+      Multimodal.syntheticJpegMedia(docsDf)).collect().map(f => f.id -> f).toMap
+    val docs = docsDf.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == docs.length)
+    for ((id, text) <- docs) {
+      val t = text.getBytes("UTF-8"); val len = math.max(t.length, 1)
+      val w = 1 + t.length % 32; val h = 1 + t.length % 24
+      var s = 0L
+      for (p <- 0 until w * h) s += (if (t.isEmpty) 0 else t(p % len) & 0xff)
+      val f = got(id)
+      assert(f.kind == "jpeg" && f.width == w && f.height == h, s"doc $id meta")
+      // lossy DCT moves individual pixels but block DC terms keep the
+      // image mean: gate the mean, not the pixels
+      assert(math.abs(f.feat0 - s.toDouble / (w * h)) <= 4.0,
+        s"doc $id mean ${f.feat0} vs ${s.toDouble / (w * h)}")
+      // mean-square dominates squared-mean (Jensen) for any real image
+      assert(f.feat1 >= f.feat0 * f.feat0 - 1e-9, s"doc $id jensen")
+    }
+  }
+
+  test("decoder fuzz: random/truncated bytes never throw or loop") {
+    val rnd = new scala.util.Random(42)
+    val valid = Seq[Array[Byte]](
+      Multimodal.encodeImage("png", 9, 7, _ % 256),
+      Multimodal.gifPixelPayload(9, 7, _ % 256),
+      Multimodal.encodeImage("tiff", 9, 7, _ % 256),
+      Multimodal.encodeImage("jpg", 9, 7, _ % 256),
+      Multimodal.bmpPayload(9, 7, _ % 256),
+      Multimodal.ppmPayload(9, 7, _ % 256),
+      Multimodal.wavPayload(1, 8000, 16, Array.fill(32)(7.toByte)),
+      Multimodal.wavPayload(7, 1, 8000, 8, Array.fill(32)(7.toByte)),
+      Multimodal.mp4Payload("isom", 600, 99, Seq((1, 32, 32)),
+        Array.fill(32)(7.toByte)))
+    def everyDecoder(b: Array[Byte]): Unit = {
+      Multimodal.imageDims(b); Multimodal.wavMeta(b); Multimodal.mp4Meta(b)
+      Multimodal.decodePixels(b); Multimodal.decodePixelsCodec(b)
+      Multimodal.decodePcm16(b); Multimodal.decodePcmMuLaw(b)
+    }
+    // pure random payloads
+    for (_ <- 0 until 50) {
+      val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b)
+      everyDecoder(b)
+    }
+    // truncations of every valid payload at random cut points
+    for (v <- valid; _ <- 0 until 20) everyDecoder(v.take(rnd.nextInt(v.length)))
+    // valid headers with randomly corrupted tails (size fields, box
+    // types, LZW streams, DCT segments — must quarantine, not crash)
+    for (v <- valid; _ <- 0 until 20) {
+      val b = v.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      everyDecoder(b)
+    }
+  }
+
   test("image header codecs: encode/parse round-trip, junk rejected") {
     val body = "payload bytes".getBytes("UTF-8")
     for ((w, h) <- Seq((1, 1), (640, 480), (13, 479), (639, 1))) {
