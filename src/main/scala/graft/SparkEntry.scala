@@ -1314,6 +1314,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("format"), col("channels"),
           col("sample_rate"), col("bits_per_sample"), col("n_frames"),
           col("duration_ms"))),
+    // AIFF big-endian twin of the WAV feature decode: COMM parses the
+    // 80-bit extended sample rate, SSND carries big-endian PCM16 — the
+    // oracle recomputes the same amplitude statistics from the text
+    "multimodal_aiff_features" -> ((s, d) =>
+      graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.syntheticAiffAudio(docs(s, d)))
+        .toDF()
+        .select(col("id").as("doc_id"), col("kind"),
+          col("n_bytes").cast("long").as("n_bytes"), col("feat0"), col("feat1"))),
     // JPEG (DCT, lossy by design): real entropy decode of ImageIO-
     // written streams; rows-only — the spec gates exact dims and a
     // DC-preservation band on the mean instead of a hash oracle
@@ -2724,6 +2733,18 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |  unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT), 2)) AS idx
         |  FROM documents)""".stripMargin,
+    // AIFF twin: same linear sample map as the WAV twin; n_bytes =
+    // FORM(12) + COMM(26) + SSND preamble(16) + 2·len = 54 + 2·len
+    "multimodal_aiff_features" ->
+      """SELECT doc_id, 'aiff' AS kind,
+        |CAST(54 + 2 * length(text) AS BIGINT) AS n_bytes,
+        |CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |  k -> (ascii(substr(text, CAST(k AS INT), 1)) - 128) * 256)) AS DOUBLE)
+        |  / length(text) AS feat0,
+        |CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |  k -> abs((ascii(substr(text, CAST(k AS INT), 1)) - 128) * 256))) AS DOUBLE)
+        |  / length(text) AS feat1
+        |FROM documents""".stripMargin,
     // µ-law twin: the G.711 expansion (complement; (mantissa·8+132)
     // shifted by segment; bias subtracted; sign applied) in exact
     // integer SQL over the same source bytes

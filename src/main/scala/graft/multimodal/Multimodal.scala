@@ -62,6 +62,7 @@ object Multimodal {
         }.orElse {
           decodePcm16(b).map(("wav", _))
             .orElse(decodePcmMuLaw(b).map(("ulaw", _)))
+            .orElse(decodePcm16Aiff(b).map(("aiff", _)))
             .map { case (kind, samples) =>
               var s = 0L; var sa = 0L; var k = 0
               while (k < samples.length) {
@@ -346,6 +347,90 @@ object Multimodal {
       }
     }
   }
+
+  // ── real container codec (AIFF — big-endian IFF audio) ─────────────
+
+  /** Parse an AIFF container: "FORM" + size + "AIFF", then an IFF chunk
+    * walk — "COMM" carries channels / frame count / bits and the sample
+    * rate as an 80-bit IEEE extended float (sign+15-bit exponent,
+    * 64-bit explicit-1 mantissa: rate = mantissa >>> (16383+63−exp)),
+    * all BIG-endian where WAV is little. Word-aligned chunks, monotone
+    * Long cursor, None on anything unrecognized — the same discipline
+    * as [[wavMeta]]. */
+  def aiffMeta(b: Array[Byte]): Option[WavMeta] = {
+    if (b.length < 12 || !tag(b, 0, "FORM") || !tag(b, 8, "AIFF")) return None
+    var channels = 0; var bits = 0; var rate = 0L; var frames = -1L
+    var haveComm = false
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val c = i.toInt
+      val sz = be32(b, c + 4) & 0xffffffffL
+      if (tag(b, c, "COMM") && sz >= 18 && i + 8 + 18 <= b.length) {
+        channels = be16(b, c + 8)
+        frames = be32(b, c + 10) & 0xffffffffL
+        bits = be16(b, c + 14)
+        val exp = be16(b, c + 16) & 0x7fff
+        val mant = ((be32(b, c + 18).toLong & 0xffffffffL) << 32) |
+          (be32(b, c + 22).toLong & 0xffffffffL)
+        val shift = 16383 + 63 - exp
+        rate = if (mant == 0L || shift < 0 || shift > 63) 0L else mant >>> shift
+        haveComm = true
+      }
+      i += 8 + sz + (sz & 1) // IFF chunks are word-aligned
+    }
+    if (haveComm && channels > 0 && rate > 0)
+      Some(WavMeta(channels, rate.toInt, bits, frames))
+    else None
+  }
+
+  /** Minimal valid AIFF around big-endian PCM body bytes (the inverse of
+    * [[aiffMeta]] for synthetic data): FORM/AIFF + COMM (with the 80-bit
+    * extended sample rate) + SSND. */
+  def aiffPayload(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      body: Array[Byte]): Array[Byte] = {
+    val frames = body.length / (channels * bitsPerSample / 8)
+    val log2 = 63 - java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+    val exp = 16383 + log2
+    val mant = sampleRate.toLong << (63 - log2)
+    val bb = java.nio.ByteBuffer.allocate(12 + 26 + 16 + body.length)
+    bb.put("FORM".getBytes("US-ASCII")).putInt(12 + 26 + 16 + body.length - 8)
+    bb.put("AIFF".getBytes("US-ASCII"))
+    bb.put("COMM".getBytes("US-ASCII")).putInt(18)
+    bb.putShort(channels.toShort).putInt(frames).putShort(bitsPerSample.toShort)
+    bb.putShort(exp.toShort).putLong(mant) // 80-bit extended
+    bb.put("SSND".getBytes("US-ASCII")).putInt(8 + body.length)
+    bb.putInt(0).putInt(0) // offset, block size
+    bb.put(body)
+    bb.array()
+  }
+
+  /** Decode AIFF 16-bit PCM sample CONTENT: signed BIG-endian samples
+    * from the SSND chunk (after its offset/blockSize preamble). */
+  def decodePcm16Aiff(b: Array[Byte]): Option[Array[Int]] =
+    aiffMeta(b).filter(_.bitsPerSample == 16).flatMap { _ =>
+      var i = 12L
+      var res: Option[Array[Int]] = None
+      while (res.isEmpty && i + 8 <= b.length) {
+        val c = i.toInt
+        val sz = be32(b, c + 4) & 0xffffffffL
+        if (tag(b, c, "SSND") && sz >= 8) {
+          val off = i + 8 + 8 // skip offset + blockSize fields
+          val size = math.min(sz - 8, b.length - off)
+          if (size >= 0) {
+            val n = (size / 2).toInt
+            val out = new Array[Int](n)
+            var k = 0
+            while (k < n) {
+              out(k) = be16(b, (off + 2L * k).toInt).toShort.toInt
+              k += 1
+            }
+            res = Some(out)
+          }
+        }
+        i += 8 + sz + (sz & 1)
+      }
+      res
+    }
 
   // ── real container codec (MP4 / ISO base media file format) ────────
 
@@ -847,6 +932,30 @@ object Multimodal {
           case 1 => MediaRow(id, "gif", gifPixelPayload(w, h, gray), w, h)
           case _ => MediaRow(id, "tiff", encodeImage("tiff", w, h, gray), w, h)
         }
+      }
+  }
+
+  /** Synthetic AIFF table: REAL big-endian PCM16 payloads (mono, rate by
+    * doc_id mod 3, sample k = (byte_k − 128)·256 — the same linear map
+    * as the WAV twin but byte-swapped) so the big-endian decode path is
+    * oracle-checkable from the source columns alone. */
+  def syntheticAiffAudio(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val t = text.getBytes("UTF-8")
+        val body = new Array[Byte](2 * t.length)
+        var k = 0
+        while (k < t.length) {
+          val s = ((t(k) & 0xff) - 128) * 256
+          body(2 * k) = ((s >> 8) & 0xff).toByte // big-endian
+          body(2 * k + 1) = (s & 0xff).toByte
+          k += 1
+        }
+        val rate = (id % 3) match {
+          case 0 => 8000; case 1 => 22050; case _ => 48000
+        }
+        MediaRow(id, "aiff", aiffPayload(1, rate, 16, body), 0, 0)
       }
   }
 

@@ -402,10 +402,12 @@ class StreamingSpec extends SparkSpec {
       Multimodal.ppmPayload(9, 7, _ % 256),
       Multimodal.wavPayload(1, 8000, 16, Array.fill(32)(7.toByte)),
       Multimodal.wavPayload(7, 1, 8000, 8, Array.fill(32)(7.toByte)),
+      Multimodal.aiffPayload(1, 22050, 16, Array.fill(32)(7.toByte)),
       Multimodal.mp4Payload("isom", 600, 99, Seq((1, 32, 32)),
         Array.fill(32)(7.toByte)))
     def everyDecoder(b: Array[Byte]): Unit = {
       Multimodal.imageDims(b); Multimodal.wavMeta(b); Multimodal.mp4Meta(b)
+      Multimodal.aiffMeta(b); Multimodal.decodePcm16Aiff(b)
       Multimodal.decodePixels(b); Multimodal.decodePixelsCodec(b)
       Multimodal.decodePcm16(b); Multimodal.decodePcmMuLaw(b)
     }
@@ -474,6 +476,31 @@ class StreamingSpec extends SparkSpec {
     val lin = body.map(b => Multimodal.muLawToLinear(b & 0xff))
     assert(feats.head.feat0 == lin.map(_.toLong).sum.toDouble / lin.length)
     assert(feats.head.feat1 == lin.map(v => math.abs(v).toLong).sum.toDouble / lin.length)
+  }
+
+  test("aiff codec: 80-bit rate round-trip, big-endian samples, junk rejected") {
+    // the 80-bit extended-float encode/decode is exact for every common
+    // rate, including non-powers-of-two
+    for (rate <- Seq(8000, 11025, 16000, 22050, 44100, 48000, 96000)) {
+      val m = Multimodal.aiffMeta(
+        Multimodal.aiffPayload(2, rate, 16, new Array[Byte](40)))
+      assert(m.contains(Multimodal.WavMeta(2, rate, 16, 10)), s"rate $rate -> $m")
+    }
+    // signed big-endian samples survive (incl. negatives)
+    val samples = Array(-32768, -1, 0, 1, 255, -256, 32767)
+    val body = new Array[Byte](2 * samples.length)
+    samples.zipWithIndex.foreach { case (s, k) =>
+      body(2 * k) = ((s >> 8) & 0xff).toByte; body(2 * k + 1) = (s & 0xff).toByte
+    }
+    val aiff = Multimodal.aiffPayload(1, 22050, 16, body)
+    assert(Multimodal.decodePcm16Aiff(aiff).exists(_.sameElements(samples)))
+    // a WAV is not an AIFF and vice versa; junk rejected
+    assert(Multimodal.decodePcm16Aiff(
+      Multimodal.wavPayload(1, 8000, 16, body)).isEmpty)
+    assert(Multimodal.decodePcm16(aiff).isEmpty)
+    assert(Multimodal.aiffMeta("FORMnot an aiff file".getBytes).isEmpty)
+    assert(Multimodal.aiffMeta(Array[Byte]()).isEmpty)
+    assert(Multimodal.aiffMeta(aiff.take(20)).isEmpty)
   }
 
   test("mp4 box codec: encode/walk round-trip, junk rejected") {
