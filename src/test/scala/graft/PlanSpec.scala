@@ -14,6 +14,46 @@ class PlanSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // at cluster scale a selective dim-side predicate should prune fact
+    // rows BEFORE the shuffle even when the dim is too big to broadcast;
+    // Spark's InjectRuntimeFilter does this with a bloom filter — prove
+    // the engine's join shapes qualify (equi-join + selective creation
+    // side), with thresholds scaled down to the test data size
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val p = j.queryExecution.optimizedPlan.toString
+      // fact side gains might_contain(bloom of the filtered dim keys)
+      // BELOW the join — pruned before the shuffle
+      assert(p.contains("might_contain"), p.take(4000))
+      assert(p.contains("bloom_filter_agg"), p.take(4000))
+      // and the result is unchanged by the runtime filter
+      val withBloom = j.collect()
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = j.collect()
+      assert(withBloom.map(_.toString).sorted
+        .sameElements(without.map(_.toString).sorted))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("filters are pushed down to the parquet scan") {
     val df = Tables.lineitem(spark, sf)
       .filter(Filters.range(col("l_extendedprice"), 1000.0, 5000.0))
