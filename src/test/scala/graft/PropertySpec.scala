@@ -686,6 +686,39 @@ class PropertySpec extends SparkSpec {
     assert(pairSum(cold) == pairSum(inMem))
   }
 
+  test("theta sketch matches a brute-force KMV reference on random data") {
+    import graft.functions.ThetaSketch
+    import graft.functions.ThetaSketch._
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    // reference model: the canonical blob is fully determined by the
+    // sorted distinct masked hashes of the input — θ = k-th smallest
+    // (or 2⁶³−1 if fewer), live = the entries strictly below θ
+    def reference(vals: Seq[Long], k: Int): (Long, Seq[Long]) = {
+      val hs = vals.map(v => XxHash64Function.hash(v, LongType, 42L) & Long.MaxValue)
+        .distinct.sorted
+      if (hs.length < k) (Long.MaxValue, hs)
+      else (hs(k - 1), hs.take(k - 1))
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 6) {
+      val n = 50 + rnd.nextInt(3000)
+      val k = Seq(16, 64, 256)(trial % 3)
+      // duplicates on purpose: values drawn from a range smaller than n
+      val vals = Seq.fill(n)(rnd.nextInt(n / 2 + 10).toLong)
+      val parts = 1 + rnd.nextInt(8)
+      val blob = vals.zipWithIndex.toDF("v", "i")
+        .groupBy(pmod(col("i"), lit(parts)))
+        .agg(ThetaSketch.theta_build(col("v"), k).as("sk"))
+        .agg(ThetaSketch.theta_merge(col("sk")).as("sk"))
+        .head.getAs[Array[Byte]]("sk")
+      val got = ThetaSketch.deser(blob)
+      val (theta, live) = reference(vals, k)
+      assert(got.theta == theta && got.vs.toSeq == live,
+        s"trial $trial n=$n k=$k parts=$parts diverged")
+    }
+  }
+
   test("corpus sketch report: every estimate bounded by its exact twin") {
     val rows = graft.SparkEntry.queries("corpus_sketch_report")(spark, sf).collect()
     assert(rows.nonEmpty)
