@@ -985,6 +985,27 @@ object SparkEntry {
       graft.sources.Sources.saveRoundTrip(
         li(s, d).filter(col("l_quantity") > 48.0)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))),
+    // zone-map data skipping: docs land partitioned by ingest batch
+    // (floor(doc_id/50) — the monotone-id arrival layout); a doc_id
+    // range query consults the per-batch min/max stats table and only
+    // opens partitions that might match — pruning on a NON-partition
+    // column, which built-in partition pruning cannot do. The skip is
+    // conservative (read unless provably empty), so the result hash-
+    // equals the full scan and the query stays fully oracled.
+    "zonemap_skip" -> ((s, d) => {
+      import graft.engine.Skipping
+      val dd = docs(s, d)
+        .withColumn("batch", floor(col("doc_id") / 50).cast("long"))
+      val dir = graft.sources.Sources.rtDir("zonemap_batch")
+      dd.write.mode("overwrite").partitionBy("batch").parquet(dir)
+      val zm = Skipping.buildZoneMap(dd, "batch", Seq("doc_id"))
+      Skipping.readWithSkipping(s, dir, zm, "batch", "doc_id",
+          lit(100L), lit(299L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    }),
     // hive-layout partitioned sink: write docs partitioned by lang,
     // re-read, aggregate — proves the layout preserves every row/value
     // (partition pruning on the re-read is plan-asserted in PlanSpec)
@@ -2331,6 +2352,12 @@ object SparkEntry {
     "sink_partitioned" ->
       """SELECT lang, source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // zone-map skipping is conservative, so the skipped scan must equal
+    // the full scan of the same range predicate
+    "zonemap_skip" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id BETWEEN 100 AND 299
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "hist_3d" ->
       """SELECT LEAST(CAST(FLOOR((l_quantity - 0.0) / ((50.0 - 0.0) / 5.0)) AS INT), 4) AS bx,
         |LEAST(CAST(FLOOR((l_discount - 0.0) / ((0.1 - 0.0) / 3.0)) AS INT), 2) AS by,

@@ -54,6 +54,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("zone-map skipping prunes partitions on a non-partition predicate") {
+    import graft.engine.Skipping
+    val dd = Tables.documents(spark, sf)
+      .withColumn("batch", floor(col("doc_id") / 50).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("zm_test").toString
+    dd.write.mode("overwrite").partitionBy("batch").parquet(dir)
+    val zm = Skipping.buildZoneMap(dd, "batch", Seq("doc_id"))
+    // only batches 2..5 can hold doc_id in [100,299]
+    val cands = Skipping.candidatePartitions(
+      zm, "batch", "doc_id", lit(100L), lit(299L))
+    assert(cands.map(_.asInstanceOf[Long]).sorted == Seq(2L, 3L, 4L, 5L), cands)
+    val df = Skipping.readWithSkipping(
+      spark, dir, zm, "batch", "doc_id", lit(100L), lit(299L))
+    // the candidate set reaches the scan as a PARTITION filter (file-
+    // index pruning), not just a row predicate
+    val p = df.queryExecution.executedPlan.toString
+    // rendered as e.g. `PartitionFilters: [batch#36 IN (2,4,5,3)]` —
+    // set membership, values unordered
+    val pf = "PartitionFilters: \\[batch#\\d+ IN \\(([0-9,]+)\\)\\]".r
+    val inSet = pf.findFirstMatchIn(p).map(_.group(1).split(",").map(_.toLong).toSet)
+    assert(inSet.contains(Set(2L, 3L, 4L, 5L)), p.take(2000))
+    // conservative skip ⇒ result equality with the unskipped scan
+    val full = Tables.documents(spark, sf)
+      .filter(col("doc_id").between(100L, 299L))
+    assert(df.count() == full.count() && df.count() > 0)
+    // negative control: a range beyond every zone provably reads nothing
+    val none = Skipping.readWithSkipping(spark, dir, zm, "batch", "doc_id",
+      lit(10000000L), lit(20000000L))
+    assert(none.count() == 0)
+  }
+
   test("filters are pushed down to the parquet scan") {
     val df = Tables.lineitem(spark, sf)
       .filter(Filters.range(col("l_extendedprice"), 1000.0, 5000.0))
