@@ -1168,6 +1168,28 @@ object SparkEntry {
         all.filter(pmod(col("doc_id"), lit(10L)) === 0L),
         all.filter(pmod(col("doc_id"), lit(10L)) =!= 0L), 3, 64, 32, 0.5)
     }),
+    // delta novelty from STORED sketches: "how much of this crawl is
+    // genuinely new?" answered by theta set algebra on two kilobyte
+    // blobs — no delta×corpus join at all (the cheap pre-gate before
+    // dedup_incremental's banding pass). k=8192 exceeds both distinct
+    // text counts at verify scale, so the answers are EXACT ⇒ fully
+    // oracled; at corpus scale the same query degrades gracefully to
+    // ~1/√k-error estimates (property-gated regime in PropertySpec).
+    "dedup_delta_novelty" -> ((s, d) => {
+      import graft.functions.ThetaSketch
+      val all = docs(s, d)
+      val corpus = all.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+        .agg(ThetaSketch.theta_build(col("text"), 8192).as("sk_c"))
+      val delta = all.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+        .agg(ThetaSketch.theta_build(col("text"), 8192).as("sk_d"))
+      delta.crossJoin(corpus).select(
+        round(ThetaSketch.theta_estimate(col("sk_d")))
+          .cast("long").as("delta_distinct"),
+        round(ThetaSketch.theta_anotb(col("sk_d"), col("sk_c")))
+          .cast("long").as("novel_texts"),
+        (ThetaSketch.theta_anotb(col("sk_d"), col("sk_c")) /
+          ThetaSketch.theta_estimate(col("sk_d"))).as("novelty_rate"))
+    }),
     // default 9 single-chunk bands: fastest at this corpus size; the
     // (nChunks, chunksPerKey) lever trades band count for key width when
     // narrow keys over-collide at larger corpora
@@ -2499,6 +2521,17 @@ object SparkEntry {
         |FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
         |WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5""".stripMargin,
     "dedup_minhash_lsh" -> shingleCte,
+    // exhaustive regime ⇒ theta answers equal the true set counts; the
+    // rate is one division of exact integers, rounded identically
+    "dedup_delta_novelty" ->
+      """WITH corpus AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 <> 0),
+        |delta AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT CAST((SELECT count(*) FROM delta) AS BIGINT) AS delta_distinct,
+        |CAST((SELECT count(*) FROM delta
+        |      WHERE text NOT IN (SELECT text FROM corpus)) AS BIGINT) AS novel_texts,
+        |CAST((SELECT count(*) FROM delta
+        |      WHERE text NOT IN (SELECT text FROM corpus)) AS DOUBLE)
+        |  / (SELECT count(*) FROM delta) AS novelty_rate""".stripMargin,
     // exact cross-split Jaccard: delta (doc_id%10=0) vs corpus (rest)
     "dedup_incremental" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
