@@ -40,7 +40,8 @@ object Plans {
     // box walk, true pixel resize, G.711 expansion, theta set algebra
     "multimodal_codec_features", "multimodal_video_meta",
     "multimodal_resize_pixels", "multimodal_ulaw_features",
-    "multimodal_aiff_features", "sketch_theta_algebra", "zonemap_skip")
+    "multimodal_aiff_features", "sketch_theta_algebra", "zonemap_skip",
+    "dedup_delta_novelty")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -994,8 +994,11 @@ object SparkEntry {
     // equals the full scan and the query stays fully oracled.
     "zonemap_skip" -> ((s, d) => {
       import graft.engine.Skipping
+      // 200-doc ingest batches: partition-dir count stays write-sane at
+      // every SF while the [100,299] probe still prunes (finer-grained
+      // pruning is plan-gated in PlanSpec with 50-doc batches)
       val dd = docs(s, d)
-        .withColumn("batch", floor(col("doc_id") / 50).cast("long"))
+        .withColumn("batch", floor(col("doc_id") / 200).cast("long"))
       val dir = graft.sources.Sources.rtDir("zonemap_batch")
       dd.write.mode("overwrite").partitionBy("batch").parquet(dir)
       val zm = Skipping.buildZoneMap(dd, "batch", Seq("doc_id"))
