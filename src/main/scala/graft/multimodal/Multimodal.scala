@@ -635,27 +635,33 @@ object Multimodal {
     out
   }
 
-  /** Decode pixel CONTENT from a BMP (24bpp uncompressed, bottom-up,
-    * padded rows, BGR) or PPM (P6, maxval 255) payload: returns
-    * (format, width, height, channel intensities 0–255 flattened RGB
-    * top-down row-major), or None for anything else (other bit depths,
-    * compressed BMPs, truncated pixel arrays). Pure byte inspection of
-    * public formats.
+  /** Decode pixel CONTENT from a BMP (24bpp uncompressed, padded rows,
+    * BGR; bottom-up by default, top-down when the header height is
+    * negative per the BITMAPINFOHEADER spec), PPM (P6, maxval 255), or
+    * PGM (P5 grayscale) payload: returns (format, width, height,
+    * channel intensities 0–255 flattened top-down row-major — 3
+    * channels for BMP/PPM, 1 for PGM), or None for anything else
+    * (other bit depths, compressed BMPs, truncated pixel arrays). Pure
+    * byte inspection of public formats.
     */
   def decodePixels(b: Array[Byte]): Option[(String, Int, Int, Array[Int])] = {
     if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
       val off = le32(b, 10)
       val w = le32(b, 18).toInt
-      val h = le32(b, 22).toInt
+      val rawH = le32(b, 22).toInt
+      val topDown = rawH < 0 // negative height = rows stored top-down
+      val h = math.abs(rawH)
       val bpp = le16(b, 28)
       val comp = le32(b, 30)
-      if (w <= 0 || h <= 0 || bpp != 24 || comp != 0L) return None
+      if (w <= 0 || h <= 0 || rawH == Int.MinValue || bpp != 24 || comp != 0L)
+        return None
       val rowSize = (3 * w + 3) / 4 * 4
       if (off < 54 || off + rowSize.toLong * h > b.length) return None
       val out = new Array[Int](3 * w * h)
       var y = 0
       while (y < h) {
-        val src = off.toInt + (h - 1 - y) * rowSize // stored bottom-up
+        val srcRow = if (topDown) y else h - 1 - y
+        val src = off.toInt + srcRow * rowSize
         var x = 0
         while (x < w) {
           val i = src + 3 * x
@@ -668,35 +674,67 @@ object Multimodal {
         y += 1
       }
       Some(("bmp", w, h, out))
-    } else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
-      // header: three whitespace-separated decimal fields (w, h, maxval);
-      // '#' comment lines are part of the public spec, so skip them
-      var i = 2
-      val vals = new Array[Int](3)
-      var k = 0
-      while (k < 3) {
-        while (i < b.length && (b(i) == ' ' || b(i) == '\n' ||
-          b(i) == '\r' || b(i) == '\t')) i += 1
-        if (i < b.length && b(i) == '#') {
-          while (i < b.length && b(i) != '\n') i += 1
-        } else {
-          var v = 0; var any = false
-          while (i < b.length && b(i) >= '0' && b(i) <= '9' && v <= 0xffffff) {
-            v = v * 10 + (b(i) - '0'); i += 1; any = true
-          }
-          if (!any) return None
-          vals(k) = v; k += 1
+    } else if (b.length >= 2 && b(0) == 'P' && b(1) == '5') {
+      // PGM P5: same ASCII header as P6, one gray byte per pixel
+      parseNetpbmHeader(b).flatMap { case (w, h, i) =>
+        if (i.toLong + w.toLong * h > b.length) None
+        else {
+          val out = new Array[Int](w * h)
+          var p = 0
+          while (p < out.length) { out(p) = b(i + p) & 0xff; p += 1 }
+          Some(("pgm", w, h, out))
         }
       }
-      val w = vals(0); val h = vals(1)
-      if (w <= 0 || h <= 0 || vals(2) != 255 || i >= b.length) return None
-      i += 1 // exactly one whitespace byte separates header from raster
-      if (i.toLong + 3L * w * h > b.length) return None
-      val out = new Array[Int](3 * w * h)
-      var p = 0
-      while (p < out.length) { out(p) = b(i + p) & 0xff; p += 1 }
-      Some(("ppm", w, h, out))
+    } else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
+      parseNetpbmHeader(b).flatMap { case (w, h, i) =>
+        if (i.toLong + 3L * w * h > b.length) None
+        else {
+          val out = new Array[Int](3 * w * h)
+          var p = 0
+          while (p < out.length) { out(p) = b(i + p) & 0xff; p += 1 }
+          Some(("ppm", w, h, out))
+        }
+      }
     } else None
+  }
+
+  /** Netpbm binary header ("P5"/"P6" + three whitespace-separated
+    * decimal fields w, h, maxval; '#' comment lines are part of the
+    * public spec): returns (w, h, raster start offset) when maxval is
+    * 255 and dims are sane. */
+  private def parseNetpbmHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    var i = 2
+    val vals = new Array[Int](3)
+    var k = 0
+    while (k < 3) {
+      while (i < b.length && (b(i) == ' ' || b(i) == '\n' ||
+        b(i) == '\r' || b(i) == '\t')) i += 1
+      if (i < b.length && b(i) == '#') {
+        while (i < b.length && b(i) != '\n') i += 1
+      } else {
+        var v = 0; var any = false
+        while (i < b.length && b(i) >= '0' && b(i) <= '9' && v <= 0xffffff) {
+          v = v * 10 + (b(i) - '0'); i += 1; any = true
+        }
+        if (!any) return None
+        vals(k) = v; k += 1
+      }
+    }
+    val w = vals(0); val h = vals(1)
+    if (w <= 0 || h <= 0 || vals(2) != 255 || i >= b.length) None
+    else Some((w, h, i + 1)) // one whitespace byte precedes the raster
+  }
+
+  /** Encode a grayscale image as a REAL binary PGM (P5): ASCII header +
+    * w·h gray bytes top-down row-major (the single-channel sibling of
+    * [[ppmPayload]]). */
+  def pgmPayload(w: Int, h: Int, gray: Int => Int): Array[Byte] = {
+    val hdr = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](hdr.length + w * h)
+    System.arraycopy(hdr, 0, out, 0, hdr.length)
+    var p = 0
+    while (p < w * h) { out(hdr.length + p) = (gray(p) & 0xff).toByte; p += 1 }
+    out
   }
 
   /** Locate the raw "data" chunk payload inside a RIFF/WAVE container:

@@ -260,6 +260,31 @@ class StreamingSpec extends SparkSpec {
           assert(px(3 * p + c) == gray(p), s"$fmt pixel $p channel $c")
       }
     }
+    // PGM P5: single-channel sibling — 1 gray byte per pixel
+    for ((w, h) <- Seq((1, 1), (5, 3), (32, 24))) {
+      val gray = (p: Int) => (p * 37 + 11) % 256
+      val Some((fmt, dw, dh, px)) =
+        Multimodal.decodePixels(Multimodal.pgmPayload(w, h, gray))
+      assert(fmt == "pgm" && dw == w && dh == h && px.length == w * h)
+      for (p <- 0 until w * h) assert(px(p) == gray(p), s"pgm pixel $p")
+    }
+    // top-down BMP (negative header height, per BITMAPINFOHEADER):
+    // decodes to the same logical top-down pixel order
+    {
+      val w = 5; val h = 3
+      val gray = (p: Int) => (p * 31 + 7) % 256
+      // rows pre-flipped so the bottom-up writer emits file rows in
+      // top-down logical order, then the height field is negated
+      val td = Multimodal.bmpPayload(w, h,
+        p => gray((h - 1 - p / w) * w + p % w))
+      val neg = -h
+      td(22) = (neg & 0xff).toByte; td(23) = ((neg >> 8) & 0xff).toByte
+      td(24) = ((neg >> 16) & 0xff).toByte; td(25) = ((neg >> 24) & 0xff).toByte
+      val Some((fmt, dw, dh, px)) = Multimodal.decodePixels(td)
+      assert(fmt == "bmp" && dw == w && dh == h)
+      for (p <- 0 until w * h; c <- 0 until 3)
+        assert(px(3 * p + c) == gray(p), s"top-down bmp pixel $p")
+    }
     // WAV PCM16: signed samples survive the LE encode/decode (incl.
     // negative values via sign extension)
     val samples = Array(-32768, -1, 0, 1, 255, -256, 32767)
