@@ -1675,6 +1675,28 @@ object SparkEntry {
       graft.geo.Geo.tagPoints(pts, polys, col("px"), col("py"), convex = false)
         .groupBy(col("poly")).agg(count(lit(1)).as("n_points"))
     }),
+    "geo_polygon_holes" -> ((s, d) => {
+      // polygons WITH HOLES: a donut (outer square + interior hole ring,
+      // one multi-part shapefile RECORD — the numParts>1 case) and a
+      // solid square, through the full real-bytes path: write .shp/.dbf,
+      // parse rings grouped, even-odd containment ACROSS rings. A point
+      // inside the hole is outside the feature; hole boundary is inside.
+      // Axis-aligned rings on the integer grid keep the oracle exact.
+      val dir = java.nio.file.Files.createTempDirectory("graft_shp_holes")
+      val base = dir.resolve("features").toString
+      graft.geo.Shapefile.writeFeatures(base, Seq(
+        ("donut", Seq(
+          Seq((10.0, 10.0), (80.0, 10.0), (80.0, 80.0), (10.0, 80.0)),
+          Seq((30.0, 30.0), (60.0, 30.0), (60.0, 60.0), (30.0, 60.0)))),
+        ("plate", Seq(
+          Seq((85.0, 85.0), (96.0, 85.0), (96.0, 96.0), (85.0, 96.0))))))
+      val feats = graft.geo.Shapefile.readFeatures(s, base)
+      val pts = cust(s, d).select(
+        (col("c_custkey") % 97).cast("double").as("px"),
+        (expr("c_custkey div 97") % 97).cast("double").as("py"))
+      graft.geo.Geo.tagPointsRings(pts, feats, col("px"), col("py"))
+        .groupBy(col("poly")).agg(count(lit(1)).as("n_points"))
+    }),
     "asof_join" -> ((s, d) => {
       val e = ev(s, d)
       val clicks = e.filter(col("event_type") === "click")
@@ -3033,6 +3055,19 @@ object SparkEntry {
         |  WHEN py >= 0 AND py <= 96 AND px >= 49 AND px <= 96 THEN 'east'
         |  WHEN py >= 49 AND (-24*(py-49) - 47*(px-48)) >= 0
         |    AND (-24*(py-96) + 47*(px-24)) >= 0 THEN 'north'
+        |  END AS poly FROM p)
+        |SELECT poly, count(*) AS n_points FROM t WHERE poly IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    // hole-aware twin: inside donut = inside the outer box (boundary
+    // incl.) AND NOT strictly inside the hole (hole boundary belongs to
+    // the feature) — even-odd across rings on axis-aligned integers
+    "geo_polygon_holes" ->
+      """WITH p AS (SELECT CAST(c_custkey % 97 AS DOUBLE) AS px,
+        |  CAST((c_custkey // 97) % 97 AS DOUBLE) AS py FROM customer),
+        |t AS (SELECT CASE
+        |  WHEN px >= 10 AND px <= 80 AND py >= 10 AND py <= 80
+        |    AND NOT (px > 30 AND px < 60 AND py > 30 AND py < 60) THEN 'donut'
+        |  WHEN px >= 85 AND px <= 96 AND py >= 85 AND py <= 96 THEN 'plate'
         |  END AS poly FROM p)
         |SELECT poly, count(*) AS n_points FROM t WHERE poly IS NOT NULL
         |GROUP BY 1""".stripMargin,

@@ -46,24 +46,43 @@ object Geo {
     * rule ((ay > py) ≠ (by > py)) counts a vertex-touching ray once.
     * Still a pure codegen'd array expression — no UDF, no JTS.
     */
-  def containsPointRayCast(verts: Column, px: Column, py: Column): Column = {
+  private def ringEdges(verts: Column): Column = {
     val nxt = concat(slice(verts, lit(2), size(verts)), slice(verts, 1, 1))
-    val edges = zip_with(verts, nxt, (a, b) =>
+    zip_with(verts, nxt, (a, b) =>
       struct(a("x").as("ax"), a("y").as("ay"), b("x").as("bx"), b("y").as("by")))
-    val onEdge = exists(edges, e => {
+  }
+
+  private def onEdgeExpr(verts: Column, px: Column, py: Column): Column =
+    exists(ringEdges(verts), e => {
       val cross = (e("bx") - e("ax")) * (py - e("ay")) -
         (e("by") - e("ay")) * (px - e("ax"))
       cross === 0 &&
         px >= least(e("ax"), e("bx")) && px <= greatest(e("ax"), e("bx")) &&
         py >= least(e("ay"), e("by")) && py <= greatest(e("ay"), e("by"))
     })
-    val crossings = size(filter(edges, e => {
+
+  private def crossingCountExpr(verts: Column, px: Column, py: Column): Column =
+    size(filter(ringEdges(verts), e => {
       val num = (e("bx") - e("ax")) * (py - e("ay")) -
         (px - e("ax")) * (e("by") - e("ay"))
       ((e("ay") > py) =!= (e("by") > py)) && ((num > 0) === (e("by") > e("ay")))
     }))
-    onEdge || crossings % 2 === 1
-  }
+
+  def containsPointRayCast(verts: Column, px: Column, py: Column): Column =
+    onEdgeExpr(verts, px, py) || crossingCountExpr(verts, px, py) % 2 === 1
+
+  /** Point-in-polygon for a MULTI-RING feature (outer boundary plus
+    * hole rings — the shapefile polygon record's native shape,
+    * `rings: array<array<struct<x,y>>>`) by the even-odd rule ACROSS
+    * rings: total crossing parity over every ring's edges, so a point
+    * inside a hole (even: outer + hole) is outside the feature while a
+    * point inside outer-only (odd) is inside. Any ring boundary is
+    * inside (closed-set semantics, matching the single-ring tests).
+    * Still a pure codegen'd array expression. */
+  def containsPointEvenOdd(rings: Column, px: Column, py: Column): Column =
+    exists(rings, r => onEdgeExpr(r, px, py)) ||
+      aggregate(rings, lit(0),
+        (acc, r) => acc + crossingCountExpr(r, px, py)) % 2 === 1
 
   /** Build the polygon metadata frame from (name, vertex list) pairs. */
   def polygonSet(spark: org.apache.spark.sql.SparkSession,
@@ -72,6 +91,24 @@ object Geo {
     polys.toDF("poly", "vr").select(col("poly"),
       transform(col("vr"), v => struct(v("_1").as("x"), v("_2").as("y"))).as("verts"))
   }
+
+  /** Build the multi-ring feature frame from (name, rings) pairs —
+    * ring 0 the outer boundary, subsequent rings holes (or further
+    * outers; even-odd handles any nesting). */
+  def ringSet(spark: org.apache.spark.sql.SparkSession,
+      feats: Seq[(String, Seq[Seq[(Double, Double)]])]): DataFrame = {
+    import spark.implicits._
+    feats.toDF("poly", "rr").select(col("poly"),
+      transform(col("rr"), r =>
+        transform(r, v => struct(v("_1").as("x"), v("_2").as("y")))).as("rings"))
+  }
+
+  /** Tag points against multi-ring (hole-aware) features — broadcast
+    * nested-loop like [[tagPoints]], even-odd containment. */
+  def tagPointsRings(points: DataFrame, features: DataFrame,
+      px: Column, py: Column): DataFrame =
+    points.join(broadcast(features),
+      containsPointEvenOdd(col("rings"), px, py)).drop("rings")
 
   /** Tag each point row with the polygon containing it (rows outside
     * every polygon are dropped; polygons are assumed disjoint, else a

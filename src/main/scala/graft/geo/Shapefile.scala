@@ -44,14 +44,23 @@ object Shapefile {
     * ring is closed on write per the spec. Intended for fixtures and as
     * the shapefile SINK — the reader below round-trips it.
     */
-  def writePolygons(base: String, polys: Seq[(String, Seq[(Double, Double)])]): Unit = {
+  def writePolygons(base: String, polys: Seq[(String, Seq[(Double, Double)])]): Unit =
+    writeFeatures(base, polys.map { case (n, ring) => (n, Seq(ring)) })
+
+  /** Write multi-ring features (one polygon RECORD per feature; ring 0
+    * the outer boundary, later rings holes — the spec's numParts > 1
+    * case) as a REAL `.shp` + `.dbf` pair at `base`. */
+  def writeFeatures(base: String,
+      polys: Seq[(String, Seq[Seq[(Double, Double)]])]): Unit = {
     // ── .shp ──
-    val recs = polys.map { case (_, ring0) =>
-      val ring = if (ring0.nonEmpty && ring0.head != ring0.last) ring0 :+ ring0.head else ring0
+    val recs = polys.map { case (_, rings0) =>
+      val rings = rings0.map { r =>
+        if (r.nonEmpty && r.head != r.last) r :+ r.head else r
+      }
       // content: type(4) + box(32) + numParts(4) + numPoints(4) +
-      // parts(4) + points(16·n)
-      val contentBytes = 44 + 4 + 16 * ring.length
-      (ring, contentBytes)
+      // parts(4·numParts) + points(16·n)
+      val contentBytes = 44 + 4 * rings.length + 16 * rings.map(_.length).sum
+      (rings, contentBytes)
     }
     val fileBytes = 100 + recs.map(8 + _._2).sum
     val shp = ByteBuffer.allocate(fileBytes)
@@ -60,21 +69,24 @@ object Shapefile {
     shp.putInt(fileBytes / 2) // length in 16-bit words
     shp.order(ByteOrder.LITTLE_ENDIAN)
     shp.putInt(1000).putInt(5) // version, polygon
-    val xs = polys.flatMap(_._2.map(_._1)); val ys = polys.flatMap(_._2.map(_._2))
+    val xs = polys.flatMap(_._2.flatten.map(_._1))
+    val ys = polys.flatMap(_._2.flatten.map(_._2))
     shp.putDouble(xs.minOption.getOrElse(0)).putDouble(ys.minOption.getOrElse(0))
     shp.putDouble(xs.maxOption.getOrElse(0)).putDouble(ys.maxOption.getOrElse(0))
     shp.putDouble(0).putDouble(0).putDouble(0).putDouble(0) // Z/M ranges
-    recs.zipWithIndex.foreach { case ((ring, contentBytes), i) =>
+    recs.zipWithIndex.foreach { case ((rings, contentBytes), i) =>
       shp.order(ByteOrder.BIG_ENDIAN)
       shp.putInt(i + 1).putInt(contentBytes / 2) // record header
       shp.order(ByteOrder.LITTLE_ENDIAN)
       shp.putInt(5)
-      shp.putDouble(ring.map(_._1).minOption.getOrElse(0))
-      shp.putDouble(ring.map(_._2).minOption.getOrElse(0))
-      shp.putDouble(ring.map(_._1).maxOption.getOrElse(0))
-      shp.putDouble(ring.map(_._2).maxOption.getOrElse(0))
-      shp.putInt(1).putInt(ring.length).putInt(0) // 1 part starting at 0
-      ring.foreach { case (x, y) => shp.putDouble(x).putDouble(y) }
+      val rxs = rings.flatten.map(_._1); val rys = rings.flatten.map(_._2)
+      shp.putDouble(rxs.minOption.getOrElse(0))
+      shp.putDouble(rys.minOption.getOrElse(0))
+      shp.putDouble(rxs.maxOption.getOrElse(0))
+      shp.putDouble(rys.maxOption.getOrElse(0))
+      shp.putInt(rings.length).putInt(rings.map(_.length).sum)
+      rings.scanLeft(0)(_ + _.length).init.foreach(shp.putInt) // part starts
+      rings.flatten.foreach { case (x, y) => shp.putDouble(x).putDouble(y) }
     }
     Files.write(Paths.get(base + ".shp"), shp.array())
     // ── .dbf ──
@@ -107,7 +119,16 @@ object Shapefile {
     * malformed records throw — a feature set is configuration, and a
     * silently half-loaded one mis-tags every row downstream.
     */
-  def parsePolygons(base: String): Seq[(String, Seq[(Double, Double)])] = {
+  def parsePolygons(base: String): Seq[(String, Seq[(Double, Double)])] =
+    parseFeatures(base).flatMap { case (name, rings) =>
+      rings.map(r => (name, r))
+    }
+
+  /** Grouped variant of [[parsePolygons]]: one entry per polygon RECORD
+    * with all of its rings (outer + holes) together — feed
+    * [[Geo.ringSet]]/[[Geo.containsPointEvenOdd]] for hole-aware
+    * containment. */
+  def parseFeatures(base: String): Seq[(String, Seq[Seq[(Double, Double)]])] = {
     val b = Files.readAllBytes(Paths.get(base + ".shp"))
     val buf = ByteBuffer.wrap(b)
     require(b.length >= 100 && buf.getInt(0) == 9994, "not a shapefile (bad file code)")
@@ -115,7 +136,7 @@ object Shapefile {
     buf.order(ByteOrder.LITTLE_ENDIAN)
     require(buf.getInt(28) == 1000, "unsupported shapefile version")
     val names = readNames(base)
-    val out = Seq.newBuilder[(String, Seq[(Double, Double)])]
+    val out = Seq.newBuilder[(String, Seq[Seq[(Double, Double)]])]
     var off = 100
     var rec = 0
     while (off + 8 <= math.min(fileBytes, b.length)) {
@@ -137,11 +158,12 @@ object Shapefile {
           (buf.getDouble(ptsOff + 16 * k), buf.getDouble(ptsOff + 16 * k + 8))
         }
         val name = if (rec < names.length) names(rec) else s"poly_${rec + 1}"
-        (parts :+ numPoints).sliding(2).foreach { case Seq(s, e) =>
+        val rings = (parts :+ numPoints).sliding(2).flatMap { case Seq(s, e) =>
           val ring = pts.slice(s, e)
           val open = if (ring.length >= 2 && ring.head == ring.last) ring.init else ring
-          if (open.nonEmpty) out += ((name, open))
-        }
+          if (open.nonEmpty) Some(open) else None
+        }.toSeq
+        if (rings.nonEmpty) out += ((name, rings))
       }
       rec += 1
       off = c + contentBytes
@@ -181,4 +203,10 @@ object Shapefile {
     */
   def readPolygons(spark: SparkSession, base: String): DataFrame =
     Geo.polygonSet(spark, parsePolygons(base))
+
+  /** Load a shapefile feature set with rings grouped per record (holes
+    * intact) as the multi-ring frame (`poly`,
+    * `rings: array<array<struct<x,y>>>`) for [[Geo.tagPointsRings]]. */
+  def readFeatures(spark: SparkSession, base: String): DataFrame =
+    Geo.ringSet(spark, parseFeatures(base))
 }

@@ -320,6 +320,63 @@ class PropertySpec extends SparkSpec {
     intercept[IllegalArgumentException] { Shapefile.parsePolygons(junk.toString) }
   }
 
+  test("multi-ring even-odd containment: holes, nesting, full-grid parity") {
+    // plain-Scala even-odd reference ACROSS rings (inclusive boundary)
+    def inside(rings: Seq[Seq[(Double, Double)]], px: Double, py: Double): Boolean = {
+      val es = rings.flatMap(vs => vs.zip(vs.tail :+ vs.head))
+      val on = es.exists { case ((ax, ay), (bx, by)) =>
+        (bx - ax) * (py - ay) - (by - ay) * (px - ax) == 0 &&
+          px >= math.min(ax, bx) && px <= math.max(ax, bx) &&
+          py >= math.min(ay, by) && py <= math.max(ay, by)
+      }
+      val n = es.count { case ((ax, ay), (bx, by)) =>
+        ((ay > py) != (by > py)) &&
+          (((bx - ax) * (py - ay) - (px - ax) * (by - ay) > 0) == (by > ay))
+      }
+      on || n % 2 == 1
+    }
+    // donut, donut-with-island (3-deep nesting), and a concave outer
+    // with a square hole
+    val feats = Seq(
+      ("donut", Seq(
+        Seq((0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0)),
+        Seq((2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0)))),
+      ("island", Seq(
+        Seq((0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0)),
+        Seq((1.0, 1.0), (7.0, 1.0), (7.0, 7.0), (1.0, 7.0)),
+        Seq((3.0, 3.0), (5.0, 3.0), (5.0, 5.0), (3.0, 5.0)))),
+      ("lhole", Seq(
+        Seq((0.0, 0.0), (8.0, 0.0), (8.0, 4.0), (4.0, 4.0), (4.0, 8.0), (0.0, 8.0)),
+        Seq((1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0)))))
+    val grid = for (x <- 0 to 8; y <- 0 to 8) yield (x.toDouble, y.toDouble)
+    val pts = grid.toDF("px", "py")
+    feats.foreach { case (name, rings) =>
+      val frame = graft.geo.Geo.ringSet(spark, Seq((name, rings)))
+      val got = graft.geo.Geo.tagPointsRings(pts, frame, col("px"), col("py"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+      val expect = grid.filter(p => inside(rings, p._1, p._2)).toSet
+      assert(got == expect, name)
+      // spot semantics: hole interior out, hole boundary in, island in
+      assert(!got.contains((4.0, 4.0)) || name != "donut")
+      if (name == "donut") assert(got.contains((2.0, 2.0)) && got.contains((0.0, 0.0)))
+      if (name == "island") assert(got.contains((4.0, 4.0)) && !got.contains((2.0, 2.0)))
+    }
+    // multi-part shapefile record round-trips rings grouped, and the
+    // shapefile-loaded frame tags identically to the inline frame
+    import graft.geo.Shapefile
+    val base = java.nio.file.Files.createTempDirectory("shp_rings")
+      .resolve("f").toString
+    Shapefile.writeFeatures(base, feats)
+    assert(Shapefile.parseFeatures(base) == feats)
+    val viaShp = graft.geo.Geo.tagPointsRings(pts,
+      Shapefile.readFeatures(spark, base), col("px"), col("py"))
+      .collect().map(r => (r.getString(2), r.getDouble(0), r.getDouble(1))).toSet
+    val inline = graft.geo.Geo.tagPointsRings(pts,
+      graft.geo.Geo.ringSet(spark, feats), col("px"), col("py"))
+      .collect().map(r => (r.getString(2), r.getDouble(0), r.getDouble(1))).toSet
+    assert(viaShp == inline)
+  }
+
   test("noisy distinct: zero noise equals the bare sketch; radius composes") {
     val li = graft.engine.Tables.lineitem(spark, sf)
     val raw = li.agg(approx_count_distinct(col("l_partkey"), 0.05)).head.getLong(0)
