@@ -150,6 +150,30 @@ object Multimodal {
     } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
       Some(("gif", le16(b, 6), le16(b, 8)))
+    } else if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))) {
+      // TIFF: endianness from the magic, IFD offset at 4; walk the first
+      // IFD's 12-byte entries for tags 256 (width) / 257 (height) —
+      // SHORT or LONG values are inlined in the value field
+      val le = b(0) == 'I'
+      def u16(i: Int) = if (le) le16(b, i) else be16(b, i)
+      def u32(i: Int) = if (le) le32(b, i) else be32(b, i) & 0xffffffffL
+      val ifd = u32(4)
+      if (ifd < 0 || ifd + 2 > b.length) None
+      else {
+        val n = u16(ifd.toInt)
+        var w = 0; var h = 0
+        var k = 0
+        while (k < n && ifd + 2 + 12L * (k + 1) <= b.length) {
+          val e = (ifd + 2 + 12 * k).toInt
+          val tag = u16(e); val typ = u16(e + 2)
+          val v = if (typ == 3) u16(e + 8) else u32(e + 8).toInt
+          if (tag == 256) w = v else if (tag == 257) h = v
+          k += 1
+        }
+        if (w > 0 && h > 0) Some(("tiff", w, h)) else None
+      }
     } else None
   }
 

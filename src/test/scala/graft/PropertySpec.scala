@@ -774,6 +774,28 @@ class PropertySpec extends SparkSpec {
       assert(got.theta == theta && got.vs.toSeq == live,
         s"trial $trial n=$n k=$k parts=$parts diverged")
     }
+    // mixed-k merges take the MIN k (the only sound semantic: a wider
+    // sketch can always be narrowed, never the reverse) — via both the
+    // aggregate and the row-wise union
+    val wide = spark.range(0, 2000)
+      .agg(ThetaSketch.theta_build(col("id"), 256).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    val narrow = spark.range(1000, 3000)
+      .agg(ThetaSketch.theta_build(col("id"), 64).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    val refUnion = reference((0L until 3000L), 64)
+    val viaAgg = ThetaSketch.deser(
+      Seq(wide, narrow).map(Tuple1(_)).toDF("sk")
+        .agg(ThetaSketch.theta_merge(col("sk")).as("sk"))
+        .head.getAs[Array[Byte]]("sk"))
+    val viaPair = ThetaSketch.deser(
+      Seq((wide, narrow)).toDF("a", "b")
+        .select(ThetaSketch.theta_union(col("a"), col("b")).as("sk"))
+        .head.getAs[Array[Byte]]("sk"))
+    for ((got, how) <- Seq((viaAgg, "merge agg"), (viaPair, "pair union"))) {
+      assert(got.k == 64, how)
+      assert(got.theta == refUnion._1 && got.vs.toSeq == refUnion._2, how)
+    }
   }
 
   test("corpus sketch report: every estimate bounded by its exact twin") {

@@ -468,6 +468,12 @@ class StreamingSpec extends SparkSpec {
     val jfif = Array(0xff.toByte, 0xd8.toByte) ++ app0 ++
       Multimodal.jpegPayload(33, 44, body).drop(2)
     assert(Multimodal.imageDims(jfif).contains(("jpeg", 33, 44)))
+    // TIFF dims via the IFD walk, against real ImageIO-written streams
+    // (both the JDK's default byte order and whatever it picks)
+    for ((w, h) <- Seq((1, 1), (31, 17), (640, 480))) {
+      val tiff = Multimodal.encodeImage("tiff", w, h, _ % 256)
+      assert(Multimodal.imageDims(tiff).contains(("tiff", w, h)), s"$w x $h")
+    }
     // junk, truncation, and text bytes are rejected, not mis-parsed
     assert(Multimodal.imageDims("not an image at all".getBytes).isEmpty)
     assert(Multimodal.imageDims(Multimodal.pngPayload(9, 9, body).take(12)).isEmpty)
