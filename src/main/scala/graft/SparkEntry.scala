@@ -981,6 +981,15 @@ object SparkEntry {
       graft.pipeline.Pipeline.hashSample(
         li(s, d).select(col("l_orderkey"), col("l_linenumber")),
         concat_ws("-", col("l_orderkey"), col("l_linenumber")), 100)),
+    // parquet footer introspection: per-column stats summed/merged
+    // across row groups from FOOTERS ONLY (no data pages read) — the
+    // oracle recomputes the same stats from the data, proving the
+    // footer statistics every row-group-skipping engine relies on
+    // actually agree with the content
+    "parquet_footer_stats" -> ((s, d) =>
+      graft.sources.ParquetStats.footerColumnStats(s,
+        s"$d/lineitem.parquet",
+        Seq("l_orderkey", "l_quantity", "l_returnflag"))),
     "save_roundtrip" -> ((s, d) =>
       graft.sources.Sources.saveRoundTrip(
         li(s, d).filter(col("l_quantity") > 48.0)
@@ -2396,6 +2405,22 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
     "save_roundtrip" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 48.0",
+    // footer-vs-data consistency: value counts include nulls (parquet
+    // valueCount semantics), min/max rendered as canonical strings
+    "parquet_footer_stats" ->
+      """SELECT * FROM (
+        |SELECT 'l_orderkey' AS col_name, count(*) AS num_values,
+        |  count(*) - count(l_orderkey) AS null_count,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_val FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |  CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |  min(l_returnflag), max(l_returnflag) FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
     "sink_partitioned" ->
       """SELECT lang, source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
