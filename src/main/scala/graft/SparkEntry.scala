@@ -1289,6 +1289,12 @@ object SparkEntry {
       graft.ann.Similarity.lshTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_ivf_topk" -> ((s, d) =>
       graft.ann.Similarity.ivfTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    // product quantization (Jégou et al. 2011): corpus compressed to
+    // m-byte codes (32× at dim 64), per-query ADC lookup tables, exact
+    // re-rank of the ADC shortlist — the billion-vector memory posture;
+    // approximate ⇒ rows-only, recall vs brute force property-gated
+    "ann_pq_topk" -> ((s, d) =>
+      graft.ann.Similarity.pqTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_topk_agg" -> ((s, d) =>
       graft.ann.Similarity.bruteForceTopKAgg(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_topk_plan" -> ((s, d) =>

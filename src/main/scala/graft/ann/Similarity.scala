@@ -168,6 +168,152 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ── product quantization (Jégou, Douze, Schmid 2011) ───────────────
+
+  /** Code (index of the nearest codebook centroid, squared-L2 metric —
+    * the PQ training/encode objective) for one subvector. argmin of
+    * ‖x−c‖² = argmin of ‖c‖² − 2⟨x,c⟩ (‖x‖² is common), with ‖c‖²
+    * folded driver-side and ⟨x,c⟩ the codegen'd [[dot]] — higher-order
+    * per-centroid lambdas would evaluate interpreted and dominate the
+    * encode (measured 2× the whole query). Ordering (and so every
+    * code) is identical to the plain L2 argmin, ties by code id. */
+  private def nearestSubCode(codebook: Array[Array[Float]], sub: Column): Column = {
+    val dists = array(codebook.zipWithIndex.map { case (c, i) =>
+      var c2 = 0.0
+      c.foreach(x => c2 += x.toDouble * x)
+      struct((lit(c2) - lit(2.0) * dot(sub, lit(c))).as("d"), lit(i).as("code"))
+    }: _*)
+    element_at(array_sort(dists), 1).getField("code")
+  }
+
+  /** Subvector columns sub_0..sub_{m-1} sliced ONCE (each feeds ksub
+    * argmin branches — re-slicing per branch multiplies the work). */
+  private def withSubVectors(df: DataFrame, m: Int, d: Int): DataFrame =
+    df.select(df.columns.map(col) ++
+      (0 until m).map(j => slice(col("embedding"), j * d + 1, d).as(s"sub_$j")): _*)
+
+  /** Per-subspace L2 k-means codebooks: dimension split into `m`
+    * subspaces of dim/m, all trained TOGETHER — seeds come from ONE
+    * hash-strided collect (sliced driver-side) and every Lloyd
+    * iteration is ONE aggregation pass covering all m subspaces
+    * (subspace/cell/dim keyed means), so training costs O(refineIters)
+    * jobs, not O(m·refineIters). Squared-L2 objective (what PQ encodes
+    * with); result is m×ksub×(dim/m) floats — sketch-sized driver
+    * state, like IVF centroids. */
+  def pqCodebooks(emb: DataFrame, m: Int, ksub: Int,
+      refineIters: Int): Array[Array[Array[Float]]] = {
+    // one seed collect, sliced per subspace on the driver; the seeds
+    // also carry the dimensionality (no separate head job)
+    val seeds = emb
+      .select(col("embedding"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h")).limit(ksub)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val d = dim / m
+    var cbs = Array.tabulate(m)(j =>
+      seeds.map(v => java.util.Arrays.copyOfRange(v, j * d, (j + 1) * d)))
+    (0 until refineIters).foreach { _ =>
+      // one pass for ALL subspaces: code per subspace, then
+      // (subspace, cell, dim) means
+      val codesCol = array((0 until m).map(j =>
+        nearestSubCode(cbs(j), col(s"sub_$j"))): _*)
+      val stats = withSubVectors(emb, m, d)
+        .select(posexplode(codesCol).as(Seq("sub", "cell")), col("embedding"))
+        .select(col("sub"), col("cell"),
+          posexplode(expr(s"slice(embedding, sub * $d + 1, $d)"))
+            .as(Seq("dim", "v")))
+        .groupBy(col("sub"), col("cell"), col("dim"))
+        .agg(avg(col("v")).as("mean"))
+        .collect()
+      val bySub = stats.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cbs = Array.tabulate(m)(j => cbs(j).zipWithIndex.map { case (old, i) =>
+        bySub.get((j, i)).map { rows =>
+          val arr = old.clone()
+          rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3).toFloat)
+          arr
+        }.getOrElse(old) // empty cell keeps its seed
+      })
+    }
+    cbs
+  }
+
+  /** L2-normalized copy of the embedding frame (inner product equals
+    * cosine afterwards); zero vectors drop. */
+  private def l2normalize(emb: DataFrame): DataFrame =
+    emb.withColumn("__n", norm(col("embedding")))
+      .filter(col("__n") > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => (x / col("__n")).cast("float"))
+          .as("embedding"))
+
+  /** Product-quantization ANN: corpus vectors compress to `m` byte
+    * codes (dim·4 bytes → m bytes — 32× at dim 64, m 8: the memory
+    * posture that keeps a billion-vector index in RAM), queries score
+    * candidates by ADC (asymmetric distance computation: per-query
+    * lookup tables T[j][c] = ⟨q_j, codebook_j[c]⟩ built driver-side,
+    * so the corpus-side score is m literal-array lookups + adds — fully
+    * codegen'd, no per-row vector math), and the ADC top `refine·k`
+    * re-rank by EXACT cosine. Deterministic end to end (hash-strided
+    * seeds, lexicographic tie-breaks). Approximate ⇒ rows-only query;
+    * recall vs brute force is property-gated. */
+  def pqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 8, ksub: Int = 32, refineIters: Int = 1,
+      refine: Int = 8): DataFrame = {
+    // normalize once and keep it materialized: training (seeds +
+    // iterations), encoding, and re-rank all read it (cleaner-managed
+    // lifetime, same pattern as the LSH dedup candidates)
+    val normed = l2normalize(emb).localCheckpoint(eager = false)
+    val codebooks = pqCodebooks(normed, m, ksub, refineIters)
+    val d = codebooks(0)(0).length
+    // corpus → m-byte codes: ONE narrow pass, materialized because the
+    // ADC stage scans it once per query
+    val codes = withSubVectors(normed, m, d).select(col("vec_id"),
+      array((0 until m).map(j =>
+        nearestSubCode(codebooks(j), col(s"sub_$j"))): _*)
+        .as("codes"))
+      .localCheckpoint(eager = false)
+    val qVecs = normed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // ADC pass per query (queries are few): score = Σ_j T_j[code_j]
+    val adc = qVecs.toSeq.sortBy(_._1).map { case (qid, q) =>
+      val tables = Array.tabulate(m) { j =>
+        codebooks(j).map { c =>
+          var s = 0.0; var t = 0
+          while (t < d) { s += q(j * d + t) * c(t); t += 1 }
+          s
+        }
+      }
+      codes.filter(col("vec_id") =!= qid)
+        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
+          (0 until m).map(j =>
+            element_at(lit(tables(j)), col("codes")(j) + 1)).reduce(_ + _)
+            .as("adc"))
+    }.reduce(_ union _)
+    val cand = graft.plans.GroupTopK.groupTopK(adc, Seq("query_id"),
+        Seq(("adc", false), ("neighbor_id", true)), refine * k)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the small ADC candidate set
+    val q = normed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val exact = broadcast(cand)
+      .join(normed, col("neighbor_id") === normed("vec_id"))
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("q_emb"), col("embedding")).as("cos")) // unit vectors
+    exact
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic k-means centroids: seeds are the `nlist` rows with the
     * smallest xxhash64(vec_id) (a hash-strided "sample" — reproducible,
     * no RNG state), refined by `refineIters` Lloyd steps. Each step is

