@@ -174,6 +174,12 @@ object ScaleProbe {
         multimodal.Multimodal.syntheticVideo(d)).toDF().count()
     }
 
+    probe("ann_pq_topk", Seq(1, 20)) { c =>
+      val e = replicate(engine.Tables.embeddings(spark, sf), c,
+        Map("vec_id" -> 10000000L))
+      ann.Similarity.pqTopK(e, Seq(0L, 1L, 2L, 3L, 4L), 10).count()
+    }
+
     // per-replica token salting: every token carries its replica id, so
     // replicas are NOT near-dups of each other — duplicate-structure
     // density stays constant while the corpus scales ×c (the input-bound

@@ -1699,12 +1699,14 @@ object SparkEntry {
       // Axis-aligned rings on the integer grid keep the oracle exact.
       val dir = java.nio.file.Files.createTempDirectory("graft_shp_holes")
       val base = dir.resolve("features").toString
+      // features reach y=0: at sf0.001 the custkey grid only occupies
+      // py ∈ {0,1}, so a feature starting higher would tag nothing
       graft.geo.Shapefile.writeFeatures(base, Seq(
         ("donut", Seq(
-          Seq((10.0, 10.0), (80.0, 10.0), (80.0, 80.0), (10.0, 80.0)),
-          Seq((30.0, 30.0), (60.0, 30.0), (60.0, 60.0), (30.0, 60.0)))),
+          Seq((5.0, 0.0), (90.0, 0.0), (90.0, 90.0), (5.0, 90.0)),
+          Seq((30.0, 5.0), (60.0, 5.0), (60.0, 40.0), (30.0, 40.0)))),
         ("plate", Seq(
-          Seq((85.0, 85.0), (96.0, 85.0), (96.0, 96.0), (85.0, 96.0))))))
+          Seq((92.0, 0.0), (96.0, 0.0), (96.0, 96.0), (92.0, 96.0))))))
       val feats = graft.geo.Shapefile.readFeatures(s, base)
       val pts = cust(s, d).select(
         (col("c_custkey") % 97).cast("double").as("px"),
@@ -3096,9 +3098,9 @@ object SparkEntry {
       """WITH p AS (SELECT CAST(c_custkey % 97 AS DOUBLE) AS px,
         |  CAST((c_custkey // 97) % 97 AS DOUBLE) AS py FROM customer),
         |t AS (SELECT CASE
-        |  WHEN px >= 10 AND px <= 80 AND py >= 10 AND py <= 80
-        |    AND NOT (px > 30 AND px < 60 AND py > 30 AND py < 60) THEN 'donut'
-        |  WHEN px >= 85 AND px <= 96 AND py >= 85 AND py <= 96 THEN 'plate'
+        |  WHEN px >= 5 AND px <= 90 AND py >= 0 AND py <= 90
+        |    AND NOT (px > 30 AND px < 60 AND py > 5 AND py < 40) THEN 'donut'
+        |  WHEN px >= 92 AND px <= 96 AND py >= 0 AND py <= 96 THEN 'plate'
         |  END AS poly FROM p)
         |SELECT poly, count(*) AS n_points FROM t WHERE poly IS NOT NULL
         |GROUP BY 1""".stripMargin,
