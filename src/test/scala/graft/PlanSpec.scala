@@ -83,6 +83,20 @@ class PlanSpec extends SparkSpec {
     val none = Skipping.readWithSkipping(spark, dir, zm, "batch", "doc_id",
       lit(10000000L), lit(20000000L))
     assert(none.count() == 0)
+    // string stat columns skip on lexicographic ranges the same way:
+    // partition by lang, zone on source ("src0".."src19"); a probe range
+    // of "src1".."src19z" excludes nothing (every lang has spread
+    // sources) while "zz".."zzz" excludes everything
+    val dd2 = Tables.documents(spark, sf)
+    val dir2 = java.nio.file.Files.createTempDirectory("zm_str").toString
+    dd2.write.mode("overwrite").partitionBy("lang").parquet(dir2)
+    val zm2 = Skipping.buildZoneMap(dd2, "lang", Seq("source"))
+    val some = Skipping.readWithSkipping(spark, dir2, zm2, "lang", "source",
+      lit("src1"), lit("src19z"))
+    val expect = dd2.filter(col("source") >= "src1" && col("source") <= "src19z")
+    assert(some.count() == expect.count() && some.count() > 0)
+    assert(Skipping.candidatePartitions(zm2, "lang", "source",
+      lit("zz"), lit("zzz")).isEmpty)
   }
 
   test("filters are pushed down to the parquet scan") {
