@@ -24,14 +24,40 @@ object Skipping {
 
   /** Per-partition zone map: one row per `partCol` value with
     * min/max/count of each stat column — buildable in the same job
-    * that writes the partitioned layout, storable next to it. */
+    * that writes the partitioned layout, storable next to it.
+    * `sketchCols` additionally attach a theta sketch blob per partition
+    * (the manifest form that answers set-overlap questions — "which
+    * partitions share keys with this delta?" — from stats alone). */
   def buildZoneMap(df: DataFrame, partCol: String,
-      statCols: Seq[String]): DataFrame =
+      statCols: Seq[String], sketchCols: Seq[String] = Nil): DataFrame =
     df.groupBy(col(partCol)).agg(
       count(lit(1)).as("zone_rows"),
-      statCols.flatMap(c => Seq(
+      (statCols.flatMap(c => Seq(
         min(col(c)).as(s"${c}_min"),
-        max(col(c)).as(s"${c}_max"))): _*)
+        max(col(c)).as(s"${c}_max"))) ++
+       sketchCols.map(c =>
+         graft.functions.ThetaSketch.theta_build(col(c)).as(s"${c}_theta"))): _*)
+
+  /** Merge zone maps — the INCREMENTAL maintenance path: the manifest
+    * of (history ∪ delta) is a groupBy-merge of the two manifests
+    * (min/min, max/max, count-sum, theta-union), so new ingest batches
+    * update stats without rescanning history. Deterministic: merged
+    * bytes equal the zone map built over the full data in one pass
+    * (theta merge is order-insensitive — gated). */
+  def mergeZoneMaps(maps: Seq[DataFrame], partCol: String): DataFrame = {
+    val all = maps.reduce(_ unionByName _)
+    val aggs = all.schema.fieldNames
+      .filter(n => n != partCol && n != "zone_rows").map { n =>
+        if (n.endsWith("_min")) min(col(n)).as(n)
+        else if (n.endsWith("_max")) max(col(n)).as(n)
+        else if (n.endsWith("_theta"))
+          graft.functions.ThetaSketch.theta_merge(col(n)).as(n)
+        else sys.error(s"unknown zone-map column $n")
+      }
+    all.groupBy(col(partCol))
+      .agg(sum(col("zone_rows")).as("zone_rows"), aggs: _*)
+      .select(all.schema.fieldNames.map(col): _*) // original column order
+  }
 
   /** Partition values whose zones MIGHT contain a row with
     * `statCol ∈ [lo, hi]` — the driver-side skip decision (zone-map

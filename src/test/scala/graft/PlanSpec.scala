@@ -97,6 +97,23 @@ class PlanSpec extends SparkSpec {
     assert(some.count() == expect.count() && some.count() > 0)
     assert(Skipping.candidatePartitions(zm2, "lang", "source",
       lit("zz"), lit("zzz")).isEmpty)
+    // incremental maintenance: manifest(history) merged with
+    // manifest(delta) equals manifest(all) built in one pass — byte-
+    // equal INCLUDING the per-partition theta blobs (order-insensitive
+    // merge), so ingest never rescans history to refresh stats
+    val half1 = dd2.filter(col("doc_id") % 2 === 0)
+    val half2 = dd2.filter(col("doc_id") % 2 =!= 0)
+    def zmS(df: org.apache.spark.sql.DataFrame) =
+      Skipping.buildZoneMap(df, "lang", Seq("doc_id"), Seq("source"))
+    val merged = Skipping.mergeZoneMaps(Seq(zmS(half1), zmS(half2)), "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Array[Byte]](4).toSeq)).toMap
+    val whole = zmS(dd2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Array[Byte]](4).toSeq)).toMap
+    assert(merged == whole, "incremental manifest diverged from full build")
   }
 
   test("filters are pushed down to the parquet scan") {
