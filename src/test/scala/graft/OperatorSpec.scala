@@ -29,6 +29,82 @@ class OperatorSpec extends SparkSpec {
     assert(empty.toSet.subsetOf(allowedEmpty), s"unexpected empty: $empty")
   }
 
+  test("relational fuzz: random filter+aggregate plans match a Scala reference") {
+    // differential testing beyond the fixed query set: random predicate
+    // trees and aggregation shapes evaluated by Catalyst AND by a
+    // plain-Scala fold over the collected rows — any divergence in
+    // comparison/null/grouping semantics or aggregate math surfaces here
+    import org.apache.spark.sql.Row
+    val li = Tables.lineitem(spark, sf).select(
+      col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_returnflag"), col("l_linestatus"))
+    val rows = li.collect()
+    val rnd = new scala.util.Random(2026)
+    val numCols = Seq(("l_quantity", 1), ("l_extendedprice", 2), ("l_discount", 3))
+    val strCols = Seq(("l_returnflag", 4), ("l_linestatus", 5))
+    def numConst(i: Int): Double = {
+      val vs = rows.map(_.getDouble(i))
+      vs(rnd.nextInt(vs.length))
+    }
+    def onePred(): (org.apache.spark.sql.Column, Row => Boolean) =
+      if (rnd.nextBoolean()) {
+        val (n, i) = numCols(rnd.nextInt(numCols.length))
+        val c = numConst(i)
+        rnd.nextInt(5) match {
+          case 0 => (col(n) < c, r => r.getDouble(i) < c)
+          case 1 => (col(n) <= c, r => r.getDouble(i) <= c)
+          case 2 => (col(n) > c, r => r.getDouble(i) > c)
+          case 3 => (col(n) >= c, r => r.getDouble(i) >= c)
+          case _ => (col(n) === c, r => r.getDouble(i) == c)
+        }
+      } else {
+        val (n, i) = strCols(rnd.nextInt(strCols.length))
+        val v = rows(rnd.nextInt(rows.length)).getString(i)
+        if (rnd.nextBoolean()) (col(n) === v, r => r.getString(i) == v)
+        else (col(n) =!= v, r => r.getString(i) != v)
+      }
+    for (trial <- 0 until 30) {
+      // predicate: 1-3 conjuncts/disjuncts
+      val preds = Seq.fill(1 + rnd.nextInt(3))(onePred())
+      val (sparkPred, scalaPred) = preds.reduce[
+        (org.apache.spark.sql.Column, Row => Boolean)] {
+        case ((ca, fa), (cb, fb)) =>
+          if (rnd.nextBoolean()) (ca && cb, r => fa(r) && fb(r))
+          else (ca || cb, r => fa(r) || fb(r))
+      }
+      // grouping: 0-2 string keys
+      val keys = rnd.shuffle(strCols).take(rnd.nextInt(3))
+      val got = li.filter(sparkPred)
+        .groupBy(keys.map(k => col(k._1)): _*)
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("s"),
+          min(col("l_extendedprice")).as("mn"),
+          max(col("l_extendedprice")).as("mx"))
+        .collect()
+        // a keyless aggregate over zero rows yields one row with
+        // count 0 and NULL sum/min/max — the reference's empty map
+        .filter(_.getLong(keys.length) > 0L)
+        .map { r =>
+          keys.indices.map(r.getString).mkString("|") ->
+            (r.getLong(keys.length), r.getDouble(keys.length + 1),
+              r.getDouble(keys.length + 2), r.getDouble(keys.length + 3))
+        }.toMap
+      val expect = rows.filter(scalaPred)
+        .groupBy(r => keys.map(k => r.getString(k._2)).mkString("|"))
+        .map { case (k, rs) =>
+          k -> (rs.length.toLong, rs.map(_.getDouble(1)).sum,
+            rs.map(_.getDouble(2)).min, rs.map(_.getDouble(2)).max)
+        }
+      assert(got.keySet == expect.keySet, s"trial $trial keys differ")
+      got.foreach { case (k, (cnt, s, mn, mx)) =>
+        val (ecnt, es, emn, emx) = expect(k)
+        assert(cnt == ecnt && mn == emn && mx == emx, s"trial $trial key $k")
+        // double sums are order-dependent: relative tolerance
+        assert(math.abs(s - es) <= 1e-9 * math.max(1.0, math.abs(es)),
+          s"trial $trial key $k sum $s vs $es")
+      }
+    }
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
