@@ -105,6 +105,75 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("nextk fuzz: random sorts with nulls match missing-sorts-larger reference") {
+    // the reference's null rule (docs/userManual.md:181-185): a missing
+    // value sorts LARGER than any value in either direction. Random
+    // null-bearing frames, random 1-2-column sort specs, checked
+    // against a plain-Scala sort implementing the same rule.
+    import spark.implicits._
+    import NextK.Order
+    val rnd = new scala.util.Random(777)
+    val data = Seq.fill(400)((
+      if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(20)),
+      if (rnd.nextInt(5) == 0) None else Some(s"s${rnd.nextInt(8)}"),
+      rnd.nextInt(1000)))
+    val df = data.toDF("a", "b", "pay")
+    // reference comparator: None (missing) > any value
+    // missing is LARGER than any value, and descending reverses the
+    // WHOLE order (so desc puts missing first, like desc_nulls_first)
+    def cmpI(x: Option[Int], y: Option[Int], asc: Boolean): Int = {
+      val base = (x, y) match {
+        case (None, None) => 0
+        case (None, _) => 1; case (_, None) => -1
+        case (Some(p), Some(q)) => p.compare(q)
+      }
+      if (asc) base else -base
+    }
+    def cmpS(x: Option[String], y: Option[String], asc: Boolean): Int = {
+      val base = (x, y) match {
+        case (None, None) => 0
+        case (None, _) => 1; case (_, None) => -1
+        case (Some(p), Some(q)) => p.compare(q)
+      }
+      if (asc) base else -base
+    }
+    for (trial <- 0 until 20) {
+      val ascA = rnd.nextBoolean(); val ascB = rnd.nextBoolean()
+      val order =
+        if (rnd.nextBoolean()) Seq(Order("a", ascA), Order("b", ascB))
+        else if (rnd.nextBoolean()) Seq(Order("a", ascA))
+        else Seq(Order("b", ascB))
+      val k = 1 + rnd.nextInt(12)
+      val got = NextK.nextK(df, order, k).collect().map { r =>
+        order.map(o => Option(r.get(order.indexOf(o))).map(_.toString)) ->
+          r.getLong(order.length)
+      }
+      // reference: distinct key tuples sorted by the rule, multiplicity
+      val keyed = data.groupBy(t => order.map {
+        case Order("a", _) => t._1.map(_.toString)
+        case Order("b", _) => t._2
+        case o => sys.error(s"unexpected $o")
+      }).map { case (key, ts) => key -> ts.length.toLong }.toSeq
+      val sorted = keyed.sortWith { case ((ka, _), (kb, _)) =>
+        val deltas = order.zipWithIndex.map { case (o, i) =>
+          o.column match {
+            case "a" => cmpI(ka(i).map(_.toInt), kb(i).map(_.toInt), o.ascending)
+            case _   => cmpS(ka(i), kb(i), o.ascending)
+          }
+        }
+        deltas.find(_ != 0).exists(_ < 0)
+      }.take(k)
+      // NextK keys arrive in the same order with the same counts; the
+      // kth boundary may tie arbitrarily between equal-rank keys, so
+      // compare as ordered multisets of (key, count) up to rank ties
+      assert(got.length == sorted.length, s"trial $trial size")
+      got.zip(sorted).foreach { case ((gk, gc), (ek, ec)) =>
+        assert(gk == ek && gc == ec,
+          s"trial $trial order=$order got=($gk,$gc) expect=($ek,$ec)")
+      }
+    }
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
