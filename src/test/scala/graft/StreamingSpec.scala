@@ -85,6 +85,49 @@ class StreamingSpec extends SparkSpec {
       s"est=$est exact=$exact")
   }
 
+  test("streaming ingest maintains the zone-map manifest incrementally") {
+    import graft.engine.Skipping
+    import org.apache.spark.sql.DataFrame
+    // stage documents as 4 files -> 4 real micro-batches; each batch's
+    // mini-manifest is MERGED into the running one (never a rescan of
+    // earlier batches), and the final manifest must equal the one-pass
+    // build over all data — including the per-partition theta blobs
+    val docs = Tables.documents(spark, sf)
+    val streamDir = java.nio.file.Files.createTempDirectory("zm_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(streamDir)
+    val schema = docs.schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+    var manifest: Array[org.apache.spark.sql.Row] = Array.empty
+    var manifestSchema: org.apache.spark.sql.types.StructType = null
+    var batches = 0
+    val q = raw.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bzm = Skipping.buildZoneMap(batch, "lang", Seq("doc_id"), Seq("source"))
+        val merged =
+          if (manifest.isEmpty) bzm
+          else Skipping.mergeZoneMaps(Seq(
+            spark.createDataFrame(
+              java.util.Arrays.asList(manifest: _*), manifestSchema),
+            bzm), "lang")
+        manifestSchema = merged.schema
+        manifest = merged.collect() // manifest-sized driver state
+        batches += 1
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 2, s"expected real multi-batch ingest, got $batches")
+    val got = manifest.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Array[Byte]](4).toSeq)).toMap
+    val whole = Skipping.buildZoneMap(docs, "lang", Seq("doc_id"), Seq("source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Array[Byte]](4).toSeq)).toMap
+    assert(got == whole, "streamed manifest diverged from one-pass build")
+  }
+
   test("streaming theta sketch equals the batch sketch bit for bit") {
     import org.apache.spark.sql.functions._
     val k = 128 // < distinct user count -> genuinely sampled regime
