@@ -1295,6 +1295,11 @@ object SparkEntry {
     // approximate ⇒ rows-only, recall vs brute force property-gated
     "ann_pq_topk" -> ((s, d) =>
       graft.ann.Similarity.pqTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    // IVF-PQ composition (the FAISS workhorse): coarse cells probed per
+    // query, m-byte PQ codes ADC-scored within, exact re-rank — per-
+    // query work ~nprobe/nlist of the corpus on byte codes
+    "ann_ivfpq_topk" -> ((s, d) =>
+      graft.ann.Similarity.ivfPqTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_topk_agg" -> ((s, d) =>
       graft.ann.Similarity.bruteForceTopKAgg(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_topk_plan" -> ((s, d) =>

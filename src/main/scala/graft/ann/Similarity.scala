@@ -314,6 +314,76 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ: the composed production index (FAISS's workhorse shape).
+    * A coarse k-means quantizer routes every vector to a cell; PQ codes
+    * compress it to m bytes; a query probes only its `nprobe` nearest
+    * cells and ADC-scores the codes THERE — so per-query work is
+    * ~nprobe/nlist of the corpus on m-byte codes, the posture that
+    * serves billion-vector indexes from RAM. ADC shortlist re-ranks by
+    * exact cosine like [[pqTopK]]. Deterministic end to end.
+    * Approximate ⇒ rows-only; recall and the probed-fraction bound are
+    * property-gated. */
+  def ivfPqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int = 16, nprobe: Int = 6, m: Int = 8, ksub: Int = 32,
+      refineIters: Int = 1, refine: Int = 8): DataFrame = {
+    val normed = l2normalize(emb).localCheckpoint(eager = false)
+    val centroids = kmeansCentroids(normed, nlist, refineIters)
+    val codebooks = pqCodebooks(normed, m, ksub, refineIters)
+    val d = codebooks(0)(0).length
+    // index build: ONE narrow pass emits (vec_id, cell, m-byte codes);
+    // the original floats leave the scoring path entirely
+    val indexed = withSubVectors(normed, m, d).select(col("vec_id"),
+        element_at(nearestCells(centroids, col("embedding"), 1), 1).as("cell"),
+        array((0 until m).map(j =>
+          nearestSubCode(codebooks(j), col(s"sub_$j"))): _*).as("codes"))
+      .localCheckpoint(eager = false)
+    val qVecs = normed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // per query: nprobe nearest cells (driver math on unit vectors) and
+    // the ADC lookup tables — the corpus side is an isin cell filter
+    // plus m literal-array lookups
+    val adc = qVecs.toSeq.sortBy(_._1).map { case (qid, q) =>
+      val cells = centroids.map { case (c, i) =>
+        var s = 0.0; var t = 0
+        while (t < q.length) { s += q(t) * c(t); t += 1 }
+        (s, i)
+      }.sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+      val tables = Array.tabulate(m) { j =>
+        codebooks(j).map { c =>
+          var s = 0.0; var t = 0
+          while (t < d) { s += q(j * d + t) * c(t); t += 1 }
+          s
+        }
+      }
+      indexed
+        .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*) &&
+          col("vec_id") =!= qid)
+        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
+          (0 until m).map(j =>
+            element_at(lit(tables(j)), col("codes")(j) + 1)).reduce(_ + _)
+            .as("adc"))
+    }.reduce(_ union _)
+    val cand = graft.plans.GroupTopK.groupTopK(adc, Seq("query_id"),
+        Seq(("adc", false), ("neighbor_id", true)), refine * k)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = normed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    broadcast(cand)
+      .join(normed, col("neighbor_id") === normed("vec_id"))
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic k-means centroids: seeds are the `nlist` rows with the
     * smallest xxhash64(vec_id) (a hash-strided "sample" — reproducible,
     * no RNG state), refined by `refineIters` Lloyd steps. Each step is

@@ -626,6 +626,31 @@ class PropertySpec extends SparkSpec {
     assert(m * 1 * 32 <= dim * 4, "codes must be at least 32x smaller")
   }
 
+  test("IVF-PQ ANN: recall with cell probing, scans only probed cells") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = graft.ann.Similarity.bruteForceTopK(emb, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = graft.ann.Similarity.ivfPqTopK(emb, qs, 10).collect()
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // probing 6/16 cells + PQ distortion: recall@10 gate (looser than
+    // full-scan PQ by design — that's the cost of touching 3/8 of the
+    // corpus instead of all of it)
+    val recall = (gotSet & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivfpq recall@10 = $recall")
+    // reported scores are TRUE cosines where pairs overlap brute force
+    val exactCos = graft.ann.Similarity.bruteForceTopK(emb, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    got.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(r.getDouble(3) - c) <= 1e-4, s"cos mismatch at $r")
+      }
+    }
+    // deterministic
+    val again = graft.ann.Similarity.ivfPqTopK(emb, qs, 10).collect()
+    assert(got.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("hll sketch: <=5% error, partition-merge == whole-corpus sketch, deterministic") {
     import graft.functions.HllSketch._
     val dd = graft.engine.Tables.documents(spark, sf)
