@@ -41,7 +41,7 @@ object Plans {
     "multimodal_codec_features", "multimodal_video_meta",
     "multimodal_resize_pixels", "multimodal_ulaw_features",
     "multimodal_aiff_features", "sketch_theta_algebra", "zonemap_skip",
-    "dedup_delta_novelty", "geo_polygon_holes", "ann_pq_topk")
+    "dedup_delta_novelty", "geo_polygon_holes", "ann_pq_topk", "ann_ivfpq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
