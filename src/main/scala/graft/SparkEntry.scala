@@ -29,6 +29,20 @@ object SparkEntry {
   private def emb(s: SparkSession, d: String)  = Tables.embeddings(s, d)
   private def ev(s: SparkSession, d: String)   = Tables.events(s, d)
 
+  // PQ / IVF-PQ build-vs-serve split: `ann_pq_build` times the one-time
+  // index build (train + encode + persist); the `ann_*pq_topk` queries
+  // are the SERVE path over the prebuilt persisted index — the number
+  // production pays per query batch. Built once per corpus dir and
+  // memoized (the hillview load-once / sketch-per-gesture posture).
+  private val pqIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqIndexDir(s: SparkSession, d: String): String =
+    pqIndexDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
+      graft.ann.PqIndex.build(emb(s, d), dir)
+      dir
+    })
+
   // Linear quality-model vocabulary: all weights are exact dyadic
   // rationals (k/64) so Σweights is bit-identical in any IEEE engine
   // regardless of summation order — the oracle compare needs no
@@ -1289,17 +1303,31 @@ object SparkEntry {
       graft.ann.Similarity.lshTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_ivf_topk" -> ((s, d) =>
       graft.ann.Similarity.ivfTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
-    // product quantization (Jégou et al. 2011): corpus compressed to
-    // m-byte codes (32× at dim 64), per-query ADC lookup tables, exact
-    // re-rank of the ADC shortlist — the billion-vector memory posture;
-    // approximate ⇒ rows-only, recall vs brute force property-gated
+    // one-time PQ/IVF-PQ index BUILD (train centroids + codebooks,
+    // encode corpus to m-byte codes, persist) — timed separately from
+    // serving because production builds once and queries forever; the
+    // receipt row (corpus size, compression geometry) is fully oracled
+    "ann_pq_build" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pq_build").toString
+      val stats = graft.ann.PqIndex.build(emb(s, d), dir)
+      pqIndexDirs.put(d, dir) // freshest index serves subsequent queries
+      stats
+    }),
+    // product quantization (Jégou et al. 2011) SERVE path: scan the
+    // prebuilt persisted codes table once per query batch (single
+    // broadcast join — plan size independent of #queries), ADC score,
+    // exact re-rank — the billion-vector memory posture; approximate ⇒
+    // rows-only, recall vs brute force property-gated
     "ann_pq_topk" -> ((s, d) =>
-      graft.ann.Similarity.pqTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
-    // IVF-PQ composition (the FAISS workhorse): coarse cells probed per
-    // query, m-byte PQ codes ADC-scored within, exact re-rank — per-
-    // query work ~nprobe/nlist of the corpus on byte codes
+      graft.ann.PqIndex.serve(emb(s, d), pqIndexDir(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    // IVF-PQ composition (the FAISS workhorse) SERVE path: probe the
+    // nprobe nearest cells of the prebuilt index (cosine — the
+    // assignment metric), ADC-score the codes there, exact re-rank —
+    // per-query work ~nprobe/nlist of the corpus on byte codes
     "ann_ivfpq_topk" -> ((s, d) =>
-      graft.ann.Similarity.ivfPqTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+      graft.ann.PqIndex.serve(emb(s, d), pqIndexDir(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), 10, nprobe = 6)),
     "ann_topk_agg" -> ((s, d) =>
       graft.ann.Similarity.bruteForceTopKAgg(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_topk_plan" -> ((s, d) =>
@@ -2715,6 +2743,12 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
         |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // build receipt: corpus size under the index (zero vectors drop in
+    // normalization) + the declared compression geometry
+    "ann_pq_build" ->
+      """SELECT count(*) AS n_vectors, 8 AS m, 32 AS ksub, 16 AS nlist,
+        |8 AS code_bytes, 256 AS raw_bytes FROM embeddings
+        |WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) > 0""".stripMargin,
     "nextk_start_position" ->
       """SELECT count(*) AS start_position FROM lineitem
         |WHERE NOT ((l_returnflag, l_linestatus) >= ('N', 'F'))""".stripMargin,

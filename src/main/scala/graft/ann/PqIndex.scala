@@ -1,0 +1,189 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted PQ / IVF-PQ index: the production split between index
+  * BUILD (train codebooks + coarse centroids, encode the corpus to
+  * m-byte codes, write everything once) and query SERVE (read the
+  * codes table, score a query batch in ONE pass).
+  *
+  * At 100 TB the build is a one-time batch job whose artifacts — a
+  * codes table 32× smaller than the corpus plus kilobytes of
+  * codebooks/centroids — are what production actually queries; timing
+  * Lloyd training inside every query (as the pre-r7 `pqTopK` bench
+  * entry did) measures the wrong thing. Reference analog: hillview
+  * loads/indexes a dataset once and then answers per-gesture sketches
+  * against the loaded state (`platform/.../IDataSet.java` load vs
+  * sketch split).
+  *
+  * Serve-path plan contract: the codes scan is joined against ONE
+  * broadcast frame of queries carrying their ADC lookup tables
+  * (`adc_tabs[j][c] = ⟨q_j, codebook_j[c]⟩`, driver-computed) and their
+  * probe-cell lists — so the physical plan has a single scan of the
+  * codes table and a single broadcast join REGARDLESS of the query
+  * batch size (plan-gated in PlanSpec), unlike a per-query
+  * `union` whose plan grows linearly in #queries.
+  */
+object PqIndex {
+
+  /** Corpus → (vec_id, cell, codes): one narrow encode pass. `cents`
+    * None ⇒ flat PQ (cell 0 everywhere, serve scans all codes). */
+  private[ann] def encode(normed: DataFrame,
+      cents: Option[Array[(Array[Float], Int)]],
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val d = codebooks(0)(0).length
+    val cellCol = cents match {
+      case Some(cs) =>
+        element_at(Similarity.nearestCells(cs, col("embedding"), 1), 1)
+      case None => lit(0)
+    }
+    Similarity.withSubVectors(normed, m, d).select(
+      col("vec_id"), cellCol.as("cell"),
+      array((0 until m).map(j =>
+        Similarity.nearestSubCode(codebooks(j), col(s"sub_$j"))): _*)
+        .as("codes"))
+  }
+
+  private val emptySchema = StructType(Seq(
+    StructField("query_id", LongType), StructField("rank", IntegerType),
+    StructField("neighbor_id", LongType), StructField("cos", DoubleType)))
+
+  /** Single-pass ADC scoring + exact re-rank over an encoded corpus.
+    *
+    * Queries resolve to unit vectors from `normed`; each becomes ONE
+    * row of a broadcast frame: (query_id, adc_tabs, probe_cells). The
+    * corpus-side score is m nested element_at lookups into the
+    * broadcast row's tables — codegen'd, no per-row vector math, and
+    * the plan does not grow with the batch size. Cells are probed by
+    * COSINE to the centroid (score/‖c‖ — k-means centroids are not
+    * unit-norm), the same metric `encode` assigns with; ranking probes
+    * by raw inner product would silently probe different cells than
+    * the assignment metric and cost recall.
+    *
+    * `nprobe <= 0` or no centroids ⇒ flat scan of all codes.
+    */
+  private[ann] def adcServe(codes: DataFrame, normed: DataFrame,
+      queryIds: Seq[Long], cents: Option[Array[(Array[Float], Int)]],
+      codebooks: Array[Array[Array[Float]]], k: Int, nprobe: Int,
+      refine: Int): DataFrame = {
+    val spark = codes.sparkSession
+    val m = codebooks.length
+    val d = codebooks(0)(0).length
+    val qVecs = normed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    // no resolvable query (unknown ids, or all-zero vectors dropped by
+    // l2normalize): empty result, same schema as every other topK path
+    if (qVecs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], emptySchema)
+    val probing = cents.nonEmpty && nprobe > 0
+    import spark.implicits._
+    val queries = qVecs.toSeq.map { case (qid, q) =>
+      val tabs: Seq[Seq[Double]] = (0 until m).map { j =>
+        codebooks(j).map { c =>
+          var s = 0.0; var t = 0
+          while (t < d) { s += q(j * d + t) * c(t); t += 1 }
+          s
+        }.toSeq
+      }
+      val cells: Seq[Int] =
+        if (!probing) Seq.empty
+        else cents.get.map { case (c, i) =>
+          var s = 0.0; var n2 = 0.0; var t = 0
+          while (t < q.length) {
+            s += q(t) * c(t); n2 += c(t).toDouble * c(t); t += 1
+          }
+          // cosine (q is unit): the assignment metric of encode()
+          (if (n2 > 0) s / math.sqrt(n2) else 0.0, i)
+        }.sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2).toSeq
+      (qid, tabs, cells)
+    }.toDF("query_id", "adc_tabs", "probe_cells")
+    val cond =
+      if (probing)
+        array_contains(col("probe_cells"), col("cell")) &&
+          col("vec_id") =!= col("query_id")
+      else col("vec_id") =!= col("query_id")
+    val adc = codes.join(broadcast(queries), cond)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (0 until m).map(j =>
+          element_at(element_at(col("adc_tabs"), j + 1),
+            col("codes")(j) + 1)).reduce(_ + _).as("adc"))
+    val cand = graft.plans.GroupTopK.groupTopK(adc, Seq("query_id"),
+        Seq(("adc", false), ("neighbor_id", true)), refine * k)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact cosine re-rank of the refine·k shortlist (unit vectors ⇒ dot)
+    val q = normed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val exact = broadcast(cand)
+      .join(normed, col("neighbor_id") === normed("vec_id"))
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.dot(col("q_emb"), col("embedding")).as("cos"))
+    graft.plans.GroupTopK.groupTopK(exact, Seq("query_id"),
+        Seq(("cos", false), ("neighbor_id", true)), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Build the index under `dir`: train coarse centroids + PQ
+    * codebooks, encode the corpus, persist all three as parquet
+    * (codes: the 32×-compressed table; codebooks/centroids: kilobyte
+    * side tables a serve session collects once). Returns a one-row
+    * stats frame (the build receipt the bench times separately from
+    * serving). */
+  def build(emb: DataFrame, dir: String, m: Int = 8, ksub: Int = 32,
+      refineIters: Int = 1, nlist: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val normed = Similarity.l2normalize(emb).localCheckpoint(eager = false)
+    val cents = Similarity.kmeansCentroids(normed, nlist, refineIters)
+    val cbs = Similarity.pqCodebooks(normed, m, ksub, refineIters)
+    val d = cbs(0)(0).length
+    encode(normed, Some(cents), cbs)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toSeq.toDF("sub", "cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    cents.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val n = spark.read.parquet(s"$dir/codes").count()
+    Seq((n, m, ksub, nlist, m, m * d * 4))
+      .toDF("n_vectors", "m", "ksub", "nlist", "code_bytes", "raw_bytes")
+  }
+
+  /** Load the driver-side index artifacts (kilobytes). */
+  private def loadSide(spark: SparkSession, dir: String)
+      : (Array[Array[Array[Float]]], Array[(Array[Float], Int)]) = {
+    val cbRows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val ksub = cbRows.map(_._2).max + 1
+    val cbs = Array.ofDim[Array[Float]](m, ksub)
+    cbRows.foreach { case (j, i, v) => cbs(j)(i) = v }
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getSeq[Float](1).toArray, r.getInt(0)))
+      .sortBy(_._2)
+    (cbs.map(_.toArray), cents)
+  }
+
+  /** Serve a query batch from a prebuilt index: collect the side
+    * tables, scan the persisted codes ONCE (probing `nprobe` cells, or
+    * all when `nprobe <= 0`), exact re-rank. The corpus frame `emb` is
+    * read only for the query vectors and the shortlist re-rank. */
+  def serve(emb: DataFrame, dir: String, queryIds: Seq[Long], k: Int,
+      nprobe: Int = 0, refine: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    val (cbs, cents) = loadSide(spark, dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    val normed = Similarity.l2normalize(emb)
+    adcServe(codes, normed, queryIds,
+      if (nprobe > 0) Some(cents) else None, cbs, k, nprobe, refine)
+  }
+}

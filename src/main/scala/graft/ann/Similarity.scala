@@ -177,7 +177,7 @@ object Similarity {
     * per-centroid lambdas would evaluate interpreted and dominate the
     * encode (measured 2× the whole query). Ordering (and so every
     * code) is identical to the plain L2 argmin, ties by code id. */
-  private def nearestSubCode(codebook: Array[Array[Float]], sub: Column): Column = {
+  private[ann] def nearestSubCode(codebook: Array[Array[Float]], sub: Column): Column = {
     val dists = array(codebook.zipWithIndex.map { case (c, i) =>
       var c2 = 0.0
       c.foreach(x => c2 += x.toDouble * x)
@@ -188,7 +188,7 @@ object Similarity {
 
   /** Subvector columns sub_0..sub_{m-1} sliced ONCE (each feeds ksub
     * argmin branches — re-slicing per branch multiplies the work). */
-  private def withSubVectors(df: DataFrame, m: Int, d: Int): DataFrame =
+  private[ann] def withSubVectors(df: DataFrame, m: Int, d: Int): DataFrame =
     df.select(df.columns.map(col) ++
       (0 until m).map(j => slice(col("embedding"), j * d + 1, d).as(s"sub_$j")): _*)
 
@@ -241,7 +241,7 @@ object Similarity {
 
   /** L2-normalized copy of the embedding frame (inner product equals
     * cosine afterwards); zero vectors drop. */
-  private def l2normalize(emb: DataFrame): DataFrame =
+  private[ann] def l2normalize(emb: DataFrame): DataFrame =
     emb.withColumn("__n", norm(col("embedding")))
       .filter(col("__n") > 0)
       .select(col("vec_id"),
@@ -266,52 +266,12 @@ object Similarity {
     // lifetime, same pattern as the LSH dedup candidates)
     val normed = l2normalize(emb).localCheckpoint(eager = false)
     val codebooks = pqCodebooks(normed, m, ksub, refineIters)
-    val d = codebooks(0)(0).length
     // corpus → m-byte codes: ONE narrow pass, materialized because the
-    // ADC stage scans it once per query
-    val codes = withSubVectors(normed, m, d).select(col("vec_id"),
-      array((0 until m).map(j =>
-        nearestSubCode(codebooks(j), col(s"sub_$j"))): _*)
-        .as("codes"))
+    // ADC stage scans it once; scoring is the shared single-pass
+    // broadcast-batch path (plan size independent of #queries)
+    val codes = PqIndex.encode(normed, None, codebooks)
       .localCheckpoint(eager = false)
-    val qVecs = normed.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    // ADC pass per query (queries are few): score = Σ_j T_j[code_j]
-    val adc = qVecs.toSeq.sortBy(_._1).map { case (qid, q) =>
-      val tables = Array.tabulate(m) { j =>
-        codebooks(j).map { c =>
-          var s = 0.0; var t = 0
-          while (t < d) { s += q(j * d + t) * c(t); t += 1 }
-          s
-        }
-      }
-      codes.filter(col("vec_id") =!= qid)
-        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
-          (0 until m).map(j =>
-            element_at(lit(tables(j)), col("codes")(j) + 1)).reduce(_ + _)
-            .as("adc"))
-    }.reduce(_ union _)
-    val cand = graft.plans.GroupTopK.groupTopK(adc, Seq("query_id"),
-        Seq(("adc", false), ("neighbor_id", true)), refine * k)
-      .select(col("query_id"), col("neighbor_id"))
-    // exact re-rank of the small ADC candidate set
-    val q = normed.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val exact = broadcast(cand)
-      .join(normed, col("neighbor_id") === normed("vec_id"))
-      .join(broadcast(q), "query_id")
-      .select(col("query_id"), col("neighbor_id"),
-        dot(col("q_emb"), col("embedding")).as("cos")) // unit vectors
-    exact
-      .withColumn("rank",
-        row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    PqIndex.adcServe(codes, normed, queryIds, None, codebooks, k, 0, refine)
   }
 
   /** IVF-PQ: the composed production index (FAISS's workhorse shape).
@@ -329,59 +289,14 @@ object Similarity {
     val normed = l2normalize(emb).localCheckpoint(eager = false)
     val centroids = kmeansCentroids(normed, nlist, refineIters)
     val codebooks = pqCodebooks(normed, m, ksub, refineIters)
-    val d = codebooks(0)(0).length
     // index build: ONE narrow pass emits (vec_id, cell, m-byte codes);
-    // the original floats leave the scoring path entirely
-    val indexed = withSubVectors(normed, m, d).select(col("vec_id"),
-        element_at(nearestCells(centroids, col("embedding"), 1), 1).as("cell"),
-        array((0 until m).map(j =>
-          nearestSubCode(codebooks(j), col(s"sub_$j"))): _*).as("codes"))
+    // the original floats leave the scoring path entirely. Scoring is
+    // the shared single-pass broadcast-batch ADC path — cells probed by
+    // cosine (the assignment metric), plan size independent of #queries
+    val indexed = PqIndex.encode(normed, Some(centroids), codebooks)
       .localCheckpoint(eager = false)
-    val qVecs = normed.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    // per query: nprobe nearest cells (driver math on unit vectors) and
-    // the ADC lookup tables — the corpus side is an isin cell filter
-    // plus m literal-array lookups
-    val adc = qVecs.toSeq.sortBy(_._1).map { case (qid, q) =>
-      val cells = centroids.map { case (c, i) =>
-        var s = 0.0; var t = 0
-        while (t < q.length) { s += q(t) * c(t); t += 1 }
-        (s, i)
-      }.sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
-      val tables = Array.tabulate(m) { j =>
-        codebooks(j).map { c =>
-          var s = 0.0; var t = 0
-          while (t < d) { s += q(j * d + t) * c(t); t += 1 }
-          s
-        }
-      }
-      indexed
-        .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*) &&
-          col("vec_id") =!= qid)
-        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
-          (0 until m).map(j =>
-            element_at(lit(tables(j)), col("codes")(j) + 1)).reduce(_ + _)
-            .as("adc"))
-    }.reduce(_ union _)
-    val cand = graft.plans.GroupTopK.groupTopK(adc, Seq("query_id"),
-        Seq(("adc", false), ("neighbor_id", true)), refine * k)
-      .select(col("query_id"), col("neighbor_id"))
-    val q = normed.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    broadcast(cand)
-      .join(normed, col("neighbor_id") === normed("vec_id"))
-      .join(broadcast(q), "query_id")
-      .select(col("query_id"), col("neighbor_id"),
-        dot(col("q_emb"), col("embedding")).as("cos"))
-      .withColumn("rank",
-        row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    PqIndex.adcServe(indexed, normed, queryIds, Some(centroids),
+      codebooks, k, nprobe, refine)
   }
 
   /** Deterministic k-means centroids: seeds are the `nlist` rows with the
@@ -423,7 +338,7 @@ object Similarity {
     * codegen'd expression: distances to all centroids → array_sort →
     * slice. Centroids are literal float arrays (broadcast in the plan).
     */
-  private def nearestCells(centroids: Array[(Array[Float], Int)],
+  private[ann] def nearestCells(centroids: Array[(Array[Float], Int)],
       v: Column, n: Int): Column = {
     val dists = array(centroids.map { case (c, i) =>
       struct((lit(1.0) - cosine(v, lit(c))).as("d"), lit(i).as("cell"))

@@ -37,6 +37,11 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
   */
 object ThetaSketch {
   val DefaultK = 1024
+  /** Sentinel k for an untouched merge buffer: foldInto takes the min
+    * of ks, so Int.MaxValue means "adopt the first folded blob's k"
+    * instead of imposing DefaultK on sketches built with a larger k
+    * (which would silently truncate e.g. a k=8192 sketch to 1024). */
+  private[graft] val UntouchedK = Int.MaxValue
   /** θ sentinel "1.0": hashes are masked to [0, 2⁶³), so every value
     * compares below it and the sketch is exhaustive (exact). */
   val MaxTheta: Long = Long.MaxValue
@@ -219,8 +224,11 @@ case class ThetaMergeAgg(
   extends TypedImperativeAggregate[ThetaSketch.Buf]
   with UnaryLike[Expression] {
 
+  // UntouchedK: min-k union semantics then adopt the FIRST folded
+  // blob's k naturally (min(UntouchedK, k) = k) in both update and
+  // merge — no special-casing, and k>DefaultK blobs are not truncated.
   override def createAggregationBuffer(): ThetaSketch.Buf =
-    ThetaSketch.emptyBuf(ThetaSketch.DefaultK)
+    ThetaSketch.emptyBuf(ThetaSketch.UntouchedK)
 
   override def update(buf: ThetaSketch.Buf, input: InternalRow): ThetaSketch.Buf = {
     val v = child.eval(input)
@@ -232,20 +240,17 @@ case class ThetaMergeAgg(
   }
 
   override def merge(a: ThetaSketch.Buf, b: ThetaSketch.Buf): ThetaSketch.Buf = {
-    // an untouched merge buffer must not impose its default k on a
-    // narrower/wider built sketch: fold the non-empty side's bounds
-    if (b.theta == ThetaSketch.MaxTheta && b.set.isEmpty &&
-        b.k == ThetaSketch.DefaultK) a
-    else if (a.theta == ThetaSketch.MaxTheta && a.set.isEmpty &&
-        a.k == ThetaSketch.DefaultK) b
-    else {
-      ThetaSketch.foldInto(a, b.k, b.theta,
-        b.set.iterator.asScala.map(_.longValue))
-      a
-    }
+    ThetaSketch.foldInto(a, b.k, b.theta,
+      b.set.iterator.asScala.map(_.longValue))
+    a
   }
 
-  override def eval(buf: ThetaSketch.Buf): Any = ThetaSketch.canonical(buf)
+  override def eval(buf: ThetaSketch.Buf): Any = {
+    // merge over zero non-null blobs: emit a DefaultK empty sketch
+    // rather than leaking the sentinel into the wire format
+    if (buf.k == ThetaSketch.UntouchedK) buf.k = ThetaSketch.DefaultK
+    ThetaSketch.canonical(buf)
+  }
   override def serialize(buf: ThetaSketch.Buf): Array[Byte] = ThetaSketch.ser(buf)
   override def deserialize(bytes: Array[Byte]): ThetaSketch.Buf =
     ThetaSketch.deserToBuf(bytes)

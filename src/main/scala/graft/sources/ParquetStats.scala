@@ -55,6 +55,10 @@ object ParquetStats {
               val st = c.getStatistics
               require(st != null && !st.isEmpty,
                 s"no statistics in footer for $name (stats disabled at write?)")
+              // getNumNulls returns -1 when the writer recorded min/max
+              // but not a null count — summing it would silently corrupt
+              require(st.isNumNullsSet,
+                s"footer for $name has min/max but no null count")
               val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
               val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
               acc.get(name) match {

@@ -614,6 +614,22 @@ class PlanSpec extends SparkSpec {
     assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("PQ ADC serve plan does not grow with the query batch size") {
+    // the r6 shape combined per-query ADC frames with reduce(union) —
+    // a 64-query batch meant a 64-way union and 64 corpus-scan
+    // branches; the r7 contract is ONE broadcast join of codes against
+    // the query batch carrying its ADC tables, so the plan is constant
+    // in #queries
+    val emb = Tables.embeddings(spark, sf)
+    val qs = (0L until 64L).toSeq
+    val df = graft.ann.Similarity.pqTopK(emb, qs, 5)
+    val p = plan(df)
+    assert(!p.contains("Union"), p)
+    // exactly one scan of the codes relation feeds the ADC score: the
+    // broadcast-nested-loop join against the query batch appears once
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3, p)
+  }
+
   test("dynamic runtime filter pushes down to the parquet scan") {
     import graft.functions.DynamicUdf
     DynamicUdf.registerExpr(spark, "plan_spec_dyn",

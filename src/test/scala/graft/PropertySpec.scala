@@ -651,6 +651,31 @@ class PropertySpec extends SparkSpec {
     assert(got.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("persisted PQ index: serve == in-memory path, empty-batch guard") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_spec").toString
+    graft.ann.PqIndex.build(emb, dir).collect()
+    // training is deterministic (hash-strided seeds), so the persisted
+    // index must reproduce the in-memory results EXACTLY: flat serve ==
+    // pqTopK, probed serve == ivfPqTopK
+    val flatServe = graft.ann.PqIndex.serve(emb, dir, qs, 10)
+      .collect().map(_.toString)
+    val flatMem = graft.ann.Similarity.pqTopK(emb, qs, 10)
+      .collect().map(_.toString)
+    assert(flatServe.sameElements(flatMem))
+    val probedServe = graft.ann.PqIndex.serve(emb, dir, qs, 10, nprobe = 6)
+      .collect().map(_.toString)
+    val probedMem = graft.ann.Similarity.ivfPqTopK(emb, qs, 10)
+      .collect().map(_.toString)
+    assert(probedServe.sameElements(probedMem))
+    // unknown query ids: empty result with the topK schema, not a crash
+    val none = graft.ann.PqIndex.serve(emb, dir, Seq(-1L), 10)
+    assert(none.columns.toSeq ==
+      Seq("query_id", "rank", "neighbor_id", "cos"))
+    assert(none.count() == 0)
+  }
+
   test("hll sketch: <=5% error, partition-merge == whole-corpus sketch, deterministic") {
     import graft.functions.HllSketch._
     val dd = graft.engine.Tables.documents(spark, sf)
@@ -735,6 +760,21 @@ class PropertySpec extends SparkSpec {
     }
     assert(dd.agg(theta_build(col("text"), 64).as("sk"))
       .head.getAs[Array[Byte]]("sk").sameElements(whole))
+    // k ABOVE the merge buffer's DefaultK (the r7 ADVICE defect: update
+    // folded into a k=1024 buffer, silently truncating k=8192 sketches
+    // 8×): split-merge must stay bit-parity with the whole-corpus build
+    val bigK = spark.range(0, 5000).select(col("id").as("v"))
+    val wholeBigK = bigK.agg(theta_build(col("v"), 8192).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    val mergedBigK = bigK.groupBy(pmod(col("v"), lit(7)).as("part"))
+      .agg(theta_build(col("v"), 8192).as("sk"))
+      .agg(theta_merge(col("sk")).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    assert(mergedBigK.sameElements(wholeBigK), "k=8192 merge truncated")
+    // 5000 < 8192 ⇒ still the exact regime: the estimate is exact,
+    // which a 1024-entry truncation could not produce
+    assert(Seq(Tuple1(mergedBigK)).toDF("a")
+      .select(theta_estimate(col("a"))).head.getDouble(0) == 5000.0)
     // exact regime (k ≥ set sizes): every set-algebra answer is exact.
     // A = {0..299}, B = {200..499}: |A∩B|=100, |A∖B|=200, |A∪B|=500
     val ab = ((0 until 300).map(i => ("a", i.toLong)) ++
