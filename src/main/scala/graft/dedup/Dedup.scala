@@ -184,22 +184,46 @@ object Dedup {
       .agg(graft.functions.BoundedCollect
         .boundedPostings(col("doc_id"), col("len"), maxWindowDocs).as("ds"))
       .filter(size(col("ds")).between(2, maxWindowDocs))
-    // the list is sorted by doc_id, so nested prefix iteration
-    // yields id_a < id_b for free; slice is 1-based, transform's index
-    // 0-based — slice(ds, i+2, …) is exactly the strict suffix after x
+    // The posting lists arrive (len, doc_id)-sorted from the collector,
+    // so the length prefilter runs BEFORE pair materialization: in the
+    // sorted suffix y.len ≥ x.len, so the bound is a one-sided filter
+    // inside the lambda and a far-length pair never becomes a struct,
+    // an exploded row, or a shuffle row (the r6 shape emitted every
+    // pair and length-filtered after the explode — at heavy duplication
+    // most emitted pairs died in that filter). Surviving pairs are
+    // IDENTICAL, so the oracle is unchanged.
+    // slice is 1-based, transform's index 0-based — slice(ds, i+2, …)
+    // is exactly the strict suffix after x; len-sorted order loses the
+    // doc_id order, so pairs normalize via least/greatest
     val ds = col("ds")
     val pairsCol = flatten(transform(ds, (x, i) =>
-      transform(slice(ds, i + lit(2), size(ds)), y =>
-        struct(x("doc_id").as("id_a"), y("doc_id").as("id_b"),
-          x("len").as("la"), y("len").as("lb")))))
+      transform(
+        filter(slice(ds, i + lit(2), size(ds)),
+          y => y("len") - x("len") <= maxDist),
+        y => struct(
+          least(x("doc_id"), y("doc_id")).as("id_a"),
+          greatest(x("doc_id"), y("doc_id")).as("id_b")))))
     val pairs = postings
       .select(explode(pairsCol).as("p"))
-      .filter(abs(col("p.la") - col("p.lb")) <= maxDist)
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-    val ta = docs.select(col("doc_id").as("id_a"), lower(col("text")).as("__ta"))
-    val tb = docs.select(col("doc_id").as("id_b"), lower(col("text")).as("__tb"))
-    pairs.join(ta, "id_a").join(tb, "id_b")
+    // Fetch candidate texts with ONE corpus scan: explode each pair
+    // into its two member ids, join the corpus text once (AQE
+    // broadcasts the small exploded side; at a genuinely huge pair
+    // count it degrades to a shuffle join, which is then correct), and
+    // regroup by pair — only the involved texts shuffle. The r6 tail
+    // joined pairs→corpus→corpus, i.e. two full text scans for a
+    // candidate set thousands of times smaller (measured ~2× the whole
+    // verify stage at the ×20 probe); a semi-join + localCheckpoint
+    // variant was A/B'd and its barrier jobs cost ~0.4 s at sf0.1.
+    val sides = pairs.select(col("id_a"), col("id_b"),
+        posexplode(array(col("id_a"), col("id_b"))).as(Seq("side", "doc_id")))
+      .join(docs.select(col("doc_id"), lower(col("text")).as("__t")), "doc_id")
+    sides
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        max(when(col("side") === 0, col("__t"))).as("__ta"),
+        max(when(col("side") === 1, col("__t"))).as("__tb"))
       .withColumn("edit_dist",
         levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
       .filter(col("edit_dist") >= 0L)

@@ -43,8 +43,10 @@ import scala.collection.mutable
 object BoundedCollect {
 
   /** `bounded_postings(id, len, cap)` as a Column aggregate; result is
-    * array<struct<doc_id: long, len: int>>, sorted by doc_id when the
-    * list is complete (size ≤ cap), arbitrary (cap+1)-sized otherwise.
+    * array<struct<doc_id: long, len: int>>, sorted by (len, doc_id)
+    * when the list is complete (size ≤ cap) — length order lets the
+    * pair generator apply the length prefilter as a one-sided bound
+    * inside the lambda — arbitrary (cap+1)-sized otherwise.
     */
   def boundedPostings(id: Column, len: Column, cap: Int): Column =
     graftshim.exprToColumn(
@@ -89,7 +91,8 @@ case class BoundedPostingsAgg(
   }
 
   override def eval(buf: mutable.ArrayBuffer[(Long, Int)]): Any = {
-    val xs = if (buf.size >= limit) buf else buf.sortBy(_._1)
+    val xs = if (buf.size >= limit) buf
+      else buf.sortBy { case (id, ln) => (ln, id) }
     new GenericArrayData(xs.map { case (id, ln) =>
       InternalRow(id, ln)
     }.toArray[Any])

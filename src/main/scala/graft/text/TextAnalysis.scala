@@ -310,7 +310,11 @@ object TextAnalysis {
       .select(col("doc_id"), tokens(col("text")).as("__ws"))
     val ws = col("__ws")
     val windows = windowHashes(ws, w)
+    // materialized (lazily): perDoc feeds both the dup-hash aggregation
+    // and the semi-join probe side (same double-compute shape as
+    // removeDupSpans' grams)
     val perDoc = pre.select(col("doc_id"), explode(windows).as("ghash"))
+      .localCheckpoint(eager = false)
     val dupHashes = perDoc
       .groupBy(col("ghash"))
       .agg(count_distinct(col("doc_id")).as("__nd"))
@@ -363,9 +367,14 @@ object TextAnalysis {
       sl => struct(
         xxhash64(sl).as("h1"),
         xxhash64(lit(1L), sl).as("h2")))
+    // materialized (lazily): grams feeds BOTH the dup aggregation and
+    // the join-back probe side — without this the window slice+double-
+    // hash pipeline (the most expensive stage) runs twice, measured
+    // ~+60% on the whole query at the ×20 duplication probe
     val grams = pre.filter(size(ws) >= w)
       .select(col("doc_id"), posexplode(windows))
       .toDF("doc_id", "pos0", "ghash")
+      .localCheckpoint(eager = false)
     val dup = grams
       .groupBy(col("ghash"))
       .agg(count_distinct(col("doc_id")).as("__nd"), min(col("doc_id")).as("__keeper"))
@@ -378,14 +387,38 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(collect_list(col("pos0") + lit(1)).as("__ps"))
     val ps = coalesce(col("__ps"), array().cast("array<int>"))
-    // token j (0-based) is cut iff some removable window [p, p+w) covers it
+    // Compact the cut windows into disjoint MERGED intervals before the
+    // per-token test: a heavily duplicated document has thousands of
+    // overlapping cut windows that collapse to a handful of spans, so
+    // the coverage test costs O(len·|merged|) instead of O(len·|ps|)
+    // (the r6 shape tested every token against every raw start — the
+    // dominant cost of the ×20 duplication scale probe). Fold over the
+    // sorted starts: each window covers [p, p+w-1]; extend the open
+    // interval while the next start touches it, else open a new one.
+    // Overlap-heavy folds keep the accumulator tiny (the expensive
+    // case merges hardest). Coverage is identical ⇒ oracle unchanged.
+    val merged = aggregate(array_sort(ps),
+      array().cast("array<struct<s: int, e: int>>"),
+      (acc, p) => {
+        val last = element_at(acc, -1)
+        when(size(acc) > lit(0) && p <= last("e") + lit(1),
+          concat(slice(acc, lit(1), size(acc) - lit(1)),
+            array(struct(last("s").as("s"),
+              greatest(last("e"), p + lit(w - 1)).as("e")))))
+          .otherwise(concat(acc,
+            array(struct(p.as("s"), (p + lit(w - 1)).as("e")))))
+      })
+    // projected to an attribute: lambda bodies get no CSE, so an inline
+    // `merged` would re-run the whole fold once per token
+    val ivA = col("__iv")
     val kept = filter(ws, (t, j) =>
-      !exists(ps, p => j + lit(1) >= p && j + lit(1) <= p + lit(w - 1)))
+      !exists(ivA, iv => j + lit(1) >= iv("s") && j + lit(1) <= iv("e")))
     // ALL docs pass through — a doc shorter than w tokens has no
     // windows and must come out uncut, not dropped (it's a transform,
     // not a filter); its missing `starts` row coalesces to no cuts
     pre
       .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__ws"), merged.as("__iv"))
       .select(col("doc_id"),
         size(ws).cast("long").as("n_tokens"),
         size(kept).cast("long").as("n_kept"),
