@@ -71,29 +71,34 @@ object Quantization {
     * sketch value, radius purely from the sketch error).
     */
   def noisyDistinct(df: org.apache.spark.sql.DataFrame, column: String,
-      rsd: Double = 0.05, noiseScale: Double = 0.0, seed: Long = 42L)
+      rsd: Double = 0.05, noiseScale: Double = 0.0, seed: Long = 42L,
+      keyLoader: Option[graft.security.KeyLoader] = None)
       : org.apache.spark.sql.DataFrame =
     df.agg(approx_count_distinct(col(column), rsd).as("__raw"))
       .select(
         round(col("__raw") +
-          laplaceNoise(lit(column), noiseScale, seed), 4).as("noisy_distinct"),
+          laplaceNoise(lit(column), noiseScale, seed, keyLoader), 4).as("noisy_distinct"),
         round(lit(1.96 * rsd) * col("__raw") +
           lit(noiseScale * math.log(20.0)), 4).as("conf_radius"))
 
-  /** Deterministic pseudo-Laplace noise from a seed column — for DP
-    * histogram counts. scale=0 → exact (the default, as in the
-    * reference's NoisyHLogLog/DPHistogram zero-noise path).
-    */
-  def laplaceNoise(key: Column, scale: Double, seed: Long = 42L): Column =
+  /** Keyed Laplace noise from a tag column — for DP histogram counts.
+    * The PRF path ([[graft.security.SecurePrf]], mirroring the
+    * reference's security/SecureLaplace.java): noise is
+    * HMAC-SHA256(key, tag) → inverse-CDF Laplace, so holders of the
+    * same key reproduce it exactly (the binary-mechanism consistency
+    * requirement) while it is unpredictable without the key. The
+    * default loader is the deterministic test key derived from `seed`
+    * (security/TestKeyLoader — the reproducible-spec mode); production
+    * passes a [[graft.security.PersistedKeyLoader]]. scale=0 → exact
+    * (the default, as in the reference's NoisyHLogLog/DPHistogram
+    * zero-noise path). */
+  def laplaceNoise(key: Column, scale: Double, seed: Long = 42L,
+      keyLoader: Option[graft.security.KeyLoader] = None): Column =
     if (scale == 0.0) lit(0.0)
-    else {
-      // uniform in (-0.5, 0.5) EXCLUSIVE from a hash of (seed, key):
-      // offset by half a grid step so |u| < 0.5 and log(1-2|u|) is finite
-      val u = ((pmod(xxhash64(lit(seed), key), lit(1000000L)).cast("double") +
-        lit(0.5)) / lit(1000000.0)) - lit(0.5)
-      // inverse-CDF Laplace
-      -lit(scale) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
-    }
+    else graft.security.SecureLaplaceExpr.noise(
+      key.cast("string"), scale,
+      keyLoader.getOrElse(
+        graft.security.TestKeyLoader(index = seed.toInt)))
 
   /** Dyadic decomposition of the leaf interval [left, right) — the
     * binary-mechanism interval cover (Chan/Song/Shi TISSEC '11) the
@@ -186,7 +191,9 @@ object Quantization {
       df: org.apache.spark.sql.DataFrame, column: String,
       minValue: Double, granularity: Double, leaves: Int,
       bucketStarts: Seq[Int], epsilon: Double, branching: Int = 20,
-      cdf: Boolean = false, seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+      cdf: Boolean = false, seed: Long = 42L,
+      keyLoader: Option[graft.security.KeyLoader] = None)
+      : org.apache.spark.sql.DataFrame = {
     require(bucketStarts.nonEmpty && bucketStarts == bucketStarts.sorted,
       "bucketStarts must be sorted")
     require(bucketStarts.head == 0, "first bucket starts at leaf 0")
@@ -203,8 +210,8 @@ object Quantization {
     val noisePerBucket = decomp.toDF("bucket", "ilo", "isz")
       .groupBy(col("bucket"))
       .agg(
-        sum(laplaceNoise(concat_ws(":", col("ilo"), col("isz")), scale, seed))
-          .as("__noise"),
+        sum(laplaceNoise(concat_ws(":", col("ilo"), col("isz")), scale, seed,
+          keyLoader)).as("__noise"),
         count(lit(1)).as("n_intervals"))
     // exact per-bucket histogram: leaf = grid cell, bucket = largest
     // start ≤ leaf (codegen'd CASE chain — buckets are bounded)
@@ -263,7 +270,8 @@ object Quantization {
       df: org.apache.spark.sql.DataFrame, xColumn: String, yColumn: String,
       xMin: Double, xGranularity: Double, xLeaves: Int, xBucketStarts: Seq[Int],
       yMin: Double, yGranularity: Double, yLeaves: Int, yBucketStarts: Seq[Int],
-      epsilon: Double, branching: Int = 20, seed: Long = 42L)
+      epsilon: Double, branching: Int = 20, seed: Long = 42L,
+      keyLoader: Option[graft.security.KeyLoader] = None)
       : org.apache.spark.sql.DataFrame = {
     require(xBucketStarts.nonEmpty && xBucketStarts == xBucketStarts.sorted &&
       xBucketStarts.head == 0, "xBucketStarts must be sorted from 0")
@@ -290,7 +298,7 @@ object Quantization {
       .agg(
         sum(laplaceNoise(
           concat_ws(":", col("xlo"), col("xsz"), col("ylo"), col("ysz")),
-          scale, seed)).as("__noise"),
+          scale, seed, keyLoader)).as("__noise"),
         count(lit(1)).as("n_intervals"))
     def bucketOf(c: String, minV: Double, gran: Double, starts: Seq[Int]) = {
       val leaf = floor((col(c) - lit(minV)) / lit(gran)).cast("int")

@@ -176,6 +176,46 @@ class PropertySpec extends SparkSpec {
     assert(a.sameElements(b) && a.exists(_ != 0.0))
   }
 
+  test("secure laplace PRF: keyed reproducibility, cross-key independence, distribution") {
+    import graft.security.{PersistedKeyLoader, SecurePrf, TestKeyLoader}
+    val k1 = TestKeyLoader(index = 1).key
+    val k1b = TestKeyLoader(index = 1).key
+    val k2 = TestKeyLoader(index = 2).key
+    // per-key reproducibility: same key + same interval tag → identical
+    // noise (the binary-mechanism consistency requirement)
+    val tags = (0 until 2000).map(i => s"iv:$i")
+    val n1 = tags.map(SecurePrf.laplace(k1, 2.0, _))
+    assert(n1 == tags.map(SecurePrf.laplace(k1b, 2.0, _)))
+    // cross-key unpredictability: an independent key's noise shares no
+    // values and is uncorrelated (|r| small over 2000 samples)
+    val n2 = tags.map(SecurePrf.laplace(k2, 2.0, _))
+    assert(!n1.zip(n2).exists(p => p._1 == p._2))
+    val (m1, m2) = (n1.sum / n1.size, n2.sum / n2.size)
+    val cov = n1.zip(n2).map(p => (p._1 - m1) * (p._2 - m2)).sum / n1.size
+    val sd1 = math.sqrt(n1.map(x => (x - m1) * (x - m1)).sum / n1.size)
+    val sd2 = math.sqrt(n2.map(x => (x - m2) * (x - m2)).sum / n2.size)
+    assert(math.abs(cov / (sd1 * sd2)) < 0.08, s"corr=${cov / (sd1 * sd2)}")
+    // distribution: Laplace(0, b) has mean 0, sd b√2, and P(|X|>b·ln2)
+    // = 1/2 (the median of |X|); 2000 samples pin all three loosely
+    assert(math.abs(m1) < 0.25, s"mean=$m1")
+    assert(math.abs(sd1 - 2.0 * math.sqrt(2.0)) < 0.35, s"sd=$sd1")
+    val overMedian = n1.count(x => math.abs(x) > 2.0 * math.log(2.0))
+    assert(math.abs(overMedian - 1000) < 100, s"median split $overMedian/2000")
+    // persisted key: generated once, then every loader sees the SAME
+    // key — noise survives a session restart (reference KeyLoader)
+    val kf = java.nio.file.Files.createTempDirectory("graft_dpkey").resolve("key")
+    val p1 = new PersistedKeyLoader(kf).key
+    val p2 = new PersistedKeyLoader(kf).key
+    assert(p1.sameElements(p2) && p1.length == 32)
+    assert(SecurePrf.laplace(p1, 1.0, "iv:7") == SecurePrf.laplace(p2, 1.0, "iv:7"))
+    // the Column surface agrees with the driver-side PRF bit for bit
+    val viaCol = (0 until 50).toDF("i")
+      .select(graft.security.SecureLaplaceExpr.noise(
+        concat(lit("iv:"), col("i")), 2.0, TestKeyLoader(index = 1)).as("n"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(viaCol == n1.take(50))
+  }
+
   test("dyadic decomposition: aligned power-of-two cover, O(log T) size") {
     import graft.functions.Quantization.{dyadicDecomposition, kadicDecomposition}
     // worked example: [3,11) = [3,4) ∪ [4,8) ∪ [8,10) ∪ [10,11)
