@@ -24,16 +24,27 @@ import scala.collection.mutable
   */
 class TargetRegistry(val spark: SparkSession) {
 
+  /** `op`/`args` are the REPLAYABLE form of the gesture (expressions as
+    * SQL text, parsed back with `expr` on replay); `gesture` is the
+    * display string the lineage API returns. */
   final case class Target(id: String, df: DataFrame,
-      parent: Option[String], gesture: String)
+      parent: Option[String], gesture: String,
+      op: String, args: Seq[String])
 
-  private val targets = mutable.Map.empty[String, Target]
+  private val targets = mutable.LinkedHashMap.empty[String, Target]
   private var nextId = 0
 
-  private def register(df: DataFrame, parent: Option[String], gesture: String): Target =
+  private def register(df: DataFrame, parent: Option[String], gesture: String,
+      op: String, args: Seq[String], forcedId: Option[String] = None): Target =
     synchronized {
-      val t = Target(s"t$nextId", df, parent, gesture)
-      nextId += 1
+      val id = forcedId.getOrElse { val i = s"t$nextId"; nextId += 1; i }
+      require(!targets.contains(id), s"target id $id already registered")
+      // a replayed id advances the counter so post-replay registrations
+      // never collide with restored targets
+      forcedId.collect { case s if s.matches("t\\d+") =>
+        nextId = math.max(nextId, s.drop(1).toInt + 1)
+      }
+      val t = Target(id, df, parent, gesture, op, args)
       targets.update(t.id, t)
       t
     }
@@ -49,23 +60,39 @@ class TargetRegistry(val spark: SparkSession) {
     t.parent.map(lineage).getOrElse(Seq.empty) :+ t.gesture
   }
 
+  /** The Target chain root→id (the replayable form of [[lineage]]). */
+  private def chain(id: String): Seq[Target] = {
+    val t = get(id)
+    t.parent.map(chain).getOrElse(Seq.empty) :+ t
+  }
+
+  private def sqlOf(c: Column): String =
+    org.apache.spark.sql.graftshim.columnToSql(c)
+
   // ── root targets (InitialObjectTarget.loadTable → TableTarget) ──────
+  /** Volatile root: the frame is session-local, so this target is NOT
+    * replayable from the redo log (the reference analog is an RpcTarget
+    * whose original request cannot be re-issued). Use [[loadTable]] for
+    * durable lineage. */
   def load(name: String, df: DataFrame): Target =
-    register(df, None, s"load:$name")
+    register(df, None, s"load:$name", "load_volatile", Seq(name))
 
   def loadTable(dir: String, table: String): Target =
-    load(table, Tables.table(spark, dir, table))
+    register(Tables.table(spark, dir, table), None,
+      s"load:$table", "load", Seq(dir, table))
 
   // ── map gestures → child targets (FilterMap, ProjectMap, …) ─────────
   def filter(id: String, pred: Column): Target =
-    register(get(id).df.filter(pred), Some(id), s"filter:$pred")
+    register(get(id).df.filter(pred), Some(id), s"filter:$pred",
+      "filter", Seq(sqlOf(pred)))
 
   def project(id: String, cols: Seq[String]): Target =
     register(get(id).df.select(cols.map(org.apache.spark.sql.functions.col): _*),
-      Some(id), s"project:${cols.mkString(",")}")
+      Some(id), s"project:${cols.mkString(",")}", "project", cols)
 
   def withColumn(id: String, name: String, c: Column): Target =
-    register(get(id).df.withColumn(name, c), Some(id), s"col:$name=$c")
+    register(get(id).df.withColumn(name, c), Some(id), s"col:$name=$c",
+      "col", Seq(name, sqlOf(c)))
 
   // ── sketch gestures → memoized bounded results (runSketch) ──────────
   /** Generic sketch: any bounded-result aggregation of the target's
@@ -90,4 +117,96 @@ class TargetRegistry(val spark: SparkSession) {
 
   def summary(id: String): Array[Row] =
     sketch(id)(df => graft.operators.Stats.rowCount(df))
+
+  // ── redo log / bookmarks (web/.../RedoLog.java, bookmark/README.md) ──
+  // The reference persists, per target, the request that produced it
+  // ("hillview.redo"), so a restarted server replays the log and every
+  // view URL/bookmark keeps resolving. Spark translation: one JSON line
+  // per target — {id, parent, op, args} — written newest-last (the
+  // LinkedHashMap preserves creation order, so parents always precede
+  // children), replayed into a fresh registry with the ORIGINAL ids.
+
+  private def jsonLine(t: Target): String = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val parent = t.parent.map(q).getOrElse("null")
+    s"""{"id":${q(t.id)},"parent":$parent,"op":${q(t.op)},""" +
+      s""""args":[${t.args.map(q).mkString(",")}]}"""
+  }
+
+  /** Persist the full redo log (every target ever registered). Targets
+    * with a volatile root are skipped with their descendants — they
+    * cannot replay (the log stays loadable rather than failing). */
+  def saveRedoLog(path: String): Unit = synchronized {
+    val replayable = mutable.Set.empty[String]
+    val lines = targets.values.toSeq.filter { t =>
+      val ok = t.op != "load_volatile" && t.parent.forall(replayable)
+      if (ok) replayable += t.id
+      ok
+    }.map(jsonLine)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Persist ONE view's lineage — the bookmark (bookmark/README.md: a
+    * shareable pointer that reconstructs exactly one view). */
+  def saveBookmark(id: String, path: String): Unit = synchronized {
+    val c = chain(id)
+    require(c.forall(_.op != "load_volatile"),
+      s"target $id has a volatile root — not bookmarkable")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      c.map(jsonLine).mkString("\n").getBytes("UTF-8"))
+  }
+}
+
+object TargetRegistry {
+
+  /** Rebuild a registry from a redo log / bookmark file in a FRESH
+    * session: each line replays its gesture against the already-replayed
+    * parent, keeping the original target id, so saved sketch gestures
+    * (and bookmark URLs carrying ids) resolve identically. Frames stay
+    * lazy — replay costs no Spark jobs until a sketch runs; the first
+    * sketch after replay is served from [[graft.streaming.Memo]] when
+    * its plan was collected before (the reference's MemoizedResults
+    * behavior across a restart).
+    */
+  def replay(spark: SparkSession, path: String): TargetRegistry = {
+    import org.apache.spark.sql.functions.expr
+    val reg = new TargetRegistry(spark)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val lines = try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    lines.foreach { line =>
+      val n = mapper.readTree(line)
+      val id = n.get("id").asText()
+      val parent = Option(n.get("parent")).filterNot(_.isNull).map(_.asText())
+      val op = n.get("op").asText()
+      val args = (0 until n.get("args").size()).map(n.get("args").get(_).asText())
+      op match {
+        case "load" =>
+          reg.register(Tables.table(spark, args(0), args(1)), None,
+            s"load:${args(1)}", op, args, forcedId = Some(id))
+        case "filter" =>
+          val p = expr(args(0))
+          reg.register(reg.get(parent.get).df.filter(p), parent,
+            s"filter:$p", op, args, forcedId = Some(id))
+        case "project" =>
+          reg.register(reg.get(parent.get).df.select(
+              args.map(org.apache.spark.sql.functions.col): _*),
+            parent, s"project:${args.mkString(",")}", op, args,
+            forcedId = Some(id))
+        case "col" =>
+          val c = expr(args(1))
+          reg.register(reg.get(parent.get).df.withColumn(args(0), c), parent,
+            s"col:${args(0)}=$c", op, args, forcedId = Some(id))
+        case other =>
+          throw new IllegalArgumentException(s"unreplayable op: $other")
+      }
+    }
+    reg
+  }
 }

@@ -11,6 +11,13 @@ package object graftshim {
   def exprToColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def columnToExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Fully converted Catalyst expression (ColumnNode tree → Expression),
+    * so `.sql` renders real SQL text instead of the lazy
+    * ColumnNodeExpression placeholder — needed to persist gestures as
+    * replayable SQL (redo log / bookmarks). */
+  def columnToSql(c: Column): String =
+    classic.ColumnNodeToExpressionConverter.apply(c.node).sql
+
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)

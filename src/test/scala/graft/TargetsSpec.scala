@@ -109,6 +109,57 @@ class TargetsSpec extends SparkSpec {
     assert(Memo.hits == hitsBefore + 2)
   }
 
+  test("redo log: save → replay in a fresh registry → same ids, memo-served sketch") {
+    Memo.clear()
+    val reg = new TargetRegistry(spark)
+    val root = reg.loadTable(sf, "lineitem")
+    val filtered = reg.filter(root.id,
+      col("l_extendedprice").between(1000.0, 50000.0))
+    val proj = reg.project(filtered.id, Seq("l_returnflag", "l_quantity"))
+    val derived = reg.withColumn(proj.id, "qty2", col("l_quantity") * 2.0)
+    val order = Seq(Order("l_returnflag"))
+    val aggs = Seq(AggSpec(SumAgg, "qty2", "sum_qty2"))
+    val before = reg.nextK(derived.id, order, 3, aggs = aggs)
+    assert(before.nonEmpty)
+    // persist, replay into a FRESH registry (fresh-session stand-in: the
+    // replayed frames rebuild from the table dir, sharing nothing with
+    // the original targets' DataFrames), and resolve the SAME id
+    val log = java.nio.file.Files.createTempDirectory("graft_redo")
+      .resolve("hillview.redo").toString
+    reg.saveRedoLog(log)
+    val restored = TargetRegistry.replay(spark, log)
+    assert(restored.size == 4)
+    assert(restored.lineage(derived.id).map(_.takeWhile(_ != ':')) ==
+      Seq("load", "filter", "project", "col"))
+    // the replayed sketch is IDENTICAL and served from the memo (the
+    // replayed plan canonicalizes to the collected one — a cache hit,
+    // not a recompute), like the reference's MemoizedResults across a
+    // restart
+    val hitsBefore = Memo.hits
+    val after = restored.nextK(derived.id, order, 3, aggs = aggs)
+    assert(after.toSeq == before.toSeq)
+    assert(Memo.hits == hitsBefore + 1)
+    // post-replay registration continues past the restored ids
+    val fresh = restored.loadTable(sf, "orders")
+    assert(fresh.id == "t4")
+    // bookmark: one view's chain only, replayable on its own
+    val bm = java.nio.file.Files.createTempDirectory("graft_bm")
+      .resolve("view.bookmark").toString
+    reg.saveBookmark(filtered.id, bm)
+    val view = TargetRegistry.replay(spark, bm)
+    assert(view.size == 2)
+    assert(view.get(filtered.id).df.count() ==
+      Tables.lineitem(spark, sf)
+        .filter(col("l_extendedprice").between(1000.0, 50000.0)).count())
+    // volatile roots are excluded from the log and refuse bookmarks
+    import spark.implicits._
+    val vol = reg.load("session_frame", Seq((1, "a")).toDF("k", "v"))
+    val volChild = reg.filter(vol.id, col("k") > 0)
+    reg.saveRedoLog(log)
+    assert(TargetRegistry.replay(spark, log).size == 4)
+    intercept[IllegalArgumentException](reg.saveBookmark(volChild.id, bm))
+  }
+
   test("dynamic expression registration drives a gesture and folds into the plan") {
     import graft.functions.DynamicUdf
     val reg = new TargetRegistry(spark)
