@@ -563,6 +563,33 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_returnflag"))
     }),
+    // the JS-gesture lexical surface (CreateColumnJSMap.java:39-56): a
+    // user-written `function map(row) {...}` — if/else chain, local
+    // var, string concat with JS number rendering, method call —
+    // compiled to Columns (codegen'd, pushdown-friendly), not executed
+    // per row; differential-fuzz-gated vs a plain-Scala interpreter
+    "dynamic_udf_js" -> ((s, d) => {
+      val js = """function map(row) {
+        var v = row.l_quantity * row.l_extendedprice;
+        if (row.l_returnflag == 'R') return 'ret:' + row.l_linestatus.toLowerCase();
+        if (v >= 1000000) { return 'big'; }
+        return 'v' + Math.floor(v / 100000);
+      }"""
+      graft.functions.JsGesture.withJsColumn(li(s, d), "tag", js)
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"),
+          graft.engine.Num.sumExact(col("l_quantity")).as("sum_qty"))
+    }),
+    // JSFilterDescription.java:30-80 as a JS gesture: the function-form
+    // predicate still reaches the parquet scan as a pushed filter
+    // (plan-gated in JsGestureSpec)
+    "dynamic_filter_js" -> ((s, d) =>
+      graft.functions.JsGesture.jsFilter(li(s, d),
+        """function filter(row) {
+          return row.l_quantity >= 45 && row.l_returnflag.startsWith('A');
+        }""")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))),
     "nextk_basic" -> ((s, d) =>
       NextK.nextK(ord(s, d), Seq(Order("o_orderpriority"), Order("o_orderstatus")), 8)),
     "nextk_desc" -> ((s, d) =>
@@ -2076,6 +2103,16 @@ object SparkEntry {
         |CASE WHEN l_quantity = 0.0 THEN 0.0
         |  ELSE floor(l_extendedprice / l_quantity * 10000.0) / 10000.0 END AS ppu
         |FROM lineitem WHERE l_quantity >= 10.0 AND l_quantity < 30.0""".stripMargin,
+    "dynamic_udf_js" ->
+      s"""SELECT CASE WHEN l_returnflag = 'R' THEN 'ret:' || lower(l_linestatus)
+        |  WHEN l_quantity * l_extendedprice >= 1000000 THEN 'big'
+        |  ELSE 'v' || CAST(CAST(FLOOR(l_quantity * l_extendedprice / 100000) AS BIGINT) AS VARCHAR)
+        |  END AS tag,
+        |count(*) AS n, $sumQty AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "dynamic_filter_js" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE l_quantity >= 45 AND l_returnflag LIKE 'A%'""".stripMargin,
     "dynamic_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
         |WHERE l_quantity >= 45.0 AND l_returnflag IN ('A', 'R')""".stripMargin,
