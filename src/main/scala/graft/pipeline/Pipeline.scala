@@ -101,14 +101,23 @@ object Pipeline {
   def packSequences(docs: DataFrame, group: Column, order: Column,
       nTokens: Column, budget: Long, nSub: Int = 32): DataFrame = {
     val outCols = docs.columns
-    val mm = docs.agg(min(order.cast("double")), max(order.cast("double"))).head()
-    if (mm.isNullAt(0)) return docs.withColumn("bin", lit(null).cast("long")).limit(0)
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    // the order-key extent rides in as a broadcast 1-row aggregate
+    // (NOT an eager .head() at construction time — that serialized an
+    // extra full pass before the real job and made the function
+    // non-composable lazily); the filter on __lo keeps the old
+    // empty-result semantics when the order column is entirely null
+    val mm = docs.agg(min(order.cast("double")).as("__lo"),
+      max(order.cast("double")).as("__hi"))
     val sub: Column =
-      if (hi == lo) lit(0)
-      else least(floor((order.cast("double") - lit(lo)) / lit((hi - lo) / nSub)),
-        lit(nSub - 1)).cast("int")
+      when(col("__hi") === col("__lo"), lit(0))
+        .otherwise(least(
+          floor((order.cast("double") - col("__lo")) /
+            ((col("__hi") - col("__lo")) / nSub)),
+          lit(nSub - 1)))
+        .cast("int")
     val withS = docs
+      .crossJoin(broadcast(mm))
+      .filter(col("__lo").isNotNull)
       .withColumn("__g", group)
       .withColumn("__s", sub)
       .withColumn("__n", nTokens)

@@ -256,10 +256,39 @@ class PlanSpec extends SparkSpec {
       docs.select(col("doc_id"), col("source"), lit(10L).as("n_tokens")),
       col("source"), col("doc_id"), col("n_tokens"), 2048L)
     val p = plan(packed)
-    // two-level packing: data-sized window partitioned by (group, sub),
-    // never an unpartitioned window / single-partition exchange
-    assert(!p.contains("Exchange SinglePartition"), p)
+    // two-level packing: the data-sized window is partitioned by
+    // (group, sub) — no unpartitioned Window anywhere; the only
+    // SinglePartition exchange allowed is the bounded 1-row order-key
+    // extent aggregate that rides in as a broadcast (r7: the extent
+    // used to be an EAGER .head() job at construction time)
+    assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isEmpty, p)
+    // the extent subtree appears under both the offsets aggregate and
+    // the main spine in the STATIC plan (2 bounded 1-row aggs); AQE
+    // reuses the exchange at runtime. What must never appear is a
+    // DATA-sized single-partition stage — every SinglePartition here
+    // feeds a min/max extent aggregate.
+    val sp = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(sp <= 2 && sp <= "partial_min|partial_max|min\\(".r.findAllIn(p).size, p)
     assert(p.contains("Exchange hashpartitioning"), p)
+    // construction and planning run ZERO Spark jobs: packSequences is
+    // lazily composable (the plan above was already produced — nothing
+    // should have hit the cluster)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val again = graft.pipeline.Pipeline.packSequences(
+        docs.select(col("doc_id"), col("source"), lit(10L).as("n_tokens")),
+        col("source"), col("doc_id"), col("n_tokens"), 2048L)
+      again.queryExecution.executedPlan // force planning, no action
+      Thread.sleep(300) // let any stray job-start events drain
+      assert(jobs.get() == 0, s"construction ran ${jobs.get()} jobs")
+      assert(again.count() > 0) // and the frame still evaluates
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("deterministic shuffle ranks without a global window") {
