@@ -1581,6 +1581,34 @@ object SparkEntry {
       graft.sources.Jdbc.readTable(s, url, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
     }),
+    // Greenplum segment-dump ingestion (GreenplumTarget.java,
+    // bin/dump-greenplum.sh): per-segment headerless CSV dump files +
+    // COLUMN-INCREMENTAL attach — the second dump carries ONLY the new
+    // column, aligned to the loaded rows purely by per-segment position
+    // (misalignment would scramble the flag↔quantity pairing and fail
+    // the oracle's sums)
+    "greenplum_dump_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = graft.sources.Sources.rtDir("gpdump")
+      val keys = Seq("l_orderkey", "l_linenumber")
+      val lif = li(s, d)
+      graft.sources.Greenplum.writeDump(
+        lif.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        s"$dir/b1", keys, 4)
+      graft.sources.Greenplum.writeDump(
+        lif.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")),
+        s"$dir/b2", keys, 4, lineCols = Seq("l_returnflag"))
+      val sch1 = StructType(Seq(StructField("l_orderkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType)))
+      val sch2 = StructType(Seq(StructField("l_returnflag", StringType)))
+      val loaded = graft.sources.Greenplum.loadDumpAligned(s, s"$dir/b1", sch1)
+      graft.sources.Greenplum.attachColumns(loaded, s, s"$dir/b2", sch2)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          graft.engine.Num.sumExact(col("l_quantity")).as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"))
+    }),
     "jdbc_federated_hist" -> ((s, d) =>
       graft.sources.Jdbc.Federation(s, graft.sources.Jdbc.customerDb(s, d))
         .histogram("customer", "c_acctbal", -1000.0, 10000.0, 11)),
@@ -2113,6 +2141,10 @@ object SparkEntry {
     "dynamic_filter_js" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
         |WHERE l_quantity >= 45 AND l_returnflag LIKE 'A%'""".stripMargin,
+    "greenplum_dump_roundtrip" ->
+      s"""SELECT l_returnflag, count(*) AS n, $sumQty AS sum_qty,
+        |min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "dynamic_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
         |WHERE l_quantity >= 45.0 AND l_returnflag IN ('A', 'R')""".stripMargin,

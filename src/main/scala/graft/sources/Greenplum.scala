@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Greenplum dump ingestion — the reference's MPP-database fast path
+  * (web/.../targets/GreenplumTarget.java, bin/dump-greenplum.sh): instead
+  * of dragging rows through one JDBC cursor, every Greenplum segment
+  * dumps its shard as headerless CSV via a writable external web table
+  * (`file<SEGMENT_ID>` split every 500k lines — dump-greenplum.sh:29),
+  * and the engine's workers parse the local files. Columns load
+  * INCREMENTALLY: the target starts with one column and attaches more
+  * by POSITION as gestures need them (GreenplumTarget.ensureColumns /
+  * LoadCsvColumnsSketch), because each dump carries only the new
+  * columns in the same per-segment row order.
+  *
+  * Spark translation: the plain load is a schema'd headerless CSV scan
+  * over `dir/file*` — distributed parsing for free. The positional
+  * attach is the part Spark lacks natively: CSV scans give no stable
+  * intra-file row position, so [[loadDumpAligned]] reads per-file with
+  * `wholeTextFiles` (one record per file — order inside a file is the
+  * file's own) and emits (__seg, __pos) from the file name + line
+  * index, parsed through `from_csv`; [[attachColumns]] then joins a
+  * later column dump on (__seg, __pos) — the same row identity the
+  * reference's per-segment files encode implicitly. Dump files are
+  * ≤500k lines by construction (the split in dump-greenplum.sh), so a
+  * whole-file record is bounded, and files parse in parallel across
+  * executors.
+  */
+object Greenplum {
+
+  /** `file<seg><split>` → segment id (digits after the prefix). */
+  private def segOf(name: String, prefix: String): Int = {
+    val base = name.substring(name.lastIndexOf('/') + 1)
+    val digits = base.stripPrefix(prefix).takeWhile(_.isDigit)
+    require(digits.nonEmpty, s"no segment id in dump file name $base")
+    digits.toInt
+  }
+
+  /** Plain distributed load of a segment dump directory: headerless
+    * CSV files under the dump-greenplum.sh naming scheme, parsed with
+    * the supplied schema (the reference always knows the schema — it
+    * issued the dumping INSERT itself). */
+  def loadDump(spark: SparkSession, dir: String, schema: StructType,
+      prefix: String = "file"): DataFrame =
+    spark.read.schema(schema).option("header", "false")
+      .csv(s"$dir/$prefix*")
+
+  /** Load with stable per-segment row positions (__seg, __pos) for
+    * column-incremental attach. Files ≤500k lines each (the dump
+    * script's split) ⇒ a whole-file record is bounded. */
+  def loadDumpAligned(spark: SparkSession, dir: String, schema: StructType,
+      prefix: String = "file"): DataFrame = {
+    import spark.implicits._
+    val csvOpts = Map.empty[String, String]
+    val lines = spark.sparkContext
+      .wholeTextFiles(s"$dir/$prefix*")
+      .flatMap { case (name, content) =>
+        val seg = segOf(name, prefix)
+        // per-segment position must be consistent ACROSS dumps of the
+        // same table: files within a segment sort by their split
+        // suffix (aaa, aab, …) — encode (file rank within name order)
+        // by carrying the file base name and resolving offsets after
+        content.split("\n", -1).iterator.zipWithIndex
+          .filter(_._1.nonEmpty)
+          .map { case (line, i) => (seg, name, i.toLong, line) }
+      }
+    val raw = lines.toDF("__seg", "__file", "__i", "__line")
+    // offsets of each file within its segment (files are ≤500k lines —
+    // the per-file counts are metadata-sized): ordered by file name,
+    // exactly the order `cat file042*` would produce
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__seg")).orderBy(col("__file"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = raw.groupBy(col("__seg"), col("__file"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col("__seg").as("__seg2"), col("__file").as("__file2"),
+        col("__off"))
+    val parsed = raw
+      .join(broadcast(offs),
+        col("__seg") === col("__seg2") && col("__file") === col("__file2"))
+      .select(col("__seg"), (col("__off") + col("__i")).as("__pos"),
+        from_csv(col("__line"), schema, csvOpts).as("__r"))
+    parsed.select(
+      (Seq(col("__seg"), col("__pos")) ++
+        schema.fieldNames.map(f => col(s"__r.$f"))): _*)
+  }
+
+  /** Column-incremental attach (GreenplumTarget.ensureColumns →
+    * LoadCsvColumnsSketch): a later dump of ADDITIONAL columns for the
+    * same table joins the loaded frame by per-segment position — the
+    * row identity the dump files encode. `base` must come from
+    * [[loadDumpAligned]] (carries __seg/__pos). */
+  def attachColumns(base: DataFrame, spark: SparkSession, dir: String,
+      schema: StructType, prefix: String = "file"): DataFrame = {
+    val add = loadDumpAligned(spark, dir, schema, prefix)
+    base.join(add, Seq("__seg", "__pos"))
+  }
+
+  /** Write a frame AS a segment dump (the test/dev stand-in for the
+    * database's external-web-table writers; also a valid sink for
+    * feeding a Greenplum `gpfdist` load). Deterministic: rows route to
+    * `segments` files by hash of `keyCol`, ordered inside each segment
+    * by `keyCol`. */
+  def writeDump(df: DataFrame, dir: String, keyCols: Seq[String],
+      segments: Int, prefix: String = "file",
+      lineCols: Seq[String] = Seq.empty): Unit = {
+    // lineCols: the columns actually serialized (a later incremental
+    // dump carries ONLY the new columns — GreenplumTarget.writeColumns
+    // dumps just what a gesture needs); keyCols still drive segment
+    // routing + order so every dump of the table aligns by position
+    val cols = if (lineCols.nonEmpty) lineCols.toArray else df.columns
+    // the key must be UNIQUE for cross-dump positional alignment: two
+    // dumps of different column subsets reproduce the same per-segment
+    // row order only if the sort has no ties
+    val seg = pmod(xxhash64(keyCols.map(col): _*), lit(segments.toLong)).cast("int")
+    val withSeg = df.withColumn("__seg", seg)
+    // one file per segment, rows in deterministic key order: the
+    // repartition matches the per-segment writer of the web table
+    withSeg
+      .repartition(segments, col("__seg"))
+      .sortWithinPartitions((col("__seg") +: keyCols.map(col)): _*)
+      .select(col("__seg"),
+        concat_ws(",", cols.map(c => col(c).cast("string")): _*).as("__line"))
+      .write.partitionBy("__seg").mode("overwrite").text(s"$dir/__stage")
+    // rename to the dump-greenplum.sh layout: file<seg>aaa
+    val fs = new java.io.File(s"$dir/__stage")
+    fs.listFiles().filter(_.getName.startsWith("__seg=")).foreach { d =>
+      val seg = d.getName.stripPrefix("__seg=")
+      d.listFiles().filter(f => f.getName.startsWith("part-")).zipWithIndex
+        .foreach { case (f, i) =>
+          val suffix = ('a' + i).toChar // single split per segment here
+          val dest = new java.io.File(dir, s"$prefix${seg}aa$suffix")
+          java.nio.file.Files.move(f.toPath, dest.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(fs)
+  }
+}
