@@ -41,7 +41,10 @@ object Plans {
     "multimodal_codec_features", "multimodal_video_meta",
     "multimodal_resize_pixels", "multimodal_ulaw_features",
     "multimodal_aiff_features", "sketch_theta_algebra", "zonemap_skip",
-    "dedup_delta_novelty", "geo_polygon_holes", "ann_pq_topk", "ann_ivfpq_topk")
+    "dedup_delta_novelty", "geo_polygon_holes", "ann_pq_topk", "ann_ivfpq_topk",
+    // r7 additions: PQ index build receipt (the serve paths above now
+    // read the persisted index) and the JS-gesture surface
+    "ann_pq_build", "dynamic_udf_js", "dynamic_filter_js")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
