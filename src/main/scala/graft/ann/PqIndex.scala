@@ -83,32 +83,44 @@ object PqIndex {
         spark.sparkContext.emptyRDD[Row], emptySchema)
     val probing = cents.nonEmpty && nprobe > 0
     import spark.implicits._
-    val queries = qVecs.toSeq.map { case (qid, q) =>
-      val tabs: Seq[Seq[Double]] = (0 until m).map { j =>
-        codebooks(j).map { c =>
-          var s = 0.0; var t = 0
-          while (t < d) { s += q(j * d + t) * c(t); t += 1 }
-          s
-        }.toSeq
+    val qData: Seq[(Long, Seq[Seq[Double]], Seq[Int])] =
+      qVecs.toSeq.map { case (qid, q) =>
+        val tabs: Seq[Seq[Double]] = (0 until m).map { j =>
+          codebooks(j).map { c =>
+            var s = 0.0; var t = 0
+            while (t < d) { s += q(j * d + t) * c(t); t += 1 }
+            s
+          }.toSeq
+        }
+        val cells: Seq[Int] =
+          if (!probing) Seq.empty
+          else cents.get.map { case (c, i) =>
+            var s = 0.0; var n2 = 0.0; var t = 0
+            while (t < q.length) {
+              s += q(t) * c(t); n2 += c(t).toDouble * c(t); t += 1
+            }
+            // cosine (q is unit): the assignment metric of encode()
+            (if (n2 > 0) s / math.sqrt(n2) else 0.0, i)
+          }.sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2).toSeq
+        (qid, tabs, cells)
       }
-      val cells: Seq[Int] =
-        if (!probing) Seq.empty
-        else cents.get.map { case (c, i) =>
-          var s = 0.0; var n2 = 0.0; var t = 0
-          while (t < q.length) {
-            s += q(t) * c(t); n2 += c(t).toDouble * c(t); t += 1
-          }
-          // cosine (q is unit): the assignment metric of encode()
-          (if (n2 > 0) s / math.sqrt(n2) else 0.0, i)
-        }.sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2).toSeq
-      (qid, tabs, cells)
-    }.toDF("query_id", "adc_tabs", "probe_cells")
+    val queries = qData.toDF("query_id", "adc_tabs", "probe_cells")
     val cond =
       if (probing)
         array_contains(col("probe_cells"), col("cell")) &&
           col("vec_id") =!= col("query_id")
       else col("vec_id") =!= col("query_id")
-    val adc = codes.join(broadcast(queries), cond)
+    // the batch's UNION of probe cells is driver-known (no extra job):
+    // pre-filtering the scan on it prunes whole cell partitions of a
+    // partitioned codes table (PartitionFilters — unprobed cells'
+    // files are never opened) BEFORE the per-(row, query)
+    // array_contains decides the exact cell set per query
+    val scanned =
+      if (probing) {
+        val unionCells = qData.flatMap(_._3).distinct.sorted
+        codes.filter(col("cell").isin(unionCells.map(Integer.valueOf): _*))
+      } else codes
+    val adc = scanned.join(broadcast(queries), cond)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (0 until m).map(j =>
           element_at(element_at(col("adc_tabs"), j + 1),
@@ -145,8 +157,13 @@ object PqIndex {
     val cents = Similarity.kmeansCentroids(normed, nlist, refineIters)
     val cbs = Similarity.pqCodebooks(normed, m, ksub, refineIters)
     val d = cbs(0)(0).length
+    // codes PARTITION BY cell: a probed serve reads only its nprobe/
+    // nlist partition directories (PartitionFilters pruning — the scan
+    // never touches unprobed cells' files), which is the IVF contract
+    // made physical; at a billion vectors this is the difference
+    // between scanning nprobe shards and scanning the table
     encode(normed, Some(cents), cbs)
-      .write.mode("overwrite").parquet(s"$dir/codes")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
     cbs.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
     }.toSeq.toDF("sub", "cell", "vec")

@@ -714,6 +714,14 @@ class PropertySpec extends SparkSpec {
     assert(none.columns.toSeq ==
       Seq("query_id", "rank", "neighbor_id", "cos"))
     assert(none.count() == 0)
+    // the IVF contract made physical: codes persist PARTITIONED BY
+    // cell, and a probed serve's scan carries PartitionFilters on the
+    // batch's union of probe cells — unprobed cells' files never open
+    val probedPlan = graft.ann.PqIndex.serve(emb, dir, qs, 10, nprobe = 6)
+      .queryExecution.executedPlan.toString
+    assert(probedPlan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(probedPlan).isDefined,
+      probedPlan)
   }
 
   test("hll sketch: <=5% error, partition-merge == whole-corpus sketch, deterministic") {
