@@ -1280,6 +1280,20 @@ object SparkEntry {
         all.filter(pmod(col("doc_id"), lit(50L)) =!= 7L),
         all.filter(pmod(col("doc_id"), lit(50L)) === 7L), 3)
     }),
+    // unigram-LM quality proxy: per-token corpus-frequency MAGNITUDE
+    // (bit length of the occurrence count — exact integer, so fully
+    // oracled where a float log would misround at power-of-two
+    // boundaries); low mean magnitude = rare-token/noisy text
+    "text_rarity" -> ((s, d) =>
+      graft.text.TextAnalysis.unigramRarity(docs(s, d))),
+    // temperature mixing at α = 1/2: sources thinned by √(n_ref/n_s)
+    // with the md5 coin — deterministic, so the kept set (reported per
+    // source) is fully oracled
+    "corpus_mix_temperature" -> ((s, d) =>
+      graft.pipeline.Pipeline.temperatureMix(docs(s, d), col("doc_id"), col("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
     "text_repetition" -> ((s, d) =>
       graft.text.TextAnalysis.repetitionSignals(docs(s, d))),
     "text_dup_lines" -> ((s, d) =>
@@ -2832,6 +2846,29 @@ object SparkEntry {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // exact 1e-4 integer-grid ratios (num*10^4 // den), widened to double
     // once — mirrors TextAnalysis.quality's divE4 bit-for-bit
+    "text_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS tok FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents)
+        |  WHERE t <> ''),
+        |tf AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(SUM(length(bin(df))) AS BIGINT) AS magnitude_sum,
+        |  (CAST(SUM(length(bin(df))) AS BIGINT) * 10000 // count(*)) / 10000.0
+        |    AS mean_magnitude
+        |FROM toks JOIN tf USING (tok) GROUP BY doc_id""".stripMargin,
+    "corpus_mix_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |r AS (SELECT source,
+        |  CAST(FLOOR(SQRT(CAST((SELECT MIN(n) FROM c) AS DOUBLE) / n) * 10000)
+        |    AS BIGINT) AS cut FROM c)
+        |SELECT d.source, count(*) AS n_kept,
+        |  min(d.doc_id) AS min_id, max(d.doc_id) AS max_id
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |  % 10000 < r.cut
+        |GROUP BY 1""".stripMargin,
     "text_quality" ->
       """WITH b AS (SELECT doc_id, length(text) AS len,
         |    len(string_split(lower(text), ' ')) AS n,

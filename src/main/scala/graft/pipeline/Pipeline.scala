@@ -191,6 +191,46 @@ object Pipeline {
       .select((outCols.map(col) :+ col("__cum").as("cum_tokens")): _*)
   }
 
+  /** Temperature-based source mixing (the multilingual-corpus
+    * rebalancing rule, p_s ∝ n_s^α at α = 1/2): big sources thin by
+    * √(n_ref/n_s) (n_ref = the smallest source, whose keep-rate is 1),
+    * so after mixing the source shares follow the α = 0.5 temperature
+    * curve. Deterministic hash thinning (md5 key order — the same
+    * engine-portable coin as [[hashSample]]), so the draw reproduces
+    * anywhere and the oracle can replay it exactly.
+    *
+    * The exponent is computed as a plain `sqrt` — IEEE-correctly
+    * rounded in every engine, unlike `pow(x, 0.5)` whose libm is not
+    * guaranteed to match across platforms; an engine-unstable rate at
+    * a floor boundary would silently keep different rows. (That is
+    * also why a generic-α variant is not declared: pow is not
+    * oracle-stable.)
+    *
+    * Scale shape: one count-by-source pass (driver-sized result, the
+    * rate table broadcasts back), then a narrow filter — no shuffle of
+    * the corpus. The rate-table window runs over O(#sources) rows.
+    */
+  def temperatureMix(docs: DataFrame, key: Column, source: Column,
+      modulus: Int = 10000): DataFrame = {
+    val outCols = docs.columns
+    val counts = docs.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+    // keep-rate in exact integer thousandths of the modulus:
+    // floor(sqrt(nRef/n) * modulus); nRef via a bounded window over the
+    // O(#sources) aggregate
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("__nref", min(col("__n")).over(wAll))
+      .withColumn("__cut",
+        floor(sqrt(col("__nref").cast("double") / col("__n")) * modulus)
+          .cast("long"))
+      .select(col("__src"), col("__cut"))
+    docs
+      .join(broadcast(rates), source === col("__src"))
+      .filter(pmod(keyHash(key), lit(modulus.toLong)) < col("__cut"))
+      .select(outCols.map(col): _*)
+  }
+
   /** Deterministic fixed-size per-group sample: exactly min(k, |group|)
     * rows per group, chosen by md5-hash order of the key — the
     * "k examples per source/language" inspection or eval-set draw,

@@ -618,4 +618,54 @@ object Events {
     import spark.implicits._
     rows.toDF("new_id", "corpus_id", "jaccard")
   }
+
+  final case class DedupRow(key: Long, docId: Long)
+  final case class DedupOut(key: Long, survivor: Long)
+
+  /** Streaming EXACT dedup — the survivor-election member of the
+    * streaming-twin family: per content-hash state is the MIN doc_id
+    * seen so far (a one-long monoid, order-insensitive), so the final
+    * survivor set equals the batch `groupBy(content).min(doc_id)` BIT
+    * FOR BIT regardless of arrival order — strictly stronger than
+    * Spark's built-in `dropDuplicates`, whose keep-first-arrival winner
+    * depends on micro-batch order. State is one long per distinct
+    * content key (the intrinsic floor for EXACT streaming dedup —
+    * built-in dropDuplicates holds the same; the bounded-state
+    * alternatives are the theta/Bloom twins).
+    */
+  def dedupStream(docs: Dataset[DedupRow]): Dataset[DedupOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, DedupOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Long]) =>
+          val cur = state.getOption.getOrElse(Long.MaxValue)
+          val mn = math.min(cur, rows.map(_.docId).min)
+          state.update(mn)
+          Iterator.single(DedupOut(key, mn))
+      }
+  }
+
+  /** Drive dedupStream over the documents parquet staged as 4 files
+    * (AvailableNow + maxFilesPerTrigger=1 → real multi-batch state);
+    * returns the final (content-hash, survivor) pairs. */
+  def runDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    all.repartition(4).write.mode("overwrite").parquet(streamDir.toString)
+    val raw = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val typed = raw
+      .select(xxhash64(col("text")).as("key"), col("doc_id").as("docId"))
+      .as[DedupRow]
+    val q = dedupStream(typed).writeStream
+      .outputMode("update").format("memory").queryName("graft_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // final answer per key = the minimum over every emitted update
+    spark.table("graft_dedup")
+      .groupBy(col("key")).agg(min(col("survivor")).as("survivor"))
+  }
 }

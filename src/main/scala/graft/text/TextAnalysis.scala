@@ -425,6 +425,36 @@ object TextAnalysis {
         array_join(kept, " ").as("clean_text"))
   }
 
+  /** Corpus-statistics quality score: a unigram-LM log-probability
+    * proxy where each token contributes its corpus-frequency MAGNITUDE
+    * — ⌊log₂(df)⌋ + 1 = the bit length of the token's occurrence
+    * count, computed EXACTLY as `length(bin(df))` in integer/string
+    * ops (a float log₂ would misround at power-of-two boundaries
+    * differently per engine; bin() is exact everywhere, so the score
+    * is hash-stable for the oracle). High mean magnitude = common,
+    * boilerplate-heavy text; low = rare-token (or noisy) text — the
+    * classic "filter by LM perplexity" signal with the LM replaced by
+    * the corpus's own unigram table.
+    *
+    * Two shuffles at any scale: one partial-aggregated token count,
+    * one per-doc re-aggregation; the token-frequency join is left to
+    * AQE (broadcast while the vocabulary fits, shuffle after).
+    */
+  def unigramRarity(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    toks.join(tf, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(bin(col("__df"))).cast("long")).as("magnitude_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("magnitude_sum"),
+        // mean magnitude on the exact 1e-4 grid (see frac4)
+        frac4(col("magnitude_sum"), col("n_tokens")).as("mean_magnitude"))
+  }
+
   /** C4-style rule cleaning at sentence granularity: split on ". ", keep
     * sentences with ≥ `minWords` words, reassemble. Row-local array
     * pipeline (split → filter → array_join) — narrow, codegen'd, no

@@ -686,6 +686,18 @@ class StreamingSpec extends SparkSpec {
     assert(closed.exists(r => r.getLong(0) == 1L && r.getLong(2) == 2L))
   }
 
+  test("streaming exact dedup: survivor set == batch min-per-content, bit parity") {
+    val got = graft.streaming.Events.runDedupStream(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.engine.Tables.documents(spark, sf)
+      .groupBy(xxhash64(col("text")).as("key"))
+      .agg(min(col("doc_id")).as("survivor"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // order-insensitive min-monoid state ⇒ the streamed survivor set is
+    // IDENTICAL to the batch election, across real multi-batch state
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("streaming ingest gate equals the batch cross-corpus dedup") {
     val got = graft.streaming.Events.runNearDupIngest(spark, sf, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
