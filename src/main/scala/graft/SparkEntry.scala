@@ -1491,6 +1491,22 @@ object SparkEntry {
         .toDF()
         .select(col("id").as("doc_id"), col("kind"), col("width"),
           col("height"), col("feat0"), col("feat1"))),
+    // perceptual image hashes over DECODED pixels (aHash/dHash on an
+    // exact point-sampled 8×8 grid — integer end to end, so the oracle
+    // replays the hash from source text bit for bit)
+    "multimodal_image_hash" -> ((s, d) =>
+      graft.multimodal.Multimodal.imageHashes(
+          graft.multimodal.Multimodal.syntheticCodecMedia(docs(s, d)))
+        .toDF()
+        .select(col("id").as("doc_id"), col("kind"), col("width"),
+          col("height"), col("ahash"), col("dhash"))),
+    // image near-dup mining by aHash Hamming ≤ 3: 4×16-bit banded
+    // self-join (pigeonhole ⇒ recall 1 at ≤3 bits) + xor/bit_count
+    // verify — banded plan, all-pairs ORACLE, equal by construction
+    "multimodal_image_neardup" -> ((s, d) =>
+      graft.multimodal.Multimodal.imageNearDupPairs(
+        graft.multimodal.Multimodal.imageHashes(
+          graft.multimodal.Multimodal.syntheticCodecMedia(docs(s, d))).toDF())),
     "multimodal_chunks" -> ((s, d) =>
       graft.multimodal.Multimodal.sampleChunks(
           graft.multimodal.Multimodal.syntheticMedia(docs(s, d)), 64, 2)
@@ -2957,6 +2973,52 @@ object SparkEntry {
     // statistics are still the exact integer sums over the source text
     // bytes (pixel p = byte p mod len) — same stat shape as
     // multimodal_features, plus the decoded dimensions
+    // the aHash/dHash bit weights: bit 63 contributes the min-long
+    // literal (a 1<<63 shift overflows DuckDB's checked BIGINT); the
+    // HUGEINT list_sum of weights equals the two's-complement long
+    "multimodal_image_hash" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS len,
+        |    1 + length(text) % 32 AS w, 1 + length(text) % 24 AS h FROM documents),
+        |g AS (SELECT doc_id, w, h,
+        |  list_transform(range(0, 64), k ->
+        |    ascii(substr(text, CAST((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) % len AS INT) + 1, 1))) AS sv,
+        |  list_transform(range(0, 64), k ->
+        |    CASE WHEN ascii(substr(text, CAST((((k // 8) * h // 8) * w + ((k % 8) * w // 9)) % len AS INT) + 1, 1))
+        |       > ascii(substr(text, CAST((((k // 8) * h // 8) * w + (((k % 8) + 1) * w // 9)) % len AS INT) + 1, 1))
+        |    THEN CASE WHEN k = 63 THEN -9223372036854775808::HUGEINT
+        |              ELSE CAST(1::BIGINT << CAST(k AS INT) AS HUGEINT) END
+        |    ELSE 0::HUGEINT END) AS dv
+        |  FROM b),
+        |h2 AS (SELECT doc_id, w, h, sv, list_sum(sv) AS tot, dv FROM g)
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'tiff' END AS kind,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(list_sum(list_transform(sv, (v, i) ->
+        |    CASE WHEN 64 * v > tot THEN
+        |      CASE WHEN i = 64 THEN -9223372036854775808::HUGEINT
+        |           ELSE CAST(1::BIGINT << CAST(i - 1 AS INT) AS HUGEINT) END
+        |    ELSE 0::HUGEINT END)) AS BIGINT) AS ahash,
+        |  CAST(list_sum(dv) AS BIGINT) AS dhash
+        |FROM h2""".stripMargin,
+    "multimodal_image_neardup" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS len,
+        |    1 + length(text) % 32 AS w, 1 + length(text) % 24 AS h FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_transform(range(0, 64), k ->
+        |    ascii(substr(text, CAST((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) % len AS INT) + 1, 1))) AS sv
+        |  FROM b),
+        |h2 AS (SELECT doc_id, sv, list_sum(sv) AS tot FROM g),
+        |hs AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(sv, (v, i) ->
+        |    CASE WHEN 64 * v > tot THEN
+        |      CASE WHEN i = 64 THEN -9223372036854775808::HUGEINT
+        |           ELSE CAST(1::BIGINT << CAST(i - 1 AS INT) AS HUGEINT) END
+        |    ELSE 0::HUGEINT END)) AS BIGINT) AS ahash
+        |  FROM h2)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
     "multimodal_codec_features" ->
       """SELECT doc_id,
         |CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'tiff' END AS kind,

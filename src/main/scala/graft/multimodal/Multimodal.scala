@@ -318,6 +318,81 @@ object Multimodal {
       }
   }
 
+  final case class ImageHashRow(id: Long, kind: String, width: Int,
+      height: Int, ahash: Long, dhash: Long)
+
+  /** Perceptual image hashes over DECODED pixels — the multimodal
+    * member of the dedup family: aHash (8×8 samples thresholded by
+    * their mean) and dHash (adjacent-column gradient signs on an 8×9
+    * grid). The downsample is POINT sampling at (⌊i·h/8⌋, ⌊j·w/8⌋)
+    * rather than box averaging, so every value is an exact integer and
+    * the hash replays bit-for-bit in any engine (the oracle recomputes
+    * it from source text; a float resize would not be hash-stable).
+    * The mean threshold compares 64·s > Σs — integer, no division.
+    * Narrow mapPartitions over any decodable payload (hand-rolled
+    * BMP/PPM or ImageIO codec); undecodable payloads quarantine-drop.
+    */
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePixels(r.media).orElse(decodePixelsCodec(r.media)).map {
+          case (fmt, w, h, px) =>
+            val bands = px.length / (w * h)
+            def gray(y: Int, x: Int): Int = px(bands * (y * w + x))
+            def sy(i: Int): Int = (i.toLong * h / 8).toInt
+            def sx(j: Int, n: Int): Int = (j.toLong * w / n).toInt
+            val s = Array.tabulate(64)(k => gray(sy(k / 8), sx(k % 8, 8)))
+            var tot = 0L; s.foreach(tot += _)
+            var ah = 0L
+            var k = 0
+            while (k < 64) { if (64L * s(k) > tot) ah |= 1L << k; k += 1 }
+            var dh = 0L
+            var i = 0
+            while (i < 8) {
+              var j = 0
+              while (j < 8) {
+                if (gray(sy(i), sx(j, 9)) > gray(sy(i), sx(j + 1, 9)))
+                  dh |= 1L << (i * 8 + j)
+                j += 1
+              }
+              i += 1
+            }
+            ImageHashRow(r.id, fmt, w, h, ah, dh)
+        }
+      }
+    }
+  }
+
+  /** Image near-duplicate pairs by aHash Hamming distance ≤
+    * `maxHamming` (≤ 3 by default). Candidates come from a 4×16-bit
+    * band self-join — the pigeonhole guarantees RECALL 1 for distance
+    * ≤ 3 (at most 3 differing bits cannot touch all 4 bands), so the
+    * banded form equals the all-pairs oracle exactly while the join
+    * only materializes band collisions (the minhash-LSH shape, never
+    * all pairs). Verification is one codegen'd xor + bit_count.
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16-bit banding guarantees full recall only for hamming <= 3")
+    val bandKeys = array((0 until 4).map(b =>
+      shiftrightunsigned(col("ahash"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+    val banded = hashes
+      .select(col("id"), col("ahash"), posexplode(bandKeys).as(Seq("band", "key")))
+    val cand = banded.as("a").hint("shuffle_merge")
+      .join(banded.as("b").hint("shuffle_merge"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   final case class ResizedFeatures(id: Long, kind: String, width: Int,
       height: Int, feat0: Double, feat1: Double)
 
