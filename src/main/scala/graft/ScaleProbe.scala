@@ -232,6 +232,37 @@ object ScaleProbe {
       dedup.Dedup.editDistancePairs(saltedDocs(c), 5, 64).count()
     }
 
+    // narrow hash pass + banded self-join: candidates ∝ true near-dups
+    // (salted replicas hash differently, so the pair volume is linear)
+    probe("image_hash_neardup", Seq(1, 20)) { c =>
+      val hs = multimodal.Multimodal.imageHashes(
+        multimodal.Multimodal.syntheticCodecMedia(saltedDocs(c))).toDF()
+      multimodal.Multimodal.imageNearDupPairs(hs).count()
+    }
+
+    // decode + frame fold is row-local; the signature join sees one
+    // row per doc — wall-clock must track the decode volume linearly
+    probe("audio_fingerprint_dedup", Seq(1, 20)) { c =>
+      multimodal.Multimodal.audioDedupPairs(
+        multimodal.Multimodal.audioFingerprint(
+          multimodal.Multimodal.syntheticUlawAudio(saltedDocs(c)))
+          .toDF()).count()
+    }
+
+    // one count-by-source pass + broadcast rate filter: no corpus
+    // shuffle at any scale
+    probe("temperature_mix", Seq(1, 20)) { c =>
+      pipeline.Pipeline.temperatureMix(
+        replicate(docs, c, Map("doc_id" -> 10000000L)),
+        col("doc_id"), col("source")).count()
+    }
+
+    // token df counts + per-doc re-agg: two shuffles, both ∝ corpus
+    probe("text_rarity", Seq(1, 20)) { c =>
+      text.TextAnalysis.unigramRarity(saltedDocs(c))
+        .agg(sum(col("magnitude_sum"))).count()
+    }
+
     probe("dedup_embedding_lsh", Seq(1, 20)) { c =>
       // auto planes/bands: the log2(n) contract must keep candidate
       // volume (and so wall-clock) ~linear as n scales — the r3 probe
