@@ -1529,6 +1529,26 @@ object SparkEntry {
         graft.multimodal.Multimodal.audioFingerprint(
           graft.multimodal.Multimodal.syntheticUlawAudio(withDups)).toDF())
     }),
+    // video frame sampling through the REAL box walk: mdat located by
+    // container parse, fixed-stride frames, every 2nd sampled, each
+    // summarized by a position-weighted checksum — exact ⇒ oracled
+    "multimodal_video_frames" -> ((s, d) =>
+      graft.multimodal.Multimodal.videoFrameSignatures(
+          graft.multimodal.Multimodal.syntheticVideo(docs(s, d)))
+        .toDF()
+        .select(col("id").as("doc_id"), col("frame_idx"), col("n_bytes"),
+          col("checksum"))),
+    // video dup pairs by sampled-frame signature over a planted-copies
+    // fixture (same shape as multimodal_audio_dedup) — fully oracled
+    "multimodal_video_dedup" -> ((s, d) => {
+      val base = docs(s, d)
+      val withDups = base.select(col("doc_id"), col("text")).unionByName(
+        base.filter(pmod(col("doc_id"), lit(25L)) === 3L)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.multimodal.Multimodal.videoDedupPairs(
+        graft.multimodal.Multimodal.videoFrameSignatures(
+          graft.multimodal.Multimodal.syntheticVideo(withDups)).toDF())
+    }),
     "multimodal_chunks" -> ((s, d) =>
       graft.multimodal.Multimodal.sampleChunks(
           graft.multimodal.Multimodal.syntheticMedia(docs(s, d)), 64, 2)
@@ -1903,6 +1923,21 @@ object SparkEntry {
        |  FROM f)
        |$tail""".stripMargin
   }
+
+  /** Shared CTE for the video frame-sample oracles: the mdat body is
+    * the text bytes, framed at 1024-byte stride, every 2nd frame
+    * sampled, position-weighted byte checksums. */
+  private def videoFrameSql(tail: String, source: String): String =
+    s"""WITH f AS (SELECT doc_id, length(text) AS len, text,
+       |  unnest(range(0, (length(text) + 1023) // 1024)) AS fi FROM $source),
+       |frames AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       |  CAST(LEAST(len, 1024 * (fi + 1)) - 1024 * fi AS INT) AS n_bytes,
+       |  CAST(list_sum(list_transform(
+       |    range(1024 * fi + 1, LEAST(len, 1024 * (fi + 1)) + 1),
+       |    k -> ascii(substr(text, CAST(k AS INT), 1)) * (k - 1024 * fi)))
+       |    AS BIGINT) AS checksum
+       |  FROM f WHERE fi % 2 = 0)
+       |$tail""".stripMargin
 
   private val sumQty  = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
   private val sumPrice = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
@@ -3027,6 +3062,21 @@ object SparkEntry {
     // statistics are still the exact integer sums over the source text
     // bytes (pixel p = byte p mod len) — same stat shape as
     // multimodal_features, plus the decoded dimensions
+    "multimodal_video_frames" -> videoFrameSql(
+      """SELECT doc_id, frame_idx, n_bytes, checksum FROM frames""",
+      source = "documents"),
+    "multimodal_video_dedup" -> videoFrameSql(
+      source = """(SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id + 1000000, text FROM documents
+        | WHERE doc_id % 25 = 3)""".stripMargin,
+      tail = """, sigs AS (
+        |  SELECT doc_id, count(*) AS n_frames,
+        |    CAST(SUM(checksum * (frame_idx + 1) + n_bytes) AS BIGINT) AS sig
+        |  FROM frames GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  a.n_frames AS n_frames, a.sig AS sig
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |  AND a.n_frames = b.n_frames AND a.sig = b.sig""".stripMargin),
     "multimodal_audio_fingerprint" -> audioFrameSql(
       """SELECT doc_id, frame_idx, n_samples, zero_crossings, energy_mag,
         |checksum FROM frames""".stripMargin),
