@@ -105,6 +105,74 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("join fuzz: random equi-joins with null keys match a Scala reference") {
+    // differential testing of join semantics: random null-bearing
+    // frames through all six join types, against a plain-Scala
+    // nested-loop reference implementing SQL matching (a NULL key never
+    // matches anything, including another NULL) — divergence in
+    // null-key handling, outer-padding, or semi/anti existence
+    // semantics surfaces here
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val types = Seq("inner", "left_outer", "right_outer", "full_outer",
+      "left_semi", "left_anti")
+    for (trial <- 0 until 24) {
+      def side(n: Int): Seq[(Option[Long], Long)] =
+        Seq.fill(n)((if (rnd.nextInt(5) == 0) None
+          else Some(rnd.nextInt(7).toLong), rnd.nextInt(100).toLong))
+      val as = side(1 + rnd.nextInt(25))
+      val bs = side(rnd.nextInt(25))
+      val jt = types(trial % types.length)
+      val aDF = as.toDF("ak", "va")
+      val bDF = bs.toDF("bk", "vb")
+      val joined = aDF.join(bDF, col("ak") === col("bk"), jt)
+      def cell(r: org.apache.spark.sql.Row, i: Int): Any =
+        Option(r.get(i)).orNull
+      val got: Seq[String] = (jt match {
+        case "left_semi" | "left_anti" =>
+          joined.collect().map(r => s"${cell(r, 0)}|${cell(r, 1)}")
+        case _ =>
+          joined.collect().map(r =>
+            s"${cell(r, 0)}|${cell(r, 1)}|${cell(r, 2)}|${cell(r, 3)}")
+      }).toSeq.sorted
+      def m(a: (Option[Long], Long), b: (Option[Long], Long)): Boolean =
+        a._1.isDefined && b._1.isDefined && a._1 == b._1
+      val expect: Seq[String] = (jt match {
+        case "inner" =>
+          for (a <- as; b <- bs if m(a, b))
+            yield s"${a._1.orNull}|${a._2}|${b._1.orNull}|${b._2}"
+        case "left_outer" =>
+          as.flatMap { a =>
+            val ms = bs.filter(b => m(a, b))
+            if (ms.isEmpty) Seq(s"${a._1.orNull}|${a._2}|null|null")
+            else ms.map(b => s"${a._1.orNull}|${a._2}|${b._1.orNull}|${b._2}")
+          }
+        case "right_outer" =>
+          bs.flatMap { b =>
+            val ms = as.filter(a => m(a, b))
+            if (ms.isEmpty) Seq(s"null|null|${b._1.orNull}|${b._2}")
+            else ms.map(a => s"${a._1.orNull}|${a._2}|${b._1.orNull}|${b._2}")
+          }
+        case "full_outer" =>
+          as.flatMap { a =>
+            val ms = bs.filter(b => m(a, b))
+            if (ms.isEmpty) Seq(s"${a._1.orNull}|${a._2}|null|null")
+            else ms.map(b => s"${a._1.orNull}|${a._2}|${b._1.orNull}|${b._2}")
+          } ++ bs.collect {
+            case b if !as.exists(a => m(a, b)) =>
+              s"null|null|${b._1.orNull}|${b._2}"
+          }
+        case "left_semi" =>
+          as.collect { case a if bs.exists(b => m(a, b)) =>
+            s"${a._1.orNull}|${a._2}" }
+        case "left_anti" =>
+          as.collect { case a if !bs.exists(b => m(a, b)) =>
+            s"${a._1.orNull}|${a._2}" }
+      }).sorted
+      assert(got == expect, s"trial $trial type $jt:\n got=$got\n exp=$expect")
+    }
+  }
+
   test("nextk fuzz: random sorts with nulls match missing-sorts-larger reference") {
     // the reference's null rule (docs/userManual.md:181-185): a missing
     // value sorts LARGER than any value in either direction. Random
