@@ -562,12 +562,14 @@ object Similarity {
     * as the full-precision path.
     */
   def quantizedTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val qcodes = quantizeInt8(col("embedding"), quantizeInt8Scale(col("embedding")))
-    // the codes stay array<int> end-to-end: IntVecDot/IntVecNorm
-    // accumulate the ≤127-magnitude codes in an exact long, so there is
-    // no per-row float-array rematerialization (the transform(cast) this
-    // replaces built a second dim-length array per scored row) and the
-    // score is still bit-reproducible
+    // quantization is ONE codegen'd primitive loop per row
+    // (functions.Int8Quantize — bit-identical to the higher-order
+    // transform form, which evaluated interpreted and dominated the
+    // whole scan); the codes stay array<int> end-to-end:
+    // IntVecDot/IntVecNorm accumulate the ≤127-magnitude codes in an
+    // exact long, so there is no per-row float-array rematerialization
+    // and the score is still bit-reproducible
+    val qcodes = graft.functions.VectorExpressions.vec_quantize_int8(col("embedding"))
     val quant = emb.select(col("vec_id"), qcodes.as("qe"))
     val q = quant.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("qe").as("q_emb"))
