@@ -36,9 +36,16 @@ object SparkEntry {
   // memoized (the hillview load-once / sketch-per-gesture posture).
   private val pqIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // a FIXED per-corpus scratch dir (mode=overwrite inside build), so
+  // repeated builds reuse the same path instead of leaking a fresh
+  // temp tree per bench iteration
+  private def pqScratch(d: String): String =
+    graft.sources.Sources.rtDir("pq_index_" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL))
   private def pqIndexDir(s: SparkSession, d: String): String =
     pqIndexDirs.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
+      val dir = pqScratch(d)
       graft.ann.PqIndex.build(emb(s, d), dir)
       dir
     })
@@ -1349,7 +1356,10 @@ object SparkEntry {
     // serving because production builds once and queries forever; the
     // receipt row (corpus size, compression geometry) is fully oracled
     "ann_pq_build" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_pq_build").toString
+      // fixed per-corpus scratch path: every rebuild OVERWRITES the
+      // same tree (a fresh temp dir per run would leak one full index
+      // per bench iteration)
+      val dir = pqScratch(d)
       val stats = graft.ann.PqIndex.build(emb(s, d), dir)
       pqIndexDirs.put(d, dir) // freshest index serves subsequent queries
       stats

@@ -126,16 +126,20 @@ class TargetRegistry(val spark: SparkSession) {
   // LinkedHashMap preserves creation order, so parents always precede
   // children), replayed into a fresh registry with the ORIGINAL ids.
 
+  // serialize with the same Jackson that replay() parses with — a
+  // hand-rolled escaper would have to stay bug-compatible forever
   private def jsonLine(t: Target): String = {
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val parent = t.parent.map(q).getOrElse("null")
-    s"""{"id":${q(t.id)},"parent":$parent,"op":${q(t.op)},""" +
-      s""""args":[${t.args.map(q).mkString(",")}]}"""
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.createObjectNode()
+    n.put("id", t.id)
+    t.parent match {
+      case Some(p) => n.put("parent", p)
+      case None => n.putNull("parent")
+    }
+    n.put("op", t.op)
+    val arr = n.putArray("args")
+    t.args.foreach(arr.add)
+    mapper.writeValueAsString(n)
   }
 
   /** Persist the full redo log (every target ever registered). Targets

@@ -26,9 +26,14 @@ import org.apache.spark.sql.types.{DataType, StringType}
   *   field propagates through arithmetic and makes comparisons unknown
   *   (the reference maps a JS null return to a missing cell — same
   *   surface, different mid-expression coercions);
-  * - `==`/`===` are both SQL equality (no JS type coercion);
+  * - `==`/`===` are both SQL equality (mixed string/number operands
+  *   coerce numerically, as in JS);
   * - a body that falls off the end returns null (JS undefined →
-  *   missing cell, exactly the reference's null branch).
+  *   missing cell, exactly the reference's null branch);
+  * - NaN follows Java/Spark total ordering (NaN compares greater than
+  *   everything and equal to itself) instead of JS's all-false;
+  * - `Number("") `is NaN here (JS coerces the empty string to 0);
+  * - `substring(a, b)` with a > b yields "" (JS swaps the arguments).
   * Everything else — `.toLowerCase() .toUpperCase() .trim() .length
   * .charAt .indexOf .includes .startsWith .endsWith .substring
   * .replace` (first occurrence, JS semantics), `Math.abs floor ceil
@@ -302,7 +307,7 @@ object JsGesture {
     }
   }
 
-  // ── type inference (string-vs-number for `+`) ──────────────────────
+  // ── type inference (string-vs-number-vs-boolean for `+`/rendering) ─
   private def isStringTyped(e: Js, schema: Map[String, DataType]): Boolean = e match {
     case Str(_) => true
     case Field(n) => schema.get(n).contains(StringType)
@@ -313,21 +318,60 @@ object JsGesture {
     case _ => false
   }
 
+  private def isBoolTyped(e: Js): Boolean = e match {
+    case Bool(_) => true
+    case Un("!", _) => true
+    case Bin(op, _, _) =>
+      Set("==", "!=", "<", "<=", ">", ">=", "&&", "||")(op)
+    case Tern(_, t, f) => isBoolTyped(t) && isBoolTyped(f)
+    case Meth(_, m, _) => Set("includes", "startsWith", "endsWith")(m)
+    case _ => false
+  }
+
   // ── compile to Columns ─────────────────────────────────────────────
   def compileColumn(ast: Js, df: DataFrame): Column = {
     val schema = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    def num(e: Js): Column = c(e).cast("double")
+    // JS numeric coercion: Number("abc") is NaN, never an error — a
+    // plain cast("double") would THROW under Spark's default ANSI mode
+    // on an unparseable string, so string operands go through a
+    // TRY-mode Cast (null on failure) with NaN as the JS-faithful
+    // fallback; a null input stays null (SQL propagation, documented)
+    def num(e: Js): Column =
+      if (isStringTyped(e, schema)) {
+        val x = c(e)
+        val tried = org.apache.spark.sql.graftshim.exprToColumn(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.graftshim.columnToExpr(x),
+            org.apache.spark.sql.types.DoubleType, None,
+            org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
+        when(x.isNull, lit(null).cast("double"))
+          .otherwise(coalesce(tried, lit(Double.NaN)))
+      } else c(e).cast("double")
     // JS string rendering of a value: integral numbers drop the ".0"
-    // (String(3) === "3", where Spark's cast renders "3.0")
+    // (String(3) === "3", where Spark's cast renders "3.0"); booleans
+    // render "true"/"false" (a numeric path would render "1")
     def jsStr(e: Js): Column =
       if (isStringTyped(e, schema)) c(e).cast("string")
-      else {
-        val x = c(e).cast("double")
+      else if (isBoolTyped(e)) {
+        val x = c(e)
+        when(x.isNull, lit(null).cast("string"))
+          .when(x, lit("true")).otherwise(lit("false"))
+      } else {
+        val x = num(e)
         when(x.isNull, lit(null).cast("string"))
           .when(!isnan(x) && x === floor(x) && abs(x) < 1e15,
             x.cast("long").cast("string"))
           .otherwise(x.cast("string"))
       }
+    // comparison operands: string-vs-string lexicographic, mixed
+    // string-vs-number coerces BOTH sides numerically (JS semantics;
+    // also avoids Spark's implicit ANSI string→double cast, which
+    // throws on unparseable text where JS yields NaN)
+    def cmpOperands(a: Js, b: Js): (Column, Column) = {
+      val sa = isStringTyped(a, schema)
+      val sb = isStringTyped(b, schema)
+      if (sa == sb) (c(a), c(b)) else (num(a), num(b))
+    }
     def c(e: Js): Column = e match {
       case Num(v) => lit(v)
       case Str(v) => lit(v)
@@ -346,12 +390,12 @@ object JsGesture {
       case Bin("*", a, b) => num(a) * num(b)
       case Bin("/", a, b) => num(a) / num(b)
       case Bin("%", a, b) => num(a) % num(b)
-      case Bin("==", a, b) => c(a) === c(b)
-      case Bin("!=", a, b) => c(a) =!= c(b)
-      case Bin("<", a, b) => c(a) < c(b)
-      case Bin("<=", a, b) => c(a) <= c(b)
-      case Bin(">", a, b) => c(a) > c(b)
-      case Bin(">=", a, b) => c(a) >= c(b)
+      case Bin("==", a, b) => val (x, y) = cmpOperands(a, b); x === y
+      case Bin("!=", a, b) => val (x, y) = cmpOperands(a, b); x =!= y
+      case Bin("<", a, b) => val (x, y) = cmpOperands(a, b); x < y
+      case Bin("<=", a, b) => val (x, y) = cmpOperands(a, b); x <= y
+      case Bin(">", a, b) => val (x, y) = cmpOperands(a, b); x > y
+      case Bin(">=", a, b) => val (x, y) = cmpOperands(a, b); x >= y
       case Bin("&&", a, b) => c(a) && c(b)
       case Bin("||", a, b) => c(a) || c(b)
       case Bin(op, _, _) => sys.error(s"op $op")
@@ -361,17 +405,27 @@ object JsGesture {
       case Meth(r, "trim", Seq()) => trim(jsStr(r))
       case Meth(r, "length", Seq()) => length(jsStr(r)).cast("double")
       case Meth(r, "charAt", Seq(i)) =>
-        jsStr(r).substr(num(i).cast("int") + 1, lit(1))
+        // JS charAt(-1) is "" — a raw substr(0 or negative, 1) would
+        // return the FIRST or count-from-the-END character instead
+        val ix = num(i).cast("int")
+        when(ix < 0, lit("")).otherwise(jsStr(r).substr(ix + 1, lit(1)))
       case Meth(r, "indexOf", Seq(s)) =>
         (instr(jsStr(r), jsStr(s)) - 1).cast("double")
       case Meth(r, "includes", Seq(s)) => jsStr(r).contains(jsStr(s))
       case Meth(r, "startsWith", Seq(s)) => jsStr(r).startsWith(jsStr(s))
       case Meth(r, "endsWith", Seq(s)) => jsStr(r).endsWith(jsStr(s))
       case Meth(r, "substring", Seq(a)) =>
-        jsStr(r).substr(num(a).cast("int") + 1, length(jsStr(r)))
+        // JS clamps a negative start to 0; Spark substr counts a
+        // negative position from the END
+        val s = jsStr(r)
+        s.substr(greatest(num(a).cast("int"), lit(0)) + 1, length(s))
       case Meth(r, "substring", Seq(a, b)) =>
-        jsStr(r).substr(num(a).cast("int") + 1,
-          num(b).cast("int") - num(a).cast("int"))
+        // JS substring clamps BOTH indices into [0, len] (and would
+        // swap a > b — unsupported here, kept one-directional)
+        val s = jsStr(r)
+        val lo = greatest(num(a).cast("int"), lit(0))
+        val hi = greatest(num(b).cast("int"), lo)
+        s.substr(lo + 1, hi - lo)
       case Meth(r, "replace", Seq(a, b)) =>
         // JS string replace: FIRST occurrence only
         val s = jsStr(r); val from = jsStr(a); val to = jsStr(b)
@@ -523,8 +577,11 @@ object JsGesture {
       if (a == null || b == null) null else f(a, b)
     def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
       case (null, _) | (_, null) => None
-      case (x: String, y) => Some(x.compareTo(s(y)))
-      case (x, y: String) => Some(s(x).compareTo(y))
+      // string-vs-string compares lexicographically; string-vs-NUMBER
+      // coerces numerically (both JS and the compiled Columns, where
+      // Spark casts the string side to double) — a lexicographic
+      // mixed compare here would make the oracle itself wrong
+      case (x: String, y: String) => Some(x.compareTo(y))
       case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
       case (x, y) => Some(d(x).compareTo(d(y)))
     }

@@ -226,7 +226,9 @@ object Pipeline {
           .cast("long"))
       .select(col("__src"), col("__cut"))
     docs
-      .join(broadcast(rates), source === col("__src"))
+      // null-safe: a null source is its own group with its own rate —
+      // an equi-join would silently DELETE every null-source row
+      .join(broadcast(rates), source <=> col("__src"))
       .filter(pmod(keyHash(key), lit(modulus.toLong)) < col("__cut"))
       .select(outCols.map(col): _*)
   }

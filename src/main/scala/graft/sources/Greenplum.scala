@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -44,7 +44,10 @@ object Greenplum {
     * issued the dumping INSERT itself). */
   def loadDump(spark: SparkSession, dir: String, schema: StructType,
       prefix: String = "file"): DataFrame =
+    // escape = quote: RFC-4180 doubled quotes inside quoted fields
+    // (Spark's default backslash escape would leave them unparsed)
     spark.read.schema(schema).option("header", "false")
+      .option("escape", "\"")
       .csv(s"$dir/$prefix*")
 
   /** Load with stable per-segment row positions (__seg, __pos) for
@@ -53,7 +56,7 @@ object Greenplum {
   def loadDumpAligned(spark: SparkSession, dir: String, schema: StructType,
       prefix: String = "file"): DataFrame = {
     import spark.implicits._
-    val csvOpts = Map.empty[String, String]
+    val csvOpts = Map("escape" -> "\"") // RFC-4180 doubled quotes
     val lines = spark.sparkContext
       .wholeTextFiles(s"$dir/$prefix*")
       .flatMap { case (name, content) =>
@@ -62,8 +65,13 @@ object Greenplum {
         // same table: files within a segment sort by their split
         // suffix (aaa, aab, …) — encode (file rank within name order)
         // by carrying the file base name and resolving offsets after
-        content.split("\n", -1).iterator.zipWithIndex
-          .filter(_._1.nonEmpty)
+        // Only the trailing empty element of a newline-terminated file
+        // is dropped — an interior empty line is a VALID row (e.g. a
+        // single-column dump of a null value) and dropping it would
+        // shift every later position in the segment
+        val raw = content.split("\n", -1)
+        val ls = if (raw.nonEmpty && raw.last.isEmpty) raw.init else raw
+        ls.iterator.zipWithIndex
           .map { case (line, i) => (seg, name, i.toLong, line) }
       }
     val raw = lines.toDF("__seg", "__file", "__i", "__line")
@@ -119,11 +127,23 @@ object Greenplum {
     val withSeg = df.withColumn("__seg", seg)
     // one file per segment, rows in deterministic key order: the
     // repartition matches the per-segment writer of the web table
+    // CSV field serialization: null → empty field (concat_ws would
+    // silently SKIP nulls and misalign every later column), values
+    // containing separator/quote/newline get RFC-4180 quoting with
+    // doubled quotes (the web table's FORMAT 'CSV' does the same;
+    // from_csv parses it back)
+    def field(c: String): Column = {
+      val v = col(c).cast("string")
+      when(v.isNull, lit(""))
+        .when(v.rlike("[,\"\n\r]"),
+          concat(lit("\""), regexp_replace(v, "\"", "\"\""), lit("\"")))
+        .otherwise(v)
+    }
+    val line = cols.map(field).reduceLeft((a, b) => concat(a, lit(","), b))
     withSeg
       .repartition(segments, col("__seg"))
       .sortWithinPartitions((col("__seg") +: keyCols.map(col)): _*)
-      .select(col("__seg"),
-        concat_ws(",", cols.map(c => col(c).cast("string")): _*).as("__line"))
+      .select(col("__seg"), line.as("__line"))
       .write.partitionBy("__seg").mode("overwrite").text(s"$dir/__stage")
     // rename to the dump-greenplum.sh layout: file<seg>aaa
     val fs = new java.io.File(s"$dir/__stage")

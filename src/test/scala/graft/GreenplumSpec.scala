@@ -48,5 +48,38 @@ class GreenplumSpec extends SparkSpec {
     val back = Greenplum.loadDumpAligned(spark, dir3, sch)
     assert(back.count() == 100)
     assert(back.agg(sum(col("v"))).head.getDouble(0) == (0 until 100).map(_ * 1.5).sum)
+    // nulls and separator-bearing strings survive the dump: null →
+    // empty field (concat_ws would silently SKIP it and misalign every
+    // later column), commas/quotes get RFC-4180 quoting; a
+    // single-column dump of a null value is an EMPTY line that must
+    // still occupy its position
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val messy = Seq(
+      (1L, Option("plain"), Option(2.5)),
+      (2L, Option("a,b \"quoted\""), None),
+      (3L, None, Option(7.0))).toDF("k", "s", "v")
+    val dir4 = java.nio.file.Files.createTempDirectory("gp_spec4").toString
+    Greenplum.writeDump(messy, dir4, Seq("k"), 2)
+    val mSch = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val got = Greenplum.loadDump(spark, dir4, mSch)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, Some("plain"), Some(2.5)),
+      (2L, Some("a,b \"quoted\""), None),
+      (3L, None, Some(7.0))), got.toSeq.toString)
+    // single-column incremental dump with a null: positions hold
+    val dir5 = java.nio.file.Files.createTempDirectory("gp_spec5").toString
+    Greenplum.writeDump(messy, dir5, Seq("k"), 2, lineCols = Seq("s"))
+    val sOnly = Greenplum.loadDumpAligned(spark, dir5,
+      StructType(Seq(StructField("s", StringType))))
+    val base4 = Greenplum.loadDumpAligned(spark, dir4, mSch)
+    val attached = base4.drop("s").join(sOnly, Seq("__seg", "__pos"))
+      .collect().map(r => (r.getAs[Long]("k"), Option(r.getAs[String]("s"))))
+      .sortBy(_._1)
+    assert(attached.toSeq == Seq((1L, Some("plain")),
+      (2L, Some("a,b \"quoted\"")), (3L, None)), attached.toSeq.toString)
   }
 }

@@ -94,7 +94,7 @@ class JsGestureSpec extends SparkSpec {
         case 0 => renderNum(numLits(rnd.nextInt(numLits.size)))
         case 1 => "row.d"
         case _ => "row.q"
-      } else rnd.nextInt(10) match {
+      } else rnd.nextInt(11) match {
         case 0 => s"(${genNum(depth - 1)} + ${genNum(depth - 1)})"
         case 1 => s"(${genNum(depth - 1)} - ${genNum(depth - 1)})"
         case 2 => s"(${genNum(depth - 1)} * ${genNum(depth - 1)})"
@@ -104,6 +104,7 @@ class JsGestureSpec extends SparkSpec {
         case 6 => s"Math.min(${genNum(depth - 1)}, ${genNum(depth - 1)})"
         case 7 => s"${genStr(depth - 1)}.length"
         case 8 => s"(${genBool(depth - 1)} ? ${genNum(depth - 1)} : ${genNum(depth - 1)})"
+        case 9 => s"(row.m * ${genNum(depth - 1)})" // string arithmetic → NaN
         case _ => s"Math.round(${genNum(depth - 1)})"
       }
     def genStr(depth: Int): String =
@@ -111,7 +112,7 @@ class JsGestureSpec extends SparkSpec {
         case 0 => s"'${strLits(rnd.nextInt(strLits.size))}'"
         case 1 => "row.m"
         case _ => "row.f"
-      } else rnd.nextInt(8) match {
+      } else rnd.nextInt(11) match {
         case 0 => s"(${genStr(depth - 1)} + ${genStr(depth - 1)})"
         case 1 => s"(${genStr(depth - 1)} + ${genNum(depth - 1)})"
         case 2 => s"${genStr(depth - 1)}.toLowerCase()"
@@ -119,11 +120,16 @@ class JsGestureSpec extends SparkSpec {
         case 4 => s"${genStr(depth - 1)}.trim()"
         case 5 => s"${genStr(depth - 1)}.substring(${rnd.nextInt(3)}, ${2 + rnd.nextInt(4)})"
         case 6 => s"${genStr(depth - 1)}.replace(${genStr(0)}, ${genStr(0)})"
+        case 7 => s"(${genStr(depth - 1)} + ${genBool(depth - 1)})" // "true"/"false"
+        case 8 => // negative/clamped indices (JS "" / clamp-to-0)
+          val lo = rnd.nextInt(5) - 2
+          s"${genStr(depth - 1)}.substring($lo, ${lo + rnd.nextInt(5)})"
+        case 9 => s"${genStr(depth - 1)}.charAt(${rnd.nextInt(6) - 2})"
         case _ => s"(${genBool(depth - 1)} ? ${genStr(depth - 1)} : ${genStr(depth - 1)})"
       }
     def genBool(depth: Int): String =
       if (depth <= 0) (if (rnd.nextBoolean()) "true" else "false")
-      else rnd.nextInt(8) match {
+      else rnd.nextInt(9) match {
         case 0 => s"(${genNum(depth - 1)} < ${genNum(depth - 1)})"
         case 1 => s"(${genNum(depth - 1)} >= ${genNum(depth - 1)})"
         case 2 => s"(${genStr(depth - 1)} == ${genStr(depth - 1)})"
@@ -131,6 +137,8 @@ class JsGestureSpec extends SparkSpec {
         case 4 => s"(${genBool(depth - 1)} || ${genBool(depth - 1)})"
         case 5 => s"(!${genBool(depth - 1)})"
         case 6 => s"${genStr(depth - 1)}.includes(${genStr(0)})"
+        case 7 => // mixed string-vs-number compare: numeric coercion
+          s"(${genStr(depth - 1)} <= ${genNum(depth - 1)})"
         case _ => s"${genStr(depth - 1)}.startsWith(${genStr(0)})"
       }
     def genProgram(): String = rnd.nextInt(3) match {
