@@ -619,6 +619,39 @@ object Events {
     rows.toDF("new_id", "corpus_id", "jaccard")
   }
 
+  /** Multimodal ingestion gate: each micro-batch of NEW images is
+    * perceptual-hashed (decode → aHash) and checked against the static
+    * corpus's hash table at Hamming ≤ `maxHamming` — the image twin of
+    * [[nearDupIngestGate]] (foreachBatch over the batch operator, no
+    * cross-batch state; the corpus hashes are computed ONCE and cached
+    * by the caller, kilobytes per million images). The delta side is
+    * tiny per batch, so the hash join broadcasts it; verdicts are
+    * (new_id, corpus_id, hamming).
+    */
+  def imageIngestGate(newMedia: DataFrame,
+      corpusHashes: DataFrame, maxHamming: Int = 3)(
+      onVerdicts: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newMedia.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions.broadcast
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val newHashes = graft.multimodal.Multimodal.imageHashes(
+          batch.select(col("id"), col("kind"), col("media"),
+            col("width"), col("height"))
+            .as[graft.multimodal.Multimodal.MediaRow]).toDF()
+          .select(col("id").as("new_id"), col("ahash").as("new_ahash"))
+        val verdicts = broadcast(newHashes)
+          .join(corpusHashes.select(col("id").as("corpus_id"),
+            col("ahash").as("corpus_ahash")),
+            bit_count(col("new_ahash").bitwiseXOR(col("corpus_ahash")))
+              <= maxHamming)
+          .select(col("new_id"), col("corpus_id"),
+            bit_count(col("new_ahash").bitwiseXOR(col("corpus_ahash")))
+              .cast("long").as("hamming"))
+        onVerdicts(verdicts)
+    }
+
   final case class DedupRow(key: Long, docId: Long)
   final case class DedupOut(key: Long, survivor: Long)
 

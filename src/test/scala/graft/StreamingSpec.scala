@@ -686,6 +686,46 @@ class StreamingSpec extends SparkSpec {
     assert(closed.exists(r => r.getLong(0) == 1L && r.getLong(2) == 2L))
   }
 
+  test("image ingest gate equals the batch image near-dup check") {
+    import graft.multimodal.Multimodal
+    val spark0 = spark
+    import spark0.implicits._
+    val all = graft.engine.Tables.documents(spark, sf)
+    val media = Multimodal.syntheticCodecMedia(all)
+    val corpus = media.filter(col("id") % 10 =!= 0L)
+    val delta = media.filter(col("id") % 10 === 0L)
+    // corpus hashes computed once (the cached side of the gate)
+    val corpusHashes = Multimodal.imageHashes(corpus).toDF()
+      .select(col("id"), col("ahash")).cache()
+    corpusHashes.count()
+    // stage the delta as 2 parquet files → 2 micro-batches
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_img_ingest")
+    delta.toDF().repartition(2).write.mode("overwrite")
+      .parquet(streamDir.toString)
+    val stream = spark.readStream.schema(delta.toDF().schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    // hamming 16 keeps the cross-split verdict set non-empty at this
+    // tiny SF (3-bit near-dups may all land on one side of the split)
+    val q = graft.streaming.Events.imageIngestGate(stream, corpusHashes, 16)(
+        v => v.collect().foreach(sink.add))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = sink.asScala.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch truth: delta hashes × corpus hashes at hamming <= 3
+    val dh = Multimodal.imageHashes(delta).toDF()
+      .select(col("id").as("new_id"), col("ahash").as("ha"))
+    val expect = dh.join(corpusHashes.select(col("id").as("corpus_id"),
+        col("ahash").as("hb")),
+        bit_count(col("ha").bitwiseXOR(col("hb"))) <= 16)
+      .select(col("new_id"), col("corpus_id"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect && expect.nonEmpty)
+    corpusHashes.unpersist()
+  }
+
   test("streaming exact dedup: survivor set == batch min-per-content, bit parity") {
     val got = graft.streaming.Events.runDedupStream(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
