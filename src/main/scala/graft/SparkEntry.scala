@@ -1673,7 +1673,10 @@ object SparkEntry {
       import org.apache.spark.sql.types._
       val dir = graft.sources.Sources.rtDir("gpdump")
       val keys = Seq("l_orderkey", "l_linenumber")
-      val lif = li(s, d)
+      // a 1-in-10 order slice: the round-trip gates dump-file layout,
+      // positional identity, and incremental attach — table volume
+      // adds write time, not coverage
+      val lif = li(s, d).filter(pmod(col("l_orderkey"), lit(10L)) === 0L)
       graft.sources.Greenplum.writeDump(
         lif.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
         s"$dir/b1", keys, 4)
@@ -2273,7 +2276,7 @@ object SparkEntry {
     "greenplum_dump_roundtrip" ->
       s"""SELECT l_returnflag, count(*) AS n, $sumQty AS sum_qty,
         |min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
-        |FROM lineitem GROUP BY 1""".stripMargin,
+        |FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY 1""".stripMargin,
     "dynamic_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
         |WHERE l_quantity >= 45.0 AND l_returnflag IN ('A', 'R')""".stripMargin,

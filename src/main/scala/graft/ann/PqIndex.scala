@@ -163,6 +163,7 @@ object PqIndex {
     // made physical; at a billion vectors this is the difference
     // between scanning nprobe shards and scanning the table
     encode(normed, Some(cents), cbs)
+      .repartition(nlist, col("cell")) // one clustered file per cell
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
     cbs.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
