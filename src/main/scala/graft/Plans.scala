@@ -43,8 +43,15 @@ object Plans {
     "multimodal_aiff_features", "sketch_theta_algebra", "zonemap_skip",
     "dedup_delta_novelty", "geo_polygon_holes", "ann_pq_topk", "ann_ivfpq_topk",
     // r7 additions: PQ index build receipt (the serve paths above now
-    // read the persisted index) and the JS-gesture surface
-    "ann_pq_build", "dynamic_udf_js", "dynamic_filter_js")
+    // read the persisted index), the JS-gesture surface, the Greenplum
+    // dump round-trip, the new pipeline operators, and the multimodal
+    // dedup family
+    "ann_pq_build", "dynamic_udf_js", "dynamic_filter_js",
+    "greenplum_dump_roundtrip", "text_rarity", "corpus_mix_temperature",
+    "multimodal_image_hash", "multimodal_image_neardup",
+    "multimodal_audio_fingerprint", "multimodal_audio_dedup",
+    "multimodal_video_frames", "multimodal_video_dedup",
+    "ann_topk_quantized")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

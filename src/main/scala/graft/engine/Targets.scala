@@ -94,6 +94,17 @@ class TargetRegistry(val spark: SparkSession) {
     register(get(id).df.withColumn(name, c), Some(id), s"col:$name=$c",
       "col", Seq(name, sqlOf(c)))
 
+  /** RenameColumnMap.java gesture. */
+  def rename(id: String, from: String, to: String): Target =
+    register(get(id).df.withColumnRenamed(from, to), Some(id),
+      s"rename:$from->$to", "rename", Seq(from, to))
+
+  /** ConvertColumnMap.java gesture (cast in place). */
+  def convert(id: String, column: String, toType: String): Target =
+    register(get(id).df.withColumn(column,
+        org.apache.spark.sql.functions.col(column).cast(toType)),
+      Some(id), s"convert:$column:$toType", "convert", Seq(column, toType))
+
   // ── sketch gestures → memoized bounded results (runSketch) ──────────
   /** Generic sketch: any bounded-result aggregation of the target's
     * frame, collected through the memo cache.
@@ -207,6 +218,17 @@ object TargetRegistry {
           val c = expr(args(1))
           reg.register(reg.get(parent.get).df.withColumn(args(0), c), parent,
             s"col:${args(0)}=$c", op, args, forcedId = Some(id))
+        case "rename" =>
+          reg.register(
+            reg.get(parent.get).df.withColumnRenamed(args(0), args(1)),
+            parent, s"rename:${args(0)}->${args(1)}", op, args,
+            forcedId = Some(id))
+        case "convert" =>
+          reg.register(
+            reg.get(parent.get).df.withColumn(args(0),
+              org.apache.spark.sql.functions.col(args(0)).cast(args(1))),
+            parent, s"convert:${args(0)}:${args(1)}", op, args,
+            forcedId = Some(id))
         case other =>
           throw new IllegalArgumentException(s"unreplayable op: $other")
       }

@@ -142,6 +142,15 @@ class TargetsSpec extends SparkSpec {
     // post-replay registration continues past the restored ids
     val fresh = restored.loadTable(sf, "orders")
     assert(fresh.id == "t4")
+    // rename + convert gestures replay too
+    val renamed = reg.rename(derived.id, "qty2", "double_qty")
+    val converted = reg.convert(renamed.id, "double_qty", "long")
+    reg.saveRedoLog(log)
+    val again = TargetRegistry.replay(spark, log)
+    assert(again.get(converted.id).df.schema("double_qty").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(again.get(converted.id).df.count() ==
+      reg.get(converted.id).df.count())
     // bookmark: one view's chain only, replayable on its own
     val bm = java.nio.file.Files.createTempDirectory("graft_bm")
       .resolve("view.bookmark").toString
@@ -156,7 +165,9 @@ class TargetsSpec extends SparkSpec {
     val vol = reg.load("session_frame", Seq((1, "a")).toDF("k", "v"))
     val volChild = reg.filter(vol.id, col("k") > 0)
     reg.saveRedoLog(log)
-    assert(TargetRegistry.replay(spark, log).size == 4)
+    // 4 original + rename + convert are replayable; the volatile chain
+    // is excluded
+    assert(TargetRegistry.replay(spark, log).size == 6)
     intercept[IllegalArgumentException](reg.saveBookmark(volChild.id, bm))
   }
 
