@@ -500,6 +500,60 @@ class PipelineSpec extends SparkSpec {
     assert(fast.filter(col("source") === "src1").count() == 0)
   }
 
+  test("temperature mix: rarest source kept whole, shares follow sqrt curve") {
+    import spark.implicits._
+    // three sources with 9:4:1 sizes — after the α=1/2 rule the kept
+    // shares must follow √n (3:2:1), i.e. keep-rates √(n_ref/n_s)
+    val docs = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (0 until 400).map(i => (1000L + i, "mid")) ++
+      (0 until 100).map(i => (2000L + i, "small")))
+      .toDF("doc_id", "source")
+    val kept = graft.pipeline.Pipeline.temperatureMix(
+        docs, col("doc_id"), col("source"))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the rarest source's cut is exactly the modulus → keeps ALL rows
+    assert(kept("small") == 100L)
+    // md5-hash thinning is binomial around n·rate: 5σ bands
+    def band(n: Int, rate: Double): (Double, Double) = {
+      val mu = n * rate; val sd = math.sqrt(n * rate * (1 - rate))
+      (mu - 5 * sd, mu + 5 * sd)
+    }
+    val (bLo, bHi) = band(900, math.sqrt(100.0 / 900.0))
+    assert(kept("big") >= bLo && kept("big") <= bHi, kept.toString)
+    val (mLo, mHi) = band(400, math.sqrt(100.0 / 400.0))
+    assert(kept("mid") >= mLo && kept("mid") <= mHi, kept.toString)
+    // deterministic: a re-run keeps the identical set
+    val again = graft.pipeline.Pipeline.temperatureMix(
+        docs, col("doc_id"), col("source"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = graft.pipeline.Pipeline.temperatureMix(
+        docs, col("doc_id"), col("source"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+    // null sources thin by their own rate instead of vanishing
+    val withNull = docs.withColumn("source",
+      when(col("doc_id") < 50, lit(null).cast("string"))
+        .otherwise(col("source")))
+    val nullKept = graft.pipeline.Pipeline.temperatureMix(
+        withNull, col("doc_id"), col("source"))
+      .filter(col("source").isNull).count()
+    assert(nullKept == 50L) // 50 rows = the rarest group → kept whole
+  }
+
+  test("unigram rarity: boilerplate scores higher magnitude than rare text") {
+    import spark.implicits._
+    val docs = (
+      (0 until 20).map(i => (i.toLong, "the the the common words repeat")) :+
+        (99L, "zxqv flurble wug")).toDF("doc_id", "text")
+    val scores = graft.text.TextAnalysis.unigramRarity(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // every token of doc 99 occurs once (magnitude 1); the repeated
+    // docs' tokens occur 20-60 times (magnitude 5-6)
+    assert(scores(99L) == 1.0, scores.toString)
+    assert(scores(0L) > 4.0, scores.toString)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
     val dim = docsDf.groupBy(col("source")).agg(avg(col("n_chars")).as("src_avg"))
