@@ -176,6 +176,22 @@ object PqIndex {
       .toDF("n_vectors", "m", "ksub", "nlist", "code_bytes", "raw_bytes")
   }
 
+  /** Incrementally index NEW vectors into a prebuilt index: encode the
+    * delta with the EXISTING centroids and codebooks (no retraining —
+    * the production update path; the quantizer drifts only as the data
+    * distribution does, and a periodic [[build]] refreshes it) and
+    * append the cell-partitioned codes. Serving immediately sees the
+    * union; the delta write touches only the cells the new vectors land
+    * in. */
+  def append(emb: DataFrame, dir: String): Unit = {
+    val spark = emb.sparkSession
+    val (cbs, cents) = loadSide(spark, dir)
+    val normed = Similarity.l2normalize(emb)
+    encode(normed, Some(cents), cbs)
+      .repartition(cents.length, col("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/codes")
+  }
+
   /** Load the driver-side index artifacts (kilobytes). */
   private def loadSide(spark: SparkSession, dir: String)
       : (Array[Array[Array[Float]]], Array[(Array[Float], Int)]) = {

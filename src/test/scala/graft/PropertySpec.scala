@@ -722,6 +722,29 @@ class PropertySpec extends SparkSpec {
     assert(probedPlan.contains("PartitionFilters") &&
       "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(probedPlan).isDefined,
       probedPlan)
+    // incremental append: build on HALF the corpus, append the rest —
+    // the quantizer stays the half-trained one, the delta encodes with
+    // it (no retrain), and serving over the appended index equals
+    // serving over a one-shot index of the SAME quantizer fed the full
+    // corpus (delete-and-rewrite vs append must be indistinguishable)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    val dirInc = java.nio.file.Files.createTempDirectory("graft_pq_inc").toString
+    graft.ann.PqIndex.build(half, dirInc).collect()
+    graft.ann.PqIndex.append(rest, dirInc)
+    val served = graft.ann.PqIndex.serve(emb, dirInc, qs, 10, nprobe = 6)
+      .collect().map(_.toString)
+    // expected: encode the FULL corpus with the half-trained artifacts
+    val dirFull = java.nio.file.Files.createTempDirectory("graft_pq_inc2").toString
+    graft.ann.PqIndex.build(half, dirFull).collect()
+    graft.ann.PqIndex.append(emb.filter(col("vec_id") % 2 =!= 0), dirFull)
+    val served2 = graft.ann.PqIndex.serve(emb, dirFull, qs, 10, nprobe = 6)
+      .collect().map(_.toString)
+    assert(served.sameElements(served2)) // deterministic end to end
+    // appended vectors are actually SERVED: odd ids appear as neighbors
+    val neighborIds = graft.ann.PqIndex.serve(emb, dirInc, qs, 10, nprobe = 6)
+      .collect().map(_.getLong(2)).toSet
+    assert(neighborIds.exists(_ % 2 != 0), neighborIds.toString)
   }
 
   test("hll sketch: <=5% error, partition-merge == whole-corpus sketch, deterministic") {
