@@ -1301,6 +1301,29 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+    // in-engine quality-classifier training: full-batch logistic
+    // regression, one aggregation pass per gradient step (the Lloyd
+    // shape), then narrow scoring — GD float sums are partial-agg-order
+    // dependent ⇒ rows-only; accuracy/convergence property-gated
+    "quality_probe_train" -> ((s, d) => {
+      val dd = docs(s, d)
+      val t = split(lower(col("text")), " ")
+      // planted quality label: docs carrying the low-quality markers
+      // ("slow"/"dup" in the synthetic vocabulary, the lorem/click
+      // analog); the trainer must learn a positive marker weight —
+      // exactly how a linear quality model learns its vocabulary
+      val markers = (w: Column) => w === "slow" || w === "dup"
+      val label = (size(filter(t, markers)) > 0).cast("double")
+      val feats = Seq(
+        size(filter(t, markers)).cast("double"),
+        size(t).cast("double"),
+        (length(col("text")) - (size(t) - 1)).cast("double") / size(t))
+      val (w, _, m, sd) = graft.pipeline.Pipeline.trainLogisticProbe(
+        dd, label, feats, iters = 15)
+      dd.select(col("doc_id"), label.cast("long").as("label"),
+        (graft.pipeline.Pipeline.scoreLogistic(feats, w, m, sd) >= 0.5)
+          .cast("long").as("pred"))
+    }),
     "text_repetition" -> ((s, d) =>
       graft.text.TextAnalysis.repetitionSignals(docs(s, d))),
     "text_dup_lines" -> ((s, d) =>

@@ -233,6 +233,73 @@ object Pipeline {
       .select(outCols.map(col): _*)
   }
 
+  /** Distributed full-batch logistic-regression training — the
+    * "train the fastText-style quality classifier inside the engine"
+    * step (label = curated/uncurated, features = the cheap text
+    * signals): every gradient iteration is ONE partial-aggregated pass
+    * computing Σ(σ(w·x)−y)·x_i per feature plus the log-loss, with the
+    * current weights as plan LITERALS (the k-means/Lloyd shape —
+    * O(iters) jobs, O(#features) driver state, nothing corpus-sized
+    * leaves the executors). Features are standardized by a first
+    * moments pass so a unit learning rate is stable.
+    *
+    * Returns (weights with bias first in STANDARDIZED feature space,
+    * per-iteration losses, feature means, feature stds) — enough to
+    * both inspect convergence and score new rows via [[scoreLogistic]].
+    */
+  def trainLogisticProbe(df: DataFrame, label: Column,
+      features: Seq[Column], iters: Int = 25, lr: Double = 1.0)
+      : (Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val k = features.size
+    require(k > 0, "need at least one feature")
+    val base = df.select((label.cast("double").as("__y") +:
+      features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"__f$i") }): _*)
+      .localCheckpoint(eager = false)
+    // moments pass: means + population stds (zero-variance features get
+    // std 1 so they standardize to a constant instead of dividing by 0)
+    val mrow = base.agg(
+      count(lit(1)).as("n"),
+      (0 until k).flatMap(i => Seq(
+        avg(col(s"__f$i")).as(s"m$i"),
+        coalesce(stddev_pop(col(s"__f$i")), lit(0.0)).as(s"s$i"))): _*).head()
+    val n = mrow.getLong(0).toDouble
+    val means = Array.tabulate(k)(i => mrow.getDouble(1 + 2 * i))
+    val stds = Array.tabulate(k) { i =>
+      val s = mrow.getDouble(2 + 2 * i); if (s == 0.0) 1.0 else s
+    }
+    val w = Array.fill(k + 1)(0.0) // bias first
+    val losses = Array.newBuilder[Double]
+    (0 until iters).foreach { _ =>
+      val z = (0 until k).foldLeft(lit(w(0))) { (acc, i) =>
+        acc + lit(w(i + 1)) * ((col(s"__f$i") - lit(means(i))) / lit(stds(i)))
+      }
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val err = p - col("__y")
+      val row = base.agg(
+        sum(err).as("g0"),
+        ((0 until k).map(i => sum(err *
+          ((col(s"__f$i") - lit(means(i))) / lit(stds(i)))).as(s"g${i + 1}")) :+
+          // numerically-safe log-loss (clamped probabilities)
+          sum(-(col("__y") * log(greatest(p, lit(1e-12))) +
+            (lit(1.0) - col("__y")) *
+              log(greatest(lit(1.0) - p, lit(1e-12))))).as("loss")): _*).head()
+      (0 to k).foreach(i => w(i) -= lr * row.getDouble(i) / n)
+      losses += row.getDouble(k + 1) / n
+    }
+    (w, losses.result(), means, stds)
+  }
+
+  /** Score rows with a trained probe: σ(w·standardized features) as a
+    * narrow codegen'd expression — the inference half of the quality
+    * filter. */
+  def scoreLogistic(features: Seq[Column], w: Array[Double],
+      means: Array[Double], stds: Array[Double]): Column = {
+    val z = features.zipWithIndex.foldLeft(lit(w(0))) { case (acc, (f, i)) =>
+      acc + lit(w(i + 1)) * ((f.cast("double") - lit(means(i))) / lit(stds(i)))
+    }
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** Deterministic fixed-size per-group sample: exactly min(k, |group|)
     * rows per group, chosen by md5-hash order of the key — the
     * "k examples per source/language" inspection or eval-set draw,

@@ -554,6 +554,40 @@ class PipelineSpec extends SparkSpec {
     assert(scores(0L) > 4.0, scores.toString)
   }
 
+  test("logistic probe: converging loss, separable accuracy, correct signs") {
+    import spark.implicits._
+    import graft.pipeline.Pipeline.{scoreLogistic, trainLogisticProbe}
+    // separable synthetic data with a margin: y = [f1 + 2 f2 > 6]
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 2000).map { i =>
+      val f1 = rnd.nextDouble() * 6; val f2 = rnd.nextDouble() * 3
+      val m = f1 + 2 * f2 - 6
+      (i.toLong, f1, f2, if (m > 0.3) 1.0 else if (m < -0.3) 0.0
+        else if (m > 0) 1.0 else 0.0)
+    }
+    val df = rows.toDF("id", "f1", "f2", "y")
+    val (w, losses, m, sd) = trainLogisticProbe(
+      df, col("y"), Seq(col("f1"), col("f2")), iters = 40, lr = 2.0)
+    // loss converges (monotone within a tiny tolerance) and ends low
+    losses.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"loss rose: $a -> $b") }
+    assert(losses.last < 0.3, s"final loss ${losses.last}")
+    // both standardized coefficients must be positive (y rises in both)
+    assert(w(1) > 0 && w(2) > 0, w.toSeq.toString)
+    // accuracy on the training set (separable ⇒ near-perfect)
+    val acc = df.select(col("y"),
+        (scoreLogistic(Seq(col("f1"), col("f2")), w, m, sd) >= 0.5)
+          .cast("double").as("p"))
+      .filter(col("y") === col("p")).count().toDouble / 2000
+    assert(acc >= 0.97, s"accuracy $acc")
+    // the declared corpus probe separates its planted labels
+    val probe = graft.SparkEntry.queries("quality_probe_train")(spark, sf)
+      .collect()
+    val pAcc = probe.count(r => r.getLong(1) == r.getLong(2)).toDouble / probe.length
+    assert(pAcc >= 0.9, s"corpus probe accuracy $pAcc")
+    assert(probe.map(_.getLong(1)).distinct.length == 2, "both labels present")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
     val dim = docsDf.groupBy(col("source")).agg(avg(col("n_chars")).as("src_avg"))
