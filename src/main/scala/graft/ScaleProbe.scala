@@ -263,6 +263,21 @@ object ScaleProbe {
         .agg(sum(col("magnitude_sum"))).count()
     }
 
+    // each gradient step is one partial-agg pass; iters fixed ⇒ the
+    // trainer scales like iters × one corpus scan, never superlinear
+    probe("quality_probe_train", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      val t = split(lower(col("text")), " ")
+      val markers = (w: org.apache.spark.sql.Column) =>
+        w === "slow" || w === "dup"
+      val label = (size(filter(t, markers)) > 0).cast("double")
+      val feats = Seq(size(filter(t, markers)).cast("double"),
+        size(t).cast("double"))
+      val (w, _, _, _) = pipeline.Pipeline.trainLogisticProbe(
+        d, label, feats, iters = 10)
+      w.length.toLong
+    }
+
     probe("dedup_embedding_lsh", Seq(1, 20)) { c =>
       // auto planes/bands: the log2(n) contract must keep candidate
       // volume (and so wall-clock) ~linear as n scales — the r3 probe
