@@ -87,6 +87,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("mg_entries", "mg_entries(sketch) - array<struct<key,lower_count>> of a summary"),
       (args: Seq[Expression]) => graft.functions.MgEntries(args.head)))
     ext.injectFunction((
+      new FunctionIdentifier("bloom_build"),
+      info("bloom_build", "bloom_build(v[, mBits, k]) - mergeable Bloom filter blob"),
+      (args: Seq[Expression]) => graft.functions.BloomBuildAgg(args.head,
+        if (args.length > 1) args(1).eval().asInstanceOf[Number].intValue
+        else graft.functions.BloomSketch.DefaultBits,
+        if (args.length > 2) args(2).eval().asInstanceOf[Number].intValue
+        else graft.functions.BloomSketch.DefaultK).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_merge"),
+      info("bloom_merge", "bloom_merge(blob) - OR Bloom filter blobs"),
+      (args: Seq[Expression]) =>
+        graft.functions.BloomMergeAgg(args.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain", "bloom_might_contain(blob, v) - one-sided membership"),
+      (args: Seq[Expression]) =>
+        graft.functions.BloomMightContain(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_fill"),
+      info("bloom_fill", "bloom_fill(blob) - set-bit fraction"),
+      (args: Seq[Expression]) => graft.functions.BloomFill(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("theta_build"),
       info("theta_build", "theta_build(v[, k]) - binary KMV/theta sketch of the values"),
       (args: Seq[Expression]) => graft.functions.ThetaBuildAgg(args.head,

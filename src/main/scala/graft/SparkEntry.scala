@@ -695,6 +695,31 @@ object SparkEntry {
     // (store the per-partition sketch, never rescan). Approximate ⇒
     // rows-only; exact countDistinct twin rides in the same result and
     // the ≤5% bound + merge monoid laws are property-gated.
+    // Storable mergeable Bloom filter — the MEMBERSHIP member of the
+    // sketch family: per-source token blooms probed for a fixed token
+    // list, each probe carried next to its EXACT twin (bloom answers
+    // are one-sided, so bloom >= exact always; equality at this fill is
+    // the observed-FP gate). Hash-bit blobs aren't DuckDB-replayable ⇒
+    // rows-only; one-sidedness/FP/merge-parity property-gated.
+    "sketch_bloom_rollup" -> ((s, d) => {
+      import graft.functions.BloomSketch._
+      val probes = Seq("slow", "dup", "spark", "merge",
+        "zzz_absent", "quux_absent")
+      val toks = docs(s, d).select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val aggs = bloom_build(col("tok")).as("bf") +:
+        probes.zipWithIndex.map { case (p, i) =>
+          max((col("tok") === p).cast("long")).as(s"exact_$i") }
+      val perSrc = toks.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+      perSrc.select((col("source") +:
+        round(bloom_fill(col("bf")), 4).as("fill") +:
+        probes.indices.flatMap(i => Seq(
+          bloom_might_contain(col("bf"), lit(probes(i))).cast("long")
+            .as(s"bloom_$i"),
+          col(s"exact_$i")))): _*)
+        .orderBy(col("source"))
+    }),
     "sketch_distinct_rollup" -> ((s, d) => {
       import graft.functions.HllSketch
       val dd = docs(s, d)

@@ -814,6 +814,77 @@ class PropertySpec extends SparkSpec {
       .select(kll_quantile(col("sk"), 0.5)).head.getDouble(0) == 0.0)
   }
 
+  test("bloom sketch: no false negatives, FP bound, split bit-parity") {
+    import graft.functions.BloomSketch._
+    // one-sided membership: every inserted value is found
+    val vals = (0 until 2000).map(i => s"member_$i")
+    val df = vals.toDF("v")
+    val blob = df.agg(bloom_build(col("v")).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val probeHits = (c: Seq[String]) => {
+      val p = c.toDF("p")
+      p.crossJoin(df.agg(bloom_build(col("v")).as("bf")))
+        .select(bloom_might_contain(col("bf"), col("p")).as("hit"))
+        .filter(col("hit")).count()
+    }
+    assert(probeHits(vals) == vals.size, "false negative")
+    // false positives bounded: observed FP rate on 10k non-members stays
+    // within 3x of (1 - e^(-kn/m))^k at n=2000, m=2^16, k=6
+    val nonMembers = (0 until 10000).map(i => s"absent_$i")
+    val fp = probeHits(nonMembers).toDouble / nonMembers.size
+    val theory = math.pow(1 - math.exp(-6.0 * 2000 / (1 << 16)), 6)
+    assert(fp <= 3 * theory + 1e-6, s"fp=$fp theory=$theory")
+    // OR-merge monoid: partition-merge equals the whole build bit for bit
+    for (parts <- Seq(2, 7)) {
+      val merged = df
+        .groupBy(pmod(xxhash64(col("v")), lit(parts.toLong)).as("part"))
+        .agg(bloom_build(col("v")).as("bf"))
+        .agg(bloom_merge(col("bf")).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      assert(merged.sameElements(blob), s"$parts-way split diverged")
+    }
+    // geometry mismatch is an error, never a silent wrong merge
+    val other = df.agg(bloom_build(col("v"), 1 << 10, 4).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val ex = intercept[Exception] {
+      Seq(blob, other).toDF("bf").agg(bloom_merge(col("bf"))).head
+    }
+    assert(ex.getMessage.contains("geometry") ||
+      Option(ex.getCause).exists(_.getMessage.contains("geometry")))
+    // storability: blobs survive parquet cold and the SQL surface agrees
+    val tmp = java.nio.file.Files.createTempDirectory("bloom_store").toString
+    df.agg(bloom_build(col("v")).as("bf")).write.mode("overwrite").parquet(tmp)
+    val cold = spark.read.parquet(tmp).head.getAs[Array[Byte]]("bf")
+    assert(cold.sameElements(blob))
+    // SQL surface: injectFunction needs a fresh session, so register the
+    // same builders into this session's registry (LayoutSpec pattern)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_build", es => graft.functions.BloomBuildAgg(es.head,
+        graft.functions.BloomSketch.DefaultBits,
+        graft.functions.BloomSketch.DefaultK).toAggregateExpression(),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      es => graft.functions.BloomMightContain(es(0), es(1)), "scala_udf")
+    df.createOrReplaceTempView("bloom_src")
+    val viaSql = spark.sql(
+      "SELECT bloom_might_contain(bloom_build(v), 'member_7') FROM bloom_src")
+      .head.getBoolean(0)
+    assert(viaSql)
+    // the declared rollup: bloom answers dominate their exact twins
+    // (one-sided), and at this fill they are EQUAL (no observed FP)
+    val roll = graft.SparkEntry.queries("sketch_bloom_rollup")(spark, sf)
+      .collect()
+    assert(roll.nonEmpty)
+    roll.foreach { r =>
+      (0 until 6).foreach { i =>
+        val b = r.getLong(2 + 2 * i); val e = r.getLong(3 + 2 * i)
+        assert(b >= e, s"false negative in rollup: $r")
+        assert(b == e, s"observed FP at tiny fill: $r")
+      }
+    }
+  }
+
   test("theta sketch: exact regime, split bit-parity, sampled error bounds") {
     import graft.functions.ThetaSketch._
     // storable monoid law: merging arbitrary partition sketches equals
