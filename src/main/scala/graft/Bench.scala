@@ -71,8 +71,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // ann_pq_build phase attribution (train vs encode) from the build's
+    // driver-side receipt — a separate top-level field, NOT a queries
+    // entry (its two phases are already inside ann_pq_build's total)
+    val buildSplit = try {
+      val p = java.nio.file.Paths.get(
+        SparkEntry.pqScratch(sfDir), "build_receipt.json")
+      if (java.nio.file.Files.exists(p))
+        s""","ann_pq_build_split":${java.nio.file.Files.readString(p).trim}"""
+      else ""
+    } catch { case _: Throwable => "" }
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$buildSplit}"""
     spark.stop()
     // The full per-query line is >2 KB (150+ queries), so a 2000-char
     // stdout tail cannot hold it whole. Survival strategy:

@@ -259,8 +259,11 @@ object ScaleProbe {
 
     // token df counts + per-doc re-agg: two shuffles, both ∝ corpus
     probe("text_rarity", Seq(1, 20)) { c =>
-      text.TextAnalysis.unigramRarity(saltedDocs(c))
-        .agg(sum(col("magnitude_sum"))).count()
+      // head(), not count(): count() on a global agg lets column
+      // pruning drop the magnitude arithmetic being measured
+      val r = text.TextAnalysis.unigramRarity(saltedDocs(c))
+        .agg(sum(col("magnitude_sum"))).head()
+      if (r.isNullAt(0)) 0L else r.getAs[Number](0).longValue
     }
 
     // each gradient step is one partial-agg pass; iters fixed ⇒ the
@@ -278,7 +281,18 @@ object ScaleProbe {
       w.length.toLong
     }
 
-    probe("dedup_embedding_lsh", Seq(1, 20)) { c =>
+    // both thresholds probed: θ=0.7 is the headline envelope entry
+    // (planted-fixture production threshold), θ=0.4 the declared stress
+    // form whose verify volume is intrinsically ~10× larger
+    probe("dedup_embedding_lsh_07", Seq(1, 20)) { c =>
+      // the headline form exactly: fine buckets, valve off — if buckets
+      // degenerate at scale this probe is where it shows
+      val emb = replicate(SparkEntry.plantedEmb(spark, sf), c,
+        Map("vec_id" -> 100000000L))
+      ann.Similarity.nearDupPairsLsh(emb, 0.7, targetBucket = 16L,
+        maxBucket = 0).count()
+    }
+    probe("dedup_embedding_lsh_stress", Seq(1, 20)) { c =>
       // auto planes/bands: the log2(n) contract must keep candidate
       // volume (and so wall-clock) ~linear as n scales — the r3 probe
       // with FIXED planes showed superlinear growth here

@@ -154,8 +154,17 @@ object PqIndex {
     val spark = emb.sparkSession
     import spark.implicits._
     val normed = Similarity.l2normalize(emb).localCheckpoint(eager = false)
+    // phase attribution: Lloyd training vs encode+persist are different
+    // cost regimes (training ∝ iters × corpus scans, encode is one
+    // narrow pass + write) — a regression in the fused number is
+    // undiagnosable, so the split lands in a driver-side receipt file
+    // the bench surfaces (timings cannot ride in the oracled frame:
+    // they are nondeterministic where the geometry columns hash-match)
+    val t0 = System.nanoTime()
     val cents = Similarity.kmeansCentroids(normed, nlist, refineIters)
     val cbs = Similarity.pqCodebooks(normed, m, ksub, refineIters)
+    val trainS = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
     val d = cbs(0)(0).length
     // codes PARTITION BY cell: a probed serve reads only its nprobe/
     // nlist partition directories (PartitionFilters pruning — the scan
@@ -172,6 +181,11 @@ object PqIndex {
     cents.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     val n = spark.read.parquet(s"$dir/codes").count()
+    val encodeS = (System.nanoTime() - t1) / 1e9
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "build_receipt.json"),
+      f"""{"train_s":$trainS%.3f,"encode_s":$encodeS%.3f}%n""")
+    catch { case _: Throwable => () } // receipt is diagnostics, not data
     Seq((n, m, ksub, nlist, m, m * d * 4))
       .toDF("n_vectors", "m", "ksub", "nlist", "code_bytes", "raw_bytes")
   }

@@ -477,10 +477,10 @@ object Similarity {
     */
   def nearDupPairsLsh(emb0: DataFrame, threshold: Double, dim: Int = 64,
       planes: Int = 0, bands: Int = 0, nEstimate: Long = 0L,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, targetBucket: Long = 64L): DataFrame = {
     // nEstimate > 0 sizes the auto-tuning without the eager count() job
     val np = if (planes > 0) planes
-      else autoPlanes(if (nEstimate > 0) nEstimate else emb0.count())
+      else autoPlanes(if (nEstimate > 0) nEstimate else emb0.count(), targetBucket)
     val nb = if (bands > 0) bands else autoBands(np, threshold)
     // only the banding side needs spread-out parallelism (65k mults/row);
     // the verify side feeds a hash-relation build, so it reads the scan
@@ -506,18 +506,36 @@ object Similarity {
     // aggregation with row-local pair generation was A/B'd here: the
     // higher-order pair-gen evaluates interpreted and measured 2.5×
     // slower than the codegen'd sort-merge join at equal output.)
-    val hot = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__c")).filter(col("__c") > maxBucket)
-      .select(col("band"), col("bucket"))
-    val kept = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    // maxBucket <= 0 skips the hot-cut machinery (one agg + anti-join,
+    // ~2 stages): for a corpus whose bucket sizes are already bounded
+    // by construction (fine planes via targetBucket), the safety valve
+    // costs more than it saves — callers at open-ended scale keep it
+    val kept = if (maxBucket <= 0) banded else {
+      val hot = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > maxBucket)
+        .select(col("band"), col("bucket"))
+      banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    }
     // the shuffle_merge hint sits on BOTH sides: one-sided hints make
     // the subplans canonically different and defeat ReusedExchange, so
     // the banding projection would run twice
+    // candidate pairs DEDUP BEFORE the verify joins: a true near-dup
+    // pair collides in ~every band (per-band p ≈ (1−θ/π)^planes is
+    // large above the threshold), so in the dup-heavy corpora this
+    // operator exists for, the raw candidate stream carries each real
+    // pair O(bands) times — at the planted-fixture profile the stream
+    // was 1.07 M rows for ~150 k unique pairs, and the two verify
+    // joins dominated the query. One distinct shuffle of the (long,
+    // long) id pairs costs less than verifying the multiplicity
+    // (A/B'd: 2.0 s → 1.0 s on the θ=0.7 fixture; the old
+    // distinct-after form only wins when multiplicity ≈ 1, i.e. when
+    // there is nothing to deduplicate).
     val cand = kept.hint("shuffle_merge").as("a")
       .join(kept.hint("shuffle_merge").as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
     // verify-join strategy left to AQE (broadcast when the vector table
     // fits, shuffle when it doesn't — forcing broadcast would OOM at
     // corpus scale, exactly as in Dedup.minhashLshPairs's verify)
@@ -528,7 +546,6 @@ object Similarity {
         round(cosinePre(col("x.embedding"), col("y.embedding"),
           col("x.nm"), col("y.nm")), 4).as("cos"))
       .filter(col("cos") >= threshold)
-      .distinct()
   }
 
   /** Per-vector int8 scalar quantization: scale = max|x|/127, q_i =

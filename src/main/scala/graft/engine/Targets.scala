@@ -139,8 +139,9 @@ class TargetRegistry(val spark: SparkSession) {
 
   // serialize with the same Jackson that replay() parses with — a
   // hand-rolled escaper would have to stay bug-compatible forever
+  // (ObjectMapper is thread-safe after config; one instance per registry)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private def jsonLine(t: Target): String = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = mapper.createObjectNode()
     n.put("id", t.id)
     t.parent match {

@@ -372,6 +372,18 @@ object JsGesture {
       val sb = isStringTyped(b, schema)
       if (sa == sb) (c(a), c(b)) else (num(a), num(b))
     }
+    // JS ToInteger for string-method indices: NaN coerces to 0
+    // ("x".charAt("q") === "x".charAt(0)), where an ANSI cast of NaN
+    // double to int THROWS; null keeps SQL propagation as elsewhere
+    def intIdx(e: Js): Column = {
+      val x = num(e)
+      val tried = org.apache.spark.sql.graftshim.exprToColumn(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.graftshim.columnToExpr(x),
+          org.apache.spark.sql.types.IntegerType, None,
+          org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
+      when(x.isNull, lit(null).cast("int")).otherwise(coalesce(tried, lit(0)))
+    }
     def c(e: Js): Column = e match {
       case Num(v) => lit(v)
       case Str(v) => lit(v)
@@ -407,7 +419,7 @@ object JsGesture {
       case Meth(r, "charAt", Seq(i)) =>
         // JS charAt(-1) is "" — a raw substr(0 or negative, 1) would
         // return the FIRST or count-from-the-END character instead
-        val ix = num(i).cast("int")
+        val ix = intIdx(i)
         when(ix < 0, lit("")).otherwise(jsStr(r).substr(ix + 1, lit(1)))
       case Meth(r, "indexOf", Seq(s)) =>
         (instr(jsStr(r), jsStr(s)) - 1).cast("double")
@@ -418,13 +430,13 @@ object JsGesture {
         // JS clamps a negative start to 0; Spark substr counts a
         // negative position from the END
         val s = jsStr(r)
-        s.substr(greatest(num(a).cast("int"), lit(0)) + 1, length(s))
+        s.substr(greatest(intIdx(a), lit(0)) + 1, length(s))
       case Meth(r, "substring", Seq(a, b)) =>
         // JS substring clamps BOTH indices into [0, len] (and would
         // swap a > b — unsupported here, kept one-directional)
         val s = jsStr(r)
-        val lo = greatest(num(a).cast("int"), lit(0))
-        val hi = greatest(num(b).cast("int"), lo)
+        val lo = greatest(intIdx(a), lit(0))
+        val hi = greatest(intIdx(b), lo)
         s.substr(lo + 1, hi - lo)
       case Meth(r, "replace", Seq(a, b)) =>
         // JS string replace: FIRST occurrence only
@@ -435,10 +447,18 @@ object JsGesture {
           s.substr(pos + length(from), length(s))))
       case Meth(_, m, _) => sys.error(s"unsupported method .$m")
       case MathCall("abs", Seq(a)) => abs(num(a))
-      case MathCall("floor", Seq(a)) => floor(num(a)).cast("double")
-      case MathCall("ceil", Seq(a)) => ceil(num(a)).cast("double")
+      // Spark floor/ceil on a double yield a LONG (NaN → 0), but JS
+      // Math.floor/ceil/round(NaN) is NaN — guard before the cast
+      case MathCall("floor", Seq(a)) =>
+        val x = num(a)
+        when(isnan(x), x).otherwise(floor(x).cast("double"))
+      case MathCall("ceil", Seq(a)) =>
+        val x = num(a)
+        when(isnan(x), x).otherwise(ceil(x).cast("double"))
       case MathCall("sqrt", Seq(a)) => sqrt(num(a))
-      case MathCall("round", Seq(a)) => floor(num(a) + 0.5).cast("double")
+      case MathCall("round", Seq(a)) =>
+        val x = num(a)
+        when(isnan(x), x).otherwise(floor(x + 0.5).cast("double"))
       case MathCall("min", as) => least(as.map(num): _*)
       case MathCall("max", as) => greatest(as.map(num): _*)
       case MathCall(f, _) => sys.error(s"unsupported Math.$f")

@@ -78,8 +78,31 @@ class PersistedKeyLoader(path: Path) extends KeyLoader {
       val raw = new Array[Byte](32)
       new java.security.SecureRandom().nextBytes(raw)
       val hashed = java.security.MessageDigest.getInstance("SHA-256").digest(raw)
-      Files.write(path, hashed)
-      hashed
+      // atomic create, owner-only: two concurrent sessions must agree
+      // on ONE key (noise consistency is advertised cross-session), and
+      // a PRF key must not be world-readable under a default umask
+      val tmp = Files.createTempFile(
+        Option(path.getParent).getOrElse(Path.of(".")), ".gpkey", ".tmp")
+      try {
+        try Files.setPosixFilePermissions(tmp,
+          java.nio.file.attribute.PosixFilePermissions.fromString("rw-------"))
+        catch { case _: UnsupportedOperationException => () } // non-POSIX fs
+        Files.write(tmp, hashed)
+        try {
+          // hard-link, not rename: POSIX rename silently REPLACES an
+          // existing file, so a raced second writer would clobber the
+          // first session's key; link() fails atomically instead
+          Files.createLink(path, tmp)
+          hashed
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.readAllBytes(path) // lost the race: their key wins
+          case _: UnsupportedOperationException =>
+            // no hard links on this fs: best-effort atomic rename
+            Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            hashed
+        }
+      } finally Files.deleteIfExists(tmp)
     }
 }
 

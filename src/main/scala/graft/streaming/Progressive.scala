@@ -135,8 +135,18 @@ object Progressive {
   * same view hit the cache instead of the cluster.
   */
 object Memo {
-  private val cache = mutable.Map.empty[String, Array[org.apache.spark.sql.Row]]
+  private final case class Entry(rows: Array[org.apache.spark.sql.Row],
+      bytes: Long)
+  // LinkedHashMap in ACCESS order (hits reinsert): head = LRU victim.
+  // The reference's MemoizedResults is unbounded and relies on purge
+  // RPCs; a long interactive session here would accumulate collected
+  // row arrays without bound, so retention is byte-budgeted — an entry
+  // is charged rows × estimated row size and the least-recently-USED
+  // entries fall off when the budget overflows.
+  private val cache = mutable.LinkedHashMap.empty[String, Entry]
+  private var totalBytes = 0L
   private var hitCount = 0L
+  @volatile private var budget: Long = 64L << 20 // 64 MB of sketch results
   // SetMemoization (management/SetMemoization.java): a disabled cache
   // passes collects straight through WITHOUT recording — existing
   // entries are kept (and still served once re-enabled) exactly like
@@ -146,18 +156,74 @@ object Memo {
   def fingerprint(df: DataFrame): String =
     df.queryExecution.optimizedPlan.canonicalized.toString
 
-  def collectMemoized(df: DataFrame): Array[org.apache.spark.sql.Row] =
-    if (!enabled) df.collect()
-    else cache.synchronized {
-      val key = fingerprint(df)
-      if (cache.contains(key)) { hitCount += 1; cache(key) }
-      else { val r = df.collect(); cache.update(key, r); r }
+  // sampled estimate (first 32 rows extrapolated): JVM object overheads
+  // approximated, not measured — the budget bounds growth, it is not an
+  // accounting ledger
+  private def rowBytes(r: org.apache.spark.sql.Row): Long = {
+    var b = 16L; var i = 0
+    while (i < r.length) {
+      b += (r.get(i) match {
+        case null => 4L
+        case s: String => 40L + 2L * s.length
+        case a: Array[Byte] => 24L + a.length
+        case q: scala.collection.Seq[_] => 24L + 16L * q.length
+        case _ => 16L
+      })
+      i += 1
     }
+    b
+  }
+  private def estimateBytes(rows: Array[org.apache.spark.sql.Row]): Long =
+    if (rows.isEmpty) 64L
+    else {
+      val sample = rows.take(32)
+      64L + sample.map(rowBytes).sum / sample.length * rows.length
+    }
+
+  def collectMemoized(df: DataFrame): Array[org.apache.spark.sql.Row] = {
+    if (!enabled) return df.collect()
+    val key = fingerprint(df)
+    cache.synchronized {
+      cache.remove(key) match {
+        case Some(e) => // LRU touch: reinsert at the tail
+          cache.update(key, e); hitCount += 1; return e.rows
+        case None => ()
+      }
+    }
+    val r = df.collect() // OUTSIDE the lock: a slow job must not block hits
+    val bytes = estimateBytes(r)
+    cache.synchronized {
+      // an entry alone bigger than the whole budget is not cached at
+      // all (it would evict everything and then be evicted next); a
+      // racing identical collect keeps the first entry
+      if (bytes <= budget && !cache.contains(key)) {
+        cache.update(key, Entry(r, bytes))
+        totalBytes += bytes
+        while (totalBytes > budget && cache.size > 1) {
+          val (k0, e0) = cache.head
+          cache.remove(k0); totalBytes -= e0.bytes
+        }
+      }
+    }
+    r
+  }
 
   def setEnabled(on: Boolean): Unit = enabled = on
   def isEnabled: Boolean = enabled
+  /** Retention budget in bytes (estimated); shrinking it evicts LRU-first. */
+  def setBudget(bytes: Long): Unit = cache.synchronized {
+    budget = math.max(bytes, 1L)
+    while (totalBytes > budget && cache.nonEmpty) {
+      val (k0, e0) = cache.head
+      cache.remove(k0); totalBytes -= e0.bytes
+    }
+  }
+  def budgetBytes: Long = budget
+  def usedBytes: Long = cache.synchronized(totalBytes)
 
-  def clear(): Unit = cache.synchronized { cache.clear(); hitCount = 0L }
+  def clear(): Unit = cache.synchronized {
+    cache.clear(); totalBytes = 0L; hitCount = 0L
+  }
   def size: Int = cache.synchronized(cache.size)
   /** Cache hits since the last clear — gesture-replay observability
     * (MemoizedResults records the same). */

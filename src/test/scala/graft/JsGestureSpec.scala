@@ -118,13 +118,18 @@ class JsGestureSpec extends SparkSpec {
         case 2 => s"${genStr(depth - 1)}.toLowerCase()"
         case 3 => s"${genStr(depth - 1)}.toUpperCase()"
         case 4 => s"${genStr(depth - 1)}.trim()"
-        case 5 => s"${genStr(depth - 1)}.substring(${rnd.nextInt(3)}, ${2 + rnd.nextInt(4)})"
+        case 5 => // start index occasionally a STRING expr (ToInteger:
+          // parseable → its value, unparseable → NaN → 0)
+          val a = if (rnd.nextInt(3) == 0) genStr(0) else rnd.nextInt(3).toString
+          s"${genStr(depth - 1)}.substring($a, ${2 + rnd.nextInt(4)})"
         case 6 => s"${genStr(depth - 1)}.replace(${genStr(0)}, ${genStr(0)})"
         case 7 => s"(${genStr(depth - 1)} + ${genBool(depth - 1)})" // "true"/"false"
         case 8 => // negative/clamped indices (JS "" / clamp-to-0)
           val lo = rnd.nextInt(5) - 2
           s"${genStr(depth - 1)}.substring($lo, ${lo + rnd.nextInt(5)})"
-        case 9 => s"${genStr(depth - 1)}.charAt(${rnd.nextInt(6) - 2})"
+        case 9 => // index occasionally a STRING expr (JS ToInteger)
+          val i = if (rnd.nextInt(3) == 0) genStr(0) else (rnd.nextInt(6) - 2).toString
+          s"${genStr(depth - 1)}.charAt($i)"
         case _ => s"(${genBool(depth - 1)} ? ${genStr(depth - 1)} : ${genStr(depth - 1)})"
       }
     def genBool(depth: Int): String =

@@ -638,6 +638,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH headline θ=0.7: planted near-dups found, recall >= 0.95") {
+    // the production-threshold headline fixture: planted copies sit at
+    // cos≈0.87, so exact pairs at θ=0.7 are exactly the planted ones
+    // (natural pairs top out at cos≈0.60 in this corpus)
+    val emb = SparkEntry.plantedEmb(spark, sf)
+    val exact = graft.ann.Similarity.nearDupPairs(emb, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted fixture produced no θ=0.7 pairs")
+    // every planted (original, copy) pair is found by the exact form
+    val planted = graft.engine.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(25L)) === 3L)
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 10000000L)).toSet
+    assert(planted.subsetOf(exact),
+      s"missing planted pairs: ${(planted -- exact).take(5)}")
+    val lsh = graft.ann.Similarity.nearDupPairsLsh(emb, 0.7,
+        targetBucket = 16L, maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${(lsh -- exact).take(5)}")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
+  }
+
   test("PQ ANN: recall vs brute force, determinism, 32x compression") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val qs = Seq(0L, 1L, 2L, 3L, 4L)

@@ -245,4 +245,44 @@ class TargetsSpec extends SparkSpec {
     assert(cached.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
     assert(cached.count() > 0)
   }
+
+  test("memo byte budget: LRU eviction, retained entries still hit") {
+    import graft.streaming.Memo
+    val li = Tables.lineitem(spark, sf)
+    val old = Memo.budgetBytes
+    Memo.clear()
+    try {
+      // same shape (3 rows of (string, long)) ⇒ equal entry estimates,
+      // so the byte arithmetic below is exact
+      val q1 = li.filter(col("l_quantity") > 0).groupBy(col("l_returnflag")).count()
+      val q2 = li.filter(col("l_quantity") > 1).groupBy(col("l_returnflag")).count()
+      val q3 = li.filter(col("l_quantity") > 2).groupBy(col("l_returnflag")).count()
+      Memo.collectMemoized(q1)
+      val oneEntry = Memo.usedBytes
+      assert(oneEntry > 0L)
+      // budget fits exactly two entries of this size: inserting a third
+      // must evict the LRU (q1 — untouched since insert)
+      Memo.setBudget(oneEntry * 5 / 2)
+      Memo.collectMemoized(q2)
+      assert(Memo.size == 2)
+      Memo.collectMemoized(q3)
+      assert(Memo.size == 2, s"expected LRU eviction, size=${Memo.size}")
+      val h0 = Memo.hits
+      Memo.collectMemoized(q2) // retained → hit
+      Memo.collectMemoized(q3) // retained → hit
+      assert(Memo.hits == h0 + 2)
+      Memo.collectMemoized(q1) // evicted → recompute, re-insert, evict q2
+      assert(Memo.hits == h0 + 2)
+      assert(Memo.size == 2)
+      // LRU is ACCESS order, not insertion order: q3 was touched after
+      // q2, so q2 is the victim and q3 must still hit
+      Memo.collectMemoized(q3)
+      assert(Memo.hits == h0 + 3)
+      // an entry bigger than the whole budget is never cached
+      Memo.setBudget(oneEntry / 2)
+      assert(Memo.size <= 1 && Memo.usedBytes <= oneEntry / 2)
+      Memo.collectMemoized(q1)
+      assert(Memo.usedBytes <= oneEntry / 2)
+    } finally { Memo.setBudget(old); Memo.clear() }
+  }
 }
