@@ -258,6 +258,14 @@ object ScaleProbe {
     }
 
     // token df counts + per-doc re-agg: two shuffles, both ∝ corpus
+    // one codegen trie walk per row, no shuffle at all (narrow select):
+    // must scale linearly with corpus bytes
+    probe("text_tokens_bpe", Seq(1, 20)) { c =>
+      val r = text.TextAnalysis.bpeTokenStats(saltedDocs(c))
+        .agg(sum(col("n_tokens_bpe"))).head()
+      if (r.isNullAt(0)) 0L else r.getAs[Number](0).longValue
+    }
+
     probe("text_rarity", Seq(1, 20)) { c =>
       // head(), not count(): count() on a global agg lets column
       // pruning drop the magnitude arithmetic being measured

@@ -1514,6 +1514,29 @@ object SparkEntry {
     }),
     "text_quality" -> ((s, d) => graft.text.TextAnalysis.quality(docs(s, d))),
     "text_tokens" -> ((s, d) => graft.text.TextAnalysis.tokenStats(docs(s, d))),
+    // REAL subword tokenization (greedy longest-match over the literal
+    // vocab, one codegen trie walk per row — BpeTokenizer): per-doc
+    // counts are the production token-budget currency; fully ORACLED
+    // via a DuckDB recursive CTE replaying greedy match per distinct
+    // word over the SAME interpolated vocab literal
+    "text_tokens_bpe" -> ((s, d) =>
+      graft.text.TextAnalysis.bpeTokenStats(docs(s, d))),
+    // the packing operator budgeting in SUBWORD tokens — same two-level
+    // prefix-sum plan, the count column is the BPE encode
+    "pack_sequences_bpe" -> ((s, d) =>
+      graft.pipeline.Pipeline.packSequences(
+          docs(s, d).select(col("doc_id"), col("source"),
+            graft.text.TextAnalysis.bpeTokenCount(col("text")).as("n_tokens")),
+          col("source"), col("doc_id"), col("n_tokens"), 2048L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))),
+    // token-budget mixing in SUBWORD tokens (budgets ~1.3× the word
+    // budgets to hold comparable doc counts)
+    "corpus_mix_bpe" -> ((s, d) =>
+      graft.pipeline.Pipeline.corpusMix(
+        docs(s, d).withColumn("n_toks",
+          graft.text.TextAnalysis.bpeTokenCount(col("text"))),
+        col("doc_id"), col("source"), col("n_toks"),
+        Map("src0" -> 1000L, "src1" -> 800L, "src2" -> 2000000L))),
     "text_langid" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         graft.text.TextAnalysis.langId(col("text")).as("lang_pred"))),
@@ -2060,6 +2083,30 @@ object SparkEntry {
     * reachability, take the min reachable id per node — the ground truth
     * for Dedup.connectedComponents' min-label propagation.
     */
+  // Greedy longest-match subword counts per doc (recursive CTE): tokens
+  // per DISTINCT word (tokenization is context-free within a word), then
+  // joined back to word occurrences. The vocab literal is interpolated
+  // from the SAME Scala constant the engine compiles into its trie, so
+  // engine and oracle cannot desynchronize. Prefix with WITH RECURSIVE.
+  private val bpeCte = {
+    val vlist = graft.functions.BpeTokenizer.vocabSqlList()
+    s"""words AS (SELECT doc_id, u.w FROM documents,
+       |  UNNEST(string_split(lower(text), ' ')) AS u(w) WHERE len(u.w) > 0),
+       |uw AS (SELECT DISTINCT w FROM words),
+       |step AS (
+       |  SELECT w, CAST(1 AS INTEGER) AS pos, CAST(0 AS BIGINT) AS n FROM uw
+       |  UNION ALL
+       |  SELECT w, CAST(pos + GREATEST(m, 1) AS INTEGER), n + 1 FROM (
+       |    SELECT w, pos, n,
+       |      list_max(list_transform($vlist,
+       |        v -> CASE WHEN substr(w, pos, len(v)) = v THEN len(v) ELSE 0 END)) AS m
+       |    FROM step WHERE pos <= len(w)) s),
+       |wt AS (SELECT w, max(n) AS toks FROM step GROUP BY w),
+       |bpe AS (SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(wt.toks) AS BIGINT) AS n_tokens_bpe
+       |  FROM words JOIN wt USING (w) GROUP BY 1)""".stripMargin
+  }
+
   private val ccCte =
     """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM
@@ -3110,6 +3157,33 @@ object SparkEntry {
         |CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS regex_tokens,
         |CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_tokens_bpe" ->
+      s"""WITH RECURSIVE $bpeCte
+         |SELECT d.doc_id, COALESCE(b.n_words, 0) AS n_words,
+         |  COALESCE(b.n_tokens_bpe, 0) AS n_tokens_bpe
+         |FROM documents d LEFT JOIN bpe b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "pack_sequences_bpe" ->
+      s"""WITH RECURSIVE $bpeCte
+         |SELECT doc_id, source, n_tokens,
+         |CAST(FLOOR((CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) - n_tokens) / 2048.0) AS BIGINT) AS bin
+         |FROM (SELECT d.doc_id, d.source, COALESCE(b.n_tokens_bpe, 0) AS n_tokens
+         |  FROM documents d LEFT JOIN bpe b USING (doc_id))""".stripMargin,
+    "corpus_mix_bpe" ->
+      s"""WITH RECURSIVE $bpeCte,
+         |t AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+         |    COALESCE(b.n_tokens_bpe, 0) AS n_toks,
+         |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents d LEFT JOIN bpe b USING (doc_id)
+         |  WHERE d.source IN ('src0', 'src1', 'src2')),
+         |bb AS (SELECT *, CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 800
+         |    ELSE 2000000 END AS bud FROM t),
+         |c AS (SELECT *, CAST(sum(n_toks) OVER (PARTITION BY source
+         |    ORDER BY h, CAST(doc_id AS VARCHAR)
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM bb)
+         |SELECT doc_id, text, lang, source, n_chars, n_toks, cum AS cum_tokens
+         |FROM c WHERE cum <= bud""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, CASE
         |WHEN len(list_filter(string_split(lower(text), ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) >= len(list_filter(string_split(lower(text), ' '), x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und'))

@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Subword tokenization as the token-budget currency.
+  *
+  * Every token-budget operator in the pipeline layer (`packSequences`,
+  * `corpusMix`, temperature mixing) previously budgeted in WHITESPACE
+  * tokens; real training pipelines budget in subword tokens (BPE —
+  * Sennrich et al. 2016; WordPiece — Wu et al. 2016), which differ from
+  * word counts by 1.3–1.8× on English text and far more on code or
+  * non-Latin scripts. This module provides the deterministic encoder:
+  * greedy longest-match against a LITERAL bounded vocabulary (the
+  * inference-time algorithm of WordPiece; the trained merge list is an
+  * input, not something the engine learns), with unmatched characters
+  * falling back to one token each (the byte-fallback convention).
+  *
+  * Execution model follows the FloatVecDot/Int8Quantize pattern: a
+  * custom codegen expression whose per-row work is ONE primitive trie
+  * walk over the string — no per-token lambda, no array
+  * materialization, no boxed higher-order functions. The vocabulary
+  * rides along as a broadcast-sized reference object (kilobytes) inside
+  * the generated code's references array, so a 100 TB scan pays one
+  * virtual call per row.
+  *
+  * Semantics contract (replayed exactly by the DuckDB oracle through a
+  * recursive CTE over the same literal vocab):
+  *  - input is matched within whitespace-separated words (vocab entries
+  *    never contain spaces; the walk stops at ' ');
+  *  - at each position the LONGEST vocab prefix wins; on no match the
+  *    single character is one token (advance 1);
+  *  - empty words (consecutive spaces) contribute nothing.
+  */
+object BpeTokenizer {
+
+  /** Literal default vocabulary: whole high-frequency words plus
+    * subword fragments, so common corpus words tokenize to 1 token and
+    * the rest split into 2–4 — including overlapping entries ("join"
+    * vs "jo"/"in", "order" vs "or"/"der") so greedy longest-match is
+    * actually exercised, not vacuous. ~50 entries ≈ a merge table
+    * truncated to the corpus domain; production swaps in its trained
+    * list (the algorithm is vocabulary-agnostic).
+    */
+  val defaultVocab: Seq[String] = Seq(
+    // whole words (win by longest-match over their fragments)
+    "the", "data", "join", "hash", "order", "table", "stream",
+    "query", "value", "column", "filter", "window", "customer",
+    // prefixes / suffixes / fragments
+    "a", "agg", "an", "at", "ba", "big", "ch", "co", "der", "er",
+    "fa", "gro", "in", "jo", "key", "li", "line", "lumn", "me", "mer",
+    "ne", "or", "ow", "part", "qu", "row", "scan", "sl", "small",
+    "sort", "st", "tch", "up", "ue", "val", "vec", "wind")
+
+  /** `bpe_count(text)`: subword-token count of a string column under
+    * the vocab — the budget-currency column expression. */
+  def bpe_count(text: Column, vocab: Seq[String] = defaultVocab): Column =
+    org.apache.spark.sql.graftshim.exprToColumn(
+      BpeCountTokens(org.apache.spark.sql.graftshim.columnToExpr(text), vocab))
+
+  /** The DuckDB literal list for the same vocab — interpolated into
+    * oracle SQL so engine and oracle can never desynchronize. */
+  def vocabSqlList(vocab: Seq[String] = defaultVocab): String =
+    vocab.map(v => "'" + v + "'").mkString("[", ", ", "]")
+}
+
+/** ASCII trie for greedy longest-match: flat int array of child links
+  * (node*128 + char), terminal flags per node. Built once on the
+  * driver, shipped in the expression; kilobytes for any literal vocab.
+  */
+final class BpeTrie(val vocab: Array[String]) extends Serializable {
+  private val cap = vocab.map(_.length).sum + 1
+  private val children = Array.fill(cap * 128)(-1)
+  private val term = new Array[Boolean](cap)
+  private var nNodes = 1
+  vocab.foreach { v =>
+    require(v.nonEmpty, "empty vocab entry")
+    var node = 0
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      require(c < 128 && c != ' ', s"vocab must be ASCII and space-free: '$v'")
+      var nxt = children(node * 128 + c)
+      if (nxt == -1) { nxt = nNodes; nNodes += 1; children(node * 128 + c) = nxt }
+      node = nxt
+      i += 1
+    }
+    term(node) = true
+  }
+
+  def countTokens(s: UTF8String): Long = count(s.toString)
+
+  /** One pass over the string: spaces delimit words for free (vocab is
+    * space-free so a match can never cross a boundary). */
+  def count(str: String): Long = {
+    var n = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      if (str.charAt(i) == ' ') i += 1
+      else {
+        // longest vocab prefix starting at i
+        var node = 0
+        var j = i
+        var best = 0
+        var walking = true
+        while (walking && j < len) {
+          val ch = str.charAt(j)
+          if (ch >= 128 || ch == ' ') walking = false
+          else {
+            val nxt = children(node * 128 + ch)
+            if (nxt == -1) walking = false
+            else {
+              node = nxt
+              j += 1
+              if (term(node)) best = j - i
+            }
+          }
+        }
+        i += (if (best > 0) best else 1) // no match: 1 char = 1 token
+        n += 1L
+      }
+    }
+    n
+  }
+}
+
+/** Codegen expression: subword-token count of a string under a literal
+  * vocab. The trie is rebuilt lazily per JVM (transient) and referenced
+  * from the generated code — the hot path is one call into a primitive
+  * char loop, fully inside whole-stage codegen like FloatVecDot.
+  */
+case class BpeCountTokens(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val trie = new BpeTrie(vocab.toArray)
+
+  override def nullSafeEval(v: Any): Any =
+    trie.countTokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTrie", trie, classOf[BpeTrie].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.countTokens($c);")
+  }
+
+  override def prettyName: String = "bpe_count"
+  override protected def withNewChildInternal(newChild: Expression): BpeCountTokens =
+    copy(child = newChild)
+}

@@ -100,6 +100,28 @@ object TextAnalysis {
           .as("est_bpe_tokens"))
       .orderBy(col("source"))
 
+  /** Per-document SUBWORD token counts — the real token-budget currency
+    * (tokenStats' `est_bpe_tokens` is a chars/4 estimate; this is the
+    * actual greedy longest-match encode under the literal vocab, one
+    * codegen trie walk per row — see [[graft.functions.BpeTokenizer]]).
+    * `n_words` counts non-empty whitespace tokens for the words→subwords
+    * expansion ratio the mixers care about.
+    */
+  def bpeTokenStats(docs: DataFrame,
+      vocab: Seq[String] = graft.functions.BpeTokenizer.defaultVocab): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit("[^ ]+")).cast("long").as("n_words"),
+      graft.functions.BpeTokenizer.bpe_count(lower(col("text")), vocab)
+        .as("n_tokens_bpe"))
+      .orderBy(col("doc_id"))
+
+  /** Subword count as a budget-currency column for the packing/mixing
+    * operators: `packSequences`/`corpusMix` take any token-count column,
+    * and THIS is the production one. */
+  def bpeTokenCount(text: Column,
+      vocab: Seq[String] = graft.functions.BpeTokenizer.defaultVocab): Column =
+    graft.functions.BpeTokenizer.bpe_count(lower(text), vocab)
+
   /** Content-defined fingerprint: md5 over the sorted distinct token set
     * (word-order/duplication insensitive — catches shuffled near-dups
     * that exact hashing misses). Deterministic on any engine.

@@ -1248,4 +1248,56 @@ class PropertySpec extends SparkSpec {
         s"stratum $k kept=${kept(k)} expected=${f * n} ± $tol")
     }
   }
+
+  test("BPE tokenizer: differential fuzz vs independent reference, invariants") {
+    import graft.functions.BpeTokenizer
+    val vocab = BpeTokenizer.defaultVocab
+    // independent reference: per-word linear scan over the vocab list
+    // (no trie, no shared code with the expression)
+    def refBpe(text: String): Long =
+      text.split(" ", -1).filter(_.nonEmpty).map { w =>
+        var pos = 0; var n = 0L
+        while (pos < w.length) {
+          var best = 0
+          vocab.foreach { v =>
+            if (v.length > best && w.startsWith(v, pos)) best = v.length }
+          pos += math.max(best, 1); n += 1
+        }
+        n
+      }.sum
+    // hand anchors (greedy longest-match, fallback chars): "join" is a
+    // whole-vocab word; "batch" = ba+tch; "merge" = mer+g+e... no — mer,
+    // then 'g' fallback, then 'e'? 'er' can't start at 'g'. = 3; "spark"
+    // has no vocab prefix at any position = 5 single chars
+    assert(refBpe("join") == 1L && refBpe("batch") == 2L &&
+      refBpe("merge") == 3L && refBpe("spark") == 5L)
+    val rnd = new scala.util.Random(8080L)
+    val frags = vocab ++ Seq("z", "x", "9", "%", "qq", "é", " ", "  ", "zz")
+    def genText(): String =
+      (0 until (1 + rnd.nextInt(12))).map { _ =>
+        (0 until (1 + rnd.nextInt(4)))
+          .map(_ => frags(rnd.nextInt(frags.size))).mkString
+      }.mkString(" ")
+    val texts = Seq("", " ", "   ", "a", "the the", "zzz") ++
+      (0 until 200).map(_ => genText())
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val got = df.select(col("id"), BpeTokenizer.bpe_count(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val expect = refBpe(t)
+      assert(got(i.toLong) == expect,
+        s"text '$t': compiled=${got(i.toLong)} reference=$expect")
+      // invariants: one token per word at least, one per non-space
+      // char at most (the 'é' fragment is 1 char, matched by fallback)
+      val words = t.split(" ", -1).count(_.nonEmpty)
+      val chars = t.count(_ != ' ')
+      assert(got(i.toLong) >= words && got(i.toLong) <= chars,
+        s"bounds violated for '$t'")
+    }
+    // null propagates
+    val nulls = Seq((1L, null: String)).toDF("id", "t")
+      .select(BpeTokenizer.bpe_count(col("t"))).collect()
+    assert(nulls.head.isNullAt(0))
+  }
 }
