@@ -18,15 +18,25 @@ import org.apache.spark.sql.types.StructType
   * Spark translation: the plain load is a schema'd headerless CSV scan
   * over `dir/file*` — distributed parsing for free. The positional
   * attach is the part Spark lacks natively: CSV scans give no stable
-  * intra-file row position, so [[loadDumpAligned]] reads per-file with
-  * `wholeTextFiles` (one record per file — order inside a file is the
-  * file's own) and emits (__seg, __pos) from the file name + line
-  * index, parsed through `from_csv`; [[attachColumns]] then joins a
-  * later column dump on (__seg, __pos) — the same row identity the
-  * reference's per-segment files encode implicitly. Dump files are
-  * ≤500k lines by construction (the split in dump-greenplum.sh), so a
-  * whole-file record is bounded, and files parse in parallel across
-  * executors.
+  * intra-file row position, so [[loadDumpAligned]] reads through
+  * `TextInputFormat`, whose per-record KEY is the line's BYTE OFFSET
+  * within its file — stable however the file is split across tasks —
+  * and ranks offsets per file into a line index ((__seg, __pos) row
+  * identity); [[attachColumns]] then joins a later column dump on
+  * (__seg, __pos) — the same row identity the reference's per-segment
+  * files encode implicitly. Unlike a `wholeTextFiles` read (one
+  * ~100–500 MB string per task at production line widths, zero
+  * intra-file parallelism), the splittable read keeps per-task memory
+  * at split size and parses one file across many tasks; the per-file
+  * index costs one bounded keyed shuffle (window partitions are ≤500k
+  * rows by the dump script's split).
+  *
+  * Format contract: strictly line-per-row. Both loaders split on raw
+  * newlines (TextInputFormat here, multiLine=false CSV in
+  * [[loadDump]]), so embedded newlines cannot round-trip —
+  * [[writeDump]] normalizes them to a space instead of silently
+  * writing a row across two physical lines (which would misalign every
+  * later position in the segment).
   */
 object Greenplum {
 
@@ -50,31 +60,57 @@ object Greenplum {
       .option("escape", "\"")
       .csv(s"$dir/$prefix*")
 
+  /** The splittable line reader behind [[loadDumpAligned]]: every
+    * record = (segment, file, byte offset in file, line). The byte
+    * offset is TextInputFormat's record key — stable within a file no
+    * matter how many tasks the file splits across, which is what makes
+    * intra-file parallel reads position-safe. `maxSplitBytes > 0`
+    * forces finer splits (tests; production uses the FS block size).
+    * Interior empty lines are real records (a single-column dump of a
+    * null value); only the trailing newline produces no record —
+    * exactly the old whole-file semantics. */
+  private[graft] def dumpLines(spark: SparkSession, dir: String,
+      prefix: String, maxSplitBytes: Long): org.apache.spark.rdd.RDD[(Int, String, Long, String)] = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    if (maxSplitBytes > 0)
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitBytes)
+    spark.sparkContext.newAPIHadoopFile(
+        s"$dir/$prefix*",
+        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text], conf)
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[
+        org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text]]
+      .mapPartitionsWithInputSplit { (split, it) =>
+        val fileSplit = split
+          .asInstanceOf[org.apache.hadoop.mapreduce.lib.input.FileSplit]
+        val name = fileSplit.getPath.toString
+        val seg = segOf(name, prefix)
+        // Writable objects are REUSED by the record reader: copy out
+        it.map { case (off, text) => (seg, name, off.get, text.toString) }
+      }
+  }
+
   /** Load with stable per-segment row positions (__seg, __pos) for
-    * column-incremental attach. Files ≤500k lines each (the dump
-    * script's split) ⇒ a whole-file record is bounded. */
+    * column-incremental attach: byte offsets rank into per-file line
+    * indices (one keyed shuffle, partitions bounded by the 500k-line
+    * file split), then the metadata-sized per-file counts window turns
+    * file-local indices into segment positions — files within a
+    * segment ordered by name (aaa, aab, …), exactly the order
+    * `cat file042*` would produce. */
   def loadDumpAligned(spark: SparkSession, dir: String, schema: StructType,
-      prefix: String = "file"): DataFrame = {
+      prefix: String = "file", maxSplitBytes: Long = 0L): DataFrame = {
     import spark.implicits._
     val csvOpts = Map("escape" -> "\"") // RFC-4180 doubled quotes
-    val lines = spark.sparkContext
-      .wholeTextFiles(s"$dir/$prefix*")
-      .flatMap { case (name, content) =>
-        val seg = segOf(name, prefix)
-        // per-segment position must be consistent ACROSS dumps of the
-        // same table: files within a segment sort by their split
-        // suffix (aaa, aab, …) — encode (file rank within name order)
-        // by carrying the file base name and resolving offsets after
-        // Only the trailing empty element of a newline-terminated file
-        // is dropped — an interior empty line is a VALID row (e.g. a
-        // single-column dump of a null value) and dropping it would
-        // shift every later position in the segment
-        val raw = content.split("\n", -1)
-        val ls = if (raw.nonEmpty && raw.last.isEmpty) raw.init else raw
-        ls.iterator.zipWithIndex
-          .map { case (line, i) => (seg, name, i.toLong, line) }
-      }
-    val raw = lines.toDF("__seg", "__file", "__i", "__line")
+    val raw0 = dumpLines(spark, dir, prefix, maxSplitBytes)
+      .toDF("__seg", "__file", "__boff", "__line")
+    // per-file line index = rank of the byte offset within the file
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__file")).orderBy(col("__boff"))
+    val raw = raw0
+      .withColumn("__i", row_number().over(wf).cast("long") - 1L)
+      .drop("__boff")
     // offsets of each file within its segment (files are ≤500k lines —
     // the per-file counts are metadata-sized): ordered by file name,
     // exactly the order `cat file042*` would produce
@@ -133,9 +169,17 @@ object Greenplum {
     // doubled quotes (the web table's FORMAT 'CSV' does the same;
     // from_csv parses it back)
     def field(c: String): Column = {
-      val v = col(c).cast("string")
-      when(v.isNull, lit(""))
-        .when(v.rlike("[,\"\n\r]"),
+      val v0 = col(c).cast("string")
+      // line-per-row contract: BOTH loaders split on raw newlines
+      // (TextInputFormat / multiLine=false CSV), so a field value
+      // containing \n or \r cannot round-trip — quoting it (as a real
+      // CSV web table would) writes one logical row across two
+      // physical lines, the row parses to nulls and every later __pos
+      // in the segment silently shifts. Normalize to a space at write
+      // time instead; the restriction is documented on the object.
+      val v = regexp_replace(v0, "[\\n\\r]", " ")
+      when(v0.isNull, lit(""))
+        .when(v.rlike("[,\"]"),
           concat(lit("\""), regexp_replace(v, "\"", "\"\""), lit("\"")))
         .otherwise(v)
     }
