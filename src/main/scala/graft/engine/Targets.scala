@@ -26,16 +26,19 @@ class TargetRegistry(val spark: SparkSession) {
 
   /** `op`/`args` are the REPLAYABLE form of the gesture (expressions as
     * SQL text, parsed back with `expr` on replay); `gesture` is the
-    * display string the lineage API returns. */
+    * display string the lineage API returns. `moreParents` carries the
+    * ADDITIONAL inputs of multi-parent gestures (set ops, mergeWith) —
+    * `parent` stays the primary lineage edge. */
   final case class Target(id: String, df: DataFrame,
       parent: Option[String], gesture: String,
-      op: String, args: Seq[String])
+      op: String, args: Seq[String], moreParents: Seq[String] = Seq.empty)
 
   private val targets = mutable.LinkedHashMap.empty[String, Target]
   private var nextId = 0
 
   private def register(df: DataFrame, parent: Option[String], gesture: String,
-      op: String, args: Seq[String], forcedId: Option[String] = None): Target =
+      op: String, args: Seq[String], forcedId: Option[String] = None,
+      moreParents: Seq[String] = Seq.empty): Target =
     synchronized {
       val id = forcedId.getOrElse { val i = s"t$nextId"; nextId += 1; i }
       require(!targets.contains(id), s"target id $id already registered")
@@ -44,7 +47,7 @@ class TargetRegistry(val spark: SparkSession) {
       forcedId.collect { case s if s.matches("t\\d+") =>
         nextId = math.max(nextId, s.drop(1).toInt + 1)
       }
-      val t = Target(id, df, parent, gesture, op, args)
+      val t = Target(id, df, parent, gesture, op, args, moreParents)
       targets.update(t.id, t)
       t
     }
@@ -60,10 +63,20 @@ class TargetRegistry(val spark: SparkSession) {
     t.parent.map(lineage).getOrElse(Seq.empty) :+ t.gesture
   }
 
-  /** The Target chain root→id (the replayable form of [[lineage]]). */
+  /** The Target chain root→id (the replayable form of [[lineage]]):
+    * ALL transitive ancestors — across `parent` and `moreParents`
+    * edges — in registration order (parents always registered before
+    * children, so the order is replay-safe). */
   private def chain(id: String): Seq[Target] = {
-    val t = get(id)
-    t.parent.map(chain).getOrElse(Seq.empty) :+ t
+    val seen = mutable.LinkedHashSet.empty[String]
+    def visit(tid: String): Unit = if (!seen.contains(tid)) {
+      val t = get(tid)
+      (t.parent.toSeq ++ t.moreParents).foreach(visit)
+      seen += tid
+    }
+    visit(id)
+    val order = targets.keysIterator.zipWithIndex.toMap
+    seen.toSeq.sortBy(order).map(get)
   }
 
   private def sqlOf(c: Column): String =
@@ -104,6 +117,54 @@ class TargetRegistry(val spark: SparkSession) {
     register(get(id).df.withColumn(column,
         org.apache.spark.sql.functions.col(column).cast(toType)),
       Some(id), s"convert:$column:$toType", "convert", Seq(column, toType))
+
+  /** CreateIntervalColumnMap.java gesture (TableTarget.java:648-653):
+    * two numeric columns → one Interval column. */
+  def createInterval(id: String, name: String, a: String, b: String): Target =
+    register(get(id).df.withColumn(name, graft.operators.Intervals.make(
+        org.apache.spark.sql.functions.col(a),
+        org.apache.spark.sql.functions.col(b))),
+      Some(id), s"interval:$name=[$a,$b]", "interval", Seq(name, a, b))
+
+  /** CreateColumnJSMap.java gesture: a JS-subset `function map(row)`
+    * compiled to Columns; the SOURCE TEXT is the replayable arg. */
+  def jsColumn(id: String, name: String, js: String): Target =
+    register(graft.functions.JsGesture.withJsColumn(get(id).df, name, js),
+      Some(id), s"jscol:$name", "jscol", Seq(name, js))
+
+  /** JSFilterDescription gesture (TableTarget.java:705-711). */
+  def jsFilter(id: String, js: String): Target =
+    register(graft.functions.JsGesture.jsFilter(get(id).df, js),
+      Some(id), "jsfilter", "jsfilter", Seq(js))
+
+  /** SetOperationMap.java gesture (TableTarget.java:665-674): set
+    * algebra of two registered views — membership-set semantics, so
+    * the Spark forms are the SET-flavored union/intersect/except
+    * ("replace" = the other view, as the reference). Both views become
+    * lineage parents: the redo log replays the pair, a bookmark of the
+    * result carries both chains. */
+  def setOp(idA: String, idB: String, kind: String): Target = {
+    val a = get(idA).df
+    val b = get(idB).df
+    val df = kind match {
+      case "union" => a.union(b).distinct()
+      case "intersect" => a.intersect(b)
+      case "minus" => a.except(b)
+      case "replace" => b
+      case other => throw new IllegalArgumentException(s"setop kind: $other")
+    }
+    register(df, Some(idA), s"setop:$kind:$idA,$idB", "setop",
+      Seq(kind, idB), moreParents = Seq(idB))
+  }
+
+  /** mergeWith (TableTarget.java:734-746): concatenate N registered
+    * frames (bag semantics, ParallelDataSet of all children). */
+  def merge(ids: Seq[String]): Target = {
+    require(ids.size >= 2, s"merge needs >= 2 targets, got $ids")
+    val df = ids.map(get(_).df).reduce(_ unionByName _)
+    register(df, Some(ids.head), s"merge:${ids.mkString(",")}", "merge",
+      ids.tail, moreParents = ids.tail)
+  }
 
   // ── sketch gestures → memoized bounded results (runSketch) ──────────
   /** Generic sketch: any bounded-result aggregation of the target's
@@ -151,6 +212,10 @@ class TargetRegistry(val spark: SparkSession) {
     n.put("op", t.op)
     val arr = n.putArray("args")
     t.args.foreach(arr.add)
+    if (t.moreParents.nonEmpty) {
+      val ps = n.putArray("parents2")
+      t.moreParents.foreach(ps.add)
+    }
     mapper.writeValueAsString(n)
   }
 
@@ -160,7 +225,8 @@ class TargetRegistry(val spark: SparkSession) {
   def saveRedoLog(path: String): Unit = synchronized {
     val replayable = mutable.Set.empty[String]
     val lines = targets.values.toSeq.filter { t =>
-      val ok = t.op != "load_volatile" && t.parent.forall(replayable)
+      val ok = t.op != "load_volatile" &&
+        (t.parent.toSeq ++ t.moreParents).forall(replayable)
       if (ok) replayable += t.id
       ok
     }.map(jsonLine)
@@ -230,6 +296,42 @@ object TargetRegistry {
               org.apache.spark.sql.functions.col(args(0)).cast(args(1))),
             parent, s"convert:${args(0)}:${args(1)}", op, args,
             forcedId = Some(id))
+        case "interval" =>
+          reg.register(
+            reg.get(parent.get).df.withColumn(args(0),
+              graft.operators.Intervals.make(
+                org.apache.spark.sql.functions.col(args(1)),
+                org.apache.spark.sql.functions.col(args(2)))),
+            parent, s"interval:${args(0)}=[${args(1)},${args(2)}]", op, args,
+            forcedId = Some(id))
+        case "jscol" =>
+          reg.register(
+            graft.functions.JsGesture.withJsColumn(
+              reg.get(parent.get).df, args(0), args(1)),
+            parent, s"jscol:${args(0)}", op, args, forcedId = Some(id))
+        case "jsfilter" =>
+          reg.register(
+            graft.functions.JsGesture.jsFilter(reg.get(parent.get).df, args(0)),
+            parent, "jsfilter", op, args, forcedId = Some(id))
+        case "setop" =>
+          val a = reg.get(parent.get).df
+          val b = reg.get(args(1)).df
+          val df = args(0) match {
+            case "union" => a.union(b).distinct()
+            case "intersect" => a.intersect(b)
+            case "minus" => a.except(b)
+            case "replace" => b
+            case other =>
+              throw new IllegalArgumentException(s"setop kind: $other")
+          }
+          reg.register(df, parent,
+            s"setop:${args(0)}:${parent.get},${args(1)}", op, args,
+            forcedId = Some(id), moreParents = Seq(args(1)))
+        case "merge" =>
+          val ids = parent.get +: args
+          reg.register(ids.map(reg.get(_).df).reduce(_ unionByName _),
+            parent, s"merge:${ids.mkString(",")}", op, args,
+            forcedId = Some(id), moreParents = args)
         case other =>
           throw new IllegalArgumentException(s"unreplayable op: $other")
       }

@@ -171,6 +171,68 @@ class TargetsSpec extends SparkSpec {
     intercept[IllegalArgumentException](reg.saveBookmark(volChild.id, bm))
   }
 
+  test("widened gesture surface: set-op, merge, interval, JS gestures replay with memo hits") {
+    Memo.clear()
+    val reg = new TargetRegistry(spark)
+    val root = reg.loadTable(sf, "orders")
+    // two filtered VIEWS of the same base (the SetOperationMap shape)
+    val urgent = reg.filter(root.id, col("o_orderpriority") === "1-URGENT")
+    val pricey = reg.filter(root.id, col("o_totalprice") > 200000.0)
+    val both = reg.setOp(urgent.id, pricey.id, "intersect")
+    val either = reg.setOp(urgent.id, pricey.id, "union")
+    val only = reg.setOp(urgent.id, pricey.id, "minus")
+    // set algebra sanity on the live frames
+    val (nb, ne, no) =
+      (both.df.count(), either.df.count(), only.df.count())
+    assert(nb + no == urgent.df.count())
+    assert(ne == urgent.df.count() + pricey.df.count() - nb)
+    // mergeWith: bag concat keeps duplicates
+    val merged = reg.merge(Seq(urgent.id, urgent.id, pricey.id))
+    assert(merged.df.count() == 2 * urgent.df.count() + pricey.df.count())
+    // interval column + a JS filter and JS column on top of a set-op
+    // view — the full widened chain
+    val iv = reg.createInterval(both.id, "price_iv", "o_totalprice", "o_totalprice")
+    val jsF = reg.jsFilter(iv.id,
+      "function filter(row) { return row.o_totalprice >= 300000; }")
+    val jsC = reg.jsColumn(jsF.id, "band",
+      "function map(row) { if (row.o_totalprice >= 400000) return 'high'; return 'mid'; }")
+    val before = reg.sketch(jsC.id)(df =>
+      df.groupBy(col("band")).agg(count(lit(1)).as("n")))
+    assert(before.nonEmpty)
+    // redo log round-trip: every widened op replays with ORIGINAL ids
+    val log = java.nio.file.Files.createTempDirectory("graft_redo2")
+      .resolve("hillview.redo").toString
+    reg.saveRedoLog(log)
+    val restored = TargetRegistry.replay(spark, log)
+    assert(restored.size == reg.size)
+    assert(restored.get(jsC.id).df.schema.fieldNames.contains("band"))
+    assert(restored.get(merged.id).df.count() == merged.df.count())
+    assert(restored.get(both.id).df.count() == nb)
+    assert(restored.get(either.id).df.count() == ne)
+    assert(restored.get(only.id).df.count() == no)
+    // the replayed sketch over the set-op + JS chain memo-hits
+    val hitsBefore = Memo.hits
+    val after = restored.sketch(jsC.id)(df =>
+      df.groupBy(col("band")).agg(count(lit(1)).as("n")))
+    assert(after.toSeq == before.toSeq)
+    assert(Memo.hits == hitsBefore + 1)
+    // a bookmark of a set-op view carries BOTH parents' chains
+    val bm = java.nio.file.Files.createTempDirectory("graft_bm2")
+      .resolve("setop.bookmark").toString
+    reg.saveBookmark(both.id, bm)
+    val view = TargetRegistry.replay(spark, bm)
+    assert(view.size == 4) // load + two filters + the set op
+    assert(view.get(both.id).df.count() == nb)
+    // a volatile root anywhere under EITHER parent poisons bookmarks
+    import spark.implicits._
+    val vol = reg.load("session_frame", Seq((1, "x")).toDF("o_orderkey", "s"))
+    val mixed = reg.setOp(urgent.id, vol.id, "replace")
+    intercept[IllegalArgumentException](reg.saveBookmark(mixed.id, bm))
+    // ... and keeps the volatile chain out of the redo log
+    reg.saveRedoLog(log)
+    assert(TargetRegistry.replay(spark, log).size == reg.size - 2)
+  }
+
   test("dynamic expression registration drives a gesture and folds into the plan") {
     import graft.functions.DynamicUdf
     val reg = new TargetRegistry(spark)
