@@ -1676,25 +1676,39 @@ object SparkEntry {
         graft.multimodal.Multimodal.audioFingerprint(
           graft.multimodal.Multimodal.syntheticUlawAudio(withDups)).toDF())
     }),
-    // video frame sampling through the REAL box walk: mdat located by
-    // container parse, fixed-stride frames, every 2nd sampled, each
-    // summarized by a position-weighted checksum — exact ⇒ oracled
+    // CONTENT-BASED video frame signatures (the MJPEG shape): mdat
+    // located by the real box walk, frames demuxed by their own image
+    // headers, every 2nd frame DECODED through the pixel decoder
+    // (un-flip, padding, BGR→RGB) and signed over the decoded stream —
+    // a decode bug is an oracle mismatch, not a silent pass
     "multimodal_video_frames" -> ((s, d) =>
+      graft.multimodal.Multimodal.videoFramePixelSignatures(
+          graft.multimodal.Multimodal.syntheticMotionVideo(docs(s, d)))
+        .toDF()
+        .select(col("id").as("doc_id"), col("frame_idx"), col("w"),
+          col("h"), col("checksum"))),
+    // the raw-stride fallback (codecs without an in-engine decoder)
+    // stays declared + oracled under its own name
+    "multimodal_video_frames_raw" -> ((s, d) =>
       graft.multimodal.Multimodal.videoFrameSignatures(
           graft.multimodal.Multimodal.syntheticVideo(docs(s, d)))
         .toDF()
         .select(col("id").as("doc_id"), col("frame_idx"), col("n_bytes"),
           col("checksum"))),
-    // video dup pairs by sampled-frame signature over a planted-copies
-    // fixture (same shape as multimodal_audio_dedup) — fully oracled
+    // video dup pairs by DECODED-pixel frame signatures over a
+    // planted-copies fixture (same shape as multimodal_audio_dedup) —
+    // dedup now follows content, not container bytes; fully oracled
     "multimodal_video_dedup" -> ((s, d) => {
       val base = docs(s, d)
       val withDups = base.select(col("doc_id"), col("text")).unionByName(
         base.filter(pmod(col("doc_id"), lit(25L)) === 3L)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       graft.multimodal.Multimodal.videoDedupPairs(
-        graft.multimodal.Multimodal.videoFrameSignatures(
-          graft.multimodal.Multimodal.syntheticVideo(withDups)).toDF())
+        graft.multimodal.Multimodal.videoFramePixelSignatures(
+            graft.multimodal.Multimodal.syntheticMotionVideo(withDups))
+          .toDF()
+          .select(col("id"), col("frame_idx"),
+            (col("w") * col("h")).as("n_bytes"), col("checksum")))
     }),
     "multimodal_chunks" -> ((s, d) =>
       graft.multimodal.Multimodal.sampleChunks(
@@ -2073,6 +2087,25 @@ object SparkEntry {
        |    range(1024 * fi + 1, LEAST(len, 1024 * (fi + 1)) + 1),
        |    k -> ascii(substr(text, CAST(k AS INT), 1)) * (k - 1024 * fi)))
        |    AS BIGINT) AS checksum
+       |  FROM f WHERE fi % 2 = 0)
+       |$tail""".stripMargin
+
+  // decoded-pixel video frames: w=8, h=6 (48 px), frame count
+  // nf = 3 + len mod 3, pixel p of frame f = text byte
+  // (f + p·⌈len/48⌉) mod len (each frame spans the whole text, samples
+  // wrap past the end), every 2nd frame sampled, frame checksum =
+  // modular rolling hash over the decoded 3-channel stream — mirrors
+  // Multimodal.syntheticMotionVideo + videoFramePixelSignatures
+  private def videoPixelFrameSql(tail: String, source: String): String =
+    s"""WITH f AS (SELECT doc_id, length(text) AS len, text,
+       |  GREATEST(1, (length(text) + 47) // 48) AS step,
+       |  unnest(range(0, 3 + length(text) % 3)) AS fi FROM $source),
+       |frames AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       |  CAST(8 AS INT) AS w, CAST(6 AS INT) AS h,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(0, 144),
+       |      k -> ascii(substr(text, CAST((fi + (k // 3) * step) % len AS INT) + 1, 1)))),
+       |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS checksum
        |  FROM f WHERE fi % 2 = 0)
        |$tail""".stripMargin
 
@@ -3250,16 +3283,25 @@ object SparkEntry {
     // statistics are still the exact integer sums over the source text
     // bytes (pixel p = byte p mod len) — same stat shape as
     // multimodal_features, plus the decoded dimensions
-    "multimodal_video_frames" -> videoFrameSql(
+    // decoded-pixel frame signatures: the oracle recomputes the frame
+    // pixels from the source text (pixel p of frame f = byte
+    // (f + p·nf) mod len) and replays the modular rolling hash over
+    // the decoded 3-channel top-down stream (gray g repeats 3× per
+    // pixel); any decode defect (row flip, padding, channel order)
+    // breaks the equality
+    "multimodal_video_frames" -> videoPixelFrameSql(
+      """SELECT doc_id, frame_idx, w, h, checksum FROM frames""",
+      source = "documents"),
+    "multimodal_video_frames_raw" -> videoFrameSql(
       """SELECT doc_id, frame_idx, n_bytes, checksum FROM frames""",
       source = "documents"),
-    "multimodal_video_dedup" -> videoFrameSql(
+    "multimodal_video_dedup" -> videoPixelFrameSql(
       source = """(SELECT doc_id, text FROM documents
         | UNION ALL SELECT doc_id + 1000000, text FROM documents
         | WHERE doc_id % 25 = 3)""".stripMargin,
       tail = """, sigs AS (
         |  SELECT doc_id, count(*) AS n_frames,
-        |    CAST(SUM(checksum * (frame_idx + 1) + n_bytes) AS BIGINT) AS sig
+        |    CAST(SUM(checksum * (frame_idx + 1) + w * h) AS BIGINT) AS sig
         |  FROM frames GROUP BY doc_id)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  a.n_frames AS n_frames, a.sig AS sig

@@ -731,6 +731,103 @@ object Multimodal {
     }
   }
 
+  final case class VideoPixelFrameRow(id: Long, frame_idx: Int, w: Int,
+      h: Int, checksum: Long)
+
+  /** CONTENT-BASED video frame signatures — the MJPEG shape: each frame
+    * inside the mdat is an independently-encoded image, demuxed by the
+    * frame's own header (a self-delimiting BMP: 'BM' magic + the
+    * little-endian byte count at offset 2 — the SOI..EOI walk of real
+    * MJPEG, with the image codec swapped for the one this container
+    * decodes bit-exactly), and every `sampleEvery`-th frame is DECODED
+    * through [[decodePixels]] (bottom-up un-flip, row padding, BGR→RGB)
+    * before signing. The signature is a position-weighted sum over the
+    * decoded top-down pixel stream, so it depends on pixel CONTENT, not
+    * container bytes: two containers storing the same pixels sign
+    * identically, and a decode bug (flip, padding, channel order) is an
+    * oracle mismatch, not a silent pass. [[videoFrameSignatures]] stays
+    * as the raw-stride fallback for codecs without an in-engine decoder.
+    */
+  def videoFramePixelSignatures(media: Dataset[MediaRow],
+      sampleEvery: Int = 2): Dataset[VideoPixelFrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        mdatRange(r.media).toSeq.flatMap { case (off, len) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[VideoPixelFrameRow]
+          var i = off
+          val end = off + len
+          var fi = 0
+          var ok = true
+          while (ok && i + 54 <= end) {
+            if (r.media(i) != 'B'.toByte || r.media(i + 1) != 'M'.toByte)
+              ok = false // not a frame boundary: stop, don't resync blindly
+            else {
+              val sz = le32(r.media, i + 2).toInt
+              if (sz < 54 || i + sz > end) ok = false
+              else {
+                if (fi % sampleEvery == 0) {
+                  val frame = java.util.Arrays.copyOfRange(r.media, i, i + sz)
+                  decodePixels(frame).foreach { case (_, w, h, px) =>
+                    // modular rolling hash over the decoded stream (the
+                    // text_rolling_fp pattern): position-sensitive AND
+                    // spread over 2^31 — a plain weighted sum spans only
+                    // ~2^24 here and produced 2 birthday-collision false
+                    // pairs on 500 docs (measured); modular step also
+                    // keeps ANSI long arithmetic overflow-free
+                    var cs = 0L
+                    var k = 0
+                    while (k < px.length) {
+                      cs = (cs * 1000003L + px(k)) % 2147483647L
+                      k += 1
+                    }
+                    out += VideoPixelFrameRow(r.id, fi, w, h, cs)
+                  }
+                }
+                i += sz
+                fi += 1
+              }
+            }
+          }
+          out
+        }
+      }
+    }
+  }
+
+  /** Synthetic MOTION video: a real MP4 container whose mdat is a
+    * stream of REAL BMP frames (the MJPEG layout with the decodable
+    * codec). Frame f's pixel p = text byte ((f + p·step) mod len) with
+    * step = ⌈len/48⌉: each 48-pixel frame spans the whole text AND its
+    * samples wrap past the end. (Two undersampling formulas were
+    * measured first: reading bytes 0..115 paired every prefix-sharing
+    * doc — 15 false pairs on 500 docs — and floor-step sampling never
+    * reached the differing TAILS of the corpus's planted near-dups,
+    * where one text is a 398-char prefix of the other; ceil-step
+    * separates all docs at both verify scales.) Pure functions
+    * of the source text, so the decoded-pixel signatures are
+    * oracle-checkable from the documents table alone. Frame count
+    * 3 + len mod 3 depends on TEXT only (the dedup fixture re-ids
+    * planted copies; signatures must follow content, not ids). */
+  def syntheticMotionVideo(docs: DataFrame, w: Int = 8, h: Int = 6)
+      : Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("UTF-8")
+        val len = tb.length
+        val nf = 3 + (if (len > 0) len % 3 else 0)
+        val step = math.max(1, (len + w * h - 1) / (w * h))
+        val frames = (0 until nf).map { f =>
+          bmpPayload(w, h,
+            p => if (len == 0) 0 else tb((f + p * step) % len) & 0xff)
+        }
+        val body = frames.reduce(_ ++ _)
+        MediaRow(id, "mp4", mp4Payload("isom", 600, nf.toLong * 40L,
+          Seq((1, w, h)), body), w, h)
+      }
+  }
+
   /** Video duplicate pairs by sampled-frame signature (same fold shape
     * as [[audioDedupPairs]]): equal (sampled-frame count, signature) ⇒
     * byte-identical sampled frames. */

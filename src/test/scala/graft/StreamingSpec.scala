@@ -623,6 +623,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("content-based video frames: planted dups exact, signatures follow pixels not bytes") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val withDups = docs.unionByName(
+      docs.filter(pmod(col("doc_id"), lit(25L)) === 3L)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val frames = Multimodal.videoFramePixelSignatures(
+        Multimodal.syntheticMotionVideo(withDups)).toDF()
+      .select(col("id"), col("frame_idx"),
+        (col("w") * col("h")).as("n_bytes"), col("checksum"))
+    val pairs = Multimodal.videoDedupPairs(frames)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.filter(pmod(col("doc_id"), lit(25L)) === 3L)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000L)).toSet
+    assert(planted.nonEmpty && pairs == planted,
+      s"expected exactly the ${planted.size} planted pairs, got ${pairs.size}")
+    // signatures follow DECODED PIXELS, not container bytes: with w=5
+    // each BMP row carries one padding byte — flipping it leaves the
+    // signature unchanged, flipping a pixel byte changes it
+    import spark.implicits._
+    val frame = Multimodal.bmpPayload(5, 2, p => (37 * p + 11) % 256)
+    def sigOf(body: Array[Byte]): Seq[(Int, Long)] = {
+      val mp4 = Multimodal.mp4Payload("isom", 600, 40L, Seq((1, 5, 2)), body)
+      Multimodal.videoFramePixelSignatures(
+          Seq(Multimodal.MediaRow(1L, "mp4", mp4, 5, 2)).toDS(), sampleEvery = 1)
+        .collect().map(r => (r.frame_idx, r.checksum)).toSeq.sorted
+    }
+    val base = sigOf(frame)
+    assert(base.nonEmpty)
+    val rowSize = 16 // (3*5 + 3)/4*4: 15 pixel bytes + 1 pad
+    val padFlipped = frame.clone()
+    padFlipped(54 + 15) = 0x55.toByte // the pad byte of the bottom row
+    assert(sigOf(padFlipped) == base, "padding byte leaked into the signature")
+    val pixFlipped = frame.clone()
+    pixFlipped(54) = (pixFlipped(54) ^ 0x40).toByte
+    assert(sigOf(pixFlipped) != base, "pixel change not reflected")
+    assert(rowSize == (3 * 5 + 3) / 4 * 4)
+  }
+
   test("wav header codec: encode/parse round-trip, junk rejected") {
     val body = "pcm sample bytes!!".getBytes("UTF-8") // 18 bytes
     for ((ch, rate, bits) <- Seq((1, 8000, 8), (2, 16000, 16), (2, 44100, 8), (1, 44100, 16))) {
