@@ -266,6 +266,13 @@ object ScaleProbe {
       if (r.isNullAt(0)) 0L else r.getAs[Number](0).longValue
     }
 
+    // encode + two-level prefix-sum packing + per-bin assembly (bins
+    // hold ~budget tokens regardless of corpus size, so the collect
+    // per group stays bounded): ~linear
+    probe("pack_sequences_ids", Seq(1, 20)) { c =>
+      text.TextAnalysis.packedSequenceIds(saltedDocs(c), 2048L).count()
+    }
+
     probe("text_rarity", Seq(1, 20)) { c =>
       // head(), not count(): count() on a global agg lets column
       // pruning drop the magnitude arithmetic being measured

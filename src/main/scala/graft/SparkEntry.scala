@@ -1529,6 +1529,25 @@ object SparkEntry {
             graft.text.TextAnalysis.bpeTokenCount(col("text")).as("n_tokens")),
           col("source"), col("doc_id"), col("n_tokens"), 2048L)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))),
+    // the token-ID assignment itself (input_ids): per-doc sequence
+    // fingerprint + count, ORACLED — the recursive CTE re-derives the
+    // greedy ids (argmax-length vocab index; byte-fallback block) and
+    // replays the rolling hash
+    "text_tokens_ids" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          graft.text.TextAnalysis.bpeEncodeIds(col("text")).as("ids"))
+        .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
+          graft.text.TextAnalysis.idsFingerprint(col("ids")).as("ids_fp"))),
+    // MATERIALIZED packed training sequences: per (source, bin) the
+    // concatenated input_ids in doc order — the artifact sequence
+    // packing exists to produce; ORACLED on the bin geometry and the
+    // id-sequence fingerprint
+    "pack_sequences_ids" -> ((s, d) =>
+      graft.text.TextAnalysis.packedSequenceIds(docs(s, d), 2048L)
+        .select(col("source"), col("bin"), col("n_docs"),
+          col("total_tokens"),
+          graft.text.TextAnalysis.idsFingerprint(col("input_ids"))
+            .as("seq_fp"))),
     // token-budget mixing in SUBWORD tokens (budgets ~1.3× the word
     // budgets to hold comparable doc counts)
     "corpus_mix_bpe" -> ((s, d) =>
@@ -2138,6 +2157,40 @@ object SparkEntry {
        |bpe AS (SELECT doc_id, count(*) AS n_words,
        |  CAST(sum(wt.toks) AS BIGINT) AS n_tokens_bpe
        |  FROM words JOIN wt USING (w) GROUP BY 1)""".stripMargin
+  }
+
+  // Token-ID variant of bpeCte: the recursive step ALSO records which
+  // entry matched (argmax length is unique — equal-length matching
+  // entries at one position would be the same string) or the
+  // byte-fallback id V + codepoint. `docids` flattens per-doc id
+  // sequences in word order. Prefix with WITH RECURSIVE.
+  private val bpeIdsCte = {
+    val vlist = graft.functions.BpeTokenizer.vocabSqlList()
+    val v = graft.functions.BpeTokenizer.defaultVocab.size
+    s"""wl AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+       |  FROM documents),
+       |words AS (SELECT doc_id, source, i AS wi, ws[CAST(i AS INT)] AS w
+       |  FROM wl, UNNEST(range(1, len(ws) + 1)) AS t(i)
+       |  WHERE len(ws[CAST(i AS INT)]) > 0),
+       |uw AS (SELECT DISTINCT w FROM words),
+       |step AS (
+       |  SELECT w, CAST(1 AS INTEGER) AS pos, CAST([] AS BIGINT[]) AS ids FROM uw
+       |  UNION ALL
+       |  SELECT w, CAST(pos + GREATEST(m, 1) AS INTEGER),
+       |    list_append(ids, CASE WHEN m > 0 THEN
+       |      list_max(list_transform(range(1, $v + 1), i ->
+       |        CASE WHEN len(($vlist)[CAST(i AS INT)]) = m
+       |          AND substr(w, pos, m) = ($vlist)[CAST(i AS INT)]
+       |        THEN i - 1 ELSE -1 END))
+       |      ELSE $v + ascii(substr(w, pos, 1)) END)
+       |  FROM (SELECT w, pos, ids,
+       |    CAST(list_max(list_transform($vlist,
+       |      v -> CASE WHEN substr(w, pos, len(v)) = v THEN len(v) ELSE 0 END)) AS INT) AS m
+       |    FROM step WHERE pos <= len(w)) s),
+       |wt AS (SELECT w, arg_max(ids, pos) AS ids FROM step GROUP BY w),
+       |docids AS (SELECT words.doc_id,
+       |  flatten(list(wt.ids ORDER BY words.wi)) AS all_ids
+       |  FROM words JOIN wt USING (w) GROUP BY words.doc_id)""".stripMargin
   }
 
   private val ccCte =
@@ -3203,6 +3256,30 @@ object SparkEntry {
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) - n_tokens) / 2048.0) AS BIGINT) AS bin
          |FROM (SELECT d.doc_id, d.source, COALESCE(b.n_tokens_bpe, 0) AS n_tokens
          |  FROM documents d LEFT JOIN bpe b USING (doc_id))""".stripMargin,
+    "text_tokens_ids" ->
+      s"""WITH RECURSIVE $bpeIdsCte
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(len(b.all_ids), 0) AS BIGINT) AS n_tokens,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    COALESCE(b.all_ids, CAST([] AS BIGINT[]))),
+         |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS ids_fp
+         |FROM documents d LEFT JOIN docids b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "pack_sequences_ids" ->
+      s"""WITH RECURSIVE $bpeIdsCte,
+         |t AS (SELECT d.doc_id, d.source,
+         |    COALESCE(b.all_ids, CAST([] AS BIGINT[])) AS all_ids,
+         |    CAST(COALESCE(len(b.all_ids), 0) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN docids b USING (doc_id)),
+         |c AS (SELECT *, CAST(FLOOR((CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS DOUBLE) - n_tokens) / 2048.0) AS BIGINT) AS bin FROM t)
+         |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    flatten(list(all_ids ORDER BY doc_id))),
+         |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS seq_fp
+         |FROM c GROUP BY 1, 2""".stripMargin,
     "corpus_mix_bpe" ->
       s"""WITH RECURSIVE $bpeCte,
          |t AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,

@@ -61,6 +61,13 @@ object BpeTokenizer {
     org.apache.spark.sql.graftshim.exprToColumn(
       BpeCountTokens(org.apache.spark.sql.graftshim.columnToExpr(text), vocab))
 
+  /** `bpe_encode(text)`: the token-ID array (`input_ids`) — vocab match
+    * → its index, unmatched char c → vocab.size + codepoint(c) (the
+    * byte-fallback block). `size(bpe_encode(t)) == bpe_count(t)`. */
+  def bpe_encode(text: Column, vocab: Seq[String] = defaultVocab): Column =
+    org.apache.spark.sql.graftshim.exprToColumn(
+      BpeEncodeTokens(org.apache.spark.sql.graftshim.columnToExpr(text), vocab))
+
   /** The DuckDB literal list for the same vocab — interpolated into
     * oracle SQL so engine and oracle can never desynchronize. */
   def vocabSqlList(vocab: Seq[String] = defaultVocab): String =
@@ -74,9 +81,10 @@ object BpeTokenizer {
 final class BpeTrie(val vocab: Array[String]) extends Serializable {
   private val cap = vocab.map(_.length).sum + 1
   private val children = Array.fill(cap * 128)(-1)
-  private val term = new Array[Boolean](cap)
+  // terminal marker = vocab index + 1 (0 = not a vocab entry)
+  private val term = new Array[Int](cap)
   private var nNodes = 1
-  vocab.foreach { v =>
+  vocab.zipWithIndex.foreach { case (v, vi) =>
     require(v.nonEmpty, "empty vocab entry")
     var node = 0
     var i = 0
@@ -88,7 +96,7 @@ final class BpeTrie(val vocab: Array[String]) extends Serializable {
       node = nxt
       i += 1
     }
-    term(node) = true
+    term(node) = vi + 1
   }
 
   def countTokens(s: UTF8String): Long = count(s.toString)
@@ -102,29 +110,66 @@ final class BpeTrie(val vocab: Array[String]) extends Serializable {
     while (i < len) {
       if (str.charAt(i) == ' ') i += 1
       else {
-        // longest vocab prefix starting at i
-        var node = 0
-        var j = i
-        var best = 0
-        var walking = true
-        while (walking && j < len) {
-          val ch = str.charAt(j)
-          if (ch >= 128 || ch == ' ') walking = false
-          else {
-            val nxt = children(node * 128 + ch)
-            if (nxt == -1) walking = false
-            else {
-              node = nxt
-              j += 1
-              if (term(node)) best = j - i
-            }
-          }
-        }
-        i += (if (best > 0) best else 1) // no match: 1 char = 1 token
+        i += math.max(matchLen(str, i), 1) // no match: 1 char = 1 token
         n += 1L
       }
     }
     n
+  }
+
+  /** Length of the longest vocab prefix at `i` (0 = none). */
+  private def matchLen(str: String, i: Int): Int = {
+    var node = 0
+    var j = i
+    var best = 0
+    val len = str.length
+    var walking = true
+    while (walking && j < len) {
+      val ch = str.charAt(j)
+      if (ch >= 128 || ch == ' ') walking = false
+      else {
+        val nxt = children(node * 128 + ch)
+        if (nxt == -1) walking = false
+        else {
+          node = nxt
+          j += 1
+          if (term(node) > 0) best = j - i
+        }
+      }
+    }
+    best
+  }
+
+  def encodeIds(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(encode(s.toString))
+
+  /** Greedy longest-match token IDS: vocab match → its index; fallback
+    * char c → vocab.length + codepoint(c) (the byte-fallback id block).
+    * `count(s) == encode(s).length` by construction. */
+  def encode(str: String): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int](str.length / 3 + 4)
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val c = str.charAt(i)
+      if (c == ' ') i += 1
+      else {
+        val m = matchLen(str, i)
+        if (m > 0) {
+          // the id: walk again is avoided — matchLen's best node is the
+          // entry of length m at i; re-derive its index via the trie
+          var node = 0
+          var j = i
+          while (j < i + m) { node = children(node * 128 + str.charAt(j)); j += 1 }
+          out += term(node) - 1
+          i += m
+        } else {
+          out += vocab.length + c.toInt
+          i += 1
+        }
+      }
+    }
+    out.toArray
   }
 }
 
@@ -149,5 +194,30 @@ case class BpeCountTokens(child: Expression, vocab: Seq[String])
 
   override def prettyName: String = "bpe_count"
   override protected def withNewChildInternal(newChild: Expression): BpeCountTokens =
+    copy(child = newChild)
+}
+
+/** Codegen expression: the token-ID array of a string under a literal
+  * vocab — `input_ids` materialization for sequence packing. Same trie
+  * walk as [[BpeCountTokens]], emitting ids instead of a count.
+  */
+case class BpeEncodeTokens(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  @transient private lazy val trie = new BpeTrie(vocab.toArray)
+
+  override def nullSafeEval(v: Any): Any =
+    trie.encodeIds(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTrie", trie, classOf[BpeTrie].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeIds($c);")
+  }
+
+  override def prettyName: String = "bpe_encode"
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeTokens =
     copy(child = newChild)
 }

@@ -304,10 +304,48 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Modular rolling hash over an int array — the text_rolling_fp
+  * constant pair ((acc·1000003 + x) mod 2³¹−1), as one primitive loop:
+  * the interpreted `aggregate` lambda costs ~1 µs/element boxed, which
+  * on a 2M-token packed batch was the dominant cost of the whole
+  * packed-sequence query. Modular step keeps ANSI long arithmetic
+  * overflow-free; replayable in DuckDB with list_reduce.
+  */
+case class IntArrayRollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var cs = 0L
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { cs = (cs * 1000003L + x.getInt(i)) % 2147483647L; i += 1 }
+    cs
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("rh")
+      val i = ctx.freshName("i")
+      s"""
+         |long $s = 0L;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  $s = ($s * 1000003L + $a.getInt($i)) % 2147483647L;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim.{exprToColumn => column, columnToExpr => expression}
   def vec_dot(a: Column, b: Column): Column =
     column(FloatVecDot(expression(a), expression(b)))
+  def int_array_rolling_hash(a: Column): Column =
+    column(IntArrayRollingHash(expression(a)))
   def vec_quantize_int8(a: Column): Column =
     column(Int8Quantize(expression(a)))
   def vec_norm(a: Column): Column = column(FloatVecNorm(expression(a)))

@@ -122,6 +122,42 @@ object TextAnalysis {
       vocab: Seq[String] = graft.functions.BpeTokenizer.defaultVocab): Column =
     graft.functions.BpeTokenizer.bpe_count(lower(text), vocab)
 
+  /** Token-ID encode (`input_ids`): the materialized subword sequence a
+    * trainer actually consumes — one codegen trie walk per row. */
+  def bpeEncodeIds(text: Column,
+      vocab: Seq[String] = graft.functions.BpeTokenizer.defaultVocab): Column =
+    graft.functions.BpeTokenizer.bpe_encode(lower(text), vocab)
+
+  /** Modular rolling-hash fingerprint of an id array (the
+    * text_rolling_fp constant pair): the exact, engine-stable surface
+    * the id-sequence oracles compare on. Codegen expression, not a
+    * higher-order `aggregate` lambda — the interpreted fold over a 2M-
+    * token packed batch was the dominant cost of the whole query. */
+  def idsFingerprint(ids: Column): Column =
+    graft.functions.VectorExpressions.int_array_rolling_hash(ids)
+
+  /** Materialized PACKED training sequences: documents pack into
+    * token-budget bins (the two-level prefix-sum `packSequences` plan),
+    * then each bin assembles its concatenated `input_ids` in doc order —
+    * the batch artifact sequence packing exists to produce. Per bin:
+    * doc count, token total, and the ids (plus their fingerprint for
+    * the oracle surface). */
+  def packedSequenceIds(docs: DataFrame, budget: Long,
+      vocab: Seq[String] = graft.functions.BpeTokenizer.defaultVocab): DataFrame = {
+    val withIds = docs.select(col("doc_id"), col("source"),
+        bpeEncodeIds(col("text"), vocab).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+    val binned = graft.pipeline.Pipeline.packSequences(withIds,
+      col("source"), col("doc_id"), col("n_tokens"), budget)
+    binned.groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("ids")))),
+          x => x.getField("ids"))).as("input_ids"))
+  }
+
   /** Content-defined fingerprint: md5 over the sorted distinct token set
     * (word-order/duplication insensitive — catches shuffled near-dups
     * that exact hashing misses). Deterministic on any engine.

@@ -1280,20 +1280,43 @@ class PropertySpec extends SparkSpec {
       }.mkString(" ")
     val texts = Seq("", " ", "   ", "a", "the the", "zzz") ++
       (0 until 200).map(_ => genText())
+    // independent IDS reference: per-word linear ARGMAX scan (first
+    // index of the longest match — unique, since equal-length matches
+    // at one position are the same string)
+    def refIds(text: String): Seq[Int] =
+      text.split(" ", -1).filter(_.nonEmpty).toSeq.flatMap { w =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var pos = 0
+        while (pos < w.length) {
+          var best = 0; var bi = -1
+          vocab.zipWithIndex.foreach { case (v, i) =>
+            if (v.length > best && w.startsWith(v, pos)) {
+              best = v.length; bi = i
+            }
+          }
+          if (best > 0) { out += bi; pos += best }
+          else { out += vocab.size + w.charAt(pos).toInt; pos += 1 }
+        }
+        out.toSeq
+      }
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "t")
-    val got = df.select(col("id"), BpeTokenizer.bpe_count(col("t")).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = df.select(col("id"), BpeTokenizer.bpe_count(col("t")).as("n"),
+        BpeTokenizer.bpe_encode(col("t")).as("ids"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2).toSeq))).toMap
     texts.zipWithIndex.foreach { case (t, i) =>
+      val (n, ids) = got(i.toLong)
       val expect = refBpe(t)
-      assert(got(i.toLong) == expect,
-        s"text '$t': compiled=${got(i.toLong)} reference=$expect")
+      assert(n == expect, s"text '$t': compiled=$n reference=$expect")
+      assert(ids == refIds(t),
+        s"text '$t': ids=$ids reference=${refIds(t)}")
+      assert(ids.length.toLong == n, s"count/encode disagree for '$t'")
       // invariants: one token per word at least, one per non-space
       // char at most (the 'é' fragment is 1 char, matched by fallback)
       val words = t.split(" ", -1).count(_.nonEmpty)
       val chars = t.count(_ != ' ')
-      assert(got(i.toLong) >= words && got(i.toLong) <= chars,
-        s"bounds violated for '$t'")
+      assert(n >= words && n <= chars, s"bounds violated for '$t'")
     }
     // null propagates
     val nulls = Seq((1L, null: String)).toDF("id", "t")
