@@ -273,6 +273,13 @@ object ScaleProbe {
       text.TextAnalysis.packedSequenceIds(saltedDocs(c), 2048L).count()
     }
 
+    // training iterates over the WORD-FREQUENCY table, not the corpus:
+    // one corpus scan up front, then per-merge work ∝ distinct words
+    // (salting multiplies the vocabulary ×c — the worst case)
+    probe("bpe_train_merges", Seq(1, 20)) { c =>
+      text.BpeTrainer.trainMerges(saltedDocs(c), 4).size.toLong
+    }
+
     probe("text_rarity", Seq(1, 20)) { c =>
       // head(), not count(): count() on a global agg lets column
       // pruning drop the magnitude arithmetic being measured

@@ -1529,6 +1529,12 @@ object SparkEntry {
             graft.text.TextAnalysis.bpeTokenCount(col("text")).as("n_tokens")),
           col("source"), col("doc_id"), col("n_tokens"), 2048L)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))),
+    // in-engine BPE vocabulary TRAINING (Sennrich): 8 learned merges,
+    // each step = one map-side-combined pair-count agg over the
+    // vocabulary table + driver argmax + one codegen merge map;
+    // deterministic ⇒ fully ORACLED by replaying the 8 stages in SQL
+    "bpe_train_merges" -> ((s, d) =>
+      graft.text.BpeTrainer.trainedMergesFrame(docs(s, d), 8)),
     // the token-ID assignment itself (input_ids): per-doc sequence
     // fingerprint + count, ORACLED — the recursive CTE re-derives the
     // greedy ids (argmax-length vocab index; byte-fallback block) and
@@ -3256,6 +3262,7 @@ object SparkEntry {
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) - n_tokens) / 2048.0) AS BIGINT) AS bin
          |FROM (SELECT d.doc_id, d.source, COALESCE(b.n_tokens_bpe, 0) AS n_tokens
          |  FROM documents d LEFT JOIN bpe b USING (doc_id))""".stripMargin,
+    "bpe_train_merges" -> graft.text.BpeTrainer.trainingOracleSql(8),
     "text_tokens_ids" ->
       s"""WITH RECURSIVE $bpeIdsCte
          |SELECT d.doc_id,

@@ -197,6 +197,64 @@ case class BpeCountTokens(child: Expression, vocab: Seq[String])
     copy(child = newChild)
 }
 
+/** One BPE merge step applied to a symbol array: left-to-right
+  * non-overlapping replacement of adjacent (a, b) with a+b — the inner
+  * map of BPE training. Codegen (one primitive loop per word), not an
+  * interpreted aggregate() fold: training runs this once per word per
+  * merge step over the vocabulary table.
+  */
+case class BpeMergeApply(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    BpeMergeApply.merge(in, UTF8String.fromString(a), UTF8String.fromString(b))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ua = ctx.addReferenceObj("mergeA", UTF8String.fromString(a),
+      classOf[UTF8String].getName)
+    val ub = ctx.addReferenceObj("mergeB", UTF8String.fromString(b),
+      classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeMergeApply.merge($c, $ua, $ub);")
+  }
+
+  override def prettyName: String = "bpe_merge_apply"
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeApply =
+    copy(child = newChild)
+}
+
+object BpeMergeApply {
+  def apply_merge(syms: Column, a: String, b: String): Column =
+    org.apache.spark.sql.graftshim.exprToColumn(
+      BpeMergeApply(org.apache.spark.sql.graftshim.columnToExpr(syms), a, b))
+
+  /** Static so generated code can call it: left-to-right scan, merged
+    * element never re-merges within the same step. */
+  def merge(in: org.apache.spark.sql.catalyst.util.ArrayData,
+      a: UTF8String, b: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = in.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val x = in.getUTF8String(i)
+      if (i + 1 < n && x.equals(a) && in.getUTF8String(i + 1).equals(b)) {
+        out.add(UTF8String.concat(a, b))
+        i += 2
+      } else {
+        out.add(x)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+}
+
 /** Codegen expression: the token-ID array of a string under a literal
   * vocab — `input_ids` materialization for sequence packing. Same trie
   * walk as [[BpeCountTokens]], emitting ids instead of a count.

@@ -1,0 +1,125 @@
+package graft.text
+
+import graft.functions.{BpeMergeApply, BpeTokenizer}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** In-engine BPE VOCABULARY TRAINING — the other half of subword
+  * tokenization (BpeTokenizer encodes under a merge table; this LEARNS
+  * the table from the corpus, the byte-pair-encoding algorithm of
+  * Sennrich et al. 2016 §3.2 at word level).
+  *
+  * Distributed shape (the Lloyd / logistic-probe pattern): the state is
+  * the WORD-FREQUENCY table — corpus-vocabulary-sized, orders of
+  * magnitude smaller than the corpus, and it stays distributed. Every
+  * merge step is
+  *   1. ONE pair-count partial aggregation (adjacent symbol pairs
+  *      weighted by word count — map-side combined, shuffle carries
+  *      only distinct pairs),
+  *   2. a driver argmax over that bounded result (count desc, then
+  *      lexicographic (left, right) — fully deterministic), and
+  *   3. ONE narrow map applying the merge left-to-right non-overlapping
+  *      (a codegen expression, not an interpreted lambda — the apply
+  *      runs once per word per step).
+  * Driver state is O(merges). The corpus itself is scanned exactly once
+  * (the initial word count); all iterations run over the vocabulary
+  * table, which is what makes N-merge training viable at 100 TB.
+  */
+object BpeTrainer {
+
+  /** Learn `nMerges` merge operations; returns them oldest-first.
+    * Stops early when no adjacent pair remains. */
+  def trainMerges(docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): Seq[(String, String)] = {
+    var words = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), split(col("w"), "").as("syms"))
+      .localCheckpoint(eager = false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    var step = 0
+    while (step < nMerges && !exhausted) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(desc("c"), col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        words = words.select(col("cnt"),
+            BpeMergeApply.apply_merge(col("syms"), a, b).as("syms"))
+          .localCheckpoint(eager = false)
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The learned merges as a declared frame (rank, left_sym, right_sym,
+    * merged) — deterministic, so fully oracle-checkable by replaying
+    * the N argmax+apply stages in SQL. */
+  def trainedMergesFrame(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMerges(docs, nMerges).zipWithIndex
+      .map { case ((a, b), i) => (i, a, b, a + b) }
+      .toDF("rank", "left_sym", "right_sym", "merged")
+  }
+
+  /** Turn learned merges into an encoder vocabulary: every single
+    * character seen in the merges plus each merged symbol. Greedy
+    * longest-match under this vocab approximates merge-order BPE encode
+    * (exact for non-nested merge sets); [[BpeTokenizer]] consumes it
+    * directly, closing the train→encode loop. Characters outside the
+    * vocab fall back to byte tokens at encode time, so the vocab needs
+    * no corpus-wide character census. */
+  def vocabFromMerges(merges: Seq[(String, String)]): Seq[String] = {
+    val singles = merges.flatMap { case (a, b) => (a + b).toSeq }
+      .distinct.map(_.toString)
+    (singles ++ merges.map { case (a, b) => a + b }).distinct
+  }
+
+  /** The generated N-stage training oracle (DuckDB SQL): stage k =
+    * pair-count + argmax (MATERIALIZED — without it the chained CTEs
+    * re-inline exponentially) + a recursive left-to-right fold applying
+    * the merge. Mirrors [[trainMerges]] exactly; kept beside the engine
+    * so the two can never drift. */
+  def trainingOracleSql(nMerges: Int, source: String = "documents"): String = {
+    def stage(k: Int): String =
+      s""",
+         |p$k AS MATERIALIZED (SELECT ws[CAST(i AS INT)] AS a, ws[CAST(i AS INT)+1] AS b, SUM(cnt) AS c
+         |  FROM (SELECT cnt, string_split(s, ' ') AS ws FROM w$k),
+         |    UNNEST(range(1, len(ws))) AS t(i)
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT a, b, a || b AS m FROM p$k ORDER BY c DESC, a, b LIMIT 1),
+         |f$k AS (
+         |  SELECT w, cnt, string_split(s, ' ') AS ws, CAST(1 AS INT) AS i, CAST('' AS VARCHAR) AS acc FROM w$k
+         |  UNION ALL
+         |  SELECT w, cnt, ws,
+         |    CAST(CASE WHEN i < len(ws) AND ws[i] = (SELECT a FROM m$k) AND ws[i+1] = (SELECT b FROM m$k)
+         |      THEN i + 2 ELSE i + 1 END AS INT),
+         |    acc || CASE WHEN i > 1 THEN ' ' ELSE '' END ||
+         |      CASE WHEN i < len(ws) AND ws[i] = (SELECT a FROM m$k) AND ws[i+1] = (SELECT b FROM m$k)
+         |        THEN (SELECT m FROM m$k) ELSE ws[i] END
+         |  FROM f$k WHERE i <= len(ws)),
+         |w${k + 1} AS MATERIALIZED (SELECT w, cnt, arg_max(acc, i) AS s FROM f$k GROUP BY w, cnt)""".stripMargin
+    val head =
+      s"""WITH RECURSIVE base AS MATERIALIZED (SELECT u.w FROM $source,
+         |  UNNEST(string_split(lower(text), ' ')) AS u(w) WHERE len(u.w) > 0),
+         |w0 AS MATERIALIZED (SELECT w, count(*) AS cnt,
+         |  array_to_string(string_split(w, ''), ' ') AS s FROM base GROUP BY w)""".stripMargin
+    val stages = (0 until nMerges).map(stage).mkString
+    val out = (0 until nMerges)
+      .map(k => s"SELECT $k AS rank, a AS left_sym, b AS right_sym, m AS merged FROM m$k")
+      .mkString(" UNION ALL ")
+    s"$head$stages\n$out ORDER BY rank"
+  }
+}

@@ -1249,6 +1249,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE training: merges == independent reference, train→encode loop shrinks tokens") {
+    import graft.text.BpeTrainer
+    val docs = graft.engine.Tables.documents(spark, sf)
+    // independent plain-Scala reference trainer over the collected
+    // word-count map (argmax by count desc then lexicographic pair)
+    val wc = docs.select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def refTrain(n: Int): Seq[(String, String)] = {
+      var words: Map[String, List[String]] =
+        wc.keys.map(w => w -> w.toList.map(_.toString)).toMap
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var continue = true
+      while (out.size < n && continue) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (w, syms) =>
+          syms.zip(syms.tail).foreach { p =>
+            pc(p) = pc.getOrElse(p, 0L) + wc(w)
+          }
+        }
+        if (pc.isEmpty) continue = false
+        else {
+          val best = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          out += best
+          val (a, b) = best
+          words = words.view.mapValues { syms =>
+            val r = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                r += a + b; i += 2
+              } else { r += syms(i); i += 1 }
+            }
+            r.toList
+          }.toMap
+        }
+      }
+      out.toSeq
+    }
+    val learned = BpeTrainer.trainMerges(docs, 10)
+    assert(learned == refTrain(10),
+      s"engine=$learned reference=${refTrain(10)}")
+    // partition invariance: the pair counts are a commutative aggregate
+    assert(BpeTrainer.trainMerges(docs.repartition(17), 10) == learned)
+    // train→encode loop: the learned vocab drives the encoder and
+    // strictly shrinks the corpus token count vs char-level fallback
+    val vocab = BpeTrainer.vocabFromMerges(learned)
+    assert(vocab.nonEmpty && learned.forall { case (a, b) => vocab.contains(a + b) })
+    val withVocab = docs.agg(sum(
+      graft.functions.BpeTokenizer.bpe_count(lower(col("text")), vocab))).head.getLong(0)
+    val charLevel = docs.agg(sum(
+      graft.functions.BpeTokenizer.bpe_count(lower(col("text")),
+        Seq("\u0001")))).head.getLong(0) // never-matching vocab entry ⇒ 1 token/char
+    assert(withVocab < charLevel,
+      s"learned vocab did not compress: $withVocab vs $charLevel")
+  }
+
   test("BPE tokenizer: differential fuzz vs independent reference, invariants") {
     import graft.functions.BpeTokenizer
     val vocab = BpeTokenizer.defaultVocab
