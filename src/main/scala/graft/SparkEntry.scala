@@ -1544,6 +1544,15 @@ object SparkEntry {
           graft.text.TextAnalysis.bpeEncodeIds(col("text")).as("ids"))
         .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
           graft.text.TextAnalysis.idsFingerprint(col("ids")).as("ids_fp"))),
+    // decode∘encode invertibility as an ORACLED query: every token
+    // decodes to its literal text (vocab entry or fallback char), so
+    // the round trip equals the input minus the spaces encode drops —
+    // the oracle needs no token knowledge at all
+    "text_detokenize" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        graft.functions.BpeTokenizer.bpe_decode(
+          graft.functions.BpeTokenizer.bpe_encode(lower(col("text"))))
+          .as("detok"))),
     // MATERIALIZED packed training sequences: per (source, bin) the
     // concatenated input_ids in doc order — the artifact sequence
     // packing exists to produce; ORACLED on the bin geometry and the
@@ -3263,6 +3272,8 @@ object SparkEntry {
          |FROM (SELECT d.doc_id, d.source, COALESCE(b.n_tokens_bpe, 0) AS n_tokens
          |  FROM documents d LEFT JOIN bpe b USING (doc_id))""".stripMargin,
     "bpe_train_merges" -> graft.text.BpeTrainer.trainingOracleSql(8),
+    "text_detokenize" ->
+      "SELECT doc_id, replace(lower(text), ' ', '') AS detok FROM documents",
     "text_tokens_ids" ->
       s"""WITH RECURSIVE $bpeIdsCte
          |SELECT d.doc_id,

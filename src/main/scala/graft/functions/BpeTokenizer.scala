@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -67,6 +67,15 @@ object BpeTokenizer {
   def bpe_encode(text: Column, vocab: Seq[String] = defaultVocab): Column =
     org.apache.spark.sql.graftshim.exprToColumn(
       BpeEncodeTokens(org.apache.spark.sql.graftshim.columnToExpr(text), vocab))
+
+  /** `bpe_decode(ids)`: id array → text. Inverse of [[bpe_encode]] up
+    * to word boundaries (encode drops spaces): every matched token
+    * decodes to its literal entry and every fallback id to its
+    * character, so `bpe_decode(bpe_encode(t)) == t minus spaces` —
+    * exactly, for any input (the invertibility oracle). */
+  def bpe_decode(ids: Column, vocab: Seq[String] = defaultVocab): Column =
+    org.apache.spark.sql.graftshim.exprToColumn(
+      BpeDecodeTokens(org.apache.spark.sql.graftshim.columnToExpr(ids), vocab))
 
   /** The DuckDB literal list for the same vocab — interpolated into
     * oracle SQL so engine and oracle can never desynchronize. */
@@ -194,6 +203,44 @@ case class BpeCountTokens(child: Expression, vocab: Seq[String])
 
   override def prettyName: String = "bpe_count"
   override protected def withNewChildInternal(newChild: Expression): BpeCountTokens =
+    copy(child = newChild)
+}
+
+/** Token ids → text (inverse of [[BpeEncodeTokens]] up to the spaces
+  * encode drops): vocab ids decode to their literal entries, byte-
+  * fallback ids to their characters. Unknown ids (negative, or past
+  * the fallback block) yield null — a corrupted sequence should be
+  * visible, not silently skipped.
+  */
+case class BpeDecodeTokens(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  // CodegenFallback on purpose: decode is an inspection/debug surface
+  // (look inside a packed batch), never a corpus-width hot path
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  @transient private lazy val entries: Array[UTF8String] =
+    vocab.map(UTF8String.fromString).toArray
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = in.numElements()
+    while (i < n) {
+      val id = in.getInt(i)
+      if (id >= 0 && id < entries.length) sb.append(entries(id).toString)
+      else if (id >= entries.length && id < entries.length + 0x110000)
+        sb.appendCodePoint(id - entries.length)
+      else return null
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def prettyName: String = "bpe_decode"
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeTokens =
     copy(child = newChild)
 }
 

@@ -1375,6 +1375,18 @@ class PropertySpec extends SparkSpec {
       val chars = t.count(_ != ' ')
       assert(n >= words && n <= chars, s"bounds violated for '$t'")
     }
+    // decode∘encode == input minus spaces, on every fuzz text
+    val rt = df.select(col("id"),
+        BpeTokenizer.bpe_decode(BpeTokenizer.bpe_encode(col("t"))).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(rt(i.toLong) == t.replace(" ", ""),
+        s"round trip broke for '$t': '${rt(i.toLong)}'")
+    }
+    // corrupted id sequences decode to null, not silence
+    val bad = Seq((1L, Array(-1))).toDF("id", "ids")
+      .select(BpeTokenizer.bpe_decode(col("ids"))).collect()
+    assert(bad.head.isNullAt(0))
     // null propagates
     val nulls = Seq((1L, null: String)).toDF("id", "t")
       .select(BpeTokenizer.bpe_count(col("t"))).collect()
