@@ -701,4 +701,59 @@ object Events {
     spark.table("graft_dedup")
       .groupBy(col("key")).agg(min(col("survivor")).as("survivor"))
   }
+
+  // ── streaming token-budget monitor (the ingest-time corpusMix) ──────
+
+  final case class TokRow(source: String, nToks: Long)
+  final case class TokState(total: Long, docs: Long)
+  final case class TokOut(source: String, total_tokens: Long, n_docs: Long,
+      exhausted: Boolean)
+
+  /** Running per-source SUBWORD-token totals with a budget verdict —
+    * the admission-control twin of the batch `corpusMix`: a corpus
+    * ingest watches each source's cumulative token count (the BPE
+    * encode runs per arriving doc — a codegen expression works
+    * unchanged inside Structured Streaming) and flips `exhausted` the
+    * moment a source crosses its budget. Long-lived O(1) state per
+    * source; totals are an order-insensitive sum, so the final state is
+    * bit-equal to the batch aggregate however the stream micro-batches.
+    */
+  def tokenBudgetStream(docs: Dataset[TokRow], budgets: Map[String, Long],
+      defaultBudget: Long): Dataset[TokOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[TokState, TokOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src, rows, state: GroupState[TokState]) =>
+          val st = state.getOption.getOrElse(TokState(0L, 0L))
+          var tot = st.total
+          var nd = st.docs
+          rows.foreach { r => tot += r.nToks; nd += 1 }
+          state.update(TokState(tot, nd))
+          Iterator.single(
+            TokOut(src, tot, nd, tot > budgets.getOrElse(src, defaultBudget)))
+      }
+  }
+
+  /** Drive tokenBudgetStream over the documents parquet staged as 4
+    * files (AvailableNow + maxFilesPerTrigger=1 → real multi-batch
+    * state); returns every emitted update (the monitor's event log). */
+  def runTokenBudgetStream(spark: SparkSession, dir: String,
+      budgets: Map[String, Long], defaultBudget: Long): DataFrame = {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_tok_stream")
+    all.repartition(4).write.mode("overwrite").parquet(streamDir.toString)
+    val raw = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val typed = raw.select(col("source"),
+        graft.text.TextAnalysis.bpeTokenCount(col("text")).as("nToks"))
+      .as[TokRow]
+    val q = tokenBudgetStream(typed, budgets, defaultBudget).writeStream
+      .outputMode("update").format("memory").queryName("graft_tok_budget")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("graft_tok_budget")
+  }
 }

@@ -778,6 +778,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch && got.nonEmpty)
   }
 
+  test("streaming token-budget monitor: totals bit-equal batch, verdicts consistent") {
+    import graft.streaming.Events
+    val budgets = Map("src0" -> 30000L, "src1" -> 1000L)
+    val updates = Events.runTokenBudgetStream(spark, sf, budgets, 2000000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(updates.nonEmpty)
+    // every emitted update's verdict is exactly total > budget
+    updates.foreach { case (src, tot, _, ex) =>
+      assert(ex == (tot > budgets.getOrElse(src, 2000000000L)),
+        s"verdict drift for $src at $tot")
+    }
+    // totals are monotone per source; the final update (max n_docs)
+    // must be BIT-EQUAL to the batch aggregate — order-insensitive sum
+    // state, however the stream micro-batched
+    val finals = updates.groupBy(_._1).map { case (src, us) =>
+      val last = us.maxBy(_._3)
+      src -> ((last._2, last._3))
+    }
+    val batch = graft.engine.Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(sum(graft.text.TextAnalysis.bpeTokenCount(col("text"))).as("t"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(finals == batch, s"stream=$finals batch=$batch")
+    // the capped source actually flipped mid-stream, and multi-batch
+    // state was really exercised (more updates than sources)
+    assert(updates.exists(u => u._1 == "src1" && u._4))
+    assert(updates.length > batch.size)
+  }
+
   test("streaming ingest gate equals the batch cross-corpus dedup") {
     val got = graft.streaming.Events.runNearDupIngest(spark, sf, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
