@@ -73,11 +73,13 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // ann_pq_build phase attribution (train vs encode) from the build's
     // driver-side receipt — a separate top-level field, NOT a queries
-    // entry (its two phases are already inside ann_pq_build's total)
+    // entry (its two phases are already inside ann_pq_build's total).
+    // Attached only when THIS run executed the build: the scratch dir
+    // outlives JVMs, and a stale receipt must not pose as this run's.
     val buildSplit = try {
       val p = java.nio.file.Paths.get(
         SparkEntry.pqScratch(sfDir), "build_receipt.json")
-      if (java.nio.file.Files.exists(p))
+      if (selected.contains("ann_pq_build") && java.nio.file.Files.exists(p))
         s""","ann_pq_build_split":${java.nio.file.Files.readString(p).trim}"""
       else ""
     } catch { case _: Throwable => "" }

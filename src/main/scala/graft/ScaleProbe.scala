@@ -270,7 +270,12 @@ object ScaleProbe {
     // hold ~budget tokens regardless of corpus size, so the collect
     // per group stays bounded): ~linear
     probe("pack_sequences_ids", Seq(1, 20)) { c =>
-      text.TextAnalysis.packedSequenceIds(saltedDocs(c), 2048L).count()
+      // fingerprint the assembled ids, don't count(): pruning would
+      // drop the per-bin collect/flatten/encode this probe measures
+      // (the text_rarity lesson)
+      val r = text.TextAnalysis.packedSequenceIds(saltedDocs(c), 2048L)
+        .agg(sum(text.TextAnalysis.idsFingerprint(col("input_ids")))).head()
+      if (r.isNullAt(0)) 0L else r.getAs[Number](0).longValue
     }
 
     // training iterates over the WORD-FREQUENCY table, not the corpus:
@@ -308,9 +313,19 @@ object ScaleProbe {
     // form whose verify volume is intrinsically ~10× larger
     probe("dedup_embedding_lsh_07", Seq(1, 20)) { c =>
       // the headline form exactly: fine buckets, valve off — if buckets
-      // degenerate at scale this probe is where it shows
-      val emb = replicate(SparkEntry.plantedEmb(spark, sf), c,
+      // degenerate at scale this probe is where it shows. Replicas get
+      // a per-replica coordinate SIGN FLIP (an orthogonal transform):
+      // unperturbed copies would be cos=1.0 cross-replica pairs, making
+      // the true-pair volume quadratic in the copy count and the probe
+      // a fixture artifact (the embedding analog of saltedDocs). Within
+      // a replica all cosines — including the planted 0.87 pairs — are
+      // exactly preserved.
+      val emb0 = replicate(SparkEntry.plantedEmb(spark, sf), c,
         Map("vec_id" -> 100000000L))
+      val emb = emb0.withColumn("embedding", expr(
+        """transform(embedding, (x, i) ->
+          |  IF(hash(CAST(vec_id DIV 100000000 AS INT), i) % 2 = 0, x, -x))"""
+          .stripMargin))
       ann.Similarity.nearDupPairsLsh(emb, 0.7, targetBucket = 16L,
         maxBucket = 0).count()
     }

@@ -160,6 +160,12 @@ object PqIndex {
     // undiagnosable, so the split lands in a driver-side receipt file
     // the bench surfaces (timings cannot ride in the oracled frame:
     // they are nondeterministic where the geometry columns hash-match)
+    // drop any stale receipt first: the scratch dir is fixed per corpus
+    // and outlives JVMs, and a leftover receipt must not masquerade as
+    // this build's phase attribution if the build dies mid-way
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "build_receipt.json"))
+    catch { case _: Throwable => () }
     val t0 = System.nanoTime()
     val cents = Similarity.kmeansCentroids(normed, nlist, refineIters)
     val cbs = Similarity.pqCodebooks(normed, m, ksub, refineIters)
@@ -182,9 +188,13 @@ object PqIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     val n = spark.read.parquet(s"$dir/codes").count()
     val encodeS = (System.nanoTime() - t1) / 1e9
+    // Locale.ROOT: a comma-decimal default locale would write invalid
+    // JSON that Bench splices verbatim into bench_out
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "build_receipt.json"),
-      f"""{"train_s":$trainS%.3f,"encode_s":$encodeS%.3f}%n""")
+      "{\"train_s\":" + "%.3f".formatLocal(java.util.Locale.ROOT, trainS) +
+        ",\"encode_s\":" + "%.3f".formatLocal(java.util.Locale.ROOT, encodeS) +
+        "}\n")
     catch { case _: Throwable => () } // receipt is diagnostics, not data
     Seq((n, m, ksub, nlist, m, m * d * 4))
       .toDF("n_vectors", "m", "ksub", "nlist", "code_bytes", "raw_bytes")

@@ -458,10 +458,11 @@ object Similarity {
     * the same `shuffle_merge` guard as text LSH, since the exploded
     * side must never be broadcast; see the inline note for the A/B
     * against bounded-postings pair generation). Exact verification
-    * keeps precision at 1; the pair
-    * dedup runs AFTER the threshold filter, so the bulky candidate
-    * stream flows straight from the join into two broadcast lookups and
-    * a codegen dot — only survivors shuffle for the distinct.
+    * keeps precision at 1; candidate pairs DEDUP BEFORE the verify
+    * joins — true pairs collide in ~every band, so the raw stream
+    * carries each real pair O(bands) times and one distinct shuffle of
+    * the id pairs costs less than verifying the multiplicity (see the
+    * inline A/B note at the cand block).
     *
     * Candidate recall at angle θ is 1-(1-(1-θ/π)^planes)^bands: the
     * planes=7/bands=128 defaults give ≥0.994 at cos=0.4 (per band

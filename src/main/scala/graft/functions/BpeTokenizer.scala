@@ -78,9 +78,11 @@ object BpeTokenizer {
       BpeDecodeTokens(org.apache.spark.sql.graftshim.columnToExpr(ids), vocab))
 
   /** The DuckDB literal list for the same vocab — interpolated into
-    * oracle SQL so engine and oracle can never desynchronize. */
+    * oracle SQL so engine and oracle can never desynchronize. Single
+    * quotes are SQL-doubled: a trained vocab may carry apostrophes
+    * (e.g. a learned "n't" merge). */
   def vocabSqlList(vocab: Seq[String] = defaultVocab): String =
-    vocab.map(v => "'" + v + "'").mkString("[", ", ", "]")
+    vocab.map(v => "'" + v.replace("'", "''") + "'").mkString("[", ", ", "]")
 }
 
 /** ASCII trie for greedy longest-match: flat int array of child links

@@ -374,7 +374,11 @@ object JsGesture {
     }
     // JS ToInteger for string-method indices: NaN coerces to 0
     // ("x".charAt("q") === "x".charAt(0)), where an ANSI cast of NaN
-    // double to int THROWS; null keeps SQL propagation as elsewhere
+    // double to int THROWS; out-of-int-range values CLAMP to the int
+    // extremes (so charAt(1e10) is "" — index past the string — and
+    // substring(-1e10, 2) clamps to 0, both JS-faithful, and exactly
+    // Scala's Double.toInt, which the differential interpreter uses);
+    // null keeps SQL propagation as elsewhere
     def intIdx(e: Js): Column = {
       val x = num(e)
       val tried = org.apache.spark.sql.graftshim.exprToColumn(
@@ -382,7 +386,14 @@ object JsGesture {
           org.apache.spark.sql.graftshim.columnToExpr(x),
           org.apache.spark.sql.types.IntegerType, None,
           org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
-      when(x.isNull, lit(null).cast("int")).otherwise(coalesce(tried, lit(0)))
+      when(x.isNull, lit(null).cast("int"))
+        .when(isnan(x), lit(0))
+        // MaxValue - 8, not MaxValue: callers add small offsets (ix + 1)
+        // and ANSI int arithmetic THROWS on overflow; still far past any
+        // real string, so the JS out-of-range result is preserved
+        .when(x >= lit(Int.MaxValue.toDouble), lit(Int.MaxValue - 8))
+        .when(x <= lit(Int.MinValue.toDouble), lit(Int.MinValue + 8))
+        .otherwise(coalesce(tried, lit(0)))
     }
     def c(e: Js): Column = e match {
       case Num(v) => lit(v)

@@ -80,11 +80,16 @@ object BpeTrainer {
     * (exact for non-nested merge sets); [[BpeTokenizer]] consumes it
     * directly, closing the train→encode loop. Characters outside the
     * vocab fall back to byte tokens at encode time, so the vocab needs
-    * no corpus-wide character census. */
+    * no corpus-wide character census — and symbols the TRIE cannot hold
+    * (non-ASCII, or containing a space) are dropped here for the same
+    * fallback reason rather than crashing trie construction on a
+    * non-ASCII corpus. */
   def vocabFromMerges(merges: Seq[(String, String)]): Seq[String] = {
+    val asciiOk = (s: String) => s.forall(c => c < 128 && c != ' ')
     val singles = merges.flatMap { case (a, b) => (a + b).toSeq }
       .distinct.map(_.toString)
-    (singles ++ merges.map { case (a, b) => a + b }).distinct
+    (singles ++ merges.map { case (a, b) => a + b })
+      .distinct.filter(asciiOk)
   }
 
   /** The generated N-stage training oracle (DuckDB SQL): stage k =
