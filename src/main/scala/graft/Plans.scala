@@ -51,7 +51,14 @@ object Plans {
     "multimodal_image_hash", "multimodal_image_neardup",
     "multimodal_audio_fingerprint", "multimodal_audio_dedup",
     "multimodal_video_frames", "multimodal_video_dedup",
-    "ann_topk_quantized")
+    "ann_topk_quantized",
+    // r8 additions: the BPE train/encode/pack family, the θ=0.7 LSH
+    // headline (distinct-before-verify candidates), the byte-offset
+    // Greenplum aligned read, and the decoded-pixel video path
+    "text_tokens_bpe", "text_tokens_ids", "pack_sequences_bpe",
+    "pack_sequences_ids", "corpus_mix_bpe", "bpe_train_merges",
+    "text_detokenize", "dedup_embedding_lsh_stress",
+    "multimodal_video_frames_raw")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
