@@ -1392,6 +1392,18 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+    // temperature rebalance on TOKEN MASS (α=1/2 over per-source
+    // subword totals — the actual training-weight currency): same
+    // one-pass + broadcast-rate shape, the count aggregate becomes a
+    // sum of BPE token counts; fully ORACLED (sqrt is IEEE-stable, the
+    // token sums are exact longs via the recursive-CTE counts)
+    "corpus_mix_temperature_tokens" -> ((s, d) =>
+      graft.pipeline.Pipeline.temperatureMix(docs(s, d), col("doc_id"),
+          col("source"),
+          weight = Some(graft.text.TextAnalysis.bpeTokenCount(col("text"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
     // in-engine quality-classifier training: full-batch logistic
     // regression, one aggregation pass per gradient step (the Lloyd
     // shape), then narrow scoring — GD float sums are partial-agg-order
@@ -1535,6 +1547,19 @@ object SparkEntry {
     // deterministic ⇒ fully ORACLED by replaying the 8 stages in SQL
     "bpe_train_merges" -> ((s, d) =>
       graft.text.BpeTrainer.trainedMergesFrame(docs(s, d), 8)),
+    // INCREMENTAL vocabulary update: train 4 merges, then CONTINUE
+    // with 4 more from the shipped list (initial merges replay as one
+    // lazy chain of codegen maps). Deterministic argmax makes
+    // continuation a pure suffix, so this query shares the FULL
+    // 8-stage training oracle — the oracle itself asserts
+    // continue(train(4), +4) == train(8)
+    "bpe_train_continue" -> ((s, d) => {
+      import s.implicits._
+      val first = graft.text.BpeTrainer.trainMerges(docs(s, d), 4)
+      graft.text.BpeTrainer.continueMerges(docs(s, d), first, 4).zipWithIndex
+        .map { case ((a, b), i) => (i, a, b, a + b) }
+        .toDF("rank", "left_sym", "right_sym", "merged")
+    }),
     // the token-ID assignment itself (input_ids): per-doc sequence
     // fingerprint + count, ORACLED — the recursive CTE re-derives the
     // greedy ids (argmax-length vocab index; byte-fallback block) and
@@ -1562,7 +1587,9 @@ object SparkEntry {
         .select(col("source"), col("bin"), col("n_docs"),
           col("total_tokens"),
           graft.text.TextAnalysis.idsFingerprint(col("input_ids"))
-            .as("seq_fp"))),
+            .as("seq_fp"),
+          graft.text.TextAnalysis.idsFingerprint(col("doc_offsets"))
+            .as("offsets_fp"))),
     // token-budget mixing in SUBWORD tokens (budgets ~1.3× the word
     // budgets to hold comparable doc counts)
     "corpus_mix_bpe" -> ((s, d) =>
@@ -3236,6 +3263,21 @@ object SparkEntry {
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |  % 10000 < r.cut
         |GROUP BY 1""".stripMargin,
+    "corpus_mix_temperature_tokens" ->
+      s"""WITH RECURSIVE $bpeCte,
+         |dt AS (SELECT d.doc_id, d.source,
+         |    COALESCE(b.n_tokens_bpe, 0) AS toks
+         |  FROM documents d LEFT JOIN bpe b USING (doc_id)),
+         |c AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS n FROM dt GROUP BY source),
+         |r AS (SELECT source,
+         |  CAST(FLOOR(SQRT(CAST((SELECT MIN(n) FROM c) AS DOUBLE) / n) * 10000)
+         |    AS BIGINT) AS cut FROM c)
+         |SELECT d.source, count(*) AS n_kept,
+         |  min(d.doc_id) AS min_id, max(d.doc_id) AS max_id
+         |FROM documents d JOIN r ON d.source = r.source
+         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |  % 10000 < r.cut
+         |GROUP BY 1""".stripMargin,
     "text_quality" ->
       """WITH b AS (SELECT doc_id, length(text) AS len,
         |    len(string_split(lower(text), ' ')) AS n,
@@ -3272,6 +3314,7 @@ object SparkEntry {
          |FROM (SELECT d.doc_id, d.source, COALESCE(b.n_tokens_bpe, 0) AS n_tokens
          |  FROM documents d LEFT JOIN bpe b USING (doc_id))""".stripMargin,
     "bpe_train_merges" -> graft.text.BpeTrainer.trainingOracleSql(8),
+    "bpe_train_continue" -> graft.text.BpeTrainer.trainingOracleSql(8),
     "text_detokenize" ->
       "SELECT doc_id, replace(lower(text), ' ', '') AS detok FROM documents",
     "text_tokens_ids" ->
@@ -3291,13 +3334,19 @@ object SparkEntry {
          |  FROM documents d LEFT JOIN docids b USING (doc_id)),
          |c AS (SELECT *, CAST(FLOOR((CAST(SUM(n_tokens) OVER (PARTITION BY source
          |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    AS DOUBLE) - n_tokens) / 2048.0) AS BIGINT) AS bin FROM t)
+         |    AS DOUBLE) - n_tokens) / 2048.0) AS BIGINT) AS bin FROM t),
+         |c2 AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source, bin
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum2 FROM c)
          |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    flatten(list(all_ids ORDER BY doc_id))),
-         |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS seq_fp
-         |FROM c GROUP BY 1, 2""".stripMargin,
+         |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS seq_fp,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_prepend(CAST(0 AS BIGINT), list(cum2 ORDER BY doc_id))),
+         |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS offsets_fp
+         |FROM c2 GROUP BY 1, 2""".stripMargin,
     "corpus_mix_bpe" ->
       s"""WITH RECURSIVE $bpeCte,
          |t AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,

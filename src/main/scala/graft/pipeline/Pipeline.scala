@@ -211,9 +211,18 @@ object Pipeline {
     * the corpus. The rate-table window runs over O(#sources) rows.
     */
   def temperatureMix(docs: DataFrame, key: Column, source: Column,
-      modulus: Int = 10000): DataFrame = {
+      modulus: Int = 10000, weight: Option[Column] = None): DataFrame = {
     val outCols = docs.columns
-    val counts = docs.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+    // weight = Some(tokenCount): rebalance on TOKEN MASS instead of doc
+    // counts — the real temperature-sampling currency (a source of few
+    // long docs and one of many short docs have the same training
+    // weight only in tokens). Exact long sums keep the rate table
+    // oracle-stable either way.
+    val counts = weight match {
+      case Some(w) => docs.groupBy(source.as("__src"))
+        .agg(sum(w.cast("long")).as("__n"))
+      case None => docs.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+    }
     // keep-rate in exact integer thousandths of the modulus:
     // floor(sqrt(nRef/n) * modulus); nRef via a bounded window over the
     // O(#sources) aggregate

@@ -30,17 +30,35 @@ object BpeTrainer {
   /** Learn `nMerges` merge operations; returns them oldest-first.
     * Stops early when no adjacent pair remains. */
   def trainMerges(docs: DataFrame, nMerges: Int,
-      textCol: String = "text"): Seq[(String, String)] = {
-    var words = docs
+      textCol: String = "text"): Seq[(String, String)] =
+    continueMerges(docs, Seq.empty, nMerges, textCol)
+
+  /** CONTINUE training from an existing merge list — the incremental
+    * vocabulary-update path (domain adaptation: new corpus slices
+    * arrive, the shipped merge table must not be discarded). The
+    * initial merges replay as a CHAIN of narrow codegen maps — one
+    * corpus-vocabulary scan applies all of them lazily — then learning
+    * proceeds exactly as from scratch. On an unchanged corpus,
+    * `continueMerges(d, trainMerges(d, k), m) == trainMerges(d, k+m)`
+    * (determinism of the argmax makes continuation a pure suffix —
+    * spec-gated, and the declared continuation query shares the full
+    * training oracle). Returns the FULL merge list, initial ++ learned.
+    */
+  def continueMerges(docs: DataFrame, initial: Seq[(String, String)],
+      nMore: Int, textCol: String = "text"): Seq[(String, String)] = {
+    val base = docs
       .select(explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), split(col("w"), "").as("syms"))
-      .localCheckpoint(eager = false)
+    var words = initial.foldLeft(base) { case (d, (a, b)) =>
+      d.select(col("cnt"), BpeMergeApply.apply_merge(col("syms"), a, b).as("syms"))
+    }.localCheckpoint(eager = false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    merges ++= initial
     var exhausted = false
     var step = 0
-    while (step < nMerges && !exhausted) {
+    while (step < nMore && !exhausted) {
       val top = words
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(expr(

@@ -149,13 +149,29 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("ids")).cast("long"))
     val binned = graft.pipeline.Pipeline.packSequences(withIds,
       col("source"), col("doc_id"), col("n_tokens"), budget)
+    // ONE collected struct array per bin; ids flattening and the
+    // doc_offsets prefix sums are post-projections over it (three
+    // separate collect_list aggregates would triple the agg state).
+    // doc_offsets = [0, n₁, n₁+n₂, …, total]: where each document
+    // STARTS inside input_ids plus the trailing total — the
+    // attention-boundary metadata a trainer needs to mask
+    // cross-document attention inside a packed sequence. The prefix
+    // sums are an O(docs²) array fold, bounded by the ≤budget tokens a
+    // bin can hold (~tens of docs), never corpus-sized.
     binned.groupBy(col("source"), col("bin"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        flatten(transform(
-          array_sort(collect_list(struct(col("doc_id"), col("ids")))),
-          x => x.getField("ids"))).as("input_ids"))
+        array_sort(collect_list(
+          struct(col("doc_id"), col("ids"), col("n_tokens")))).as("__docs"))
+      .select(col("source"), col("bin"), col("n_docs"), col("total_tokens"),
+        flatten(transform(col("__docs"), x => x.getField("ids")))
+          .as("input_ids"),
+        concat(array(lit(0).cast("int")),
+          transform(sequence(lit(1), size(col("__docs"))),
+            i => aggregate(slice(col("__docs"), lit(1), i), lit(0L),
+              (acc, y) => acc + y.getField("n_tokens")).cast("int")))
+          .as("doc_offsets"))
   }
 
   /** Content-defined fingerprint: md5 over the sorted distinct token set

@@ -1293,6 +1293,9 @@ class PropertySpec extends SparkSpec {
       s"engine=$learned reference=${refTrain(10)}")
     // partition invariance: the pair counts are a commutative aggregate
     assert(BpeTrainer.trainMerges(docs.repartition(17), 10) == learned)
+    // continuation is a pure suffix: resuming from the first 5 shipped
+    // merges learns exactly the last 5 (the incremental-update path)
+    assert(BpeTrainer.continueMerges(docs, learned.take(5), 5) == learned)
     // train→encode loop: the learned vocab drives the encoder and
     // strictly shrinks the corpus token count vs char-level fallback
     val vocab = BpeTrainer.vocabFromMerges(learned)
@@ -1304,6 +1307,37 @@ class PropertySpec extends SparkSpec {
         Seq("\u0001")))).head.getLong(0) // never-matching vocab entry ⇒ 1 token/char
     assert(withVocab < charLevel,
       s"learned vocab did not compress: $withVocab vs $charLevel")
+  }
+
+  test("packed batches: doc_offsets slice input_ids into exact per-doc encodes") {
+    import graft.text.TextAnalysis
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val packed = TextAnalysis.packedSequenceIds(docs, 2048L)
+      .collect()
+    val encodes = docs.select(
+        TextAnalysis.bpeEncodeIds(col("text")).as("ids"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    val encodeSet = encodes.toSet
+    var slices = 0
+    packed.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs")
+      val total = r.getAs[Long]("total_tokens")
+      val ids = r.getSeq[Int](r.fieldIndex("input_ids"))
+      val offs = r.getSeq[Int](r.fieldIndex("doc_offsets"))
+      assert(offs.length == nDocs + 1 && offs.head == 0 &&
+        offs.last.toLong == total && ids.length.toLong == total,
+        s"offset frame broken: nDocs=$nDocs total=$total offs=$offs")
+      assert(offs.zip(offs.tail).forall { case (a, b) => a < b },
+        s"offsets not strictly increasing: $offs")
+      offs.zip(offs.tail).foreach { case (a, b) =>
+        val slice = ids.slice(a, b).toSeq
+        assert(encodeSet.contains(slice),
+          s"slice [$a,$b) is not any document's encode")
+        slices += 1
+      }
+    }
+    // every document appears exactly once across all bins
+    assert(slices == encodes.length && slices > 0)
   }
 
   test("BPE tokenizer: differential fuzz vs independent reference, invariants") {
