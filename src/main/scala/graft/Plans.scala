@@ -58,7 +58,8 @@ object Plans {
     "text_tokens_bpe", "text_tokens_ids", "pack_sequences_bpe",
     "pack_sequences_ids", "corpus_mix_bpe", "bpe_train_merges",
     "text_detokenize", "dedup_embedding_lsh_stress",
-    "multimodal_video_frames_raw")
+    "multimodal_video_frames_raw", "bpe_train_continue",
+    "corpus_mix_temperature_tokens")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
