@@ -1583,6 +1583,16 @@ object SparkEntry {
         .map { case ((a, b), i) => (i, a, b, a + b) }
         .toDF("rank", "left_sym", "right_sym", "merged")
     }),
+    // TRUE merge-order BPE encode under the vocabulary trained
+    // in-query: apply the 8 learned merges in rank order (chained
+    // codegen maps over the distinct-word table), count final symbols
+    // per word, sum per doc — fully ORACLED through the same generated
+    // training stages (the greedy trie encoder is the fast approximate
+    // path; THIS is the exact BPE semantics)
+    "bpe_encode_merge_order" -> ((s, d) => {
+      val merges = graft.text.BpeTrainer.trainMerges(docs(s, d), 8)
+      graft.text.BpeTrainer.mergeOrderTokenStats(docs(s, d), merges)
+    }),
     // the token-ID assignment itself (input_ids): per-doc sequence
     // fingerprint + count, ORACLED — the recursive CTE re-derives the
     // greedy ids (argmax-length vocab index; byte-fallback block) and
@@ -3331,6 +3341,8 @@ object SparkEntry {
          |  FROM documents d LEFT JOIN bpe b USING (doc_id))""".stripMargin,
     "bpe_train_merges" -> graft.text.BpeTrainer.trainingOracleSql(8),
     "bpe_train_continue" -> graft.text.BpeTrainer.trainingOracleSql(8),
+    "bpe_encode_merge_order" ->
+      graft.text.BpeTrainer.mergeOrderEncodeOracleSql(8),
     "text_detokenize" ->
       "SELECT doc_id, replace(lower(text), ' ', '') AS detok FROM documents",
     "text_tokens_ids" ->

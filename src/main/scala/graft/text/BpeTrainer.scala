@@ -110,6 +110,32 @@ object BpeTrainer {
       .distinct.filter(asciiOk)
   }
 
+  /** Merge-order token counts per doc — TRUE BPE encode semantics
+    * (apply the learned merges in rank order; greedy longest-match in
+    * [[BpeTokenizer]] is the approximation): each word's final symbol
+    * count after the merge chain, summed per document. The merge chain
+    * runs over the VOCABULARY table (chained narrow codegen maps, one
+    * scan), then joins back to word occurrences.
+    */
+  def mergeOrderTokenStats(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val uw = words.select(col("w")).distinct()
+      .select(col("w"), split(col("w"), "").as("syms"))
+    val encoded = merges.foldLeft(uw) { case (d, (a, b)) =>
+      d.select(col("w"), BpeMergeApply.apply_merge(col("syms"), a, b).as("syms"))
+    }.select(col("w"), size(col("syms")).as("n_toks"))
+    // vocabulary-sized build side: AQE picks broadcast while it fits,
+    // shuffle-join beyond (same posture as the unigram-rarity join)
+    words.join(encoded, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_tokens_merge_order"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The generated N-stage training oracle (DuckDB SQL): stage k =
     * pair-count + argmax (MATERIALIZED — without it the chained CTEs
     * re-inline exponentially) + a recursive left-to-right fold applying
@@ -144,5 +170,23 @@ object BpeTrainer {
       .map(k => s"SELECT $k AS rank, a AS left_sym, b AS right_sym, m AS merged FROM m$k")
       .mkString(" UNION ALL ")
     s"$head$stages\n$out ORDER BY rank"
+  }
+
+  /** Oracle for [[mergeOrderTokenStats]] over a vocabulary trained
+    * in-query: the SAME generated training stages, with the tail
+    * reading each word's final symbol count from the last stage's
+    * symbol table and summing per document. */
+  def mergeOrderEncodeOracleSql(nMerges: Int,
+      source: String = "documents"): String = {
+    val full = trainingOracleSql(nMerges, source)
+    // reuse head+stages verbatim; swap the merges-out tail
+    val body = full.substring(0, full.lastIndexOf('\n'))
+    s"""$body,
+       |wd AS (SELECT doc_id, u.w FROM $source,
+       |  UNNEST(string_split(lower(text), ' ')) AS u(w) WHERE len(u.w) > 0)
+       |SELECT wd.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(string_split(w$nMerges.s, ' '))) AS BIGINT) AS n_tokens_merge_order
+       |FROM wd JOIN w$nMerges ON wd.w = w$nMerges.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }
