@@ -1587,11 +1587,9 @@ object SparkEntry {
     // 8-stage training oracle — the oracle itself asserts
     // continue(train(4), +4) == train(8)
     "bpe_train_continue" -> ((s, d) => {
-      import s.implicits._
       val first = graft.text.BpeTrainer.trainMerges(docs(s, d), 4)
-      graft.text.BpeTrainer.continueMerges(docs(s, d), first, 4).zipWithIndex
-        .map { case ((a, b), i) => (i, a, b, a + b) }
-        .toDF("rank", "left_sym", "right_sym", "merged")
+      graft.text.BpeTrainer.mergesFrame(s,
+        graft.text.BpeTrainer.continueMerges(docs(s, d), first, 4))
     }),
     // TRUE merge-order BPE encode under the TRAINED vocabulary: apply
     // the 8 learned merges in rank order (chained codegen maps over
@@ -3306,7 +3304,8 @@ object SparkEntry {
          |dt AS (SELECT d.doc_id, d.source,
          |    COALESCE(b.n_tokens_bpe, 0) AS toks
          |  FROM documents d LEFT JOIN bpe b USING (doc_id)),
-         |c AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS n FROM dt GROUP BY source),
+         |c AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS n FROM dt
+         |  GROUP BY source HAVING SUM(toks) > 0),
          |r AS (SELECT source,
          |  CAST(FLOOR(SQRT(CAST((SELECT MIN(n) FROM c) AS DOUBLE) / n) * 10000)
          |    AS BIGINT) AS cut FROM c)

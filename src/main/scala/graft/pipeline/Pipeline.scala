@@ -218,11 +218,15 @@ object Pipeline {
     // long docs and one of many short docs have the same training
     // weight only in tokens). Exact long sums keep the rate table
     // oracle-stable either way.
-    val counts = weight match {
+    val counts = (weight match {
       case Some(w) => docs.groupBy(source.as("__src"))
         .agg(sum(w.cast("long")).as("__n"))
       case None => docs.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
-    }
+    // a source with rows but ZERO total mass (possible only on the
+    // weighted path) has nothing to sample AND would poison every
+    // other source's rate (nref = 0 ⇒ all cuts 0; its own rate is
+    // 0/0 = NaN). Dropped from the mix — the count path can't hit this
+    }).filter(col("__n") > 0L)
     // keep-rate in exact integer thousandths of the modulus:
     // floor(sqrt(nRef/n) * modulus); nRef via a bounded window over the
     // O(#sources) aggregate
