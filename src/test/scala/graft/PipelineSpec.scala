@@ -539,6 +539,22 @@ class PipelineSpec extends SparkSpec {
         withNull, col("doc_id"), col("source"))
       .filter(col("source").isNull).count()
     assert(nullKept == 50L) // 50 rows = the rarest group → kept whole
+    // WEIGHTED path: token-mass rebalance, and a source with rows but
+    // ZERO total mass is dropped without poisoning the others' rates
+    // (nref=0 would zero every cut; 0/0 would NaN its own)
+    val weighted = ((0 until 90).map(i => (i.toLong, "big", 100L)) ++
+      (0 until 10).map(i => (1000L + i, "small", 100L)) ++
+      (0 until 5).map(i => (2000L + i, "empty", 0L)))
+      .toDF("doc_id", "source", "toks")
+    val wKept = graft.pipeline.Pipeline.temperatureMix(
+        weighted, col("doc_id"), col("source"),
+        weight = Some(col("toks")))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!wKept.contains("empty"), wKept.toString)
+    assert(wKept("small") == 10L) // rarest by MASS → kept whole
+    val (wLo, wHi) = band(90, math.sqrt(1000.0 / 9000.0))
+    assert(wKept("big") >= wLo && wKept("big") <= wHi, wKept.toString)
   }
 
   test("unigram rarity: boilerplate scores higher magnitude than rare text") {
