@@ -1866,6 +1866,32 @@ object SparkEntry {
       graft.sources.Sources.saveRoundTrip(
         prt(s, d).filter(col("p_size") >= 45)
           .select(col("p_partkey"), col("p_name"), col("p_size")), "orc")),
+    // ParseErrorsSketch end-to-end, ORACLED (upgrades the spec-only
+    // gate): render one JSON object per doc — every doc_id % 7 == 3
+    // line deliberately truncated mid-object — read back PERMISSIVE,
+    // and report corrupt/good counts plus a parsed-field sum the
+    // oracle recomputes from the source columns (corrupt rows parse
+    // all-null, so the sum proves good rows really parsed)
+    "json_parse_errors" -> ((s, d) => {
+      val dir = graft.sources.Sources.rtDir("json_err")
+      docs(s, d).select(
+          when(pmod(col("doc_id"), lit(7L)) === 3L,
+            concat(lit("{\"id\":"), col("doc_id").cast("string"),
+              lit(", \"n\":")))
+          .otherwise(concat(lit("{\"id\":"), col("doc_id").cast("string"),
+            lit(",\"n\":"), col("n_chars").cast("string"), lit("}")))
+          .as("value"))
+        .write.mode("overwrite").text(dir)
+      val parsed = s.read
+        .schema("id LONG, n LONG, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+      parsed.agg(
+        count(when(col("_corrupt_record").isNotNull, 1)).as("n_errors"),
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        sum(col("n")).as("sum_n"))
+    }),
     "log_parse" -> ((s, d) => {
       // Grok-ish loader end-to-end: render events as log lines, write
       // text, re-parse with the regex loader; oracle = the source fields
@@ -3673,6 +3699,11 @@ object SparkEntry {
         |WHERE o_totalprice > 400000.0""".stripMargin,
     "orc_roundtrip" ->
       "SELECT p_partkey, p_name, p_size FROM part WHERE p_size >= 45",
+    "json_parse_errors" ->
+      """SELECT CAST(count(*) FILTER (doc_id % 7 = 3) AS BIGINT) AS n_errors,
+        |CAST(count(*) FILTER (doc_id % 7 <> 3) AS BIGINT) AS n_good,
+        |CAST(SUM(n_chars) FILTER (doc_id % 7 <> 3) AS BIGINT) AS sum_n
+        |FROM documents""".stripMargin,
     "log_parse" ->
       """SELECT CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS uid,
         |event_type AS etype FROM events""".stripMargin,
