@@ -59,7 +59,8 @@ object Plans {
     "pack_sequences_ids", "corpus_mix_bpe", "bpe_train_merges",
     "text_detokenize", "dedup_embedding_lsh_stress",
     "multimodal_video_frames_raw", "bpe_train_continue",
-    "corpus_mix_temperature_tokens", "bpe_encode_merge_order")
+    "corpus_mix_temperature_tokens", "bpe_encode_merge_order",
+    "json_parse_errors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
