@@ -1425,5 +1425,22 @@ class PropertySpec extends SparkSpec {
     val nulls = Seq((1L, null: String)).toDF("id", "t")
       .select(BpeTokenizer.bpe_count(col("t"))).collect()
     assert(nulls.head.isNullAt(0))
+    // pathological inputs: a 100k-char single word stays linear-ish
+    // (the trie walk restarts per token, bounded by max vocab entry
+    // length, so cost is O(len · maxEntry) worst case — not O(len²)),
+    // and deep prefix-overlap vocabularies resolve longest-match
+    val trie = new graft.functions.BpeTrie(vocab.toArray)
+    val big = "customer" * 12500 // 100k chars
+    val t0 = System.nanoTime()
+    val n = trie.count(big)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(n == 12500L, s"'customer'*12500 must be 12500 tokens, got $n")
+    assert(ms < 500, s"100k-char word took $ms ms — superlinear walk?")
+    val overlapping = new graft.functions.BpeTrie(
+      Array("a", "ab", "abc", "abcd", "abcde", "b", "bc", "c"))
+    assert(overlapping.count("abcde") == 1L)   // deepest entry wins
+    assert(overlapping.count("abcdx") == 2L)   // abcd + fallback x
+    assert(overlapping.encode("abcde").toSeq == Seq(4))
+    assert(overlapping.encode("abcdx").toSeq == Seq(3, 8 + 'x'.toInt))
   }
 }
