@@ -31,8 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * recursive CTE over the same literal vocab):
   *  - input is matched within whitespace-separated words (vocab entries
   *    never contain spaces; the walk stops at ' ');
-  *  - at each position the LONGEST vocab prefix wins; on no match the
-  *    single character is one token (advance 1);
+  *  - at each position the LONGEST vocab prefix wins; on no match one
+  *    CODEPOINT is one token (advance a full UTF-8 sequence — the
+  *    oracle's `substr`/`ascii` are codepoint-based, and a UTF-16
+  *    code-unit walk would desync on astral-plane input);
   *  - empty words (consecutive spaces) contribute nothing.
   */
 object BpeTokenizer {
@@ -85,103 +87,231 @@ object BpeTokenizer {
     vocab.map(v => "'" + v.replace("'", "''") + "'").mkString("[", ", ", "]")
 }
 
-/** ASCII trie for greedy longest-match: flat int array of child links
-  * (node*128 + char), terminal flags per node. Built once on the
-  * driver, shipped in the expression; kilobytes for any literal vocab.
+/** UTF-8 BYTE-level trie for greedy longest-match (alphabet 256):
+  * vocab entries may be any space-free UTF-8 strings (multilingual
+  * merges, CJK, emoji). The walk runs directly over the UTF8String's
+  * bytes — no String materialization per row. A match always covers
+  * whole codepoints (entries are valid UTF-8, so a byte-prefix match
+  * of an entry IS a character-prefix match — UTF-8 is prefix-
+  * preserving and self-synchronizing); on no match the fallback
+  * consumes ONE CODEPOINT (1–4 bytes) and its id is
+  * `vocab.length + codepoint`, which keeps the per-character DuckDB
+  * oracles (`substr`/`ascii` are codepoint-based) exactly in sync,
+  * including astral-plane input where a UTF-16 walk would desync.
+  *
+  * Two frozen layouts behind one walker:
+  *  - FLAT: one 256-wide int dispatch row per node — O(1)/byte, the
+  *    hot path for literal/test vocabs (≤16 KiB of entry bytes);
+  *  - CSR: per-node sorted edge arrays + binary search — O(edges)
+  *    memory for production vocabs (a 50k-entry vocab is ~a few MB
+  *    where FLAT would be hundreds; parity-gated in PropertySpec).
   */
-final class BpeTrie(val vocab: Array[String]) extends Serializable {
-  private val cap = vocab.map(_.length).sum + 1
-  private val children = Array.fill(cap * 128)(-1)
-  // terminal marker = vocab index + 1 (0 = not a vocab entry)
-  private val term = new Array[Int](cap)
-  private var nNodes = 1
-  vocab.zipWithIndex.foreach { case (v, vi) =>
-    require(v.nonEmpty, "empty vocab entry")
-    var node = 0
-    var i = 0
-    while (i < v.length) {
-      val c = v.charAt(i)
-      require(c < 128 && c != ' ', s"vocab must be ASCII and space-free: '$v'")
-      var nxt = children(node * 128 + c)
-      if (nxt == -1) { nxt = nNodes; nNodes += 1; children(node * 128 + c) = nxt }
-      node = nxt
-      i += 1
+final class BpeTrie(val vocab: Array[String], layout: Int)
+    extends Serializable {
+  def this(vocab: Array[String]) = this(vocab, BpeTrie.LayoutAuto)
+
+  // frozen structures; exactly one of (flatChildren) / (csrOff, csrKeys,
+  // csrChild) is non-null. term(node) = vocab index + 1 (0 = interior).
+  // (single tuple val + projections — typed destructuring patterns
+  // would MatchError on the null layout slots)
+  private val frozen: (Array[Int], Array[Int], Array[Int], Array[Byte],
+      Array[Int]) = {
+    val vbytes = vocab.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val useFlat = layout match {
+      case BpeTrie.LayoutFlat    => true
+      case BpeTrie.LayoutCompact => false
+      case _ => vbytes.iterator.map(_.length.toLong).sum <= 16384L
     }
-    term(node) = vi + 1
-  }
-
-  def countTokens(s: UTF8String): Long = count(s.toString)
-
-  /** One pass over the string: spaces delimit words for free (vocab is
-    * space-free so a match can never cross a boundary). */
-  def count(str: String): Long = {
-    var n = 0L
-    var i = 0
-    val len = str.length
-    while (i < len) {
-      if (str.charAt(i) == ' ') i += 1
-      else {
-        i += math.max(matchLen(str, i), 1) // no match: 1 char = 1 token
-        n += 1L
+    // build-time adjacency: per node a packed (byte << 24 | child) list
+    val kids = scala.collection.mutable.ArrayBuffer(
+      new scala.collection.mutable.ArrayBuffer[Int]())
+    val terms = scala.collection.mutable.ArrayBuffer(0)
+    vocab.zip(vbytes).zipWithIndex.foreach { case ((v, bs), vi) =>
+      require(bs.nonEmpty, "empty vocab entry")
+      require(!bs.contains(' '.toByte), s"vocab must be space-free: '$v'")
+      var node = 0
+      var i = 0
+      while (i < bs.length) {
+        val b = bs(i) & 0xFF
+        var nxt = -1
+        val row = kids(node)
+        var k = 0
+        while (nxt == -1 && k < row.length) {
+          if ((row(k) >>> 24) == b) nxt = row(k) & 0xFFFFFF
+          k += 1
+        }
+        if (nxt == -1) {
+          nxt = kids.length
+          require(nxt < (1 << 24), "vocab too large for trie node ids")
+          row += (b << 24) | nxt
+          kids += new scala.collection.mutable.ArrayBuffer[Int]()
+          terms += 0
+        }
+        node = nxt
+        i += 1
       }
+      terms(node) = vi + 1
     }
-    n
+    val n = kids.length
+    if (useFlat) {
+      val flat = Array.fill(n * 256)(-1)
+      var node = 0
+      while (node < n) {
+        kids(node).foreach(e => flat((node << 8) | (e >>> 24)) = e & 0xFFFFFF)
+        node += 1
+      }
+      (terms.toArray, flat, null, null, null)
+    } else {
+      val nEdges = kids.iterator.map(_.length).sum
+      val off = new Array[Int](n + 1)
+      val keys = new Array[Byte](nEdges)
+      val child = new Array[Int](nEdges)
+      var p = 0
+      var node = 0
+      while (node < n) {
+        off(node) = p
+        kids(node).sortBy(_ >>> 24).foreach { e =>
+          keys(p) = (e >>> 24).toByte
+          child(p) = e & 0xFFFFFF
+          p += 1
+        }
+        node += 1
+      }
+      off(n) = p
+      (terms.toArray, null, off, keys, child)
+    }
   }
+  private val term = frozen._1
+  private val flatChildren = frozen._2
+  private val csrOff = frozen._3
+  private val csrKeys = frozen._4
+  private val csrChild = frozen._5
 
-  /** Length of the longest vocab prefix at `i` (0 = none). */
-  private def matchLen(str: String, i: Int): Int = {
+  /** Child of `node` along byte `b` (0–255), -1 if none. */
+  @inline private def step(node: Int, b: Int): Int =
+    if (flatChildren ne null) flatChildren((node << 8) | b)
+    else {
+      var lo = csrOff(node)
+      var hi = csrOff(node + 1) - 1
+      var found = -1
+      while (found == -1 && lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val k = csrKeys(mid) & 0xFF
+        if (k == b) found = csrChild(mid)
+        else if (k < b) lo = mid + 1
+        else hi = mid - 1
+      }
+      found
+    }
+
+  /** Longest vocab byte-prefix at byte offset `i`, packed as
+    * `(byteLen.toLong << 32) | (vocabIndex + 1)`; 0 = no match. */
+  private def matchBest(s: UTF8String, i: Int, len: Int): Long = {
     var node = 0
     var j = i
-    var best = 0
-    val len = str.length
+    var best = 0L
     var walking = true
     while (walking && j < len) {
-      val ch = str.charAt(j)
-      if (ch >= 128 || ch == ' ') walking = false
+      val b = s.getByte(j) & 0xFF
+      if (b == 0x20) walking = false
       else {
-        val nxt = children(node * 128 + ch)
+        val nxt = step(node, b)
         if (nxt == -1) walking = false
         else {
           node = nxt
           j += 1
-          if (term(node) > 0) best = j - i
+          if (term(node) > 0) best = ((j - i).toLong << 32) | term(node).toLong
         }
       }
     }
     best
   }
 
+  /** Byte width of the UTF-8 sequence starting at `i` (clamped to the
+    * remaining bytes — a truncated tail still advances). */
+  @inline private def cpWidth(s: UTF8String, i: Int, len: Int): Int = {
+    val nb = UTF8String.numBytesForFirstByte(s.getByte(i))
+    if (i + nb <= len) nb else 1
+  }
+
+  /** Codepoint of the `nb`-byte UTF-8 sequence at `i`. */
+  private def codePoint(s: UTF8String, i: Int, nb: Int): Int = {
+    val b0 = s.getByte(i) & 0xFF
+    nb match {
+      case 1 => b0
+      case 2 => ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F)
+      case 3 => ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
+        (s.getByte(i + 2) & 0x3F)
+      case _ => ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
+        ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F)
+    }
+  }
+
+  /** One pass over the bytes: spaces delimit words for free (vocab is
+    * space-free so a match can never cross a boundary; 0x20 never
+    * occurs inside a multi-byte UTF-8 sequence). */
+  def countTokens(s: UTF8String): Long = {
+    var n = 0L
+    var i = 0
+    val len = s.numBytes()
+    while (i < len) {
+      if ((s.getByte(i) & 0xFF) == 0x20) i += 1
+      else {
+        val m = (matchBest(s, i, len) >>> 32).toInt
+        i += (if (m > 0) m else cpWidth(s, i, len)) // no match: 1 codepoint = 1 token
+        n += 1L
+      }
+    }
+    n
+  }
+
+  def count(str: String): Long = countTokens(UTF8String.fromString(str))
+
   def encodeIds(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(encode(s.toString))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(encodeUtf8(s))
 
   /** Greedy longest-match token IDS: vocab match → its index; fallback
-    * char c → vocab.length + codepoint(c) (the byte-fallback id block).
-    * `count(s) == encode(s).length` by construction. */
-  def encode(str: String): Array[Int] = {
-    val out = new scala.collection.mutable.ArrayBuffer[Int](str.length / 3 + 4)
+    * codepoint c → vocab.length + c (the fallback id block — one id per
+    * CODEPOINT, so astral characters are one token, not two).
+    * `countTokens(s) == encodeUtf8(s).length` by construction. */
+  def encodeUtf8(s: UTF8String): Array[Int] = {
+    val len = s.numBytes()
+    val out = new scala.collection.mutable.ArrayBuffer[Int](len / 3 + 4)
     var i = 0
-    val len = str.length
     while (i < len) {
-      val c = str.charAt(i)
-      if (c == ' ') i += 1
+      if ((s.getByte(i) & 0xFF) == 0x20) i += 1
       else {
-        val m = matchLen(str, i)
-        if (m > 0) {
-          // the id: walk again is avoided — matchLen's best node is the
-          // entry of length m at i; re-derive its index via the trie
-          var node = 0
-          var j = i
-          while (j < i + m) { node = children(node * 128 + str.charAt(j)); j += 1 }
-          out += term(node) - 1
-          i += m
+        val best = matchBest(s, i, len)
+        if (best != 0L) {
+          out += (best & 0xFFFFFFFFL).toInt - 1
+          i += (best >>> 32).toInt
         } else {
-          out += vocab.length + c.toInt
-          i += 1
+          val nb = cpWidth(s, i, len)
+          out += vocab.length + codePoint(s, i, nb)
+          i += nb
         }
       }
     }
     out.toArray
   }
+
+  def encode(str: String): Array[Int] = encodeUtf8(UTF8String.fromString(str))
+
+  /** Frozen-structure footprint in bytes (the heap-gate surface: CSR is
+    * O(edges) ≈ O(total vocab bytes); FLAT is O(nodes·1 KiB)). */
+  def storageBytes: Long =
+    if (flatChildren ne null) 4L * flatChildren.length + 4L * term.length
+    else 4L * csrOff.length + csrKeys.length + 4L * csrChild.length +
+      4L * term.length
+}
+
+object BpeTrie {
+  /** FLAT when total entry bytes ≤16 KiB, CSR beyond. */
+  val LayoutAuto = 0
+  /** Force the O(1)/byte 256-way dispatch layout (tests). */
+  val LayoutFlat = 1
+  /** Force the O(edges)-memory sorted-edge layout (tests). */
+  val LayoutCompact = 2
 }
 
 /** Codegen expression: subword-token count of a string under a literal

@@ -102,17 +102,16 @@ object BpeTrainer {
     * longest-match under this vocab approximates merge-order BPE encode
     * (exact for non-nested merge sets); [[BpeTokenizer]] consumes it
     * directly, closing the train→encode loop. Characters outside the
-    * vocab fall back to byte tokens at encode time, so the vocab needs
-    * no corpus-wide character census — and symbols the TRIE cannot hold
-    * (non-ASCII, or containing a space) are dropped here for the same
-    * fallback reason rather than crashing trie construction on a
-    * non-ASCII corpus. */
+    * vocab fall back to codepoint tokens at encode time, so the vocab
+    * needs no corpus-wide character census. The UTF-8 byte trie holds
+    * any space-free entry (multilingual merges included); singles are
+    * enumerated per CODEPOINT so astral symbols stay whole. */
   def vocabFromMerges(merges: Seq[(String, String)]): Seq[String] = {
-    val asciiOk = (s: String) => s.forall(c => c < 128 && c != ' ')
-    val singles = merges.flatMap { case (a, b) => (a + b).toSeq }
-      .distinct.map(_.toString)
+    val singles = merges.flatMap { case (a, b) =>
+      (a + b).codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }.distinct
     (singles ++ merges.map { case (a, b) => a + b })
-      .distinct.filter(asciiOk)
+      .distinct.filter(s => s.nonEmpty && !s.contains(' '))
   }
 
   /** Merge-order token counts per doc — TRUE BPE encode semantics

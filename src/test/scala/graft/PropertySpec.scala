@@ -1352,7 +1352,9 @@ class PropertySpec extends SparkSpec {
           var best = 0
           vocab.foreach { v =>
             if (v.length > best && w.startsWith(v, pos)) best = v.length }
-          pos += math.max(best, 1); n += 1
+          // fallback consumes a whole codepoint (astral = ONE token)
+          pos += (if (best > 0) best else Character.charCount(w.codePointAt(pos)))
+          n += 1
         }
         n
       }.sum
@@ -1363,7 +1365,11 @@ class PropertySpec extends SparkSpec {
     assert(refBpe("join") == 1L && refBpe("batch") == 2L &&
       refBpe("merge") == 3L && refBpe("spark") == 5L)
     val rnd = new scala.util.Random(8080L)
-    val frags = vocab ++ Seq("z", "x", "9", "%", "qq", "é", " ", "  ", "zz")
+    // non-ASCII frags exercise the UTF-8 byte walk's fallback at every
+    // width: é (2-byte), 日 (3-byte), 𝄞/📊 (4-byte, astral — one token
+    // per CODEPOINT, where a UTF-16 walk would emit two surrogate ids)
+    val frags = vocab ++ Seq("z", "x", "9", "%", "qq", "é", " ", "  ", "zz",
+      "日", "𝄞", "📊", "über", "θ日𝄞")
     def genText(): String =
       (0 until (1 + rnd.nextInt(12))).map { _ =>
         (0 until (1 + rnd.nextInt(4)))
@@ -1380,13 +1386,19 @@ class PropertySpec extends SparkSpec {
         var pos = 0
         while (pos < w.length) {
           var best = 0; var bi = -1
+          // matches at one position form a prefix chain, so "longest"
+          // agrees across UTF-16/byte/codepoint metrics
           vocab.zipWithIndex.foreach { case (v, i) =>
             if (v.length > best && w.startsWith(v, pos)) {
               best = v.length; bi = i
             }
           }
           if (best > 0) { out += bi; pos += best }
-          else { out += vocab.size + w.charAt(pos).toInt; pos += 1 }
+          else {
+            val cp = w.codePointAt(pos) // fallback id is per CODEPOINT
+            out += vocab.size + cp
+            pos += Character.charCount(cp)
+          }
         }
         out.toSeq
       }
@@ -1425,22 +1437,151 @@ class PropertySpec extends SparkSpec {
     val nulls = Seq((1L, null: String)).toDF("id", "t")
       .select(BpeTokenizer.bpe_count(col("t"))).collect()
     assert(nulls.head.isNullAt(0))
-    // pathological inputs: a 100k-char single word stays linear-ish
-    // (the trie walk restarts per token, bounded by max vocab entry
-    // length, so cost is O(len · maxEntry) worst case — not O(len²)),
-    // and deep prefix-overlap vocabularies resolve longest-match
+    // pathological inputs: a long single word stays linear (the trie
+    // walk restarts per token, bounded by max vocab entry length, so
+    // cost is O(len · maxEntry) worst case — not O(len²)). Gate on the
+    // RATIO between two sizes, not a wall-clock bound: a loaded host
+    // slows both sides equally, while a quadratic walk shows up as
+    // ~100× for the 10× input (linear ≈ 10×; threshold 35× allows
+    // constant-term and cache noise).
     val trie = new graft.functions.BpeTrie(vocab.toArray)
-    val big = "customer" * 12500 // 100k chars
-    val t0 = System.nanoTime()
-    val n = trie.count(big)
-    val ms = (System.nanoTime() - t0) / 1e6
-    assert(n == 12500L, s"'customer'*12500 must be 12500 tokens, got $n")
-    assert(ms < 500, s"100k-char word took $ms ms — superlinear walk?")
+    val small = "customer" * 2500  // 20k chars
+    val big = "customer" * 25000   // 200k chars, 10× the input
+    def minNanos(s: String, reps: Int): Long =
+      (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        trie.count(s)
+        System.nanoTime() - t0
+      }.min
+    minNanos(big, 2) // JIT warmup on the large input
+    val tSmall = minNanos(small, 5).max(1L)
+    val tBig = minNanos(big, 5)
+    assert(trie.count(small) == 2500L && trie.count(big) == 25000L)
+    val ratio = tBig.toDouble / tSmall
+    assert(ratio < 35.0,
+      s"10x input took ${ratio}x the time — superlinear walk? " +
+        s"(small=${tSmall}ns big=${tBig}ns)")
     val overlapping = new graft.functions.BpeTrie(
       Array("a", "ab", "abc", "abcd", "abcde", "b", "bc", "c"))
     assert(overlapping.count("abcde") == 1L)   // deepest entry wins
     assert(overlapping.count("abcdx") == 2L)   // abcd + fallback x
     assert(overlapping.encode("abcde").toSeq == Seq(4))
     assert(overlapping.encode("abcdx").toSeq == Seq(3, 8 + 'x'.toInt))
+  }
+
+  test("BPE tokenizer: UTF-8 vocab differential fuzz (multilingual entries, astral fallback)") {
+    import graft.functions.BpeTokenizer
+    // non-ASCII VOCAB entries at every UTF-8 width, plus overlap chains
+    // (θ vs θe, 日 vs 日本) so byte-level longest-match is exercised on
+    // multi-byte boundaries; 𝄞x pairs an astral entry with ASCII
+    val vocab = BpeTokenizer.defaultVocab ++
+      Seq("θ", "θe", "ü", "über", "日", "日本", "qüry", "𝄞x")
+    def refIds(text: String): Seq[Int] =
+      text.split(" ", -1).filter(_.nonEmpty).toSeq.flatMap { w =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var pos = 0
+        while (pos < w.length) {
+          var best = 0; var bi = -1
+          vocab.zipWithIndex.foreach { case (v, i) =>
+            if (v.length > best && w.startsWith(v, pos)) {
+              best = v.length; bi = i
+            }
+          }
+          if (best > 0) { out += bi; pos += best }
+          else {
+            val cp = w.codePointAt(pos)
+            out += vocab.size + cp
+            pos += Character.charCount(cp)
+          }
+        }
+        out.toSeq
+      }
+    // hand anchors: θe beats θ (longest match crosses into ASCII);
+    // 日本 beats 日; a lone 𝄞 is ONE fallback token with a codepoint id
+    val vθe = vocab.indexOf("θe"); val v日本 = vocab.indexOf("日本")
+    assert(refIds("θe") == Seq(vθe) && refIds("日本") == Seq(v日本))
+    assert(refIds("𝄞") == Seq(vocab.size + 0x1D11E))
+    val rnd = new scala.util.Random(4242L)
+    val frags = vocab ++ Seq("z", "é", "θ", "本", "𝄞", "📊", " ", "ß", "و")
+    def genText(): String =
+      (0 until (1 + rnd.nextInt(10))).map { _ =>
+        (0 until (1 + rnd.nextInt(4)))
+          .map(_ => frags(rnd.nextInt(frags.size))).mkString
+      }.mkString(" ")
+    val texts = Seq("θe 日本 𝄞x", "über qüry", "𝄞📊𝄞", "日本本日") ++
+      (0 until 200).map(_ => genText())
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+        BpeTokenizer.bpe_count(col("t"), vocab).as("n"),
+        BpeTokenizer.bpe_encode(col("t"), vocab).as("ids"),
+        BpeTokenizer.bpe_decode(
+          BpeTokenizer.bpe_encode(col("t"), vocab), vocab).as("rt"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Int](2).toSeq, r.getString(3)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (n, ids, rt) = got(i.toLong)
+      val expect = refIds(t)
+      assert(ids == expect, s"text '$t': ids=$ids reference=$expect")
+      assert(n == expect.length.toLong, s"count/encode disagree for '$t'")
+      // decode∘encode == input minus spaces, on UTF-8 incl astral input
+      assert(rt == t.replace(" ", ""), s"round trip broke for '$t': '$rt'")
+    }
+  }
+
+  test("BPE trie: compact layout parity + heap gate at a 50k-entry vocab") {
+    import graft.functions.BpeTrie
+    // synthetic 50k-entry vocab with realistic shared prefixes (BPE
+    // merges nest), mixing ASCII and multi-byte scripts
+    val rnd = new scala.util.Random(515151L)
+    val roots = Array("con", "pre", "über", "inter", "日本", "θεο", "trans",
+      "sub", "meta", "anti", "𝄞mu", "re", "de", "un", "out", "over")
+    val vocab = (0 until 50000).map { i =>
+      val sb = new StringBuilder(roots(i % roots.length))
+      (0 until (1 + rnd.nextInt(6))).foreach { _ =>
+        sb.append(('a' + rnd.nextInt(26)).toChar)
+      }
+      sb.append(i.toString) // uniqueness
+      sb.toString
+    }.distinct.toArray
+    assert(vocab.length > 49000)
+    val compact = new BpeTrie(vocab, BpeTrie.LayoutCompact)
+    // heap gate: the compact layout must stay O(edges). Edges ≤ total
+    // entry bytes; at 12 bytes/edge (key + child + offset amortized)
+    // the frozen arrays are a few MB where the flat 256-way dispatch
+    // would be ~nodes*1KiB (hundreds of MB at this vocab size).
+    val totalBytes = vocab.map(_.getBytes("UTF-8").length.toLong).sum
+    assert(compact.storageBytes < 16L * totalBytes,
+      s"compact trie not O(edges): ${compact.storageBytes}B for " +
+        s"$totalBytes vocab bytes")
+    val auto = new BpeTrie(vocab) // auto must pick compact at this size
+    assert(auto.storageBytes == compact.storageBytes,
+      "auto layout did not pick compact above the byte threshold")
+    // parity: flat layout on a 2k-entry slice (flat at 50k would be the
+    // exact heap blowup the compact layout exists to avoid)
+    val slice = vocab.take(2000)
+    val flat = new BpeTrie(slice, BpeTrie.LayoutFlat)
+    val compactSlice = new BpeTrie(slice, BpeTrie.LayoutCompact)
+    val probes = Seq("conabc123", "über日本", "θεοxyz", "𝄞muq7",
+      "presub contra", "日本本", "transqq50 overx1") ++
+      (0 until 500).map(_ => vocab(rnd.nextInt(vocab.length))) ++
+      (0 until 500).map(_ => slice(rnd.nextInt(slice.length)) + " zz" +
+        vocab(rnd.nextInt(vocab.length)))
+    probes.foreach { p =>
+      assert(compactSlice.count(p) == flat.count(p), s"count parity: '$p'")
+      assert(compactSlice.encode(p).toSeq == flat.encode(p).toSeq,
+        s"encode parity: '$p'")
+    }
+    // every vocab entry round-trips to its own single id on BOTH the
+    // 50k compact trie and (for the slice) the flat twin
+    vocab.zipWithIndex.foreach { case (v, i) =>
+      assert(compact.encode(v).toSeq == Seq(i), s"entry '$v' id")
+      assert(auto.encode(v).toSeq == Seq(i), s"auto entry '$v' id")
+    }
+    slice.zipWithIndex.foreach { case (v, i) =>
+      assert(flat.encode(v).toSeq == Seq(i))
+    }
+    assert(totalBytes > 16384L) // the auto threshold really was crossed
   }
 }
