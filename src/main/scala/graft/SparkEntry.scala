@@ -29,6 +29,22 @@ object SparkEntry {
   private def emb(s: SparkSession, d: String)  = Tables.embeddings(s, d)
   private def ev(s: SparkSession, d: String)   = Tables.events(s, d)
 
+  /** Two filtered-then-projected VIEWS of orders combined through the
+    * TargetRegistry's row-identity set algebra. The projection to
+    * (o_custkey, o_orderstatus) manufactures duplicate-VALUED rows from
+    * distinct physical rows — the case where membership-set and
+    * value-set semantics diverge. */
+  private def setOpDups(s: SparkSession, d: String, kind: String): DataFrame = {
+    val reg = new graft.engine.TargetRegistry(s)
+    val root = reg.loadTable(d, "orders")
+    val keep = Seq("o_custkey", "o_orderstatus")
+    val a = reg.project(
+      reg.filter(root.id, col("o_totalprice") > 200000.0).id, keep)
+    val b = reg.project(
+      reg.filter(root.id, col("o_orderpriority") === "1-URGENT").id, keep)
+    reg.setOp(a.id, b.id, kind).df
+  }
+
   // PQ / IVF-PQ build-vs-serve split: `ann_pq_build` times the one-time
   // index build (train + encode + persist); the `ann_*pq_topk` queries
   // are the SERVE path over the prebuilt persisted index — the number
@@ -962,6 +978,17 @@ object SparkEntry {
       SetOps.except(
         cust(s, d).select(col("c_custkey").as("custkey")),
         ord(s, d).select(col("o_custkey").as("custkey")))),
+    // ROW-IDENTITY set algebra (SetOperationMap membership-set semantics,
+    // reference TableTarget.java:665-674): the views project orders onto a
+    // duplicate-valued pair of columns, so two physical base rows with
+    // equal values are DISTINCT set members — union keeps both copies,
+    // intersect/minus keep one per physical row. Value-based
+    // union().distinct()/intersect()/except() would collapse them; the
+    // oracle (a plain OR/AND/AND-NOT predicate over the base, duplicates
+    // preserved) pins the row-identity behavior.
+    "setop_union_dups" -> ((s, d) => setOpDups(s, d, "union")),
+    "setop_intersect_dups" -> ((s, d) => setOpDups(s, d, "intersect")),
+    "setop_minus_dups" -> ((s, d) => setOpDups(s, d, "minus")),
     "set_compare" -> ((s, d) => {
       val o = ord(s, d)
       SetOps.compare(Seq(
@@ -2866,6 +2893,18 @@ object SparkEntry {
     "setop_except" ->
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT SELECT o_custkey AS custkey FROM orders""".stripMargin,
+    // row-identity set algebra over two views of the same base: the
+    // membership predicate composes; DUPLICATE-VALUED projected rows are
+    // preserved one-per-physical-row (bag, not set)
+    "setop_union_dups" ->
+      """SELECT o_custkey, o_orderstatus FROM orders
+        |WHERE o_totalprice > 200000.0 OR o_orderpriority = '1-URGENT'""".stripMargin,
+    "setop_intersect_dups" ->
+      """SELECT o_custkey, o_orderstatus FROM orders
+        |WHERE o_totalprice > 200000.0 AND o_orderpriority = '1-URGENT'""".stripMargin,
+    "setop_minus_dups" ->
+      """SELECT o_custkey, o_orderstatus FROM orders
+        |WHERE o_totalprice > 200000.0 AND NOT o_orderpriority = '1-URGENT'""".stripMargin,
     "set_compare" ->
       """SELECT o_orderkey, array_to_string(list_sort(list(DISTINCT src)), ',') AS sources FROM
         |(SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'

@@ -23,22 +23,35 @@ import scala.collection.mutable
   * two textually different but plan-equal gestures share an entry).
   */
 class TargetRegistry(val spark: SparkSession) {
+  import TargetRegistry.RowIdCol
 
   /** `op`/`args` are the REPLAYABLE form of the gesture (expressions as
     * SQL text, parsed back with `expr` on replay); `gesture` is the
     * display string the lineage API returns. `moreParents` carries the
     * ADDITIONAL inputs of multi-parent gestures (set ops, mergeWith) —
-    * `parent` stays the primary lineage edge. */
+    * `parent` stays the primary lineage edge.
+    *
+    * `rid` is the ROW-IDENTITY twin: the same rows as `df` plus a hidden
+    * `__graft_rid` column identifying each row of the ROOT table (the
+    * reference's membership sets are sets of row indices over the base
+    * table — TableTarget.java:665-674 composes them, so two value-equal
+    * base rows are distinct set members). File-backed roots derive the
+    * id from parquet scan metadata (file_path, row_index) — deterministic
+    * across re-evaluation, unlike monotonically_increasing_id. Targets
+    * whose lineage can't carry one (volatile roots, bag merges) have
+    * `rid = None` and set ops on them fall back to value semantics. */
   final case class Target(id: String, df: DataFrame,
       parent: Option[String], gesture: String,
-      op: String, args: Seq[String], moreParents: Seq[String] = Seq.empty)
+      op: String, args: Seq[String], moreParents: Seq[String] = Seq.empty,
+      rid: Option[DataFrame] = None)
 
   private val targets = mutable.LinkedHashMap.empty[String, Target]
   private var nextId = 0
 
   private def register(df: DataFrame, parent: Option[String], gesture: String,
       op: String, args: Seq[String], forcedId: Option[String] = None,
-      moreParents: Seq[String] = Seq.empty): Target =
+      moreParents: Seq[String] = Seq.empty,
+      rid: Option[DataFrame] = None): Target =
     synchronized {
       val id = forcedId.getOrElse { val i = s"t$nextId"; nextId += 1; i }
       require(!targets.contains(id), s"target id $id already registered")
@@ -47,10 +60,21 @@ class TargetRegistry(val spark: SparkSession) {
       forcedId.collect { case s if s.matches("t\\d+") =>
         nextId = math.max(nextId, s.drop(1).toInt + 1)
       }
-      val t = Target(id, df, parent, gesture, op, args, moreParents)
+      val t = Target(id, df, parent, gesture, op, args, moreParents, rid)
       targets.update(t.id, t)
       t
     }
+
+  /** Row-preserving gesture: the same frame transform applied to the
+    * visible frame and (when present) the row-identity twin, so the
+    * hidden `__graft_rid` survives every map in the chain. */
+  private def mapGesture(parentId: String, gesture: String, op: String,
+      args: Seq[String], forcedId: Option[String] = None)
+      (f: DataFrame => DataFrame): Target = {
+    val p = get(parentId)
+    register(f(p.df), Some(parentId), gesture, op, args, forcedId,
+      rid = p.rid.map(f))
+  }
 
   def get(id: String): Target = synchronized(targets(id))
   def size: Int = synchronized(targets.size)
@@ -91,79 +115,133 @@ class TargetRegistry(val spark: SparkSession) {
     register(df, None, s"load:$name", "load_volatile", Seq(name))
 
   def loadTable(dir: String, table: String): Target =
-    register(Tables.table(spark, dir, table), None,
-      s"load:$table", "load", Seq(dir, table))
+    loadImpl(dir, table, None)
+
+  private def loadImpl(dir: String, table: String,
+      forcedId: Option[String]): Target = {
+    val df = Tables.table(spark, dir, table)
+    // row identity from the scan itself: (file, row ordinal) is stable
+    // across re-evaluation and survives as a normal column through the
+    // gesture chain. file_path is dictionary-encodable in shuffles.
+    val rid = df.withColumn(RowIdCol, org.apache.spark.sql.functions.struct(
+      org.apache.spark.sql.functions.col("_metadata.file_path").as("f"),
+      org.apache.spark.sql.functions.col("_metadata.row_index").as("i")))
+    register(df, None, s"load:$table", "load", Seq(dir, table), forcedId,
+      rid = Some(rid))
+  }
 
   // ── map gestures → child targets (FilterMap, ProjectMap, …) ─────────
   def filter(id: String, pred: Column): Target =
-    register(get(id).df.filter(pred), Some(id), s"filter:$pred",
-      "filter", Seq(sqlOf(pred)))
+    mapGesture(id, s"filter:$pred", "filter", Seq(sqlOf(pred)))(_.filter(pred))
 
   def project(id: String, cols: Seq[String]): Target =
-    register(get(id).df.select(cols.map(org.apache.spark.sql.functions.col): _*),
-      Some(id), s"project:${cols.mkString(",")}", "project", cols)
+    projectImpl(id, cols, None)
 
-  def withColumn(id: String, name: String, c: Column): Target =
-    register(get(id).df.withColumn(name, c), Some(id), s"col:$name=$c",
-      "col", Seq(name, sqlOf(c)))
+  private def projectImpl(id: String, cols: Seq[String],
+      forcedId: Option[String]): Target = {
+    val p = get(id)
+    val F = org.apache.spark.sql.functions
+    register(p.df.select(cols.map(F.col): _*), Some(id),
+      s"project:${cols.mkString(",")}", "project", cols, forcedId,
+      rid = p.rid.map(_.select((RowIdCol +: cols).map(F.col): _*)))
+  }
+
+  def withColumn(id: String, name: String, c: Column): Target = {
+    require(name != RowIdCol, s"$RowIdCol is reserved")
+    mapGesture(id, s"col:$name=$c", "col", Seq(name, sqlOf(c)))(
+      _.withColumn(name, c))
+  }
 
   /** RenameColumnMap.java gesture. */
-  def rename(id: String, from: String, to: String): Target =
-    register(get(id).df.withColumnRenamed(from, to), Some(id),
-      s"rename:$from->$to", "rename", Seq(from, to))
+  def rename(id: String, from: String, to: String): Target = {
+    require(from != RowIdCol && to != RowIdCol, s"$RowIdCol is reserved")
+    mapGesture(id, s"rename:$from->$to", "rename", Seq(from, to))(
+      _.withColumnRenamed(from, to))
+  }
 
   /** ConvertColumnMap.java gesture (cast in place). */
   def convert(id: String, column: String, toType: String): Target =
-    register(get(id).df.withColumn(column,
-        org.apache.spark.sql.functions.col(column).cast(toType)),
-      Some(id), s"convert:$column:$toType", "convert", Seq(column, toType))
+    mapGesture(id, s"convert:$column:$toType", "convert",
+      Seq(column, toType))(df => df.withColumn(column,
+        org.apache.spark.sql.functions.col(column).cast(toType)))
 
   /** CreateIntervalColumnMap.java gesture (TableTarget.java:648-653):
     * two numeric columns → one Interval column. */
   def createInterval(id: String, name: String, a: String, b: String): Target =
-    register(get(id).df.withColumn(name, graft.operators.Intervals.make(
+    mapGesture(id, s"interval:$name=[$a,$b]", "interval",
+      Seq(name, a, b))(df => df.withColumn(name, graft.operators.Intervals.make(
         org.apache.spark.sql.functions.col(a),
-        org.apache.spark.sql.functions.col(b))),
-      Some(id), s"interval:$name=[$a,$b]", "interval", Seq(name, a, b))
+        org.apache.spark.sql.functions.col(b))))
 
   /** CreateColumnJSMap.java gesture: a JS-subset `function map(row)`
     * compiled to Columns; the SOURCE TEXT is the replayable arg. */
   def jsColumn(id: String, name: String, js: String): Target =
-    register(graft.functions.JsGesture.withJsColumn(get(id).df, name, js),
-      Some(id), s"jscol:$name", "jscol", Seq(name, js))
+    mapGesture(id, s"jscol:$name", "jscol", Seq(name, js))(
+      graft.functions.JsGesture.withJsColumn(_, name, js))
 
   /** JSFilterDescription gesture (TableTarget.java:705-711). */
   def jsFilter(id: String, js: String): Target =
-    register(graft.functions.JsGesture.jsFilter(get(id).df, js),
-      Some(id), "jsfilter", "jsfilter", Seq(js))
+    mapGesture(id, "jsfilter", "jsfilter", Seq(js))(
+      graft.functions.JsGesture.jsFilter(_, js))
 
   /** SetOperationMap.java gesture (TableTarget.java:665-674): set
-    * algebra of two registered views — membership-set semantics, so
-    * the Spark forms are the SET-flavored union/intersect/except
-    * ("replace" = the other view, as the reference). Both views become
-    * lineage parents: the redo log replays the pair, a bookmark of the
-    * result carries both chains. */
-  def setOp(idA: String, idB: String, kind: String): Target = {
-    val a = get(idA).df
-    val b = get(idB).df
-    val df = kind match {
-      case "union" => a.union(b).distinct()
-      case "intersect" => a.intersect(b)
-      case "minus" => a.except(b)
-      case "replace" => b
-      case other => throw new IllegalArgumentException(s"setop kind: $other")
+    * algebra of two registered views — the reference composes MEMBERSHIP
+    * SETS OF ROW INDICES over the shared base table, so two value-equal
+    * base rows are independent members: a union keeps both, an intersect
+    * keeps each iff that PHYSICAL row is in both views. When both sides
+    * carry a row-identity twin (file-backed lineage) the algebra runs on
+    * `__graft_rid` — union = A ⊎ (B anti-join A), intersect = semi-join,
+    * minus = anti-join; one hash shuffle on the rid, broadcast-eligible
+    * when a side is small, AQE handles skew. Rows present in both views
+    * surface side A's copy. Targets without a twin (volatile roots, bag
+    * merges) fall back to Spark's VALUE-based set ops — documented
+    * divergence for duplicate-valued rows. "replace" = the other view,
+    * as the reference. Both views become lineage parents: the redo log
+    * replays the pair, a bookmark of the result carries both chains. */
+  def setOp(idA: String, idB: String, kind: String): Target =
+    setOpImpl(idA, idB, kind, None)
+
+  private def setOpImpl(idA: String, idB: String, kind: String,
+      forcedId: Option[String]): Target = {
+    val a = get(idA)
+    val b = get(idB)
+    require(Seq("union", "intersect", "minus", "replace").contains(kind),
+      s"setop kind: $kind")
+    val F = org.apache.spark.sql.functions
+    val (df, rid) = (a.rid, b.rid) match {
+      case (Some(ra), Some(rb)) if kind != "replace" =>
+        val r = kind match {
+          case "union" => ra.unionByName(
+            rb.join(ra.select(F.col(RowIdCol)), Seq(RowIdCol), "left_anti"))
+          case "intersect" =>
+            ra.join(rb.select(F.col(RowIdCol)), Seq(RowIdCol), "left_semi")
+          case "minus" =>
+            ra.join(rb.select(F.col(RowIdCol)), Seq(RowIdCol), "left_anti")
+          case _ => throw new IllegalStateException("unreachable")
+        }
+        (r.drop(RowIdCol), Some(r))
+      case _ => kind match {
+        case "union" => (a.df.union(b.df).distinct(), None)
+        case "intersect" => (a.df.intersect(b.df), None)
+        case "minus" => (a.df.except(b.df), None)
+        case _ => (b.df, b.rid) // "replace"
+      }
     }
     register(df, Some(idA), s"setop:$kind:$idA,$idB", "setop",
-      Seq(kind, idB), moreParents = Seq(idB))
+      Seq(kind, idB), forcedId, moreParents = Seq(idB), rid = rid)
   }
 
   /** mergeWith (TableTarget.java:734-746): concatenate N registered
-    * frames (bag semantics, ParallelDataSet of all children). */
-  def merge(ids: Seq[String]): Target = {
+    * frames (bag semantics, ParallelDataSet of all children). The result
+    * drops row identity — the same base row may legitimately appear
+    * twice, so downstream set ops revert to value semantics. */
+  def merge(ids: Seq[String]): Target = mergeImpl(ids, None)
+
+  private def mergeImpl(ids: Seq[String], forcedId: Option[String]): Target = {
     require(ids.size >= 2, s"merge needs >= 2 targets, got $ids")
     val df = ids.map(get(_).df).reduce(_ unionByName _)
     register(df, Some(ids.head), s"merge:${ids.mkString(",")}", "merge",
-      ids.tail, moreParents = ids.tail)
+      ids.tail, forcedId, moreParents = ids.tail)
   }
 
   // ── sketch gestures → memoized bounded results (runSketch) ──────────
@@ -247,6 +325,10 @@ class TargetRegistry(val spark: SparkSession) {
 
 object TargetRegistry {
 
+  /** Hidden column carrying base-table row identity through a gesture
+    * chain (struct of parquet `_metadata.file_path`, `row_index`). */
+  val RowIdCol = "__graft_rid"
+
   /** Rebuild a registry from a redo log / bookmark file in a FRESH
     * session: each line replays its gesture against the already-replayed
     * parent, keeping the original target id, so saved sketch gestures
@@ -270,68 +352,41 @@ object TargetRegistry {
       val args = (0 until n.get("args").size()).map(n.get("args").get(_).asText())
       op match {
         case "load" =>
-          reg.register(Tables.table(spark, args(0), args(1)), None,
-            s"load:${args(1)}", op, args, forcedId = Some(id))
+          reg.loadImpl(args(0), args(1), Some(id))
         case "filter" =>
           val p = expr(args(0))
-          reg.register(reg.get(parent.get).df.filter(p), parent,
-            s"filter:$p", op, args, forcedId = Some(id))
+          reg.mapGesture(parent.get, s"filter:$p", op, args,
+            Some(id))(_.filter(p))
         case "project" =>
-          reg.register(reg.get(parent.get).df.select(
-              args.map(org.apache.spark.sql.functions.col): _*),
-            parent, s"project:${args.mkString(",")}", op, args,
-            forcedId = Some(id))
+          reg.projectImpl(parent.get, args, Some(id))
         case "col" =>
           val c = expr(args(1))
-          reg.register(reg.get(parent.get).df.withColumn(args(0), c), parent,
-            s"col:${args(0)}=$c", op, args, forcedId = Some(id))
+          reg.mapGesture(parent.get, s"col:${args(0)}=$c", op, args,
+            Some(id))(_.withColumn(args(0), c))
         case "rename" =>
-          reg.register(
-            reg.get(parent.get).df.withColumnRenamed(args(0), args(1)),
-            parent, s"rename:${args(0)}->${args(1)}", op, args,
-            forcedId = Some(id))
+          reg.mapGesture(parent.get, s"rename:${args(0)}->${args(1)}", op,
+            args, Some(id))(_.withColumnRenamed(args(0), args(1)))
         case "convert" =>
-          reg.register(
-            reg.get(parent.get).df.withColumn(args(0),
-              org.apache.spark.sql.functions.col(args(0)).cast(args(1))),
-            parent, s"convert:${args(0)}:${args(1)}", op, args,
-            forcedId = Some(id))
+          reg.mapGesture(parent.get, s"convert:${args(0)}:${args(1)}", op,
+            args, Some(id))(df => df.withColumn(args(0),
+              org.apache.spark.sql.functions.col(args(0)).cast(args(1))))
         case "interval" =>
-          reg.register(
-            reg.get(parent.get).df.withColumn(args(0),
+          reg.mapGesture(parent.get,
+            s"interval:${args(0)}=[${args(1)},${args(2)}]", op, args,
+            Some(id))(df => df.withColumn(args(0),
               graft.operators.Intervals.make(
                 org.apache.spark.sql.functions.col(args(1)),
-                org.apache.spark.sql.functions.col(args(2)))),
-            parent, s"interval:${args(0)}=[${args(1)},${args(2)}]", op, args,
-            forcedId = Some(id))
+                org.apache.spark.sql.functions.col(args(2)))))
         case "jscol" =>
-          reg.register(
-            graft.functions.JsGesture.withJsColumn(
-              reg.get(parent.get).df, args(0), args(1)),
-            parent, s"jscol:${args(0)}", op, args, forcedId = Some(id))
+          reg.mapGesture(parent.get, s"jscol:${args(0)}", op, args,
+            Some(id))(graft.functions.JsGesture.withJsColumn(_, args(0), args(1)))
         case "jsfilter" =>
-          reg.register(
-            graft.functions.JsGesture.jsFilter(reg.get(parent.get).df, args(0)),
-            parent, "jsfilter", op, args, forcedId = Some(id))
+          reg.mapGesture(parent.get, "jsfilter", op, args,
+            Some(id))(graft.functions.JsGesture.jsFilter(_, args(0)))
         case "setop" =>
-          val a = reg.get(parent.get).df
-          val b = reg.get(args(1)).df
-          val df = args(0) match {
-            case "union" => a.union(b).distinct()
-            case "intersect" => a.intersect(b)
-            case "minus" => a.except(b)
-            case "replace" => b
-            case other =>
-              throw new IllegalArgumentException(s"setop kind: $other")
-          }
-          reg.register(df, parent,
-            s"setop:${args(0)}:${parent.get},${args(1)}", op, args,
-            forcedId = Some(id), moreParents = Seq(args(1)))
+          reg.setOpImpl(parent.get, args(1), args(0), Some(id))
         case "merge" =>
-          val ids = parent.get +: args
-          reg.register(ids.map(reg.get(_).df).reduce(_ unionByName _),
-            parent, s"merge:${ids.mkString(",")}", op, args,
-            forcedId = Some(id), moreParents = args)
+          reg.mergeImpl(parent.get +: args, Some(id))
         case other =>
           throw new IllegalArgumentException(s"unreplayable op: $other")
       }

@@ -233,6 +233,39 @@ class TargetsSpec extends SparkSpec {
     assert(TargetRegistry.replay(spark, log).size == reg.size - 2)
   }
 
+  test("row-identity set ops preserve duplicate-valued rows (SetOperationMap membership semantics)") {
+    val reg = new TargetRegistry(spark)
+    val root = reg.loadTable(sf, "orders")
+    val keep = Seq("o_custkey", "o_orderstatus")
+    val p1 = col("o_totalprice") > 200000.0
+    val p2 = col("o_orderpriority") === "1-URGENT"
+    val a = reg.project(reg.filter(root.id, p1).id, keep)
+    val b = reg.project(reg.filter(root.id, p2).id, keep)
+    val base = Tables.orders(spark, sf)
+    // membership algebra over PHYSICAL rows == predicate algebra over the base
+    val union = reg.setOp(a.id, b.id, "union")
+    val inter = reg.setOp(a.id, b.id, "intersect")
+    val minus = reg.setOp(a.id, b.id, "minus")
+    assert(union.df.count() == base.filter(p1 || p2).count())
+    assert(inter.df.count() == base.filter(p1 && p2).count())
+    assert(minus.df.count() == base.filter(p1 && !p2).count())
+    // the fixture actually carries duplicate-VALUED rows through the
+    // projection — the case where value-based distinct would collapse
+    assert(union.df.count() > union.df.distinct().count(),
+      "fixture must produce duplicate-valued projected rows")
+    // the hidden rid never leaks into the visible frame
+    Seq(union, inter, minus).foreach(t =>
+      assert(!t.df.columns.contains(TargetRegistry.RowIdCol)))
+    // replay through the redo log keeps row-identity semantics
+    val log = java.nio.file.Files.createTempDirectory("graft_redo_rid")
+      .resolve("hillview.redo").toString
+    reg.saveRedoLog(log)
+    val restored = TargetRegistry.replay(spark, log)
+    assert(restored.get(union.id).df.count() == union.df.count())
+    assert(restored.get(union.id).df.count() >
+      restored.get(union.id).df.distinct().count())
+  }
+
   test("dynamic expression registration drives a gesture and folds into the plan") {
     import graft.functions.DynamicUdf
     val reg = new TargetRegistry(spark)
