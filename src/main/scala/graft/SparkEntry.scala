@@ -87,15 +87,64 @@ object SparkEntry {
     e.unionByName(planted)
   }
 
+  // Planted MULTILINGUAL rows (CJK, Cyrillic, Hangul, combining marks,
+  // astral emoji + math alphanumerics), including near-dup pairs — the
+  // driver corpus is 100% ASCII, so the UTF-8 byte-trie tokenizer and
+  // the multilingual trainer path are oracled END-TO-END only through
+  // this augmentation (identical literals on the Spark and DuckDB
+  // sides). All text is pre-lowercased and quote-free so `lower()` and
+  // SQL literal escaping cannot diverge; doc_ids start at 9_000_001,
+  // far above any corpus id.
+  private[graft] val mlRows: Seq[(Long, String, String, String, Long)] = Seq(
+    (9000001L, "spark 加速向量计算引擎 merge join 去重", "zh", "planted_ml"),
+    (9000002L, "spark 加速向量计算引擎 merge join 去重 再次", "zh", "planted_ml"),
+    (9000003L, "café déjà vu naïve café rosé", "fr", "planted_ml"),
+    // the COMBINING-MARK twin of 9000003: same visual text, decomposed
+    // e+U+0301 etc. — codepoint-distinct near-dup of the precomposed row
+    (9000004L, "café déjà vu naïve café rosé", "fr", "planted_ml"),
+    (9000005L, "🚀 rocket 🚀 query engine 🧪 test 𝕊𝕡𝕒𝕣𝕜 bench", "en", "planted_ml"),
+    (9000006L, "быстрый поиск дубликатов в корпусе данных", "ru", "planted_ml"),
+    (9000007L, "한국어 토큰 분석 테스트 문서 집합", "ko", "planted_ml")
+  ).map { case (id, t, lang, src) =>
+    (id, t, lang, src, t.codePointCount(0, t.length).toLong)
+  }
+
+  /** documents ∪ planted multilingual rows — the corpus the UTF-8 BPE
+    * queries run over. */
+  private def docsMl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(
+      mlRows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  /** The augmented relation as a DuckDB SELECT (identical literals to
+    * [[mlRows]]) — becomes the `dml` CTE of the ml-flavored oracles. */
+  private val mlDocsSelect: String = {
+    val vals = mlRows.map { case (id, t, lang, src, nch) =>
+      s"($id, '$t', '$lang', '$src', $nch)"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
+  /** Inject the `dml` CTE into a generated `WITH RECURSIVE …` oracle
+    * whose table references were pointed at `dml`. */
+  private def withMlDocs(sql: String): String = {
+    require(sql.startsWith("WITH RECURSIVE "), "expected a recursive-CTE oracle")
+    "WITH RECURSIVE dml AS MATERIALIZED (" + mlDocsSelect + "),\n" +
+      sql.substring("WITH RECURSIVE ".length)
+  }
+
   // learned BPE merges memoized per corpus dir (the train/serve split:
   // bpe_train_merges declares the training cost; encode queries serve
   // from the learned table — deterministic, so oracles that retrain
-  // still agree)
+  // still agree). Trained over the ML-AUGMENTED corpus: the merge
+  // algebra itself is exercised on multilingual symbols.
   private val bpeMerges = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(String, String)]]()
   private def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] =
     bpeMerges.computeIfAbsent(d,
-      _ => graft.text.BpeTrainer.trainMerges(docs(s, d), 8))
+      _ => graft.text.BpeTrainer.trainMerges(docsMl(s, d), 8))
 
   // Greenplum dump fixture: two aligned column dumps of a 1-in-10
   // lineitem slice, written once per (JVM, corpus dir) — the round-trip
@@ -1592,7 +1641,7 @@ object SparkEntry {
     // via a DuckDB recursive CTE replaying greedy match per distinct
     // word over the SAME interpolated vocab literal
     "text_tokens_bpe" -> ((s, d) =>
-      graft.text.TextAnalysis.bpeTokenStats(docs(s, d))),
+      graft.text.TextAnalysis.bpeTokenStats(docsMl(s, d))),
     // the packing operator budgeting in SUBWORD tokens — same two-level
     // prefix-sum plan, the count column is the BPE encode
     "pack_sequences_bpe" -> ((s, d) =>
@@ -1606,7 +1655,7 @@ object SparkEntry {
     // vocabulary table + driver argmax + one codegen merge map;
     // deterministic ⇒ fully ORACLED by replaying the 8 stages in SQL
     "bpe_train_merges" -> ((s, d) =>
-      graft.text.BpeTrainer.trainedMergesFrame(docs(s, d), 8)),
+      graft.text.BpeTrainer.trainedMergesFrame(docsMl(s, d), 8)),
     // INCREMENTAL vocabulary update: train 4 merges, then CONTINUE
     // with 4 more from the shipped list (initial merges replay as one
     // lazy chain of codegen maps). Deterministic argmax makes
@@ -1614,9 +1663,9 @@ object SparkEntry {
     // 8-stage training oracle — the oracle itself asserts
     // continue(train(4), +4) == train(8)
     "bpe_train_continue" -> ((s, d) => {
-      val first = graft.text.BpeTrainer.trainMerges(docs(s, d), 4)
+      val first = graft.text.BpeTrainer.trainMerges(docsMl(s, d), 4)
       graft.text.BpeTrainer.mergesFrame(s,
-        graft.text.BpeTrainer.continueMerges(docs(s, d), first, 4))
+        graft.text.BpeTrainer.continueMerges(docsMl(s, d), first, 4))
     }),
     // TRUE merge-order BPE encode under the TRAINED vocabulary: apply
     // the 8 learned merges in rank order (chained codegen maps over
@@ -1628,14 +1677,14 @@ object SparkEntry {
     // `bpe_train_merges` entry, this one times the ENCODE (merges are
     // deterministic, so the always-training oracle still matches).
     "bpe_encode_merge_order" -> ((s, d) =>
-      graft.text.BpeTrainer.mergeOrderTokenStats(docs(s, d),
+      graft.text.BpeTrainer.mergeOrderTokenStats(docsMl(s, d),
         trainedMerges(s, d))),
     // the token-ID assignment itself (input_ids): per-doc sequence
     // fingerprint + count, ORACLED — the recursive CTE re-derives the
     // greedy ids (argmax-length vocab index; byte-fallback block) and
     // replays the rolling hash
     "text_tokens_ids" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
+      docsMl(s, d).select(col("doc_id"),
           graft.text.TextAnalysis.bpeEncodeIds(col("text")).as("ids"))
         .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
           graft.text.TextAnalysis.idsFingerprint(col("ids")).as("ids_fp"))),
@@ -1644,7 +1693,7 @@ object SparkEntry {
     // the round trip equals the input minus the spaces encode drops —
     // the oracle needs no token knowledge at all
     "text_detokenize" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
+      docsMl(s, d).select(col("doc_id"),
         graft.functions.BpeTokenizer.bpe_decode(
           graft.functions.BpeTokenizer.bpe_encode(lower(col("text"))))
           .as("detok"))),
@@ -2271,9 +2320,9 @@ object SparkEntry {
   // joined back to word occurrences. The vocab literal is interpolated
   // from the SAME Scala constant the engine compiles into its trie, so
   // engine and oracle cannot desynchronize. Prefix with WITH RECURSIVE.
-  private val bpeCte = {
+  private def bpeCte(src: String = "documents"): String = {
     val vlist = graft.functions.BpeTokenizer.vocabSqlList()
-    s"""words AS (SELECT doc_id, u.w FROM documents,
+    s"""words AS (SELECT doc_id, u.w FROM $src,
        |  UNNEST(string_split(lower(text), ' ')) AS u(w) WHERE len(u.w) > 0),
        |uw AS (SELECT DISTINCT w FROM words),
        |step AS (
@@ -2295,11 +2344,11 @@ object SparkEntry {
   // entries at one position would be the same string) or the
   // byte-fallback id V + codepoint. `docids` flattens per-doc id
   // sequences in word order. Prefix with WITH RECURSIVE.
-  private val bpeIdsCte = {
+  private def bpeIdsCte(src: String = "documents"): String = {
     val vlist = graft.functions.BpeTokenizer.vocabSqlList()
     val v = graft.functions.BpeTokenizer.defaultVocab.size
     s"""wl AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ws
-       |  FROM documents),
+       |  FROM $src),
        |words AS (SELECT doc_id, source, i AS wi, ws[CAST(i AS INT)] AS w
        |  FROM wl, UNNEST(range(1, len(ws) + 1)) AS t(i)
        |  WHERE len(ws[CAST(i AS INT)]) > 0),
@@ -3365,7 +3414,7 @@ object SparkEntry {
         |  % 10000 < r.cut
         |GROUP BY 1""".stripMargin,
     "corpus_mix_temperature_tokens" ->
-      s"""WITH RECURSIVE $bpeCte,
+      s"""WITH RECURSIVE ${bpeCte()},
          |dt AS (SELECT d.doc_id, d.source,
          |    COALESCE(b.n_tokens_bpe, 0) AS toks
          |  FROM documents d LEFT JOIN bpe b USING (doc_id)),
@@ -3403,35 +3452,38 @@ object SparkEntry {
         |CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_tokens_bpe" ->
-      s"""WITH RECURSIVE $bpeCte
+      withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
          |SELECT d.doc_id, COALESCE(b.n_words, 0) AS n_words,
          |  COALESCE(b.n_tokens_bpe, 0) AS n_tokens_bpe
-         |FROM documents d LEFT JOIN bpe b USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+         |FROM dml d LEFT JOIN bpe b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin),
     "pack_sequences_bpe" ->
-      s"""WITH RECURSIVE $bpeCte
+      s"""WITH RECURSIVE ${bpeCte()}
          |SELECT doc_id, source, n_tokens,
          |CAST(FLOOR((CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) - n_tokens) / 2048.0) AS BIGINT) AS bin
          |FROM (SELECT d.doc_id, d.source, COALESCE(b.n_tokens_bpe, 0) AS n_tokens
          |  FROM documents d LEFT JOIN bpe b USING (doc_id))""".stripMargin,
-    "bpe_train_merges" -> graft.text.BpeTrainer.trainingOracleSql(8),
-    "bpe_train_continue" -> graft.text.BpeTrainer.trainingOracleSql(8),
+    "bpe_train_merges" ->
+      withMlDocs(graft.text.BpeTrainer.trainingOracleSql(8, "dml")),
+    "bpe_train_continue" ->
+      withMlDocs(graft.text.BpeTrainer.trainingOracleSql(8, "dml")),
     "bpe_encode_merge_order" ->
-      graft.text.BpeTrainer.mergeOrderEncodeOracleSql(8),
+      withMlDocs(graft.text.BpeTrainer.mergeOrderEncodeOracleSql(8, "dml")),
     "text_detokenize" ->
-      "SELECT doc_id, replace(lower(text), ' ', '') AS detok FROM documents",
+      (s"WITH dml AS ($mlDocsSelect) " +
+        "SELECT doc_id, replace(lower(text), ' ', '') AS detok FROM dml"),
     "text_tokens_ids" ->
-      s"""WITH RECURSIVE $bpeIdsCte
+      withMlDocs(s"""WITH RECURSIVE ${bpeIdsCte("dml")}
          |SELECT d.doc_id,
          |  CAST(COALESCE(len(b.all_ids), 0) AS BIGINT) AS n_tokens,
          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    COALESCE(b.all_ids, CAST([] AS BIGINT[]))),
          |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS ids_fp
-         |FROM documents d LEFT JOIN docids b USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+         |FROM dml d LEFT JOIN docids b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin),
     "pack_sequences_ids" ->
-      s"""WITH RECURSIVE $bpeIdsCte,
+      s"""WITH RECURSIVE ${bpeIdsCte()},
          |t AS (SELECT d.doc_id, d.source,
          |    COALESCE(b.all_ids, CAST([] AS BIGINT[])) AS all_ids,
          |    CAST(COALESCE(len(b.all_ids), 0) AS BIGINT) AS n_tokens
@@ -3452,7 +3504,7 @@ object SparkEntry {
          |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS offsets_fp
          |FROM c2 GROUP BY 1, 2""".stripMargin,
     "corpus_mix_bpe" ->
-      s"""WITH RECURSIVE $bpeCte,
+      s"""WITH RECURSIVE ${bpeCte()},
          |t AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
          |    COALESCE(b.n_tokens_bpe, 0) AS n_toks,
          |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h

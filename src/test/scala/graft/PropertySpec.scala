@@ -1584,4 +1584,30 @@ class PropertySpec extends SparkSpec {
     }
     assert(totalBytes > 16384L) // the auto threshold really was crossed
   }
+
+  test("planted multilingual fixture reaches the ORACLED BPE queries (non-ASCII end-to-end)") {
+    // the driver corpus is 100% ASCII; the planted rows are the only
+    // non-ASCII coverage on the oracled path — gate their presence and
+    // their script spread (CJK, combining marks, astral) so a fixture
+    // regression can't silently re-ASCII-fy the UTF-8 trie's oracle
+    val texts = SparkEntry.mlRows.map(_._2)
+    assert(texts.count(_.exists(_ > 127)) >= 5, "non-ASCII rows planted")
+    assert(texts.exists(_.codePoints().toArray.exists(_ > 0xFFFF)), "astral")
+    assert(texts.exists(_.contains('\u0301')), "combining marks")
+    assert(texts.exists(_.exists(c => c >= 0x4E00 && c <= 0x9FFF)), "CJK")
+    // ...and they flow through the oracled queries: every planted doc
+    // tokenizes to a nonempty id sequence
+    val ids = SparkEntry.queries("text_tokens_ids")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 9000001L)
+      .collect()
+    assert(ids.length == SparkEntry.mlRows.size)
+    assert(ids.forall(_.getLong(1) > 0L), "planted docs tokenized")
+    // detokenize round-trips the multilingual text (space-stripped)
+    val detok = SparkEntry.queries("text_detokenize")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 9000001L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    SparkEntry.mlRows.foreach { case (id, t, _, _, _) =>
+      assert(detok(id) == t.toLowerCase.replace(" ", ""), s"roundtrip $id")
+    }
+  }
 }
