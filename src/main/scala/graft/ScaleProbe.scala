@@ -278,9 +278,11 @@ object ScaleProbe {
       if (r.isNullAt(0)) 0L else r.getAs[Number](0).longValue
     }
 
-    // training iterates over the WORD-FREQUENCY table, not the corpus:
-    // one corpus scan up front, then per-merge work ∝ distinct words
-    // (salting multiplies the vocabulary ×c — the worst case)
+    // training pair-counts the word-frequency table ONCE into the
+    // driver map, then each merge's distributed input is only the
+    // TOUCHED words (delta pair counts) — per-step work ∝ words
+    // containing the merged pair, not ∝ vocabulary (salting multiplies
+    // the vocabulary ×c — the worst case for both terms)
     probe("bpe_train_merges", Seq(1, 20)) { c =>
       text.BpeTrainer.trainMerges(saltedDocs(c), 4).size.toLong
     }

@@ -44,6 +44,17 @@ object BpeTrainer {
     * spec-gated, and the declared continuation query shares the full
     * training oracle). Returns the FULL merge list, initial ++ learned.
     */
+  /** Signed positional pair counts of `symsCol` (multiset semantics —
+    * "aaa" contributes (a,a) twice), weighted by word count × sign. */
+  private def pairCounts(df: DataFrame, symsCol: String,
+      sign: Int): DataFrame =
+    df.filter(size(col(symsCol)) >= 2)
+      .select((col("cnt") * sign).as("cnt"), explode(expr(
+        s"transform(sequence(0, size($symsCol) - 2), " +
+          s"i -> struct($symsCol[i] AS a, $symsCol[i + 1] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("c"))
+
   def continueMerges(docs: DataFrame, initial: Seq[(String, String)],
       nMore: Int, textCol: String = "text"): Seq[(String, String)] = {
     val base = docs
@@ -54,27 +65,62 @@ object BpeTrainer {
     var words = initial.foldLeft(base) { case (d, (a, b)) =>
       d.select(col("cnt"), BpeMergeApply.apply_merge(col("syms"), a, b).as("syms"))
     }.localCheckpoint(eager = false)
+    // DELTA-maintained pair-count state (the fastBPE/Sennrich trainer
+    // shape): the corpus vocabulary is pair-counted ONCE into a driver
+    // map — O(distinct adjacent pairs), MBs at production vocabularies,
+    // the standard in-memory trainer state — and each merge step runs
+    // exactly ONE Spark job: a signed pair-count aggregation over only
+    // the TOUCHED words (those whose symbol run contracted under the
+    // merge). Per-step distributed input is ∝ touched words, not ∝
+    // corpus vocabulary — the posture that survives 30k merges at
+    // production scale; the argmax itself is a driver-side scan with
+    // UTF-8-byte tie-break, bit-identical to the previous distributed
+    // `ORDER BY c DESC, a, b LIMIT 1` (Spark and DuckDB both compare
+    // strings as unsigned UTF-8 bytes), so the learned merge sequence
+    // and every training oracle are unchanged.
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    pairCounts(words, "syms", 1).collect()
+      .foreach(r => pc.update((r.getString(0), r.getString(1)), r.getLong(2)))
+    // unsigned UTF-8 byte order — NOT String.compareTo (UTF-16 order
+    // flips astral-vs-BMP comparisons)
+    def utf8Lt(x: String, y: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     merges ++= initial
     var exhausted = false
     var step = 0
     while (step < nMore && !exhausted) {
-      val top = words
-        .filter(size(col("syms")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(0, size(syms) - 2), " +
-            "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).as("c"))
-        .orderBy(desc("c"), col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+      if (pc.isEmpty) exhausted = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        var best = pc.head
+        pc.foreach { e =>
+          if (e._2 > best._2 ||
+            (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2)))))
+            best = e
+        }
+        val (a, b) = best._1
         merges += ((a, b))
-        words = words.select(col("cnt"),
-            BpeMergeApply.apply_merge(col("syms"), a, b).as("syms"))
+        // one narrow codegen pass applies the merge; a word is TOUCHED
+        // iff its symbol run contracted
+        val applied = words.select(col("cnt"), col("syms"),
+            BpeMergeApply.apply_merge(col("syms"), a, b).as("nsyms"))
           .localCheckpoint(eager = false)
+        val touched = applied.filter(size(col("nsyms")) < size(col("syms")))
+        pairCounts(
+            touched.select(col("cnt"), col("nsyms")), "nsyms", 1)
+          .unionByName(pairCounts(
+            touched.select(col("cnt"), col("syms")), "syms", -1))
+          .groupBy(col("a"), col("b")).agg(sum(col("c")).as("c"))
+          .collect()
+          .foreach { r =>
+            val k = (r.getString(0), r.getString(1))
+            val c = pc.getOrElse(k, 0L) + r.getLong(2)
+            if (c == 0L) pc.remove(k) else pc.update(k, c)
+          }
+        words = applied.select(col("cnt"), col("nsyms").as("syms"))
         step += 1
       }
     }
