@@ -1679,6 +1679,23 @@ object SparkEntry {
     "bpe_encode_merge_order" -> ((s, d) =>
       graft.text.BpeTrainer.mergeOrderTokenStats(docsMl(s, d),
         trainedMerges(s, d))),
+    // the train→encode→budget loop CLOSED: packing bins budgeted in
+    // tokens of the in-query-TRAINED vocabulary (merge-order encode
+    // under the learned merges), oracled through the same generated
+    // training stages — the vocabulary is the budget currency
+    // end-to-end, not a shipped literal
+    "pack_sequences_trained" -> ((s, d) => {
+      val counts = graft.text.BpeTrainer
+        .mergeOrderTokenStats(docsMl(s, d), trainedMerges(s, d))
+        .select(col("doc_id"), col("n_tokens_merge_order"))
+      val budgeted = docsMl(s, d).select(col("doc_id"), col("source"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_tokens_merge_order"), lit(0L)).as("n_tokens"))
+      graft.pipeline.Pipeline.packSequences(budgeted,
+          col("source"), col("doc_id"), col("n_tokens"), 2048L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
+    }),
     // the token-ID assignment itself (input_ids): per-doc sequence
     // fingerprint + count, ORACLED — the recursive CTE re-derives the
     // greedy ids (argmax-length vocab index; byte-fallback block) and
@@ -3470,6 +3487,8 @@ object SparkEntry {
       withMlDocs(graft.text.BpeTrainer.trainingOracleSql(8, "dml")),
     "bpe_encode_merge_order" ->
       withMlDocs(graft.text.BpeTrainer.mergeOrderEncodeOracleSql(8, "dml")),
+    "pack_sequences_trained" ->
+      withMlDocs(graft.text.BpeTrainer.packTrainedOracleSql(8, 2048L, "dml")),
     "text_detokenize" ->
       (s"WITH dml AS ($mlDocsSelect) " +
         "SELECT doc_id, replace(lower(text), ' ', '') AS detok FROM dml"),

@@ -247,4 +247,27 @@ object BpeTrainer {
        |FROM wd JOIN w$nMerges ON wd.w = w$nMerges.w
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** Oracle for token-budget PACKING under the in-query-TRAINED
+    * vocabulary — the train→encode→budget loop end-to-end: the same
+    * generated training stages, a per-doc merge-order token count, then
+    * the two-level prefix-sum bin assignment of the packing operator. */
+  def packTrainedOracleSql(nMerges: Int, budget: Long,
+      source: String = "documents"): String = {
+    val full = trainingOracleSql(nMerges, source)
+    val body = full.substring(0, full.lastIndexOf('\n'))
+    s"""$body,
+       |wd AS (SELECT doc_id, u.w FROM $source,
+       |  UNNEST(string_split(lower(text), ' ')) AS u(w) WHERE len(u.w) > 0),
+       |tok AS (SELECT wd.doc_id,
+       |    CAST(SUM(len(string_split(w$nMerges.s, ' '))) AS BIGINT) AS n
+       |  FROM wd JOIN w$nMerges ON wd.w = w$nMerges.w GROUP BY 1),
+       |t AS (SELECT d.doc_id, d.source,
+       |    CAST(COALESCE(tok.n, 0) AS BIGINT) AS n_tokens
+       |  FROM $source d LEFT JOIN tok USING (doc_id))
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(FLOOR((CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) - n_tokens) / $budget.0) AS BIGINT) AS bin
+       |FROM t""".stripMargin
+  }
 }
