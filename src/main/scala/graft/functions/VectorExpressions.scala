@@ -340,12 +340,57 @@ case class IntArrayRollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `[0, c₀, c₀+c₁, …, total]` of a long count array, as int offsets —
+  * a packed bin's `doc_offsets` boundary vector in ONE codegen pass
+  * (replaces the O(n²) interpreted slice+aggregate fold, which also
+  * copied the prefix array per element). Int is safe: the packing
+  * budget bounds a bin's token total far below Int.MaxValue. */
+case class LongArrayPrefixOffsets(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Int](n + 1)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i); out(i + 1) = acc.toInt; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $out = new int[$n + 1];
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i);
+         |  $out[$i + 1] = (int) $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim.{exprToColumn => column, columnToExpr => expression}
   def vec_dot(a: Column, b: Column): Column =
     column(FloatVecDot(expression(a), expression(b)))
   def int_array_rolling_hash(a: Column): Column =
     column(IntArrayRollingHash(expression(a)))
+  def long_array_prefix_offsets(a: Column): Column =
+    column(LongArrayPrefixOffsets(expression(a)))
   def vec_quantize_int8(a: Column): Column =
     column(Int8Quantize(expression(a)))
   def vec_norm(a: Column): Column = column(FloatVecNorm(expression(a)))

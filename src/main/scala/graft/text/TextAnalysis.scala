@@ -155,9 +155,9 @@ object TextAnalysis {
     // doc_offsets = [0, n₁, n₁+n₂, …, total]: where each document
     // STARTS inside input_ids plus the trailing total — the
     // attention-boundary metadata a trainer needs to mask
-    // cross-document attention inside a packed sequence. The prefix
-    // sums are an O(docs²) array fold, bounded by the ≤budget tokens a
-    // bin can hold (~tens of docs), never corpus-sized.
+    // cross-document attention inside a packed sequence. One codegen
+    // pass over the per-doc counts (LongArrayPrefixOffsets); the
+    // count-extract transform stays linear in the bin's ~tens of docs.
     binned.groupBy(col("source"), col("bin"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -167,10 +167,8 @@ object TextAnalysis {
       .select(col("source"), col("bin"), col("n_docs"), col("total_tokens"),
         flatten(transform(col("__docs"), x => x.getField("ids")))
           .as("input_ids"),
-        concat(array(lit(0).cast("int")),
-          transform(sequence(lit(1), size(col("__docs"))),
-            i => aggregate(slice(col("__docs"), lit(1), i), lit(0L),
-              (acc, y) => acc + y.getField("n_tokens")).cast("int")))
+        graft.functions.VectorExpressions.long_array_prefix_offsets(
+          transform(col("__docs"), x => x.getField("n_tokens")))
           .as("doc_offsets"))
   }
 
