@@ -117,11 +117,6 @@ final class BpeTrie(val vocab: Array[String], layout: Int)
   private val frozen: (Array[Int], Array[Int], Array[Int], Array[Byte],
       Array[Int]) = {
     val vbytes = vocab.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val useFlat = layout match {
-      case BpeTrie.LayoutFlat    => true
-      case BpeTrie.LayoutCompact => false
-      case _ => vbytes.iterator.map(_.length.toLong).sum <= 16384L
-    }
     // build-time adjacency: per node a packed (byte << 24 | child) list
     val kids = scala.collection.mutable.ArrayBuffer(
       new scala.collection.mutable.ArrayBuffer[Int]())
@@ -129,6 +124,11 @@ final class BpeTrie(val vocab: Array[String], layout: Int)
     vocab.zip(vbytes).zipWithIndex.foreach { case ((v, bs), vi) =>
       require(bs.nonEmpty, "empty vocab entry")
       require(!bs.contains(' '.toByte), s"vocab must be space-free: '$v'")
+      // getBytes(UTF_8) silently replaces unpaired surrogates with '?',
+      // which would collide with literal '?' entries (and each other) —
+      // demand well-formed entries instead
+      require(new String(bs, java.nio.charset.StandardCharsets.UTF_8) == v,
+        s"vocab entry is not valid UTF-8 (unpaired surrogate?): '$v'")
       var node = 0
       var i = 0
       while (i < bs.length) {
@@ -153,7 +153,20 @@ final class BpeTrie(val vocab: Array[String], layout: Int)
       terms(node) = vi + 1
     }
     val n = kids.length
+    // layout decision AFTER the adjacency exists: flat memory is
+    // O(nodes·1 KiB), so the auto threshold keys on the NODE COUNT
+    // (2048 nodes = a 2 MiB dispatch table serialized into the plan),
+    // not on entry bytes — a prefix-free vocab has ~one node per byte
+    val useFlat = layout match {
+      case BpeTrie.LayoutFlat    => true
+      case BpeTrie.LayoutCompact => false
+      case _                     => n <= 2048
+    }
     if (useFlat) {
+      // n*256 overflows Int past 8.4M nodes and (node << 8) would wrap
+      // — the 24-bit node-id require above only guards the CSR path
+      require(n <= (1 << 23),
+        s"flat trie layout capped at ${1 << 23} nodes (got $n); use CSR")
       val flat = Array.fill(n * 256)(-1)
       var node = 0
       while (node < n) {

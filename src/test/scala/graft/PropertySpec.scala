@@ -1557,7 +1557,7 @@ class PropertySpec extends SparkSpec {
         s"$totalBytes vocab bytes")
     val auto = new BpeTrie(vocab) // auto must pick compact at this size
     assert(auto.storageBytes == compact.storageBytes,
-      "auto layout did not pick compact above the byte threshold")
+      "auto layout did not pick compact above the node threshold")
     // parity: flat layout on a 2k-entry slice (flat at 50k would be the
     // exact heap blowup the compact layout exists to avoid)
     val slice = vocab.take(2000)
@@ -1582,7 +1582,9 @@ class PropertySpec extends SparkSpec {
     slice.zipWithIndex.foreach { case (v, i) =>
       assert(flat.encode(v).toSeq == Seq(i))
     }
-    assert(totalBytes > 16384L) // the auto threshold really was crossed
+    // the auto threshold really was crossed: every entry terminates at
+    // a distinct node, so nodes >= entries > the 2048-node cutoff
+    assert(vocab.length > 2048)
   }
 
   test("planted multilingual fixture reaches the ORACLED BPE queries (non-ASCII end-to-end)") {
