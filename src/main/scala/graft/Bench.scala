@@ -79,12 +79,36 @@ object Bench {
     val buildSplit = try {
       val p = java.nio.file.Paths.get(
         SparkEntry.pqScratch(sfDir), "build_receipt.json")
-      if (selected.contains("ann_pq_build") && java.nio.file.Files.exists(p))
-        s""","ann_pq_build_split":${java.nio.file.Files.readString(p).trim}"""
-      else ""
+      if (selected.contains("ann_pq_build") && java.nio.file.Files.exists(p)) {
+        // parse before splicing: a truncated/corrupt receipt must not
+        // break the whole bench JSON line — splice the re-serialized
+        // (validated) object, or omit the field
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p))
+        if (node != null && node.isObject)
+          s""","ann_pq_build_split":${node.toString}"""
+        else ""
+      } else ""
     } catch { case _: Throwable => "" }
+    // round-stamped map filename, resolved BEFORE the JSON is built so
+    // the line can carry it machine-readably: historically the round-N
+    // bench map has landed in bench_out_r{N+1}.json (the CORRECTNESS
+    // inference below runs before the driver commits round N's
+    // artifact) — the "bench_map" field makes the offset self-describing
+    // instead of tribal knowledge. Probe (SPARK_GRAFT_ONLY) runs write
+    // no files and carry no field.
+    val round = sys.env.get("SPARK_GRAFT_ROUND").orElse {
+      // infer: this round = highest committed CORRECTNESS_r{N} + 1
+      val re = "CORRECTNESS_r(\\d+)\\.json".r
+      val prev = Option(new java.io.File(".").list()).toSeq.flatten
+        .collect { case re(n) => n.toInt }
+      prev.maxOption.map(n => (n + 1).toString)
+    }
+    val benchMap = if (only.isEmpty)
+      round.map(r => s"bench_out_r$r.json") else None
+    val mapField = benchMap.map(f => s""","bench_map":"$f"""").getOrElse("")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$buildSplit}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$buildSplit$mapField}"""
     spark.stop()
     // The full per-query line is >2 KB (150+ queries), so a 2000-char
     // stdout tail cannot hold it whole. Survival strategy:
@@ -100,15 +124,8 @@ object Bench {
     //      end, nothing after it).
     println(json)
     if (only.isEmpty) {
-      val round = sys.env.get("SPARK_GRAFT_ROUND").orElse {
-        // infer: this round = highest committed CORRECTNESS_r{N} + 1
-        val re = "CORRECTNESS_r(\\d+)\\.json".r
-        val prev = Option(new java.io.File(".").list()).toSeq.flatten
-          .collect { case re(n) => n.toInt }
-        prev.maxOption.map(n => (n + 1).toString)
-      }
       val files = Seq(java.nio.file.Paths.get("bench_out.json")) ++
-        round.map(r => java.nio.file.Paths.get(s"bench_out_r$r.json"))
+        benchMap.map(java.nio.file.Paths.get(_))
       files.foreach { p =>
         try java.nio.file.Files.writeString(p, json + "\n")
         catch { case _: Throwable => () }

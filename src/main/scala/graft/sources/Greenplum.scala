@@ -184,6 +184,14 @@ object Greenplum {
         .otherwise(v)
     }
     val line = cols.map(field).reduceLeft((a, b) => concat(a, lit(","), b))
+    // the newline→space normalization above is a silent data mutation:
+    // count and surface it (one narrow job, dump path only — never on
+    // the read/serve path)
+    val nlRows = withSeg.filter(cols.map(c =>
+      col(c).cast("string").rlike("[\\n\\r]")).reduce(_ || _)).count()
+    if (nlRows > 0)
+      System.err.println(s"[greenplum-dump] normalized embedded newlines " +
+        s"to spaces in $nlRows row(s) written to $dir")
     withSeg
       .repartition(segments, col("__seg"))
       .sortWithinPartitions((col("__seg") +: keyCols.map(col)): _*)
