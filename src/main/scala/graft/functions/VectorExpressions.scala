@@ -383,6 +383,59 @@ case class LongArrayPrefixOffsets(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All `w`-token window hashes of a token array in ONE pass: element i =
+  * a 64-bit positional combine of the xxhash64 of tokens i..i+w-1. Each
+  * token's bytes are hashed ONCE (n token hashes), then every window is
+  * a w-term polynomial fold over them — replacing the interpreted
+  * `transform(sequence(…), i -> xxhash64(slice(ws, i, w)))` lambda,
+  * which allocated a sub-array per window and re-hashed every token w
+  * times (the measured hot spot of the edit-dedup candidate build).
+  * The hash values differ from the slice form — both are engine-internal
+  * candidate keys only (oracles regenerate candidates from gram
+  * strings); collisions are 64-bit-rare either way. CodegenFallback: a
+  * single virtual call per row into one primitive JVM loop (the
+  * HyperplaneBandKeys precedent).
+  */
+case class TokenWindowHashes(child: Expression, w: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(w >= 1, s"window width must be >= 1, got $w")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Long](0))
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      th(i) =
+        if (t eq null) 0L
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      i += 1
+    }
+    val out = new Array[Long](n - w + 1)
+    var s = 0
+    while (s <= n - w) {
+      var h = 0L
+      var j = 0
+      while (j < w) { h = h * 1099511628211L + th(s + j); j += 1 }
+      out(s) = h
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim.{exprToColumn => column, columnToExpr => expression}
   def vec_dot(a: Column, b: Column): Column =
@@ -391,6 +444,8 @@ object VectorExpressions {
     column(IntArrayRollingHash(expression(a)))
   def long_array_prefix_offsets(a: Column): Column =
     column(LongArrayPrefixOffsets(expression(a)))
+  def token_window_hashes(a: Column, w: Int): Column =
+    column(TokenWindowHashes(expression(a), w))
   def vec_quantize_int8(a: Column): Column =
     column(Int8Quantize(expression(a)))
   def vec_norm(a: Column): Column = column(FloatVecNorm(expression(a)))
