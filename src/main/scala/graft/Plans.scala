@@ -60,7 +60,12 @@ object Plans {
     "text_detokenize", "dedup_embedding_lsh_stress",
     "multimodal_video_frames_raw", "bpe_train_continue",
     "corpus_mix_temperature_tokens", "bpe_encode_merge_order",
-    "json_parse_errors")
+    "json_parse_errors",
+    // r11 additions: row-identity set algebra (rid semi/anti joins),
+    // the trained-vocab packing loop, and the df-cut edit family after
+    // the codegen window-hash rewrite
+    "setop_union_dups", "setop_intersect_dups", "pack_sequences_trained",
+    "dedup_edit_dfcut")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

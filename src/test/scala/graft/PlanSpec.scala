@@ -116,6 +116,25 @@ class PlanSpec extends SparkSpec {
     assert(merged == whole, "incremental manifest diverged from full build")
   }
 
+  test("row-identity set ops: filters push through the rid twin, joins stay hash") {
+    // the hidden __graft_rid struct must not block predicate pushdown
+    // into the parquet scans, and the membership algebra must plan as
+    // broadcast/shuffle HASH joins on the rid — never nested-loop
+    val reg = new graft.engine.TargetRegistry(spark)
+    val root = reg.loadTable(sf, "orders")
+    val keep = Seq("o_custkey", "o_orderstatus")
+    val a = reg.project(reg.filter(root.id, col("o_totalprice") > 200000.0).id, keep)
+    val b = reg.project(reg.filter(root.id, col("o_orderpriority") === "1-URGENT").id, keep)
+    Seq("union", "intersect", "minus").foreach { kind =>
+      val p = reg.setOp(a.id, b.id, kind).df
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+        s"$kind: price filter not pushed\n" + p.take(3000))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$kind: non-hash join\n" + p.take(3000))
+    }
+  }
+
   test("filters are pushed down to the parquet scan") {
     val df = Tables.lineitem(spark, sf)
       .filter(Filters.range(col("l_extendedprice"), 1000.0, 5000.0))
