@@ -44,12 +44,12 @@ object BpeTrainer {
     * spec-gated, and the declared continuation query shares the full
     * training oracle). Returns the FULL merge list, initial ++ learned.
     */
-  /** Signed positional pair counts of `symsCol` (multiset semantics —
-    * "aaa" contributes (a,a) twice), weighted by word count × sign. */
-  private def pairCounts(df: DataFrame, symsCol: String,
-      sign: Int): DataFrame =
+  /** Positional pair counts of `symsCol` (multiset semantics — "aaa"
+    * contributes (a,a) twice), weighted by word count. Seeds the
+    * driver-side delta-maintained state below. */
+  private def pairCounts(df: DataFrame, symsCol: String): DataFrame =
     df.filter(size(col(symsCol)) >= 2)
-      .select((col("cnt") * sign).as("cnt"), explode(expr(
+      .select(col("cnt"), explode(expr(
         s"transform(sequence(0, size($symsCol) - 2), " +
           s"i -> struct($symsCol[i] AS a, $symsCol[i + 1] AS b))")).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
@@ -79,7 +79,7 @@ object BpeTrainer {
     // strings as unsigned UTF-8 bytes), so the learned merge sequence
     // and every training oracle are unchanged.
     val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
-    pairCounts(words, "syms", 1).collect()
+    pairCounts(words, "syms").collect()
       .foreach(r => pc.update((r.getString(0), r.getString(1)), r.getLong(2)))
     // unsigned UTF-8 byte order — NOT String.compareTo (UTF-16 order
     // flips astral-vs-BMP comparisons)
@@ -104,16 +104,36 @@ object BpeTrainer {
         val (a, b) = best._1
         merges += ((a, b))
         // one narrow codegen pass applies the merge; a word is TOUCHED
-        // iff its symbol run contracted
+        // iff its symbol run contracted. The lazy (eager=false)
+        // per-step checkpoint materializes inside the delta job below
+        // (no extra Spark job) and bounds both recompute depth and
+        // logical-plan growth to ONE merge-apply regardless of step
+        // count — the invariant that holds at 30k-merge production
+        // scale. A/B'd against stacking lineage between every-4th /
+        // every-8th checkpoints: identical at sf0.1 (±0.1 s) and the
+        // stacked variants recompute the word table per extra depth in
+        // the ×20 probe (2.6× per-step vs 3.2-3.4× stacked).
         val applied = words.select(col("cnt"), col("syms"),
             BpeMergeApply.apply_merge(col("syms"), a, b).as("nsyms"))
           .localCheckpoint(eager = false)
-        val touched = applied.filter(size(col("nsyms")) < size(col("syms")))
-        pairCounts(
-            touched.select(col("cnt"), col("nsyms")), "nsyms", 1)
-          .unionByName(pairCounts(
-            touched.select(col("cnt"), col("syms")), "syms", -1))
-          .groupBy(col("a"), col("b")).agg(sum(col("c")).as("c"))
+        // ONE signed pass: each touched word emits its new adjacent
+        // pairs at +cnt and its old ones at -cnt in a single explode —
+        // a single scan subtree, so the (possibly lineage-stacked)
+        // merge-apply passes above it run once, not once per branch.
+        // Adjacent pairs come from arrays_zip over two slices (slice
+        // truncates at the end and yields [] on singletons, so no
+        // ANSI out-of-range access and no empty-array type games).
+        applied.filter(size(col("nsyms")) < size(col("syms")))
+          .select(explode(expr(
+            "concat(" +
+              "transform(arrays_zip(slice(nsyms, 1, size(nsyms) - 1), " +
+                "slice(nsyms, 2, size(nsyms))), " +
+                "p -> struct(p['0'] AS a, p['1'] AS b, cnt AS c)), " +
+              "transform(arrays_zip(slice(syms, 1, size(syms) - 1), " +
+                "slice(syms, 2, size(syms))), " +
+                "p -> struct(p['0'] AS a, p['1'] AS b, -cnt AS c)))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("p.c")).as("c"))
           .collect()
           .foreach { r =>
             val k = (r.getString(0), r.getString(1))
