@@ -742,6 +742,68 @@ object SparkEntry {
         }""")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_returnflag"))),
+    // FULL-PROGRAM JS gestures (CreateColumnJSMap.java:39-56 evaluates
+    // arbitrary user JS per row via GraalVM): loops, reassignment, user
+    // functions, arrays run through the tier-2 per-row interpreter
+    // (JsProgramEval — children are only the referenced fields, so
+    // pruning reaches the scan). Oracled against loop-free SQL
+    // reformulations; tier-parity fuzz in JsProgramSpec.
+    // 1) for-loop positional charcode checksum over the corpus (ASCII
+    //    guard keeps JS UTF-16 .length == SQL codepoint semantics)
+    "dynamic_udf_js_loop" -> ((s, d) => {
+      val js = """function map(row) {
+        var c = row.text;
+        var acc = 0;
+        for (var i = 0; i < c.length; i++) {
+          acc = (acc + (i + 1) * c.charCodeAt(i)) % 1000003;
+        }
+        return acc;
+      }"""
+      graft.functions.JsGesture.withJsColumnTyped(
+          docs(s, d).filter(length(col("text")) === octet_length(col("text"))),
+          "acc", js, org.apache.spark.sql.types.DoubleType)
+        .agg(sum(col("acc")).cast("long").as("acc_sum"),
+          count(lit(1)).as("n_docs"))
+    }),
+    // 2) while-loop digit sum as a filter verdict (casting out nines
+    //    makes the loop's result SQL-checkable: digitsum(n)%9 == n%9)
+    "dynamic_filter_js_loop" -> ((s, d) =>
+      graft.functions.JsGesture.jsFilter(ord(s, d),
+        """function filter(row) {
+          var n = row.o_orderkey;
+          var s = 0;
+          while (n > 0) { s = s + n % 10; n = Math.floor(n / 10); }
+          return s % 9 == 0;
+        }""")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))),
+    // 3) user-defined helper functions incl. recursion
+    "dynamic_udf_js_func" -> ((s, d) => {
+      val js = """function digits(n) {
+        if (n < 10) return 1;
+        return 1 + digits(Math.floor(n / 10));
+      }
+      function map(row) { return digits(row.o_orderkey) * 100 + row.o_orderkey % 7; }"""
+      graft.functions.JsGesture.withJsColumnTyped(ord(s, d), "code", js,
+          org.apache.spark.sql.types.DoubleType)
+        .groupBy(col("code").cast("long").as("code"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    // 4) arrays: split + loop over word lengths
+    "dynamic_udf_js_array" -> ((s, d) => {
+      val js = """function map(row) {
+        var ws = row.text.split(' ');
+        var best = 0;
+        for (var i = 0; i < ws.length; i++) {
+          if (ws[i].length > best) best = ws[i].length;
+        }
+        return best;
+      }"""
+      graft.functions.JsGesture.withJsColumnTyped(
+          docs(s, d).filter(length(col("text")) === octet_length(col("text"))),
+          "best", js, org.apache.spark.sql.types.DoubleType)
+        .groupBy(col("best").cast("long").as("best"))
+        .agg(count(lit(1)).as("n"))
+    }),
     "nextk_basic" -> ((s, d) =>
       NextK.nextK(ord(s, d), Seq(Order("o_orderpriority"), Order("o_orderstatus")), 8)),
     "nextk_desc" -> ((s, d) =>
@@ -2704,6 +2766,25 @@ object SparkEntry {
     "dynamic_filter_js" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
         |WHERE l_quantity >= 45 AND l_returnflag LIKE 'A%'""".stripMargin,
+    // loop-free SQL reformulations of the full-program JS gestures:
+    // the per-character for loop becomes an indexed list fold; the
+    // digit-sum while loop becomes the casting-out-nines identity; the
+    // recursive digit count becomes a varchar length
+    "dynamic_udf_js_loop" ->
+      """SELECT CAST(SUM(acc) AS BIGINT) AS acc_sum, count(*) AS n_docs FROM (
+        |  SELECT COALESCE(list_sum(list_transform(range(1, length(text)+1),
+        |      j -> j * ascii(substring(text, j, 1)))), 0) % 1000003 AS acc
+        |  FROM documents WHERE length(text) = strlen(text))""".stripMargin,
+    "dynamic_filter_js_loop" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 9 = 0""".stripMargin,
+    "dynamic_udf_js_func" ->
+      """SELECT length(CAST(o_orderkey AS VARCHAR))*100 + o_orderkey % 7 AS code,
+        |count(*) AS n FROM orders GROUP BY 1""".stripMargin,
+    "dynamic_udf_js_array" ->
+      """SELECT CAST(list_max(list_transform(string_split(text, ' '),
+        |    w -> length(w))) AS BIGINT) AS best, count(*) AS n
+        |  FROM documents WHERE length(text) = strlen(text) GROUP BY 1""".stripMargin,
     "greenplum_dump_roundtrip" ->
       s"""SELECT l_returnflag, count(*) AS n, $sumQty AS sum_qty,
         |min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok

@@ -480,14 +480,48 @@ object JsGesture {
   /** Compile a JS gesture source against a frame's schema. */
   def compile(js: String, df: DataFrame): Column = compileColumn(parse(js), df)
 
-  /** CreateColumnJSMap surface: append `outputColumn` computed by the
-    * gesture. */
-  def withJsColumn(df: DataFrame, outputColumn: String, js: String): DataFrame =
-    df.withColumn(outputColumn, compile(js, df))
+  /** Two-tier dispatch: the straight-line subset compiles to Columns
+    * (codegen, pushdown); programs beyond it — loops, reassignment,
+    * user functions, arrays — fall back to the [[JsProgram]] per-row
+    * interpreter with the declared output type. A program neither tier
+    * accepts surfaces tier 2's (full-grammar) parse error. */
+  private def compileAuto(js: String, df: DataFrame,
+      out: org.apache.spark.sql.types.DataType): Column =
+    try compile(js, df)
+    catch {
+      case e1: IllegalArgumentException =>
+        try JsProgram.columnFor(js, df, out)
+        catch {
+          case e2: IllegalArgumentException =>
+            // prefer the richer grammar's diagnosis, but keep tier 1's
+            // when the program LOOKED like plain subset code
+            throw (if (JsProgram.looksLikeProgram(js)) e2 else e1)
+        }
+    }
 
-  /** JSFilterDescription surface: keep rows where the gesture is true. */
+  /** CreateColumnJSMap surface: append `outputColumn` computed by the
+    * gesture. Subset gestures keep their natural compiled type;
+    * full-program gestures render as strings (JS String(v)) — use
+    * [[withJsColumnTyped]] to declare a numeric/boolean output. */
+  def withJsColumn(df: DataFrame, outputColumn: String, js: String): DataFrame =
+    df.withColumn(outputColumn, compileAuto(js, df, StringType))
+
+  /** CreateColumnJSMap with the reference's explicit output-column kind
+    * (CreateColumnJSMap.java's ColumnDescription): full-program gestures
+    * convert their JS result to `out` (Number/String/truthiness
+    * coercion); subset gestures compile natively and cast. */
+  def withJsColumnTyped(df: DataFrame, outputColumn: String, js: String,
+      out: org.apache.spark.sql.types.DataType): DataFrame = {
+    val c =
+      try compile(js, df).cast(out)
+      catch { case _: IllegalArgumentException => JsProgram.columnFor(js, df, out) }
+    df.withColumn(outputColumn, c)
+  }
+
+  /** JSFilterDescription surface: keep rows where the gesture is true
+    * (subset: SQL boolean, null filtered; full program: JS truthiness). */
   def jsFilter(df: DataFrame, js: String): DataFrame =
-    df.filter(compile(js, df))
+    df.filter(compileAuto(js, df, org.apache.spark.sql.types.BooleanType))
 
   // ── reference interpreter (the differential-fuzz oracle) ───────────
   /** Plain-Scala evaluation over a row map — the independent

@@ -1,0 +1,1039 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Full-PROGRAM tier of the reference's JavaScript gestures
+  * (web/.../maps/CreateColumnJSMap.java:39-56, which evaluates an
+  * arbitrary user `function map(row) {...}` per row via GraalVM, and
+  * table/filters/JSFilterDescription.java:30-80 for filters).
+  *
+  * [[JsGesture]] compiles the straight-line JS SUBSET to Catalyst
+  * Columns — codegen'd, pushdown-friendly, the fast path. Programs the
+  * subset cannot express — mutable locals with reassignment, `for` /
+  * `while` loops with `break`/`continue`, user-defined helper functions
+  * (including recursion), array literals/indexing — land here: the
+  * program is parsed ONCE on the driver into a slot-resolved AST and
+  * evaluated per row by [[JsProgramEval]], a deterministic Catalyst
+  * expression whose children are exactly the row fields the program
+  * references, so column pruning still reaches the scan (the reference's
+  * Graal context is equally opaque per row, but also reads whole rows).
+  *
+  * Scale posture: a narrow per-row map — no shuffle, no driver loop; the
+  * AST ships once per task via the serialized expression. A fuel counter
+  * (1M steps/row) and a call-depth cap bound adversarial programs, so a
+  * runaway `while(true)` fails fast with a clear error instead of
+  * wedging an executor.
+  *
+  * Semantics deliberately match the compiled subset where the two
+  * overlap (the JsProgramSpec parity fuzz holds tier 2 to tier 1 on
+  * every subset program): IEEE-double numbers, SQL-style null
+  * propagation through arithmetic/comparisons, Kleene three-valued
+  * `&&`/`||` (both sides evaluate — safe because indexing is total:
+  * out-of-bounds reads yield null, not errors), `Number("")` = NaN,
+  * fall-off-the-end returns null. Beyond the subset: JS truthiness
+  * decides `if`/`while`/ternary conditions and filter verdicts
+  * (null/false/0/NaN/"" are falsy; arrays always truthy), `var`s are
+  * function-scoped (JS `var` hoisting; `let`/`const` accepted as
+  * synonyms), strings index per UTF-16 code unit exactly as JS
+  * (`charCodeAt` returns the code unit, NaN out of range), and
+  * `Array.prototype.join` renders null elements as "" (JS).
+  */
+object JsProgram {
+
+  // ── AST ────────────────────────────────────────────────────────────
+  // Runtime values: null | java.lang.Double | String | java.lang.Boolean
+  // | scala.collection.mutable.ArrayBuffer[Any] (JS array)
+  sealed trait E extends Serializable
+  final case class ENum(v: Double) extends E
+  final case class EStr(v: String) extends E
+  final case class EBool(v: Boolean) extends E
+  case object ENull extends E
+  /** Local variable / parameter, slot-resolved at parse time. */
+  final case class ELocal(slot: Int) extends E
+  /** Row-field read; `ix` indexes the bound field-value array (resolved
+    * against the referenced-field list at parse time). */
+  final case class ERow(ix: Int) extends E
+  final case class EUn(op: String, e: E) extends E
+  final case class EBin(op: String, a: E, b: E) extends E
+  final case class ETern(c: E, t: E, f: E) extends E
+  /** Method call / property on a receiver (string methods, array
+    * push/join/indexOf, .length). */
+  final case class EMeth(recv: E, name: String, args: Seq[E]) extends E
+  final case class EMath(name: String, args: Seq[E]) extends E
+  /** Global builtins: Number, String, isNaN, String.fromCharCode. */
+  final case class EGlobal(name: String, args: Seq[E]) extends E
+  final case class ECall(fnIx: Int, args: Seq[E]) extends E
+  final case class EArr(elems: Seq[E]) extends E
+  final case class EIndex(arr: E, ix: E) extends E
+
+  sealed trait LV extends Serializable
+  final case class LVar(slot: Int) extends LV
+  final case class LIndex(arr: E, ix: E) extends LV
+
+  sealed trait S extends Serializable
+  final case class SExpr(e: E) extends S
+  final case class SAssign(target: LV, op: String, value: E) extends S
+  final case class SIncDec(target: LV, delta: Double) extends S
+  final case class SIf(c: E, t: Vector[S], f: Vector[S]) extends S
+  /** `while` (update empty) and `for` (update runs after body AND after
+    * `continue` — not a naive while-desugar). */
+  final case class SLoop(cond: Option[E], body: Vector[S], update: Vector[S]) extends S
+  final case class SReturn(e: Option[E]) extends S
+  case object SBreak extends S
+  case object SContinue extends S
+
+  final case class Fn(name: String, nParams: Int, nSlots: Int, body: Vector[S])
+    extends Serializable
+  final case class Program(fns: Vector[Fn], entryIx: Int,
+      rowFields: Vector[String]) extends Serializable
+
+  /** True when the source needs this tier (a cheap syntactic probe used
+    * only for diagnostics; dispatch actually tries tier 1 first). */
+  def looksLikeProgram(src: String): Boolean =
+    Seq("while", "for", "function ").exists(src.contains)
+
+  // ── parser ─────────────────────────────────────────────────────────
+  private final class P(src: String) {
+    var i = 0
+    def ws(): Unit = {
+      var go = true
+      while (go) {
+        while (i < src.length && src(i).isWhitespace) i += 1
+        if (src.startsWith("//", i)) {
+          while (i < src.length && src(i) != '\n') i += 1
+        } else if (src.startsWith("/*", i)) {
+          val e = src.indexOf("*/", i + 2)
+          if (e < 0) fail("unterminated comment")
+          i = e + 2
+        } else go = false
+      }
+    }
+    def peek(s: String): Boolean = { ws(); src.startsWith(s, i) }
+    /** Word-boundary peek for keywords (so `format` ≠ `for`). */
+    def peekKw(s: String): Boolean = {
+      ws()
+      src.startsWith(s, i) && {
+        val j = i + s.length
+        j >= src.length || !isIdent(src(j))
+      }
+    }
+    def eat(s: String): Boolean = if (peek(s)) { i += s.length; true } else false
+    def eatKw(s: String): Boolean = if (peekKw(s)) { i += s.length; true } else false
+    def expect(s: String): Unit = if (!eat(s)) fail(s"expected '$s'")
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"JS program parse error at $i: $msg " +
+        s"(near '${src.slice(i, math.min(src.length, i + 24))}')")
+    def done: Boolean = { ws(); i >= src.length }
+    private def isIdentStart(c: Char) = c.isLetter || c == '_' || c == '$'
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_' || c == '$'
+    def ident(): String = {
+      ws()
+      if (i >= src.length || !isIdentStart(src(i))) fail("expected identifier")
+      val s0 = i
+      while (i < src.length && isIdent(src(i))) i += 1
+      src.substring(s0, i)
+    }
+    def stringLit(q: Char): String = {
+      val sb = new StringBuilder
+      i += 1
+      while (i < src.length && src(i) != q) {
+        if (src(i) == '\\' && i + 1 < src.length) {
+          sb += (src(i + 1) match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case c => c
+          })
+          i += 2
+        } else { sb += src(i); i += 1 }
+      }
+      if (i >= src.length) fail("unterminated string")
+      i += 1
+      sb.result()
+    }
+    def number(): Double = {
+      ws(); val s0 = i
+      while (i < src.length && (src(i).isDigit || src(i) == '.')) i += 1
+      if (s0 == i) fail("expected number")
+      src.substring(s0, i).toDouble
+    }
+    def peekChar: Option[Char] = { ws(); if (i < src.length) Some(src(i)) else None }
+  }
+
+  private val Keywords = Set("function", "var", "let", "const", "if", "else",
+    "while", "for", "return", "break", "continue", "true", "false", "null",
+    "Math", "Number", "String", "isNaN")
+
+  /** Per-function parse scope: slot table + the row parameter name (the
+    * entry's single parameter; helpers have no row access — fields flow
+    * in as plain arguments, which keeps the referenced-field set
+    * static for column pruning). */
+  private final class Scope(val rowParam: Option[String]) {
+    val slots = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def slotOf(n: String): Option[Int] = slots.get(n)
+    def declare(n: String): Int = slots.getOrElseUpdate(n, slots.size)
+  }
+
+  private final class Builder {
+    val fnNames = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val fnArity = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val rowFields = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def fieldIx(n: String): Int = rowFields.getOrElseUpdate(n, rowFields.size)
+  }
+
+  def parse(src: String): Program = {
+    val p = new P(src)
+    val b = new Builder
+    // Pass 1: find declarations (name + arity) so forward calls resolve.
+    // A bare expression / single anonymous body is wrapped as the entry.
+    val decls = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String], Int)]
+    if (!p.peekKw("function")) {
+      // bare expression over `row`
+      val body = Vector[S](SReturn(Some(parseExprTop(p, b, new Scope(Some("row"))))))
+      if (!p.done) p.fail("trailing input")
+      return Program(Vector(Fn("map", 1, 1, body)), 0,
+        b.rowFields.keys.toVector)
+    }
+    // scan function headers and bodies textually (bodies re-parsed below
+    // with full scopes once all names/arities are known)
+    val headerPositions = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (!p.done) {
+      p.ws()
+      headerPositions += p.i
+      p.expect("function")
+      val name = p.ident()
+      p.expect("(")
+      val params = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (!p.peek(")")) {
+        params += p.ident()
+        while (p.eat(",")) params += p.ident()
+      }
+      p.expect(")")
+      p.expect("{")
+      var depth = 1
+      while (depth > 0) {
+        p.peekChar match {
+          case None => p.fail("unterminated function body")
+          case Some('{') => p.i += 1; depth += 1
+          case Some('}') => p.i += 1; depth -= 1
+          case Some(q @ ('\'' | '"')) => p.stringLit(q)
+          case Some(_) => p.i += 1
+        }
+      }
+      if (b.fnNames.contains(name)) p.fail(s"duplicate function '$name'")
+      b.fnNames(name) = decls.size
+      b.fnArity += params.size
+      decls += ((name, params.toSeq, headerPositions.last))
+    }
+    val entryIx = b.fnNames.get("map").orElse(b.fnNames.get("filter"))
+      .getOrElse(decls.size - 1)
+    if (decls(entryIx)._2.size != 1)
+      p.fail(s"entry function '${decls(entryIx)._1}' must take exactly one (row) parameter")
+    // Pass 2: parse each body with its scope
+    val fns = decls.zipWithIndex.map { case ((name, params, pos), ix) =>
+      val p2 = new P(src)
+      p2.i = pos
+      p2.expect("function"); p2.ident(); p2.expect("(")
+      if (params.nonEmpty) { p2.ident(); params.tail.foreach { _ => p2.expect(","); p2.ident() } }
+      p2.expect(")"); p2.expect("{")
+      val scope = new Scope(if (ix == entryIx) Some(params.head) else None)
+      // params occupy the first slots (the entry's row param slot is
+      // reserved but never read — fields go through ERow)
+      params.foreach(scope.declare(_))
+      val body = parseStmts(p2, b, scope)
+      p2.expect("}")
+      Fn(name, params.size, scope.slots.size, body)
+    }.toVector
+    Program(fns, entryIx, b.rowFields.keys.toVector)
+  }
+
+  private def parseExprTop(p: P, b: Builder, sc: Scope): E = {
+    val e = parseExpr(p, b, sc)
+    e
+  }
+
+  private def parseStmts(p: P, b: Builder, sc: Scope): Vector[S] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[S]
+    while (!p.peek("}") && !p.done) out += parseStmt(p, b, sc)
+    out.toVector
+  }
+
+  private def parseBlock(p: P, b: Builder, sc: Scope): Vector[S] =
+    if (p.eat("{")) { val s = parseStmts(p, b, sc); p.expect("}"); s }
+    else Vector(parseStmt(p, b, sc))
+
+  private def parseStmt(p: P, b: Builder, sc: Scope): S = {
+    if (p.eatKw("return")) {
+      val e = if (p.peek(";") || p.peek("}")) None else Some(parseExpr(p, b, sc))
+      p.eat(";")
+      SReturn(e)
+    } else if (p.eatKw("var") || p.eatKw("let") || p.eatKw("const")) {
+      val n = p.ident()
+      if (Keywords(n)) p.fail(s"cannot declare '$n'")
+      val slot = sc.declare(n)
+      val init = if (p.eat("=")) parseExpr(p, b, sc) else ENull
+      p.eat(";")
+      SAssign(LVar(slot), "=", init)
+    } else if (p.peekKw("if")) {
+      parseIf(p, b, sc)
+    } else if (p.eatKw("while")) {
+      p.expect("(")
+      val c = parseExpr(p, b, sc)
+      p.expect(")")
+      SLoop(Some(c), parseBlock(p, b, sc), Vector.empty)
+    } else if (p.eatKw("for")) {
+      p.expect("(")
+      val init =
+        if (p.peek(";")) Vector.empty[S]
+        else Vector(parseStmt(p, b, sc)) // var decl or assignment (eats its ';')
+      if (init.isEmpty) p.expect(";")
+      val cond = if (p.peek(";")) None else Some(parseExpr(p, b, sc))
+      p.expect(";")
+      val update =
+        if (p.peek(")")) Vector.empty[S]
+        else Vector(parseSimpleStmt(p, b, sc))
+      p.expect(")")
+      val body = parseBlock(p, b, sc)
+      // init runs once; SLoop runs update after body and after continue
+      val loop = SLoop(cond, body, update)
+      if (init.isEmpty) loop else SIf(EBool(true), init :+ loop, Vector.empty)
+    } else if (p.eatKw("break")) { p.eat(";"); SBreak }
+    else if (p.eatKw("continue")) { p.eat(";"); SContinue }
+    else {
+      val s = parseSimpleStmt(p, b, sc)
+      p.eat(";")
+      s
+    }
+  }
+
+  private def parseIf(p: P, b: Builder, sc: Scope): S = {
+    p.expect("if"); p.expect("(")
+    val c = parseExpr(p, b, sc)
+    p.expect(")")
+    val t = parseBlock(p, b, sc)
+    val f = if (p.eatKw("else"))
+      (if (p.peekKw("if")) Vector(parseIf(p, b, sc)) else parseBlock(p, b, sc))
+    else Vector.empty[S]
+    SIf(c, t, f)
+  }
+
+  /** Assignment / ++ / -- / bare expression (no trailing ';' eaten —
+    * usable as a for-update). */
+  private def parseSimpleStmt(p: P, b: Builder, sc: Scope): S = {
+    val mark = p.i
+    val e = parseExpr(p, b, sc)
+    def lvalueOf(e0: E): LV = e0 match {
+      case ELocal(s) => LVar(s)
+      case EIndex(a, ix) => LIndex(a, ix)
+      case _ => p.fail("invalid assignment target")
+    }
+    p.ws()
+    if (p.eat("+=")) SAssign(lvalueOf(e), "+", parseExpr(p, b, sc))
+    else if (p.eat("-=")) SAssign(lvalueOf(e), "-", parseExpr(p, b, sc))
+    else if (p.eat("*=")) SAssign(lvalueOf(e), "*", parseExpr(p, b, sc))
+    else if (p.eat("/=")) SAssign(lvalueOf(e), "/", parseExpr(p, b, sc))
+    else if (p.eat("%=")) SAssign(lvalueOf(e), "%", parseExpr(p, b, sc))
+    else if (p.eat("++")) SIncDec(lvalueOf(e), 1.0)
+    else if (p.eat("--")) SIncDec(lvalueOf(e), -1.0)
+    else if (!p.peek("==") && p.eat("=")) SAssign(lvalueOf(e), "=", parseExpr(p, b, sc))
+    else { val _ = mark; SExpr(e) }
+  }
+
+  // expression grammar mirrors JsGesture's (ternary → || → && → eq →
+  // rel → add → mul → unary → postfix → primary)
+  private def parseExpr(p: P, b: Builder, sc: Scope): E = {
+    val c = parseOr(p, b, sc)
+    if (p.eat("?")) {
+      val t = parseExpr(p, b, sc); p.expect(":")
+      ETern(c, t, parseExpr(p, b, sc))
+    } else c
+  }
+  private def parseOr(p: P, b: Builder, sc: Scope): E = {
+    var a = parseAnd(p, b, sc)
+    while (p.eat("||")) a = EBin("||", a, parseAnd(p, b, sc))
+    a
+  }
+  private def parseAnd(p: P, b: Builder, sc: Scope): E = {
+    var a = parseEq(p, b, sc)
+    while (p.eat("&&")) a = EBin("&&", a, parseEq(p, b, sc))
+    a
+  }
+  private def parseEq(p: P, b: Builder, sc: Scope): E = {
+    var a = parseRel(p, b, sc)
+    var go = true
+    while (go) {
+      if (p.eat("===") || p.eat("==")) a = EBin("==", a, parseRel(p, b, sc))
+      else if (p.eat("!==") || p.eat("!=")) a = EBin("!=", a, parseRel(p, b, sc))
+      else go = false
+    }
+    a
+  }
+  private def parseRel(p: P, b: Builder, sc: Scope): E = {
+    var a = parseAdd(p, b, sc)
+    var go = true
+    while (go) {
+      if (p.eat("<=")) a = EBin("<=", a, parseAdd(p, b, sc))
+      else if (p.eat(">=")) a = EBin(">=", a, parseAdd(p, b, sc))
+      else if (p.eat("<")) a = EBin("<", a, parseAdd(p, b, sc))
+      else if (p.eat(">")) a = EBin(">", a, parseAdd(p, b, sc))
+      else go = false
+    }
+    a
+  }
+  private def parseAdd(p: P, b: Builder, sc: Scope): E = {
+    var a = parseMul(p, b, sc)
+    var go = true
+    while (go) {
+      p.ws()
+      if (p.peek("++") || p.peek("+=")) go = false
+      else if (p.eat("+")) a = EBin("+", a, parseMul(p, b, sc))
+      else if (p.peek("--") || p.peek("-=")) go = false
+      else if (p.eat("-")) a = EBin("-", a, parseMul(p, b, sc))
+      else go = false
+    }
+    a
+  }
+  private def parseMul(p: P, b: Builder, sc: Scope): E = {
+    var a = parseUnary(p, b, sc)
+    var go = true
+    while (go) {
+      p.ws()
+      if (p.peek("*=") || p.peek("/=") || p.peek("%=")) go = false
+      else if (p.eat("*")) a = EBin("*", a, parseUnary(p, b, sc))
+      else if (p.eat("/")) a = EBin("/", a, parseUnary(p, b, sc))
+      else if (p.eat("%")) a = EBin("%", a, parseUnary(p, b, sc))
+      else go = false
+    }
+    a
+  }
+  private def parseUnary(p: P, b: Builder, sc: Scope): E =
+    if (p.peek("!=")) parsePostfix(p, b, sc)
+    else if (p.eat("!")) EUn("!", parseUnary(p, b, sc))
+    else if (p.eat("-")) EUn("-", parseUnary(p, b, sc))
+    else parsePostfix(p, b, sc)
+
+  /** Sentinel for the entry's row parameter before member access. */
+  private case object RowMarker extends E
+
+  private def parsePostfix(p: P, b: Builder, sc: Scope): E = {
+    var a = parsePrimary(p, b, sc)
+    var go = true
+    while (go) {
+      if (p.eat(".")) {
+        val m = p.ident()
+        if (p.eat("(")) {
+          val args = scala.collection.mutable.ArrayBuffer.empty[E]
+          if (!p.peek(")")) {
+            args += parseExpr(p, b, sc)
+            while (p.eat(",")) args += parseExpr(p, b, sc)
+          }
+          p.expect(")")
+          a = a match {
+            case RowMarker => p.fail("row has no methods; use row.field")
+            case r => EMeth(r, m, args.toSeq)
+          }
+        } else a = a match {
+          case RowMarker => ERow(b.fieldIx(m))
+          case r => EMeth(r, m, Seq.empty) // property (.length)
+        }
+      } else if (p.eat("[")) {
+        a match {
+          case RowMarker =>
+            val q = p.peekChar.getOrElse(p.fail("expected subscript"))
+            if (q != '\'' && q != '"') p.fail("row subscripts must be string literals")
+            val f = p.stringLit(q)
+            p.expect("]")
+            a = ERow(b.fieldIx(f))
+          case r =>
+            val ix = parseExpr(p, b, sc)
+            p.expect("]")
+            a = EIndex(r, ix)
+        }
+      } else go = false
+    }
+    a
+  }
+
+  private def parsePrimary(p: P, b: Builder, sc: Scope): E = {
+    p.peekChar match {
+      case Some('(') => p.expect("("); val e = parseExpr(p, b, sc); p.expect(")"); e
+      case Some('[') =>
+        p.expect("[")
+        val elems = scala.collection.mutable.ArrayBuffer.empty[E]
+        if (!p.peek("]")) {
+          elems += parseExpr(p, b, sc)
+          while (p.eat(",")) elems += parseExpr(p, b, sc)
+        }
+        p.expect("]")
+        EArr(elems.toSeq)
+      case Some('\'') => EStr(p.stringLit('\''))
+      case Some('"') => EStr(p.stringLit('"'))
+      case Some(c) if c.isDigit => ENum(p.number())
+      case _ =>
+        val id = p.ident()
+        id match {
+          case "true" => EBool(true)
+          case "false" => EBool(false)
+          case "null" | "undefined" => ENull
+          case "Math" =>
+            p.expect("."); val f = p.ident(); p.expect("(")
+            val args = scala.collection.mutable.ArrayBuffer.empty[E]
+            if (!p.peek(")")) {
+              args += parseExpr(p, b, sc)
+              while (p.eat(",")) args += parseExpr(p, b, sc)
+            }
+            p.expect(")")
+            EMath(f, args.toSeq)
+          case "String" if p.peek(".") =>
+            p.expect("."); val f = p.ident()
+            if (f != "fromCharCode") p.fail(s"unsupported String.$f")
+            p.expect("(")
+            val a0 = parseExpr(p, b, sc)
+            p.expect(")")
+            EGlobal("fromCharCode", Seq(a0))
+          case "Number" | "String" | "isNaN" =>
+            p.expect("(")
+            val a0 = parseExpr(p, b, sc)
+            p.expect(")")
+            EGlobal(id, Seq(a0))
+          case n if sc.rowParam.contains(n) => RowMarker
+          case n if sc.slotOf(n).isDefined => ELocal(sc.slotOf(n).get)
+          case n if b.fnNames.contains(n) =>
+            p.expect("(")
+            val args = scala.collection.mutable.ArrayBuffer.empty[E]
+            if (!p.peek(")")) {
+              args += parseExpr(p, b, sc)
+              while (p.eat(",")) args += parseExpr(p, b, sc)
+            }
+            p.expect(")")
+            val ix = b.fnNames(n)
+            if (args.size != b.fnArity(ix))
+              p.fail(s"'$n' takes ${b.fnArity(ix)} argument(s), got ${args.size}")
+            ECall(ix, args.toSeq)
+          case n => p.fail(s"unknown identifier '$n'")
+        }
+    }
+  }
+
+  // ── interpreter ────────────────────────────────────────────────────
+  private val MaxFuel = 1000000
+  private val MaxDepth = 256
+
+  private sealed trait Sig
+  private case object SigNormal extends Sig
+  private case object SigBreak extends Sig
+  private case object SigContinue extends Sig
+  private final case class SigReturn(v: Any) extends Sig
+
+  /** Run the program's entry over one row's referenced-field values
+    * (aligned with `prog.rowFields`). */
+  def run(prog: Program, fieldValues: Array[Any]): Any = {
+    var fuel = MaxFuel
+    def burn(): Unit = {
+      fuel -= 1
+      if (fuel <= 0) throw new IllegalStateException(
+        s"JS gesture exceeded $MaxFuel steps on one row (non-terminating loop?)")
+    }
+    def d(v: Any): java.lang.Double = v match {
+      case null => null
+      case x: java.lang.Double => x
+      case s: String => try s.toDouble catch { case _: Exception => Double.NaN }
+      case b: java.lang.Boolean => if (b) 1.0 else 0.0
+      case _: scala.collection.mutable.ArrayBuffer[_] => Double.NaN
+      case other => sys.error(s"not numeric: $other")
+    }
+    def s(v: Any): String = v match {
+      case null => null
+      case x: java.lang.Double =>
+        val xd = x.doubleValue
+        if (xd == math.floor(xd) && !xd.isInfinite && math.abs(xd) < 1e15)
+          xd.toLong.toString else xd.toString
+      case a: scala.collection.mutable.ArrayBuffer[_] =>
+        a.map(e => if (e == null) "" else s(e)).mkString(",")
+      case other => other.toString
+    }
+    def truthy(v: Any): Boolean = v match {
+      case null => false
+      case b: java.lang.Boolean => b
+      case x: java.lang.Double => !x.isNaN && x.doubleValue != 0.0
+      case st: String => st.nonEmpty
+      case _ => true // arrays (JS objects are always truthy)
+    }
+    def cmp(a: Any, bv: Any): Option[Int] = (a, bv) match {
+      case (null, _) | (_, null) => None
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+        Some(x.compareTo(y))
+      case (x, y) =>
+        // arrays stringify first (so ['1'] == 1 coerces numerically via
+        // the string, as in JS); mixed string-vs-number coerces both
+        // sides numerically — same rule as the compiled subset
+        val xv = x match { case ab: scala.collection.mutable.ArrayBuffer[_] => s(ab); case v => v }
+        val yv = y match { case ab: scala.collection.mutable.ArrayBuffer[_] => s(ab); case v => v }
+        (xv, yv) match {
+          case (xs: String, ys: String) => Some(xs.compareTo(ys))
+          case (x2, y2) =>
+            val (dx, dy) = (d(x2), d(y2))
+            if (dx == null || dy == null) None
+            // Double.compare is the Java/Spark TOTAL order (NaN equals
+            // itself and sorts greatest) — the documented tier-1 deviation
+            else Some(java.lang.Double.compare(dx, dy))
+        }
+    }
+    def kleene(a: Any, bv: Any, and: Boolean): Any = {
+      val ta = if (a == null) null else java.lang.Boolean.valueOf(truthy(a))
+      val tb = if (bv == null) null else java.lang.Boolean.valueOf(truthy(bv))
+      if (and) (ta, tb) match {
+        case (java.lang.Boolean.FALSE, _) | (_, java.lang.Boolean.FALSE) => false
+        case (null, _) | (_, null) => null
+        case _ => true
+      } else (ta, tb) match {
+        case (java.lang.Boolean.TRUE, _) | (_, java.lang.Boolean.TRUE) => true
+        case (null, _) | (_, null) => null
+        case _ => false
+      }
+    }
+    def toIdx(v: Any): Int = {
+      val x = d(v)
+      if (x == null) 0
+      else if (x.isNaN) 0
+      else if (x >= Int.MaxValue.toDouble) Int.MaxValue - 8
+      else if (x <= Int.MinValue.toDouble) Int.MinValue + 8
+      else x.toInt
+    }
+
+    def callFn(ix: Int, args: Array[Any], depth: Int): Any = {
+      if (depth > MaxDepth)
+        throw new IllegalStateException(s"JS gesture exceeded call depth $MaxDepth")
+      val fn = prog.fns(ix)
+      val frame = new Array[Any](fn.nSlots)
+      System.arraycopy(args, 0, frame, 0, math.min(args.length, fn.nParams))
+      exec(fn.body, frame, depth) match {
+        case SigReturn(v) => v
+        case _ => null // fall off the end: JS undefined → null
+      }
+    }
+
+    def exec(stmts: Vector[S], frame: Array[Any], depth: Int): Sig = {
+      var i = 0
+      while (i < stmts.length) {
+        burn()
+        stmts(i) match {
+          case SExpr(e) => ev(e, frame, depth); ()
+          case SAssign(LVar(slot), op, value) =>
+            val v = ev(value, frame, depth)
+            frame(slot) = if (op == "=") v else binOp(op, frame(slot), v)
+          case SAssign(LIndex(arrE, ixE), op, value) =>
+            ev(arrE, frame, depth) match {
+              case a: scala.collection.mutable.ArrayBuffer[_] =>
+                val ab = a.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+                val ix = toIdx(ev(ixE, frame, depth))
+                val v = ev(value, frame, depth)
+                if (ix >= 0) {
+                  while (ab.size <= ix) ab += null // JS sparse-extend
+                  ab(ix) = if (op == "=") v else binOp(op, ab(ix), v)
+                }
+              case null => () // null target: SQL propagation, no-op
+              case other => sys.error(s"cannot index-assign into $other")
+            }
+          case SIncDec(LVar(slot), delta) =>
+            val x = d(frame(slot))
+            frame(slot) = if (x == null) null
+              else java.lang.Double.valueOf(x.doubleValue + delta)
+          case SIncDec(LIndex(arrE, ixE), delta) =>
+            ev(arrE, frame, depth) match {
+              case a: scala.collection.mutable.ArrayBuffer[_] =>
+                val ab = a.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+                val ix = toIdx(ev(ixE, frame, depth))
+                if (ix >= 0 && ix < ab.size) {
+                  val x = d(ab(ix))
+                  ab(ix) = if (x == null) null
+                    else java.lang.Double.valueOf(x.doubleValue + delta)
+                }
+              case _ => ()
+            }
+          case SIf(c, t, f) =>
+            val branch = if (truthy(ev(c, frame, depth))) t else f
+            exec(branch, frame, depth) match {
+              case SigNormal => ()
+              case sig => return sig
+            }
+          case SLoop(cond, body, update) =>
+            var looping = true
+            while (looping) {
+              burn()
+              if (cond.forall(c => truthy(ev(c, frame, depth)))) {
+                exec(body, frame, depth) match {
+                  case SigNormal | SigContinue =>
+                    exec(update, frame, depth) match {
+                      case SigNormal => ()
+                      case sig => return sig // update can't break/continue
+                    }
+                  case SigBreak => looping = false
+                  case ret: SigReturn => return ret
+                }
+              } else looping = false
+            }
+          case SReturn(e) =>
+            return SigReturn(e.map(ev(_, frame, depth)).orNull)
+          case SBreak => return SigBreak
+          case SContinue => return SigContinue
+        }
+        i += 1
+      }
+      SigNormal
+    }
+
+    def binOp(op: String, a: Any, bv: Any): Any = op match {
+      case "+" =>
+        // string concat when either side renders as a string or array
+        // (runtime-tagged — tier 1 decides from the schema, same result)
+        (a, bv) match {
+          case (null, _) | (_, null) => null
+          case (x: String, y) => x + s(y)
+          case (x, y: String) => s(x) + y
+          case (x: scala.collection.mutable.ArrayBuffer[_], y) => s(x) + s(y)
+          case (x, y: scala.collection.mutable.ArrayBuffer[_]) => s(x) + s(y)
+          case (x, y) =>
+            val (dx, dy) = (d(x), d(y))
+            if (dx == null || dy == null) null
+            else java.lang.Double.valueOf(dx + dy)
+        }
+      case "-" | "*" | "/" | "%" =>
+        val (dx, dy) = (d(a), d(bv))
+        if (dx == null || dy == null) null
+        else java.lang.Double.valueOf(op match {
+          case "-" => dx - dy
+          case "*" => dx * dy
+          case "/" => dx / dy
+          case _ => dx % dy
+        })
+      case _ => sys.error(s"binOp $op")
+    }
+
+    def ev(e: E, frame: Array[Any], depth: Int): Any = {
+      burn()
+      e match {
+        case ENum(v) => java.lang.Double.valueOf(v)
+        case EStr(v) => v
+        case EBool(v) => java.lang.Boolean.valueOf(v)
+        case ENull => null
+        case ELocal(slot) => frame(slot)
+        case ERow(ix) => fieldValues(ix)
+        case EUn("!", a) => ev(a, frame, depth) match {
+          case null => null
+          case v => java.lang.Boolean.valueOf(!truthy(v))
+        }
+        case EUn("-", a) =>
+          val x = d(ev(a, frame, depth))
+          if (x == null) null else java.lang.Double.valueOf(-x.doubleValue)
+        case EUn(op, _) => sys.error(s"op $op")
+        case EBin("&&", a, bv) =>
+          kleene(ev(a, frame, depth), ev(bv, frame, depth), and = true)
+        case EBin("||", a, bv) =>
+          kleene(ev(a, frame, depth), ev(bv, frame, depth), and = false)
+        case EBin("==", a, bv) =>
+          cmp(ev(a, frame, depth), ev(bv, frame, depth))
+            .map(c => java.lang.Boolean.valueOf(c == 0)).orNull
+        case EBin("!=", a, bv) =>
+          cmp(ev(a, frame, depth), ev(bv, frame, depth))
+            .map(c => java.lang.Boolean.valueOf(c != 0)).orNull
+        case EBin("<", a, bv) =>
+          cmpOrdered(ev(a, frame, depth), ev(bv, frame, depth), c => c < 0)
+        case EBin("<=", a, bv) =>
+          cmpOrdered(ev(a, frame, depth), ev(bv, frame, depth), c => c <= 0)
+        case EBin(">", a, bv) =>
+          cmpOrdered(ev(a, frame, depth), ev(bv, frame, depth), c => c > 0)
+        case EBin(">=", a, bv) =>
+          cmpOrdered(ev(a, frame, depth), ev(bv, frame, depth), c => c >= 0)
+        case EBin(op, a, bv) =>
+          binOp(op, ev(a, frame, depth), ev(bv, frame, depth))
+        case ETern(c, t, f) =>
+          if (truthy(ev(c, frame, depth))) ev(t, frame, depth)
+          else ev(f, frame, depth)
+        case EArr(elems) =>
+          val ab = new scala.collection.mutable.ArrayBuffer[Any](elems.size)
+          elems.foreach(x => ab += ev(x, frame, depth))
+          ab
+        case EIndex(arrE, ixE) =>
+          val base = ev(arrE, frame, depth)
+          val ix = toIdx(ev(ixE, frame, depth))
+          base match {
+            case null => null
+            case a: scala.collection.mutable.ArrayBuffer[_] =>
+              if (ix >= 0 && ix < a.size) a(ix) else null
+            case st: String =>
+              if (ix >= 0 && ix < st.length) st.charAt(ix).toString else null
+            case other => sys.error(s"cannot index $other")
+          }
+        case ECall(ix, args) =>
+          val vs = new Array[Any](args.size)
+          var i = 0
+          while (i < args.size) { vs(i) = ev(args(i), frame, depth); i += 1 }
+          callFn(ix, vs, depth + 1)
+        case EMeth(recvE, name, args) =>
+          val recv = ev(recvE, frame, depth)
+          evalMethod(recv, name, args, frame, depth)
+        case EMath(name, args) =>
+          val vs = args.map(a => d(ev(a, frame, depth)))
+          if (vs.exists(_ == null)) null
+          else java.lang.Double.valueOf(name match {
+            case "abs" => math.abs(vs.head.doubleValue)
+            case "floor" => math.floor(vs.head.doubleValue)
+            case "ceil" => math.ceil(vs.head.doubleValue)
+            case "sqrt" => math.sqrt(vs.head.doubleValue)
+            case "round" => math.floor(vs.head.doubleValue + 0.5)
+            case "pow" => math.pow(vs.head.doubleValue, vs(1).doubleValue)
+            case "min" => vs.map(_.doubleValue).min
+            case "max" => vs.map(_.doubleValue).max
+            case other => sys.error(s"unsupported Math.$other")
+          })
+        case EGlobal("Number", Seq(a)) =>
+          ev(a, frame, depth) match { case null => null; case v => d(v) }
+        case EGlobal("String", Seq(a)) =>
+          ev(a, frame, depth) match { case null => null; case v => s(v) }
+        case EGlobal("isNaN", Seq(a)) =>
+          ev(a, frame, depth) match {
+            case null => null
+            case v => java.lang.Boolean.valueOf({ val x = d(v); x != null && x.isNaN })
+          }
+        case EGlobal("fromCharCode", Seq(a)) =>
+          ev(a, frame, depth) match {
+            case null => null
+            case v =>
+              val code = toIdx(v)
+              if (code < 0 || code > Char.MaxValue.toInt) "�"
+              else code.toChar.toString
+          }
+        case EGlobal(g, _) => sys.error(s"unsupported global $g")
+        case RowMarker => sys.error("bare row parameter")
+      }
+    }
+
+    def cmpOrdered(a: Any, bv: Any, f: Int => Boolean): Any = {
+      // ordered comparisons: NaN uses Java/Spark total order (documented
+      // deviation shared with tier 1), so route through the double path
+      (a, bv) match {
+        case (null, _) | (_, null) => null
+        case (x: String, y: String) => java.lang.Boolean.valueOf(f(x.compareTo(y)))
+        case (x, y) =>
+          val (dx, dy) = (d(x), d(y))
+          if (dx == null || dy == null) null
+          else java.lang.Boolean.valueOf(f(java.lang.Double.compare(dx, dy)))
+      }
+    }
+
+    def evalMethod(recv: Any, name: String, args: Seq[E],
+        frame: Array[Any], depth: Int): Any = {
+      recv match {
+        case null => null
+        case a: scala.collection.mutable.ArrayBuffer[_] =>
+          val ab = a.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+          name match {
+            case "length" => java.lang.Double.valueOf(ab.size.toDouble)
+            case "push" =>
+              args.foreach(x => ab += ev(x, frame, depth))
+              java.lang.Double.valueOf(ab.size.toDouble)
+            case "pop" =>
+              if (ab.isEmpty) null else ab.remove(ab.size - 1)
+            case "join" =>
+              val sep = if (args.isEmpty) "," else {
+                val v = ev(args.head, frame, depth)
+                if (v == null) "," else s(v)
+              }
+              ab.map(x => if (x == null) "" else s(x)).mkString(sep)
+            case "indexOf" =>
+              val target = ev(args.head, frame, depth)
+              java.lang.Double.valueOf(
+                ab.indexWhere(x => cmp(x, target).contains(0)).toDouble)
+            case "slice" =>
+              val lo0 = if (args.nonEmpty) toIdx(ev(args.head, frame, depth)) else 0
+              val hi0 = if (args.size > 1) toIdx(ev(args(1), frame, depth)) else ab.size
+              def norm(i0: Int) = if (i0 < 0) math.max(0, ab.size + i0) else math.min(i0, ab.size)
+              val lo = norm(lo0); val hi = math.max(lo, norm(hi0))
+              val out = new scala.collection.mutable.ArrayBuffer[Any](hi - lo)
+              var i = lo
+              while (i < hi) { out += ab(i); i += 1 }
+              out
+            case other => sys.error(s"unsupported array method .$other")
+          }
+        case _ =>
+          // string methods (non-string receivers stringify, as tier 1)
+          val str = s(recv)
+          name match {
+            case "toLowerCase" => str.toLowerCase
+            case "toUpperCase" => str.toUpperCase
+            case "trim" => str.trim
+            case "length" => java.lang.Double.valueOf(str.length.toDouble)
+            case "charAt" =>
+              val i = toIdx(ev(args.head, frame, depth))
+              if (i < 0 || i >= str.length) "" else str.charAt(i).toString
+            case "charCodeAt" =>
+              val i = toIdx(ev(args.head, frame, depth))
+              java.lang.Double.valueOf(
+                if (i < 0 || i >= str.length) Double.NaN else str.charAt(i).toDouble)
+            case "indexOf" =>
+              val v = ev(args.head, frame, depth)
+              if (v == null) null
+              else java.lang.Double.valueOf(str.indexOf(s(v)).toDouble)
+            case "includes" =>
+              val v = ev(args.head, frame, depth)
+              if (v == null) null else java.lang.Boolean.valueOf(str.contains(s(v)))
+            case "startsWith" =>
+              val v = ev(args.head, frame, depth)
+              if (v == null) null else java.lang.Boolean.valueOf(str.startsWith(s(v)))
+            case "endsWith" =>
+              val v = ev(args.head, frame, depth)
+              if (v == null) null else java.lang.Boolean.valueOf(str.endsWith(s(v)))
+            case "substring" =>
+              val a0 = toIdx(ev(args.head, frame, depth))
+              val b0 = if (args.size > 1) toIdx(ev(args(1), frame, depth)) else str.length
+              val lo = math.max(0, math.min(a0, str.length))
+              val hi = math.max(lo, math.min(b0, str.length))
+              str.substring(lo, hi)
+            case "replace" =>
+              val from = ev(args.head, frame, depth)
+              val to = ev(args(1), frame, depth)
+              if (from == null || to == null) null
+              else {
+                val fs = s(from); val ts = s(to)
+                val p0 = str.indexOf(fs)
+                if (p0 < 0) str
+                else str.substring(0, p0) + ts + str.substring(p0 + fs.length)
+              }
+            case "split" =>
+              val v = ev(args.head, frame, depth)
+              if (v == null) null
+              else {
+                val sep = s(v)
+                val parts: Array[String] =
+                  if (sep.isEmpty) str.toCharArray.map(_.toString)
+                  else str.split(java.util.regex.Pattern.quote(sep), -1)
+                val out = new scala.collection.mutable.ArrayBuffer[Any](parts.length)
+                parts.foreach(out += _)
+                out
+              }
+            case "repeat" =>
+              val n = toIdx(ev(args.head, frame, depth))
+              if (n < 0) sys.error("repeat: negative count")
+              else str * math.min(n, 1 << 20)
+            case other => sys.error(s"unsupported method .$other on string")
+          }
+      }
+    }
+
+    // the entry's single parameter is the row object, which is never a
+    // runtime value (all field reads were rewritten to ERow at parse
+    // time) — its slot stays null
+    callFn(prog.entryIx, new Array[Any](1), 0)
+  }
+
+  // ── Spark value bridging ───────────────────────────────────────────
+  private[functions] def fromSpark(v: Any, dt: DataType): Any = v match {
+    case null => null
+    case u: UTF8String => u.toString
+    case d: java.lang.Double => d
+    case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue)
+    case i: java.lang.Integer => java.lang.Double.valueOf(i.doubleValue)
+    case l: java.lang.Long => java.lang.Double.valueOf(l.doubleValue)
+    case s: java.lang.Short => java.lang.Double.valueOf(s.doubleValue)
+    case b: java.lang.Byte => java.lang.Double.valueOf(b.doubleValue)
+    case b: java.lang.Boolean => b
+    case dec: org.apache.spark.sql.types.Decimal =>
+      java.lang.Double.valueOf(dec.toDouble)
+    case other =>
+      sys.error(s"unsupported JS gesture input type $dt ($other)")
+  }
+
+  /** Render a JS value into the declared output type. Strings use the
+    * JS rendering (integral doubles drop the ".0"); doubles coerce via
+    * JS Number (unparseable → NaN, null stays null); booleans use JS
+    * truthiness (never null — the filter verdict). */
+  private[functions] def toSpark(v: Any, dt: DataType): Any = dt match {
+    case StringType =>
+      v match {
+        case null => null
+        case x: java.lang.Double =>
+          val xd = x.doubleValue
+          UTF8String.fromString(
+            if (xd == math.floor(xd) && !xd.isInfinite && math.abs(xd) < 1e15)
+              xd.toLong.toString else xd.toString)
+        case st: String => UTF8String.fromString(st)
+        case b: java.lang.Boolean => UTF8String.fromString(if (b) "true" else "false")
+        case a: scala.collection.mutable.ArrayBuffer[_] =>
+          UTF8String.fromString(a.map {
+            case null => ""
+            case x: java.lang.Double =>
+              val xd = x.doubleValue
+              if (xd == math.floor(xd) && !xd.isInfinite && math.abs(xd) < 1e15)
+                xd.toLong.toString else xd.toString
+            case other => other.toString
+          }.mkString(","))
+        case other => UTF8String.fromString(other.toString)
+      }
+    case DoubleType =>
+      v match {
+        case null => null
+        case x: java.lang.Double => x
+        case st: String =>
+          try java.lang.Double.valueOf(st.toDouble)
+          catch { case _: Exception => java.lang.Double.valueOf(Double.NaN) }
+        case b: java.lang.Boolean => java.lang.Double.valueOf(if (b) 1.0 else 0.0)
+        case _ => java.lang.Double.valueOf(Double.NaN)
+      }
+    case BooleanType =>
+      v match {
+        case null => java.lang.Boolean.FALSE
+        case b: java.lang.Boolean => b
+        case x: java.lang.Double =>
+          java.lang.Boolean.valueOf(!x.isNaN && x.doubleValue != 0.0)
+        case st: String => java.lang.Boolean.valueOf(st.nonEmpty)
+        case _ => java.lang.Boolean.TRUE
+      }
+    case other => sys.error(s"unsupported JS gesture output type $other")
+  }
+
+  /** Build the gesture Column for a frame: children are exactly the
+    * referenced fields (column pruning reaches the scan). */
+  def columnFor(js: String, df: DataFrame, out: DataType): Column = {
+    val prog = parse(js)
+    val schema = df.schema.fields.map(f => f.name).toSet
+    prog.rowFields.foreach { f =>
+      require(schema.contains(f), s"no such column: $f")
+    }
+    val children = prog.rowFields.map(f =>
+      org.apache.spark.sql.graftshim.columnToExpr(df.col(f)))
+    org.apache.spark.sql.graftshim.exprToColumn(
+      JsProgramEval(prog, out, children))
+  }
+}
+
+/** Per-row evaluation of a parsed JS gesture program. Deterministic,
+  * interpreted (CodegenFallback — the dynamic-program tier trades
+  * codegen for generality, exactly the reference's per-row Graal
+  * evaluation, minus the process-global context). Children are the
+  * referenced row fields only. */
+case class JsProgramEval(prog: JsProgram.Program, out: DataType,
+    children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = out
+
+  override def eval(input: InternalRow): Any = {
+    val vals = new Array[Any](children.length)
+    var i = 0
+    while (i < children.length) {
+      vals(i) = JsProgram.fromSpark(children(i).eval(input), children(i).dataType)
+      i += 1
+    }
+    JsProgram.toSpark(JsProgram.run(prog, vals), out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}

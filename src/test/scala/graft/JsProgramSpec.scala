@@ -1,0 +1,279 @@
+package graft
+
+import graft.functions.{JsGesture, JsProgram}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DoubleType, StringType}
+
+/** Full-program JS gestures (loops, reassignment, user functions,
+  * arrays) — the tier the compiled-Column subset can't express.
+  * Includes the tier-parity fuzz: every subset program must evaluate
+  * identically through the tier-2 interpreter.
+  */
+class JsProgramSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val frame = {
+    val words = Seq("alpha", "Bravo Chad", " delta ", "echo1", "fox trot")
+    val tags = Seq("RED", "green", "Blue")
+    (0 until 60).map(i =>
+      (i.toDouble, (i % 7).toDouble, words(i % 5), tags(i % 3)))
+      .toDF("d", "q", "m", "f")
+  }
+
+  test("for loop with charCodeAt: positional checksum matches hand computation") {
+    val js = """function map(row) {
+      var c = row.m;
+      var acc = 0;
+      for (var i = 0; i < c.length; i++) {
+        acc = (acc + (i + 1) * c.charCodeAt(i)) % 1000003;
+      }
+      return acc;
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame, "acc", js, DoubleType)
+      .select(col("d"), col("acc")).collect()
+      .map(r => r.getDouble(0).toInt -> r.getDouble(1)).toMap
+    val words = Seq("alpha", "Bravo Chad", " delta ", "echo1", "fox trot")
+    (0 until 60).foreach { i =>
+      val w = words(i % 5)
+      val expect = w.zipWithIndex.map { case (ch, j) => (j + 1L) * ch.toLong }
+        .sum % 1000003L
+      assert(got(i) == expect.toDouble, s"i=$i")
+    }
+  }
+
+  test("while loop with break/continue and compound assignment") {
+    val js = """function map(row) {
+      var n = row.d;
+      var steps = 0;
+      while (true) {
+        if (n <= 1) break;
+        if (n % 2 == 0) { n /= 2; steps += 1; continue; }
+        n = 3 * n + 1;
+        steps += 1;
+      }
+      return steps;
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame, "steps", js, DoubleType)
+      .select(col("d"), col("steps")).collect()
+      .map(r => r.getDouble(0).toInt -> r.getDouble(1)).toMap
+    def collatz(n0: Long): Long = {
+      var n = n0; var s = 0L
+      while (n > 1) { if (n % 2 == 0) n /= 2 else n = 3 * n + 1; s += 1 }
+      s
+    }
+    (0 until 60).foreach(i => assert(got(i) == collatz(i).toDouble, s"i=$i"))
+  }
+
+  test("user functions: helpers and recursion") {
+    val js = """function digits(n) {
+      if (n < 10) return 1;
+      return 1 + digits(Math.floor(n / 10));
+    }
+    function sq(x) { return x * x; }
+    function map(row) { return digits(row.d + 1) * 1000 + sq(row.q); }"""
+    val got = JsGesture.withJsColumnTyped(frame, "x", js, DoubleType)
+      .select(col("d"), col("x")).collect()
+      .map(r => r.getDouble(0).toInt -> r.getDouble(1)).toMap
+    (0 until 60).foreach { i =>
+      val expect = (i + 1).toString.length * 1000 + math.pow(i % 7, 2)
+      assert(got(i) == expect, s"i=$i got=${got(i)}")
+    }
+  }
+
+  test("arrays: split, push, indexOf, join, index assignment, slice") {
+    val js = """function map(row) {
+      var ws = row.m.split(' ');
+      var lens = [];
+      for (var i = 0; i < ws.length; i++) { lens.push(ws[i].length); }
+      var best = 0;
+      for (var j = 0; j < lens.length; j++) {
+        if (lens[j] > best) best = lens[j];
+      }
+      lens[0] = best;
+      return ws.length + ':' + best + ':' + lens.join('-') +
+        ':' + ws.indexOf('trot') + ':' + ws.slice(0, 1).join('|');
+    }"""
+    val got = JsGesture.withJsColumn(frame, "x", js)
+      .select(col("d"), col("x")).collect()
+      .map(r => r.getDouble(0).toInt -> r.getString(1)).toMap
+    val words = Seq("alpha", "Bravo Chad", " delta ", "echo1", "fox trot")
+    (0 until 60).foreach { i =>
+      val ws = words(i % 5).split(java.util.regex.Pattern.quote(" "), -1).toSeq
+      val lens = ws.map(_.length)
+      val best = lens.max
+      val lens2 = best +: lens.tail
+      val expect = s"${ws.length}:$best:${lens2.mkString("-")}:" +
+        s"${ws.indexOf("trot")}:${ws.take(1).mkString("|")}"
+      assert(got(i) == expect, s"i=$i got=${got(i)} expect=$expect")
+    }
+  }
+
+  test("filter gesture: while-loop digit sum, JS truthiness verdict") {
+    val js = """function filter(row) {
+      var n = row.d;
+      var s = 0;
+      while (n > 0) { s = s + n % 10; n = Math.floor(n / 10); }
+      return s % 3 == 0;
+    }"""
+    val kept = JsGesture.jsFilter(frame, js).select(col("d")).collect()
+      .map(_.getDouble(0).toInt).toSet
+    // digit sum divisible by 3 ⇔ n divisible by 3 (casting out threes);
+    // n=0 has digit sum 0 via an unentered loop
+    assert(kept == (0 until 60).filter(_ % 3 == 0).toSet)
+  }
+
+  test("fall-off-the-end returns null; fuel bounds runaway loops") {
+    val js = "function map(row) { if (row.d < 0) return 'neg'; }"
+    val out = JsGesture.withJsColumn(frame, "x", js).select(col("x")).collect()
+    assert(out.forall(_.isNullAt(0)))
+
+    val runaway = "function map(row) { while (true) { } return 1; }"
+    val err = intercept[Exception] {
+      JsGesture.withJsColumnTyped(frame, "x", runaway, DoubleType)
+        .select(col("x")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).exists(c => c.getMessage != null && c.getMessage.contains("exceeded")))
+  }
+
+  test("program expression reads only referenced fields (column pruning)") {
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val js = """function map(row) {
+      var acc = 0;
+      for (var i = 0; i < 3; i++) { acc += row.l_quantity * (i + 1); }
+      return acc;
+    }"""
+    val plan = JsGesture.withJsColumnTyped(li, "acc", js, DoubleType)
+      .select(col("acc")).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_quantity:double>"), plan)
+  }
+
+  test("tier dispatch: subset programs still compile to Columns (codegen path)") {
+    // a subset gesture must NOT go through JsProgramEval
+    val subsetJs = "function map(row) { return row.q * 2 + 1; }"
+    val c = JsGesture.withJsColumnTyped(frame, "x", subsetJs, DoubleType)
+    val exprStr = c.select(col("x")).queryExecution.analyzed.toString
+    assert(!exprStr.contains("JsProgramEval"), exprStr)
+    // and a loop gesture MUST
+    val loopJs = "function map(row) { var a = 0; while (a < row.q) { a++; } return a; }"
+    val c2 = JsGesture.withJsColumnTyped(frame, "x", loopJs, DoubleType)
+    val exprStr2 = c2.select(col("x")).queryExecution.analyzed.toString
+    assert(exprStr2.toLowerCase.contains("jsprogrameval"), exprStr2)
+  }
+
+  test("tier parity fuzz: every subset program evaluates identically in tier 2") {
+    val rnd = new scala.util.Random(20260815L)
+    val strLits = Seq("a", "lp", "ox", "e", "ree", "a b")
+    val numLits = Seq(0.0, 1.0, 2.0, 3.5, 7.0, 10.25)
+    def renderNum(d: Double): String =
+      if (d == math.floor(d)) d.toLong.toString else d.toString
+    def genNum(depth: Int): String =
+      if (depth <= 0) rnd.nextInt(3) match {
+        case 0 => renderNum(numLits(rnd.nextInt(numLits.size)))
+        case 1 => "row.d"
+        case _ => "row.q"
+      } else rnd.nextInt(11) match {
+        case 0 => s"(${genNum(depth - 1)} + ${genNum(depth - 1)})"
+        case 1 => s"(${genNum(depth - 1)} - ${genNum(depth - 1)})"
+        case 2 => s"(${genNum(depth - 1)} * ${genNum(depth - 1)})"
+        case 3 => s"(${genNum(depth - 1)} / (Math.abs(${genNum(depth - 1)}) + 1))"
+        case 4 => s"(-${genNum(depth - 1)})"
+        case 5 => s"Math.floor(${genNum(depth - 1)})"
+        case 6 => s"Math.min(${genNum(depth - 1)}, ${genNum(depth - 1)})"
+        case 7 => s"${genStr(depth - 1)}.length"
+        case 8 => s"(${genBool(depth - 1)} ? ${genNum(depth - 1)} : ${genNum(depth - 1)})"
+        case 9 => s"(row.m * ${genNum(depth - 1)})"
+        case _ => s"Math.round(${genNum(depth - 1)})"
+      }
+    def genStr(depth: Int): String =
+      if (depth <= 0) rnd.nextInt(3) match {
+        case 0 => s"'${strLits(rnd.nextInt(strLits.size))}'"
+        case 1 => "row.m"
+        case _ => "row.f"
+      } else rnd.nextInt(11) match {
+        case 0 => s"(${genStr(depth - 1)} + ${genStr(depth - 1)})"
+        case 1 => s"(${genStr(depth - 1)} + ${genNum(depth - 1)})"
+        case 2 => s"${genStr(depth - 1)}.toLowerCase()"
+        case 3 => s"${genStr(depth - 1)}.toUpperCase()"
+        case 4 => s"${genStr(depth - 1)}.trim()"
+        case 5 =>
+          val a = if (rnd.nextInt(3) == 0) genStr(0) else rnd.nextInt(3).toString
+          s"${genStr(depth - 1)}.substring($a, ${2 + rnd.nextInt(4)})"
+        case 6 => s"${genStr(depth - 1)}.replace(${genStr(0)}, ${genStr(0)})"
+        case 7 => s"(${genStr(depth - 1)} + ${genBool(depth - 1)})"
+        case 8 =>
+          val lo = rnd.nextInt(5) - 2
+          s"${genStr(depth - 1)}.substring($lo, ${lo + rnd.nextInt(5)})"
+        case 9 =>
+          val i = if (rnd.nextInt(3) == 0) genStr(0) else (rnd.nextInt(6) - 2).toString
+          s"${genStr(depth - 1)}.charAt($i)"
+        case _ => s"(${genBool(depth - 1)} ? ${genStr(depth - 1)} : ${genStr(depth - 1)})"
+      }
+    def genBool(depth: Int): String =
+      if (depth <= 0) (if (rnd.nextBoolean()) "true" else "false")
+      else rnd.nextInt(9) match {
+        case 0 => s"(${genNum(depth - 1)} < ${genNum(depth - 1)})"
+        case 1 => s"(${genNum(depth - 1)} >= ${genNum(depth - 1)})"
+        case 2 => s"(${genStr(depth - 1)} == ${genStr(depth - 1)})"
+        case 3 => s"(${genBool(depth - 1)} && ${genBool(depth - 1)})"
+        case 4 => s"(${genBool(depth - 1)} || ${genBool(depth - 1)})"
+        case 5 => s"(!${genBool(depth - 1)})"
+        case 6 => s"${genStr(depth - 1)}.includes(${genStr(0)})"
+        case 7 => s"(${genStr(depth - 1)} <= ${genNum(depth - 1)})"
+        case _ => s"${genStr(depth - 1)}.startsWith(${genStr(0)})"
+      }
+    def genProgram(): String = rnd.nextInt(3) match {
+      case 0 => genNum(3)
+      case 1 => genStr(3)
+      case _ =>
+        s"""function map(row) {
+           |  var t = ${genNum(2)};
+           |  if (${genBool(2)}) return ${genStr(2)};
+           |  if (t > ${rnd.nextInt(5)}) { return ${genStr(1)} + t; }
+           |  return ${genStr(2)};
+           |}""".stripMargin
+    }
+    val schema = frame.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rows = frame.collect().map(r => Map[String, Any](
+      "d" -> r.getDouble(0), "q" -> r.getDouble(1),
+      "m" -> r.getString(2), "f" -> r.getString(3)))
+    (0 until 80).foreach { trial =>
+      val src = genProgram()
+      val t1ast = JsGesture.parse(src)
+      val prog = JsProgram.parse(src)
+      rows.zipWithIndex.foreach { case (row, ri) =>
+        val tier1 = JsGesture.interpret(t1ast, row, schema)
+        val fields = prog.rowFields.map(row(_): Any).toArray
+        val tier2 = JsProgram.run(prog, fields)
+        val ok = (tier1, tier2) match {
+          case (null, null) => true
+          case (a: Double, b: java.lang.Double) =>
+            (a.isNaN && b.isNaN) || a == b.doubleValue ||
+              math.abs(a - b.doubleValue) <= 1e-9 * math.max(math.abs(a), math.abs(b))
+          case (a: java.lang.Double, b: java.lang.Double) =>
+            (a.isNaN && b.isNaN) || a.doubleValue == b.doubleValue
+          case (a, b) => a == b
+        }
+        assert(ok, s"trial $trial row $ri: tier1=$tier1 tier2=$tier2\n$src")
+      }
+    }
+  }
+
+  test("typed output coercion and boolean truthiness output") {
+    val js = "function map(row) { return row.m; }" // string through double out
+    // tier-1 path with cast: unparseable strings under TRY... use tier-2:
+    val js2 = "function map(row) { var x = row.m; while (false) { } return x; }"
+    val out = JsGesture.withJsColumnTyped(frame, "x", js2, DoubleType)
+      .select(col("x")).collect().map(r => r.getDouble(0))
+    assert(out.forall(_.isNaN)) // words are unparseable → JS Number → NaN
+
+    val js3 = "function map(row) { var s = row.m; while (false) { } return s.length; }"
+    val outB = JsGesture.withJsColumnTyped(frame, "x", js3, BooleanType)
+      .select(col("x")).collect().map(_.getBoolean(0))
+    assert(outB.forall(_ == true)) // nonzero lengths are truthy
+    val _ = js
+  }
+}
