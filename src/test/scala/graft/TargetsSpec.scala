@@ -380,4 +380,37 @@ class TargetsSpec extends SparkSpec {
       assert(Memo.usedBytes <= oneEntry / 2)
     } finally { Memo.setBudget(old); Memo.clear() }
   }
+
+  test("full-program JS gestures (loops/functions) replay through the redo log") {
+    Memo.clear()
+    val reg = new TargetRegistry(spark)
+    val root = reg.loadTable(sf, "orders")
+    // tier-2 programs: a while-loop filter and a recursive-helper column
+    val jsF = reg.jsFilter(root.id,
+      """function filter(row) {
+        var n = row.o_orderkey;
+        var s = 0;
+        while (n > 0) { s = s + n % 10; n = Math.floor(n / 10); }
+        return s % 3 == 0;
+      }""")
+    val jsC = reg.jsColumn(jsF.id, "digits",
+      """function digits(n) {
+        if (n < 10) return 1;
+        return 1 + digits(Math.floor(n / 10));
+      }
+      function map(row) { return digits(row.o_orderkey); }""")
+    val before = reg.sketch(jsC.id)(df =>
+      df.groupBy(col("digits")).agg(count(lit(1)).as("n")))
+    // casting out threes: the loop filter must equal o_orderkey % 3 == 0
+    assert(jsF.df.count() ==
+      Tables.orders(spark, sf).filter(col("o_orderkey") % 3 === 0).count())
+    val log = java.nio.file.Files.createTempDirectory("graft_redo3")
+      .resolve("hillview.redo").toString
+    reg.saveRedoLog(log)
+    val restored = TargetRegistry.replay(spark, log)
+    assert(restored.size == reg.size)
+    val after = restored.sketch(jsC.id)(df =>
+      df.groupBy(col("digits")).agg(count(lit(1)).as("n")))
+    assert(after.toSeq == before.toSeq)
+  }
 }
