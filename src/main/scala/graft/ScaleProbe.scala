@@ -266,6 +266,24 @@ object ScaleProbe {
       if (r.isNullAt(0)) 0L else r.getAs[Number](0).longValue
     }
 
+    // full-program JS gesture (tier-2 per-row interpreter): a for loop
+    // over every character — pure narrow map, no shuffle; must scale
+    // linearly in rows like any scan-bound expression
+    probe("js_program_loop", Seq(1, 20)) { c =>
+      val js = """function map(row) {
+        var t = row.text;
+        var acc = 0;
+        for (var i = 0; i < t.length; i++) {
+          acc = (acc + (i + 1) * t.charCodeAt(i)) % 1000003;
+        }
+        return acc;
+      }"""
+      val r = functions.JsGesture.withJsColumnTyped(saltedDocs(c), "acc", js,
+          org.apache.spark.sql.types.DoubleType)
+        .agg(sum(col("acc"))).head()
+      if (r.isNullAt(0)) 0L else r.getAs[Number](0).longValue
+    }
+
     // encode + two-level prefix-sum packing + per-bin assembly (bins
     // hold ~budget tokens regardless of corpus size, so the collect
     // per group stays bounded): ~linear
