@@ -262,6 +262,104 @@ class JsProgramSpec extends SparkSpec {
     }
   }
 
+  test("metamorphic fuzz: loop/array/helper-wrapped programs equal the original") {
+    // Each random straight-line program is rewritten into semantically
+    // equivalent forms that exercise the tier-2-only machinery — a
+    // single-iteration for loop, a while with continue, an array
+    // round-trip of every return value, and a helper-function hop —
+    // and all variants must evaluate exactly like tier 1 on the
+    // original. This fuzzes loops/arrays/calls against the proven
+    // subset oracle instead of only hand-written cases.
+    val rnd = new scala.util.Random(20260816L)
+    val numLits = Seq(0.0, 1.0, 2.5, 7.0)
+    def genNum(depth: Int): String =
+      if (depth <= 0) rnd.nextInt(3) match {
+        case 0 => { val v = numLits(rnd.nextInt(numLits.size))
+          if (v == math.floor(v)) v.toLong.toString else v.toString }
+        case 1 => "row.d"
+        case _ => "row.q"
+      } else rnd.nextInt(6) match {
+        case 0 => s"(${genNum(depth - 1)} + ${genNum(depth - 1)})"
+        case 1 => s"(${genNum(depth - 1)} * ${genNum(depth - 1)})"
+        case 2 => s"Math.floor(${genNum(depth - 1)})"
+        case 3 => s"(${genNum(depth - 1)} - ${genNum(depth - 1)})"
+        case 4 => s"${genStr(depth - 1)}.length"
+        case _ => s"Math.max(${genNum(depth - 1)}, ${genNum(depth - 1)})"
+      }
+    def genStr(depth: Int): String =
+      if (depth <= 0) (if (rnd.nextBoolean()) "row.m" else "row.f")
+      else rnd.nextInt(4) match {
+        case 0 => s"(${genStr(depth - 1)} + ${genNum(depth - 1)})"
+        case 1 => s"${genStr(depth - 1)}.toUpperCase()"
+        case 2 => s"${genStr(depth - 1)}.substring(1, ${2 + rnd.nextInt(4)})"
+        case _ => s"(${genStr(depth - 1)} + ${genStr(depth - 1)})"
+      }
+    def genBool(): String = rnd.nextInt(3) match {
+      case 0 => s"(${genNum(1)} < ${genNum(1)})"
+      case 1 => s"${genStr(1)}.includes('a')"
+      case _ => s"(${genStr(1)} == ${genStr(1)})"
+    }
+    val schema = frame.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rows = frame.collect().map(r => Map[String, Any](
+      "d" -> r.getDouble(0), "q" -> r.getDouble(1),
+      "m" -> r.getString(2), "f" -> r.getString(3)))
+    (0 until 40).foreach { trial =>
+      val retA = genStr(2)
+      val retB = genStr(1)
+      val cond = genBool()
+      val tInit = genNum(2)
+      val body =
+        s"""  var t = $tInit;
+           |  if ($cond) return $retA;
+           |  return $retB + t;""".stripMargin
+      val original = s"function map(row) {\n$body\n}"
+      val variants = Seq(
+        // single-iteration for loop around the body
+        s"function map(row) {\n  for (var __i = 0; __i < 1; __i++) {\n$body\n  }\n}",
+        // while + continue: only the LAST iteration runs the body
+        s"""function map(row) {
+           |  var __k = 3;
+           |  while (__k > 0) {
+           |    __k--;
+           |    if (__k > 0) continue;
+           |$body
+           |  }
+           |}""".stripMargin,
+        // array round-trip of every returned value (+ reassignment)
+        s"""function map(row) {
+           |  var __a = [];
+           |  var t = 0;
+           |  t = $tInit;
+           |  if ($cond) { __a.push($retA); return __a[0]; }
+           |  __a.push($retB + t);
+           |  return __a[__a.length - 1];
+           |}""".stripMargin,
+        // helper-function hop for every return value
+        s"""function __h(v) { return v; }
+           |function map(row) {
+           |  var t = $tInit;
+           |  if ($cond) return __h($retA);
+           |  return __h($retB + t);
+           |}""".stripMargin)
+      val t1ast = JsGesture.parse(original)
+      rows.zipWithIndex.foreach { case (row, ri) =>
+        val expect = JsGesture.interpret(t1ast, row, schema)
+        variants.zipWithIndex.foreach { case (src, vi) =>
+          val prog = JsProgram.parse(src)
+          val fields = prog.rowFields.map(row(_): Any).toArray
+          val got = JsProgram.run(prog, fields)
+          val ok = (expect, got) match {
+            case (null, null) => true
+            case (a: Double, b: java.lang.Double) =>
+              (a.isNaN && b.doubleValue.isNaN) || a == b.doubleValue
+            case (a, b) => a == b
+          }
+          assert(ok, s"trial $trial variant $vi row $ri: expect=$expect got=$got\n$src")
+        }
+      }
+    }
+  }
+
   test("typed output coercion and boolean truthiness output") {
     val js = "function map(row) { return row.m; }" // string through double out
     // tier-1 path with cast: unparseable strings under TRY... use tier-2:
