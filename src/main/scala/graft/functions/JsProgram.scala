@@ -932,20 +932,35 @@ object JsProgram {
   }
 
   // ── Spark value bridging ───────────────────────────────────────────
-  private[functions] def fromSpark(v: Any, dt: DataType): Any = v match {
-    case null => null
-    case u: UTF8String => u.toString
-    case d: java.lang.Double => d
-    case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue)
-    case i: java.lang.Integer => java.lang.Double.valueOf(i.doubleValue)
-    case l: java.lang.Long => java.lang.Double.valueOf(l.doubleValue)
-    case s: java.lang.Short => java.lang.Double.valueOf(s.doubleValue)
-    case b: java.lang.Byte => java.lang.Double.valueOf(b.doubleValue)
-    case b: java.lang.Boolean => b
-    case dec: org.apache.spark.sql.types.Decimal =>
-      java.lang.Double.valueOf(dec.toDouble)
-    case other =>
-      sys.error(s"unsupported JS gesture input type $dt ($other)")
+  private[functions] def fromSpark(v: Any, dt: DataType): Any = dt match {
+    // dates/timestamps surface as epoch-millis doubles (the reference's
+    // JSVirtualRowSnapshot hands JS a Date object; millis keep the
+    // arithmetic story without a Date runtime — documented deviation)
+    case DateType => v match {
+      case null => null
+      case i: java.lang.Integer => java.lang.Double.valueOf(i.doubleValue * 86400000.0)
+      case other => sys.error(s"unexpected date value $other")
+    }
+    case _: TimestampType | TimestampNTZType => v match {
+      case null => null
+      case l: java.lang.Long => java.lang.Double.valueOf(l.doubleValue / 1000.0)
+      case other => sys.error(s"unexpected timestamp value $other")
+    }
+    case _ => v match {
+      case null => null
+      case u: UTF8String => u.toString
+      case d: java.lang.Double => d
+      case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue)
+      case i: java.lang.Integer => java.lang.Double.valueOf(i.doubleValue)
+      case l: java.lang.Long => java.lang.Double.valueOf(l.doubleValue)
+      case s: java.lang.Short => java.lang.Double.valueOf(s.doubleValue)
+      case b: java.lang.Byte => java.lang.Double.valueOf(b.doubleValue)
+      case b: java.lang.Boolean => b
+      case dec: org.apache.spark.sql.types.Decimal =>
+        java.lang.Double.valueOf(dec.toDouble)
+      case other =>
+        sys.error(s"unsupported JS gesture input type $dt ($other)")
+    }
   }
 
   /** Render a JS value into the declared output type. Strings use the

@@ -360,6 +360,22 @@ class JsProgramSpec extends SparkSpec {
     }
   }
 
+  test("date and timestamp fields surface as epoch-millis doubles") {
+    // the reference's JS row proxy hands gestures a Date; here the
+    // documented form is epoch millis, so interval arithmetic works
+    val df = Seq(("2024-03-01", "2024-03-01 12:30:00"))
+      .toDF("ds", "ts")
+      .select(to_date(col("ds")).as("d8"), to_timestamp(col("ts")).as("t8"))
+    val js = """function map(row) {
+      var h = 0;
+      while (h < 1) { h++; }
+      return (row.t8 - row.d8) / 3600000 * h;
+    }"""
+    val out = JsGesture.withJsColumnTyped(df, "hours", js, DoubleType)
+      .select(col("hours")).collect()
+    assert(out.head.getDouble(0) == 12.5, out.head.getDouble(0))
+  }
+
   test("typed output coercion and boolean truthiness output") {
     val js = "function map(row) { return row.m; }" // string through double out
     // tier-1 path with cast: unparseable strings under TRY... use tier-2:
