@@ -65,7 +65,12 @@ object Plans {
     // the trained-vocab packing loop, and the df-cut edit family after
     // the codegen window-hash rewrite
     "setop_union_dups", "setop_intersect_dups", "pack_sequences_trained",
-    "dedup_edit_dfcut")
+    "dedup_edit_dfcut",
+    // r11 full-program JS tier: interpreted per-row map/filter — the
+    // plans must show pruned ReadSchema (only referenced fields) and,
+    // for the filter, no lost pushdown on the surrounding projection
+    "dynamic_udf_js_loop", "dynamic_filter_js_loop", "dynamic_udf_js_func",
+    "dynamic_udf_js_array")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

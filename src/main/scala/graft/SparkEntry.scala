@@ -1704,6 +1704,28 @@ object SparkEntry {
     // word over the SAME interpolated vocab literal
     "text_tokens_bpe" -> ((s, d) =>
       graft.text.TextAnalysis.bpeTokenStats(docsMl(s, d))),
+    // per-LANGUAGE subword fertility (bytes per BPE token) over the
+    // ml-augmented corpus — the cross-script budget metric (CJK rows
+    // fall to byte-level tokens, so their fertility differs from en);
+    // same generated greedy-match oracle, grouped by lang; ratio on
+    // the exact 1e-4 integer grid (frac4)
+    "text_tokens_fertility" -> ((s, d) =>
+      docsMl(s, d).select(col("lang"),
+          octet_length(col("text")).cast("long").as("bytes"),
+          graft.text.TextAnalysis.bpeTokenCount(col("text")).as("toks"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bytes")).cast("long").as("total_bytes"),
+          sum(col("toks")).cast("long").as("total_tokens"),
+          graft.text.TextAnalysis.frac4(sum(col("bytes")), sum(col("toks")))
+            .as("bytes_per_token"))),
+    // BM25 ranked retrieval over the corpus (parity-plus beside
+    // TF-IDF): integer-micro quantized per-term scores keep the
+    // per-doc sum exact (no float addition-order dependence), rank +
+    // score_micro output makes the compare bit-exact
+    "bm25_topk" -> ((s, d) =>
+      graft.text.TextAnalysis.bm25TopK(docs(s, d),
+        Seq("spark", "join", "merge", "slow"), 20)),
     // the packing operator budgeting in SUBWORD tokens — same two-level
     // prefix-sum plan, the count column is the BPE encode
     "pack_sequences_bpe" -> ((s, d) =>
@@ -3555,6 +3577,33 @@ object SparkEntry {
          |  COALESCE(b.n_tokens_bpe, 0) AS n_tokens_bpe
          |FROM dml d LEFT JOIN bpe b USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin),
+    "text_tokens_fertility" ->
+      withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+         |  CAST(SUM(COALESCE(b.n_tokens_bpe, 0)) AS BIGINT) AS total_tokens,
+         |  ((CAST(SUM(strlen(text)) AS BIGINT) * 10000)
+         |    // CAST(SUM(COALESCE(b.n_tokens_bpe, 0)) AS BIGINT)) / 10000.0
+         |    AS bytes_per_token
+         |FROM dml d LEFT JOIN bpe b USING (doc_id) GROUP BY 1""".stripMargin),
+    "bm25_topk" ->
+      """WITH words AS (SELECT doc_id, u.w FROM documents,
+        |    UNNEST(string_split(lower(text), ' ')) AS u(w) WHERE len(u.w) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dlen FROM words GROUP BY 1),
+        |stats AS (SELECT CAST(SUM(dlen) AS DOUBLE) AS sumdl,
+        |  CAST(COUNT(*) AS DOUBLE) AS nd FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+        |  WHERE w IN ('spark', 'join', 'merge', 'slow') GROUP BY 1, 2),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |  CAST(SUM(CAST(FLOOR(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+        |    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlen / (sumdl / nd)))
+        |    * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rank,
+        |  doc_id, score_micro
+        |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
     "pack_sequences_bpe" ->
       s"""WITH RECURSIVE ${bpeCte()}
          |SELECT doc_id, source, n_tokens,

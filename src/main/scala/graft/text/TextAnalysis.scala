@@ -607,4 +607,55 @@ object TextAnalysis {
     graft.plans.GroupTopK.groupTopK(scored, Seq("source"),
       Seq(("tfidf", false), ("token", true)), k)
   }
+
+  /** BM25 (Robertson/Sparck Jones, k1/b) document ranking for a literal
+    * query-term set — the retrieval-style scorer a training-data
+    * pipeline uses for targeted corpus slicing (hillview has no ranked
+    * retrieval; parity-plus alongside TF-IDF above).
+    *
+    * Plan shape: one tokenize pass → per-doc length agg; the query-term
+    * tf table joins a BROADCAST per-term df and a BROADCAST 1-row
+    * corpus-stats agg (no second shuffle); top-k via orderBy+limit
+    * (TakeOrderedAndProject — never a full sort); the rank window runs
+    * over the k collected rows only. At 100 TB the only data-sized
+    * exchanges are the two groupBys on (doc) and (doc, term).
+    *
+    * Oracle exactness: each per-term score quantizes to integer
+    * MICRO-units (floor×1e6) BEFORE the per-doc sum, so the sum is
+    * exact integer arithmetic — no float addition-order dependence
+    * (Spark's aggregation order is nondeterministic). The ln() inside
+    * the floor follows the tfidf_topterms precedent (boundary
+    * probability ~1e-10 per value; rank+score_micro output makes any
+    * future flip a visible one-row diff).
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val words = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dlen"))
+    val stats = dl.agg(sum(col("dlen")).cast("double").as("__sumdl"),
+      count(lit(1)).cast("double").as("__nd"))
+    val tf = words.filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val perTerm = tf.join(broadcast(dfq), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("__nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("norm",
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dlen") / (col("__sumdl") / col("__nd"))))
+      .withColumn("s_micro",
+        floor(col("idf") * (col("tf") * lit(k1 + 1.0)) / (col("tf") + col("norm"))
+          * lit(1e6)).cast("long"))
+    val top = perTerm.groupBy(col("doc_id"))
+      .agg(sum(col("s_micro")).cast("long").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(k)
+    top.select(
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_micro").desc, col("doc_id")))
+        .cast("long").as("rank"),
+      col("doc_id"), col("score_micro"))
+  }
 }

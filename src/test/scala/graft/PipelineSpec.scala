@@ -685,4 +685,48 @@ class PipelineSpec extends SparkSpec {
     val hi = vals.count(_ <= med).toDouble / n
     assert(lo <= 0.53 && hi >= 0.47, s"median rank drifted: lo=$lo hi=$hi")
   }
+
+  test("bm25 ranking matches an independent in-memory computation") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "spark join fast engine"), (2L, "merge slow merge slow merge"),
+      (3L, "join join join spark"), (4L, "alpha beta gamma delta"),
+      (5L, "spark"), (6L, "slow join merge spark slow pipeline"))
+    val docs = rows.toDF("doc_id", "text")
+    val terms = Seq("spark", "join", "merge", "slow")
+    val got = TextAnalysis.bm25TopK(docs, terms, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent: plain-Scala BM25 with the same micro-quantization
+    val toks = rows.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val nd = rows.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / nd
+    val dfm = terms.map(t => t -> toks.values.count(_.contains(t))).toMap
+    val scores = toks.flatMap { case (id, ws) =>
+      val s = terms.map { t =>
+        val tf = ws.count(_ == t)
+        if (tf == 0) 0L
+        else {
+          val idf = math.log((nd - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+          val x = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ws.size / avgdl))
+          math.floor(x * 1e6).toLong
+        }
+      }.sum
+      if (s > 0L) Some(id -> s) else None
+    }
+    val expect = scores.toSeq.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (i + 1L, id, s) }
+    assert(got.toSeq == expect, s"got=${got.toSeq}\nexpect=$expect")
+  }
+
+  test("subword fertility: CJK falls to codepoint tokens (3 bytes each)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // every CJK char is a codepoint-fallback token under the default
+    // vocab, so bytes/token = (2*3*2+1)/4 for two 2-char words
+    val df = Seq((1L, "\u65e5\u672c \u8a9e\u8a00")).toDF("doc_id", "text")
+    val r = df.select(octet_length(col("text")).as("b"),
+      TextAnalysis.bpeTokenCount(col("text")).as("t")).head()
+    assert(r.getAs[Number]("b").intValue == 13, r)
+    assert(r.getAs[Number]("t").longValue == 4L, r)
+  }
 }

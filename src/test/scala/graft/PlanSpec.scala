@@ -624,6 +624,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bm25 top-k: bounded take, broadcast stats, rank window only over k rows") {
+    val df = graft.text.TextAnalysis.bm25TopK(Tables.documents(spark, sf),
+      Seq("spark", "join"), 10)
+    val p = plan(df)
+    // top-k rides TakeOrderedAndProject (never a full global sort of
+    // the scored corpus); the rank window runs AFTER the limit, over
+    // at most k rows (the driver-sized-window precedent of hist_cdf)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // df + corpus stats join as broadcasts, not shuffles of the corpus
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("binned range join plans a hash join, never a nested loop") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_orderdate"),
