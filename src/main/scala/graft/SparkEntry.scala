@@ -1726,6 +1726,23 @@ object SparkEntry {
     "bm25_topk" -> ((s, d) =>
       graft.text.TextAnalysis.bm25TopK(docs(s, d),
         Seq("spark", "join", "merge", "slow"), 20)),
+    // Unicode NFC canonicalization over the multilingual corpus — the
+    // ingest-time cleanup exact dedup needs (the planted fixture's
+    // decomposed combining-mark twin becomes byte-identical to its
+    // precomposed pair ONLY after NFC: distinct_raw > distinct_nfc
+    // for fr); both engines implement Unicode canonical composition,
+    // so the op is fully oracled
+    "text_normalize_nfc" -> ((s, d) =>
+      docsMl(s, d)
+        .select(col("lang"), col("text"),
+          graft.text.TextAnalysis.nfcNormalize(col("text")).as("nfc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("text") =!= col("nfc"), 1L).otherwise(0L))
+            .cast("long").as("n_changed"),
+          countDistinct(col("text")).as("distinct_raw"),
+          countDistinct(col("nfc")).as("distinct_nfc"),
+          sum(length(col("nfc"))).cast("long").as("nfc_codepoints"))),
     // the packing operator budgeting in SUBWORD tokens — same two-level
     // prefix-sum plan, the count column is the BPE encode
     "pack_sequences_bpe" -> ((s, d) =>
@@ -3604,6 +3621,16 @@ object SparkEntry {
         |SELECT ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rank,
         |  doc_id, score_micro
         |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+    "text_normalize_nfc" -> {
+      val body = """SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN text <> nfc_normalize(text) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_changed,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS distinct_raw,
+        |  CAST(count(DISTINCT nfc_normalize(text)) AS BIGINT) AS distinct_nfc,
+        |  CAST(SUM(length(nfc_normalize(text))) AS BIGINT) AS nfc_codepoints
+        |FROM dml GROUP BY 1""".stripMargin
+      s"WITH dml AS MATERIALIZED ($mlDocsSelect)\n$body"
+    },
     "pack_sequences_bpe" ->
       s"""WITH RECURSIVE ${bpeCte()}
          |SELECT doc_id, source, n_tokens,

@@ -4,12 +4,41 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim
 
+/** Unicode NFC normalization of a string column — the ingest-time
+  * canonicalization a multilingual corpus needs before exact dedup
+  * (decomposed e+U+0301 vs precomposed é are byte-distinct but
+  * canonically equal; the planted fixture carries exactly such a twin
+  * pair). Both engines implement the same Unicode canonical
+  * composition, so the op is fully oracle-able (DuckDB
+  * `nfc_normalize`). Narrow per-row map, no shuffle.
+  */
+case class NfcNormalize(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    // fast path: NFC-normalized text (all ASCII is) round-trips
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
+}
+
 /** Text-corpus analysis for training-data pipelines: language ID
   * heuristic, quality scoring, token counting, document fingerprinting.
   * Every metric is a pure column expression — narrow, codegen'd, and
   * reproducible by a SQL oracle.
   */
 object TextAnalysis {
+
+  /** NFC canonical composition as a Column (see [[NfcNormalize]]). */
+  def nfcNormalize(text: Column): Column =
+    graftshim.exprToColumn(NfcNormalize(graftshim.columnToExpr(text)))
 
   private def tokens(text: Column): Column = split(lower(text), " ")
 

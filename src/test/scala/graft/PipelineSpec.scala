@@ -729,4 +729,16 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Number]("b").intValue == 13, r)
     assert(r.getAs[Number]("t").longValue == 4L, r)
   }
+
+  test("NFC normalization composes combining marks; ascii passes through") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("cafe\u0301", "caf\u00e9", "plain ascii").toDF("t")
+    val out = df.select(TextAnalysis.nfcNormalize(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(out(0) == out(1) && out(0) == "caf\u00e9", out.toSeq)
+    assert(out(2) == "plain ascii")
+    // the decomposed form is byte-distinct BEFORE normalization
+    assert("cafe\u0301" != "caf\u00e9")
+  }
 }

@@ -930,4 +930,48 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() == 100)
     assert(back.columns.sameElements(li.columns))
   }
+
+  test("JS program gestures run on streams bit-equal to batch") {
+    // gestures are plain expressions, so the full-program tier (loops,
+    // user functions) applies to streaming frames unchanged — the
+    // stateless map/filter story a streaming ingest pipeline needs
+    import org.apache.spark.sql.functions._
+    val mapJs = """function map(row) {
+      var c = row.text;
+      var acc = 0;
+      for (var i = 0; i < c.length; i++) {
+        acc = (acc + (i + 1) * c.charCodeAt(i)) % 1000003;
+      }
+      return acc;
+    }"""
+    val filterJs = """function filter(row) {
+      var n = row.doc_id;
+      var s = 0;
+      while (n > 0) { s = s + n % 10; n = Math.floor(n / 10); }
+      return s % 2 == 0;
+    }"""
+    def gestures(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.JsGesture.jsFilter(
+        graft.functions.JsGesture.withJsColumnTyped(df, "acc", mapJs,
+          org.apache.spark.sql.types.DoubleType), filterJs)
+        .select(col("doc_id"), col("acc"))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val batch = gestures(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_js_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("doc_id"), col("text"))
+    val q = gestures(raw).writeStream
+      .outputMode("append").format("memory").queryName("graft_js_gesture")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("graft_js_gesture").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"stream ${streamed.size} rows vs batch ${batch.size}")
+  }
 }
