@@ -109,6 +109,17 @@ object SparkEntry {
     (id, t, lang, src, t.codePointCount(0, t.length).toLong)
   }
 
+  /** The blocklist lexicon for `text_blocklist*`: fixture-vocabulary
+    * terms chosen to exercise the automaton — prefix-nested pairs
+    * ("low" ⊂ "slow", "can" ⊂ "scan": dictionary-suffix emission), a
+    * multi-word phrase, CJK / precomposed-accent / emoji patterns
+    * hitting the planted multilingual rows (the byte-level UTF-8 walk;
+    * the decomposed twin row must NOT match 'café'), a single-letter
+    * high-frequency term, and one term absent from the corpus. */
+  private[graft] val blocklistTerms: Seq[String] = Seq(
+    "a", "agg", "can", "data", "join", "key", "low", "merge", "order",
+    "scan", "slow", "slow join", "stream", "qqq", "café", "去重", "🚀")
+
   /** documents ∪ planted multilingual rows — the corpus the UTF-8 BPE
     * queries run over. */
   private def docsMl(s: SparkSession, d: String): DataFrame = {
@@ -1743,6 +1754,22 @@ object SparkEntry {
           countDistinct(col("text")).as("distinct_raw"),
           countDistinct(col("nfc")).as("distinct_nfc"),
           sum(length(col("nfc"))).cast("long").as("nfc_codepoints"))),
+    // multi-pattern blocklist scan (C4/RefinedWeb badwords shape):
+    // ONE Aho-Corasick pass per document for the whole lexicon — the
+    // per-byte cost is independent of lexicon size, vs m contains()
+    // scans (m full text passes at 100 TB). Per-TERM doc/occurrence
+    // counts, leftmost-greedy non-overlapping (= replace-trick
+    // semantics, so the oracle is one cheap replace per (doc, term));
+    // the lexicon carries prefix-nested terms ("low"/"slow",
+    // "can"/"scan" — fail-link paths), a phrase crossing word
+    // boundaries, CJK/emoji patterns hitting the planted multilingual
+    // rows, and a zero-hit term that must stay in the output
+    "text_blocklist" -> ((s, d) =>
+      graft.text.TextAnalysis.blocklistTermStats(docsMl(s, d), blocklistTerms)),
+    // the cleaning DECISION view of the same one-pass scan: per-source
+    // share of documents containing ANY lexicon term, exact 1e-4 grid
+    "text_blocklist_share" -> ((s, d) =>
+      graft.text.TextAnalysis.blocklistDocShare(docsMl(s, d), blocklistTerms)),
     // the packing operator budgeting in SUBWORD tokens — same two-level
     // prefix-sum plan, the count column is the BPE encode
     "pack_sequences_bpe" -> ((s, d) =>
@@ -3629,6 +3656,36 @@ object SparkEntry {
         |  CAST(count(DISTINCT nfc_normalize(text)) AS BIGINT) AS distinct_nfc,
         |  CAST(SUM(length(nfc_normalize(text))) AS BIGINT) AS nfc_codepoints
         |FROM dml GROUP BY 1""".stripMargin
+      s"WITH dml AS MATERIALIZED ($mlDocsSelect)\n$body"
+    },
+    // leftmost-greedy non-overlapping occurrence counts are exactly
+    // what the replace() trick counts; length()/replace() are
+    // codepoint-based in DuckDB, matching the byte-level automaton on
+    // any valid UTF-8 (self-synchronizing). FILTER keeps zero-hit
+    // lexicon terms in the output like the engine's left join does.
+    "text_blocklist" -> {
+      val body = s"""t(term) AS (VALUES ${
+          graft.functions.AhoCorasick.patternsSqlValues(blocklistTerms)}),
+        |h AS (SELECT term,
+        |    (length(lower(d.text)) - length(replace(lower(d.text), term, '')))
+        |      // length(term) AS cnt
+        |  FROM dml d, t)
+        |SELECT term, CAST(count(*) FILTER (WHERE cnt > 0) AS BIGINT) AS n_docs,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+        |FROM h GROUP BY term ORDER BY term""".stripMargin
+      s"WITH dml AS MATERIALIZED ($mlDocsSelect),\n$body"
+    },
+    "text_blocklist_share" -> {
+      val lst = blocklistTerms.map(t =>
+        "'" + t.replace("'", "''") + "'").mkString("[", ", ", "]")
+      val body = s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN len(list_filter($lst,
+        |      p -> contains(lower(d.text), p))) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flagged,
+        |  (CAST(SUM(CASE WHEN len(list_filter($lst,
+        |      p -> contains(lower(d.text), p))) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 10000 // count(*)) / 10000.0 AS flagged_share
+        |FROM dml d GROUP BY source ORDER BY source""".stripMargin
       s"WITH dml AS MATERIALIZED ($mlDocsSelect)\n$body"
     },
     "pack_sequences_bpe" ->

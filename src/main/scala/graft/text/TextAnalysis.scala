@@ -637,6 +637,61 @@ object TextAnalysis {
       Seq(("tfidf", false), ("token", true)), k)
   }
 
+  /** Multi-pattern blocklist scan, per-TERM view: for a literal lexicon
+    * (the C4/RefinedWeb badwords shape), how many documents contain each
+    * term and how many times — via ONE Aho–Corasick pass per document
+    * ([[graft.functions.AhoCorasick]]), not m `contains()` scans.
+    * Occurrences are leftmost-greedy non-overlapping per term (the
+    * `replace()`-trick semantics, so the DuckDB oracle is one cheap
+    * replace per (doc, term)); terms may be phrases spanning word
+    * boundaries and any UTF-8 script. Zero-hit terms stay in the output
+    * (count 0) — a blocklist report must show silence explicitly.
+    *
+    * Plan shape: one narrow text scan emitting SPARSE (term, cnt) hits
+    * (row width ∝ matches, not lexicon size), one partial-aggregated
+    * count shuffle on the term (≤ m groups), then a broadcast-sized
+    * join against the literal lexicon to restore zero-hit rows. At
+    * 100 TB the automaton rides in the codegen references (built once
+    * per JVM) and the per-byte cost is O(1) regardless of m.
+    */
+  def blocklistTermStats(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val lexicon = array(terms.map(lit): _*)
+    val hits = docs
+      .select(explode(graft.functions.AhoCorasick.ac_matches(
+        lower(col("text")), terms)).as("h"))
+      .select(element_at(lexicon, col("h.id") + 1).as("term"),
+        col("h.cnt").as("cnt"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("cnt")).as("n_occurrences"))
+    val lex = docs.sparkSession
+      .createDataset(terms)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("term")
+    lex.join(broadcast(hits), Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"))
+      .orderBy(col("term"))
+  }
+
+  /** Multi-pattern blocklist scan, per-SOURCE view: the share of each
+    * source's documents containing ANY lexicon term — the actual C4
+    * cleaning decision ("drop flagged docs"), reported as an exact
+    * 1e-4-grid ratio. Same one-pass automaton; a doc is flagged iff
+    * its sparse match array is non-empty, so this is a narrow map +
+    * one partial-aggregated groupBy(source).
+    */
+  def blocklistDocShare(docs: DataFrame, terms: Seq[String]): DataFrame =
+    docs
+      .select(col("source"),
+        (size(graft.functions.AhoCorasick.ac_matches(
+          lower(col("text")), terms)) > 0).as("flagged"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        frac4(col("n_flagged"), col("n_docs")).as("flagged_share"))
+      .orderBy(col("source"))
+
   /** BM25 (Robertson/Sparck Jones, k1/b) document ranking for a literal
     * query-term set — the retrieval-style scorer a training-data
     * pipeline uses for targeted corpus slicing (hillview has no ranked

@@ -730,6 +730,75 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Number]("t").longValue == 4L, r)
   }
 
+  private def naiveNonOverlap(text: String, p: String): Long = {
+    var i = 0; var c = 0L
+    var j = text.indexOf(p, i)
+    while (j >= 0) { c += 1; i = j + p.length; j = text.indexOf(p, i) }
+    c
+  }
+
+  private def acCounts(patterns: Seq[String], text: String,
+      layout: Int): Map[Int, Long] = {
+    val ac = new graft.functions.AcAutomaton(patterns.toArray, layout)
+    val ad = ac.matchCounts(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text))
+    (0 until ad.numElements()).map { i =>
+      val r = ad.getStruct(i, 2)
+      r.getInt(0) -> r.getLong(1)
+    }.toMap
+  }
+
+  test("aho-corasick fuzz: counts match a naive indexOf scan, both layouts") {
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = "abc "
+    for (round <- 0 until 120) {
+      val text = Seq.fill(rnd.nextInt(200) + 1)(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val pats = (0 until (rnd.nextInt(6) + 1)).map(_ =>
+        Seq.fill(rnd.nextInt(4) + 1)(
+          alphabet(rnd.nextInt(alphabet.length))).mkString).distinct
+      val expect = pats.zipWithIndex
+        .map { case (p, i) => i -> naiveNonOverlap(text, p) }
+        .filter(_._2 > 0).toMap
+      for (layout <- Seq(graft.functions.BpeTrie.LayoutFlat,
+          graft.functions.BpeTrie.LayoutCompact)) {
+        val got = acCounts(pats, text, layout)
+        assert(got == expect,
+          s"round=$round layout=$layout pats=$pats text='$text'\n" +
+            s"got=$got expect=$expect")
+      }
+    }
+  }
+
+  test("aho-corasick: nested prefixes, phrases, and UTF-8 byte matching") {
+    // "low" ends inside every "slow" match (dictionary-suffix link);
+    // the phrase crosses a word boundary; CJK/emoji exercise the
+    // byte-level walk; the decomposed accent must NOT match the
+    // precomposed pattern (byte-exact, the NFC op exists for that)
+    val pats = Seq("low", "slow", "slow join", "去重", "🚀", "café")
+    val text = "slow join is slow 去重 🚀🚀 café café"
+    val expect = Map(0 -> 2L, 1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 2L, 5 -> 1L)
+    for (layout <- Seq(graft.functions.BpeTrie.LayoutFlat,
+        graft.functions.BpeTrie.LayoutCompact))
+      assert(acCounts(pats, text, layout) == expect, s"layout=$layout")
+  }
+
+  test("aho-corasick: self-overlapping pattern counts leftmost-greedy") {
+    // "aa" in "aaaa" = 2 under replace semantics (not 3 overlapping)
+    assert(acCounts(Seq("aa"), "aaaa",
+      graft.functions.BpeTrie.LayoutFlat) == Map(0 -> 2L))
+    assert(acCounts(Seq("aa"), "aaa",
+      graft.functions.BpeTrie.LayoutCompact) == Map(0 -> 1L))
+  }
+
+  test("blocklist term stats keep zero-hit terms and count docs") {
+    val d = docsDF(Seq("slow join here", "nothing at all", "slow slow"))
+    val got = TextAnalysis.blocklistTermStats(d, Seq("slow", "qqq", "slow join"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("qqq", 0L, 0L), ("slow", 2L, 3L), ("slow join", 1L, 1L)), got.toSeq)
+  }
+
   test("NFC normalization composes combining marks; ascii passes through") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -637,6 +637,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("blocklist scan: one text pass, pruned scan, lexicon join broadcast") {
+    val df = graft.text.TextAnalysis.blocklistTermStats(
+      Tables.documents(spark, sf), Seq("spark", "slow join", "qqq"))
+    val p = plan(df)
+    // exactly ONE corpus scan (the whole point of the automaton: one
+    // pass for the entire lexicon), pruned to the text column
+    assert(p.split("Scan parquet").length - 1 == 1, p)
+    assert(p.contains("ReadSchema: struct<text:string>"), p)
+    // the automaton expression is in the plan (not m contains() scans)
+    assert(p.contains("ac_matches"), p)
+    assert(!p.toLowerCase.contains("contains("), p)
+    // the zero-hit restore join is broadcast-sized, never a shuffle of
+    // the hit table against the corpus
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("binned range join plans a hash join, never a nested loop") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_orderdate"),
