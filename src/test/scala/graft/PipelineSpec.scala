@@ -730,6 +730,30 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Number]("t").longValue == 4L, r)
   }
 
+  test("bigram surprisal matches an independent in-memory LM") {
+    val rows = Seq(
+      (1L, "the quick fox jumps"), (2L, "the quick fox sleeps"),
+      (3L, "the quick fox jumps high"), (4L, "zz yy xx"),
+      (5L, "single"), (6L, "the  quick"))  // double space → one bigram
+    val d = rows.toDF("doc_id", "text")
+    val gotMap = TextAnalysis.bigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent: plain-Scala bigram counts + bit-length surrogate
+    def bitlen(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
+    val bigs = rows.map { case (id, t) =>
+      val ws = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      id -> ws.dropRight(1).zip(ws.drop(1)).toSeq
+    }.filter(_._2.nonEmpty)
+    val c2 = bigs.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val expect = bigs.map { case (id, bs) =>
+      id -> (bs.size.toLong, bs.map(b => bitlen(c1(b._1)) - bitlen(c2(b))).sum)
+    }.toMap
+    assert(gotMap == expect, s"got=$gotMap expect=$expect")
+    // docs with <2 tokens produce no row
+    assert(!gotMap.contains(5L))
+  }
+
   private def naiveNonOverlap(text: String, p: String): Long = {
     var i = 0; var c = 0L
     var j = text.indexOf(p, i)

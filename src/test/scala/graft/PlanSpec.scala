@@ -637,6 +637,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("bigram surprisal: one corpus scan, partial-agg counts, no nested loop") {
+    val df = graft.text.TextAnalysis.bigramSurprisal(
+      Tables.documents(spark, sf))
+    val p = plan(df)
+    // the train/serve split: the model side is a checkpointed
+    // vocab-sized frame, so the SCORING spine is the only visible
+    // corpus scan, pruned to (doc_id, text); emission is the one-pass
+    // codegen kernel, not an interpreted lambda chain
+    assert(p.split("Scan parquet").length - 1 == 1, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(p.contains("word_bigrams"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // count aggregations are map-side combined (partial HashAggregate
+    // below each exchange)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("blocklist scan: one text pass, pruned scan, lexicon join broadcast") {
     val df = graft.text.TextAnalysis.blocklistTermStats(
       Tables.documents(spark, sf), Seq("spark", "slow join", "qqq"))
