@@ -1761,6 +1761,12 @@ object SparkEntry {
     // ORACLED where a float log2 would misround; high mean = gibberish
     "text_lm_surprisal" -> ((s, d) =>
       graft.text.TextAnalysis.bigramSurprisal(docs(s, d))),
+    // DSIR importance weights (data selection toward a target domain):
+    // bag-of-bigrams log importance surrogate, target = lang'en' docs;
+    // exact integer bit-length arithmetic ⇒ fully ORACLED; selecting
+    // top-weighted docs is the Xie et al. importance-resampling step
+    "text_dsir_weight" -> ((s, d) =>
+      graft.text.TextAnalysis.dsirWeights(docs(s, d), col("lang") === "en")),
     // multi-pattern blocklist scan (C4/RefinedWeb badwords shape):
     // ONE Aho-Corasick pass per document for the whole lexicon — the
     // per-byte cost is independent of lexicon size, vs m contains()
@@ -3665,6 +3671,28 @@ object SparkEntry {
         |FROM dml GROUP BY 1""".stripMargin
       s"WITH dml AS MATERIALIZED ($mlDocsSelect)\n$body"
     },
+    // DSIR replayed in SQL: one training pass builds raw + target
+    // counts (FILTER), per-gram weight = bit-length of add-one counts
+    "text_dsir_weight" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split(lower(text), ' '),
+        |    w -> w <> '') AS ws FROM documents),
+        |big AS (
+        |  SELECT doc_id, lang, (lang = 'en') AS is_t,
+        |    ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |m AS (
+        |  SELECT w1, w2,
+        |    length(bin(count(*) FILTER (WHERE is_t) + 1))
+        |      - length(bin(count(*) + 1)) AS wgt
+        |  FROM big GROUP BY 1, 2)
+        |SELECT doc_id, lang, count(*) AS n_bigrams,
+        |  CAST(SUM(wgt) AS BIGINT) AS dsir_weight,
+        |  (CAST(SUM(wgt) AS BIGINT) * 10000 // count(*)) / 10000.0
+        |    AS mean_weight
+        |FROM big JOIN m USING (w1, w2)
+        |GROUP BY 1, 2""".stripMargin,
     // the bigram LM replayed in SQL: same tokenization, counts from
     // the same corpus, bit lengths via length(bin(n)) (exact integer —
     // the text_rarity idiom), mean on the 1e-4 grid

@@ -770,6 +770,52 @@ object TextAnalysis {
         frac4(col("surprisal_sum"), col("n_bigrams")).as("mean_surprisal"))
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its n-gram features are under a
+    * TARGET domain than under the raw corpus — the log importance
+    * weight log p_target(doc)/p_raw(doc) under bag-of-bigrams models.
+    * Selecting the top-weighted docs reshapes the corpus toward the
+    * target domain (the canonical use: target = curated/wiki-like,
+    * raw = web crawl; here target = a predicate over the corpus,
+    * e.g. lang = 'en').
+    *
+    * Exactness: per-bigram weight = bitlen(ct+1) − bitlen(cr+1) — the
+    * integer magnitude surrogate of log₂ of the add-one-smoothed count
+    * ratio (the smoothing keeps absent-in-target grams finite, as
+    * DSIR's hashed multinomial does). ct ≤ cr so weights are ≤ 0;
+    * ordering is what matters. Order-free integer sums ⇒ fully
+    * oracled; the mean rides the exact 1e-4 grid (Spark IntegralDivide
+    * and DuckDB `//` both truncate toward zero, negative-safe).
+    *
+    * Plan shape: one corpus scan trains BOTH count columns (raw count +
+    * filtered target count in the same partial agg — never a second
+    * corpus pass for the target model); the folded per-gram weight
+    * table is vocab-sized, checkpointed once (train/serve split), and
+    * the scoring spine joins the corpus against it exactly once.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val big = docs
+      .select(col("doc_id"), col("lang"), isTarget.as("__t"),
+        explode(graftshim.exprToColumn(WordBigrams(
+          graftshim.columnToExpr(col("text"))))).as("b"))
+      .select(col("doc_id"), col("lang"), col("__t"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val model = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+      .select(col("w1"), col("w2"),
+        (length(bin(col("ct") + 1L)) - length(bin(col("cr") + 1L)))
+          .cast("long").as("wgt"))
+      .localCheckpoint(false)
+    big.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("wgt")).as("dsir_weight"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("dsir_weight"),
+        frac4(col("dsir_weight"), col("n_bigrams")).as("mean_weight"))
+  }
+
   /** Multi-pattern blocklist scan, per-TERM view: for a literal lexicon
     * (the C4/RefinedWeb badwords shape), how many documents contain each
     * term and how many times — via ONE Aho–Corasick pass per document

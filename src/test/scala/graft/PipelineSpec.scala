@@ -754,6 +754,34 @@ class PipelineSpec extends SparkSpec {
     assert(!gotMap.contains(5L))
   }
 
+  test("dsir weights match an independent computation and rank target-like docs higher") {
+    val rows = Seq(
+      (1L, "en", "the quick fox jumps"), (2L, "en", "the quick fox sleeps"),
+      (3L, "xx", "zz yy zz yy zz"), (4L, "xx", "the quick fox jumps"),
+      (5L, "en", "the quick fox"))
+    val d = rows.toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.dsirWeights(d, col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    def bitlen(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
+    val bigs = rows.map { case (id, lang, t) =>
+      val ws = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      (id, lang == "en", ws.dropRight(1).zip(ws.drop(1)).toSeq)
+    }
+    val cr = bigs.flatMap(_._3).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ct = bigs.filter(_._2).flatMap(_._3).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val expect = bigs.map { case (id, _, bs) =>
+      id -> (bs.size.toLong,
+        bs.map(b => bitlen(ct.getOrElse(b, 0L) + 1) - bitlen(cr(b) + 1)).sum)
+    }.toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    // doc 3 (pure non-target vocabulary) must rank strictly below doc 4
+    // (identical text to target docs) per mean weight
+    val mean = TextAnalysis.dsirWeights(d, col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(mean(3L) < mean(4L), mean)
+  }
+
   private def naiveNonOverlap(text: String, p: String): Long = {
     var i = 0; var c = 0L
     var j = text.indexOf(p, i)

@@ -655,6 +655,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("dsir weights: one training pass builds both models, one scoring scan") {
+    val df = graft.text.TextAnalysis.dsirWeights(
+      Tables.documents(spark, sf), col("lang") === "en")
+    val p = plan(df)
+    // raw + target counts come from ONE partial agg (FILTER-style
+    // conditional sum), never a second corpus pass for the target
+    // model; the weight table is checkpointed, so the scoring spine
+    // is the only visible scan
+    assert(p.split("Scan parquet").length - 1 == 1, p)
+    assert(p.contains("word_bigrams"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("blocklist scan: one text pass, pruned scan, lexicon join broadcast") {
     val df = graft.text.TextAnalysis.blocklistTermStats(
       Tables.documents(spark, sf), Seq("spark", "slow join", "qqq"))
