@@ -266,6 +266,45 @@ object ScaleProbe {
       if (r.isNullAt(0)) 0L else r.getAs[Number](0).longValue
     }
 
+    // one automaton pass per doc, tiny (≤ lexicon-sized) agg after:
+    // must scale linearly with corpus bytes, like any narrow scan
+    probe("text_blocklist", Seq(1, 20)) { c =>
+      val lex = Seq("join", "merge", "slow", "low", "scan", "can",
+        "order", "data", "slow join", "qqq")
+      text.TextAnalysis.blocklistTermStats(
+          replicate(docs, c, Map("doc_id" -> 10000000L)), lex)
+        .agg(sum(col("n_occurrences"))).head().getLong(0)
+    }
+
+    // the m-INDEPENDENCE claim itself: fixed corpus, lexicon grown
+    // ×120 (17 → ~2k terms, CSR automaton) — per-byte cost is O(1) in
+    // m, so wall-clock should stay ≈flat while a contains()-chain
+    // formulation would grow ×120
+    probe("text_blocklist_lexicon", Seq(1, 120)) { c =>
+      val words = Seq("join", "hash", "row", "batch", "scan", "customer",
+        "column", "filter", "small", "merge", "slow", "order", "vector",
+        "line", "table", "data", "agg", "value", "key", "stream",
+        "window", "spark", "part", "group", "big", "sort", "query",
+        "fast", "the", "a")
+      val base = Seq("slow join", "merge scan", "qqq")
+      val lex =
+        if (c == 1) base ++ words.take(14)
+        else base ++ (for (a <- words; b <- words; if a != b)
+          yield s"$a $b").take(17 * c - 3)
+      text.TextAnalysis.blocklistTermStats(docs, lex.distinct)
+        .agg(sum(col("n_occurrences"))).head().getLong(0)
+    }
+
+    // bigram-LM surprisal: UNSALTED replication (replicas share the
+    // vocabulary — the realistic regime: corpus grows, model doesn't).
+    // Training agg input, scoring join input, and per-doc re-agg all
+    // scale ×c; the checkpointed model stays vocab-sized constant
+    probe("text_lm_surprisal", Seq(1, 20)) { c =>
+      text.TextAnalysis.bigramSurprisal(
+          replicate(docs, c, Map("doc_id" -> 10000000L)))
+        .agg(sum(col("surprisal_sum"))).head().getLong(0)
+    }
+
     // full-program JS gesture (tier-2 per-row interpreter): a for loop
     // over every character — pure narrow map, no shuffle; must scale
     // linearly in rows like any scan-bound expression
