@@ -1761,6 +1761,12 @@ object SparkEntry {
     // ORACLED where a float log2 would misround; high mean = gibberish
     "text_lm_surprisal" -> ((s, d) =>
       graft.text.TextAnalysis.bigramSurprisal(docs(s, d))),
+    // byte-entropy quality signal (the compression-ratio filter):
+    // integer bit-length surrogate over the per-doc byte histogram —
+    // low bits/byte = repetitive boilerplate; zero shuffle, fully
+    // ORACLED (ASCII corpus: DuckDB's codepoint positions == bytes)
+    "text_entropy" -> ((s, d) =>
+      graft.text.TextAnalysis.byteEntropy(docs(s, d))),
     // DSIR importance weights (data selection toward a target domain):
     // bag-of-bigrams log importance surrogate, target = lang'en' docs;
     // exact integer bit-length arithmetic ⇒ fully ORACLED; selecting
@@ -3671,6 +3677,21 @@ object SparkEntry {
         |FROM dml GROUP BY 1""".stripMargin
       s"WITH dml AS MATERIALIZED ($mlDocsSelect)\n$body"
     },
+    // per-doc char histogram via generate_series positions (the ASCII
+    // corpus makes codepoints == bytes), bit lengths via bin()
+    "text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substr(text, i, 1) AS c
+        |  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+        |hc AS (SELECT doc_id, c, count(*) AS cb FROM ch GROUP BY 1, 2),
+        |nn AS (SELECT doc_id, length(text) AS n FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(SUM(cb * (length(bin(n)) - length(bin(cb)))) AS BIGINT)
+        |    AS entropy_sum,
+        |  (CAST(SUM(cb * (length(bin(n)) - length(bin(cb)))) AS BIGINT)
+        |    * 10000 // n) / 10000.0 AS mean_bits
+        |FROM hc JOIN nn USING (doc_id)
+        |GROUP BY doc_id, n""".stripMargin,
     // DSIR replayed in SQL: one training pass builds raw + target
     // counts (FILTER), per-gram weight = bit-length of add-one counts
     "text_dsir_weight" ->

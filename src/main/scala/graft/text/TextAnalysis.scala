@@ -105,6 +105,62 @@ case class WordBigrams(
     : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
 }
 
+/** `byte_entropy_bits(text)`: the order-free integer entropy surrogate
+  * Σ_b c_b·(bitlen(n) − bitlen(c_b)) over the string's UTF-8 byte
+  * histogram (c_b = count of byte value b, n = total bytes) —
+  * ≈ n·H(doc) in bits at 1-bit magnitude resolution, the
+  * compression-ratio-style quality signal (low bits/byte = repetitive
+  * boilerplate) without a float log anywhere, so per-corpus sums and
+  * the DuckDB replay are exact. One primitive byte pass per row; the
+  * 1 KiB histogram is a per-call stack-lifetime allocation.
+  */
+final class ByteEntropyKernel extends Serializable {
+  def bits(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val b = s.getBytes
+    val n = b.length
+    if (n == 0) return 0L
+    val hist = new Array[Int](256)
+    var i = 0
+    while (i < n) { hist(b(i) & 0xff) += 1; i += 1 }
+    val bitN = 64 - java.lang.Long.numberOfLeadingZeros(n.toLong)
+    var s2 = 0L
+    var v = 0
+    while (v < 256) {
+      val c = hist(v)
+      if (c > 0)
+        s2 += c.toLong * (bitN - (64 - java.lang.Long.numberOfLeadingZeros(c.toLong)))
+      v += 1
+    }
+    s2
+  }
+}
+
+case class ByteEntropyBits(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+
+  @transient private lazy val kernel = new ByteEntropyKernel
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.bits(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("byteEntropyKernel", kernel,
+      classOf[ByteEntropyKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.bits($c);")
+  }
+
+  override def prettyName: String = "byte_entropy_bits"
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
+}
+
 /** Text-corpus analysis for training-data pipelines: language ID
   * heuristic, quality scoring, token counting, document fingerprinting.
   * Every metric is a pure column expression — narrow, codegen'd, and
@@ -769,6 +825,23 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("surprisal_sum"),
         frac4(col("surprisal_sum"), col("n_bigrams")).as("mean_surprisal"))
   }
+
+  /** Byte-entropy quality signal (the compression-ratio filter without
+    * a compressor): per-doc integer entropy surrogate over the UTF-8
+    * byte histogram (see [[ByteEntropyBits]]) — low bits/byte flags
+    * repetitive boilerplate the way a high compression ratio does, and
+    * the integer surrogate keeps the whole thing oracle-exact. Pure
+    * narrow map + nothing: zero shuffle, one byte pass per row.
+    */
+  def byteEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graftshim.exprToColumn(ByteEntropyBits(
+          graftshim.columnToExpr(col("text")))).as("entropy_sum"))
+      .select(col("doc_id"), col("n_bytes"), col("entropy_sum"),
+        // ANSI division throws on empty docs; null is the honest mean
+        when(col("n_bytes") > 0L,
+          frac4(col("entropy_sum"), col("n_bytes"))).as("mean_bits"))
 
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every

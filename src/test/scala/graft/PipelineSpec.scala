@@ -782,6 +782,25 @@ class PipelineSpec extends SparkSpec {
     assert(mean(3L) < mean(4L), mean)
   }
 
+  test("byte entropy surrogate: independent check, repetitive text scores lower") {
+    val texts = Seq("aaaaaaaaaaaaaaaa", "the quick brown fox jumps over",
+      "abab abab abab a", "")
+    val d = docsDF(texts)
+    val got = TextAnalysis.byteEntropy(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def bitlen(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
+    val expect = texts.zipWithIndex.map { case (t, i) =>
+      val bs = t.getBytes("UTF-8")
+      val h = bs.groupBy(identity).view.mapValues(_.length.toLong)
+      i.toLong -> (bs.length.toLong,
+        h.values.map(c => c * (bitlen(bs.length.toLong) - bitlen(c))).sum)
+    }.toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    // uniform repetition => 0 bits; natural text clearly above
+    assert(got(0L)._2 == 0L)
+    assert(got(1L)._2 > got(2L)._2, got)
+  }
+
   private def naiveNonOverlap(text: String, p: String): Long = {
     var i = 0; var c = 0L
     var j = text.indexOf(p, i)
