@@ -1852,6 +1852,22 @@ object SparkEntry {
           graft.text.TextAnalysis.bpeEncodeIds(col("text")).as("ids"))
         .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
           graft.text.TextAnalysis.idsFingerprint(col("ids")).as("ids_fp"))),
+    // OOV rate under the subword vocabulary: share of byte-fallback
+    // tokens (id ≥ |vocab|) per doc — the "does the tokenizer cover
+    // this text" quality/routing signal (CJK rows ≈ all-fallback, en
+    // rows near zero); same generated-CTE oracle as text_tokens_ids
+    "text_oov_rate" -> ((s, d) => {
+      val v = graft.functions.BpeTokenizer.defaultVocab.size
+      docsMl(s, d).select(col("doc_id"), col("lang"),
+          graft.text.TextAnalysis.bpeEncodeIds(col("text")).as("ids"))
+        .select(col("doc_id"), col("lang"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          size(filter(col("ids"), x => x >= lit(v))).cast("long").as("n_oov"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_oov"),
+          when(col("n_tokens") > 0L,
+            graft.text.TextAnalysis.frac4(col("n_oov"), col("n_tokens")))
+            .as("oov_rate"))
+    }),
     // decode∘encode invertibility as an ORACLED query: every token
     // decodes to its literal text (vocab entry or fallback char), so
     // the round trip equals the input minus the spaces encode drops —
@@ -3791,6 +3807,19 @@ object SparkEntry {
          |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS ids_fp
          |FROM dml d LEFT JOIN docids b USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin),
+    "text_oov_rate" -> {
+      val v = graft.functions.BpeTokenizer.defaultVocab.size
+      withMlDocs(s"""WITH RECURSIVE ${bpeIdsCte("dml")}
+         |SELECT d.doc_id, d.lang,
+         |  CAST(COALESCE(len(b.all_ids), 0) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(len(list_filter(b.all_ids, x -> x >= $v)), 0)
+         |    AS BIGINT) AS n_oov,
+         |  CASE WHEN COALESCE(len(b.all_ids), 0) > 0 THEN
+         |    (CAST(len(list_filter(b.all_ids, x -> x >= $v)) AS BIGINT)
+         |      * 10000 // CAST(len(b.all_ids) AS BIGINT)) / 10000.0
+         |  END AS oov_rate
+         |FROM dml d LEFT JOIN docids b USING (doc_id)""".stripMargin)
+    },
     "pack_sequences_ids" ->
       s"""WITH RECURSIVE ${bpeIdsCte()},
          |t AS (SELECT d.doc_id, d.source,

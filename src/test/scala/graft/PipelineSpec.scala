@@ -801,6 +801,19 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2, got)
   }
 
+  test("oov fallback ids start at |vocab| and separate scripts") {
+    val v = graft.functions.BpeTokenizer.defaultVocab.size
+    val d = Seq((1L, "the data join"), (2L, "日本語"))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextAnalysis.bpeEncodeIds(col("text")).as("ids"))
+      .select(col("doc_id"), size(filter(col("ids"), x => x >= lit(v))).as("oov"),
+        size(col("ids")).as("n")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L)._1 == 0, out)           // all in-vocab words
+    assert(out(2L) == ((3, 3)), out)       // CJK: every char falls back
+  }
+
   private def naiveNonOverlap(text: String, p: String): Long = {
     var i = 0; var c = 0L
     var j = text.indexOf(p, i)
