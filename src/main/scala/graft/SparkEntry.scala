@@ -1761,6 +1761,12 @@ object SparkEntry {
     // ORACLED where a float log2 would misround; high mean = gibberish
     "text_lm_surprisal" -> ((s, d) =>
       graft.text.TextAnalysis.bigramSurprisal(docs(s, d))),
+    // CCNet head/middle/tail selection: per-lang surprisal tertiles
+    // via grid-COUNTING thresholds (never a per-lang data-sized sort —
+    // the cumulative window runs over the bounded 1e-4 grid table);
+    // head = most fluent third, the slice training pipelines keep
+    "text_ccnet_buckets" -> ((s, d) =>
+      graft.text.TextAnalysis.ccnetBuckets(docs(s, d))),
     // byte-entropy quality signal (the compression-ratio filter):
     // integer bit-length surrogate over the per-doc byte histogram —
     // low bits/byte = repetitive boilerplate; zero shuffle, fully
@@ -3693,6 +3699,37 @@ object SparkEntry {
         |FROM dml GROUP BY 1""".stripMargin
       s"WITH dml AS MATERIALIZED ($mlDocsSelect)\n$body"
     },
+    // the CCNet bucket replay: same bigram-LM stages, integer-micro
+    // mean, counting-based tertile thresholds, value-threshold buckets
+    "text_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |    w -> w <> '') AS ws FROM documents),
+        |big AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |    CAST(SUM(length(bin(n1)) - length(bin(n2))) AS BIGINT) * 10000
+        |      // count(*) AS mean_e4
+        |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  GROUP BY doc_id),
+        |sl AS (SELECT sc.doc_id, d.lang, mean_e4
+        |  FROM sc JOIN documents d USING (doc_id)),
+        |cnts AS (SELECT lang, mean_e4, count(*) AS c FROM sl GROUP BY 1, 2),
+        |cum AS (SELECT lang, mean_e4,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY mean_e4) AS cm FROM cnts),
+        |nn AS (SELECT lang, count(*) AS n FROM sl GROUP BY 1),
+        |th AS (SELECT lang,
+        |    MIN(CASE WHEN cm * 3 >= n THEN mean_e4 END) AS t1,
+        |    MIN(CASE WHEN cm * 3 >= 2 * n THEN mean_e4 END) AS t2
+        |  FROM cum JOIN nn USING (lang) GROUP BY lang)
+        |SELECT doc_id, lang, CAST(mean_e4 AS BIGINT) AS mean_e4,
+        |  CASE WHEN mean_e4 <= t1 THEN 'head'
+        |    WHEN mean_e4 <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM sl JOIN th USING (lang)""".stripMargin,
     // per-doc char histogram via generate_series positions (the ASCII
     // corpus makes codepoints == bytes), bit lengths via bin()
     "text_entropy" ->

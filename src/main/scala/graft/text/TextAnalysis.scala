@@ -189,7 +189,7 @@ object TextAnalysis {
   // PRECONDITION num >= 0: truncation == floor there, so no pmod
   // floor-correction is needed (RangeJoin.binOf keeps it for its
   // possibly-negative epoch axis). Every caller here divides counts.
-  private def intDiv(num: Column, den: Column): Column =
+  private[graft] def intDiv(num: Column, den: Column): Column =
     graftshim.exprToColumn(
       new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         graftshim.columnToExpr(num),
@@ -824,6 +824,50 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("surp")).as("surprisal_sum"))
       .select(col("doc_id"), col("n_bigrams"), col("surprisal_sum"),
         frac4(col("surprisal_sum"), col("n_bigrams")).as("mean_surprisal"))
+  }
+
+  /** CCNet head/middle/tail selection (the bucketing step that follows
+    * the perplexity filter, Wenzek et al. 2020): split each language's
+    * documents into surprisal tertiles — "head" = most fluent third,
+    * training pipelines keep head(+middle). The classic formulation
+    * globally SORTS each language by perplexity; at 100 TB a per-lang
+    * data-sized sort is 5 tasks sorting 20 TB each, so this computes
+    * the tertile THRESHOLDS by COUNTING on the exact 1e-4 surprisal
+    * grid instead: per-(lang, grid-value) counts (bounded by the GRID,
+    * not the corpus), a cumulative window over that bounded table,
+    * thresholds = first grid value reaching n/3 and 2n/3, then one
+    * broadcast join stamps every doc. Buckets are by VALUE threshold
+    * (ties share a bucket) — integer-exact, order-free, fully oracled.
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val scored = bigramSurprisal(docs)
+    val g = scored
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        intDiv(col("surprisal_sum") * lit(10000L), col("n_bigrams"))
+          .as("mean_e4"))
+      // three consumers (grid counts, per-lang totals, the final
+      // stamp); materialize the per-doc scores once instead of
+      // re-running the LM scoring join per consumer — this is the
+      // scored artifact itself, O(docs) not O(corpus bytes)
+      .localCheckpoint(false)
+    val counts = g.groupBy(col("lang"), col("mean_e4"))
+      .agg(count(lit(1)).as("__c"))
+    val nn = g.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("mean_e4"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val th = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .join(nn, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(min(when(col("__cum") * 3 >= col("__n"), col("mean_e4"))).as("__t1"),
+        min(when(col("__cum") * 3 >= col("__n") * 2, col("mean_e4"))).as("__t2"))
+    g.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("mean_e4"),
+        when(col("mean_e4") <= col("__t1"), "head")
+          .when(col("mean_e4") <= col("__t2"), "middle")
+          .otherwise("tail").as("bucket"))
   }
 
   /** Byte-entropy quality signal (the compression-ratio filter without

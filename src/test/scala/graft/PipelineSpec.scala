@@ -814,6 +814,25 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) == ((3, 3)), out)       // CJK: every char falls back
   }
 
+  test("ccnet buckets: value-ordered tertiles, full coverage per lang") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = TextAnalysis.ccnetBuckets(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    val scoredDocs = TextAnalysis.bigramSurprisal(docs).count()
+    assert(out.length == scoredDocs) // every scored doc stamped exactly once
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2))
+      for (b <- Seq("head", "middle", "tail"))
+        assert(byBucket.contains(b), s"$lang missing $b")
+      // strict value ordering between buckets (ties share a bucket,
+      // so max(head) < min(middle) etc. can touch but never invert)
+      assert(byBucket("head").max <= byBucket("middle").min, lang)
+      assert(byBucket("middle").max <= byBucket("tail").min, lang)
+      // counting thresholds ⇒ head reaches at least n/3 docs
+      assert(byBucket("head").size * 3 >= rows.size, lang)
+    }
+  }
+
   private def naiveNonOverlap(text: String, p: String): Long = {
     var i = 0; var c = 0L
     var j = text.indexOf(p, i)
