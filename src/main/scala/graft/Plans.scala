@@ -70,7 +70,15 @@ object Plans {
     // plans must show pruned ReadSchema (only referenced fields) and,
     // for the filter, no lost pushdown on the surrounding projection
     "dynamic_udf_js_loop", "dynamic_filter_js_loop", "dynamic_udf_js_func",
-    "dynamic_udf_js_array")
+    "dynamic_udf_js_array",
+    // r11 continuation: ranked retrieval, the Aho-Corasick lexicon
+    // scan (ONE automaton pass, broadcast zero-hit restore), the
+    // bigram-LM family (one visible scan — the model side is a
+    // checkpointed vocab-sized frame), and the narrow quality signals
+    "bm25_topk", "text_blocklist", "text_blocklist_share",
+    "text_lm_surprisal", "text_dsir_weight", "text_ccnet_buckets",
+    "text_entropy", "text_oov_rate", "text_normalize_nfc",
+    "text_tokens_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -305,6 +305,24 @@ object ScaleProbe {
         .agg(sum(col("surprisal_sum"))).head().getLong(0)
     }
 
+    // DSIR: same shape as the surprisal probe (train agg + broadcast
+    // model scoring join, both ∝ corpus; model constant)
+    probe("text_dsir_weight", Seq(1, 20)) { c =>
+      text.TextAnalysis.dsirWeights(
+          replicate(docs, c, Map("doc_id" -> 10000000L)),
+          col("lang") === "en")
+        .agg(sum(col("dsir_weight"))).head().getLong(0)
+    }
+
+    // CCNet buckets: the reason this exists — thresholds by COUNTING
+    // on the bounded 1e-4 grid, so the cumulative window's input does
+    // NOT grow with the corpus; only the score/stamp stages scale ×c
+    probe("text_ccnet_buckets", Seq(1, 20)) { c =>
+      text.TextAnalysis.ccnetBuckets(
+          replicate(docs, c, Map("doc_id" -> 10000000L)))
+        .groupBy(col("bucket")).agg(count(lit(1))).count()
+    }
+
     // full-program JS gesture (tier-2 per-row interpreter): a for loop
     // over every character — pure narrow map, no shuffle; must scale
     // linearly in rows like any scan-bound expression

@@ -619,6 +619,31 @@ object Events {
     rows.toDF("new_id", "corpus_id", "jaccard")
   }
 
+  /** Blocklist ingestion gate: each micro-batch of NEW documents runs
+    * the same ONE-pass Aho-Corasick lexicon scan the batch queries use
+    * ([[graft.functions.AhoCorasick]]) and emits a per-doc verdict
+    * (distinct terms hit, total occurrences, flagged). Stateless per
+    * batch — the lexicon is static and the automaton is built once per
+    * JVM, so admission control costs one byte walk per arriving doc
+    * regardless of lexicon size. Bit parity with the batch scan is
+    * gated in StreamingSpec.
+    */
+  def blocklistIngestGate(newDocs: DataFrame, terms: Seq[String])(
+      onVerdicts: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val verdicts = batch
+          .select(col("doc_id"),
+            graft.functions.AhoCorasick.ac_matches(
+              lower(col("text")), terms).as("m"))
+          .select(col("doc_id"),
+            size(col("m")).cast("long").as("n_terms"),
+            coalesce(aggregate(col("m"), lit(0L),
+              (acc, x) => acc + x.getField("cnt")), lit(0L)).as("n_hits"),
+            (size(col("m")) > 0).as("flagged"))
+        onVerdicts(verdicts)
+    }
+
   /** Multimodal ingestion gate: each micro-batch of NEW images is
     * perceptual-hashed (decode → aHash) and checked against the static
     * corpus's hash table at Hamming ≤ `maxHamming` — the image twin of

@@ -766,6 +766,39 @@ class StreamingSpec extends SparkSpec {
     corpusHashes.unpersist()
   }
 
+  test("blocklist ingest gate verdicts equal the batch automaton scan") {
+    val terms = Seq("slow", "low", "slow join", "qqq", "spark")
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_bl_ingest")
+    docs.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = graft.streaming.Events.blocklistIngestGate(stream, terms)(
+        v => v.collect().foreach(sink.add))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = sink.asScala
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    // batch truth through the same per-term stats operator: per-doc
+    // totals derived independently of the gate's column pipeline
+    val expect = docs
+      .select(col("doc_id"), explode_outer(graft.functions.AhoCorasick
+        .ac_matches(lower(col("text")), terms)).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(col("h")).cast("long").as("n_terms"),
+        coalesce(sum(col("h.cnt")), lit(0L)).as("n_hits"))
+      .select(col("doc_id"), col("n_terms"), col("n_hits"),
+        (col("n_terms") > 0L).as("flagged"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == expect && got.exists(_._4) && got.exists(!_._4))
+  }
+
   test("streaming exact dedup: survivor set == batch min-per-content, bit parity") {
     val got = graft.streaming.Events.runDedupStream(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
