@@ -1445,6 +1445,17 @@ object SparkEntry {
 
     // ── dedup / similarity / text (training-data pipeline) ─────────────
     "dedup_exact" -> ((s, d) => graft.dedup.Dedup.exactGroups(docs(s, d))),
+    // normalization-AWARE exact dedup (the reason text_normalize_nfc
+    // exists): group on md5(NFC(text)) over the ml corpus — the
+    // planted decomposed/precomposed fr twin pair collapses into one
+    // group with n_raw_forms = 2, which byte-exact dedup cannot see
+    "dedup_exact_nfc" -> ((s, d) =>
+      docsMl(s, d)
+        .groupBy(md5(graft.text.TextAnalysis.nfcNormalize(col("text"))
+          .cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          countDistinct(col("text")).as("n_raw_forms"))),
     // the function's default 1 M df-cut stays ON (r5 verdict: disabling
     // it here turned off the operator's 100 TB skew guard — stopword
     // shingles make the inverted-index self-join quadratic in df). At
@@ -3426,6 +3437,13 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_exact_nfc" -> {
+      val body = """SELECT md5(nfc_normalize(text)) AS h,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_raw_forms
+        |FROM dml GROUP BY 1""".stripMargin
+      s"WITH dml AS MATERIALIZED ($mlDocsSelect)\n$body"
+    },
     "dedup_jaccard_3gram" -> shingleCte,
     // mirrors jaccardPairs' df-cut semantics: per-doc set sizes are
     // computed BEFORE the cut, shared counts AFTER it
