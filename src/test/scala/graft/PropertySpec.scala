@@ -1530,6 +1530,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("AC automaton: CSR parity + heap gate at a 20k-term lexicon") {
+    import graft.functions.{AcAutomaton, BpeTrie}
+    import org.apache.spark.unsafe.types.UTF8String
+    // production-blocklist-sized multilingual lexicon with shared
+    // prefixes (fail-link structure), phrases, and multi-byte scripts
+    val rnd = new scala.util.Random(424242L)
+    val roots = Array("con", "pre", "über", "inter", "日本", "θεο",
+      "trans", "sub", "slow ", "bad ", "𝄞mu", "re")
+    val lexicon = (0 until 20000).map { i =>
+      val sb = new StringBuilder(roots(i % roots.length))
+      (0 until (1 + rnd.nextInt(5))).foreach { _ =>
+        sb.append(('a' + rnd.nextInt(26)).toChar)
+      }
+      sb.append(i.toString)
+      sb.toString
+    }.distinct.toArray
+    assert(lexicon.length > 19000)
+    val csr = new AcAutomaton(lexicon, BpeTrie.LayoutCompact)
+    assert(!csr.isFlat)
+    // heap gate: CSR must stay O(edges + nodes) — at ~17 bytes/node
+    // (key byte + child + offset + term/dict/fail ints amortized) a
+    // 20k-term lexicon is a few MB; a forced-flat DFA would be
+    // nodes × 1 KiB ≈ 150+ MB, which is exactly what CSR avoids
+    val totalBytes = lexicon.map(_.getBytes("UTF-8").length.toLong).sum
+    assert(csr.storageBytes < 24L * totalBytes,
+      s"CSR automaton not O(edges): ${csr.storageBytes}B for " +
+        s"$totalBytes lexicon bytes")
+    val auto = new AcAutomaton(lexicon)
+    assert(!auto.isFlat, "auto layout must pick CSR above the node threshold")
+    // parity on a flat-sized slice: same counts from both walkers
+    val slice = lexicon.take(150)
+    val flat = new AcAutomaton(slice, BpeTrie.LayoutFlat)
+    val csrSlice = new AcAutomaton(slice, BpeTrie.LayoutCompact)
+    assert(flat.isFlat && !csrSlice.isFlat)
+    def counts(ac: AcAutomaton, text: String): Map[Int, Long] = {
+      val ad = ac.matchCounts(UTF8String.fromString(text))
+      (0 until ad.numElements()).map { i =>
+        val r = ad.getStruct(i, 2); r.getInt(0) -> r.getLong(1)
+      }.toMap
+    }
+    (0 until 300).foreach { _ =>
+      val text = (0 until (1 + rnd.nextInt(6))).map(_ =>
+        slice(rnd.nextInt(slice.length))).mkString(
+          if (rnd.nextBoolean()) " " else "")
+      assert(counts(flat, text) == counts(csrSlice, text), s"'$text'")
+    }
+    // every lexicon term is found exactly once in itself on the 20k CSR
+    lexicon.take(2000).zipWithIndex.foreach { case (t, i) =>
+      val got = counts(csr, t)
+      assert(got.getOrElse(i, 0L) >= 1L, s"term $i '$t' not found in itself")
+    }
+  }
+
   test("BPE trie: compact layout parity + heap gate at a 50k-entry vocab") {
     import graft.functions.BpeTrie
     // synthetic 50k-entry vocab with realistic shared prefixes (BPE
