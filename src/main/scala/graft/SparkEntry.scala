@@ -1919,6 +1919,13 @@ object SparkEntry {
         graft.text.TextAnalysis.langId(col("text")).as("lang_pred"))),
     "text_fingerprint" -> ((s, d) => graft.text.TextAnalysis.fingerprints(docs(s, d))),
     "text_rolling_fp" -> ((s, d) => graft.text.TextAnalysis.rollingFingerprints(docs(s, d))),
+    // winnowing (MOSS) fingerprint candidate pairs: window-min selected
+    // gram hashes (density ≈ 2/(w+1)) with the w+k−1 shared-run
+    // guarantee; md5-60bit gram hashes make the SELECTION itself
+    // replayable in SQL — fingerprint values are oracled, not just
+    // their artifacts; hot boilerplate prints df-cut before the join
+    "text_winnow_pairs" -> ((s, d) =>
+      graft.text.TextAnalysis.winnowPairs(docs(s, d))),
     // RAG/context-window prep: 128-char chunks every 64 chars — one
     // narrow explode, no shuffle, partitioning inherited from the scan
     "text_chunks" -> ((s, d) => graft.text.TextAnalysis.chunk(docs(s, d), 128, 64)),
@@ -3929,6 +3936,27 @@ object SparkEntry {
         |      w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT))),
         |  (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rhash
         |FROM documents""".stripMargin,
+    // the winnowing selection replayed: same md5-60bit gram hashes,
+    // same window minima, same df-cut — list slices are 1-based
+    // inclusive, so ws[i:i+3] is the 4-gram and gh[j:j+4] the 5-window
+    "text_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 3),
+        |    i -> CAST(('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))
+        |      AS BIGINT)) AS gh
+        |  FROM t WHERE len(ws) >= 8),
+        |f AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(gh) - 4), j -> list_min(gh[j:j+4]))) AS fps
+        |  FROM g),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |kept AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 1000),
+        |ek AS (SELECT doc_id, fp FROM e JOIN kept USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM ek a JOIN ek b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     // real-content twin: recompute the decoded pixel/PCM statistics from
     // the source text (pixel p = byte p mod len; sample k = (byte_k−128)·256).
     // Sums are exact integers on both sides; the single double division of

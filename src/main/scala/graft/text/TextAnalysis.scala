@@ -161,6 +161,114 @@ case class ByteEntropyBits(
     : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
 }
 
+/** One-pass winnowing kernel: lowercase, split on the space byte, hash
+  * every word k-gram (md5, top 60 bits — EXACTLY DuckDB's
+  * `('0x' || substr(md5(gram), 1, 15))::BIGINT`, so the selection
+  * replays in SQL), slide a w-window of gram hashes keeping each
+  * window's minimum, dedup in first-occurrence order. The interpreted
+  * formulation (transform + slice + concat_ws + md5 per gram) ran
+  * single-threaded minutes at sf0.1 — per-row lambdas over a one-file
+  * corpus; this is one primitive walk per row.
+  */
+final class WinnowKernel(k: Int, w: Int) extends Serializable {
+  import org.apache.spark.unsafe.types.UTF8String
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val EMPTY = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    .fromPrimitiveArray(new Array[Long](0))
+  private val SPACE = Array(' '.toByte)
+
+  def fps(s0: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s0.toLowerCase.getBytes
+    // word boundaries
+    var starts = new Array[Int](16); var ends = new Array[Int](16); var nw = 0
+    var i = 0; var st = 0
+    val n = b.length
+    while (i <= n) {
+      if (i == n || b(i) == ' ') {
+        if (i > st) {
+          if (nw == starts.length) {
+            starts = java.util.Arrays.copyOf(starts, nw * 2)
+            ends = java.util.Arrays.copyOf(ends, nw * 2)
+          }
+          starts(nw) = st; ends(nw) = i; nw += 1
+        }
+        st = i + 1
+      }
+      i += 1
+    }
+    val nGrams = nw - k + 1
+    if (nGrams < w) return EMPTY
+    val gh = new Array[Long](nGrams)
+    val d = md5.get()
+    var g = 0
+    while (g < nGrams) {
+      d.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) d.update(SPACE)
+        d.update(b, starts(g + j), ends(g + j) - starts(g + j))
+        j += 1
+      }
+      val h = d.digest()
+      // top 60 bits of the digest == the 15-hex-digit prefix as BIGINT
+      var u = 0L
+      var bi = 0
+      while (bi < 8) { u = (u << 8) | (h(bi) & 0xffL); bi += 1 }
+      gh(g) = u >>> 4
+      g += 1
+    }
+    // sliding-window minima, dedup in first-occurrence order
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var s = 0
+    while (s <= nGrams - w) {
+      var m = gh(s)
+      var j = 1
+      while (j < w) { if (gh(s + j) < m) m = gh(s + j); j += 1 }
+      seen.add(m)
+      s += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var oi = 0
+    while (it.hasNext) { out(oi) = it.next(); oi += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `winnow_fps(text)`: the winnowed fingerprint set as `array<bigint>`
+  * (see [[WinnowKernel]]); empty when the doc has fewer than w k-gram
+  * windows. Inside whole-stage codegen via a reference-object call.
+  */
+case class WinnowFps(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    k: Int, w: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1 && w >= 1)
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  @transient private lazy val kernel = new WinnowKernel(k, w)
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.fps(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("winnowKernel", kernel,
+      classOf[WinnowKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.fps($c);")
+  }
+
+  override def prettyName: String = "winnow_fps"
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
+}
+
 /** Text-corpus analysis for training-data pipelines: language ID
   * heuristic, quality scoring, token counting, document fingerprinting.
   * Every metric is a pure column expression — narrow, codegen'd, and
@@ -358,6 +466,52 @@ object TextAnalysis {
 
   def rollingFingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), rollingHash(col("text")).as("rhash"))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * selection): per doc, hash every word k-gram, slide a window of w
+    * consecutive gram hashes, keep the minimum of each window, dedup.
+    * The winnowing guarantee: any two docs sharing a run of at least
+    * w+k−1 tokens share at least one fingerprint — a DENSITY-BOUNDED
+    * (≈ 2/(w+1) of grams) alternative to keeping every window hash
+    * (dup_passages) and a deterministic alternative to MinHash. Gram
+    * hashes are the engine-portable md5-60bit used by rollingHash, so
+    * the selection itself replays in DuckDB — fingerprint VALUES, not
+    * just their artifacts, are oracled. Row-local array pipeline: the
+    * token array is projected to an attribute first (lambda bodies get
+    * no CSE), grams/windows never leave the row.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graftshim.exprToColumn(WinnowFps(
+          graftshim.columnToExpr(col("text")), k, w)).as("fps"))
+      .filter(size(col("fps")) > 0)
+
+  /** Candidate near-dup pairs from shared winnowed fingerprints (the
+    * MOSS report): explode the per-doc fingerprint sets, self-join on
+    * the fingerprint, count distinct shared prints per pair. Boilerplate
+    * guard for corpus scale: fingerprints present in more than `maxDf`
+    * docs are dropped BEFORE the pair join (the jaccard df-cut
+    * precedent — one hot print must not go quadratic); the cut is part
+    * of the declared semantics, replayed by the oracle.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 5,
+      maxDf: Int = 1000): DataFrame = {
+    // three consumers (df-cut agg + both self-join sides): materialize
+    // the exploded print list once (the lshCandidatePairs precedent)
+    val e = winnowFingerprints(docs, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .localCheckpoint(eager = false)
+    val kept = e.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("fp"))
+    val ek = e.join(kept, Seq("fp"))
+    ek.as("a").join(ek.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 
   /** Benchmark decontamination: training documents sharing any word
     * n-gram with the eval set (the standard 13-gram-overlap check, n

@@ -833,6 +833,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee: any shared w+k-1 token run yields a shared fingerprint") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val (k, w) = (4, 5)
+    val got = TextAnalysis.winnowPairs(docs, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: pairs sharing ANY (w+k-1)-gram — the exact set the
+    // guarantee covers (winnowing may legitimately find more: shorter
+    // shared runs can still share a window minimum)
+    val run = w + k - 1
+    val ws = col("__ws")
+    val grams = docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), x => x =!= "").as("__ws"))
+      .filter(size(ws) >= run)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(ws) - (run - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(run))))).as("g"))
+      .distinct()
+    val truth = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture lost its shared runs")
+    assert(truth.subsetOf(got),
+      s"guarantee violated for ${truth.diff(got)}")
+    // density: winnowing must select FAR fewer prints than one-per-
+    // window (expected ≈ 2/(w+1) of windows before dedup; dedup only
+    // lowers it) — the whole point vs keeping every window hash
+    val tot = TextAnalysis.winnowFingerprints(docs, k, w)
+      .agg(sum(size(col("fps")).cast("long"))).head().getLong(0)
+    val windows = docs
+      .select(size(filter(split(lower(col("text")), " "), x => x =!= ""))
+        .as("n"))
+      .filter(col("n") >= run)
+      .agg(sum((col("n") - (run - 1)).cast("long"))).head().getLong(0)
+    assert(tot > 0 && tot * 2 < windows,
+      s"winnow density not bounded: $tot prints / $windows windows")
+  }
+
   private def naiveNonOverlap(text: String, p: String): Long = {
     var i = 0; var c = 0L
     var j = text.indexOf(p, i)
