@@ -323,6 +323,14 @@ object ScaleProbe {
         .groupBy(col("bucket")).agg(count(lit(1))).count()
     }
 
+    // winnowing: SALTED replication (unsalted copies would share every
+    // fingerprint cross-replica and the pair join would go quadratic in
+    // c by construction, like the embedding probes); kernel pass +
+    // banded-style fp join must scale ~linearly
+    probe("text_winnow_pairs", Seq(1, 20)) { c =>
+      text.TextAnalysis.winnowPairs(saltedDocs(c)).count()
+    }
+
     // full-program JS gesture (tier-2 per-row interpreter): a for loop
     // over every character — pure narrow map, no shuffle; must scale
     // linearly in rows like any scan-bound expression

@@ -1814,6 +1814,33 @@ object SparkEntry {
             graft.text.TextAnalysis.bpeTokenCount(col("text")).as("n_tokens")),
           col("source"), col("doc_id"), col("n_tokens"), 2048L)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))),
+    // packing-efficiency dashboard: per source, padding waste across
+    // COMPLETED bins (the last bin is legitimately partial) and
+    // overflow carried by straddling docs — the numbers you tune the
+    // token budget against; pure aggregate over the same packing
+    "pack_efficiency" -> ((s, d) => {
+      val packed = graft.pipeline.Pipeline.packSequences(
+        docs(s, d).select(col("doc_id"), col("source"),
+          graft.text.TextAnalysis.bpeTokenCount(col("text")).as("n_tokens")),
+        col("source"), col("doc_id"), col("n_tokens"), 2048L)
+      val bins = packed.groupBy(col("source"), col("bin"))
+        .agg(sum(col("n_tokens")).as("fill"))
+      val last = bins.groupBy(col("source")).agg(max(col("bin")).as("__last"))
+      bins.join(broadcast(last), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("fill")).cast("long").as("total_tokens"),
+          sum(when(col("bin") < col("__last"),
+            greatest(lit(0L), lit(2048L) - col("fill"))).otherwise(0L))
+            .cast("long").as("padding_waste"),
+          sum(greatest(lit(0L), col("fill") - lit(2048L)))
+            .cast("long").as("overflow_tokens"))
+        .select(col("source"), col("n_bins"), col("total_tokens"),
+          col("padding_waste"), col("overflow_tokens"),
+          when(col("n_bins") > 1L,
+            graft.text.TextAnalysis.frac4(col("padding_waste"),
+              (col("n_bins") - 1L) * lit(2048L))).as("waste_share"))
+    }),
     // in-engine BPE vocabulary TRAINING (Sennrich): 8 learned merges,
     // each step = one map-side-combined pair-count agg over the
     // vocabulary table + driver argmax + one codegen merge map;
@@ -3842,6 +3869,27 @@ object SparkEntry {
         |FROM dml d GROUP BY source ORDER BY source""".stripMargin
       s"WITH dml AS MATERIALIZED ($mlDocsSelect)\n$body"
     },
+    "pack_efficiency" ->
+      s"""WITH RECURSIVE ${bpeCte()},
+         |p AS (SELECT doc_id, source, n_tokens,
+         |  CAST(FLOOR((CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) - n_tokens) / 2048.0) AS BIGINT) AS bin
+         |  FROM (SELECT d.doc_id, d.source, COALESCE(b.n_tokens_bpe, 0) AS n_tokens
+         |    FROM documents d LEFT JOIN bpe b USING (doc_id))),
+         |bb AS (SELECT source, bin, CAST(SUM(n_tokens) AS BIGINT) AS fill
+         |  FROM p GROUP BY 1, 2),
+         |m AS (SELECT source, MAX(bin) AS last_bin FROM bb GROUP BY 1)
+         |SELECT source, count(*) AS n_bins,
+         |  CAST(SUM(fill) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CASE WHEN bin < last_bin THEN GREATEST(0, 2048 - fill)
+         |    ELSE 0 END) AS BIGINT) AS padding_waste,
+         |  CAST(SUM(GREATEST(0, fill - 2048)) AS BIGINT) AS overflow_tokens,
+         |  CASE WHEN count(*) > 1 THEN
+         |    (CAST(SUM(CASE WHEN bin < last_bin THEN GREATEST(0, 2048 - fill)
+         |      ELSE 0 END) AS BIGINT) * 10000
+         |      // ((count(*) - 1) * 2048)) / 10000.0 END AS waste_share
+         |FROM bb JOIN m USING (source)
+         |GROUP BY source""".stripMargin,
     "pack_sequences_bpe" ->
       s"""WITH RECURSIVE ${bpeCte()}
          |SELECT doc_id, source, n_tokens,
