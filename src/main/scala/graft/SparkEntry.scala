@@ -1772,6 +1772,12 @@ object SparkEntry {
     // ORACLED where a float log2 would misround; high mean = gibberish
     "text_lm_surprisal" -> ((s, d) =>
       graft.text.TextAnalysis.bigramSurprisal(docs(s, d))),
+    // pairwise source TF-cosine (corpus drift / source redundancy —
+    // the signal behind source-level dedup and mixture design): exact
+    // integer dots and norms, one sqrt-based division rounded to 4
+    // decimals (the ANN-oracle precedent); #sources² output
+    "source_similarity" -> ((s, d) =>
+      graft.text.TextAnalysis.sourceSimilarity(docs(s, d))),
     // CCNet head/middle/tail selection: per-lang surprisal tertiles
     // via grid-COUNTING thresholds (never a per-lang data-sized sort —
     // the cumulative window runs over the bounded 1e-4 grid table);
@@ -3751,6 +3757,20 @@ object SparkEntry {
         |FROM dml GROUP BY 1""".stripMargin
       s"WITH dml AS MATERIALIZED ($mlDocsSelect)\n$body"
     },
+    "source_similarity" ->
+      """WITH toks AS (SELECT source, u.w AS tok FROM documents,
+        |    UNNEST(string_split(lower(text), ' ')) AS u(w) WHERE u.w <> ''),
+        |tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |nn AS (SELECT source, CAST(SUM(tf * tf) AS BIGINT) AS n2
+        |  FROM tf GROUP BY 1),
+        |d AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, dot,
+        |  round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos
+        |FROM d JOIN nn na ON src_a = na.source
+        |  JOIN nn nb ON src_b = nb.source""".stripMargin,
     // the CCNet bucket replay: same bigram-LM stages, integer-micro
     // mean, counting-based tertile thresholds, value-threshold buckets
     "text_ccnet_buckets" ->

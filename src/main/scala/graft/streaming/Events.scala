@@ -644,6 +644,22 @@ object Events {
         onVerdicts(verdicts)
     }
 
+  /** LM-quality scoring gate: each micro-batch of NEW documents is
+    * scored under a FROZEN bigram model (trained once in batch —
+    * [[graft.text.TextAnalysis.bigramModel]], vocab-sized, cached by
+    * the caller) — the ingest-time perplexity filter: admit/route on
+    * mean surprisal as docs arrive, never retraining per batch. Same
+    * scorer as the batch query, so verdicts are bit-equal by
+    * construction (gated in StreamingSpec).
+    */
+  def lmScoreIngestGate(newDocs: DataFrame, model: DataFrame)(
+      onScores: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onScores(graft.text.TextAnalysis.scoreBigramSurprisal(
+          batch.toDF(), model))
+    }
+
   /** Multimodal ingestion gate: each micro-batch of NEW images is
     * perceptual-hashed (decode → aHash) and checked against the static
     * corpus's hash table at Hamming ≤ `maxHamming` — the image twin of

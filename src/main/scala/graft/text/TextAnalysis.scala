@@ -948,37 +948,50 @@ object TextAnalysis {
     * re-aggregation is the second data-sized exchange — the
     * unigramRarity posture, one order higher.
     */
-  def bigramSurprisal(docs: DataFrame): DataFrame = {
-    val big = docs
+  private def wordBigramRows(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(graftshim.exprToColumn(WordBigrams(
         graftshim.columnToExpr(col("text"))))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // train/serve split inside one query: the MODEL-sized bigram count
-    // table is materialized ONCE (lazy local checkpoint — kilobytes to
-    // low MBs, it IS the LM), so the context-count derivation and the
-    // scoring join both read the frozen model instead of re-deriving
-    // it from the corpus; the corpus-sized bigram emission is scanned
-    // twice (LM build + scoring spine), never three times. A/B'd at
-    // sf0.1: naive 3-scan 1.07 s, data-sized-checkpoint spine 1.21 s,
-    // this 0.9 s — and at 100 TB a data-sized checkpoint is a full
-    // corpus materialization while this one is O(model).
-    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+
+  /** The trained bigram LM as a frozen frame (w1, w2, surp) — the
+    * per-bigram integer surprisal bitlen(c(w1)) − bitlen(c(w1,w2)).
+    * The MODEL-sized count table is materialized ONCE (lazy local
+    * checkpoint — kilobytes to low MBs, it IS the LM), so the
+    * context-count derivation and every downstream scorer read the
+    * frozen model instead of re-deriving it from the corpus; the
+    * context + bigram counts fold into ONE surprisal column before any
+    * scorer touches the corpus again (the data-sized side pays a
+    * single vocab-sized join — AQE broadcasts it — not two chained
+    * joins). A/B'd at sf0.1: naive 3-scan 1.07 s, data-sized-
+    * checkpoint spine 1.21 s, this 0.9 s — and at 100 TB a data-sized
+    * checkpoint is a full corpus materialization while this is
+    * O(model). */
+  def bigramModel(docs: DataFrame): DataFrame = {
+    val c2 = wordBigramRows(docs)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
       .localCheckpoint(false)
     val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
-    // fold context + bigram counts into ONE per-bigram surprisal column
-    // before touching the corpus again: the data-sized side pays a
-    // single join against the model (vocab-sized — AQE broadcasts it),
-    // not two chained joins
-    val model = c2.join(c1, Seq("w1"))
+    c2.join(c1, Seq("w1"))
       .select(col("w1"), col("w2"),
         (length(bin(col("n1"))) - length(bin(col("n2"))))
           .cast("long").as("surp"))
-    big.join(model, Seq("w1", "w2"))
+  }
+
+  /** Score documents under a FROZEN bigram model (the serve half —
+    * also the per-micro-batch body of the streaming scoring gate).
+    * Bigrams absent from the model contribute nothing (inner join):
+    * the model defines the scored vocabulary. */
+  def scoreBigramSurprisal(docs: DataFrame, model: DataFrame): DataFrame =
+    wordBigramRows(docs)
+      .join(model, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("surp")).as("surprisal_sum"))
       .select(col("doc_id"), col("n_bigrams"), col("surprisal_sum"),
         frac4(col("surprisal_sum"), col("n_bigrams")).as("mean_surprisal"))
-  }
+
+  def bigramSurprisal(docs: DataFrame): DataFrame =
+    scoreBigramSurprisal(docs, bigramModel(docs))
 
   /** CCNet head/middle/tail selection (the bucketing step that follows
     * the perplexity filter, Wenzek et al. 2020): split each language's
@@ -1141,6 +1154,39 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"), col("n_flagged"),
         frac4(col("n_flagged"), col("n_docs")).as("flagged_share"))
       .orderBy(col("source"))
+
+  /** Pairwise source similarity (corpus-drift/redundancy dashboard):
+    * cosine between per-source unigram term-frequency vectors — "which
+    * sources say the same things", the signal behind source-level
+    * dedup and mixture design. One corpus scan builds the TF model
+    * (vocab-sized, checkpointed once — the self-join and the norm agg
+    * both read the frozen model, never the corpus again); dot products
+    * and norms are exact integer sums; the single cosine division is
+    * sqrt-based (IEEE-stable in both engines) rounded to 4 decimals
+    * (the ANN-oracle precedent). Source-pair output is #sources²/2
+    * rows — driver-sized at any corpus scale.
+    */
+  def sourceSimilarity(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val norms = tf.groupBy(col("source"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = tf.as("a").join(tf.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dots
+      .join(norms.select(col("source").as("src_a"), col("n2").as("__na")),
+        Seq("src_a"))
+      .join(norms.select(col("source").as("src_b"), col("n2").as("__nb")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("dot"),
+        round(col("dot") / (sqrt(col("__na")) * sqrt(col("__nb"))), 4)
+          .as("cos"))
+  }
 
   /** BM25 (Robertson/Sparck Jones, k1/b) document ranking for a literal
     * query-term set — the retrieval-style scorer a training-data

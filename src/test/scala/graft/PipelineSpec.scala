@@ -872,6 +872,28 @@ class PipelineSpec extends SparkSpec {
       s"winnow density not bounded: $tot prints / $windows windows")
   }
 
+  test("word-bigram kernel == the declarative lambda formulation (fuzz)") {
+    val rnd = new scala.util.Random(11880L)
+    val alphabet = "ab cd  é日́ "
+    val texts = (0 until 150).map(_ => Seq.fill(rnd.nextInt(40))(
+      alphabet(rnd.nextInt(alphabet.length))).mkString) :+
+      "" :+ " " :+ "one" :+ "UPPER lower  MiXeD"
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val kernel = d.select(col("doc_id"), explode(
+        org.apache.spark.sql.graftshim.exprToColumn(
+          graft.text.WordBigrams(
+            org.apache.spark.sql.graftshim.columnToExpr(col("text"))))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.toSeq).toMap
+    val expect = texts.zipWithIndex.flatMap { case (t, i) =>
+      val ws = t.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      ws.dropRight(1).zip(ws.drop(1)).map { case (a, b) => (i.toLong, a, b) }
+    }.groupBy(_._1).view.mapValues(_.toSeq).toMap
+    assert(kernel == expect)
+  }
+
   private def naiveNonOverlap(text: String, p: String): Long = {
     var i = 0; var c = 0L
     var j = text.indexOf(p, i)

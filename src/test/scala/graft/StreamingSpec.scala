@@ -799,6 +799,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == expect && got.exists(_._4) && got.exists(!_._4))
   }
 
+  test("lm scoring gate: streamed scores bit-equal the batch query under the frozen model") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    // train once in batch; cache the vocab-sized model like the image
+    // gate caches corpus hashes
+    val model = graft.text.TextAnalysis.bigramModel(docs).cache()
+    model.count()
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_lm_ingest")
+    docs.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = graft.streaming.Events.lmScoreIngestGate(stream, model)(
+        v => v.collect().foreach(sink.add))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = sink.asScala
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val expect = graft.text.TextAnalysis.scoreBigramSurprisal(docs, model)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expect && got.nonEmpty)
+    model.unpersist()
+  }
+
   test("streaming exact dedup: survivor set == batch min-per-content, bit parity") {
     val got = graft.streaming.Events.runDedupStream(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
