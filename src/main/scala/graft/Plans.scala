@@ -78,7 +78,8 @@ object Plans {
     "bm25_topk", "text_blocklist", "text_blocklist_share",
     "text_lm_surprisal", "text_dsir_weight", "text_ccnet_buckets",
     "text_entropy", "text_oov_rate", "text_normalize_nfc",
-    "text_tokens_fertility", "text_winnow_pairs", "dedup_exact_nfc")
+    "text_tokens_fertility", "text_winnow_pairs", "dedup_exact_nfc",
+    "source_similarity", "pack_efficiency")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
