@@ -894,6 +894,25 @@ class PipelineSpec extends SparkSpec {
     assert(kernel == expect)
   }
 
+  test("shared-scratch kernels are partition-count invariant (thread safety)") {
+    // reference objects are shared across an executor's task threads;
+    // the AC automaton and winnow kernel carry ThreadLocal scratch —
+    // the one-file fixture runs narrow chains on ONE partition, so
+    // concurrency is exercised here explicitly
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.01")
+    val terms = Seq("slow", "low", "slow join", "spark", "a", "qqq")
+    val one = TextAnalysis.blocklistTermStats(docs.coalesce(1), terms)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val many = TextAnalysis.blocklistTermStats(docs.repartition(16), terms)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(one == many)
+    val w1 = TextAnalysis.winnowPairs(docs.coalesce(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w16 = TextAnalysis.winnowPairs(docs.repartition(16)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(w1 == w16 && w1.nonEmpty)
+  }
+
   private def naiveNonOverlap(text: String, p: String): Long = {
     var i = 0; var c = 0L
     var j = text.indexOf(p, i)
