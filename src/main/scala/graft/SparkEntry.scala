@@ -1705,6 +1705,13 @@ object SparkEntry {
     // search over the int8 codes: integer-exact scores, so fully oracled
     "ann_topk_quantized" -> ((s, d) =>
       graft.ann.Similarity.quantizedTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    // embedding-space domain scoring (the embedding twin of
+    // text_dsir_weight): cosine of every vector to the label-0
+    // centroid on the global 2^16 grid — centroid and dots are exact
+    // integers, one IEEE-stable sqrt division rounded to 4 decimals;
+    // the 1-row centroid broadcasts, so scoring has no data shuffle
+    "embedding_domain_score" -> ((s, d) =>
+      graft.ann.Similarity.domainScore(emb(s, d), 0)),
     "quantiles_approx" -> ((s, d) => {
       val qs = Quantiles.approxQuantiles(li(s, d), "l_extendedprice",
         Seq(0.25, 0.5, 0.75), 0.01)
@@ -3567,6 +3574,25 @@ object SparkEntry {
         |  FROM q a JOIN q n ON n.vec_id <> a.vec_id
         |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "embedding_domain_score" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings),
+        |cd AS (SELECT i, CAST(SUM(qe[i]) AS BIGINT) // count(*) AS c
+        |  FROM q, UNNEST(generate_series(1, len(qe))) AS t(i)
+        |  WHERE label = 0 GROUP BY i),
+        |cl AS (SELECT list(c ORDER BY i) AS cent FROM cd)
+        |SELECT vec_id, label,
+        |  CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |    i -> qe[i] * cent[i])) AS BIGINT) AS dot_q,
+        |  CASE WHEN list_sum([x*x for x in qe]) > 0
+        |      AND list_sum([y*y for y in cent]) > 0 THEN
+        |    round(CAST(list_sum(list_transform(generate_series(1, len(qe)),
+        |        i -> qe[i] * cent[i])) AS DOUBLE)
+        |      / (sqrt(CAST(list_sum([x*x for x in qe]) AS DOUBLE))
+        |        * sqrt(CAST(list_sum([y*y for y in cent]) AS DOUBLE))), 4)
+        |  END AS cos
+        |FROM q CROSS JOIN cl""".stripMargin,
     "embedding_quantize" ->
       """WITH b AS (SELECT vec_id, embedding,
         |    CASE WHEN m = 0 THEN 1.0 ELSE CAST(m AS DOUBLE) / 127.0 END AS scale

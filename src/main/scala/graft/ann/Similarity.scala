@@ -35,6 +35,43 @@ object Similarity {
     * Queries are broadcast; per-query ranking via row_number window
     * (partitions = queries, so parallelism = #queries × corpus splits).
     */
+  /** Embedding-space domain scoring (the embedding twin of the text
+    * DSIR weights): cosine of every vector to the TARGET label group's
+    * centroid — select/route data by how close it sits to a curated
+    * domain in embedding space. Exactness: vectors snap to the GLOBAL
+    * 2^16 grid ([[graft.functions.FloatVecQ16]]), so the centroid is
+    * integer arithmetic end to end (per-dim exact sums, truncating
+    * integer mean — Spark IntegralDivide == DuckDB `//`), every dot
+    * product is an exact ≤2^53 integer (IntVecDot), and the single
+    * cosine division uses IEEE-stable sqrt, rounded to 4 decimals (the
+    * ANN-oracle precedent). Plan: one quantize pass feeds the target
+    * centroid agg (dim-sized output), the 1-row centroid broadcasts
+    * into the codegen scoring map — no data-sized shuffle at all.
+    */
+  def domainScore(emb: DataFrame, targetLabel: Int): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_q16, vec_dot_int}
+    val q = emb.select(col("vec_id"), col("label"),
+      vec_q16(col("embedding")).as("qe"))
+    val cent = q.filter(col("label") === lit(targetLabel))
+      .select(posexplode(col("qe")).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("d"),
+        graft.text.TextAnalysis.intDiv(col("s"), col("n")).cast("int").as("c"))
+      .agg(sort_array(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(transform(col("dc"), x => x.getField("c")).as("cent"))
+    q.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"),
+        vec_dot_int(col("qe"), col("cent")).as("__dot"),
+        vec_dot_int(col("qe"), col("qe")).as("__qq"),
+        vec_dot_int(col("cent"), col("cent")).as("__cc"))
+      .select(col("vec_id"), col("label"),
+        col("__dot").cast("long").as("dot_q"),
+        when(col("__qq") > 0.0 && col("__cc") > 0.0,
+          round(col("__dot") / (sqrt(col("__qq")) * sqrt(col("__cc"))), 4))
+          .as("cos"))
+  }
+
   def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))

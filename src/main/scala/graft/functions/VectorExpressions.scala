@@ -255,6 +255,52 @@ object HyperplaneBandKeys {
   * ~2·dim dispatches per row with one call (measured on the quantized
   * ANN scan: the quantize stage was the dominant cost, not the dots).
   */
+/** Fixed-grid 2^16 quantization: q_i = floor(f_i · 65536) — unlike the
+  * per-vector-scaled [[Int8Quantize]], the grid is GLOBAL, so quantized
+  * vectors from different rows can be summed/averaged EXACTLY (the
+  * centroid of a label group is integer arithmetic end to end, and the
+  * DuckDB replay `floor(CAST(x AS DOUBLE) * 65536)` is bit-identical:
+  * float→double widening and the power-of-two multiply are both exact
+  * IEEE ops). Assumes |f| < 32768 (embeddings are ~unit-scaled).
+  */
+case class FloatVecQ16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(x.getFloat(i).toDouble * 65536.0).toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $out = new int[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (int) Math.floor(((double) $a.getFloat($i)) * 65536.0);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override def prettyName: String = "vec_q16"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class Int8Quantize(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -448,6 +494,8 @@ object VectorExpressions {
     column(TokenWindowHashes(expression(a), w))
   def vec_quantize_int8(a: Column): Column =
     column(Int8Quantize(expression(a)))
+  def vec_q16(a: Column): Column =
+    column(FloatVecQ16(expression(a)))
   def vec_norm(a: Column): Column = column(FloatVecNorm(expression(a)))
   def vec_dot_int(a: Column, b: Column): Column =
     column(IntVecDot(expression(a), expression(b)))

@@ -913,6 +913,34 @@ class PipelineSpec extends SparkSpec {
     assert(w1 == w16 && w1.nonEmpty)
   }
 
+  test("embedding domain score: exact grid arithmetic, target label ranks highest") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val out = Similarity.domainScore(emb, 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    assert(out.length == emb.count())
+    // independent: recompute one vector's dot on the same 2^16 grid
+    val rows = emb.collect().map(r => (r.getLong(0), r.getInt(2),
+      r.getSeq[Float](1).toArray))
+    def q16(f: Array[Float]): Array[Long] =
+      f.map(x => math.floor(x.toDouble * 65536.0).toLong)
+    val tgt = rows.filter(_._2 == 0).map(t => q16(t._3))
+    val cent = (0 until tgt.head.length).map { d =>
+      tgt.map(_(d)).sum / tgt.length  // Java trunc div == IntegralDivide
+    }.toArray
+    val byId = rows.map(t => t._1 -> t._3).toMap
+    val checkIds = out.take(5).map(_._1)
+    checkIds.foreach { id =>
+      val dotExpect = q16(byId(id)).zip(cent).map { case (a, b) => a * b }.sum
+      val got = out.find(_._1 == id).get._3
+      assert(got == dotExpect, s"vec $id: $got != $dotExpect")
+    }
+    // the target label's mean cosine must clearly exceed every other
+    val means = out.groupBy(_._2).view.mapValues(v =>
+      v.map(_._4).sum / v.size).toMap
+    assert(means.keys.forall(l => l == 0 || means(0) > means(l) + 0.05), means)
+  }
+
   private def naiveNonOverlap(text: String, p: String): Long = {
     var i = 0; var c = 0L
     var j = text.indexOf(p, i)
