@@ -79,7 +79,7 @@ object Plans {
     "text_lm_surprisal", "text_dsir_weight", "text_ccnet_buckets",
     "text_entropy", "text_oov_rate", "text_normalize_nfc",
     "text_tokens_fertility", "text_winnow_pairs", "dedup_exact_nfc",
-    "source_similarity", "pack_efficiency")
+    "source_similarity", "pack_efficiency", "embedding_domain_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
