@@ -287,10 +287,18 @@ object ScaleProbe {
         "window", "spark", "part", "group", "big", "sort", "query",
         "fast", "the", "a")
       val base = Seq("slow join", "merge scan", "qqq")
+      // pairs alone give only 30·29 = 870 terms — short of the ×120
+      // target (2037), which would silently truncate the claim to ×51;
+      // two suffixed batches ("end"/"run" are not in the word list, so
+      // all 2610 generated phrases are distinct) cover the full scale
       val lex =
         if (c == 1) base ++ words.take(14)
-        else base ++ (for (a <- words; b <- words; if a != b)
-          yield s"$a $b").take(17 * c - 3)
+        else {
+          val combos = for (suf <- Seq("", " end", " run");
+            a <- words; b <- words; if a != b) yield s"$a $b$suf"
+          base ++ combos.take(17 * c - 3)
+        }
+      require(lex.size == 17 * c, s"lexicon probe size ${lex.size} != ${17 * c}")
       text.TextAnalysis.blocklistTermStats(docs, lex.distinct)
         .agg(sum(col("n_occurrences"))).head().getLong(0)
     }

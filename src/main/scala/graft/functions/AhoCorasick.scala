@@ -54,9 +54,11 @@ object AhoCorasick {
       AcMatchCounts(org.apache.spark.sql.graftshim.columnToExpr(text), patterns))
 
   /** The DuckDB literal VALUES list for the same lexicon — interpolated
-    * into oracle SQL so engine and oracle can never desynchronize. */
+    * into oracle SQL so engine and oracle can never desynchronize.
+    * Lowercased to mirror the blocklist API's lexicon normalization
+    * (the blocklist queries scan `lower(text)`). */
   def patternsSqlValues(patterns: Seq[String]): String =
-    patterns.map(p => "('" + p.replace("'", "''") + "')").mkString(", ")
+    patterns.map(p => "('" + p.toLowerCase.replace("'", "''") + "')").mkString(", ")
 }
 
 /** The frozen automaton: a byte-level trie over the patterns with
@@ -194,7 +196,8 @@ final class AcAutomaton(val patterns: Array[String], layout: Int)
       case _ => nNodes <= 2048
     }
     if (flat) {
-      require(nNodes <= (1 << 23), s"forced-flat automaton too large ($nNodes nodes)")
+      // strict: nNodes == 2^23 makes (nNodes << 8) == 2^31 overflow Int
+      require(nNodes < (1 << 23), s"forced-flat automaton too large ($nNodes nodes)")
       dfa = new Array[Int](nNodes << 8)
       // root row first, then BFS order guarantees fail(u) is resolved
       var b = 0
@@ -235,10 +238,13 @@ final class AcAutomaton(val patterns: Array[String], layout: Int)
   /** Per-thread scan scratch, generation-stamped so reset is O(1). */
   private final class Scratch {
     val lastEnd = new Array[Int](patterns.length)
-    val stamp = new Array[Int](patterns.length)
+    // Long generation stamp: an Int would wrap after 2^32 rows on one
+    // executor thread and could alias a stale stamp (treating a previous
+    // row's lastEnd/cnt as current) — plausible at per-JVM 100 TB scale
+    val stamp = new Array[Long](patterns.length)
     val cnt = new Array[Long](patterns.length)
     var matched = new Array[Int](16)
-    var gen = 0
+    var gen = 0L
   }
   @transient private lazy val scratch: ThreadLocal[Scratch] =
     ThreadLocal.withInitial(() => new Scratch)
@@ -287,7 +293,7 @@ final class AcAutomaton(val patterns: Array[String], layout: Int)
 
   /** Record every pattern ending at `node` (its own term + the
     * dictionary-suffix chain), honoring per-pattern non-overlap. */
-  private def emit(sc: Scratch, node: Int, endIdx: Int, gen: Int,
+  private def emit(sc: Scratch, node: Int, endIdx: Int, gen: Long,
       nMatched0: Int): Int = {
     var nMatched = nMatched0
     var u = if (term(node) >= 0) node else dict(node)

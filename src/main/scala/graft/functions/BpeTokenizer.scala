@@ -164,9 +164,12 @@ final class BpeTrie(val vocab: Array[String], layout: Int)
     }
     if (useFlat) {
       // n*256 overflows Int past 8.4M nodes and (node << 8) would wrap
-      // — the 24-bit node-id require above only guards the CSR path
-      require(n <= (1 << 23),
-        s"flat trie layout capped at ${1 << 23} nodes (got $n); use CSR")
+      // — the 24-bit node-id require above only guards the CSR path.
+      // STRICT bound: at n == 2^23 exactly, n*256 == 2^31 already
+      // overflows Int (the allocation below would throw
+      // NegativeArraySizeException instead of this clear error)
+      require(n < (1 << 23),
+        s"flat trie layout capped below ${1 << 23} nodes (got $n); use CSR")
       val flat = Array.fill(n * 256)(-1)
       var node = 0
       while (node < n) {

@@ -26,8 +26,11 @@ import org.apache.spark.sql.types.{DataType, StringType}
   *   field propagates through arithmetic and makes comparisons unknown
   *   (the reference maps a JS null return to a missing cell — same
   *   surface, different mid-expression coercions);
-  * - `==`/`===` are both SQL equality (mixed string/number operands
-  *   coerce numerically, as in JS);
+  * - `==`/`!=` are loose SQL equality (mixed string/number operands
+  *   coerce numerically, as in JS); strict `===`/`!==` are REJECTED by
+  *   this tier's parser (a static Column type cannot carry the runtime
+  *   tag strict equality compares), which routes the program to the
+  *   [[JsProgram]] interpreter tier, whose `===` is JS-faithful;
   * - a body that falls off the end returns null (JS undefined →
   *   missing cell, exactly the reference's null branch);
   * - NaN follows Java/Spark total ordering (NaN compares greater than
@@ -198,8 +201,14 @@ object JsGesture {
     var a = parseRel(p, row, env)
     var go = true
     while (go) {
-      if (p.eat("===") || p.eat("==")) a = Bin("==", a, parseRel(p, row, env))
-      else if (p.eat("!==") || p.eat("!=")) a = Bin("!=", a, parseRel(p, row, env))
+      // STRICT equality needs runtime type tags (`5 === '5'` is false
+      // without coercion), which Columns with this tier's static
+      // category heuristic cannot decide for mixed-branch ternaries —
+      // reject here so dispatch routes the program to the interpreter
+      // tier, whose === is runtime-tagged and JS-faithful
+      if (p.peek("===") || p.peek("!==")) p.fail("strict equality (===/!==) requires the program tier")
+      else if (p.eat("==")) a = Bin("==", a, parseRel(p, row, env))
+      else if (p.eat("!=")) a = Bin("!=", a, parseRel(p, row, env))
       else go = false
     }
     a

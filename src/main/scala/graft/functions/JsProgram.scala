@@ -33,9 +33,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * overlap (the JsProgramSpec parity fuzz holds tier 2 to tier 1 on
   * every subset program): IEEE-double numbers, SQL-style null
   * propagation through arithmetic/comparisons, Kleene three-valued
-  * `&&`/`||` (both sides evaluate — safe because indexing is total:
-  * out-of-bounds reads yield null, not errors), `Number("")` = NaN,
-  * fall-off-the-end returns null. Beyond the subset: JS truthiness
+  * `&&`/`||` TRUTH TABLE with JS short-circuit EVALUATION — a decided
+  * LHS (false for `&&`, true for `||`) skips the RHS, preserving JS
+  * side-effect order (`cond && arr.push(x)`); only a null LHS still
+  * evaluates the RHS, for Kleene null-propagation (GraalVM would treat
+  * null as falsy and skip — the documented divergence), `Number("")` =
+  * NaN, fall-off-the-end returns null. Strict `===`/`!==` are
+  * JS-faithful runtime-tag comparisons WITHOUT coercion: cross-type is
+  * false, `x === null` is a real boolean null check (null does not
+  * propagate), arrays compare by reference; NaN === NaN is true (the
+  * Java/Spark total order used everywhere here; JS says false). The
+  * compiled tier rejects `===`/`!==` at parse time (static Column
+  * types cannot carry runtime tags), so strict-equality programs
+  * always land in this tier. Beyond the subset: JS truthiness
   * decides `if`/`while`/ternary conditions and filter verdicts
   * (null/false/0/NaN/"" are falsy; arrays always truthy), `var`s are
   * function-scoped (JS `var` hoisting; `let`/`const` accepted as
@@ -365,8 +375,10 @@ object JsProgram {
     var a = parseRel(p, b, sc)
     var go = true
     while (go) {
-      if (p.eat("===") || p.eat("==")) a = EBin("==", a, parseRel(p, b, sc))
-      else if (p.eat("!==") || p.eat("!=")) a = EBin("!=", a, parseRel(p, b, sc))
+      if (p.eat("===")) a = EBin("===", a, parseRel(p, b, sc))
+      else if (p.eat("==")) a = EBin("==", a, parseRel(p, b, sc))
+      else if (p.eat("!==")) a = EBin("!==", a, parseRel(p, b, sc))
+      else if (p.eat("!=")) a = EBin("!=", a, parseRel(p, b, sc))
       else go = false
     }
     a
@@ -596,6 +608,24 @@ object JsProgram {
         case _ => false
       }
     }
+    // JS strict equality: NO coercion — different runtime types are
+    // simply unequal. Unlike ==, null does NOT propagate: `x === null`
+    // is THE JS null check and must return a real boolean (GraalVM
+    // parity; SQL NULL arrives in JS as null). Arrays compare by
+    // REFERENCE (JS object identity: [1] === [1] is false). The one
+    // deviation: NaN === NaN is true here (the Java/Spark total order
+    // every comparison in both tiers uses; JS says false).
+    def strictEq(a: Any, bv: Any): Boolean = (a, bv) match {
+      case (null, null) => true
+      case (null, _) | (_, null) => false
+      case (x: String, y: String) => x == y
+      case (x: java.lang.Boolean, y: java.lang.Boolean) => x.booleanValue == y.booleanValue
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        java.lang.Double.compare(x.doubleValue, y.doubleValue) == 0
+      case (x: scala.collection.mutable.ArrayBuffer[_],
+            y: scala.collection.mutable.ArrayBuffer[_]) => x eq y
+      case _ => false
+    }
     def toIdx(v: Any): Int = {
       val x = d(v)
       if (x == null) 0
@@ -732,9 +762,23 @@ object JsProgram {
           if (x == null) null else java.lang.Double.valueOf(-x.doubleValue)
         case EUn(op, _) => sys.error(s"op $op")
         case EBin("&&", a, bv) =>
-          kleene(ev(a, frame, depth), ev(bv, frame, depth), and = true)
+          // short-circuit: a decided LHS skips the RHS entirely, so JS
+          // side-effect order holds (`cond && arr.push(x)` must not
+          // push when cond is false). A null LHS still evaluates the
+          // RHS for Kleene null-propagation (null && false == false) —
+          // the one divergence from GraalVM, where null is plain falsy
+          // and the RHS would be skipped; documented in the header.
+          val l = ev(a, frame, depth)
+          if (l != null && !truthy(l)) java.lang.Boolean.FALSE
+          else kleene(l, ev(bv, frame, depth), and = true)
         case EBin("||", a, bv) =>
-          kleene(ev(a, frame, depth), ev(bv, frame, depth), and = false)
+          val l = ev(a, frame, depth)
+          if (l != null && truthy(l)) java.lang.Boolean.TRUE
+          else kleene(l, ev(bv, frame, depth), and = false)
+        case EBin("===", a, bv) =>
+          java.lang.Boolean.valueOf(strictEq(ev(a, frame, depth), ev(bv, frame, depth)))
+        case EBin("!==", a, bv) =>
+          java.lang.Boolean.valueOf(!strictEq(ev(a, frame, depth), ev(bv, frame, depth)))
         case EBin("==", a, bv) =>
           cmp(ev(a, frame, depth), ev(bv, frame, depth))
             .map(c => java.lang.Boolean.valueOf(c == 0)).orNull

@@ -635,7 +635,8 @@ object Events {
         val verdicts = batch
           .select(col("doc_id"),
             graft.functions.AhoCorasick.ac_matches(
-              lower(col("text")), terms).as("m"))
+              lower(col("text")),
+              graft.text.TextAnalysis.normalizeLexicon(terms)).as("m"))
           .select(col("doc_id"),
             size(col("m")).cast("long").as("n_terms"),
             coalesce(aggregate(col("m"), lit(0L),

@@ -1100,6 +1100,20 @@ object TextAnalysis {
         frac4(col("dsir_weight"), col("n_bigrams")).as("mean_weight"))
   }
 
+  /** Blocklist lexicons match against `lower(text)`, so a mixed-case
+    * term could never hit — normalize terms to lowercase at the API
+    * boundary (the badwords-filter contract). Two terms that collapse
+    * after lowercasing would make the automaton's per-term counts
+    * ambiguous, so that fails loudly instead.
+    */
+  private[graft] def normalizeLexicon(terms: Seq[String]): Seq[String] = {
+    val lc = terms.map(_.toLowerCase)
+    require(lc.distinct.size == lc.size,
+      "blocklist terms collapse after lowercasing: " +
+        lc.diff(lc.distinct).distinct.mkString(", "))
+    lc
+  }
+
   /** Multi-pattern blocklist scan, per-TERM view: for a literal lexicon
     * (the C4/RefinedWeb badwords shape), how many documents contain each
     * term and how many times — via ONE Aho–Corasick pass per document
@@ -1118,16 +1132,17 @@ object TextAnalysis {
     * per JVM) and the per-byte cost is O(1) regardless of m.
     */
   def blocklistTermStats(docs: DataFrame, terms: Seq[String]): DataFrame = {
-    val lexicon = array(terms.map(lit): _*)
+    val termsLc = normalizeLexicon(terms)
+    val lexicon = array(termsLc.map(lit): _*)
     val hits = docs
       .select(explode(graft.functions.AhoCorasick.ac_matches(
-        lower(col("text")), terms)).as("h"))
+        lower(col("text")), termsLc)).as("h"))
       .select(element_at(lexicon, col("h.id") + 1).as("term"),
         col("h.cnt").as("cnt"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n_docs"), sum(col("cnt")).as("n_occurrences"))
     val lex = docs.sparkSession
-      .createDataset(terms)(org.apache.spark.sql.Encoders.STRING)
+      .createDataset(termsLc)(org.apache.spark.sql.Encoders.STRING)
       .toDF("term")
     lex.join(broadcast(hits), Seq("term"), "left")
       .select(col("term"),
@@ -1147,7 +1162,7 @@ object TextAnalysis {
     docs
       .select(col("source"),
         (size(graft.functions.AhoCorasick.ac_matches(
-          lower(col("text")), terms)) > 0).as("flagged"))
+          lower(col("text")), normalizeLexicon(terms))) > 0).as("flagged"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))

@@ -390,4 +390,65 @@ class JsProgramSpec extends SparkSpec {
     assert(outB.forall(_ == true)) // nonzero lengths are truthy
     val _ = js
   }
+
+  test("strict ===/!==: no coercion, real null check, array reference identity") {
+    // tier 1 rejects ===/!== at parse time, so this straight-line
+    // program exercises the dispatch fallback into the interpreter tier
+    val df = frame.withColumn("nl", when(col("q") === 1.0, col("m")))
+    val js = """function map(row) {
+      var out = '';
+      if (row.d === 3) out += 'n3';
+      if (row.m === 'alpha') out += ',ma';
+      if ('5' === 5) out += ',BAD1';
+      if (row.q !== '1') out += ',q';
+      if (row.nl === null) out += ',nul';
+      var a = [1]; var b = [1];
+      if (a === b) out += ',BAD2';
+      if (a === a) out += ',self';
+      return out;
+    }"""
+    val got = JsGesture.withJsColumn(df, "x", js)
+      .select(col("d"), col("q"), col("x")).collect()
+      .map(r => r.getDouble(0).toInt -> r.getString(2)).toMap
+    (0 until 60).foreach { i =>
+      val sb = new StringBuilder
+      if (i == 3) sb.append("n3")
+      if (i % 5 == 0) sb.append(",ma")
+      sb.append(",q") // number !== string: strict inequality, no coercion
+      if (i % 7 != 1) sb.append(",nul")
+      sb.append(",self")
+      assert(got(i) == sb.toString, s"i=$i got=${got(i)} expect=$sb")
+    }
+  }
+
+  test("&&/|| short-circuit: a decided LHS skips RHS side effects") {
+    val js = """function map(row) {
+      var arr = [];
+      var v1 = (row.q > 3) && arr.push('x');
+      var v2 = (row.q <= 3) || arr.push('y');
+      return arr.length;
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame, "n", js, DoubleType)
+      .select(col("q"), col("n")).collect()
+      .map(r => (r.getDouble(0).toInt, r.getDouble(1).toInt))
+    // q > 3: both pushes run (LHS doesn't decide the ||) → 2 elements;
+    // q <= 3: both RHS are skipped → 0 elements
+    got.foreach { case (q, n) =>
+      assert(n == (if (q > 3) 2 else 0), s"q=$q n=$n")
+    }
+  }
+
+  test("Kleene null-propagation survives short-circuit: null && false is false") {
+    val df = frame.withColumn("nl", when(col("q") === 1.0, col("m")))
+    // (row.nl == 'x') is SQL-null when nl is null; Kleene null && false
+    // must still be false, so the strict check against false returns 1
+    val js = """function map(row) {
+      var v = (row.nl == 'x') && false;
+      if (v === false) return 1;
+      return 0;
+    }"""
+    val got = JsGesture.withJsColumnTyped(df, "r", js, DoubleType)
+      .select(col("r")).collect().map(_.getDouble(0))
+    assert(got.forall(_ == 1.0))
+  }
 }

@@ -1010,6 +1010,19 @@ class PipelineSpec extends SparkSpec {
       ("qqq", 0L, 0L), ("slow", 2L, 3L), ("slow join", 1L, 1L)), got.toSeq)
   }
 
+  test("blocklist lexicon is lowercased at the API boundary") {
+    // the scan runs over lower(text), so a mixed-case term could never
+    // hit without normalization; terms that collapse fail loudly
+    val d = docsDF(Seq("slow join here", "nothing at all"))
+    val got = TextAnalysis.blocklistTermStats(d, Seq("SLOW", "Join"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("join", 1L, 1L), ("slow", 1L, 1L)), got.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistTermStats(d, Seq("Bad", "bad"))
+    }
+    assert(e.getMessage.contains("collapse"), e.getMessage)
+  }
+
   test("NFC normalization composes combining marks; ascii passes through") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
