@@ -815,6 +815,25 @@ object SparkEntry {
         .groupBy(col("best").cast("long").as("best"))
         .agg(count(lit(1)).as("n"))
     }),
+    // 5) regex methods (match groups, global replace, test, search) —
+    //    the one GraalVM feature the reference's gesture examples lean
+    //    on beyond plain string methods; patterns stay in the shared
+    //    Java/RE2 dialect so DuckDB's regexp functions replay them
+    "dynamic_udf_js_regex" -> ((s, d) => {
+      val js = """function map(row) {
+        var t = row.text;
+        var m = t.match(/^([a-z]+) ([a-z]+)/);
+        var head = m === null ? 'none' : m[1] + '_' + m[2];
+        var novow = t.replace(/[aeiou]/g, '');
+        var hasq = /qu/.test(t) ? 1 : 0;
+        var sp = t.search(/ [a-z]{7} /);
+        return head + ':' + novow.length + ':' + hasq + ':' + sp;
+      }"""
+      graft.functions.JsGesture.withJsColumn(
+          docs(s, d).filter(length(col("text")) === octet_length(col("text"))),
+          "tag", js)
+        .select(col("doc_id"), col("tag"))
+    }),
     "nextk_basic" -> ((s, d) =>
       NextK.nextK(ord(s, d), Seq(Order("o_orderpriority"), Order("o_orderstatus")), 8)),
     "nextk_desc" -> ((s, d) =>
@@ -2950,6 +2969,21 @@ object SparkEntry {
       """SELECT CAST(list_max(list_transform(string_split(text, ' '),
         |    w -> length(w))) AS BIGINT) AS best, count(*) AS n
         |  FROM documents WHERE length(text) = strlen(text) GROUP BY 1""".stripMargin,
+    // regex gesture replayed with RE2: `search` becomes the
+    // suffix-length trick (leftmost-match semantics agree), `match`
+    // groups become regexp_extract, /g replace becomes the 'g' option
+    "dynamic_udf_js_regex" ->
+      """SELECT doc_id,
+        |  (CASE WHEN regexp_matches(text, '^([a-z]+) ([a-z]+)')
+        |    THEN regexp_extract(text, '^([a-z]+) ([a-z]+)', 1) || '_' ||
+        |         regexp_extract(text, '^([a-z]+) ([a-z]+)', 2)
+        |    ELSE 'none' END)
+        |  || ':' || CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS VARCHAR)
+        |  || ':' || (CASE WHEN regexp_matches(text, 'qu') THEN '1' ELSE '0' END)
+        |  || ':' || CAST(CASE WHEN regexp_matches(text, ' [a-z]{7} ')
+        |      THEN length(text) - length(regexp_extract(text, '( [a-z]{7} .*)$'))
+        |      ELSE -1 END AS VARCHAR) AS tag
+        |FROM documents WHERE length(text) = strlen(text)""".stripMargin,
     "greenplum_dump_roundtrip" ->
       s"""SELECT l_returnflag, count(*) AS n, $sumQty AS sum_qty,
         |min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok

@@ -51,7 +51,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * function-scoped (JS `var` hoisting; `let`/`const` accepted as
   * synonyms), strings index per UTF-16 code unit exactly as JS
   * (`charCodeAt` returns the code unit, NaN out of range), and
-  * `Array.prototype.join` renders null elements as "" (JS).
+  * `Array.prototype.join` renders null elements as "" (JS). Regex
+  * literals (`/pattern/flags`, flags `g`/`i`) support `test`, string
+  * `match`/`search`/`replace`/`split`, and the `$&`/`$1..$9`/`$$`
+  * replacement dialect; the pattern dialect is the Java-compatible
+  * subset of JS regex (classes, greedy/lazy quantifiers, anchors,
+  * `\b`, groups, alternation — also the RE2 subset DuckDB oracles can
+  * replay). Lookbehind/named groups/unicode-property escapes are
+  * outside the subset and fail at parse time.
   */
 object JsProgram {
 
@@ -80,6 +87,20 @@ object JsProgram {
   final case class ECall(fnIx: Int, args: Seq[E]) extends E
   final case class EArr(elems: Seq[E]) extends E
   final case class EIndex(arr: E, ix: E) extends E
+  /** Regex literal, compiled once at parse time on the driver. */
+  final case class ERegex(re: JsRegex) extends E
+
+  /** Compiled JS regex literal value (`/pattern/flags`). The dialect is
+    * the Java-compatible subset of JS regex syntax — character classes,
+    * quantifiers (greedy + lazy), anchors, `\b`, groups, alternation —
+    * which is also the RE2 subset the DuckDB oracles replay. Flags: `g`
+    * (drives match-all / replace-all) and `i` (case-insensitive).
+    */
+  final case class JsRegex(p: java.util.regex.Pattern, global: Boolean) {
+    override def toString: String =
+      "/" + p.pattern + "/" + (if (global) "g" else "") +
+        (if ((p.flags & java.util.regex.Pattern.CASE_INSENSITIVE) != 0) "i" else "")
+  }
 
   sealed trait LV extends Serializable
   final case class LVar(slot: Int) extends LV
@@ -171,6 +192,53 @@ object JsProgram {
       src.substring(s0, i).toDouble
     }
     def peekChar: Option[Char] = { ws(); if (i < src.length) Some(src(i)) else None }
+    /** JS regex literal `/pattern/flags` — caller has peeked the '/'.
+      * A '/' inside a [...] class or after a backslash doesn't
+      * terminate (JS lexing). Returns (pattern, flags). */
+    def regexLit(): (String, String) = {
+      i += 1
+      val s0 = i
+      var inClass = false
+      var closed = false
+      while (i < src.length && !closed) {
+        src(i) match {
+          case '\\' => i += 2
+          case '[' => inClass = true; i += 1
+          case ']' => inClass = false; i += 1
+          case '/' if !inClass => closed = true
+          case '\n' => fail("unterminated regex literal")
+          case _ => i += 1
+        }
+      }
+      if (!closed) fail("unterminated regex literal")
+      val pat = src.substring(s0, i)
+      i += 1
+      val f0 = i
+      while (i < src.length && src(i).isLetter) i += 1
+      (pat, src.substring(f0, i))
+    }
+  }
+
+  /** JS replacement-string dialect → Java's: `$$` is a literal dollar,
+    * `$&` is the whole match (Java `$0`), `$1`..`$9` pass through;
+    * backslashes and stray dollars are escaped (Java treats both as
+    * metacharacters where JS does not). */
+  private[functions] def javaReplacement(js: String): String = {
+    val sb = new StringBuilder(js.length + 4)
+    var i = 0
+    while (i < js.length) {
+      val c = js.charAt(i)
+      if (c == '\\') { sb.append("\\\\"); i += 1 }
+      else if (c == '$' && i + 1 < js.length && js.charAt(i + 1) == '$') {
+        sb.append("\\$"); i += 2
+      } else if (c == '$' && i + 1 < js.length && js.charAt(i + 1) == '&') {
+        sb.append("$0"); i += 2
+      } else if (c == '$' && i + 1 < js.length && js.charAt(i + 1).isDigit) {
+        sb.append('$').append(js.charAt(i + 1)); i += 2
+      } else if (c == '$') { sb.append("\\$"); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.result()
   }
 
   private val Keywords = Set("function", "var", "let", "const", "if", "else",
@@ -483,6 +551,21 @@ object JsProgram {
         EArr(elems.toSeq)
       case Some('\'') => EStr(p.stringLit('\''))
       case Some('"') => EStr(p.stringLit('"'))
+      case Some('/') =>
+        // primary position: '/' can't be division here, so it lexes as
+        // a regex literal (the same disambiguation rule JS uses)
+        val (pat, flags) = p.regexLit()
+        val bad = flags.filterNot(c => c == 'g' || c == 'i')
+        if (bad.nonEmpty) p.fail(s"unsupported regex flags: $bad")
+        val jflags =
+          if (flags.contains('i')) java.util.regex.Pattern.CASE_INSENSITIVE else 0
+        val pattern =
+          try java.util.regex.Pattern.compile(pat, jflags)
+          catch {
+            case e: java.util.regex.PatternSyntaxException =>
+              p.fail(s"bad regex: ${e.getMessage}")
+          }
+        ERegex(JsRegex(pattern, flags.contains('g')))
       case Some(c) if c.isDigit => ENum(p.number())
       case _ =>
         val id = p.ident()
@@ -555,6 +638,7 @@ object JsProgram {
       case s: String => try s.toDouble catch { case _: Exception => Double.NaN }
       case b: java.lang.Boolean => if (b) 1.0 else 0.0
       case _: scala.collection.mutable.ArrayBuffer[_] => Double.NaN
+      case _: JsRegex => Double.NaN // JS Number(/x/) is NaN
       case other => sys.error(s"not numeric: $other")
     }
     def s(v: Any): String = v match {
@@ -750,6 +834,7 @@ object JsProgram {
         case ENum(v) => java.lang.Double.valueOf(v)
         case EStr(v) => v
         case EBool(v) => java.lang.Boolean.valueOf(v)
+        case ERegex(re) => re
         case ENull => null
         case ELocal(slot) => frame(slot)
         case ERow(ix) => fieldValues(ix)
@@ -874,6 +959,15 @@ object JsProgram {
         frame: Array[Any], depth: Int): Any = {
       recv match {
         case null => null
+        case re: JsRegex =>
+          name match {
+            case "test" =>
+              // JS RegExp.test: partial match anywhere (Matcher.find)
+              val v = ev(args.head, frame, depth)
+              if (v == null) null
+              else java.lang.Boolean.valueOf(re.p.matcher(s(v)).find())
+            case other => sys.error(s"unsupported regex method .$other")
+          }
         case a: scala.collection.mutable.ArrayBuffer[_] =>
           val ab = a.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
           name match {
@@ -942,20 +1036,63 @@ object JsProgram {
               val from = ev(args.head, frame, depth)
               val to = ev(args(1), frame, depth)
               if (from == null || to == null) null
-              else {
-                val fs = s(from); val ts = s(to)
-                val p0 = str.indexOf(fs)
-                if (p0 < 0) str
-                else str.substring(0, p0) + ts + str.substring(p0 + fs.length)
+              else from match {
+                case re: JsRegex =>
+                  // /g replaces all; otherwise first only (JS). The JS
+                  // replacement dialect ($&, $1..$9, $$) converts to
+                  // Java's ($0, $1..$9, escaped $)
+                  val m = re.p.matcher(str)
+                  val rep = javaReplacement(s(to))
+                  if (re.global) m.replaceAll(rep) else m.replaceFirst(rep)
+                case _ =>
+                  val fs = s(from); val ts = s(to)
+                  val p0 = str.indexOf(fs)
+                  if (p0 < 0) str
+                  else str.substring(0, p0) + ts + str.substring(p0 + fs.length)
+              }
+            case "match" =>
+              ev(args.head, frame, depth) match {
+                case null => null
+                case re: JsRegex =>
+                  val m = re.p.matcher(str)
+                  if (re.global) {
+                    // /g: array of all full-match strings, null if none
+                    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+                    while (m.find()) out += m.group()
+                    if (out.isEmpty) null else out
+                  } else {
+                    // no /g: [full, group1, ...] of the first match
+                    if (!m.find()) null
+                    else {
+                      val out = new scala.collection.mutable.ArrayBuffer[Any](
+                        m.groupCount() + 1)
+                      out += m.group()
+                      var g = 1
+                      while (g <= m.groupCount()) { out += m.group(g); g += 1 }
+                      out
+                    }
+                  }
+                case other => sys.error(s".match expects a regex, got $other")
+              }
+            case "search" =>
+              ev(args.head, frame, depth) match {
+                case null => null
+                case re: JsRegex =>
+                  val m = re.p.matcher(str)
+                  java.lang.Double.valueOf(if (m.find()) m.start().toDouble else -1.0)
+                case other => sys.error(s".search expects a regex, got $other")
               }
             case "split" =>
               val v = ev(args.head, frame, depth)
               if (v == null) null
               else {
-                val sep = s(v)
-                val parts: Array[String] =
-                  if (sep.isEmpty) str.toCharArray.map(_.toString)
-                  else str.split(java.util.regex.Pattern.quote(sep), -1)
+                val parts: Array[String] = v match {
+                  case re: JsRegex => re.p.split(str, -1)
+                  case _ =>
+                    val sep = s(v)
+                    if (sep.isEmpty) str.toCharArray.map(_.toString)
+                    else str.split(java.util.regex.Pattern.quote(sep), -1)
+                }
                 val out = new scala.collection.mutable.ArrayBuffer[Any](parts.length)
                 parts.foreach(out += _)
                 out

@@ -451,4 +451,34 @@ class JsProgramSpec extends SparkSpec {
       .select(col("r")).collect().map(_.getDouble(0))
     assert(got.forall(_ == 1.0))
   }
+
+  test("regex literals: test, match, search, replace ($&/$1/$$), split, /g and /i") {
+    val js = """function map(row) {
+      var t = row.m;
+      var out = '';
+      if (/o/.test(t)) out += 'T';
+      if (/BRAVO/i.test(t)) out += 'I';
+      var m = t.match(/([a-z]+)/);
+      out += ':' + (m === null ? 'nil' : m[0] + '|' + m[1]);
+      var all = t.match(/[a-z]+/g);
+      out += ':' + (all === null ? 0 : all.length);
+      out += ':' + t.search(/ /);
+      out += ':' + t.replace(/[aeiou]/g, '.');
+      out += ':' + t.replace(/([a-z])o/, '<$&,$1,$$>');
+      out += ':' + t.split(/\s+/).length;
+      return out;
+    }"""
+    val got = JsGesture.withJsColumn(frame, "x", js)
+      .select(col("m"), col("x")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // hand-computed per fixture word (JS semantics: /g match array,
+    // search index, first-occurrence replace with $-dialect, regex split)
+    assert(got("alpha") == ":alpha|alpha:1:-1:.lph.:alpha:1", got("alpha"))
+    assert(got("Bravo Chad") == "TI:ravo|ravo:2:5:Br.v. Ch.d:Bra<vo,v,$> Chad:2",
+      got("Bravo Chad"))
+    assert(got(" delta ") == ":delta|delta:1:0: d.lt. : delta :3", got(" delta "))
+    assert(got("echo1") == "T:echo|echo:1:-1:.ch.1:ec<ho,h,$>1:1", got("echo1"))
+    assert(got("fox trot") == "T:fox|fox:2:3:f.x tr.t:<fo,f,$>x trot:2",
+      got("fox trot"))
+  }
 }
