@@ -104,7 +104,16 @@ object SparkEntry {
     (9000004L, "café déjà vu naïve café rosé", "fr", "planted_ml"),
     (9000005L, "🚀 rocket 🚀 query engine 🧪 test 𝕊𝕡𝕒𝕣𝕜 bench", "en", "planted_ml"),
     (9000006L, "быстрый поиск дубликатов в корпусе данных", "ru", "planted_ml"),
-    (9000007L, "한국어 토큰 분석 테스트 문서 집합", "ko", "planted_ml")
+    (9000007L, "한국어 토큰 분석 테스트 문서 집합", "ko", "planted_ml"),
+    // long (12-word) mixed-script near-dup pair differing only in the
+    // LAST word: long enough for winnowing (≥ 8 words) and sharing
+    // 11-word runs, so the pair must surface in every similarity
+    // family — jaccard (9/11), minhash-LSH, edit distance (1 codepoint
+    // substitution: 완 → 종), and winnowing (4 shared 5-gram windows).
+    // Words 3–7 deliberately repeat 9000006's interior run, planting a
+    // true cross-doc shared window WITHOUT near-dup-level similarity.
+    (9000008L, "спарк движок поиск дубликатов в корпусе данных merge join 去重 테스트 완료", "ru", "planted_ml"),
+    (9000009L, "спарк движок поиск дубликатов в корпусе данных merge join 去重 테스트 종료", "ru", "planted_ml")
   ).map { case (id, t, lang, src) =>
     (id, t, lang, src, t.codePointCount(0, t.length).toLong)
   }
@@ -136,6 +145,28 @@ object SparkEntry {
     }.mkString(", ")
     s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
       " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
+  /** Injective codepoint → single-ASCII-byte map over the planted
+    * multilingual alphabet. DuckDB's `levenshtein` is BYTE-based while
+    * the engine's (Spark's) is CODEPOINT-based — the documented unit
+    * choice for `dedup_edit_distance*`: one edit = one codepoint, so a
+    * CJK substitution costs 1, not 3. An injective per-codepoint
+    * renaming preserves codepoint edit distance exactly, and renaming
+    * into single bytes makes DuckDB's byte distance EQUAL it — the
+    * oracle translates, the engine does not (the engine must prove its
+    * unit on raw UTF-8). The substitute pool avoids the corpus
+    * alphabet (space + lowercase ascii after lower()), the SQL quote,
+    * backslash, and '|' (stripMargin). */
+  private[graft] val mlLevTranslate: (String, String) = {
+    val cps = mlRows.flatMap(_._2.codePoints().toArray.toSeq)
+      .filter(_ > 127).distinct.sorted
+    val pool = "0123456789" + ('A' to 'Z').mkString +
+      "!#$%&()*+,-./:;<=>?@[]^_{}~"
+    require(cps.size <= pool.length,
+      s"substitute pool too small for ${cps.size} planted codepoints")
+    (cps.map(cp => new String(Character.toChars(cp))).mkString,
+      pool.take(cps.size))
   }
 
   /** Inject the `dml` CTE into a generated `WITH RECURSIVE …` oracle
@@ -1491,6 +1522,23 @@ object SparkEntry {
           concat(col("text"), lit(" zz common tail"))), 3, 0.5, 50L)),
     "dedup_minhash_lsh" -> ((s, d) =>
       graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5)),
+    // ── UTF-8 twins of the similarity families over the ml-augmented
+    // corpus: shingles are WORD n-grams (space-split), so the unit is
+    // the word string — identical in Spark (UTF-16 strings) and DuckDB
+    // (UTF-8), and the planted mixed-script near-dup pairs must
+    // surface while the precomposed/decomposed fr twins (no identical
+    // words) must NOT produce false pairs (gated in PropertySpec)
+    "dedup_jaccard_3gram_ml" -> ((s, d) =>
+      graft.dedup.Dedup.jaccardPairs(docsMl(s, d), 3, 0.5)),
+    "dedup_minhash_lsh_ml" -> ((s, d) =>
+      graft.dedup.Dedup.minhashLshPairs(docsMl(s, d), 3, 64, 32, 0.5)),
+    // edit-distance unit on multilingual text: ONE CODEPOINT = one
+    // edit (Spark's levenshtein; the oracle byte-matches it through an
+    // injective codepoint→ascii-byte translate — see mlLevTranslate)
+    "dedup_edit_distance_ml" -> ((s, d) =>
+      graft.dedup.Dedup.editDistancePairs(docsMl(s, d), 5, 64)),
+    "text_winnow_pairs_ml" -> ((s, d) =>
+      graft.text.TextAnalysis.winnowPairs(docsMl(s, d))),
     // fuzzy dedup with an exact edit-distance verify: shared-window
     // candidates (never all-pairs), band-limited levenshtein ≤ 64
     "dedup_edit_distance" -> ((s, d) =>
@@ -2654,8 +2702,8 @@ object SparkEntry {
       |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.node),
       |cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
 
-  private val shingleCte =
-    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+  private def shingleCteFor(src: String): String =
+    s"""w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM $src),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM
       |  (SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS shingle
       |   FROM w WHERE len(ws) >= 3)),
@@ -2665,6 +2713,9 @@ object SparkEntry {
       |SELECT id_a, id_b, round(shared / (sa.sz + sb.sz - shared), 4) AS jaccard
       |FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
       |WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5""".stripMargin
+  private val shingleCte = "WITH " + shingleCteFor("documents")
+  private lazy val shingleCteMl =
+    s"WITH dml AS MATERIALIZED ($mlDocsSelect),\n" + shingleCteFor("dml")
 
   /** Inference-lattice oracle, generated per column: None → Integer →
     * Double → Date → String. The Date rung mirrors guessSchema's
@@ -3044,6 +3095,27 @@ object SparkEntry {
         |  FROM p JOIN w wa ON wa.doc_id = id_a JOIN w wb ON wb.doc_id = id_b
         |  WHERE abs(length(wa.t) - length(wb.t)) <= 64)
         |WHERE d <= 64""".stripMargin,
+    // ml twin: candidates regenerate identically (word 5-grams); the
+    // levenshtein VALUE is byte-based in DuckDB vs codepoint-based in
+    // the engine, so both texts pass through the injective codepoint →
+    // single-ascii-byte translate, under which byte distance equals
+    // the engine's codepoint distance exactly (see mlLevTranslate)
+    "dedup_edit_distance_ml" -> {
+      val (frm, to) = mlLevTranslate
+      s"""WITH dml AS MATERIALIZED ($mlDocsSelect),
+        |w AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS ws FROM dml),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws)-3)]) AS gram
+        |  FROM w WHERE len(ws) >= 5)),
+        |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(d AS BIGINT) AS edit_dist FROM (
+        |  SELECT id_a, id_b, levenshtein(translate(wa.t, '$frm', '$to'),
+        |    translate(wb.t, '$frm', '$to')) AS d
+        |  FROM p JOIN w wa ON wa.doc_id = id_a JOIN w wb ON wb.doc_id = id_b
+        |  WHERE abs(length(wa.t) - length(wb.t)) <= 64)
+        |WHERE d <= 64""".stripMargin
+    },
     "dedup_edit_dfcut" ->
       """WITH w AS (SELECT doc_id, lower(text || ' zq0 zq1 zq2 zq3 zq4') AS t,
         |  string_split(lower(text || ' zq0 zq1 zq2 zq3 zq4'), ' ') AS ws FROM documents),
@@ -3526,6 +3598,8 @@ object SparkEntry {
       s"WITH dml AS MATERIALIZED ($mlDocsSelect)\n$body"
     },
     "dedup_jaccard_3gram" -> shingleCte,
+    "dedup_jaccard_3gram_ml" -> shingleCteMl,
+    "dedup_minhash_lsh_ml" -> shingleCteMl,
     // mirrors jaccardPairs' df-cut semantics: per-doc set sizes are
     // computed BEFORE the cut, shared counts AFTER it
     "dedup_jaccard_dfcut" ->
@@ -4067,6 +4141,28 @@ object SparkEntry {
     // the winnowing selection replayed: same md5-60bit gram hashes,
     // same window minima, same df-cut — list slices are 1-based
     // inclusive, so ws[i:i+3] is the 4-gram and gh[j:j+4] the 5-window
+    // ml twin: md5 of the gram STRING hashes its UTF-8 bytes in both
+    // engines, so the window-min selection replays unchanged over the
+    // mixed-script corpus
+    "text_winnow_pairs_ml" ->
+      s"""WITH dml AS MATERIALIZED ($mlDocsSelect),
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM dml),
+        |g AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 3),
+        |    i -> CAST(('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))
+        |      AS BIGINT)) AS gh
+        |  FROM t WHERE len(ws) >= 8),
+        |f AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(gh) - 4), j -> list_min(gh[j:j+4]))) AS fps
+        |  FROM g),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |kept AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 1000),
+        |ek AS (SELECT doc_id, fp FROM e JOIN kept USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM ek a JOIN ek b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     "text_winnow_pairs" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws

@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   * touches only banded collisions. Hot shingles (stopword-ish) are the
   * skew risk — AQE skew-join handles moderate skew, and `maxShingleDocs`
   * drops degenerate ubiquitous shingles (standard df-cut) for the rest.
+  *
+  * UTF-8 unit contract: shingles are WORD n-grams (space-split), so the
+  * comparison unit is the whole word string — identical under UTF-16
+  * (Spark) and UTF-8 (DuckDB oracle) views of the text; edit distance is
+  * per CODEPOINT (Spark's levenshtein), so a CJK substitution costs one
+  * edit, not three (the oracle byte-matches it through an injective
+  * codepoint→ascii translate). Oracled end-to-end on mixed-script
+  * corpora via the `*_ml` query twins.
   */
 object Dedup {
 

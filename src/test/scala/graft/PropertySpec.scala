@@ -1665,4 +1665,38 @@ class PropertySpec extends SparkSpec {
       assert(detok(id) == t.toLowerCase.replace(" ", ""), s"roundtrip $id")
     }
   }
+
+  test("planted multilingual near-dup pairs surface in every similarity family") {
+    def pairs(q: String): Set[(Long, Long)] =
+      SparkEntry.queries(q)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = pairs("dedup_jaccard_3gram_ml")
+    val mh = pairs("dedup_minhash_lsh_ml")
+    val ed = pairs("dedup_edit_distance_ml")
+    val win = pairs("text_winnow_pairs_ml")
+    // zh pair (5/6 words): jaccard 0.75, 1 shared 5-token window —
+    // below winnowing's 8-word floor, so not expected there
+    Seq("jaccard" -> jac, "minhash" -> mh, "edit" -> ed).foreach {
+      case (n, p) => assert(p((9000001L, 9000002L)), s"zh pair missing from $n")
+    }
+    // long mixed-script pair (12 words, one final-word substitution):
+    // must surface in ALL four families, including winnowing
+    Seq("jaccard" -> jac, "minhash" -> mh, "edit" -> ed, "winnow" -> win)
+      .foreach { case (n, p) =>
+        assert(p((9000008L, 9000009L)), s"long ml pair missing from $n")
+      }
+    // the precomposed/decomposed fr twins share NO identical word
+    // (every word differs at the codepoint level): byte-exact families
+    // must NOT false-pair them
+    Seq("jaccard" -> jac, "minhash" -> mh, "edit" -> ed, "winnow" -> win)
+      .foreach { case (n, p) =>
+        assert(!p((9000003L, 9000004L)), s"fr twins false-paired in $n")
+      }
+    // the edit-distance UNIT is codepoints, not bytes: ' 再次' appended
+    // is 3 edits (7 bytes), the final-word hangul substitution is 1
+    val edv = SparkEntry.queries("dedup_edit_distance_ml")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(edv((9000001L, 9000002L)) == 3L, edv.get((9000001L, 9000002L)))
+    assert(edv((9000008L, 9000009L)) == 1L, edv.get((9000008L, 9000009L)))
+  }
 }
