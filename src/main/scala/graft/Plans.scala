@@ -3,14 +3,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FormattedMode
 
-/** Dumps formatted physical plans of the headline queries to a markdown
+/** Dumps formatted physical plans of EVERY declared query to a markdown
   * file (PLANS_r{N}.md) — the judge-facing evidence that the plans are
   * the ones you'd want: pushdown, pruning, partial aggregates, bounded
   * top-K, broadcast only on small sides, no single-partition funnels.
   *
+  * Since r12 the default set is `SparkEntry.queries.keys` (sorted), not
+  * a curated headline list — a query that exists but never lands in the
+  * dump is an audit hole (r11's `setop_minus_dups` was exactly that), so
+  * coverage is now mechanical: every declared query gets a section, and
+  * a plan that fails to build shows up as a visible FAILED entry.
+  *
   * Usage: runMain graft.Plans <sfDir> <outFile> [q1,q2,...]
   */
 object Plans {
+  // retained only for `runMain graft.Plans <sf> <out> headline`
   private val headline = Seq(
     "f_range", "hist_numeric", "hist_cdf", "topk_sort", "q1_pricing_summary",
     "heavy_mg", "join_revenue_by_priority", "asof_join", "dedup_minhash_lsh",
@@ -84,7 +91,10 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "PLANS_r3.md"
-    val names = if (args.length > 2) args(2).split(",").toSeq else headline
+    val names =
+      if (args.length > 2 && args(2) == "headline") headline
+      else if (args.length > 2) args(2).split(",").toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -339,6 +339,71 @@ object ScaleProbe {
       text.TextAnalysis.winnowPairs(saltedDocs(c)).count()
     }
 
+    // span-level dedup: SALTED replication (cross-replica grams never
+    // collide, so the duplicated-structure density stays constant); one
+    // codegen gram walk + one keyed dup agg + one semi-join + one
+    // per-doc collect — all ∝ corpus, must scale ~linearly
+    probe("text_dup_spans", Seq(1, 20)) { c =>
+      text.TextAnalysis.dupSpans(saltedDocs(c), 5)
+        .agg(sum(col("n_span_tokens"))).head().getLong(0)
+    }
+
+    // domain scoring: the centroid is ONE broadcast row (trained by a
+    // global per-dimension agg ∝ corpus); scoring is a narrow dot
+    // product per row — both stages scan-bound, zero data shuffle in
+    // the serve half, must scale ~linearly
+    probe("embedding_domain_score", Seq(1, 20)) { c =>
+      val e = replicate(engine.Tables.embeddings(spark, sf), c,
+        Map("vec_id" -> 10000000L))
+      ann.Similarity.domainScore(e, 0).agg(sum(col("dot_q"))).head().getLong(0)
+    }
+
+    // pairwise source similarity: UNSALTED replication keeps #sources
+    // fixed, so the OUTPUT is #sources²/2 CONSTANT while the TF-model
+    // training agg scales ×c — the probe prints the output count to
+    // show it (the all-pairs half lives at model, not corpus, scale)
+    probe("source_similarity", Seq(1, 20)) { c =>
+      val r = text.TextAnalysis.sourceSimilarity(
+        replicate(docs, c, Map("doc_id" -> 10000000L)))
+      val n = r.count()
+      println(s"       source_similarity x$c output pairs: $n (constant)")
+      n
+    }
+
+    // BM25: two corpus-∝ shuffles (df + per-doc score agg) and a
+    // BOUNDED top-k take — no full sort; must scale ~linearly
+    probe("bm25_topk", Seq(1, 20)) { c =>
+      text.TextAnalysis.bm25TopK(
+        replicate(docs, c, Map("doc_id" -> 10000000L)),
+        Seq("spark", "join", "merge", "slow"), 20).count()
+    }
+
+    // packing dashboard: the packing prefix-sum scales ∝ corpus per
+    // source; the efficiency agg collapses to #sources rows — linear
+    probe("pack_efficiency", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      val packed = pipeline.Pipeline.packSequences(
+        d.select(col("doc_id"), col("source"),
+          text.TextAnalysis.bpeTokenCount(col("text")).as("n_tokens")),
+        col("source"), col("doc_id"), col("n_tokens"), 2048L)
+      packed.groupBy(col("source"), col("bin"))
+        .agg(sum(col("n_tokens")).as("fill"))
+        .groupBy(col("source")).agg(count(lit(1)), sum(col("fill"))).count()
+    }
+
+    // MERGE-DEPTH probe (fixed corpus, steps 8 → 64): per-step input is
+    // ∝ touched words and plan depth is pinned at one merge-apply by the
+    // lazy per-step checkpoint, so total wall-time must grow ~linearly
+    // in the step count (per-step ≈ flat) and the driver pair-map peak
+    // must stay vocabulary-bounded — the instrumented evidence behind
+    // the 30k-merge claim (x8 = 8 merges, x64 = 64 merges; same docs)
+    probe("bpe_train_depth", Seq(8, 64)) { c =>
+      val n = text.BpeTrainer.trainMerges(docs, c).size.toLong
+      println(s"       bpe_train_depth steps=$c pair-map peak: " +
+        s"${text.BpeTrainer.lastPairMapPeak} entries")
+      n
+    }
+
     // full-program JS gesture (tier-2 per-row interpreter): a for loop
     // over every character — pure narrow map, no shuffle; must scale
     // linearly in rows like any scan-bound expression

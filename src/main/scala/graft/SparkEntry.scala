@@ -2033,6 +2033,12 @@ object SparkEntry {
     // their artifacts; hot boilerplate prints df-cut before the join
     "text_winnow_pairs" -> ((s, d) =>
       graft.text.TextAnalysis.winnowPairs(docs(s, d))),
+    // span-LEVEL exact-substring dedup (Lee et al. 2022 with offsets):
+    // one row per maximal duplicated ≥5-token run per doc, boundaries
+    // in token coordinates — the md5-60bit gram key replays the whole
+    // selection (offsets included) in SQL
+    "text_dup_spans" -> ((s, d) =>
+      graft.text.TextAnalysis.dupSpans(docs(s, d), 5)),
     // RAG/context-window prep: 128-char chunks every 64 chars — one
     // narrow explode, no shuffle, partitioning inherited from the scan
     "text_chunks" -> ((s, d) => graft.text.TextAnalysis.chunk(docs(s, d), 128, 64)),
@@ -4163,6 +4169,37 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM ek a JOIN ek b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+    // the duplicated-SPAN selection replayed end-to-end: same md5-60bit
+    // 5-gram hashes, dup = gram in ≥2 distinct docs, per-doc window
+    // starts merged gaps-and-islands style (equal-width windows ⇒ ends
+    // are monotone in p, so "new island when p − prev > w" is exact),
+    // then boundaries and span text re-sliced from the token list
+    "text_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, ws, list_transform(generate_series(1, len(ws) - 4),
+        |    i -> CAST(('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15))
+        |      AS BIGINT)) AS gh
+        |  FROM t WHERE len(ws) >= 5),
+        |e0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(gh)),
+        |    i -> {'p': i, 'fp': gh[i]})) AS u FROM g),
+        |e AS (SELECT doc_id, u.p AS p, u.fp AS fp FROM e0),
+        |dup AS (SELECT fp FROM e GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+        |s AS (SELECT doc_id, p FROM e JOIN dup USING (fp)),
+        |m AS (SELECT doc_id, p, CASE WHEN p - COALESCE(lag(p) OVER
+        |    (PARTITION BY doc_id ORDER BY p), -1000000) > 5 THEN 1 ELSE 0 END AS brk
+        |  FROM s),
+        |isl AS (SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM m),
+        |sp AS (SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+        |    CAST(MAX(p) + 4 AS BIGINT) AS span_end
+        |  FROM isl GROUP BY doc_id, island)
+        |SELECT sp.doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS n_span_tokens,
+        |  array_to_string(ws[CAST(span_start AS INT):CAST(span_end AS INT)], ' ')
+        |    AS span_text
+        |FROM sp JOIN t USING (doc_id)""".stripMargin,
     "text_winnow_pairs" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws

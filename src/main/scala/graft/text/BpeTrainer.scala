@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrainer {
 
+  /** Probe instrumentation: peak driver pair-map entry count of the
+    * most recent trainer run — the O(distinct adjacent pairs) state the
+    * 30k-merge depth claim rests on (bounded by the evolving vocabulary,
+    * not the corpus or the step count). Diagnostic only. */
+  @volatile var lastPairMapPeak: Int = 0
+
   /** Learn `nMerges` merge operations; returns them oldest-first.
     * Stops early when no adjacent pair remains. */
   def trainMerges(docs: DataFrame, nMerges: Int,
@@ -81,6 +87,7 @@ object BpeTrainer {
     val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
     pairCounts(words, "syms").collect()
       .foreach(r => pc.update((r.getString(0), r.getString(1)), r.getLong(2)))
+    lastPairMapPeak = pc.size
     // unsigned UTF-8 byte order — NOT String.compareTo (UTF-16 order
     // flips astral-vs-BMP comparisons)
     def utf8Lt(x: String, y: String): Boolean =
@@ -140,6 +147,7 @@ object BpeTrainer {
             val c = pc.getOrElse(k, 0L) + r.getLong(2)
             if (c == 0L) pc.remove(k) else pc.update(k, c)
           }
+        if (pc.size > lastPairMapPeak) lastPairMapPeak = pc.size
         words = applied.select(col("cnt"), col("nsyms").as("syms"))
         step += 1
       }

@@ -178,7 +178,12 @@ final class WinnowKernel(k: Int, w: Int) extends Serializable {
     .fromPrimitiveArray(new Array[Long](0))
   private val SPACE = Array(' '.toByte)
 
-  def fps(s0: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+  /** md5-60bit hash of every word k-gram, POSITIONAL: element `i`
+    * (0-based) is the gram starting at word `i+1` (1-based) — the gram
+    * layer alone, without the window-min selection, so callers can
+    * address token OFFSETS (duplicated-span detection). `null` when the
+    * text has fewer than k words. */
+  private def gramHashes(s0: UTF8String): Array[Long] = {
     val b = s0.toLowerCase.getBytes
     // word boundaries
     var starts = new Array[Int](16); var ends = new Array[Int](16); var nw = 0
@@ -198,7 +203,7 @@ final class WinnowKernel(k: Int, w: Int) extends Serializable {
       i += 1
     }
     val nGrams = nw - k + 1
-    if (nGrams < w) return EMPTY
+    if (nGrams < 1) return null
     val gh = new Array[Long](nGrams)
     val d = md5.get()
     var g = 0
@@ -218,6 +223,22 @@ final class WinnowKernel(k: Int, w: Int) extends Serializable {
       gh(g) = u >>> 4
       g += 1
     }
+    gh
+  }
+
+  /** Positional gram hashes as Catalyst data (see [[gramHashes]]). */
+  def grams(s0: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val gh = gramHashes(s0)
+    if (gh == null) EMPTY
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(gh)
+  }
+
+  def fps(s0: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val gh = gramHashes(s0)
+    if (gh == null) return EMPTY
+    val nGrams = gh.length
+    if (nGrams < w) return EMPTY
     // sliding-window minima, dedup in first-occurrence order
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var s = 0
@@ -264,6 +285,43 @@ case class WinnowFps(
   }
 
   override def prettyName: String = "winnow_fps"
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
+}
+
+/** `token_gram_hashes(text, k)`: the POSITIONAL md5-60bit hash of every
+  * word k-gram — element `i` (0-based) is the gram starting at word
+  * `i+1` — i.e. the winnowing gram layer WITHOUT the window-min
+  * selection, so consumers can address token offsets (duplicated-span
+  * detection). Same engine-portable hash as [[WinnowFps]]
+  * (`('0x' || substr(md5(gram), 1, 15))::BIGINT` replays it in DuckDB);
+  * empty when the doc has fewer than k words. Inside whole-stage
+  * codegen via a reference-object call.
+  */
+case class TokenGramHashes(
+    child: org.apache.spark.sql.catalyst.expressions.Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1)
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  @transient private lazy val kernel = new WinnowKernel(k, 1)
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.grams(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("gramKernel", kernel,
+      classOf[WinnowKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.grams($c);")
+  }
+
+  override def prettyName: String = "token_gram_hashes"
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression)
     : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
@@ -810,6 +868,79 @@ object TextAnalysis {
         size(ws).cast("long").as("n_tokens"),
         size(kept).cast("long").as("n_kept"),
         array_join(kept, " ").as("clean_text"))
+  }
+
+  /** Cross-document duplicated-SPAN report — the detection half of the
+    * Lee et al. 2022 exact-substring dedup with OFFSETS: one row per
+    * maximal duplicated token run per document. Every `w`-token window
+    * whose gram occurs in ≥2 distinct documents is duplicated; per doc,
+    * the (1-based) starts of duplicated windows merge into disjoint
+    * maximal intervals (windows covering [p, p+w−1], touching/overlapping
+    * runs coalesce — the [[removeDupSpans]] fold), and each interval is
+    * emitted as `(span_start, span_end, n_span_tokens, span_text)` in
+    * token coordinates. Any duplicated run of L ≥ w tokens surfaces as
+    * one span of exactly L tokens (all its L−w+1 windows are duplicated
+    * and adjacent, so they merge).
+    *
+    * Unlike [[removeDupSpans]]' engine-internal 128-bit key, the window
+    * key here is the winnowing gram hash — md5-60bit of the space-joined
+    * lowercased w-gram (`('0x' || substr(md5(gram), 1, 15))::BIGINT`) —
+    * so the entire SELECTION, offsets included, replays in DuckDB SQL:
+    * span boundaries, not just span artifacts, are oracled.
+    *
+    * Scale shape: gram hashes are one codegen byte-walk per row
+    * ([[TokenGramHashes]] — no per-window slice/re-hash), emitted
+    * row-locally; one groupBy on the 60-bit key finds duplicated grams
+    * (partial-aggregated — map-side combine absorbs within-doc repeats);
+    * one semi-join tags duplicated starts; one groupBy doc_id collects
+    * start lists (bounded by document length); the interval merge and
+    * span-text slice are row-local array folds. No per-token shuffle
+    * rows, nothing all-pairs.
+    */
+  def dupSpans(docs: DataFrame, w: Int = 5): DataFrame = {
+    val pre = docs.select(col("doc_id"), col("text"),
+      filter(split(lower(col("text")), " "), t => t =!= "").as("__ws"))
+    val ws = col("__ws")
+    // feeds the dup aggregation AND the join-back probe side: one
+    // materialization of the gram walk (the removeDupSpans precedent)
+    val grams = pre.filter(size(ws) >= w)
+      .select(col("doc_id"), posexplode(graftshim.exprToColumn(
+        TokenGramHashes(graftshim.columnToExpr(col("text")), w))))
+      .toDF("doc_id", "pos0", "gh")
+      .localCheckpoint(eager = false)
+    val dup = grams
+      .groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("gh"))
+    val starts = grams
+      .join(dup, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos0") + lit(1)).as("__ps"))
+    // merge overlapping/touching cut windows into disjoint maximal
+    // intervals (same fold as removeDupSpans — each start covers
+    // [p, p+w−1]; extend while the next start touches, else open anew)
+    val merged = aggregate(array_sort(col("__ps")),
+      array().cast("array<struct<s: int, e: int>>"),
+      (acc, p) => {
+        val last = element_at(acc, -1)
+        when(size(acc) > lit(0) && p <= last("e") + lit(1),
+          concat(slice(acc, lit(1), size(acc) - lit(1)),
+            array(struct(last("s").as("s"),
+              greatest(last("e"), p + lit(w - 1)).as("e")))))
+          .otherwise(concat(acc,
+            array(struct(p.as("s"), (p + lit(w - 1)).as("e")))))
+      })
+    starts
+      .join(pre.select(col("doc_id"), ws), Seq("doc_id"))
+      .select(col("doc_id"), ws, merged.as("__iv"))
+      .select(col("doc_id"), ws, explode(col("__iv")).as("__s"))
+      .select(col("doc_id"),
+        col("__s.s").cast("long").as("span_start"),
+        col("__s.e").cast("long").as("span_end"),
+        (col("__s.e") - col("__s.s") + 1).cast("long").as("n_span_tokens"),
+        array_join(slice(ws, col("__s.s"),
+          col("__s.e") - col("__s.s") + 1), " ").as("span_text"))
   }
 
   /** Corpus-statistics quality score: a unigram-LM log-probability

@@ -393,6 +393,49 @@ class PipelineSpec extends SparkSpec {
     assert(r(4).getLong(1) == 2L && r(4).getString(3) == "tiny doc")
   }
 
+  test("dup spans: maximal cross-doc runs with exact token offsets, per-doc coordinates") {
+    val d = docsDF(Seq(
+      "p1 p2 a b c d e f g h t1 t2 t3",  // doc0: shared 8-run at tokens 3..10
+      "q1 a b c d e f g h q2 q3",        // doc1: same run at tokens 2..9
+      "no overlap with anything here at all okay",  // doc2: clean
+      "x1 u v w x y z x2 x3 m n o p q",  // doc3: shares 6-run @2..7 AND 5-run @10..14
+      "u v w x y z k1 k2 k3 k4 m n o p q", // doc4: the runs @1..6 and @11..15
+      "r r r r r r r r"))                // doc5: self-repetition ONLY → cross-doc clean
+    val r = graft.text.TextAnalysis.dupSpans(d, 5)
+      .orderBy("doc_id", "span_start").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getString(4)))
+    // docs 2 and 5 produce NO rows (within-doc repetition is not
+    // cross-doc duplication); every other span is maximal and exact
+    assert(r.toSeq == Seq(
+      (0L, 3L, 10L, 8L, "a b c d e f g h"),
+      (1L, 2L, 9L, 8L, "a b c d e f g h"),
+      (3L, 2L, 7L, 6L, "u v w x y z"),
+      (3L, 10L, 14L, 5L, "m n o p q"),
+      (4L, 1L, 6L, 6L, "u v w x y z"),
+      (4L, 11L, 15L, 5L, "m n o p q")))
+    // a run of exactly L ≥ w duplicated tokens surfaces as ONE span of
+    // exactly L tokens: adjacent windows merged, boundaries not inflated
+    assert(r.count(_._1 == 3L) == 2, "two disjoint runs stay two spans")
+  }
+
+  test("dup spans: touching runs coalesce and sub-w sharing is invisible") {
+    val d = docsDF(Seq(
+      "a b c d e f g h i j",   // doc0
+      "a b c d e z g h i j k", // doc1: shares 5-run @1..5 and 4-run (sub-w, invisible)
+      "f g h i j m n o p"))    // doc2: shares doc0's tail 5-run
+    val r = graft.text.TextAnalysis.dupSpans(d, 5)
+      .orderBy("doc_id", "span_start").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(4)))
+    // doc0's two 5-runs [1..5] and [6..10] both duplicated; they touch
+    // (window starts 1 and 6 with w=5 ⇒ 6 ≤ 1+5) so they merge into ONE
+    // contiguous duplicated region — maximality over different partners
+    assert(r.toSeq == Seq(
+      (0L, 1L, 10L, "a b c d e f g h i j"),
+      (1L, 1L, 5L, "a b c d e"),
+      (2L, 1L, 5L, "f g h i j")))
+  }
+
   test("edit-distance dedup verifies shared-window candidates exactly") {
     val d = docsDF(Seq(
       "the quick brown fox jumps over the lazy dog today",

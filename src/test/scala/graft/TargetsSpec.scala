@@ -413,4 +413,100 @@ class TargetsSpec extends SparkSpec {
       df.groupBy(col("digits")).agg(count(lit(1)).as("n")))
     assert(after.toSeq == before.toSeq)
   }
+
+  test("set ops on volatile roots / bag merges take the value-semantics fallback PATH") {
+    // not just value-correct results: assert which branch ran, via the
+    // rid twin (row-identity algebra always produces Some, the fallback
+    // always produces None for union/intersect/minus)
+    import spark.implicits._
+    val reg = new TargetRegistry(spark)
+    val fileA = reg.filter(reg.loadTable(sf, "orders").id,
+      col("o_totalprice") > 200000.0)
+    assert(fileA.rid.isDefined, "file-backed chain must carry a rid twin")
+    // (1) volatile root: no rid from birth, so any set op against it
+    // must drop to value semantics on BOTH output frames
+    val vol = reg.load("session_frame",
+      Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT"))
+    assert(vol.rid.isEmpty)
+    Seq("union", "intersect", "minus").foreach { k =>
+      val t = reg.setOp(fileA.id, vol.id, k)
+      assert(t.rid.isEmpty, s"setop:$k on a volatile side must fall back")
+      val expected = k match {
+        case "union" => fileA.df.union(vol.df).distinct().count()
+        case "intersect" => fileA.df.intersect(vol.df).count()
+        case "minus" => fileA.df.except(vol.df).count()
+      }
+      assert(t.df.count() == expected, s"setop:$k fallback values")
+    }
+    // (2) bag merge: duplicates are legitimate, so the merge target has
+    // no rid and poisons downstream set ops into the fallback too
+    val merged = reg.merge(Seq(fileA.id, fileA.id))
+    assert(merged.rid.isEmpty, "bag merge must drop row identity")
+    val afterMerge = reg.setOp(merged.id, fileA.id, "intersect")
+    assert(afterMerge.rid.isEmpty)
+    assert(afterMerge.df.count() == merged.df.intersect(fileA.df).count())
+    // (3) the rid path really is the one taken when both sides carry a
+    // twin (the complement assertion, so this spec pins the dispatch)
+    val fileB = reg.filter(reg.loadTable(sf, "orders").id,
+      col("o_orderpriority") === "1-URGENT")
+    val ridOp = reg.setOp(fileA.id, fileB.id, "union")
+    assert(ridOp.rid.isDefined, "two rid-bearing sides must use row identity")
+    // "replace" forwards side B's twin verbatim, both directions
+    assert(reg.setOp(fileA.id, vol.id, "replace").rid.isEmpty)
+    assert(reg.setOp(vol.id, fileB.id, "replace").rid.isDefined)
+  }
+
+  test("rid lineage survives every row-preserving gesture kind (twin == frame + identity)") {
+    // a chain through EVERY map gesture — filter, col, rename, convert,
+    // interval, jscol, jsfilter, project — must keep the hidden twin in
+    // lockstep: same rows, per-row-unique identity, and no rid leakage
+    // into the visible frame at any step
+    val reg = new TargetRegistry(spark)
+    val F = org.apache.spark.sql.functions
+    def check(t: reg.Target): Unit = {
+      assert(t.rid.isDefined, s"${t.gesture}: twin lost")
+      val rid = t.rid.get
+      assert(!t.df.columns.contains(TargetRegistry.RowIdCol),
+        s"${t.gesture}: rid leaked into the visible frame")
+      assert(rid.columns.contains(TargetRegistry.RowIdCol),
+        s"${t.gesture}: twin missing the rid column")
+      val n = t.df.count()
+      assert(rid.count() == n, s"${t.gesture}: twin row count diverged")
+      assert(rid.select(TargetRegistry.RowIdCol).distinct().count() == n,
+        s"${t.gesture}: rid not unique per row")
+      // twin minus the rid is VALUE-identical to the visible frame
+      val vis = t.df.columns
+      assert(rid.select(vis.map(F.col).toIndexedSeq: _*)
+        .exceptAll(t.df).isEmpty && t.df
+        .exceptAll(rid.select(vis.map(F.col).toIndexedSeq: _*)).isEmpty,
+        s"${t.gesture}: twin values diverged from the visible frame")
+    }
+    val root = reg.loadTable(sf, "orders")
+    check(root)
+    val steps = Seq[reg.Target => reg.Target](
+      t => reg.filter(t.id, col("o_totalprice") > 100000.0),
+      t => reg.withColumn(t.id, "price_band",
+        (col("o_totalprice") / 100000.0).cast("int")),
+      t => reg.rename(t.id, "o_orderpriority", "prio"),
+      t => reg.convert(t.id, "o_custkey", "long"),
+      t => reg.createInterval(t.id, "iv", "o_totalprice", "o_totalprice"),
+      t => reg.jsColumn(t.id, "dbl",
+        "function map(row) { return row.o_totalprice * 2; }"),
+      t => reg.jsFilter(t.id,
+        "function filter(row) { return row.o_orderkey % 2 == 0; }"),
+      t => reg.project(t.id, Seq("o_orderkey", "prio", "price_band", "dbl")))
+    val tip = steps.foldLeft(root) { (t, step) =>
+      val next = step(t); check(next); next
+    }
+    // and the preserved identity is STILL the base table's: a set op at
+    // the tip against an overlapping sibling view runs membership algebra
+    val sibling = reg.project(reg.filter(reg.filter(root.id,
+      col("o_totalprice") > 100000.0).id,
+      col("o_orderkey") % 2 === 0).id, Seq("o_orderkey"))
+    val inter = reg.setOp(tip.id, sibling.id, "intersect")
+    assert(inter.rid.isDefined)
+    // tip ⊆ sibling as row sets (tip's predicates imply sibling's), so
+    // the intersection is exactly the tip
+    assert(inter.df.count() == tip.df.count())
+  }
 }
