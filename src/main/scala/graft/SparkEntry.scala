@@ -1539,6 +1539,11 @@ object SparkEntry {
       graft.dedup.Dedup.editDistancePairs(docsMl(s, d), 5, 64)),
     "text_winnow_pairs_ml" -> ((s, d) =>
       graft.text.TextAnalysis.winnowPairs(docsMl(s, d))),
+    // span offsets over mixed-script text: gram md5 runs over UTF-8
+    // bytes in BOTH engines and offsets count WORDS, so the planted
+    // ru/zh/ko shared runs must surface with identical boundaries
+    "text_dup_spans_ml" -> ((s, d) =>
+      graft.text.TextAnalysis.dupSpans(docsMl(s, d), 5)),
     // fuzzy dedup with an exact edit-distance verify: shared-window
     // candidates (never all-pairs), band-limited levenshtein ≤ 64
     "dedup_edit_distance" -> ((s, d) =>
@@ -4174,6 +4179,36 @@ object SparkEntry {
     // starts merged gaps-and-islands style (equal-width windows ⇒ ends
     // are monotone in p, so "new island when p − prev > w" is exact),
     // then boundaries and span text re-sliced from the token list
+    // ml twin: identical pipeline over the augmented corpus — md5 of a
+    // gram hashes its UTF-8 bytes in both engines and positions count
+    // words, so mixed-script boundaries replay unchanged
+    "text_dup_spans_ml" ->
+      s"""WITH dml AS MATERIALIZED ($mlDocsSelect),
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM dml),
+        |g AS (SELECT doc_id, ws, list_transform(generate_series(1, len(ws) - 4),
+        |    i -> CAST(('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15))
+        |      AS BIGINT)) AS gh
+        |  FROM t WHERE len(ws) >= 5),
+        |e0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(gh)),
+        |    i -> {'p': i, 'fp': gh[i]})) AS u FROM g),
+        |e AS (SELECT doc_id, u.p AS p, u.fp AS fp FROM e0),
+        |dup AS (SELECT fp FROM e GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+        |s AS (SELECT doc_id, p FROM e JOIN dup USING (fp)),
+        |m AS (SELECT doc_id, p, CASE WHEN p - COALESCE(lag(p) OVER
+        |    (PARTITION BY doc_id ORDER BY p), -1000000) > 5 THEN 1 ELSE 0 END AS brk
+        |  FROM s),
+        |isl AS (SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM m),
+        |sp AS (SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+        |    CAST(MAX(p) + 4 AS BIGINT) AS span_end
+        |  FROM isl GROUP BY doc_id, island)
+        |SELECT sp.doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS n_span_tokens,
+        |  array_to_string(ws[CAST(span_start AS INT):CAST(span_end AS INT)], ' ')
+        |    AS span_text
+        |FROM sp JOIN t USING (doc_id)""".stripMargin,
     "text_dup_spans" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws

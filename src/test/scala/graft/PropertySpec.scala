@@ -1699,4 +1699,26 @@ class PropertySpec extends SparkSpec {
     assert(edv((9000001L, 9000002L)) == 3L, edv.get((9000001L, 9000002L)))
     assert(edv((9000008L, 9000009L)) == 1L, edv.get((9000008L, 9000009L)))
   }
+
+  test("planted multilingual runs surface as exact-offset spans in text_dup_spans_ml") {
+    // span boundaries count WORDS, so mixed-script runs must come out
+    // with exact token coordinates: the ru near-dup pair shares its
+    // 11-word prefix, the zh pair its full 5-word prefix (the CJK
+    // phrase is ONE space-delimited word), and 9000006 donates its
+    // interior 5-word run to both long ru docs
+    val spans = SparkEntry.queries("text_dup_spans_ml")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 9000001L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+      .toSet
+    assert(spans == Set(
+      (9000001L, 1L, 5L, "spark 加速向量计算引擎 merge join 去重"),
+      (9000002L, 1L, 5L, "spark 加速向量计算引擎 merge join 去重"),
+      (9000006L, 2L, 6L, "поиск дубликатов в корпусе данных"),
+      (9000008L, 1L, 11L,
+        "спарк движок поиск дубликатов в корпусе данных merge join 去重 테스트"),
+      (9000009L, 1L, 11L,
+        "спарк движок поиск дубликатов в корпусе данных merge join 去重 테스트")),
+      s"planted span set diverged: $spans")
+  }
 }
