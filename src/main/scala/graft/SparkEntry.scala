@@ -865,6 +865,29 @@ object SparkEntry {
           "tag", js)
         .select(col("doc_id"), col("tag"))
     }),
+    // 6) the JS Date RUNTIME end-to-end (the reference row proxy hands
+    //    gestures `new Date(millis)` — JSVirtualRowSnapshot.java:52-58):
+    //    calendar getters, Date-minus-Date valueOf coercion against a
+    //    constructed date, and Date.UTC, aggregated per order month
+    "dynamic_udf_js_date" -> ((s, d) => {
+      val jsYm = """function map(row) {
+        var dt = row.o_orderdate;
+        return dt.getFullYear() * 100 + (dt.getMonth() + 1);
+      }"""
+      val jsWk = """function map(row) {
+        var dt = row.o_orderdate;
+        var days = Math.floor((dt - new Date(1995, 0, 1)) / 86400000);
+        var sane = Date.UTC(1995, 0, 1) === new Date(1995, 0, 1).getTime() ? 1 : 0;
+        return (days * 7 + dt.getDay()) * sane;
+      }"""
+      val base = ord(s, d).select(col("o_orderdate"))
+      val w = graft.functions.JsGesture.withJsColumnTyped(
+        graft.functions.JsGesture.withJsColumnTyped(base, "ym", jsYm,
+          org.apache.spark.sql.types.DoubleType),
+        "wk", jsWk, org.apache.spark.sql.types.DoubleType)
+      w.groupBy(col("ym").cast("long").as("ym"))
+        .agg(count(lit(1)).as("n"), sum(col("wk")).cast("long").as("wk_sum"))
+    }),
     "nextk_basic" -> ((s, d) =>
       NextK.nextK(ord(s, d), Seq(Order("o_orderpriority"), Order("o_orderstatus")), 8)),
     "nextk_desc" -> ((s, d) =>
@@ -1643,6 +1666,16 @@ object SparkEntry {
         all.filter(pmod(col("doc_id"), lit(50L)) =!= 7L),
         all.filter(pmod(col("doc_id"), lit(50L)) === 7L), 3)
     }),
+    // SEMANTIC decontamination: paraphrased eval leakage shares no
+    // 13-gram with the benchmark but sits next to it in embedding
+    // space — flag train vectors with cosine ≥ θ to ANY eval vector
+    // (label 9 plays the benchmark); eval broadcasts, train scanned
+    // once, no pair materialization
+    "decontam_embedding" -> ((s, d) => {
+      val e = emb(s, d)
+      graft.ann.Similarity.semanticContamination(
+        e.filter(col("label") =!= 9), e.filter(col("label") === 9), 0.4)
+    }),
     // unigram-LM quality proxy: per-token corpus-frequency MAGNITUDE
     // (bit length of the occurrence count — exact integer, so fully
     // oracled where a float log would misround at power-of-two
@@ -1797,6 +1830,15 @@ object SparkEntry {
       Seq(n).toDF("start_position")
     }),
     "text_quality" -> ((s, d) => graft.text.TextAnalysis.quality(docs(s, d))),
+    // Gopher rule gate (Rae et al. 2021 A1.1): per-doc rule signals +
+    // composite pass, all on the exact 1e-4 grid — the standard
+    // pretraining pre-filter as one narrow zero-shuffle map. The
+    // stopword rule gets the FIXTURE's function-word set (the corpus
+    // vocabulary carries only 'the' of the canonical 8, which would
+    // fail every doc); the operator default is the canonical list
+    "text_gopher_rules" -> ((s, d) =>
+      graft.text.TextAnalysis.gopherRules(docs(s, d),
+        stopwords = Seq("the", "a", "of", "and"))),
     "text_tokens" -> ((s, d) => graft.text.TextAnalysis.tokenStats(docs(s, d))),
     // REAL subword tokenization (greedy longest-match over the literal
     // vocab, one codegen trie walk per row — BpeTokenizer): per-doc
@@ -3046,6 +3088,15 @@ object SparkEntry {
         |      THEN length(text) - length(regexp_extract(text, '( [a-z]{7} .*)$'))
         |      ELSE -1 END AS VARCHAR) AS tag
         |FROM documents WHERE length(text) = strlen(text)""".stripMargin,
+    // Date runtime replayed: getters = year/month/dayofweek (DuckDB
+    // dayofweek is Sunday=0, exactly JS getDay), Date-minus-Date =
+    // whole-day diff (midnight-aligned timestamps make floor exact)
+    "dynamic_udf_js_date" ->
+      """SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym,
+        |  count(*) AS n,
+        |  CAST(SUM(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) * 7
+        |    + dayofweek(o_orderdate)) AS BIGINT) AS wk_sum
+        |FROM orders GROUP BY 1""".stripMargin,
     "greenplum_dump_roundtrip" ->
       s"""SELECT l_returnflag, count(*) AS n, $sumQty AS sum_qty,
         |min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
@@ -3853,6 +3904,44 @@ object SparkEntry {
         |  CAST(stop_e4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS stopword_ratio,
         |  CAST(score_e4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS quality_score
         |FROM e""".stripMargin,
+    // the Gopher gate replayed rule by rule on the same 1e-4 grid
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(GREATEST(len(ws), 1) AS BIGINT) AS den,
+        |    CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_intersect(list_distinct(ws),
+        |      ['the', 'a', 'of', 'and'])) AS BIGINT) AS n_stop,
+        |    CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS n_sym,
+        |    CAST(COALESCE(list_max(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS max_word_len
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  CAST(sum_len * 10000 // den AS DOUBLE) / 10000.0 AS mean_word_len,
+        |  CAST(n_alpha * 10000 // den AS DOUBLE) / 10000.0 AS alpha_word_frac,
+        |  n_stop AS n_stopwords,
+        |  CAST(n_sym * 10000 // den AS DOUBLE) / 10000.0 AS symbol_word_frac,
+        |  max_word_len,
+        |  (n_words >= 5 AND n_words <= 100000
+        |    AND sum_len * 10000 // den BETWEEN 30000 AND 100000
+        |    AND max_word_len <= 30
+        |    AND n_alpha * 10000 // den >= 8000
+        |    AND n_stop >= 2
+        |    AND n_sym * 10000 // den <= 1000) AS pass
+        |FROM c""".stripMargin,
+    // semantic decontamination replayed with the shared list_cosine /
+    // round(·,4) precedent (dedup_embedding)
+    "decontam_embedding" ->
+      """SELECT t.vec_id, count(*) AS n_hits,
+        |  max(round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+        |    CAST(e.embedding AS DOUBLE[])), 4)) AS max_cos
+        |FROM embeddings t JOIN embeddings e ON t.label <> 9 AND e.label = 9
+        |WHERE round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+        |  CAST(e.embedding AS DOUBLE[])), 4) >= 0.4
+        |GROUP BY 1""".stripMargin,
     "text_tokens" ->
       """SELECT source, count(*) AS n_docs,
         |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

@@ -72,6 +72,31 @@ object Similarity {
           .as("cos"))
   }
 
+  /** Embedding-space decontamination — the SEMANTIC complement of the
+    * n-gram overlap check ([[graft.text.TextAnalysis.contamination]]):
+    * paraphrased benchmark leakage shares no 13-gram with the eval set
+    * but still sits next to it in embedding space. Flags every train
+    * vector whose cosine to ANY eval vector reaches `theta`, with its
+    * hit count and strongest match. Cosines round to 4 decimals (the
+    * ANN-oracle precedent; fixture cosines sit away from the grid).
+    *
+    * Plan: the eval set is benchmark-sized → `broadcast`; the train
+    * side is touched ONCE (per-row cost ∝ |eval|, a narrow map over
+    * the broadcast list), and the partial-aggregated groupBy ships at
+    * most one tiny row per flagged vector — no pair materialization,
+    * no data-sized shuffle at any corpus scale.
+    */
+  def semanticContamination(train: DataFrame, evalSet: DataFrame,
+      theta: Double): DataFrame = {
+    val q = evalSet.select(col("embedding").as("__e"))
+    train.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("__e")), 4).as("__cos"))
+      .filter(col("__cos") >= theta)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("__cos")).as("max_cos"))
+  }
+
   def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))

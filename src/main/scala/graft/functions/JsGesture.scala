@@ -411,6 +411,13 @@ object JsGesture {
       case JsNull | RowMarker => lit(null)
       case Field(n) =>
         require(schema.contains(n), s"no such column: $n")
+        // date/timestamp fields are JS Date OBJECTS (getters + valueOf
+        // coercion) — runtime behavior a static Column can't carry, so
+        // route the program to the interpreter tier like ===/!==
+        require(!schema(n).isInstanceOf[org.apache.spark.sql.types.DateType]
+            && !schema(n).isInstanceOf[org.apache.spark.sql.types.TimestampType]
+            && !schema(n).isInstanceOf[org.apache.spark.sql.types.TimestampNTZType],
+          s"date/timestamp field '$n' requires the program tier (JS Date runtime)")
         col(n)
       case Un("!", a) => !c(a)
       case Un("-", a) => -num(a)
@@ -465,7 +472,12 @@ object JsGesture {
         when(pos === 0, s).otherwise(concat(
           s.substr(lit(1), pos - 1), to,
           s.substr(pos + length(from), length(s))))
-      case Meth(_, m, _) => sys.error(s"unsupported method .$m")
+      case Meth(_, m, _) =>
+        // IllegalArgumentException, not RuntimeException: a method this
+        // tier can't compile (Date getters, array ops) must ROUTE the
+        // program to the interpreter tier, not kill the gesture
+        throw new IllegalArgumentException(
+          s"method .$m requires the program tier")
       case MathCall("abs", Seq(a)) => abs(num(a))
       // Spark floor/ceil on a double yield a LONG (NaN → 0), but JS
       // Math.floor/ceil/round(NaN) is NaN — guard before the cast

@@ -59,6 +59,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * `\b`, groups, alternation — also the RE2 subset DuckDB oracles can
   * replay). Lookbehind/named groups/unicode-property escapes are
   * outside the subset and fail at parse time.
+  *
+  * Date RUNTIME (the reference's row proxy hands gestures a real JS
+  * Date — JSVirtualRowSnapshot.java:52-58): date/timestamp fields
+  * arrive as [[JsProgram.JsDate]] objects with the calendar getters
+  * (`getTime`/`getFullYear`/`getMonth`/`getDate`/`getDay`/`getHours`
+  * …/`getTimezoneOffset`/`toISOString`, each with its getUTC* alias —
+  * identical because sessions pin UTC), `new Date(millis)` /
+  * `new Date(y, m, d, …)` construction (lenient month overflow, years
+  * 0–99 → 1900+y, JS semantics) and `Date.UTC(…)`; arithmetic and
+  * ordered comparisons coerce through `valueOf` → millis, `===` is
+  * object identity. `new Date()` (wall clock) is REJECTED at parse
+  * time — gestures must be deterministic. Documented deviations:
+  * string rendering is the `toISOString` form, and loose `==` against
+  * a number compares millis (JS stringifies the Date first).
   */
 object JsProgram {
 
@@ -101,6 +115,31 @@ object JsProgram {
       "/" + p.pattern + "/" + (if (global) "g" else "") +
         (if ((p.flags & java.util.regex.Pattern.CASE_INSENSITIVE) != 0) "i" else "")
   }
+
+  /** `new Date(...)` — 1 arg = epoch millis, 2..7 args = Y/M/D/h/m/s/ms
+    * (lenient overflow, JS normalization). */
+  final case class ENewDate(args: Seq[E]) extends E
+
+  /** JS Date runtime value — the reference's row proxy hands gestures a
+    * real Date (`JSVirtualRowSnapshot.java:52-58` evals
+    * `new Date(millis)`), so date/timestamp fields arrive here as Date
+    * OBJECTS with the calendar getters, not bare numbers. The engine
+    * pins sessions to UTC, so local-time getters equal the getUTC*
+    * forms and `getTimezoneOffset()` is 0 — faithful to a GraalVM
+    * context running in a UTC JVM. Plain `class`: JS object identity
+    * (two Dates with equal millis are `!==`). Documented deviations:
+    * string rendering is `toISOString` form (GraalVM's `toString` is a
+    * locale-formatted local-time string), and loose `==` against a
+    * number compares by millis (JS stringifies the Date first). */
+  final class JsDate(val millis: Double) extends Serializable {
+    override def toString: String =
+      if (millis.isNaN) "Invalid Date"
+      else java.time.Instant.ofEpochMilli(millis.toLong)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(IsoMillis)
+  }
+  private val IsoMillis =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 
   sealed trait LV extends Serializable
   final case class LVar(slot: Int) extends LV
@@ -594,6 +633,31 @@ object JsProgram {
             val a0 = parseExpr(p, b, sc)
             p.expect(")")
             EGlobal(id, Seq(a0))
+          case "new" =>
+            val ctor = p.ident()
+            if (ctor != "Date") p.fail(s"unsupported constructor 'new $ctor'")
+            p.expect("(")
+            val args = scala.collection.mutable.ArrayBuffer.empty[E]
+            if (!p.peek(")")) {
+              args += parseExpr(p, b, sc)
+              while (p.eat(",")) args += parseExpr(p, b, sc)
+            }
+            p.expect(")")
+            if (args.isEmpty) p.fail(
+              "new Date() reads the wall clock — gestures must be " +
+                "deterministic; pass epoch millis or Y/M/D components")
+            if (args.size > 7) p.fail("new Date: too many arguments")
+            ENewDate(args.toSeq)
+          case "Date" if p.peek(".") =>
+            p.expect("."); val f = p.ident()
+            if (f != "UTC") p.fail(s"unsupported Date.$f")
+            p.expect("(")
+            val args = scala.collection.mutable.ArrayBuffer.empty[E]
+            args += parseExpr(p, b, sc)
+            while (p.eat(",")) args += parseExpr(p, b, sc)
+            p.expect(")")
+            if (args.size > 7) p.fail("Date.UTC: too many arguments")
+            EGlobal("DateUTC", args.toSeq)
           case n if sc.rowParam.contains(n) => RowMarker
           case n if sc.slotOf(n).isDefined => ELocal(sc.slotOf(n).get)
           case n if b.fnNames.contains(n) =>
@@ -617,6 +681,31 @@ object JsProgram {
   private val MaxFuel = 1000000
   private val MaxDepth = 256
 
+  /** Y/M/D[/h/m/s/ms] → epoch millis, JS constructor semantics: month
+    * is 0-based with lenient overflow normalization (month 12 = next
+    * January), years 0–99 map to 1900+y, fractional components truncate
+    * toward zero, any null/NaN component poisons the date to NaN. The
+    * calendar is UTC (the session-pinned zone — see [[JsDate]]). */
+  private def dateFromComponents(comps: Seq[java.lang.Double]): Double = {
+    if (comps.exists(c => c == null || c.isNaN)) return Double.NaN
+    val v = comps.map(_.doubleValue.toLong)
+    def at(i: Int, dflt: Long) = if (v.size > i) v(i) else dflt
+    var year = at(0, 0)
+    if (year >= 0 && year <= 99) year += 1900
+    val cal = new java.util.GregorianCalendar(
+      java.util.TimeZone.getTimeZone("UTC"))
+    cal.setLenient(true)
+    cal.clear()
+    cal.set(java.util.Calendar.YEAR, year.toInt)
+    cal.set(java.util.Calendar.MONTH, at(1, 0).toInt)
+    cal.set(java.util.Calendar.DAY_OF_MONTH, at(2, 1).toInt)
+    cal.set(java.util.Calendar.HOUR_OF_DAY, at(3, 0).toInt)
+    cal.set(java.util.Calendar.MINUTE, at(4, 0).toInt)
+    cal.set(java.util.Calendar.SECOND, at(5, 0).toInt)
+    cal.set(java.util.Calendar.MILLISECOND, at(6, 0).toInt)
+    cal.getTimeInMillis.toDouble
+  }
+
   private sealed trait Sig
   private case object SigNormal extends Sig
   private case object SigBreak extends Sig
@@ -639,6 +728,7 @@ object JsProgram {
       case b: java.lang.Boolean => if (b) 1.0 else 0.0
       case _: scala.collection.mutable.ArrayBuffer[_] => Double.NaN
       case _: JsRegex => Double.NaN // JS Number(/x/) is NaN
+      case dt: JsDate => dt.millis // Date.prototype.valueOf
       case other => sys.error(s"not numeric: $other")
     }
     def s(v: Any): String = v match {
@@ -708,6 +798,8 @@ object JsProgram {
         java.lang.Double.compare(x.doubleValue, y.doubleValue) == 0
       case (x: scala.collection.mutable.ArrayBuffer[_],
             y: scala.collection.mutable.ArrayBuffer[_]) => x eq y
+      // Dates are objects: identity, not millis (JS `d1 === d2`)
+      case (x: JsDate, y: JsDate) => x eq y
       case _ => false
     }
     def toIdx(v: Any): Int = {
@@ -937,6 +1029,17 @@ object JsProgram {
               if (code < 0 || code > Char.MaxValue.toInt) "�"
               else code.toChar.toString
           }
+        case EGlobal("DateUTC", args) =>
+          java.lang.Double.valueOf(
+            dateFromComponents(args.map(x => d(ev(x, frame, depth)))))
+        case ENewDate(args) =>
+          if (args.size == 1) {
+            // JS new Date(v): ToNumber(v) — null coerces to epoch 0,
+            // NaN/unparseable yields an Invalid Date
+            val x = d(ev(args.head, frame, depth))
+            new JsDate(if (x == null) 0.0 else x.doubleValue)
+          } else
+            new JsDate(dateFromComponents(args.map(x => d(ev(x, frame, depth)))))
         case EGlobal(g, _) => sys.error(s"unsupported global $g")
         case RowMarker => sys.error("bare row parameter")
       }
@@ -997,6 +1100,32 @@ object JsProgram {
               while (i < hi) { out += ab(i); i += 1 }
               out
             case other => sys.error(s"unsupported array method .$other")
+          }
+        case dt: JsDate =>
+          // calendar getters in UTC — identical to the getUTC* forms
+          // because the engine pins sessions to UTC (see JsDate)
+          def field(f: java.time.ZonedDateTime => Int): java.lang.Double =
+            if (dt.millis.isNaN) java.lang.Double.valueOf(Double.NaN)
+            else java.lang.Double.valueOf(
+              f(java.time.Instant.ofEpochMilli(dt.millis.toLong)
+                .atZone(java.time.ZoneOffset.UTC)).toDouble)
+          name match {
+            case "getTime" | "valueOf" => java.lang.Double.valueOf(dt.millis)
+            case "getFullYear" | "getUTCFullYear" => field(_.getYear)
+            case "getMonth" | "getUTCMonth" => field(_.getMonthValue - 1)
+            case "getDate" | "getUTCDate" => field(_.getDayOfMonth)
+            // JS day-of-week: 0 = Sunday; ISO: 1 = Monday .. 7 = Sunday
+            case "getDay" | "getUTCDay" => field(_.getDayOfWeek.getValue % 7)
+            case "getHours" | "getUTCHours" => field(_.getHour)
+            case "getMinutes" | "getUTCMinutes" => field(_.getMinute)
+            case "getSeconds" | "getUTCSeconds" => field(_.getSecond)
+            case "getMilliseconds" | "getUTCMilliseconds" =>
+              field(z => (z.getNano / 1000000))
+            case "getTimezoneOffset" => java.lang.Double.valueOf(0.0)
+            case "toISOString" =>
+              if (dt.millis.isNaN) sys.error("toISOString on Invalid Date")
+              else dt.toString
+            case other => sys.error(s"unsupported Date method .$other")
           }
         case _ =>
           // string methods (non-string receivers stringify, as tier 1)
@@ -1114,17 +1243,19 @@ object JsProgram {
 
   // ── Spark value bridging ───────────────────────────────────────────
   private[functions] def fromSpark(v: Any, dt: DataType): Any = dt match {
-    // dates/timestamps surface as epoch-millis doubles (the reference's
-    // JSVirtualRowSnapshot hands JS a Date object; millis keep the
-    // arithmetic story without a Date runtime — documented deviation)
+    // dates/timestamps arrive in JS as real Date OBJECTS, exactly the
+    // reference's row proxy (JSVirtualRowSnapshot.java:52-58 evals
+    // `new Date(millis)`): calendar getters work, arithmetic still
+    // coerces through valueOf → millis, so `row.t - row.d` stays the
+    // interval-in-millis it was under the earlier number substitution
     case DateType => v match {
       case null => null
-      case i: java.lang.Integer => java.lang.Double.valueOf(i.doubleValue * 86400000.0)
+      case i: java.lang.Integer => new JsDate(i.doubleValue * 86400000.0)
       case other => sys.error(s"unexpected date value $other")
     }
     case _: TimestampType | TimestampNTZType => v match {
       case null => null
-      case l: java.lang.Long => java.lang.Double.valueOf(l.doubleValue / 1000.0)
+      case l: java.lang.Long => new JsDate(l.doubleValue / 1000.0)
       case other => sys.error(s"unexpected timestamp value $other")
     }
     case _ => v match {
@@ -1178,6 +1309,9 @@ object JsProgram {
           try java.lang.Double.valueOf(st.toDouble)
           catch { case _: Exception => java.lang.Double.valueOf(Double.NaN) }
         case b: java.lang.Boolean => java.lang.Double.valueOf(if (b) 1.0 else 0.0)
+        // a returned Date lands in a numeric column as epoch millis —
+        // the reference's Date-kind conversion (invokeMember("getTime"))
+        case jd: JsDate => java.lang.Double.valueOf(jd.millis)
         case _ => java.lang.Double.valueOf(Double.NaN)
       }
     case BooleanType =>

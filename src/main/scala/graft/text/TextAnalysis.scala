@@ -411,6 +411,56 @@ object TextAnalysis {
       (intDiv(scoreE4, lit(10L)) / lit(10000.0)).as("quality_score"))
   }
 
+  /** Gopher quality-rule gate (Rae et al. 2021 §A1.1 — the standard
+    * pretraining pre-filter every modern corpus pipeline applies):
+    * per-document rule signals plus the composite pass verdict. Rules
+    * (word-count bounds parameterized; canonical paper values are
+    * [50, 100k], scaled down for short fixtures): word count in
+    * [minWords, maxWords]; mean word length in [3, 10] chars; no word
+    * longer than 30 chars; ≥ 80% of words contain an alphabetic
+    * character; at least 2 DISTINCT stopwords from the canonical
+    * 8-word list (the "natural language" test); symbolic-word fraction
+    * (`#` or `...`) ≤ 10%. Every ratio sits on the exact 1e-4 grid
+    * ([[intDiv]]), so verdicts are bit-stable and fully SQL-replayable.
+    * Pure narrow map over one row-local token array — zero shuffle at
+    * any corpus scale.
+    */
+  def gopherRules(docs: DataFrame, minWords: Int = 5,
+      maxWords: Int = 100000,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with")): DataFrame = {
+    val stops = stopwords
+    val pre = docs.select(col("doc_id"),
+      filter(split(lower(col("text")), " "), w => w =!= "").as("__ws"))
+    val ws = col("__ws")
+    val nW = size(ws).cast("long")
+    // 0-word docs fail the count rule anyway; the guarded denominator
+    // only keeps the ANSI integer division total
+    val den = greatest(nW, lit(1L))
+    val sumLen = aggregate(ws, lit(0L), (a, w) => a + length(w).cast("long"))
+    val meanLenE4 = intDiv(sumLen * lit(10000L), den)
+    val alphaE4 = intDiv(
+      size(filter(ws, w => w.rlike("[a-z]"))).cast("long") * lit(10000L), den)
+    val nStop = size(array_intersect(array_distinct(ws),
+      array(stops.map(lit): _*))).cast("long")
+    val symE4 = intDiv(
+      size(filter(ws, w => w.contains("#") || w.contains("...")))
+        .cast("long") * lit(10000L), den)
+    val maxLen = coalesce(
+      array_max(transform(ws, w => length(w))).cast("long"), lit(0L))
+    pre.select(col("doc_id"),
+      nW.as("n_words"),
+      (meanLenE4 / lit(10000.0)).as("mean_word_len"),
+      (alphaE4 / lit(10000.0)).as("alpha_word_frac"),
+      nStop.as("n_stopwords"),
+      (symE4 / lit(10000.0)).as("symbol_word_frac"),
+      maxLen.as("max_word_len"),
+      (nW >= minWords && nW <= maxWords &&
+        meanLenE4 >= lit(30000L) && meanLenE4 <= lit(100000L) &&
+        maxLen <= lit(30L) && alphaE4 >= lit(8000L) &&
+        nStop >= lit(2L) && symE4 <= lit(1000L)).as("pass"))
+  }
+
   /** Corpus token statistics per source (whitespace tokenization; a
     * BPE-ish sub-token estimate as chars/4, the common LLM rule of
     * thumb).

@@ -360,12 +360,14 @@ class JsProgramSpec extends SparkSpec {
     }
   }
 
-  test("date and timestamp fields surface as epoch-millis doubles") {
-    // the reference's JS row proxy hands gestures a Date; here the
-    // documented form is epoch millis, so interval arithmetic works
+  test("date and timestamp fields are JS Date objects: getters, valueOf arithmetic") {
+    // the reference's JS row proxy hands gestures a real Date
+    // (JSVirtualRowSnapshot evals `new Date(millis)`); getters run in
+    // UTC (the session zone) and arithmetic coerces through valueOf
     val df = Seq(("2024-03-01", "2024-03-01 12:30:00"))
       .toDF("ds", "ts")
       .select(to_date(col("ds")).as("d8"), to_timestamp(col("ts")).as("t8"))
+    // interval arithmetic unchanged from the number-substitution days
     val js = """function map(row) {
       var h = 0;
       while (h < 1) { h++; }
@@ -374,6 +376,52 @@ class JsProgramSpec extends SparkSpec {
     val out = JsGesture.withJsColumnTyped(df, "hours", js, DoubleType)
       .select(col("hours")).collect()
     assert(out.head.getDouble(0) == 12.5, out.head.getDouble(0))
+    // ...and WITHOUT the loop: a straight-line date gesture must route
+    // to this tier too (a static Column cannot carry the Date object)
+    val straight = JsGesture.withJsColumnTyped(df, "hours",
+      "function map(row) { return (row.t8 - row.d8) / 3600000; }", DoubleType)
+      .select(col("hours")).collect()
+    assert(straight.head.getDouble(0) == 12.5)
+    // calendar getters: 2024-03-01 is a Friday (day 5, JS 0=Sunday)
+    val g = """function map(row) {
+      var d = row.t8;
+      return d.getFullYear() * 10000000 + (d.getMonth() + 1) * 100000 +
+        d.getDate() * 1000 + d.getDay() * 100 + d.getHours();
+    }"""
+    val gv = JsGesture.withJsColumnTyped(df, "g", g, DoubleType)
+      .select(col("g")).collect().head.getDouble(0)
+    assert(gv == 2024L * 10000000 + 3 * 100000 + 1 * 1000 + 5 * 100 + 12, gv)
+    // construction: new Date(millis) round-trips getTime; Y/M/D form is
+    // UTC with JS 0-based months; Date.UTC returns plain millis
+    val ctor = """function map(row) {
+      var a = new Date(row.t8.getTime());
+      var b = new Date(2024, 2, 1, 12, 30, 0);
+      var c = Date.UTC(2024, 2, 1, 12, 30, 0);
+      var iso = a.toISOString() == '2024-03-01T12:30:00.000Z' ? 1 : 0;
+      var tz = a.getTimezoneOffset() == 0 ? 1 : 0;
+      return (a.getTime() == b.getTime() ? 1 : 0) +
+        (b.getTime() == c ? 10 : 0) + iso * 100 + tz * 1000;
+    }"""
+    val cv = JsGesture.withJsColumnTyped(df, "c", ctor, DoubleType)
+      .select(col("c")).collect().head.getDouble(0)
+    assert(cv == 1111.0, cv)
+    // object identity: equal-millis Dates are !==, a Date is === itself
+    val ident = """function map(row) {
+      var a = new Date(0); var b = new Date(0); var r = a;
+      return (a === b ? 10 : 0) + (a === r ? 1 : 0);
+    }"""
+    assert(JsGesture.withJsColumnTyped(df, "i", ident, DoubleType)
+      .select(col("i")).collect().head.getDouble(0) == 1.0)
+    // month overflow normalizes (month 12 = next January) and a NaN
+    // component poisons: isNaN(getTime) — both JS constructor semantics
+    val lenient = """function map(row) {
+      var x = new Date(2023, 12, 1);
+      var bad = new Date(2023, 0 / 0, 1);
+      return (x.getFullYear() == 2024 && x.getMonth() == 0 ? 1 : 0) +
+        (isNaN(bad.getTime()) ? 10 : 0);
+    }"""
+    assert(JsGesture.withJsColumnTyped(df, "l", lenient, DoubleType)
+      .select(col("l")).collect().head.getDouble(0) == 11.0)
   }
 
   test("typed output coercion and boolean truthiness output") {
