@@ -177,6 +177,105 @@ object SparkEntry {
       sql.substring("WITH RECURSIVE ".length)
   }
 
+  // Planted MULTI-LINE docs — the web-ingest line-dedup fixture. The
+  // driver corpus has no newlines (every doc is one line), so the
+  // cross-document line-dedup family is exercised end-to-end only
+  // through this augmentation. Coverage: a boilerplate line repeated
+  // across 4 docs (twice within the keeper), a second 2-doc footer, a
+  // MULTIBYTE boilerplate line, a doc that is 100% boilerplate (must
+  // come out erased, not dropped), a within-doc-only repeat (df = 1 ⇒
+  // kept), blank lines (always kept), and a digit-twin pair ("page 1
+  // of 10" / "page 2 of 10") that dedups ONLY under the CCNet
+  // normalized key. No quotes/backslashes, so SQL literals are exact.
+  private[graft] val nlRows: Seq[(Long, Seq[String])] = {
+    val b1 = "accept all cookies to continue browsing"
+    val b2 = "copyright all rights reserved"
+    val b3 = "去重 boilerplate 테스트 줄"
+    Seq(
+      9200001L -> Seq(b1, "alpha unique content about spark engines", b2, "", b1),
+      9200002L -> Seq(b1, b3, "bravo unique thoughts on merge join order", b2),
+      9200003L -> Seq(b3, "charlie unique line describing dedup", b1),
+      9200004L -> Seq(b1, b3),
+      9200005L -> Seq("echo repeated line stays", "echo repeated line stays",
+        "", "echo unique closing line"),
+      9200006L -> Seq("page 1 of 10", "foxtrot unique body text"),
+      9200007L -> Seq("page 2 of 10", "golf unique body text"))
+  }
+
+  private def docsNl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(nlRows.map { case (id, lines) =>
+      val t = lines.mkString("\n")
+      (id, t, "en", "planted_nl", t.codePointCount(0, t.length).toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  /** The line fixture as a DuckDB CTE body (newlines via chr(10) so the
+    * VALUES literals stay one-line). */
+  private val nlDocsSelect: String = {
+    val vals = nlRows.map { case (id, lines) =>
+      val t = lines.map(l => s"'$l'").mkString(" || chr(10) || ")
+      val nch = lines.mkString("\n").codePoints().count()
+      s"($id, $t, 'en', 'planted_nl', $nch)"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
+  // Planted URL-bearing docs (the C4 URL-filter fixture; base docs
+  // carry zero URLs and flow through as negatives)
+  private[graft] val urlRows: Seq[(Long, String)] = Seq(
+    9300001L -> ("visit https://spam.example.com/offer now and also " +
+      "http://news.site.org/article today"),
+    9300002L -> ("double https://spam.example.com/a then " +
+      "https://spam.example.com/b mention plus https://good.example.net"),
+    9300003L -> ("mixed https://good.example.net/page and " +
+      "https://tracker.adsite.io/pixel inline"))
+  private[graft] val blockedDomains =
+    Seq("spam.example.com", "tracker.adsite.io")
+
+  private def docsUrl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(urlRows.map { case (id, t) =>
+      (id, t, "en", "planted_url", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val urlDocsSelect: String = {
+    val vals = urlRows.map { case (id, t) =>
+      s"($id, '$t', 'en', 'planted_url', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
+  // Planted HTML docs (tag strip + entity unescape + link density; the
+  // tag-free base corpus must flow through htmlExtract UNCHANGED —
+  // single-space ASCII text is its own fixed point)
+  private[graft] val htmlRows: Seq[(Long, String)] = Seq(
+    9400001L -> ("<html><head><title>t</title></head><body>" +
+      "<h1>spark engine guide</h1><p>learn about merge join and dedup</p>" +
+      "<a href=\"https://x.example.com\">read more</a></body></html>"),
+    9400002L -> ("<div><a href=\"/a\">home</a> <a href=\"/b\">about us</a> " +
+      "<a href=\"/c\">contact page</a></div>"),
+    9400003L -> ("<p>a &amp; b &lt;tag&gt; &quot;quoted&quot; " +
+      "it&#39;s fine</p><!-- hidden comment -->"))
+
+  private def docsHtml(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(htmlRows.map { case (id, t) =>
+      (id, t, "en", "planted_html", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val htmlDocsSelect: String = {
+    val vals = htmlRows.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''")}', 'en', 'planted_html', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   // learned BPE merges memoized per corpus dir (the train/serve split:
   // bpe_train_merges declares the training cost; encode queries serve
   // from the learned table — deterministic, so oracles that retrain
@@ -1839,6 +1938,28 @@ object SparkEntry {
     "text_gopher_rules" -> ((s, d) =>
       graft.text.TextAnalysis.gopherRules(docs(s, d),
         stopwords = Seq("the", "a", "of", "and"))),
+    // ── web-ingest cleanup family (CCNet/RefinedWeb/C4 line+URL+HTML) ──
+    // cross-doc boilerplate-line detection over the newline-planted
+    // corpus: one explode, one groupBy on the line
+    "text_boilerplate_lines" -> ((s, d) =>
+      graft.text.TextAnalysis.boilerplateLines(docsNl(s, d), 2)),
+    // the destructive CCNet/RefinedWeb pass: boilerplate lines cut from
+    // every non-keeper doc, text reassembled; 128-bit line keys
+    "text_remove_dup_lines" -> ((s, d) =>
+      graft.text.TextAnalysis.removeDupLines(docsNl(s, d), 2)),
+    // same transform under the CCNet NORMALIZED key (digit/punct-blind
+    // hash): the planted "page 1 of 10"/"page 2 of 10" twin collapses
+    // here and ONLY here; reassembled text keeps the raw lines
+    "text_remove_dup_lines_norm" -> ((s, d) =>
+      graft.text.TextAnalysis.removeDupLines(docsNl(s, d), 2, normalized = true)),
+    // C4 URL filter over in-text links: narrow regex map + literal
+    // blocklist, zero shuffle
+    "text_url_filter" -> ((s, d) =>
+      graft.text.TextAnalysis.urlFilter(docsUrl(s, d), blockedDomains)),
+    // HTML → text with link density (the jusText/trafilatura signal);
+    // tag-free base docs are fixed points
+    "text_html_extract" -> ((s, d) =>
+      graft.text.TextAnalysis.htmlTextStats(docsHtml(s, d))),
     "text_tokens" -> ((s, d) => graft.text.TextAnalysis.tokenStats(docs(s, d))),
     // REAL subword tokenization (greedy longest-match over the literal
     // vocab, one codegen trie walk per row — BpeTokenizer): per-doc
@@ -3931,6 +4052,93 @@ object SparkEntry {
         |    AND n_alpha * 10000 // den >= 8000
         |    AND n_stop >= 2
         |    AND n_sym * 10000 // den <= 1000) AS pass
+        |FROM c""".stripMargin,
+    // cross-doc boilerplate-line detection over the newline-planted
+    // corpus: exact line-string grouping on both sides
+    "text_boilerplate_lines" ->
+      s"""WITH dnl AS ($nlDocsSelect),
+        |e AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM dnl)
+        |SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences, min(doc_id) AS keeper
+        |FROM e WHERE line <> ''
+        |GROUP BY line HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    // the destructive pass replayed positionally: keeper keeps all its
+    // copies, every other doc loses all of them, blanks always survive
+    "text_remove_dup_lines" ->
+      s"""WITH dnl AS ($nlDocsSelect),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM dnl),
+        |e0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+        |    i -> {'p': i, 'line': ls[i]})) AS u FROM l0),
+        |e AS (SELECT doc_id, u.p AS p, u.line AS line FROM e0),
+        |dup AS (SELECT line, min(doc_id) AS keeper FROM e WHERE line <> ''
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT e.doc_id, e.p, e.line FROM e LEFT JOIN dup
+        |    ON e.line = dup.line
+        |  WHERE dup.line IS NULL OR e.doc_id = dup.keeper),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT l0.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  COALESCE(n_kept, 0) AS n_kept,
+        |  COALESCE(clean_text, '') AS clean_text
+        |FROM l0 LEFT JOIN r USING (doc_id)""".stripMargin,
+    // the same transform under the CCNet normalized key; the regex
+    // spells ASCII punctuation as explicit ranges (Java∩RE2) and the
+    // reassembled text keeps RAW lines
+    "text_remove_dup_lines_norm" ->
+      s"""WITH dnl AS ($nlDocsSelect),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM dnl),
+        |e0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+        |    i -> {'p': i, 'line': ls[i]})) AS u FROM l0),
+        |e AS (SELECT doc_id, u.p AS p, u.line AS line,
+        |    trim(regexp_replace(regexp_replace(lower(u.line),
+        |      '[0-9!-/:-@\\[-`{-~]', '', 'g'), ' +', ' ', 'g')) AS k FROM e0),
+        |dup AS (SELECT k, min(doc_id) AS keeper FROM e WHERE k <> ''
+        |  GROUP BY k HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT e.doc_id, e.p, e.line FROM e LEFT JOIN dup
+        |    ON e.k = dup.k
+        |  WHERE dup.k IS NULL OR e.doc_id = dup.keeper),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT l0.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  COALESCE(n_kept, 0) AS n_kept,
+        |  COALESCE(clean_text, '') AS clean_text
+        |FROM l0 LEFT JOIN r USING (doc_id)""".stripMargin,
+    // C4 URL filter: same scheme+host regex, domain = after the '//'
+    "text_url_filter" ->
+      s"""WITH du AS ($urlDocsSelect),
+        |p AS (SELECT doc_id, list_transform(
+        |    regexp_extract_all(text, 'https?://[a-z0-9.-]+'),
+        |    u -> split_part(u, '//', 2)) AS doms FROM du)
+        |SELECT doc_id, CAST(len(doms) AS BIGINT) AS n_urls,
+        |  COALESCE(array_to_string(list_sort(list_distinct(doms)), ','), '')
+        |    AS domains,
+        |  len(list_intersect(list_distinct(doms),
+        |    [${blockedDomains.map(d => s"'$d'").mkString(", ")}])) > 0 AS flagged
+        |FROM p""".stripMargin,
+    // HTML extraction replayed transform by transform (DuckDB needs the
+    // explicit 'g' flag; Spark regexp_replace is global by default)
+    "text_html_extract" ->
+      s"""WITH dh AS ($htmlDocsSelect),
+        |c AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text, '<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&amp;', '&', 'g'),
+        |    '\\s+', ' ', 'g')) AS clean_text,
+        |  list_transform(regexp_extract_all(text, '<a [^>]*>([^<]*)</a>', 1),
+        |    t -> trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS anc
+        |  FROM dh)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(clean_text) AS BIGINT) AS n_chars,
+        |  CAST(len(anc) AS BIGINT) AS n_links,
+        |  CAST(COALESCE(list_sum(list_transform(anc, t -> length(t))), 0)
+        |    AS BIGINT) AS n_link_chars,
+        |  CAST(COALESCE(list_sum(list_transform(anc, t -> length(t))), 0)
+        |    * 10000 // GREATEST(length(clean_text), 1) AS DOUBLE) / 10000.0
+        |    AS link_density
         |FROM c""".stripMargin,
     // semantic decontamination replayed with the shared list_cosine /
     // round(·,4) precedent (dedup_embedding)

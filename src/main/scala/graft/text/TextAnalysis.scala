@@ -1434,4 +1434,164 @@ object TextAnalysis {
         .cast("long").as("rank"),
       col("doc_id"), col("score_micro"))
   }
+
+  // ── web-corpus ingest cleanup (CCNet / RefinedWeb / C4 line+URL+HTML
+  //    layer) ──────────────────────────────────────────────────────────
+
+  /** CCNet-style line-hash normalization: lowercase, strip digits and
+    * punctuation, collapse whitespace — the key under which CCNet
+    * deduplicates paragraphs across shards ("page 1 of 10" and
+    * "page 2 of 10" are the same boilerplate). Kept in the Java∩RE2
+    * regex intersection — `\p{Punct}` is Java-only, so ASCII
+    * punctuation is spelled as the explicit ranges 33–47 / 58–64 /
+    * 91–96 / 123–126, which both engines read identically.
+    */
+  private[graft] def ccnetLineKey(line: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(line), "[0-9!-/:-@\\[-`{-~]", ""), " +", " "))
+
+  /** Cross-document boilerplate-line DETECTION (the CCNet/RefinedWeb
+    * line-dedup signal): every nonblank line occurring in ≥ `minDocs`
+    * distinct documents, with its document frequency, total occurrence
+    * count, and keeper (lowest doc_id — the copy [[removeDupLines]]
+    * preserves). `normalized = true` groups under [[ccnetLineKey]]
+    * instead of the raw line (the reported `line` is then the key).
+    *
+    * Scale shape: one explode → one groupBy on the line key. The key
+    * carries the line STRING through the shuffle (the corpus_ngrams
+    * precedent — needed because the report surfaces the text itself);
+    * the destructive transform below ships only 128-bit hashes.
+    */
+  def boilerplateLines(docs: DataFrame, minDocs: Int = 2,
+      normalized: Boolean = false): DataFrame = {
+    val raw = docs.select(col("doc_id"),
+        explode(filter(split(col("text"), "\n", -1),
+          l => length(l) > 0)).as("__raw"))
+    val keyed = raw.select(col("doc_id"),
+        (if (normalized) ccnetLineKey(col("__raw")) else col("__raw")).as("line"))
+      .filter(length(col("line")) > 0)
+    keyed.groupBy(col("line"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Cross-document duplicate-line REMOVAL — the line-granularity
+    * member of the dedup transform family (exact docs:
+    * [[graft.dedup.Dedup]]; token spans: [[removeDupSpans]]): the
+    * CCNet/RefinedWeb pass that strips boilerplate ("accept cookies",
+    * nav bars, copyright footers) repeated across pages. A nonblank
+    * line whose key occurs in ≥ `minDocs` distinct documents keeps ALL
+    * its copies in the lowest-doc_id document and is cut from every
+    * other; blank lines and unique lines pass through; kept lines
+    * reassemble in original order. `normalized = true` matches under
+    * [[ccnetLineKey]] (digit/punct-blind — the CCNet hash), while the
+    * reassembled text always keeps the RAW lines.
+    *
+    * Scale shape: [[removeDupSpans]]' — line keys emitted row-locally
+    * as 128-bit double hashes (destructive transform: a 64-bit
+    * birthday collision at ~1e12 corpus lines would delete unrelated
+    * text; 128 bits push that below 1e-13), one groupBy on the hash
+    * carrying (distinct-doc count, min doc_id), one join back to tag
+    * cut positions, one groupBy doc_id collecting positions (bounded
+    * by document length), row-local indexed filter for the cut. No
+    * per-line string shuffles and no driver state.
+    */
+  def removeDupLines(docs: DataFrame, minDocs: Int = 2,
+      normalized: Boolean = false): DataFrame = {
+    val pre = docs.select(col("doc_id"), split(col("text"), "\n", -1).as("__ls"))
+    val ls = col("__ls")
+    // (1-based position, h1, h2) per NONBLANK line; normalized keys
+    // that collapse to "" (digit/punct-only lines) stay undeduped
+    val keyed = transform(ls, (l, i) => {
+      val k = if (normalized) ccnetLineKey(l) else l
+      struct((i + lit(1)).as("p"), xxhash64(k).as("h1"),
+        xxhash64(lit(1L), k).as("h2"), (length(k) > 0).as("nb"))
+    })
+    // materialized (lazily): feeds BOTH the dup aggregation and the
+    // join-back probe side (the removeDupSpans shape)
+    val lines = pre.select(col("doc_id"), explode(filter(keyed, x => x("nb"))).as("x"))
+      .select(col("doc_id"), col("x.p").as("p"),
+        struct(col("x.h1").as("h1"), col("x.h2").as("h2")).as("lh"))
+      .localCheckpoint(eager = false)
+    val dup = lines.groupBy(col("lh"))
+      .agg(count_distinct(col("doc_id")).as("__nd"),
+        min(col("doc_id")).as("__keeper"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("lh"), col("__keeper"))
+    val cuts = lines.join(dup, Seq("lh"))
+      .filter(col("doc_id") =!= col("__keeper"))
+      .groupBy(col("doc_id")).agg(collect_list(col("p")).as("__ps"))
+    val ps = coalesce(col("__ps"), array().cast("array<int>"))
+    // every doc passes through (transform, not filter); a doc whose
+    // every line is boilerplate comes out empty, not dropped
+    val kept = filter(ls, (l, i) => !array_contains(col("__psa"), i + lit(1)))
+    pre.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__ls"), ps.as("__psa"))
+      .select(col("doc_id"),
+        size(ls).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, "\n").as("clean_text"))
+  }
+
+  /** URL extraction + domain-blocklist verdict (the C4 URL filter
+    * applied to in-text links): per document, the URL count, distinct
+    * domains (sorted, comma-joined — a deterministic scalar), and
+    * whether any domain is blocklisted. The URL pattern stays in the
+    * Java∩RE2 intersection (scheme + host char class + non-space
+    * path) so any engine replays it. Pure narrow map + row-local array
+    * ops against a LITERAL blocklist — zero shuffle at any scale.
+    */
+  def urlFilter(docs: DataFrame, blockedDomains: Seq[String]): DataFrame = {
+    val urlPat = "https?://[a-z0-9.-]+"
+    val pre = docs.select(col("doc_id"),
+      // regexp_extract_all over the scheme+host prefix; the substring
+      // after "//" is the domain
+      transform(regexp_extract_all(col("text"), lit(urlPat), lit(0)),
+        u => substring_index(u, "//", -1)).as("__doms"))
+    val doms = col("__doms")
+    val blocked = array(blockedDomains.map(lit): _*)
+    pre.select(col("doc_id"),
+      size(doms).cast("long").as("n_urls"),
+      array_join(array_sort(array_distinct(doms)), ",").as("domains"),
+      (size(array_intersect(array_distinct(doms), blocked)) > 0).as("flagged"))
+  }
+
+  /** HTML → text extraction with link-density (the boilerplate signal
+    * jusText/trafilatura gate on): strips tags/comments, unescapes the
+    * five XML entities, collapses whitespace; link density = chars of
+    * anchor TEXT over chars of clean text on the exact 1e-4 grid (a
+    * nav-bar page scores near 1, an article near 0). Regexes stay in
+    * the Java∩RE2 intersection (`<[^>]*>`, anchor text via a capture
+    * group). Pure narrow map — zero shuffle; compose upstream of the
+    * quality/dedup layer exactly where a web corpus runs readability.
+    */
+  def htmlExtract(html: Column): Column = {
+    val noComments = regexp_replace(html, "<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    val unescaped = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  def htmlTextStats(docs: DataFrame): DataFrame = {
+    val pre = docs.select(col("doc_id"),
+      htmlExtract(col("text")).as("clean_text"),
+      // anchor inner text: non-greedy across attributes, text up to
+      // the closing tag (single capture group, RE2-safe)
+      transform(regexp_extract_all(col("text"),
+          lit("<a [^>]*>([^<]*)</a>"), lit(1)),
+        t => trim(regexp_replace(t, "\\s+", " "))).as("__as"))
+    val linkChars = aggregate(col("__as"), lit(0L),
+      (acc, t) => acc + length(t).cast("long"))
+    pre.select(col("doc_id"), col("clean_text"),
+      length(col("clean_text")).cast("long").as("n_chars"),
+      size(col("__as")).cast("long").as("n_links"),
+      linkChars.as("n_link_chars"),
+      frac4(linkChars, greatest(length(col("clean_text")).cast("long"), lit(1L)))
+        .as("link_density"))
+  }
 }

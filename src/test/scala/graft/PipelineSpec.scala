@@ -393,6 +393,72 @@ class PipelineSpec extends SparkSpec {
     assert(r(4).getLong(1) == 2L && r(4).getString(3) == "tiny doc")
   }
 
+  test("line dedup: keeper keeps all copies, others lose all, blanks and uniques survive") {
+    val d = docsDF(Seq(
+      "boiler\nunique zero\nboiler",  // doc0: keeper of 'boiler', both copies stay
+      "boiler\nunique one",           // doc1: loses its copy
+      "same line\nsame line\n\ntail", // doc2: WITHIN-doc repeat only (df=1) → kept
+      "boiler"))                      // doc3: 100% boilerplate → erased, not dropped
+    val r = TextAnalysis.removeDupLines(d, 2).orderBy("doc_id").collect()
+    assert(r.length == 4)
+    assert(r(0).getString(3) == "boiler\nunique zero\nboiler")
+    assert(r(1).getString(3) == "unique one" && r(1).getLong(2) == 1L)
+    assert(r(2).getString(3) == "same line\nsame line\n\ntail")
+    assert(r(3).getLong(2) == 0L && r(3).getString(3) == "")
+    // detection agrees: one boilerplate line, df 3, keeper doc0
+    val b = TextAnalysis.boilerplateLines(d, 2).collect()
+    assert(b.length == 1 && b(0).getString(0) == "boiler")
+    assert(b(0).getLong(1) == 3L && b(0).getLong(2) == 4L && b(0).getLong(3) == 0L)
+  }
+
+  test("normalized line dedup matches digit/punct-blind, keeps raw text") {
+    val d = docsDF(Seq(
+      "page 1 of 10\nbody alpha",
+      "page 2 of 10!!\nbody beta",
+      "unrelated line\nbody gamma"))
+    // raw matching: nothing dedups
+    val raw = TextAnalysis.removeDupLines(d, 2).orderBy("doc_id").collect()
+    assert(raw.forall(r => r.getLong(1) == r.getLong(2)))
+    // normalized: both page lines share the key 'page of'; doc0 keeps
+    // its RAW line, doc1 loses its (differently-rendered) copy
+    val n = TextAnalysis.removeDupLines(d, 2, normalized = true)
+      .orderBy("doc_id").collect()
+    assert(n(0).getString(3) == "page 1 of 10\nbody alpha")
+    assert(n(1).getString(3) == "body beta")
+    assert(n(2).getString(3) == "unrelated line\nbody gamma")
+    // a digit/punct-ONLY line normalizes to '' and must never dedup
+    val d2 = docsDF(Seq("123!!\nx one", "456??\nx two"))
+    val n2 = TextAnalysis.removeDupLines(d2, 2, normalized = true)
+      .orderBy("doc_id").collect()
+    assert(n2.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
+  test("url filter extracts domains and flags the blocklist") {
+    val d = docsDF(Seq(
+      "see https://bad.example.com/x and https://ok.example.org/y",
+      "plain text, no links"))
+    val r = TextAnalysis.urlFilter(d, Seq("bad.example.com"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 2L && r(0).getBoolean(3))
+    assert(r(0).getString(2) == "bad.example.com,ok.example.org")
+    assert(r(1).getLong(1) == 0L && !r(1).getBoolean(3) && r(1).getString(2) == "")
+  }
+
+  test("html extract strips tags, unescapes entities, measures link density") {
+    val d = docsDF(Seq(
+      "<div><a href=\"/a\">home</a> <a href=\"/b\">about us</a></div>",
+      "<p>a &amp; b &lt;c&gt;</p><!-- note -->",
+      "tag free text is its own fixed point"))
+    val r = TextAnalysis.htmlTextStats(d).orderBy("doc_id").collect()
+    assert(r(0).getString(1) == "home about us")
+    assert(r(0).getLong(3) == 2L && r(0).getLong(4) == 12L)
+    // 12 link chars over 13 clean chars on the 1e-4 floor grid
+    assert(r(0).getDouble(5) == 0.9230)
+    assert(r(1).getString(1) == "a & b <c>")
+    assert(r(1).getLong(3) == 0L && r(1).getDouble(5) == 0.0)
+    assert(r(2).getString(1) == "tag free text is its own fixed point")
+  }
+
   test("dup spans: maximal cross-doc runs with exact token offsets, per-doc coordinates") {
     val d = docsDF(Seq(
       "p1 p2 a b c d e f g h t1 t2 t3",  // doc0: shared 8-run at tokens 3..10
