@@ -391,6 +391,46 @@ object ScaleProbe {
         .groupBy(col("source")).agg(count(lit(1)), sum(col("fill"))).count()
     }
 
+    // line dedup: SALTED replication (cross-replica lines never match,
+    // so boilerplate density stays constant instead of every line going
+    // ×c-duplicated); one explode → hash agg → join-back → per-doc
+    // collect, all ∝ corpus lines — must scale ~linearly. Driver docs
+    // are single-line, which probes the degenerate worst case: every
+    // "line" is a whole document (maximum hash-input bytes per line)
+    probe("text_remove_dup_lines", Seq(1, 20)) { c =>
+      text.TextAnalysis.removeDupLines(saltedDocs(c), 2)
+        .agg(sum(col("n_kept"))).head().getLong(0)
+    }
+
+    // gopher gate / html extraction / url filter: pure narrow maps
+    // (row-local arrays + regex), zero shuffle — must be scan-bound
+    probe("text_gopher_rules", Seq(1, 20)) { c =>
+      text.TextAnalysis.gopherRules(
+        replicate(docs, c, Map("doc_id" -> 10000000L)))
+        .filter(col("pass")).count()
+    }
+    probe("text_html_extract", Seq(1, 20)) { c =>
+      text.TextAnalysis.htmlTextStats(
+        replicate(docs, c, Map("doc_id" -> 10000000L)))
+        .agg(sum(col("n_chars"))).head().getLong(0)
+    }
+    probe("text_url_filter", Seq(1, 20)) { c =>
+      text.TextAnalysis.urlFilter(
+        replicate(docs, c, Map("doc_id" -> 10000000L)), Seq("x.example.com"))
+        .filter(col("flagged")).count()
+    }
+
+    // semantic decontamination: the EVAL side is fixed (benchmark-sized
+    // broadcast); only the train scan scales ×c — per-row cost ∝ |eval|
+    // is constant, so wall-clock must grow ~linearly with the corpus
+    probe("decontam_embedding", Seq(1, 20)) { c =>
+      val e = engine.Tables.embeddings(spark, sf)
+      val train = replicate(e.filter(col("label") =!= 9), c,
+        Map("vec_id" -> 10000000L))
+      ann.Similarity.semanticContamination(
+        train, e.filter(col("label") === 9), 0.4).count()
+    }
+
     // MERGE-DEPTH probe (fixed corpus, steps 8 → 64): per-step input is
     // ∝ touched words and plan depth is pinned at one merge-apply by the
     // lazy per-step checkpoint, so total wall-time must grow ~linearly
