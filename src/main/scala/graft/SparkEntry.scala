@@ -1952,6 +1952,15 @@ object SparkEntry {
     // here and ONLY here; reassembled text keeps the raw lines
     "text_remove_dup_lines_norm" -> ((s, d) =>
       graft.text.TextAnalysis.removeDupLines(docsNl(s, d), 2, normalized = true)),
+    // the train→serve loop in one query: detect boilerplate over the
+    // corpus, then strip EVERY occurrence against the frozen list (no
+    // keeper survival — the ingest-gate semantics; the list side
+    // broadcasts)
+    "text_strip_boilerplate" -> ((s, d) => {
+      val dnl = docsNl(s, d)
+      graft.text.TextAnalysis.stripKnownBoilerplate(dnl,
+        graft.text.TextAnalysis.boilerplateLines(dnl, 2))
+    }),
     // C4 URL filter over in-text links: narrow regex map + literal
     // blocklist, zero shuffle
     "text_url_filter" -> ((s, d) =>
@@ -4098,6 +4107,25 @@ object SparkEntry {
         |kept AS (SELECT e.doc_id, e.p, e.line FROM e LEFT JOIN dup
         |    ON e.k = dup.k
         |  WHERE dup.k IS NULL OR e.doc_id = dup.keeper),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT l0.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  COALESCE(n_kept, 0) AS n_kept,
+        |  COALESCE(clean_text, '') AS clean_text
+        |FROM l0 LEFT JOIN r USING (doc_id)""".stripMargin,
+    // the frozen-list strip: same staging, no keeper exception
+    "text_strip_boilerplate" ->
+      s"""WITH dnl AS ($nlDocsSelect),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM dnl),
+        |e0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+        |    i -> {'p': i, 'line': ls[i]})) AS u FROM l0),
+        |e AS (SELECT doc_id, u.p AS p, u.line AS line FROM e0),
+        |dup AS (SELECT line FROM e WHERE line <> ''
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT e.doc_id, e.p, e.line FROM e LEFT JOIN dup
+        |    ON e.line = dup.line
+        |  WHERE dup.line IS NULL),
         |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
         |    string_agg(line, chr(10) ORDER BY p) AS clean_text
         |  FROM kept GROUP BY doc_id)

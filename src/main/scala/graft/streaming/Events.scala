@@ -645,6 +645,23 @@ object Events {
         onVerdicts(verdicts)
     }
 
+  /** Boilerplate-strip ingest gate: each micro-batch of NEW documents
+    * has its lines stripped against a FROZEN boilerplate list
+    * (detected once in batch — [[graft.text.TextAnalysis
+    * .boilerplateLines]], model-sized, cached by the caller) — the
+    * CCNet/RefinedWeb line cleanup applied at ingest time. Same
+    * operator as the batch serve half
+    * ([[graft.text.TextAnalysis.stripKnownBoilerplate]]), so per-doc
+    * outputs are bit-equal by construction (gated in StreamingSpec).
+    */
+  def boilerplateIngestGate(newDocs: DataFrame, boiler: DataFrame)(
+      onVerdicts: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onVerdicts(graft.text.TextAnalysis.stripKnownBoilerplate(
+          batch.toDF(), boiler))
+    }
+
   /** LM-quality scoring gate: each micro-batch of NEW documents is
     * scored under a FROZEN bigram model (trained once in batch —
     * [[graft.text.TextAnalysis.bigramModel]], vocab-sized, cached by

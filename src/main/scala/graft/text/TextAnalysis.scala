@@ -1535,6 +1535,37 @@ object TextAnalysis {
         array_join(kept, "\n").as("clean_text"))
   }
 
+  /** Strip KNOWN boilerplate lines — the serve half of the line-dedup
+    * train/serve split (detection: [[boilerplateLines]]). Unlike the
+    * corpus-wide [[removeDupLines]] (whose keeper retains one copy),
+    * a frozen-list strip cuts EVERY occurrence: the list already
+    * carries its canonical copies, so an arriving document is never
+    * the keeper. This is the operator an ingest gate runs per
+    * micro-batch against a boilerplate list detected once in batch.
+    *
+    * Scale shape: the list is model-sized (boilerplate, not corpus) →
+    * BROADCAST to the exploded-lines join; cut positions collect per
+    * doc (bounded by document length); row-local reassembly. The only
+    * exchange is the per-doc position aggregation.
+    */
+  def stripKnownBoilerplate(docs: DataFrame, boiler: DataFrame): DataFrame = {
+    val pre = docs.select(col("doc_id"), split(col("text"), "\n", -1).as("__ls"))
+    val ls = col("__ls")
+    val e = pre.select(col("doc_id"), posexplode(ls))
+      .toDF("doc_id", "pos0", "line")
+    val cuts = e.join(broadcast(boiler.select(col("line"))), Seq("line"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos0") + lit(1)).as("__ps"))
+    val ps = coalesce(col("__ps"), array().cast("array<int>"))
+    val kept = filter(ls, (l, i) => !array_contains(col("__psa"), i + lit(1)))
+    pre.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__ls"), ps.as("__psa"))
+      .select(col("doc_id"),
+        size(ls).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, "\n").as("clean_text"))
+  }
+
   /** URL extraction + domain-blocklist verdict (the C4 URL filter
     * applied to in-text links): per document, the URL count, distinct
     * domains (sorted, comma-joined — a deterministic scalar), and

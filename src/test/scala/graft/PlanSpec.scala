@@ -603,6 +603,34 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("web-ingest narrow maps: gopher/url/html plan with zero exchanges") {
+    val d = Tables.documents(spark, sf)
+    assert(!plan(graft.text.TextAnalysis.gopherRules(d)).contains("Exchange"))
+    assert(!plan(graft.text.TextAnalysis.urlFilter(d, Seq("x.example.com")))
+      .contains("Exchange"))
+    assert(!plan(graft.text.TextAnalysis.htmlTextStats(d)).contains("Exchange"))
+  }
+
+  test("line dedup: hash-keyed dup agg, no cartesian, broadcast-free corpus joins") {
+    val d = Tables.documents(spark, sf)
+    val p = plan(graft.text.TextAnalysis.removeDupLines(d, 2))
+    // the dup table and the cut-position join key on the 128-bit line
+    // hash — never a broadcast of a corpus-sized side, never a BNLJ
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("semantic decontamination: eval side broadcasts, no corpus-sized shuffle before the filter") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ann.Similarity.semanticContamination(
+      e.filter(col("label") =!= 9), e.filter(col("label") === 9), 0.4))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // the only hash exchange is the per-vector hit aggregation (partial
+    // aggregated below it, so at most one tiny row per flagged vector)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("kmeans assignment is a narrow map against literal centroids") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(graft.ann.Similarity.kmeansAssign(e, 8, 1))

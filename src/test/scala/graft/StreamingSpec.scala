@@ -827,6 +827,44 @@ class StreamingSpec extends SparkSpec {
     model.unpersist()
   }
 
+  test("boilerplate strip gate: streamed cleanups bit-equal the batch serve half") {
+    import spark.implicits._
+    // a corpus with multi-line docs: known boilerplate + unique bodies
+    val docs = Seq(
+      (1L, "accept cookies\nalpha body one"),
+      (2L, "accept cookies\nbeta body two\nfooter bar"),
+      (3L, "gamma body three\nfooter bar"),
+      (4L, "accept cookies"),
+      (5L, "delta body five\n\ntail")).toDF("doc_id", "text")
+    // detect once in batch, cache the model-sized list
+    val boiler = graft.text.TextAnalysis.boilerplateLines(docs, 2).cache()
+    boiler.count()
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_bp_ingest")
+    docs.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = graft.streaming.Events.boilerplateIngestGate(stream, boiler)(
+        v => v.collect().foreach(sink.add))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = sink.asScala
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val expect = graft.text.TextAnalysis.stripKnownBoilerplate(docs, boiler)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == expect && got.nonEmpty)
+    // frozen-list semantics: EVERY copy goes, keeper included — doc 1
+    // loses the banner its corpus-wide dedup twin would have kept
+    assert(got.contains((1L, 2L, 1L, "alpha body one")))
+    assert(got.contains((4L, 1L, 0L, "")))
+    assert(got.contains((5L, 3L, 3L, "delta body five\n\ntail")))
+    boiler.unpersist()
+  }
+
   test("streaming exact dedup: survivor set == batch min-per-content, bit parity") {
     val got = graft.streaming.Events.runDedupStream(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
