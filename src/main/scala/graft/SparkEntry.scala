@@ -906,6 +906,31 @@ object SparkEntry {
         .agg(sum(col("acc")).cast("long").as("acc_sum"),
           count(lit(1)).as("n_docs"))
     }),
+    // 1b) objects + exceptions end-to-end (the r12 interpreter surface):
+    //     an object-literal accumulator mutated per word, a throw/catch
+    //     pair routing long words, a finally-set property counted via
+    //     Object.keys — replayed as a loop-free list fold in SQL
+    "dynamic_udf_js_object" -> ((s, d) => {
+      val js = """function map(row) {
+        var st = {sum: 0, nlong: 0};
+        var ws = row.text.split(' ');
+        for (var i = 0; i < ws.length; i++) {
+          try {
+            if (ws[i].length > 6) { throw {l: ws[i].length}; }
+            st.sum += ws[i].length;
+          } catch (e) {
+            st.nlong++;
+            st.sum += e.l % 7;
+          } finally {
+            st.touched = 1;
+          }
+        }
+        return st.sum * 10000 + st.nlong * 10 + Object.keys(st).length;
+      }"""
+      graft.functions.JsGesture.withJsColumnTyped(docs(s, d),
+          "score", js, org.apache.spark.sql.types.DoubleType)
+        .select(col("doc_id"), col("score"))
+    }),
     // 2) while-loop digit sum as a filter verdict (casting out nines
     //    makes the loop's result SQL-checkable: digitsum(n)%9 == n%9)
     "dynamic_filter_js_loop" -> ((s, d) =>
@@ -1938,6 +1963,13 @@ object SparkEntry {
     "text_gopher_rules" -> ((s, d) =>
       graft.text.TextAnalysis.gopherRules(docs(s, d),
         stopwords = Seq("the", "a", "of", "and"))),
+    // the cleaning-pipeline survivor dashboard: ingested → gopher →
+    // language → blocklist → exact-dedup survivor, prefix conjunctions
+    // of one-scan flags; the only data-sized exchange is the dedup
+    // window (the shuffle exact dedup itself pays)
+    "corpus_filter_funnel" -> ((s, d) =>
+      graft.text.TextAnalysis.filterFunnel(docs(s, d), "en",
+        Seq("the", "a", "of", "and"), Seq("slow join", "qqq"))),
     // ── web-ingest cleanup family (CCNet/RefinedWeb/C4 line+URL+HTML) ──
     // cross-doc boilerplate-line detection over the newline-planted
     // corpus: one explode, one groupBy on the line
@@ -3193,6 +3225,16 @@ object SparkEntry {
         |  SELECT COALESCE(list_sum(list_transform(range(1, length(text)+1),
         |      j -> j * ascii(substring(text, j, 1)))), 0) % 1000003 AS acc
         |  FROM documents WHERE length(text) = strlen(text))""".stripMargin,
+    // the object/try-catch gesture replayed: the catch arm is the
+    // length>6 CASE branch, the finally-set key makes Object.keys 3
+    "dynamic_udf_js_object" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |      w -> CASE WHEN length(w) > 6 THEN length(w) % 7
+        |           ELSE length(w) END)) * 10000
+        |    + len(list_filter(string_split(text, ' '),
+        |        w -> length(w) > 6)) * 10 + 3 AS DOUBLE) AS score
+        |FROM documents""".stripMargin,
     "dynamic_filter_js_loop" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 9 = 0""".stripMargin,
@@ -4062,6 +4104,44 @@ object SparkEntry {
         |    AND n_stop >= 2
         |    AND n_sym * 10000 // den <= 1000) AS pass
         |FROM c""".stripMargin,
+    // the funnel replayed stage by stage: the gopher conjunction is the
+    // text_gopher_rules pass expr, blocklist-any = contains-any (the
+    // automaton's leftmost-greedy consumption cannot hide a contained
+    // term — any occurrence is covered by SOME matched term), survivor
+    // election via the same windowed min
+    "corpus_filter_funnel" ->
+      """WITH t AS (SELECT doc_id, lang, text, md5(text) AS h,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, h,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(GREATEST(len(ws), 1) AS BIGINT) AS den,
+        |    CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_intersect(list_distinct(ws),
+        |      ['the', 'a', 'of', 'and'])) AS BIGINT) AS n_stop,
+        |    CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS n_sym,
+        |    CAST(COALESCE(list_max(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS max_word_len,
+        |    NOT (contains(lower(text), 'slow join')
+        |      OR contains(lower(text), 'qqq')) AS b
+        |  FROM t),
+        |f AS (SELECT doc_id, h,
+        |    (n_words >= 5 AND n_words <= 100000
+        |      AND sum_len * 10000 // den BETWEEN 30000 AND 100000
+        |      AND max_word_len <= 30
+        |      AND n_alpha * 10000 // den >= 8000
+        |      AND n_stop >= 2
+        |      AND n_sym * 10000 // den <= 1000) AS g,
+        |    lang = 'en' AS l, b
+        |  FROM c),
+        |s AS (SELECT *, g AND l AND b AS s3 FROM f),
+        |s4 AS (SELECT *, s3 AND doc_id = min(CASE WHEN s3 THEN doc_id END)
+        |    OVER (PARTITION BY h) AS sv FROM s)
+        |SELECT '0_ingested' AS stage, count(*) AS n_docs FROM s4
+        |UNION ALL SELECT '1_quality', count(*) FILTER (WHERE g) FROM s4
+        |UNION ALL SELECT '2_language', count(*) FILTER (WHERE g AND l) FROM s4
+        |UNION ALL SELECT '3_blocklist', count(*) FILTER (WHERE s3) FROM s4
+        |UNION ALL SELECT '4_dedup', count(*) FILTER (WHERE sv) FROM s4""".stripMargin,
     // cross-doc boilerplate-line detection over the newline-planted
     // corpus: exact line-string grouping on both sides
     "text_boilerplate_lines" ->

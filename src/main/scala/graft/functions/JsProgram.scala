@@ -73,6 +73,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * time — gestures must be deterministic. Documented deviations:
   * string rendering is the `toISOString` form, and loose `==` against
   * a number compares millis (JS stringifies the Date first).
+  *
+  * Objects and exceptions (r12): object literals `{a: 1, 'b': x}` with
+  * property get/set (`o.a`, `o['a']`, compound assignment, `++`/`--`),
+  * `hasOwnProperty`, `Object.keys`/`Object.values`; plain objects are
+  * reference values (`===` and loose `==` between two objects are
+  * IDENTITY, stringification is "[object Object]", numeric coercion is
+  * NaN). `throw`/`try`/`catch`/`finally` run with the JS completion
+  * rules (finally overrides abrupt outcomes; catch may rethrow; an
+  * uncaught throw kills the gesture with a readable message). ONE
+  * documented deviation: only user `throw` values are catchable —
+  * engine errors (fuel, call depth, unsupported operations) stay
+  * fatal, so a gesture's catch block can never swallow the
+  * runaway-loop protection (GraalVM surfaces its TypeErrors as
+  * catchable; ours are the uncatchable engine kind). Still
+  * unsupported, by design: closures/functions as values, prototypes,
+  * getters/setters.
   */
 object JsProgram {
 
@@ -141,9 +157,36 @@ object JsProgram {
   private val IsoMillis =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 
+  /** Object literal `{a: 1, 'b': x}` — fields evaluate in source
+    * order into an insertion-ordered map. */
+  final case class EObj(fields: Seq[(String, E)]) extends E
+
+  /** JS plain-object runtime value: insertion-ordered string-keyed
+    * mutable map. Plain `class`: object identity (two structurally
+    * equal objects are `!==`), exactly the array story. Stringifies
+    * as "[object Object]"; numeric coercion is NaN. Loose `==`
+    * between two objects compares IDENTITY (the JS rule); ordered
+    * comparisons between two objects are rejected-by-unspecified
+    * (JS would compare "[object Object]" strings — never meaningful
+    * in a gesture). */
+  final class JsObj(val m: scala.collection.mutable.LinkedHashMap[String, Any])
+    extends Serializable {
+    override def toString: String = "[object Object]"
+  }
+
+  /** A user `throw` in flight. Only THIS is catchable by `try`/`catch`
+    * — engine errors (fuel, depth, unsupported operations) stay fatal,
+    * so runaway-loop protection cannot be swallowed by a gesture's
+    * catch block (documented deviation: GraalVM surfaces engine
+    * TypeErrors as catchable JS errors). Stackless: control flow, not
+    * diagnostics. */
+  final case class JsThrown(v: Any)
+    extends RuntimeException(null, null, false, false)
+
   sealed trait LV extends Serializable
   final case class LVar(slot: Int) extends LV
   final case class LIndex(arr: E, ix: E) extends LV
+  final case class LProp(obj: E, name: String) extends LV
 
   sealed trait S extends Serializable
   final case class SExpr(e: E) extends S
@@ -156,6 +199,14 @@ object JsProgram {
   final case class SReturn(e: Option[E]) extends S
   case object SBreak extends S
   case object SContinue extends S
+  final case class SThrow(e: E) extends S
+  /** `try`/`catch`/`finally`. `catchSlot` = −1 means no catch clause
+    * (try/finally); a parameterless `catch {}` gets a slot that simply
+    * goes unread. The finally block runs on every exit path and its
+    * own abrupt completion (return/break/continue) overrides the
+    * try/catch outcome — the JS completion-value rules. */
+  final case class STry(body: Vector[S], catchSlot: Int,
+    catchBody: Vector[S], fin: Vector[S]) extends S
 
   final case class Fn(name: String, nParams: Int, nSlots: Int, body: Vector[S])
     extends Serializable
@@ -282,7 +333,8 @@ object JsProgram {
 
   private val Keywords = Set("function", "var", "let", "const", "if", "else",
     "while", "for", "return", "break", "continue", "true", "false", "null",
-    "Math", "Number", "String", "isNaN")
+    "Math", "Number", "String", "isNaN", "throw", "try", "catch", "finally",
+    "new")
 
   /** Per-function parse scope: slot table + the row parameter name (the
     * entry's single parameter; helpers have no row access — fields flow
@@ -419,7 +471,29 @@ object JsProgram {
       if (init.isEmpty) loop else SIf(EBool(true), init :+ loop, Vector.empty)
     } else if (p.eatKw("break")) { p.eat(";"); SBreak }
     else if (p.eatKw("continue")) { p.eat(";"); SContinue }
-    else {
+    else if (p.eatKw("throw")) {
+      val e = parseExpr(p, b, sc); p.eat(";"); SThrow(e)
+    } else if (p.eatKw("try")) {
+      p.expect("{"); val body = parseStmts(p, b, sc); p.expect("}")
+      var catchSlot = -1
+      var catchBody = Vector.empty[S]
+      var fin = Vector.empty[S]
+      if (p.eatKw("catch")) {
+        if (p.eat("(")) {
+          val n = p.ident()
+          if (Keywords(n)) p.fail(s"cannot bind catch parameter '$n'")
+          catchSlot = sc.declare(n)
+          p.expect(")")
+        } else catchSlot = sc.declare("__catch_unbound")
+        p.expect("{"); catchBody = parseStmts(p, b, sc); p.expect("}")
+      }
+      if (p.eatKw("finally")) {
+        p.expect("{"); fin = parseStmts(p, b, sc); p.expect("}")
+      }
+      if (catchSlot < 0 && fin.isEmpty)
+        p.fail("try requires a catch or finally clause")
+      STry(body, catchSlot, catchBody, fin)
+    } else {
       val s = parseSimpleStmt(p, b, sc)
       p.eat(";")
       s
@@ -445,6 +519,9 @@ object JsProgram {
     def lvalueOf(e0: E): LV = e0 match {
       case ELocal(s) => LVar(s)
       case EIndex(a, ix) => LIndex(a, ix)
+      // `obj.prop = v` parses as a no-arg method node; assignment
+      // re-reads it as a property target (eval rejects non-objects)
+      case EMeth(r, name, Seq()) => LProp(r, name)
       case _ => p.fail("invalid assignment target")
     }
     p.ws()
@@ -588,6 +665,25 @@ object JsProgram {
         }
         p.expect("]")
         EArr(elems.toSeq)
+      case Some('{') =>
+        // object literal: {key: expr, 'key': expr, ...}
+        p.expect("{")
+        val fields = scala.collection.mutable.ArrayBuffer.empty[(String, E)]
+        if (!p.peek("}")) {
+          def field(): Unit = {
+            val k = p.peekChar match {
+              case Some('\'') => p.stringLit('\'')
+              case Some('"') => p.stringLit('"')
+              case _ => p.ident()
+            }
+            p.expect(":")
+            fields += k -> parseExpr(p, b, sc)
+          }
+          field()
+          while (p.eat(",")) field()
+        }
+        p.expect("}")
+        EObj(fields.toSeq)
       case Some('\'') => EStr(p.stringLit('\''))
       case Some('"') => EStr(p.stringLit('"'))
       case Some('/') =>
@@ -633,6 +729,14 @@ object JsProgram {
             val a0 = parseExpr(p, b, sc)
             p.expect(")")
             EGlobal(id, Seq(a0))
+          case "Object" if p.peek(".") =>
+            p.expect("."); val f = p.ident()
+            if (f != "keys" && f != "values")
+              p.fail(s"unsupported Object.$f")
+            p.expect("(")
+            val a0 = parseExpr(p, b, sc)
+            p.expect(")")
+            EGlobal(if (f == "keys") "ObjectKeys" else "ObjectValues", Seq(a0))
           case "new" =>
             val ctor = p.ident()
             if (ctor != "Date") p.fail(s"unsupported constructor 'new $ctor'")
@@ -728,6 +832,7 @@ object JsProgram {
       case b: java.lang.Boolean => if (b) 1.0 else 0.0
       case _: scala.collection.mutable.ArrayBuffer[_] => Double.NaN
       case _: JsRegex => Double.NaN // JS Number(/x/) is NaN
+      case _: JsObj => Double.NaN // JS Number({}) is NaN
       case dt: JsDate => dt.millis // Date.prototype.valueOf
       case other => sys.error(s"not numeric: $other")
     }
@@ -750,6 +855,10 @@ object JsProgram {
     }
     def cmp(a: Any, bv: Any): Option[Int] = (a, bv) match {
       case (null, _) | (_, null) => None
+      // loose == between two plain objects is IDENTITY in JS (no
+      // ToPrimitive); the non-zero result makes ordered comparisons
+      // between two objects always-false rather than meaningful
+      case (x: JsObj, y: JsObj) => Some(if (x eq y) 0 else 1)
       case (x: String, y: String) => Some(x.compareTo(y))
       case (x: java.lang.Boolean, y: java.lang.Boolean) =>
         Some(x.compareTo(y))
@@ -798,8 +907,9 @@ object JsProgram {
         java.lang.Double.compare(x.doubleValue, y.doubleValue) == 0
       case (x: scala.collection.mutable.ArrayBuffer[_],
             y: scala.collection.mutable.ArrayBuffer[_]) => x eq y
-      // Dates are objects: identity, not millis (JS `d1 === d2`)
+      // Dates and objects: identity, not value (JS `d1 === d2`)
       case (x: JsDate, y: JsDate) => x eq y
+      case (x: JsObj, y: JsObj) => x eq y
       case _ => false
     }
     def toIdx(v: Any): Int = {
@@ -842,8 +952,54 @@ object JsProgram {
                   while (ab.size <= ix) ab += null // JS sparse-extend
                   ab(ix) = if (op == "=") v else binOp(op, ab(ix), v)
                 }
+              case o: JsObj =>
+                // obj['k'] = v — computed property assignment; the key
+                // stringifies, exactly the JS property-key coercion
+                val k = s(ev(ixE, frame, depth))
+                val v = ev(value, frame, depth)
+                if (k != null)
+                  o.m(k) = if (op == "=") v else binOp(op, o.m.getOrElse(k, null), v)
               case null => () // null target: SQL propagation, no-op
               case other => sys.error(s"cannot index-assign into $other")
+            }
+          case SAssign(LProp(objE, name), op, value) =>
+            ev(objE, frame, depth) match {
+              case o: JsObj =>
+                val v = ev(value, frame, depth)
+                o.m(name) = if (op == "=") v
+                  else binOp(op, o.m.getOrElse(name, null), v)
+              case null => () // null target: SQL propagation, no-op
+              case other => sys.error(s"cannot set property .$name on $other")
+            }
+          case SIncDec(LProp(objE, name), delta) =>
+            ev(objE, frame, depth) match {
+              case o: JsObj =>
+                val x = d(o.m.getOrElse(name, null))
+                o.m(name) = if (x == null) null
+                  else java.lang.Double.valueOf(x.doubleValue + delta)
+              case _ => ()
+            }
+          case SThrow(e) => throw JsThrown(ev(e, frame, depth))
+          case STry(body, catchSlot, catchBody, fin) =>
+            var out: Sig = SigNormal
+            var pending: Throwable = null
+            try out = exec(body, frame, depth)
+            catch {
+              case t: JsThrown =>
+                if (catchSlot >= 0) {
+                  frame(catchSlot) = t.v
+                  // a rethrow from the catch block propagates (after
+                  // the finally) — the JS completion rules
+                  try out = exec(catchBody, frame, depth)
+                  catch { case t2: JsThrown => pending = t2 }
+                } else pending = t // try/finally without catch
+            }
+            val fsig = exec(fin, frame, depth)
+            if (fsig != SigNormal) { pending = null; out = fsig }
+            if (pending != null) throw pending
+            out match {
+              case SigNormal => ()
+              case sig => return sig
             }
           case SIncDec(LVar(slot), delta) =>
             val x = d(frame(slot))
@@ -857,6 +1013,13 @@ object JsProgram {
                 if (ix >= 0 && ix < ab.size) {
                   val x = d(ab(ix))
                   ab(ix) = if (x == null) null
+                    else java.lang.Double.valueOf(x.doubleValue + delta)
+                }
+              case o: JsObj =>
+                val k = s(ev(ixE, frame, depth))
+                if (k != null) {
+                  val x = d(o.m.getOrElse(k, null))
+                  o.m(k) = if (x == null) null
                     else java.lang.Double.valueOf(x.doubleValue + delta)
                 }
               case _ => ()
@@ -979,14 +1142,25 @@ object JsProgram {
           val ab = new scala.collection.mutable.ArrayBuffer[Any](elems.size)
           elems.foreach(x => ab += ev(x, frame, depth))
           ab
+        case EObj(fields) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+          fields.foreach { case (k, v) => m(k) = ev(v, frame, depth) }
+          new JsObj(m)
         case EIndex(arrE, ixE) =>
+          // base evaluates BEFORE the subscript (JS order); the
+          // subscript coerces per receiver — integer for arrays and
+          // strings, property-key string for objects
           val base = ev(arrE, frame, depth)
-          val ix = toIdx(ev(ixE, frame, depth))
           base match {
-            case null => null
+            case null => ev(ixE, frame, depth); null
+            case o: JsObj =>
+              val k = s(ev(ixE, frame, depth))
+              if (k == null) null else o.m.getOrElse(k, null)
             case a: scala.collection.mutable.ArrayBuffer[_] =>
+              val ix = toIdx(ev(ixE, frame, depth))
               if (ix >= 0 && ix < a.size) a(ix) else null
             case st: String =>
+              val ix = toIdx(ev(ixE, frame, depth))
               if (ix >= 0 && ix < st.length) st.charAt(ix).toString else null
             case other => sys.error(s"cannot index $other")
           }
@@ -1029,6 +1203,22 @@ object JsProgram {
               if (code < 0 || code > Char.MaxValue.toInt) "�"
               else code.toChar.toString
           }
+        case EGlobal("ObjectKeys", Seq(x)) =>
+          ev(x, frame, depth) match {
+            case o: JsObj =>
+              val ab = new scala.collection.mutable.ArrayBuffer[Any](o.m.size)
+              o.m.keysIterator.foreach(ab += _)
+              ab
+            case other => sys.error(s"Object.keys on non-object $other")
+          }
+        case EGlobal("ObjectValues", Seq(x)) =>
+          ev(x, frame, depth) match {
+            case o: JsObj =>
+              val ab = new scala.collection.mutable.ArrayBuffer[Any](o.m.size)
+              o.m.valuesIterator.foreach(ab += _)
+              ab
+            case other => sys.error(s"Object.values on non-object $other")
+          }
         case EGlobal("DateUTC", args) =>
           java.lang.Double.valueOf(
             dateFromComponents(args.map(x => d(ev(x, frame, depth)))))
@@ -1062,6 +1252,18 @@ object JsProgram {
         frame: Array[Any], depth: Int): Any = {
       recv match {
         case null => null
+        case o: JsObj =>
+          name match {
+            case "hasOwnProperty" =>
+              val k = s(ev(args.head, frame, depth))
+              java.lang.Boolean.valueOf(k != null && o.m.contains(k))
+            case _ if args.isEmpty =>
+              // property read; a missing key is JS undefined → null
+              o.m.getOrElse(name, null)
+            case other =>
+              sys.error(s"object property .$other is not callable " +
+                "(functions as values are unsupported)")
+          }
         case re: JsRegex =>
           name match {
             case "test" =>
@@ -1238,7 +1440,14 @@ object JsProgram {
     // the entry's single parameter is the row object, which is never a
     // runtime value (all field reads were rewritten to ERow at parse
     // time) — its slot stays null
-    callFn(prog.entryIx, new Array[Any](1), 0)
+    try callFn(prog.entryIx, new Array[Any](1), 0)
+    catch {
+      // an uncaught user `throw` kills the GESTURE with a readable
+      // message (GraalVM parity: the script error propagates to the
+      // host), never escapes as bare control flow
+      case t: JsThrown => throw new IllegalStateException(
+        s"uncaught JS exception: ${if (t.v == null) "null" else s(t.v)}")
+    }
   }
 
   // ── Spark value bridging ───────────────────────────────────────────

@@ -455,10 +455,71 @@ object TextAnalysis {
       nStop.as("n_stopwords"),
       (symE4 / lit(10000.0)).as("symbol_word_frac"),
       maxLen.as("max_word_len"),
-      (nW >= minWords && nW <= maxWords &&
-        meanLenE4 >= lit(30000L) && meanLenE4 <= lit(100000L) &&
-        maxLen <= lit(30L) && alphaE4 >= lit(8000L) &&
-        nStop >= lit(2L) && symE4 <= lit(1000L)).as("pass"))
+      gopherPass(ws, minWords, maxWords, stops).as("pass"))
+  }
+
+  /** The composite Gopher verdict over a pre-projected token-array
+    * attribute — shared by [[gopherRules]] (which also reports the
+    * per-rule signals) and [[filterFunnel]] (which needs only the
+    * verdict, inline, to stay one-pass). */
+  private[graft] def gopherPass(ws: Column, minWords: Int, maxWords: Int,
+      stops: Seq[String]): Column = {
+    val nW = size(ws).cast("long")
+    val den = greatest(nW, lit(1L))
+    val sumLen = aggregate(ws, lit(0L), (a, w) => a + length(w).cast("long"))
+    val meanLenE4 = intDiv(sumLen * lit(10000L), den)
+    val alphaE4 = intDiv(
+      size(filter(ws, w => w.rlike("[a-z]"))).cast("long") * lit(10000L), den)
+    val nStop = size(array_intersect(array_distinct(ws),
+      array(stops.map(lit): _*))).cast("long")
+    val symE4 = intDiv(
+      size(filter(ws, w => w.contains("#") || w.contains("...")))
+        .cast("long") * lit(10000L), den)
+    val maxLen = coalesce(
+      array_max(transform(ws, w => length(w))).cast("long"), lit(0L))
+    nW >= minWords && nW <= maxWords &&
+      meanLenE4 >= lit(30000L) && meanLenE4 <= lit(100000L) &&
+      maxLen <= lit(30L) && alphaE4 >= lit(8000L) &&
+      nStop >= lit(2L) && symE4 <= lit(1000L)
+  }
+
+  /** Corpus filter FUNNEL — the survivor dashboard every production
+    * cleaning pipeline reports (how many documents each stage admits):
+    * ingested → Gopher quality gate → language match → blocklist clean
+    * → exact-dedup survivor. Stages compose as prefix conjunctions of
+    * per-doc flags computed in ONE scan (quality + language + one
+    * Aho–Corasick blocklist pass); the dedup stage elects min-doc_id
+    * survivors among stage-3 survivors via a window over the content
+    * hash — the funnel's only data-sized exchange (the same shuffle
+    * exact dedup itself pays); the final aggregation collapses to one
+    * row before exploding into the 5 stage rows.
+    */
+  def filterFunnel(docs: DataFrame, lang: String, stopwords: Seq[String],
+      blockTerms: Seq[String]): DataFrame = {
+    val pre = docs.select(col("doc_id"),
+      md5(col("text")).as("__h"),
+      gopherPass(filter(split(lower(col("text")), " "), w => w =!= ""),
+        5, 100000, stopwords).as("__g"),
+      (col("lang") === lang).as("__l"),
+      (size(graft.functions.AhoCorasick.ac_matches(lower(col("text")),
+        normalizeLexicon(blockTerms))) === 0).as("__b"))
+      .withColumn("__s3", col("__g") && col("__l") && col("__b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    val sv = col("__s3") &&
+      col("doc_id") === min(when(col("__s3"), col("doc_id"))).over(w)
+    pre.select(col("__g"), col("__l"), col("__s3"), sv.as("__sv"))
+      .agg(count(lit(1)).as("n0"),
+        count(when(col("__g"), 1)).as("n1"),
+        count(when(col("__g") && col("__l"), 1)).as("n2"),
+        count(when(col("__s3"), 1)).as("n3"),
+        count(when(col("__sv"), 1)).as("n4"))
+      .select(explode(array(
+        struct(lit("0_ingested").as("stage"), col("n0").as("n_docs")),
+        struct(lit("1_quality").as("stage"), col("n1").as("n_docs")),
+        struct(lit("2_language").as("stage"), col("n2").as("n_docs")),
+        struct(lit("3_blocklist").as("stage"), col("n3").as("n_docs")),
+        struct(lit("4_dedup").as("stage"), col("n4").as("n_docs")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
   }
 
   /** Corpus token statistics per source (whitespace tokenization; a

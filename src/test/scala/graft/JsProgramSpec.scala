@@ -424,6 +424,107 @@ class JsProgramSpec extends SparkSpec {
       .select(col("l")).collect().head.getDouble(0) == 11.0)
   }
 
+  test("object literals: properties, computed keys, Object.keys, identity") {
+    val js = """function map(row) {
+      var o = {count: 0, 'first word': null, tag: row.f};
+      var ws = row.m.split(' ');
+      for (var i = 0; i < ws.length; i++) {
+        o.count++;
+        if (o['first word'] === null && ws[i] != '') { o['first word'] = ws[i]; }
+      }
+      o.nested = {depth: 1};
+      o.nested.depth += 41;
+      var k = Object.keys(o);
+      var idcheck = ({a: 1} === {a: 1} ? 100 : 0) + ({a: 1} == {a: 2} ? 10 : 0)
+        + (o.nested === o.nested ? 1 : 0);
+      return '' + o.count + '|' + o['first word'] + '|' + o.tag + '|' +
+        o.nested.depth + '|' + k.join('-') + '|' + idcheck + '|' +
+        (o.hasOwnProperty('tag') ? 1 : 0) + (o.hasOwnProperty('zz') ? 9 : 0) +
+        '|' + (o.missing === null ? 'null' : 'set') + '|' +
+        Object.values(o.nested).join('');
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame, "r", js, StringType)
+      .select(col("d"), col("r")).collect()
+      .map(r => r.getDouble(0).toInt -> r.getString(1)).toMap
+    // row 0: m = "alpha" (1 word), f = "RED"
+    assert(got(0) == "1|alpha|RED|42|count-first word-tag-nested|1|10|null|42",
+      got(0))
+    // row 1: m = "Bravo Chad" (2 words), f = "green"
+    assert(got(1) == "2|Bravo|green|42|count-first word-tag-nested|1|10|null|42",
+      got(1))
+    // an object rendered to a string column is "[object Object]"
+    val render = JsGesture.withJsColumnTyped(frame, "o",
+      "function map(row) { return {a: 1}; }", StringType)
+      .select(col("o")).head().getString(0)
+    assert(render == "[object Object]")
+  }
+
+  test("throw/try/catch/finally: completion rules, rethrow, uncatchable engine errors") {
+    val js = """function check(q) {
+      if (q >= 5) { throw {code: q, msg: 'too big'}; }
+      return q * 10;
+    }
+    function map(row) {
+      var log = '';
+      var v = -1;
+      try {
+        v = check(row.q);
+        log = log + 'ok';
+      } catch (e) {
+        log = log + 'caught:' + e.code + ':' + e.msg;
+      } finally {
+        log = log + '|fin';
+      }
+      // finally overriding an abrupt outcome: the return in try is
+      // superseded by the return in finally
+      var w = 0;
+      try { w = 1; throw 'boom'; } catch (e2) { w = 2; } finally { w = w + 10; }
+      return log + '|' + v + '|' + w;
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame, "r", js, StringType)
+      .select(col("q"), col("r")).collect()
+      .map(r => r.getDouble(0).toInt -> r.getString(1)).toMap
+    assert(got(3) == "ok|fin|30|12", got(3))
+    assert(got(6) == "caught:6:too big|fin|-1|12", got(6))
+    // catch rethrow propagates after finally; uncaught throw is a
+    // readable gesture error, not silent null
+    val rethrow = """function map(row) {
+      try { throw 'inner'; } catch (e) { throw 'outer:' + e; }
+      return 1;
+    }"""
+    val err = intercept[Exception] {
+      JsGesture.withJsColumnTyped(frame, "r", rethrow, StringType)
+        .select(col("r")).collect()
+    }
+    assert(err.getMessage != null && err.getMessage.contains("outer:inner")
+      || err.getCause != null && err.getCause.getMessage.contains("outer:inner"))
+    // fuel exhaustion is an ENGINE error: catch must NOT swallow it
+    val runaway = """function map(row) {
+      try { while (true) { var x = 1; } } catch (e) { return 'swallowed'; }
+      return 'done';
+    }"""
+    val err2 = intercept[Exception] {
+      JsGesture.withJsColumnTyped(frame.limit(1), "r", runaway, StringType)
+        .select(col("r")).collect()
+    }
+    val m2 = Option(err2.getMessage).getOrElse("") +
+      Option(err2.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(m2.contains("steps") && !m2.contains("swallowed"), m2)
+    // try/finally without catch: the throw survives the finally
+    val tf = """function map(row) {
+      var t = 0;
+      try { throw 'up'; } finally { t = 1; }
+      return t;
+    }"""
+    val err3 = intercept[Exception] {
+      JsGesture.withJsColumnTyped(frame.limit(1), "r", tf, StringType)
+        .select(col("r")).collect()
+    }
+    val m3 = Option(err3.getMessage).getOrElse("") +
+      Option(err3.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(m3.contains("uncaught JS exception"), m3)
+  }
+
   test("typed output coercion and boolean truthiness output") {
     val js = "function map(row) { return row.m; }" // string through double out
     // tier-1 path with cast: unparseable strings under TRY... use tier-2:

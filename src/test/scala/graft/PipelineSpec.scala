@@ -459,6 +459,23 @@ class PipelineSpec extends SparkSpec {
     assert(r(2).getString(1) == "tag free text is its own fixed point")
   }
 
+  test("filter funnel: monotone stage counts, each stage cuts the right docs") {
+    import spark.implicits._
+    val good = "the quick value of spark and merge join runs fine today"
+    val d = Seq(
+      (1L, good, "en"),                       // survives everything
+      (2L, good, "en"),                       // exact dup of 1 → cut at dedup
+      (3L, good, "fr"),                       // cut at language
+      (4L, "tiny doc", "en"),                 // cut at quality (word count)
+      (5L, good + " badterm here", "en"))     // cut at blocklist
+      .toDF("doc_id", "text", "lang")
+    val r = graft.text.TextAnalysis.filterFunnel(d, "en",
+        Seq("the", "of", "and"), Seq("badterm"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("0_ingested" -> 5L, "1_quality" -> 4L,
+      "2_language" -> 3L, "3_blocklist" -> 2L, "4_dedup" -> 1L), r)
+  }
+
   test("dup spans: maximal cross-doc runs with exact token offsets, per-doc coordinates") {
     val d = docsDF(Seq(
       "p1 p2 a b c d e f g h t1 t2 t3",  // doc0: shared 8-run at tokens 3..10
