@@ -420,6 +420,15 @@ object ScaleProbe {
         .filter(col("flagged")).count()
     }
 
+    // filter funnel: one flag-computing scan + the dedup window (the
+    // only data-sized exchange) + a 1-row agg — must scale ~linearly
+    probe("corpus_filter_funnel", Seq(1, 20)) { c =>
+      text.TextAnalysis.filterFunnel(
+        replicate(docs, c, Map("doc_id" -> 10000000L)), "en",
+        Seq("the", "a", "of", "and"), Seq("slow join", "qqq"))
+        .agg(sum(col("n_docs"))).head().getLong(0)
+    }
+
     // semantic decontamination: the EVAL side is fixed (benchmark-sized
     // broadcast); only the train scan scales ×c — per-row cost ∝ |eval|
     // is constant, so wall-clock must grow ~linearly with the corpus
