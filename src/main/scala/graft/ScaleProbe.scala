@@ -429,6 +429,15 @@ object ScaleProbe {
         .agg(sum(col("n_docs"))).head().getLong(0)
     }
 
+    // domain rank: corpus ×20 with UNCHANGED sources — the edge set
+    // (distinct site→domain) and the per-iteration shuffles stay
+    // graph-sized, so growth must track the one extraction scan only
+    probe("link_domain_rank", Seq(1, 20)) { c =>
+      graph.LinkGraph.domainRank(
+        replicate(docs, c, Map("doc_id" -> 10000000L)), 4)
+        .agg(sum(col("rank_micro"))).head().getLong(0)
+    }
+
     // semantic decontamination: the EVAL side is fixed (benchmark-sized
     // broadcast); only the train scan scales ×c — per-row cost ∝ |eval|
     // is constant, so wall-clock must grow ~linearly with the corpus

@@ -249,6 +249,63 @@ object SparkEntry {
       " AS v(doc_id, text, lang, source, n_chars)"
   }
 
+  // Planted LINK-GRAPH docs: each doc's `source` is a SITE and its text
+  // links to other sites in the set — the fixture behind domain
+  // PageRank. Coverage: a hub receiving from three sites, a duplicate
+  // in-text link (edge dedup), two docs from one site (cross-doc edge
+  // dedup), a spam island fed by one site, and a cycle (hub → alpha →
+  // hub). Base corpus docs carry no URLs: their sources rank at the
+  // teleport base, keeping the query corpus-coupled.
+  private[graft] val urlGraphRows: Seq[(Long, String, String)] = Seq(
+    (9500001L, "alpha.site",
+      "see https://hub.site/a then https://hub.site/b plus https://beta.site/x"),
+    (9500002L, "beta.site", "read https://hub.site/c today"),
+    (9500003L, "gamma.site",
+      "both https://hub.site/d and https://alpha.site/e linked"),
+    (9500004L, "delta.site", "shady https://spam.farm/z offer"),
+    (9500005L, "hub.site", "back to https://alpha.site/f now"),
+    (9500006L, "alpha.site", "more https://gamma.site/g content"))
+
+  private def docsUrlGraph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(urlGraphRows.map { case (id, site, t) =>
+      (id, t, "en", site, t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val urlGraphDocsSelect: String = {
+    val vals = urlGraphRows.map { case (id, site, t) =>
+      s"($id, '$t', 'en', '$site', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
+  /** The K-iteration integer PageRank oracle, mechanically unrolled
+    * (same arithmetic as [[graft.graph.LinkGraph.domainRank]]). */
+  private def linkRankSql(iterations: Int): String = {
+    val steps = (1 to iterations).map { k =>
+      s"""c$k AS (SELECT e.dst AS node,
+         |    SUM((85 * r${k - 1}.r) // (100 * o.od)) AS cin
+         |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+         |    JOIN o ON e.src = o.src GROUP BY 1),
+         |r$k AS (SELECT n.node,
+         |    CAST(150000 + COALESCE(c$k.cin, 0) AS BIGINT) AS r
+         |  FROM n LEFT JOIN c$k USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH du AS ($urlGraphDocsSelect),
+       |e AS (SELECT DISTINCT source AS src, split_part(u, '//', 2) AS dst
+       |  FROM (SELECT source,
+       |      unnest(regexp_extract_all(text, 'https?://[a-z0-9.-]+')) AS u
+       |    FROM du)),
+       |n AS (SELECT DISTINCT source AS node FROM du
+       |  UNION SELECT DISTINCT dst FROM e),
+       |o AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+       |$steps
+       |SELECT node, r AS rank_micro FROM r$iterations""".stripMargin
+  }
+
   // Planted HTML docs (tag strip + entity unescape + link density; the
   // tag-free base corpus must flow through htmlExtract UNCHANGED —
   // single-space ASCII text is its own fixed point)
@@ -1993,6 +2050,11 @@ object SparkEntry {
       graft.text.TextAnalysis.stripKnownBoilerplate(dnl,
         graft.text.TextAnalysis.boilerplateLines(dnl, 2))
     }),
+    // domain link-graph centrality: integer-exact PageRank over the
+    // distinct site→domain edge set (graph-sized, never corpus-sized);
+    // one URL-extraction scan, one shuffle per iteration
+    "link_domain_rank" -> ((s, d) =>
+      graft.graph.LinkGraph.domainRank(docsUrlGraph(s, d), 4)),
     // C4 URL filter over in-text links: narrow regex map + literal
     // blocklist, zero shuffle
     "text_url_filter" -> ((s, d) =>
@@ -4213,6 +4275,9 @@ object SparkEntry {
         |  COALESCE(n_kept, 0) AS n_kept,
         |  COALESCE(clean_text, '') AS clean_text
         |FROM l0 LEFT JOIN r USING (doc_id)""".stripMargin,
+    // integer PageRank replayed with mechanically-unrolled iteration
+    // CTEs — bit-identical // arithmetic at every step
+    "link_domain_rank" -> linkRankSql(4),
     // C4 URL filter: same scheme+host regex, domain = after the '//'
     "text_url_filter" ->
       s"""WITH du AS ($urlDocsSelect),

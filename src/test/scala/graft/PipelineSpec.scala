@@ -459,6 +459,38 @@ class PipelineSpec extends SparkSpec {
     assert(r(2).getString(1) == "tag free text is its own fixed point")
   }
 
+  test("domain rank: edge dedup, hub outranks island, dangling keeps teleport base") {
+    import spark.implicits._
+    val d = Seq(
+      // duplicate in-text link and a second doc from the same site:
+      // both collapse into ONE alpha.site → hub.site edge
+      (1L, "x https://hub.site/a y https://hub.site/b z", "en", "alpha.site", 1L),
+      (2L, "more https://hub.site/c text", "en", "alpha.site", 1L),
+      (3L, "link https://hub.site/d here", "en", "beta.site", 1L),
+      (4L, "only https://spam.farm/z link", "en", "delta.site", 1L),
+      (5L, "back https://alpha.site/e edge", "en", "hub.site", 1L),
+      (6L, "no links at all", "en", "lonely.site", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val edges = graft.graph.LinkGraph.domainEdges(d)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(edges == Set("alpha.site" -> "hub.site", "beta.site" -> "hub.site",
+      "delta.site" -> "spam.farm", "hub.site" -> "alpha.site"))
+    val r = graft.graph.LinkGraph.domainRank(d, 4)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // hub receives two full 85% shares; spam.farm only delta's one
+    assert(r("hub.site") > r("spam.farm"), r)
+    // dangling never-linked site sits exactly at the teleport base
+    assert(r("lonely.site") == 150000L, r)
+    // alpha is fed by the hub's single outlink: base + 85% of hub
+    assert(r("alpha.site") > r("spam.farm"), r)
+    // hand-checked iteration 1: hub = base + 850k//1 (alpha) + 850k//1
+    // (beta) — outdegree 1 each after dedup
+    val r1 = graft.graph.LinkGraph.domainRank(d, 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r1("hub.site") == 150000L + 850000L + 850000L, r1)
+    assert(r1("spam.farm") == 150000L + 850000L, r1)
+  }
+
   test("filter funnel: monotone stage counts, each stage cuts the right docs") {
     import spark.implicits._
     val good = "the quick value of spark and merge join runs fine today"
