@@ -2032,6 +2032,19 @@ object SparkEntry {
     // corpus: one explode, one groupBy on the line
     "text_boilerplate_lines" -> ((s, d) =>
       graft.text.TextAnalysis.boilerplateLines(docsNl(s, d), 2)),
+    // INCREMENTAL detection: per-shard line states (even/odd doc_id
+    // split plays two ingest shards) merged by (sum, sum, min), list
+    // derived from the merged state — exact, so it shares the batch
+    // oracle VERBATIM
+    "text_boilerplate_incremental" -> ((s, d) => {
+      val dnl = docsNl(s, d)
+      graft.text.TextAnalysis.mergeBoilerplateStates(Seq(
+          graft.text.TextAnalysis.boilerplateState(
+            dnl.filter(pmod(col("doc_id"), lit(2L)) === 0L)),
+          graft.text.TextAnalysis.boilerplateState(
+            dnl.filter(pmod(col("doc_id"), lit(2L)) === 1L))))
+        .filter(col("n_docs") >= 2)
+    }),
     // the destructive CCNet/RefinedWeb pass: boilerplate lines cut from
     // every non-keeper doc, text reassembled; 128-bit line keys
     "text_remove_dup_lines" -> ((s, d) =>
@@ -4206,6 +4219,15 @@ object SparkEntry {
         |UNION ALL SELECT '4_dedup', count(*) FILTER (WHERE sv) FROM s4""".stripMargin,
     // cross-doc boilerplate-line detection over the newline-planted
     // corpus: exact line-string grouping on both sides
+    // the incremental merge is exact on disjoint shards, so the same
+    // batch SQL is its oracle verbatim
+    "text_boilerplate_incremental" ->
+      s"""WITH dnl AS ($nlDocsSelect),
+        |e AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM dnl)
+        |SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences, min(doc_id) AS keeper
+        |FROM e WHERE line <> ''
+        |GROUP BY line HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "text_boilerplate_lines" ->
       s"""WITH dnl AS ($nlDocsSelect),
         |e AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM dnl)

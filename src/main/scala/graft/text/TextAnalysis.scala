@@ -1524,19 +1524,8 @@ object TextAnalysis {
     * the destructive transform below ships only 128-bit hashes.
     */
   def boilerplateLines(docs: DataFrame, minDocs: Int = 2,
-      normalized: Boolean = false): DataFrame = {
-    val raw = docs.select(col("doc_id"),
-        explode(filter(split(col("text"), "\n", -1),
-          l => length(l) > 0)).as("__raw"))
-    val keyed = raw.select(col("doc_id"),
-        (if (normalized) ccnetLineKey(col("__raw")) else col("__raw")).as("line"))
-      .filter(length(col("line")) > 0)
-    keyed.groupBy(col("line"))
-      .agg(count_distinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"),
-        min(col("doc_id")).as("keeper"))
-      .filter(col("n_docs") >= minDocs)
-  }
+      normalized: Boolean = false): DataFrame =
+    boilerplateState(docs, normalized).filter(col("n_docs") >= minDocs)
 
   /** Cross-document duplicate-line REMOVAL — the line-granularity
     * member of the dedup transform family (exact docs:
@@ -1595,6 +1584,43 @@ object TextAnalysis {
         size(kept).cast("long").as("n_kept"),
         array_join(kept, "\n").as("clean_text"))
   }
+
+  /** Storable line-dedup STATE — the incremental-maintenance member of
+    * the line-dedup family (the storable-sketch pattern: detect once
+    * per arriving shard, merge states, derive the boilerplate list
+    * from the merged state without ever rescanning old data). One row
+    * per distinct nonblank line key: (line, n_docs, n_occurrences,
+    * keeper). States over DISJOINT document shards merge EXACTLY by
+    * (sum, sum, min) — distinct-doc counts add when no document spans
+    * shards, which ingest sharding guarantees by construction (the
+    * same contract as the theta/HLL rollups' disjoint-partition
+    * merges). [[boilerplateLines]] ≡ this state filtered at
+    * `n_docs ≥ minDocs`, so incremental detection is bit-equal to the
+    * one-shot batch scan (property-gated, and the incremental query
+    * shares the batch oracle verbatim).
+    */
+  def boilerplateState(docs: DataFrame,
+      normalized: Boolean = false): DataFrame = {
+    val raw = docs.select(col("doc_id"),
+        explode(filter(split(col("text"), "\n", -1),
+          l => length(l) > 0)).as("__raw"))
+    raw.select(col("doc_id"),
+        (if (normalized) ccnetLineKey(col("__raw")) else col("__raw")).as("line"))
+      .filter(length(col("line")) > 0)
+      .groupBy(col("line"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("keeper"))
+  }
+
+  /** Merge line-dedup states from disjoint shards (see
+    * [[boilerplateState]]); associative and commutative, so shards
+    * fold in any order. */
+  def mergeBoilerplateStates(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_.unionByName(_)).groupBy(col("line"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_occurrences")).as("n_occurrences"),
+        min(col("keeper")).as("keeper"))
 
   /** Strip KNOWN boilerplate lines — the serve half of the line-dedup
     * train/serve split (detection: [[boilerplateLines]]). Unlike the

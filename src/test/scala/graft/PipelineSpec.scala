@@ -411,6 +411,36 @@ class PipelineSpec extends SparkSpec {
     assert(b(0).getLong(1) == 3L && b(0).getLong(2) == 4L && b(0).getLong(3) == 0L)
   }
 
+  test("boilerplate state merges exactly across disjoint shards, any fold order") {
+    val d = docsDF(Seq(
+      "boiler\nunique zero\nboiler",
+      "boiler\nunique one",
+      "same line\nsame line\n\ntail",
+      "boiler",
+      "same line\nclosing"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val batch = graft.text.TextAnalysis.boilerplateState(d)
+      .collect().map(key).toSet
+    // three disjoint shards, two fold orders — bit-equal to the batch
+    val shards = (0 until 3).map(k =>
+      graft.text.TextAnalysis.boilerplateState(
+        d.filter(pmod(col("doc_id"), lit(3L)) === k.toLong)))
+    val m1 = graft.text.TextAnalysis.mergeBoilerplateStates(shards)
+      .collect().map(key).toSet
+    val m2 = graft.text.TextAnalysis.mergeBoilerplateStates(shards.reverse)
+      .collect().map(key).toSet
+    assert(m1 == batch && m2 == batch && batch.nonEmpty)
+    // the within-doc repeat: n_docs counts DOCS (2), occurrences 3
+    assert(batch.contains(("same line", 2L, 3L, 2L)))
+    // ...and the derived list equals the batch detection
+    val inc = graft.text.TextAnalysis.mergeBoilerplateStates(shards)
+      .filter(col("n_docs") >= 2).collect().map(key).toSet
+    val det = graft.text.TextAnalysis.boilerplateLines(d, 2)
+      .collect().map(key).toSet
+    assert(inc == det)
+  }
+
   test("normalized line dedup matches digit/punct-blind, keeps raw text") {
     val d = docsDF(Seq(
       "page 1 of 10\nbody alpha",
