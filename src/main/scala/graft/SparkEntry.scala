@@ -306,6 +306,30 @@ object SparkEntry {
        |SELECT node, r AS rank_micro FROM r$iterations""".stripMargin
   }
 
+  // Planted PII docs (email/phone/IP occurrences plus digit runs where
+  // ONLY the Luhn-valid one may count as a card; the all-letter base
+  // corpus flows through as 500 zero rows)
+  private[graft] val piiRows: Seq[(Long, String)] = Seq(
+    9600001L -> "contact user@example.com or call 555-867-5309 now",
+    9600002L -> ("card 4111111111111111 works but 4111111111111112 fails " +
+      "and 79927398713 is short"),
+    9600003L -> "server at 10.0.0.1 and 192.168.1.255 plus order 1234567890123 id")
+
+  private def docsPii(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(piiRows.map { case (id, t) =>
+      (id, t, "en", "planted_pii", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val piiDocsSelect: String = {
+    val vals = piiRows.map { case (id, t) =>
+      s"($id, '$t', 'en', 'planted_pii', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   // Planted HTML docs (tag strip + entity unescape + link density; the
   // tag-free base corpus must flow through htmlExtract UNCHANGED —
   // single-space ASCII text is its own fixed point)
@@ -1923,6 +1947,11 @@ object SparkEntry {
       Histograms.histogram1D(ev(s, d),
         floor(graft.operators.ColumnOps.timeOfDayMs(col("ts")) / lit(3600000L))
           .cast("long"))),
+    // PII stats with LUHN-VALIDATED cards: the false-positive cut a
+    // real redaction pipeline applies (digit runs alone are mostly
+    // order ids — planted 4111111111111111 passes, ...1112 fails)
+    "pii_stats" -> ((s, d) =>
+      graft.text.TextAnalysis.piiStats(docsPii(s, d))),
     "pii_redact" -> ((s, d) =>
       // inject deterministic PII so the redaction provably fires, then
       // scrub it; the oracle applies the same regexes to the same text
@@ -4020,8 +4049,29 @@ object SparkEntry {
         |  FROM b)
         |SELECT vec_id, scale, CAST(list_sum(qs) AS BIGINT) AS q_sum,
         |  list_min(qs) AS q_min, list_max(qs) AS q_max FROM q""".stripMargin,
+    // the Luhn fold replayed as the same right-indexed list fold
+    "pii_stats" ->
+      s"""WITH dp AS ($piiDocsSelect)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\\d{3}[-.]\\d{3}[-.]\\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text,
+        |    '(\\d{1,3}\\.){3}\\d{1,3}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{13,19}')) AS BIGINT)
+        |    AS n_digit_runs,
+        |  CAST(len(list_filter(regexp_extract_all(text, '[0-9]{13,19}'),
+        |    c -> list_sum(list_transform(generate_series(1, length(c)),
+        |      j -> CASE WHEN j % 2 = 0 THEN
+        |          CASE WHEN 2 * (ascii(substr(c, CAST(length(c) - j + 1 AS INT), 1)) - 48) > 9
+        |            THEN 2 * (ascii(substr(c, CAST(length(c) - j + 1 AS INT), 1)) - 48) - 9
+        |            ELSE 2 * (ascii(substr(c, CAST(length(c) - j + 1 AS INT), 1)) - 48) END
+        |        ELSE ascii(substr(c, CAST(length(c) - j + 1 AS INT), 1)) - 48
+        |        END)) % 10 = 0)) AS BIGINT) AS n_cards_valid
+        |FROM dp""".stripMargin,
     "pii_redact" ->
-      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
         |  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@ex-ample.com or 10.1.'
         |    || CAST(doc_id % 256 AS VARCHAR) || '.7 ph 555-123-4567',
         |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),

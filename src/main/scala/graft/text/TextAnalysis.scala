@@ -795,6 +795,49 @@ object TextAnalysis {
       ip, "$1<IP>$4")
   }
 
+  /** PII statistics with LUHN-VALIDATED card detection — the practice
+    * real redaction pipelines run: a bare 13–19-digit run is mostly
+    * order ids and timestamps, so candidates only count as cards when
+    * the Luhn checksum holds (cuts the false-positive flood an
+    * unvalidated digit regex produces). Per doc: email / phone / IPv4
+    * occurrence counts (the [[redactPii]] patterns; the IP count drops
+    * redaction's context guards — a stats op, documented), digit-run
+    * candidates, and Luhn-valid cards. The Luhn fold is exact integer
+    * arithmetic over ≤19 digits, replayed with the same indexed list
+    * fold in SQL. Pure narrow map — zero shuffle.
+    */
+  def piiStats(docs: DataFrame): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phone = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+    val ip = "(\\d{1,3}\\.){3}\\d{1,3}"
+    val card = "[0-9]{13,19}"
+    // Luhn: from the RIGHT, double every 2nd digit, subtract 9 past 9;
+    // valid iff the sum is ≡ 0 (mod 10)
+    def luhnOk(s: Column): Column = {
+      val n = length(s)
+      val total = aggregate(sequence(lit(1), n), lit(0L), (acc, j) => {
+        val d = (ascii(substring(s, (n - j + lit(1)).cast("int"), lit(1)))
+          - lit(48)).cast("long")
+        val dd = when(j % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + dd
+      })
+      total % 10 === 0
+    }
+    val pre = docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(ip), lit(0)))
+        .cast("long").as("n_ips"),
+      regexp_extract_all(col("text"), lit(card), lit(0)).as("__cands"))
+    pre.select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+      size(col("__cands")).cast("long").as("n_digit_runs"),
+      size(filter(col("__cands"), c => luhnOk(c))).cast("long")
+        .as("n_cards_valid"))
+  }
+
   /** Overlapping fixed-size chunking (RAG / context-window prep): cut
     * each document into `chunkChars`-char windows starting every `stride`
     * chars. One narrow explode per document — chunk count is

@@ -489,6 +489,20 @@ class PipelineSpec extends SparkSpec {
     assert(r(2).getString(1) == "tag free text is its own fixed point")
   }
 
+  test("pii stats: luhn separates real cards from digit runs") {
+    val d = docsDF(Seq(
+      "contact user@example.com or call 555-867-5309 now",
+      "card 4111111111111111 works but 4111111111111112 fails",
+      "server at 10.0.0.1 and order 1234567890123 id",
+      "nothing sensitive here"))
+    val r = graft.text.TextAnalysis.piiStats(d).orderBy("doc_id").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(r(0) == ((1L, 1L, 0L, 0L, 0L)), r(0))   // email + phone
+    assert(r(1) == ((0L, 0L, 0L, 2L, 1L)), r(1))   // 2 runs, ONE luhn-valid
+    assert(r(2) == ((0L, 0L, 1L, 1L, 0L)), r(2))   // ip; invalid 13-digit run
+    assert(r(3) == ((0L, 0L, 0L, 0L, 0L)), r(3))
+  }
+
   test("domain rank: edge dedup, hub outranks island, dangling keeps teleport base") {
     import spark.implicits._
     val d = Seq(
