@@ -496,13 +496,18 @@ object TextAnalysis {
     */
   def filterFunnel(docs: DataFrame, lang: String, stopwords: Seq[String],
       blockTerms: Seq[String]): DataFrame = {
+    // token array projected to an ATTRIBUTE first: lambda bodies get no
+    // common-subexpression elimination, so an inlined gopherPass would
+    // re-split the text once per rule (the dupPassages precedent)
     val pre = docs.select(col("doc_id"),
-      md5(col("text")).as("__h"),
-      gopherPass(filter(split(lower(col("text")), " "), w => w =!= ""),
-        5, 100000, stopwords).as("__g"),
-      (col("lang") === lang).as("__l"),
-      (size(graft.functions.AhoCorasick.ac_matches(lower(col("text")),
-        normalizeLexicon(blockTerms))) === 0).as("__b"))
+        md5(col("text")).as("__h"),
+        filter(split(lower(col("text")), " "), w => w =!= "").as("__ws"),
+        (col("lang") === lang).as("__l"),
+        (size(graft.functions.AhoCorasick.ac_matches(lower(col("text")),
+          normalizeLexicon(blockTerms))) === 0).as("__b"))
+      .select(col("doc_id"), col("__h"),
+        gopherPass(col("__ws"), 5, 100000, stopwords).as("__g"),
+        col("__l"), col("__b"))
       .withColumn("__s3", col("__g") && col("__l") && col("__b"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
     val sv = col("__s3") &&
