@@ -420,6 +420,16 @@ object ScaleProbe {
         .filter(col("flagged")).count()
     }
 
+    // unigram viterbi: DP per DISTINCT word (vocab-sized frame,
+    // broadcast back) — corpus ×20 with unchanged vocabulary must be
+    // scan/agg-bound, never DP-bound
+    probe("text_tokens_unigram", Seq(1, 20)) { c =>
+      text.TextAnalysis.unigramStats(
+        replicate(docs, c, Map("doc_id" -> 10000000L)),
+        SparkEntry.unigramVocab)
+        .agg(sum(col("cost_sum"))).head().getLong(0)
+    }
+
     // filter funnel: one flag-computing scan + the dedup window (the
     // only data-sized exchange) + a 1-row agg — must scale ~linearly
     probe("corpus_filter_funnel", Seq(1, 20)) { c =>

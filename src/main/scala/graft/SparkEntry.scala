@@ -306,6 +306,67 @@ object SparkEntry {
        |SELECT node, r AS rank_micro FROM r$iterations""".stripMargin
   }
 
+  /** Unigram (SentencePiece) piece vocabulary with integer costs: all
+    * 26 single letters (coverage guarantee) plus multi-char pieces
+    * cheap enough that Viterbi prefers them, including a deliberate
+    * exact TIE on the fixture word "data" — "da|ta" (14+14) vs
+    * "dat|a" (18+10) both cost 28 — pinning the (min cost, min seg)
+    * stage tie-break on both engines. */
+  private[graft] val unigramVocab: Seq[(String, Long)] =
+    ('a' to 'z').map(c => c.toString -> 10L) ++ Seq(
+      "spark" -> 30L, "join" -> 24L, "jo" -> 13L, "in" -> 14L,
+      "merge" -> 30L, "er" -> 14L, "da" -> 14L, "ta" -> 14L,
+      "dat" -> 18L, "qu" -> 14L, "ery" -> 20L, "sc" -> 13L,
+      "an" -> 14L, "st" -> 13L, "re" -> 13L, "am" -> 14L,
+      "or" -> 13L, "der" -> 19L, "ble" -> 20L, "tab" -> 18L,
+      "va" -> 14L, "ue" -> 14L, "cus" -> 18L, "tom" -> 18L,
+      "key" -> 24L, "row" -> 24L, "fast" -> 28L, "slow" -> 28L,
+      "win" -> 18L, "dow" -> 18L, "col" -> 18L, "umn" -> 18L,
+      "li" -> 13L, "ne" -> 13L, "ha" -> 13L, "sh" -> 13L,
+      "gr" -> 13L, "oup" -> 20L, "ve" -> 13L, "ct" -> 14L,
+      "fil" -> 18L, "ter" -> 18L, "ba" -> 13L, "tch" -> 18L,
+      "par" -> 18L, "the" -> 20L, "lu" -> 14L, "ag" -> 13L)
+        .map { case (p, c) => (p, c) }
+
+  /** The unigram Viterbi DP as mechanically-unrolled SQL stages (the
+    * linkRankSql pattern): stage i keeps, per word, the (min cost,
+    * then min '|'-joined seg in binary order) candidate over all
+    * (kept prefix at j < i) × (piece covering j..i) — exactly the
+    * engine DP's per-position selection. */
+  private def unigramSql(vocab: Seq[(String, Long)], maxLen: Int): String = {
+    val vvals = vocab.map { case (p, c) => s"('$p', $c)" }.mkString(", ")
+    val maxPiece = vocab.map(_._1.length).max
+    val stages = (1 to maxLen).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT d.word, d.cost + v.cost AS cost,
+         |    CASE WHEN d.pos = 0 THEN v.piece
+         |      ELSE d.seg || '|' || v.piece END AS seg
+         |  FROM a${i - 1} d JOIN v ON d.pos >= ${math.max(0, i - maxPiece)}
+         |    AND d.pos < $i
+         |    AND substr(d.word, d.pos + 1, $i - d.pos) = v.piece
+         |  WHERE length(d.word) >= $i),
+         |b$i AS (SELECT word, min(cost) AS mc FROM c$i GROUP BY 1),
+         |s$i AS MATERIALIZED (SELECT c.word, $i AS pos, b.mc AS cost, min(c.seg) AS seg
+         |  FROM c$i c JOIN b$i b ON c.word = b.word AND c.cost = b.mc
+         |  GROUP BY 1, 2, 3),
+         |a$i AS MATERIALIZED (SELECT * FROM a${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS MATERIALIZED (SELECT * FROM (VALUES $vvals) t(piece, cost)),
+       |e AS MATERIALIZED (SELECT doc_id,
+       |    unnest(list_filter(string_split(lower(text), ' '),
+       |    x -> x <> '')) AS word FROM documents),
+       |w AS MATERIALIZED (SELECT DISTINCT word FROM e),
+       |a0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+       |    '' AS seg FROM w),
+       |$stages,
+       |res AS (SELECT word, cost, seg FROM a$maxLen
+       |  WHERE pos = length(word) AND pos > 0)
+       |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(count(*) FILTER (WHERE r.word IS NULL) AS BIGINT) AS n_oov_words,
+       |  CAST(COALESCE(SUM(len(string_split(r.seg, '|'))), 0) AS BIGINT) AS n_pieces,
+       |  CAST(COALESCE(SUM(r.cost), 0) AS BIGINT) AS cost_sum
+       |FROM e LEFT JOIN res r ON e.word = r.word GROUP BY 1""".stripMargin
+  }
+
   // Planted PII docs (email/phone/IP occurrences plus digit runs where
   // ONLY the Luhn-valid one may count as a card; the all-letter base
   // corpus flows through as 500 zero rows)
@@ -2111,6 +2172,12 @@ object SparkEntry {
     // counts are the production token-budget currency; fully ORACLED
     // via a DuckDB recursive CTE replaying greedy match per distinct
     // word over the SAME interpolated vocab literal
+    // SentencePiece-style unigram segmentation under the shipped
+    // integer-cost vocab: Viterbi DP once per DISTINCT word, broadcast
+    // back; includes the planted "data" cost tie that pins the
+    // (min cost, min seg) stage tie-break on both engines
+    "text_tokens_unigram" -> ((s, d) =>
+      graft.text.TextAnalysis.unigramStats(docs(s, d), unigramVocab)),
     "text_tokens_bpe" -> ((s, d) =>
       graft.text.TextAnalysis.bpeTokenStats(docsMl(s, d))),
     // per-LANGUAGE subword fertility (bytes per BPE token) over the
@@ -4401,8 +4468,10 @@ object SparkEntry {
         |CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS regex_tokens,
         |CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the Viterbi DP replayed through 12 unrolled per-position stages
+    "text_tokens_unigram" -> unigramSql(unigramVocab, 12),
     "text_tokens_bpe" ->
-      withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
+withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
          |SELECT d.doc_id, COALESCE(b.n_words, 0) AS n_words,
          |  COALESCE(b.n_tokens_bpe, 0) AS n_tokens_bpe
          |FROM dml d LEFT JOIN bpe b USING (doc_id)

@@ -800,6 +800,36 @@ object TextAnalysis {
       ip, "$1<IP>$4")
   }
 
+  /** Unigram-LM (SentencePiece) subword statistics under a shipped
+    * integer-cost piece vocabulary: per doc, word/piece counts and the
+    * exact total Viterbi cost (the corpus "unigram log-likelihood" in
+    * integer surrogate units — the SentencePiece serving path next to
+    * the greedy-match and merge-order BPE encoders). Words the
+    * vocabulary cannot cover (or longer than `maxLen`) count as OOV
+    * and stay out of the sums.
+    *
+    * Scale: the Viterbi DP runs once per DISTINCT word (vocab-sized
+    * frame) and broadcast-joins back to the corpus — the
+    * mergeOrderTokenStats train/serve split; the corpus itself is
+    * touched by one tokenize scan and one per-doc aggregation.
+    */
+  def unigramStats(docs: DataFrame, vocab: Seq[(String, Long)],
+      maxLen: Int = 12): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+        .as("word"))
+    val segs = words.select(col("word")).distinct()
+      .select(col("word"),
+        graft.functions.UnigramTokenizer.unigram_segment(
+          col("word"), vocab, maxLen).as("__s"))
+    words.join(broadcast(segs), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        count(when(col("__s").isNull, 1)).as("n_oov_words"),
+        coalesce(sum(col("__s.n_pieces")), lit(0L)).as("n_pieces"),
+        coalesce(sum(col("__s.cost")), lit(0L)).as("cost_sum"))
+  }
+
   /** PII statistics with LUHN-VALIDATED card detection — the practice
     * real redaction pipelines run: a bare 13–19-digit run is mostly
     * order ids and timestamps, so candidates only count as cards when

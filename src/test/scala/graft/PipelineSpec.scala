@@ -489,6 +489,38 @@ class PipelineSpec extends SparkSpec {
     assert(r(2).getString(1) == "tag free text is its own fixed point")
   }
 
+  test("unigram viterbi: min-cost segmentation, pinned tie-break, oov null") {
+    import spark.implicits._
+    val vocab = Seq("a" -> 10L, "d" -> 10L, "t" -> 10L, "j" -> 10L,
+      "o" -> 10L, "i" -> 10L, "n" -> 10L, "da" -> 14L, "ta" -> 14L,
+      "dat" -> 18L, "join" -> 24L, "jo" -> 13L, "in" -> 14L)
+    val words = Seq("data", "join", "jot", "x", "ad").toDF("word")
+    val r = words.select(col("word"),
+        graft.functions.UnigramTokenizer.unigram_segment(col("word"), vocab, 12)
+          .as("s"))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getStruct(1))).toMap
+    // "data": da|ta (28) ties dat|a (28); 'dat|a' < 'da|ta' in binary
+    // order ('t' 0x74 < '|' 0x7C) — the pinned stage tie-break
+    assert(r("data").getString(2) == "dat|a" && r("data").getLong(1) == 28L)
+    // "join": whole piece (24) beats jo|in (27) and singles (40)
+    assert(r("join").getString(2) == "join" && r("join").getLong(1) == 24L)
+    assert(r("jot").getString(2) == "jo|t" && r("jot").getLong(1) == 23L)
+    // no piece covers 'x' → OOV null
+    assert(r("x") == null)
+    assert(r("ad").getString(2) == "a|d" && r("ad").getLong(0) == 2L)
+    // words past maxLen are OOV by contract (the oracle unrolls maxLen)
+    val long = Seq("dadadadadadada").toDF("word")
+      .select(graft.functions.UnigramTokenizer.unigram_segment(
+        col("word"), vocab, 12).as("s")).collect()
+    assert(long.head.isNullAt(0))
+    // doc-level stats: oov word excluded from sums, counted separately
+    val docs = Seq((1L, "data join xq")).toDF("doc_id", "text")
+    val st = graft.text.TextAnalysis.unigramStats(docs, vocab).collect().head
+    assert((st.getLong(1), st.getLong(2), st.getLong(3), st.getLong(4)) ==
+      ((3L, 1L, 3L, 52L)))  // data=2 pieces/28 + join=1/24; xq oov
+  }
+
   test("pii stats: luhn separates real cards from digit runs") {
     val d = docsDF(Seq(
       "contact user@example.com or call 555-867-5309 now",
