@@ -328,43 +328,92 @@ object SparkEntry {
       "par" -> 18L, "the" -> 20L, "lu" -> 14L, "ag" -> 13L)
         .map { case (p, c) => (p, c) }
 
-  /** The unigram Viterbi DP as mechanically-unrolled SQL stages (the
-    * linkRankSql pattern): stage i keeps, per word, the (min cost,
-    * then min '|'-joined seg in binary order) candidate over all
-    * (kept prefix at j < i) × (piece covering j..i) — exactly the
-    * engine DP's per-position selection. */
-  private def unigramSql(vocab: Seq[(String, Long)], maxLen: Int): String = {
-    val vvals = vocab.map { case (p, c) => s"('$p', $c)" }.mkString(", ")
-    val maxPiece = vocab.map(_._1.length).max
+  /** One unigram Viterbi DP block as mechanically-unrolled MATERIALIZED
+    * SQL stages (the linkRankSql pattern; unmaterialized CTE chains
+    * re-expand exponentially in DuckDB): stage i keeps, per word, the
+    * (min cost, then min '|'-joined seg in binary order) candidate over
+    * all (kept prefix at j < i) × (piece covering j..i) — exactly the
+    * engine DP's per-position selection. `pfx` names the block,
+    * `vocabCte` the (piece, cost) relation it segments under; emits
+    * `${pfx}res` = (word, cost, seg) for fully-covered words. */
+  private def unigramDpBlock(pfx: String, vocabCte: String,
+      maxPiece: Int, maxLen: Int): String = {
     val stages = (1 to maxLen).map { i =>
-      s"""c$i AS MATERIALIZED (SELECT d.word, d.cost + v.cost AS cost,
+      s"""${pfx}c$i AS MATERIALIZED (SELECT d.word, d.cost + v.cost AS cost,
          |    CASE WHEN d.pos = 0 THEN v.piece
          |      ELSE d.seg || '|' || v.piece END AS seg
-         |  FROM a${i - 1} d JOIN v ON d.pos >= ${math.max(0, i - maxPiece)}
-         |    AND d.pos < $i
+         |  FROM ${pfx}a${i - 1} d JOIN $vocabCte v
+         |    ON d.pos >= ${math.max(0, i - maxPiece)} AND d.pos < $i
          |    AND substr(d.word, d.pos + 1, $i - d.pos) = v.piece
          |  WHERE length(d.word) >= $i),
-         |b$i AS (SELECT word, min(cost) AS mc FROM c$i GROUP BY 1),
-         |s$i AS MATERIALIZED (SELECT c.word, $i AS pos, b.mc AS cost, min(c.seg) AS seg
-         |  FROM c$i c JOIN b$i b ON c.word = b.word AND c.cost = b.mc
+         |${pfx}b$i AS (SELECT word, min(cost) AS mc FROM ${pfx}c$i GROUP BY 1),
+         |${pfx}s$i AS MATERIALIZED (SELECT c.word, $i AS pos, b.mc AS cost,
+         |    min(c.seg) AS seg
+         |  FROM ${pfx}c$i c JOIN ${pfx}b$i b ON c.word = b.word AND c.cost = b.mc
          |  GROUP BY 1, 2, 3),
-         |a$i AS MATERIALIZED (SELECT * FROM a${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+         |${pfx}a$i AS MATERIALIZED (SELECT * FROM ${pfx}a${i - 1}
+         |  UNION ALL SELECT * FROM ${pfx}s$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS MATERIALIZED (SELECT * FROM (VALUES $vvals) t(piece, cost)),
+    s"""${pfx}a0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+       |    '' AS seg FROM w),
+       |$stages,
+       |${pfx}res AS MATERIALIZED (SELECT word, cost, seg FROM ${pfx}a$maxLen
+       |  WHERE pos = length(word) AND pos > 0)""".stripMargin
+  }
+
+  private def unigramVocabValues(vocab: Seq[(String, Long)]): String =
+    vocab.map { case (p, c) => s"('$p', $c)" }.mkString(", ")
+
+  private def unigramSql(vocab: Seq[(String, Long)], maxLen: Int): String = {
+    val maxPiece = vocab.map(_._1.length).max
+    s"""WITH v AS MATERIALIZED (SELECT * FROM
+       |    (VALUES ${unigramVocabValues(vocab)}) t(piece, cost)),
        |e AS MATERIALIZED (SELECT doc_id,
        |    unnest(list_filter(string_split(lower(text), ' '),
        |    x -> x <> '')) AS word FROM documents),
        |w AS MATERIALIZED (SELECT DISTINCT word FROM e),
-       |a0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost,
-       |    '' AS seg FROM w),
-       |$stages,
-       |res AS (SELECT word, cost, seg FROM a$maxLen
-       |  WHERE pos = length(word) AND pos > 0)
+       |${unigramDpBlock("", "v", maxPiece, maxLen)}
        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(count(*) FILTER (WHERE r.word IS NULL) AS BIGINT) AS n_oov_words,
        |  CAST(COALESCE(SUM(len(string_split(r.seg, '|'))), 0) AS BIGINT) AS n_pieces,
        |  CAST(COALESCE(SUM(r.cost), 0) AS BIGINT) AS cost_sum
        |FROM e LEFT JOIN res r ON e.word = r.word GROUP BY 1""".stripMargin
+  }
+
+  /** Viterbi-EM (hard-EM) unigram TRAINING replayed end-to-end: each
+    * round re-segments the distinct words under the previous round's
+    * costs (a full DP block) and re-derives every piece's cost from
+    * its corpus-weighted count via the exact bit-length surrogate —
+    * the same all-integer staging as the engine loop, so the final
+    * (piece, n_count, cost) table is bit-identical. */
+  private def unigramTrainSql(vocab: Seq[(String, Long)], maxLen: Int,
+      rounds: Int): String = {
+    val maxPiece = vocab.map(_._1.length).max
+    val roundCtes = (1 to rounds).map { r =>
+      val pfx = s"r$r"
+      val vcte = if (r == 1) "vr0" else s"vr${r - 1}"
+      s"""${unigramDpBlock(pfx, vcte, maxPiece, maxLen)},
+         |cnt$r AS MATERIALIZED (SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(r.seg, '|')) AS piece, wc.wcnt AS wcnt
+         |    FROM ${pfx}res r JOIN wc USING (word)) GROUP BY 1),
+         |tot$r AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cnt$r),
+         |vr$r AS MATERIALIZED (SELECT v0.piece,
+         |    CAST(CASE WHEN c.cnt IS NULL THEN 10 + 4 * (length(bin(t.t)) + 1)
+         |      ELSE 10 + 4 * (length(bin(t.t)) - length(bin(c.cnt)))
+         |      END AS BIGINT) AS cost
+         |  FROM vr0 v0 LEFT JOIN cnt$r c USING (piece) CROSS JOIN tot$r t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vr0 AS MATERIALIZED (SELECT * FROM
+       |    (VALUES ${unigramVocabValues(vocab)}) t(piece, cost)),
+       |e AS MATERIALIZED (SELECT
+       |    unnest(list_filter(string_split(lower(text), ' '),
+       |    x -> x <> '')) AS word FROM documents),
+       |wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+       |  FROM e GROUP BY 1),
+       |w AS MATERIALIZED (SELECT word FROM wc),
+       |$roundCtes
+       |SELECT v.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_count, v.cost
+       |FROM vr$rounds v LEFT JOIN cnt$rounds c USING (piece)""".stripMargin
   }
 
   // Planted PII docs (email/phone/IP occurrences plus digit runs where
@@ -2178,6 +2227,10 @@ object SparkEntry {
     // (min cost, min seg) stage tie-break on both engines
     "text_tokens_unigram" -> ((s, d) =>
       graft.text.TextAnalysis.unigramStats(docs(s, d), unigramVocab)),
+    // the Viterbi-EM training loop (2 hard-EM rounds): re-segment →
+    // recount → re-cost with exact bit-length surrogates, all integer
+    "unigram_train_costs" -> ((s, d) =>
+      graft.text.TextAnalysis.unigramTrainCosts(docs(s, d), unigramVocab, 2)),
     "text_tokens_bpe" -> ((s, d) =>
       graft.text.TextAnalysis.bpeTokenStats(docsMl(s, d))),
     // per-LANGUAGE subword fertility (bytes per BPE token) over the
@@ -4470,6 +4523,9 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // the Viterbi DP replayed through 12 unrolled per-position stages
     "text_tokens_unigram" -> unigramSql(unigramVocab, 12),
+    // the full training loop replayed: two DP blocks with the derived
+    // cost table between them
+    "unigram_train_costs" -> unigramTrainSql(unigramVocab, 12, 2),
     "text_tokens_bpe" ->
 withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
          |SELECT d.doc_id, COALESCE(b.n_words, 0) AS n_words,

@@ -830,6 +830,56 @@ object TextAnalysis {
         coalesce(sum(col("__s.cost")), lit(0L)).as("cost_sum"))
   }
 
+  /** Viterbi-EM (hard-EM) unigram-LM TRAINING — the SentencePiece
+    * training loop in its deterministic integer form: each round
+    * (1) segments every distinct word under the current piece costs
+    * (the [[unigramStats]] Viterbi DP), (2) counts pieces weighted by
+    * corpus word frequency, and (3) re-derives every cost with the
+    * exact bit-length surrogate `10 + 4·(bitlen(total) − bitlen(cnt))`
+    * (unseen pieces: `10 + 4·(bitlen(total) + 1)`) — all integers, so
+    * the whole fixed number of rounds replays bit-identically in SQL.
+    * Returns the final (piece, n_count, cost) table: counts from the
+    * last segmentation, costs derived from them.
+    *
+    * Scale: the corpus is scanned ONCE (the word-frequency table,
+    * lazily checkpointed, is vocabulary-sized); every round then runs
+    * on vocab-sized frames, and the per-round piece counts collect to
+    * the driver as trainer state (the BPE delta-trainer pattern —
+    * O(|vocab|), never corpus-sized).
+    */
+  def unigramTrainCosts(docs: DataFrame, vocab0: Seq[(String, Long)],
+      rounds: Int = 2, maxLen: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    val wc = docs.select(
+        explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+          .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+      .localCheckpoint(eager = false)
+    def bitlen(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
+    var costs = vocab0
+    var lastCounts: Map[String, Long] = Map.empty
+    for (_ <- 1 to rounds) {
+      val counts = wc.select(col("wcnt"),
+          graft.functions.UnigramTokenizer.unigram_segment(
+            col("word"), costs, maxLen).as("__s"))
+        .filter(col("__s").isNotNull)
+        .select(explode(split(col("__s.seg"), "\\|")).as("piece"), col("wcnt"))
+        .groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum
+      costs = vocab0.map { case (p, _) =>
+        p -> (counts.get(p) match {
+          case Some(c) => 10L + 4L * (bitlen(total) - bitlen(c))
+          case None => 10L + 4L * (bitlen(total) + 1L)
+        })
+      }
+      lastCounts = counts
+    }
+    import spark.implicits._
+    val out = costs.map { case (p, c) => (p, lastCounts.getOrElse(p, 0L), c) }
+    out.toDF("piece", "n_count", "cost")
+  }
+
   /** PII statistics with LUHN-VALIDATED card detection — the practice
     * real redaction pipelines run: a bare 13–19-digit run is mostly
     * order ids and timestamps, so candidates only count as cards when

@@ -521,6 +521,27 @@ class PipelineSpec extends SparkSpec {
       ((3L, 1L, 3L, 52L)))  // data=2 pieces/28 + join=1/24; xq oov
   }
 
+  test("unigram viterbi-em training: hand-computed costs, fixed point") {
+    import spark.implicits._
+    val vocab = Seq("d" -> 10L, "a" -> 10L, "t" -> 10L, "j" -> 10L,
+      "o" -> 10L, "i" -> 10L, "n" -> 10L, "da" -> 14L, "ta" -> 14L,
+      "dat" -> 18L, "join" -> 24L, "jo" -> 13L, "in" -> 14L)
+    val d = Seq((1L, "data data join"), (2L, "data")).toDF("doc_id", "text")
+    // round 1: data → dat|a (the pinned tie), join → join; counts
+    // dat:3 a:3 join:1, total 7 (bitlen 3) → dat/a = 10+4·(3−2) = 14,
+    // join = 10+4·(3−1) = 18, unseen = 10+4·4 = 26. Round 2 under
+    // those costs re-derives the SAME segmentations → fixed point.
+    val r = graft.text.TextAnalysis.unigramTrainCosts(d, vocab, 2)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("dat") == ((3L, 14L)) && r("a") == ((3L, 14L)), r)
+    assert(r("join") == ((1L, 18L)), r)
+    assert(r("da") == ((0L, 26L)) && r("jo") == ((0L, 26L)), r)
+    // determinism: a third round changes nothing (hard-EM fixed point)
+    val r3 = graft.text.TextAnalysis.unigramTrainCosts(d, vocab, 3)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r3 == r)
+  }
+
   test("pii stats: luhn separates real cards from digit runs") {
     val d = docsDF(Seq(
       "contact user@example.com or call 555-867-5309 now",
