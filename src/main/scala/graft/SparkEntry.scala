@@ -386,7 +386,9 @@ object SparkEntry {
     * its corpus-weighted count via the exact bit-length surrogate —
     * the same all-integer staging as the engine loop, so the final
     * (piece, n_count, cost) table is bit-identical. */
-  private def unigramTrainSql(vocab: Seq[(String, Long)], maxLen: Int,
+  /** The shared training prelude + per-round CTE chain (DP block →
+    * weighted piece counts → derived cost table `vr{r}`). */
+  private def unigramTrainCtes(vocab: Seq[(String, Long)], maxLen: Int,
       rounds: Int): String = {
     val maxPiece = vocab.map(_._1.length).max
     val roundCtes = (1 to rounds).map { r =>
@@ -403,17 +405,35 @@ object SparkEntry {
          |      END AS BIGINT) AS cost
          |  FROM vr0 v0 LEFT JOIN cnt$r c USING (piece) CROSS JOIN tot$r t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH vr0 AS MATERIALIZED (SELECT * FROM
+    s"""vr0 AS MATERIALIZED (SELECT * FROM
        |    (VALUES ${unigramVocabValues(vocab)}) t(piece, cost)),
-       |e AS MATERIALIZED (SELECT
+       |e0 AS MATERIALIZED (SELECT doc_id,
        |    unnest(list_filter(string_split(lower(text), ' '),
        |    x -> x <> '')) AS word FROM documents),
        |wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS wcnt
-       |  FROM e GROUP BY 1),
+       |  FROM e0 GROUP BY 1),
        |w AS MATERIALIZED (SELECT word FROM wc),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def unigramTrainSql(vocab: Seq[(String, Long)], maxLen: Int,
+      rounds: Int): String =
+    s"""WITH ${unigramTrainCtes(vocab, maxLen, rounds)}
        |SELECT v.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_count, v.cost
        |FROM vr$rounds v LEFT JOIN cnt$rounds c USING (piece)""".stripMargin
+
+  /** Train→serve: a further DP block segments the corpus under the
+    * TRAINED `vr{rounds}` costs, then aggregates per doc. */
+  private def unigramTrainedServeSql(vocab: Seq[(String, Long)],
+      maxLen: Int, rounds: Int): String = {
+    val maxPiece = vocab.map(_._1.length).max
+    s"""WITH ${unigramTrainCtes(vocab, maxLen, rounds)},
+       |${unigramDpBlock("sv", s"vr$rounds", maxPiece, maxLen)}
+       |SELECT e0.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(count(*) FILTER (WHERE r.word IS NULL) AS BIGINT) AS n_oov_words,
+       |  CAST(COALESCE(SUM(len(string_split(r.seg, '|'))), 0) AS BIGINT) AS n_pieces,
+       |  CAST(COALESCE(SUM(r.cost), 0) AS BIGINT) AS cost_sum
+       |FROM e0 LEFT JOIN svres r ON e0.word = r.word GROUP BY 1""".stripMargin
   }
 
   // Planted PII docs (email/phone/IP occurrences plus digit runs where
@@ -2231,6 +2251,15 @@ object SparkEntry {
     // recount → re-cost with exact bit-length surrogates, all integer
     "unigram_train_costs" -> ((s, d) =>
       graft.text.TextAnalysis.unigramTrainCosts(docs(s, d), unigramVocab, 2)),
+    // train→serve CLOSED: per-doc stats under the costs TRAINED in this
+    // query (the pack_sequences_trained precedent — the vocabulary is
+    // the serving currency end-to-end, not a shipped literal)
+    "text_tokens_unigram_trained" -> ((s, d) => {
+      val trained = graft.text.TextAnalysis
+        .unigramTrainCosts(docs(s, d), unigramVocab, 2)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq.sortBy(_._1)
+      graft.text.TextAnalysis.unigramStats(docs(s, d), trained)
+    }),
     "text_tokens_bpe" -> ((s, d) =>
       graft.text.TextAnalysis.bpeTokenStats(docsMl(s, d))),
     // per-LANGUAGE subword fertility (bytes per BPE token) over the
@@ -4526,6 +4555,9 @@ object SparkEntry {
     // the full training loop replayed: two DP blocks with the derived
     // cost table between them
     "unigram_train_costs" -> unigramTrainSql(unigramVocab, 12, 2),
+    // train→serve: a third DP block under the trained cost table
+    "text_tokens_unigram_trained" ->
+      unigramTrainedServeSql(unigramVocab, 12, 2),
     "text_tokens_bpe" ->
 withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
          |SELECT d.doc_id, COALESCE(b.n_words, 0) AS n_words,
