@@ -436,6 +436,82 @@ object SparkEntry {
        |FROM e0 LEFT JOIN svres r ON e0.word = r.word GROUP BY 1""".stripMargin
   }
 
+  /** WordPiece (BERT) piece vocabulary over the 31-word corpus, with
+    * the semantics-pinning plants: "bat" beats "ba" on "batch"
+    * (longest INITIAL), "##ream" beats "##re" on "stream" (longest
+    * CONTINUATION), "customer" needs three pieces (multi-step
+    * restart), and "window" is the NO-BACKTRACK trap — greedy takes
+    * "wind" (4 > "win") into a dead end and must emit [UNK] even
+    * though win|##dow covers, exactly the published WordPiece
+    * behavior; "sort" is plainly uncoverable. */
+  private[graft] val wordpieceVocab: Seq[String] = Seq(
+    "a", "the", "join", "spark", "data", "key", "row", "scan", "dup",
+    "merge", "agg", "part", "big", "slow",
+    "s", "cu", "val", "li", "so", "qu", "gr", "ba", "bat", "col",
+    "fil", "ha", "ta", "st", "ve", "or", "fa", "win", "wind",
+    "##mall", "##st", "##omer", "##umn", "##ter", "##ue", "##ne",
+    "##ery", "##oup", "##der", "##tch", "##ch", "##sh", "##ble",
+    "##ream", "##re", "##ctor", "##dow")
+
+  /** WordPiece greedy replay as mechanically-unrolled MATERIALIZED
+    * stages (the unigramDpBlock pattern): stage i advances every
+    * in-flight word by its single longest matching piece (initial at
+    * pos 0, '##' continuation after) or terminates it as [UNK] when
+    * nothing matches — the engine's no-backtracking loop verbatim.
+    * Every stage consumes ≥ 1 char, so maxLen stages terminate every
+    * word of length ≤ maxLen; longer words skip the loop and fall to
+    * [UNK] at the final join. A piece's text at a fixed (position,
+    * length) is unique, so max(length) picks a unique piece — greedy
+    * has no ties to break. */
+  private def wordpieceSql(vocab: Seq[String], maxLen: Int): String = {
+    val vals = vocab.map { p =>
+      val cont = if (p.startsWith("##")) 1 else 0
+      val body = if (cont == 1) p.drop(2) else p
+      s"('$body', $cont)"
+    }.mkString(", ")
+    val stages = (1 to maxLen).map { i =>
+      s"""m$i AS MATERIALIZED (SELECT s.word, s.pos, s.seg,
+         |    max(length(v.body)) AS bl
+         |  FROM g${i - 1} s JOIN wv v
+         |    ON v.cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
+         |    AND v.body = substr(s.word, s.pos + 1, length(v.body))
+         |  WHERE NOT s.unk AND s.pos < length(s.word)
+         |  GROUP BY 1, 2, 3),
+         |g$i AS MATERIALIZED (
+         |  SELECT m.word, m.pos + m.bl AS pos,
+         |    CASE WHEN m.pos = 0 THEN substr(m.word, 1, m.bl)
+         |      ELSE m.seg || '|##' || substr(m.word, m.pos + 1, m.bl) END AS seg,
+         |    FALSE AS unk
+         |  FROM m$i m
+         |  UNION ALL
+         |  SELECT s.word, length(s.word) AS pos, '[UNK]' AS seg, TRUE AS unk
+         |  FROM g${i - 1} s LEFT JOIN m$i m ON s.word = m.word
+         |  WHERE NOT s.unk AND s.pos < length(s.word) AND m.word IS NULL
+         |  UNION ALL
+         |  SELECT word, pos, seg, unk FROM g${i - 1}
+         |  WHERE unk OR pos >= length(word))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wv AS MATERIALIZED (SELECT * FROM (VALUES $vals) t(body, cont)),
+       |e AS MATERIALIZED (SELECT doc_id,
+       |    unnest(list_filter(string_split(lower(text), ' '),
+       |    x -> x <> '')) AS word FROM documents),
+       |w AS MATERIALIZED (SELECT DISTINCT word FROM e
+       |  WHERE length(word) <= $maxLen),
+       |g0 AS MATERIALIZED (SELECT word, 0 AS pos, '' AS seg, FALSE AS unk
+       |  FROM w),
+       |$stages,
+       |res AS MATERIALIZED (SELECT word, unk,
+       |    CAST(CASE WHEN unk THEN 1 ELSE len(string_split(seg, '|')) END
+       |      AS BIGINT) AS np
+       |  FROM g$maxLen)
+       |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(count(*) FILTER (WHERE r.word IS NULL OR r.unk) AS BIGINT)
+       |    AS n_unk_words,
+       |  CAST(SUM(CASE WHEN r.word IS NULL THEN 1 ELSE r.np END) AS BIGINT)
+       |    AS n_pieces
+       |FROM e LEFT JOIN res r USING (word) GROUP BY 1""".stripMargin
+  }
+
   // Planted PII docs (email/phone/IP occurrences plus digit runs where
   // ONLY the Luhn-valid one may count as a card; the all-letter base
   // corpus flows through as 500 zero rows)
@@ -2260,6 +2336,13 @@ object SparkEntry {
         .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq.sortBy(_._1)
       graft.text.TextAnalysis.unigramStats(docs(s, d), trained)
     }),
+    // WordPiece (BERT) greedy longest-match-first with ## continuations
+    // and whole-word [UNK] fallback — the third subword serving path
+    // beside BPE and unigram; the fixture vocab plants longest-initial,
+    // longest-continuation, multi-restart, and the no-backtrack trap
+    // ("window" → [UNK] though win|##dow covers)
+    "text_tokens_wordpiece" -> ((s, d) =>
+      graft.text.TextAnalysis.wordpieceStats(docs(s, d), wordpieceVocab)),
     "text_tokens_bpe" -> ((s, d) =>
       graft.text.TextAnalysis.bpeTokenStats(docsMl(s, d))),
     // per-LANGUAGE subword fertility (bytes per BPE token) over the
@@ -4558,6 +4641,8 @@ object SparkEntry {
     // train→serve: a third DP block under the trained cost table
     "text_tokens_unigram_trained" ->
       unigramTrainedServeSql(unigramVocab, 12, 2),
+    // the greedy loop replayed through 12 unrolled advance-or-UNK stages
+    "text_tokens_wordpiece" -> wordpieceSql(wordpieceVocab, 12),
     "text_tokens_bpe" ->
 withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
          |SELECT d.doc_id, COALESCE(b.n_words, 0) AS n_words,

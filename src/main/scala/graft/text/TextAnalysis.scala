@@ -830,6 +830,34 @@ object TextAnalysis {
         coalesce(sum(col("__s.cost")), lit(0L)).as("cost_sum"))
   }
 
+  /** WordPiece (BERT) subword statistics under a shipped piece
+    * vocabulary: per doc, word / `[UNK]`-word / piece counts from the
+    * greedy longest-match-first segmentation
+    * ([[graft.functions.WordPieceSegment]]) — the third serving path
+    * next to greedy-trie BPE and unigram Viterbi. `[UNK]` words emit
+    * exactly one piece (the `[UNK]` token), matching every BERT
+    * runtime.
+    *
+    * Scale: the greedy loop runs once per DISTINCT word (vocab-sized
+    * frame, broadcast-joined back) — the [[unigramStats]] posture; the
+    * corpus pays one tokenize scan and one per-doc aggregation.
+    */
+  def wordpieceStats(docs: DataFrame, vocab: Seq[String],
+      maxLen: Int = 12): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+        .as("word"))
+    val segs = words.select(col("word")).distinct()
+      .select(col("word"),
+        graft.functions.WordPieceTokenizer.wordpiece_segment(
+          col("word"), vocab, maxLen).as("__s"))
+    words.join(broadcast(segs), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        count(when(col("__s.is_unk"), 1)).as("n_unk_words"),
+        sum(col("__s.n_pieces")).as("n_pieces"))
+  }
+
   /** Viterbi-EM (hard-EM) unigram-LM TRAINING — the SentencePiece
     * training loop in its deterministic integer form: each round
     * (1) segments every distinct word under the current piece costs

@@ -542,6 +542,39 @@ class PipelineSpec extends SparkSpec {
     assert(r3 == r)
   }
 
+  test("wordpiece greedy: longest-first, restart, unk trap, doc stats") {
+    import spark.implicits._
+    val vocab = SparkEntry.wordpieceVocab
+    def seg(w: String): (Long, Boolean, String) = {
+      val r = Seq(w).toDF("word")
+        .select(graft.functions.WordPieceTokenizer.wordpiece_segment(
+          col("word"), vocab, 12).as("s"))
+        .collect().head.getStruct(0)
+      (r.getLong(0), r.getBoolean(1), r.getString(2))
+    }
+    // longest INITIAL: "bat" (3) beats "ba" (2), then "##ch"
+    assert(seg("batch") == ((2L, false, "bat|##ch")))
+    // longest CONTINUATION: "##ream" beats "##re" after "st"
+    assert(seg("stream") == ((2L, false, "st|##ream")))
+    // multi-restart: three pieces
+    assert(seg("customer") == ((3L, false, "cu|##st|##omer")))
+    // whole-word piece
+    assert(seg("spark") == ((1L, false, "spark")))
+    // the NO-BACKTRACK trap: greedy takes "wind" (4 > "win") into a
+    // dead end and must [UNK] even though win|##dow covers the word
+    assert(seg("window") == ((1L, true, "[UNK]")))
+    // plainly uncoverable tail
+    assert(seg("sort") == ((1L, true, "[UNK]")))
+    // non-ASCII and past-maxLen words are [UNK] by contract (total,
+    // never null — BERT emits the [UNK] token for them)
+    assert(seg("café") == ((1L, true, "[UNK]")))
+    assert(seg("sparksparkspark") == ((1L, true, "[UNK]")))
+    // doc stats: [UNK] words count one piece each
+    val d = Seq((1L, "batch window spark sort")).toDF("doc_id", "text")
+    val st = graft.text.TextAnalysis.wordpieceStats(d, vocab).collect().head
+    assert((st.getLong(1), st.getLong(2), st.getLong(3)) == ((4L, 2L, 5L)))
+  }
+
   test("pii stats: luhn separates real cards from digit runs") {
     val d = docsDF(Seq(
       "contact user@example.com or call 555-867-5309 now",
