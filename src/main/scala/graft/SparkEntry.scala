@@ -512,6 +512,33 @@ object SparkEntry {
        |FROM e LEFT JOIN res r USING (word) GROUP BY 1""".stripMargin
   }
 
+  // Planted LM-SERVE rows: the base corpus is also the training corpus,
+  // so every one of its trigrams scores at level 3 — these rows remix
+  // base-vocabulary words into novel orders and add unseen words, the
+  // only way the stupid-backoff chain (level 2/1/OOV) is exercised
+  // end-to-end. All-lowercase ASCII, quote-free.
+  private[graft] val lmRows: Seq[(Long, String)] = Seq(
+    9700001L -> "spark zzz join qqq merge zzz",
+    9700002L -> "window sort the big table scan join merge",
+    9700003L -> "zzz yyy xxx zzz yyy")
+
+  /** documents ∪ planted LM-serve rows — the scoring corpus for
+    * `text_lm_backoff` (training stays on the base table). */
+  private def docsLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(lmRows.map { case (id, t) =>
+      (id, t, "en", "planted_lm", t.codePointCount(0, t.length).toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val lmDocsSelect: String = {
+    val vals = lmRows.map { case (id, t) =>
+      s"($id, '$t', 'en', 'planted_lm', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   // Planted PII docs (email/phone/IP occurrences plus digit runs where
   // ONLY the Luhn-valid one may count as a card; the all-letter base
   // corpus flows through as 500 zero rows)
@@ -2391,6 +2418,14 @@ object SparkEntry {
     // ORACLED where a float log2 would misround; high mean = gibberish
     "text_lm_surprisal" -> ((s, d) =>
       graft.text.TextAnalysis.bigramSurprisal(docs(s, d))),
+    // stupid-backoff trigram LM (Brants et al. 2007) with a REAL
+    // train→serve split: model trained on the base corpus, scored over
+    // the planted-row-augmented corpus — the planted remixes/unseen
+    // words force the backoff chain through levels 2, 1, and OOV;
+    // integer bit-length surrogates throughout, so the per-level hit
+    // counts and surprisal sums are bit-exact
+    "text_lm_backoff" -> ((s, d) =>
+      graft.text.TextAnalysis.trigramBackoff(docs(s, d), docsLm(s, d))),
     // pairwise source TF-cosine (corpus drift / source redundancy —
     // the signal behind source-level dedup and mixture design): exact
     // integer dots and norms, one sqrt-based division rounded to 4
@@ -4788,6 +4823,58 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |    // count(*)) / 10000.0 AS mean_surprisal
         |FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id""".stripMargin,
+    // the three count orders and the per-level surrogate scores replayed
+    // verbatim; the serve side is the planted-augmented corpus while
+    // every model CTE reads only `documents`
+    "text_lm_backoff" ->
+      s"""WITH dlm AS MATERIALIZED ($lmDocsSelect),
+        |tw AS MATERIALIZED (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |uni AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n1
+        |  FROM (SELECT unnest(ws) AS w FROM tw) GROUP BY 1),
+        |big AS MATERIALIZED (SELECT ws[i] AS w1, ws[i + 1] AS w2,
+        |    CAST(count(*) AS BIGINT) AS n2
+        |  FROM tw, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2 GROUP BY 1, 2),
+        |tri AS MATERIALIZED (SELECT ws[i] AS w1, ws[i + 1] AS w2,
+        |    ws[i + 2] AS w3, CAST(count(*) AS BIGINT) AS n3
+        |  FROM tw, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+        |  WHERE len(ws) >= 3 GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(length(bin(SUM(n1))) AS BIGINT) AS bl FROM uni),
+        |s3 AS MATERIALIZED (SELECT t.w1, t.w2, t.w3,
+        |    CAST(length(bin(b.n2)) - length(bin(t.n3)) AS BIGINT) AS s
+        |  FROM tri t JOIN big b USING (w1, w2)),
+        |s2 AS MATERIALIZED (SELECT b.w1 AS w2, b.w2 AS w3,
+        |    CAST(2 + length(bin(u.n1)) - length(bin(b.n2)) AS BIGINT) AS s
+        |  FROM big b JOIN uni u ON b.w1 = u.w),
+        |s1 AS MATERIALIZED (SELECT u.w AS w3,
+        |    CAST(4 + t.bl - length(bin(u.n1)) AS BIGINT) AS s
+        |  FROM uni u CROSS JOIN tot t),
+        |sw AS MATERIALIZED (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        |  FROM dlm),
+        |st AS MATERIALIZED (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2,
+        |    ws[i + 2] AS w3
+        |  FROM sw, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+        |  WHERE len(ws) >= 3)
+        |SELECT st.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  CAST(count(a.s) AS BIGINT) AS n_l3,
+        |  CAST(count(*) FILTER (WHERE a.s IS NULL AND b.s IS NOT NULL)
+        |    AS BIGINT) AS n_l2,
+        |  CAST(count(*) FILTER (WHERE a.s IS NULL AND b.s IS NULL
+        |    AND c.s IS NOT NULL) AS BIGINT) AS n_l1,
+        |  CAST(count(*) FILTER (WHERE a.s IS NULL AND b.s IS NULL
+        |    AND c.s IS NULL) AS BIGINT) AS n_oov,
+        |  CAST(SUM(COALESCE(a.s, b.s, c.s, 5 + t.bl)) AS BIGINT)
+        |    AS surprisal_sum,
+        |  ((CAST(SUM(COALESCE(a.s, b.s, c.s, 5 + t.bl)) AS BIGINT) * 10000)
+        |    // count(*)) / 10000.0 AS mean_surprisal
+        |FROM st LEFT JOIN s3 a USING (w1, w2, w3)
+        |  LEFT JOIN s2 b USING (w2, w3)
+        |  LEFT JOIN s1 c USING (w3)
+        |  CROSS JOIN tot t
+        |GROUP BY 1""".stripMargin,
     // leftmost-greedy non-overlapping occurrence counts are exactly
     // what the replace() trick counts; length()/replace() are
     // codepoint-based in DuckDB, matching the byte-level automaton on

@@ -1391,6 +1391,103 @@ object TextAnalysis {
   def bigramSurprisal(docs: DataFrame): DataFrame =
     scoreBigramSurprisal(docs, bigramModel(docs))
 
+  /** Word trigram rows (doc_id, w1, w2, w3): a row-local window over
+    * the token array — pure codegen narrow map, zero shuffle; docs
+    * with fewer than 3 words emit nothing (both engines). */
+  private def wordTrigramRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        filter(split(lower(col("text")), " "), w => w =!= "").as("__ws"))
+      .where(size(col("__ws")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__ws")) - 2),
+        i => struct(element_at(col("__ws"), i).as("w1"),
+          element_at(col("__ws"), i + 1).as("w2"),
+          element_at(col("__ws"), i + 2).as("w3")))).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+
+  /** Stupid-backoff trigram LM (Brants et al. 2007 — the web-scale LM
+    * that drops normalization so every count lookup is exact): score a
+    * trigram at the deepest level with evidence, penalizing each
+    * backoff step. In the integer bit-length surrogate family:
+    * level 3 = bitlen(c(w1w2)) − bitlen(c(w1w2w3)); level 2 = 2 +
+    * bitlen(c(w2)) − bitlen(c(w2w3)); level 1 = 4 + bitlen(N) −
+    * bitlen(c(w3)); OOV = 4 + bitlen(N) + 1 (the unigram-trainer
+    * unseen convention). The 2-per-level penalty is the integer
+    * surrogate of Brants' α = 0.4 multiplier (−log₂ α ≈ 1.32, taken
+    * at the same resolution the count surrogates use). All sums are
+    * order-free integers — fully oracled.
+    *
+    * Returns (s3, s2, s1, oovSurp): three MODEL-sized score frames
+    * (each checkpointed once — together they ARE the LM) plus the OOV
+    * constant. N folds to one driver long (a single-scalar agg — model
+    * state, the BPE-trainer convention).
+    *
+    * Scale: the training corpus is scanned once per count order (three
+    * narrow explode→agg passes); every downstream serve pays three
+    * broadcast joins against vocab-sized frames — never a data-sized
+    * shuffle beyond its own per-doc aggregation.
+    */
+  def trigramBackoffModel(train: DataFrame)
+    : (DataFrame, DataFrame, DataFrame, Long) = {
+    val P = 2L
+    def bl(c: Column): Column = length(bin(c)).cast("long")
+    val uni = train.select(explode(filter(split(lower(col("text")), " "),
+        w => w =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n1"))
+      .localCheckpoint(eager = false)
+    val big = wordBigramRows(train)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+      .localCheckpoint(eager = false)
+    val tri = wordTrigramRows(train)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("n3"))
+    val nTotal = uni.agg(sum(col("n1"))).collect()(0).getLong(0)
+    val blN = 64L - java.lang.Long.numberOfLeadingZeros(nTotal)
+    // every surrogate is ≥ 0: a trigram occurrence IS a (w1,w2) bigram
+    // occurrence at the same position, so c(w1w2) ≥ c(w1w2w3), etc.
+    val s3 = tri.join(big, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        (bl(col("n2")) - bl(col("n3"))).as("s3"))
+      .localCheckpoint(eager = false)
+    val s2 = big.join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .select(col("w1").as("w2"), col("w2").as("w3"),
+        (lit(P) + bl(col("n1")) - bl(col("n2"))).as("s2"))
+      .localCheckpoint(eager = false)
+    val s1 = uni.select(col("w").as("w3"),
+        (lit(2L * P + blN) - bl(col("n1"))).as("s1"))
+      .localCheckpoint(eager = false)
+    (s3, s2, s1, 2L * P + blN + 1L)
+  }
+
+  /** Serve half: stamp every trigram of `serve` with its deepest-level
+    * score (three broadcast joins against the frozen model), then fold
+    * per doc — trigram count, per-level hit counts, exact surprisal
+    * sum, and the mean on the 1e-4 grid. */
+  def scoreTrigramBackoff(serve: DataFrame, s3: DataFrame, s2: DataFrame,
+      s1: DataFrame, oovSurp: Long): DataFrame =
+    wordTrigramRows(serve)
+      .join(broadcast(s3), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(s2), Seq("w2", "w3"), "left")
+      .join(broadcast(s1), Seq("w3"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        count(col("s3")).as("n_l3"),
+        count(when(col("s3").isNull && col("s2").isNotNull, 1)).as("n_l2"),
+        count(when(col("s3").isNull && col("s2").isNull &&
+          col("s1").isNotNull, 1)).as("n_l1"),
+        count(when(col("s3").isNull && col("s2").isNull &&
+          col("s1").isNull, 1)).as("n_oov"),
+        sum(coalesce(col("s3"), col("s2"), col("s1"), lit(oovSurp)))
+          .as("surprisal_sum"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_l3"), col("n_l2"),
+        col("n_l1"), col("n_oov"), col("surprisal_sum"),
+        frac4(col("surprisal_sum"), col("n_trigrams")).as("mean_surprisal"))
+
+  def trigramBackoff(train: DataFrame, serve: DataFrame): DataFrame = {
+    val (s3, s2, s1, oov) = trigramBackoffModel(train)
+    scoreTrigramBackoff(serve, s3, s2, s1, oov)
+  }
+
   /** CCNet head/middle/tail selection (the bucketing step that follows
     * the perplexity filter, Wenzek et al. 2020): split each language's
     * documents into surprisal tertiles — "head" = most fluent third,

@@ -575,6 +575,34 @@ class PipelineSpec extends SparkSpec {
     assert((st.getLong(1), st.getLong(2), st.getLong(3)) == ((4L, 2L, 5L)))
   }
 
+  test("trigram stupid-backoff: levels and integer surrogates, hand-checked") {
+    import spark.implicits._
+    // train: uni a:2 b:2 c:1 d:1 (N=6, bitlen 3); big (a,b):2 (b,c):1
+    // (c,a):1 (b,d):1; tri (a,b,c) (b,c,a) (c,a,b) (a,b,d) each once
+    val train = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val serve = Seq((10L, "a b c"), (20L, "d a b"), (30L, "a c d"),
+      (40L, "a b z"), (50L, "a b c a")).toDF("doc_id", "text")
+    val r = graft.text.TextAnalysis.trigramBackoff(train, serve)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def row(id: Long) = { val x = r(id)
+      (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getLong(5), x.getLong(6)) }
+    // (a,b,c) level 3: bitlen(2) − bitlen(1) = 1
+    assert(row(10L) == ((1L, 1L, 0L, 0L, 0L, 1L)))
+    // (d,a,b) level 2 via (a,b): 2 + bitlen(c1(a)=2) − bitlen(c2=2) = 2
+    assert(row(20L) == ((1L, 0L, 1L, 0L, 0L, 2L)))
+    // (a,c,d) level 1 via d: 4 + 3 − bitlen(1) = 6
+    assert(row(30L) == ((1L, 0L, 0L, 1L, 0L, 6L)))
+    // (a,b,z): z unseen → OOV constant 4 + 3 + 1 = 8
+    assert(row(40L) == ((1L, 0L, 0L, 0L, 1L, 8L)))
+    // two level-3 hits, mean on the 1e-4 grid
+    assert(row(50L) == ((2L, 2L, 0L, 0L, 0L, 1L)))
+    assert(r(50L).getDouble(7) == 0.5)
+    // docs under 3 words emit nothing on either engine
+    assert(graft.text.TextAnalysis.trigramBackoff(train,
+      Seq((60L, "a b")).toDF("doc_id", "text")).collect().isEmpty)
+  }
+
   test("pii stats: luhn separates real cards from digit runs") {
     val d = docsDF(Seq(
       "contact user@example.com or call 555-867-5309 now",
