@@ -512,6 +512,32 @@ object SparkEntry {
        |FROM e LEFT JOIN res r USING (word) GROUP BY 1""".stripMargin
   }
 
+  /** The prune step replayed: restrict the trained cost table to the
+    * survivors (singles always, multi-char pieces by count threshold),
+    * then one more full EM round — DP block, weighted recount, cost
+    * re-derivation — under the pruned relation. */
+  private def unigramTrainPrunedSql(vocab: Seq[(String, Long)],
+      maxLen: Int, rounds: Int, minCount: Long): String = {
+    val maxPiece = vocab.map(_._1.length).max
+    s"""WITH ${unigramTrainCtes(vocab, maxLen, rounds)},
+       |vp AS MATERIALIZED (SELECT v.piece, v.cost FROM vr$rounds v
+       |  LEFT JOIN cnt$rounds c USING (piece)
+       |  WHERE length(v.piece) = 1 OR COALESCE(c.cnt, 0) >= $minCount),
+       |${unigramDpBlock("pp", "vp", maxPiece, maxLen)},
+       |cntp AS MATERIALIZED (SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(r.seg, '|')) AS piece,
+       |      wc.wcnt AS wcnt
+       |    FROM ppres r JOIN wc USING (word)) GROUP BY 1),
+       |totp AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cntp),
+       |vrp AS MATERIALIZED (SELECT v0.piece,
+       |    CAST(CASE WHEN c.cnt IS NULL THEN 10 + 4 * (length(bin(t.t)) + 1)
+       |      ELSE 10 + 4 * (length(bin(t.t)) - length(bin(c.cnt)))
+       |      END AS BIGINT) AS cost
+       |  FROM vp v0 LEFT JOIN cntp c USING (piece) CROSS JOIN totp t)
+       |SELECT v.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_count, v.cost
+       |FROM vrp v LEFT JOIN cntp c USING (piece)""".stripMargin
+  }
+
   // Planted LM-SERVE rows: the base corpus is also the training corpus,
   // so every one of its trigrams scores at level 3 — these rows remix
   // base-vocabulary words into novel orders and add unseen words, the
@@ -2354,6 +2380,15 @@ object SparkEntry {
     // recount → re-cost with exact bit-length surrogates, all integer
     "unigram_train_costs" -> ((s, d) =>
       graft.text.TextAnalysis.unigramTrainCosts(docs(s, d), unigramVocab, 2)),
+    // the SentencePiece prune step: drop multi-char pieces under the
+    // count threshold after 2 EM rounds (singles always survive), then
+    // one more EM round under the shrunk vocabulary — pruned-away
+    // pieces force their words to re-segment, so counts/costs genuinely
+    // move; threshold 1500 sits above any single-word piece's corpus
+    // weight at sf0.01 but below multi-word shared pieces
+    "unigram_train_pruned" -> ((s, d) =>
+      graft.text.TextAnalysis.unigramTrainPruned(docs(s, d), unigramVocab,
+        2, 1500L)),
     // train→serve CLOSED: per-doc stats under the costs TRAINED in this
     // query (the pack_sequences_trained precedent — the vocabulary is
     // the serving currency end-to-end, not a shipped literal)
@@ -4673,6 +4708,8 @@ object SparkEntry {
     // the full training loop replayed: two DP blocks with the derived
     // cost table between them
     "unigram_train_costs" -> unigramTrainSql(unigramVocab, 12, 2),
+    // prune CTE between the trained table and a third full EM round
+    "unigram_train_pruned" -> unigramTrainPrunedSql(unigramVocab, 12, 2, 1500L),
     // train→serve: a third DP block under the trained cost table
     "text_tokens_unigram_trained" ->
       unigramTrainedServeSql(unigramVocab, 12, 2),

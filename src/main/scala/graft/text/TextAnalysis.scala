@@ -875,16 +875,25 @@ object TextAnalysis {
     * the driver as trainer state (the BPE delta-trainer pattern —
     * O(|vocab|), never corpus-sized).
     */
-  def unigramTrainCosts(docs: DataFrame, vocab0: Seq[(String, Long)],
-      rounds: Int = 2, maxLen: Int = 12): DataFrame = {
-    val spark = docs.sparkSession
-    val wc = docs.select(
+  /** Corpus word-frequency table — the ONE corpus scan every unigram
+    * training variant shares (vocab-sized, lazily checkpointed). */
+  private def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(
         explode(filter(split(lower(col("text")), " "), w => w =!= ""))
           .as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
       .localCheckpoint(eager = false)
+
+  /** The hard-EM inner loop over a FIXED piece set: segment distinct
+    * words under current costs, count pieces weighted by corpus word
+    * frequency, re-derive every cost with the exact bit-length
+    * surrogate. Returns (final costs, last-round counts) — O(|vocab|)
+    * driver trainer state per round, vocab-sized frames throughout. */
+  private def unigramEmRounds(wc: DataFrame, vocab: Seq[(String, Long)],
+      rounds: Int, maxLen: Int)
+    : (Seq[(String, Long)], Map[String, Long]) = {
     def bitlen(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
-    var costs = vocab0
+    var costs = vocab
     var lastCounts: Map[String, Long] = Map.empty
     for (_ <- 1 to rounds) {
       val counts = wc.select(col("wcnt"),
@@ -895,7 +904,7 @@ object TextAnalysis {
         .groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val total = counts.values.sum
-      costs = vocab0.map { case (p, _) =>
+      costs = vocab.map { case (p, _) =>
         p -> (counts.get(p) match {
           case Some(c) => 10L + 4L * (bitlen(total) - bitlen(c))
           case None => 10L + 4L * (bitlen(total) + 1L)
@@ -903,8 +912,42 @@ object TextAnalysis {
       }
       lastCounts = counts
     }
+    (costs, lastCounts)
+  }
+
+  def unigramTrainCosts(docs: DataFrame, vocab0: Seq[(String, Long)],
+      rounds: Int = 2, maxLen: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    val (costs, lastCounts) =
+      unigramEmRounds(wordFreq(docs), vocab0, rounds, maxLen)
     import spark.implicits._
     val out = costs.map { case (p, c) => (p, lastCounts.getOrElse(p, 0L), c) }
+    out.toDF("piece", "n_count", "cost")
+  }
+
+  /** SentencePiece's OTHER half — vocabulary PRUNING (Kudo 2018 §3.2's
+    * shrink step, in the deterministic hard-EM form): run `rounds` EM
+    * rounds over the seed vocabulary, drop every multi-char piece whose
+    * corpus-weighted count falls below `minCount` (single-char pieces
+    * are the coverage guarantee and always survive), then run ONE more
+    * EM round under the pruned set — words that lost a piece re-segment
+    * through the survivors, so the final counts/costs genuinely differ
+    * from a mere filter of the unpruned table. Emits the pruned
+    * (piece, n_count, cost) vocabulary.
+    *
+    * Scale: identical posture to [[unigramTrainCosts]] — one corpus
+    * scan, vocab-sized frames per round, O(|vocab|) driver state; the
+    * prune itself is a driver-side filter of trainer state. */
+  def unigramTrainPruned(docs: DataFrame, vocab0: Seq[(String, Long)],
+      rounds: Int = 2, minCount: Long = 2L, maxLen: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    val wc = wordFreq(docs)
+    val (costs, counts) = unigramEmRounds(wc, vocab0, rounds, maxLen)
+    val kept = costs.filter { case (p, _) =>
+      p.length == 1 || counts.getOrElse(p, 0L) >= minCount }
+    val (costs2, counts2) = unigramEmRounds(wc, kept, 1, maxLen)
+    import spark.implicits._
+    val out = costs2.map { case (p, c) => (p, counts2.getOrElse(p, 0L), c) }
     out.toDF("piece", "n_count", "cost")
   }
 

@@ -542,6 +542,27 @@ class PipelineSpec extends SparkSpec {
     assert(r3 == r)
   }
 
+  test("unigram prune: below-threshold pieces drop, words re-segment") {
+    import spark.implicits._
+    val vocab = Seq("d" -> 10L, "a" -> 10L, "t" -> 10L, "j" -> 10L,
+      "o" -> 10L, "i" -> 10L, "n" -> 10L, "da" -> 14L, "ta" -> 14L,
+      "dat" -> 18L, "join" -> 24L, "jo" -> 13L, "in" -> 14L)
+    val d = Seq((1L, "data data join"), (2L, "data")).toDF("doc_id", "text")
+    // after 2 EM rounds: dat:3 a:3 join:1 (see the EM spec). Prune at
+    // minCount=2: 'join' (1 < 2) and all never-used multi-char pieces
+    // drop; singles survive regardless of count.
+    val r = graft.text.TextAnalysis.unigramTrainPruned(d, vocab, 2, 2L)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.keySet == Set("d", "a", "t", "j", "o", "i", "n", "dat"))
+    // round 3 under the pruned set: 'join' re-segments as j|o|i|n, so
+    // counts are dat:3 a:3 j,o,i,n:1 (total 10, bitlen 4) — costs
+    // dat/a = 10+4·2 = 18, used singles = 10+4·3 = 22, unused = 30
+    assert(r("dat") == ((3L, 18L)) && r("a") == ((3L, 18L)))
+    assert(r("j") == ((1L, 22L)) && r("o") == ((1L, 22L)) &&
+      r("i") == ((1L, 22L)) && r("n") == ((1L, 22L)))
+    assert(r("d") == ((0L, 30L)) && r("t") == ((0L, 30L)))
+  }
+
   test("wordpiece greedy: longest-first, restart, unk trap, doc stats") {
     import spark.implicits._
     val vocab = SparkEntry.wordpieceVocab
