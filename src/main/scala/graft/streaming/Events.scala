@@ -678,6 +678,25 @@ object Events {
           batch.toDF(), model))
     }
 
+  /** Stupid-backoff trigram scoring gate: each micro-batch of NEW
+    * documents is scored under the FROZEN three-level model (trained
+    * once in batch — [[graft.text.TextAnalysis.trigramBackoffModel]],
+    * model-sized, cached by the caller) — the OOV-aware ingest router:
+    * arriving docs full of unseen words surface immediately through
+    * the n_oov / backoff-level counts, which a self-trained batch
+    * score can never show. Same scorer as the batch query
+    * ([[graft.text.TextAnalysis.scoreTrigramBackoff]]), so verdicts
+    * are bit-equal by construction (gated in StreamingSpec).
+    */
+  def backoffScoreIngestGate(newDocs: DataFrame, s3: DataFrame,
+      s2: DataFrame, s1: DataFrame, oovSurp: Long)(
+      onScores: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onScores(graft.text.TextAnalysis.scoreTrigramBackoff(
+          batch.toDF(), s3, s2, s1, oovSurp))
+    }
+
   /** Multimodal ingestion gate: each micro-batch of NEW images is
     * perceptual-hashed (decode → aHash) and checked against the static
     * corpus's hash table at Hamming ≤ `maxHamming` — the image twin of

@@ -827,6 +827,41 @@ class StreamingSpec extends SparkSpec {
     model.unpersist()
   }
 
+  test("backoff scoring gate: streamed level counts bit-equal the batch scorer") {
+    import spark.implicits._
+    val train = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    // arriving docs: one in-distribution, one remix (backoff levels),
+    // one fully unseen (pure OOV) — plus a slice of the base corpus
+    val arriving = train.limit(20).unionByName(Seq(
+      (9800001L, "spark zzz join qqq merge zzz"),
+      (9800002L, "zzz yyy xxx zzz yyy")).toDF("doc_id", "text"))
+    val (s3, s2, s1, oov) =
+      graft.text.TextAnalysis.trigramBackoffModel(train)
+    Seq(s3, s2, s1).foreach { m => m.cache(); m.count() }
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_bo_ingest")
+    arriving.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val stream = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = graft.streaming.Events.backoffScoreIngestGate(
+        stream, s3, s2, s1, oov)(v => v.collect().foreach(sink.add))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7))
+    val got = sink.asScala.map(key).toSet
+    val expect = graft.text.TextAnalysis.scoreTrigramBackoff(
+      arriving, s3, s2, s1, oov).collect().map(key).toSet
+    assert(got == expect && got.nonEmpty)
+    // the OOV-only doc scores every trigram at the OOV constant
+    val pureOov = got.find(_._1 == 9800002L).get
+    assert(pureOov._6 == pureOov._2 && pureOov._3 == 0L)
+    Seq(s3, s2, s1).foreach(_.unpersist())
+  }
+
   test("boilerplate strip gate: streamed cleanups bit-equal the batch serve half") {
     import spark.implicits._
     // a corpus with multi-line docs: known boilerplate + unique bodies
