@@ -430,6 +430,45 @@ object ScaleProbe {
         .agg(sum(col("cost_sum"))).head().getLong(0)
     }
 
+    // wordpiece greedy: same distinct-word split as unigram — the
+    // per-word loop runs on a vocab-sized frame, so corpus ×20 with an
+    // unchanged vocabulary must be scan/agg-bound
+    probe("text_tokens_wordpiece", Seq(1, 20)) { c =>
+      text.TextAnalysis.wordpieceStats(
+        replicate(docs, c, Map("doc_id" -> 10000000L)),
+        SparkEntry.wordpieceVocab)
+        .agg(sum(col("n_pieces"))).head().getLong(0)
+    }
+
+    // stupid-backoff LM: model frames are vocab-sized (train side
+    // counts via three explode→agg passes, serve side pays three
+    // broadcast joins) — train+serve on a ×20 corpus must track the
+    // corpus scans ~linearly, never the join side
+    probe("text_lm_backoff", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.trigramBackoff(d, d)
+        .agg(sum(col("surprisal_sum"))).head().getLong(0)
+    }
+
+    // ROUNDS-DEPTH probe (fixed corpus, 2 → 8 EM rounds): each round
+    // is one vocab-sized segment+recount pass over the checkpointed
+    // word-frequency table (the corpus is scanned ONCE up front), so
+    // wall-time must grow ~linearly in rounds with a flat per-round
+    // cost — the EM analog of bpe_train_depth
+    probe("unigram_train_depth", Seq(2, 8)) { c =>
+      text.TextAnalysis.unigramTrainCosts(docs, SparkEntry.unigramVocab, c)
+        .agg(sum(col("cost"))).head().getLong(0)
+    }
+
+    // prune = EM rounds + a driver-side filter + one more round; the
+    // ×20 corpus changes only the shared word-frequency scan
+    probe("unigram_train_pruned", Seq(1, 20)) { c =>
+      text.TextAnalysis.unigramTrainPruned(
+        replicate(docs, c, Map("doc_id" -> 10000000L)),
+        SparkEntry.unigramVocab, 2, 1500L)
+        .agg(sum(col("cost"))).head().getLong(0)
+    }
+
     // filter funnel: one flag-computing scan + the dedup window (the
     // only data-sized exchange) + a 1-row agg — must scale ~linearly
     probe("corpus_filter_funnel", Seq(1, 20)) { c =>
