@@ -463,14 +463,13 @@ object SparkEntry {
     * [UNK] at the final join. A piece's text at a fixed (position,
     * length) is unique, so max(length) picks a unique piece — greedy
     * has no ties to break. */
-  private def wordpieceSql(vocab: Seq[String], maxLen: Int): String = {
-    val vals = vocab.map { p =>
-      val cont = if (p.startsWith("##")) 1 else 0
-      val body = if (cont == 1) p.drop(2) else p
-      s"('$body', $cont)"
-    }.mkString(", ")
+  /** The greedy-replay CTE chain from word list to per-doc aggregation
+    * (assumes a `wv(body, cont)` relation is already in scope — literal
+    * VALUES for the shipped vocab, DERIVED from the training stages for
+    * the trained one; stage names gm/g avoid the trainer's m_k). */
+  private def wordpieceGreedyTail(docsRel: String, maxLen: Int): String = {
     val stages = (1 to maxLen).map { i =>
-      s"""m$i AS MATERIALIZED (SELECT s.word, s.pos, s.seg,
+      s"""gm$i AS MATERIALIZED (SELECT s.word, s.pos, s.seg,
          |    max(length(v.body)) AS bl
          |  FROM g${i - 1} s JOIN wv v
          |    ON v.cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
@@ -482,23 +481,22 @@ object SparkEntry {
          |    CASE WHEN m.pos = 0 THEN substr(m.word, 1, m.bl)
          |      ELSE m.seg || '|##' || substr(m.word, m.pos + 1, m.bl) END AS seg,
          |    FALSE AS unk
-         |  FROM m$i m
+         |  FROM gm$i m
          |  UNION ALL
          |  SELECT s.word, length(s.word) AS pos, '[UNK]' AS seg, TRUE AS unk
-         |  FROM g${i - 1} s LEFT JOIN m$i m ON s.word = m.word
+         |  FROM g${i - 1} s LEFT JOIN gm$i m ON s.word = m.word
          |  WHERE NOT s.unk AND s.pos < length(s.word) AND m.word IS NULL
          |  UNION ALL
          |  SELECT word, pos, seg, unk FROM g${i - 1}
          |  WHERE unk OR pos >= length(word))""".stripMargin
     }.mkString(",\n")
-    s"""WITH wv AS MATERIALIZED (SELECT * FROM (VALUES $vals) t(body, cont)),
-       |e AS MATERIALIZED (SELECT doc_id,
+    s"""e AS MATERIALIZED (SELECT doc_id,
        |    unnest(list_filter(string_split(lower(text), ' '),
-       |    x -> x <> '')) AS word FROM documents),
-       |w AS MATERIALIZED (SELECT DISTINCT word FROM e
+       |    x -> x <> '')) AS word FROM $docsRel),
+       |wq AS MATERIALIZED (SELECT DISTINCT word FROM e
        |  WHERE length(word) <= $maxLen),
        |g0 AS MATERIALIZED (SELECT word, 0 AS pos, '' AS seg, FALSE AS unk
-       |  FROM w),
+       |  FROM wq),
        |$stages,
        |res AS MATERIALIZED (SELECT word, unk,
        |    CAST(CASE WHEN unk THEN 1 ELSE len(string_split(seg, '|')) END
@@ -510,6 +508,33 @@ object SparkEntry {
        |  CAST(SUM(CASE WHEN r.word IS NULL THEN 1 ELSE r.np END) AS BIGINT)
        |    AS n_pieces
        |FROM e LEFT JOIN res r USING (word) GROUP BY 1""".stripMargin
+  }
+
+  private def wordpieceSql(vocab: Seq[String], maxLen: Int): String = {
+    val vals = vocab.map { p =>
+      val cont = if (p.startsWith("##")) 1 else 0
+      val body = if (cont == 1) p.drop(2) else p
+      s"('$body', $cont)"
+    }.mkString(", ")
+    s"""WITH wv AS MATERIALIZED (SELECT * FROM (VALUES $vals) t(body, cont)),
+       |${wordpieceGreedyTail("documents", maxLen)}""".stripMargin
+  }
+
+  /** Train→serve oracle: the WordPiece training stages, the piece set
+    * derived from m0..m{n-1}, then the same greedy replay under it. */
+  private def wordpieceTrainedServeSql(nMerges: Int, maxLen: Int): String = {
+    val full = graft.text.BpeTrainer.wordpieceTrainingOracleSql(nMerges)
+    val body = full.substring(0, full.lastIndexOf('\n'))
+    val pieces = (0 until nMerges).map(k =>
+      s"SELECT a AS piece FROM m$k UNION ALL SELECT b AS piece FROM m$k" +
+        s" UNION ALL SELECT m AS piece FROM m$k").mkString(" UNION ALL ")
+    s"""$body,
+       |wv AS MATERIALIZED (SELECT DISTINCT
+       |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END
+       |      AS body,
+       |    CASE WHEN piece LIKE '##%' THEN 1 ELSE 0 END AS cont
+       |  FROM ($pieces)),
+       |${wordpieceGreedyTail("documents", maxLen)}""".stripMargin
   }
 
   /** The prune step replayed: restrict the trained cost table to the
@@ -2405,6 +2430,21 @@ object SparkEntry {
     // ("window" → [UNK] though win|##dow covers)
     "text_tokens_wordpiece" -> ((s, d) =>
       graft.text.TextAnalysis.wordpieceStats(docs(s, d), wordpieceVocab)),
+    // in-engine WordPiece TRAINING (the BERT vocab learner): the BPE
+    // merge loop under the likelihood score count(ab)/(count(a)count(b))
+    // in the integer bit-length surrogate; symbols carry ## from
+    // initialization so the learned pieces serve directly
+    "wordpiece_train_merges" -> ((s, d) =>
+      graft.text.BpeTrainer.wordpieceMergesFrame(s,
+        graft.text.BpeTrainer.trainWordpieceMerges(docs(s, d), 8))),
+    // train→serve CLOSED for WordPiece: per-doc stats under the pieces
+    // TRAINED in this query (merged symbols + their participants; words
+    // touching unlearned characters fall to [UNK] — the BERT behavior)
+    "text_tokens_wordpiece_trained" -> ((s, d) => {
+      val merges = graft.text.BpeTrainer.trainWordpieceMerges(docs(s, d), 8)
+      graft.text.TextAnalysis.wordpieceStats(docs(s, d),
+        graft.text.BpeTrainer.wordpieceVocabFromMerges(merges))
+    }),
     "text_tokens_bpe" -> ((s, d) =>
       graft.text.TextAnalysis.bpeTokenStats(docsMl(s, d))),
     // per-LANGUAGE subword fertility (bytes per BPE token) over the
@@ -4715,6 +4755,12 @@ object SparkEntry {
       unigramTrainedServeSql(unigramVocab, 12, 2),
     // the greedy loop replayed through 12 unrolled advance-or-UNK stages
     "text_tokens_wordpiece" -> wordpieceSql(wordpieceVocab, 12),
+    // the likelihood-scored merge loop replayed stage by stage (pair
+    // counts, symbol counts, surrogate argmax, ##-stripping apply)
+    "wordpiece_train_merges" ->
+      graft.text.BpeTrainer.wordpieceTrainingOracleSql(8),
+    // training stages -> derived piece set -> the same greedy replay
+    "text_tokens_wordpiece_trained" -> wordpieceTrainedServeSql(8, 12),
     "text_tokens_bpe" ->
 withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
          |SELECT d.doc_id, COALESCE(b.n_words, 0) AS n_words,

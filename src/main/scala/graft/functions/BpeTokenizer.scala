@@ -398,15 +398,19 @@ case class BpeDecodeTokens(child: Expression, vocab: Seq[String])
   * interpreted aggregate() fold: training runs this once per word per
   * merge step over the vocabulary table.
   */
-case class BpeMergeApply(child: Expression, a: String, b: String)
+case class BpeMergeApply(child: Expression, a: String, b: String,
+    merged: Option[String] = None)
     extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType, containsNull = false)
 
+  private def m: String = merged.getOrElse(a + b)
+
   override def nullSafeEval(v: Any): Any = {
     val in = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    BpeMergeApply.merge(in, UTF8String.fromString(a), UTF8String.fromString(b))
+    BpeMergeApply.merge(in, UTF8String.fromString(a), UTF8String.fromString(b),
+      UTF8String.fromString(m))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -414,8 +418,10 @@ case class BpeMergeApply(child: Expression, a: String, b: String)
       classOf[UTF8String].getName)
     val ub = ctx.addReferenceObj("mergeB", UTF8String.fromString(b),
       classOf[UTF8String].getName)
+    val um = ctx.addReferenceObj("mergeM", UTF8String.fromString(m),
+      classOf[UTF8String].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeMergeApply.merge($c, $ua, $ub);")
+      s"${ev.value} = graft.functions.BpeMergeApply.merge($c, $ua, $ub, $um);")
   }
 
   override def prettyName: String = "bpe_merge_apply"
@@ -428,17 +434,25 @@ object BpeMergeApply {
     org.apache.spark.sql.graftshim.exprToColumn(
       BpeMergeApply(org.apache.spark.sql.graftshim.columnToExpr(syms), a, b))
 
+  /** Merge with an explicit merged-symbol text — the WordPiece trainer
+    * strips the continuation marker (merged = a + b minus '##'). */
+  def apply_merge_as(syms: Column, a: String, b: String, m: String): Column =
+    org.apache.spark.sql.graftshim.exprToColumn(
+      BpeMergeApply(org.apache.spark.sql.graftshim.columnToExpr(syms), a, b,
+        Some(m)))
+
   /** Static so generated code can call it: left-to-right scan, merged
     * element never re-merges within the same step. */
   def merge(in: org.apache.spark.sql.catalyst.util.ArrayData,
-      a: UTF8String, b: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+      a: UTF8String, b: UTF8String,
+      m: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = in.numElements()
     val out = new java.util.ArrayList[UTF8String](n)
     var i = 0
     while (i < n) {
       val x = in.getUTF8String(i)
       if (i + 1 < n && x.equals(a) && in.getUTF8String(i + 1).equals(b)) {
-        out.add(UTF8String.concat(a, b))
+        out.add(m)
         i += 2
       } else {
         out.add(x)

@@ -155,6 +155,113 @@ object BpeTrainer {
     merges.toSeq
   }
 
+  /** WordPiece vocabulary TRAINING (Schuster & Nakajima 2012 — the
+    * BERT vocab learner): the BPE merge loop under the LIKELIHOOD
+    * merge score — pick the adjacent pair maximizing
+    * count(ab)/(count(a)·count(b)) — taken in the exact integer
+    * bit-length surrogate bitlen(c_ab) − bitlen(c_a) − bitlen(c_b)
+    * (the repo-wide log surrogate, same resolution as the LM/trainer
+    * family; ties: pair count desc, then (a, b) unsigned-UTF-8).
+    * Symbols carry BERT's ## marking FROM INITIALIZATION (first char
+    * plain, every continuation ##-prefixed; a merge concatenates `a`
+    * with `b` minus its marker), so the learned pieces feed
+    * [[graft.functions.WordPieceSegment]] unchanged — train→serve
+    * closes without translation.
+    *
+    * Same delta-maintained driver state as [[continueMerges]] (pair
+    * map seeded once; each step ONE signed aggregation over only the
+    * TOUCHED words) plus the symbol-count map the score needs —
+    * maintained by the SAME signed job (symbol rows ride along with a
+    * null right column, so the per-step job count stays one). Returns
+    * merges oldest-first.
+    */
+  def trainWordpieceMerges(docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): Seq[(String, String)] = {
+    var words = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), expr(
+        "transform(split(w, ''), (c, i) -> IF(i = 0, c, concat('##', c)))")
+        .as("syms"))
+      .localCheckpoint(eager = false)
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    pairCounts(words, "syms").collect()
+      .foreach(r => pc.update((r.getString(0), r.getString(1)), r.getLong(2)))
+    val sc = scala.collection.mutable.HashMap.empty[String, Long]
+    words.select(col("cnt"), explode(col("syms")).as("s"))
+      .groupBy(col("s")).agg(sum(col("cnt")).as("c"))
+      .collect().foreach(r => sc.update(r.getString(0), r.getLong(1)))
+    def bitlen(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
+    def utf8Lt(x: String, y: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var step = 0
+    while (step < nMerges && pc.nonEmpty) {
+      def score(e: ((String, String), Long)): Long =
+        bitlen(e._2) - bitlen(sc(e._1._1)) - bitlen(sc(e._1._2))
+      var best = pc.head
+      var bestS = score(best)
+      pc.foreach { e =>
+        val s = score(e)
+        if (s > bestS || (s == bestS && (e._2 > best._2 ||
+          (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+            (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2))))))) {
+          best = e; bestS = s
+        }
+      }
+      val (a, b) = best._1
+      require(b.startsWith("##"), s"continuation symbol lost its marker: $b")
+      val m = a + b.substring(2)
+      merges += ((a, b))
+      val applied = words.select(col("cnt"), col("syms"),
+          graft.functions.BpeMergeApply.apply_merge_as(col("syms"), a, b, m)
+            .as("nsyms"))
+        .localCheckpoint(eager = false)
+      // ONE signed pass over touched words: pair deltas plus symbol
+      // deltas (null right column) — the continueMerges job with two
+      // extra row-local transforms
+      applied.filter(size(col("nsyms")) < size(col("syms")))
+        .select(explode(expr(
+          "concat(" +
+            "transform(arrays_zip(slice(nsyms, 1, size(nsyms) - 1), " +
+              "slice(nsyms, 2, size(nsyms))), " +
+              "p -> struct(p['0'] AS a, p['1'] AS b, cnt AS c)), " +
+            "transform(arrays_zip(slice(syms, 1, size(syms) - 1), " +
+              "slice(syms, 2, size(syms))), " +
+              "p -> struct(p['0'] AS a, p['1'] AS b, -cnt AS c)), " +
+            "transform(nsyms, s -> struct(s AS a, CAST(NULL AS STRING) AS b, cnt AS c)), " +
+            "transform(syms, s -> struct(s AS a, CAST(NULL AS STRING) AS b, -cnt AS c)))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("p.c")).as("c"))
+        .collect()
+        .foreach { r =>
+          if (r.isNullAt(1)) {
+            val c = sc.getOrElse(r.getString(0), 0L) + r.getLong(2)
+            if (c == 0L) sc.remove(r.getString(0))
+            else sc.update(r.getString(0), c)
+          } else {
+            val k = (r.getString(0), r.getString(1))
+            val c = pc.getOrElse(k, 0L) + r.getLong(2)
+            if (c == 0L) pc.remove(k) else pc.update(k, c)
+          }
+        }
+      words = applied.select(col("cnt"), col("nsyms").as("syms"))
+      step += 1
+    }
+    merges.toSeq
+  }
+
+  /** The learned WordPiece pieces as a serving vocabulary: every
+    * symbol that participated in a merge plus every merged result —
+    * `##` markers intact, so [[graft.functions.WordPieceSegment]]
+    * consumes it directly (words touching characters outside the
+    * learned pieces fall to [UNK], the BERT behavior). */
+  def wordpieceVocabFromMerges(merges: Seq[(String, String)]): Seq[String] =
+    merges.flatMap { case (a, b) => Seq(a, b, a + b.substring(2)) }.distinct
+
   /** A merge list as the declared frame shape (rank, left_sym,
     * right_sym, merged) — one place owns the schema the training
     * oracles compare against. */
@@ -170,6 +277,16 @@ object BpeTrainer {
     * oracle-checkable by replaying the N argmax+apply stages in SQL. */
   def trainedMergesFrame(docs: DataFrame, nMerges: Int): DataFrame =
     mergesFrame(docs.sparkSession, trainMerges(docs, nMerges))
+
+  /** [[mergesFrame]] under WordPiece concatenation — the merged column
+    * strips the right symbol's continuation marker. */
+  def wordpieceMergesFrame(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b, a + b.substring(2)) }
+      .toDF("rank", "left_sym", "right_sym", "merged")
+  }
 
   /** Turn learned merges into an encoder vocabulary: every single
     * character seen in the merges plus each merged symbol. Greedy
@@ -251,6 +368,55 @@ object BpeTrainer {
          |  UNNEST(string_split(lower(text), ' ')) AS u(w) WHERE len(u.w) > 0),
          |w0 AS MATERIALIZED (SELECT w, count(*) AS cnt,
          |  array_to_string(string_split(w, ''), ' ') AS s FROM base GROUP BY w)""".stripMargin
+    val stages = (0 until nMerges).map(stage).mkString
+    val out = (0 until nMerges)
+      .map(k => s"SELECT $k AS rank, a AS left_sym, b AS right_sym, m AS merged FROM m$k")
+      .mkString(" UNION ALL ")
+    s"$head$stages\n$out ORDER BY rank"
+  }
+
+  /** [[trainWordpieceMerges]] replayed in SQL: the [[trainingOracleSql]]
+    * stage chain with (1) ##-marked initial symbolization, (2) a
+    * per-stage symbol-count table u_k, (3) the likelihood-surrogate
+    * argmax (bit-length score desc, pair count desc, pair order), and
+    * (4) merged text a || substr(b, 3). The per-word apply fold is the
+    * BPE one verbatim — it reads the merged text from m_k. Emits the
+    * stage chain ending at w{nMerges} plus m0..m{nMerges-1}; `tail`
+    * chooses the output (merges list by default). */
+  def wordpieceTrainingOracleSql(nMerges: Int,
+      source: String = "documents"): String = {
+    def stage(k: Int): String =
+      s""",
+         |p$k AS MATERIALIZED (SELECT ws[CAST(i AS INT)] AS a, ws[CAST(i AS INT)+1] AS b, SUM(cnt) AS c
+         |  FROM (SELECT cnt, string_split(s, ' ') AS ws FROM w$k),
+         |    UNNEST(range(1, len(ws))) AS t(i)
+         |  GROUP BY 1, 2),
+         |u$k AS MATERIALIZED (SELECT sym, SUM(cnt) AS c
+         |  FROM (SELECT cnt, string_split(s, ' ') AS ws FROM w$k),
+         |    UNNEST(ws) AS t(sym)
+         |  GROUP BY 1),
+         |m$k AS MATERIALIZED (SELECT p.a, p.b, p.a || substr(p.b, 3) AS m
+         |  FROM p$k p JOIN u$k ua ON p.a = ua.sym JOIN u$k ub ON p.b = ub.sym
+         |  ORDER BY (length(bin(p.c)) - length(bin(ua.c)) - length(bin(ub.c))) DESC,
+         |    p.c DESC, p.a, p.b LIMIT 1),
+         |f$k AS (
+         |  SELECT w, cnt, string_split(s, ' ') AS ws, CAST(1 AS INT) AS i, CAST('' AS VARCHAR) AS acc FROM w$k
+         |  UNION ALL
+         |  SELECT w, cnt, ws,
+         |    CAST(CASE WHEN i < len(ws) AND ws[i] = (SELECT a FROM m$k) AND ws[i+1] = (SELECT b FROM m$k)
+         |      THEN i + 2 ELSE i + 1 END AS INT),
+         |    acc || CASE WHEN i > 1 THEN ' ' ELSE '' END ||
+         |      CASE WHEN i < len(ws) AND ws[i] = (SELECT a FROM m$k) AND ws[i+1] = (SELECT b FROM m$k)
+         |        THEN (SELECT m FROM m$k) ELSE ws[i] END
+         |  FROM f$k WHERE i <= len(ws)),
+         |w${k + 1} AS MATERIALIZED (SELECT w, cnt, arg_max(acc, i) AS s FROM f$k GROUP BY w, cnt)""".stripMargin
+    val head =
+      s"""WITH RECURSIVE base AS MATERIALIZED (SELECT u.w FROM $source,
+         |  UNNEST(string_split(lower(text), ' ')) AS u(w) WHERE len(u.w) > 0),
+         |w0 AS MATERIALIZED (SELECT w, count(*) AS cnt,
+         |  substr(w, 1, 1) || CASE WHEN length(w) > 1
+         |    THEN ' ##' || array_to_string(string_split(substr(w, 2), ''), ' ##')
+         |    ELSE '' END AS s FROM base GROUP BY w)""".stripMargin
     val stages = (0 until nMerges).map(stage).mkString
     val out = (0 until nMerges)
       .map(k => s"SELECT $k AS rank, a AS left_sym, b AS right_sym, m AS merged FROM m$k")

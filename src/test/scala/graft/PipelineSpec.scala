@@ -596,6 +596,28 @@ class PipelineSpec extends SparkSpec {
     assert((st.getLong(1), st.getLong(2), st.getLong(3)) == ((4L, 2L, 5L)))
   }
 
+  test("wordpiece trainer: likelihood argmax, ## carried, train→serve") {
+    import spark.implicits._
+    // words: aab×2 → [a,##a,##b], ab → [a,##b], b → [b]
+    // step 1: (a,##a) and (##a,##b) tie on surrogate score AND pair
+    // count (2) — unsigned-UTF-8 pair order picks (##a,##b) ('#'<'a');
+    // step 2: (a,##ab) beats (a,##b) on count at equal score;
+    // step 3: only (a,##b) remains; then the pair map is empty
+    val d = Seq((1L, "aab aab ab b")).toDF("doc_id", "text")
+    val m = graft.text.BpeTrainer.trainWordpieceMerges(d, 4)
+    assert(m == Seq("##a" -> "##b", "a" -> "##ab", "a" -> "##b"))
+    // merged text strips the right marker
+    val mf = graft.text.BpeTrainer.wordpieceMergesFrame(spark, m)
+      .collect().map(r => r.getString(3)).toSeq
+    assert(mf == Seq("##ab", "aab", "ab"))
+    // the learned pieces serve directly: aab and ab are whole pieces,
+    // bare b touches no learned INITIAL piece → [UNK]
+    val vocab = graft.text.BpeTrainer.wordpieceVocabFromMerges(m)
+    assert(vocab.toSet == Set("##a", "##b", "##ab", "a", "aab", "ab"))
+    val st = graft.text.TextAnalysis.wordpieceStats(d, vocab).collect().head
+    assert((st.getLong(1), st.getLong(2), st.getLong(3)) == ((4L, 1L, 4L)))
+  }
+
   test("trigram stupid-backoff: levels and integer surrogates, hand-checked") {
     import spark.implicits._
     // train: uni a:2 b:2 c:1 d:1 (N=6, bitlen 3); big (a,b):2 (b,c):1
