@@ -550,6 +550,13 @@ object ScaleProbe {
       text.BpeTrainer.trainMerges(saltedDocs(c), 4).size.toLong
     }
 
+    // wordpiece trainer: the bpe_train_merges delta posture plus
+    // symbol-count deltas riding the SAME signed job — salting
+    // multiplies the vocabulary ×c, the worst case for both driver maps
+    probe("wordpiece_train_merges", Seq(1, 20)) { c =>
+      text.BpeTrainer.trainWordpieceMerges(saltedDocs(c), 4).size.toLong
+    }
+
     probe("text_rarity", Seq(1, 20)) { c =>
       // head(), not count(): count() on a global agg lets column
       // pruning drop the magnitude arithmetic being measured

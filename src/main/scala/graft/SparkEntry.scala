@@ -234,6 +234,36 @@ object SparkEntry {
   private[graft] val blockedDomains =
     Seq("spam.example.com", "tracker.adsite.io")
 
+  // Planted URL-CANONICALIZATION rows: mixed-case scheme/host, default
+  // ports, tracking params, fragments, and trailing slashes — raw
+  // spellings that must collapse to shared canonical URLs (the
+  // crawl-side URL dedup key). URLs are space-delimited (the extractor
+  // pattern is [^ ]+), no quotes.
+  private[graft] val urlCanonRows: Seq[(Long, String)] = Seq(
+    9900001L -> ("see HTTPS://Example.COM:443/Article/?utm_source=x&utm_campaign=y#frag " +
+      "and more text"),
+    9900002L -> ("see https://example.com/Article and " +
+      "http://News.Site.org:80/a/b/?gclid=123 now"),
+    9900003L -> ("plain http://news.site.org/a/b and dup " +
+      "https://example.com/Article/ here"),
+    9900004L -> ("tracked https://example.com/Article?id=7&utm_medium=z&fbclid=q " +
+      "end"))
+
+  private def docsUrlCanon(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(urlCanonRows.map { case (id, t) =>
+      (id, t, "en", "planted_urlc", t.codePointCount(0, t.length).toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val urlCanonDocsSelect: String = {
+    val vals = urlCanonRows.map { case (id, t) =>
+      s"($id, '$t', 'en', 'planted_urlc', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   private def docsUrl(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     docs(s, d).unionByName(urlRows.map { case (id, t) =>
@@ -2385,6 +2415,17 @@ object SparkEntry {
     // blocklist, zero shuffle
     "text_url_filter" -> ((s, d) =>
       graft.text.TextAnalysis.urlFilter(docsUrl(s, d), blockedDomains)),
+    // URL canonicalization + URL-level dedup (the crawl-side dedup
+    // key): lowercase authority, fragment/tracking-param/default-port/
+    // trailing-slash stripping, then group by the canonical form —
+    // the planted raw spellings must collapse
+    "url_canonicalize" -> ((s, d) =>
+      graft.text.TextAnalysis.urlDedup(docsUrlCanon(s, d))),
+    // per-source quota (the FineWeb/C4 per-host cap): top-K docs per
+    // source by exact-grid quality via the bounded-heap aggregator —
+    // never a per-key full sort
+    "source_cap" -> ((s, d) =>
+      graft.text.TextAnalysis.sourceCap(docs(s, d), 5)),
     // HTML → text with link density (the jusText/trafilatura signal);
     // tag-free base docs are fixed points
     "text_html_extract" -> ((s, d) =>
@@ -4704,6 +4745,54 @@ object SparkEntry {
         |  len(list_intersect(list_distinct(doms),
         |    [${blockedDomains.map(d => s"'$d'").mkString(", ")}])) > 0 AS flagged
         |FROM p""".stripMargin,
+    // the canonicalization chain replayed step by step (prefix-lower,
+    // fragment, param filter, default ports, trailing slash); DuckDB
+    // backrefs are \1 where Spark's are $1 — same RE2-safe patterns
+    "url_canonicalize" ->
+      s"""WITH du AS ($urlCanonDocsSelect),
+        |r AS (SELECT u.url FROM du,
+        |  UNNEST(regexp_extract_all(text, '(?i)https?://[^ ]+')) AS u(url)),
+        |c1 AS (SELECT url,
+        |  lower(regexp_extract(url, '^([A-Za-z]+://[A-Za-z0-9.-]+(:[0-9]+)?)', 1))
+        |    || substr(url, length(regexp_extract(url,
+        |      '^([A-Za-z]+://[A-Za-z0-9.-]+(:[0-9]+)?)', 1)) + 1) AS u1
+        |  FROM r),
+        |c2 AS (SELECT url, regexp_replace(u1, '#.*$$', '') AS u2 FROM c1),
+        |c3 AS (SELECT url, split_part(u2, '?', 1) AS base,
+        |  CASE WHEN length(u2) > length(split_part(u2, '?', 1))
+        |    THEN substr(u2, length(split_part(u2, '?', 1)) + 2)
+        |    ELSE '' END AS q FROM c2),
+        |c4 AS (SELECT url, base ||
+        |    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+        |      ELSE '' END AS u3
+        |  FROM (SELECT url, base, list_filter(string_split(q, '&'),
+        |    p -> p <> '' AND NOT regexp_matches(p,
+        |      '^(utm_[^=]*|fbclid|gclid)(=|$$)')) AS kept FROM c3)),
+        |c5 AS (SELECT url, regexp_replace(regexp_replace(u3,
+        |    '^(http://[a-z0-9.-]+):80($$|/)', '\\1\\2'),
+        |    '^(https://[a-z0-9.-]+):443($$|/)', '\\1\\2') AS u4 FROM c4),
+        |c6 AS (SELECT url, regexp_replace(u4, '/$$', '') AS uc FROM c5)
+        |SELECT uc AS url_canon, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants
+        |FROM c6 GROUP BY 1""".stripMargin,
+    // the quality grid re-derived, then the per-source top-5 as a
+    // deterministic (score desc, doc_id asc) row_number window
+    "source_cap" ->
+      """WITH b AS (SELECT doc_id, length(text) AS len,
+        |    len(string_split(lower(text), ' ')) AS n,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of')) AS stop
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |    (LEAST(n * 100, 10000) * 7 + LEAST(stop * 100000 // n, 10000) * 3)
+        |      // 10 AS score_e4
+        |  FROM b),
+        |j AS (SELECT d.source, d.doc_id, e.score_e4
+        |  FROM documents d JOIN e USING (doc_id))
+        |SELECT source, CAST(row_number() OVER w AS INT) AS rank, doc_id,
+        |  CAST(score_e4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS quality_score
+        |FROM j WINDOW w AS (PARTITION BY source ORDER BY score_e4 DESC, doc_id)
+        |QUALIFY row_number() OVER w <= 5""".stripMargin,
     // HTML extraction replayed transform by transform (DuckDB needs the
     // explicit 'g' flag; Spark regexp_replace is global by default)
     "text_html_extract" ->

@@ -55,6 +55,39 @@ object TopKByKey {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
+  /** String-keyed twin of [[TopKAgg]] (per-source / per-domain
+    * capping) — same heap, same tie discipline, delegated. */
+  class TopKAggStr(k: Int)
+      extends Aggregator[(String, Double, Long), HeapBuf, Seq[(Double, Long)]] {
+    private val agg = new TopKAgg(k)
+    override def zero: HeapBuf = agg.zero
+    override def reduce(b: HeapBuf, v: (String, Double, Long)): HeapBuf =
+      agg.reduce(b, (0L, v._2, v._3))
+    override def merge(a: HeapBuf, b: HeapBuf): HeapBuf = agg.merge(a, b)
+    override def finish(r: HeapBuf): Seq[(Double, Long)] = agg.finish(r)
+    override def bufferEncoder: Encoder[HeapBuf] = agg.bufferEncoder
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] = agg.outputEncoder
+  }
+
+  /** [[topKPerKey]] for string keys: df(keyCol, scoreCol, idCol) →
+    * (key, rank, id, score), rank 1-based by (score desc, id asc). */
+  def topKPerStrKey(df: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(scoreCol).cast("double"),
+        col(idCol).cast("long"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .agg(new TopKAggStr(k).toColumn.name("topk"))
+      .toDF("key", "topk")
+      .select(col("key"), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col("key"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("entry._2").as("id"),
+        col("entry._1").as("score"))
+  }
+
   /** df(keyCol, scoreCol, idCol) → (key, rank, id, score): top-K rows
     * per key, rank 1-based by descending score.
     */

@@ -1972,6 +1972,67 @@ object TextAnalysis {
       (size(array_intersect(array_distinct(doms), blocked)) > 0).as("flagged"))
   }
 
+  /** URL canonicalization — the key URL-level dedup actually groups on
+    * (every crawl pipeline's first dedup pass): lowercase the
+    * scheme+authority (paths stay case-sensitive), strip the fragment,
+    * drop tracking parameters (`utm_*`, `fbclid`, `gclid`) while
+    * keeping the rest of the query string in order, strip default
+    * ports (:80 http / :443 https), strip one trailing slash. Every
+    * step is a row-local regex/array op in the Java∩RE2 intersection
+    * (no lookahead — the port rule captures the following boundary
+    * char instead), so the whole chain replays in SQL. Zero shuffle.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val pfxPat = "^([A-Za-z]+://[A-Za-z0-9.-]+(:[0-9]+)?)"
+    val pfx = regexp_extract(u, pfxPat, 1)
+    val u1 = concat(lower(pfx), u.substr(length(pfx) + lit(1), length(u)))
+    val u2 = regexp_replace(u1, "#.*$", "")
+    val base = substring_index(u2, "?", 1)
+    val query = when(length(u2) > length(base),
+      u2.substr(length(base) + lit(2), length(u2))).otherwise(lit(""))
+    val keep = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))
+    val u3 = concat(base, when(size(keep) > 0,
+      concat(lit("?"), array_join(keep, "&"))).otherwise(lit("")))
+    val u4 = regexp_replace(regexp_replace(u3,
+      "^(http://[a-z0-9.-]+):80($|/)", "$1$2"),
+      "^(https://[a-z0-9.-]+):443($|/)", "$1$2")
+    regexp_replace(u4, "/$", "")
+  }
+
+  /** URL-level dedup report: extract every in-text URL, canonicalize,
+    * group by the canonical form — occurrences and how many raw
+    * spellings collapsed into it. One extraction scan + one hash
+    * aggregation on the (URL-table-sized) exploded frame. */
+  def urlDedup(docs: DataFrame): DataFrame =
+    docs.select(explode(regexp_extract_all(col("text"),
+        lit("(?i)https?://[^ ]+"), lit(0))).as("url"))
+      .select(col("url"), canonicalizeUrl(col("url")).as("url_canon"))
+      .groupBy(col("url_canon"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("url")).as("n_raw_variants"))
+
+  /** Per-source document capping (the FineWeb/C4 per-host quota): keep
+    * only the K highest-quality documents of each source, ranked on
+    * the exact 1e-4 quality grid with doc_id-ascending ties. Runs on
+    * the bounded-heap per-key aggregator
+    * ([[graft.functions.TopKByKey]]): map-side partials ship at most K
+    * rows per (partition, key) to the shuffle — the window/row_number
+    * formulation sorts every key's FULL candidate set, the thing that
+    * dies first at 100 TB.
+    */
+  def sourceCap(docs: DataFrame, k: Int): DataFrame = {
+    val q = quality(docs).select(col("doc_id"),
+      // quality_score is k/10000.0 (one exact IEEE division), so
+      // round(·*10000) recovers the integer grid value exactly
+      round(col("quality_score") * 10000).cast("long").as("qe4"))
+    val scored = docs.select(col("doc_id"), col("source")).join(q, Seq("doc_id"))
+    graft.functions.TopKByKey
+      .topKPerStrKey(scored, "source", "qe4", "doc_id", k)
+      .select(col("key").as("source"), col("rank"), col("id").as("doc_id"),
+        (col("score") / lit(10000.0)).as("quality_score"))
+  }
+
   /** HTML → text extraction with link-density (the boilerplate signal
     * jusText/trafilatura gate on): strips tags/comments, unescapes the
     * five XML entities, collapses whitespace; link density = chars of

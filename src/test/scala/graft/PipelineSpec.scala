@@ -596,6 +596,52 @@ class PipelineSpec extends SparkSpec {
     assert((st.getLong(1), st.getLong(2), st.getLong(3)) == ((4L, 2L, 5L)))
   }
 
+  test("url canonicalization: case, ports, tracking params, slashes") {
+    import spark.implicits._
+    def canon(u: String): String = Seq(u).toDF("u")
+      .select(graft.text.TextAnalysis.canonicalizeUrl(col("u")))
+      .collect().head.getString(0)
+    assert(canon("HTTPS://Example.COM:443/Article/?utm_source=x&utm_campaign=y#frag")
+      == "https://example.com/Article")
+    assert(canon("http://News.Site.org:80/a/b/?gclid=123")
+      == "http://news.site.org/a/b")
+    // kept params stay in order; paths stay case-sensitive
+    assert(canon("https://example.com/Article?id=7&utm_medium=z&fbclid=q")
+      == "https://example.com/Article?id=7")
+    assert(canon("https://a.com/X/Y?b=1&a=2") == "https://a.com/X/Y?b=1&a=2")
+    // :8080 is NOT a default port; bare host with slash normalizes
+    assert(canon("http://a.com:8080/p") == "http://a.com:8080/p")
+    assert(canon("http://A.com/") == "http://a.com")
+    val dd = graft.text.TextAnalysis.urlDedup(Seq(
+      (1L, "x https://example.com/Article/ y"),
+      (2L, "x HTTPS://EXAMPLE.com:443/Article z")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(dd.toSeq == Seq(("https://example.com/Article", 2L, 2L)))
+  }
+
+  test("source cap: bounded top-k per source, grid score, id ties") {
+    import spark.implicits._
+    // source A: four docs with distinct quality (longer = higher score
+    // up to the cap), B: two docs tying on score → doc_id breaks
+    val d = Seq(
+      (1L, "the a of and one two three four", "A"),
+      (2L, "the a of", "A"),
+      (3L, "word", "A"),
+      (4L, "the a of and one two three four five six", "A"),
+      (10L, "same text here", "B"),
+      (11L, "same text here", "B")).map { case (id, t, s) =>
+      (id, t, "en", s, t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.text.TextAnalysis.sourceCap(d, 2).collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getLong(2))).toSet
+    val a = graft.text.TextAnalysis.quality(d)
+      .collect().map(x => x.getLong(0) -> x.getDouble(4)).toMap
+    // A keeps its two highest-quality ids; B's tie resolves to lower ids
+    val aTop = Seq(1L, 2L, 3L, 4L).sortBy(id => (-a(id), id)).take(2)
+    assert(r == Set(("A", 1, aTop(0)), ("A", 2, aTop(1)),
+      ("B", 1, 10L), ("B", 2, 11L)))
+  }
+
   test("wordpiece trainer: likelihood argmax, ## carried, train→serve") {
     import spark.implicits._
     // words: aab×2 → [a,##a,##b], ab → [a,##b], b → [b]
