@@ -550,6 +550,26 @@ object ScaleProbe {
       text.BpeTrainer.trainMerges(saltedDocs(c), 4).size.toLong
     }
 
+    // url canonicalization: a narrow regex/array chain per extracted
+    // URL + one URL-table-sized hash agg — synthesized messy URLs scale
+    // ×c with the corpus, so growth must track the extraction scan
+    probe("url_canonicalize", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+        .withColumn("text", concat(col("text"),
+          lit(" HTTP://Site"), pmod(col("doc_id"), lit(1000)),
+          lit(".Example.COM:80/p/"), col("doc_id"),
+          lit("/?utm_source=probe&id="), col("doc_id")))
+      text.TextAnalysis.urlDedup(d).count()
+    }
+
+    // source cap: the bounded-heap aggregator ships ≤ keys×K rows to
+    // the shuffle regardless of corpus size — ×20 rows, same tiny
+    // shuffle, so growth must track the quality scan
+    probe("source_cap", Seq(1, 20)) { c =>
+      text.TextAnalysis.sourceCap(
+        replicate(docs, c, Map("doc_id" -> 10000000L)), 5).count()
+    }
+
     // wordpiece trainer: the bpe_train_merges delta posture plus
     // symbol-count deltas riding the SAME signed job — salting
     // multiplies the vocabulary ×c, the worst case for both driver maps

@@ -2542,6 +2542,16 @@ object SparkEntry {
     // counts and surprisal sums are bit-exact
     "text_lm_backoff" -> ((s, d) =>
       graft.text.TextAnalysis.trigramBackoff(docs(s, d), docsLm(s, d))),
+    // storable LM count state: per-shard bigram tables (sharded by
+    // doc_id mod 3 here) merge by exact sum in a SHUFFLED order, then
+    // the shared derivation emits the model — bit-equal to training on
+    // the union, the incremental-ingest path (no rescan of old shards)
+    "lm_model_incremental" -> ((s, d) => {
+      val shards = (0 to 2).map(i => graft.text.TextAnalysis
+        .bigramCountState(docs(s, d).filter(pmod(col("doc_id"), lit(3)) === i)))
+      graft.text.TextAnalysis.bigramModelFromStates(
+        Seq(shards(2), shards(0), shards(1)))
+    }),
     // pairwise source TF-cosine (corpus drift / source redundancy —
     // the signal behind source-level dedup and mixture design): exact
     // integer dots and norms, one sqrt-based division rounded to 4
@@ -4995,6 +5005,22 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |    // count(*)) / 10000.0 AS mean_surprisal
         |FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id""".stripMargin,
+    // exact-sum fold ≡ counting the union: the oracle trains on the
+    // whole table directly — equality IS the storable-state claim
+    "lm_model_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |    w -> w <> '') AS ws FROM documents),
+        |big AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
+        |  FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1)
+        |SELECT c2.w1, c2.w2,
+        |  CAST(length(bin(n1)) - length(bin(n2)) AS BIGINT) AS surp
+        |FROM c2 JOIN c1 USING (w1)""".stripMargin,
     // the three count orders and the per-level surrogate scores replayed
     // verbatim; the serve side is the planted-augmented corpus while
     // every model CTE reads only `documents`

@@ -1408,16 +1408,37 @@ object TextAnalysis {
     * checkpoint spine 1.21 s, this 0.9 s — and at 100 TB a data-sized
     * checkpoint is a full corpus materialization while this is
     * O(model). */
-  def bigramModel(docs: DataFrame): DataFrame = {
-    val c2 = wordBigramRows(docs)
+  def bigramModel(docs: DataFrame): DataFrame =
+    deriveBigramModel(wordBigramRows(docs)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
-      .localCheckpoint(false)
+      .localCheckpoint(false))
+
+  /** Cost derivation from a (w1, w2, n2) count table — shared by the
+    * batch trainer and the incremental state fold. */
+  private def deriveBigramModel(c2: DataFrame): DataFrame = {
     val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
     c2.join(c1, Seq("w1"))
       .select(col("w1"), col("w2"),
         (length(bin(col("n1"))) - length(bin(col("n2"))))
           .cast("long").as("surp"))
   }
+
+  /** Storable bigram-LM count STATE (the storable-sketch pattern the
+    * rollup family uses): the per-shard (w1, w2, n2) table. States
+    * over DISJOINT ingest shards merge EXACTLY by sum — associative
+    * and commutative — so the model updates per arriving shard without
+    * rescanning old data. */
+  def bigramCountState(docs: DataFrame): DataFrame =
+    wordBigramRows(docs)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+
+  /** Fold shard states (any order) and derive the SAME model the batch
+    * trainer ships — bit-equal to [[bigramModel]] on the shard union
+    * because counts are exact integers and the derivation is shared. */
+  def bigramModelFromStates(states: Seq[DataFrame]): DataFrame =
+    deriveBigramModel(states.reduce(_ unionByName _)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n2")).as("n2"))
+      .localCheckpoint(false))
 
   /** Score documents under a FROZEN bigram model (the serve half —
     * also the per-micro-batch body of the streaming scoring gate).

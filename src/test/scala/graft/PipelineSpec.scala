@@ -596,6 +596,24 @@ class PipelineSpec extends SparkSpec {
     assert((st.getLong(1), st.getLong(2), st.getLong(3)) == ((4L, 2L, 5L)))
   }
 
+  test("lm count state: any-order shard fold equals batch training") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c a b"), (2L, "b c d"), (3L, "a b x y"))
+      .toDF("doc_id", "text")
+    val batch = graft.text.TextAnalysis.bigramModel(d)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val shards = (0 to 2).map(i => graft.text.TextAnalysis
+      .bigramCountState(d.filter(pmod(col("doc_id"), lit(3)) === i)))
+    // two different fold orders, both equal the batch model
+    for (order <- Seq(Seq(2, 0, 1), Seq(1, 2, 0))) {
+      val got = graft.text.TextAnalysis
+        .bigramModelFromStates(order.map(shards))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == batch)
+    }
+    assert(batch(("a", "b")) == 0L) // c1(a)=3, c2(a,b)=3 → bitlen diff 0
+  }
+
   test("url canonicalization: case, ports, tracking params, slashes") {
     import spark.implicits._
     def canon(u: String): String = Seq(u).toDF("u")
