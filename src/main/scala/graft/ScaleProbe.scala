@@ -577,6 +577,14 @@ object ScaleProbe {
       text.BpeTrainer.trainWordpieceMerges(saltedDocs(c), 4).size.toLong
     }
 
+    // MERGE-DEPTH twin of bpe_train_depth for the likelihood-scored
+    // trainer: fixed corpus, 8 → 64 merges — per-step input stays ∝
+    // touched words and plan depth stays one merge-apply, so total
+    // wall-time must grow ~linearly in steps
+    probe("wordpiece_train_depth", Seq(8, 64)) { c =>
+      text.BpeTrainer.trainWordpieceMerges(docs, c).size.toLong
+    }
+
     probe("text_rarity", Seq(1, 20)) { c =>
       // head(), not count(): count() on a global agg lets column
       // pruning drop the magnitude arithmetic being measured
