@@ -234,6 +234,37 @@ object SparkEntry {
   private[graft] val blockedDomains =
     Seq("spam.example.com", "tracker.adsite.io")
 
+  // Planted LINE-RULE rows (bullets / ellipses): the Rae A1.1 line
+  // tests need multi-line docs straddling both thresholds — 75% bullets
+  // (pass), 100% bullets (fail), 66% ellipses (fail), 25% ellipses
+  // (pass). Base docs are single plain lines and pass trivially.
+  private[graft] val bulletRows: Seq[(Long, Seq[String])] = Seq(
+    9950001L -> Seq("- item one", "- item two", "* item three", "intro line"),
+    9950002L -> Seq("- a", "- b", "- c", "- d", "- e",
+      "- f", "- g", "- h", "- i", "- j"),
+    9950003L -> Seq("thought trails off...", "another one trails...",
+      "solid line"),
+    9950004L -> Seq("normal line", "quiet end", "one dots line...",
+      "closing"))
+
+  private def docsBullets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(bulletRows.map { case (id, lines) =>
+      val t = lines.mkString("\n")
+      (id, t, "en", "planted_bul", t.codePointCount(0, t.length).toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val bulletDocsSelect: String = {
+    val vals = bulletRows.map { case (id, lines) =>
+      val t = lines.map(l => s"'$l'").mkString(" || chr(10) || ")
+      val nch = lines.mkString("\n").codePoints().count()
+      s"($id, $t, 'en', 'planted_bul', $nch)"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   // Planted URL-CANONICALIZATION rows: mixed-case scheme/host, default
   // ports, tracking params, fragments, and trailing slashes — raw
   // spellings that must collapse to shared canonical URLs (the
@@ -2363,6 +2394,11 @@ object SparkEntry {
     "text_gopher_rules" -> ((s, d) =>
       graft.text.TextAnalysis.gopherRules(docs(s, d),
         stopwords = Seq("the", "a", "of", "and"))),
+    // the LINE-level half of the Gopher gate (bullet-start / ellipsis-
+    // end shares with the paper's 0.9 / 0.3 removal thresholds) over
+    // planted multi-line docs straddling both thresholds
+    "text_gopher_lines" -> ((s, d) =>
+      graft.text.TextAnalysis.gopherLineRules(docsBullets(s, d))),
     // the cleaning-pipeline survivor dashboard: ingested → gopher →
     // language → blocklist → exact-dedup survivor, prefix conjunctions
     // of one-scan flags; the only data-sized exchange is the dedup
@@ -2592,6 +2628,12 @@ object SparkEntry {
     // share of documents containing ANY lexicon term, exact 1e-4 grid
     "text_blocklist_share" -> ((s, d) =>
       graft.text.TextAnalysis.blocklistDocShare(docsMl(s, d), blocklistTerms)),
+    // WORD-BOUNDARY blocklist (the C4 badwords semantic): whole tokens
+    // only — the nested substring plants ("low"⊂"slow", "can"⊂"scan")
+    // must score ZERO here while the substring scan counts them
+    "text_blocklist_words" -> ((s, d) =>
+      graft.text.TextAnalysis.blocklistWordStats(docsMl(s, d),
+        blocklistTerms.filterNot(_.contains(' ')))),
     // the packing operator budgeting in SUBWORD tokens — same two-level
     // prefix-sum plan, the count column is the BPE encode
     "pack_sequences_bpe" -> ((s, d) =>
@@ -5103,6 +5145,40 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |FROM dml d GROUP BY source ORDER BY source""".stripMargin
       s"WITH dml AS MATERIALIZED ($mlDocsSelect)\n$body"
     },
+    // whole-token matching: explode tokens, join the lexicon, restore
+    // zero-hit terms — the nested plants score 0 here by construction
+    "text_blocklist_words" -> {
+      val singles = blocklistTerms.filterNot(_.contains(' '))
+      val body = s"""t(term) AS (VALUES ${
+          graft.functions.AhoCorasick.patternsSqlValues(singles)}),
+        |w AS (SELECT doc_id, u.w FROM dml,
+        |  UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |    AS u(w)),
+        |h AS (SELECT w AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd,
+        |    CAST(count(*) AS BIGINT) AS no
+        |  FROM w JOIN t ON w.w = t.term GROUP BY 1)
+        |SELECT t.term, COALESCE(h.nd, CAST(0 AS BIGINT)) AS n_docs,
+        |  COALESCE(h.no, CAST(0 AS BIGINT)) AS n_occurrences
+        |FROM t LEFT JOIN h USING (term) ORDER BY term""".stripMargin
+      s"WITH dml AS MATERIALIZED ($mlDocsSelect),\n$body"
+    },
+    // the line rules replayed on the same 1e-4 grid over the planted
+    // multi-line fixture
+    "text_gopher_lines" ->
+      s"""WITH db AS MATERIALIZED ($bulletDocsSelect),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM db),
+        |e AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n,
+        |  CAST(len(list_filter(ls, x -> x LIKE '- %' OR x LIKE '* %'))
+        |    AS BIGINT) AS nb,
+        |  CAST(len(list_filter(ls, x -> x LIKE '%...')) AS BIGINT) AS ne
+        |  FROM l)
+        |SELECT doc_id, n AS n_lines,
+        |  CAST(nb * 10000 // n AS DOUBLE) / CAST(10000 AS DOUBLE)
+        |    AS bullet_share,
+        |  CAST(ne * 10000 // n AS DOUBLE) / CAST(10000 AS DOUBLE)
+        |    AS ellipsis_share,
+        |  (nb * 10000 // n <= 9000 AND ne * 10000 // n <= 3000) AS pass
+        |FROM e""".stripMargin,
     "pack_efficiency" ->
       s"""WITH RECURSIVE ${bpeCte()},
          |p AS (SELECT doc_id, source, n_tokens,

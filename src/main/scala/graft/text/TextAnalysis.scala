@@ -1710,6 +1710,36 @@ object TextAnalysis {
       .orderBy(col("term"))
   }
 
+  /** WORD-BOUNDARY blocklist scan — the C4 badwords semantic the
+    * substring automaton deliberately does not have ("low" must NOT
+    * hit "slow", "can" must not hit "scan"): lexicon terms match whole
+    * TOKENS only. Single-token terms by contract (phrases belong to
+    * the substring scan). One tokenize scan → broadcast semi-join
+    * against the literal lexicon → model-sized count shuffle; zero-hit
+    * terms restored by the same left join as [[blocklistTermStats]].
+    */
+  def blocklistWordStats(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val termsLc = normalizeLexicon(terms)
+    require(termsLc.forall(!_.contains(' ')),
+      "word-boundary lexicon takes single tokens; phrases use the substring scan")
+    val lex = docs.sparkSession
+      .createDataset(termsLc)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("term")
+    val hits = docs
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+          .as("term"))
+      .join(broadcast(lex), Seq("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+    lex.join(broadcast(hits), Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"))
+      .orderBy(col("term"))
+  }
+
   /** Multi-pattern blocklist scan, per-SOURCE view: the share of each
     * source's documents containing ANY lexicon term — the actual C4
     * cleaning decision ("drop flagged docs"), reported as an exact
@@ -1991,6 +2021,28 @@ object TextAnalysis {
       size(doms).cast("long").as("n_urls"),
       array_join(array_sort(array_distinct(doms)), ",").as("domains"),
       (size(array_intersect(array_distinct(doms), blocked)) > 0).as("flagged"))
+  }
+
+  /** LINE-level Gopher rules (Rae et al. 2021 §A1.1's other half —
+    * [[gopherRules]] covers the word-level tests): per document, the
+    * share of lines starting with a bullet ("- " / "* ") and the share
+    * ending with an ellipsis ("..."), both on the exact 1e-4 grid, and
+    * the pass verdict (bullet share ≤ 0.9 AND ellipsis share ≤ 0.3 —
+    * the paper's removal thresholds). Pure row-local array ops over
+    * the split lines — zero shuffle at any scale.
+    */
+  def gopherLineRules(docs: DataFrame): DataFrame = {
+    val ls = split(col("text"), "\n", -1)
+    val n = size(ls).cast("long")
+    val bullets = size(filter(ls,
+      l => l.startsWith("- ") || l.startsWith("* "))).cast("long")
+    val ell = size(filter(ls, l => l.endsWith("..."))).cast("long")
+    val be4 = intDiv(bullets * lit(10000L), n)
+    val ee4 = intDiv(ell * lit(10000L), n)
+    docs.select(col("doc_id"), n.as("n_lines"),
+      (be4 / lit(10000.0)).as("bullet_share"),
+      (ee4 / lit(10000.0)).as("ellipsis_share"),
+      (be4 <= 9000L && ee4 <= 3000L).as("pass"))
   }
 
   /** URL canonicalization — the key URL-level dedup actually groups on

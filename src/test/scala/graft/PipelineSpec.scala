@@ -596,6 +596,44 @@ class PipelineSpec extends SparkSpec {
     assert((st.getLong(1), st.getLong(2), st.getLong(3)) == ((4L, 2L, 5L)))
   }
 
+  test("word-boundary blocklist: whole tokens only, zero-hit terms kept") {
+    import spark.implicits._
+    val d = Seq((1L, "slow scan low tide"), (2L, "the class was slow"))
+      .toDF("doc_id", "text")
+    val r = graft.text.TextAnalysis
+      .blocklistWordStats(d, Seq("low", "can", "slow", "ass", "qqq"))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // substring scans would hit low⊂slow, can⊂scan, ass⊂class — the
+    // word scan must not
+    assert(r("low") == ((1L, 1L)))   // only the standalone token
+    assert(r("can") == ((0L, 0L)))
+    assert(r("ass") == ((0L, 0L)))
+    assert(r("slow") == ((2L, 2L)))
+    assert(r("qqq") == ((0L, 0L)))   // zero-hit term stays in output
+    // phrases are rejected at the API boundary
+    intercept[IllegalArgumentException] {
+      graft.text.TextAnalysis.blocklistWordStats(d, Seq("slow join"))
+    }
+  }
+
+  test("gopher line rules: bullet and ellipsis thresholds on the grid") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "- a\n- b\n* c\nplain"),                      // 75% bullets
+      (2L, (1 to 10).map(i => s"- $i").mkString("\n")),  // 100% bullets
+      (3L, "x...\ny...\nz"),                             // 66.6% ellipsis
+      (4L, "a\nb\nc...\nd"),                             // 25% ellipsis
+      (5L, "single plain line")).toDF("doc_id", "text")
+    val r = graft.text.TextAnalysis.gopherLineRules(d)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getBoolean(4))).toMap
+    assert(r(1L) == ((4L, 0.75, 0.0, true)))
+    assert(r(2L) == ((10L, 1.0, 0.0, false)))
+    assert(r(3L) == ((3L, 0.0, 0.6666, false)))
+    assert(r(4L) == ((4L, 0.0, 0.25, true)))
+    assert(r(5L) == ((1L, 0.0, 0.0, true)))
+  }
+
   test("lm count state: any-order shard fold equals batch training") {
     import spark.implicits._
     val d = Seq((1L, "a b c a b"), (2L, "b c d"), (3L, "a b x y"))
