@@ -2207,6 +2207,15 @@ object SparkEntry {
         all.filter(pmod(col("doc_id"), lit(50L)) =!= 7L),
         all.filter(pmod(col("doc_id"), lit(50L)) === 7L), 3)
     }),
+    // the QUANTITATIVE form (GPT-3 appendix C): overlap FRACTION per
+    // train doc on the exact grid + the θ=0.2 removal verdict — random
+    // vocabulary collisions stay under θ, only near-copies cross it
+    "decontam_overlap" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.text.TextAnalysis.contaminationOverlap(
+        all.filter(pmod(col("doc_id"), lit(50L)) =!= 7L),
+        all.filter(pmod(col("doc_id"), lit(50L)) === 7L), 3, 2000L)
+    }),
     // broadcast-Bloom decontamination — the shuffle-free 100 TB twin of
     // `decontaminate`; FPs possible ⇒ rows-only gate, superset + FP-rate
     // property-gated in PropertySpec
@@ -4423,6 +4432,25 @@ object SparkEntry {
         |SELECT t.doc_id, count(*) AS n_shared_ngrams
         |FROM (SELECT * FROM sh WHERE doc_id % 50 <> 7) t
         |JOIN ev ON t.shingle = ev.shingle GROUP BY 1""".stripMargin,
+    // the fraction form: per-doc total grams and shared grams, the
+    // 1e-4-grid ratio, the θ verdict
+    "decontam_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM
+        |  (SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS shingle
+        |   FROM w WHERE len(ws) >= 3)),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 7),
+        |tr AS (SELECT * FROM sh WHERE doc_id % 50 <> 7),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+        |  FROM tr GROUP BY 1),
+        |sd AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM tr t JOIN ev USING (shingle) GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_ngrams,
+        |  COALESCE(sd.n_shared, CAST(0 AS BIGINT)) AS n_shared_ngrams,
+        |  CAST(COALESCE(sd.n_shared, 0) * 10000 // tot.n_ngrams AS DOUBLE)
+        |    / CAST(10000 AS DOUBLE) AS overlap_frac,
+        |  COALESCE(sd.n_shared, 0) * 10000 // tot.n_ngrams >= 2000 AS flagged
+        |FROM tot LEFT JOIN sd USING (doc_id)""".stripMargin,
     // truncated ratios via exact integer division (k = num*10^4 // den,
     // then k/10000.0): bit-identical to Spark's frac4 — the floor(double)
     // form disagreed one ulp below the 1e-4 grid on boundary fractions

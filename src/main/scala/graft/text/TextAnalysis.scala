@@ -706,6 +706,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** QUANTITATIVE decontamination (the GPT-3 appendix-C form): per
+    * train doc, the FRACTION of its distinct n-grams shared with the
+    * eval set on the exact 1e-4 grid, plus the removal verdict at the
+    * `thetaE4` threshold. [[contamination]] flags ANY overlap; real
+    * pipelines remove on a fraction threshold — random vocabulary
+    * collisions produce small nonzero overlap everywhere, and only
+    * near-copies cross θ. Train docs with zero overlap stay in the
+    * output (the report covers the corpus); docs with fewer than n
+    * words have no n-grams and drop out on both engines.
+    */
+  def contaminationOverlap(train: DataFrame, eval: DataFrame, n: Int = 3,
+      thetaE4: Long = 2000L): DataFrame = {
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.MinHashExpression.shingle_set(
+        split(lower(col("text")), " "), n)).as("shingle"))
+    val tr = sh(train)
+    val tot = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+    val shared = tr.join(sh(eval).select(col("shingle")).distinct(),
+        Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val fE4 = intDiv(coalesce(col("n_shared"), lit(0L)) * lit(10000L),
+      col("n_ngrams"))
+    tot.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_ngrams"),
+        (fE4 / lit(10000.0)).as("overlap_frac"),
+        (fE4 >= thetaE4).as("flagged"))
+  }
+
   /** Decontamination via a broadcast Bloom filter: the eval side's
     * distinct shingle hashes are folded into one Bloom sketch
     * (`DataFrameStatFunctions.bloomFilter` — a mergeable two-pass

@@ -596,6 +596,26 @@ class PipelineSpec extends SparkSpec {
     assert((st.getLong(1), st.getLong(2), st.getLong(3)) == ((4L, 2L, 5L)))
   }
 
+  test("decontam overlap: fraction on the grid, theta separates copies") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b c d e f"),      // grams: 4; shares "a b c" with eval → 1/4
+      (2L, "x y z w"),          // 2 grams, zero overlap
+      (3L, "a b c d q r")).toDF("doc_id", "text") // near-copy head: 2/4
+    val eval = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val r = graft.text.TextAnalysis
+      .contaminationOverlap(train, eval, 3, 5000L)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4))).toMap
+    assert(r(1L) == ((4L, 2L, 0.5, true)))  // "a b c","b c d" shared
+    assert(r(2L) == ((2L, 0L, 0.0, false)))
+    assert(r(3L) == ((4L, 2L, 0.5, true)))
+    // too-short docs have no grams and drop out
+    assert(!graft.text.TextAnalysis.contaminationOverlap(
+      Seq((9L, "a b")).toDF("doc_id", "text"), eval, 3, 5000L)
+      .collect().map(_.getLong(0)).contains(9L))
+  }
+
   test("word-boundary blocklist: whole tokens only, zero-hit terms kept") {
     import spark.implicits._
     val d = Seq((1L, "slow scan low tide"), (2L, "the class was slow"))
