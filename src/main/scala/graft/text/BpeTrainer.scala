@@ -185,13 +185,23 @@ object BpeTrainer {
         "transform(split(w, ''), (c, i) -> IF(i = 0, c, concat('##', c)))")
         .as("syms"))
       .localCheckpoint(eager = false)
+    // ONE seeding job for both driver maps — pair rows plus symbol rows
+    // (null right column), the same shape the per-step delta job uses
     val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
-    pairCounts(words, "syms").collect()
-      .foreach(r => pc.update((r.getString(0), r.getString(1)), r.getLong(2)))
     val sc = scala.collection.mutable.HashMap.empty[String, Long]
-    words.select(col("cnt"), explode(col("syms")).as("s"))
-      .groupBy(col("s")).agg(sum(col("cnt")).as("c"))
-      .collect().foreach(r => sc.update(r.getString(0), r.getLong(1)))
+    words.select(explode(expr(
+        "concat(" +
+          "transform(arrays_zip(slice(syms, 1, size(syms) - 1), " +
+            "slice(syms, 2, size(syms))), " +
+            "p -> struct(p['0'] AS a, p['1'] AS b, cnt AS c)), " +
+          "transform(syms, s -> struct(s AS a, CAST(NULL AS STRING) AS b, cnt AS c)))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("p.c")).as("c"))
+      .collect()
+      .foreach { r =>
+        if (r.isNullAt(1)) sc.update(r.getString(0), r.getLong(2))
+        else pc.update((r.getString(0), r.getString(1)), r.getLong(2))
+      }
     def bitlen(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
     def utf8Lt(x: String, y: String): Boolean =
       java.util.Arrays.compareUnsigned(
