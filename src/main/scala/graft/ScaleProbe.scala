@@ -550,6 +550,41 @@ object ScaleProbe {
       text.BpeTrainer.trainMerges(saltedDocs(c), 4).size.toLong
     }
 
+    // quantitative decontamination: the eval side is fixed; the train
+    // shingle explode and the per-doc fold scale ×c — join input is
+    // eval-sized on one side at any corpus scale
+    probe("decontam_overlap", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.contaminationOverlap(
+        d.filter(pmod(col("doc_id"), lit(50L)) =!= 7L),
+        docs.filter(pmod(col("doc_id"), lit(50L)) === 7L), 3, 2000L).count()
+    }
+
+    // word-boundary blocklist: tokenize scan + broadcast lexicon
+    // semi-join + model-sized count shuffle — scan-bound
+    probe("text_blocklist_words", Seq(1, 20)) { c =>
+      text.TextAnalysis.blocklistWordStats(
+        replicate(docs, c, Map("doc_id" -> 10000000L)),
+        Seq("join", "slow", "scan", "qqq")).count()
+    }
+
+    // line rules: pure row-local array ops, zero shuffle
+    probe("text_gopher_lines", Seq(1, 20)) { c =>
+      text.TextAnalysis.gopherLineRules(
+        replicate(docs, c, Map("doc_id" -> 10000000L)))
+        .agg(sum(when(col("pass"), 1L).otherwise(0L))).head().getLong(0)
+    }
+
+    // incremental LM fold: shard states are model-sized; ×c corpus
+    // changes only the per-shard counting scans
+    probe("lm_model_incremental", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      val shards = (0 to 2).map(i => text.TextAnalysis
+        .bigramCountState(d.filter(pmod(col("doc_id"), lit(3)) === i)))
+      text.TextAnalysis.bigramModelFromStates(
+        Seq(shards(2), shards(0), shards(1))).count()
+    }
+
     // url canonicalization: a narrow regex/array chain per extracted
     // URL + one URL-table-sized hash agg — synthesized messy URLs scale
     // ×c with the corpus, so growth must track the extraction scan

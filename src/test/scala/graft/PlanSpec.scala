@@ -683,6 +683,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("backoff serve: three model joins broadcast, no corpus-sized shuffle before the fold") {
+    val docs = Tables.documents(spark, sf)
+    val (s3, s2, s1, oov) = graft.text.TextAnalysis.trigramBackoffModel(docs)
+    val df = graft.text.TextAnalysis.scoreTrigramBackoff(docs, s3, s2, s1, oov)
+    val p = plan(df)
+    // model frames (checkpointed, vocab-sized) broadcast to the serve
+    // spine; the corpus pays only its own per-doc aggregation shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("source cap: heap aggregator, no window and no sort of the corpus") {
+    val df = graft.text.TextAnalysis.sourceCap(Tables.documents(spark, sf), 5)
+    val p = plan(df)
+    // the per-key top-K rides the bounded-heap Aggregator (object hash
+    // aggregate with partial_topkaggstr below the exchange), NEVER a
+    // row_number window (which would sort every key's full set)
+    assert(p.toLowerCase.contains("topkaggstr"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("url canonicalization: narrow chain, the only exchange is the final agg") {
+    val df = graft.text.TextAnalysis.urlDedup(Tables.documents(spark, sf))
+    val p = plan(df)
+    // one extraction scan, row-local regex chain, one hash-agg exchange
+    assert(p.split("Scan parquet").length - 1 == 1, p)
+    assert(p.split("Exchange").length - 1 <= 2, p) // partial/final agg pair
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("wordpiece serve: distinct-word split broadcasts back to the corpus") {
+    val df = graft.text.TextAnalysis.wordpieceStats(
+      Tables.documents(spark, sf), SparkEntry.wordpieceVocab)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the executed-plan string elides the deep Project carrying the
+    // expression — assert it on the optimized plan instead
+    assert(df.queryExecution.optimizedPlan.toString.contains("wordpiece_segment"))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dsir weights: one training pass builds both models, one scoring scan") {
     val df = graft.text.TextAnalysis.dsirWeights(
       Tables.documents(spark, sf), col("lang") === "en")
