@@ -2207,6 +2207,13 @@ object SparkEntry {
         all.filter(pmod(col("doc_id"), lit(50L)) =!= 7L),
         all.filter(pmod(col("doc_id"), lit(50L)) === 7L), 3)
     }),
+    // water-filling mixture allocation (the LLaMA/GPT per-source
+    // epoch-cap design): capped prefix + shared waterline in CLOSED
+    // form — at sf0.01 the three low-cap sources bind and the rest
+    // fill at the waterline; all integer, fully oracled
+    "corpus_mix_waterfill" -> ((s, d) =>
+      graft.pipeline.Pipeline.waterfillMix(docs(s, d), 40000L,
+        Map("src0" -> 5000L, "src1" -> 8000L, "src2" -> 12000L), 30000L)),
     // the QUANTITATIVE form (GPT-3 appendix C): overlap FRACTION per
     // train doc on the exact grid + the θ=0.2 removal verdict — random
     // vocabulary collisions stay under θ, only near-copies cross it
@@ -4432,6 +4439,40 @@ object SparkEntry {
         |SELECT t.doc_id, count(*) AS n_shared_ngrams
         |FROM (SELECT * FROM sh WHERE doc_id % 50 <> 7) t
         |JOIN ev ON t.shingle = ev.shingle GROUP BY 1""".stripMargin,
+    // the closed-form waterline replayed with the same integer window
+    // algebra (prefix capped allocation, suffix token sums, clamped λ,
+    // the max-λ-over-uncapped waterline)
+    "corpus_mix_waterfill" ->
+      """WITH t AS (SELECT source,
+        |    CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> ''))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT source, tokens,
+        |    CAST(CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 8000
+        |      WHEN 'src2' THEN 12000 ELSE 30000 END AS BIGINT) AS cap_e4
+        |  FROM t WHERE tokens > 0),
+        |p AS (SELECT *, cap_e4 * tokens // 10000 AS cap_alloc FROM c),
+        |q AS (SELECT *,
+        |    COALESCE(SUM(cap_alloc) OVER (ORDER BY cap_e4, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    SUM(tokens) OVER (ORDER BY cap_e4, source
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suffix_t
+        |  FROM p),
+        |r AS (SELECT *,
+        |    GREATEST(40000 - cum_before, 0) * 10000 // suffix_t AS lam
+        |  FROM q),
+        |s AS (SELECT *, lam >= cap_e4 AS capped FROM r),
+        |f AS (SELECT *,
+        |    MAX(CASE WHEN NOT capped THEN lam END) OVER () AS lam_fin
+        |  FROM s)
+        |SELECT source, tokens, cap_e4,
+        |  CAST(CASE WHEN capped THEN cap_alloc
+        |    ELSE lam_fin * tokens // 10000 END AS BIGINT) AS alloc_tokens,
+        |  CAST((CASE WHEN capped THEN cap_alloc
+        |    ELSE lam_fin * tokens // 10000 END) * 10000 // tokens AS BIGINT)
+        |    AS epochs_e4
+        |FROM f""".stripMargin,
     // the fraction form: per-doc total grams and shared grams, the
     // 1e-4-grid ratio, the θ verdict
     "decontam_overlap" ->

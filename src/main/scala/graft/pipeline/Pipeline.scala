@@ -246,6 +246,73 @@ object Pipeline {
       .select(outCols.map(col): _*)
   }
 
+  /** Water-filling mixture allocation — the per-source EPOCH-CAP
+    * sampling design of LLaMA/GPT-style training mixes: every source
+    * samples at the same waterline λ (epochs, on the exact 1e-4 grid)
+    * except where its per-source cap binds (a small curated source may
+    * repeat up to cap epochs; a huge crawl source soaks up the rest of
+    * the budget at λ < its cap). CLOSED FORM, no iteration: sort
+    * sources by (cap, source); a source is capped iff the waterline
+    * computed with every smaller-cap source already capped reaches its
+    * cap — if source j is UNcapped (cap_j > λ_j) then
+    * λ_{j+1} = (R − cap_j·T_j)/(S − T_j) < λ_j < cap_j ≤ cap_{j+1},
+    * so every later source is uncapped too: the capped set is a
+    * PREFIX, and the first uncapped row's λ is the global waterline
+    * (the maximum λ among uncapped rows). All arithmetic is exact
+    * integer (tokens, caps·tokens on the 1e-4 grid, IntegralDivide),
+    * so both engines floor identically at every boundary.
+    *
+    * Scale: ONE token-count scan; every window runs over the
+    * O(#sources) aggregate (the temperatureMix rate-table shape) —
+    * nothing corpus-sized moves. Emits per source: tokens, cap,
+    * allocated tokens, achieved epochs.
+    */
+  def waterfillMix(docs: DataFrame, budgetTokens: Long,
+      capsE4: Map[String, Long], defaultCapE4: Long): DataFrame = {
+    require(budgetTokens >= 0 && defaultCapE4 >= 0 &&
+      capsE4.values.forall(_ >= 0))
+    val t = docs
+      .select(col("source"),
+        size(filter(split(lower(col("text")), " "), w => w =!= ""))
+          .cast("long").as("__nt"))
+      .groupBy(col("source")).agg(sum(col("__nt")).as("tokens"))
+      .filter(col("tokens") > 0L)
+    val capCol = capsE4.toSeq.sortBy(_._1).foldLeft(lit(defaultCapE4)) {
+      case (acc, (s, c)) => when(col("source") === s, lit(c)).otherwise(acc)
+    }
+    val w = Window.orderBy(col("cap_e4"), col("source"))
+    def idiv(n: Column, d: Column): Column =
+      org.apache.spark.sql.graftshim.exprToColumn(
+        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graftshim.columnToExpr(n),
+          org.apache.spark.sql.graftshim.columnToExpr(d)))
+    val pre = t.select(col("source"), col("tokens"), capCol.as("cap_e4"))
+      .withColumn("__cap_alloc", idiv(col("cap_e4") * col("tokens"), lit(10000L)))
+      .withColumn("__cum_before", coalesce(
+        sum(col("__cap_alloc")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__suffix_t",
+        sum(col("tokens")).over(w.rowsBetween(0, Window.unboundedFollowing)))
+      // λ assuming every smaller-cap source capped; past the crossover
+      // the numerator can go negative — clamp (those rows are uncapped
+      // and take the global waterline below)
+      .withColumn("__lam", idiv(
+        greatest(lit(budgetTokens) - col("__cum_before"), lit(0L)) * lit(10000L),
+        col("__suffix_t")))
+      .withColumn("__capped", col("__lam") >= col("cap_e4"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    pre
+      .withColumn("__lam_fin",
+        max(when(!col("__capped"), col("__lam"))).over(wAll))
+      .select(col("source"), col("tokens"), col("cap_e4"),
+        when(col("__capped"), col("__cap_alloc"))
+          .otherwise(idiv(col("__lam_fin") * col("tokens"), lit(10000L)))
+          .as("alloc_tokens"))
+      .withColumn("epochs_e4", idiv(col("alloc_tokens") * lit(10000L),
+        col("tokens")))
+  }
+
   /** Distributed full-batch logistic-regression training — the
     * "train the fastText-style quality classifier inside the engine"
     * step (label = curated/uncurated, features = the cheap text

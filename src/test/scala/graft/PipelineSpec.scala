@@ -596,6 +596,33 @@ class PipelineSpec extends SparkSpec {
     assert((st.getLong(1), st.getLong(2), st.getLong(3)) == ((4L, 2L, 5L)))
   }
 
+  test("waterfill mix: capped prefix, shared waterline, hand-computed") {
+    import spark.implicits._
+    def doc(src: String, n: Int, id: Long) =
+      (id, Seq.fill(n)("w").mkString(" "), "en", src, n.toLong)
+    val d = Seq(doc("A", 100, 1), doc("B", 100, 2), doc("C", 100, 3))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // caps 1.0 / 2.0 / 4.0 epochs, budget 500 over 300 tokens:
+    // A caps (λ_A = 500/300 ≈ 1.67 ≥ 1.0 → 100), B caps (λ_B =
+    // 400/200 = 2.0 ≥ 2.0 → 200), C rides the waterline 2.0 → 200
+    val r = graft.pipeline.Pipeline.waterfillMix(d, 500L,
+        Map("A" -> 10000L, "B" -> 20000L, "C" -> 40000L), 30000L)
+      .collect().map(x => x.getString(0) -> (x.getLong(3), x.getLong(4))).toMap
+    assert(r("A") == ((100L, 10000L)))
+    assert(r("B") == ((200L, 20000L)))
+    assert(r("C") == ((200L, 20000L)))
+    // tiny budget: nobody caps, everyone shares λ = 90/300 = 0.3
+    val r2 = graft.pipeline.Pipeline.waterfillMix(d, 90L,
+        Map("A" -> 10000L), 30000L)
+      .collect().map(x => x.getString(0) -> x.getLong(4)).toMap
+    assert(r2 == Map("A" -> 3000L, "B" -> 3000L, "C" -> 3000L))
+    // huge budget: everyone caps at their own ceiling
+    val r3 = graft.pipeline.Pipeline.waterfillMix(d, 100000L,
+        Map("A" -> 10000L, "B" -> 20000L, "C" -> 40000L), 30000L)
+      .collect().map(x => x.getString(0) -> x.getLong(4)).toMap
+    assert(r3 == Map("A" -> 10000L, "B" -> 20000L, "C" -> 40000L))
+  }
+
   test("decontam overlap: fraction on the grid, theta separates copies") {
     import spark.implicits._
     val train = Seq(
