@@ -3185,6 +3185,23 @@ object SparkEntry {
     "train_test_split" -> ((s, d) =>
       graft.pipeline.Pipeline.hashSplit(
         docs(s, d).select(col("doc_id")), col("doc_id"), 80)),
+    // curriculum order: short→long stages (token-count thresholds),
+    // hash-shuffled within each stage — a full training order with NO
+    // global sort (per-(stage, bucket) ranks + driver-sized offsets)
+    "curriculum_order" -> ((s, d) =>
+      graft.pipeline.Pipeline.curriculumOrder(
+        docs(s, d).withColumn("__nt",
+          size(split(col("text"), " ")).cast("long")),
+        col("doc_id"),
+        when(col("__nt") < 25L, 0).when(col("__nt") < 45L, 1).otherwise(2))
+        .select(col("doc_id"), col("stage"), col("curriculum_rank"))),
+    // length-grouped batching: per-batch padding economics under the
+    // distributed-loader semantics (batches form within (bin, shard))
+    "batch_by_length" -> ((s, d) =>
+      graft.pipeline.Pipeline.lengthBatches(
+        docs(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("__nt")),
+        col("doc_id"), col("__nt"), 10L, 8, 16)),
     // exactly-5-per-source deterministic sample (hash order) through the
     // GroupTopK bounded-heap operator
     "sample_per_source" -> ((s, d) =>
@@ -5808,6 +5825,32 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
         |  THEN 'train' ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // stage-major global rank == engine's (stage, bucket) offsets +
+    // per-bucket ranks (bucket is monotone in h, so the orders agree)
+    "curriculum_order" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN n < 25 THEN 0 WHEN n < 45 THEN 1 ELSE 2 END AS stage,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM t)
+        |SELECT doc_id, stage, CAST(ROW_NUMBER() OVER (
+        |  ORDER BY stage, h, CAST(doc_id AS VARCHAR)) AS INT) AS curriculum_rank
+        |FROM s""".stripMargin,
+    "batch_by_length" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |b AS (SELECT doc_id, n, h, n // 10 AS bin,
+        |    CAST(h // 72057594037927936 AS INT) AS shard FROM t),
+        |r AS (SELECT bin, shard, n,
+        |    (ROW_NUMBER() OVER (PARTITION BY bin, shard
+        |       ORDER BY h, CAST(doc_id AS VARCHAR)) - 1) // 8 AS batch
+        |  FROM b)
+        |SELECT bin, shard, batch, CAST(count(*) AS BIGINT) AS n_seqs,
+        |  max(n) AS max_tokens, CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |  CAST(count(*) * max(n) - sum(n) AS BIGINT) AS pad_tokens
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
     "sample_rows_hash" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE CAST(('0x' || substr(md5(

@@ -60,6 +60,88 @@ object Pipeline {
       .drop("__h", "__k", "__b", "__off")
   }
 
+  /** Curriculum ordering (Bengio et al. 2009 as a corpus op): a global
+    * training order that walks the curriculum stages in sequence —
+    * every stage-0 row before every stage-1 row — and is a seeded
+    * deterministic shuffle WITHIN each stage (hash order, so epoch
+    * order is reproducible and engine-portable).
+    *
+    * Distributed form: the [[deterministicShuffle]] shape lifted to the
+    * composite key (stage, hash-bucket) — per-(stage, bucket) window
+    * ranks plus a driver-sized offset table ordered stage-major. No
+    * global sort, no single-partition window; every task handles
+    * ~N/(stages × nBuckets) rows at any corpus size.
+    */
+  def curriculumOrder(df: DataFrame, key: Column, stage: Column,
+      nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a power of two (exact 2^60 range split)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val step = (1L << 60) / nBuckets
+    val withB = df
+      .withColumn("stage", stage.cast("int"))
+      .withColumn("__h", keyHash(key))
+      .withColumn("__k", key.cast("string"))
+      .withColumn("__b", (col("__h") / lit(step)).cast("int"))
+    val counts = withB.groupBy(col("stage"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = counts.scanLeft(((0, 0), 0L)) {
+      case ((_, acc), (sb, n)) => (sb, acc + n)
+    }.init.zip(counts).map { case ((_, off), ((st, b), _)) => (st, b, off) }
+    val offDf = broadcast(offsets.toSeq.toDF("stage", "__b", "__off"))
+    val wLocal = Window.partitionBy(col("stage"), col("__b"))
+      .orderBy(col("__h"), col("__k"))
+    withB
+      .join(offDf, Seq("stage", "__b"))
+      .withColumn("curriculum_rank",
+        (col("__off") + row_number().over(wLocal)).cast("int"))
+      .drop("__h", "__k", "__b", "__off")
+  }
+
+  /** Length-grouped batching (the dynamic-batching / "sorted batching"
+    * trick every padded-training loader runs): sequences are grouped
+    * into length BINS (`bin = n_tokens / binWidth`), sharded by key
+    * hash, and cut into batches of `batchSize` in deterministic hash
+    * order within each (bin, shard). One row per BATCH with its padding
+    * economics: `pad_tokens = n_seqs × max_tokens − sum_tokens` is
+    * exactly the compute wasted on pad positions if this batch is
+    * padded to its longest member.
+    *
+    * Batches form within (bin, shard) — the semantics of a distributed
+    * data loader, where each worker batches its own shard — so the
+    * data-sized window runs at bins × shards parallelism and nothing
+    * corpus-sized funnels through one task. The per-batch aggregate is
+    * partial (map-side combine) on the same (bin, shard) keys.
+    */
+  def lengthBatches(df: DataFrame, key: Column, nTokens: Column,
+      binWidth: Long, batchSize: Int, nShards: Int = 16): DataFrame = {
+    require(binWidth > 0 && batchSize > 0 && nShards > 0)
+    require((nShards & (nShards - 1)) == 0,
+      "nShards must be a power of two (exact 2^60 range split)")
+    val step = (1L << 60) / nShards
+    val withB = df
+      .withColumn("__n", nTokens.cast("long"))
+      .withColumn("bin", graft.text.TextAnalysis.intDiv(col("__n"), lit(binWidth)))
+      .withColumn("__h", keyHash(key))
+      .withColumn("__k", key.cast("string"))
+      .withColumn("shard", (col("__h") / lit(step)).cast("int"))
+    val wLocal = Window.partitionBy(col("bin"), col("shard"))
+      .orderBy(col("__h"), col("__k"))
+    withB
+      .withColumn("batch",
+        graft.text.TextAnalysis.intDiv(
+          (row_number().over(wLocal) - 1).cast("long"), lit(batchSize.toLong)))
+      .groupBy(col("bin"), col("shard"), col("batch"))
+      .agg(count(lit(1)).cast("long").as("n_seqs"),
+        max(col("__n")).as("max_tokens"),
+        sum(col("__n")).as("sum_tokens"))
+      .withColumn("pad_tokens",
+        col("n_seqs") * col("max_tokens") - col("sum_tokens"))
+  }
+
   /** Deterministic Bernoulli sample: keep a row iff its key hash lands
     * in the first `basisPoints`/10000 of the hash range. Unlike seeded
     * RNG sampling this is reproducible across engines AND stable under

@@ -623,6 +623,55 @@ class PipelineSpec extends SparkSpec {
     assert(r3 == Map("A" -> 10000L, "B" -> 20000L, "C" -> 40000L))
   }
 
+  test("curriculum order: stage-major permutation, shuffled within stage") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = (1L to 60L).map(i => (i, if (i <= 20) 0 else if (i <= 45) 1 else 2))
+      .toDF("doc_id", "st")
+    val rows = graft.pipeline.Pipeline.curriculumOrder(d, col("doc_id"), col("st"))
+      .select(col("doc_id"), col("stage"), col("curriculum_rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // ranks are exactly 1..n (a permutation)
+    assert(rows.map(_._3).sorted.toSeq == (1 to 60).toSeq)
+    // stage-major: every stage-0 rank < every stage-1 rank < stage-2
+    val byStage = rows.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    assert(byStage(0).max < byStage(1).min && byStage(1).max < byStage(2).min)
+    // within a stage the order is the key hash, not the key: stage 0's
+    // rank sequence must not be sorted by doc_id (hash-shuffled)
+    val s0 = rows.filter(_._2 == 0).sortBy(_._1).map(_._3).toSeq
+    assert(s0 != s0.sorted, s"stage 0 not shuffled: $s0")
+    // bucket-count invariance: 4 buckets give the identical order
+    val rows4 = graft.pipeline.Pipeline
+      .curriculumOrder(d, col("doc_id"), col("st"), nBuckets = 4)
+      .select(col("doc_id"), col("stage"), col("curriculum_rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows4.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
+
+  test("length batches: bounded size, exact padding economics") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = (1L to 100L).map(i => (i, 5L + (i % 37))).toDF("doc_id", "n")
+    val b = graft.pipeline.Pipeline
+      .lengthBatches(d, col("doc_id"), col("n"), 10L, 4, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // every sequence lands in exactly one batch
+    assert(b.map(_._4).sum == 100L)
+    b.foreach { case (bin, _, _, nSeqs, maxT, sumT, pad) =>
+      assert(nSeqs >= 1 && nSeqs <= 4)
+      // the bin really bounds its members' lengths
+      assert(maxT >= bin * 10 && maxT < (bin + 1) * 10, (bin, maxT))
+      assert(pad == nSeqs * maxT - sumT && pad >= 0)
+      // padding within a 10-wide bin over ≤4 seqs is < 4×10
+      assert(pad < 40, (bin, pad))
+    }
+    // batch ids are dense per (bin, shard): 0..max with no gaps
+    b.groupBy(x => (x._1, x._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+  }
+
   test("decontam overlap: fraction on the grid, theta separates copies") {
     import spark.implicits._
     val train = Seq(
