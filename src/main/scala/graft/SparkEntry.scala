@@ -367,6 +367,51 @@ object SparkEntry {
        |SELECT node, r AS rank_micro FROM r$iterations""".stripMargin
   }
 
+  /** The integer-Lloyd k-means CTE chain, mechanically unrolled (same
+    * arithmetic as [[graft.ann.Similarity.kmeansExactCentroids]]):
+    * `kq` = 2^16-grid vectors, `kc0` = the k smallest-vec_id seeds,
+    * step t = assign under kc(t−1) (exact d², ties → smallest cell) →
+    * per-dim truncating integer means → kct (empty cells carry over).
+    */
+  private def kmeansSqlCtes(k: Int, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""ka$t AS MATERIALIZED (SELECT vec_id, qe, cell FROM (
+         |  SELECT q.vec_id, q.qe, c.cell, ROW_NUMBER() OVER (
+         |      PARTITION BY q.vec_id ORDER BY list_sum(list_transform(
+         |        generate_series(1, len(q.qe)),
+         |        i -> (q.qe[i] - c.cent[i]) * (q.qe[i] - c.cent[i]))),
+         |      c.cell) AS rn
+         |  FROM kq q CROSS JOIN kc${t - 1} c) WHERE rn = 1),
+         |km$t AS (SELECT cell, i, CAST(SUM(qe[i]) AS BIGINT) // count(*) AS m
+         |  FROM ka$t, UNNEST(generate_series(1, len(qe))) AS u(i)
+         |  GROUP BY cell, i),
+         |kc$t AS MATERIALIZED (SELECT p.cell, COALESCE(
+         |    (SELECT list(m ORDER BY i) FROM km$t m WHERE m.cell = p.cell),
+         |    p.cent) AS cent FROM kc${t - 1} p)""".stripMargin
+    }.mkString(",\n")
+    s"""kq AS MATERIALIZED (SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT) for x in embedding] AS qe
+       |  FROM embeddings),
+       |kc0 AS MATERIALIZED (SELECT cell, cent FROM (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
+       |    qe AS cent FROM kq) WHERE cell < $k),
+       |$steps""".stripMargin
+  }
+
+  /** Final assignment under the step-`iters` centroids, with the exact
+    * integer squared distance (the engine's cc−2·dot argmin plus the
+    * per-row qq constant orders identically). */
+  private def kmeansFinalAssignCte(iters: Int): String =
+    s"""kfin AS MATERIALIZED (SELECT vec_id, qe, cell, d2 FROM (
+       |  SELECT q.vec_id, q.qe, c.cell, list_sum(list_transform(
+       |      generate_series(1, len(q.qe)),
+       |      i -> (q.qe[i] - c.cent[i]) * (q.qe[i] - c.cent[i]))) AS d2,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, len(q.qe)),
+       |        i -> (q.qe[i] - c.cent[i]) * (q.qe[i] - c.cent[i]))),
+       |      c.cell) AS rn
+       |  FROM kq q CROSS JOIN kc$iters c) WHERE rn = 1)""".stripMargin
+
   /** Unigram (SentencePiece) piece vocabulary with integer costs: all
     * 26 single letters (coverage guarantee) plus multi-char pieces
     * cheap enough that Viterbi prefers them, including a deliberate
@@ -2340,6 +2385,15 @@ object SparkEntry {
     // of dedup_embedding (property-gated), plus cluster structure
     "dedup_embedding_semantic" -> ((s, d) =>
       graft.ann.Similarity.semanticDedupPairs(emb(s, d), 0.4, 8, 2)),
+    // ORACLE-GRADE clustering: integer Lloyd on the 2^16 grid
+    // (vec_id-seeded, truncating integer means, exact-integer argmin)
+    // — 2 k-means steps replay bit-identically in unrolled SQL CTEs
+    "embedding_kmeans_exact" -> ((s, d) =>
+      graft.ann.Similarity.kmeansExact(emb(s, d), 4, 2)),
+    // SemDeDup with the float-free verdict: cos ≥ 2/5 decided as
+    // 25·dot² ≥ 4·qq·cc in decimal — the pair SET is fully oracled
+    "dedup_semantic_exact" -> ((s, d) =>
+      graft.ann.Similarity.semanticDedupExact(emb(s, d), 2, 5, 4, 2)),
     "ann_topk" -> ((s, d) =>
       graft.ann.Similarity.bruteForceTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_lsh_topk" -> ((s, d) =>
@@ -4560,6 +4614,26 @@ object SparkEntry {
         |        * sqrt(CAST(list_sum([y*y for y in cent]) AS DOUBLE))), 4)
         |  END AS cos
         |FROM q CROSS JOIN cl""".stripMargin,
+    "embedding_kmeans_exact" ->
+      s"""WITH ${kmeansSqlCtes(4, 2)},
+        |${kmeansFinalAssignCte(2)}
+        |SELECT vec_id, cell AS cluster, CAST(d2 AS BIGINT) AS d2
+        |FROM kfin""".stripMargin,
+    // pair verdict in HUGEINT — the engine's decimal(38,0) twin
+    "dedup_semantic_exact" ->
+      s"""WITH ${kmeansSqlCtes(4, 2)},
+        |${kmeansFinalAssignCte(2)},
+        |kf AS (SELECT vec_id, qe, cell,
+        |    CAST(list_sum([x * x for x in qe]) AS BIGINT) AS qq FROM kfin)
+        |SELECT id_a, id_b, cluster, dot_q FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cluster,
+        |    a.qq AS qqa, b.qq AS qqb,
+        |    CAST(list_sum(list_transform(generate_series(1, len(a.qe)),
+        |      i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dot_q
+        |  FROM kf a JOIN kf b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |WHERE qqa > 0 AND qqb > 0 AND dot_q > 0
+        |  AND 25 * CAST(dot_q AS HUGEINT) * dot_q
+        |      >= 4 * CAST(qqa AS HUGEINT) * qqb""".stripMargin,
     "embedding_quantize" ->
       """WITH b AS (SELECT vec_id, embedding,
         |    CASE WHEN m = 0 THEN 1.0 ELSE CAST(m AS DOUBLE) / 127.0 END AS scale

@@ -426,6 +426,120 @@ object Similarity {
       round(lit(1.0) - best.getField("d"), 4).as("centroid_cos"))
   }
 
+  /** Integer-exact Lloyd k-means centroids on the global 2^16 grid —
+    * the ORACLE-GRADE twin of [[kmeansCentroids]] (whose float means
+    * and hash seeding are engine-local): seeds are the `k` smallest
+    * vec_id rows, every assignment is an exact-integer argmin
+    * (‖c‖²−2·x·c on IntVecDot, ties → smallest cell), and every
+    * centroid update is an exact per-dim integer sum with a truncating
+    * integer mean (Java `/` == Spark IntegralDivide == DuckDB `//`),
+    * so K Lloyd steps replay bit-identically in unrolled SQL CTEs (the
+    * link_domain_rank discipline applied to clustering).
+    *
+    * Plan per step: ONE partial-aggregated pass (argmin map →
+    * groupBy(cell, dim) sum/count) whose result is O(k×dim) driver
+    * rows; centroids re-enter the next pass as plan literals. Empty
+    * cells keep their previous centroid on both engines.
+    */
+  def kmeansExactCentroids(emb: DataFrame, k: Int, iters: Int)
+      : Array[Array[Int]] = {
+    import graft.functions.VectorExpressions.vec_q16
+    require(k > 0 && iters >= 0)
+    val q = emb.select(col("vec_id"), vec_q16(col("embedding")).as("qe"))
+    var cents: Array[Array[Int]] = q.orderBy(col("vec_id")).limit(k)
+      .select(col("qe")).collect().map(_.getSeq[Int](0).toArray)
+    (1 to iters).foreach { _ =>
+      val sums = q
+        .select(argminCellInt(cents, col("qe")).as("cell"),
+          posexplode(col("qe")).as(Seq("d", "v")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        byCell.get(ci) match {
+          case Some(rows) =>
+            val arr = old.clone()
+            rows.foreach(r => arr(r.getInt(1)) = (r.getLong(2) / r.getLong(3)).toInt)
+            arr
+          case None => old
+        }
+      }
+    }
+    cents
+  }
+
+  /** Exact-integer argmin cell: ‖x−cᵢ‖² ordering without the per-row qq
+    * term (constant per row, so argmin and ties are unchanged). Scores
+    * are exact ≤2^53 integers in doubles; ties break to the smallest
+    * cell id — the cross-engine-stable rule.
+    */
+  private def argminCellInt(cents: Array[Array[Int]], qe: Column): Column = {
+    import graft.functions.VectorExpressions.vec_dot_int
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(v => v.toLong * v).sum
+      struct((lit(cc.toDouble) - lit(2.0) * vec_dot_int(qe, lit(c))).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    element_at(array_sort(scored), 1).getField("cell")
+  }
+
+  /** K-means assignment under [[kmeansExactCentroids]]: (vec_id,
+    * cluster, d2) with d2 the EXACT integer squared distance on the
+    * 2^16 grid — fully oracled clustering (the rows-only
+    * [[kmeansAssign]] keeps the float/hash-seeded surface; this is the
+    * cross-engine-reproducible one). Scoring is a narrow codegen map
+    * against literal centroids — zero data shuffle.
+    */
+  def kmeansExact(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_q16, vec_dot_int}
+    val cents = kmeansExactCentroids(emb, k, iters)
+    val q = emb.select(col("vec_id"), vec_q16(col("embedding")).as("qe"))
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(v => v.toLong * v).sum
+      struct((vec_dot_int(col("qe"), col("qe"))
+          - lit(2.0) * vec_dot_int(col("qe"), lit(c))
+          + lit(cc.toDouble)).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    val best = element_at(array_sort(scored), 1)
+    q.select(col("vec_id"),
+      best.getField("cell").as("cluster"),
+      best.getField("d").cast("long").as("d2"))
+  }
+
+  /** SemDeDup with an EXACT integer threshold verdict: within-cluster
+    * pairs (clusters from [[kmeansExactCentroids]]) flagged when
+    * cos ≥ θn/θd — decided WITHOUT floats as
+    * `dot > 0 ∧ θd²·dot² ≥ θn²·qq·cc` in decimal(38,0) (DuckDB:
+    * HUGEINT), so the pair set is bit-reproducible across engines; the
+    * float path ([[semanticDedupPairs]]) keeps the rounded-cosine
+    * surface. Pair space is Σ|cluster|² — the join shuffles on the
+    * cluster id only.
+    */
+  def semanticDedupExact(emb0: DataFrame, thetaNum: Int, thetaDen: Int,
+      k: Int, iters: Int): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_q16, vec_dot_int}
+    require(thetaNum > 0 && thetaDen > 0)
+    val emb = graft.engine.Layout.ensureParallelism(emb0)
+    val cents = kmeansExactCentroids(emb0, k, iters)
+    val assigned = emb
+      .select(col("vec_id"), vec_q16(col("embedding")).as("qe"))
+      .withColumn("cluster", argminCellInt(cents, col("qe")))
+      .withColumn("qq", vec_dot_int(col("qe"), col("qe")).cast("long"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    assigned.hint("shuffle_merge").as("a")
+      .join(assigned.hint("shuffle_merge").as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot_q", vec_dot_int(col("a.qe"), col("b.qe")).cast("long"))
+      .filter(col("a.qq") > 0L && col("b.qq") > 0L && col("dot_q") > 0L &&
+        dec(lit(thetaDen.toLong * thetaDen)) * dec(col("dot_q")) * dec(col("dot_q")) >=
+          dec(lit(thetaNum.toLong * thetaNum)) * dec(col("a.qq")) * dec(col("b.qq")))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.cluster").as("cluster"), col("dot_q"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * corpus by k-means, then mine near-duplicate pairs only WITHIN each
     * cluster — the candidate join is keyed on the cluster id, so the

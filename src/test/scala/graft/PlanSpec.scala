@@ -644,6 +644,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("exact kmeans assignment is a narrow map; exact semdedup shuffles on cluster only") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pa = plan(graft.ann.Similarity.kmeansExact(e, 4, 1))
+    assert(!pa.contains("Exchange"), pa) // Lloyd passes are separate jobs
+    val pp = plan(graft.ann.Similarity.semanticDedupExact(e, 2, 5, 4, 1))
+    assert(pp.contains("SortMergeJoin"), pp)
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoop"), pp)
+  }
+
   test("tfidf top terms rank through GroupTopK partial heaps") {
     val df = graft.text.TextAnalysis.tfidfTopTerms(Tables.documents(spark, sf), 5)
     val p = plan(df)

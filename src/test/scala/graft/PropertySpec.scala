@@ -623,6 +623,61 @@ class PropertySpec extends SparkSpec {
     assert(!p.contains("percentile(__qv"), p)
   }
 
+  test("exact kmeans matches a pure-driver integer Lloyd reference") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val (k, iters) = (4, 2)
+    // pure-Scala reference on the same 2^16 grid: seeds = k smallest
+    // vec_ids, exact integer d², truncating integer means
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray
+        .map(x => math.floor(x.toDouble * 65536.0).toLong)))
+      .sortBy(_._1)
+    var cents: Array[Array[Long]] = vecs.take(k).map(_._2.map(identity))
+    def d2(x: Array[Long], c: Array[Long]): Long =
+      x.indices.map(i => (x(i) - c(i)) * (x(i) - c(i))).sum
+    def assign(x: Array[Long]): Int =
+      cents.zipWithIndex.map { case (c, i) => (d2(x, c), i) }.min._2
+    (1 to iters).foreach { _ =>
+      val groups = vecs.groupBy(v => assign(v._2))
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        groups.get(ci) match {
+          case Some(g) =>
+            old.indices.map(d => g.map(_._2(d)).sum / g.length).toArray
+          case None => old
+        }
+      }
+    }
+    val expect = vecs.map { case (id, x) =>
+      val cl = assign(x); id -> ((cl, d2(x, cents(cl))))
+    }.toMap
+    val got = graft.ann.Similarity.kmeansExact(emb, k, iters)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got == expect,
+      s"diff: ${(got.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- got.toSet).take(3)}")
+  }
+
+  test("exact semdedup verdict equals the rational cosine threshold (BigInt check)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val pairs = graft.ann.Similarity.semanticDedupExact(emb, 2, 5, 4, 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+    assert(pairs.nonEmpty, "no pairs — fixture degenerate")
+    // every emitted pair satisfies 25·dot² ≥ 4·qq·cc exactly
+    val q16 = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray
+        .map(x => math.floor(x.toDouble * 65536.0).toLong)).toMap
+    pairs.foreach { case ((a, b), dotGot) =>
+      val (xa, xb) = (q16(a), q16(b))
+      val dot = xa.indices.map(i => xa(i) * xb(i)).sum
+      assert(dot == dotGot, s"dot mismatch on ($a,$b)")
+      val qq = BigInt(xa.map(v => v * v).sum)
+      val cc = BigInt(xb.map(v => v * v).sum)
+      assert(dot > 0 && BigInt(25) * BigInt(dot) * BigInt(dot) >= BigInt(4) * qq * cc,
+        s"pair ($a,$b) fails the exact threshold")
+    }
+  }
+
   test("embedding LSH near-dup recall >= 0.95 vs exact all-pairs") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val exact = graft.ann.Similarity.nearDupPairs(emb, 0.4)
