@@ -412,6 +412,39 @@ object SparkEntry {
        |      c.cell) AS rn
        |  FROM kq q CROSS JOIN kc$iters c) WHERE rn = 1)""".stripMargin
 
+  /** The integer batch-perceptron CTE chain, mechanically unrolled
+    * (same arithmetic as [[graft.pipeline.Pipeline.perceptronTrainServe]]
+    * with the quality_perceptron_train feature set): epoch t explodes
+    * the `dims` feature slots, sums `y·x_i` over rows with margin
+    * `y·(w·x) ≤ 0` under the epoch-(t−1) weights, and folds the update
+    * back into a weight list. */
+  private def perceptronSqlCtes(epochs: Int, dims: Int): String = {
+    val steps = (1 to epochs).map { t =>
+      s"""pw$t AS MATERIALIZED (SELECT list(wi + gi ORDER BY i) AS w FROM (
+         |  SELECT i, ANY_VALUE(wi) AS wi,
+         |    CAST(COALESCE(SUM(CASE WHEN m <= 0 THEN y * xi END), 0) AS BIGINT) AS gi
+         |  FROM (
+         |    SELECT f.y, u.i, f.x[u.i] AS xi, w.w[u.i] AS wi,
+         |      f.y * list_sum(list_transform(generate_series(1, $dims),
+         |        j -> w.w[j] * f.x[j])) AS m
+         |    FROM pf f CROSS JOIN pw${t - 1} w,
+         |      UNNEST(generate_series(1, $dims)) AS u(i))
+         |  GROUP BY i))""".stripMargin
+    }.mkString(",\n")
+    s"""pf AS MATERIALIZED (SELECT doc_id, y,
+       |    [CAST(1 AS BIGINT), mk, (nw - 40) // 16] AS x FROM (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(lower(text), ' '),
+       |      w -> w = 'slow' OR w = 'dup')) AS BIGINT) AS mk,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+       |    CASE WHEN len(list_filter(string_split(lower(text), ' '),
+       |      w -> w = 'slow' OR w = 'dup')) > 0
+       |      THEN CAST(1 AS BIGINT) ELSE -1 END AS y
+       |  FROM documents)),
+       |pw0 AS (SELECT [CAST(0 AS BIGINT), 0, 0] AS w),
+       |$steps""".stripMargin
+  }
+
   /** Unigram (SentencePiece) piece vocabulary with integer costs: all
     * 26 single letters (coverage guarantee) plus multi-char pieces
     * cheap enough that Viterbi prefers them, including a deliberate
@@ -2313,6 +2346,23 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+    // the ORACLE-GRADE classifier trainer: integer batch perceptron,
+    // one exact-gradient pass per epoch (weights as plan literals),
+    // fused train→serve — 4 epochs replay bit-identically in SQL.
+    // Same planted quality label as the float probe (docs carrying the
+    // low-quality markers); the marker-count feature is learnable, the
+    // centered word count is SIGNED (exercises negative sums through
+    // the whole unrolled chain), convergence asserted in PipelineSpec
+    "quality_perceptron_train" -> ((s, d) => {
+      val t = split(lower(col("text")), " ")
+      val markers = size(filter(t, w => w === "slow" || w === "dup"))
+      graft.pipeline.Pipeline.perceptronTrainServe(
+        docs(s, d), col("doc_id"),
+        when(markers > 0, 1L).otherwise(-1L),
+        Seq(markers, graft.text.TextAnalysis.intDiv(
+          (size(t) - lit(40)).cast("long"), lit(16L))),
+        epochs = 6)
+    }),
     // in-engine quality-classifier training: full-batch logistic
     // regression, one aggregation pass per gradient step (the Lloyd
     // shape), then narrow scoring — GD float sums are partial-agg-order
@@ -4614,6 +4664,15 @@ object SparkEntry {
         |        * sqrt(CAST(list_sum([y*y for y in cent]) AS DOUBLE))), 4)
         |  END AS cos
         |FROM q CROSS JOIN cl""".stripMargin,
+    "quality_perceptron_train" ->
+      s"""WITH ${perceptronSqlCtes(6, 3)}
+        |SELECT f.doc_id,
+        |  CAST(list_sum(list_transform(generate_series(1, 3),
+        |    j -> w.w[j] * f.x[j])) AS BIGINT) AS score,
+        |  CASE WHEN list_sum(list_transform(generate_series(1, 3),
+        |    j -> w.w[j] * f.x[j])) > 0 THEN 1 ELSE -1 END AS pred,
+        |  CAST(f.y AS INT) AS label
+        |FROM pf f CROSS JOIN pw6 w""".stripMargin,
     "embedding_kmeans_exact" ->
       s"""WITH ${kmeansSqlCtes(4, 2)},
         |${kmeansFinalAssignCte(2)}

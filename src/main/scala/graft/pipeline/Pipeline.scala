@@ -409,6 +409,49 @@ object Pipeline {
     * per-iteration losses, feature means, feature stds) — enough to
     * both inspect convergence and score new rows via [[scoreLogistic]].
     */
+  /** Integer batch-perceptron training, ORACLE-GRADE: the quality-
+    * classifier trainer with zero floats. Epoch t computes the exact
+    * gradient `g_i = Σ_{y·(w·x) ≤ 0} y·x_i` in ONE partial-aggregated
+    * pass with the current weights as plan literals, then `w += g` on
+    * the driver — all Long arithmetic, so `epochs` updates replay
+    * bit-identically in unrolled SQL CTEs (the delta-trainer/Lloyd
+    * shape: O(epochs) jobs, O(#features) driver state, nothing
+    * corpus-sized leaves the executors). Serve is fused: the returned
+    * frame scores every row under the final weights (score = w·x,
+    * pred = sign) next to its true label — the train→serve loop in one
+    * query. Feature 0 is an implicit bias (constant 1).
+    *
+    * Compared to [[trainLogisticProbe]] (float logistic, rows-only
+    * gate): same distributed shape, but every number is an integer on
+    * both engines — the trainer itself is value-oracled.
+    */
+  def perceptronTrainServe(df: DataFrame, key: Column, label: Column,
+      features: Seq[Column], epochs: Int): DataFrame = {
+    require(features.nonEmpty && epochs >= 1)
+    val k = features.size + 1
+    val base = df.select(key.as("doc_id") +: label.cast("long").as("__y") +:
+      (lit(1L).as("__f0") +: features.zipWithIndex.map {
+        case (f, i) => f.cast("long").as(s"__f${i + 1}")
+      }): _*)
+      .localCheckpoint(eager = false) // epochs + serve reuse one scan tree
+    var w = Array.fill(k)(0L)
+    (1 to epochs).foreach { _ =>
+      def margin: Column =
+        (0 until k).map(i => lit(w(i)) * col(s"__f$i")).reduce(_ + _) * col("__y")
+      val aggs = (0 until k).map(i =>
+        sum(when(margin <= 0L, col("__y") * col(s"__f$i"))
+          .otherwise(lit(0L))).as(s"g$i"))
+      val gs = base.agg(aggs.head, aggs.tail: _*).head()
+      w = w.zipWithIndex.map { case (wi, i) =>
+        wi + (if (gs.isNullAt(i)) 0L else gs.getLong(i))
+      }
+    }
+    val score = (0 until k).map(i => lit(w(i)) * col(s"__f$i")).reduce(_ + _)
+    base.select(col("doc_id"), score.as("score"),
+      when(score > 0L, 1).otherwise(-1).as("pred"),
+      col("__y").cast("int").as("label"))
+  }
+
   def trainLogisticProbe(df: DataFrame, label: Column,
       features: Seq[Column], iters: Int = 25, lr: Double = 1.0)
       : (Array[Double], Array[Double], Array[Double], Array[Double]) = {

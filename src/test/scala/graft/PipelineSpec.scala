@@ -623,6 +623,25 @@ class PipelineSpec extends SparkSpec {
     assert(r3 == Map("A" -> 10000L, "B" -> 20000L, "C" -> 40000L))
   }
 
+  test("perceptron trainer: hand-computed updates, converges on separable data") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 3 rows, feature = mk, label = sign(mk - 0.5): separable by w·x =
+    // -1 + 2·mk. Epoch 1 (w = [0,0], every margin 0 ≤ 0 → all update):
+    // g = Σ y·[1, mk] = (+1·[1,1]) + (+1·[1,2]) + (−1·[1,0]) = [1, 3]
+    // Epoch 2 (w = [1,3]): mk=0 row scores 1 > 0 → wrong (y=−1, m=−1≤0)
+    // → g = [−1, 0] → w = [0, 3]; mk=0 row now scores 0 → m=0 → update
+    // again → w = [−1, 3]: all correct, epoch 4 is a no-op.
+    val d = Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 0L, -1L))
+      .toDF("doc_id", "mk", "y")
+    val out = graft.pipeline.Pipeline.perceptronTrainServe(
+        d, col("doc_id"), col("y"), Seq(col("mk")), epochs = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1)
+    // final w = [−1, 3]: scores = 2, 5, −1
+    assert(out.toSeq == Seq((1L, 2L, 1, 1), (2L, 5L, 1, 1), (3L, -1L, -1, -1)), out.toSeq)
+  }
+
   test("curriculum order: stage-major permutation, shuffled within stage") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
