@@ -2714,6 +2714,11 @@ object SparkEntry {
     // decimals (the ANN-oracle precedent); #sources² output
     "source_similarity" -> ((s, d) =>
       graft.text.TextAnalysis.sourceSimilarity(docs(s, d))),
+    // cross-source vocabulary overlap from mergeable KMV bottom-k
+    // signatures — hash-value-selected, so the ESTIMATE itself is
+    // value-oracled; merge-exactness property-gated in PipelineSpec
+    "source_kmv_jaccard" -> ((s, d) =>
+      graft.text.TextAnalysis.sourceKmvJaccard(docs(s, d), 128)),
     // CCNet head/middle/tail selection: per-lang surprisal tertiles
     // via grid-COUNTING thresholds (never a per-lang data-sized sort —
     // the cumulative window runs over the bounded 1e-4 grid table);
@@ -5178,6 +5183,38 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |  round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos
         |FROM d JOIN nn na ON src_a = na.source
         |  JOIN nn nb ON src_b = nb.source""".stripMargin,
+    // KMV replay: bottom-128 distinct md5-60bit hashes per source, the
+    // Beyer et al. estimator over the union's bottom-k — all integers
+    "source_kmv_jaccard" ->
+      """WITH t AS (SELECT source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |h AS (SELECT DISTINCT source, u.h FROM (
+        |  SELECT source, list_transform(generate_series(1, len(ws) - 2),
+        |    i -> CAST(('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15))
+        |      AS BIGINT)) AS gh
+        |  FROM t WHERE len(ws) >= 3), UNNEST(gh) AS u(h)),
+        |sig AS (SELECT source, h FROM (SELECT source, h,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM h)
+        |  WHERE rn <= 128),
+        |pr AS (SELECT a.source AS sa, b.source AS sb
+        |  FROM (SELECT DISTINCT source FROM sig) a
+        |  JOIN (SELECT DISTINCT source FROM sig) b ON a.source < b.source),
+        |uni AS (SELECT p.sa, p.sb, s.h,
+        |    MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ina,
+        |    MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS inb
+        |  FROM pr p JOIN sig s ON s.source IN (p.sa, p.sb)
+        |  GROUP BY 1, 2, 3),
+        |rk AS (SELECT sa, sb, ina, inb,
+        |    ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        |  FROM uni)
+        |SELECT sa AS src_a, sb AS src_b,
+        |  CAST(COALESCE(SUM(CASE WHEN rn <= 128 AND ina = 1 AND inb = 1
+        |    THEN 1 END), 0) AS BIGINT) AS inter_k,
+        |  (CAST(COALESCE(SUM(CASE WHEN rn <= 128 AND ina = 1 AND inb = 1
+        |    THEN 1 END), 0) AS BIGINT) * 10000)
+        |    // LEAST(128, COUNT(*)) AS jaccard_e4
+        |FROM rk GROUP BY 1, 2""".stripMargin,
     // the CCNet bucket replay: same bigram-LM stages, integer-micro
     // mean, counting-based tertile thresholds, value-threshold buckets
     "text_ccnet_buckets" ->

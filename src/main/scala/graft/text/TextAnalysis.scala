@@ -338,6 +338,11 @@ object TextAnalysis {
   def nfcNormalize(text: Column): Column =
     graftshim.exprToColumn(NfcNormalize(graftshim.columnToExpr(text)))
 
+  /** Positional word-k-gram md5-60bit hashes as a Column
+    * (see [[TokenGramHashes]]). */
+  def tokenGramHashes(text: Column, k: Int): Column =
+    graftshim.exprToColumn(TokenGramHashes(graftshim.columnToExpr(text), k))
+
   private def tokens(text: Column): Column = split(lower(text), " ")
 
   /** Exact 1e-4-grid truncated ratio num/den: (num·10⁴ div den) in
@@ -1787,6 +1792,43 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"), col("n_flagged"),
         frac4(col("n_flagged"), col("n_docs")).as("flagged_share"))
       .orderBy(col("source"))
+
+  /** Cross-source DISTINCT-vocabulary overlap: pairwise Jaccard between
+    * per-source token SETS, estimated from KMV bottom-k signatures
+    * ([[graft.functions.Kmv]]) — the set-overlap complement of
+    * [[sourceSimilarity]]'s TF cosine (which weighs repetition; this
+    * answers "do these sources draw on the same vocabulary at all").
+    *
+    * Estimator (Beyer et al. 2007): with S = bottom-k of sigA ∪ sigB,
+    * Ĵ = |S ∩ sigA ∩ sigB| / |S| — here EXACT integers end to end on
+    * the 1e-4 grid, because the signature is selected by md5-60bit
+    * hash VALUE (no RNG), so the whole estimate replays in SQL.
+    *
+    * Scale: one corpus scan feeds map-side KMV partials (≤ k longs per
+    * partition × source); the pair join runs over the signature frame
+    * (#sources × k longs — sketch-sized, broadcast), output is
+    * #sources²/2 rows at any corpus size.
+    */
+  def sourceKmvJaccard(docs: DataFrame, k: Int = 128): DataFrame = {
+    // 3-token shingles, not unigrams: the distinct-shingle space is
+    // large enough that the bottom-k signature actually sketches
+    // (unigram vocabularies here fit whole inside k)
+    val tok = docs
+      .select(col("source"),
+        explode(tokenGramHashes(lower(col("text")), 3)).as("h"))
+    val sigs = graft.functions.Kmv.kmvPerStrKey(tok, "source", "h", k)
+      .localCheckpoint(eager = false) // both join sides read the sketch
+    val uni = array_sort(array_union(col("a.sig"), col("b.sig")))
+    val bot = slice(uni, 1, k)
+    val interBot = size(array_intersect(bot,
+      array_intersect(col("a.sig"), col("b.sig")))).cast("long")
+    val denom = least(lit(k.toLong), size(uni).cast("long"))
+    sigs.as("a")
+      .join(broadcast(sigs.as("b")), col("a.key") < col("b.key"))
+      .select(col("a.key").as("src_a"), col("b.key").as("src_b"),
+        interBot.as("inter_k"),
+        intDiv(interBot * lit(10000L), denom).as("jaccard_e4"))
+  }
 
   /** Pairwise source similarity (corpus-drift/redundancy dashboard):
     * cosine between per-source unigram term-frequency vectors — "which

@@ -623,6 +623,33 @@ class PipelineSpec extends SparkSpec {
     assert(r3 == Map("A" -> 10000L, "B" -> 20000L, "C" -> 40000L))
   }
 
+  test("KMV signatures: shard merges are exact in any order (storable state)") {
+    import org.apache.spark.sql.functions._
+    val d = graft.engine.Tables.documents(spark, sf)
+    def sig(df: org.apache.spark.sql.DataFrame, k: Int): Map[String, Seq[Long]] = {
+      val tok = df.select(col("source"),
+        explode(graft.text.TextAnalysis.tokenGramHashes(lower(col("text")), 3)).as("h"))
+      graft.functions.Kmv.kmvPerStrKey(tok, "source", "h", k)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    }
+    val k = 8 // small k: every shard genuinely truncates
+    val full = sig(d, k)
+    // disjoint shards by doc_id mod 3, folded in two different orders
+    val shards = (0 to 2).map(i => d.filter(pmod(col("doc_id"), lit(3L)) === i))
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      (a ++ b).distinct.sorted.take(k)
+    def fold(order: Seq[Int]): Map[String, Seq[Long]] =
+      order.map(i => sig(shards(i), k)).reduce { (m1, m2) =>
+        (m1.keySet ++ m2.keySet).map { s =>
+          s -> merge(m1.getOrElse(s, Nil), m2.getOrElse(s, Nil))
+        }.toMap
+      }
+    assert(fold(Seq(0, 1, 2)) == full)
+    assert(fold(Seq(2, 0, 1)) == full)
+    // signatures are genuinely truncated (the sketch is doing work)
+    assert(full.values.forall(_.length == k))
+  }
+
   test("perceptron trainer: hand-computed updates, converges on separable data") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
