@@ -310,6 +310,101 @@ object SparkEntry {
       " AS v(doc_id, text, lang, source, n_chars)"
   }
 
+  /** The accepted-instruction POOL for `text_rouge_dedup` — the
+    * Self-Instruct / Alpaca admission filter's comparison set (tiny,
+    * driver-side, broadcasts). Lowercase, quote-free, ≤ 9 tokens (the
+    * oracle unrolls one DP stage per pool-token position). */
+  private[graft] val instPool: Seq[(Int, String)] = Seq(
+    1 -> "write a short poem about the spark engine",
+    2 -> "summarize the given document in one sentence",
+    3 -> "translate the following text into french",
+    4 -> "list three benefits of columnar storage formats",
+    5 -> "explain how a merge join works",
+    6 -> "classify the sentiment of this review",
+    7 -> "generate a sql query that counts rows per group",
+    8 -> "rewrite the paragraph to be more concise")
+
+  // Planted CANDIDATE instructions: an exact pool copy (F1 = 1), a
+  // one-word substitution (8333 ≥ θ), a one-word insertion (9333 ≥ θ),
+  // a word-REORDERED twin of pool #1 (same bag, LCS halves → 5000 < θ:
+  // the order-sensitivity ROUGE-L has and Jaccard lacks), and a novel
+  // instruction. Base corpus docs flow through as low-score negatives.
+  private[graft] val instRows: Seq[(Long, String)] = Seq(
+    9400001L -> "translate the following text into french",
+    9400002L -> "explain how a hash join works",
+    9400003L -> "about the spark engine write a short poem",
+    9400004L -> "summarize the given document in exactly one sentence",
+    9400005L -> "compute the average latency per region from logs")
+
+  private def docsInst(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(instRows.map { case (id, t) =>
+      (id, t, "en", "planted_inst", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val instDocsSelect: String = {
+    val vals = instRows.map { case (id, t) =>
+      s"($id, '$t', 'en', 'planted_inst', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
+  /** ROUGE-L oracle: the LCS DP mechanically unrolled over pool-token
+    * positions (one stage per position, the unigramDpBlock pattern).
+    * The classic row recurrence dp[i][j] = max(dp[i-1][j],
+    * dp[i][j-1], dp[i-1][j-1] + match) untangles into pure SQL because
+    * dp[i][·] is non-decreasing in j: with e[j] = max(dp[i-1][j],
+    * dp[i-1][j-1] + match(i,j)), dp[i][j] is the RUNNING MAX of e —
+    * one lag() + one cumulative-max window per stage. Stages past a
+    * pool row's length are automatically the identity (out-of-range
+    * list index → NULL token → match 0, and the running max of a
+    * monotone row is itself). */
+  private def rougeSql(pool: Seq[(Int, String)], cap: Int,
+      thetaGrid: Long): String = {
+    val stages = pool.map(_._2.split(" ").length).max
+    val poolVals = pool.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    val stageCtes = (1 to stages).map { i =>
+      s"""s${i}a AS (SELECT doc_id, pool_id, n, m, ptoks, j, tok,
+         |  CASE WHEN j = 0 THEN 0 ELSE greatest(dp,
+         |    lag(dp) OVER (PARTITION BY doc_id, pool_id ORDER BY j)
+         |      + CASE WHEN tok = ptoks[$i] THEN 1 ELSE 0 END) END AS e
+         |  FROM s${i - 1}),
+         |s$i AS (SELECT doc_id, pool_id, n, m, ptoks, j, tok,
+         |  max(e) OVER (PARTITION BY doc_id, pool_id ORDER BY j
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dp
+         |  FROM s${i}a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pool AS MATERIALIZED (SELECT pool_id,
+       |    list_filter(string_split(ptext, ' '), x -> x <> '') AS ptoks
+       |  FROM (VALUES $poolVals) p(pool_id, ptext)),
+       |di AS MATERIALIZED ($instDocsSelect),
+       |cand AS MATERIALIZED (SELECT doc_id, list_slice(l, 1, $cap) AS toks
+       |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+       |    x -> x <> '') AS l FROM di)),
+       |base AS MATERIALIZED (SELECT c.doc_id, p.pool_id,
+       |    len(c.toks) AS n, len(p.ptoks) AS m, p.ptoks AS ptoks,
+       |    unnest(generate_series(0, len(c.toks))) AS j, c.toks AS toks
+       |  FROM cand c CROSS JOIN pool p),
+       |s0 AS (SELECT doc_id, pool_id, n, m, ptoks, j,
+       |    CASE WHEN j = 0 THEN NULL ELSE toks[CAST(j AS INTEGER)] END AS tok,
+       |    0 AS dp FROM base),
+       |$stageCtes,
+       |scored AS MATERIALIZED (SELECT doc_id, pool_id, n,
+       |    CAST(dp AS BIGINT) AS lcs,
+       |    CAST(2 * dp * 10000 // (n + m) AS BIGINT) AS f1
+       |  FROM s$stages WHERE j = n),
+       |best AS (SELECT doc_id, max(f1) AS bf FROM scored GROUP BY 1),
+       |pick AS (SELECT s.doc_id, min(s.pool_id) AS bp FROM scored s
+       |  JOIN best b ON s.doc_id = b.doc_id AND s.f1 = b.bf GROUP BY 1)
+       |SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_toks,
+       |  CAST(s.pool_id AS BIGINT) AS best_pool_id, s.lcs,
+       |  s.f1 AS rouge_f1, s.f1 >= $thetaGrid AS is_dup
+       |FROM pick p JOIN scored s
+       |  ON s.doc_id = p.doc_id AND s.pool_id = p.bp""".stripMargin
+  }
+
   // Planted LINK-GRAPH docs: each doc's `source` is a SITE and its text
   // links to other sites in the set — the fixture behind domain
   // PageRank. Coverage: a hub receiving from three sites, a duplicate
@@ -2915,6 +3010,14 @@ object SparkEntry {
     // RAG/context-window prep: 128-char chunks every 64 chars — one
     // narrow explode, no shuffle, partitioning inherited from the scan
     "text_chunks" -> ((s, d) => graft.text.TextAnalysis.chunk(docs(s, d), 128, 64)),
+    // ROUGE-L instruction-pool dedup (the Self-Instruct/Alpaca
+    // admission filter): max 2·LCS/(n+m) vs a broadcast pool on the
+    // exact 1e-4 grid, θ=0.7 verdict; candidates capped at 24 tokens
+    // (instructions are short; the cap bounds the oracle's DP width).
+    // The codegen LCS kernel runs per (candidate × pool) pair — one
+    // corpus scan, no shuffle beyond the per-doc argmax agg.
+    "text_rouge_dedup" -> ((s, d) =>
+      graft.text.TextAnalysis.rougeDedup(docsInst(s, d), instPool, 24)),
     // fastText-style linear quality model over a literal vocab: weights
     // are exact dyadic rationals so the fold is bit-identical on any
     // engine (no float-association or libm divergence in the gate)
@@ -3964,6 +4067,7 @@ object SparkEntry {
         |  CAST(length(substring(text, CAST(start AS INT), 128)) AS INT) AS chunk_len
         |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 64)) AS start
         |  FROM documents WHERE length(text) > 0)""".stripMargin,
+    "text_rouge_dedup" -> rougeSql(instPool, 24, 7000L),
     "quality_model_score" ->
       s"""SELECT doc_id, -1.0 + coalesce(list_sum(
          |  [${modelVocabSqlCase("x")} for x in string_split(lower(text), ' ')]),

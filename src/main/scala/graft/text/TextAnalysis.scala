@@ -2213,4 +2213,51 @@ object TextAnalysis {
       frac4(linkChars, greatest(length(col("clean_text")).cast("long"), lit(1L)))
         .as("link_density"))
   }
+
+  /** ROUGE-L instruction-pool dedup — the Self-Instruct / Alpaca
+    * admission filter: a candidate instruction is a duplicate when its
+    * ROUGE-L F1 against ANY pool instruction reaches θ (the published
+    * pipelines use 0.7). ROUGE-L's F1 collapses exactly to
+    * 2·LCS/(n+m) (p = LCS/m, r = LCS/n ⇒ 2pr/(p+r) = 2·LCS/(n+m)), so
+    * the whole metric is one integer LCS plus one exact 1e-4-grid
+    * division — fully oracle-able. Unlike bag-of-words Jaccard, LCS is
+    * ORDER-sensitive: a word-reordered twin scores 0.5, not 1.0 (the
+    * fixture plants exactly that).
+    *
+    * Plan shape: the pool is driver-side and tiny (the accepted-
+    * instruction list), so it broadcasts — candidates × pool is a
+    * narrow map over one corpus scan with a per-pair O(n·m) codegen
+    * kernel ([[graft.functions.LcsTokens]]), never a shuffle; the
+    * per-candidate argmax is one partial-aggregated struct max.
+    * Candidates are capped at `capTokens` tokens (instructions are
+    * short by construction; the cap also bounds the oracle's DP
+    * width). Tie-break: highest F1, then LOWEST pool_id.
+    */
+  def rougeDedup(docs: DataFrame, pool: Seq[(Int, String)],
+      capTokens: Int, thetaGrid: Long = 7000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val poolDf = pool.toDF("pool_id", "ptext")
+      .select(col("pool_id").cast("long").as("pool_id"),
+        filter(split(lower(col("ptext")), " "), w => w =!= "").as("ptoks"))
+    val cands = docs.select(col("doc_id"),
+      slice(filter(split(lower(col("text")), " "), w => w =!= ""),
+        1, capTokens).as("toks"))
+    val lcs = graftshim.exprToColumn(graft.functions.LcsTokens(
+      graftshim.columnToExpr(col("toks")),
+      graftshim.columnToExpr(col("ptoks"))))
+    val scored = cands.crossJoin(broadcast(poolDf))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n"),
+        col("pool_id"), lcs.as("lcs"),
+        intDiv(lcs * lit(20000L), size(col("toks")).cast("long") +
+          size(col("ptoks")).cast("long")).as("f1"))
+    scored.groupBy(col("doc_id"))
+      .agg(max(struct(col("f1"), (-col("pool_id")).as("np"),
+        col("lcs"), col("n"))).as("b"))
+      .select(col("doc_id"), col("b.n").as("n_toks"),
+        (-col("b.np")).as("best_pool_id"), col("b.lcs").as("lcs"),
+        col("b.f1").as("rouge_f1"),
+        (col("b.f1") >= lit(thetaGrid)).as("is_dup"))
+  }
 }

@@ -1776,4 +1776,50 @@ class PropertySpec extends SparkSpec {
         "спарк движок поиск дубликатов в корпусе данных merge join 去重 테스트")),
       s"planted span set diverged: $spans")
   }
+
+  test("LcsTokens equals the plain-Scala LCS on random token sequences") {
+    // differential fuzz of the codegen DP kernel (rolling-row) against
+    // the textbook 2-D reference, including multibyte tokens, empties,
+    // and repeated tokens (where greedy matching would diverge)
+    def refLcs(a: Seq[String], b: Seq[String]): Long = {
+      val dp = Array.ofDim[Int](a.size + 1, b.size + 1)
+      for (i <- 1 to a.size; j <- 1 to b.size)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.size)(b.size).toLong
+    }
+    val vocab = Gen.oneOf("a", "bb", "ccc", "去重", "테스트", "é", "🚀")
+    val gen = Gen.zip(
+      Gen.chooseNum(0, 14).flatMap(Gen.listOfN(_, vocab)),
+      Gen.chooseNum(0, 9).flatMap(Gen.listOfN(_, vocab)))
+    val cases = samples(gen, 60)
+    val df = cases.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("id", "a", "b")
+      .select(col("id"), org.apache.spark.sql.graftshim.exprToColumn(
+        graft.functions.LcsTokens(
+          org.apache.spark.sql.graftshim.columnToExpr(col("a")),
+          org.apache.spark.sql.graftshim.columnToExpr(col("b")))).as("lcs"))
+    val got = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(got(i) == refLcs(a, b), s"case $i: a=$a b=$b")
+    }
+  }
+
+  test("rougeDedup: planted instruction verdicts pin F1 grid + order sensitivity") {
+    val out = SparkEntry.queries("text_rouge_dedup")(spark, sf)
+      .filter(col("doc_id") >= 9400001L).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    // exact pool copy → F1 = 1.0 against pool #3
+    assert(out(9400001L) == ((3L, 6L, 10000L, true)))
+    // one-word substitution: lcs 5 of 6/6 → 2·5/12 = 8333 ≥ θ
+    assert(out(9400002L) == ((5L, 5L, 8333L, true)))
+    // word-REORDERED twin (identical bag): LCS halves → 5000 < θ —
+    // the order sensitivity that separates ROUGE-L from Jaccard
+    assert(out(9400003L) == ((1L, 4L, 5000L, false)))
+    // one-word insertion: lcs 7, n+m = 15 → 9333 ≥ θ
+    assert(out(9400004L) == ((2L, 7L, 9333L, true)))
+    // novel instruction stays far under θ
+    assert(!out(9400005L)._4 && out(9400005L)._3 < 3000L)
+  }
 }
