@@ -2992,6 +2992,18 @@ object SparkEntry {
     "text_langid" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         graft.text.TextAnalysis.langId(col("text")).as("lang_pred"))),
+    // TRAINED language-ID (the CCNet/fastText classifier step, not the
+    // marker heuristic): Naive-Bayes char-bigram model learned from a
+    // TRUSTED seed (en-labeled base docs + the planted multilingual
+    // rows — the base corpus's non-en labels are synthetic noise, the
+    // exact thing a label AUDIT exists to catch), then every doc is
+    // scored and its claimed label checked. One scan trains, the
+    // vocab-sized model broadcasts, scores are half-bit-resolution
+    // integer surrogate sums; planted zh/fr/ru/ko rows must
+    // self-classify and mislabeled ASCII docs must flag label_ok=false
+    "text_langid_nb" -> ((s, d) =>
+      graft.text.TextAnalysis.langidNb(docsMl(s, d),
+        col("lang") === "en" || col("source") === "planted_ml")),
     "text_fingerprint" -> ((s, d) => graft.text.TextAnalysis.fingerprints(docs(s, d))),
     "text_rolling_fp" -> ((s, d) => graft.text.TextAnalysis.rollingFingerprints(docs(s, d))),
     // winnowing (MOSS) fingerprint candidate pairs: window-min selected
@@ -4068,6 +4080,34 @@ object SparkEntry {
         |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 64)) AS start
         |  FROM documents WHERE length(text) > 0)""".stripMargin,
     "text_rouge_dedup" -> rougeSql(instPool, 24, 7000L),
+    // NB langid: grams → per-lang counts (model) → smoothed bit-length
+    // scores → argmax with lang-asc ties; DuckDB range(1, n) is empty
+    // when n ≤ 1, so the short-doc guard is implicit on this side
+    "text_langid_nb" ->
+      s"""WITH dml AS MATERIALIZED ($mlDocsSelect),
+         |g AS MATERIALIZED (SELECT doc_id, lang,
+         |    (lang = 'en' OR source = 'planted_ml') AS seed,
+         |    unnest([substr(lower(text), CAST(i AS INTEGER), 2)
+         |      for i in range(1, length(lower(text)))]) AS g
+         |  FROM dml),
+         |model AS MATERIALIZED (SELECT lang AS lang2, g,
+         |    CAST(count(*) AS BIGINT) AS c FROM g WHERE seed GROUP BY 1, 2),
+         |vv AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS v FROM model),
+         |den AS (SELECT lang2,
+         |    CAST(length(bin((tot + v) * (tot + v))) AS BIGINT) AS db
+         |  FROM (SELECT lang2, CAST(SUM(c) AS BIGINT) AS tot
+         |    FROM model GROUP BY 1) CROSS JOIN vv),
+         |sc AS (SELECT doc_id, lang, d.lang2 AS lang2,
+         |    CAST(SUM(length(bin((COALESCE(m.c, 0) + 1) * (COALESCE(m.c, 0) + 1)))
+         |      - d.db) AS BIGINT) AS score
+         |  FROM g CROSS JOIN den d
+         |    LEFT JOIN model m ON m.lang2 = d.lang2 AND m.g = g.g
+         |  GROUP BY 1, 2, 3),
+         |best AS (SELECT doc_id, lang, max(score) AS bs FROM sc GROUP BY 1, 2)
+         |SELECT s.doc_id, s.lang, min(s.lang2) AS pred_lang, b.bs AS score,
+         |  s.lang = min(s.lang2) AS label_ok
+         |FROM sc s JOIN best b ON s.doc_id = b.doc_id AND s.score = b.bs
+         |GROUP BY s.doc_id, s.lang, b.bs""".stripMargin,
     "quality_model_score" ->
       s"""SELECT doc_id, -1.0 + coalesce(list_sum(
          |  [${modelVocabSqlCase("x")} for x in string_split(lower(text), ' ')]),

@@ -2214,6 +2214,75 @@ object TextAnalysis {
         .as("link_density"))
   }
 
+  /** Codepoint-bigram array of `text` (already-lowered input expected):
+    * positions 1..len−1, each a 2-codepoint slice — the classic
+    * character-n-gram langid feature. Spark `substr`/`char_length` and
+    * DuckDB `substr`/`length` are both CODEPOINT-based, so the feature
+    * extraction is engine-portable (the multibyte fixture rows prove
+    * it end-to-end). Docs under 2 codepoints yield an empty array (the
+    * `sequence` guard — Spark's sequence(1, 0) would DESCEND). */
+  private def charBigrams(t: Column): Column =
+    when(char_length(t) >= 2,
+      transform(sequence(lit(1), char_length(t) - 1),
+        i => t.substr(i, lit(2)))).otherwise(array())
+
+  /** In-engine Naive-Bayes character-bigram language-ID TRAINING with
+    * serve in the same query — the langid classifier step (CCNet /
+    * fastText posture): the model trains on a TRUSTED LABELED SEED
+    * (`isSeed` — real langid models train on curated per-lang samples,
+    * never on the crawl's own claimed labels, which are exactly what's
+    * being audited) and then scores EVERY document, flagging the ones
+    * whose claimed `lang` disagrees with the prediction — the
+    * lang-label audit step of corpus intake: per-lang
+    * bigram counts are the model, and a doc's score under lang l is
+    * Σ_g [bitlen((c(g,l)+1)²) − bitlen((tot_l + V)²)] — the integer
+    * HALF-bit-resolution surrogate of the add-one-smoothed multinomial
+    * NB log-likelihood (V = global distinct-bigram count, the
+    * smoothing mass that keeps tiny-lang models from over-claiming
+    * unseen grams). Squaring inside the bit-length doubles log₂
+    * resolution to 0.5 bits — at whole-bit resolution two small langs
+    * whose denominators straddle a power of two mis-rank (observed on
+    * the fixture); exactness bound: (tot_l + V)² must fit a long ⇒
+    * tot_l + V ≤ 3·10⁹, fine for any real langid training sample
+    * (fastText-scale langid trains on bounded per-lang samples, not
+    * the whole crawl — ANSI mode throws loudly past the bound). All
+    * terms are order-free integer sums ⇒ fully oracled; prediction =
+    * argmax score, ties to the LEXICOGRAPHICALLY FIRST lang (pinned).
+    *
+    * Plan shape: ONE corpus scan emits (doc, lang, gram); the model and
+    * the per-lang denominators fold from it (vocab-sized, checkpointed
+    * once — the train/serve split inside one query); serve re-walks the
+    * gram spine × k candidate langs (k is tiny) against the BROADCAST
+    * model — no data-sized shuffle beyond the per-doc aggregation.
+    * Docs with < 2 codepoints have no features and drop out (documented).
+    */
+  def langidNb(docs: DataFrame, isSeed: Column): DataFrame = {
+    val g = docs.select(col("doc_id"), col("lang"), isSeed.as("__seed"),
+        explode(charBigrams(lower(col("text")))).as("g"))
+    val model = g.filter(col("__seed"))
+      .groupBy(col("lang").as("lang2"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val vv = model.select(countDistinct(col("g")).as("v"))
+    val den = model.groupBy(col("lang2")).agg(sum(col("c")).as("tot"))
+      .crossJoin(broadcast(vv))
+      .select(col("lang2"),
+        length(bin((col("tot") + col("v")) * (col("tot") + col("v"))))
+          .cast("long").as("db"))
+    val cc = coalesce(col("c"), lit(0L)) + 1L
+    val pairs = g.crossJoin(broadcast(den))
+      .join(broadcast(model), Seq("lang2", "g"), "left")
+      .select(col("doc_id"), col("lang"), col("lang2"),
+        (length(bin(cc * cc)).cast("long") - col("db")).as("wbits"))
+    val sc = pairs.groupBy(col("doc_id"), col("lang"), col("lang2"))
+      .agg(sum(col("wbits")).as("score"))
+    sc.groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("ns"), col("lang2"))).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.lang2").as("pred_lang"), (-col("b.ns")).as("score"),
+        (col("lang") === col("b.lang2")).as("label_ok"))
+  }
+
   /** ROUGE-L instruction-pool dedup — the Self-Instruct / Alpaca
     * admission filter: a candidate instruction is a duplicate when its
     * ROUGE-L F1 against ANY pool instruction reaches θ (the published

@@ -1805,6 +1805,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("langidNb: seed-trained audit recovers planted langs and flags mislabels") {
+    val out = SparkEntry.queries("text_langid_nb")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getBoolean(4)))
+      .toMap
+    // every planted multilingual row self-classifies — including the
+    // DECOMPOSED fr twin (its own grams are in the seed model)
+    Seq(9000001L -> "zh", 9000002L -> "zh", 9000003L -> "fr",
+      9000004L -> "fr", 9000006L -> "ru", 9000007L -> "ko",
+      9000008L -> "ru", 9000009L -> "ru").foreach { case (id, l) =>
+      assert(out(id) == ((l, l, true)), s"$id: ${out(id)}")
+    }
+    // the emoji/math-alphanumeric row is OOV for every model — it must
+    // be FLAGGED (the audit's job), whatever deterministic lang wins
+    assert(!out(9000005L)._3)
+    // base docs are ASCII word salad under synthetic labels: predictions
+    // are en across the board, so the mislabeled ones all flag
+    val base = out.filter(_._1 < 9000000L).values
+    assert(base.forall(_._2 == "en"))
+    assert(base.filter(_._1 == "en").forall(_._3))
+    assert(base.filter(_._1 != "en").forall(!_._3))
+    assert(base.exists(_._1 != "en"), "fixture lost its mislabeled docs")
+  }
+
   test("rougeDedup: planted instruction verdicts pin F1 grid + order sensitivity") {
     val out = SparkEntry.queries("text_rouge_dedup")(spark, sf)
       .filter(col("doc_id") >= 9400001L).collect()
