@@ -2541,6 +2541,11 @@ object SparkEntry {
       graft.ann.Similarity.semanticDedupExact(emb(s, d), 2, 5, 4, 2)),
     "ann_topk" -> ((s, d) =>
       graft.ann.Similarity.bruteForceTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    // hard-negative mining (contrastive data prep): top-k most-similar
+    // DIFFERENT-label vectors per query — ANN top-k with the label
+    // exclusion pushed into the broadcast join, bounded-heap partials
+    "ann_hard_negatives" -> ((s, d) =>
+      graft.ann.Similarity.hardNegatives(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_lsh_topk" -> ((s, d) =>
       graft.ann.Similarity.lshTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_ivf_topk" -> ((s, d) =>
@@ -4918,6 +4923,15 @@ object SparkEntry {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
         |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS INT) AS rank
         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_hard_negatives" ->
+      """SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS INT) AS rank
+        |  FROM embeddings a JOIN embeddings b ON b.label <> a.label
         |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "ann_topk_agg" ->

@@ -115,6 +115,30 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard-negative mining — the contrastive-training data-prep step
+    * (DPR / SimCSE / Contriever): for each query vector, the top-k
+    * MOST-similar vectors carrying a DIFFERENT label. Random negatives
+    * are easy and teach nothing; the highest-cosine wrong-label
+    * vectors are the ones that define the decision boundary, and
+    * mining them is exactly ANN-top-k with a label-exclusion predicate
+    * pushed into the broadcast join. Plan: queries broadcast, corpus
+    * scanned once, bounded per-partition heaps ship ≤ k rows per
+    * (partition, query) — no window sort, no data-sized shuffle.
+    */
+  def hardNegatives(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    graft.functions.TopKByKey.topKPerKey(scored, "query_id", "cos",
+        "neighbor_id", k)
+      .select(col("key").as("query_id"), col("rank"),
+        col("id").as("neighbor_id"), round(col("score"), 4).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** bruteForceTopK with the bounded-heap aggregator instead of a
     * window: identical output, but each partition ships at most k
     * candidates per query to the shuffle instead of sorting every

@@ -1805,6 +1805,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: label exclusion, k per query, scores descend") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = SparkEntry.queries("ann_hard_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 10, s"query $q: ${rows.length} rows")
+      // every mined negative carries a DIFFERENT label than its query
+      rows.foreach { case (_, _, n, _) =>
+        assert(labels(n) != labels(q), s"query $q mined same-label $n")
+      }
+      // scores descend with rank
+      val sorted = rows.sortBy(_._2).toSeq
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4 >= b._4, s"query $q: rank ${a._2} < rank ${b._2}")
+      }
+    }
+  }
+
   test("langidNb: seed-trained audit recovers planted langs and flags mislabels") {
     val out = SparkEntry.queries("text_langid_nb")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getBoolean(4)))
