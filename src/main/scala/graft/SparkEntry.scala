@@ -405,6 +405,40 @@ object SparkEntry {
        |  ON s.doc_id = p.doc_id AND s.pool_id = p.bp""".stripMargin
   }
 
+  // Planted CODE docs — the Stack/StarCoder filter fixture: a clean
+  // snippet (passes), a minified 143-char line (max-line fail), an
+  // auto-generated header (marker fail), symbol soup (alnum fail),
+  // and an all-comments file (comment-share fail). Base corpus docs
+  // flow through the same rules (single-line prose: most fail the
+  // max-line bound — they are not code). No quotes/backslashes.
+  private[graft] val codeRows: Seq[(Long, Seq[String])] = Seq(
+    9700001L -> Seq("def add(a, b):", "    # sum two values",
+      "    return a + b", "total = add(2, 3)", "print(total)"),
+    9700002L -> Seq(("let v0 = 0; " * 12).trim, "export default v0;"),
+    9700003L -> Seq("# auto-generated do not edit", "def gen():",
+      "    return 42"),
+    9700004L -> Seq("(((((", ")))))", "===== ;;;;;"),
+    9700005L -> Seq("# only comments here", "# nothing else",
+      "// and more"))
+
+  private def docsCode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(codeRows.map { case (id, lines) =>
+      val t = lines.mkString("\n")
+      (id, t, "en", "planted_code", t.codePointCount(0, t.length).toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val codeDocsSelect: String = {
+    val vals = codeRows.map { case (id, lines) =>
+      val t = lines.map(l => s"'$l'").mkString(" || chr(10) || ")
+      val nch = lines.mkString("\n").codePoints().count()
+      s"($id, $t, 'en', 'planted_code', $nch)"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   // Planted LINK-GRAPH docs: each doc's `source` is a SITE and its text
   // links to other sites in the set — the fixture behind domain
   // PageRank. Coverage: a hub receiving from three sites, a duplicate
@@ -3027,6 +3061,11 @@ object SparkEntry {
     // RAG/context-window prep: 128-char chunks every 64 chars — one
     // narrow explode, no shuffle, partitioning inherited from the scan
     "text_chunks" -> ((s, d) => graft.text.TextAnalysis.chunk(docs(s, d), 128, 64)),
+    // code-data quality gate (The Stack/StarCoder filters): line-length
+    // bounds, alnum fraction, comment share, autogen marker — all on
+    // the exact 1e-4 grid, zero shuffle
+    "code_quality_rules" -> ((s, d) =>
+      graft.text.TextAnalysis.codeQualityRules(docsCode(s, d))),
     // ROUGE-L instruction-pool dedup (the Self-Instruct/Alpaca
     // admission filter): max 2·LCS/(n+m) vs a broadcast pool on the
     // exact 1e-4 grid, θ=0.7 verdict; candidates capped at 24 tokens
@@ -4085,6 +4124,28 @@ object SparkEntry {
         |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 64)) AS start
         |  FROM documents WHERE length(text) > 0)""".stripMargin,
     "text_rouge_dedup" -> rougeSql(instPool, 24, 7000L),
+    "code_quality_rules" ->
+      s"""WITH dc AS MATERIALIZED ($codeDocsSelect),
+         |t AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM dc),
+         |m AS (SELECT doc_id,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(list_max(list_transform(ls, l -> length(l))) AS BIGINT)
+         |      AS max_line_len,
+         |    CAST((length(text) - len(ls) + 1) * 10000 // len(ls) AS DOUBLE)
+         |      / CAST(10000 AS DOUBLE) AS mean_line_len,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 10000
+         |      // greatest(length(text), 1) AS DOUBLE) / CAST(10000 AS DOUBLE)
+         |      AS alnum_frac,
+         |    CAST(len(list_filter(ls, l -> left(trim(l), 1) = '#'
+         |      OR left(trim(l), 2) = '//')) * 10000 // len(ls) AS DOUBLE)
+         |      / CAST(10000 AS DOUBLE) AS comment_share,
+         |    (contains(lower(array_to_string(ls[1:5], chr(10))), 'auto-generated')
+         |      OR contains(lower(array_to_string(ls[1:5], chr(10))), 'do not edit'))
+         |      AS has_autogen
+         |  FROM t)
+         |SELECT *, max_line_len <= 120 AND mean_line_len <= 60.0
+         |  AND alnum_frac >= 0.25 AND comment_share <= 0.8
+         |  AND NOT has_autogen AS passes FROM m""".stripMargin,
     // NB langid: grams → per-lang counts (model) → smoothed bit-length
     // scores → argmax with lang-asc ties; DuckDB range(1, n) is empty
     // when n ≤ 1, so the short-doc guard is implicit on this side

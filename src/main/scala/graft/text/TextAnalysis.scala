@@ -2214,6 +2214,43 @@ object TextAnalysis {
         .as("link_density"))
   }
 
+  /** Code-data quality rules — The Stack / StarCoder prep filters for
+    * source-code corpora: max and mean line length (minified /
+    * generated bundles), alphanumeric fraction (symbol soup), comment
+    * line share (all-comment files), and the auto-generated marker in
+    * the first 5 lines. Thresholds are parameters of the published
+    * filters (The Stack uses 1000/100-char lines; the fixture-scaled
+    * defaults here keep the same semantics). Every ratio rides the
+    * exact 1e-4 grid; the whole gate is a zero-shuffle narrow map —
+    * line totals derive from char_length(text) − n_lines + 1 (exact,
+    * codegen) instead of an interpreted per-line fold.
+    */
+  def codeQualityRules(docs: DataFrame, maxLine: Long = 120L,
+      meanLine: Long = 60L): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("long")
+    val maxLen = array_max(transform(lines, l => char_length(l).cast("long")))
+    val alnum = char_length(
+      regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("long")
+    val commentLines = size(filter(lines, l =>
+      trim(l).startsWith("#") || trim(l).startsWith("//"))).cast("long")
+    val autogen = lower(array_join(slice(lines, 1, 5), "\n"))
+      .contains("auto-generated") ||
+      lower(array_join(slice(lines, 1, 5), "\n")).contains("do not edit")
+    docs.select(col("doc_id"), nLines.as("n_lines"), maxLen.as("max_line_len"),
+        frac4(char_length(col("text")).cast("long") - nLines + 1L, nLines)
+          .as("mean_line_len"),
+        frac4(alnum, greatest(char_length(col("text")).cast("long"), lit(1L)))
+          .as("alnum_frac"),
+        frac4(commentLines, nLines).as("comment_share"),
+        autogen.as("has_autogen"))
+      .withColumn("passes",
+        col("max_line_len") <= maxLine &&
+          col("mean_line_len") <= lit(meanLine.toDouble) &&
+          col("alnum_frac") >= 0.25 && col("comment_share") <= 0.8 &&
+          !col("has_autogen"))
+  }
+
   /** Codepoint-bigram array of `text` (already-lowered input expected):
     * positions 1..len−1, each a 2-codepoint slice — the classic
     * character-n-gram langid feature. Spark `substr`/`char_length` and

@@ -1805,6 +1805,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("codeQualityRules: each planted code doc fails exactly its rule") {
+    val out = SparkEntry.queries("code_quality_rules")(spark, sf)
+      .filter(col("doc_id") >= 9700001L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(9700001L).getBoolean(7), "clean snippet must pass")
+    // minified line: max-line bound is the ONLY failing rule
+    assert(out(9700002L).getLong(2) == 143L && !out(9700002L).getBoolean(7))
+    assert(out(9700003L).getBoolean(6) && !out(9700003L).getBoolean(7),
+      "autogen marker must flag")
+    assert(out(9700004L).getDouble(4) == 0.0 && !out(9700004L).getBoolean(7),
+      "symbol soup fails alnum fraction")
+    assert(out(9700005L).getDouble(5) == 1.0 && !out(9700005L).getBoolean(7),
+      "all-comments file fails comment share")
+  }
+
   test("hardNegatives: label exclusion, k per query, scores descend") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val labels = emb.select(col("vec_id"), col("label")).collect()
