@@ -2871,6 +2871,17 @@ object SparkEntry {
     // top-weighted docs is the Xie et al. importance-resampling step
     "text_dsir_weight" -> ((s, d) =>
       graft.text.TextAnalysis.dsirWeights(docs(s, d), col("lang") === "en")),
+    // the "R" in DSIR — keep the top-32 docs by mean importance weight
+    // (deterministic resampling form): bounded TakeOrdered, no full sort
+    "dsir_select" -> ((s, d) =>
+      graft.text.TextAnalysis.dsirSelect(docs(s, d), col("lang") === "en", 32)),
+    // per-source distinct-bigram diversity (templated sources score low)
+    "source_diversity" -> ((s, d) =>
+      graft.text.TextAnalysis.sourceDiversity(docs(s, d))),
+    // token-unit sliding-window chunking (W=32, stride 16): the
+    // overlap-chunking long-doc pretraining/RAG splits with
+    "chunk_sliding" -> ((s, d) =>
+      graft.text.TextAnalysis.chunkTokens(docs(s, d), 32, 16)),
     // multi-pattern blocklist scan (C4/RefinedWeb badwords shape):
     // ONE Aho-Corasick pass per document for the whole lexicon — the
     // per-byte cost is independent of lexicon size, vs m contains()
@@ -4124,6 +4135,56 @@ object SparkEntry {
         |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 64)) AS start
         |  FROM documents WHERE length(text) > 0)""".stripMargin,
     "text_rouge_dedup" -> rougeSql(instPool, 24, 7000L),
+    "dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(string_split(lower(text), ' '),
+        |    w -> w <> '') AS ws FROM documents),
+        |big AS (
+        |  SELECT doc_id, lang, (lang = 'en') AS is_t,
+        |    ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |m AS (
+        |  SELECT w1, w2,
+        |    length(bin(count(*) FILTER (WHERE is_t) + 1))
+        |      - length(bin(count(*) + 1)) AS wgt
+        |  FROM big GROUP BY 1, 2),
+        |w AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+        |    CAST(SUM(wgt) AS BIGINT) AS dsir_weight,
+        |    (CAST(SUM(wgt) AS BIGINT) * 10000 // count(*)) / 10000.0
+        |      AS mean_weight
+        |  FROM big JOIN m USING (w1, w2) GROUP BY 1, 2)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY mean_weight DESC, doc_id)
+        |    AS BIGINT) AS rank,
+        |  doc_id, lang, n_bigrams, dsir_weight, mean_weight
+        |FROM w ORDER BY mean_weight DESC, doc_id LIMIT 32""".stripMargin,
+    "source_diversity" ->
+      """WITH toks AS (
+        |  SELECT source, list_filter(string_split(lower(text), ' '),
+        |    w -> w <> '') AS ws FROM documents),
+        |big AS (
+        |  SELECT source, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |pc AS (SELECT source, w1, w2, count(*) AS c FROM big GROUP BY 1, 2, 3)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(c) AS BIGINT) AS n_total,
+        |  (CAST(count(*) AS BIGINT) * 10000 // CAST(SUM(c) AS BIGINT)) / 10000.0
+        |    AS distinct_ratio
+        |FROM pc GROUP BY 1""".stripMargin,
+    "chunk_sliding" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |    w -> w <> '') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, len(ws), 16)) AS start
+        |  FROM t WHERE len(ws) > 0)
+        |SELECT doc_id, CAST((start - 1) // 16 AS BIGINT) AS chunk_idx,
+        |  CAST(start AS BIGINT) AS tok_start,
+        |  CAST(len(list_slice(ws, CAST(start AS INTEGER),
+        |    CAST(least(start + 31, len(ws)) AS INTEGER))) AS BIGINT) AS n_toks,
+        |  array_to_string(list_slice(ws, CAST(start AS INTEGER),
+        |    CAST(least(start + 31, len(ws)) AS INTEGER)), ' ') AS chunk_text
+        |FROM c""".stripMargin,
     "code_quality_rules" ->
       s"""WITH dc AS MATERIALIZED ($codeDocsSelect),
          |t AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM dc),

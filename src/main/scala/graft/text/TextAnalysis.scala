@@ -1693,6 +1693,66 @@ object TextAnalysis {
         frac4(col("dsir_weight"), col("n_bigrams")).as("mean_weight"))
   }
 
+  /** The "R" in DSIR — importance RESAMPLING: keep the top-k documents
+    * by mean importance weight toward the target domain (the
+    * deterministic top-k form of Xie et al.'s Gumbel resampling; mean
+    * rather than sum so selection does not just favor short docs).
+    * Ties break doc_id-ascending. The take is a bounded TakeOrdered
+    * heap over the already-vocab-joined weight frame — never a full
+    * corpus sort. */
+  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int): DataFrame = {
+    val w = dsirWeights(docs, isTarget)
+    w.orderBy(col("mean_weight").desc, col("doc_id").asc).limit(k)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("mean_weight").desc, col("doc_id").asc))
+          .cast("long").as("rank"),
+        col("doc_id"), col("lang"), col("n_bigrams"), col("dsir_weight"),
+        col("mean_weight"))
+  }
+
+  /** Per-source n-gram diversity — the distinct-n / self-repetition
+    * corpus signal (templated or boilerplate-heavy sources repeat the
+    * same bigrams; diverse sources do not): share of DISTINCT word
+    * bigrams among all bigram occurrences per source, on the exact
+    * 1e-4 grid. One corpus pass through the codegen bigram kernel;
+    * the only exchange is the (source, bigram) count shuffle —
+    * vocab-sized per source after the map-side partial. */
+  def sourceDiversity(docs: DataFrame): DataFrame = {
+    val big = docs.select(col("source"),
+      explode(graftshim.exprToColumn(WordBigrams(
+        graftshim.columnToExpr(col("text"))))).as("b"))
+    big.groupBy(col("source"), col("b.w1"), col("b.w2"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("c")).as("n_total"))
+      .select(col("source"), col("n_distinct"), col("n_total"),
+        frac4(col("n_distinct"), col("n_total")).as("distinct_ratio"))
+  }
+
+  /** Token-window chunking with overlap — the stride-S sliding window
+    * over TOKENS (the budget currency) that long-document pretraining
+    * and RAG indexing split with, beside the char-based [[chunk]]:
+    * windows start every `stride` tokens, the tail window may be
+    * short. One narrow explode per doc — no shuffle, partitioning
+    * inherited from the scan. */
+  def chunkTokens(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), w => w =!= "")
+    docs.select(col("doc_id"), toks.as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col("doc_id"), col("__ws"),
+        explode(sequence(lit(1), size(col("__ws")), lit(stride)))
+          .as("start"))
+      .select(col("doc_id"),
+        intDiv((col("start") - 1).cast("long"), lit(stride.toLong))
+          .as("chunk_idx"),
+        col("start").cast("long").as("tok_start"),
+        size(slice(col("__ws"), col("start"), lit(window)))
+          .cast("long").as("n_toks"),
+        array_join(slice(col("__ws"), col("start"), lit(window)), " ")
+          .as("chunk_text"))
+  }
+
   /** Blocklist lexicons match against `lower(text)`, so a mixed-case
     * term could never hit — normalize terms to lowercase at the API
     * boundary (the badwords-filter contract). Two terms that collapse

@@ -1805,6 +1805,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkTokens: stride-16/window-32 chunks overlap and cover exactly") {
+    val out = SparkEntry.queries("chunk_sliding")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2).toSeq
+      // indices are 0,1,2,…; starts are 1, 17, 33, …
+      sorted.zipWithIndex.foreach { case ((_, idx, st, _, _), i) =>
+        assert(idx == i.toLong && st == 1L + 16L * i)
+      }
+      // consecutive full windows overlap by exactly 16 tokens
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        if (a._4 == 32L) {
+          val aT = a._5.split(" ").drop(16).mkString(" ")
+          val bT = b._5.split(" ").take(math.min(16, b._4.toInt)).mkString(" ")
+          assert(aT == bT, s"overlap broken at doc ${a._1} chunk ${a._2}")
+        }
+      }
+    }
+  }
+
+  test("dsirSelect + sourceDiversity: rank order and ratio sanity") {
+    val sel = SparkEntry.queries("dsir_select")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(5))).sortBy(_._1)
+    assert(sel.map(_._1).toSeq == (1L to sel.length.toLong))
+    sel.zip(sel.tail).foreach { case (a, b) => assert(a._2 >= b._2) }
+    val div = SparkEntry.queries("source_diversity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(div.nonEmpty)
+    div.foreach { case (src, nd, nt, ratio) =>
+      assert(nd <= nt && ratio > 0.0 && ratio <= 1.0, s"$src: $nd/$nt=$ratio")
+    }
+  }
+
   test("codeQualityRules: each planted code doc fails exactly its rule") {
     val out = SparkEntry.queries("code_quality_rules")(spark, sf)
       .filter(col("doc_id") >= 9700001L).collect()
