@@ -678,6 +678,24 @@ object Events {
           batch.toDF(), model))
     }
 
+  /** Language-ID ingest gate: each micro-batch of NEW documents is
+    * classified under the FROZEN Naive-Bayes char-bigram model
+    * (trained once on the curated seed —
+    * [[graft.text.TextAnalysis.langidNbModel]], vocab-sized, cached by
+    * the caller) and its claimed lang label audited at ingest time —
+    * the routing/quarantine step a multilingual intake runs per shard.
+    * Same scorer as the batch query, so verdicts are bit-equal by
+    * construction (gated in StreamingSpec).
+    */
+  def langidIngestGate(newDocs: DataFrame, model: DataFrame,
+      den: DataFrame)(
+      onScores: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onScores(graft.text.TextAnalysis.scoreLangidNb(
+          batch.toDF(), model, den))
+    }
+
   /** Stupid-backoff trigram scoring gate: each micro-batch of NEW
     * documents is scored under the FROZEN three-level model (trained
     * once in batch — [[graft.text.TextAnalysis.trigramBackoffModel]],

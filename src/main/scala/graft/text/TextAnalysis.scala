@@ -2354,10 +2354,19 @@ object TextAnalysis {
     * Docs with < 2 codepoints have no features and drop out (documented).
     */
   def langidNb(docs: DataFrame, isSeed: Column): DataFrame = {
-    val g = docs.select(col("doc_id"), col("lang"), isSeed.as("__seed"),
+    val (model, den) = langidNbModel(docs, isSeed)
+    scoreLangidNb(docs, model, den)
+  }
+
+  /** TRAIN half of [[langidNb]]: the per-(lang, gram) count table
+    * (vocab-sized, checkpointed) and the per-lang smoothed-denominator
+    * bits frame (k rows). Both are the frozen model a streaming gate
+    * scores against ([[graft.streaming.Events.langidIngestGate]]). */
+  def langidNbModel(docs: DataFrame, isSeed: Column)
+      : (DataFrame, DataFrame) = {
+    val g = docs.filter(isSeed).select(col("lang"),
         explode(charBigrams(lower(col("text")))).as("g"))
-    val model = g.filter(col("__seed"))
-      .groupBy(col("lang").as("lang2"), col("g"))
+    val model = g.groupBy(col("lang").as("lang2"), col("g"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
     val vv = model.select(countDistinct(col("g")).as("v"))
@@ -2366,6 +2375,15 @@ object TextAnalysis {
       .select(col("lang2"),
         length(bin((col("tot") + col("v")) * (col("tot") + col("v"))))
           .cast("long").as("db"))
+    (model, den)
+  }
+
+  /** SERVE half of [[langidNb]]: score every doc under a FROZEN
+    * (model, den) pair and check its claimed label. */
+  def scoreLangidNb(docs: DataFrame, model: DataFrame,
+      den: DataFrame): DataFrame = {
+    val g = docs.select(col("doc_id"), col("lang"),
+      explode(charBigrams(lower(col("text")))).as("g"))
     val cc = coalesce(col("c"), lit(0L)) + 1L
     val pairs = g.crossJoin(broadcast(den))
       .join(broadcast(model), Seq("lang2", "g"), "left")

@@ -862,6 +862,43 @@ class StreamingSpec extends SparkSpec {
     Seq(s3, s2, s1).foreach(_.unpersist())
   }
 
+  test("langid gate: streamed predictions bit-equal the batch scorer") {
+    import spark.implicits._
+    val base = graft.engine.Tables.documents(spark, sf)
+    val seedDocs = base.unionByName(SparkEntry.mlRows
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val (model, den) = graft.text.TextAnalysis.langidNbModel(
+      seedDocs, col("lang") === "en" || col("source") === "planted_ml")
+    Seq(model, den).foreach { m => m.cache(); m.count() }
+    // arriving shard: base slice + two multilingual rows (one claimed
+    // label wrong — the audit must flag it at ingest)
+    val arriving = base.limit(15).unionByName(Seq(
+      (9800011L, "быстрый поиск дубликатов в корпусе данных", "ru", "s", 41L),
+      (9800012L, "한국어 토큰 분석 테스트 문서 집합", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_lid_ingest")
+    arriving.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val stream = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = graft.streaming.Events.langidIngestGate(
+        stream, model, den)(v => v.collect().foreach(sink.add))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(4))
+    val got = sink.asScala.map(key).toSet
+    val expect = graft.text.TextAnalysis.scoreLangidNb(
+      arriving, model, den).collect().map(key).toSet
+    assert(got == expect && got.nonEmpty)
+    // the mislabeled hangul doc flags at ingest; the true-ru one passes
+    assert(got.find(_._1 == 9800012L).get._3 == "ko")
+    assert(!got.find(_._1 == 9800012L).get._5)
+    assert(got.find(_._1 == 9800011L).get._5)
+    Seq(model, den).foreach(_.unpersist())
+  }
+
   test("boilerplate strip gate: streamed cleanups bit-equal the batch serve half") {
     import spark.implicits._
     // a corpus with multi-line docs: known boilerplate + unique bodies
