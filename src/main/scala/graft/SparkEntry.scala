@@ -2882,6 +2882,11 @@ object SparkEntry {
     // overlap-chunking long-doc pretraining/RAG splits with
     "chunk_sliding" -> ((s, d) =>
       graft.text.TextAnalysis.chunkTokens(docs(s, d), 32, 16)),
+    // T5/UL2 span corruption: deterministic md5-hash masking (~15%),
+    // adjacent masks merge to sentinel spans, (input, target) pair
+    // assembled — seeded-reproducible and fully string-oracled
+    "span_corruption" -> ((s, d) =>
+      graft.text.TextAnalysis.spanCorruption(docs(s, d))),
     // multi-pattern blocklist scan (C4/RefinedWeb badwords shape):
     // ONE Aho-Corasick pass per document for the whole lexicon — the
     // per-byte cost is independent of lexicon size, vs m contains()
@@ -4172,6 +4177,41 @@ object SparkEntry {
         |  (CAST(count(*) AS BIGINT) * 10000 // CAST(SUM(c) AS BIGINT)) / 10000.0
         |    AS distinct_ratio
         |FROM pc GROUP BY 1""".stripMargin,
+    "span_corruption" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |    w -> w <> '') AS ws FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, ws
+        |  FROM t WHERE len(ws) > 0),
+        |f AS (SELECT doc_id, pos, ws[CAST(pos AS INTEGER)] AS tok,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' ||
+        |      CAST(pos AS VARCHAR)), 1, 15)) AS BIGINT) % 20 < 3 AS flag
+        |  FROM p),
+        |w1 AS (SELECT *, flag AND NOT coalesce(
+        |    lag(flag) OVER (PARTITION BY doc_id ORDER BY pos), false)
+        |    AS span_start FROM f),
+        |w2 AS (SELECT *, SUM(CASE WHEN span_start THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |  FROM w1),
+        |pc AS (SELECT doc_id, pos, flag, span_start,
+        |    CASE WHEN NOT flag THEN tok
+        |      WHEN span_start THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>'
+        |      END AS ip,
+        |    CASE WHEN flag THEN
+        |      CASE WHEN span_start THEN '<extra_id_' ||
+        |        CAST(span_id - 1 AS VARCHAR) || '> ' || tok ELSE tok END
+        |      END AS tp
+        |  FROM w2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE flag) AS BIGINT) AS n_masked,
+        |  CAST(count(*) FILTER (WHERE span_start) AS BIGINT) AS n_spans,
+        |  COALESCE(string_agg(ip, ' ' ORDER BY pos), '') AS input_text,
+        |  CASE WHEN string_agg(tp, ' ' ORDER BY pos) IS NULL THEN ''
+        |    ELSE string_agg(tp, ' ' ORDER BY pos) || ' ' END
+        |    || '<extra_id_' ||
+        |    CAST(count(*) FILTER (WHERE span_start) AS VARCHAR) || '>'
+        |    AS target_text
+        |FROM pc GROUP BY doc_id""".stripMargin,
     "chunk_sliding" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
         |    w -> w <> '') AS ws FROM documents),

@@ -1753,6 +1753,67 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** T5/UL2 span-corruption data prep — the denoising-objective
+    * transform: mask a deterministic ~rate of token positions, merge
+    * adjacent masked positions into spans, replace each span with a
+    * `<extra_id_k>` sentinel in the input, and emit the span contents
+    * (sentinel-prefixed, final sentinel appended) as the target — the
+    * (input, target) pair the denoiser trains on. "Randomness" is the
+    * SQL-replayable md5-60bit hash of (doc_id, position), so the
+    * corruption is reproducible across runs AND engines — the seeded
+    * determinism real pipelines need to resume mid-epoch; fully
+    * oracled including the assembled strings. Position i is masked
+    * when hash % denom < num (num/denom ≈ the paper's 15%).
+    *
+    * Plan: one explode over token positions, two windows per doc
+    * (span-start lag, running span counter) and one ordered re-collect
+    * — the same doc-sized exchange every two-pass text family pays;
+    * nothing corpus-global.
+    */
+  def spanCorruption(docs: DataFrame, num: Int = 3, denom: Int = 20)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+    val p = docs.select(col("doc_id"), ws.as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col("doc_id"), posexplode(col("__ws")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      .withColumn("h", conv(substring(md5(
+          concat(col("doc_id").cast("string"), lit("_"),
+            col("pos").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("flag", pmod(col("h"), lit(denom.toLong)) < num.toLong)
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val marked = p
+      .withColumn("span_start",
+        col("flag") && !coalesce(lag(col("flag"), 1).over(byPos), lit(false)))
+      .withColumn("span_id",
+        sum(col("span_start").cast("long")).over(
+          byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sentinel = concat(lit("<extra_id_"),
+      (col("span_id") - 1).cast("string"), lit(">"))
+    val pieces = marked
+      .withColumn("ip", when(!col("flag"), col("tok"))
+        .when(col("span_start"), sentinel))
+      .withColumn("tp", when(col("flag"),
+        when(col("span_start"), concat(sentinel, lit(" "), col("tok")))
+          .otherwise(col("tok"))))
+    def joined(c: String) = array_join(transform(
+      sort_array(collect_list(when(col(c).isNotNull,
+        struct(col("pos"), col(c).as("piece"))))),
+      x => x.getField("piece")), " ")
+    pieces.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("flag").cast("long")).as("n_masked"),
+        sum(col("span_start").cast("long")).as("n_spans"),
+        joined("ip").as("__in"), joined("tp").as("__tgt"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"),
+        col("__in").as("input_text"),
+        concat(when(length(col("__tgt")) > 0, concat(col("__tgt"), lit(" ")))
+            .otherwise(lit("")),
+          lit("<extra_id_"), col("n_spans").cast("string"), lit(">"))
+          .as("target_text"))
+  }
+
   /** Blocklist lexicons match against `lower(text)`, so a mixed-case
     * term could never hit — normalize terms to lowercase at the API
     * boundary (the badwords-filter contract). Two terms that collapse

@@ -1839,6 +1839,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("spanCorruption: splicing targets back into inputs reconstructs every doc") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val orig = docs.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("text").toLowerCase.split(" ").filter(_.nonEmpty).toSeq).toMap
+    val out = SparkEntry.queries("span_corruption")(spark, sf).collect()
+    assert(out.length == orig.size)
+    var totTok, totMask = 0L
+    out.foreach { r =>
+      val (id, nTok, nMask, nSpans) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      totTok += nTok; totMask += nMask
+      // parse targets: sentinel k -> span tokens
+      val tgt = r.getString(5).split(" ").toSeq
+      val spans = scala.collection.mutable.Map[Int, Vector[String]]()
+      var cur = -1
+      tgt.foreach { t =>
+        if (t.startsWith("<extra_id_")) {
+          cur = t.stripPrefix("<extra_id_").stripSuffix(">").toInt
+          spans(cur) = Vector()
+        } else spans(cur) = spans(cur) :+ t
+      }
+      assert(spans.keySet == (0 to nSpans.toInt).toSet)
+      assert(spans(nSpans.toInt).isEmpty, "final sentinel must be empty (EOS)")
+      // splice: every input sentinel expands to its span
+      val rebuilt = r.getString(4).split(" ").filter(_.nonEmpty).toSeq.flatMap { t =>
+        if (t.startsWith("<extra_id_"))
+          spans(t.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        else Seq(t)
+      }
+      assert(rebuilt == orig(id), s"doc $id failed round-trip")
+      assert(spans.values.map(_.size).sum == nMask)
+    }
+    // the deterministic hash masks ~num/denom = 15% of all tokens
+    val rate = totMask.toDouble / totTok
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate")
+  }
+
   test("codeQualityRules: each planted code doc fails exactly its rule") {
     val out = SparkEntry.queries("code_quality_rules")(spark, sf)
       .filter(col("doc_id") >= 9700001L).collect()
