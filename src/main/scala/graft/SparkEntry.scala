@@ -2580,6 +2580,11 @@ object SparkEntry {
     // exclusion pushed into the broadcast join, bounded-heap partials
     "ann_hard_negatives" -> ((s, d) =>
       graft.ann.Similarity.hardNegatives(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    // triplet assembly for metric learning: per anchor, best same-label
+    // positive + best different-label negative + the margin between
+    // them — ONE corpus scan scores both roles
+    "ann_triplets" -> ((s, d) =>
+      graft.ann.Similarity.triplets(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
     "ann_lsh_topk" -> ((s, d) =>
       graft.ann.Similarity.lshTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_ivf_topk" -> ((s, d) =>
@@ -2882,6 +2887,11 @@ object SparkEntry {
     // overlap-chunking long-doc pretraining/RAG splits with
     "chunk_sliding" -> ((s, d) =>
       graft.text.TextAnalysis.chunkTokens(docs(s, d), 32, 16)),
+    // fill-in-the-middle (StarCoder code prep): deterministic ~50% of
+    // docs reordered as <fim_prefix> P <fim_suffix> S <fim_middle> M
+    // at hash-chosen cut points; row-local, zero shuffle
+    "fim_transform" -> ((s, d) =>
+      graft.text.TextAnalysis.fimTransform(docs(s, d))),
     // T5/UL2 span corruption: deterministic md5-hash masking (~15%),
     // adjacent masks merge to sentinel spans, (input, target) pair
     // assembled — seeded-reproducible and fully string-oracled
@@ -4177,6 +4187,31 @@ object SparkEntry {
         |  (CAST(count(*) AS BIGINT) * 10000 // CAST(SUM(c) AS BIGINT)) / 10000.0
         |    AS distinct_ratio
         |FROM pc GROUP BY 1""".stripMargin,
+    "fim_transform" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_fim'), 1, 15))
+        |      AS BIGINT) % 2 = 0 AS is_fim,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_a'), 1, 15))
+        |      AS BIGINT) % (CAST(len(ws) AS BIGINT) + 1) AS a,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_b'), 1, 15))
+        |      AS BIGINT) % (CAST(len(ws) AS BIGINT) + 1) AS bb
+        |  FROM t WHERE len(ws) > 0),
+        |c AS (SELECT doc_id, ws, n, is_fim,
+        |    least(a, bb) AS s1, greatest(a, bb) AS s2 FROM b)
+        |SELECT doc_id, n AS n_tokens, is_fim,
+        |  CASE WHEN is_fim THEN s1 END AS s1,
+        |  CASE WHEN is_fim THEN s2 END AS s2,
+        |  CASE WHEN is_fim THEN '<fim_prefix> ' ||
+        |      COALESCE(array_to_string(ws[1:CAST(s1 AS INTEGER)], ' '), '')
+        |      || ' <fim_suffix> ' ||
+        |      COALESCE(array_to_string(ws[CAST(s2 + 1 AS INTEGER):CAST(n AS INTEGER)], ' '), '')
+        |      || ' <fim_middle> ' ||
+        |      COALESCE(array_to_string(ws[CAST(s1 + 1 AS INTEGER):CAST(s2 AS INTEGER)], ' '), '')
+        |    ELSE array_to_string(ws, ' ') END AS out_text
+        |FROM c""".stripMargin,
     "span_corruption" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
         |    w -> w <> '') AS ws FROM documents),
@@ -5096,6 +5131,23 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON b.label <> a.label
         |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_triplets" ->
+      """WITH s AS (SELECT a.vec_id AS anchor_id,
+        |    (b.label = a.label) AS is_pos, b.vec_id AS cand_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (0, 1, 2, 3, 4)),
+        |r AS (SELECT anchor_id, is_pos, cand_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY anchor_id, is_pos
+        |      ORDER BY cos DESC, cand_id) AS rk FROM s),
+        |p AS (SELECT anchor_id, cand_id AS pos_id, cos AS pc
+        |  FROM r WHERE rk = 1 AND is_pos),
+        |n AS (SELECT anchor_id, cand_id AS neg_id, cos AS nc
+        |  FROM r WHERE rk = 1 AND NOT is_pos)
+        |SELECT anchor_id, pos_id, round(pc, 4) AS pos_cos,
+        |  neg_id, round(nc, 4) AS neg_cos, round(pc - nc, 4) AS margin
+        |FROM p JOIN n USING (anchor_id)""".stripMargin,
     "ann_topk_agg" ->
       """SELECT query_id, rank, neighbor_id, cos FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

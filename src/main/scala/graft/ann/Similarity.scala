@@ -139,6 +139,41 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Triplet mining — assemble (anchor, positive, negative) training
+    * rows for metric learning: per anchor, the most-similar SAME-label
+    * vector (excluding itself) and the most-similar DIFFERENT-label
+    * vector (the hard negative), plus the margin between them (cos⁺ −
+    * cos⁻ — triplets with small or negative margin are the ones worth
+    * training on). One broadcast of the anchor set, ONE corpus scan
+    * scoring both roles (the label predicate decides which side each
+    * candidate competes on), bounded-heap top-1 per (anchor, role).
+    */
+  def triplets(emb: DataFrame, anchorIds: Seq[Long]): DataFrame = {
+    val q = emb.filter(col("vec_id").isin(anchorIds: _*))
+      .select(col("vec_id").as("anchor_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"),
+        (col("label") === col("q_label")).as("is_pos"),
+        col("vec_id").as("cand_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val best = scored.groupBy(col("anchor_id"), col("is_pos"))
+      .agg(max(struct(col("cos"), (-col("cand_id")).as("ni"))).as("b"))
+      .select(col("anchor_id"), col("is_pos"),
+        (-col("b.ni")).as("cand_id"), col("b.cos").as("cos"))
+    val pos = best.filter(col("is_pos"))
+      .select(col("anchor_id"), col("cand_id").as("pos_id"),
+        col("cos").as("pos_cos"))
+    val neg = best.filter(!col("is_pos"))
+      .select(col("anchor_id"), col("cand_id").as("neg_id"),
+        col("cos").as("neg_cos"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("pos_id"),
+        round(col("pos_cos"), 4).as("pos_cos"),
+        col("neg_id"), round(col("neg_cos"), 4).as("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 4).as("margin"))
+  }
+
   /** bruteForceTopK with the bounded-heap aggregator instead of a
     * window: identical output, but each partition ships at most k
     * candidates per query to the shuffle instead of sorting every

@@ -1814,6 +1814,45 @@ object TextAnalysis {
           .as("target_text"))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022; the StarCoder/
+    * code-model training prep): with deterministic probability ~½ per
+    * doc, split the token sequence at two hash-chosen points and emit
+    * the PSM reordering `<fim_prefix> P <fim_suffix> S <fim_middle> M`
+    * (training on it teaches infilling); otherwise pass the doc
+    * through. All "randomness" is the md5-60bit hash of doc_id-derived
+    * keys — reproducible across runs and engines, so the assembled
+    * strings oracle exactly. Entirely ROW-LOCAL: no explode, no
+    * shuffle; the two cut points are `h % (n+1)` ordered.
+    */
+  def fimTransform(docs: DataFrame): DataFrame = {
+    def h60(key: Column): Column =
+      conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+    val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+    val base = docs.select(col("doc_id"), ws.as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .withColumn("n", size(col("__ws")).cast("long"))
+      .withColumn("is_fim",
+        pmod(h60(concat(col("doc_id").cast("string"), lit("_fim"))),
+          lit(2L)) === 0L)
+      .withColumn("a", pmod(h60(concat(col("doc_id").cast("string"),
+        lit("_a"))), col("n") + 1L))
+      .withColumn("b", pmod(h60(concat(col("doc_id").cast("string"),
+        lit("_b"))), col("n") + 1L))
+      .withColumn("s1", least(col("a"), col("b")))
+      .withColumn("s2", greatest(col("a"), col("b")))
+    val pfx = array_join(slice(col("__ws"), lit(1), col("s1").cast("int")), " ")
+    val mid = array_join(slice(col("__ws"), (col("s1") + 1L).cast("int"),
+      (col("s2") - col("s1")).cast("int")), " ")
+    val sfx = array_join(slice(col("__ws"), (col("s2") + 1L).cast("int"),
+      (col("n") - col("s2")).cast("int")), " ")
+    base.select(col("doc_id"), col("n").as("n_tokens"), col("is_fim"),
+      when(col("is_fim"), col("s1")).as("s1"),
+      when(col("is_fim"), col("s2")).as("s2"),
+      when(col("is_fim"), concat(lit("<fim_prefix> "), pfx,
+          lit(" <fim_suffix> "), sfx, lit(" <fim_middle> "), mid))
+        .otherwise(array_join(col("__ws"), " ")).as("out_text"))
+  }
+
   /** Blocklist lexicons match against `lower(text)`, so a mixed-case
     * term could never hit — normalize terms to lowercase at the API
     * boundary (the badwords-filter contract). Two terms that collapse

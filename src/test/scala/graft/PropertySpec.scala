@@ -1839,6 +1839,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("triplets: positive shares the anchor label, negative does not, margin exact") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = SparkEntry.queries("ann_triplets")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    out.foreach { r =>
+      val (a, p, n) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(labels(p) == labels(a) && p != a, s"anchor $a: bad positive $p")
+      assert(labels(n) != labels(a), s"anchor $a: bad negative $n")
+      assert(math.abs(r.getDouble(2) - r.getDouble(4) - r.getDouble(5)) < 2e-4)
+    }
+  }
+
+  test("fimTransform: FIM rows reassemble to the original, pass-through rows intact") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val orig = docs.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("text").toLowerCase.split(" ").filter(_.nonEmpty)
+        .mkString(" ")).toMap
+    val out = SparkEntry.queries("fim_transform")(spark, sf).collect()
+    assert(out.length == orig.size)
+    var nFim = 0
+    out.foreach { r =>
+      val (id, isFim, text) = (r.getLong(0), r.getBoolean(2), r.getString(5))
+      if (isFim) {
+        nFim += 1
+        // P + M + S in source order must equal the original
+        val pfx = text.substring("<fim_prefix> ".length,
+          text.indexOf(" <fim_suffix> "))
+        val sfx = text.substring(
+          text.indexOf(" <fim_suffix> ") + " <fim_suffix> ".length,
+          text.indexOf(" <fim_middle> "))
+        val mid = text.substring(
+          text.indexOf(" <fim_middle> ") + " <fim_middle> ".length)
+        val joined = Seq(pfx, mid, sfx).filter(_.nonEmpty).mkString(" ")
+        assert(joined == orig(id), s"doc $id FIM round-trip failed")
+        assert(!r.isNullAt(3) && !r.isNullAt(4) &&
+          r.getLong(3) <= r.getLong(4))
+      } else {
+        assert(text == orig(id))
+        assert(r.isNullAt(3) && r.isNullAt(4))
+      }
+    }
+    // the hash gate fires on roughly half the corpus
+    assert(nFim > out.length / 4 && nFim < out.length * 3 / 4, s"$nFim FIM rows")
+  }
+
   test("spanCorruption: splicing targets back into inputs reconstructs every doc") {
     val docs = graft.engine.Tables.documents(spark, sf)
     val orig = docs.collect().map(r => r.getAs[Long]("doc_id") ->
