@@ -628,6 +628,70 @@ object ScaleProbe {
       if (r.isNullAt(0)) 0L else r.getAs[Number](0).longValue
     }
 
+    // candidates × fixed pool: per-pair O(n·m) LCS kernel in a narrow
+    // map over one scan — growth must track the scan, pool is constant
+    probe("text_rouge_dedup", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.rougeDedup(d, SparkEntry.instPool, 24).count()
+    }
+
+    // gram explode ×c; the model stays vocab-sized (fixed corpus vocab)
+    // and broadcasts, so serve growth must track the gram scan
+    probe("text_langid_nb", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.langidNb(d, col("lang") === "en").count()
+    }
+
+    // corpus ×c against a FIXED anchor set: scoring is a narrow map
+    // over the broadcast anchors; heap partials keep the shuffle ≤ k
+    probe("ann_hard_negatives", Seq(1, 20)) { c =>
+      val e = replicate(engine.Tables.embeddings(spark, sf), c,
+        Map("vec_id" -> 10000000L))
+      ann.Similarity.hardNegatives(e, Seq(0L, 1L, 2L, 3L, 4L), 10).count()
+    }
+
+    probe("ann_triplets", Seq(1, 20)) { c =>
+      val e = replicate(engine.Tables.embeddings(spark, sf), c,
+        Map("vec_id" -> 10000000L))
+      ann.Similarity.triplets(e, Seq(0L, 1L, 2L, 3L, 4L)).count()
+    }
+
+    // explode + two per-doc windows + ordered re-collect: the one
+    // doc-sized exchange every two-pass text family pays
+    probe("span_corruption", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.spanCorruption(d).count()
+    }
+
+    // row-local: zero exchanges — growth is the scan alone
+    probe("fim_transform", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.fimTransform(d).count()
+    }
+
+    probe("chunk_sliding", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.chunkTokens(d, 32, 16).count()
+    }
+
+    // (source, bigram) partial agg: model-sized after map-side combine
+    // (vocab fixed), so the count shuffle stays flat while the scan ×c
+    probe("source_diversity", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.sourceDiversity(d).count()
+    }
+
+    probe("code_quality_rules", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.codeQualityRules(d).count()
+    }
+
+    // weights scan ×c, selection a bounded TakeOrdered heap (k fixed)
+    probe("dsir_select", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.dsirSelect(d, col("lang") === "en", 32).count()
+    }
+
     // each gradient step is one partial-agg pass; iters fixed ⇒ the
     // trainer scales like iters × one corpus scan, never superlinear
     probe("quality_probe_train", Seq(1, 20)) { c =>

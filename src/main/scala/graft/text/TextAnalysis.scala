@@ -105,6 +105,174 @@ case class WordBigrams(
     : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
 }
 
+/** One-pass codepoint-bigram emission for langid: lowercase once, walk
+  * UTF-8 codepoint boundaries ((b & 0xC0) != 0x80 starts a codepoint),
+  * emit each adjacent 2-codepoint byte slice. Output is identical to
+  * `substr(lower(text), i, 2)` for i in 1..len−1 (both count code
+  * points; astral characters are ONE codepoint on both engines).
+  */
+final class CharBigramsKernel extends Serializable {
+  import org.apache.spark.unsafe.types.UTF8String
+  private val EMPTY = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+    new Array[Any](0))
+  def bigrams(s0: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s0.toLowerCase.getBytes
+    val n = b.length
+    if (n == 0) return EMPTY
+    var starts = new Array[Int](32)
+    var nc = 0
+    var i = 0
+    while (i < n) {
+      if ((b(i) & 0xc0) != 0x80) {
+        if (nc == starts.length)
+          starts = java.util.Arrays.copyOf(starts, nc * 2)
+        starts(nc) = i
+        nc += 1
+      }
+      i += 1
+    }
+    if (nc < 2) return EMPTY
+    val out = new Array[Any](nc - 1)
+    var k = 0
+    while (k < nc - 1) {
+      val st = starts(k)
+      val en = if (k + 2 < nc) starts(k + 2) else n
+      out(k) = UTF8String.fromBytes(b, st, en - st)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `char_bigrams(text)`: array of adjacent 2-codepoint slices of
+  * lower(text) (see [[CharBigramsKernel]]); inside whole-stage codegen
+  * via a reference-object call per row.
+  */
+case class CharBigrams(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val kernel = new CharBigramsKernel
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.bigrams(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("charBigramsKernel", kernel,
+      classOf[CharBigramsKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.bigrams($c);")
+  }
+
+  override def prettyName: String = "char_bigrams"
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
+}
+
+/** Frozen-model Naive-Bayes langid scorer: the vocab-sized trained
+  * model rides INSIDE the kernel as driver state (the AhoCorasick /
+  * quality-model posture — a langid model is megabytes, the corpus is
+  * not), so serving is ONE narrow codegen map per doc: walk the
+  * codepoint bigrams, accumulate the per-lang integer surrogate sums,
+  * argmax with the lexicographically-first tie-break. No per-gram
+  * explode, no grams × langs row blowup, no serve-side shuffle at all
+  * (the DataFrame form paid two data-sized exchanges and k× the gram
+  * spine — ×20 probe: 93 s → this kernel: scan-bound).
+  *
+  * `langs` must be sorted ascending; `db(l)` is bitlen((tot_l + V)²);
+  * `wb(gram)(l)` is bitlen((c+1)²) with absent grams contributing
+  * bitlen(1) = 1 — identical integers to the SQL oracle.
+  */
+final class NbScoreKernel(langs: Array[String], db: Array[Long],
+    wb: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]])
+  extends Serializable {
+  import org.apache.spark.unsafe.types.UTF8String
+  private val k = langs.length
+  private val langU8 = langs.map(UTF8String.fromString)
+
+  /** (pred_lang, score) as an InternalRow; null for docs with no
+    * bigram features (< 2 codepoints) — callers filter those. */
+  def score(s0: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s0.toLowerCase.getBytes
+    val n = b.length
+    val acc = new Array[Long](k)
+    var ng = 0L
+    var starts = new Array[Int](32)
+    var nc = 0
+    var i = 0
+    while (i < n) {
+      if ((b(i) & 0xc0) != 0x80) {
+        if (nc == starts.length)
+          starts = java.util.Arrays.copyOf(starts, nc * 2)
+        starts(nc) = i
+        nc += 1
+      }
+      i += 1
+    }
+    if (nc < 2) return null
+    var g = 0
+    while (g < nc - 1) {
+      val st = starts(g)
+      val en = if (g + 2 < nc) starts(g + 2) else n
+      val gram = UTF8String.fromBytes(b, st, en - st)
+      val arr = wb.get(gram)
+      var l = 0
+      if (arr == null) while (l < k) { acc(l) += 1L; l += 1 }
+      else while (l < k) { acc(l) += arr(l); l += 1 }
+      ng += 1L
+      g += 1
+    }
+    var best = 0
+    var bestScore = acc(0) - ng * db(0)
+    var l = 1
+    while (l < k) {
+      val s = acc(l) - ng * db(l)
+      if (s > bestScore) { best = l; bestScore = s }
+      l += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(langU8(best), bestScore)
+  }
+}
+
+/** `nb_lang_score(text)`: struct(pred_lang, score) under a frozen
+  * driver-side NB model (see [[NbScoreKernel]]). */
+case class NbLangScore(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    kernel: NbScoreKernel)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("pred_lang", StringType, nullable = false),
+    StructField("score", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.score(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("nbScoreKernel", kernel,
+      classOf[NbScoreKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = $ref.score($c);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+  }
+
+  override def prettyName: String = "nb_lang_score"
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
+}
+
 /** `byte_entropy_bits(text)`: the order-free integer entropy surrogate
   * Σ_b c_b·(bitlen(n) − bitlen(c_b)) over the string's UTF-8 byte
   * histogram (c_b = count of byte value b, n = total bytes) —
@@ -2411,17 +2579,17 @@ object TextAnalysis {
           !col("has_autogen"))
   }
 
-  /** Codepoint-bigram array of `text` (already-lowered input expected):
-    * positions 1..len−1, each a 2-codepoint slice — the classic
-    * character-n-gram langid feature. Spark `substr`/`char_length` and
-    * DuckDB `substr`/`length` are both CODEPOINT-based, so the feature
-    * extraction is engine-portable (the multibyte fixture rows prove
-    * it end-to-end). Docs under 2 codepoints yield an empty array (the
-    * `sequence` guard — Spark's sequence(1, 0) would DESCEND). */
+  /** Codepoint-bigram array of lower(text): positions 1..len−1, each a
+    * 2-codepoint slice — the classic character-n-gram langid feature,
+    * semantically `transform(sequence(1, char_length−1), i →
+    * substr(lower(text), i, 2))` (code points, exactly DuckDB's
+    * `substr`/`length` unit — the multibyte fixture rows prove the
+    * parity end-to-end) but ONE primitive UTF-8 boundary walk instead
+    * of an interpreted per-position lambda (the WordBigrams lesson:
+    * the HOF form dominated the whole query). Docs under 2 codepoints
+    * yield an empty array. */
   private def charBigrams(t: Column): Column =
-    when(char_length(t) >= 2,
-      transform(sequence(lit(1), char_length(t) - 1),
-        i => t.substr(i, lit(2)))).otherwise(array())
+    graftshim.exprToColumn(CharBigrams(graftshim.columnToExpr(t)))
 
   /** In-engine Naive-Bayes character-bigram language-ID TRAINING with
     * serve in the same query — the langid classifier step (CCNet /
@@ -2465,7 +2633,7 @@ object TextAnalysis {
   def langidNbModel(docs: DataFrame, isSeed: Column)
       : (DataFrame, DataFrame) = {
     val g = docs.filter(isSeed).select(col("lang"),
-        explode(charBigrams(lower(col("text")))).as("g"))
+        explode(charBigrams(col("text"))).as("g"))
     val model = g.groupBy(col("lang").as("lang2"), col("g"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
@@ -2479,23 +2647,37 @@ object TextAnalysis {
   }
 
   /** SERVE half of [[langidNb]]: score every doc under a FROZEN
-    * (model, den) pair and check its claimed label. */
+    * (model, den) pair and check its claimed label. The vocab-sized
+    * frames collect to the driver and ride inside [[NbScoreKernel]]
+    * (the AhoCorasick / quality-model posture), so serving is ONE
+    * narrow codegen map — no per-gram explode, no grams × langs row
+    * blowup, no serve-side shuffle. Docs with < 2 codepoints have no
+    * features and drop out (the kernel returns null). */
   def scoreLangidNb(docs: DataFrame, model: DataFrame,
       den: DataFrame): DataFrame = {
-    val g = docs.select(col("doc_id"), col("lang"),
-      explode(charBigrams(lower(col("text")))).as("g"))
-    val cc = coalesce(col("c"), lit(0L)) + 1L
-    val pairs = g.crossJoin(broadcast(den))
-      .join(broadcast(model), Seq("lang2", "g"), "left")
-      .select(col("doc_id"), col("lang"), col("lang2"),
-        (length(bin(cc * cc)).cast("long") - col("db")).as("wbits"))
-    val sc = pairs.groupBy(col("doc_id"), col("lang"), col("lang2"))
-      .agg(sum(col("wbits")).as("score"))
-    sc.groupBy(col("doc_id"), col("lang"))
-      .agg(min(struct((-col("score")).as("ns"), col("lang2"))).as("b"))
+    val denRows = den.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val langs = denRows.map(_._1)
+    val idx = langs.zipWithIndex.toMap
+    val db = denRows.map(_._2)
+    val wb = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+    model.collect().foreach { r =>
+      val (l, g, c) = (r.getString(0), r.getString(1), r.getLong(2))
+      val key = org.apache.spark.unsafe.types.UTF8String.fromString(g)
+      var arr = wb.get(key)
+      if (arr == null) { arr = Array.fill(langs.length)(1L); wb.put(key, arr) }
+      val cc = c + 1L
+      arr(idx(l)) = 64L - java.lang.Long.numberOfLeadingZeros(cc * cc)
+    }
+    val kernel = new NbScoreKernel(langs, db, wb)
+    docs.select(col("doc_id"), col("lang"),
+        graftshim.exprToColumn(NbLangScore(
+          graftshim.columnToExpr(col("text")), kernel)).as("b"))
+      .filter(col("b").isNotNull)
       .select(col("doc_id"), col("lang"),
-        col("b.lang2").as("pred_lang"), (-col("b.ns")).as("score"),
-        (col("lang") === col("b.lang2")).as("label_ok"))
+        col("b.pred_lang").as("pred_lang"), col("b.score").as("score"),
+        (col("lang") === col("b.pred_lang")).as("label_ok"))
   }
 
   /** ROUGE-L instruction-pool dedup — the Self-Instruct / Alpaca

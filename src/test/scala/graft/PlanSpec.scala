@@ -767,6 +767,59 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("rouge dedup: pool broadcasts, LCS kernel in plan, argmax is an agg not a window") {
+    val df = graft.text.TextAnalysis.rougeDedup(
+      Tables.documents(spark, sf), SparkEntry.instPool, 24)
+    val p = plan(df)
+    // candidates × pool is a BROADCAST nested-loop of a literal 8-row
+    // local relation (the one sanctioned BNLJ shape: broadcast side is
+    // driver-literal and O(pool)); the per-doc argmax is a partial agg
+    assert(p.split("Scan parquet").length - 1 == 1, p)
+    assert(p.contains("BroadcastExchange") || p.contains("LocalTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(df.queryExecution.optimizedPlan.toString.contains("lcstokens"), p)
+  }
+
+  test("langid NB serve: frozen model rides in the kernel — one scan, zero exchanges") {
+    val docs = Tables.documents(spark, sf)
+    val (model, den) = graft.text.TextAnalysis.langidNbModel(
+      docs, col("lang") === "en")
+    val df = graft.text.TextAnalysis.scoreLangidNb(docs, model, den)
+    val p = plan(df)
+    // the vocab-sized model collects into the scorer kernel, so the
+    // serve is ONE narrow codegen map: no joins, no shuffle at all
+    // (the DataFrame form paid grams × langs rows and two exchanges)
+    assert(p.split("Scan parquet").length - 1 == 1, p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(df.queryExecution.optimizedPlan.toString.contains("nb_lang_score"), p)
+  }
+
+  test("hard negatives + triplets: anchors broadcast, heap/agg top-1, no corpus window") {
+    val emb = Tables.embeddings(spark, sf)
+    val hn = plan(graft.ann.Similarity.hardNegatives(emb, Seq(0L, 1L), 5))
+    assert(hn.contains("BroadcastExchange"), hn)
+    assert(!hn.contains("Window") && !hn.contains("CartesianProduct"), hn)
+    val tr = plan(graft.ann.Similarity.triplets(emb, Seq(0L, 1L)))
+    assert(tr.contains("BroadcastExchange"), tr)
+    assert(!tr.contains("Window") && !tr.contains("CartesianProduct"), tr)
+  }
+
+  test("span corruption / fim / chunking: one corpus scan each, fim and chunks shuffle-free") {
+    val docs = Tables.documents(spark, sf)
+    val fim = plan(graft.text.TextAnalysis.fimTransform(docs))
+    assert(fim.split("Scan parquet").length - 1 == 1, fim)
+    assert(!fim.contains("Exchange"), fim) // row-local: NO shuffle at all
+    val ch = plan(graft.text.TextAnalysis.chunkTokens(docs, 32, 16))
+    assert(ch.split("Scan parquet").length - 1 == 1, ch)
+    assert(!ch.contains("Exchange"), ch)
+    val sc = plan(graft.text.TextAnalysis.spanCorruption(docs))
+    assert(sc.split("Scan parquet").length - 1 == 1, sc)
+    assert(!sc.contains("CartesianProduct") && !sc.contains("SortMergeJoin"), sc)
+  }
+
   test("binned range join plans a hash join, never a nested loop") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_orderdate"),
