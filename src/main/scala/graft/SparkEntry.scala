@@ -3069,6 +3069,20 @@ object SparkEntry {
     "text_langid_nb" -> ((s, d) =>
       graft.text.TextAnalysis.langidNb(docsMl(s, d),
         col("lang") === "en" || col("source") === "planted_ml")),
+    // storable langid model: 3 disjoint seed shards fold by exact sum
+    // into the batch-equal count table (no rescan of old shards)
+    "langid_model_incremental" -> ((s, d) => {
+      val dm = docsMl(s, d)
+      val seed = col("lang") === "en" || col("source") === "planted_ml"
+      val shards = (0 to 2).map(i => graft.text.TextAnalysis
+        .langidCountState(dm.filter(pmod(col("doc_id"), lit(3)) === i), seed))
+      graft.text.TextAnalysis.langidModelFromStates(
+        Seq(shards(2), shards(0), shards(1)))
+    }),
+    // per-source sequence-length histogram in power-of-2 token buckets
+    // — the distribution packing/batching is tuned against
+    "seq_len_histogram" -> ((s, d) =>
+      graft.text.TextAnalysis.seqLenHistogram(docs(s, d))),
     "text_fingerprint" -> ((s, d) => graft.text.TextAnalysis.fingerprints(docs(s, d))),
     "text_rolling_fp" -> ((s, d) => graft.text.TextAnalysis.rollingFingerprints(docs(s, d))),
     // winnowing (MOSS) fingerprint candidate pairs: window-min selected
@@ -4187,6 +4201,29 @@ object SparkEntry {
         |  (CAST(count(*) AS BIGINT) * 10000 // CAST(SUM(c) AS BIGINT)) / 10000.0
         |    AS distinct_ratio
         |FROM pc GROUP BY 1""".stripMargin,
+    // the fold is associative+commutative, so shard-split training
+    // equals batch counting over the seed — the oracle is the batch
+    "langid_model_incremental" ->
+      s"""WITH dml AS MATERIALIZED ($mlDocsSelect),
+         |g AS (SELECT lang AS lang2,
+         |    unnest([substr(lower(text), CAST(i AS INTEGER), 2)
+         |      for i in range(1, length(lower(text)))]) AS g
+         |  FROM dml WHERE lang = 'en' OR source = 'planted_ml')
+         |SELECT lang2, g, CAST(count(*) AS BIGINT) AS c
+         |FROM g GROUP BY 1, 2""".stripMargin,
+    "seq_len_histogram" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      w -> w <> '')) AS BIGINT) AS n_toks FROM documents),
+        |b AS (SELECT source, n_toks,
+        |    CAST(length(bin(n_toks)) AS BIGINT) AS bucket_bits
+        |  FROM t WHERE n_toks > 0)
+        |SELECT source, bucket_bits, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(1 AS BIGINT) << CAST(bucket_bits - 1 AS INTEGER) AS bucket_lo,
+        |  (CAST(1 AS BIGINT) << CAST(bucket_bits - 1 AS INTEGER)) * 2 - 1
+        |    AS bucket_hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "fim_transform" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws

@@ -2632,18 +2632,54 @@ object TextAnalysis {
     * scores against ([[graft.streaming.Events.langidIngestGate]]). */
   def langidNbModel(docs: DataFrame, isSeed: Column)
       : (DataFrame, DataFrame) = {
-    val g = docs.filter(isSeed).select(col("lang"),
+    val model = langidCountState(docs, isSeed).localCheckpoint(false)
+    (model, langidDenFromModel(model))
+  }
+
+  /** Sequence-length histogram in power-of-two token buckets per
+    * source (bucket = bitlen(n_toks), lo/hi bounds materialized) —
+    * the length distribution packing efficiency and batch shapes are
+    * tuned against. Integer-exact, one scan, model-sized output. */
+  def seqLenHistogram(docs: DataFrame): DataFrame = {
+    val n = size(filter(split(lower(col("text")), " "), w => w =!= ""))
+      .cast("long")
+    docs.select(col("source"), n.as("n_toks"))
+      .filter(col("n_toks") > 0L)
+      .withColumn("bucket_bits", length(bin(col("n_toks"))).cast("long"))
+      .groupBy(col("source"), col("bucket_bits"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("bucket_lo",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket_bits - 1 AS INT))"))
+      .withColumn("bucket_hi", col("bucket_lo") * 2L - 1L)
+  }
+
+  /** Storable langid-model count STATE (incremental maintenance, the
+    * storable-sketch pattern): per-shard (lang, gram, c) tables merge
+    * EXACTLY by sum — associative and commutative — so new labeled
+    * seed data folds into the model without rescanning old shards. */
+  def langidCountState(docs: DataFrame, isSeed: Column): DataFrame =
+    docs.filter(isSeed).select(col("lang").as("lang2"),
         explode(charBigrams(col("text"))).as("g"))
-    val model = g.groupBy(col("lang").as("lang2"), col("g"))
+      .groupBy(col("lang2"), col("g"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+
+  /** Fold any number of [[langidCountState]] shards (any order) into
+    * the batch-equal model table. */
+  def langidModelFromStates(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col("lang2"), col("g"))
+      .agg(sum(col("c")).as("c"))
+
+  /** Per-lang smoothed denominator bits derived from a model table —
+    * shared by the batch trainer and the state-fold path, so derived
+    * scorers are bit-equal by construction. */
+  def langidDenFromModel(model: DataFrame): DataFrame = {
     val vv = model.select(countDistinct(col("g")).as("v"))
-    val den = model.groupBy(col("lang2")).agg(sum(col("c")).as("tot"))
+    model.groupBy(col("lang2")).agg(sum(col("c")).as("tot"))
       .crossJoin(broadcast(vv))
       .select(col("lang2"),
         length(bin((col("tot") + col("v")) * (col("tot") + col("v"))))
           .cast("long").as("db"))
-    (model, den)
   }
 
   /** SERVE half of [[langidNb]]: score every doc under a FROZEN

@@ -1960,6 +1960,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("langid count states fold any-order to the batch model; derived scorer bit-equal") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val seed = col("lang") === "en"
+    val batch = graft.text.TextAnalysis.langidCountState(docs, seed)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val shards = (0 to 2).map(i => graft.text.TextAnalysis
+      .langidCountState(docs.filter(pmod(col("doc_id"), lit(3)) === i), seed))
+    Seq(Seq(0, 1, 2), Seq(2, 0, 1)).foreach { order =>
+      val folded = graft.text.TextAnalysis
+        .langidModelFromStates(order.map(shards))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(folded == batch, s"fold order $order diverged")
+    }
+    // derived scorer under the folded model == scorer under batch model
+    val m = graft.text.TextAnalysis.langidModelFromStates(
+      Seq(shards(1), shards(2), shards(0))).localCheckpoint(false)
+    val got = graft.text.TextAnalysis.scoreLangidNb(docs, m,
+        graft.text.TextAnalysis.langidDenFromModel(m))
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    val (bm, bd) = graft.text.TextAnalysis.langidNbModel(docs, seed)
+    val want = graft.text.TextAnalysis.scoreLangidNb(docs, bm, bd)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("langidNb: seed-trained audit recovers planted langs and flags mislabels") {
     val out = SparkEntry.queries("text_langid_nb")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getBoolean(4)))
