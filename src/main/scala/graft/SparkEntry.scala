@@ -439,6 +439,43 @@ object SparkEntry {
       " AS v(doc_id, text, lang, source, n_chars)"
   }
 
+  /** k-center greedy replayed as unrolled SQL stages: each round is a
+    * 1-row argmax CTE (dist DESC, vec_id ASC) crossed into a running
+    * min-distance CTE — distances are exact ≤2^53 integers on the 2^16
+    * grid, so the whole selection sequence is bit-pinned. */
+  private def kcenterSql(k: Int): String = {
+    def dist(a: String, b: String) =
+      s"($a.vv - 2 * CAST(list_sum(list_transform(generate_series(1, " +
+        s"len($a.qe)), i -> $a.qe[i] * $b.qe[i])) AS BIGINT) + $b.vv)"
+    val stages = (2 to k).map { i =>
+      val body =
+        if (i == 2)
+          s"""m1 AS (SELECT a.vec_id, a.qe, a.vv, ${dist("a", "b")} AS md
+             |  FROM qq a CROSS JOIN s1 b WHERE a.vec_id <> b.vec_id)"""
+        else
+          s"""m${i - 1} AS (SELECT a.vec_id, a.qe, a.vv,
+             |    least(a.md, ${dist("a", "b")}) AS md
+             |  FROM m${i - 2} a CROSS JOIN s${i - 1} b
+             |  WHERE a.vec_id <> b.vec_id)"""
+      s"""$body,
+         |s$i AS (SELECT vec_id, qe, vv, md FROM m${i - 1}
+         |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { i =>
+      if (i == 1)
+        "SELECT CAST(1 AS BIGINT) AS rank, vec_id, CAST(NULL AS BIGINT) AS min_dist FROM s1"
+      else s"SELECT CAST($i AS BIGINT), vec_id, md FROM s$i"
+    }.mkString("\n UNION ALL ")
+    s"""WITH q AS (SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT) for x in embedding] AS qe
+       |  FROM embeddings),
+       |qq AS MATERIALIZED (SELECT vec_id, qe,
+       |    CAST(list_sum([x * x for x in qe]) AS BIGINT) AS vv FROM q),
+       |s1 AS (SELECT vec_id, qe, vv FROM qq ORDER BY vec_id LIMIT 1),
+       |$stages
+       |$out""".stripMargin
+  }
+
   // Planted LINK-GRAPH docs: each doc's `source` is a SITE and its text
   // links to other sites in the set — the fixture behind domain
   // PageRank. Coverage: a hub receiving from three sites, a duplicate
@@ -2624,6 +2661,11 @@ object SparkEntry {
     // search over the int8 codes: integer-exact scores, so fully oracled
     "ann_topk_quantized" -> ((s, d) =>
       graft.ann.Similarity.quantizedTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+    // k-center coreset (farthest-point greedy, Sener & Savarese):
+    // diversity-based data selection on the exact 2^16 grid — the
+    // whole greedy fixed point replays bit-identically in SQL
+    "kcenter_coreset" -> ((s, d) =>
+      graft.ann.Similarity.kcenterCoreset(emb(s, d), 6)),
     // embedding-space domain scoring (the embedding twin of
     // text_dsir_weight): cosine of every vector to the label-0
     // centroid on the global 2^16 grid — centroid and dots are exact
@@ -5033,6 +5075,7 @@ object SparkEntry {
         |  FROM q a JOIN q n ON n.vec_id <> a.vec_id
         |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "kcenter_coreset" -> kcenterSql(6),
     "embedding_domain_score" ->
       """WITH q AS (SELECT vec_id, label,
         |    [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT) for x in embedding] AS qe

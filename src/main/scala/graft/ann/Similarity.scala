@@ -115,6 +115,52 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** k-center coreset selection (farthest-point greedy — Gonzalez
+    * 1985, applied to data selection as in Sener & Savarese 2018):
+    * pick k vectors such that every corpus vector is close to some
+    * pick — the DIVERSITY-sampling complement of score-based selection
+    * (DSIR picks what matches a target; k-center picks what SPANS the
+    * space, the finetuning-subset / annotation-budget selector).
+    * Start = lowest vec_id (pinned); each round adds the vector
+    * maximizing its distance to the nearest already-picked center
+    * (ties → lowest vec_id).
+    *
+    * Exactness: vectors snap to the global 2^16 grid, squared
+    * distances are exact ≤2^53 integers (‖v‖² − 2·v·s + ‖s‖² on
+    * IntVecDot), so the entire greedy fixed point replays
+    * bit-identically in SQL. Plan: the quantized corpus is
+    * checkpointed once; each of the k−1 rounds is ONE narrow scan
+    * (min-of-dots against ≤k literal centers inside codegen) + a
+    * bounded TakeOrdered(1) — the greedy's intrinsic k-scan cost,
+    * with driver state = k vectors (the trainer-state posture).
+    */
+  def kcenterCoreset(emb: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_q16, vec_dot_int}
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col("vec_id"), vec_q16(col("embedding")).as("qe"))
+      .withColumn("vv", vec_dot_int(col("qe"), col("qe")).cast("long"))
+      .localCheckpoint(false)
+    val first = q.orderBy(col("vec_id")).limit(1).head()
+    var selected = List((first.getLong(0),
+      first.getSeq[Int](1).toArray, first.getLong(2), Option.empty[Long]))
+    var cand = q.filter(col("vec_id") =!= first.getLong(0))
+    for (_ <- 2 to k) {
+      val md = selected.map { case (_, arr, vvj, _) =>
+        col("vv") - lit(2L) * vec_dot_int(col("qe"), lit(arr)).cast("long") +
+          lit(vvj)
+      }.reduce(least(_, _))
+      val next = cand.select(col("vec_id"), col("qe"), col("vv"), md.as("md"))
+        .orderBy(col("md").desc, col("vec_id")).limit(1).head()
+      selected = selected :+ ((next.getLong(0),
+        next.getSeq[Int](1).toArray, next.getLong(2), Some(next.getLong(3))))
+      cand = cand.filter(col("vec_id") =!= next.getLong(0))
+    }
+    selected.zipWithIndex.map { case ((id, _, _, d), i) =>
+      (i + 1L, id, d)
+    }.toDF("rank", "vec_id", "min_dist")
+  }
+
   /** Hard-negative mining — the contrastive-training data-prep step
     * (DPR / SimCSE / Contriever): for each query vector, the top-k
     * MOST-similar vectors carrying a DIFFERENT label. Random negatives

@@ -1839,6 +1839,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kcenter: selection radius non-increasing and covers every remaining vector") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val out = SparkEntry.queries("kcenter_coreset")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(out.length == 6 && out.head.isNullAt(2))
+    val dists = out.tail.map(_.getLong(2))
+    dists.zip(dists.tail).foreach { case (a, b) => assert(a >= b) }
+    // reference check in plain Scala on the quantized grid: after the
+    // greedy, no remaining vector is farther from its nearest center
+    // than the last pick was when selected (the covering radius)
+    val vecs = emb.collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(f => math.floor(f * 65536.0).toLong).toArray
+    }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val centers = out.map(r => vecs(r.getLong(1)))
+    val picked = out.map(_.getLong(1)).toSet
+    val radius = dists.last
+    vecs.foreach { case (id, v) =>
+      if (!picked.contains(id))
+        assert(centers.map(c => d2(v, c)).min <= radius, s"vec $id outside radius")
+    }
+  }
+
   test("triplets: positive shares the anchor label, negative does not, margin exact") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val labels = emb.select(col("vec_id"), col("label")).collect()
