@@ -692,6 +692,34 @@ object ScaleProbe {
       text.TextAnalysis.dsirSelect(d, col("lang") === "en", 32).count()
     }
 
+    // k−1 rounds × (one narrow scan + TakeOrdered(1)): growth must
+    // track the scan; driver state stays k vectors
+    probe("kcenter_coreset", Seq(1, 20)) { c =>
+      val e = replicate(engine.Tables.embeddings(spark, sf), c,
+        Map("vec_id" -> 10000000L))
+      ann.Similarity.kcenterCoreset(e, 6).count()
+    }
+
+    // 3 shard scans + one model-sized fold: scan-bound
+    probe("langid_model_incremental", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      val shards = (0 to 2).map(i => text.TextAnalysis
+        .langidCountState(d.filter(pmod(col("doc_id"), lit(3)) === i),
+          col("lang") === "en"))
+      text.TextAnalysis.langidModelFromStates(
+        Seq(shards(2), shards(0), shards(1))).count()
+    }
+
+    probe("seq_len_histogram", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.seqLenHistogram(d).count()
+    }
+
+    probe("sft_loss_mask", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.sftLossMask(d).count()
+    }
+
     // each gradient step is one partial-agg pass; iters fixed ⇒ the
     // trainer scales like iters × one corpus scan, never superlinear
     probe("quality_probe_train", Seq(1, 20)) { c =>

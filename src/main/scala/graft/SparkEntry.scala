@@ -439,6 +439,29 @@ object SparkEntry {
       " AS v(doc_id, text, lang, source, n_chars)"
   }
 
+  // Planted SFT pairs ("prompt ### completion") — base docs carry no
+  // separator and flow through as has_pair = false all-zero masks.
+  private[graft] val sftRows: Seq[(Long, String)] = Seq(
+    9450001L -> "write a haiku about joins ### silent merge of streams",
+    9450002L -> "name three sort algorithms ### quick merge heap",
+    9450003L -> "### completion with empty prompt",
+    9450004L -> "trailing separator only ###")
+
+  private def docsSft(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(sftRows.map { case (id, t) =>
+      (id, t, "en", "planted_sft", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val sftDocsSelect: String = {
+    val vals = sftRows.map { case (id, t) =>
+      s"($id, '$t', 'en', 'planted_sft', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   /** k-center greedy replayed as unrolled SQL stages: each round is a
     * 1-row argmax CTE (dist DESC, vec_id ASC) crossed into a running
     * min-distance CTE — distances are exact ≤2^53 integers on the 2^16
@@ -3125,6 +3148,10 @@ object SparkEntry {
     // — the distribution packing/batching is tuned against
     "seq_len_histogram" -> ((s, d) =>
       graft.text.TextAnalysis.seqLenHistogram(docs(s, d))),
+    // SFT loss-mask prep: 0 through "prompt ### ", 1 over the
+    // completion; separator-free docs flag has_pair=false
+    "sft_loss_mask" -> ((s, d) =>
+      graft.text.TextAnalysis.sftLossMask(docsSft(s, d))),
     "text_fingerprint" -> ((s, d) => graft.text.TextAnalysis.fingerprints(docs(s, d))),
     "text_rolling_fp" -> ((s, d) => graft.text.TextAnalysis.rollingFingerprints(docs(s, d))),
     // winnowing (MOSS) fingerprint candidate pairs: window-min selected
@@ -5076,6 +5103,20 @@ object SparkEntry {
         |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "kcenter_coreset" -> kcenterSql(6),
+    "sft_loss_mask" ->
+      s"""WITH ds AS MATERIALIZED ($sftDocsSelect),
+         |t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |    w -> w <> '') AS ws FROM ds),
+         |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(nullif(list_position(ws, '###'), 0) AS BIGINT) AS sep_idx
+         |  FROM t WHERE len(ws) > 0)
+         |SELECT doc_id, n_tokens, sep_idx IS NOT NULL AS has_pair,
+         |  COALESCE(sep_idx, n_tokens) AS n_prompt_tokens,
+         |  n_tokens - COALESCE(sep_idx, n_tokens) AS n_completion_tokens,
+         |  repeat('0', CAST(COALESCE(sep_idx, n_tokens) AS INTEGER)) ||
+         |    repeat('1', CAST(n_tokens - COALESCE(sep_idx, n_tokens) AS INTEGER))
+         |    AS loss_mask
+         |FROM b""".stripMargin,
     "embedding_domain_score" ->
       """WITH q AS (SELECT vec_id, label,
         |    [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT) for x in embedding] AS qe

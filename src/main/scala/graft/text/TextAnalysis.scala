@@ -2636,6 +2636,34 @@ object TextAnalysis {
     (model, langidDenFromModel(model))
   }
 
+  /** SFT loss-mask prep: instruction-tuning trains only on completion
+    * tokens, so each "prompt `sep` completion" document gets a 0/1
+    * per-token mask — 0 through the separator (prompt + sep), 1 after.
+    * Docs without the separator carry an all-zero mask and
+    * has_pair = false (no completion → contributes no loss; the
+    * collator drops or repurposes them). Row-local, zero shuffle; the
+    * mask is emitted as a compact 0/1 string aligned to the token
+    * array. */
+  def sftLossMask(docs: DataFrame, sep: String = "###"): DataFrame = {
+    val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+    docs.select(col("doc_id"), ws.as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .withColumn("n_tokens", size(col("__ws")).cast("long"))
+      .withColumn("sep_idx",
+        nullif(array_position(col("__ws"), sep), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        col("sep_idx").isNotNull.as("has_pair"),
+        coalesce(col("sep_idx"), col("n_tokens")).as("n_prompt_tokens"),
+        (col("n_tokens") - coalesce(col("sep_idx"), col("n_tokens")))
+          .as("n_completion_tokens"),
+        concat(
+          repeat(lit("0"),
+            coalesce(col("sep_idx"), col("n_tokens")).cast("int")),
+          repeat(lit("1"),
+            (col("n_tokens") - coalesce(col("sep_idx"), col("n_tokens")))
+              .cast("int"))).as("loss_mask"))
+  }
+
   /** Sequence-length histogram in power-of-two token buckets per
     * source (bucket = bitlen(n_toks), lo/hi bounds materialized) —
     * the length distribution packing efficiency and batch shapes are

@@ -1839,6 +1839,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sftLossMask: planted pair/edge masks pinned; base docs all-zero") {
+    val out = SparkEntry.queries("sft_loss_mask")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(out(9450001L) == ((true, 6L, 4L, "0000001111")))
+    // empty-prompt edge: the separator IS token 1
+    assert(out(9450003L) == ((true, 1L, 4L, "01111")))
+    // trailing-separator edge: zero completion tokens
+    assert(out(9450004L) == ((true, 4L, 0L, "0000")))
+    val base = out.filter(_._1 < 9000000L).values
+    assert(base.nonEmpty && base.forall { case (hp, _, nc, m) =>
+      !hp && nc == 0L && m.forall(_ == '0')
+    })
+  }
+
   test("kcenter: selection radius non-increasing and covers every remaining vector") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val out = SparkEntry.queries("kcenter_coreset")(spark, sf).collect()
