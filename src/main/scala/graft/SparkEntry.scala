@@ -2490,6 +2490,19 @@ object SparkEntry {
         all.filter(pmod(col("doc_id"), lit(50L)) =!= 7L),
         all.filter(pmod(col("doc_id"), lit(50L)) === 7L), 3, 2000L)
     }),
+    // decontamination span CUT (GPT-3 appendix C / The Pile): remove a
+    // ±2-token window around every eval-colliding 3-gram, reassemble —
+    // offsets and text fully oracled via the md5-60bit gram key
+    "decontam_cut" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.text.TextAnalysis.decontamCut(
+        all.filter(pmod(col("doc_id"), lit(50L)) =!= 7L),
+        all.filter(pmod(col("doc_id"), lit(50L)) === 7L), 3, 2)
+    }),
+    // Heaps-law vocabulary growth over doubling corpus prefixes — the
+    // tokenizer-vocab saturation curve
+    "vocab_growth" -> ((s, d) =>
+      graft.text.TextAnalysis.vocabGrowth(docs(s, d))),
     // broadcast-Bloom decontamination — the shuffle-free 100 TB twin of
     // `decontaminate`; FPs possible ⇒ rows-only gate, superset + FP-rate
     // property-gated in PropertySpec
@@ -5103,6 +5116,52 @@ object SparkEntry {
         |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "kcenter_coreset" -> kcenterSql(6),
+    "decontam_cut" ->
+      """WITH tr AS MATERIALIZED (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        |  FROM documents WHERE doc_id % 50 <> 7),
+        |ev AS MATERIALIZED (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15))
+        |      AS BIGINT) AS gh
+        |  FROM (SELECT list_filter(string_split(lower(text), ' '),
+        |      w -> w <> '') AS ws FROM documents WHERE doc_id % 50 = 7),
+        |    UNNEST(generate_series(1, len(ws) - 2)) t(i)
+        |  WHERE len(ws) >= 3),
+        |g AS (SELECT doc_id, i AS p,
+        |    CAST(('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15))
+        |      AS BIGINT) AS gh
+        |  FROM tr, UNNEST(generate_series(1, len(ws) - 2)) t(i)
+        |  WHERE len(ws) >= 3),
+        |st AS (SELECT doc_id, p FROM g JOIN ev USING (gh)),
+        |j AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS j
+        |  FROM tr),
+        |cov AS (SELECT j.doc_id, j.j, ws[CAST(j.j AS INTEGER)] AS tok,
+        |    bool_or(s.p IS NOT NULL) AS covered
+        |  FROM j LEFT JOIN st s ON s.doc_id = j.doc_id
+        |    AND j.j BETWEEN greatest(s.p - 2, 1) AND s.p + 4
+        |  GROUP BY 1, 2, 3),
+        |runs AS (SELECT doc_id, j, tok, covered,
+        |    CASE WHEN covered AND NOT coalesce(lag(covered)
+        |      OVER (PARTITION BY doc_id ORDER BY j), false)
+        |    THEN 1 ELSE 0 END AS run_start FROM cov)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE covered) AS BIGINT) AS n_cut_tokens,
+        |  CAST(SUM(run_start) AS BIGINT) AS n_spans_cut,
+        |  COALESCE(string_agg(tok, ' ' ORDER BY j)
+        |    FILTER (WHERE NOT covered), '') AS clean_text
+        |FROM runs GROUP BY doc_id""".stripMargin,
+    "vocab_growth" ->
+      """WITH w AS (SELECT min(doc_id) AS first_id
+        |  FROM (SELECT doc_id, unnest(list_filter(
+        |      string_split(lower(text), ' '), x -> x <> '')) AS w
+        |    FROM documents) GROUP BY w)
+        |SELECT bucket_bits, CAST(count(*) AS BIGINT) AS n_new_words,
+        |  CAST(SUM(count(*)) OVER (ORDER BY bucket_bits
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM (SELECT CAST(length(bin(first_id + 1)) AS BIGINT)
+        |    AS bucket_bits FROM w)
+        |GROUP BY bucket_bits""".stripMargin,
     "sft_loss_mask" ->
       s"""WITH ds AS MATERIALIZED ($sftDocsSelect),
          |t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),

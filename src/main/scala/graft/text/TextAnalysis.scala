@@ -1455,6 +1455,86 @@ object TextAnalysis {
           col("__s.e") - col("__s.s") + 1), " ").as("span_text"))
   }
 
+  /** Decontamination span CUTTING — the transform half beside the
+    * flag/fraction/Bloom reports: GPT-3 appendix C and The Pile remove
+    * a WINDOW around every eval-colliding n-gram rather than dropping
+    * whole documents. Every train n-gram found in the eval set marks
+    * the interval [p − pad, p + n − 1 + pad]; intervals merge into
+    * disjoint maximal spans (the removeDupSpans fold) and the covered
+    * tokens are cut, the rest reassembled. Every doc passes through
+    * (a transform, not a filter); gram keys are the md5-60bit
+    * SQL-replayable hashes, so offsets AND reassembled text oracle.
+    *
+    * Scale shape: one codegen gram walk per side; the eval set is
+    * benchmark-sized (distinct hashes broadcast); one semi-join tags
+    * colliding starts; per-doc start lists are bounded by doc length;
+    * merge + cut are row-local array folds.
+    */
+  def decontamCut(train: DataFrame, eval: DataFrame, n: Int = 3,
+      pad: Int = 2): DataFrame = {
+    val pre = train.select(col("doc_id"), col("text"),
+      filter(split(lower(col("text")), " "), t => t =!= "").as("__ws"))
+    val ws = col("__ws")
+    val trGrams = pre.filter(size(ws) >= n)
+      .select(col("doc_id"), posexplode(graftshim.exprToColumn(
+        TokenGramHashes(graftshim.columnToExpr(col("text")), n))))
+      .toDF("doc_id", "pos0", "gh")
+    val evalSet = eval.filter(size(
+        filter(split(lower(col("text")), " "), t => t =!= "")) >= n)
+      .select(explode(graftshim.exprToColumn(
+        TokenGramHashes(graftshim.columnToExpr(col("text")), n))).as("gh"))
+      .distinct()
+    val starts = trGrams.join(evalSet, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos0") + lit(1)).as("__ps"))
+    val ps = coalesce(col("__ps"), array().cast("array<int>"))
+    val merged = aggregate(array_sort(ps),
+      array().cast("array<struct<s: int, e: int>>"),
+      (acc, p) => {
+        val s = greatest(p - lit(pad), lit(1))
+        val e = p + lit(n - 1 + pad)
+        val last = element_at(acc, -1)
+        when(size(acc) > lit(0) && s <= last("e") + lit(1),
+          concat(slice(acc, lit(1), size(acc) - lit(1)),
+            array(struct(last("s").as("s"),
+              greatest(last("e"), e).as("e")))))
+          .otherwise(concat(acc, array(struct(s.as("s"), e.as("e")))))
+      })
+    val ivA = col("__iv")
+    val kept = filter(ws, (t, j) =>
+      !exists(ivA, iv => j + lit(1) >= iv("s") && j + lit(1) <= iv("e")))
+    pre.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__ws"), merged.as("__iv"))
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        (size(ws) - size(kept)).cast("long").as("n_cut_tokens"),
+        size(ivA).cast("long").as("n_spans_cut"),
+        array_join(kept, " ").as("clean_text"))
+  }
+
+  /** Heaps-law vocabulary growth over DOUBLING corpus prefixes — the
+    * saturation curve tokenizer vocabulary sizes are read off of: for
+    * each k, the number of words whose FIRST occurrence falls in
+    * prefix bucket k (docs with bitlen(doc_id+1) = k, i.e. the prefix
+    * doubles per bucket) plus the cumulative vocabulary. Integer-exact
+    * and scale-free (buckets are powers of two, no data-dependent
+    * percentile); one word-count shuffle, output ≤ 64 rows, the
+    * cumulative window runs over those rows only. */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), t => t =!= ""))
+          .as("w"))
+    words.groupBy(col("w")).agg(min(col("doc_id")).as("first_id"))
+      .select(length(bin(col("first_id") + 1L)).cast("long")
+        .as("bucket_bits"))
+      .groupBy(col("bucket_bits"))
+      .agg(count(lit(1)).as("n_new_words"))
+      .withColumn("cum_vocab",
+        sum(col("n_new_words")).over(Window.orderBy(col("bucket_bits"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Corpus-statistics quality score: a unigram-LM log-probability
     * proxy where each token contributes its corpus-frequency MAGNITUDE
     * — ⌊log₂(df)⌋ + 1 = the bit length of the token's occurrence

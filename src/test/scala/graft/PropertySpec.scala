@@ -1839,6 +1839,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("decontamCut equals a plain-Scala reference cut on the real corpus") {
+    val docs = graft.engine.Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split(" ").filter(_.nonEmpty).toSeq)
+    val (train, eval) = docs.partition(_._1 % 50 != 7)
+    val evalGrams = eval.flatMap(_._2.sliding(3).filter(_.size == 3)
+      .map(_.mkString(" "))).toSet
+    val expect = train.map { case (id, ws) =>
+      val starts = ws.sliding(3).zipWithIndex
+        .collect { case (g, i) if g.size == 3 &&
+          evalGrams(g.mkString(" ")) => i + 1 }.toSeq
+      val covered = starts.flatMap(p => math.max(1, p - 2) to (p + 4)).toSet
+      val kept = ws.zipWithIndex.collect {
+        case (t, j) if !covered(j + 1) => t }
+      // spans = runs of covered positions within 1..len
+      val runs = (1 to ws.size).count(j =>
+        covered(j) && !covered(j - 1))
+      id -> (ws.size.toLong, (ws.size - kept.size).toLong, runs.toLong,
+        kept.mkString(" "))
+    }.toMap
+    val got = SparkEntry.queries("decontam_cut")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got == expect && got.nonEmpty)
+    assert(got.values.exists(_._2 > 0L), "fixture lost its collisions")
+  }
+
+  test("vocabGrowth: cumulative curve is monotone and ends at the full vocabulary") {
+    val out = SparkEntry.queries("vocab_growth")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    out.zip(out.tail).foreach { case (a, b) =>
+      assert(b._3 == a._3 + b._2, "cumulative must sum the new words")
+    }
+    val vocab = graft.engine.Tables.documents(spark, sf).collect()
+      .flatMap(_.getAs[String]("text").toLowerCase.split(" "))
+      .filter(_.nonEmpty).distinct.length
+    assert(out.last._3 == vocab.toLong)
+  }
+
   test("sftLossMask: planted pair/edge masks pinned; base docs all-zero") {
     val out = SparkEntry.queries("sft_loss_mask")(spark, sf).collect()
       .map(r => r.getLong(0) ->
