@@ -696,6 +696,43 @@ object Events {
           batch.toDF(), model, den))
     }
 
+  /** Self-Instruct instruction-pool admission gate — the GROWING-POOL
+    * form of [[graft.text.TextAnalysis.rougeDedup]], which is how the
+    * published pipeline actually runs: each micro-batch of candidate
+    * instructions is ROUGE-L-scored against the CURRENT pool; verdicts
+    * are emitted, and the admitted candidates (F1 < θ) JOIN the pool
+    * in doc_id order before the next batch — so a candidate arriving
+    * after a near-twin was admitted is rejected even though the seed
+    * pool never contained either. Pool state is driver-side and
+    * pool-sized (the trainer-state posture); scoring per batch is the
+    * same broadcast-pool kernel as the batch query, so per-batch
+    * verdicts are bit-equal to rougeDedup against the pool as of that
+    * batch (gated in StreamingSpec). Deterministic given arrival
+    * order (the contract of any admission log).
+    */
+  def rougePoolIngestGate(newDocs: DataFrame, seedPool: Seq[(Int, String)],
+      capTokens: Int = 24, thetaGrid: Long = 7000L)(
+      onVerdicts: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val pool = new java.util.concurrent.atomic.AtomicReference(seedPool)
+    newDocs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions.col
+        val cur = pool.get()
+        val verdicts = graft.text.TextAnalysis
+          .rougeDedup(batch.toDF(), cur, capTokens, thetaGrid)
+          .localCheckpoint(false)
+        val texts = batch.toDF().select(col("doc_id"), col("text"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        val admitted = verdicts.filter(!col("is_dup"))
+          .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+        var nextId = cur.map(_._1).max
+        pool.set(cur ++ admitted.map { id =>
+          nextId += 1; (nextId, texts(id).toLowerCase)
+        })
+        onVerdicts(verdicts)
+    }
+  }
+
   /** Stupid-backoff trigram scoring gate: each micro-batch of NEW
     * documents is scored under the FROZEN three-level model (trained
     * once in batch — [[graft.text.TextAnalysis.trigramBackoffModel]],

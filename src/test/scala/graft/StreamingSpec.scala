@@ -899,6 +899,66 @@ class StreamingSpec extends SparkSpec {
     Seq(model, den).foreach(_.unpersist())
   }
 
+  test("rouge pool gate: admitted instructions grow the pool; per-batch bit-parity") {
+    import spark.implicits._
+    val seed = Seq(1 -> "explain how a merge join works",
+      2 -> "summarize the given document in one sentence")
+    // batch 1 carries a NOVEL instruction; batch 2 carries its near-twin
+    // (one-word substitution) — the twin must be rejected against the
+    // GROWN pool even though the seed never contained either
+    val b1 = Seq(
+      (101L, "describe the spark shuffle service", "en", "s", 1L),
+      (102L, "explain how a hash join works", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b2 = Seq(
+      (201L, "describe the spark shuffle machinery", "en", "s", 1L),
+      (202L, "list three kinds of window functions", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rouge_ingest")
+    b1.coalesce(1).write.mode("append").parquet(dir.toString)
+    Thread.sleep(1100) // distinct mtimes pin file→batch order
+    b2.coalesce(1).write.mode("append").parquet(dir.toString)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false").parquet(dir.toString)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[
+      Array[org.apache.spark.sql.Row]]()
+    val q = graft.streaming.Events.rougePoolIngestGate(stream, seed)(
+      v => batches.add(v.collect())).trigger(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val seen = batches.asScala.toSeq.filter(_.nonEmpty)
+    assert(seen.map(_.length).sum == 4)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getBoolean(5))
+    // replay: batch-by-batch rougeDedup with a manually grown pool, in
+    // the OBSERVED batch order — streamed verdicts must be bit-equal
+    val texts = Map(101L -> "describe the spark shuffle service",
+      102L -> "explain how a hash join works",
+      201L -> "describe the spark shuffle machinery",
+      202L -> "list three kinds of window functions")
+    var pool = seed
+    seen.foreach { rows =>
+      val ids = rows.map(_.getLong(0)).sorted
+      val df = ids.map(id => (id, texts(id), "en", "s", 1L))
+        .toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val want = graft.text.TextAnalysis.rougeDedup(df, pool, 24)
+        .collect().map(key).toSet
+      assert(rows.map(key).toSet == want, s"batch $ids diverged")
+      var nextId = pool.map(_._1).max
+      val admitted = rows.filter(!_.getBoolean(5)).map(_.getLong(0)).sorted
+      pool = pool ++ admitted.map { id => nextId += 1; (nextId, texts(id)) }
+    }
+    val all = seen.flatten.map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    // the hash-join twin of seed #1 rejects in EITHER arrival order
+    assert(all(102L), "near-twin of a seed instruction must reject")
+    // exactly one of the shuffle-service pair admits: whichever arrived
+    // first grew the pool and blocked the other
+    assert(all(101L) ^ all(201L), s"pool growth broken: $all")
+    assert(!all(202L), "novel instruction must admit")
+  }
+
   test("boilerplate strip gate: streamed cleanups bit-equal the batch serve half") {
     import spark.implicits._
     // a corpus with multi-line docs: known boilerplate + unique bodies
