@@ -2722,6 +2722,29 @@ object SparkEntry {
       Seq(n).toDF("start_position")
     }),
     "text_quality" -> ((s, d) => graft.text.TextAnalysis.quality(docs(s, d))),
+    // per-source quality-percentile normalization (mixture calibration):
+    // percentile by COUNTING on the score grid, never a per-source sort
+    "quality_percentile" -> ((s, d) =>
+      graft.text.TextAnalysis.qualityPercentile(docs(s, d))),
+    // corpus snapshot diff (dataset versioning): v2 = v1 with %37==11
+    // removed, %37==5 edited, three added — classify by content hash
+    "corpus_diff" -> ((s, d) => {
+      import s.implicits._
+      val v1 = docs(s, d)
+      val v2 = v1.filter(pmod(col("doc_id"), lit(37L)) =!= 11L)
+        .withColumn("text", when(pmod(col("doc_id"), lit(37L)) === 5L,
+          concat(col("text"), lit(" v2 edit"))).otherwise(col("text")))
+        .unionByName(Seq(
+          (9990001L, "brand new doc one", "en", "added", 17L),
+          (9990002L, "brand new doc two", "en", "added", 17L),
+          (9990003L, "brand new doc three", "en", "added", 19L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      graft.pipeline.Pipeline.corpusDiff(v1, v2)
+    }),
+    // shard-balance audit: md5-hash sharding into 16 output shards,
+    // per-shard doc/token counts + doc share on the 1e-4 grid
+    "shard_balance" -> ((s, d) =>
+      graft.pipeline.Pipeline.shardBalance(docs(s, d), 16)),
     // Gopher rule gate (Rae et al. 2021 A1.1): per-doc rule signals +
     // composite pass, all on the exact 1e-4 grid — the standard
     // pretraining pre-filter as one narrow zero-shuffle map. The
@@ -5396,6 +5419,56 @@ object SparkEntry {
          |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
          |  % 10000 < r.cut
          |GROUP BY 1""".stripMargin,
+    "quality_percentile" ->
+      """WITH b AS (SELECT doc_id, source, length(text) AS len,
+        |    len(string_split(lower(text), ' ')) AS n,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of')) AS stop
+        |  FROM documents),
+        |g AS (SELECT doc_id, source,
+        |    CAST((LEAST(n * 100, 10000) * 7
+        |      + LEAST(stop * 100000 // n, 10000) * 3) // 10 AS BIGINT) AS q_e4
+        |  FROM b),
+        |c AS (SELECT source, q_e4, count(*) AS c FROM g GROUP BY 1, 2),
+        |nn AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |st AS (SELECT c.source, c.q_e4,
+        |    CAST((SUM(c.c) OVER (PARTITION BY c.source ORDER BY c.q_e4
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c.c)
+        |      * 10000 // nn.n AS DOUBLE) / CAST(10000 AS DOUBLE) AS pct
+        |  FROM c JOIN nn USING (source))
+        |SELECT g.doc_id, g.source,
+        |  CAST(g.q_e4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS quality_score,
+        |  st.pct
+        |FROM g JOIN st ON g.source = st.source AND g.q_e4 = st.q_e4""".stripMargin,
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 37 = 5
+        |      THEN text || ' v2 edit' ELSE text END) AS h2
+        |    FROM documents WHERE doc_id % 37 <> 11
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (9990001, md5('brand new doc one')),
+        |    (9990002, md5('brand new doc two')),
+        |    (9990003, md5('brand new doc three'))) t(doc_id, h2))
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v2.h2 IS NULL THEN 'removed'
+        |    WHEN v1.h1 IS NULL THEN 'added'
+        |    WHEN v1.h1 <> v2.h2 THEN 'changed'
+        |    ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin,
+    "shard_balance" ->
+      """WITH s AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 16 AS shard,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      w -> w <> '')) AS BIGINT) AS nt
+        |  FROM documents),
+        |p AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(nt) AS BIGINT) AS n_tokens FROM s GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM p)
+        |SELECT shard, n_docs, n_tokens,
+        |  CAST(n_docs * 10000 // total AS DOUBLE) / CAST(10000 AS DOUBLE)
+        |    AS doc_share
+        |FROM p CROSS JOIN t""".stripMargin,
     "text_quality" ->
       """WITH b AS (SELECT doc_id, length(text) AS len,
         |    len(string_split(lower(text), ' ')) AS n,

@@ -556,4 +556,40 @@ object Pipeline {
       .limit(n)
       .drop("__score")
   }
+
+  /** Corpus snapshot DIFF — the dataset-versioning ops tool: given two
+    * snapshots keyed by doc_id, classify every id as added / removed /
+    * changed / unchanged by content hash. One full outer join on the
+    * key; hashes are md5 so the report replays in SQL. At scale both
+    * sides shuffle on doc_id once (or co-locate for free under
+    * bucketed snapshot layouts). */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("__h1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("__h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__h2").isNull, "removed")
+          .when(col("__h1").isNull, "added")
+          .when(col("__h1") =!= col("__h2"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Shard-balance report — the sink-skew audit: hash docs into
+    * `nShards` output shards (the md5-60bit SQL-replayable key) and
+    * report per-shard doc/token counts plus each shard's doc share on
+    * the 1e-4 grid. A skewed report means the shard key is wrong
+    * BEFORE the 100 TB write, not after. */
+  def shardBalance(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    val shard = pmod(keyHash(col("doc_id")), lit(nShards.toLong))
+    val nToks = size(filter(split(lower(col("text")), " "), w => w =!= ""))
+      .cast("long")
+    val per = docs.select(shard.as("shard"), nToks.as("__nt"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+    val tot = per.select(sum(col("n_docs")).as("__total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        graft.text.TextAnalysis.frac4(col("n_docs"), col("__total"))
+          .as("doc_share"))
+  }
 }

@@ -1878,6 +1878,44 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Per-source quality-percentile NORMALIZATION — the mixture
+    * calibration step: raw quality scores are not comparable across
+    * sources (each source has its own score distribution), so each
+    * doc gets its within-source percentile (share of same-source docs
+    * scoring STRICTLY below, on the exact 1e-4 grid). Computed the
+    * ccnetBuckets way — by COUNTING on the score grid, never a
+    * per-source data-sized sort: grid counts → cumulative window over
+    * (source, grid value) rows (bounded by grid × sources) → one
+    * broadcast stamp join back to the per-doc frame. */
+  def qualityPercentile(docs: DataFrame): DataFrame = {
+    // the INTEGER grid score straight from the [[quality]] formula —
+    // re-deriving it from the double (score·10⁴ → cast long) floors one
+    // ulp low on non-dyadic grid values and desyncs from the oracle
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val stop = size(filter(t, w =>
+      w === "the" || w === "a" || w === "and" || w === "of")).cast("long")
+    val scoreE4 = (least(nTok * lit(100L), lit(10000L)) * lit(7L) +
+      least(intDiv(stop * lit(10000L) * lit(10L), nTok), lit(10000L)) * lit(3L))
+    val g = docs.select(col("doc_id"), col("source"),
+        intDiv(scoreE4, lit(10L)).as("q_e4"))
+      .localCheckpoint(false)
+    val counts = g.groupBy(col("source"), col("q_e4"))
+      .agg(count(lit(1)).as("__c"))
+    val nn = g.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("q_e4"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val stamp = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .join(nn, Seq("source"))
+      .select(col("source"), col("q_e4"),
+        frac4(col("__cum") - col("__c"), col("__n")).as("pct"))
+    g.join(broadcast(stamp), Seq("source", "q_e4"))
+      .select(col("doc_id"), col("source"),
+        (col("q_e4") / lit(10000.0)).as("quality_score"), col("pct"))
+  }
+
   /** Byte-entropy quality signal (the compression-ratio filter without
     * a compressor): per-doc integer entropy surrogate over the UTF-8
     * byte histogram (see [[ByteEntropyBits]]) — low bits/byte flags

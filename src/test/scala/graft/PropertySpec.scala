@@ -1839,6 +1839,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("corpusDiff / shardBalance / qualityPercentile invariants") {
+    // diff: planted edits/removals/adds classify exactly
+    val diff = SparkEntry.queries("corpus_diff")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nDocs = graft.engine.Tables.documents(spark, sf).count()
+    diff.foreach { case (id, st) =>
+      val want =
+        if (id >= 9990001L) "added"
+        else if (id % 37 == 11) "removed"
+        else if (id % 37 == 5) "changed" else "unchanged"
+      assert(st == want, s"doc $id: $st != $want")
+    }
+    assert(diff.size == nDocs + 3)
+    // shards: counts conserve, shares sum to ~1 on the grid
+    val sh = SparkEntry.queries("shard_balance")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(sh.map(_._2).sum == nDocs)
+    assert(sh.forall(s => s._1 >= 0 && s._1 < 16))
+    val shareSum = sh.map(_._3).sum
+    assert(shareSum > 0.99 && shareSum <= 1.0001, s"share sum $shareSum")
+    // percentile: within each source, pct is monotone in score and the
+    // worst doc sits at 0.0
+    val qp = SparkEntry.queries("quality_percentile")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    qp.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._2).toSeq
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._3 <= b._3, s"$src: pct not monotone")
+      }
+      assert(sorted.head._3 == 0.0, s"$src: min-score doc must be pct 0")
+    }
+  }
+
   test("decontamCut equals a plain-Scala reference cut on the real corpus") {
     val docs = graft.engine.Tables.documents(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
