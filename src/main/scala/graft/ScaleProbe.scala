@@ -720,6 +720,36 @@ object ScaleProbe {
       text.TextAnalysis.sftLossMask(d).count()
     }
 
+    // eval side fixed (benchmark-sized), train grams ×c: scan-bound
+    probe("decontam_cut", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.decontamCut(
+        d.filter(pmod(col("doc_id"), lit(50L)) =!= 7L),
+        d.filter(pmod(col("doc_id"), lit(50L)) === 7L), 3, 2).count()
+    }
+
+    probe("vocab_growth", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.vocabGrowth(d).count()
+    }
+
+    // grid counts bounded by grid × sources; stamp join broadcast
+    probe("quality_percentile", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.qualityPercentile(d).count()
+    }
+
+    probe("corpus_diff", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      pipeline.Pipeline.corpusDiff(d,
+        d.filter(pmod(col("doc_id"), lit(37L)) =!= 11L)).count()
+    }
+
+    probe("shard_balance", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      pipeline.Pipeline.shardBalance(d, 16).count()
+    }
+
     // each gradient step is one partial-agg pass; iters fixed ⇒ the
     // trainer scales like iters × one corpus scan, never superlinear
     probe("quality_probe_train", Seq(1, 20)) { c =>

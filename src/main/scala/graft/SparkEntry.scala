@@ -2884,6 +2884,28 @@ object SparkEntry {
     }),
     "text_tokens_bpe" -> ((s, d) =>
       graft.text.TextAnalysis.bpeTokenStats(docsMl(s, d))),
+    // tokenizer bake-off: corpus totals + bytes/piece under the THREE
+    // vocab families side by side — the comparison a tokenizer choice
+    // is made against (caveats differ: unigram counts OOV words as 0
+    // pieces, wordpiece [UNK] = 1, the BPE trie byte-falls-back)
+    "tokenizer_compare" -> ((s, d) => {
+      val base = docs(s, d)
+      val bytes = base.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("__b"))
+      def one(name: String, stats: DataFrame, pieces: String) =
+        stats.join(bytes, Seq("doc_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col(pieces)).as("n_pieces"), sum(col("__b")).as("n_bytes"))
+          .select(lit(name).as("tokenizer"), col("n_docs"),
+            col("n_pieces"), col("n_bytes"),
+            graft.text.TextAnalysis.frac4(col("n_bytes"), col("n_pieces"))
+              .as("bytes_per_piece"))
+      one("bpe", graft.text.TextAnalysis.bpeTokenStats(base), "n_tokens_bpe")
+        .unionByName(one("unigram",
+          graft.text.TextAnalysis.unigramStats(base, unigramVocab), "n_pieces"))
+        .unionByName(one("wordpiece",
+          graft.text.TextAnalysis.wordpieceStats(base, wordpieceVocab), "n_pieces"))
+    }),
     // per-LANGUAGE subword fertility (bytes per BPE token) over the
     // ml-augmented corpus — the cross-script budget metric (CJK rows
     // fall to byte-level tokens, so their fertility differs from en);
@@ -5745,6 +5767,29 @@ object SparkEntry {
       unigramTrainedServeSql(unigramVocab, 12, 2),
     // the greedy loop replayed through 12 unrolled advance-or-UNK stages
     "text_tokens_wordpiece" -> wordpieceSql(wordpieceVocab, 12),
+    // three family oracles wrapped as derived tables (DuckDB allows a
+    // full WITH — even RECURSIVE — inside a subquery) + byte totals
+    "tokenizer_compare" -> {
+      def wrap(name: String, inner: String, pieces: String) =
+        s"""SELECT tokenizer, n_docs, n_pieces, n_bytes,
+           |  CAST(n_bytes * 10000 // n_pieces AS DOUBLE)
+           |    / CAST(10000 AS DOUBLE) AS bytes_per_piece
+           |FROM (SELECT '$name' AS tokenizer,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM($pieces) AS BIGINT) AS n_pieces,
+           |    CAST(SUM(d.b) AS BIGINT) AS n_bytes
+           |  FROM ($inner) s JOIN (SELECT doc_id,
+           |    CAST(strlen(text) AS BIGINT) AS b FROM documents) d
+           |  USING (doc_id))""".stripMargin
+      val bpeInner =
+        s"""WITH RECURSIVE ${bpeCte("documents")}
+           |SELECT d.doc_id, COALESCE(b.n_tokens_bpe, 0) AS n_tokens_bpe
+           |FROM documents d LEFT JOIN bpe b USING (doc_id)""".stripMargin
+      wrap("bpe", bpeInner, "n_tokens_bpe") + "\nUNION ALL\n" +
+        wrap("unigram", unigramSql(unigramVocab, 12), "n_pieces") +
+        "\nUNION ALL\n" +
+        wrap("wordpiece", wordpieceSql(wordpieceVocab, 12), "n_pieces")
+    },
     // the likelihood-scored merge loop replayed stage by stage (pair
     // counts, symbol counts, surrogate argmax, ##-stripping apply)
     "wordpiece_train_merges" ->

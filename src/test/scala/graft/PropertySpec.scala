@@ -1839,6 +1839,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("tokenizerCompare: one row per family over identical bytes") {
+    val out = SparkEntry.queries("tokenizer_compare")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set("bpe", "unigram", "wordpiece"))
+    // identical corpus on every row: same docs, same bytes
+    assert(out.values.map(v => (v._1, v._3)).toSet.size == 1)
+    out.foreach { case (t, (_, pieces, bytes, bpp)) =>
+      assert(pieces > 0 && bpp > 0.0 && bpp <= bytes.toDouble, t)
+    }
+  }
+
   test("corpusDiff / shardBalance / qualityPercentile invariants") {
     // diff: planted edits/removals/adds classify exactly
     val diff = SparkEntry.queries("corpus_diff")(spark, sf).collect()
