@@ -2084,6 +2084,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CharBigrams kernel equals the substr HOF form on random multibyte text") {
+    // the kernel walks UTF-8 byte boundaries; the reference is the
+    // declarative codepoint form transform(sequence, i -> substr(t,i,2))
+    // — ASCII, 2/3/4-byte codepoints, combining marks, empties
+    val piece = Gen.oneOf("a", "b ", "é", "去", "한", "🚀", "é", " ")
+    val gen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, piece).map(_.mkString))
+    val cases = samples(gen, 80).distinct
+    val df = cases.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+      .select(col("id"),
+        org.apache.spark.sql.graftshim.exprToColumn(
+          graft.text.CharBigrams(
+            org.apache.spark.sql.graftshim.columnToExpr(col("t")))).as("k"),
+        when(char_length(lower(col("t"))) >= 2,
+          transform(sequence(lit(1), char_length(lower(col("t"))) - 1),
+            i => lower(col("t")).substr(i, lit(2))))
+          .otherwise(array()).as("r"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"case ${r.getInt(0)}: '${cases(r.getInt(0))}'")
+    }
+  }
+
   test("langid count states fold any-order to the batch model; derived scorer bit-equal") {
     val docs = graft.engine.Tables.documents(spark, sf)
     val seed = col("lang") === "en"
