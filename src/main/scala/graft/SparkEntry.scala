@@ -2440,6 +2440,14 @@ object SparkEntry {
       graft.dedup.Dedup.survivors(docs(s, d),
         graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5))
         .select(col("doc_id"))),
+    // FineWeb-style survivor election: within each near-dup cluster
+    // keep the HIGHEST-QUALITY copy (ties → lowest doc_id), not the
+    // accidentally-first one
+    "dedup_survivors_quality" -> ((s, d) =>
+      graft.dedup.Dedup.survivorsByQuality(
+        graft.dedup.Dedup.connectedComponents(
+          graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5)),
+        graft.text.TextAnalysis.qualityGridScore(docs(s, d)))),
     "dedup_embedding" -> ((s, d) => graft.ann.Similarity.nearDupPairs(emb(s, d), 0.4)),
     // bucketed (LSH-banded) near-dup at the PRODUCTION threshold
     // (θ=0.7, the SemDeDup/near-dup operating point) — the headline
@@ -5310,6 +5318,25 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "dedup_clusters" -> (ccCte +
       "\nSELECT node AS doc_id, cluster_id FROM cc"),
+    // clusters ∘ the integer grid quality score: survivor = max score,
+    // ties to lowest doc_id
+    "dedup_survivors_quality" -> (ccCte + """,
+      |q AS (SELECT doc_id,
+      |    (LEAST(len(string_split(lower(text), ' ')) * 100, 10000) * 7
+      |      + LEAST(len(list_filter(string_split(lower(text), ' '),
+      |          x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of'))
+      |        * 100000 // len(string_split(lower(text), ' ')), 10000) * 3)
+      |      // 10 AS q_e4
+      |  FROM documents),
+      |j AS (SELECT cc.cluster_id, cc.node AS doc_id, q.q_e4
+      |  FROM cc JOIN q ON cc.node = q.doc_id),
+      |b AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+      |    max(q_e4) AS bq FROM j GROUP BY 1)
+      |SELECT b.cluster_id, b.n_members,
+      |  CAST(min(j.doc_id) AS BIGINT) AS survivor_id,
+      |  CAST(b.bq AS DOUBLE) / CAST(10000 AS DOUBLE) AS survivor_quality
+      |FROM b JOIN j ON j.cluster_id = b.cluster_id AND j.q_e4 = b.bq
+      |GROUP BY b.cluster_id, b.n_members, b.bq""".stripMargin),
     "dedup_survivors" -> (ccCte +
       """
         |SELECT doc_id FROM documents

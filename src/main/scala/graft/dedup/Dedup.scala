@@ -536,6 +536,22 @@ object Dedup {
     * of every near-duplicate component plus every untouched document.
     * One anti-join against the (small) non-representative id set.
     */
+  /** Quality-ranked survivor election — the FineWeb refinement of
+    * min-id survivors: within each near-dup cluster keep the HIGHEST-
+    * QUALITY copy (ties → lowest doc_id), not the accidentally-first
+    * one. `quality` is a per-doc integer grid score frame
+    * (doc_id, q_e4). One model-sized join of the cluster map against
+    * the scores, one struct-max per cluster — nothing data-sized
+    * beyond what clustering already paid. */
+  def survivorsByQuality(clusters: DataFrame, quality: DataFrame): DataFrame =
+    clusters.join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q_e4"), (-col("doc_id")).as("ni"))).as("b"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("b.ni")).as("survivor_id"),
+        (col("b.q_e4") / lit(10000.0)).as("survivor_quality"))
+
   def survivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val dupes = connectedComponents(pairs)
       .filter(col("cluster_id") =!= col("doc_id"))

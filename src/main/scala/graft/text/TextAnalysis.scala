@@ -1887,19 +1887,24 @@ object TextAnalysis {
     * per-source data-sized sort: grid counts → cumulative window over
     * (source, grid value) rows (bounded by grid × sources) → one
     * broadcast stamp join back to the per-doc frame. */
-  def qualityPercentile(docs: DataFrame): DataFrame = {
-    // the INTEGER grid score straight from the [[quality]] formula —
-    // re-deriving it from the double (score·10⁴ → cast long) floors one
-    // ulp low on non-dyadic grid values and desyncs from the oracle
+  /** Per-doc INTEGER grid quality score (doc_id, q_e4) straight from
+    * the [[quality]] formula — re-deriving it from the double
+    * (score·10⁴ → cast long) floors one ulp low on non-dyadic grid
+    * values and desyncs from the oracle. Shared by percentile
+    * normalization and quality-ranked survivor election. */
+  def qualityGridScore(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val nTok = size(t).cast("long")
     val stop = size(filter(t, w =>
       w === "the" || w === "a" || w === "and" || w === "of")).cast("long")
     val scoreE4 = (least(nTok * lit(100L), lit(10000L)) * lit(7L) +
       least(intDiv(stop * lit(10000L) * lit(10L), nTok), lit(10000L)) * lit(3L))
-    val g = docs.select(col("doc_id"), col("source"),
-        intDiv(scoreE4, lit(10L)).as("q_e4"))
-      .localCheckpoint(false)
+    docs.select(col("doc_id"), col("source"),
+      intDiv(scoreE4, lit(10L)).as("q_e4"))
+  }
+
+  def qualityPercentile(docs: DataFrame): DataFrame = {
+    val g = qualityGridScore(docs).localCheckpoint(false)
     val counts = g.groupBy(col("source"), col("q_e4"))
       .agg(count(lit(1)).as("__c"))
     val nn = g.groupBy(col("source")).agg(count(lit(1)).as("__n"))

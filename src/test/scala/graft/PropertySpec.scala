@@ -1839,6 +1839,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("survivorsByQuality: the elected copy has the cluster's best score") {
+    import spark.implicits._
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 10L), (7L, 70L), (8L, 70L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 5000L), (2L, 8000L), (3L, 8000L),
+      (7L, 1000L), (8L, 900L)).toDF("doc_id", "q_e4")
+    val out = graft.dedup.Dedup.survivorsByQuality(clusters, quality)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // best quality wins; the 8000-tie breaks to the LOWER doc_id
+    assert(out(10L) == ((3L, 2L, 0.8)))
+    assert(out(70L) == ((2L, 7L, 0.1)))
+  }
+
   test("tokenizerCompare: one row per family over identical bytes") {
     val out = SparkEntry.queries("tokenizer_compare")(spark, sf).collect()
       .map(r => r.getString(0) ->
