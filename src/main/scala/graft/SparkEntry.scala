@@ -3200,6 +3200,10 @@ object SparkEntry {
     "text_langid_nb" -> ((s, d) =>
       graft.text.TextAnalysis.langidNb(docsMl(s, d),
         col("lang") === "en" || col("source") === "planted_ml")),
+    // Unicode script-mix profile (routing prior): literal codepoint
+    // ranges read identically by Java regex and RE2; zero shuffle
+    "text_scripts" -> ((s, d) =>
+      graft.text.TextAnalysis.scriptMix(docsMl(s, d))),
     // storable langid model: 3 disjoint seed shards fold by exact sum
     // into the batch-equal count table (no rescan of old shards)
     "langid_model_incremental" -> ((s, d) => {
@@ -5468,6 +5472,25 @@ object SparkEntry {
          |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
          |  % 10000 < r.cut
          |GROUP BY 1""".stripMargin,
+    "text_scripts" ->
+      s"""WITH dml AS MATERIALIZED ($mlDocsSelect),
+         |b AS (SELECT doc_id, lower(text) AS t FROM dml),
+         |c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+         |    CAST(length(t) - length(regexp_replace(t, '[a-z]', '', 'g'))
+         |      AS BIGINT) AS n_latin,
+         |    CAST(length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g'))
+         |      AS BIGINT) AS n_cjk,
+         |    CAST(length(t) - length(regexp_replace(t, '[а-яё]', '', 'g'))
+         |      AS BIGINT) AS n_cyrillic,
+         |    CAST(length(t) - length(regexp_replace(t, '[가-힣]', '', 'g'))
+         |      AS BIGINT) AS n_hangul,
+         |    CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+         |      AS BIGINT) AS n_digit
+         |  FROM b)
+         |SELECT *, CAST(greatest(n_latin, n_cjk, n_cyrillic, n_hangul)
+         |    * 10000 // greatest(n_chars, 1) AS DOUBLE)
+         |  / CAST(10000 AS DOUBLE) AS dominant_share
+         |FROM c""".stripMargin,
     "quality_percentile" ->
       """WITH b AS (SELECT doc_id, source, length(text) AS len,
         |    len(string_split(lower(text), ' ')) AS n,

@@ -1878,6 +1878,31 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Unicode script-mix profile — the routing prior beside trained
+    * langid: per-doc codepoint counts for latin / CJK / cyrillic /
+    * hangul / digits and the dominant-script share on the 1e-4 grid.
+    * Character classes are LITERAL codepoint ranges (e.g. 一-鿿),
+    * which Java regex and RE2 read identically — `\p{IsHan}` style
+    * properties are Java-only. Zero shuffle, one narrow map. */
+  def scriptMix(docs: DataFrame): DataFrame = {
+    val t = lower(col("text"))
+    def cnt(range: String): Column =
+      (char_length(t) - char_length(regexp_replace(t, s"[$range]", "")))
+        .cast("long")
+    val latin = cnt("a-z")
+    val cjk = cnt("一-鿿")
+    val cyr = cnt("а-яё")
+    val hangul = cnt("가-힣")
+    val digits = cnt("0-9")
+    val n = char_length(t).cast("long")
+    docs.select(col("doc_id"), n.as("n_chars"), latin.as("n_latin"),
+        cjk.as("n_cjk"), cyr.as("n_cyrillic"), hangul.as("n_hangul"),
+        digits.as("n_digit"))
+      .withColumn("dominant_share",
+        frac4(greatest(col("n_latin"), col("n_cjk"), col("n_cyrillic"),
+          col("n_hangul")), greatest(col("n_chars"), lit(1L))))
+  }
+
   /** Per-source quality-percentile NORMALIZATION — the mixture
     * calibration step: raw quality scores are not comparable across
     * sources (each source has its own score distribution), so each
