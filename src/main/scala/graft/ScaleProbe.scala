@@ -750,6 +750,36 @@ object ScaleProbe {
       pipeline.Pipeline.shardBalance(d, 16).count()
     }
 
+    probe("text_scripts", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.scriptMix(d).count()
+    }
+
+    // three serve paths over the same scan; vocab tables fixed
+    probe("tokenizer_compare", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      val bytes = d.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("__b"))
+      def one(stats: org.apache.spark.sql.DataFrame, p: String) =
+        stats.join(bytes, Seq("doc_id"))
+          .agg(count(lit(1)), sum(col(p)), sum(col("__b")))
+      one(text.TextAnalysis.bpeTokenStats(d), "n_tokens_bpe").collect()
+      one(text.TextAnalysis.unigramStats(d, SparkEntry.unigramVocab),
+        "n_pieces").collect()
+      one(text.TextAnalysis.wordpieceStats(d, SparkEntry.wordpieceVocab),
+        "n_pieces").collect()
+      1L
+    }
+
+    // clusters dominate; the election adds one model-sized join
+    probe("dedup_survivors_quality", Seq(1, 20)) { c =>
+      val d = saltedDocs(c)
+      dedup.Dedup.survivorsByQuality(
+        dedup.Dedup.connectedComponents(
+          dedup.Dedup.minhashLshPairs(d, 3, 64, 32, 0.5)),
+        text.TextAnalysis.qualityGridScore(d)).count()
+    }
+
     // each gradient step is one partial-agg pass; iters fixed ⇒ the
     // trainer scales like iters × one corpus scan, never superlinear
     probe("quality_probe_train", Seq(1, 20)) { c =>
