@@ -2318,6 +2318,14 @@ object SparkEntry {
       graft.streaming.Events.movingAvg(ev(s, d), 3)),
     "events_funnel" -> ((s, d) =>
       graft.streaming.Events.funnel(ev(s, d), Seq("view", "click", "purchase"))),
+    // weekly retention cohorts (the product-analytics curve): grouped
+    // by first-event week, O(weeks²) output, never event-sized
+    "events_retention" -> ((s, d) =>
+      graft.streaming.Events.retentionCohorts(ev(s, d))),
+    // funnel DISCOVERY: top-20 per-user event-type trigram paths,
+    // bounded take over the pattern-sized count table
+    "events_sequences" -> ((s, d) =>
+      graft.streaming.Events.eventSequences(ev(s, d), 20)),
     // (the streaming Misra-Gries twin of heavy_mg lives in
     // streaming/Events.heavyHittersStream — spec-gated like the other
     // Structured Streaming forms, not benched as a batch query)
@@ -4996,6 +5004,33 @@ object SparkEntry {
       """SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id
         |ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
         |FROM events""".stripMargin,
+    "events_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+        |      AS BIGINT) AS w
+        |  FROM events),
+        |c AS (SELECT user_id, min(w) AS c0 FROM uw GROUP BY 1),
+        |sz AS (SELECT c0, CAST(count(*) AS BIGINT) AS cohort_users
+        |  FROM c GROUP BY 1),
+        |act AS (SELECT c.c0 AS cohort_week, uw.w - c.c0 AS week_offset,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_users,
+        |  CAST(a.n_active * 10000 // s.cohort_users AS DOUBLE)
+        |    / CAST(10000 AS DOUBLE) AS retention
+        |FROM act a JOIN sz s ON a.cohort_week = s.c0""".stripMargin,
+    "events_sequences" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (SELECT event_type || '>' || e2 || '>' || e3 AS sequence
+        |  FROM o WHERE e3 IS NOT NULL),
+        |c AS (SELECT sequence, CAST(count(*) AS BIGINT) AS n
+        |  FROM t GROUP BY 1 ORDER BY n DESC, sequence LIMIT 20)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, sequence) AS BIGINT)
+        |    AS rank, sequence, n
+        |FROM c""".stripMargin,
     "events_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),

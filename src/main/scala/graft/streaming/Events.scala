@@ -109,6 +109,57 @@ object Events {
         count(col(s"__t$i")).as(s"u_${stages(i)}")): _*)
   }
 
+  /** Weekly retention cohorts — the classic product-analytics curve:
+    * users are grouped by the week of their FIRST event (the cohort)
+    * and each later week counts the cohort members still active;
+    * retention = active/cohort-size on the exact 1e-4 grid. Weeks are
+    * integer day-diffs from a fixed epoch / 7, so bucketing is
+    * timezone-stable and engine-portable. Two per-user aggregations +
+    * one cohort-sized grid — output is O(weeks²), never event-sized.
+    */
+  def retentionCohorts(events: DataFrame,
+      epoch: String = "2024-01-01"): DataFrame = {
+    val week = (datediff(to_date(col("ts")), to_date(lit(epoch))) / 7)
+      .cast("long")
+    val uw = events.select(col("user_id"), week.as("w")).distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("w")).as("c0"))
+    val sizes = cohort.groupBy(col("c0")).agg(count(lit(1)).as("cohort_users"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("c0").as("cohort_week"),
+        (col("w") - col("c0")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes.withColumnRenamed("c0", "cohort_week"), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_users"),
+        graft.text.TextAnalysis.frac4(col("n_active"), col("cohort_users"))
+          .as("retention"))
+  }
+
+  /** Top-k common event-type trigrams over per-user journeys — the
+    * sequence-pattern signal behind funnel DISCOVERY (which 3-step
+    * paths actually happen, before you pick stages to measure): each
+    * user's events order by (ts, event_id), adjacent type triples
+    * count globally, top-k by (count desc, sequence asc). Per-user
+    * windows (parallelism = #users) + one pattern-sized agg + a
+    * bounded TakeOrdered — never a global sort.
+    */
+  def eventSequences(events: DataFrame, k: Int = 20): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tri = events.select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(wu).as("__e2"),
+        lead(col("event_type"), 2).over(wu).as("__e3"))
+      .filter(col("__e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("__e2"), col("__e3"))
+        .as("sequence"))
+    val counted = tri.groupBy(col("sequence")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("sequence")).limit(k)
+    counted.select(
+      row_number().over(Window.orderBy(col("n").desc, col("sequence")))
+        .cast("long").as("rank"),
+      col("sequence"), col("n"))
+  }
+
   /** Running (cumulative) per-user value total — partitioned prefix-sum
     * window, ties broken by event_id. The sum is exact decimal (value
     * has 2 decimals): engines are free to associate window sums any way

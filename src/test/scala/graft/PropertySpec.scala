@@ -1839,6 +1839,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("retentionCohorts + eventSequences invariants") {
+    val ret = SparkEntry.queries("events_retention")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // offset 0 is the cohort itself: full retention by construction
+    ret.filter(_._2 == 0L).foreach { r =>
+      assert(r._3 == r._4 && r._5 == 1.0, r)
+    }
+    ret.foreach { r =>
+      assert(r._2 >= 0L && r._3 <= r._4 && r._5 <= 1.0, r)
+    }
+    // total cohort mass equals the distinct-user count
+    val users = graft.engine.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(ret.filter(_._2 == 0L).map(_._4).sum == users)
+    val seqs = SparkEntry.queries("events_sequences")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(seqs.nonEmpty && seqs.map(_._1).toSeq == (1L to seqs.length))
+    seqs.zip(seqs.tail).foreach { case (a, b) => assert(a._3 >= b._3) }
+    assert(seqs.forall(_._2.split(">").length == 3))
+  }
+
   test("survivorsByQuality: the elected copy has the cluster's best score") {
     import spark.implicits._
     val clusters = Seq((1L, 10L), (2L, 10L), (3L, 10L), (7L, 70L), (8L, 70L))
