@@ -755,6 +755,36 @@ object ScaleProbe {
       text.TextAnalysis.scriptMix(d).count()
     }
 
+    probe("text_ttr", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.typeTokenRatio(d).count()
+    }
+
+    probe("token_zipf", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.tokenZipf(d).count()
+    }
+
+    // users ×c (stride on user_id): cohort grid stays O(weeks²)
+    probe("events_retention", Seq(1, 20)) { c =>
+      val e = replicate(events, c,
+        Map("event_id" -> 10000000L, "user_id" -> 1000000L))
+      streaming.Events.retentionCohorts(e).count()
+    }
+
+    probe("events_sequences", Seq(1, 20)) { c =>
+      val e = replicate(events, c,
+        Map("event_id" -> 10000000L, "user_id" -> 1000000L))
+      streaming.Events.eventSequences(e, 20).count()
+    }
+
+    // hourly rollup event-sized; trailing window over HOURS only
+    probe("events_anomaly", Seq(1, 20)) { c =>
+      val e = replicate(events, c,
+        Map("event_id" -> 10000000L, "user_id" -> 1000000L))
+      streaming.Events.hourlyAnomaly(e).count()
+    }
+
     // three serve paths over the same scan; vocab tables fixed
     probe("tokenizer_compare", Seq(1, 20)) { c =>
       val d = replicate(docs, c, Map("doc_id" -> 10000000L))

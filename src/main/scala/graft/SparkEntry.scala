@@ -2326,6 +2326,16 @@ object SparkEntry {
     // bounded take over the pattern-sized count table
     "events_sequences" -> ((s, d) =>
       graft.streaming.Events.eventSequences(ev(s, d), 20)),
+    // ingest-ops spike monitor: hour count vs trailing-24h mean on the
+    // exact grid, 3x flag; the trailing window runs over HOURS
+    "events_anomaly" -> ((s, d) =>
+      graft.streaming.Events.hourlyAnomaly(ev(s, d))),
+    // lexical diversity (type-token ratio): low TTR flags templates
+    "text_ttr" -> ((s, d) =>
+      graft.text.TextAnalysis.typeTokenRatio(docs(s, d))),
+    // Zipf df histogram in power-of-2 buckets (corpus health)
+    "token_zipf" -> ((s, d) =>
+      graft.text.TextAnalysis.tokenZipf(docs(s, d))),
     // (the streaming Misra-Gries twin of heavy_mg lives in
     // streaming/Events.heavyHittersStream — spec-gated like the other
     // Structured Streaming forms, not benched as a batch query)
@@ -5004,6 +5014,41 @@ object SparkEntry {
       """SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id
         |ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
         |FROM events""".stripMargin,
+    "events_anomaly" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |w AS (SELECT hour, n,
+        |    SUM(n) OVER (ORDER BY hour ROWS BETWEEN 24 PRECEDING
+        |      AND 1 PRECEDING) AS tr,
+        |    COUNT(n) OVER (ORDER BY hour ROWS BETWEEN 24 PRECEDING
+        |      AND 1 PRECEDING) AS tc
+        |  FROM h),
+        |m AS (SELECT hour, n,
+        |    CASE WHEN tc > 0 THEN CAST(tr * 10000 // tc AS BIGINT) END AS tm,
+        |    CASE WHEN tc > 0 AND CAST(tr * 10000 // tc AS BIGINT) > 0 THEN
+        |      CAST(n * 100000000 // CAST(tr * 10000 // tc AS BIGINT)
+        |        AS BIGINT) END AS r
+        |  FROM w)
+        |SELECT hour, n,
+        |  CAST(tm AS DOUBLE) / CAST(10000 AS DOUBLE) AS trailing_mean,
+        |  CAST(r AS DOUBLE) / CAST(10000 AS DOUBLE) AS ratio,
+        |  COALESCE(r >= 30000, false) AS is_spike
+        |FROM m""".stripMargin,
+    "text_ttr" ->
+      """SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+        |  CAST(len(list_distinct(ws)) * 10000 // len(ws) AS DOUBLE)
+        |    / CAST(10000 AS DOUBLE) AS ttr
+        |FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |    w -> w <> '') AS ws FROM documents)
+        |WHERE len(ws) > 0""".stripMargin,
+    "token_zipf" ->
+      """SELECT CAST(length(bin(df)) AS BIGINT) AS df_bits,
+        |  CAST(count(*) AS BIGINT) AS n_words
+        |FROM (SELECT count(*) AS df FROM (SELECT unnest(list_filter(
+        |    string_split(lower(text), ' '), w -> w <> '')) AS w
+        |  FROM documents) GROUP BY w)
+        |GROUP BY 1""".stripMargin,
     "events_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7

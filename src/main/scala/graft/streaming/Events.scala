@@ -160,6 +160,34 @@ object Events {
       col("sequence"), col("n"))
   }
 
+  /** Hourly volume anomaly flags — the ingest-ops monitor: each hour's
+    * event count against the TRAILING 24-hour mean (current hour
+    * excluded), ratio on the exact 1e-4 grid, flagged at `thetaE4`
+    * (3× by default). The hourly rollup is event-sized work the
+    * pipeline already pays ([[hourlyAgg]]); the trailing window runs
+    * over HOURS (O(span), never events). First hours with no history
+    * emit a null ratio and never flag.
+    */
+  def hourlyAnomaly(events: DataFrame, thetaE4: Long = 30000L): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("hour")).rowsBetween(-24, -1)
+    val trail = sum(col("n")).over(w)
+    val cnt = count(col("n")).over(w)
+    hourly
+      .withColumn("trailing_mean_e4",
+        when(cnt > 0L, graft.text.TextAnalysis.intDiv(
+          trail * lit(10000L), cnt)))
+      .withColumn("ratio_e4",
+        when(col("trailing_mean_e4") > 0L, graft.text.TextAnalysis.intDiv(
+          col("n") * lit(100000000L), col("trailing_mean_e4"))))
+      .select(col("hour"), col("n"),
+        (col("trailing_mean_e4") / lit(10000.0)).as("trailing_mean"),
+        (col("ratio_e4") / lit(10000.0)).as("ratio"),
+        coalesce(col("ratio_e4") >= thetaE4, lit(false)).as("is_spike"))
+  }
+
   /** Running (cumulative) per-user value total — partitioned prefix-sum
     * window, ties broken by event_id. The sum is exact decimal (value
     * has 2 decimals): engines are free to associate window sums any way

@@ -1878,6 +1878,32 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Type-token ratio (lexical diversity): distinct words / words per
+    * doc on the exact 1e-4 grid — low TTR flags template/spam text
+    * the way repeated-n-gram fractions do, at unigram granularity.
+    * Row-local (distinct inside the array), zero shuffle. */
+  def typeTokenRatio(docs: DataFrame): DataFrame = {
+    val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+    docs.select(col("doc_id"), ws.as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__ws"))).cast("long").as("n_types"))
+      .withColumn("ttr", frac4(col("n_types"), col("n_tokens")))
+  }
+
+  /** Zipf document-frequency histogram (corpus health): vocabulary
+    * words bucketed by bitlen(df) — the rank-frequency curve in
+    * power-of-two buckets without a float log; a healthy natural
+    * corpus slopes smoothly, a templated one spikes. One word-count
+    * shuffle, ≤ 64 output rows. */
+  def tokenZipf(docs: DataFrame): DataFrame =
+    docs.select(explode(filter(split(lower(col("text")), " "),
+        w => w =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .select(length(bin(col("df"))).cast("long").as("df_bits"))
+      .groupBy(col("df_bits")).agg(count(lit(1)).as("n_words"))
+
   /** Unicode script-mix profile — the routing prior beside trained
     * langid: per-doc codepoint counts for latin / CJK / cyrillic /
     * hangul / digits and the dominant-script share on the 1e-4 grid.

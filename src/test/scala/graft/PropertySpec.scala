@@ -1839,6 +1839,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hourlyAnomaly / typeTokenRatio / tokenZipf invariants") {
+    val an = SparkEntry.queries("events_anomaly")(spark, sf).collect()
+    // hour counts conserve; history-less first hour never flags
+    assert(an.map(_.getLong(1)).sum ==
+      graft.engine.Tables.events(spark, sf).count())
+    val first = an.minBy(_.getTimestamp(0).getTime)
+    assert(first.isNullAt(2) && !first.getBoolean(4))
+    an.foreach { r =>
+      if (!r.isNullAt(3))
+        assert(r.getBoolean(4) == (r.getDouble(3) >= 3.0), r)
+    }
+    val ttr = SparkEntry.queries("text_ttr")(spark, sf).collect()
+    ttr.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) &&
+        r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val zipf = SparkEntry.queries("token_zipf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // word mass conserves: Σ bucket counts = vocabulary size
+    val vocab = graft.engine.Tables.documents(spark, sf).collect()
+      .flatMap(_.getAs[String]("text").toLowerCase.split(" "))
+      .filter(_.nonEmpty).distinct.length
+    assert(zipf.map(_._2).sum == vocab.toLong)
+  }
+
   test("retentionCohorts + eventSequences invariants") {
     val ret = SparkEntry.queries("events_retention")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
