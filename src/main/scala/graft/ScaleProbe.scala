@@ -785,6 +785,11 @@ object ScaleProbe {
       streaming.Events.hourlyAnomaly(e).count()
     }
 
+    // salted copies: the inverted-index join stays df-cut + banded
+    probe("dedup_containment", Seq(1, 20)) { c =>
+      dedup.Dedup.containmentPairs(saltedDocs(c), 3, 9000L).count()
+    }
+
     // three serve paths over the same scan; vocab tables fixed
     probe("tokenizer_compare", Seq(1, 20)) { c =>
       val d = replicate(docs, c, Map("doc_id" -> 10000000L))

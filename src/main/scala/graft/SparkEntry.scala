@@ -310,6 +310,29 @@ object SparkEntry {
       " AS v(doc_id, text, lang, source, n_chars)"
   }
 
+  // Planted CONTAINMENT pair: an excerpt fully inside a long doc —
+  // containment(excerpt) = 1.0 while symmetric Jaccard ≈ 0.28 stays
+  // under every near-dup threshold (the case containment exists for).
+  private[graft] val contRows: Seq[(Long, String)] = Seq(
+    9850001L -> ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+    9850002L -> "zeta eta theta iota kappa lambda mu")
+
+  private def docsCont(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(contRows.map { case (id, t) =>
+      (id, t, "en", "planted_cont", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val contDocsSelect: String = {
+    val vals = contRows.map { case (id, t) =>
+      s"($id, '$t', 'en', 'planted_cont', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   /** The accepted-instruction POOL for `text_rouge_dedup` — the
     * Self-Instruct / Alpaca admission filter's comparison set (tiny,
     * driver-side, broadcasts). Lowercase, quote-free, ≤ 9 tokens (the
@@ -2458,6 +2481,10 @@ object SparkEntry {
       graft.dedup.Dedup.survivors(docs(s, d),
         graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5))
         .select(col("doc_id"))),
+    // containment (asymmetric Jaccard): the excerpt/quote-inclusion
+    // dedup symmetric near-dup misses — θ=0.9 on either direction
+    "dedup_containment" -> ((s, d) =>
+      graft.dedup.Dedup.containmentPairs(docsCont(s, d), 3, 9000L)),
     // FineWeb-style survivor election: within each near-dup cluster
     // keep the HIGHEST-QUALITY copy (ties → lowest doc_id), not the
     // accidentally-first one
@@ -5402,6 +5429,28 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "dedup_clusters" -> (ccCte +
       "\nSELECT node AS doc_id, cluster_id FROM cc"),
+    "dedup_containment" ->
+      s"""WITH dc AS MATERIALIZED ($contDocsSelect),
+         |w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |    x -> x <> '') AS ws FROM dc),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM
+         |  (SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ')
+         |      for i in range(1, len(ws) - 1)]) AS shingle
+         |    FROM w WHERE len(ws) >= 3)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM sh GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |m AS (SELECT p.id_a, p.id_b, p.shared,
+         |    CAST(p.shared * 10000 // za.sz AS DOUBLE)
+         |      / CAST(10000 AS DOUBLE) AS cont_a,
+         |    CAST(p.shared * 10000 // zb.sz AS DOUBLE)
+         |      / CAST(10000 AS DOUBLE) AS cont_b
+         |  FROM p JOIN sz za ON p.id_a = za.doc_id
+         |    JOIN sz zb ON p.id_b = zb.doc_id)
+         |SELECT * FROM m WHERE greatest(cont_a, cont_b) >= 0.9""".stripMargin,
     // clusters ∘ the integer grid quality score: survivor = max score,
     // ties to lowest doc_id
     "dedup_survivors_quality" -> (ccCte + """,

@@ -87,6 +87,45 @@ object Dedup {
     * `maxShingleDocs` drops shingles occurring in more than that many
     * docs (they can't discriminate and explode the join).
     */
+  /** CONTAINMENT pairs (Broder's asymmetric resemblance): the
+    * quote-inclusion / excerpt case symmetric Jaccard misses — a short
+    * doc fully contained in a long one has tiny Jaccard (|A∩B|/|A∪B|)
+    * but containment |A∩B|/|A| ≈ 1. Same inverted-index shape as
+    * [[jaccardPairs]] (row-local shingle sets, df-cut, one self-join,
+    * one pair groupBy); both directions on the exact 1e-4 grid,
+    * emitted when either reaches `thetaE4`. */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+      thetaE4: Long = 9000L, maxShingleDocs: Long = 1000000L): DataFrame = {
+    val sets = docs
+      .select(col("doc_id"),
+        graft.functions.MinHashExpression.shingle_set(
+          split(lower(col("text")), " "), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val sh0 = sets.select(col("doc_id"), size(col("shs")).as("sz"),
+      explode(col("shs")).as("shingle"))
+    val sh =
+      if (maxShingleDocs == Long.MaxValue) sh0
+      else {
+        val hot = sh0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDocs)
+          .select(col("shingle"))
+        sh0.join(hot, Seq("shingle"), "left_anti")
+      }
+    val f4 = graft.text.TextAnalysis.frac4 _
+    sh.as("a").hint("shuffle_merge")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"),
+        min(col("a.sz")).as("sza"), min(col("b.sz")).as("szb"))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        f4(col("shared"), col("sza")).as("cont_a"),
+        f4(col("shared"), col("szb")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >=
+        lit(thetaE4 / 10000.0))
+  }
+
   def jaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       maxShingleDocs: Long = 1000000L): DataFrame = {

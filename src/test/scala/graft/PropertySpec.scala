@@ -1886,6 +1886,19 @@ class PropertySpec extends SparkSpec {
     assert(seqs.forall(_._2.split(">").length == 3))
   }
 
+  test("containmentPairs: the planted excerpt flags where Jaccard stays silent") {
+    val out = SparkEntry.queries("dedup_containment")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (shared, ca, cb) = out((9850001L, 9850002L))
+    // excerpt fully contained: all 5 of its shingles, containment 1.0
+    assert(shared == 5L && cb == 1.0)
+    // ...while symmetric Jaccard (5 / (18 + 5 − 5)) ≈ 0.28 sits under
+    // every near-dup threshold — the case this operator exists for
+    assert(ca < 0.3)
+    out.values.foreach { case (_, a, b) => assert(math.max(a, b) >= 0.9) }
+  }
+
   test("survivorsByQuality: the elected copy has the cluster's best score") {
     import spark.implicits._
     val clusters = Seq((1L, 10L), (2L, 10L), (3L, 10L), (7L, 70L), (8L, 70L))
