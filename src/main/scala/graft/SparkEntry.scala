@@ -2353,6 +2353,11 @@ object SparkEntry {
     // exact grid, 3x flag; the trailing window runs over HOURS
     "events_anomaly" -> ((s, d) =>
       graft.streaming.Events.hourlyAnomaly(ev(s, d))),
+    // per-transition conversion latency (funnel semantics, exact
+    // integer seconds; mean on the grid)
+    "events_conversion_time" -> ((s, d) =>
+      graft.streaming.Events.funnelLatency(ev(s, d),
+        Seq("view", "click", "purchase"))),
     // lexical diversity (type-token ratio): low TTR flags templates
     "text_ttr" -> ((s, d) =>
       graft.text.TextAnalysis.typeTokenRatio(docs(s, d))),
@@ -5041,6 +5046,30 @@ object SparkEntry {
       """SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id
         |ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
         |FROM events""".stripMargin,
+    "events_conversion_time" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |d1 AS (SELECT CAST(date_diff('second', s1.t1, s2.t2) AS BIGINT) AS d
+        |  FROM s2 JOIN s1 USING (user_id)),
+        |d2 AS (SELECT CAST(date_diff('second', s2.t2, s3.t3) AS BIGINT) AS d
+        |  FROM s3 JOIN s2 USING (user_id))
+        |SELECT 'view>click' AS transition,
+        |  CAST(count(*) AS BIGINT) AS n_converted,
+        |  min(d) AS min_seconds, max(d) AS max_seconds,
+        |  CAST(SUM(d) * 10000 // count(*) AS DOUBLE) / CAST(10000 AS DOUBLE)
+        |    AS mean_seconds
+        |FROM d1
+        |UNION ALL
+        |SELECT 'click>purchase', CAST(count(*) AS BIGINT),
+        |  min(d), max(d),
+        |  CAST(SUM(d) * 10000 // count(*) AS DOUBLE) / CAST(10000 AS DOUBLE)
+        |FROM d2""".stripMargin,
     "events_anomaly" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
         |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),

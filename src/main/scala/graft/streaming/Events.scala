@@ -160,6 +160,44 @@ object Events {
       col("sequence"), col("n"))
   }
 
+  /** Funnel time-to-convert — per-stage latency for users completing
+    * the whole chain (earliest strictly-ordered stage times, the
+    * [[funnel]] semantics): per transition, converter count and
+    * exact-integer second latencies (min / max / mean on the 1e-4
+    * grid). Same per-user windows as the funnel (no joins, no global
+    * window), one O(#stages) aggregate at the end.
+    */
+  def funnelLatency(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2)
+    val wu = Window.partitionBy(col("user_id"))
+    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (stage, i)) =>
+      val hit = col("event_type") === stage &&
+        (if (i == 0) lit(true) else col(s"__t${i - 1}").isNotNull &&
+          col("ts") > col(s"__t${i - 1}"))
+      df.withColumn(s"__t$i", min(when(hit, col("ts"))).over(wu))
+    }
+    val aggCols = stages.indices.map(i => max(col(s"__t$i")).as(s"__t$i"))
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val spark = events.sparkSession
+    import spark.implicits._
+    stages.indices.tail.map { i =>
+      val d = (unix_timestamp(col(s"__t$i")) -
+        unix_timestamp(col(s"__t${i - 1}"))).as("__d")
+      perUser.filter(col(s"__t$i").isNotNull)
+        .select(d)
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("__d")).as("min_seconds"),
+          max(col("__d")).as("max_seconds"),
+          sum(col("__d")).as("__sum"))
+        .select(
+          lit(s"${stages(i - 1)}>${stages(i)}").as("transition"),
+          col("n_converted"), col("min_seconds"), col("max_seconds"),
+          graft.text.TextAnalysis.frac4(col("__sum"), col("n_converted"))
+            .as("mean_seconds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Hourly volume anomaly flags — the ingest-ops monitor: each hour's
     * event count against the TRAILING 24-hour mean (current hour
     * excluded), ratio on the exact 1e-4 grid, flagged at `thetaE4`

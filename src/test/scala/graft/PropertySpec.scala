@@ -1864,6 +1864,19 @@ class PropertySpec extends SparkSpec {
     assert(zipf.map(_._2).sum == vocab.toLong)
   }
 
+  test("funnelLatency: converter counts equal the funnel stages; latencies positive") {
+    val lat = SparkEntry.queries("events_conversion_time")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val f = SparkEntry.queries("events_funnel")(spark, sf).collect().head
+    assert(lat("view>click")._1 == f.getLong(1))
+    assert(lat("click>purchase")._1 == f.getLong(2))
+    lat.values.foreach { case (n, mn, mx, mean) =>
+      assert(n > 0 && mn > 0 && mn <= mx &&
+        mean >= mn.toDouble && mean <= mx.toDouble)
+    }
+  }
+
   test("retentionCohorts + eventSequences invariants") {
     val ret = SparkEntry.queries("events_retention")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
