@@ -790,6 +790,13 @@ object ScaleProbe {
       dedup.Dedup.containmentPairs(saltedDocs(c), 3, 9000L).count()
     }
 
+    probe("events_conversion_time", Seq(1, 20)) { c =>
+      val e = replicate(events, c,
+        Map("event_id" -> 10000000L, "user_id" -> 1000000L))
+      streaming.Events.funnelLatency(e,
+        Seq("view", "click", "purchase")).count()
+    }
+
     // three serve paths over the same scan; vocab tables fixed
     probe("tokenizer_compare", Seq(1, 20)) { c =>
       val d = replicate(docs, c, Map("doc_id" -> 10000000L))

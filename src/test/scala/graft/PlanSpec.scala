@@ -820,6 +820,23 @@ class PlanSpec extends SparkSpec {
     assert(!sc.contains("CartesianProduct") && !sc.contains("SortMergeJoin"), sc)
   }
 
+  test("events analytics: user-partitioned windows, hour/cohort-sized finals") {
+    val ev = Tables.events(spark, sf)
+    val seqp = plan(graft.streaming.Events.eventSequences(ev, 20))
+    // lead() windows partition by user — never a global event window
+    assert(seqp.contains("user_id"), seqp)
+    assert(!seqp.contains("CartesianProduct"), seqp)
+    assert(seqp.contains("TakeOrdered"), seqp)
+    val ret = plan(graft.streaming.Events.retentionCohorts(ev))
+    assert(!ret.contains("CartesianProduct") && !ret.contains("Window"), ret)
+    val lat = plan(graft.streaming.Events.funnelLatency(ev,
+      Seq("view", "click", "purchase")))
+    assert(!lat.contains("CartesianProduct"), lat)
+    val an = plan(graft.streaming.Events.hourlyAnomaly(ev))
+    // the single-partition window here is HOUR-sized by construction
+    assert(an.contains("date_trunc"), an)
+  }
+
   test("binned range join plans a hash join, never a nested loop") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_orderdate"),
