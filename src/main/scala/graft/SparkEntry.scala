@@ -462,6 +462,45 @@ object SparkEntry {
       " AS v(doc_id, text, lang, source, n_chars)"
   }
 
+  // Planted DPO candidate groups ("prompt ### completion", several
+  // completions per prompt). Coverage: a clear quality spread (group
+  // elects by score), a chosen-side TIE (→ lowest doc_id), a
+  // rejected-side TIE (→ highest doc_id), an all-equal group (zero
+  // margin → dropped), a singleton group (dropped), and an
+  // empty-prompt row (slicing edge, singleton → dropped). Base docs
+  // carry no separator and are filtered before the group-by.
+  private[graft] val dpoRows: Seq[(Long, String)] = Seq(
+    9910001L -> ("explain the tides ### the moon pulls ocean water into" +
+      " two bulges as the earth rotates beneath them"),
+    9910002L -> ("explain the tides ### tides rise and tides fall" +
+      " because tides follow the moon and the sun"),
+    9910003L -> "explain the tides ### water water water goes up and down and up and down",
+    9910004L -> "name a prime number ### seven is prime",
+    9910005L -> "name a prime number ### two is prime",
+    9910006L -> "name a prime number ### prime prime prime",
+    9910007L -> "pick a color ### blue is calm and deep",
+    9910008L -> "pick a color ### red red red red",
+    9910009L -> "pick a color ### green green green green",
+    9910010L -> "say hello ### hello there friend",
+    9910011L -> "say hello ### greetings kind stranger",
+    9910012L -> "lonely prompt ### only one answer here",
+    9910013L -> "### orphan completion with no prompt")
+
+  private def docsDpo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(dpoRows.map { case (id, t) =>
+      (id, t, "en", "planted_dpo", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val dpoDocsSelect: String = {
+    val vals = dpoRows.map { case (id, t) =>
+      s"($id, '$t', 'en', 'planted_dpo', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   // Planted SFT pairs ("prompt ### completion") — base docs carry no
   // separator and flow through as has_pair = false all-zero masks.
   private[graft] val sftRows: Seq[(Long, String)] = Seq(
@@ -3272,6 +3311,13 @@ object SparkEntry {
     // completion; separator-free docs flag has_pair=false
     "sft_loss_mask" -> ((s, d) =>
       graft.text.TextAnalysis.sftLossMask(docsSft(s, d))),
+    // DPO preference-pair election (UltraFeedback binarization):
+    // completions grouped by exact prompt, scored on the 1e-4
+    // diversity grid, chosen/rejected elected by struct min/max
+    // aggregates — map-side partials, no window; tie rules and
+    // zero-margin drops pinned by the planted groups
+    "dpo_pairs" -> ((s, d) =>
+      graft.pipeline.Pipeline.dpoPairs(docsDpo(s, d))),
     "text_fingerprint" -> ((s, d) => graft.text.TextAnalysis.fingerprints(docs(s, d))),
     "text_rolling_fp" -> ((s, d) => graft.text.TextAnalysis.rollingFingerprints(docs(s, d))),
     // winnowing (MOSS) fingerprint candidate pairs: window-min selected
@@ -5369,6 +5415,37 @@ object SparkEntry {
          |    repeat('1', CAST(n_tokens - COALESCE(sep_idx, n_tokens) AS INTEGER))
          |    AS loss_mask
          |FROM b""".stripMargin,
+    "dpo_pairs" ->
+      s"""WITH dd AS MATERIALIZED ($dpoDocsSelect),
+         |t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |    w -> w <> '') AS ws FROM dd),
+         |b AS (SELECT doc_id, ws,
+         |    nullif(list_position(ws, '###'), 0) AS sep_idx FROM t),
+         |c AS (SELECT doc_id,
+         |    COALESCE(array_to_string(ws[1:CAST(sep_idx - 1 AS INTEGER)],
+         |      ' '), '') AS prompt,
+         |    ws[CAST(sep_idx + 1 AS INTEGER):len(ws)] AS comp
+         |  FROM b WHERE sep_idx IS NOT NULL),
+         |s AS (SELECT doc_id, prompt, CAST(len(comp) AS BIGINT) AS n_comp,
+         |    10000 * CAST(len(list_distinct(comp)) AS BIGINT) // len(comp)
+         |      AS score
+         |  FROM c WHERE len(comp) > 0),
+         |ch AS (SELECT prompt, doc_id AS chosen_id, score AS chosen_score,
+         |    row_number() OVER (PARTITION BY prompt
+         |      ORDER BY score DESC, doc_id ASC) AS rn FROM s),
+         |rj AS (SELECT prompt, doc_id AS rejected_id,
+         |    score AS rejected_score,
+         |    row_number() OVER (PARTITION BY prompt
+         |      ORDER BY score ASC, doc_id DESC) AS rn FROM s),
+         |g AS (SELECT prompt, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM s GROUP BY prompt)
+         |SELECT g.prompt, g.n_candidates, ch.chosen_id, ch.chosen_score,
+         |  rj.rejected_id, rj.rejected_score,
+         |  ch.chosen_score - rj.rejected_score AS margin
+         |FROM g JOIN ch ON ch.prompt = g.prompt AND ch.rn = 1
+         |JOIN rj ON rj.prompt = g.prompt AND rj.rn = 1
+         |WHERE g.n_candidates >= 2
+         |  AND ch.chosen_score > rj.rejected_score""".stripMargin,
     "embedding_domain_score" ->
       """WITH q AS (SELECT vec_id, label,
         |    [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT) for x in embedding] AS qe

@@ -574,6 +574,54 @@ object Pipeline {
           .otherwise("unchanged").as("status"))
   }
 
+  /** DPO/RLHF preference-pair election — the "binarize preferences"
+    * prep step (UltraFeedback / Zephyr): candidate completions are
+    * grouped by their EXACT prompt (the tokens before `sep`), each
+    * completion is scored on the exact 1e-4 lexical-diversity grid
+    * (10000·distinct_tokens // n_tokens — engine-portable integers),
+    * and every group with a real quality spread emits ONE
+    * (chosen, rejected) training pair: chosen = highest score (tie:
+    * lowest doc_id), rejected = lowest score (tie: highest doc_id).
+    * Groups with <2 candidates or zero margin carry no preference
+    * signal and are dropped.
+    *
+    * Scale posture: one hash aggregation keyed by prompt; the election
+    * is a pair of struct min/max aggregates — map-side partials ship
+    * two structs per (partition, prompt), no window, no sort, no
+    * data-sized second pass. The doc_id rides NEGATED inside the
+    * structs so lexicographic struct ordering encodes both tie rules.
+    */
+  def dpoPairs(docs: DataFrame, sep: String = "###"): DataFrame = {
+    val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+    val cand = docs.select(col("doc_id"), ws.as("__ws"))
+      .withColumn("__sep",
+        nullif(array_position(col("__ws"), sep), lit(0L)))
+      .filter(col("__sep").isNotNull)
+      .withColumn("prompt",
+        array_join(slice(col("__ws"), lit(1),
+          (col("__sep") - 1L).cast("int")), " "))
+      .withColumn("__comp",
+        slice(col("__ws"), (col("__sep") + 1L).cast("int"),
+          greatest(size(col("__ws")).cast("long") - col("__sep"), lit(0L))
+            .cast("int")))
+      .withColumn("n_comp", size(col("__comp")).cast("long"))
+      .filter(col("n_comp") > 0L)
+      .withColumn("score", expr(
+        "10000 * CAST(size(array_distinct(__comp)) AS BIGINT) div n_comp"))
+    cand.groupBy(col("prompt"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("score"), (-col("doc_id")).as("nid"))).as("__ch"),
+        min(struct(col("score"), (-col("doc_id")).as("nid"))).as("__rj"))
+      .filter(col("n_candidates") >= 2L &&
+        col("__ch.score") > col("__rj.score"))
+      .select(col("prompt"), col("n_candidates"),
+        (-col("__ch.nid")).as("chosen_id"),
+        col("__ch.score").as("chosen_score"),
+        (-col("__rj.nid")).as("rejected_id"),
+        col("__rj.score").as("rejected_score"),
+        (col("__ch.score") - col("__rj.score")).as("margin"))
+  }
+
   /** Shard-balance report — the sink-skew audit: hash docs into
     * `nShards` output shards (the md5-60bit SQL-replayable key) and
     * report per-shard doc/token counts plus each shard's doc share on

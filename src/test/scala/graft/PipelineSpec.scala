@@ -1626,6 +1626,33 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("collapse"), e.getMessage)
   }
 
+  test("dpo pairs: election, tie rules, zero-margin and singleton drops") {
+    import org.apache.spark.sql.functions._
+    val d = docsDF(Seq(
+      "q one ### alpha beta gamma",         // 0: 10000
+      "q one ### alpha alpha alpha alpha",  // 1: 2500
+      "q one ### delta delta",              // 2: 5000
+      "q two ### aa bb",                    // 3: 10000 (chosen tie -> min id)
+      "q two ### cc dd",                    // 4: 10000
+      "q two ### ee ee ee ee",              // 5: 2500 (rejected tie -> max id)
+      "q two ### ff ff ff ff",              // 6: 2500
+      "q flat ### gg hh",                   // 7: zero margin
+      "q flat ### ii jj",                   // 8: dropped
+      "q solo ### kk ll",                   // 9: singleton dropped
+      "no separator here"))                 // 10: filtered
+    val got = graft.pipeline.Pipeline.dpoPairs(d)
+      .orderBy(col("prompt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      ("q one", 3L, 0L, 10000L, 1L, 2500L, 7500L),
+      ("q two", 4L, 3L, 10000L, 6L, 2500L, 7500L)), got.toSeq)
+    // plan: the election is ONE hash aggregate — no Window, no sort
+    val plan = graft.pipeline.Pipeline.dpoPairs(d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("NFC normalization composes combining marks; ascii passes through") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
