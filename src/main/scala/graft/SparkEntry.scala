@@ -501,6 +501,35 @@ object SparkEntry {
       " AS v(doc_id, text, lang, source, n_chars)"
   }
 
+  // Planted multi-turn CHAT transcripts. Coverage: a 2×2-turn dialog,
+  // an assistant-first transcript with a trailing user turn, a
+  // user-only doc (has_dialog = false), a system preamble before any
+  // marker (masked 0), and adjacent markers (an empty assistant turn
+  // contributing zero train tokens). Base docs carry no markers →
+  // all-zero masks.
+  private[graft] val chatRows: Seq[(Long, String)] = Seq(
+    9920001L -> ("<user> how do i sort a list <assistant> use the sorted" +
+      " builtin <user> and in place <assistant> call the sort method"),
+    9920002L -> "<assistant> unprompted greeting <user> silence",
+    9920003L -> "<user> question with no reply",
+    9920004L -> "system preamble text <user> hi <assistant> hello there",
+    9920005L -> "<assistant> <user> empty assistant turn")
+
+  private def docsChat(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(chatRows.map { case (id, t) =>
+      (id, t, "en", "planted_chat", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val chatDocsSelect: String = {
+    val vals = chatRows.map { case (id, t) =>
+      s"($id, '$t', 'en', 'planted_chat', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   // Planted SFT pairs ("prompt ### completion") — base docs carry no
   // separator and flow through as has_pair = false all-zero masks.
   private[graft] val sftRows: Seq[(Long, String)] = Seq(
@@ -3311,6 +3340,12 @@ object SparkEntry {
     // completion; separator-free docs flag has_pair=false
     "sft_loss_mask" -> ((s, d) =>
       graft.text.TextAnalysis.sftLossMask(docsSft(s, d))),
+    // multi-turn chat loss masks (train-on-assistant-turns): the
+    // running-role fold is a codegen kernel, every count a codegen
+    // builtin; zero shuffle; marker-free corpus docs flow through as
+    // all-zero masks
+    "chat_loss_mask" -> ((s, d) =>
+      graft.text.TextAnalysis.chatLossMask(docsChat(s, d))),
     // DPO preference-pair election (UltraFeedback binarization):
     // completions grouped by exact prompt, scored on the 1e-4
     // diversity grid, chosen/rejected elected by struct min/max
@@ -5415,6 +5450,33 @@ object SparkEntry {
          |    repeat('1', CAST(n_tokens - COALESCE(sep_idx, n_tokens) AS INTEGER))
          |    AS loss_mask
          |FROM b""".stripMargin,
+    "chat_loss_mask" ->
+      s"""WITH dd AS MATERIALIZED ($chatDocsSelect),
+         |t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |    w -> w <> '') AS ws FROM dd),
+         |e AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n, ws,
+         |    unnest(generate_series(1, len(ws))) AS j
+         |  FROM t WHERE len(ws) > 0),
+         |m AS (SELECT doc_id, n, j,
+         |    CASE WHEN ws[CAST(j AS INTEGER)] = '<user>' THEN 0
+         |         WHEN ws[CAST(j AS INTEGER)] = '<assistant>' THEN 1
+         |    END AS marker FROM e),
+         |r AS (SELECT doc_id, n, j, marker,
+         |    COALESCE(last_value(marker IGNORE NULLS) OVER (
+         |      PARTITION BY doc_id ORDER BY j
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+         |      AS role FROM m)
+         |SELECT doc_id, max(n) AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE marker IS NOT NULL) AS BIGINT)
+         |    AS n_turns,
+         |  CAST(count(*) FILTER (WHERE marker = 1) AS BIGINT)
+         |    AS n_assistant_turns,
+         |  COALESCE(bool_or(marker = 1), false) AS has_dialog,
+         |  CAST(count(*) FILTER (WHERE marker IS NULL AND role = 1)
+         |    AS BIGINT) AS n_train_tokens,
+         |  string_agg(CASE WHEN marker IS NULL AND role = 1
+         |    THEN '1' ELSE '0' END, '' ORDER BY j) AS loss_mask
+         |FROM r GROUP BY doc_id""".stripMargin,
     "dpo_pairs" ->
       s"""WITH dd AS MATERIALIZED ($dpoDocsSelect),
          |t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),

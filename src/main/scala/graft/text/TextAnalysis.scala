@@ -329,6 +329,75 @@ case class ByteEntropyBits(
     : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
 }
 
+/** Running-role chat-mask kernel: lowercase, walk space-separated
+  * tokens once, flip the role state on the (ASCII) role markers, and
+  * emit one '0'/'1' mask char per token — '1' exactly for non-marker
+  * tokens under the assistant role. Same tokenization as
+  * `filter(split(lower(text), " "), _ =!= "")`: consecutive spaces
+  * yield no token. One primitive byte pass per row, zero allocation
+  * beyond the output builder.
+  */
+final class ChatMaskKernel(userMarker: String, assistantMarker: String)
+    extends Serializable {
+  import org.apache.spark.unsafe.types.UTF8String
+  private val um = userMarker.getBytes("UTF-8")
+  private val am = assistantMarker.getBytes("UTF-8")
+
+  private def tokEq(b: Array[Byte], s: Int, e: Int, m: Array[Byte]): Boolean = {
+    if (e - s != m.length) return false
+    var i = 0
+    while (i < m.length) { if (b(s + i) != m(i)) return false; i += 1 }
+    true
+  }
+
+  def mask(text: UTF8String): UTF8String = {
+    val b = text.toLowerCase.getBytes
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    var assistant = false
+    val n = b.length
+    while (i < n) {
+      while (i < n && b(i) == ' '.toByte) i += 1
+      if (i < n) {
+        val s = i
+        while (i < n && b(i) != ' '.toByte) i += 1
+        if (tokEq(b, s, i, um)) { assistant = false; sb.append('0') }
+        else if (tokEq(b, s, i, am)) { assistant = true; sb.append('0') }
+        else sb.append(if (assistant) '1' else '0')
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+case class ChatMaskExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    userMarker: String, assistantMarker: String)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+
+  @transient private lazy val kernel =
+    new ChatMaskKernel(userMarker, assistantMarker)
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.mask(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("chatMaskKernel", kernel,
+      classOf[ChatMaskKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.mask($c);")
+  }
+
+  override def prettyName: String = "chat_loss_mask"
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
+}
+
 /** One-pass winnowing kernel: lowercase, split on the space byte, hash
   * every word k-gram (md5, top 60 bits — EXACTLY DuckDB's
   * `('0x' || substr(md5(gram), 1, 15))::BIGINT`, so the selection
@@ -2836,6 +2905,44 @@ object TextAnalysis {
           repeat(lit("1"),
             (col("n_tokens") - coalesce(col("sep_idx"), col("n_tokens")))
               .cast("int"))).as("loss_mask"))
+  }
+
+  /** Multi-turn CHAT loss-mask prep — the SFT step for dialog data
+    * (Vicuna/Zephyr style "train on assistant turns only"): tokens are
+    * whitespace-split, role markers (`<user>` / `<assistant>`) switch
+    * the running role state, and the per-token 0/1 mask is 1 exactly
+    * for non-marker tokens whose most recent marker is the assistant
+    * one. Tokens before any marker and whole marker tokens mask 0;
+    * marker-free docs (the base corpus) flow through as all-zero
+    * masks with has_dialog = false.
+    *
+    * The running-role fold is a codegen kernel (one primitive token
+    * walk per row — the WinnowKernel posture; an `aggregate` lambda
+    * here would run interpreted on the one-file corpus partition).
+    * Every count besides the mask itself is a codegen builtin over
+    * the token array. Zero shuffle. */
+  def chatLossMask(docs: DataFrame, userMarker: String = "<user>",
+      assistantMarker: String = "<assistant>"): DataFrame = {
+    import org.apache.spark.sql.graftshim
+    val ws = filter(split(lower(col("text")), " "), w => w =!= "")
+    docs.select(col("doc_id"), col("text"), ws.as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .withColumn("loss_mask", graftshim.exprToColumn(ChatMaskExpr(
+        graftshim.columnToExpr(col("text")), userMarker, assistantMarker)))
+      .withColumn("n_tokens", size(col("__ws")).cast("long"))
+      .withColumn("n_user_turns",
+        (size(col("__ws")) - size(array_remove(col("__ws"), userMarker)))
+          .cast("long"))
+      .withColumn("n_assistant_turns",
+        (size(col("__ws")) -
+          size(array_remove(col("__ws"), assistantMarker))).cast("long"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_user_turns") + col("n_assistant_turns")).as("n_turns"),
+        col("n_assistant_turns"),
+        (col("n_assistant_turns") > 0L).as("has_dialog"),
+        length(translate(col("loss_mask"), "0", "")).cast("long")
+          .as("n_train_tokens"),
+        col("loss_mask"))
   }
 
   /** Sequence-length histogram in power-of-two token buckets per

@@ -1653,6 +1653,33 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("chat loss mask: role fold, marker edges, marker-free all-zero") {
+    import org.apache.spark.sql.functions._
+    val d = docsDF(Seq(
+      "<user> hi there <assistant> hello back <user> bye",
+      "<assistant> lead reply <user> tail",
+      "preamble before <user> q <assistant> a",
+      "<assistant> <user> empty turn",
+      "no markers at all"))
+    val got = TextAnalysis.chatLossMask(d).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+        r.getLong(5), r.getString(6)))
+    assert(got.toSeq == Seq(
+      (8L, 3L, 1L, true, 2L, "00001100"),
+      (5L, 2L, 1L, true, 2L, "01100"),
+      (6L, 2L, 1L, true, 1L, "000001"),
+      (4L, 2L, 1L, true, 0L, "0000"),
+      (4L, 0L, 0L, false, 0L, "0000")), got.toSeq)
+    // markers are case-insensitive (tokens fold through lower())
+    val up = docsDF(Seq("<USER> x <ASSISTANT> y z"))
+    val r2 = TextAnalysis.chatLossMask(up).collect()(0)
+    assert(r2.getString(6) == "00011", r2.getString(6))
+    // consecutive spaces yield no token in either the kernel or size()
+    val sp = docsDF(Seq("<assistant>  two   spaced  words"))
+    val r3 = TextAnalysis.chatLossMask(sp).collect()(0)
+    assert(r3.getLong(1) == 4L && r3.getString(6) == "0111", r3.toString)
+  }
+
   test("NFC normalization composes combining marks; ascii passes through") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
