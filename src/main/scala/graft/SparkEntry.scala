@@ -590,6 +590,36 @@ object SparkEntry {
        |$out""".stripMargin
   }
 
+  /** The ICP greedy-hop oracle: stage i is a 1-row argmax CTE (dot to
+    * the PREVIOUS selection, DESC, vec_id ASC) over the not-yet-visited
+    * set — dots are exact ≤2^53 integers on the 2^16 grid, so the hop
+    * sequence is bit-pinned (the kcenterSql pattern with a last-pick
+    * metric instead of a running min). */
+  private def icpSql(k: Int): String = {
+    val stages = (2 to k).map { i =>
+      val visited = (1 until i)
+        .map(j => s"a.vec_id <> (SELECT vec_id FROM s$j)").mkString(" AND ")
+      s"""s$i AS (SELECT a.vec_id, a.qe,
+         |    CAST(list_sum(list_transform(generate_series(1, len(a.qe)),
+         |      ii -> a.qe[ii] * b.qe[ii])) AS BIGINT) AS d
+         |  FROM qq a CROSS JOIN s${i - 1} b
+         |  WHERE $visited
+         |  ORDER BY d DESC, a.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { i =>
+      if (i == 1)
+        "SELECT CAST(1 AS BIGINT) AS position, vec_id, CAST(NULL AS BIGINT) AS dot_prev FROM s1"
+      else s"SELECT CAST($i AS BIGINT), vec_id, d FROM s$i"
+    }.mkString("\n UNION ALL ")
+    s"""WITH q AS (SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT) for x in embedding] AS qe
+       |  FROM embeddings),
+       |qq AS MATERIALIZED (SELECT vec_id, qe FROM q),
+       |s1 AS (SELECT vec_id, qe FROM qq ORDER BY vec_id LIMIT 1),
+       |$stages
+       |$out""".stripMargin
+  }
+
   // Planted LINK-GRAPH docs: each doc's `source` is a SITE and its text
   // links to other sites in the set — the fixture behind domain
   // PageRank. Coverage: a hub receiving from three sites, a duplicate
@@ -2828,6 +2858,11 @@ object SparkEntry {
     // whole greedy fixed point replays bit-identically in SQL
     "kcenter_coreset" -> ((s, d) =>
       graft.ann.Similarity.kcenterCoreset(emb(s, d), 6)),
+    // in-context-pretraining ordering (Shi et al. 2023): greedy
+    // most-similar-next hop, bit-pinned on the 2^16 grid — the
+    // topical-coherence twin of kcenter's diversity greedy
+    "icp_order" -> ((s, d) =>
+      graft.ann.Similarity.icpOrder(emb(s, d), 8)),
     // embedding-space domain scoring (the embedding twin of
     // text_dsir_weight): cosine of every vector to the label-0
     // centroid on the global 2^16 grid — centroid and dots are exact
@@ -5390,6 +5425,7 @@ object SparkEntry {
         |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "kcenter_coreset" -> kcenterSql(6),
+    "icp_order" -> icpSql(8),
     "decontam_cut" ->
       """WITH tr AS MATERIALIZED (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws

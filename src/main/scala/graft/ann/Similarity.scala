@@ -161,6 +161,43 @@ object Similarity {
     }.toDF("rank", "vec_id", "min_dist")
   }
 
+  /** In-context-pretraining document ordering (Shi et al. 2023,
+    * arXiv:2310.10638): order documents so each one is followed by its
+    * most-similar unvisited neighbor, turning the training stream into
+    * topically-coherent windows instead of random concatenations. This
+    * is the bit-pinned greedy k-prefix of that traversal: start at the
+    * lowest vec_id, then repeatedly hop to the unvisited vector with
+    * the highest exact-integer dot product to the CURRENT one (tie:
+    * lowest vec_id). Distances live on the 2^16 quantization grid so
+    * the whole selection sequence replays bit-identically in SQL.
+    *
+    * Scale posture: k bounded scans, each TakeOrdered(1) over a
+    * column-pruned quantized frame (the kcenterCoreset shape) — no
+    * pair materialization, no data-sized shuffle. The full-corpus form
+    * runs the same hop over a precomputed ANN-kNN edge list
+    * (graph-sized, not corpus²). */
+  def icpOrder(emb: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_q16, vec_dot_int}
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col("vec_id"), vec_q16(col("embedding")).as("qe"))
+      .localCheckpoint(false)
+    val first = q.orderBy(col("vec_id")).limit(1).head()
+    var cur = (first.getLong(0), first.getSeq[Int](1).toArray)
+    var out = List((1L, cur._1, Option.empty[Long]))
+    var cand = q.filter(col("vec_id") =!= cur._1)
+    for (i <- 2 to k) {
+      val d = vec_dot_int(col("qe"), lit(cur._2)).cast("long")
+      val next = cand.select(col("vec_id"), col("qe"), d.as("d"))
+        .orderBy(col("d").desc, col("vec_id")).limit(1).head()
+      cur = (next.getLong(0), next.getSeq[Int](1).toArray)
+      out = out :+ ((i.toLong, cur._1, Some(next.getLong(2))))
+      cand = cand.filter(col("vec_id") =!= cur._1)
+    }
+    out.map { case (p, id, dp) => (p, id, dp) }
+      .toDF("position", "vec_id", "dot_prev")
+  }
+
   /** Hard-negative mining — the contrastive-training data-prep step
     * (DPR / SimCSE / Contriever): for each query vector, the top-k
     * MOST-similar vectors carrying a DIFFERENT label. Random negatives

@@ -2050,6 +2050,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("icp order: greedy hop matches a plain-Scala replay on the grid") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val out = SparkEntry.queries("icp_order")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(out.length == 8 && out.head.isNullAt(2))
+    val vecs = emb.collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(f => math.floor(f * 65536.0).toLong).toArray
+    }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // replay the greedy in plain Scala: start at min id, hop to the
+    // unvisited argmax dot (tie: lowest id)
+    var cur = vecs.keys.min
+    var visited = Set(cur)
+    val expect = scala.collection.mutable.ArrayBuffer((cur, Option.empty[Long]))
+    for (_ <- 2 to 8) {
+      val (nid, nd) = vecs.filterNot { case (id, _) => visited(id) }
+        .map { case (id, v) => (id, dot(vecs(cur), v)) }
+        .toSeq.sortBy { case (id, d) => (-d, id) }.head
+      expect += ((nid, Some(nd)))
+      visited += nid
+      cur = nid
+    }
+    val got = out.map(r => (r.getLong(1),
+      if (r.isNullAt(2)) Option.empty[Long] else Some(r.getLong(2))))
+    assert(got.toSeq == expect.toSeq, got.toSeq)
+  }
+
   test("triplets: positive shares the anchor label, negative does not, margin exact") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val labels = emb.select(col("vec_id"), col("label")).collect()
