@@ -530,6 +530,39 @@ object SparkEntry {
       " AS v(doc_id, text, lang, source, n_chars)"
   }
 
+  // Planted MOJIBAKE docs (UTF-8 mis-decoded as CP1252). Coverage:
+  // a 2-byte repair (Ã© → é), CP1252-special + sloppy-C1 quotes
+  // (â€œ/â€ → curly quotes), a 3-byte euro (â‚¬ → €), genuine
+  // Latin-1 prose whose bytes are NOT valid UTF-8 (untouched), a lone
+  // CP1252 special mapping to a bare continuation byte (untouched), an
+  // unmappable CJK char (conservative whole-doc no-touch), and a
+  // truncated mojibake tail (invalid → untouched). ASCII base docs are
+  // identity by construction.
+  private[graft] val mojiRows: Seq[(Long, String)] = Seq(
+    9930001L -> "cafÃ© latte",
+    9930002L -> ("he said â€œfineâ€" +
+      "\u009d ok"), // the sloppy-C1 slot, spelled as an escape
+    9930003L -> "price â‚¬ 5",
+    9930004L -> "genuine café unchanged",
+    9930005L -> "€ only euro",
+    9930006L -> "mixed Ã© and real 中 text",
+    9930007L -> "truncated moji â€ end")
+
+  private def docsMoji(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(mojiRows.map { case (id, t) =>
+      (id, t, "en", "planted_moji", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val mojiDocsSelect: String = {
+    val vals = mojiRows.map { case (id, t) =>
+      s"($id, '$t', 'en', 'planted_moji', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   // Planted SFT pairs ("prompt ### completion") — base docs carry no
   // separator and flow through as has_pair = false all-zero masks.
   private[graft] val sftRows: Seq[(Long, String)] = Seq(
@@ -618,6 +651,66 @@ object SparkEntry {
        |s1 AS (SELECT vec_id, qe FROM qq ORDER BY vec_id LIMIT 1),
        |$stages
        |$out""".stripMargin
+  }
+
+  /** The mojibake oracle: per-char CP1252 byte mapping (26 specials +
+    * the ≤0xFF identity), strict UTF-8 validity as a hex-pair grammar
+    * regex, and arithmetic re-decoding of the extracted sequences —
+    * the whole [[graft.text.MojibakeKernel]] decision replayed in SQL. */
+  private def mojibakeSql: String = {
+    val sq = "([0-7][0-9a-f]|(c[2-9a-f]|d[0-9a-f])[89ab][0-9a-f]" +
+      "|e0[ab][0-9a-f][89ab][0-9a-f]|e[1-9a-c]([89ab][0-9a-f]){2}" +
+      "|ed[89][0-9a-f][89ab][0-9a-f]|e[ef]([89ab][0-9a-f]){2}" +
+      "|f0[9ab][0-9a-f]([89ab][0-9a-f]){2}|f[1-3]([89ab][0-9a-f]){3}" +
+      "|f48[0-9a-f]([89ab][0-9a-f]){2})"
+    s"""WITH dd AS MATERIALIZED ($mojiDocsSelect),
+       |cp1252 AS (SELECT * FROM (VALUES (8364,128),(8218,130),(402,131),
+       |  (8222,132),(8230,133),(8224,134),(8225,135),(710,136),(8240,137),
+       |  (352,138),(8249,139),(338,140),(381,142),(8216,145),(8217,146),
+       |  (8220,147),(8221,148),(8226,149),(8211,150),(8212,151),(732,152),
+       |  (8482,153),(353,154),(8250,155),(339,156),(382,158),(376,159))
+       |  m(cp, b)),
+       |chars AS (SELECT doc_id, j,
+       |    unicode(substr(text, CAST(j AS INTEGER), 1)) AS cp
+       |  FROM dd, UNNEST(generate_series(1, length(text))) AS t(j)),
+       |mapped AS (SELECT c.doc_id, c.j,
+       |    COALESCE(m.b, CASE WHEN c.cp <= 255 THEN c.cp END) AS b
+       |  FROM chars c LEFT JOIN cp1252 m ON m.cp = c.cp),
+       |hexed AS (SELECT doc_id, bool_and(b IS NOT NULL) AS all_mapped,
+       |    COALESCE(string_agg(CASE WHEN b IS NOT NULL
+       |      THEN lower(lpad(to_hex(b), 2, '0')) END, '' ORDER BY j), '')
+       |      AS hx
+       |  FROM mapped GROUP BY doc_id),
+       |flagged AS (SELECT doc_id, hx,
+       |    all_mapped AND regexp_matches(hx, '^$sq*$$') AS valid
+       |  FROM hexed),
+       |seqs AS (SELECT doc_id, regexp_extract_all(hx, '$sq') AS ss
+       |  FROM flagged WHERE valid),
+       |dec AS (SELECT doc_id, i, ss[CAST(i AS INTEGER)] AS sq
+       |  FROM seqs, UNNEST(generate_series(1, len(ss))) AS t(i)),
+       |cps AS (SELECT doc_id, i, CASE len(sq)
+       |    WHEN 2 THEN ('0x' || sq)::INTEGER
+       |    WHEN 4 THEN (('0x' || substr(sq,1,2))::INTEGER - 192) * 64
+       |      + (('0x' || substr(sq,3,2))::INTEGER - 128)
+       |    WHEN 6 THEN (('0x' || substr(sq,1,2))::INTEGER - 224) * 4096
+       |      + (('0x' || substr(sq,3,2))::INTEGER - 128) * 64
+       |      + (('0x' || substr(sq,5,2))::INTEGER - 128)
+       |    ELSE (('0x' || substr(sq,1,2))::INTEGER - 240) * 262144
+       |      + (('0x' || substr(sq,3,2))::INTEGER - 128) * 4096
+       |      + (('0x' || substr(sq,5,2))::INTEGER - 128) * 64
+       |      + (('0x' || substr(sq,7,2))::INTEGER - 128)
+       |  END AS cp FROM dec),
+       |fixed AS (SELECT doc_id, string_agg(chr(cp), '' ORDER BY i)
+       |    AS ftext FROM cps GROUP BY doc_id)
+       |SELECT d.doc_id AS doc_id,
+       |  COALESCE(f.ftext IS NOT NULL AND f.ftext <> d.text, false)
+       |    AS is_mojibake,
+       |  CAST(length(d.text) AS BIGINT) AS n_chars_in,
+       |  CAST(length(CASE WHEN f.ftext IS NOT NULL THEN f.ftext
+       |    ELSE d.text END) AS BIGINT) AS n_chars_fixed,
+       |  CASE WHEN f.ftext IS NOT NULL THEN f.ftext ELSE d.text END
+       |    AS text_fixed
+       |FROM dd d LEFT JOIN fixed f ON f.doc_id = d.doc_id""".stripMargin
   }
 
   // Planted LINK-GRAPH docs: each doc's `source` is a SITE and its text
@@ -3375,6 +3468,11 @@ object SparkEntry {
     // completion; separator-free docs flag has_pair=false
     "sft_loss_mask" -> ((s, d) =>
       graft.text.TextAnalysis.sftLossMask(docsSft(s, d))),
+    // mojibake detect+repair (the ftfy CP1252 double-encoding fix):
+    // one codegen walk per row, zero shuffle; conservative no-touch
+    // on anything not strictly-valid reinterpreted UTF-8
+    "text_mojibake" -> ((s, d) =>
+      graft.text.TextAnalysis.mojibakeRepair(docsMoji(s, d))),
     // multi-turn chat loss masks (train-on-assistant-turns): the
     // running-role fold is a codegen kernel, every count a codegen
     // builtin; zero shuffle; marker-free corpus docs flow through as
@@ -5486,6 +5584,7 @@ object SparkEntry {
          |    repeat('1', CAST(n_tokens - COALESCE(sep_idx, n_tokens) AS INTEGER))
          |    AS loss_mask
          |FROM b""".stripMargin,
+    "text_mojibake" -> mojibakeSql,
     "chat_loss_mask" ->
       s"""WITH dd AS MATERIALIZED ($chatDocsSelect),
          |t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),

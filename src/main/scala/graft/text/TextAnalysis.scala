@@ -398,6 +398,134 @@ case class ChatMaskExpr(
     : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
 }
 
+/** Mojibake-repair kernel — the ftfy fix for CP1252 double-encoding
+  * (UTF-8 bytes mis-decoded as Windows-1252, the single most common
+  * web-crawl corruption): map every codepoint back to the CP1252 byte
+  * it decoded from ("sloppy" variant: the five undefined CP1252 slots
+  * fall back to their C1 controls, exactly like ftfy's
+  * sloppy-windows-1252), and if EVERY char maps, the byte stream is
+  * strictly-valid UTF-8 (overlongs, surrogates and >U+10FFFF
+  * rejected), and at least one multibyte sequence appears, re-decode.
+  * Any unmappable char, invalid byte stream, or pure-ASCII result
+  * leaves the text untouched — one conservative pass, never applied
+  * to text that could be genuine Latin-1 prose (a lone é maps to byte
+  * 0xE9, which is never valid UTF-8 before a space). One primitive
+  * walk per row.
+  */
+final class MojibakeKernel extends Serializable {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** CP1252 byte for a codepoint, or -1 if unmappable. */
+  private def mapByte(cp: Int): Int = cp match {
+    case 0x20AC => 0x80
+    case 0x201A => 0x82
+    case 0x0192 => 0x83
+    case 0x201E => 0x84
+    case 0x2026 => 0x85
+    case 0x2020 => 0x86
+    case 0x2021 => 0x87
+    case 0x02C6 => 0x88
+    case 0x2030 => 0x89
+    case 0x0160 => 0x8A
+    case 0x2039 => 0x8B
+    case 0x0152 => 0x8C
+    case 0x017D => 0x8E
+    case 0x2018 => 0x91
+    case 0x2019 => 0x92
+    case 0x201C => 0x93
+    case 0x201D => 0x94
+    case 0x2022 => 0x95
+    case 0x2013 => 0x96
+    case 0x2014 => 0x97
+    case 0x02DC => 0x98
+    case 0x2122 => 0x99
+    case 0x0161 => 0x9A
+    case 0x203A => 0x9B
+    case 0x0153 => 0x9C
+    case 0x017E => 0x9E
+    case 0x0178 => 0x9F
+    case c if c <= 0xFF => c
+    case _ => -1
+  }
+
+  /** Strict UTF-8 validity (RFC 3629): rejects overlongs (C0/C1, E0
+    * 80-9F, F0 80-8F), surrogates (ED A0-BF) and > U+10FFFF (F5+, F4
+    * 90+). Mirrors the oracle's hex-pair grammar exactly. */
+  private def validUtf8(b: Array[Byte], n: Int): Boolean = {
+    var i = 0
+    while (i < n) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) i += 1
+      else if (c >= 0xC2 && c <= 0xDF) {
+        if (i + 1 >= n || (b(i + 1) & 0xC0) != 0x80) return false
+        i += 2
+      } else if (c >= 0xE0 && c <= 0xEF) {
+        if (i + 2 >= n) return false
+        val c1 = b(i + 1) & 0xFF
+        val lo = if (c == 0xE0) 0xA0 else 0x80
+        val hi = if (c == 0xED) 0x9F else 0xBF
+        if (c1 < lo || c1 > hi || (b(i + 2) & 0xC0) != 0x80) return false
+        i += 3
+      } else if (c >= 0xF0 && c <= 0xF4) {
+        if (i + 3 >= n) return false
+        val c1 = b(i + 1) & 0xFF
+        val lo = if (c == 0xF0) 0x90 else 0x80
+        val hi = if (c == 0xF4) 0x8F else 0xBF
+        if (c1 < lo || c1 > hi || (b(i + 2) & 0xC0) != 0x80 ||
+          (b(i + 3) & 0xC0) != 0x80) return false
+        i += 4
+      } else return false
+    }
+    true
+  }
+
+  def fix(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val n = s.length
+    val bytes = new Array[Byte](n)
+    var bi = 0
+    var sawHigh = false
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val b = mapByte(cp)
+      if (b < 0) return text
+      bytes(bi) = b.toByte
+      bi += 1
+      if (b >= 0x80) sawHigh = true
+      i += Character.charCount(cp)
+    }
+    if (!sawHigh || !validUtf8(bytes, bi)) return text
+    UTF8String.fromBytes(java.util.Arrays.copyOf(bytes, bi))
+  }
+}
+
+case class MojibakeFixExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+
+  @transient private lazy val kernel = new MojibakeKernel
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.fix(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("mojibakeKernel", kernel,
+      classOf[MojibakeKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.fix($c);")
+  }
+
+  override def prettyName: String = "mojibake_fix"
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
+}
+
 /** One-pass winnowing kernel: lowercase, split on the space byte, hash
   * every word k-gram (md5, top 60 bits — EXACTLY DuckDB's
   * `('0x' || substr(md5(gram), 1, 15))::BIGINT`, so the selection
@@ -2943,6 +3071,23 @@ object TextAnalysis {
         length(translate(col("loss_mask"), "0", "")).cast("long")
           .as("n_train_tokens"),
         col("loss_mask"))
+  }
+
+  /** Mojibake detection + repair over a corpus (see [[MojibakeKernel]]
+    * for the exact decision rule). Zero shuffle, one codegen walk per
+    * row; is_mojibake falls out of the repair (the kernel returns the
+    * input untouched unless the full CP1252→UTF-8 reinterpretation is
+    * strictly valid). */
+  def mojibakeRepair(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim
+    docs.select(col("doc_id"), col("text"),
+        graftshim.exprToColumn(MojibakeFixExpr(
+          graftshim.columnToExpr(col("text")))).as("text_fixed"))
+      .select(col("doc_id"),
+        (col("text_fixed") =!= col("text")).as("is_mojibake"),
+        length(col("text")).cast("long").as("n_chars_in"),
+        length(col("text_fixed")).cast("long").as("n_chars_fixed"),
+        col("text_fixed"))
   }
 
   /** Sequence-length histogram in power-of-two token buckets per

@@ -1680,6 +1680,28 @@ class PipelineSpec extends SparkSpec {
     assert(r3.getLong(1) == 4L && r3.getString(6) == "0111", r3.toString)
   }
 
+  test("mojibake kernel: repairs, strict-validity no-touch, astral 4-byte") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = new graft.text.MojibakeKernel
+    def fix(s: String) = k.fix(UTF8String.fromString(s)).toString
+    // 2-byte repair and CP1252-special 3-byte repair
+    assert(fix("cafÃ©") == "café")
+    assert(fix("â€œqâ€") == "“q”")
+    // astral 4-byte repair: the rocket emoji through CP1252 specials
+    assert(fix("ðŸš€") == new String(Character.toChars(0x1F680)))
+    // genuine Latin-1 (0xE9 before a space: invalid UTF-8) untouched
+    assert(fix("café au lait") == "café au lait")
+    // overlong (C0 80) and bare continuation rejected
+    assert(fix("À") == "À")
+    assert(fix("€ alone") == "€ alone")
+    // surrogate range rejected: ED A0 80 would decode to U+D800
+    assert(fix("í ") == "í ")
+    // unmappable char anywhere leaves the whole doc untouched
+    assert(fix("Ã© plus 中") == "Ã© plus 中")
+    // pure ascii is identity, not mojibake
+    assert(fix("plain text") == "plain text")
+  }
+
   test("NFC normalization composes combining marks; ascii passes through") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
