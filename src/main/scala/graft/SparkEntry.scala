@@ -2951,6 +2951,11 @@ object SparkEntry {
     // whole greedy fixed point replays bit-identically in SQL
     "kcenter_coreset" -> ((s, d) =>
       graft.ann.Similarity.kcenterCoreset(emb(s, d), 6)),
+    // bitext mining (LASER/CCMatrix reciprocal-best): mutual-NN pairs
+    // across two label populations on the exact grid; one broadcast
+    // bipartite score, two struct-max elections, equality join
+    "bitext_mine" -> ((s, d) =>
+      graft.ann.Similarity.bitextMine(emb(s, d))),
     // in-context-pretraining ordering (Shi et al. 2023): greedy
     // most-similar-next hop, bit-pinned on the 2^16 grid — the
     // topical-coherence twin of kcenter's diversity greedy
@@ -5524,6 +5529,21 @@ object SparkEntry {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "kcenter_coreset" -> kcenterSql(6),
     "icp_order" -> icpSql(8),
+    "bitext_mine" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings WHERE label IN (0, 1)),
+        |p AS (SELECT a.vec_id AS id_src, b.vec_id AS id_tgt,
+        |    CAST(list_sum(list_transform(generate_series(1, len(a.qe)),
+        |      i -> a.qe[i] * b.qe[i])) AS BIGINT) AS d
+        |  FROM q a JOIN q b ON a.label = 0 AND b.label = 1),
+        |ra AS (SELECT id_src, id_tgt, d, row_number() OVER (
+        |    PARTITION BY id_src ORDER BY d DESC, id_tgt ASC) AS rn FROM p),
+        |rb AS (SELECT id_src, id_tgt, row_number() OVER (
+        |    PARTITION BY id_tgt ORDER BY d DESC, id_src ASC) AS rn FROM p)
+        |SELECT ra.id_src, ra.id_tgt, ra.d AS dot_q
+        |FROM ra JOIN rb ON ra.id_src = rb.id_src AND ra.id_tgt = rb.id_tgt
+        |  AND ra.rn = 1 AND rb.rn = 1""".stripMargin,
     "decontam_cut" ->
       """WITH tr AS MATERIALIZED (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws

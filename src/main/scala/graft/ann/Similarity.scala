@@ -198,6 +198,42 @@ object Similarity {
       .toDF("position", "vec_id", "dot_prev")
   }
 
+  /** Bitext mining — the parallel-corpus construction step (LASER /
+    * CCMatrix): across two embedding populations (labels standing in
+    * for the two languages), mine MUTUAL nearest-neighbor pairs — y is
+    * x's best match AND x is y's best match — the reciprocal-best
+    * criterion CCMatrix uses as its mining baseline. Dots are exact
+    * 2^16-grid integers (ties: lowest id), so the mined pair set is
+    * bit-stable across engines.
+    *
+    * Plan: the target side broadcasts into ONE scored bipartite join;
+    * both directions' argmaxes are struct-max hash aggregates over the
+    * same frame (map-side partials, no window, no sort), then the two
+    * elections semi-join on equality. At 100 TB the scored join is fed
+    * by ANN candidate buckets (LSH/IVF cells) instead of the full
+    * bipartite product — the election algebra is unchanged. */
+  def bitextMine(emb: DataFrame, labelA: Int = 0, labelB: Int = 1): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_q16, vec_dot_int}
+    val q = emb.select(col("vec_id"), col("label"),
+      vec_q16(col("embedding")).as("qe"))
+    val a = q.filter(col("label") === labelA)
+      .select(col("vec_id").as("id_src"), col("qe").as("qa"))
+    val b = q.filter(col("label") === labelB)
+      .select(col("vec_id").as("id_tgt"), col("qe").as("qb"))
+    val scored = a.join(broadcast(b))
+      .select(col("id_src"), col("id_tgt"),
+        vec_dot_int(col("qa"), col("qb")).cast("long").as("d"))
+    val bestA = scored.groupBy(col("id_src"))
+      .agg(max(struct(col("d"), (-col("id_tgt")).as("nid"))).as("m"))
+      .select(col("id_src"), (-col("m.nid")).as("id_tgt"),
+        col("m.d").as("dot_q"))
+    val bestB = scored.groupBy(col("id_tgt"))
+      .agg(max(struct(col("d"), (-col("id_src")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("id_src"), col("id_tgt"))
+    bestA.join(bestB, Seq("id_src", "id_tgt"))
+      .select(col("id_src"), col("id_tgt"), col("dot_q"))
+  }
+
   /** Hard-negative mining — the contrastive-training data-prep step
     * (DPR / SimCSE / Contriever): for each query vector, the top-k
     * MOST-similar vectors carrying a DIFFERENT label. Random negatives

@@ -2079,6 +2079,33 @@ class PropertySpec extends SparkSpec {
     assert(got.toSeq == expect.toSeq, got.toSeq)
   }
 
+  test("bitext mine: pairs are exactly the reciprocal-best set") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val rows = emb.collect().map { r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](1).map(f => math.floor(f * 65536.0).toLong).toArray)
+    }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val as = rows.filter(_._2 == 0)
+    val bs = rows.filter(_._2 == 1)
+    def best(from: Array[(Long, Int, Array[Long])],
+        to: Array[(Long, Int, Array[Long])]) =
+      from.map { case (id, _, v) =>
+        id -> to.map { case (jd, _, w) => (jd, dot(v, w)) }
+          .sortBy { case (jd, d) => (-d, jd) }.head
+      }.toMap
+    val bA = best(as, bs)
+    val bB = best(bs, as)
+    val expect = bA.flatMap { case (ia, (ib, d)) =>
+      if (bB(ib)._1 == ia) Some((ia, ib, d)) else None
+    }.toSet
+    val got = SparkEntry.queries("bitext_mine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"got ${got.size} expect ${expect.size}")
+    assert(got.nonEmpty)
+  }
+
   test("triplets: positive shares the anchor label, negative does not, margin exact") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val labels = emb.select(col("vec_id"), col("label")).collect()
