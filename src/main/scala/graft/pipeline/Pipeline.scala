@@ -591,9 +591,16 @@ object Pipeline {
     * data-sized second pass. The doc_id rides NEGATED inside the
     * structs so lexicographic struct ordering encodes both tie rules.
     */
-  def dpoPairs(docs: DataFrame, sep: String = "###"): DataFrame = {
+  def dpoPairs(docs: DataFrame, sep: String = "###"): DataFrame =
+    dpoElect(dpoCandidates(docs, sep))
+
+  /** The candidate-extraction half of [[dpoPairs]]: (doc_id, prompt,
+    * score) for every separator-bearing doc with a non-empty
+    * completion — shared by the batch election and the streaming
+    * admission gate so both score identically. */
+  def dpoCandidates(docs: DataFrame, sep: String = "###"): DataFrame = {
     val ws = filter(split(lower(col("text")), " "), w => w =!= "")
-    val cand = docs.select(col("doc_id"), ws.as("__ws"))
+    docs.select(col("doc_id"), ws.as("__ws"))
       .withColumn("__sep",
         nullif(array_position(col("__ws"), sep), lit(0L)))
       .filter(col("__sep").isNotNull)
@@ -608,6 +615,11 @@ object Pipeline {
       .filter(col("n_comp") > 0L)
       .withColumn("score", expr(
         "10000 * CAST(size(array_distinct(__comp)) AS BIGINT) div n_comp"))
+      .select(col("doc_id"), col("prompt"), col("score"))
+  }
+
+  /** The election half of [[dpoPairs]] over (doc_id, prompt, score). */
+  def dpoElect(cand: DataFrame): DataFrame = {
     cand.groupBy(col("prompt"))
       .agg(count(lit(1)).as("n_candidates"),
         max(struct(col("score"), (-col("doc_id")).as("nid"))).as("__ch"),

@@ -850,6 +850,54 @@ object Events {
     }
   }
 
+  /** DPO preference-pair ingest gate — the GROWING-ELECTION form of
+    * [[graft.pipeline.Pipeline.dpoPairs]]: candidate completions
+    * stream in per micro-batch, each batch is scored by the SAME
+    * candidate extractor as the batch query
+    * ([[graft.pipeline.Pipeline.dpoCandidates]]), and a driver-side
+    * per-prompt election state (prompt-sized — the trainer-state
+    * posture) folds in the new candidates with the batch query's exact
+    * tie rules (chosen: score desc, id asc; rejected: score asc, id
+    * desc). After every batch the CURRENT pair set is emitted, so the
+    * final emission is bit-equal to the batch election over the union
+    * of all arrived candidates (gated in StreamingSpec) — and a pair
+    * can flip chosen/rejected mid-stream as better/worse completions
+    * arrive, which a per-batch stateless gate could never show. */
+  def dpoPairIngestGate(newDocs: DataFrame)(
+      onPairs: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // prompt -> (nCand, chosenScore, chosenId, rejectedScore, rejectedId)
+    val state = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long, Long, Long, Long)]()
+    newDocs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cands = graft.pipeline.Pipeline.dpoCandidates(batch.toDF())
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        cands.foreach { case (id, p, sc) =>
+          state.merge(p, (1L, sc, id, sc, id),
+            (a: (Long, Long, Long, Long, Long),
+             b: (Long, Long, Long, Long, Long)) => {
+              val (n, cs, ci, rs, ri) = a
+              val (ch, chi) =
+                if (b._2 > cs || (b._2 == cs && b._3 < ci)) (b._2, b._3)
+                else (cs, ci)
+              val (rj, rji) =
+                if (b._4 < rs || (b._4 == rs && b._5 > ri)) (b._4, b._5)
+                else (rs, ri)
+              (n + 1L, ch, chi, rj, rji)
+            })
+        }
+        val spark = batch.sparkSession
+        import spark.implicits._
+        import scala.jdk.CollectionConverters._
+        val pairs = state.asScala.toSeq.collect {
+          case (p, (n, cs, ci, rs, ri)) if n >= 2L && cs > rs =>
+            (p, n, ci, cs, ri, rs, cs - rs)
+        }
+        onPairs(pairs.toDF("prompt", "n_candidates", "chosen_id",
+          "chosen_score", "rejected_id", "rejected_score", "margin"))
+    }
+  }
+
   /** Stupid-backoff trigram scoring gate: each micro-batch of NEW
     * documents is scored under the FROZEN three-level model (trained
     * once in batch — [[graft.text.TextAnalysis.trigramBackoffModel]],

@@ -959,6 +959,53 @@ class StreamingSpec extends SparkSpec {
     assert(!all(202L), "novel instruction must admit")
   }
 
+  test("dpo pair gate: election grows across batches, final set equals batch") {
+    import spark.implicits._
+    // batch 1 seeds two prompts; batch 2 delivers a BETTER completion
+    // for prompt one (chosen flips) and the second candidate that makes
+    // prompt two electable at all
+    val b1 = Seq(
+      (11L, "p one ### aa aa aa aa", "en", "s", 1L),   // 2500
+      (12L, "p one ### bb cc", "en", "s", 1L),         // 10000
+      (13L, "p two ### dd dd dd", "en", "s", 1L))      // 3333
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b2 = Seq(
+      (21L, "p one ### ee ff gg", "en", "s", 1L),      // 10000 tie, higher id
+      (22L, "p two ### hh ii jj kk", "en", "s", 1L))   // 10000
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpo_ingest")
+    b1.coalesce(1).write.mode("append").parquet(dir.toString)
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(dir.toString)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false").parquet(dir.toString)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[
+      Array[org.apache.spark.sql.Row]]()
+    val q = graft.streaming.Events.dpoPairIngestGate(stream)(
+      v => batches.add(v.collect())).trigger(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    val seen = batches.asScala.toSeq
+    assert(seen.nonEmpty)
+    // after batch 1 only prompt one is electable
+    val first = seen.head.map(key).toSet
+    assert(first == Set(("p one", 2L, 12L, 10000L, 11L, 2500L, 7500L)), first)
+    // the FINAL emission is bit-equal to the batch election on the union
+    val union = b1.unionByName(b2)
+    val want = graft.pipeline.Pipeline.dpoPairs(union)
+      .collect().map(key).toSet
+    assert(seen.last.map(key).toSet == want, seen.last.toSeq)
+    // chosen for p one stayed id 12 on the tie (lower id wins)
+    assert(want.exists { case (p, _, ci, _, _, _, _) =>
+      p == "p one" && ci == 12L })
+    assert(want.exists { case (p, n, ci, cs, _, _, _) =>
+      p == "p two" && n == 2L && ci == 22L && cs == 10000L })
+  }
+
   test("boilerplate strip gate: streamed cleanups bit-equal the batch serve half") {
     import spark.implicits._
     // a corpus with multi-line docs: known boilerplate + unique bodies
