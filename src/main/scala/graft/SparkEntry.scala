@@ -563,6 +563,36 @@ object SparkEntry {
       " AS v(doc_id, text, lang, source, n_chars)"
   }
 
+  // Planted REPETITION docs (the base corpus has dup 2-grams but zero
+  // dup 5-grams — verified — so the n ≥ 5 coverage side needs plants).
+  // Coverage: a 5-token phrase repeated 3× (periodicity makes every
+  // n ≤ 15 window duplicated), a 2-token loop (top-2gram), an
+  // all-distinct control (all signals 0), and a 7× single-token run
+  // whose top-2gram char mass EXCEEDS total chars (the documented
+  // uncapped case: overlapping occurrences).
+  private[graft] val repRows: Seq[(Long, String)] = Seq(
+    9940001L -> ("click here to read more click here to read more" +
+      " click here to read more now"),
+    9940002L -> ("subscribe newsletter subscribe newsletter subscribe" +
+      " newsletter footer"),
+    9940003L -> "one two three four five six seven eight nine ten all distinct words",
+    9940004L -> "spam spam spam spam spam spam spam eggs")
+
+  private def docsRep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(repRows.map { case (id, t) =>
+      (id, t, "en", "planted_rep", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val repDocsSelect: String = {
+    val vals = repRows.map { case (id, t) =>
+      s"($id, '$t', 'en', 'planted_rep', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   // Planted SFT pairs ("prompt ### completion") — base docs carry no
   // separator and flow through as has_pair = false all-zero masks.
   private[graft] val sftRows: Seq[(Long, String)] = Seq(
@@ -652,6 +682,66 @@ object SparkEntry {
        |$stages
        |$out""".stripMargin
   }
+
+  /** The Gopher-repetition oracle: positional gram STRINGS as the
+    * count key (exact equality, like the kernel's bytewise map),
+    * row_number election by (ct DESC, first-occurrence ASC — a total
+    * order: one gram starts at each position), generate_series
+    * coverage union for dup grams — the full
+    * [[graft.text.TextAnalysis.gopherRepetition]] arithmetic on the
+    * 1e-4 grid. */
+  private def gopherRepSql: String =
+    s"""WITH dd AS MATERIALIZED ($repDocsSelect),
+       |t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+       |    w -> w <> '') AS ws FROM dd),
+       |tok AS MATERIALIZED (SELECT doc_id, j,
+       |    CAST(length(ws[CAST(j AS INTEGER)]) AS BIGINT) AS clen
+       |  FROM t, UNNEST(generate_series(1, len(ws))) AS tt(j)
+       |  WHERE len(ws) > 0),
+       |tot AS (SELECT doc_id, SUM(clen) AS total_chars FROM tok
+       |  GROUP BY doc_id),
+       |g AS MATERIALIZED (SELECT doc_id, n, j,
+       |    array_to_string(
+       |      ws[CAST(j AS INTEGER):CAST(j + n - 1 AS INTEGER)], ' ') AS gm
+       |  FROM t, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) nn(n),
+       |    UNNEST(generate_series(1, len(ws))) AS tt(j)
+       |  WHERE j + n - 1 <= len(ws)),
+       |c AS MATERIALIZED (SELECT doc_id, n, gm, count(*) AS ct,
+       |    min(j) AS p0 FROM g GROUP BY 1, 2, 3),
+       |tsel AS (SELECT doc_id, n, ct, p0, row_number() OVER (
+       |    PARTITION BY doc_id, n ORDER BY ct DESC, p0 ASC) AS rn
+       |  FROM c WHERE n <= 4),
+       |tlen AS (SELECT s.doc_id, s.n, s.ct * SUM(k.clen) AS chars
+       |  FROM tsel s JOIN tok k ON k.doc_id = s.doc_id
+       |    AND k.j BETWEEN s.p0 AND s.p0 + s.n - 1
+       |  WHERE s.rn = 1 GROUP BY s.doc_id, s.n, s.ct),
+       |dups AS (SELECT doc_id, n, gm FROM c WHERE n >= 5 AND ct >= 2),
+       |cov AS (SELECT DISTINCT g.doc_id, g.n, ii AS idx
+       |  FROM g JOIN dups d ON d.doc_id = g.doc_id AND d.n = g.n
+       |    AND d.gm = g.gm,
+       |    UNNEST(generate_series(g.j, g.j + g.n - 1)) AS u(ii)),
+       |covc AS (SELECT v.doc_id, v.n, SUM(k.clen) AS chars
+       |  FROM cov v JOIN tok k ON k.doc_id = v.doc_id AND k.j = v.idx
+       |  GROUP BY 1, 2),
+       |uni AS (SELECT DISTINCT doc_id, n FROM c),
+       |res AS (
+       |  SELECT u.doc_id, u.n, 'top' AS metric,
+       |      COALESCE(tl.chars, 0) AS chars
+       |    FROM uni u LEFT JOIN tlen tl
+       |      ON tl.doc_id = u.doc_id AND tl.n = u.n
+       |    WHERE u.n <= 4
+       |  UNION ALL
+       |  SELECT u.doc_id, u.n, 'dup', COALESCE(cc.chars, 0)
+       |    FROM uni u LEFT JOIN covc cc
+       |      ON cc.doc_id = u.doc_id AND cc.n = u.n
+       |    WHERE u.n >= 5)
+       |SELECT r.doc_id, CAST(r.n AS BIGINT) AS n, r.metric,
+       |  (r.chars * 10000 // o.total_chars) / 10000.0 AS char_frac,
+       |  r.chars * 10000 // o.total_chars > CASE r.n
+       |    WHEN 2 THEN 2000 WHEN 3 THEN 1800 WHEN 4 THEN 1600
+       |    WHEN 5 THEN 1500 WHEN 6 THEN 1400 WHEN 7 THEN 1300
+       |    WHEN 8 THEN 1200 WHEN 9 THEN 1100 ELSE 1000 END AS flagged
+       |FROM res r JOIN tot o ON o.doc_id = r.doc_id""".stripMargin
 
   /** The mojibake oracle: per-char CP1252 byte mapping (26 specials +
     * the ≤0xFF identity), strict UTF-8 validity as a hex-pair grammar
@@ -3473,6 +3563,11 @@ object SparkEntry {
     // completion; separator-free docs flag has_pair=false
     "sft_loss_mask" -> ((s, d) =>
       graft.text.TextAnalysis.sftLossMask(docsSft(s, d))),
+    // the FULL Gopher repetition table (Rae et al. Table A1): top
+    // 2/3/4-gram char fraction + duplicated 5..10-gram char coverage,
+    // paper thresholds on the exact grid; one count shuffle total
+    "text_rep_gopher" -> ((s, d) =>
+      graft.text.TextAnalysis.gopherRepetition(docsRep(s, d))),
     // mojibake detect+repair (the ftfy CP1252 double-encoding fix):
     // one codegen walk per row, zero shuffle; conservative no-touch
     // on anything not strictly-valid reinterpreted UTF-8
@@ -5604,6 +5699,7 @@ object SparkEntry {
          |    repeat('1', CAST(n_tokens - COALESCE(sep_idx, n_tokens) AS INTEGER))
          |    AS loss_mask
          |FROM b""".stripMargin,
+    "text_rep_gopher" -> gopherRepSql,
     "text_mojibake" -> mojibakeSql,
     "chat_loss_mask" ->
       s"""WITH dd AS MATERIALIZED ($chatDocsSelect),

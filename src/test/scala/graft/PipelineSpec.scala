@@ -1702,6 +1702,38 @@ class PipelineSpec extends SparkSpec {
     assert(fix("plain text") == "plain text")
   }
 
+  test("gopher repetition: hand-computed signals incl. the uncapped top-gram") {
+    val out = SparkEntry.queries("text_rep_gopher")(spark, sf).collect()
+      .filter(_.getLong(0) >= 9940001L)
+      .map(r => ((r.getLong(0), r.getLong(1), r.getString(2)),
+        (r.getDouble(3), r.getBoolean(4)))).toMap
+    // "spam spam spam spam spam spam spam eggs": 32 token chars
+    // top-2 "spam spam" occurs 6x at 8 chars = 48/32 = 1.5 (UNCAPPED)
+    assert(out((9940004L, 2L, "top")) == ((1.5, true)), out)
+    // dup-5 coverage: "spam"x5 at 3 positions covers tokens 1..7 = 28/32
+    assert(out((9940004L, 5L, "dup")) == ((0.875, true)), out)
+    // 7 identical tokens make exactly one distinct 7-gram: count 1, no dup
+    assert(out((9940004L, 7L, "dup")) == ((0.0, false)), out)
+    // 8 tokens have no 10-gram: no row at all
+    assert(!out.contains((9940004L, 10L, "dup")), out.keys)
+    // periodic "click here to read more" x3: every 5..15-window repeats
+    // with shift 5 -> coverage = all but "now" = 57/60 for n=5 AND n=10
+    assert(out((9940001L, 5L, "dup")) == ((0.95, true)), out)
+    assert(out((9940001L, 10L, "dup")) == ((0.95, true)), out)
+    // the all-distinct control never flags and has zero dup coverage
+    (5L to 10L).foreach { n =>
+      assert(out((9940003L, n, "dup")) == ((0.0, false)), s"n=$n")
+    }
+    // top-side flags on the control are legitimately true at this doc
+    // length (a count-1 gram of long words already holds >20% of 55
+    // chars — Gopher applies these to long docs); the elected gram is
+    // hash-tie-broken, so its exact value is pinned by the SQL oracle,
+    // not hand-derivable here
+    (2L to 4L).foreach { n =>
+      assert(out((9940003L, n, "top"))._1 < 0.4, s"n=$n")
+    }
+  }
+
   test("NFC normalization composes combining marks; ascii passes through") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
