@@ -822,6 +822,58 @@ object ScaleProbe {
         text.TextAnalysis.qualityGridScore(d)).count()
     }
 
+    // synthesized ###-bearing candidates: ~1000 prompt groups whose
+    // membership scales ×c — the hash-agg election's real load
+    probe("dpo_pairs", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+        .withColumn("text", concat(lit("prompt "),
+          pmod(col("doc_id"), lit(1000L)), lit(" ### "), col("text")))
+      pipeline.Pipeline.dpoPairs(d).count()
+    }
+
+    // aggregate over the kernel column: a bare count() would let the
+    // optimizer PRUNE the kernel projection and time an empty scan
+    probe("chat_loss_mask", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+        .withColumn("text",
+          concat(lit("<user> question here <assistant> "), col("text")))
+      text.TextAnalysis.chatLossMask(d)
+        .agg(sum(col("n_train_tokens"))).collect().length.toLong
+    }
+
+    // 1-in-7 rows get a planted 2-byte mojibake; the rest take the
+    // ascii identity fast path — both branches are one kernel walk
+    probe("text_mojibake", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+        .withColumn("text", when(pmod(col("doc_id"), lit(7L)) === 0L,
+          concat(lit("cafÃ© "), col("text")))
+          .otherwise(col("text")))
+      text.TextAnalysis.mojibakeRepair(d)
+        .agg(sum(col("n_chars_fixed")), sum(col("is_mojibake").cast("long")))
+        .collect().length.toLong
+    }
+
+    probe("text_rep_gopher", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.gopherRepetition(d).count()
+    }
+
+    // both label populations scale ×c, so the brute bipartite product
+    // grows ×c² — the declared baseline shape; the 100 TB path feeds
+    // the same elections from ANN candidate cells instead
+    probe("bitext_mine", Seq(1, 10)) { c =>
+      val e = replicate(engine.Tables.embeddings(spark, sf), c,
+        Map("vec_id" -> 1000000L))
+      ann.Similarity.bitextMine(e).count()
+    }
+
+    // k fixed hops ⇒ k bounded scans over a ×c corpus: linear
+    probe("icp_order", Seq(1, 20)) { c =>
+      val e = replicate(engine.Tables.embeddings(spark, sf), c,
+        Map("vec_id" -> 1000000L))
+      ann.Similarity.icpOrder(e, 8).count()
+    }
+
     // each gradient step is one partial-agg pass; iters fixed ⇒ the
     // trainer scales like iters × one corpus scan, never superlinear
     probe("quality_probe_train", Seq(1, 20)) { c =>

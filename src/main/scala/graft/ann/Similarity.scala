@@ -207,11 +207,13 @@ object Similarity {
     * bit-stable across engines.
     *
     * Plan: the target side broadcasts into ONE scored bipartite join;
-    * both directions' argmaxes are struct-max hash aggregates over the
-    * same frame (map-side partials, no window, no sort), then the two
-    * elections semi-join on equality. At 100 TB the scored join is fed
-    * by ANN candidate buckets (LSH/IVF cells) instead of the full
-    * bipartite product — the election algebra is unchanged. */
+    * both directions' argmaxes are struct-max aggregates over the same
+    * frame (map-side partial_max; Spark plans struct max sort-based —
+    * partition-local sorts, no extra exchange, no window), then the
+    * two elections join on equality (data-sized both sides: a
+    * sort-merge join is the correct plan). At 100 TB the scored join
+    * is fed by ANN candidate buckets (LSH/IVF cells) instead of the
+    * full bipartite product — the election algebra is unchanged. */
   def bitextMine(emb: DataFrame, labelA: Int = 0, labelB: Int = 1): DataFrame = {
     import graft.functions.VectorExpressions.{vec_q16, vec_dot_int}
     val q = emb.select(col("vec_id"), col("label"),

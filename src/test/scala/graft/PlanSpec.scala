@@ -891,6 +891,31 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3, p)
   }
 
+  test("gopher repetition and mojibake plans have ZERO exchanges") {
+    val d = Tables.documents(spark, sf)
+    val pRep = plan(graft.text.TextAnalysis.gopherRepetition(d))
+    assert(!pRep.contains("Exchange"), pRep)
+    assert(pRep.contains("gopher_rep_signals"), pRep)
+    val pMoji = plan(graft.text.TextAnalysis.mojibakeRepair(d))
+    assert(!pMoji.contains("Exchange"), pMoji)
+    val pChat = plan(graft.text.TextAnalysis.chatLossMask(d))
+    assert(!pChat.contains("Exchange"), pChat)
+  }
+
+  test("bitext mining: broadcast bipartite score, partial elections, no window") {
+    val e = Tables.embeddings(spark, sf)
+    val p = plan(graft.ann.Similarity.bitextMine(e))
+    // the target side broadcasts into the scored product; elections are
+    // struct-max aggregates WITH map-side partials (partial_max) —
+    // Spark plans struct max as SortAggregate (partition-local sorts,
+    // no extra exchange); the final equality join of two data-sized
+    // election frames is allowed to sort-merge
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dynamic runtime filter pushes down to the parquet scan") {
     import graft.functions.DynamicUdf
     DynamicUdf.registerExpr(spark, "plan_spec_dyn",
