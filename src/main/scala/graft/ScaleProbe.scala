@@ -867,6 +867,26 @@ object ScaleProbe {
       ann.Similarity.bitextMine(e).count()
     }
 
+    // synthesized sentence structure: every 10th token becomes a
+    // boundary, so the explode + per-doc window scale with the corpus
+    probe("chunk_sentences", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+        .withColumn("text", regexp_replace(col("text"),
+          "((\\S+ ){9}\\S+) ", "$1. "))
+      text.TextAnalysis.chunkSentences(d).count()
+    }
+
+    // candidates are rare (1-in-7 rows get one planted IBAN); the scan
+    // is the regexp pass, the checksum fold runs only on matches
+    probe("pii_iban", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+        .withColumn("text", when(pmod(col("doc_id"), lit(7L)) === 0L,
+          concat(col("text"), lit(" DE89370400440532013000")))
+          .otherwise(col("text")))
+      text.TextAnalysis.piiIban(d)
+        .agg(sum(col("n_iban_valid"))).collect().length.toLong
+    }
+
     // k fixed hops ⇒ k bounded scans over a ×c corpus: linear
     probe("icp_order", Seq(1, 20)) { c =>
       val e = replicate(engine.Tables.embeddings(spark, sf), c,

@@ -593,6 +593,62 @@ object SparkEntry {
       " AS v(doc_id, text, lang, source, n_chars)"
   }
 
+  // Planted IBAN docs: two genuine checksums (the ISO example pair), a
+  // one-digit corruption (shape-identical, mod-97 fails), a lookalike
+  // (matches the candidate regex, wrong checksum), and a lowercase
+  // spelling (never a candidate). Base docs are lowercase — no
+  // accidental candidates.
+  private[graft] val ibanRows: Seq[(Long, String)] = Seq(
+    9960001L -> "pay to DE89370400440532013000 today",
+    9960002L -> "ref GB82WEST12345698765432 thanks",
+    9960003L -> "fake DE89370400440532013001 checksum",
+    9960004L -> "short XX00ABCD123456789 maybe",
+    9960005L -> "lowercase de89370400440532013000 ignored")
+
+  private def docsIban(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(ibanRows.map { case (id, t) =>
+      (id, t, "en", "planted_iban", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val ibanDocsSelect: String = {
+    val vals = ibanRows.map { case (id, t) =>
+      s"($id, '$t', 'en', 'planted_iban', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
+  // Planted MULTI-SENTENCE docs (the base corpus has no ". " anywhere
+  // — verified — so sentence-aligned chunking needs plants). Coverage:
+  // ten 10-token sentences (boundaries at the straddle: a chunk runs
+  // to 70 tokens before closing), a single 70-token sentence (one
+  // whole-chunk overrun), and a tiny 3-sentence doc (single chunk).
+  private[graft] val sentRows: Seq[(Long, String)] = {
+    def sent(tag: String, n: Int) =
+      (tag +: (1 until n).map(i => s"w$i")).mkString(" ")
+    Seq(
+      9950001L -> (1 to 10).map(i => sent(s"s$i", 10)).mkString(". "),
+      9950002L -> Seq(sent("long", 70), sent("tail", 8)).mkString(". "),
+      9950003L -> "alpha beta. gamma. delta epsilon zeta")
+  }
+
+  private def docsSent(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(sentRows.map { case (id, t) =>
+      (id, t, "en", "planted_sent", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val sentDocsSelect: String = {
+    val vals = sentRows.map { case (id, t) =>
+      s"($id, '$t', 'en', 'planted_sent', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   // Planted SFT pairs ("prompt ### completion") — base docs carry no
   // separator and flow through as has_pair = false all-zero masks.
   private[graft] val sftRows: Seq[(Long, String)] = Seq(
@@ -3563,6 +3619,15 @@ object SparkEntry {
     // completion; separator-free docs flag has_pair=false
     "sft_loss_mask" -> ((s, d) =>
       graft.text.TextAnalysis.sftLossMask(docsSft(s, d))),
+    // IBAN detection with the real mod-97 checksum (the Luhn posture
+    // for bank accounts): one regexp scan, fold only over candidates
+    "pii_iban" -> ((s, d) =>
+      graft.text.TextAnalysis.piiIban(docsIban(s, d))),
+    // sentence-aligned chunking (RAG splitter): fixed-budget
+    // cumulative rule, boundaries only between sentences; per-doc
+    // windows, no global sort
+    "chunk_sentences" -> ((s, d) =>
+      graft.text.TextAnalysis.chunkSentences(docsSent(s, d))),
     // the FULL Gopher repetition table (Rae et al. Table A1): top
     // 2/3/4-gram char fraction + duplicated 5..10-gram char coverage,
     // paper thresholds on the exact grid; one count shuffle total
@@ -5699,6 +5764,44 @@ object SparkEntry {
          |    repeat('1', CAST(n_tokens - COALESCE(sep_idx, n_tokens) AS INTEGER))
          |    AS loss_mask
          |FROM b""".stripMargin,
+    "pii_iban" ->
+      s"""WITH dd AS MATERIALIZED ($ibanDocsSelect)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}')) AS BIGINT)
+         |    AS n_iban_candidates,
+         |  CAST(len(list_filter(regexp_extract_all(text,
+         |    '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}'),
+         |    c -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, length(c)), j ->
+         |        CASE WHEN ascii(substr(
+         |            c || substr(c, 1, 4), CAST(j + 4 AS INT), 1)) >= 65
+         |          THEN CAST(100000 + ascii(substr(c || substr(c, 1, 4),
+         |            CAST(j + 4 AS INT), 1)) - 55 AS BIGINT)
+         |          ELSE CAST(10000 + ascii(substr(c || substr(c, 1, 4),
+         |            CAST(j + 4 AS INT), 1)) - 48 AS BIGINT) END)),
+         |      (acc, e) -> (acc * CASE WHEN e >= 100000 THEN 100 ELSE 10
+         |        END + e % 10000) % 97) = 1)) AS BIGINT) AS n_iban_valid
+         |FROM dd""".stripMargin,
+    "chunk_sentences" ->
+      s"""WITH dd AS MATERIALIZED ($sentDocsSelect),
+         |t AS (SELECT doc_id, list_filter(string_split(text, '. '),
+         |    x -> x <> '') AS ss FROM dd),
+         |s AS (SELECT doc_id, j, ss[CAST(j AS INTEGER)] AS sent,
+         |    CAST(len(list_filter(string_split(
+         |      lower(ss[CAST(j AS INTEGER)]), ' '), w -> w <> ''))
+         |      AS BIGINT) AS n_toks
+         |  FROM t, UNNEST(generate_series(1, len(ss))) AS tt(j)),
+         |c AS (SELECT doc_id, j, sent, n_toks,
+         |    (CAST(SUM(n_toks) OVER (PARTITION BY doc_id ORDER BY j
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) - n_toks) // 64 AS chunk_id
+         |  FROM s WHERE n_toks > 0)
+         |SELECT doc_id, chunk_id,
+         |  CAST(count(*) AS BIGINT) AS n_sentences,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  string_agg(sent, '. ' ORDER BY j) AS chunk_text
+         |FROM c GROUP BY 1, 2""".stripMargin,
     "text_rep_gopher" -> gopherRepSql,
     "text_mojibake" -> mojibakeSql,
     "chat_loss_mask" ->

@@ -1608,6 +1608,34 @@ object TextAnalysis {
         .as("n_cards_valid"))
   }
 
+  /** IBAN detection with the REAL ISO 13616 mod-97 checksum (the
+    * [[piiStats]] Luhn posture for bank accounts): candidates match
+    * the 2-letter country + 2 check digits + 11..30 alphanumerics
+    * shape, then validate by the standard rearrangement (move the
+    * first 4 chars to the end, letters become two digits A=10..Z=35)
+    * and a running mod-97 fold — ≡ 1 iff genuine. Checksum-only (no
+    * per-country length registry — documented). The fold runs only
+    * over matched candidates (rare), so the interpreted lambda is off
+    * the hot path; the scan itself is one regexp pass, zero shuffle. */
+  def piiIban(docs: DataFrame): DataFrame = {
+    val pat = "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"
+    def ibanOk(s: Column): Column = {
+      val r = concat(substring(s, 5, 34), substring(s, 1, 4))
+      val rem = aggregate(sequence(lit(1), length(r)), lit(0L), (acc, j) => {
+        val c = ascii(substring(r, j.cast("int"), lit(1))).cast("long")
+        when(c >= 65L, (acc * 100L + (c - 55L)) % 97L)
+          .otherwise((acc * 10L + (c - 48L)) % 97L)
+      })
+      rem === 1L
+    }
+    docs.select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(pat), lit(0)).as("__cands"))
+      .select(col("doc_id"),
+        size(col("__cands")).cast("long").as("n_iban_candidates"),
+        size(filter(col("__cands"), c => ibanOk(c))).cast("long")
+          .as("n_iban_valid"))
+  }
+
   /** Overlapping fixed-size chunking (RAG / context-window prep): cut
     * each document into `chunkChars`-char windows starting every `stride`
     * chars. One narrow explode per document — chunk count is
@@ -3303,6 +3331,37 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars_in"),
         length(col("text_fixed")).cast("long").as("n_chars_fixed"),
         col("text_fixed"))
+  }
+
+  /** Sentence-aligned chunking — the RAG/long-context splitter that
+    * never cuts mid-sentence: sentences (". "-separated) are assigned
+    * to chunks by the SAME fixed-budget cumulative rule as
+    * [[graft.pipeline.Pipeline]] packing (chunk = tokens-before div
+    * budget): boundaries land only between sentences, and a sentence
+    * straddling a budget multiple stays whole (its chunk runs over —
+    * the documented straddle semantics, like a doc bigger than a pack
+    * bin). One posexplode + one per-doc window + one per-chunk
+    * aggregate — all partitioned by doc_id, no global ordering
+    * anywhere. */
+  def chunkSentences(docs: DataFrame, budgetTokens: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sents = filter(split(col("text"), "\\. "), s => length(s) > 0)
+    val exploded = docs.select(col("doc_id"), posexplode(sents))
+      .toDF("doc_id", "sidx", "sent")
+      .withColumn("n_toks",
+        size(filter(split(lower(col("sent")), " "), w => w =!= ""))
+          .cast("long"))
+      .filter(col("n_toks") > 0L)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sidx"))
+    exploded
+      .withColumn("__cum", sum(col("n_toks")).over(w) - col("n_toks"))
+      .withColumn("chunk_id", intDiv(col("__cum"), lit(budgetTokens.toLong)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("n_toks")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("sidx"), col("sent")))),
+          x => x.getField("sent")), ". ").as("chunk_text"))
   }
 
   /** Sequence-length histogram in power-of-two token buckets per

@@ -1734,6 +1734,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sentence chunking: boundaries only between sentences, straddle runs over") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("chunk_sentences")(spark, sf)
+      .filter(col("doc_id") >= 9950001L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // 10 sentences x 10 tokens: cum-before 0..60 -> chunk 0 (7 sents,
+    // 70 tokens — the straddle), 70..90 -> chunk 1 (3 sents, 30)
+    assert(got((9950001L, 0L)) == ((7L, 70L)), got)
+    assert(got((9950001L, 1L)) == ((3L, 30L)), got)
+    // a single 70-token sentence stays whole in chunk 0
+    assert(got((9950002L, 0L)) == ((1L, 70L)), got)
+    assert(got((9950002L, 1L)) == ((1L, 8L)), got)
+    // tiny doc: one chunk, three sentences, reassembled text intact
+    assert(got((9950003L, 0L)) == ((3L, 6L)), got)
+    val txt = SparkEntry.queries("chunk_sentences")(spark, sf)
+      .filter(col("doc_id") === 9950003L).collect()(0).getString(4)
+    assert(txt == "alpha beta. gamma. delta epsilon zeta", txt)
+  }
+
+  test("iban detection: mod-97 separates genuine from corrupted and lookalikes") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("pii_iban")(spark, sf)
+      .filter(col("doc_id") >= 9960001L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(9960001L) == ((1L, 1L)), got) // DE example: valid
+    assert(got(9960002L) == ((1L, 1L)), got) // GB example: valid
+    assert(got(9960003L) == ((1L, 0L)), got) // one-digit corruption
+    assert(got(9960004L) == ((1L, 0L)), got) // lookalike shape
+    assert(got(9960005L) == ((0L, 0L)), got) // lowercase never matches
+  }
+
   test("NFC normalization composes combining marks; ascii passes through") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
