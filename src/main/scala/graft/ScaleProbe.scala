@@ -887,6 +887,13 @@ object ScaleProbe {
         .agg(sum(col("n_iban_valid"))).collect().length.toLong
     }
 
+    // one per-user window over a ×c event log: shuffle-bound linear
+    probe("events_attribution", Seq(1, 20)) { c =>
+      val ev = replicate(events, c,
+        Map("event_id" -> 10000000L, "user_id" -> 1000000L))
+      streaming.Events.lastTouchAttribution(ev).count()
+    }
+
     // k fixed hops ⇒ k bounded scans over a ×c corpus: linear
     probe("icp_order", Seq(1, 20)) { c =>
       val e = replicate(engine.Tables.embeddings(spark, sf), c,

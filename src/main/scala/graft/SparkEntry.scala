@@ -2695,6 +2695,11 @@ object SparkEntry {
     "events_conversion_time" -> ((s, d) =>
       graft.streaming.Events.funnelLatency(ev(s, d),
         Seq("view", "click", "purchase"))),
+    // last-touch attribution: each purchase credited to the user's
+    // most recent preceding click/view via one per-user window pass;
+    // organic purchases keep a null touch
+    "events_attribution" -> ((s, d) =>
+      graft.streaming.Events.lastTouchAttribution(ev(s, d))),
     // lexical diversity (type-token ratio): low TTR flags templates
     "text_ttr" -> ((s, d) =>
       graft.text.TextAnalysis.typeTokenRatio(docs(s, d))),
@@ -5425,6 +5430,19 @@ object SparkEntry {
       """SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id
         |ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
         |FROM events""".stripMargin,
+    "events_attribution" ->
+      """WITH t AS (SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type IN ('click', 'view') THEN
+        |      struct_pack(tts := ts, tid := event_id,
+        |        ttype := event_type) END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tch
+        |  FROM events)
+        |SELECT event_id AS purchase_id, user_id,
+        |  tch.ttype AS touch_type, tch.tid AS touch_id,
+        |  CAST(date_diff('second', tch.tts, ts) AS BIGINT)
+        |    AS latency_seconds
+        |FROM t WHERE event_type = 'purchase'""".stripMargin,
     "events_conversion_time" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY 1),

@@ -198,6 +198,33 @@ object Events {
     }.reduce(_ unionByName _)
   }
 
+  /** Last-touch attribution — the marketing-analytics conversion
+    * crediting model: every conversion event is credited to the user's
+    * most recent PRECEDING touch event (ties at the same timestamp
+    * break by event_id: a touch logged in the same instant attributes
+    * iff its event_id is lower). One per-user ordered window pass
+    * (last ignoreNulls over a touch struct — no self-join, no asof
+    * materialization); conversions with no prior touch emit a null
+    * touch (the organic bucket). At scale this is one shuffle keyed by
+    * user_id — the partitioning every per-user events query shares. */
+  def lastTouchAttribution(events: DataFrame,
+      touches: Seq[String] = Seq("click", "view"),
+      conversion: String = "purchase"): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val touch = when(col("event_type").isin(touches.map(x => x: Any): _*),
+      struct(col("ts").as("tts"), col("event_id").as("tid"),
+        col("event_type").as("ttype")))
+    events
+      .withColumn("__t", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === conversion)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("__t.ttype").as("touch_type"),
+        col("__t.tid").as("touch_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("__t.tts")))
+          .as("latency_seconds"))
+  }
+
   /** Hourly volume anomaly flags — the ingest-ops monitor: each hour's
     * event count against the TRAILING 24-hour mean (current hour
     * excluded), ratio on the exact 1e-4 grid, flagged at `thetaE4`

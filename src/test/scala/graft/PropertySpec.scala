@@ -1839,6 +1839,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("last-touch attribution: election, same-instant tie, organic bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(10), 7L, "view"), (2L, ts(20), 7L, "click"),
+      (3L, ts(30), 7L, "purchase"),              // credits click@20
+      (4L, ts(40), 7L, "purchase"),              // still click@20
+      (5L, ts(50), 8L, "purchase"),              // organic: no touch
+      (6L, ts(60), 9L, "click"), (7L, ts(60), 9L, "purchase"),
+      // same instant: touch event_id 6 < purchase 7 -> attributes
+      (9L, ts(70), 10L, "purchase"), (8L, ts(70), 10L, "click")
+      // same instant but touch id 8 < purchase 9 -> attributes too
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.streaming.Events.lastTouchAttribution(ev)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) null else r.getString(2)),
+          (if (r.isNullAt(3)) -1L else r.getLong(3)),
+          (if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got(3L) == (("click", 2L, 10L)), got)
+    assert(got(4L) == (("click", 2L, 20L)), got)
+    assert(got(5L) == ((null, -1L, -1L)), got)
+    assert(got(7L) == (("click", 6L, 0L)), got)
+    assert(got(9L) == (("click", 8L, 0L)), got)
+  }
+
   test("hourlyAnomaly / typeTokenRatio / tokenZipf invariants") {
     val an = SparkEntry.queries("events_anomaly")(spark, sf).collect()
     // hour counts conserve; history-less first hour never flags
