@@ -888,10 +888,13 @@ object ScaleProbe {
     }
 
     // one per-user window over a ×c event log: shuffle-bound linear
+    // (aggregate over the window output — count() alone would prune it)
     probe("events_attribution", Seq(1, 20)) { c =>
       val ev = replicate(events, c,
         Map("event_id" -> 10000000L, "user_id" -> 1000000L))
-      streaming.Events.lastTouchAttribution(ev).count()
+      streaming.Events.lastTouchAttribution(ev)
+        .agg(sum(col("latency_seconds")), sum(col("touch_id")))
+        .collect().length.toLong
     }
 
     // k fixed hops ⇒ k bounded scans over a ×c corpus: linear

@@ -593,6 +593,33 @@ object SparkEntry {
       " AS v(doc_id, text, lang, source, n_chars)"
   }
 
+  // Planted INVISIBLE-CHAR docs: a ZWSP-split word (dedup evasion — a
+  // byte-distinct twin of visible text), a bidi-RLO reordering attack
+  // (Trojan Source), an isolate pair, a BOM-prefixed doc, and a clean
+  // control. All chars spelled as escapes — nothing invisible in the
+  // source.
+  private[graft] val invisRows: Seq[(Long, String)] = Seq(
+    9970001L -> "pay\u200bload split by zwsp",
+    9970002L -> "access\u202eelbasid\u202c the rlo trick",
+    9970003L -> "alpha \u2066isolated\u2069 beta",
+    9970004L -> "\ufeffbom prefixed doc",
+    9970005L -> "perfectly clean text")
+
+  private def docsInvis(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(invisRows.map { case (id, t) =>
+      (id, t, "en", "planted_invis", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val invisDocsSelect: String = {
+    val vals = invisRows.map { case (id, t) =>
+      s"($id, '$t', 'en', 'planted_invis', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   // Planted IBAN docs: two genuine checksums (the ISO example pair), a
   // one-digit corruption (shape-identical, mod-97 fails), a lookalike
   // (matches the candidate regex, wrong checksum), and a lowercase
@@ -3624,6 +3651,11 @@ object SparkEntry {
     // completion; separator-free docs flag has_pair=false
     "sft_loss_mask" -> ((s, d) =>
       graft.text.TextAnalysis.sftLossMask(docsSft(s, d))),
+    // invisible-char sanitization (Trojan Source / dedup evasion):
+    // zero-width + bidi-control counts and the stripped text, one
+    // regexp pass per class, zero shuffle
+    "text_sanitize_invisible" -> ((s, d) =>
+      graft.text.TextAnalysis.sanitizeInvisible(docsInvis(s, d))),
     // IBAN detection with the real mod-97 checksum (the Luhn posture
     // for bank accounts): one regexp scan, fold only over candidates
     "pii_iban" -> ((s, d) =>
@@ -5782,6 +5814,21 @@ object SparkEntry {
          |    repeat('1', CAST(n_tokens - COALESCE(sep_idx, n_tokens) AS INTEGER))
          |    AS loss_mask
          |FROM b""".stripMargin,
+    "text_sanitize_invisible" ->
+      s"""WITH dd AS MATERIALIZED ($invisDocsSelect)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[\\x{200B}-\\x{200F}\\x{2060}-\\x{2064}\\x{FEFF}]'))
+         |    AS BIGINT) AS n_zero_width,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]'))
+         |    AS BIGINT) AS n_bidi_controls,
+         |  regexp_replace(regexp_replace(text,
+         |    '[\\x{200B}-\\x{200F}\\x{2060}-\\x{2064}\\x{FEFF}]',
+         |    '', 'g'),
+         |    '[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]', '', 'g')
+         |    AS text_clean
+         |FROM dd""".stripMargin,
     "pii_iban" ->
       s"""WITH dd AS MATERIALIZED ($ibanDocsSelect)
          |SELECT doc_id,

@@ -1608,6 +1608,28 @@ object TextAnalysis {
         .as("n_cards_valid"))
   }
 
+  /** Invisible-character sanitization — the Trojan-Source / spam-
+    * evasion cleanup (Boucher & Anderson 2021): count and strip
+    * zero-width characters (ZWSP/ZWNJ/ZWJ/LRM/RLM U+200B–200F, word
+    * joiner block U+2060–2064, BOM U+FEFF) and bidi embedding controls
+    * (U+202A–202E LRE/RLE/PDF/LRO/RLO, U+2066–2069 isolates) — the
+    * characters that make visually-identical strings byte-distinct
+    * (dedup evasion) or reorder displayed code (supply-chain
+    * injection). One regexp pass per class, zero shuffle; both
+    * classes' patterns are literal codepoint ranges, identical under
+    * Java regex and RE2. */
+  def sanitizeInvisible(docs: DataFrame): DataFrame = {
+    val zw = "[\\x{200B}-\\x{200F}\\x{2060}-\\x{2064}\\x{FEFF}]"
+    val bidi = "[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]"
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(zw), lit(0)))
+        .cast("long").as("n_zero_width"),
+      size(regexp_extract_all(col("text"), lit(bidi), lit(0)))
+        .cast("long").as("n_bidi_controls"),
+      regexp_replace(regexp_replace(col("text"), zw, ""), bidi, "")
+        .as("text_clean"))
+  }
+
   /** IBAN detection with the REAL ISO 13616 mod-97 checksum (the
     * [[piiStats]] Luhn posture for bank accounts): candidates match
     * the 2-letter country + 2 check digits + 11..30 alphanumerics

@@ -1767,6 +1767,19 @@ class PipelineSpec extends SparkSpec {
     assert(got(9960005L) == ((0L, 0L)), got) // lowercase never matches
   }
 
+  test("invisible sanitization: zwsp, rlo pair, isolates, bom all strip") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("text_sanitize_invisible")(spark, sf)
+      .filter(col("doc_id") >= 9970001L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(9970001L) == ((1L, 0L, "payload split by zwsp")), got)
+    assert(got(9970002L) == ((0L, 2L, "accesselbasid the rlo trick")), got)
+    assert(got(9970003L) == ((0L, 2L, "alpha isolated beta")), got)
+    assert(got(9970004L) == ((1L, 0L, "bom prefixed doc")), got)
+    assert(got(9970005L) == ((0L, 0L, "perfectly clean text")), got)
+  }
+
   test("NFC normalization composes combining marks; ascii passes through") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
