@@ -336,6 +336,45 @@ object Events {
       }
   }
 
+  final case class AttEv(event_id: Long, ts: java.sql.Timestamp,
+    user_id: Long, event_type: String)
+  final case class TouchState(tts: Long, tid: Long, ttype: String)
+  final case class CreditOut(purchase_id: Long, user_id: Long,
+    touch_type: Option[String], touch_id: Option[Long],
+    latency_seconds: Option[Long])
+
+  /** Streaming last-touch attribution — the stateful twin of
+    * [[lastTouchAttribution]] via flatMapGroupsWithState: per-user
+    * state is O(1) (the single latest touch), each conversion emits
+    * its credit the moment it arrives, and the per-batch sort on
+    * (ts, event_id) reproduces the batch window's tie rule. Given
+    * in-order arrival (the event-log contract) the emitted credit set
+    * is bit-equal to the batch operator over the union — gated in
+    * StreamingSpec. */
+  def attributionStream(events: Dataset[AttEv],
+      touches: Set[String] = Set("click", "view"),
+      conversion: String = "purchase"): Dataset[CreditOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, CreditOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, evs, state: GroupState[TouchState]) =>
+          var st = state.getOption
+          var out = List.empty[CreditOut]
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (touches.contains(e.event_type))
+              st = Some(TouchState(e.ts.getTime, e.event_id, e.event_type))
+            else if (e.event_type == conversion)
+              out ::= CreditOut(e.event_id, uid, st.map(_.ttype),
+                st.map(_.tid),
+                st.map(s => e.ts.getTime / 1000L - s.tts / 1000L))
+          }
+          st.foreach(state.update)
+          out.reverseIterator
+      }
+  }
+
   /** Run the streaming hourly aggregation over a parquet directory with a
     * memory sink — used by tests to validate the streaming plumbing
     * against the batch oracle form.

@@ -726,6 +726,44 @@ class StreamingSpec extends SparkSpec {
     assert(closed.exists(r => r.getLong(0) == 1L && r.getLong(2) == 2L))
   }
 
+  test("attribution stream: stateful credits bit-equal the batch window") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val evs = Seq(
+      Events.AttEv(1L, ts(10), 7L, "view"),
+      Events.AttEv(2L, ts(20), 7L, "click"),
+      Events.AttEv(3L, ts(30), 7L, "purchase"),
+      Events.AttEv(4L, ts(40), 8L, "purchase"),  // organic
+      Events.AttEv(5L, ts(50), 7L, "purchase"),  // still click@20
+      Events.AttEv(6L, ts(60), 9L, "click"),
+      Events.AttEv(7L, ts(60), 9L, "purchase"))  // same-instant tie
+    val dir = java.nio.file.Files.createTempDirectory("graft_att")
+    // two files → two micro-batches, split at ts 40 (in-order arrival)
+    evs.take(4).toDS().coalesce(1).write.mode("append").parquet(dir.toString)
+    Thread.sleep(1100)
+    evs.drop(4).toDS().coalesce(1).write.mode("append").parquet(dir.toString)
+    val stream = spark.readStream.schema(evs.toDS().schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(dir.toString).as[Events.AttEv]
+    val q = Events.attributionStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("graft_att_credits")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0),
+      if (r.isNullAt(2)) null else r.getString(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4))
+    val got = spark.table("graft_att_credits").collect().map(key).toSet
+    val want = Events.lastTouchAttribution(
+        evs.toDS().toDF().withColumnRenamed("event_type", "event_type"))
+      .collect().map(key).toSet
+    assert(got == want, s"got $got want $want")
+    assert(got.contains((4L, null, -1L, -1L)), got)    // organic
+    assert(got.contains((7L, "click", 6L, 0L)), got)   // same-instant tie
+    assert(got.contains((5L, "click", 2L, 30L)), got)  // cross-batch state
+  }
+
   test("image ingest gate equals the batch image near-dup check") {
     import graft.multimodal.Multimodal
     val spark0 = spark
