@@ -897,6 +897,43 @@ object ScaleProbe {
         .collect().length.toLong
     }
 
+    // both interval sets scale ×c on the SAME date axis, so per-bin
+    // density (the join's real load) scales ×c on both sides
+    probe("interval_overlap_join", Seq(1, 20)) { c =>
+      val o = replicate(ord, c, Map("o_orderkey" -> 100000000L))
+      val base = lit("1970-01-01").cast("date")
+      def days(cc: org.apache.spark.sql.Column) =
+        datediff(cc.cast("date"), base).cast("long")
+      val a = o.filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-03-01"))
+        .select(col("o_orderkey").as("a_key"),
+          days(col("o_orderdate")).as("a_lo"))
+        .withColumn("a_hi", col("a_lo") + 7L)
+      val b = o.filter(col("o_orderpriority") === "5-LOW" &&
+          col("o_orderdate") >= lit("1995-12-15") &&
+          col("o_orderdate") < lit("1996-03-15"))
+        .select(col("o_orderkey").as("b_key"),
+          days(col("o_orderdate")).as("b_lo"))
+        .withColumn("b_hi", col("b_lo") + 10L)
+      operators.RangeJoin.intervalOverlap(a, col("a_lo"), col("a_hi"),
+          b, col("b_lo"), col("b_hi"), 7L)
+        .groupBy(col("a_key")).count().count()
+    }
+
+    probe("kanonymity_audit", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      security.KAnonymity.classes(d, Seq(col("lang"), col("source"),
+        length(bin(col("n_chars"))).cast("long").as("len_bits")), 5L).count()
+    }
+
+    probe("sink_rle_layout", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      engine.Layout.rleLayoutAudit(d, Seq("lang" -> col("lang"),
+        "source" -> col("source"),
+        "len_bits" -> length(bin(col("n_chars"))).cast("long"))).count()
+    }
+
     // k fixed hops ⇒ k bounded scans over a ×c corpus: linear
     probe("icp_order", Seq(1, 20)) { c =>
       val e = replicate(engine.Tables.embeddings(spark, sf), c,

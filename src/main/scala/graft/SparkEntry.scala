@@ -3651,6 +3651,56 @@ object SparkEntry {
     // completion; separator-free docs flag has_pair=false
     "sft_loss_mask" -> ((s, d) =>
       graft.text.TextAnalysis.sftLossMask(docsSft(s, d))),
+    // RLE sink-layout audit: total run counts of every candidate sort
+    // order from ONE distinct-count pass — no sort executed; the
+    // ascending-cardinality parquet-sort-key rule, measured
+    "sink_rle_layout" -> ((s, d) =>
+      graft.engine.Layout.rleLayoutAudit(docs(s, d), Seq(
+        "lang" -> col("lang"), "source" -> col("source"),
+        "len_bits" -> length(bin(col("n_chars"))).cast("long")))),
+    // interval-interval OVERLAP join (the missing sibling of the
+    // point-in-interval range join): binned co-partition, canonical
+    // first-shared-bin emission (no distinct); urgent 7-day windows vs
+    // low-priority 10-day windows, aggregated per urgent order
+    "interval_overlap_join" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      val base = lit("1970-01-01").cast("date")
+      def days(c: Column) = datediff(c.cast("date"), base).cast("long")
+      val a = ord.filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-03-01"))
+        .select(col("o_orderkey").as("a_key"),
+          days(col("o_orderdate")).as("a_lo"))
+        .withColumn("a_hi", col("a_lo") + 7L)
+      val b = ord.filter(col("o_orderpriority") === "5-LOW" &&
+          col("o_orderdate") >= lit("1995-12-15") &&
+          col("o_orderdate") < lit("1996-03-15"))
+        .select(col("o_orderkey").as("b_key"),
+          days(col("o_orderdate")).as("b_lo"))
+        .withColumn("b_hi", col("b_lo") + 10L)
+      graft.operators.RangeJoin.intervalOverlap(
+          a, col("a_lo"), col("a_hi"), b, col("b_lo"), col("b_hi"), 7L)
+        .select(col("a_key"),
+          (least(col("a_hi"), col("b_hi")) -
+            greatest(col("a_lo"), col("b_lo"))).as("__ov"))
+        .groupBy(col("a_key"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(col("__ov")).as("sum_overlap_days"),
+          max(col("__ov")).as("max_overlap_days"))
+    }),
+    // k-anonymity audit (the microdata-release check beside DP):
+    // quasi-ids = (lang, source, log2 length bucket); one hash agg,
+    // class-sized output + one-row risk summary joined as columns
+    "kanonymity_audit" -> ((s, d) => {
+      val q = Seq(col("lang"), col("source"),
+        length(bin(col("n_chars"))).cast("long").as("len_bits"))
+      graft.security.KAnonymity.classes(docs(s, d), q, 5L)
+    }),
+    "kanonymity_risk" -> ((s, d) => {
+      val q = Seq(col("lang"), col("source"),
+        length(bin(col("n_chars"))).cast("long").as("len_bits"))
+      graft.security.KAnonymity.riskSummary(docs(s, d), q, 5L)
+    }),
     // invisible-char sanitization (Trojan Source / dedup evasion):
     // zero-width + bidi-control counts and the stripped text, one
     // regexp pass per class, zero shuffle
@@ -5814,6 +5864,69 @@ object SparkEntry {
          |    repeat('1', CAST(n_tokens - COALESCE(sep_idx, n_tokens) AS INTEGER))
          |    AS loss_mask
          |FROM b""".stripMargin,
+    "sink_rle_layout" ->
+      """WITH q AS (SELECT lang AS a, source AS b,
+        |    CAST(length(bin(n_chars)) AS BIGINT) AS c FROM documents),
+        |d AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS da,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS db,
+        |    CAST(count(DISTINCT c) AS BIGINT) AS dc,
+        |    CAST(count(DISTINCT (a, b)) AS BIGINT) AS dab,
+        |    CAST(count(DISTINCT (a, c)) AS BIGINT) AS dac,
+        |    CAST(count(DISTINCT (b, c)) AS BIGINT) AS dbc,
+        |    CAST(count(DISTINCT (a, b, c)) AS BIGINT) AS dabc FROM q),
+        |p AS (
+        |  SELECT 'lang,source,len_bits' AS sort_key,
+        |      da AS r1, dab AS r2, dabc AS r3 FROM d
+        |  UNION ALL SELECT 'lang,len_bits,source', da, dac, dabc FROM d
+        |  UNION ALL SELECT 'source,lang,len_bits', db, dab, dabc FROM d
+        |  UNION ALL SELECT 'source,len_bits,lang', db, dbc, dabc FROM d
+        |  UNION ALL SELECT 'len_bits,lang,source', dc, dac, dabc FROM d
+        |  UNION ALL SELECT 'len_bits,source,lang', dc, dbc, dabc FROM d)
+        |SELECT sort_key, r1 AS runs_c1, r2 AS runs_c2, r3 AS runs_c3,
+        |  r1 + r2 + r3 AS total_runs,
+        |  row_number() OVER (ORDER BY r1 + r2 + r3, sort_key) = 1
+        |    AS is_best
+        |FROM p""".stripMargin,
+    "interval_overlap_join" ->
+      """WITH a AS (SELECT o_orderkey AS a_key,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS a_lo
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    AND o_orderdate >= '1996-01-01'
+        |    AND o_orderdate < '1996-03-01'),
+        |b AS (SELECT o_orderkey AS b_key,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS b_lo
+        |  FROM orders WHERE o_orderpriority = '5-LOW'
+        |    AND o_orderdate >= '1995-12-15'
+        |    AND o_orderdate < '1996-03-15')
+        |SELECT a_key, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  CAST(SUM(least(a_lo + 7, b_lo + 10)
+        |    - greatest(a_lo, b_lo)) AS BIGINT) AS sum_overlap_days,
+        |  CAST(MAX(least(a_lo + 7, b_lo + 10)
+        |    - greatest(a_lo, b_lo)) AS BIGINT) AS max_overlap_days
+        |FROM a JOIN b ON a_lo < b_lo + 10 AND b_lo < a_lo + 7
+        |GROUP BY 1""".stripMargin,
+    "kanonymity_audit" ->
+      """SELECT lang, source,
+        |  CAST(length(bin(n_chars)) AS BIGINT) AS len_bits,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  count(*) >= 5 AS k_anonymous
+        |FROM documents GROUP BY 1, 2, 3""".stripMargin,
+    "kanonymity_risk" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS class_size
+        |  FROM documents
+        |  GROUP BY lang, source, length(bin(n_chars)))
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(count(*) FILTER (WHERE class_size < 5) AS BIGINT)
+        |    AS n_violating_classes,
+        |  CAST(SUM(class_size) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(SUM(class_size) FILTER (WHERE class_size < 5), 0)
+        |    AS BIGINT) AS n_rows_at_risk,
+        |  CAST(COALESCE(SUM(class_size) FILTER (WHERE class_size < 5), 0)
+        |    * 10000 // CAST(SUM(class_size) AS BIGINT) AS DOUBLE) / 10000.0
+        |    AS at_risk_share
+        |FROM c""".stripMargin,
     "text_sanitize_invisible" ->
       s"""WITH dd AS MATERIALIZED ($invisDocsSelect)
          |SELECT doc_id,

@@ -62,6 +62,33 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval–interval OVERLAP join — the missing sibling of
+    * [[pointInInterval]] (reservation conflicts, concurrent sessions,
+    * co-occurring incidents): [aLo, aHi) overlaps [bLo, bHi) iff
+    * aLo < bHi AND bLo < aHi. Both sides explode into their covering
+    * bins and hash-join on the bin; a pair sharing several bins would
+    * duplicate, so each pair is emitted ONLY from its canonical bin —
+    * the later of the two start bins (the first bin where both
+    * intervals are present) — an equality predicate, no distinct, no
+    * second shuffle. Same scale posture as the point form: bin width
+    * trades replication (interval span / width rows per side) against
+    * per-bin join fan-in; empty/inverted intervals match nothing. */
+  def intervalOverlap(
+      a: DataFrame, aLo: Column, aHi: Column,
+      b: DataFrame, bLo: Column, bHi: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val av = a.filter(aHi > aLo).withColumn("__bina",
+      explode(sequence(binOf(aLo, binWidth), binOf(aHi - lit(1), binWidth))))
+    val bv = b.filter(bHi > bLo).withColumn("__binb",
+      explode(sequence(binOf(bLo, binWidth), binOf(bHi - lit(1), binWidth))))
+    av.join(bv,
+        av("__bina") === bv("__binb") &&
+          aLo < bHi && bLo < aHi &&
+          av("__bina") === greatest(binOf(aLo, binWidth), binOf(bLo, binWidth)))
+      .drop("__bina", "__binb")
+  }
+
   /** Timestamp convenience: bins on epoch micros. */
   def pointInIntervalTs(
       points: DataFrame, pointTs: Column,

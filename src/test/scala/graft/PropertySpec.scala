@@ -1839,6 +1839,92 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("interval overlap join equals the direct quadratic join, no duplicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // spans exercise multi-bin intervals (width 5), touching endpoints
+    // (half-open: no overlap), containment, and an inverted interval
+    val as = Seq((1L, 0L, 12L), (2L, 10L, 11L), (3L, 20L, 25L),
+      (4L, 30L, 30L), (5L, 7L, 9L))
+      .toDF("a_key", "a_lo", "a_hi")
+    val bs = Seq((10L, 3L, 4L), (11L, 11L, 14L), (12L, 24L, 40L),
+      (13L, 12L, 20L), (14L, 9L, 10L))
+      .toDF("b_key", "b_lo", "b_hi")
+    val got = graft.operators.RangeJoin.intervalOverlap(
+        as, col("a_lo"), col("a_hi"), bs, col("b_lo"), col("b_hi"), 5L)
+      .select(col("a_key"), col("b_key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val expect = for {
+      (ak, alo, ahi) <- List((1L, 0L, 12L), (2L, 10L, 11L), (3L, 20L, 25L),
+        (4L, 30L, 30L), (5L, 7L, 9L)) if ahi > alo
+      (bk, blo, bhi) <- List((10L, 3L, 4L), (11L, 11L, 14L), (12L, 24L, 40L),
+        (13L, 12L, 20L), (14L, 9L, 10L)) if bhi > blo
+      if alo < bhi && blo < ahi
+    } yield (ak, bk)
+    assert(got.sorted == expect.sorted, s"got $got expect $expect")
+    // canonical-bin emission: the multi-bin pair (1, 11) appears ONCE
+    assert(got.count(_ == ((1L, 11L))) == 1, got)
+  }
+
+  test("k-anonymity audit: class sizes and risk summary arithmetic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("en", "a"), ("en", "a"), ("en", "a"),
+      ("en", "b"), ("fr", "a")).toDF("lang", "source")
+    val cls = graft.security.KAnonymity.classes(
+        df, Seq(col("lang"), col("source")), 2L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getBoolean(3))).toSet
+    assert(cls == Set(("en", "a", 3L, true), ("en", "b", 1L, false),
+      ("fr", "a", 1L, false)), cls)
+    val risk = graft.security.KAnonymity.riskSummary(
+      df, Seq(col("lang"), col("source")), 2L).collect()(0)
+    assert((risk.getLong(0), risk.getLong(1), risk.getLong(2),
+      risk.getLong(3), risk.getDouble(4)) == ((3L, 2L, 5L, 2L, 0.4)), risk)
+  }
+
+  test("rle layout audit: prefix distinct counts equal actual sorted runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(("en", "a", 1L), ("en", "a", 2L), ("en", "b", 1L),
+      ("fr", "a", 1L), ("fr", "b", 2L), ("en", "a", 1L), ("de", "c", 3L))
+    val df = rows.toDF("lang", "source", "len_bits")
+    val out = graft.engine.Layout.rleLayoutAudit(df, Seq(
+        "lang" -> col("lang"), "source" -> col("source"),
+        "len_bits" -> col("len_bits")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(out.size == 6 && out.values.count(_._5) == 1)
+    // ground truth: sort rows by each permutation and count runs
+    def runs[T](xs: Seq[T]): Long =
+      if (xs.isEmpty) 0L
+      else 1L + xs.sliding(2).count(p => p.size == 2 && p(0) != p(1))
+    val byName = Map[String, ((String, String, Long)) => Any](
+      "lang" -> (_._1), "source" -> (_._2), "len_bits" -> (_._3))
+    out.foreach { case (key, (r1, r2, r3, tot, _)) =>
+      val ks = key.split(",")
+      val sorted = rows.sortBy(t =>
+        (byName(ks(0))(t).toString, byName(ks(1))(t).toString,
+          byName(ks(2))(t).toString))
+      val a1 = runs(sorted.map(t => byName(ks(0))(t)))
+      val a2 = runs(sorted.map(t => (byName(ks(0))(t), byName(ks(1))(t))))
+      val a3 = runs(sorted.map(t => ks.map(k => byName(k)(t)).toList))
+      assert((r1, r2, r3, tot) == ((a1, a2, a3, a1 + a2 + a3)),
+        s"$key: got ($r1,$r2,$r3) want ($a1,$a2,$a3)")
+    }
+    // the documented upper-bound edge: adjacent prefix groups ending
+    // and starting with the SAME second-key value — the audit counts a
+    // break at the group boundary (2 runs) though the raw column is
+    // one run; the metric is an upper bound there, by design
+    val edge = Seq(("a", "x"), ("b", "x")).toDF("k1", "k2")
+    val e = graft.engine.Layout.rleLayoutAudit(
+        edge.withColumn("k3", col("k1")), Seq("k1" -> col("k1"),
+          "k2" -> col("k2"), "k3" -> col("k3")))
+      .filter(col("sort_key") === "k1,k2,k3").collect()(0)
+    assert(e.getLong(2) == 2L, e.toString)
+  }
+
   test("last-touch attribution: election, same-instant tie, organic bucket") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
