@@ -934,6 +934,14 @@ object ScaleProbe {
         "len_bits" -> length(bin(col("n_chars"))).cast("long"))).count()
     }
 
+    // bucketed prefix scan: per-bucket windows + O(#buckets) driver
+    // offsets — cost must track the event scan, never a global sort
+    probe("events_lateness", Seq(1, 20)) { c =>
+      val ev = replicate(events, c,
+        Map("event_id" -> 10000000L, "user_id" -> 1000000L))
+      streaming.Events.latenessProfile(ev).count()
+    }
+
     // k fixed hops ⇒ k bounded scans over a ×c corpus: linear
     probe("icp_order", Seq(1, 20)) { c =>
       val e = replicate(engine.Tables.embeddings(spark, sf), c,

@@ -2722,6 +2722,12 @@ object SparkEntry {
     "events_conversion_time" -> ((s, d) =>
       graft.streaming.Events.funnelLatency(ev(s, d),
         Seq("view", "click", "purchase"))),
+    // event-lateness profile (the watermark-tuning tool): lateness of
+    // each arrival vs the running event-time max, as a power-of-2
+    // histogram; global prefix max decomposed into bucketed windows +
+    // an O(#buckets) driver offset table — no single-partition window
+    "events_lateness" -> ((s, d) =>
+      graft.streaming.Events.latenessProfile(ev(s, d))),
     // last-touch attribution: each purchase credited to the user's
     // most recent preceding click/view via one per-user window pass;
     // organic purchases keep a null touch
@@ -5512,6 +5518,22 @@ object SparkEntry {
       """SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id
         |ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
         |FROM events""".stripMargin,
+    "events_lateness" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+        |      AS BIGINT) AS sec
+        |  FROM events),
+        |r AS (SELECT event_id, sec,
+        |    COALESCE(max(sec) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      AS pm
+        |  FROM e),
+        |l AS (SELECT greatest(pm - sec, 0) AS late FROM r)
+        |SELECT CASE WHEN late = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(length(bin(late)) AS BIGINT) END AS late_bits,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(late) AS BIGINT) AS max_late_s
+        |FROM l GROUP BY 1""".stripMargin,
     "events_attribution" ->
       """WITH t AS (SELECT event_id, user_id, ts, event_type,
         |    last_value(CASE WHEN event_type IN ('click', 'view') THEN

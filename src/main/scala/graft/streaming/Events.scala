@@ -225,6 +225,53 @@ object Events {
           .as("latency_seconds"))
   }
 
+  /** Event-lateness profile — the watermark-tuning tool: how late does
+    * each event arrive relative to the maximum event-time already seen
+    * at its arrival position (arrival order = event_id, the ingest
+    * log's sequence)? The histogram of lateness (power-of-2 second
+    * buckets; bucket 0 = in-order) is exactly what
+    * `withWatermark(delay)` is calibrated against — pick the delay
+    * covering the tail you can afford to wait for.
+    *
+    * The running max over ALL preceding arrivals is a global prefix
+    * scan — decomposed the distributed way (the deterministicShuffle
+    * posture): bucket by event_id range, per-bucket window for the
+    * in-bucket running max, one O(#buckets) collect for cross-bucket
+    * prefix maxima broadcast back. No single-partition exchange at any
+    * size. */
+  def latenessProfile(events: DataFrame, bucketWidth: Long = 4096L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val withB = events
+      .select(col("event_id"), unix_timestamp(col("ts")).as("__sec"))
+      .withColumn("__b", graft.text.TextAnalysis.intDiv(
+        col("event_id"), lit(bucketWidth)))
+    val bucketMax = withB.groupBy(col("__b"))
+      .agg(max(col("__sec")).as("__m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // prefix max of all EARLIER buckets (-1 = none: epoch seconds are
+    // positive, so the subtraction can never overflow under ANSI)
+    val prefix = bucketMax.scanLeft((0L, -1L)) {
+      case ((_, acc), (b, m)) => (b, math.max(acc, m))
+    }.init.zip(bucketMax).map { case ((_, pm), (b, _)) => (b, pm) }
+    val prefDf = broadcast(prefix.toSeq.toDF("__b", "__pm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB
+      .join(prefDf, Seq("__b"))
+      .withColumn("__prevmax",
+        greatest(coalesce(max(col("__sec")).over(w), lit(-1L)),
+          col("__pm")))
+      .withColumn("__late",
+        greatest(col("__prevmax") - col("__sec"), lit(0L)))
+      .withColumn("late_bits",
+        when(col("__late") === 0L, 0L)
+          .otherwise(length(bin(col("__late"))).cast("long")))
+      .groupBy(col("late_bits"))
+      .agg(count(lit(1)).as("n_events"), max(col("__late")).as("max_late_s"))
+  }
+
   /** Hourly volume anomaly flags — the ingest-ops monitor: each hour's
     * event count against the TRAILING 24-hour mean (current hour
     * excluded), ratio on the exact 1e-4 grid, flagged at `thetaE4`

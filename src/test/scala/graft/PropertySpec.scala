@@ -1925,6 +1925,33 @@ class PropertySpec extends SparkSpec {
     assert(e.getLong(2) == 2L, e.toString)
   }
 
+  test("lateness profile: bucketed prefix max equals the naive global scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // arrival order = event_id; plant out-of-order arrivals crossing
+    // bucket boundaries (width 4) and a severely late one
+    val secs = Seq(100L, 90L, 110L, 105L, 120L, 50L, 121L, 119L, 130L)
+    val ev = secs.zipWithIndex.map { case (s, i) => (i.toLong, ts(s)) }
+      .toDF("event_id", "ts")
+    val got = graft.streaming.Events.latenessProfile(ev, bucketWidth = 4L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // naive replay
+    var mx = -1L
+    val lates = secs.map { s =>
+      val l = math.max(mx - s, 0L); mx = math.max(mx, s); l
+    }
+    val expect = lates.groupBy(l =>
+        if (l == 0L) 0L else 64L - java.lang.Long.numberOfLeadingZeros(l))
+      .map { case (b, ls) => b -> ((ls.size.toLong, ls.max)) }
+    assert(got == expect, s"got $got expect $expect")
+    // the plan has no single-partition exchange on the event side
+    val plan = graft.streaming.Events.latenessProfile(ev, 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("last-touch attribution: election, same-instant tie, organic bucket") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
