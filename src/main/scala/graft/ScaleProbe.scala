@@ -942,6 +942,13 @@ object ScaleProbe {
       streaming.Events.latenessProfile(ev).count()
     }
 
+    // one kernel walk + narrow explode; agg forces the token stream
+    probe("text_pretokenize", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.pretokenize(d)
+        .agg(sum(length(col("pretoken")))).collect().length.toLong
+    }
+
     // k fixed hops ⇒ k bounded scans over a ×c corpus: linear
     probe("icp_order", Seq(1, 20)) { c =>
       val e = replicate(engine.Tables.embeddings(spark, sf), c,

@@ -647,6 +647,37 @@ object SparkEntry {
       " AS v(doc_id, text, lang, source, n_chars)"
   }
 
+  // Planted PRE-TOKENIZATION docs — the GPT-2 regex edge cases the
+  // base corpus lacks: lowercase contractions (incl. an UPPER-case
+  // non-match and a bare apostrophe), multi-space runs + trailing
+  // spaces (the lookahead's space-donation), tabs, Unicode letters and
+  // a CJK year+number mix, and other-runs containing an apostrophe
+  // mid-run. The ONLY fixture with single quotes: the SQL side escapes
+  // them by doubling.
+  private[graft] val preRows: Seq[(Long, String)] = Seq(
+    9980001L -> "it's the user's code we'll've refactored",
+    9980002L -> "price is 42 dollars and 3.14 approx",
+    9980003L -> "hello   world trailing  ",
+    9980004L -> "tabs\there and\t\tdouble",
+    9980005L -> "émigré café 北京 2024年",
+    9980006L -> "symbols !!! then ') quote",
+    9980007L -> "don'T 'S 'x x'")
+
+  private def docsPre(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(preRows.map { case (id, t) =>
+      (id, t, "en", "planted_pre", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private val preDocsSelect: String = {
+    val vals = preRows.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''")}', 'en', 'planted_pre', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   // Planted MULTI-SENTENCE docs (the base corpus has no ". " anywhere
   // — verified — so sentence-aligned chunking needs plants). Coverage:
   // ten 10-token sentences (boundaries at the straddle: a chunk runs
@@ -3707,6 +3738,11 @@ object SparkEntry {
         length(bin(col("n_chars"))).cast("long").as("len_bits"))
       graft.security.KAnonymity.riskSummary(docs(s, d), q, 5L)
     }),
+    // GPT-2 regex pre-tokenization (the stage before byte-level BPE):
+    // the lookahead-free decision procedure as a codegen kernel, one
+    // walk + narrow explode, zero shuffle
+    "text_pretokenize" -> ((s, d) =>
+      graft.text.TextAnalysis.pretokenize(docsPre(s, d))),
     // invisible-char sanitization (Trojan Source / dedup evasion):
     // zero-width + bidi-control counts and the stripped text, one
     // regexp pass per class, zero shuffle
@@ -5949,6 +5985,57 @@ object SparkEntry {
         |    * 10000 // CAST(SUM(class_size) AS BIGINT) AS DOUBLE) / 10000.0
         |    AS at_risk_share
         |FROM c""".stripMargin,
+    "text_pretokenize" ->
+      s"""WITH RECURSIVE
+         |dd AS MATERIALIZED ($preDocsSelect),
+         |ch AS (SELECT doc_id, j, substr(text, CAST(j AS INTEGER), 1) AS c
+         |  FROM dd, UNNEST(generate_series(1, length(text))) t(j)
+         |  WHERE length(text) > 0),
+         |cc AS (SELECT doc_id, j, CASE
+         |    WHEN c IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+         |      THEN 0
+         |    WHEN regexp_matches(c, '^\\pL$$') THEN 1
+         |    WHEN regexp_matches(c, '^\\pN$$') THEN 2
+         |    ELSE 3 END AS cl FROM ch),
+         |r1 AS (SELECT doc_id, j, cl,
+         |    CASE WHEN lead(cl) OVER (PARTITION BY doc_id ORDER BY j)
+         |      IS DISTINCT FROM cl THEN j + 1 END AS eend FROM cc),
+         |r2 AS (SELECT doc_id, j, cl,
+         |    min(eend) OVER (PARTITION BY doc_id ORDER BY j
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS re
+         |  FROM r1),
+         |arrs AS (SELECT doc_id, list(cl ORDER BY j) AS cls,
+         |    list(re ORDER BY j) AS res FROM r2 GROUP BY doc_id),
+         |base AS (SELECT d.doc_id, d.text, length(d.text) AS n,
+         |    a.cls, a.res
+         |  FROM dd d JOIN arrs a USING (doc_id)),
+         |toks AS (
+         |  SELECT doc_id, text, n, cls, res, CAST(1 AS BIGINT) AS pos,
+         |    CAST(0 AS BIGINT) AS idx, CAST(NULL AS VARCHAR) AS tok
+         |  FROM base
+         |  UNION ALL
+         |  SELECT doc_id, text, n, cls, res, e, idx + 1,
+         |    substr(text, CAST(pos AS INTEGER), CAST(e - pos AS INTEGER))
+         |  FROM (SELECT *, CASE
+         |      WHEN substr(text, CAST(pos AS INTEGER), 1) = chr(39)
+         |        AND substr(text, CAST(pos + 1 AS INTEGER), 2)
+         |          IN ('re', 've', 'll') THEN pos + 3
+         |      WHEN substr(text, CAST(pos AS INTEGER), 1) = chr(39)
+         |        AND substr(text, CAST(pos + 1 AS INTEGER), 1)
+         |          IN ('s', 't', 'm', 'd') THEN pos + 2
+         |      WHEN cls[CAST(pos AS INTEGER)] != 0
+         |        THEN res[CAST(pos AS INTEGER)]
+         |      WHEN res[CAST(pos AS INTEGER)] > n
+         |        THEN res[CAST(pos AS INTEGER)]
+         |      WHEN res[CAST(pos AS INTEGER)] - pos = 1
+         |        AND substr(text, CAST(pos AS INTEGER), 1) = ' '
+         |        THEN res[CAST(res[CAST(pos AS INTEGER)] AS INTEGER)]
+         |      WHEN res[CAST(pos AS INTEGER)] - pos = 1
+         |        THEN res[CAST(pos AS INTEGER)]
+         |      ELSE res[CAST(pos AS INTEGER)] - 1 END AS e
+         |    FROM toks WHERE pos <= n))
+         |SELECT doc_id, idx - 1 AS idx, tok AS pretoken FROM toks
+         |WHERE tok IS NOT NULL""".stripMargin,
     "text_sanitize_invisible" ->
       s"""WITH dd AS MATERIALIZED ($invisDocsSelect)
          |SELECT doc_id,

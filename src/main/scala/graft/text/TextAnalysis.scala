@@ -699,6 +699,112 @@ case class GopherRepSignals(
     : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
 }
 
+/** GPT-2 pre-tokenization kernel — the regex stage that runs BEFORE
+  * byte-pair merging in GPT-2/RoBERTa (and, modulo case-folding
+  * tweaks, their descendants):
+  * `'s|'t|'re|'ve|'m|'ll|'d| ?\pL+| ?\pN+| ?[^\s\pL\pN]+|\s+(?!\S)|\s+`.
+  * RE2 cannot express the lookahead, so the kernel implements the
+  * pattern's leftmost-first alternation as an explicit decision
+  * procedure (validated against the genuine Python regex on every
+  * documented edge): lowercase contractions first; optional single
+  * SPACE + a letter / number / other run; a whitespace run donates its
+  * LAST space to a following token (the lookahead's effect) unless it
+  * reaches end-of-text. Character classes are pinned to the Java∩RE2
+  * intersection — \pL and \pN are Unicode, \s is ASCII
+  * [ \t\n\x0B\f\r] (Python's regex treats exotic Unicode spaces as
+  * \s; this engine deliberately does not — documented deviation, the
+  * same pinning every other regex surface here uses). One codepoint
+  * walk per row; run ends precomputed right-to-left.
+  */
+final class Gpt2PreTokKernel extends Serializable {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def isN(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+
+  def pretokens(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val cl = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val c: Byte =
+        if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+          cp == '\f' || cp == '\r') 0
+        else if (Character.isLetter(cp)) 1
+        else if (isN(cp)) 2
+        else 3
+      val w = Character.charCount(cp)
+      cl(i) = c
+      if (w == 2) cl(i + 1) = c
+      i += w
+    }
+    val re = new Array[Int](n)
+    var j = n - 1
+    while (j >= 0) {
+      re(j) = if (j == n - 1 || cl(j) != cl(j + 1)) j + 1 else re(j + 1)
+      j -= 1
+    }
+    val out = new java.util.ArrayList[UTF8String]()
+    var p = 0
+    while (p < n) {
+      var e = -1
+      if (s.charAt(p) == '\'') {
+        val three = if (p + 3 <= n) s.substring(p + 1, p + 3) else ""
+        val two = if (p + 2 <= n) s.substring(p + 1, p + 2) else ""
+        if (three == "re" || three == "ve" || three == "ll") e = p + 3
+        else if (two == "s" || two == "t" || two == "m" || two == "d")
+          e = p + 2
+      }
+      if (e < 0) {
+        if (cl(p) != 0) e = re(p)
+        else {
+          val q = re(p)
+          if (q >= n) e = q
+          else if (q - p == 1) e = if (s.charAt(p) == ' ') re(q) else q
+          else e = q - 1
+        }
+      }
+      out.add(UTF8String.fromString(s.substring(p, e)))
+      p = e
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+case class Gpt2PreTok(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  @transient private lazy val kernel = new Gpt2PreTokKernel
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.pretokens(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("gpt2PreTokKernel", kernel,
+      classOf[Gpt2PreTokKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.pretokens($c);")
+  }
+
+  override def prettyName: String = "gpt2_pretokenize"
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
+}
+
 /** One-pass winnowing kernel: lowercase, split on the space byte, hash
   * every word k-gram (md5, top 60 bits — EXACTLY DuckDB's
   * `('0x' || substr(md5(gram), 1, 15))::BIGINT`, so the selection
@@ -1606,6 +1712,20 @@ object TextAnalysis {
       size(col("__cands")).cast("long").as("n_digit_runs"),
       size(filter(col("__cands"), c => luhnOk(c))).cast("long")
         .as("n_cards_valid"))
+  }
+
+  /** GPT-2 pre-tokenization over a corpus (see [[Gpt2PreTokKernel]]):
+    * one codegen kernel walk + a narrow posexplode — the exploded
+    * (doc, ordinal, pretoken) stream the byte-level BPE actually
+    * consumes. Zero shuffle; partitioning inherited from the scan. */
+  def pretokenize(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), posexplode(graftshim.exprToColumn(
+        Gpt2PreTok(graftshim.columnToExpr(col("text"))))))
+      .toDF("doc_id", "idx", "pretoken")
+      .select(col("doc_id"), col("idx").cast("long").as("idx"),
+        col("pretoken"))
   }
 
   /** Invisible-character sanitization — the Trojan-Source / spam-

@@ -1780,6 +1780,45 @@ class PipelineSpec extends SparkSpec {
     assert(got(9970005L) == ((0L, 0L, "perfectly clean text")), got)
   }
 
+  test("gpt2 pretokenize: lossless partition, contraction pins, fuzz invariants") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = new graft.text.Gpt2PreTokKernel
+    def toks(s: String): Seq[String] = {
+      val a = k.pretokens(UTF8String.fromString(s))
+      (0 until a.numElements()).map(i =>
+        a.getUTF8String(i).toString)
+    }
+    // the canonical GPT-2 example shapes
+    assert(toks("it's the user's code we'll've refactored") == Seq(
+      "it", "'s", " the", " user", "'s", " code", " we", "'ll", "'ve",
+      " refactored"), toks("it's the user's code we'll've refactored"))
+    assert(toks("hello   world  ") == Seq("hello", "  ", " world", "  "))
+    assert(toks("3.14 ok") == Seq("3", ".", "14", " ok"))
+    assert(toks("don'T 'x") == Seq("don", "'", "T", " '", "x"))
+    assert(toks("") == Seq())
+    // fuzz: every tokenization is a LOSSLESS partition and each token
+    // (after its optional single leading space) is class-pure
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab 12!'é北\t .,xsl"
+    (1 to 300).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(24))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val ts = toks(s)
+      assert(ts.mkString("") == s, s"lossy: ${s.map(_.toInt)} -> $ts")
+      ts.foreach { t =>
+        val body = if (t.length > 1 && t.head == ' ' &&
+          !t.forall(c => " \t".contains(c))) t.tail else t
+        val pure = body.forall(Character.isLetter(_)) ||
+          body.forall(Character.isDigit(_)) ||
+          body.forall(c => " \t".contains(c)) ||
+          body.forall(c => !Character.isLetterOrDigit(c) &&
+            !" \t".contains(c)) ||
+          Seq("'s", "'t", "'re", "'ve", "'m", "'ll", "'d").contains(t)
+        assert(pure, s"impure token '$t' (${t.map(_.toInt)}) in '$s'")
+      }
+    }
+  }
+
   test("NFC normalization composes combining marks; ascii passes through") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
