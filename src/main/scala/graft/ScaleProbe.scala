@@ -949,6 +949,16 @@ object ScaleProbe {
         .agg(sum(length(col("pretoken")))).collect().length.toLong
     }
 
+    // both pools stay bounded (poolK) while the corpus scales ×c: the
+    // cost is the bm25 token scan + one dense scan, fusion is O(poolK)
+    probe("hybrid_rrf", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      val e = replicate(engine.Tables.embeddings(spark, sf), c,
+        Map("vec_id" -> 1000000L))
+      ann.Similarity.hybridRrf(d, e,
+        Seq("spark", "join", "merge", "slow"), 0L).count()
+    }
+
     // k fixed hops ⇒ k bounded scans over a ×c corpus: linear
     probe("icp_order", Seq(1, 20)) { c =>
       val e = replicate(engine.Tables.embeddings(spark, sf), c,

@@ -3402,6 +3402,12 @@ object SparkEntry {
     "bm25_topk" -> ((s, d) =>
       graft.text.TextAnalysis.bm25TopK(docs(s, d),
         Seq("spark", "join", "merge", "slow"), 20)),
+    // hybrid retrieval (RRF, Cormack et al.): BM25 pool ∪ dense
+    // quantized-cosine pool fused on the exact integer grid — the
+    // standard BM25+vector RAG ranker; bounded pools, bounded windows
+    "hybrid_rrf" -> ((s, d) =>
+      graft.ann.Similarity.hybridRrf(docs(s, d), emb(s, d),
+        Seq("spark", "join", "merge", "slow"), 0L)),
     // Unicode NFC canonicalization over the multilingual corpus — the
     // ingest-time cleanup exact dedup needs (the planted fixture's
     // decomposed combining-mark twin becomes byte-identical to its
@@ -6817,6 +6823,48 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |SELECT ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rank,
         |  doc_id, score_micro
         |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+    "hybrid_rrf" ->
+      """WITH words AS (SELECT doc_id, u.w FROM documents,
+        |    UNNEST(string_split(lower(text), ' ')) AS u(w) WHERE len(u.w) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dlen FROM words GROUP BY 1),
+        |stats AS (SELECT CAST(SUM(dlen) AS DOUBLE) AS sumdl,
+        |  CAST(COUNT(*) AS DOUBLE) AS nd FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+        |  WHERE w IN ('spark', 'join', 'merge', 'slow') GROUP BY 1, 2),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |  CAST(SUM(CAST(FLOOR(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+        |    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlen / (sumdl / nd)))
+        |    * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1),
+        |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM sc ORDER BY score_micro DESC, doc_id LIMIT 50),
+        |qv AS (SELECT [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT)
+        |    for x in embedding] AS qe
+        |  FROM embeddings WHERE vec_id = 0),
+        |dsc AS (SELECT e.vec_id AS doc_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(e.eq)),
+        |      i -> e.eq[i] * q.qe[i])) AS BIGINT) AS d
+        |  FROM (SELECT vec_id,
+        |      [CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT)
+        |        for x in embedding] AS eq FROM embeddings) e
+        |    CROSS JOIN qv q
+        |  WHERE e.vec_id != 0),
+        |dr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY d DESC, doc_id) AS BIGINT) AS dense_rank
+        |  FROM dsc ORDER BY d DESC, doc_id LIMIT 50),
+        |fused AS (SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+        |    l.lex_rank, r.dense_rank,
+        |    COALESCE(1000000 // (60 + l.lex_rank), 0)
+        |      + COALESCE(1000000 // (60 + r.dense_rank), 0) AS rrf_e6
+        |  FROM lex l FULL OUTER JOIN dr r ON l.doc_id = r.doc_id
+        |  ORDER BY rrf_e6 DESC, doc_id LIMIT 10)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id)
+        |    AS BIGINT) AS rank,
+        |  doc_id, lex_rank, dense_rank, rrf_e6
+        |FROM fused""".stripMargin,
     "text_normalize_nfc" -> {
       val body = """SELECT lang, count(*) AS n_docs,
         |  CAST(SUM(CASE WHEN text <> nfc_normalize(text) THEN 1 ELSE 0 END)

@@ -198,6 +198,45 @@ object Similarity {
       .toDF("position", "vec_id", "dot_prev")
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009
+    * — the fusion every BM25+dense RAG stack runs): fuse the lexical
+    * BM25 ranking and the dense quantized-cosine ranking with
+    * score = Σ_r 1_000_000 div (rrfK + rank_r), integer-exact so the
+    * fused ordering replays bit-identically. Docs and vectors share
+    * the id space by construction. Both candidate pools are bounded
+    * (poolK) before fusion — the windows order ≤ poolK rows, never a
+    * corpus; absent-from-one-ranker docs contribute 0 from that side.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryId: Long, k: Int = 10, poolK: Int = 50,
+      rrfK: Long = 60L): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_q16, vec_dot_int}
+    val lex = graft.text.TextAnalysis.bm25TopK(docs, terms, poolK)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(vec_q16(col("embedding")).as("qe"))
+    val dense = emb.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id").as("doc_id"),
+        vec_dot_int(vec_q16(col("embedding")), col("qe")).cast("long")
+          .as("__d"))
+      .orderBy(col("__d").desc, col("doc_id")).limit(poolK)
+    val denseR = dense.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("__d").desc, col("doc_id")))
+        .cast("long").as("dense_rank"))
+    val fused = lex.join(denseR, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e6",
+        coalesce(graft.text.TextAnalysis.intDiv(lit(1000000L),
+          lit(rrfK) + col("lex_rank")), lit(0L)) +
+          coalesce(graft.text.TextAnalysis.intDiv(lit(1000000L),
+            lit(rrfK) + col("dense_rank")), lit(0L)))
+      .orderBy(col("rrf_e6").desc, col("doc_id")).limit(k)
+    fused.select(
+      row_number().over(Window.orderBy(col("rrf_e6").desc, col("doc_id")))
+        .cast("long").as("rank"),
+      col("doc_id"), col("lex_rank"), col("dense_rank"), col("rrf_e6"))
+  }
+
   /** Bitext mining — the parallel-corpus construction step (LASER /
     * CCMatrix): across two embedding populations (labels standing in
     * for the two languages), mine MUTUAL nearest-neighbor pairs — y is

@@ -1925,6 +1925,28 @@ class PropertySpec extends SparkSpec {
     assert(e.getLong(2) == 2L, e.toString)
   }
 
+  test("hybrid rrf: fused scores recompute from ranks; ordering total") {
+    val out = SparkEntry.queries("hybrid_rrf")(spark, sf).collect()
+    assert(out.length == 10)
+    var prev = (Long.MaxValue, Long.MinValue)
+    out.sortBy(_.getLong(0)).foreach { r =>
+      val lex = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val den = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val want = lex.map(l => 1000000L / (60L + l)).getOrElse(0L) +
+        den.map(d => 1000000L / (60L + d)).getOrElse(0L)
+      assert(r.getLong(4) == want, r.toString)
+      assert(lex.forall(l => l >= 1 && l <= 50))
+      assert(den.forall(d => d >= 1 && d <= 50))
+      // ranks strictly ordered by (rrf desc, doc_id asc)
+      val cur = (r.getLong(4), r.getLong(1))
+      assert(cur._1 < prev._1 || (cur._1 == prev._1 && cur._2 > prev._2),
+        s"order violated at $cur after $prev")
+      prev = cur
+    }
+    // at least one fused doc must come from BOTH pools at this SF
+    assert(out.exists(r => !r.isNullAt(2) && !r.isNullAt(3)), out.toSeq)
+  }
+
   test("lateness profile: bucketed prefix max equals the naive global scan") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
