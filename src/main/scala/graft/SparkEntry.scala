@@ -3694,6 +3694,16 @@ object SparkEntry {
     // completion; separator-free docs flag has_pair=false
     "sft_loss_mask" -> ((s, d) =>
       graft.text.TextAnalysis.sftLossMask(docsSft(s, d))),
+    // functional-dependency discovery (TANE level-1 profiling): all
+    // ordered pairs from ONE distinct-count pass
+    "fd_discovery" -> ((s, d) =>
+      graft.operators.DistinctAndFrequency.fdDiscovery(
+        Tables.nation(s, d), Seq("n_nationkey", "n_name", "n_regionkey"))),
+    // Benford first-digit audit (fabricated-numbers / synthetic-data
+    // QA): observed vs log10(1+1/d) shares on the exact grid
+    "benford_audit" -> ((s, d) =>
+      graft.operators.Stats.benfordAudit(
+        Tables.lineitem(s, d), col("l_extendedprice"))),
     // RLE sink-layout audit: total run counts of every candidate sort
     // order from ONE distinct-count pass — no sort executed; the
     // ascending-cardinality parquet-sort-key rule, measured
@@ -5928,6 +5938,47 @@ object SparkEntry {
          |    repeat('1', CAST(n_tokens - COALESCE(sep_idx, n_tokens) AS INTEGER))
          |    AS loss_mask
          |FROM b""".stripMargin,
+    "fd_discovery" ->
+      """WITH d AS (SELECT
+        |  CAST(count(DISTINCT n_nationkey) AS BIGINT) AS dk,
+        |  CAST(count(DISTINCT n_name) AS BIGINT) AS dn,
+        |  CAST(count(DISTINCT n_regionkey) AS BIGINT) AS dr,
+        |  CAST(count(DISTINCT (n_nationkey, n_name)) AS BIGINT) AS dkn,
+        |  CAST(count(DISTINCT (n_nationkey, n_regionkey)) AS BIGINT) AS dkr,
+        |  CAST(count(DISTINCT (n_name, n_regionkey)) AS BIGINT) AS dnr
+        |  FROM nation)
+        |SELECT 'n_nationkey' AS determinant, 'n_name' AS dependent,
+        |    dk AS n_classes, dkn AS n_pairs, dkn = dk AS fd_holds,
+        |    dkn - dk AS n_violations FROM d
+        |UNION ALL SELECT 'n_nationkey', 'n_regionkey', dk, dkr,
+        |  dkr = dk, dkr - dk FROM d
+        |UNION ALL SELECT 'n_name', 'n_nationkey', dn, dkn,
+        |  dkn = dn, dkn - dn FROM d
+        |UNION ALL SELECT 'n_name', 'n_regionkey', dn, dnr,
+        |  dnr = dn, dnr - dn FROM d
+        |UNION ALL SELECT 'n_regionkey', 'n_nationkey', dr, dkr,
+        |  dkr = dr, dkr - dr FROM d
+        |UNION ALL SELECT 'n_regionkey', 'n_name', dr, dnr,
+        |  dnr = dr, dnr - dr FROM d""".stripMargin,
+    "benford_audit" ->
+      """WITH f AS (SELECT regexp_extract(
+        |    CAST(l_extendedprice AS VARCHAR), '[1-9]', 0) AS fd
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |c AS (SELECT CAST(fd AS BIGINT) AS first_digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM f WHERE fd <> '' GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM c)
+        |SELECT first_digit, n,
+        |  (n * 10000 // tt) / 10000.0 AS share,
+        |  CASE first_digit WHEN 1 THEN 3010 WHEN 2 THEN 1760
+        |    WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 791
+        |    WHEN 6 THEN 669 WHEN 7 THEN 579 WHEN 8 THEN 511
+        |    ELSE 457 END / 10000.0 AS expected_share,
+        |  abs(n * 10000 // tt - CASE first_digit WHEN 1 THEN 3010
+        |    WHEN 2 THEN 1760 WHEN 3 THEN 1249 WHEN 4 THEN 969
+        |    WHEN 5 THEN 791 WHEN 6 THEN 669 WHEN 7 THEN 579
+        |    WHEN 8 THEN 511 ELSE 457 END) / 10000.0 AS deviation
+        |FROM c CROSS JOIN t""".stripMargin,
     "sink_rle_layout" ->
       """WITH q AS (SELECT lang AS a, source AS b,
         |    CAST(length(bin(n_chars)) AS BIGINT) AS c FROM documents),

@@ -137,4 +137,39 @@ object DistinctAndFrequency {
   def distinctValues(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(col): _*).distinct()
       .orderBy(cols.map(c => col(c).asc_nulls_last): _*)
+
+  /** Functional-dependency discovery — the data-profiling classic
+    * (TANE's level-1 check, the thing every schema explorer surfaces):
+    * A → B holds exactly when distinct(A) = distinct(A, B); the
+    * violation count (distinct(A,B) − distinct(A)) says how many
+    * determinant classes carry more than one dependent value. All
+    * ordered column pairs from ONE aggregation pass (the prefix
+    * distinct counts the RLE layout audit also uses) — no self-joins,
+    * no per-pair scans. Columns must be non-null. */
+  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size == cols.distinct.size)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val singles = cols.map(c => countDistinct(col(c)).as(s"__s_$c"))
+    val pairs = for {
+      a <- cols; b <- cols if a != b
+    } yield (a, b)
+    // distinct of the unordered pair set suffices: d(a,b) = d(b,a)
+    val pairSets = cols.combinations(2).toSeq
+    val pairAggs = pairSets.map { p =>
+      countDistinct(col(p(0)), col(p(1))).as(s"__p_${p(0)}_${p(1)}")
+    }
+    val row = df.agg((singles ++ pairAggs).head,
+      (singles ++ pairAggs).tail: _*).head()
+    val sIdx = cols.zipWithIndex.toMap
+    val pIdx = pairSets.zipWithIndex.map { case (p, i) =>
+      p.toSet -> (cols.size + i)
+    }.toMap
+    pairs.map { case (a, b) =>
+      val da = row.getLong(sIdx(a))
+      val dab = row.getLong(pIdx(Set(a, b)))
+      (a, b, da, dab, dab == da, dab - da)
+    }.toDF("determinant", "dependent", "n_classes", "n_pairs",
+      "fd_holds", "n_violations")
+  }
 }

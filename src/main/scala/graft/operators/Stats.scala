@@ -141,4 +141,34 @@ object Stats {
     val aggs = numeric.map(c => Num.avgExact(col(c)).as(s"avg_$c"))
     df.groupBy(col(category)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Benford first-digit audit — the fabricated-numbers detector
+    * (Newcomb 1881 / Benford 1938; the forensic-accounting staple, and
+    * a synthetic-data QA signal): observed share of each first
+    * SIGNIFICANT digit vs log10(1 + 1/d), both on the exact 1e-4 grid
+    * (the expectations are fixed integer constants — no runtime log,
+    * per the float policy). The first significant digit comes from the
+    * decimal string form (identical in both engines for DECIMAL
+    * columns), so 0.052 audits as 5. One scan, 9-row output. */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    val expected = Seq(1 -> 3010L, 2 -> 1760L, 3 -> 1249L, 4 -> 969L,
+      5 -> 791L, 6 -> 669L, 7 -> 579L, 8 -> 511L, 9 -> 457L)
+    val expectedCol = expected.foldLeft(lit(0L)) { case (acc, (d, e)) =>
+      when(col("first_digit") === d.toLong, e).otherwise(acc)
+    }
+    val counts = df.filter(value > 0)
+      .select(regexp_extract(value.cast("string"), "[1-9]", 0).as("__fd"))
+      .filter(col("__fd") =!= "")
+      .groupBy(col("__fd").cast("long").as("first_digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__share_e4", expr("n * 10000 div __t"))
+      .withColumn("__exp_e4", expectedCol)
+      .select(col("first_digit"), col("n"),
+        (col("__share_e4") / lit(10000.0)).as("share"),
+        (col("__exp_e4") / lit(10000.0)).as("expected_share"),
+        (abs(col("__share_e4") - col("__exp_e4")) / lit(10000.0))
+          .as("deviation"))
+  }
 }

@@ -1925,6 +1925,29 @@ class PropertySpec extends SparkSpec {
     assert(e.getLong(2) == 2L, e.toString)
   }
 
+  test("fd discovery: keys determine everything, region does not") {
+    val got = SparkEntry.queries("fd_discovery")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(4)).toMap
+    assert(got(("n_nationkey", "n_name")), got)
+    assert(got(("n_nationkey", "n_regionkey")), got)
+    assert(got(("n_name", "n_nationkey")), got)
+    assert(!got(("n_regionkey", "n_name")), got)   // 5 regions, 25 names
+    assert(!got(("n_regionkey", "n_nationkey")), got)
+  }
+
+  test("benford audit: shares sum to ~1, expectations are the fixed grid") {
+    val out = SparkEntry.queries("benford_audit")(spark, sf).collect()
+    assert(out.length == 9)
+    val shareSum = out.map(_.getDouble(2)).sum
+    assert(shareSum > 0.999 && shareSum <= 1.0001, shareSum)
+    val exp = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(exp(1L) == 0.3010 && exp(9L) == 0.0457, exp)
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) - r.getDouble(4)
+        < 1e-9, r.toString)
+    }
+  }
+
   test("hybrid rrf: fused scores recompute from ranks; ordering total") {
     val out = SparkEntry.queries("hybrid_rrf")(spark, sf).collect()
     assert(out.length == 10)
