@@ -959,6 +959,25 @@ object ScaleProbe {
         Seq("spark", "join", "merge", "slow"), 0L).count()
     }
 
+    // ONE distinct-count pass regardless of pair count: flat-ish
+    probe("fd_discovery", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+        .withColumn("len_bits", length(bin(col("n_chars"))).cast("long"))
+      operators.DistinctAndFrequency.fdDiscovery(d,
+        Seq("lang", "source", "len_bits")).count()
+    }
+
+    probe("benford_audit", Seq(1, 20)) { c =>
+      val li2 = replicate(li, c, Map("l_orderkey" -> 100000000L))
+      operators.Stats.benfordAudit(li2, col("l_quantity")).count()
+    }
+
+    probe("events_dedup_burst", Seq(1, 20)) { c =>
+      val ev = replicate(events, c,
+        Map("event_id" -> 10000000L, "user_id" -> 1000000L))
+      streaming.Events.burstDedup(ev).count()
+    }
+
     // k fixed hops ⇒ k bounded scans over a ×c corpus: linear
     probe("icp_order", Seq(1, 20)) { c =>
       val e = replicate(engine.Tables.embeddings(spark, sf), c,

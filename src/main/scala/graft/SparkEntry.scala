@@ -2753,6 +2753,11 @@ object SparkEntry {
     "events_conversion_time" -> ((s, d) =>
       graft.streaming.Events.funnelLatency(ev(s, d),
         Seq("view", "click", "purchase"))),
+    // burst-duplicate suppression (telemetry debounce): same
+    // (user, type) within 5 s of the previous raw event; one
+    // per-(user, type) window, type-sized report
+    "events_dedup_burst" -> ((s, d) =>
+      graft.streaming.Events.burstDedup(ev(s, d))),
     // event-lateness profile (the watermark-tuning tool): lateness of
     // each arrival vs the running event-time max, as a power-of-2
     // histogram; global prefix max decomposed into bucketed windows +
@@ -5570,6 +5575,20 @@ object SparkEntry {
       """SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id
         |ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
         |FROM events""".stripMargin,
+    "events_dedup_burst" ->
+      """WITH p AS (SELECT event_type,
+        |    CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+        |      AS BIGINT) AS sec,
+        |    lag(CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |      ts) AS BIGINT)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) FILTER (WHERE prev IS NOT NULL
+        |    AND sec - prev <= 5) AS BIGINT) AS n_suppressed,
+        |  CAST(count(*) FILTER (WHERE prev IS NULL
+        |    OR sec - prev > 5) AS BIGINT) AS n_kept
+        |FROM p GROUP BY 1""".stripMargin,
     "events_lateness" ->
       """WITH e AS (SELECT event_id,
         |    CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)

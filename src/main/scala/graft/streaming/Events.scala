@@ -225,6 +225,26 @@ object Events {
           .as("latency_seconds"))
   }
 
+  /** Burst-duplicate suppression — the telemetry double-fire cleanup
+    * (retry storms, double-clicks, at-least-once sinks): an event is a
+    * burst duplicate when the SAME (user, type) fired within
+    * `windowSeconds` before it (lag over the per-user-type ordered
+    * window; chains collapse to their first event because suppression
+    * compares to the previous RAW event, the standard debounce). One
+    * per-(user, type) window pass; report kept/suppressed per type. */
+  def burstDedup(events: DataFrame, windowSeconds: Long = 5L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev", lag(unix_timestamp(col("ts")), 1).over(w))
+      .withColumn("__dup", col("__prev").isNotNull &&
+        unix_timestamp(col("ts")) - col("__prev") <= windowSeconds)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("__dup"), 1)).as("n_suppressed"),
+        count(when(!col("__dup"), 1)).as("n_kept"))
+  }
+
   /** Event-lateness profile — the watermark-tuning tool: how late does
     * each event arrive relative to the maximum event-time already seen
     * at its arrival position (arrival order = event_id, the ingest
