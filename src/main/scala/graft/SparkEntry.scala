@@ -462,6 +462,27 @@ object SparkEntry {
       " AS v(doc_id, text, lang, source, n_chars)"
   }
 
+  /** documents ∪ a planted fixture — the ONE builder every planted
+    * family shares: the Spark frame and the DuckDB VALUES literal
+    * derive from the same rows, and the SQL side always escapes
+    * single quotes (doubling), so an apostrophe-bearing fixture can
+    * never silently break its oracle. */
+  private def plantedDocs(s: SparkSession, d: String,
+      rows: Seq[(Long, String)], tag: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).unionByName(rows.map { case (id, t) =>
+      (id, t, "en", tag, t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private def plantedSelect(rows: Seq[(Long, String)], tag: String): String = {
+    val vals = rows.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''")}', 'en', '$tag', ${t.length})"
+    }.mkString(", ")
+    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
+      " AS v(doc_id, text, lang, source, n_chars)"
+  }
+
   // Planted DPO candidate groups ("prompt ### completion", several
   // completions per prompt). Coverage: a clear quality spread (group
   // elects by score), a chosen-side TIE (→ lowest doc_id), a
@@ -486,20 +507,11 @@ object SparkEntry {
     9910012L -> "lonely prompt ### only one answer here",
     9910013L -> "### orphan completion with no prompt")
 
-  private def docsDpo(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    docs(s, d).unionByName(dpoRows.map { case (id, t) =>
-      (id, t, "en", "planted_dpo", t.length.toLong)
-    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
-  }
+  private def docsDpo(s: SparkSession, d: String): DataFrame =
+    plantedDocs(s, d, dpoRows, "planted_dpo")
 
-  private val dpoDocsSelect: String = {
-    val vals = dpoRows.map { case (id, t) =>
-      s"($id, '$t', 'en', 'planted_dpo', ${t.length})"
-    }.mkString(", ")
-    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
-      " AS v(doc_id, text, lang, source, n_chars)"
-  }
+  private val dpoDocsSelect: String =
+    plantedSelect(dpoRows, "planted_dpo")
 
   // Planted multi-turn CHAT transcripts. Coverage: a 2×2-turn dialog,
   // an assistant-first transcript with a trailing user turn, a
@@ -515,20 +527,11 @@ object SparkEntry {
     9920004L -> "system preamble text <user> hi <assistant> hello there",
     9920005L -> "<assistant> <user> empty assistant turn")
 
-  private def docsChat(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    docs(s, d).unionByName(chatRows.map { case (id, t) =>
-      (id, t, "en", "planted_chat", t.length.toLong)
-    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
-  }
+  private def docsChat(s: SparkSession, d: String): DataFrame =
+    plantedDocs(s, d, chatRows, "planted_chat")
 
-  private val chatDocsSelect: String = {
-    val vals = chatRows.map { case (id, t) =>
-      s"($id, '$t', 'en', 'planted_chat', ${t.length})"
-    }.mkString(", ")
-    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
-      " AS v(doc_id, text, lang, source, n_chars)"
-  }
+  private val chatDocsSelect: String =
+    plantedSelect(chatRows, "planted_chat")
 
   // Planted MOJIBAKE docs (UTF-8 mis-decoded as CP1252). Coverage:
   // a 2-byte repair (Ã© → é), CP1252-special + sloppy-C1 quotes
@@ -548,20 +551,11 @@ object SparkEntry {
     9930006L -> "mixed Ã© and real 中 text",
     9930007L -> "truncated moji â€ end")
 
-  private def docsMoji(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    docs(s, d).unionByName(mojiRows.map { case (id, t) =>
-      (id, t, "en", "planted_moji", t.length.toLong)
-    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
-  }
+  private def docsMoji(s: SparkSession, d: String): DataFrame =
+    plantedDocs(s, d, mojiRows, "planted_moji")
 
-  private val mojiDocsSelect: String = {
-    val vals = mojiRows.map { case (id, t) =>
-      s"($id, '$t', 'en', 'planted_moji', ${t.length})"
-    }.mkString(", ")
-    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
-      " AS v(doc_id, text, lang, source, n_chars)"
-  }
+  private val mojiDocsSelect: String =
+    plantedSelect(mojiRows, "planted_moji")
 
   // Planted REPETITION docs (the base corpus has dup 2-grams but zero
   // dup 5-grams — verified — so the n ≥ 5 coverage side needs plants).
@@ -578,20 +572,11 @@ object SparkEntry {
     9940003L -> "one two three four five six seven eight nine ten all distinct words",
     9940004L -> "spam spam spam spam spam spam spam eggs")
 
-  private def docsRep(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    docs(s, d).unionByName(repRows.map { case (id, t) =>
-      (id, t, "en", "planted_rep", t.length.toLong)
-    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
-  }
+  private def docsRep(s: SparkSession, d: String): DataFrame =
+    plantedDocs(s, d, repRows, "planted_rep")
 
-  private val repDocsSelect: String = {
-    val vals = repRows.map { case (id, t) =>
-      s"($id, '$t', 'en', 'planted_rep', ${t.length})"
-    }.mkString(", ")
-    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
-      " AS v(doc_id, text, lang, source, n_chars)"
-  }
+  private val repDocsSelect: String =
+    plantedSelect(repRows, "planted_rep")
 
   // Planted INVISIBLE-CHAR docs: a ZWSP-split word (dedup evasion — a
   // byte-distinct twin of visible text), a bidi-RLO reordering attack
@@ -605,20 +590,11 @@ object SparkEntry {
     9970004L -> "\ufeffbom prefixed doc",
     9970005L -> "perfectly clean text")
 
-  private def docsInvis(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    docs(s, d).unionByName(invisRows.map { case (id, t) =>
-      (id, t, "en", "planted_invis", t.length.toLong)
-    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
-  }
+  private def docsInvis(s: SparkSession, d: String): DataFrame =
+    plantedDocs(s, d, invisRows, "planted_invis")
 
-  private val invisDocsSelect: String = {
-    val vals = invisRows.map { case (id, t) =>
-      s"($id, '$t', 'en', 'planted_invis', ${t.length})"
-    }.mkString(", ")
-    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
-      " AS v(doc_id, text, lang, source, n_chars)"
-  }
+  private val invisDocsSelect: String =
+    plantedSelect(invisRows, "planted_invis")
 
   // Planted IBAN docs: two genuine checksums (the ISO example pair), a
   // one-digit corruption (shape-identical, mod-97 fails), a lookalike
@@ -632,20 +608,11 @@ object SparkEntry {
     9960004L -> "short XX00ABCD123456789 maybe",
     9960005L -> "lowercase de89370400440532013000 ignored")
 
-  private def docsIban(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    docs(s, d).unionByName(ibanRows.map { case (id, t) =>
-      (id, t, "en", "planted_iban", t.length.toLong)
-    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
-  }
+  private def docsIban(s: SparkSession, d: String): DataFrame =
+    plantedDocs(s, d, ibanRows, "planted_iban")
 
-  private val ibanDocsSelect: String = {
-    val vals = ibanRows.map { case (id, t) =>
-      s"($id, '$t', 'en', 'planted_iban', ${t.length})"
-    }.mkString(", ")
-    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
-      " AS v(doc_id, text, lang, source, n_chars)"
-  }
+  private val ibanDocsSelect: String =
+    plantedSelect(ibanRows, "planted_iban")
 
   // Planted PRE-TOKENIZATION docs — the GPT-2 regex edge cases the
   // base corpus lacks: lowercase contractions (incl. an UPPER-case
@@ -663,20 +630,11 @@ object SparkEntry {
     9980006L -> "symbols !!! then ') quote",
     9980007L -> "don'T 'S 'x x'")
 
-  private def docsPre(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    docs(s, d).unionByName(preRows.map { case (id, t) =>
-      (id, t, "en", "planted_pre", t.length.toLong)
-    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
-  }
+  private def docsPre(s: SparkSession, d: String): DataFrame =
+    plantedDocs(s, d, preRows, "planted_pre")
 
-  private val preDocsSelect: String = {
-    val vals = preRows.map { case (id, t) =>
-      s"($id, '${t.replace("'", "''")}', 'en', 'planted_pre', ${t.length})"
-    }.mkString(", ")
-    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
-      " AS v(doc_id, text, lang, source, n_chars)"
-  }
+  private val preDocsSelect: String =
+    plantedSelect(preRows, "planted_pre")
 
   // Planted MULTI-SENTENCE docs (the base corpus has no ". " anywhere
   // — verified — so sentence-aligned chunking needs plants). Coverage:
@@ -692,20 +650,11 @@ object SparkEntry {
       9950003L -> "alpha beta. gamma. delta epsilon zeta")
   }
 
-  private def docsSent(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    docs(s, d).unionByName(sentRows.map { case (id, t) =>
-      (id, t, "en", "planted_sent", t.length.toLong)
-    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
-  }
+  private def docsSent(s: SparkSession, d: String): DataFrame =
+    plantedDocs(s, d, sentRows, "planted_sent")
 
-  private val sentDocsSelect: String = {
-    val vals = sentRows.map { case (id, t) =>
-      s"($id, '$t', 'en', 'planted_sent', ${t.length})"
-    }.mkString(", ")
-    s"SELECT * FROM documents UNION ALL SELECT * FROM (VALUES $vals)" +
-      " AS v(doc_id, text, lang, source, n_chars)"
-  }
+  private val sentDocsSelect: String =
+    plantedSelect(sentRows, "planted_sent")
 
   // Planted SFT pairs ("prompt ### completion") — base docs carry no
   // separator and flow through as has_pair = false all-zero masks.

@@ -262,10 +262,15 @@ object Events {
   def latenessProfile(events: DataFrame, bucketWidth: Long = 4096L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    // FLOOR bucketing (the binOf discipline): truncating division
+    // would fold negative ids into bucket 0 and break the every-event-
+    // in-bucket-(b-1)-precedes-bucket-b invariant the prefix relies on
     val withB = events
       .select(col("event_id"), unix_timestamp(col("ts")).as("__sec"))
       .withColumn("__b", graft.text.TextAnalysis.intDiv(
-        col("event_id"), lit(bucketWidth)))
+        col("event_id") - pmod(col("event_id"), lit(bucketWidth)),
+        lit(bucketWidth)))
+      .localCheckpoint(false) // read by the bucket-max collect AND the window
     val bucketMax = withB.groupBy(col("__b"))
       .agg(max(col("__sec")).as("__m"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -1001,10 +1006,18 @@ object Events {
     // prompt -> (nCand, chosenScore, chosenId, rejectedScore, rejectedId)
     val state = new java.util.concurrent.ConcurrentHashMap[
       String, (Long, Long, Long, Long, Long)]()
+    // foreachBatch is at-least-once: a retried batch re-delivers the
+    // same batchId, and re-merging it would inflate n_candidates and
+    // break the bit-equal-to-batch contract — fold each id once
+    val lastFolded = new java.util.concurrent.atomic.AtomicLong(-1L)
     newDocs.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val cands = graft.pipeline.Pipeline.dpoCandidates(batch.toDF())
-          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val fresh = lastFolded.get() < batchId
+        val cands = if (fresh)
+          graft.pipeline.Pipeline.dpoCandidates(batch.toDF())
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        else Array.empty[(Long, String, Long)]
+        if (fresh) lastFolded.set(batchId)
         cands.foreach { case (id, p, sc) =>
           state.merge(p, (1L, sc, id, sc, id),
             (a: (Long, Long, Long, Long, Long),

@@ -340,8 +340,10 @@ case class ByteEntropyBits(
 final class ChatMaskKernel(userMarker: String, assistantMarker: String)
     extends Serializable {
   import org.apache.spark.unsafe.types.UTF8String
-  private val um = userMarker.getBytes("UTF-8")
-  private val am = assistantMarker.getBytes("UTF-8")
+  // tokens fold through toLowerCase before comparison, so the marker
+  // params must fold too or an uppercase-bearing marker never matches
+  private val um = userMarker.toLowerCase.getBytes("UTF-8")
+  private val am = assistantMarker.toLowerCase.getBytes("UTF-8")
 
   private def tokEq(b: Array[Byte], s: Int, e: Int, m: Array[Byte]): Boolean = {
     if (e - s != m.length) return false
@@ -1458,8 +1460,9 @@ object TextAnalysis {
     *
     * Engine shape: every signal is WITHIN-document, so the whole
     * 18-value vector comes from ONE codegen kernel walk per row
-    * ([[GopherRepKernel]] — md5-60bit gram hashes, so the tie-broken
-    * election replays in SQL) — ZERO shuffle at any corpus size. The
+    * ([[GopherRepKernel]] — bytewise gram map, FIRST-OCCURRENCE
+    * tie-break: replays in SQL as ct DESC, min(j) ASC with no digest
+    * anywhere) — ZERO shuffle at any corpus size. The
     * first cut of this operator ran the (doc, n, gh) count through a
     * 9-way union + shuffle + coverage-explode distinct: 3.3 s at
     * sf0.1 for data that never leaves its row. */
@@ -3444,11 +3447,13 @@ object TextAnalysis {
         graftshim.columnToExpr(col("text")), userMarker, assistantMarker)))
       .withColumn("n_tokens", size(col("__ws")).cast("long"))
       .withColumn("n_user_turns",
-        (size(col("__ws")) - size(array_remove(col("__ws"), userMarker)))
+        (size(col("__ws")) -
+          size(array_remove(col("__ws"), userMarker.toLowerCase)))
           .cast("long"))
       .withColumn("n_assistant_turns",
         (size(col("__ws")) -
-          size(array_remove(col("__ws"), assistantMarker))).cast("long"))
+          size(array_remove(col("__ws"), assistantMarker.toLowerCase)))
+          .cast("long"))
       .select(col("doc_id"), col("n_tokens"),
         (col("n_user_turns") + col("n_assistant_turns")).as("n_turns"),
         col("n_assistant_turns"),

@@ -1678,6 +1678,12 @@ class PipelineSpec extends SparkSpec {
     val sp = docsDF(Seq("<assistant>  two   spaced  words"))
     val r3 = TextAnalysis.chatLossMask(sp).collect()(0)
     assert(r3.getLong(1) == 4L && r3.getString(6) == "0111", r3.toString)
+    // an UPPERCASE-bearing custom marker folds through lower() too
+    // (review fix: the kernel used to compare raw marker bytes)
+    val cm = docsDF(Seq("<User> q <Assistant> a b"))
+    val r4 = TextAnalysis.chatLossMask(cm, "<User>", "<Assistant>")
+      .collect()(0)
+    assert(r4.getBoolean(4) && r4.getString(6) == "00011", r4.toString)
   }
 
   test("mojibake kernel: repairs, strict-validity no-touch, astral 4-byte") {
@@ -1727,8 +1733,8 @@ class PipelineSpec extends SparkSpec {
     // top-side flags on the control are legitimately true at this doc
     // length (a count-1 gram of long words already holds >20% of 55
     // chars — Gopher applies these to long docs); the elected gram is
-    // hash-tie-broken, so its exact value is pinned by the SQL oracle,
-    // not hand-derivable here
+    // first-occurrence-tie-broken among count-1 grams, and its exact
+    // value is pinned by the SQL oracle rather than re-derived here
     (2L to 4L).foreach { n =>
       assert(out((9940003L, n, "top"))._1 < 0.4, s"n=$n")
     }

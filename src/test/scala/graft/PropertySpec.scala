@@ -1995,6 +1995,14 @@ class PropertySpec extends SparkSpec {
     val plan = graft.streaming.Events.latenessProfile(ev, 4L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"), plan)
+    // review fix: FLOOR bucketing keeps the bucket order invariant for
+    // negative ids too (truncating div folded -3..3 into one bucket)
+    val evNeg = secs.zipWithIndex.map { case (s, i) => (i.toLong - 4L, ts(s)) }
+      .toDF("event_id", "ts")
+    val gotNeg = graft.streaming.Events.latenessProfile(evNeg, 4L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(gotNeg == expect, s"neg ids: $gotNeg expect $expect")
   }
 
   test("last-touch attribution: election, same-instant tie, organic bucket") {
