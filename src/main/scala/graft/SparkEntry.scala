@@ -806,6 +806,58 @@ object SparkEntry {
        |    WHEN 8 THEN 1200 WHEN 9 THEN 1100 ELSE 1000 END AS flagged
        |FROM res r JOIN tot o ON o.doc_id = r.doc_id""".stripMargin
 
+  /** The GPT-2 pre-tokenizer CTE chain (per-char classes, run-end
+    * windows, one recursion step per token) over source CTE `src` —
+    * shared by the pretokenize oracle and the BPE-over-pretokens
+    * composition. Emits `toks` (1-based idx; NULL-token seed rows). */
+  private def pretokCtes(src: String): String =
+    s"""ch AS (SELECT doc_id, j, substr(text, CAST(j AS INTEGER), 1) AS c
+       |  FROM $src, UNNEST(generate_series(1, length(text))) t(j)
+       |  WHERE length(text) > 0),
+       |cc AS (SELECT doc_id, j, CASE
+       |    WHEN c IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+       |      THEN 0
+       |    WHEN regexp_matches(c, '^\\pL$$') THEN 1
+       |    WHEN regexp_matches(c, '^\\pN$$') THEN 2
+       |    ELSE 3 END AS cl FROM ch),
+       |r1 AS (SELECT doc_id, j, cl,
+       |    CASE WHEN lead(cl) OVER (PARTITION BY doc_id ORDER BY j)
+       |      IS DISTINCT FROM cl THEN j + 1 END AS eend FROM cc),
+       |r2 AS (SELECT doc_id, j, cl,
+       |    min(eend) OVER (PARTITION BY doc_id ORDER BY j
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS re
+       |  FROM r1),
+       |arrs AS (SELECT doc_id, list(cl ORDER BY j) AS cls,
+       |    list(re ORDER BY j) AS res FROM r2 GROUP BY doc_id),
+       |base AS (SELECT d.doc_id, d.text, length(d.text) AS n,
+       |    a.cls, a.res
+       |  FROM $src d JOIN arrs a USING (doc_id)),
+       |toks AS (
+       |  SELECT doc_id, text, n, cls, res, CAST(1 AS BIGINT) AS pos,
+       |    CAST(0 AS BIGINT) AS idx, CAST(NULL AS VARCHAR) AS tok
+       |  FROM base
+       |  UNION ALL
+       |  SELECT doc_id, text, n, cls, res, e, idx + 1,
+       |    substr(text, CAST(pos AS INTEGER), CAST(e - pos AS INTEGER))
+       |  FROM (SELECT *, CASE
+       |      WHEN substr(text, CAST(pos AS INTEGER), 1) = chr(39)
+       |        AND substr(text, CAST(pos + 1 AS INTEGER), 2)
+       |          IN ('re', 've', 'll') THEN pos + 3
+       |      WHEN substr(text, CAST(pos AS INTEGER), 1) = chr(39)
+       |        AND substr(text, CAST(pos + 1 AS INTEGER), 1)
+       |          IN ('s', 't', 'm', 'd') THEN pos + 2
+       |      WHEN cls[CAST(pos AS INTEGER)] != 0
+       |        THEN res[CAST(pos AS INTEGER)]
+       |      WHEN res[CAST(pos AS INTEGER)] > n
+       |        THEN res[CAST(pos AS INTEGER)]
+       |      WHEN res[CAST(pos AS INTEGER)] - pos = 1
+       |        AND substr(text, CAST(pos AS INTEGER), 1) = ' '
+       |        THEN res[CAST(res[CAST(pos AS INTEGER)] AS INTEGER)]
+       |      WHEN res[CAST(pos AS INTEGER)] - pos = 1
+       |        THEN res[CAST(pos AS INTEGER)]
+       |      ELSE res[CAST(pos AS INTEGER)] - 1 END AS e
+       |    FROM toks WHERE pos <= n))""".stripMargin
+
   /** The mojibake oracle: per-char CP1252 byte mapping (26 specials +
     * the ≤0xFF identity), strict UTF-8 validity as a hex-pair grammar
     * regex, and arithmetic re-decoding of the extracted sequences —
@@ -3713,6 +3765,18 @@ object SparkEntry {
     // walk + narrow explode, zero shuffle
     "text_pretokenize" -> ((s, d) =>
       graft.text.TextAnalysis.pretokenize(docsPre(s, d))),
+    // the AUTHENTIC GPT-2 composition: BPE token counts over the
+    // pretoken stream (contractions and leading-space units tokenize
+    // separately, exactly as the real tokenizer segments them);
+    // whitespace-only pretokens carry 0 trie tokens — the word-level
+    // trie's documented simplification vs byte-level space encoding
+    "text_tokens_bpe_pretok" -> ((s, d) =>
+      graft.text.TextAnalysis.pretokenize(docsPre(s, d))
+        .withColumn("__n",
+          graft.text.TextAnalysis.bpeTokenCount(col("pretoken")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pretokens"),
+          sum(col("__n")).as("n_tokens_bpe"))),
     // invisible-char sanitization (Trojan Source / dedup evasion):
     // zero-width + bidi-control counts and the stripped text, one
     // regexp pass per class, zero shuffle
@@ -6013,54 +6077,24 @@ object SparkEntry {
     "text_pretokenize" ->
       s"""WITH RECURSIVE
          |dd AS MATERIALIZED ($preDocsSelect),
-         |ch AS (SELECT doc_id, j, substr(text, CAST(j AS INTEGER), 1) AS c
-         |  FROM dd, UNNEST(generate_series(1, length(text))) t(j)
-         |  WHERE length(text) > 0),
-         |cc AS (SELECT doc_id, j, CASE
-         |    WHEN c IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
-         |      THEN 0
-         |    WHEN regexp_matches(c, '^\\pL$$') THEN 1
-         |    WHEN regexp_matches(c, '^\\pN$$') THEN 2
-         |    ELSE 3 END AS cl FROM ch),
-         |r1 AS (SELECT doc_id, j, cl,
-         |    CASE WHEN lead(cl) OVER (PARTITION BY doc_id ORDER BY j)
-         |      IS DISTINCT FROM cl THEN j + 1 END AS eend FROM cc),
-         |r2 AS (SELECT doc_id, j, cl,
-         |    min(eend) OVER (PARTITION BY doc_id ORDER BY j
-         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS re
-         |  FROM r1),
-         |arrs AS (SELECT doc_id, list(cl ORDER BY j) AS cls,
-         |    list(re ORDER BY j) AS res FROM r2 GROUP BY doc_id),
-         |base AS (SELECT d.doc_id, d.text, length(d.text) AS n,
-         |    a.cls, a.res
-         |  FROM dd d JOIN arrs a USING (doc_id)),
-         |toks AS (
-         |  SELECT doc_id, text, n, cls, res, CAST(1 AS BIGINT) AS pos,
-         |    CAST(0 AS BIGINT) AS idx, CAST(NULL AS VARCHAR) AS tok
-         |  FROM base
-         |  UNION ALL
-         |  SELECT doc_id, text, n, cls, res, e, idx + 1,
-         |    substr(text, CAST(pos AS INTEGER), CAST(e - pos AS INTEGER))
-         |  FROM (SELECT *, CASE
-         |      WHEN substr(text, CAST(pos AS INTEGER), 1) = chr(39)
-         |        AND substr(text, CAST(pos + 1 AS INTEGER), 2)
-         |          IN ('re', 've', 'll') THEN pos + 3
-         |      WHEN substr(text, CAST(pos AS INTEGER), 1) = chr(39)
-         |        AND substr(text, CAST(pos + 1 AS INTEGER), 1)
-         |          IN ('s', 't', 'm', 'd') THEN pos + 2
-         |      WHEN cls[CAST(pos AS INTEGER)] != 0
-         |        THEN res[CAST(pos AS INTEGER)]
-         |      WHEN res[CAST(pos AS INTEGER)] > n
-         |        THEN res[CAST(pos AS INTEGER)]
-         |      WHEN res[CAST(pos AS INTEGER)] - pos = 1
-         |        AND substr(text, CAST(pos AS INTEGER), 1) = ' '
-         |        THEN res[CAST(res[CAST(pos AS INTEGER)] AS INTEGER)]
-         |      WHEN res[CAST(pos AS INTEGER)] - pos = 1
-         |        THEN res[CAST(pos AS INTEGER)]
-         |      ELSE res[CAST(pos AS INTEGER)] - 1 END AS e
-         |    FROM toks WHERE pos <= n))
+         |${pretokCtes("dd")}
          |SELECT doc_id, idx - 1 AS idx, tok AS pretoken FROM toks
          |WHERE tok IS NOT NULL""".stripMargin,
+    "text_tokens_bpe_pretok" ->
+      s"""WITH RECURSIVE
+         |dd AS MATERIALIZED ($preDocsSelect),
+         |${pretokCtes("dd")},
+         |ptk AS MATERIALIZED (SELECT doc_id, idx, tok FROM toks
+         |  WHERE tok IS NOT NULL),
+         |pre AS MATERIALIZED (SELECT doc_id * 1000000 + idx AS doc_id,
+         |    tok AS text FROM ptk),
+         |${bpeCte("pre")},
+         |agg AS (SELECT CAST(doc_id // 1000000 AS BIGINT) AS doc_id,
+         |    CAST(SUM(n_tokens_bpe) AS BIGINT) AS nb FROM bpe GROUP BY 1),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pretokens
+         |  FROM ptk GROUP BY 1)
+         |SELECT c.doc_id, c.n_pretokens, COALESCE(a.nb, 0) AS n_tokens_bpe
+         |FROM cnt c LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "text_sanitize_invisible" ->
       s"""WITH dd AS MATERIALIZED ($invisDocsSelect)
          |SELECT doc_id,
