@@ -245,6 +245,40 @@ object Events {
         count(when(!col("__dup"), 1)).as("n_kept"))
   }
 
+  final case class BurstEv(event_id: Long, ts: java.sql.Timestamp,
+    user_id: Long, event_type: String)
+  final case class BurstVerdict(event_id: Long, user_id: Long,
+    event_type: String, suppressed: Boolean)
+
+  /** Streaming twin of [[burstDedup]] via flatMapGroupsWithState: the
+    * per-(user, type) state is the last RAW event's epoch second (O(1)
+    * per key — the debounce compares to the previous raw event, not
+    * the previous kept one), and every event emits its verdict the
+    * moment it arrives. Per-batch sort on (ts, event_id) reproduces
+    * the batch window's order; under in-order arrival the verdict set
+    * is bit-equal to the batch operator's per-event flags (gated in
+    * StreamingSpec, incl. a cross-batch suppression). */
+  def burstDedupStream(events: Dataset[BurstEv],
+      windowSeconds: Long = 5L): Dataset[BurstVerdict] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, BurstVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, evs, state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .map { e =>
+              val sec = e.ts.getTime / 1000L
+              val dup = last != Long.MinValue && sec - last <= windowSeconds
+              last = sec
+              BurstVerdict(e.event_id, key._1, key._2, dup)
+            }
+          state.update(last)
+          out.iterator
+      }
+  }
+
   /** Event-lateness profile — the watermark-tuning tool: how late does
     * each event arrive relative to the maximum event-time already seen
     * at its arrival position (arrival order = event_id, the ingest

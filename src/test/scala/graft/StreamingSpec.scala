@@ -764,6 +764,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((5L, "click", 2L, 30L)), got)  // cross-batch state
   }
 
+  test("burst dedup stream: per-key state carries across batches, equals batch") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val evs = Seq(
+      Events.BurstEv(1L, ts(100), 7L, "click"),
+      Events.BurstEv(2L, ts(103), 7L, "click"),  // within 5s -> dup
+      Events.BurstEv(3L, ts(103), 7L, "view"),   // other type: kept
+      Events.BurstEv(4L, ts(120), 7L, "click"),  // gap: kept
+      // batch 2 starts here; 5 is within 5s of 4 ACROSS the batch line
+      Events.BurstEv(5L, ts(123), 7L, "click"),
+      Events.BurstEv(6L, ts(124), 8L, "click"))  // other user: kept
+    val dir = java.nio.file.Files.createTempDirectory("graft_burst")
+    evs.take(4).toDS().coalesce(1).write.mode("append").parquet(dir.toString)
+    Thread.sleep(1100)
+    evs.drop(4).toDS().coalesce(1).write.mode("append").parquet(dir.toString)
+    val stream = spark.readStream.schema(evs.toDS().schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(dir.toString).as[Events.BurstEv]
+    val q = Events.burstDedupStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("graft_burst_v")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("graft_burst_v").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> false,
+      5L -> true, 6L -> false), got)
+    // batch parity: suppressed counts per type match burstDedup
+    val batch = Events.burstDedup(evs.toDS().toDF()).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val streamCounts = spark.table("graft_burst_v").collect()
+      .groupBy(_.getString(2))
+      .map { case (t, rs) => t -> rs.count(_.getBoolean(3)).toLong }
+    assert(streamCounts == batch, s"$streamCounts vs $batch")
+  }
+
   test("image ingest gate equals the batch image near-dup check") {
     import graft.multimodal.Multimodal
     val spark0 = spark
