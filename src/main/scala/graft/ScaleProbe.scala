@@ -942,6 +942,17 @@ object ScaleProbe {
       streaming.Events.latenessProfile(ev).count()
     }
 
+    // pretokenize kernel + per-pretoken trie walk + per-doc sum: the
+    // full GPT-2 composition stays scan-bound
+    probe("text_tokens_bpe_pretok", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.pretokenize(d)
+        .withColumn("__n", text.TextAnalysis.bpeTokenCount(col("pretoken")))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("__n")).as("n")).agg(sum(col("n")))
+        .collect().length.toLong
+    }
+
     // one kernel walk + narrow explode; agg forces the token stream
     probe("text_pretokenize", Seq(1, 20)) { c =>
       val d = replicate(docs, c, Map("doc_id" -> 10000000L))
