@@ -3025,6 +3025,29 @@ object SparkEntry {
     // low-quality markers); the marker-count feature is learnable, the
     // centered word count is SIGNED (exercises negative sums through
     // the whole unrolled chain), convergence asserted in PipelineSpec
+    // reliability audit of the trained classifier: per exact integer
+    // score, the observed positive-label share and sign accuracy —
+    // the calibration curve a score threshold is chosen against;
+    // composes the SAME train-to-serve pipeline, class-sized output
+    "quality_calibration" -> ((s, d) => {
+      val t = split(lower(col("text")), " ")
+      val markers = size(filter(t, w => w === "slow" || w === "dup"))
+      val scored = graft.pipeline.Pipeline.perceptronTrainServe(
+        docs(s, d), col("doc_id"),
+        when(markers > 0, 1L).otherwise(-1L),
+        Seq(markers, graft.text.TextAnalysis.intDiv(
+          (size(t) - lit(40)).cast("long"), lit(16L))),
+        epochs = 6)
+      scored.groupBy(col("score"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("label") === 1, 1)).as("n_positive"),
+          count(when(col("pred") === col("label"), 1)).as("n_correct"))
+        .select(col("score"), col("n"), col("n_positive"),
+          graft.text.TextAnalysis.frac4(col("n_positive"), col("n"))
+            .as("positive_share"),
+          graft.text.TextAnalysis.frac4(col("n_correct"), col("n"))
+            .as("accuracy"))
+    }),
     "quality_perceptron_train" -> ((s, d) => {
       val t = split(lower(col("text")), " ")
       val markers = size(filter(t, w => w === "slow" || w === "dup"))
@@ -6227,6 +6250,23 @@ object SparkEntry {
         |        * sqrt(CAST(list_sum([y*y for y in cent]) AS DOUBLE))), 4)
         |  END AS cos
         |FROM q CROSS JOIN cl""".stripMargin,
+    "quality_calibration" ->
+      s"""WITH ${perceptronSqlCtes(6, 3)},
+        |sc AS (SELECT f.doc_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 3),
+        |      j -> w.w[j] * f.x[j])) AS BIGINT) AS score,
+        |    CASE WHEN list_sum(list_transform(generate_series(1, 3),
+        |      j -> w.w[j] * f.x[j])) > 0 THEN 1 ELSE -1 END AS pred,
+        |    CAST(f.y AS INT) AS label
+        |  FROM pf f CROSS JOIN pw6 w)
+        |SELECT score, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE label = 1) AS BIGINT)
+        |    AS n_positive,
+        |  (CAST(count(*) FILTER (WHERE label = 1) AS BIGINT) * 10000
+        |    // count(*)) / 10000.0 AS positive_share,
+        |  (CAST(count(*) FILTER (WHERE pred = label) AS BIGINT) * 10000
+        |    // count(*)) / 10000.0 AS accuracy
+        |FROM sc GROUP BY 1""".stripMargin,
     "quality_perceptron_train" ->
       s"""WITH ${perceptronSqlCtes(6, 3)}
         |SELECT f.doc_id,
