@@ -178,21 +178,33 @@ object Similarity {
     * (graph-sized, not corpus²). */
   def icpOrder(emb: DataFrame, k: Int): DataFrame = {
     import graft.functions.VectorExpressions.{vec_q16, vec_dot_int}
+    require(k >= 1, s"icpOrder needs k >= 1, got $k")
     val spark = emb.sparkSession
     import spark.implicits._
     val q = emb.select(col("vec_id"), vec_q16(col("embedding")).as("qe"))
       .localCheckpoint(false)
-    val first = q.orderBy(col("vec_id")).limit(1).head()
+    val firstRows = q.orderBy(col("vec_id")).limit(1).collect()
+    require(firstRows.nonEmpty, "icpOrder: empty embedding table")
+    val first = firstRows.head
     var cur = (first.getLong(0), first.getSeq[Int](1).toArray)
     var out = List((1L, cur._1, Option.empty[Long]))
     var cand = q.filter(col("vec_id") =!= cur._1)
-    for (i <- 2 to k) {
+    var i = 2
+    var exhausted = false
+    // truncate the walk at the corpus size: fewer than k vectors
+    // yields a shorter ordering, not an exception
+    while (i <= k && !exhausted) {
       val d = vec_dot_int(col("qe"), lit(cur._2)).cast("long")
-      val next = cand.select(col("vec_id"), col("qe"), d.as("d"))
-        .orderBy(col("d").desc, col("vec_id")).limit(1).head()
-      cur = (next.getLong(0), next.getSeq[Int](1).toArray)
-      out = out :+ ((i.toLong, cur._1, Some(next.getLong(2))))
-      cand = cand.filter(col("vec_id") =!= cur._1)
+      val nextRows = cand.select(col("vec_id"), col("qe"), d.as("d"))
+        .orderBy(col("d").desc, col("vec_id")).limit(1).collect()
+      if (nextRows.isEmpty) exhausted = true
+      else {
+        val next = nextRows.head
+        cur = (next.getLong(0), next.getSeq[Int](1).toArray)
+        out = out :+ ((i.toLong, cur._1, Some(next.getLong(2))))
+        cand = cand.filter(col("vec_id") =!= cur._1)
+        i += 1
+      }
     }
     out.map { case (p, id, dp) => (p, id, dp) }
       .toDF("position", "vec_id", "dot_prev")
@@ -451,28 +463,6 @@ object Similarity {
 
   // ── product quantization (Jégou, Douze, Schmid 2011) ───────────────
 
-  /** Code (index of the nearest codebook centroid, squared-L2 metric —
-    * the PQ training/encode objective) for one subvector. argmin of
-    * ‖x−c‖² = argmin of ‖c‖² − 2⟨x,c⟩ (‖x‖² is common), with ‖c‖²
-    * folded driver-side and ⟨x,c⟩ the codegen'd [[dot]] — higher-order
-    * per-centroid lambdas would evaluate interpreted and dominate the
-    * encode (measured 2× the whole query). Ordering (and so every
-    * code) is identical to the plain L2 argmin, ties by code id. */
-  private[ann] def nearestSubCode(codebook: Array[Array[Float]], sub: Column): Column = {
-    val dists = array(codebook.zipWithIndex.map { case (c, i) =>
-      var c2 = 0.0
-      c.foreach(x => c2 += x.toDouble * x)
-      struct((lit(c2) - lit(2.0) * dot(sub, lit(c))).as("d"), lit(i).as("code"))
-    }: _*)
-    element_at(array_sort(dists), 1).getField("code")
-  }
-
-  /** Subvector columns sub_0..sub_{m-1} sliced ONCE (each feeds ksub
-    * argmin branches — re-slicing per branch multiplies the work). */
-  private[ann] def withSubVectors(df: DataFrame, m: Int, d: Int): DataFrame =
-    df.select(df.columns.map(col) ++
-      (0 until m).map(j => slice(col("embedding"), j * d + 1, d).as(s"sub_$j")): _*)
-
   /** Per-subspace L2 k-means codebooks: dimension split into `m`
     * subspaces of dim/m, all trained TOGETHER — seeds come from ONE
     * hash-strided collect (sliced driver-side) and every Lloyd
@@ -496,11 +486,12 @@ object Similarity {
     var cbs = Array.tabulate(m)(j =>
       seeds.map(v => java.util.Arrays.copyOfRange(v, j * d, (j + 1) * d)))
     (0 until refineIters).foreach { _ =>
-      // one pass for ALL subspaces: code per subspace, then
-      // (subspace, cell, dim) means
-      val codesCol = array((0 until m).map(j =>
-        nearestSubCode(cbs(j), col(s"sub_$j"))): _*)
-      val stats = withSubVectors(emb, m, d)
+      // one pass for ALL subspaces: code per subspace (fused PqEncode
+      // kernel — same argmin, same tie rules, one loop instead of
+      // m·ksub struct branches), then (subspace, cell, dim) means
+      val codesCol = slice(graft.functions.VectorExpressions
+        .pq_encode(col("embedding"), None, cbs), 2, m)
+      val stats = emb
         .select(posexplode(codesCol).as(Seq("sub", "cell")), col("embedding"))
         .select(col("sub"), col("cell"),
           posexplode(expr(s"slice(embedding, sub * $d + 1, $d)"))
@@ -663,8 +654,21 @@ object Similarity {
   def kmeansExactCentroids(emb: DataFrame, k: Int, iters: Int)
       : Array[Array[Int]] = {
     import graft.functions.VectorExpressions.vec_q16
-    require(k > 0 && iters >= 0)
+    // quantize + decode the source ONCE: the seed scan plus every
+    // Lloyd iteration re-reads this frame, so without the checkpoint
+    // the parquet decode and vec_q16 run (iters + 1) times
     val q = emb.select(col("vec_id"), vec_q16(col("embedding")).as("qe"))
+      .localCheckpoint(eager = false)
+    kmeansExactCentroidsQ(q, k, iters)
+  }
+
+  /** [[kmeansExactCentroids]] over a pre-quantized (vec_id, qe) frame —
+    * callers that also consume the quantized vectors downstream
+    * (assignment, within-cluster joins) pass their own checkpointed
+    * frame so the corpus is decoded exactly once end-to-end. */
+  private[graft] def kmeansExactCentroidsQ(q: DataFrame, k: Int, iters: Int)
+      : Array[Array[Int]] = {
+    require(k > 0 && iters >= 0)
     var cents: Array[Array[Int]] = q.orderBy(col("vec_id")).limit(k)
       .select(col("qe")).collect().map(_.getSeq[Int](0).toArray)
     (1 to iters).foreach { _ =>
@@ -712,8 +716,9 @@ object Similarity {
     */
   def kmeansExact(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     import graft.functions.VectorExpressions.{vec_q16, vec_dot_int}
-    val cents = kmeansExactCentroids(emb, k, iters)
     val q = emb.select(col("vec_id"), vec_q16(col("embedding")).as("qe"))
+      .localCheckpoint(eager = false)
+    val cents = kmeansExactCentroidsQ(q, k, iters)
     val scored = array(cents.zipWithIndex.map { case (c, i) =>
       val cc = c.map(v => v.toLong * v).sum
       struct((vec_dot_int(col("qe"), col("qe"))
@@ -741,9 +746,12 @@ object Similarity {
     import graft.functions.VectorExpressions.{vec_q16, vec_dot_int}
     require(thetaNum > 0 && thetaDen > 0)
     val emb = graft.engine.Layout.ensureParallelism(emb0)
-    val cents = kmeansExactCentroids(emb0, k, iters)
-    val assigned = emb
-      .select(col("vec_id"), vec_q16(col("embedding")).as("qe"))
+    // one decode+quantize for the seed scan, both Lloyd iterations,
+    // AND both sides of the within-cluster self-join
+    val q = emb.select(col("vec_id"), vec_q16(col("embedding")).as("qe"))
+      .localCheckpoint(eager = false)
+    val cents = kmeansExactCentroidsQ(q, k, iters)
+    val assigned = q
       .withColumn("cluster", argminCellInt(cents, col("qe")))
       .withColumn("qq", vec_dot_int(col("qe"), col("qe")).cast("long"))
     def dec(c: Column): Column = c.cast("decimal(38,0)")

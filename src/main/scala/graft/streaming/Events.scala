@@ -1051,7 +1051,6 @@ object Events {
           graft.pipeline.Pipeline.dpoCandidates(batch.toDF())
             .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
         else Array.empty[(Long, String, Long)]
-        if (fresh) lastFolded.set(batchId)
         cands.foreach { case (id, p, sc) =>
           state.merge(p, (1L, sc, id, sc, id),
             (a: (Long, Long, Long, Long, Long),
@@ -1066,6 +1065,13 @@ object Events {
               (n + 1L, ch, chi, rj, rji)
             })
         }
+        // mark the batch folded only AFTER the merge loop completes —
+        // marking before it would skip a re-delivered batch whose
+        // first delivery failed mid-fold, silently dropping candidates.
+        // The guard is in-memory only: the bit-equal-to-batch contract
+        // holds within a single uninterrupted run (a checkpoint restart
+        // rebuilds state from replayed batches).
+        if (fresh) lastFolded.set(batchId)
         val spark = batch.sparkSession
         import spark.implicits._
         import scala.jdk.CollectionConverters._
