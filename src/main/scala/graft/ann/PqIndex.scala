@@ -34,17 +34,15 @@ object PqIndex {
       cents: Option[Array[(Array[Float], Int)]],
       codebooks: Array[Array[Array[Float]]]): DataFrame = {
     val m = codebooks.length
-    val d = codebooks(0)(0).length
-    val cellCol = cents match {
-      case Some(cs) =>
-        element_at(Similarity.nearestCells(cs, col("embedding"), 1), 1)
-      case None => lit(0)
-    }
-    Similarity.withSubVectors(normed, m, d).select(
-      col("vec_id"), cellCol.as("cell"),
-      array((0 until m).map(j =>
-        Similarity.nearestSubCode(codebooks(j), col(s"sub_$j"))): _*)
-        .as("codes"))
+    // fused PqEncode kernel: cell + all m codes from one loop pass per
+    // row (the expression-tree form ran m+1 array_sorts per row and
+    // dominated the build's encode half); cell ids are centroid
+    // POSITIONS — kmeansCentroids constructs them as such
+    val e = graft.functions.VectorExpressions.pq_encode(
+      col("embedding"), cents.map(_.map(_._1)), codebooks)
+    normed.select(col("vec_id"), e.as("__e"))
+      .select(col("vec_id"), col("__e").getItem(0).as("cell"),
+        slice(col("__e"), 2, m).as("codes"))
   }
 
   private val emptySchema = StructType(Seq(

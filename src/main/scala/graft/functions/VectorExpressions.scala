@@ -482,6 +482,107 @@ case class TokenWindowHashes(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Fused product-quantization encoder: nearest coarse cell (cosine,
+  * when centroids are given) plus all `m` subspace codes (squared-L2
+  * argmin) in ONE pass over the vector — output [cell, code_0, …,
+  * code_{m−1}]. Bit-identical to the expression-tree form it replaces
+  * (`1 − dot/(‖v‖·‖c‖)` cell scores, `‖c‖² − 2⟨sub,c⟩` code scores,
+  * array_sort tie-break = lowest id, NaN sorts last): same double
+  * arithmetic in the same order, with the per-centroid constants
+  * (‖c‖, ‖c‖²) folded once at plan time instead of per row. The
+  * expression-tree encode built 16 + m·ksub structs and ran m+1
+  * array_sorts PER ROW — this is a straight JIT'd loop, called from
+  * whole-stage codegen via one reference-object dispatch.
+  */
+case class PqEncode(child: Expression,
+    cents: Option[Array[Array[Float]]],
+    codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private val m = codebooks.length
+  private val d = codebooks(0)(0).length
+  // ‖c‖² per subspace code, folded with the SAME float→double
+  // accumulation the driver-side literal used
+  @transient private lazy val cb2: Array[Array[Double]] =
+    codebooks.map(_.map { c =>
+      var s = 0.0; c.foreach(x => s += x.toDouble * x); s
+    })
+  // ‖centroid‖ with FloatVecNorm's arithmetic (double squares, sqrt once)
+  @transient private lazy val centNorms: Array[Double] =
+    cents.map(_.map { c =>
+      var s = 0.0; c.foreach(x => s += x.toDouble * x); math.sqrt(s)
+    }).orNull
+
+  // ascending-struct-sort "first" semantics: a beats b iff a < b, or a
+  // is a number and b is NaN; ties keep the earlier (lower) id
+  @inline private def beats(a: Double, b: Double): Boolean =
+    a < b || (!java.lang.Double.isNaN(a) && java.lang.Double.isNaN(b))
+
+  def encodeRow(a: Any): ArrayData = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Int](1 + m)
+    cents match {
+      case Some(cs) =>
+        var nv = 0.0
+        var i = 0
+        while (i < n) { val x = v.getFloat(i).toDouble; nv += x * x; i += 1 }
+        nv = math.sqrt(nv)
+        var bestD = Double.NaN
+        var best = 0
+        var ci = 0
+        while (ci < cs.length) {
+          val c = cs(ci)
+          val len = math.min(n, c.length)
+          var s = 0.0
+          var t = 0
+          while (t < len) { s += v.getFloat(t).toDouble * c(t).toDouble; t += 1 }
+          val dd = 1.0 - s / (nv * centNorms(ci))
+          if (ci == 0 || beats(dd, bestD)) { bestD = dd; best = ci }
+          ci += 1
+        }
+        out(0) = best
+      case None => out(0) = 0
+    }
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val c2 = cb2(j)
+      val off = j * d
+      val len = math.max(0, math.min(d, n - off))
+      var bestD = Double.NaN
+      var best = 0
+      var k = 0
+      while (k < cb.length) {
+        val c = cb(k)
+        var s = 0.0
+        var t = 0
+        while (t < len) { s += v.getFloat(off + t).toDouble * c(t).toDouble; t += 1 }
+        val dd = c2(k) - 2.0 * s
+        if (k == 0 || beats(dd, bestD)) { bestD = dd; best = k }
+        k += 1
+      }
+      out(1 + j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = encodeRow(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.encodeRow($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftshim.{exprToColumn => column, columnToExpr => expression}
   def vec_dot(a: Column, b: Column): Column =
@@ -502,4 +603,7 @@ object VectorExpressions {
   def vec_norm_int(a: Column): Column = column(IntVecNorm(expression(a)))
   def band_keys(v: Column, dim: Int, planes: Int, bands: Int): Column =
     column(HyperplaneBandKeys(expression(v), dim, planes, bands))
+  def pq_encode(v: Column, cents: Option[Array[Array[Float]]],
+      codebooks: Array[Array[Array[Float]]]): Column =
+    column(PqEncode(expression(v), cents, codebooks))
 }
