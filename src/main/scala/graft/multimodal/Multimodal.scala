@@ -377,7 +377,12 @@ object Multimodal {
       "4x16-bit banding guarantees full recall only for hamming <= 3")
     val bandKeys = array((0 until 4).map(b =>
       shiftrightunsigned(col("ahash"), b * 16).bitwiseAND(lit(0xffffL))): _*)
-    val banded = hashes
+    // materialize the (tiny: id + two longs) hash frame before the
+    // self-join: the two banded sides are distinct subtrees after the
+    // aliases, so without this BOTH re-run the upstream image DECODE —
+    // at image-corpus scale decode dominates and doubling it is the
+    // single largest avoidable cost in the family
+    val banded = hashes.localCheckpoint(eager = false)
       .select(col("id"), col("ahash"), posexplode(bandKeys).as(Seq("band", "key")))
     val cand = banded.as("a").hint("shuffle_merge")
       .join(banded.as("b").hint("shuffle_merge"),
@@ -448,10 +453,14 @@ object Multimodal {
     * one aggregation + one equality self-join on the tiny signature
     * table — never on payloads. */
   def audioDedupPairs(frames: DataFrame): DataFrame = {
+    // same decode-once discipline as imageNearDupPairs: the signature
+    // table is doc-count-sized; checkpoint it so the equality
+    // self-join's two sides don't each re-run the PCM decode
     val sigs = frames.groupBy(col("id"))
       .agg(count(lit(1)).as("n_frames"),
         sum(col("checksum") * (col("frame_idx") + 1L) +
           col("zero_crossings") * 131L + col("energy_mag")).as("sig"))
+      .localCheckpoint(eager = false)
     sigs.as("a")
       .join(sigs.as("b"),
         col("a.n_frames") === col("b.n_frames") &&
@@ -832,10 +841,12 @@ object Multimodal {
     * as [[audioDedupPairs]]): equal (sampled-frame count, signature) ⇒
     * byte-identical sampled frames. */
   def videoDedupPairs(frames: DataFrame): DataFrame = {
+    // decode-once: see audioDedupPairs
     val sigs = frames.groupBy(col("id"))
       .agg(count(lit(1)).as("n_frames"),
         sum(col("checksum") * (col("frame_idx") + 1L) + col("n_bytes"))
           .as("sig"))
+      .localCheckpoint(eager = false)
     sigs.as("a")
       .join(sigs.as("b"),
         col("a.n_frames") === col("b.n_frames") &&
