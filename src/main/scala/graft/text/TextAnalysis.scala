@@ -340,10 +340,14 @@ case class ByteEntropyBits(
 final class ChatMaskKernel(userMarker: String, assistantMarker: String)
     extends Serializable {
   import org.apache.spark.unsafe.types.UTF8String
-  // tokens fold through toLowerCase before comparison, so the marker
-  // params must fold too or an uppercase-bearing marker never matches
-  private val um = userMarker.toLowerCase.getBytes("UTF-8")
-  private val am = assistantMarker.toLowerCase.getBytes("UTF-8")
+  // tokens fold through UTF8String.toLowerCase (locale-independent)
+  // before comparison, so the marker params must fold through the SAME
+  // mapping — String.toLowerCase under a tr/az default locale maps 'I'
+  // to dotless ı and the marker would never match
+  private val um =
+    UTF8String.fromString(userMarker).toLowerCase.getBytes
+  private val am =
+    UTF8String.fromString(assistantMarker).toLowerCase.getBytes
 
   private def tokEq(b: Array[Byte], s: Int, e: Int, m: Array[Byte]): Boolean = {
     if (e - s != m.length) return false
@@ -622,7 +626,12 @@ final class GopherRepKernel extends Serializable {
       else {
         val m = t - n + 1
         var cap = 4
-        while (cap < m * 2) cap <<= 1
+        // target computed in Long: m * 2 in Int overflows for a
+        // pathological ~2^30-token document and would leave cap too
+        // small, turning the open-addressing probe into an infinite
+        // loop (a 2 GiB UTF8String can't actually hold that many
+        // tokens, but keep the sizing arithmetic safe regardless)
+        while (cap.toLong < 2L * m) cap <<= 1
         val repPos = new Array[Int](cap) // gram position + 1; 0 = empty
         val cnt = new Array[Int](cap)
         val slotOf = new Array[Int](m)
@@ -2040,6 +2049,88 @@ object TextAnalysis {
           col("__s.e") - col("__s.s") + 1), " ").as("span_text"))
   }
 
+  /** Tiered maximal-span certification — the [[dupSpans]] refinement
+    * toward Lee et al. 2022's suffix-array semantics: a merged w-window
+    * span can be a CHIMERA (overlapping w-grams shared with different
+    * partners, no single long duplicate), because the per-doc interval
+    * merge keeps any duplicated starts within w of each other. This
+    * variant re-detects at the doubled window tiers (w, 2w, 4w) and
+    * stamps every span with `certified_tier` = the largest tier t such
+    * that EVERY t-window inside the span is itself duplicated
+    * (coverage at 4w ⇒ coverage at 2w ⇒ coverage at w — a duplicated
+    * long gram's subgrams are duplicated at the same positions — so
+    * the CASE hierarchy is well-defined; 0 = a sparse merge that not
+    * even the base tier covers densely). A genuine L ≥ 4w-token
+    * verbatim duplicate certifies at 4w; a chimera chain stays at w/0.
+    * Window keys are the md5-60bit SQL-replayable gram hashes at all
+    * three widths, so spans AND certificates replay in DuckDB.
+    *
+    * Scale shape: one codegen gram walk + one partial-aggregated dup
+    * groupBy + one semi-join + one per-doc collect PER TIER (the
+    * tier count is a constant 3); the certificate check is a
+    * row-local filter over the span's bounded start arrays. Nothing
+    * all-pairs, no per-token shuffle rows.
+    */
+  def dupSpansMaximal(docs: DataFrame, w: Int = 5,
+      tierMults: Seq[Int] = Seq(2, 4)): DataFrame = {
+    val pre = docs.select(col("doc_id"), col("text"),
+      filter(split(lower(col("text")), " "), t => t =!= "").as("__ws"))
+    val ws = col("__ws")
+    def dupStarts(width: Int, out: String): DataFrame = {
+      val grams = pre.filter(size(ws) >= width)
+        .select(col("doc_id"), posexplode(graftshim.exprToColumn(
+          TokenGramHashes(graftshim.columnToExpr(col("text")), width))))
+        .toDF("doc_id", "pos0", "gh")
+        .localCheckpoint(eager = false)
+      val dup = grams.groupBy(col("gh"))
+        .agg(count_distinct(col("doc_id")).as("__nd"))
+        .filter(col("__nd") >= 2)
+        .select(col("gh"))
+      grams.join(dup, Seq("gh"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(col("pos0") + lit(1))).as(out))
+    }
+    val base = dupStarts(w, "__ps")
+    val merged = aggregate(col("__ps"),
+      array().cast("array<struct<s: int, e: int>>"),
+      (acc, p) => {
+        val last = element_at(acc, -1)
+        when(size(acc) > lit(0) && p <= last("e") + lit(1),
+          concat(slice(acc, lit(1), size(acc) - lit(1)),
+            array(struct(last("s").as("s"),
+              greatest(last("e"), p + lit(w - 1)).as("e")))))
+          .otherwise(concat(acc,
+            array(struct(p.as("s"), (p + lit(w - 1)).as("e")))))
+      })
+    val spans = base
+      .join(pre.select(col("doc_id"), ws), Seq("doc_id"))
+      .select(col("doc_id"), ws, col("__ps"), merged.as("__iv"))
+      .select(col("doc_id"), ws, col("__ps"), explode(col("__iv")).as("__s"))
+      .select(col("doc_id"), ws, col("__ps"),
+        col("__s.s").as("__ss"), col("__s.e").as("__se"))
+    val withTiers = tierMults.foldLeft(spans) { (acc, m) =>
+      acc.join(dupStarts(m * w, s"__t$m"), Seq("doc_id"), "left")
+    }
+    // dense coverage at width t: every t-window start in [s, e−t+1] is
+    // duplicated — starts are distinct ints, so a bounded count decides
+    def cov(starts: Column, t: Int): Column =
+      (col("__se") - col("__ss") + 1 >= t) &&
+        size(filter(coalesce(starts, array().cast("array<int>")),
+          p => p >= col("__ss") && p <= col("__se") - lit(t - 1))) ===
+          (col("__se") - col("__ss") - lit(t - 2))
+    val tierCase = tierMults.sortBy(-_).foldRight(
+        when(cov(col("__ps"), w), lit(w)).otherwise(lit(0))) { (m, els) =>
+      when(cov(col(s"__t$m"), m * w), lit(m * w)).otherwise(els)
+    }
+    withTiers.select(col("doc_id"),
+      col("__ss").cast("long").as("span_start"),
+      col("__se").cast("long").as("span_end"),
+      (col("__se") - col("__ss") + 1).cast("long").as("n_span_tokens"),
+      tierCase.cast("long").as("certified_tier"),
+      array_join(slice(ws, col("__ss"),
+        col("__se") - col("__ss") + 1), " ").as("span_text"))
+  }
+
   /** Decontamination span CUTTING — the transform half beside the
     * flag/fraction/Bloom reports: GPT-3 appendix C and The Pile remove
     * a WINDOW around every eval-colliding n-gram rather than dropping
@@ -2354,24 +2445,53 @@ object TextAnalysis {
     * constant. N folds to one driver long (a single-scalar agg — model
     * state, the BPE-trainer convention).
     *
-    * Scale: the training corpus is scanned once per count order (three
-    * narrow explode→agg passes); every downstream serve pays three
-    * broadcast joins against vocab-sized frames — never a data-sized
-    * shuffle beyond its own per-doc aggregation.
+    * Scale: ONE corpus scan. Every word position i emits a PADDED
+    * trigram (w_i, w_{i+1}|null, w_{i+2}|null) — the tail positions
+    * carry nulls — so after one explode→agg the padded-trigram count
+    * table is a complete sufficient statistic: c(w1w2) = Σ over w3
+    * groups, c(w1) = Σ over (w2,w3) groups, both EXACT (each bigram/
+    * word occurrence appears in exactly one padded row as its
+    * (w1,w2) / w1). The two lower orders re-aggregate the MODEL-sized
+    * table, not the corpus — vs the previous three explode passes.
+    * Every downstream serve pays three broadcast joins against
+    * vocab-sized frames — never a data-sized shuffle beyond its own
+    * per-doc aggregation.
     */
   def trigramBackoffModel(train: DataFrame)
+    : (DataFrame, DataFrame, DataFrame, Long) =
+    trigramBackoffModel(train, materialize = true)
+
+  /** `materialize = true` checkpoints the three score frames (the
+    * storable-model posture: each frame is the LM, reused across many
+    * serves). A one-shot train→serve pipeline passes `false` — each
+    * frame is consumed exactly once by the serve's broadcast joins and
+    * checkpointing it would double the model-frame work. */
+  def trigramBackoffModel(train: DataFrame, materialize: Boolean)
     : (DataFrame, DataFrame, DataFrame, Long) = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = false) else df
     val P = 2L
     def bl(c: Column): Column = length(bin(c)).cast("long")
-    val uni = train.select(explode(filter(split(lower(col("text")), " "),
-        w => w =!= "")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n1"))
+    val g3 = train
+      .select(filter(split(lower(col("text")), " "), w => w =!= "")
+        .as("__ws"))
+      .where(size(col("__ws")) >= 1)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__ws"))),
+        i => struct(element_at(col("__ws"), i).as("w1"),
+          try_element_at(col("__ws"), i + 1).as("w2"),
+          try_element_at(col("__ws"), i + 2).as("w3")))).as("t"))
+      .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+      .agg(count(lit(1)).as("np"))
       .localCheckpoint(eager = false)
-    val big = wordBigramRows(train)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+    val uni = g3.groupBy(col("w1").as("w")).agg(sum(col("np")).as("n1"))
       .localCheckpoint(eager = false)
-    val tri = wordTrigramRows(train)
-      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("n3"))
+    val big = g3.where(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("np")).as("n2"))
+      .localCheckpoint(eager = false)
+    val tri = g3.where(col("w3").isNotNull)
+      .select(col("w1"), col("w2"), col("w3"), col("np").as("n3"))
     val nTotal = uni.agg(sum(col("n1"))).collect()(0).getLong(0)
     val blN = 64L - java.lang.Long.numberOfLeadingZeros(nTotal)
     // every surrogate is ≥ 0: a trigram occurrence IS a (w1,w2) bigram
@@ -2379,15 +2499,13 @@ object TextAnalysis {
     val s3 = tri.join(big, Seq("w1", "w2"))
       .select(col("w1"), col("w2"), col("w3"),
         (bl(col("n2")) - bl(col("n3"))).as("s3"))
-      .localCheckpoint(eager = false)
-    val s2 = big.join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+    val s3m = ckpt(s3)
+    val s2 = ckpt(big.join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
       .select(col("w1").as("w2"), col("w2").as("w3"),
-        (lit(P) + bl(col("n1")) - bl(col("n2"))).as("s2"))
-      .localCheckpoint(eager = false)
-    val s1 = uni.select(col("w").as("w3"),
-        (lit(2L * P + blN) - bl(col("n1"))).as("s1"))
-      .localCheckpoint(eager = false)
-    (s3, s2, s1, 2L * P + blN + 1L)
+        (lit(P) + bl(col("n1")) - bl(col("n2"))).as("s2")))
+    val s1 = ckpt(uni.select(col("w").as("w3"),
+        (lit(2L * P + blN) - bl(col("n1"))).as("s1")))
+    (s3m, s2, s1, 2L * P + blN + 1L)
   }
 
   /** Serve half: stamp every trigram of `serve` with its deepest-level
@@ -2415,7 +2533,7 @@ object TextAnalysis {
         frac4(col("surprisal_sum"), col("n_trigrams")).as("mean_surprisal"))
 
   def trigramBackoff(train: DataFrame, serve: DataFrame): DataFrame = {
-    val (s3, s2, s1, oov) = trigramBackoffModel(train)
+    val (s3, s2, s1, oov) = trigramBackoffModel(train, materialize = false)
     scoreTrigramBackoff(serve, s3, s2, s1, oov)
   }
 
