@@ -2728,6 +2728,64 @@ object SparkEntry {
         0.0, 1000.0, 128, Seq(0, 16, 32, 48, 64, 80, 96, 112),
         0.0, 1.0, 64, Seq(0, 8, 16, 24, 32, 40, 48, 56),
         epsilon = 0.5, branching = 2)),
+    // PrivateTableTarget.getNextK (PrivateTableTarget.java:157-171):
+    // the private table page — the only rows DP mode may display are
+    // QUANTIZED tuples, and the page's rowsScanned carries table-count
+    // Laplace noise (NextKSketchNoisy.java:27). This is the ZERO-NOISE
+    // twin (fully oracled): quantized NextK page + exact rows_scanned.
+    "dp_quantized_nextk" -> ((s, d) => {
+      val total = li(s, d).agg(count(lit(1)).as("rows_scanned"))
+      li(s, d)
+        .groupBy(graft.functions.Quantization
+          .quantize(col("l_extendedprice"), 10000.0).as("qvalue"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("qvalue").asc_nulls_last).limit(8)
+        .crossJoin(broadcast(total))
+    }),
+    // the NOISY form: rows_scanned + Laplace(1/ε) keyed on the
+    // TotalCount special bucket through the HMAC-keyed SecureLaplace
+    // (DPWrapper.computeCountNoise parity) — rows-only; zero-noise
+    // equality with dp_quantized_nextk and noise determinism are
+    // spec-gated like the dp_noisy_hist family
+    "dp_noisy_nextk" -> ((s, d) => {
+      val total = li(s, d).agg(count(lit(1)).as("rows_scanned"))
+      li(s, d)
+        .groupBy(graft.functions.Quantization
+          .quantize(col("l_extendedprice"), 10000.0).as("qvalue"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("qvalue").asc_nulls_last).limit(8)
+        .crossJoin(broadcast(total))
+        .select(col("qvalue"), col("cnt"),
+          round(col("rows_scanned") +
+            graft.functions.Quantization.laplaceNoise(
+              lit("table:TotalCount"), 5.0), 4).as("rows_scanned_noisy"))
+    }),
+    // PrivateTableTarget.quantile (PrivateTableTarget.java:174-182):
+    // row-at-position under a QuantizationSchema. EXACT twin of the
+    // reference's SampleQuantileSketch (fully oracled): the two-phase
+    // bucket seek over quantized sort keys — same result as a global
+    // sort, never a data-sized single-partition funnel.
+    "dp_quantized_quantile" -> ((s, d) =>
+      Find.rowAtPosition(
+        li(s, d).select(
+          graft.functions.Quantization
+            .quantize(col("l_extendedprice"), 10000.0).as("qvalue"),
+          col("l_orderkey"), col("l_linenumber")),
+        Seq(Order("qvalue"), Order("l_orderkey"), Order("l_linenumber")),
+        1000)),
+    // the reference's ACTUAL private quantile scheme: uniform sample at
+    // rate res²/N over the quantized table, row at the scaled position
+    // (SampleQuantileSketch.java:39-120) — seeded sampling ⇒ rows-only;
+    // position tolerance vs the exact twin is spec-gated like
+    // row_at_position_sampled
+    "dp_sample_quantile" -> ((s, d) =>
+      Find.rowAtPositionSampled(
+        li(s, d).select(
+          graft.functions.Quantization
+            .quantize(col("l_extendedprice"), 10000.0).as("qvalue"),
+          col("l_orderkey"), col("l_linenumber")),
+        Seq(Order("qvalue"), Order("l_orderkey"), Order("l_linenumber")),
+        1000L, resolution = 100)),
     // percentile_approx twin of bucket_quantiles (rows-only; tolerance
     // spec-gated) — the declared scale path with bounded per-group state
     "bucket_quantiles_approx" -> ((s, d) =>
@@ -2905,11 +2963,18 @@ object SparkEntry {
     // FineWeb-style survivor election: within each near-dup cluster
     // keep the HIGHEST-QUALITY copy (ties → lowest doc_id), not the
     // accidentally-first one
-    "dedup_survivors_quality" -> ((s, d) =>
-      graft.dedup.Dedup.survivorsByQuality(
-        graft.dedup.Dedup.connectedComponents(
-          graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5)),
-        graft.text.TextAnalysis.qualityGridScore(docs(s, d)))),
+    "dedup_survivors_quality" -> ((s, d) => {
+      // the election only reads scores of CLUSTER MEMBERS (the inner
+      // join in survivorsByQuality drops everything else), so the
+      // quality pass runs over the semi-joined member set — cluster-
+      // map-sized, not corpus-sized — instead of scoring every doc
+      val cl = graft.dedup.Dedup.connectedComponents(
+        graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5))
+        .localCheckpoint(eager = false)
+      graft.dedup.Dedup.survivorsByQuality(cl,
+        graft.text.TextAnalysis.qualityGridScore(docs(s, d)
+          .join(cl.select(col("doc_id")), Seq("doc_id"), "left_semi")))
+    }),
     "dedup_embedding" -> ((s, d) => graft.ann.Similarity.nearDupPairs(emb(s, d), 0.4)),
     // bucketed (LSH-banded) near-dup at the PRODUCTION threshold
     // (θ=0.7, the SemDeDup/near-dup operating point) — the headline
@@ -3852,6 +3917,13 @@ object SparkEntry {
     // selection (offsets included) in SQL
     "text_dup_spans" -> ((s, d) =>
       graft.text.TextAnalysis.dupSpans(docs(s, d), 5)),
+    // tiered maximal-span certification (w, 2w, 4w window hashes): each
+    // merged span stamped with the largest tier whose windows DENSELY
+    // cover it — a true ≥20-token verbatim duplicate certifies at 20,
+    // a chimera of distinct overlapping 5-gram matches stays at 5/0;
+    // the full certificate replays in SQL via the md5-60bit grams
+    "text_dup_spans_maximal" -> ((s, d) =>
+      graft.text.TextAnalysis.dupSpansMaximal(docs(s, d), 5)),
     // RAG/context-window prep: 128-char chunks every 64 chars — one
     // narrow explode, no shuffle, partitioning inherited from the scan
     "text_chunks" -> ((s, d) => graft.text.TextAnalysis.chunk(docs(s, d), 128, 64)),
@@ -3937,6 +4009,29 @@ object SparkEntry {
         .toDF()
         .select(col("id").as("doc_id"), col("kind"), col("width"),
           col("height"), col("feat0"), col("feat1"))),
+    // ORACLE-GRADE JPEG decode: solid-gray-128 fixtures. A constant
+    // level-shifted-zero image has EVERY DCT coefficient exactly 0 in
+    // every 8×8 block, so any conformant quantize→entropy→IDCT round
+    // trip returns 128 at every pixel REGARDLESS of quant tables or
+    // encoder — mean 128, mean-square 16384, dims from the id formula.
+    // The full real entropy-decode + IDCT path runs with a VALUES-free
+    // exact oracle (the lossy general case stays spec-gated above).
+    "multimodal_jpeg_features_exact" -> ((s, d) => {
+      import s.implicits._
+      val media = docs(s, d).orderBy(col("doc_id")).limit(8)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 1 + (id % 32).toInt
+          val h = 1 + (id % 24).toInt
+          graft.multimodal.Multimodal.MediaRow(id, "jpeg",
+            graft.multimodal.Multimodal.encodeImage("jpg", w, h, _ => 128),
+            w, h)
+        }
+      graft.multimodal.Multimodal.extractCodecFeatures(media)
+        .toDF()
+        .select(col("id").as("doc_id"), col("kind"), col("width"),
+          col("height"), col("feat0"), col("feat1"))
+    }),
     // MP4/ISO-BMFF twin for the VIDEO column: syntheticVideo builds a
     // real box tree (ftyp + moov[mvhd + tkhd per track] + mdat around
     // the text bytes); mp4Meta walks it back — brand, movie timescale,
@@ -5555,6 +5650,23 @@ object SparkEntry {
     "dp_quantized_hist" ->
       """SELECT FLOOR(l_extendedprice / 10000.0) * 10000.0 AS qbucket, count(*) AS cnt
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "dp_quantized_nextk" ->
+      """SELECT q.qvalue, q.cnt, t.rows_scanned FROM (
+        |  SELECT FLOOR(l_extendedprice / 10000.0) * 10000.0 AS qvalue, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1 ORDER BY qvalue LIMIT 8) q
+        |CROSS JOIN (SELECT count(*) AS rows_scanned FROM lineitem) t""".stripMargin,
+    "dp_quantized_quantile" ->
+      """SELECT FLOOR(l_extendedprice / 10000.0) * 10000.0 AS qvalue, l_orderkey, l_linenumber
+        |FROM lineitem ORDER BY qvalue, l_orderkey, l_linenumber LIMIT 1 OFFSET 1000""".stripMargin,
+    // solid-gray JPEG: every DCT coefficient is exactly zero, so the
+    // decoded statistics are encoder-independent constants and the
+    // dims come from the planted id formula — no engine state involved
+    "multimodal_jpeg_features_exact" ->
+      """SELECT doc_id, 'jpeg' AS kind,
+        |  CAST(1 + doc_id % 32 AS INTEGER) AS width,
+        |  CAST(1 + doc_id % 24 AS INTEGER) AS height,
+        |  CAST(128 AS DOUBLE) AS feat0, CAST(16384 AS DOUBLE) AS feat1
+        |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 8)""".stripMargin,
     "dp_quantized_hist_str" ->
       """SELECT CASE WHEN p_name IS NULL OR p_name > 'zzzzzz' THEN NULL
         |  WHEN p_name = 'zzzzzz' THEN 'zzzzzz'
@@ -7435,6 +7547,55 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |  array_to_string(ws[CAST(span_start AS INT):CAST(span_end AS INT)], ' ')
         |    AS span_text
         |FROM sp JOIN t USING (doc_id)""".stripMargin,
+    // spans identical to text_dup_spans; certified_tier from dense
+    // coverage counts at widths 5/10/20 (expected count in [s, e-t+1]
+    // is e-s-t+2; coverage at a longer width implies the shorter ones)
+    "text_dup_spans_maximal" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |sall AS (
+        |  SELECT doc_id, u.p AS p, u.fp AS fp, width FROM (
+        |    SELECT doc_id, width, unnest(list_transform(
+        |      generate_series(1, len(ws) - width + 1),
+        |      i -> {'p': i, 'fp': CAST(('0x' || substr(md5(
+        |        array_to_string(ws[i:i+width-1], ' ')), 1, 15)) AS BIGINT)})) AS u
+        |    FROM t CROSS JOIN (VALUES (5), (10), (20)) AS v(width)
+        |    WHERE len(ws) >= width)),
+        |dups AS (SELECT width, fp FROM sall GROUP BY width, fp
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |s AS (SELECT doc_id, p, width FROM sall JOIN dups USING (width, fp)),
+        |m AS (SELECT doc_id, p, CASE WHEN p - COALESCE(lag(p) OVER
+        |    (PARTITION BY doc_id ORDER BY p), -1000000) > 5 THEN 1 ELSE 0 END AS brk
+        |  FROM s WHERE width = 5),
+        |isl AS (SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM m),
+        |sp AS (SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+        |    CAST(MAX(p) + 4 AS BIGINT) AS span_end
+        |  FROM isl GROUP BY doc_id, island),
+        |cov AS (SELECT sp.doc_id, sp.span_start, sp.span_end, w.width,
+        |    COALESCE(c.nc, 0) AS nc
+        |  FROM sp CROSS JOIN (VALUES (5), (10), (20)) AS w(width)
+        |  LEFT JOIN (
+        |    SELECT sp2.doc_id, sp2.span_start, sp2.span_end, s.width,
+        |      count(*) AS nc
+        |    FROM sp sp2 JOIN s ON s.doc_id = sp2.doc_id
+        |      AND s.p BETWEEN sp2.span_start AND sp2.span_end - s.width + 1
+        |    GROUP BY 1, 2, 3, 4) c
+        |  ON c.doc_id = sp.doc_id AND c.span_start = sp.span_start
+        |    AND c.span_end = sp.span_end AND c.width = w.width),
+        |cert AS (SELECT doc_id, span_start, span_end,
+        |    MAX(CASE WHEN span_end - span_start + 1 >= width
+        |      AND nc = span_end - span_start - width + 2
+        |      THEN width ELSE 0 END) AS certified_tier
+        |  FROM cov GROUP BY 1, 2, 3)
+        |SELECT sp.doc_id, sp.span_start, sp.span_end,
+        |  sp.span_end - sp.span_start + 1 AS n_span_tokens,
+        |  CAST(cert.certified_tier AS BIGINT) AS certified_tier,
+        |  array_to_string(ws[CAST(sp.span_start AS INT):CAST(sp.span_end AS INT)], ' ')
+        |    AS span_text
+        |FROM sp JOIN cert USING (doc_id, span_start, span_end)
+        |JOIN t USING (doc_id)""".stripMargin,
     "text_winnow_pairs" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
@@ -7967,4 +8128,48 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM y GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** Gating spec per declared rows-only query (every `queries` key with
+    * no `oracleSql` entry): which test asserts its correctness and what
+    * the gate checks. Verify dumps this as gates.json next to
+    * oracle_sql.json so the correctness artifact carries the
+    * non-oracled queries' gates as structured fields, not prose. */
+  def rowsOnlyGates: Map[String, String] = Map(
+    "ann_pq_topk" -> "PropertySpec 'PQ ANN: recall vs brute force, determinism, 32x compression' — recall@10 >= 0.7, run-to-run bit equality",
+    "ann_ivf_topk" -> "PipelineSpec 'IVF topk: self-cell recall includes exact top-1 for most queries' — seeded centroids, deterministic",
+    "ann_ivfpq_topk" -> "PropertySpec 'IVF-PQ ANN: recall with cell probing, scans only probed cells' — recall@10 >= 0.5 + PartitionFilters plan gate",
+    "ann_lsh_topk" -> "PipelineSpec 'LSH topk: scores consistent with brute force, ordered, strong matches found'",
+    "bucket_quantiles_approx" -> "PropertySpec 'approx bucket quantiles within tolerance of exact, bounded-state plan' — rank error <= 1/accuracy vs ORACLED bucket_quantiles twin",
+    "hist2d_quantiles_approx" -> "PropertySpec 'approx 2-D bucket quantiles within tolerance, bounded-state plan' — same gate, 2-D; ORACLED hist2d_quantiles twin",
+    "quantiles_approx" -> "PropertySpec 'approx quantiles within relative error of exact' vs ORACLED quantiles_exact twin",
+    "cluster_health" -> "engine introspection (executor/memory rows from the live session — no external ground truth exists); OperatorSpec all-queries smoke asserts shape + rows > 0",
+    "cms_freq" -> "PropertySpec 'count-min estimates are one-sided: exact <= est <= exact + eps*N'",
+    "corpus_sketch_report" -> "PropertySpec 'theta sketch: exact regime, split bit-parity, sampled error bounds' — k exceeds verify-scale distincts so carried exact columns must equal estimates",
+    "decontaminate_bloom" -> "PropertySpec 'bloom decontamination flags a superset of the exact join, FPs bounded' + PlanSpec 'probes without any corpus-side join'",
+    "dedup_embedding_lsh" -> "PropertySpec 'embedding LSH headline theta=0.7: planted near-dups found, recall >= 0.95'",
+    "dedup_embedding_lsh_stress" -> "PropertySpec 'embedding LSH near-dup recall >= 0.95 vs exact all-pairs' + 'hot-bucket cut drops only the degenerate cell's pairs'",
+    "dedup_embedding_semantic" -> "PipelineSpec 'semantic dedup: clone pairs found within clusters, subset of exact' — precision exact (every pair passes true cosine), recall gated",
+    "dp_noisy_cdf" -> "PropertySpec 'dyadic noisy CDF: deterministic, monotone, O(log T) noise variables'",
+    "dp_noisy_distinct" -> "PropertySpec 'noisy distinct: zero noise equals the bare sketch; radius composes' — zero-noise twin equals ORACLED hll path",
+    "dp_noisy_heatmap" -> "PropertySpec 'dyadic noisy heatmap: deterministic, exact counts, O(logTx*logTy) vars'",
+    "dp_noisy_hist" -> "PropertySpec 'laplace noise: zero scale is exact' + 'laplace noise distribution: mean ~0, mean|x| ~scale over buckets'; zero-noise twin dp_quantized_hist ORACLED",
+    "dp_noisy_hist_budgeted" -> "same gates as dp_noisy_hist; scale comes from PrivacySchema.noiseScale (unit-tested budget lookup)",
+    "dp_noisy_nextk" -> "PropertySpec 'dp_noisy_nextk: page equals zero-noise twin, noise keyed + deterministic' — page rows equal ORACLED dp_quantized_nextk; one shared keyed TotalCount noise",
+    "dp_sample_quantile" -> "PropertySpec 'dp_sample_quantile lands within N/res of the exact quantized twin' — exact twin dp_quantized_quantile ORACLED",
+    "embedding_kmeans" -> "PipelineSpec 'kmeans assigns every vector to its argmax-cosine centroid' + PlanSpec narrow-map gate; integer twin embedding_kmeans_exact ORACLED",
+    "heavy_sampled" -> "PropertySpec 'MG + exact verify equals exact heavy hitters on random data' family — sampled HH must contain every true heavy hitter at verify scale",
+    "hll_distinct" -> "PropertySpec 'approx distinct count within HLL error of exact'",
+    "hll_group_distinct" -> "PropertySpec 'grouped HLL distinct within 5% of exact per group'",
+    "lamp_projection" -> "OperatorSpec 'LAMP maps control points near their own targets' — anchor preservation on the planted control set",
+    "multimodal_jpeg_features" -> "StreamingSpec 'jpeg decode: dims exact, mean inside the DC-preservation band'; exact fixture twin multimodal_jpeg_features_exact ORACLED",
+    "quality_probe_train" -> "PipelineSpec 'logistic probe: converging loss, separable accuracy, correct signs'; calibration-curve consumer ORACLED",
+    "row_at_position_sampled" -> "PropertySpec 'sampled row-at-position lands within N/res of the target rank'; exact twin row_at_position ORACLED",
+    "sample_corr" -> "OperatorSpec 'correlationMatrix pair matches single-pair correlation' on the seeded sample; full-data corr_matrix ORACLED",
+    "sample_distinct_rows" -> "PropertySpec 'seeded sample size concentrates around rate and is deterministic'; carried exact distinct rows are the in-row ground truth",
+    "sample_rows" -> "PropertySpec 'seeded sample size concentrates around rate and is deterministic'; hash-membership twin sample_rows_hash ORACLED",
+    "sample_weighted" -> "PipelineSpec 'weighted sample is deterministic, sized, and weight-biased' + PlanSpec 'weighted sample plans TakeOrderedAndProject'",
+    "sketch_bloom_rollup" -> "PropertySpec 'bloom sketch: no false negatives, FP bound, split bit-parity'; in-row exact_* columns are the ground truth",
+    "sketch_distinct_rollup" -> "PropertySpec 'hll sketch: <=5% error, partition-merge == whole-corpus sketch, deterministic'; in-row exact_distinct ground truth",
+    "sketch_quantile_rollup" -> "PropertySpec 'kll sketch: rank error <= 3% at the quartiles, under any split'; in-row exact_q* ground truth",
+    "stratified_sample" -> "PropertySpec 'stratified sample: per-stratum proportions near fractions, deterministic'")
 }

@@ -44,6 +44,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // rows-only queries' gating specs as structured artifact fields:
+    // the driver records these queries as rows-only; gates.json names
+    // the test that actually asserts each one's correctness
+    val gates = SparkEntry.rowsOnlyGates
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/gates.json"), gates)
     spark.stop()
   }
 }

@@ -247,6 +247,19 @@ class OperatorSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every declared query is oracled or carries a named gate; never both") {
+    val qs = SparkEntry.queries.keySet
+    val oracled = SparkEntry.oracleSql.keySet
+    val gated = SparkEntry.rowsOnlyGates.keySet
+    val orphanGates = gated -- qs
+    assert(orphanGates.isEmpty, s"gate without query: $orphanGates")
+    val both = gated & oracled
+    assert(both.isEmpty, s"oracled query also listed rows-only: $both")
+    val uncovered = qs -- oracled -- gated
+    assert(uncovered.isEmpty,
+      s"rows-only query with no named gating spec: $uncovered")
+  }
+
   test("repartition invariance: aggregations are partition-independent") {
     val li = Tables.lineitem(spark, sf)
     for (parts <- Seq(1, 7)) {

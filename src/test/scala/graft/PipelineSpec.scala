@@ -996,6 +996,32 @@ class PipelineSpec extends SparkSpec {
       (2L, 1L, 5L, "f g h i j")))
   }
 
+  test("dup spans maximal: long duplicates certify at 4w, chimeras at 0") {
+    val longRun = (1 to 25).map(i => s"L$i").mkString(" ")
+    val d = docsDF(Seq(
+      s"pre1 $longRun post1",     // doc0: 25-token verbatim run with doc1
+      s"$longRun tail1 tail2",    // doc1
+      "a b c d e f g h i j",      // doc2: CHIMERA — [1..5] from doc3,
+      "a b c d e z1 z2 z3 z4 z5", //   [6..10] from doc4, no long partner
+      "y1 y2 y3 y4 f g h i j"))   // doc4
+    val r = graft.text.TextAnalysis.dupSpansMaximal(d, 5)
+      .orderBy("doc_id", "span_start").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    // doc0/doc1: every 5/10/20-window inside the merged span is a
+    // subgram of the shared 25-run → dense at ALL tiers → certified 20.
+    // doc2's merged [1,10] comes from starts {1, 6} only (2..5 are not
+    // duplicated) — not even base-tier dense → certified 0: the
+    // chimera the fixed-w miner could not distinguish from a true
+    // 10-token duplicate. Single-window spans certify at w.
+    assert(r.toSeq == Seq(
+      (0L, 2L, 26L, 25L, 20L),
+      (1L, 1L, 25L, 25L, 20L),
+      (2L, 1L, 10L, 10L, 0L),
+      (3L, 1L, 5L, 5L, 5L),
+      (4L, 5L, 9L, 5L, 5L)))
+  }
+
   test("edit-distance dedup verifies shared-window candidates exactly") {
     val d = docsDF(Seq(
       "the quick brown fox jumps over the lazy dog today",

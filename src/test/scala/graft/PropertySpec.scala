@@ -1276,6 +1276,48 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(rank - position) <= tol, s"rank=$rank pos=$position tol=$tol")
   }
 
+  test("dp_noisy_nextk: page equals zero-noise twin, noise keyed + deterministic") {
+    // the quantized page itself must be IDENTICAL to the oracled
+    // zero-noise twin (noise touches only rowsScanned —
+    // NextKSketchNoisy.java:27 adds it to rowsScanned alone)
+    val exact = SparkEntry.queries("dp_quantized_nextk")(spark, sf).collect()
+    val noisy = SparkEntry.queries("dp_noisy_nextk")(spark, sf).collect()
+    assert(exact.length == noisy.length && exact.nonEmpty)
+    exact.zip(noisy).foreach { case (e, n) =>
+      assert(e.getDouble(0) == n.getDouble(0) && e.getLong(1) == n.getLong(1))
+    }
+    // one shared TotalCount noise variable across the whole page
+    val noises = exact.zip(noisy).map { case (e, n) =>
+      n.getDouble(2) - e.getLong(2) }.distinct
+    assert(noises.length == 1, s"expected one shared noise, got $noises")
+    assert(noises.head != 0.0) // scale 5.0 ⇒ nonzero with prob 1
+    // HMAC-keyed noise is deterministic: same key, same value
+    val again = SparkEntry.queries("dp_noisy_nextk")(spark, sf).collect()
+    assert(noisy.map(_.getDouble(2)).toSeq == again.map(_.getDouble(2)).toSeq)
+  }
+
+  test("dp_sample_quantile lands within N/res of the exact quantized twin") {
+    import graft.operators.{Find, NextK}
+    val li = graft.engine.Tables.lineitem(spark, sf).select(
+      graft.functions.Quantization
+        .quantize(col("l_extendedprice"), 10000.0).as("qvalue"),
+      col("l_orderkey"), col("l_linenumber"))
+    val n = li.count()
+    val order = Seq(NextK.Order("qvalue"), NextK.Order("l_orderkey"),
+      NextK.Order("l_linenumber"))
+    val res = 30
+    val position = n / 2
+    val row = Find.rowAtPositionSampled(li, order, position, resolution = res).head()
+    val (qv, okey, lnum) = (row.getDouble(0), row.getLong(1), row.getInt(2))
+    val rank = li.filter(
+      col("qvalue") < qv ||
+        (col("qvalue") === qv && col("l_orderkey") < okey) ||
+        (col("qvalue") === qv && col("l_orderkey") === okey &&
+          col("l_linenumber") < lnum)).count()
+    val tol = 4.0 * n / res
+    assert(math.abs(rank - position) <= tol, s"rank=$rank pos=$position tol=$tol")
+  }
+
   test("seeded sample size concentrates around rate and is deterministic") {
     val li = graft.engine.Tables.lineitem(spark, sf)
     val n = li.count().toDouble
