@@ -1137,6 +1137,55 @@ object ScaleProbe {
         .groupBy(col("s_name")).agg(count(lit(1))).count()
     }
 
+    // ── ×100 flagship probes ───────────────────────────────────────
+    // One decade past the ×20 table for the four end-to-end paths the
+    // pipeline actually ships through — at ×20 fixed overheads (job
+    // setup, codegen, the ~0.2 s/job driver tax) still mask asymptotics.
+    // Expected shapes, named: minhash = one shingle scan + banded
+    // candidate join (pair volume ∝ planted-dup rate, never all-pairs);
+    // funnel = stacked one-pass kernels + ONE dedup window (its only
+    // data-sized exchange); tokens_ids = pure narrow per-word DP serve
+    // against the broadcast trie (scan-bound, zero shuffle); end2end =
+    // narrow filter scans + the md5-window dedup shuffle, where ×c
+    // UNSALTED replication makes every text a c-way duplicate — the
+    // window partition count stays fixed (distinct texts) while rows
+    // per partition grow ×c, the honest high-duplication regime.
+
+    probe("dedup_minhash_lsh", Seq(1, 100)) { c =>
+      dedup.Dedup.minhashLshPairs(saltedDocs(c), 3, 64, 32, 0.5).count()
+    }
+
+    probe("text_tokens_ids", Seq(1, 100)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      // aggregate over the fingerprint so the encode is not pruned
+      val r = d.select(text.TextAnalysis.bpeEncodeIds(col("text")).as("ids"))
+        .agg(sum(text.TextAnalysis.idsFingerprint(col("ids")))).head()
+      if (r.isNullAt(0)) 0L else r.getAs[Number](0).longValue
+    }
+
+    probe("corpus_filter_funnel_x100", Seq(1, 100)) { c =>
+      text.TextAnalysis.filterFunnel(
+        replicate(docs, c, Map("doc_id" -> 10000000L)), "en",
+        Seq("the", "a", "of", "and"), Seq("slow join", "qqq"))
+        .agg(sum(col("n_docs"))).head().getLong(0)
+    }
+
+    probe("pipeline_end2end", Seq(1, 100)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+      val kept = d
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .filter(col("n_tokens") >= 20)
+        .filter(text.TextAnalysis.langId(col("text")) === "en")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val split2 = pipeline.Pipeline.hashSplit(kept, col("doc_id"), 80)
+      pipeline.Pipeline.packSequences(
+          split2, col("split"), col("doc_id"), col("n_tokens"), 2048L)
+        .agg(sum(col("bin"))).head().getLong(0)
+    }
+
     spark.stop()
   }
 }
