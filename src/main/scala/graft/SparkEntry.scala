@@ -2043,6 +2043,24 @@ object SparkEntry {
           "score", js, org.apache.spark.sql.types.DoubleType)
         .select(col("doc_id"), col("score"))
     }),
+    // closures end-to-end (r13): a capture-mutating callback through
+    // .map, a seeded .reduce fold, and a comparator .sort — every
+    // piece SQL-replayable (sum/max of token lengths + long-token
+    // count), so the closure tier is value-oracled, not just spec'd
+    "dynamic_udf_js_closure" -> ((s, d) => {
+      val js = """function map(row) {
+        var ws = row.text.split(' ');
+        var cap = 0;
+        var mark = function (w) { if (w.length > 4) cap += 1; return w.length; };
+        var lens = ws.map(mark);
+        var tot = lens.reduce(function (a, x) { return a + x; }, 0);
+        var mx = lens.sort(function (a, b) { return b - a; })[0];
+        return '' + tot + ':' + mx + ':' + cap;
+      }"""
+      graft.functions.JsGesture.withJsColumnTyped(docs(s, d),
+          "closure_sig", js, org.apache.spark.sql.types.StringType)
+        .select(col("doc_id"), col("closure_sig"))
+    }),
     // 2) while-loop digit sum as a filter verdict (casting out nines
     //    makes the loop's result SQL-checkable: digitsum(n)%9 == n%9)
     "dynamic_filter_js_loop" -> ((s, d) =>
@@ -4956,6 +4974,15 @@ object SparkEntry {
         |  FROM documents WHERE length(text) = strlen(text))""".stripMargin,
     // the object/try-catch gesture replayed: the catch arm is the
     // length>6 CASE branch, the finally-set key makes Object.keys 3
+    "dynamic_udf_js_closure" ->
+      """SELECT doc_id,
+        |  CAST(CAST(list_sum(list_transform(string_split(text, ' '),
+        |      w -> length(w))) AS BIGINT) AS VARCHAR)
+        |  || ':' || CAST(CAST(list_max(list_transform(string_split(text, ' '),
+        |      w -> length(w))) AS BIGINT) AS VARCHAR)
+        |  || ':' || CAST(len(list_filter(string_split(text, ' '),
+        |      w -> length(w) > 4)) AS VARCHAR) AS closure_sig
+        |FROM documents""".stripMargin,
     "dynamic_udf_js_object" ->
       """SELECT doc_id,
         |  CAST(list_sum(list_transform(string_split(text, ' '),

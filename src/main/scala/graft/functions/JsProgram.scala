@@ -86,9 +86,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * engine errors (fuel, call depth, unsupported operations) stay
   * fatal, so a gesture's catch block can never swallow the
   * runaway-loop protection (GraalVM surfaces its TypeErrors as
-  * catchable; ours are the uncatchable engine kind). Still
-  * unsupported, by design: closures/functions as values, prototypes,
-  * getters/setters.
+  * catchable; ours are the uncatchable engine kind).
+  *
+  * Closures (r13): anonymous `function (a, b) { ... }` expressions are
+  * first-class values — assignable, passable, returnable, callable
+  * through locals/array elements/object properties, with LEXICAL
+  * capture by shared binding (an inner write mutates the defining
+  * frame, visible to siblings) through any nesting depth; top-level
+  * declared functions referenced without parens are values too. Array
+  * higher-order methods take callbacks: map/filter/forEach/reduce
+  * (with and without seed)/some/every/sort (comparator or JS default
+  * stringify order). Function values have identity `===`, stringify
+  * as "function", coerce to NaN. Fuel/call-depth guards apply through
+  * closure calls, so callback-driven loops stay bounded. Still
+  * unsupported, by design: prototypes, getters/setters, `this`.
   */
 object JsProgram {
 
@@ -115,6 +126,20 @@ object JsProgram {
   /** Global builtins: Number, String, isNaN, String.fromCharCode. */
   final case class EGlobal(name: String, args: Seq[E]) extends E
   final case class ECall(fnIx: Int, args: Seq[E]) extends E
+  /** Enclosing-function variable (closure upvalue): `level` = how many
+    * function boundaries out the binding lives (1 = the defining
+    * function of this closure). Reads/writes go through the captured
+    * frame CHAIN, so mutation is shared with the defining scope — the
+    * JS binding semantics, not a copy. */
+  final case class EUp(level: Int, slot: Int) extends E
+  /** Top-level function referenced as a VALUE (no call parens). */
+  final case class EFuncRef(fnIx: Int) extends E
+  /** Anonymous `function (params) { body }` expression — evaluates to
+    * a [[JsFunc]] closing over the current frame chain. */
+  final case class EFuncExpr(fnIx: Int) extends E
+  /** Call through a function VALUE (local, upvalue, array element,
+    * object property, or another call's result). */
+  final case class ECallV(fn: E, args: Seq[E]) extends E
   final case class EArr(elems: Seq[E]) extends E
   final case class EIndex(arr: E, ix: E) extends E
   /** Regex literal, compiled once at parse time on the driver. */
@@ -174,6 +199,15 @@ object JsProgram {
     override def toString: String = "[object Object]"
   }
 
+  /** JS function runtime value: the compiled function index plus the
+    * captured frame chain (innermost defining frame first). Identity
+    * semantics like arrays/objects/Dates; stringifies as "function",
+    * numeric coercion NaN. */
+  final class JsFunc(val fnIx: Int, val env: Array[Array[Any]])
+    extends Serializable {
+    override def toString: String = "function"
+  }
+
   /** A user `throw` in flight. Only THIS is catchable by `try`/`catch`
     * — engine errors (fuel, depth, unsupported operations) stay fatal,
     * so runaway-loop protection cannot be swallowed by a gesture's
@@ -185,6 +219,7 @@ object JsProgram {
 
   sealed trait LV extends Serializable
   final case class LVar(slot: Int) extends LV
+  final case class LUp(level: Int, slot: Int) extends LV
   final case class LIndex(arr: E, ix: E) extends LV
   final case class LProp(obj: E, name: String) extends LV
 
@@ -340,10 +375,21 @@ object JsProgram {
     * entry's single parameter; helpers have no row access — fields flow
     * in as plain arguments, which keeps the referenced-field set
     * static for column pruning). */
-  private final class Scope(val rowParam: Option[String]) {
+  private final class Scope(val rowParam: Option[String],
+      val parent: Option[Scope] = None) {
     val slots = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def slotOf(n: String): Option[Int] = slots.get(n)
     def declare(n: String): Int = slots.getOrElseUpdate(n, slots.size)
+    /** (level, slot): level 0 = this frame, k = k-th enclosing one. */
+    def resolve(n: String): Option[(Int, Int)] =
+      slots.get(n).map((0, _)).orElse(
+        parent.flatMap(_.resolve(n)).map { case (l, sl) => (l + 1, sl) })
+    /** The entry's row param, visible through closures unless shadowed
+      * by a local/param of the same name. */
+    def rowVisible(n: String): Boolean =
+      if (rowParam.contains(n)) true
+      else if (slots.contains(n)) false
+      else parent.exists(_.rowVisible(n))
   }
 
   private final class Builder {
@@ -351,6 +397,11 @@ object JsProgram {
     val fnArity = scala.collection.mutable.ArrayBuffer.empty[Int]
     val rowFields = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def fieldIx(n: String): Int = rowFields.getOrElseUpdate(n, rowFields.size)
+    /** Anonymous function expressions, appended after the top-level
+      * declarations in the program's fn table. */
+    var nTop = 0
+    val innerFns = scala.collection.mutable.ArrayBuffer.empty[Fn]
+    def addInner(fn: Fn): Int = { innerFns += fn; nTop + innerFns.size - 1 }
   }
 
   def parse(src: String): Program = {
@@ -361,9 +412,10 @@ object JsProgram {
     val decls = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String], Int)]
     if (!p.peekKw("function")) {
       // bare expression over `row`
+      b.nTop = 1
       val body = Vector[S](SReturn(Some(parseExprTop(p, b, new Scope(Some("row"))))))
       if (!p.done) p.fail("trailing input")
-      return Program(Vector(Fn("map", 1, 1, body)), 0,
+      return Program(Vector(Fn("map", 1, 1, body)) ++ b.innerFns, 0,
         b.rowFields.keys.toVector)
     }
     // scan function headers and bodies textually (bodies re-parsed below
@@ -402,6 +454,7 @@ object JsProgram {
     if (decls(entryIx)._2.size != 1)
       p.fail(s"entry function '${decls(entryIx)._1}' must take exactly one (row) parameter")
     // Pass 2: parse each body with its scope
+    b.nTop = decls.size
     val fns = decls.zipWithIndex.map { case ((name, params, pos), ix) =>
       val p2 = new P(src)
       p2.i = pos
@@ -416,7 +469,7 @@ object JsProgram {
       p2.expect("}")
       Fn(name, params.size, scope.slots.size, body)
     }.toVector
-    Program(fns, entryIx, b.rowFields.keys.toVector)
+    Program(fns ++ b.innerFns, entryIx, b.rowFields.keys.toVector)
   }
 
   private def parseExprTop(p: P, b: Builder, sc: Scope): E = {
@@ -518,6 +571,7 @@ object JsProgram {
     val e = parseExpr(p, b, sc)
     def lvalueOf(e0: E): LV = e0 match {
       case ELocal(s) => LVar(s)
+      case EUp(l, sl) => LUp(l, sl)
       case EIndex(a, ix) => LIndex(a, ix)
       // `obj.prop = v` parses as a no-arg method node; assignment
       // re-reads it as a property target (eval rejects non-objects)
@@ -648,6 +702,22 @@ object JsProgram {
             p.expect("]")
             a = EIndex(r, ix)
         }
+      } else if (p.peek("(") && (a match {
+          // call-through-value: only on nodes that can hold a function
+          // (locals, upvalues, array/object reads, other call results,
+          // function literals) — keeps `(a+b)(c)`-style accidents out
+          case _: ELocal | _: EUp | _: EIndex | _: ECallV |
+               _: EFuncExpr | _: EFuncRef | _: ECall => true
+          case _ => false
+        })) {
+        p.expect("(")
+        val args = scala.collection.mutable.ArrayBuffer.empty[E]
+        if (!p.peek(")")) {
+          args += parseExpr(p, b, sc)
+          while (p.eat(",")) args += parseExpr(p, b, sc)
+        }
+        p.expect(")")
+        a = ECallV(a, args.toSeq)
       } else go = false
     }
     a
@@ -762,20 +832,45 @@ object JsProgram {
             p.expect(")")
             if (args.size > 7) p.fail("Date.UTC: too many arguments")
             EGlobal("DateUTC", args.toSeq)
-          case n if sc.rowParam.contains(n) => RowMarker
-          case n if sc.slotOf(n).isDefined => ELocal(sc.slotOf(n).get)
-          case n if b.fnNames.contains(n) =>
+          case "function" =>
+            // anonymous function EXPRESSION — the closure tier: body
+            // compiles into the shared fn table; free identifiers
+            // resolve through the parent scope chain into EUp upvalues
             p.expect("(")
-            val args = scala.collection.mutable.ArrayBuffer.empty[E]
+            val params = scala.collection.mutable.ArrayBuffer.empty[String]
             if (!p.peek(")")) {
-              args += parseExpr(p, b, sc)
-              while (p.eat(",")) args += parseExpr(p, b, sc)
+              params += p.ident()
+              while (p.eat(",")) params += p.ident()
             }
             p.expect(")")
+            p.expect("{")
+            val inner = new Scope(None, Some(sc))
+            params.foreach(inner.declare(_))
+            val body = parseStmts(p, b, inner)
+            p.expect("}")
+            EFuncExpr(b.addInner(
+              Fn("<anon>", params.size, inner.slots.size, body)))
+          case n if sc.rowVisible(n) => RowMarker
+          case n if sc.resolve(n).isDefined =>
+            sc.resolve(n).get match {
+              case (0, slot) => ELocal(slot)
+              case (lvl, slot) => EUp(lvl, slot)
+            }
+          case n if b.fnNames.contains(n) =>
             val ix = b.fnNames(n)
-            if (args.size != b.fnArity(ix))
-              p.fail(s"'$n' takes ${b.fnArity(ix)} argument(s), got ${args.size}")
-            ECall(ix, args.toSeq)
+            if (!p.peek("(")) EFuncRef(ix) // top-level function as a value
+            else {
+              p.expect("(")
+              val args = scala.collection.mutable.ArrayBuffer.empty[E]
+              if (!p.peek(")")) {
+                args += parseExpr(p, b, sc)
+                while (p.eat(",")) args += parseExpr(p, b, sc)
+              }
+              p.expect(")")
+              if (args.size != b.fnArity(ix))
+                p.fail(s"'$n' takes ${b.fnArity(ix)} argument(s), got ${args.size}")
+              ECall(ix, args.toSeq)
+            }
           case n => p.fail(s"unknown identifier '$n'")
         }
     }
@@ -833,6 +928,7 @@ object JsProgram {
       case _: scala.collection.mutable.ArrayBuffer[_] => Double.NaN
       case _: JsRegex => Double.NaN // JS Number(/x/) is NaN
       case _: JsObj => Double.NaN // JS Number({}) is NaN
+      case _: JsFunc => Double.NaN // JS Number(function) is NaN
       case dt: JsDate => dt.millis // Date.prototype.valueOf
       case other => sys.error(s"not numeric: $other")
     }
@@ -910,6 +1006,7 @@ object JsProgram {
       // Dates and objects: identity, not value (JS `d1 === d2`)
       case (x: JsDate, y: JsDate) => x eq y
       case (x: JsObj, y: JsObj) => x eq y
+      case (x: JsFunc, y: JsFunc) => x eq y
       case _ => false
     }
     def toIdx(v: Any): Int = {
@@ -921,16 +1018,33 @@ object JsProgram {
       else x.toInt
     }
 
-    def callFn(ix: Int, args: Array[Any], depth: Int): Any = {
+    // closure environment chain rides in ONE trailing frame slot (past
+    // nSlots, so no local can collide) — threading a separate parameter
+    // through every ev/exec call site would buy nothing
+    val EmptyEnv = Array.empty[Array[Any]]
+    def envOf(frame: Array[Any]): Array[Array[Any]] =
+      frame(frame.length - 1).asInstanceOf[Array[Array[Any]]]
+
+    def callFn(ix: Int, args: Array[Any], depth: Int,
+        env: Array[Array[Any]]): Any = {
       if (depth > MaxDepth)
         throw new IllegalStateException(s"JS gesture exceeded call depth $MaxDepth")
       val fn = prog.fns(ix)
-      val frame = new Array[Any](fn.nSlots)
+      val frame = new Array[Any](fn.nSlots + 1)
+      frame(fn.nSlots) = env
       System.arraycopy(args, 0, frame, 0, math.min(args.length, fn.nParams))
       exec(fn.body, frame, depth) match {
         case SigReturn(v) => v
         case _ => null // fall off the end: JS undefined → null
       }
+    }
+
+    /** Call a function VALUE (closure or top-level ref); missing args
+      * are JS undefined → null, extras ignored. */
+    def callValue(f: Any, args: Array[Any], depth: Int): Any = f match {
+      case jf: JsFunc => callFn(jf.fnIx, args, depth + 1, jf.env)
+      case null => null
+      case other => sys.error(s"$other is not a function")
     }
 
     def exec(stmts: Vector[S], frame: Array[Any], depth: Int): Sig = {
@@ -942,6 +1056,12 @@ object JsProgram {
           case SAssign(LVar(slot), op, value) =>
             val v = ev(value, frame, depth)
             frame(slot) = if (op == "=") v else binOp(op, frame(slot), v)
+          case SAssign(LUp(level, slot), op, value) =>
+            // writes through the captured chain mutate the DEFINING
+            // frame — JS shared-binding semantics
+            val up = envOf(frame)(level - 1)
+            val v = ev(value, frame, depth)
+            up(slot) = if (op == "=") v else binOp(op, up(slot), v)
           case SAssign(LIndex(arrE, ixE), op, value) =>
             ev(arrE, frame, depth) match {
               case a: scala.collection.mutable.ArrayBuffer[_] =>
@@ -1004,6 +1124,11 @@ object JsProgram {
           case SIncDec(LVar(slot), delta) =>
             val x = d(frame(slot))
             frame(slot) = if (x == null) null
+              else java.lang.Double.valueOf(x.doubleValue + delta)
+          case SIncDec(LUp(level, slot), delta) =>
+            val up = envOf(frame)(level - 1)
+            val x = d(up(slot))
+            up(slot) = if (x == null) null
               else java.lang.Double.valueOf(x.doubleValue + delta)
           case SIncDec(LIndex(arrE, ixE), delta) =>
             ev(arrE, frame, depth) match {
@@ -1168,7 +1293,16 @@ object JsProgram {
           val vs = new Array[Any](args.size)
           var i = 0
           while (i < args.size) { vs(i) = ev(args(i), frame, depth); i += 1 }
-          callFn(ix, vs, depth + 1)
+          callFn(ix, vs, depth + 1, EmptyEnv)
+        case ECallV(fnE, args) =>
+          val f = ev(fnE, frame, depth)
+          val vs = new Array[Any](args.size)
+          var i = 0
+          while (i < args.size) { vs(i) = ev(args(i), frame, depth); i += 1 }
+          callValue(f, vs, depth)
+        case EUp(level, slot) => envOf(frame)(level - 1)(slot)
+        case EFuncRef(ix) => new JsFunc(ix, EmptyEnv)
+        case EFuncExpr(ix) => new JsFunc(ix, frame +: envOf(frame))
         case EMeth(recvE, name, args) =>
           val recv = ev(recvE, frame, depth)
           evalMethod(recv, name, args, frame, depth)
@@ -1261,8 +1395,17 @@ object JsProgram {
               // property read; a missing key is JS undefined → null
               o.m.getOrElse(name, null)
             case other =>
-              sys.error(s"object property .$other is not callable " +
-                "(functions as values are unsupported)")
+              o.m.getOrElse(other, null) match {
+                case jf: JsFunc =>
+                  // property holding a closure: called this-less (our
+                  // functions have no `this`), the JS-gesture use case
+                  val vs = new Array[Any](args.size)
+                  var i = 0
+                  while (i < args.size) { vs(i) = ev(args(i), frame, depth); i += 1 }
+                  callValue(jf, vs, depth)
+                case _ =>
+                  sys.error(s"object property .$other is not callable")
+              }
           }
         case re: JsRegex =>
           name match {
@@ -1301,6 +1444,82 @@ object JsProgram {
               var i = lo
               while (i < hi) { out += ab(i); i += 1 }
               out
+            case "map" =>
+              val f = ev(args.head, frame, depth)
+              val out = new scala.collection.mutable.ArrayBuffer[Any](ab.size)
+              var i = 0
+              while (i < ab.size) {
+                out += callValue(f, Array[Any](ab(i),
+                  java.lang.Double.valueOf(i.toDouble)), depth)
+                i += 1
+              }
+              out
+            case "filter" =>
+              val f = ev(args.head, frame, depth)
+              val out = new scala.collection.mutable.ArrayBuffer[Any]()
+              var i = 0
+              while (i < ab.size) {
+                if (truthy(callValue(f, Array[Any](ab(i),
+                  java.lang.Double.valueOf(i.toDouble)), depth))) out += ab(i)
+                i += 1
+              }
+              out
+            case "forEach" =>
+              val f = ev(args.head, frame, depth)
+              var i = 0
+              while (i < ab.size) {
+                callValue(f, Array[Any](ab(i),
+                  java.lang.Double.valueOf(i.toDouble)), depth)
+                i += 1
+              }
+              null
+            case "reduce" =>
+              val f = ev(args.head, frame, depth)
+              var acc: Any = null
+              var i = 0
+              if (args.size > 1) acc = ev(args(1), frame, depth)
+              else {
+                if (ab.isEmpty)
+                  sys.error("reduce of empty array with no initial value")
+                acc = ab(0); i = 1
+              }
+              while (i < ab.size) {
+                acc = callValue(f, Array[Any](acc, ab(i),
+                  java.lang.Double.valueOf(i.toDouble)), depth)
+                i += 1
+              }
+              acc
+            case "some" | "every" =>
+              val f = ev(args.head, frame, depth)
+              var i = 0
+              var short = false
+              val someWanted = name == "some"
+              while (i < ab.size && !short) {
+                val hit = truthy(callValue(f, Array[Any](ab(i),
+                  java.lang.Double.valueOf(i.toDouble)), depth))
+                if (hit == someWanted) short = true
+                i += 1
+              }
+              java.lang.Boolean.valueOf(if (someWanted) short else !short)
+            case "sort" =>
+              // comparator form when a callback is given, else the JS
+              // default stringify order; mutates AND returns (JS)
+              val sorted =
+                if (args.isEmpty)
+                  ab.sortWith((x, y) => {
+                    val sx = if (x == null) "null" else s(x)
+                    val sy = if (y == null) "null" else s(y)
+                    sx.compareTo(sy) < 0
+                  })
+                else {
+                  val f = ev(args.head, frame, depth)
+                  ab.sortWith((x, y) => {
+                    val c = d(callValue(f, Array[Any](x, y), depth))
+                    c != null && !c.isNaN && c.doubleValue < 0
+                  })
+                }
+              ab.clear(); ab ++= sorted
+              ab
             case other => sys.error(s"unsupported array method .$other")
           }
         case dt: JsDate =>
@@ -1440,7 +1659,7 @@ object JsProgram {
     // the entry's single parameter is the row object, which is never a
     // runtime value (all field reads were rewritten to ERow at parse
     // time) — its slot stays null
-    try callFn(prog.entryIx, new Array[Any](1), 0)
+    try callFn(prog.entryIx, new Array[Any](1), 0, EmptyEnv)
     catch {
       // an uncaught user `throw` kills the GESTURE with a readable
       // message (GraalVM parity: the script error propagates to the

@@ -630,4 +630,88 @@ class JsProgramSpec extends SparkSpec {
     assert(got("fox trot") == "T:fox|fox:2:3:f.x tr.t:<fo,f,$>x trot:2",
       got("fox trot"))
   }
+
+  test("closures: capture, shared-binding mutation, nesting, HOFs") {
+    val js = """function map(row) {
+      var base = row.q;
+      // closure captures base by BINDING: the later base change is seen
+      var addBase = function (x) { return x + base; };
+      var sum = 0;
+      var bump = function () { sum += 1; return sum; };
+      bump(); bump();           // sum mutated through the closure
+      base = base * 10;         // addBase must see 10*q now
+      // nested closure reaching TWO levels out (base) and one (k)
+      var mk = function (k) {
+        return function (x) { return x * k + base; };
+      };
+      var lin = mk(3);
+      var arr = [3, 1, 2];
+      var doubled = arr.map(function (x) { return x * 2; });
+      var odds = arr.filter(function (x) { return x % 2 === 1; });
+      var tot = arr.reduce(function (a, x) { return a + x; }, 100);
+      var tot2 = arr.reduce(function (a, x) { return a + x; });
+      var sorted = arr.sort(function (a, b) { return a - b; });
+      var any2 = arr.some(function (x) { return x === 2; });
+      var all5 = arr.every(function (x) { return x < 5; });
+      return '' + addBase(1) + ':' + sum + ':' + lin(2) + ':' +
+        doubled.join('-') + ':' + odds.join('-') + ':' + tot + ':' +
+        tot2 + ':' + sorted.join('-') + ':' + any2 + ':' + all5;
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame, "r", js, StringType)
+      .select(col("q"), col("r")).collect()
+      .map(r => r.getDouble(0).toInt -> r.getString(1)).toMap
+    (0 to 6).foreach { q =>
+      val expect = s"${1 + 10 * q}:2:${6 + 10 * q}:6-2-4:3-1:106:6:1-2-3:true:true"
+      assert(got(q) == expect, s"q=$q got=${got(q)}")
+    }
+  }
+
+  test("closures: top-level function as value, callable object property") {
+    val js = """function twice(x) { return x * 2; }
+    function map(row) {
+      var f = twice;               // declared function as a VALUE
+      var o = {op: f, name: 'dbl'};
+      var viaLocal = f(row.q);
+      var viaProp = o.op(row.q + 1);
+      var picked = [twice, function (x) { return x + 100; }][1](row.q);
+      return viaLocal + ':' + viaProp + ':' + picked;
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame, "r", js, StringType)
+      .select(col("q"), col("r")).collect()
+      .map(r => r.getDouble(0).toInt -> r.getString(1)).toMap
+    (0 to 6).foreach { q =>
+      assert(got(q) == s"${2 * q}:${2 * (q + 1)}:${q + 100}", s"q=$q")
+    }
+  }
+
+  test("closures: identity ===, NaN coercion, row visible inside callbacks") {
+    val js = """function map(row) {
+      var f = function (x) { return x; };
+      var g = f;
+      var h = function (x) { return x; };
+      var viaRow = [1].map(function (i) { return row.q + i; })[0];
+      return '' + (f === g) + ':' + (f === h) + ':' +
+        isNaN(Number(f)) + ':' + viaRow;
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame, "r", js, StringType)
+      .select(col("q"), col("r")).collect()
+      .map(r => r.getDouble(0).toInt -> r.getString(1)).toMap
+    (0 to 6).foreach { q =>
+      assert(got(q) == s"true:false:true:${q + 1}", s"q=$q got=${got(q)}")
+    }
+  }
+
+  test("closures: runaway callback recursion stays engine-fatal") {
+    val js = """function map(row) {
+      var f = function (x) { return f(x + 1); }; // unbounded self-call
+      try { return f(0); } catch (e) { return 'swallowed'; }
+    }"""
+    val e = intercept[Exception] {
+      JsGesture.withJsColumnTyped(frame.limit(1), "r", js, StringType)
+        .select(col("r")).collect()
+    }
+    // depth/fuel errors are the UNCATCHABLE engine kind — the gesture's
+    // own catch must not swallow the runaway protection
+    assert(e.getMessage != null)
+  }
 }
