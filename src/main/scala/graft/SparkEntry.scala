@@ -3861,6 +3861,36 @@ object SparkEntry {
         length(bin(col("n_chars"))).cast("long").as("len_bits"))
       graft.security.KAnonymity.classes(docs(s, d), q, 5L)
     }),
+    // l-diversity (Machanavajjhala et al. 2007): the homogeneity-attack
+    // audit k-anonymity misses — every (lang, len_bits) class must see
+    // >= 2 distinct sources
+    "kanonymity_ldiversity" -> ((s, d) => {
+      val q = Seq(col("lang"),
+        length(bin(col("n_chars"))).cast("long").as("len_bits"))
+      graft.security.KAnonymity.lDiversity(docs(s, d), q, col("source"), 2L)
+    }),
+    // memorization-risk score (Lee et al. 2022 / Carlini et al. 2022):
+    // per doc, the share of its 5-gram windows duplicated elsewhere +
+    // the df of its most-duplicated gram — the cap/drop signal for
+    // extraction-risk-aware training
+    "text_memorization_risk" -> ((s, d) =>
+      graft.text.TextAnalysis.memorizationRisk(docs(s, d), 5)),
+    // train/test split leakage: near-duplicate pairs ACROSS the hash
+    // split (the contamination mode a random split creates silently);
+    // banding delta(test)×corpus(train), exact-jaccard verified
+    "split_leakage" -> ((s, d) => {
+      val sp = graft.pipeline.Pipeline.hashSplit(docs(s, d), col("doc_id"), 80)
+      graft.dedup.Dedup.minhashLshAgainst(
+          sp.filter(col("split") === "test"),
+          sp.filter(col("split") === "train"), 3, 64, 32, 0.5)
+        .select(col("new_id").as("test_id"),
+          col("corpus_id").as("train_id"), col("jaccard"))
+    }),
+    // DoReMi-shaped mixture reweighting (Xie et al. 2023): integer
+    // multiplicative weights on per-source excess proxy loss — the
+    // principled replacement for hand-set mixture shares
+    "corpus_mix_doremi" -> ((s, d) =>
+      graft.pipeline.Pipeline.doremiWeights(docs(s, d), 3, 10000L)),
     "kanonymity_risk" -> ((s, d) => {
       val q = Seq(col("lang"), col("source"),
         length(bin(col("n_chars"))).cast("long").as("len_bits"))
@@ -6216,6 +6246,73 @@ object SparkEntry {
         |    - greatest(a_lo, b_lo)) AS BIGINT) AS max_overlap_days
         |FROM a JOIN b ON a_lo < b_lo + 10 AND b_lo < a_lo + 7
         |GROUP BY 1""".stripMargin,
+    "kanonymity_ldiversity" ->
+      """SELECT lang, CAST(length(bin(n_chars)) AS BIGINT) AS len_bits,
+        |  count(*) AS class_size,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive,
+        |  count(DISTINCT source) >= 2 AS l_diverse
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "text_memorization_risk" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+        |    i -> CAST(('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15))
+        |      AS BIGINT))) AS fp
+        |  FROM t WHERE len(ws) >= 5),
+        |d AS (SELECT fp, count(DISTINCT doc_id) AS df FROM e GROUP BY fp)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  count(CASE WHEN df >= 2 THEN 1 END) AS n_dup_windows,
+        |  CAST(max(df) AS BIGINT) AS max_df,
+        |  (count(CASE WHEN df >= 2 THEN 1 END) * 10000 // count(*)) / 10000.0
+        |    AS dup_share
+        |FROM e JOIN d USING (fp) GROUP BY doc_id""".stripMargin,
+    "split_leakage" ->
+      """WITH sp AS (SELECT doc_id, text,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 100 < 80 AS is_train
+        |  FROM documents),
+        |w AS (SELECT doc_id, is_train, string_split(lower(text), ' ') AS ws FROM sp),
+        |sh AS (SELECT DISTINCT doc_id, is_train, shingle FROM
+        |  (SELECT doc_id, is_train,
+        |     unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS shingle
+        |   FROM w WHERE len(ws) >= 3)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS test_id, b.doc_id AS train_id, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE NOT a.is_train AND b.is_train GROUP BY 1, 2)
+        |SELECT test_id, train_id,
+        |  round(shared / (sa.sz + sb.sz - shared), 4) AS jaccard
+        |FROM shared JOIN sz sa ON test_id = sa.doc_id JOIN sz sb ON train_id = sb.doc_id
+        |WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5""".stripMargin,
+    "corpus_mix_doremi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |    w -> w <> '') AS ws FROM documents),
+        |big AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+        |loss AS (SELECT d.source,
+        |    CAST(SUM(length(bin(n1)) - length(bin(n2))) AS BIGINT) * 10000
+        |      // count(*) AS loss_e4
+        |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  JOIN documents d USING (doc_id)
+        |  GROUP BY 1),
+        |ex AS (SELECT source, loss_e4,
+        |    loss_e4 - (SELECT MIN(loss_e4) FROM loss) AS excess_e4 FROM loss),
+        |s1 AS (SELECT *, 1000000 * (10000 + 10000 * excess_e4 // 10000) // 10000 AS w FROM ex),
+        |s2 AS (SELECT source, loss_e4, excess_e4,
+        |    w * (10000 + 10000 * excess_e4 // 10000) // 10000 AS w FROM s1),
+        |s3 AS (SELECT source, loss_e4, excess_e4,
+        |    w * (10000 + 10000 * excess_e4 // 10000) // 10000 AS w FROM s2)
+        |SELECT source, loss_e4, excess_e4, CAST(w AS BIGINT) AS weight,
+        |  CAST(w * 1000000 // (SELECT SUM(w) FROM s3) AS BIGINT) AS share_ppm,
+        |  CAST(w * 1000000 // (SELECT SUM(w) FROM s3) AS BIGINT) / 1000000.0
+        |    AS mix_share
+        |FROM s3""".stripMargin,
     "kanonymity_audit" ->
       """SELECT lang, source,
         |  CAST(length(bin(n_chars)) AS BIGINT) AS len_bits,

@@ -652,4 +652,58 @@ object Pipeline {
         graft.text.TextAnalysis.frac4(col("n_docs"), col("__total"))
           .as("doc_share"))
   }
+
+  /** DoReMi-shaped domain reweighting (Xie et al. 2023): upweight the
+    * domains with the highest EXCESS loss under a proxy model, so the
+    * mixture spends its token budget where the model has the most to
+    * learn. This is the exact-integer surrogate of the paper's
+    * Group-DRO loop: the proxy loss is the per-source mean bigram
+    * surprisal (integer bit-length LM — the [[graft.text.TextAnalysis
+    * .bigramSurprisal]] model) on the 1e-4 grid, excess = loss − the
+    * best source's loss, and the exponentiated-gradient update is
+    * linearized to integer multiplicative weights
+    * `w ← w·(10⁴ + η₄·excess₄ ÷ 10⁴) ÷ 10⁴` for `iters` steps (exp →
+    * 1+x at the grid's resolution; the paper's per-step proxy retrain
+    * is frozen — one proxy, K weight steps). Every step is integer
+    * division (Spark IntegralDivide == DuckDB `//`), so the whole
+    * fixed point replays in unrolled SQL — the link_domain_rank
+    * discipline applied to mixture design.
+    *
+    * Scale: the corpus is touched ONCE (the bigram scoring scan);
+    * everything after runs on the SOURCE-sized table (windows over
+    * #sources rows, bounded). Output: per source, the proxy loss,
+    * excess, final integer weight, and the mixture share in ppm.
+    */
+  def doremiWeights(docs: DataFrame, iters: Int = 3,
+      eta4: Long = 100L): DataFrame = {
+    require(iters >= 1 && eta4 > 0)
+    import graft.text.TextAnalysis.intDiv
+    val scored = graft.text.TextAnalysis.bigramSurprisal(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val perSrc = scored.groupBy(col("source"))
+      .agg(sum(col("surprisal_sum")).as("__ss"),
+        sum(col("n_bigrams")).as("__nb"))
+      .select(col("source"),
+        intDiv(col("__ss") * lit(10000L), col("__nb")).as("loss_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // source-sized frame: the unpartitioned windows order ≤ #sources
+    // rows, never data
+    val withExcess = perSrc
+      .withColumn("excess_e4", col("loss_e4") - min(col("loss_e4")).over(w))
+    val afterSteps = (1 to iters).foldLeft(
+        withExcess.withColumn("weight", lit(1000000L))) { (acc, _) =>
+      acc.withColumn("weight",
+        intDiv(col("weight") *
+          (lit(10000L) + intDiv(lit(eta4) * col("excess_e4"), lit(10000L))),
+          lit(10000L)))
+    }
+    afterSteps
+      .withColumn("share_ppm",
+        intDiv(col("weight") * lit(1000000L), sum(col("weight")).over(w)))
+      .select(col("source"), col("loss_e4"), col("excess_e4"),
+        col("weight"), col("share_ppm"),
+        (col("share_ppm") / lit(1000000.0)).as("mix_share"))
+  }
 }

@@ -27,6 +27,22 @@ object KAnonymity {
       .withColumn("k_anonymous", col("class_size") >= k)
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the refinement
+    * k-anonymity misses: a class can be large yet expose its members
+    * when every row shares the SAME sensitive value (homogeneity
+    * attack). Each quasi-identifier class must contain at least `l`
+    * DISTINCT sensitive values. Same one-aggregation cost profile as
+    * [[classes]] (count_distinct adds a per-class distinct state).
+    */
+  def lDiversity(df: DataFrame, quasiIds: Seq[Column], sensitive: Column,
+      l: Long): DataFrame = {
+    require(quasiIds.nonEmpty && l >= 2, "need quasi-ids and l >= 2")
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(sensitive).as("n_sensitive"))
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
+
   /** One-row release-risk summary: class counts, the rows at risk
     * (members of sub-k classes), and the at-risk share on the exact
     * 1e-4 grid. */

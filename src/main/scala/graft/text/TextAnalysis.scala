@@ -2049,6 +2049,38 @@ object TextAnalysis {
           col("__s.e") - col("__s.s") + 1), " ").as("span_text"))
   }
 
+  /** Memorization-risk score (the Carlini-style duplication heuristic:
+    * verbatim-duplicated text is what models memorize first — Lee et
+    * al. 2022 §5, Carlini et al. 2022): per document, the share of its
+    * `w`-token windows whose gram occurs in ≥2 documents, plus the
+    * document frequency of its most-duplicated gram. High dup_share =
+    * boilerplate/template/copy-heavy documents, the rows a training
+    * pipeline caps or drops to reduce extraction risk. Gram keys are
+    * the md5-60bit SQL-replayable hashes — fully oracled. Docs shorter
+    * than `w` tokens have no windows and emit nothing (the dupSpans
+    * convention).
+    *
+    * Scale shape: one codegen gram walk, one partial-aggregated df
+    * count, one join back on the gram key, one per-doc aggregation —
+    * the dup_passages cost profile, nothing all-pairs. */
+  def memorizationRisk(docs: DataFrame, w: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), posexplode(graftshim.exprToColumn(
+        TokenGramHashes(graftshim.columnToExpr(col("text")), w))))
+      .toDF("doc_id", "pos0", "gh")
+      .localCheckpoint(eager = false)
+    val dfT = grams.groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    grams.join(dfT, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("df") >= 2, 1)).as("n_dup_windows"),
+        max(col("df")).as("max_df"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        col("max_df"),
+        frac4(col("n_dup_windows"), col("n_windows")).as("dup_share"))
+  }
+
   /** Tiered maximal-span certification — the [[dupSpans]] refinement
     * toward Lee et al. 2022's suffix-array semantics: a merged w-window
     * span can be a CHIMERA (overlapping w-grams shared with different

@@ -1022,6 +1022,64 @@ class PipelineSpec extends SparkSpec {
       (4L, 5L, 9L, 5L, 5L)))
   }
 
+  test("memorization risk: planted duplicate run raises dup_share, clean docs zero") {
+    val d = docsDF(Seq(
+      "a b c d e f g h i j",      // doc0: shares the full 10-run with doc1
+      "a b c d e f g h i j",      // doc1
+      "u v w x y z q r s t"))     // doc2: clean
+    val r = graft.text.TextAnalysis.memorizationRisk(d, 5)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))
+    // docs 0/1: every one of the 6 windows duplicated (df 2) → share 1
+    assert(r.toSeq == Seq(
+      (0L, 6L, 6L, 2L, 1.0), (1L, 6L, 6L, 2L, 1.0),
+      (2L, 6L, 0L, 1L, 0.0)))
+  }
+
+  test("l-diversity: homogeneous class flagged even when k-anonymous") {
+    val d = Seq(
+      ("en", 100L, "srcA"), ("en", 100L, "srcA"), ("en", 100L, "srcA"),
+      ("en", 200L, "srcA"), ("en", 200L, "srcB"),
+      ("de", 100L, "srcC"))
+      .toDF("lang", "n_chars", "source")
+    val r = graft.security.KAnonymity
+      .lDiversity(d, Seq(col("lang"), col("n_chars")), col("source"), 2L)
+      .orderBy("lang", "n_chars").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getBoolean(4)))
+    // (en,100): size 3 (k-anonymous at k=3) but ONE source → NOT l-diverse
+    assert(r.toSeq == Seq(
+      ("de", 100L, 1L, 1L, false),
+      ("en", 100L, 3L, 1L, false),
+      ("en", 200L, 2L, 2L, true)))
+  }
+
+  test("doremi weights: zero-excess source keeps base weight, shares monotone in loss") {
+    val r = graft.pipeline.Pipeline
+      .doremiWeights(graft.engine.Tables.documents(spark, sf), 3, 10000L)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    assert(r.nonEmpty)
+    val minLoss = r.map(_._2).min
+    r.foreach { case (src, loss, excess, weight, _) =>
+      assert(excess == loss - minLoss, src)
+      if (excess == 0) assert(weight == 1000000L, src)
+      else assert(weight > 1000000L, src)
+    }
+    // weights (and so shares) strictly monotone in excess
+    val byExcess = r.sortBy(_._3)
+    byExcess.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._3 && a._4 <= b._4)
+      case _ => ()
+    }
+    // shares are a probability vector on the ppm grid (floor division
+    // loses < #sources ppm)
+    val ppm = r.map(_._5).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - r.length)
+  }
+
   test("edit-distance dedup verifies shared-window candidates exactly") {
     val d = docsDF(Seq(
       "the quick brown fox jumps over the lazy dog today",
