@@ -3891,6 +3891,13 @@ object SparkEntry {
     // principled replacement for hand-set mixture shares
     "corpus_mix_doremi" -> ((s, d) =>
       graft.pipeline.Pipeline.doremiWeights(docs(s, d), 3, 10000L)),
+    // t-closeness (Li et al. 2007): the skewness-attack audit — class
+    // sensitive-value distribution vs the table's, exact-integer EMD
+    // over the ordered len_bits grid on the 1e-4 scale
+    "kanonymity_tcloseness" -> ((s, d) =>
+      graft.security.KAnonymity.tCloseness(docs(s, d),
+        Seq(col("lang"), col("source")),
+        length(bin(col("n_chars"))).cast("long"), 2000L)),
     "kanonymity_risk" -> ((s, d) => {
       val q = Seq(col("lang"), col("source"),
         length(bin(col("n_chars"))).cast("long").as("len_bits"))
@@ -6313,6 +6320,34 @@ object SparkEntry {
         |  CAST(w * 1000000 // (SELECT SUM(w) FROM s3) AS BIGINT) / 1000000.0
         |    AS mix_share
         |FROM s3""".stripMargin,
+    "kanonymity_tcloseness" ->
+      """WITH base AS (SELECT lang, source,
+        |    CAST(length(bin(n_chars)) AS BIGINT) AS sv FROM documents),
+        |cells AS (SELECT lang, source, sv, count(*) AS cc FROM base GROUP BY 1, 2, 3),
+        |gdist AS (SELECT sv, CAST(SUM(cc) AS BIGINT) AS gc FROM cells GROUP BY 1),
+        |cls AS (SELECT lang, source, CAST(SUM(cc) AS BIGINT) AS class_size
+        |  FROM cells GROUP BY 1, 2),
+        |n AS (SELECT CAST(SUM(gc) AS BIGINT) AS nn FROM gdist),
+        |grid AS (SELECT c.lang, c.source, c.class_size, g.sv, g.gc,
+        |    COALESCE(ce.cc, 0) AS cc
+        |  FROM cls c CROSS JOIN gdist g
+        |  LEFT JOIN cells ce ON ce.lang = c.lang AND ce.source = c.source
+        |    AND ce.sv = g.sv),
+        |cum AS (SELECT lang, source, class_size, gc, cc,
+        |    SUM(cc) OVER (PARTITION BY lang, source ORDER BY sv
+        |      ROWS UNBOUNDED PRECEDING) AS cumC,
+        |    SUM(gc) OVER (PARTITION BY lang, source ORDER BY sv
+        |      ROWS UNBOUNDED PRECEDING) AS cumG,
+        |    COUNT(*) OVER (PARTITION BY lang, source) AS m
+        |  FROM grid),
+        |emd AS (SELECT lang, source, class_size,
+        |    CASE WHEN m > 1 THEN CAST(
+        |      SUM(ABS(nn * cumC - class_size * cumG)) * 10000
+        |        // (class_size * nn * (m - 1)) AS BIGINT)
+        |    ELSE 0 END AS emd_e4
+        |  FROM cum CROSS JOIN n GROUP BY lang, source, class_size, m, nn)
+        |SELECT lang, source, class_size, emd_e4, emd_e4 <= 2000 AS t_close
+        |FROM emd""".stripMargin,
     "kanonymity_audit" ->
       """SELECT lang, source,
         |  CAST(length(bin(n_chars)) AS BIGINT) AS len_bits,

@@ -1055,6 +1055,20 @@ class PipelineSpec extends SparkSpec {
       ("en", 200L, 2L, 2L, true)))
   }
 
+  test("t-closeness: skewed class flagged, EMD hand-checked on the 1e-4 grid") {
+    val d = Seq(
+      ("A", 1L), ("A", 1L),                       // class A: all sv=1
+      ("B", 1L), ("B", 2L), ("B", 2L), ("B", 2L)) // class B: 1/4 vs 3/4
+      .toDF("grp", "sv")
+    val r = graft.security.KAnonymity
+      .tCloseness(d, Seq(col("grp")), col("sv"), 3000L)
+      .orderBy("grp").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    // global q = (1/2, 1/2). A: p = (1, 0) → EMD 0.5; B: p = (1/4, 3/4)
+    // → EMD 0.25. Exact integers: A = 5000, B = 2500 on the 1e-4 grid.
+    assert(r.toSeq == Seq(("A", 2L, 5000L, false), ("B", 4L, 2500L, true)))
+  }
+
   test("doremi weights: zero-excess source keeps base weight, shares monotone in loss") {
     val r = graft.pipeline.Pipeline
       .doremiWeights(graft.engine.Tables.documents(spark, sf), 3, 10000L)
