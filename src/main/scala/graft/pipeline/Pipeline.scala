@@ -675,7 +675,7 @@ object Pipeline {
     * excess, final integer weight, and the mixture share in ppm.
     */
   def doremiWeights(docs: DataFrame, iters: Int = 3,
-      eta4: Long = 100L): DataFrame = {
+      eta4: Long = 10000L): DataFrame = {
     require(iters >= 1 && eta4 > 0)
     import graft.text.TextAnalysis.intDiv
     val scored = graft.text.TextAnalysis.bigramSurprisal(docs)
@@ -685,11 +685,45 @@ object Pipeline {
         sum(col("n_bigrams")).as("__nb"))
       .select(col("source"),
         intDiv(col("__ss") * lit(10000L), col("__nb")).as("loss_e4"))
+    doremiSteps(perSrc, iters, eta4)
+  }
+
+  /** [[doremiWeights]] from ACCUMULATED per-(source, bigram) count
+    * state ([[graft.text.TextAnalysis.sourceBigramCountState]]) — the
+    * incremental/streaming path: per-source losses re-derive from the
+    * state alone (Σ n2·(bl(n1)−bl(n2)) over distinct bigrams equals
+    * the batch per-occurrence sum exactly), so the emitted weights are
+    * bit-equal to batch [[doremiWeights]] on the union of everything
+    * folded in. State is model-sized × sources (the lm_model_
+    * incremental posture — shard it the same way at corpus scale). */
+  def doremiWeightsFromState(state: DataFrame, iters: Int = 3,
+      eta4: Long = 10000L): DataFrame = {
+    import graft.text.TextAnalysis.intDiv
+    def bl(c: Column): Column = length(bin(c)).cast("long")
+    val c2 = state.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n2")).as("n2g"))
+      .localCheckpoint(eager = false)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2g")).as("n1"))
+    val perSrc = state
+      .join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col("source"))
+      .agg(sum(col("n2") * (bl(col("n1")) - bl(col("n2g")))).as("__ss"),
+        sum(col("n2")).as("__nb"))
+      .select(col("source"),
+        intDiv(col("__ss") * lit(10000L), col("__nb")).as("loss_e4"))
+    doremiSteps(perSrc, iters, eta4)
+  }
+
+  /** Shared multiplicative-weight iteration over the source-sized loss
+    * frame (the unpartitioned windows order ≤ #sources rows, never
+    * data). */
+  private def doremiSteps(perSrc: DataFrame, iters: Int,
+      eta4: Long): DataFrame = {
+    require(iters >= 1 && eta4 > 0)
+    import graft.text.TextAnalysis.intDiv
     val w = org.apache.spark.sql.expressions.Window
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    // source-sized frame: the unpartitioned windows order ≤ #sources
-    // rows, never data
     val withExcess = perSrc
       .withColumn("excess_e4", col("loss_e4") - min(col("loss_e4")).over(w))
     val afterSteps = (1 to iters).foldLeft(

@@ -1103,6 +1103,45 @@ object Events {
           batch.toDF(), s3, s2, s1, oovSurp))
     }
 
+  /** Streaming DoReMi gate — the mixture-design member of the
+    * incremental-model family: each micro-batch's per-(source, bigram)
+    * counts fold by exact sum into accumulated state (driver map,
+    * model-sized × sources — the lm_model_incremental posture; shard
+    * it at corpus scale), and after every batch the CURRENT mixture
+    * weights re-derive from state alone, bit-equal to batch
+    * [[graft.pipeline.Pipeline.doremiWeights]] on the union of all
+    * arrived docs (gated in StreamingSpec). The fold is idempotent per
+    * batch id only through ordering: the folded-marker is set AFTER
+    * the merge completes (the dpoPairIngestGate rule). */
+  def doremiIngestGate(newDocs: DataFrame, iters: Int = 3,
+      eta4: Long = 10000L)(
+      onWeights: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val state = new java.util.concurrent.ConcurrentHashMap[
+      (String, String, String), Long]()
+    val lastFolded = new java.util.concurrent.atomic.AtomicLong(-1L)
+    newDocs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val fresh = lastFolded.get() < batchId
+        if (fresh) {
+          graft.text.TextAnalysis.sourceBigramCountState(batch.toDF())
+            .collect()
+            .foreach { r =>
+              state.merge((r.getString(0), r.getString(1), r.getString(2)),
+                r.getLong(3), (a: Long, b: Long) => a + b)
+            }
+          lastFolded.set(batchId)
+        }
+        val spark = batch.sparkSession
+        import spark.implicits._
+        import scala.jdk.CollectionConverters._
+        val st = state.asScala.toSeq
+          .map { case ((src, w1, w2), n) => (src, w1, w2, n) }
+          .toDF("source", "w1", "w2", "n2")
+        onWeights(graft.pipeline.Pipeline.doremiWeightsFromState(
+          st, iters, eta4))
+    }
+  }
+
   /** Multimodal ingestion gate: each micro-batch of NEW images is
     * perceptual-hashed (decode → aHash) and checked against the static
     * corpus's hash table at Hamming ≤ `maxHamming` — the image twin of

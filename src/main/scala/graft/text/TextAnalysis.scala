@@ -2422,6 +2422,16 @@ object TextAnalysis {
     wordBigramRows(docs)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
 
+  /** Per-(source, bigram) count state — the incremental unit behind the
+    * streaming DoReMi gate: folding these states by exact sum and
+    * re-deriving losses is bit-equal to batch scoring on the union
+    * (the [[bigramCountState]] argument, with the source key kept). */
+  def sourceBigramCountState(docs: DataFrame): DataFrame =
+    wordBigramRows(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n2"))
+
   /** Fold shard states (any order) and derive the SAME model the batch
     * trainer ships — bit-equal to [[bigramModel]] on the shard union
     * because counts are exact integers and the derivation is shared. */

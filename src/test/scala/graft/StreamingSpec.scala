@@ -1080,6 +1080,42 @@ class StreamingSpec extends SparkSpec {
       p == "p two" && n == 2L && ci == 22L && cs == 10000L })
   }
 
+  test("doremi gate: weights from folded state bit-equal batch on the union") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_doremi_ingest")
+    // three arrival shards in a scrambled order
+    (0 to 2).foreach { i =>
+      docs.filter(pmod(col("doc_id") + 1, lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false").parquet(dir.toString)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[
+      Array[org.apache.spark.sql.Row]]()
+    val q = graft.streaming.Events.doremiIngestGate(stream, 3, 10000L)(
+      v => batches.add(v.collect())).trigger(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val seen = batches.asScala.toSeq
+    assert(seen.size >= 2, s"expected multiple batches, got ${seen.size}")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+    // final emission == batch doremi on the whole corpus, bit for bit
+    val want = graft.pipeline.Pipeline.doremiWeights(docs, 3, 10000L)
+      .collect().map(key).toSet
+    assert(seen.last.map(key).toSet == want)
+    // intermediate emissions are themselves batch-equal on their prefix
+    val prefix = docs.filter(pmod(col("doc_id") + 1, lit(3)) === 0)
+    val wantFirst = graft.pipeline.Pipeline.doremiWeights(prefix, 3, 10000L)
+      .collect().map(key).toSet
+    assert(seen.head.map(key).toSet == wantFirst)
+  }
+
   test("boilerplate strip gate: streamed cleanups bit-equal the batch serve half") {
     import spark.implicits._
     // a corpus with multi-line docs: known boilerplate + unique bodies
