@@ -3131,6 +3131,21 @@ object SparkEntry {
           graft.text.TextAnalysis.frac4(col("n_correct"), col("n"))
             .as("accuracy"))
     }),
+    // threshold-free ranking quality of the trained classifier: exact
+    // integer ROC-AUC (Mann-Whitney with midranks) over the perceptron
+    // scores vs the marker labels — the audit that says whether the
+    // score ORDERING separates classes before any threshold is picked
+    "quality_model_auc" -> ((s, d) => {
+      val t = split(lower(col("text")), " ")
+      val markers = size(filter(t, w => w === "slow" || w === "dup"))
+      val scored = graft.pipeline.Pipeline.perceptronTrainServe(
+        docs(s, d), col("doc_id"),
+        when(markers > 0, 1L).otherwise(-1L),
+        Seq(markers, graft.text.TextAnalysis.intDiv(
+          (size(t) - lit(40)).cast("long"), lit(16L))),
+        epochs = 6)
+      graft.pipeline.Pipeline.aucExact(scored, col("label"), col("score"))
+    }),
     "quality_perceptron_train" -> ((s, d) => {
       val t = split(lower(col("text")), " ")
       val markers = size(filter(t, w => w === "slow" || w === "dup"))
@@ -6521,6 +6536,30 @@ object SparkEntry {
         |        * sqrt(CAST(list_sum([y*y for y in cent]) AS DOUBLE))), 4)
         |  END AS cos
         |FROM q CROSS JOIN cl""".stripMargin,
+    "quality_model_auc" ->
+      s"""WITH ${perceptronSqlCtes(6, 3)},
+        |sc AS (SELECT
+        |    CAST(list_sum(list_transform(generate_series(1, 3),
+        |      j -> w.w[j] * f.x[j])) AS BIGINT) AS score,
+        |    CAST(f.y AS INT) AS label
+        |  FROM pf f CROSS JOIN pw6 w),
+        |grid AS (SELECT score, count(*) AS n,
+        |    count(*) FILTER (WHERE label = 1) AS np FROM sc GROUP BY 1),
+        |cum AS (SELECT score, n, np,
+        |    SUM(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cumn
+        |  FROM grid),
+        |agg AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |    CAST(SUM(n) - SUM(np) AS BIGINT) AS n_neg,
+        |    CAST(SUM(np * (2 * (cumn - n) + n + 1)) AS BIGINT) AS s2
+        |  FROM cum)
+        |SELECT n_pos, n_neg,
+        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN (s2 - n_pos * (n_pos + 1)) * 10000 // (2 * n_pos * n_neg)
+        |    ELSE 0 END AS BIGINT) AS auc_e4,
+        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN (s2 - n_pos * (n_pos + 1)) * 10000 // (2 * n_pos * n_neg)
+        |    ELSE 0 END AS BIGINT) / 10000.0 AS auc
+        |FROM agg""".stripMargin,
     "quality_calibration" ->
       s"""WITH ${perceptronSqlCtes(6, 3)},
         |sc AS (SELECT f.doc_id,

@@ -714,6 +714,41 @@ object Pipeline {
     doremiSteps(perSrc, iters, eta4)
   }
 
+  /** Exact ROC-AUC (the Mann-Whitney/rank-sum identity with midrank
+    * tie handling — the threshold-free ranking-quality audit beside
+    * the calibration curve): AUC = (Σ_pos midrank − nPos(nPos+1)/2) /
+    * (nPos·nNeg), computed entirely in integers by carrying DOUBLED
+    * midranks (2·midrank = 2·cum_before + n + 1 is always integral),
+    * result on the 1e-4 grid by one integral division — fully
+    * oracle-replayable. Plan: one aggregation to the SCORE-GRID table
+    * (bounded by distinct scores — integer classifier outputs), one
+    * window + one fold over that bounded grid; the unpartitioned
+    * window orders grid rows, never data. */
+  def aucExact(scored: DataFrame, label: Column, score: Column): DataFrame = {
+    import graft.text.TextAnalysis.intDiv
+    import org.apache.spark.sql.expressions.Window
+    val grid = scored
+      .select(score.as("__s"), (label === 1).cast("long").as("__p"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__p")).as("__np"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val term = grid
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("__mr2",
+        lit(2L) * (col("__cum") - col("__n")) + col("__n") + lit(1L))
+      .agg(sum(col("__np")).as("n_pos"),
+        (sum(col("__n")) - sum(col("__np"))).as("n_neg"),
+        sum(col("__np") * col("__mr2")).as("__s2"))
+    term.select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          intDiv((col("__s2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            * lit(10000L),
+            lit(2L) * col("n_pos") * col("n_neg")))
+          .otherwise(lit(0L)).as("auc_e4"))
+      .withColumn("auc", col("auc_e4") / lit(10000.0))
+  }
+
   /** Shared multiplicative-weight iteration over the source-sized loss
     * frame (the unpartitioned windows order ≤ #sources rows, never
     * data). */

@@ -1055,6 +1055,23 @@ class PipelineSpec extends SparkSpec {
       ("en", 200L, 2L, 2L, true)))
   }
 
+  test("exact AUC: midrank ties hand-checked; perfect and inverted orderings") {
+    def auc(rows: Seq[(Long, Int)]): (Long, Long, Long, Double) = {
+      val r = graft.pipeline.Pipeline.aucExact(
+        rows.toDF("score", "label"), col("label"), col("score")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    // scores 3,2,2,1 with labels +,+,-,-: the tied pair contributes a
+    // half-win → AUC = 0.875 exactly (midrank 2.5 doubled stays integral)
+    assert(auc(Seq((3L, 1), (2L, 1), (2L, -1), (1L, -1))) ==
+      ((2L, 2L, 8750L, 0.875)))
+    // perfect separation and full inversion
+    assert(auc(Seq((5L, 1), (4L, 1), (1L, -1), (0L, -1)))._3 == 10000L)
+    assert(auc(Seq((0L, 1), (1L, 1), (4L, -1), (5L, -1)))._3 == 0L)
+    // all-ties: AUC 1/2
+    assert(auc(Seq((7L, 1), (7L, -1), (7L, 1), (7L, -1)))._3 == 5000L)
+  }
+
   test("t-closeness: skewed class flagged, EMD hand-checked on the 1e-4 grid") {
     val d = Seq(
       ("A", 1L), ("A", 1L),                       // class A: all sv=1
