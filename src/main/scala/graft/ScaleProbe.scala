@@ -1137,6 +1137,26 @@ object ScaleProbe {
         .groupBy(col("s_name")).agg(count(lit(1))).count()
     }
 
+    // r13 additions: gram-df join (the dup_passages shape), the
+    // one-scan + source-sized-loop mixer, and cross-split banding
+    probe("text_memorization_risk", Seq(1, 20)) { c =>
+      text.TextAnalysis.memorizationRisk(saltedDocs(c), 5)
+        .agg(sum(col("n_dup_windows"))).head().getLong(0)
+    }
+
+    probe("corpus_mix_doremi", Seq(1, 20)) { c =>
+      pipeline.Pipeline.doremiWeights(
+        replicate(docs, c, Map("doc_id" -> 10000000L)), 3, 10000L)
+        .agg(sum(col("share_ppm"))).head().getLong(0)
+    }
+
+    probe("split_leakage", Seq(1, 20)) { c =>
+      val sp = pipeline.Pipeline.hashSplit(saltedDocs(c), col("doc_id"), 80)
+      dedup.Dedup.minhashLshAgainst(
+        sp.filter(col("split") === "test"),
+        sp.filter(col("split") === "train"), 3, 64, 32, 0.5).count()
+    }
+
     // ── ×100 flagship probes ───────────────────────────────────────
     // One decade past the ×20 table for the four end-to-end paths the
     // pipeline actually ships through — at ×20 fixed overheads (job
