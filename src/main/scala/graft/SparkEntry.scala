@@ -4230,6 +4230,10 @@ object SparkEntry {
 
     // ── event streams ──────────────────────────────────────────────────
     "events_hourly" -> ((s, d) => graft.streaming.Events.hourlyAgg(ev(s, d))),
+    // hourly resample with gap filling: dense hour grid (bounded by
+    // the time RANGE), zero rows + is_gap for missing hours, forward-
+    // filled last observed reading — the step-line dashboards draw
+    "events_gapfill" -> ((s, d) => graft.streaming.Events.hourlyGapfill(ev(s, d))),
     "events_sessions" -> ((s, d) => graft.streaming.Events.sessionStats(ev(s, d), 30)),
     "events_sessions_native" -> ((s, d) =>
       graft.streaming.Events.sessionStatsNative(ev(s, d), 30)),
@@ -8053,6 +8057,17 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |CAST(list_sum(list_transform(range(0, CAST(ceil(length(text)/4.0) AS BIGINT)),
         |  i -> ascii(substr(text, CAST(i*4+1 AS INT), 1)))) AS BIGINT) AS resized_sum
         |FROM documents""".stripMargin,
+    "events_gapfill" ->
+      """WITH h AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM h),
+        |g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b)
+        |SELECT g.hour, COALESCE(h.n, 0) AS n_events, h.n IS NULL AS is_gap,
+        |  last_value(h.n IGNORE NULLS) OVER (ORDER BY g.hour
+        |    ROWS UNBOUNDED PRECEDING) AS last_observed_n,
+        |  COALESCE(h.v, 0.0) AS total_value
+        |FROM g LEFT JOIN h ON g.hour = h.hour""".stripMargin,
     "events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

@@ -359,6 +359,33 @@ object Events {
         coalesce(col("ratio_e4") >= thetaE4, lit(false)).as("is_spike"))
   }
 
+  /** Hourly resample with GAP FILLING — the observability query the
+    * raw hourly rollup can't answer ("which hours had NO data?"): the
+    * dense hour grid spans [min, max] observed hours (sequence explode
+    * — bounded by the time RANGE, ~10⁵ rows per decade, never by
+    * events), each gap hour carries zero counts + an is_gap flag, and
+    * last_observed_n forward-fills the most recent real reading (the
+    * dashboards' step-line). The unpartitioned window orders the
+    * bounded grid, never data. */
+  def hourlyGapfill(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("value").cast("decimal(18,2)")).as("__v"))
+    val bounds = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    val grid = bounds.select(explode(sequence(col("lo"), col("hi"),
+      expr("INTERVAL 1 HOUR"))).as("hour"))
+    val w = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("hour"), "left")
+      .withColumn("is_gap", col("__n").isNull)
+      .select(col("hour"),
+        coalesce(col("__n"), lit(0L)).as("n_events"),
+        col("is_gap"),
+        last(col("__n"), ignoreNulls = true).over(w).as("last_observed_n"),
+        coalesce(col("__v").cast("double"), lit(0.0)).as("total_value"))
+  }
+
   /** Running (cumulative) per-user value total — partitioned prefix-sum
     * window, ties broken by event_id. The sum is exact decimal (value
     * has 2 decimals): engines are free to associate window sums any way

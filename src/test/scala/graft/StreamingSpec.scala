@@ -705,6 +705,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("hourly gapfill: missing hours get zero rows, forward fill steps") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // hours 00, 01, 04 observed; 02 and 03 are gaps
+    val ev = Seq(
+      (1L, t("2024-01-01 00:05:00"), 10.0), (2L, t("2024-01-01 00:40:00"), 5.0),
+      (3L, t("2024-01-01 01:15:00"), 2.0),
+      (4L, t("2024-01-01 04:59:00"), 7.0))
+      .toDF("user_id", "ts", "value")
+    val r = graft.streaming.Events.hourlyGapfill(ev)
+      .orderBy("hour").collect()
+      .map(x => (x.getTimestamp(0).toString, x.getLong(1), x.getBoolean(2),
+        x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", 2L, false, 2L, 15.0),
+      ("2024-01-01 01:00:00.0", 1L, false, 1L, 2.0),
+      ("2024-01-01 02:00:00.0", 0L, true, 1L, 0.0),
+      ("2024-01-01 03:00:00.0", 0L, true, 1L, 0.0),
+      ("2024-01-01 04:00:00.0", 1L, false, 1L, 7.0)))
+  }
+
   test("stateful sessionization stream emits closed sessions") {
     import spark.implicits._
     val evs = Seq(
