@@ -2522,6 +2522,30 @@ object SparkEntry {
     // ── joins ──────────────────────────────────────────────────────────
     "join_revenue_by_priority" -> ((s, d) =>
       Joins.revenueByPriority(li(s, d), ord(s, d))),
+    // the co-located-join path made VISIBLE: both sides written
+    // bucketed+sorted on the join key (Layout.writeBucketed — the one-
+    // time layout investment), then the identical revenue join runs
+    // WITHOUT a shuffle on either side (plan-gated in LayoutSpec: SMJ
+    // over bucketed scans, zero hashpartitioning exchanges) — at 100 TB
+    // this is the difference between shuffling the fact table per join
+    // and never shuffling it again
+    "join_bucketed_colocated" -> ((s, d) => {
+      graft.engine.Layout.recreateBucketed(s,
+        li(s, d).select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount")),
+        "graft_li_colo", Seq("l_orderkey"), 8)
+      graft.engine.Layout.recreateBucketed(s,
+        ord(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        "graft_ord_colo", Seq("l_orderkey"), 8)
+      s.table("graft_li_colo")
+        .join(s.table("graft_ord_colo"), Seq("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.engine.Num.sumRevenue(col("l_extendedprice"),
+            col("l_discount")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
     "join_customers_per_region" -> ((s, d) =>
       Joins.customersPerRegion(cust(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "join_semi_parts" -> ((s, d) =>
@@ -5607,6 +5631,11 @@ object SparkEntry {
         |CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS latency_days,
         |CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) * 86400000.0 AS latency_ms
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "join_bucketed_colocated" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_revenue_by_priority" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

@@ -22,11 +22,36 @@ object Layout {
     */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
       buckets: Int): Unit =
-    df.write.mode("overwrite")
+    // pre-shuffle to the bucket spec's own hash partitioning: each
+    // write task then owns exactly one bucket, producing `buckets`
+    // files total instead of (input tasks × buckets) fragments — the
+    // difference between a clean co-located layout and a small-files
+    // problem at fact-table scale
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** [[writeBucketed]] with idempotent REcreation: drops the catalog
+    * entry AND clears a stale warehouse location left by a previous
+    * session (DROP TABLE on a fresh in-memory catalog doesn't know the
+    * old table, so the managed-location collision must be cleared on
+    * disk or the write dies with LOCATION_ALREADY_EXISTS). */
+  def recreateBucketed(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = new java.io.File(wh, table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    if (loc.exists) rm(loc)
+    writeBucketed(df, table, keys, buckets)
+  }
 
   /** Salted equi-join for a skewed big side: the big side gets a random
     * salt in [0, salt); the small side is replicated `salt` times; the
