@@ -4274,6 +4274,30 @@ object SparkEntry {
       graft.sources.Sources.jsonRoundTrip(
         ord(s, d).filter(col("o_totalprice") > 400000.0)
           .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")))),
+    // Spark 4's built-in XML source: rowTag write + schema-pinned read
+    // (XML carries no types — the CSV schema-file discipline applies)
+    "xml_roundtrip" -> ((s, d) =>
+      graft.sources.Sources.xmlRoundTrip(
+        cust(s, d).filter(col("c_acctbal") > 9000.0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal")))),
+    // fixed-width text (the mainframe layout CSV tools mis-split): each
+    // line rendered with padded byte windows, one doc in 997 carries a
+    // deliberately corrupt quantity field — the try-cast lattice turns
+    // it into null (PERMISSIVE), everything else parses exactly
+    "fixedwidth_parse" -> ((s, d) => {
+      val qtyStr = when(pmod(col("l_orderkey"), lit(997L)) === 0L,
+          lit("XXXXXX.X"))
+        .otherwise(format_string("%8.2f", col("l_quantity")))
+      val line = concat(
+        rpad(col("l_orderkey").cast("string"), 12, " "),
+        rpad(col("l_linenumber").cast("string"), 4, " "),
+        qtyStr,
+        col("l_returnflag"))
+      graft.sources.Sources.fixedWidthRoundTrip(
+        li(s, d).select(line.as("value")),
+        Seq(("l_orderkey", 1, 12, "bigint"), ("l_linenumber", 13, 4, "int"),
+          ("l_quantity", 17, 8, "double"), ("l_returnflag", 25, 1, "string")))
+    }),
     "orc_roundtrip" -> ((s, d) =>
       graft.sources.Sources.saveRoundTrip(
         prt(s, d).filter(col("p_size") >= 45)
@@ -8108,6 +8132,15 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
     "json_roundtrip" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         |WHERE o_totalprice > 400000.0""".stripMargin,
+    "xml_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 9000.0""".stripMargin,
+    "fixedwidth_parse" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+        |  CASE WHEN l_orderkey % 997 = 0 THEN NULL
+        |    ELSE ROUND(l_quantity, 2) END AS l_quantity,
+        |  l_returnflag
+        |FROM lineitem""".stripMargin,
     "orc_roundtrip" ->
       "SELECT p_partkey, p_name, p_size FROM part WHERE p_size >= 45",
     "json_parse_errors" ->

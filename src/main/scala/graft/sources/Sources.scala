@@ -245,6 +245,50 @@ object Sources {
   }
 
   /** Newline-delimited JSON round-trip (JsonFileLoader ↔ writer). */
+  /** XML round-trip (Spark 4's built-in xml source — the donated
+    * spark-xml): write with an explicit rowTag, read back with the
+    * SAME schema pinned (XML carries no types — inference would
+    * re-derive them, the CSV schema-file story). Exercises the one
+    * self-describing-markup format the loader family lacked. */
+  def xmlRoundTrip(df: DataFrame): DataFrame = {
+    val dir = rtDir("xml")
+    df.write.mode("overwrite").option("rowTag", "row").xml(dir)
+    df.sparkSession.read.schema(df.schema).option("rowTag", "row").xml(dir)
+  }
+
+  /** Fixed-width text loader (the mainframe/teletype layout CSV tools
+    * mis-split): one text scan, each column cut by its (start, width)
+    * byte window and cast through the try-cast lattice (ANSI-safe —
+    * malformed numerics become null, the PERMISSIVE convention).
+    * Narrow, codegen substring/trim/cast chain — no UDFs. */
+  def readFixedWidth(spark: SparkSession, path: String,
+      cols: Seq[(String, Int, Int, String)]): DataFrame = {
+    val raw = spark.read.text(path)
+    raw.select(cols.map { case (name, start, width, typ) =>
+      val cut = trim(substring(col("value"), start, width))
+      val v = typ match {
+        case "string" => cut
+        case t =>
+          org.apache.spark.sql.graftshim.exprToColumn(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.graftshim.columnToExpr(cut),
+              org.apache.spark.sql.types.DataType.fromDDL(t), None,
+              org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
+      }
+      v.as(name)
+    }: _*)
+  }
+
+  /** Fixed-width round-trip driver: caller renders each row into one
+    * padded line (column `value`), this writes text and reads back
+    * through [[readFixedWidth]]. */
+  def fixedWidthRoundTrip(lines: DataFrame,
+      cols: Seq[(String, Int, Int, String)]): DataFrame = {
+    val dir = rtDir("fixedwidth")
+    lines.write.mode("overwrite").text(dir)
+    readFixedWidth(lines.sparkSession, dir, cols)
+  }
+
   def jsonRoundTrip(df: DataFrame): DataFrame = {
     val dir = rtDir("json")
     df.write.mode("overwrite").json(dir)
