@@ -4067,6 +4067,45 @@ object SparkEntry {
     // headers (format by doc_id mod 3, dims from the body length);
     // imageDims parses them back byte-by-byte — the oracle checks the
     // encode∘decode round-trip from the source columns alone
+    // the REAL media-ingest path: payloads land as FILES on disk, the
+    // binaryFile source lists + reads them (path/length/content), ids
+    // re-derive from filenames, the decoder runs over `content` — the
+    // plumbing every image/audio corpus ingest starts with (at scale:
+    // the same source over an object store, maxFilesPerTrigger for the
+    // streaming form). Scratch dir cleared first: stale files from a
+    // different-scale run must not leak into the listing.
+    "binaryfile_ingest" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_binfiles")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+      java.nio.file.Files.createDirectories(dir)
+      docs(s, d).orderBy(col("doc_id")).limit(16)
+        .select(col("doc_id"), col("text")).collect().foreach { r =>
+          val id = r.getLong(0)
+          val t = r.getString(1).getBytes("UTF-8")
+          val len = math.max(t.length, 1)
+          val w = 1 + (t.length % 32)
+          val h = 1 + (t.length % 24)
+          val payload = graft.multimodal.Multimodal.bmpPayload(w, h,
+            p => if (t.isEmpty) 0 else t(p % len) & 0xff)
+          java.nio.file.Files.write(dir.resolve(s"$id.bmp"), payload)
+        }
+      val bin = s.read.format("binaryFile").load(dir.toString)
+        .select(regexp_extract(element_at(split(col("path"), "/"), -1),
+          "^(\\d+)", 1).cast("long").as("id"),
+          lit("bmp").as("kind"), col("content").as("media"),
+          lit(0).as("width"), lit(0).as("height"))
+        .as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.extractFeatures(bin).toDF()
+        .select(col("id").as("doc_id"), col("kind"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("feat0"), col("feat1"))
+    }),
     "multimodal_image_dims" -> ((s, d) =>
       graft.multimodal.Multimodal.decodeImageMeta(
           graft.multimodal.Multimodal.syntheticImages(docs(s, d)))
@@ -4258,6 +4297,18 @@ object SparkEntry {
     // the time RANGE), zero rows + is_gap for missing hours, forward-
     // filled last observed reading — the step-line dashboards draw
     "events_gapfill" -> ((s, d) => graft.streaming.Events.hourlyGapfill(ev(s, d))),
+    // trending: per-hour top-3 event types by count, ranked through the
+    // GroupTopK custom plan (partial per-partition heaps before the
+    // exchange — at event scale the shuffle carries <= 3 rows per
+    // (partition, hour), never the hour's full type histogram)
+    "events_trending" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.plans.GroupTopK.groupTopK(hourly, Seq("hour"),
+        Seq(("n", false), ("event_type", true)), 3)
+        .select(col("hour"), col("rank"), col("event_type"), col("n"))
+    }),
     "events_sessions" -> ((s, d) => graft.streaming.Events.sessionStats(ev(s, d), 30)),
     "events_sessions_native" -> ((s, d) =>
       graft.streaming.Events.sessionStatsNative(ev(s, d), 30)),
@@ -8016,6 +8067,18 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |      FROM documents)""".stripMargin,
     // header sizes: PNG sig+len+IHDR+dims = 24, JPEG SOI+SOF0 seg = 15,
     // GIF6+screen = 10 (texts are ASCII so length(text) = body bytes)
+    "binaryfile_ingest" ->
+      """SELECT doc_id, 'bmp' AS kind,
+        |CAST(54 + ((3 * (1 + length(text) % 32) + 3) // 4 * 4)
+        |  * (1 + length(text) % 24) AS BIGINT) AS n_bytes,
+        |CAST(list_sum(list_transform(range(0, (1 + length(text) % 32) * (1 + length(text) % 24)),
+        |  p -> ascii(substr(text, CAST(p % greatest(length(text), 1) AS INT) + 1, 1)))) AS DOUBLE)
+        |  / ((1 + length(text) % 32) * (1 + length(text) % 24)) AS feat0,
+        |CAST(list_sum(list_transform(range(0, (1 + length(text) % 32) * (1 + length(text) % 24)),
+        |  p -> ascii(substr(text, CAST(p % greatest(length(text), 1) AS INT) + 1, 1))
+        |    * ascii(substr(text, CAST(p % greatest(length(text), 1) AS INT) + 1, 1)))) AS DOUBLE)
+        |  / ((1 + length(text) % 32) * (1 + length(text) % 24)) AS feat1
+        |FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 16)""".stripMargin,
     "multimodal_image_dims" ->
       """SELECT doc_id,
         |CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
@@ -8110,6 +8173,13 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |CAST(list_sum(list_transform(range(0, CAST(ceil(length(text)/4.0) AS BIGINT)),
         |  i -> ascii(substr(text, CAST(i*4+1 AS INT), 1)))) AS BIGINT) AS resized_sum
         |FROM documents""".stripMargin,
+    "events_trending" ->
+      """WITH h AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT hour, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type)
+        |      AS INT) AS rank FROM h)
+        |SELECT hour, rank, event_type, n FROM r WHERE rank <= 3""".stripMargin,
     "events_gapfill" ->
       """WITH h AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
         |    count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
