@@ -4106,6 +4106,30 @@ object SparkEntry {
           col("n_bytes").cast("long").as("n_bytes"),
           col("feat0"), col("feat1"))
     }),
+    // typed metadata on the opaque media column, the REAL thing: a
+    // spec-layout Exif APP1 (TIFF IFD0, BOTH byte orders planted by id
+    // parity, offset-stored ASCII + inline SHORT/LONG entries) written
+    // into each JPEG and walked back by a byte-level TIFF parser — all
+    // values derive from id/text formulas, fully oracled
+    "multimodal_exif_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = docs(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val t = text.getBytes("UTF-8")
+          val w = 1 + (t.length % 640)
+          val h = 1 + (t.length % 480)
+          val jpeg = graft.multimodal.Multimodal.jpegPayload(w, h, t)
+          val app1 = graft.multimodal.Multimodal.exifApp1(
+            s"graft-${id % 10}", w.toLong, (id % 8 + 1).toInt,
+            bigEndian = id % 2 == 0)
+          graft.multimodal.Multimodal.MediaRow(id, "jpeg",
+            graft.multimodal.Multimodal.withExif(jpeg, app1), w, h)
+        }
+      graft.multimodal.Multimodal.exifMeta(media).toDF()
+        .select(col("id").as("doc_id"), col("byte_order"), col("make"),
+          col("exif_width"), col("orientation"))
+    }),
     "multimodal_image_dims" -> ((s, d) =>
       graft.multimodal.Multimodal.decodeImageMeta(
           graft.multimodal.Multimodal.syntheticImages(docs(s, d)))
@@ -8079,6 +8103,13 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |    * ascii(substr(text, CAST(p % greatest(length(text), 1) AS INT) + 1, 1)))) AS DOUBLE)
         |  / ((1 + length(text) % 32) * (1 + length(text) % 24)) AS feat1
         |FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 16)""".stripMargin,
+    "multimodal_exif_meta" ->
+      """SELECT doc_id,
+        |CASE WHEN doc_id % 2 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+        |'graft-' || CAST(doc_id % 10 AS VARCHAR) AS make,
+        |CAST(1 + length(text) % 640 AS BIGINT) AS exif_width,
+        |CAST(doc_id % 8 + 1 AS BIGINT) AS orientation
+        |FROM documents""".stripMargin,
     "multimodal_image_dims" ->
       """SELECT doc_id,
         |CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,

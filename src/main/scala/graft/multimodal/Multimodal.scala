@@ -197,6 +197,129 @@ object Multimodal {
     hdr.put(1.toByte).put(Array(1, 0x11, 0).map(_.toByte)) // 1 component
     hdr.array() ++ body
   }
+  /** Minimal valid Exif APP1 segment (JEITA CP-3451 layout): the
+    * "Exif\0\0" signature, a TIFF header in the CHOSEN byte order
+    * ("II" little / "MM" big — real corpora carry both), and IFD0 with
+    * three entries — Make (ASCII, stored through the offset area: the
+    * part naive parsers get wrong), ImageWidth (LONG, inline) and
+    * Orientation (SHORT, inline) — then a zero next-IFD pointer. */
+  def exifApp1(make: String, width: Long, orientation: Int,
+      bigEndian: Boolean): Array[Byte] = {
+    val makeBytes = make.getBytes("US-ASCII") :+ 0.toByte
+    // spec rule: values that FIT the 4-byte value field are stored
+    // inline (left-justified, zero-padded); longer ones go through the
+    // offset area — the branch naive writers/parsers get wrong
+    val inlineMake = makeBytes.length <= 4
+    // TIFF region: 8 hdr + 2 count + 3*12 entries + 4 next + make tail
+    val tiffLen = 8 + 2 + 36 + 4 + (if (inlineMake) 0 else makeBytes.length)
+    val t = java.nio.ByteBuffer.allocate(tiffLen)
+      .order(if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+             else java.nio.ByteOrder.LITTLE_ENDIAN)
+    t.put((if (bigEndian) "MM" else "II").getBytes("US-ASCII"))
+    t.putShort(42.toShort)
+    t.putInt(8) // IFD0 right after the header
+    t.putShort(3.toShort)
+    val makeOff = 8 + 2 + 36 + 4
+    // entries MUST be ascending by tag (the spec's sorted-IFD rule)
+    t.putShort(0x0100.toShort).putShort(4.toShort) // ImageWidth, LONG
+      .putInt(1).putInt(width.toInt)
+    t.putShort(0x010f.toShort).putShort(2.toShort) // Make, ASCII
+      .putInt(makeBytes.length)
+    if (inlineMake) t.put(java.util.Arrays.copyOf(makeBytes, 4))
+    else t.putInt(makeOff)
+    t.putShort(0x0112.toShort).putShort(3.toShort) // Orientation, SHORT
+      .putInt(1).putShort(orientation.toShort).putShort(0.toShort)
+    t.putInt(0) // next IFD
+    if (!inlineMake) t.put(makeBytes)
+    val tiff = t.array()
+    val seg = java.nio.ByteBuffer.allocate(4 + 6 + tiff.length)
+    seg.put(Array(0xff, 0xe1).map(_.toByte))
+    seg.putShort((2 + 6 + tiff.length).toShort)
+    seg.put("Exif\u0000\u0000".getBytes("US-ASCII"))
+    seg.put(tiff)
+    seg.array()
+  }
+
+  /** Insert an APP1 segment right after a JPEG's SOI marker. */
+  def withExif(jpeg: Array[Byte], app1: Array[Byte]): Array[Byte] =
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+
+  final case class ExifMeta(id: Long, byte_order: String, make: String,
+      exif_width: Long, orientation: Long)
+
+  /** Parse the Exif APP1 out of a JPEG: segment walk from SOI to the
+    * FFE1 marker, signature check, then a REAL TIFF-IFD walk in the
+    * file's own byte order — inline SHORT/LONG values and
+    * offset-stored ASCII both handled. Rows without a parseable APP1
+    * quarantine-drop (the decoder convention). */
+  def exifMeta(media: Dataset[MediaRow]): Dataset[ExifMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b = r.media
+        def u8(i: Int) = b(i) & 0xff
+        if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) None
+        else {
+          // segment walk: FF marker len(2, includes itself)
+          var i = 2
+          var app1 = -1
+          var go = true
+          while (go && i + 4 <= b.length && u8(i) == 0xff) {
+            val marker = u8(i + 1)
+            if (marker == 0xe1) { app1 = i; go = false }
+            else if (marker == 0xd9 || marker == 0xda) go = false // EOI/SOS
+            else {
+              val len = (u8(i + 2) << 8) | u8(i + 3)
+              i += 2 + len
+            }
+          }
+          if (app1 < 0 || app1 + 10 > b.length ||
+              !"Exif".indices.forall(k => b(app1 + 4 + k) == "Exif".charAt(k).toByte))
+            None
+          else {
+            val t0 = app1 + 10 // TIFF header start
+            val big = u8(t0) == 'M'.toInt && u8(t0 + 1) == 'M'.toInt
+            def u16(i2: Int) =
+              if (big) (u8(i2) << 8) | u8(i2 + 1)
+              else (u8(i2 + 1) << 8) | u8(i2)
+            def u32(i2: Int): Long =
+              if (big) ((u8(i2).toLong << 24) | (u8(i2 + 1).toLong << 16) |
+                (u8(i2 + 2).toLong << 8) | u8(i2 + 3).toLong)
+              else ((u8(i2 + 3).toLong << 24) | (u8(i2 + 2).toLong << 16) |
+                (u8(i2 + 1).toLong << 8) | u8(i2).toLong)
+            if (u16(t0 + 2) != 42) None
+            else {
+              val ifd = t0 + u32(t0 + 4).toInt
+              val n = u16(ifd)
+              var make = ""
+              var width = -1L
+              var orient = -1L
+              (0 until n).foreach { e =>
+                val at = ifd + 2 + 12 * e
+                val tagId = u16(at)
+                val typ = u16(at + 2)
+                val cnt = u32(at + 4)
+                tagId match {
+                  case 0x0100 if typ == 4 => width = u32(at + 8)
+                  case 0x0100 if typ == 3 => width = u16(at + 8).toLong
+                  case 0x0112 if typ == 3 => orient = u16(at + 8).toLong
+                  case 0x010f if typ == 2 =>
+                    // ASCII: inline when <= 4 bytes, else offset-stored
+                    val off = if (cnt <= 4) at + 8 else t0 + u32(at + 8).toInt
+                    val strLen = math.max(0, cnt.toInt - 1) // drop NUL
+                    if (off + strLen <= b.length)
+                      make = new String(b, off, strLen, "US-ASCII")
+                  case _ => ()
+                }
+              }
+              Some(ExifMeta(r.id, if (big) "MM" else "II", make, width, orient))
+            }
+          }
+        }
+      }
+    }
+  }
+
   def gifPayload(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
     val hdr = java.nio.ByteBuffer.allocate(10)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

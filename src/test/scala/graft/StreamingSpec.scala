@@ -705,6 +705,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("exif app1: both endians parse, offset ascii, no-app1 drops") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val base = Multimodal.jpegPayload(33, 22, Array[Byte](1, 2, 3))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "jpeg",
+        Multimodal.withExif(base,
+          Multimodal.exifApp1("camA", 33L, 6, bigEndian = false)), 33, 22),
+      Multimodal.MediaRow(2L, "jpeg",
+        Multimodal.withExif(base,
+          Multimodal.exifApp1("b", 700L, 1, bigEndian = true)), 33, 22),
+      Multimodal.MediaRow(3L, "jpeg", base, 33, 22)) // no APP1 → drops
+    val got = Multimodal.exifMeta(rows.toDS()).collect()
+      .map(m => m.id -> ((m.byte_order, m.make, m.exif_width, m.orientation)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == (("II", "camA", 33L, 6L)))
+    assert(got(2L) == (("MM", "b", 700L, 1L)))
+  }
+
   test("hourly gapfill: missing hours get zero rows, forward fill steps") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
