@@ -3917,6 +3917,16 @@ object SparkEntry {
     // train/test split leakage: near-duplicate pairs ACROSS the hash
     // split (the contamination mode a random split creates silently);
     // banding delta(test)×corpus(train), exact-jaccard verified
+    // stable 3-way split (80/10/10): per-(source, split) doc/token
+    // accounting — the dataset-card table every release ships with;
+    // band assignment from the same md5-60bit hash as hashSplit, so
+    // growing the corpus never reassigns an existing row
+    "split_summary" -> ((s, d) =>
+      graft.pipeline.Pipeline.hashSplit3(docs(s, d), col("doc_id"), 80, 10)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(filter(split(lower(col("text")), " "), w => w =!= ""))
+            .cast("long")).as("n_tokens"))),
     "split_leakage" -> ((s, d) => {
       val sp = graft.pipeline.Pipeline.hashSplit(docs(s, d), col("doc_id"), 80)
       graft.dedup.Dedup.minhashLshAgainst(
@@ -6421,6 +6431,18 @@ object SparkEntry {
         |  (count(CASE WHEN df >= 2 THEN 1 END) * 10000 // count(*)) / 10000.0
         |    AS dup_share
         |FROM e JOIN d USING (fp) GROUP BY doc_id""".stripMargin,
+    "split_summary" ->
+      """WITH sp AS (SELECT source, text,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 100 AS h
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+        |    w -> w <> ''))) AS BIGINT) AS n_tokens
+        |FROM sp GROUP BY 1, 2""".stripMargin,
     "split_leakage" ->
       """WITH sp AS (SELECT doc_id, text,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)

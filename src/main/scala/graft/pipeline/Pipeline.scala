@@ -164,6 +164,19 @@ object Pipeline {
       when(pmod(keyHash(key), lit(100L)) < trainPct, lit("train"))
         .otherwise(lit("test")))
 
+  /** Three-way train/val/test assignment from the same stable key hash
+    * (the 80/10/10 convention): percentile bands over md5-60bit mod
+    * 100 — adding data never moves an existing row's split. */
+  def hashSplit3(df: DataFrame, key: Column, trainPct: Int,
+      valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100)
+    val h = pmod(keyHash(key), lit(100L))
+    df.withColumn("split",
+      when(h < trainPct, lit("train"))
+        .when(h < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Token-budget sequence packing: within each group, documents are
     * laid out in `order` and cut into contiguous bins of ~`budget`
     * tokens (bin = floor(preceding-token-count / budget) — fixed-
