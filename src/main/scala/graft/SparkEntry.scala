@@ -3430,6 +3430,16 @@ object SparkEntry {
     // domain link-graph centrality: integer-exact PageRank over the
     // distinct site→domain edge set (graph-sized, never corpus-sized);
     // one URL-extraction scan, one shuffle per iteration
+    // weakly-connected components over the SAME link graph PageRank
+    // ranks (crawl-cluster discovery: isolated site islands vs the
+    // main web component) — the string-keyed min-label propagation,
+    // bounded-round CC on a graph-sized edge table
+    "link_components" -> ((s, d) => {
+      val pairs = graft.graph.LinkGraph.domainEdges(docs(s, d))
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+      graft.dedup.Dedup.connectedComponents(pairs)
+        .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+    }),
     "link_domain_rank" -> ((s, d) =>
       graft.graph.LinkGraph.domainRank(docsUrlGraph(s, d), 4)),
     // C4 URL filter over in-text links: narrow regex map + literal
@@ -7206,6 +7216,19 @@ object SparkEntry {
         |FROM l0 LEFT JOIN r USING (doc_id)""".stripMargin,
     // integer PageRank replayed with mechanically-unrolled iteration
     // CTEs — bit-identical // arithmetic at every step
+    "link_components" ->
+      """WITH RECURSIVE p0 AS (
+        |  SELECT DISTINCT source AS src,
+        |    unnest(list_transform(
+        |      regexp_extract_all(text, 'https?://[a-z0-9.-]+'),
+        |      u -> split_part(u, '//', 2))) AS dst
+        |  FROM documents),
+        |e AS (SELECT src, dst FROM p0 UNION SELECT dst, src FROM p0),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.node)
+        |SELECT node, min(r) AS component FROM reach GROUP BY node""".stripMargin,
     "link_domain_rank" -> linkRankSql(4),
     // C4 URL filter: same scheme+host regex, domain = after the '//'
     "text_url_filter" ->
