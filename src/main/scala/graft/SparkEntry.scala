@@ -3255,6 +3255,11 @@ object SparkEntry {
     // ORACLE-GRADE clustering: integer Lloyd on the 2^16 grid
     // (vec_id-seeded, truncating integer means, exact-integer argmin)
     // — 2 k-means steps replay bit-identically in unrolled SQL CTEs
+    // cluster-quality audit on the exact grid: centroid silhouette
+    // (squared-L2 simplified form) — per-cluster cohesion/separation,
+    // bit-replayable because every distance is an exact q16 integer
+    "embedding_silhouette_exact" -> ((s, d) =>
+      graft.ann.Similarity.silhouetteExact(emb(s, d), 4, 2)),
     "embedding_kmeans_exact" -> ((s, d) =>
       graft.ann.Similarity.kmeansExact(emb(s, d), 4, 2)),
     // SemDeDup with the float-free verdict: cos ≥ 2/5 decided as
@@ -6750,6 +6755,24 @@ object SparkEntry {
         |    j -> w.w[j] * f.x[j])) > 0 THEN 1 ELSE -1 END AS pred,
         |  CAST(f.y AS INT) AS label
         |FROM pf f CROSS JOIN pw6 w""".stripMargin,
+    "embedding_silhouette_exact" ->
+      s"""WITH ${kmeansSqlCtes(4, 2)},
+        |dall AS (SELECT q.vec_id, c.cell,
+        |    list_sum(list_transform(generate_series(1, len(q.qe)),
+        |      i -> (q.qe[i] - c.cent[i]) * (q.qe[i] - c.cent[i]))) AS d,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(generate_series(1, len(q.qe)),
+        |        i -> (q.qe[i] - c.cent[i]) * (q.qe[i] - c.cent[i]))),
+        |      c.cell) AS rn
+        |  FROM kq q CROSS JOIN kc2 c),
+        |ab AS (SELECT a.vec_id, a.cell, a.d AS da, b.d AS db
+        |  FROM dall a JOIN dall b ON a.vec_id = b.vec_id
+        |  WHERE a.rn = 1 AND b.rn = 2),
+        |sil AS (SELECT cell, (db - da) * 10000 // greatest(db, 1) AS s FROM ab)
+        |SELECT cell AS cluster, count(*) AS n_vectors,
+        |  CAST(SUM(s) // count(*) AS BIGINT) AS mean_s_e4,
+        |  CAST(SUM(s) // count(*) AS BIGINT) / 10000.0 AS mean_silhouette
+        |FROM sil GROUP BY 1""".stripMargin,
     "embedding_kmeans_exact" ->
       s"""WITH ${kmeansSqlCtes(4, 2)},
         |${kmeansFinalAssignCte(2)}

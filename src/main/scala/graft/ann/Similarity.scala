@@ -732,6 +732,41 @@ object Similarity {
       best.getField("d").cast("long").as("d2"))
   }
 
+  /** Centroid silhouette on the exact-integer grid — the cluster-
+    * QUALITY audit beside [[kmeansExact]] (the simplified/centroid
+    * silhouette every clustering dashboard reports, on SQUARED L2):
+    * per vector, a = distance² to the nearest centroid (its
+    * assignment), b = distance² to the second-nearest; s = (b−a)/b on
+    * the 1e-4 grid by one integral division. All distances are exact
+    * ≤2^53 integers on the 2^16 grid (the kmeansExact arithmetic), so
+    * the per-cluster means replay bit-identically in SQL. One narrow
+    * scoring pass against literal centroids + a cluster-sized agg. */
+  def silhouetteExact(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    import graft.functions.VectorExpressions.{vec_q16, vec_dot_int}
+    import graft.text.TextAnalysis.intDiv
+    val q = emb.select(col("vec_id"), vec_q16(col("embedding")).as("qe"))
+      .localCheckpoint(eager = false)
+    val cents = kmeansExactCentroidsQ(q, k, iters)
+    val qq = vec_dot_int(col("qe"), col("qe")).cast("long")
+    val dists = array(cents.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(v => v.toLong * v).sum
+      struct((qq - lit(2L) * vec_dot_int(col("qe"), lit(c)).cast("long")
+        + lit(cc)).as("d"), lit(i).as("cell"))
+    }: _*)
+    val sorted = array_sort(dists)
+    val own = element_at(sorted, 1)
+    val second = element_at(sorted, 2)
+    q.select(own.getField("cell").as("cluster"),
+        own.getField("d").as("__a"), second.getField("d").as("__b"))
+      .select(col("cluster"),
+        intDiv((col("__b") - col("__a")) * lit(10000L),
+          greatest(col("__b"), lit(1L))).as("__s"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        intDiv(sum(col("__s")), count(lit(1))).as("mean_s_e4"))
+      .withColumn("mean_silhouette", col("mean_s_e4") / lit(10000.0))
+  }
+
   /** SemDeDup with an EXACT integer threshold verdict: within-cluster
     * pairs (clusters from [[kmeansExactCentroids]]) flagged when
     * cos ≥ θn/θd — decided WITHOUT floats as
