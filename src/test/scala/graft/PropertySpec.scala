@@ -657,6 +657,42 @@ class PropertySpec extends SparkSpec {
       s"diff: ${(got.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- got.toSet).take(3)}")
   }
 
+  test("exact silhouette matches a pure-driver reference per cluster") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val (k, iters) = (4, 2)
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray
+        .map(x => math.floor(x.toDouble * 65536.0).toLong)))
+      .sortBy(_._1)
+    var cents: Array[Array[Long]] = vecs.take(k).map(_._2.map(identity))
+    def d2(x: Array[Long], c: Array[Long]): Long =
+      x.indices.map(i => (x(i) - c(i)) * (x(i) - c(i))).sum
+    def assign(x: Array[Long]): Int =
+      cents.zipWithIndex.map { case (c, i) => (d2(x, c), i) }.min._2
+    (1 to iters).foreach { _ =>
+      val groups = vecs.groupBy(v => assign(v._2))
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        groups.get(ci) match {
+          case Some(g) =>
+            old.indices.map(d => g.map(_._2(d)).sum / g.length).toArray
+          case None => old
+        }
+      }
+    }
+    val per = vecs.map { case (_, x) =>
+      val ds = cents.zipWithIndex.map { case (c, i) => (d2(x, c), i) }.sorted
+      val (a, cl) = ds(0)
+      val b = ds(1)._1
+      (cl, (b - a) * 10000L / math.max(b, 1L))
+    }
+    val expect = per.groupBy(_._1).map { case (cl, ss) =>
+      cl -> ((ss.length.toLong, ss.map(_._2).sum / ss.length)) }
+    val got = graft.ann.Similarity.silhouetteExact(emb, k, iters)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
   test("exact semdedup verdict equals the rational cosine threshold (BigInt check)") {
     import org.apache.spark.sql.functions._
     val emb = graft.engine.Tables.embeddings(spark, sf)
