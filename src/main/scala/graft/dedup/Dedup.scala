@@ -508,17 +508,19 @@ object Dedup {
     * duplicate CLUSTER keeps one document, which pairwise output alone
     * can't express (A~B, B~C but A≁C must still collapse to one doc).
     *
-    * Iterative min-label propagation: every round each node adopts the
-    * smallest label in its 1-hop neighborhood; rounds = one join + one
-    * groupBy shuffle, state = one (node, label) row per node. Convergence
-    * is O(component diameter) rounds — near-dup components are banding
-    * cliques and short chains (diameter ≲ 4), so 2–4 rounds in practice;
-    * `maxIters` caps adversarial chain graphs (the O(log n) small-star/
-    * large-star variant is the escalation path if a corpus ever produces
-    * deep chains). Each round ends in an eager `localCheckpoint`: it cuts
-    * the lineage (no exponential re-execution of prior rounds) and
-    * materializes the loop state off-heap, which is exactly Pregel's
-    * per-superstep contract.
+    * Iterative min-label propagation WITH pointer halving: every round
+    * each node first adopts the smallest label in its 1-hop neighborhood
+    * (one join + one groupBy shuffle), then jumps through its own label
+    * (label := labelOf(label), one node-sized self-join) — the classic
+    * path-halving step, so the label-chain length roughly doubles per
+    * round and convergence is O(log diameter) rounds instead of
+    * O(diameter). Near-dup components are banding cliques and short
+    * chains (2–3 rounds in practice), but link graphs (site→domain
+    * chains) can carry long paths, and a silent round cap there would
+    * return WRONG labels without saying so. `maxIters` therefore covers
+    * diameters up to ~2^maxIters, and exhausting it THROWS rather than
+    * returning non-converged labels — a dedup decision or a component
+    * census built on partial labels is corrupt, not approximate.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     // both edge directions from ONE scan of the pair pipeline (a union of
@@ -544,30 +546,56 @@ object Dedup {
       .localCheckpoint()
     var round = 1
     var converged = false
-    var prev: DataFrame = null
-    while (!converged && round < maxIters) {
+    // prior-round checkpoint RDDs become unreferenced as `labels` moves
+    // on; the ContextCleaner reclaims them (state kept live is O(nodes))
+    while (!converged && round <= maxIters) {
       val nbrMin = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_min"))
-      // persist + full convergence count = ONE job per round (the count
-      // scans every partition, so it also fully populates the cache the
-      // next round reads); an eager localCheckpoint would make it two.
-      // Lineage still ends at the previous round's InMemoryRelation, so
-      // plans grow by one join per round, not exponentially.
-      val next = labels
+      // step 1 — neighbor min. Persisted because the halving self-join
+      // below reads it on both sides; without the persist the nbrMin
+      // shuffle would execute twice per round.
+      val stepped = labels
         .join(nbrMin, labels("node") === nbrMin("src"), "left")
         .select(labels("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          (coalesce(col("nbr_min"), col("label")) < col("label")).as("__chg"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("l1"),
+          col("label").as("l0"))
         .persist()
+      // step 2 — pointer halving: label := min(label, labelOf(label)).
+      // Labels are always node ids inside the same component (they start
+      // as neighbors and only move through other labels), so the lookup
+      // side is just `stepped` re-keyed by node; a label that resolves to
+      // the component minimum short-circuits the rest of the chain, which
+      // is what turns O(diameter) propagation into O(log diameter).
+      val lab1 = stepped.select(col("node").as("pn"), col("l1").as("pl"))
+      val next = stepped
+        .join(lab1, stepped("l1") === lab1("pn"), "left")
+        .select(stepped("node"),
+          least(col("l1"), coalesce(col("pl"), col("l1"))).as("label"),
+          (least(col("l1"), coalesce(col("pl"), col("l1"))) < col("l0")).as("__chg"))
+        // EAGER checkpoint, not persist: the halving join references
+        // `stepped` on BOTH sides, so without truncating the lineage the
+        // logical plan doubles every round — exponential plan growth that
+        // OOMs the driver around round 9 even though execution is cached.
+        // The checkpoint caps every round's plan at one join over two
+        // leaf scans; its materialization job + the convergence count are
+        // the round's two node-sized jobs.
+        .localCheckpoint()
       converged = next.filter(col("__chg")).count() == 0L
-      if (prev != null) prev.unpersist() // round state is O(nodes); keep ≤2 live
-      prev = next
+      stepped.unpersist()
       labels = next.drop("__chg")
       round += 1
     }
     edges.unpersist()
+    // refuse to hand back partial labels: every caller treats the map as
+    // a dedup/census DECISION, and a silently non-converged map is wrong
+    // data, not a slower answer (the repo-wide no-silent-caps rule). With
+    // halving this fires only past diameter ~2^maxIters.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds " +
+          "(component diameter ~2^" + maxIters + "); raise maxIters")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -41,15 +41,38 @@ object Layout {
     * disk or the write dies with LOCATION_ALREADY_EXISTS). */
   def recreateBucketed(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
+    // the name is both interpolated into SQL and turned into a filesystem
+    // path for a recursive delete — restrict it to a plain unqualified
+    // identifier before doing either
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"recreateBucketed needs a plain table identifier, got '$table'")
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+      .getCanonicalFile
+    // resolve the managed location from the catalog while the entry still
+    // exists (Spark lowercases the identifier for the directory, so a
+    // name-derived path would miss a mixed-case table); fall back to the
+    // lowercased name for the stale-location case where the in-memory
+    // catalog has no entry but a previous session's directory survives
+    val catalogLoc: Option[java.io.File] =
+      if (spark.catalog.tableExists(table))
+        spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+          .find(_.getString(0) == "Location")
+          .map(r => new java.io.File(
+            new java.io.File(r.getString(1).stripPrefix("file:")).getPath))
+      else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val loc = new java.io.File(wh, table)
+    val loc = catalogLoc.getOrElse(
+      new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT)))
+      .getCanonicalFile
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
       f.delete(); ()
     }
-    if (loc.exists) rm(loc)
+    // recursive deletes stay strictly under the warehouse — an external
+    // or oddly-resolved location is a caller error, not something to rm
+    if (loc.getPath.startsWith(wh.getPath + java.io.File.separator) &&
+        loc.exists) rm(loc)
     writeBucketed(df, table, keys, buckets)
   }
 

@@ -1043,7 +1043,10 @@ object JsProgram {
       * are JS undefined → null, extras ignored. */
     def callValue(f: Any, args: Array[Any], depth: Int): Any = f match {
       case jf: JsFunc => callFn(jf.fnIx, args, depth + 1, jf.env)
-      case null => null
+      // calling null/undefined (a typo'd property, a missing callback) is
+      // a TypeError, not a silent undefined — GraalVM throws "x is not a
+      // function" here, and masking it as null hides gesture bugs
+      case null => sys.error("null is not a function")
       case other => sys.error(s"$other is not a function")
     }
 

@@ -260,18 +260,25 @@ object Multimodal {
         def u8(i: Int) = b(i) & 0xff
         if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) None
         else {
-          // segment walk: FF marker len(2, includes itself)
+          // segment walk: FF marker len(2, includes itself). Two marker
+          // classes carry NO length field and must not have their next
+          // two bytes misread as one: 0xFF fill bytes (any number of
+          // padding FFs may precede a marker byte, ITU T.81 §B.1.1.2)
+          // and the standalone markers TEM (0x01) / RST0-7 (0xD0-D7)
           var i = 2
           var app1 = -1
           var go = true
-          while (go && i + 4 <= b.length && u8(i) == 0xff) {
+          while (go && i + 2 <= b.length && u8(i) == 0xff) {
             val marker = u8(i + 1)
-            if (marker == 0xe1) { app1 = i; go = false }
+            if (marker == 0xff) i += 1 // fill byte: next byte may be the marker
+            else if (marker == 0xe1) { app1 = i; go = false }
             else if (marker == 0xd9 || marker == 0xda) go = false // EOI/SOS
-            else {
+            else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7))
+              i += 2 // standalone: no length field follows
+            else if (i + 4 <= b.length) {
               val len = (u8(i + 2) << 8) | u8(i + 3)
               i += 2 + len
-            }
+            } else go = false // truncated length-bearing segment
           }
           if (app1 < 0 || app1 + 10 > b.length ||
               !"Exif".indices.forall(k => b(app1 + 4 + k) == "Exif".charAt(k).toByte))

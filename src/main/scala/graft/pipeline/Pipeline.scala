@@ -767,25 +767,53 @@ object Pipeline {
     * data). */
   private def doremiSteps(perSrc: DataFrame, iters: Int,
       eta4: Long): DataFrame = {
-    require(iters >= 1 && eta4 > 0)
+    // multiplicative weights grow by up to (1 + eta4·excess/1e8) PER
+    // iteration — unbounded in Long for caller-supplied iters/eta4, and a
+    // Long overflow is silent in Spark while DuckDB BIGINT errors (a
+    // bit-parity break). Weights therefore live in decimal(38,0) (the
+    // semdedup-verdict posture); past 10^38 the product nulls out and the
+    // explicit guard below turns that into an error, never a wrong number.
+    require(iters >= 1 && iters <= 64 && eta4 > 0 && eta4 <= 1000000000L,
+      s"doremiSteps: iters=$iters eta4=$eta4 out of range")
     import graft.text.TextAnalysis.intDiv
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // exact integral division for non-negative decimals: decimal `/`
+    // rounds to a fixed scale (floor of the rounded quotient can be off
+    // by one), but (a - a mod b) is exactly divisible so the quotient is
+    // a representable integer — bit-exact at any magnitude ≤10^32
+    def decDiv(a: Column, b: Column): Column =
+      dec((a - pmod(a, b)) / b)
     val w = org.apache.spark.sql.expressions.Window
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val withExcess = perSrc
       .withColumn("excess_e4", col("loss_e4") - min(col("loss_e4")).over(w))
     val afterSteps = (1 to iters).foldLeft(
-        withExcess.withColumn("weight", lit(1000000L))) { (acc, _) =>
+        withExcess.withColumn("weight", dec(lit(1000000L)))) { (acc, _) =>
       acc.withColumn("weight",
-        intDiv(col("weight") *
-          (lit(10000L) + intDiv(lit(eta4) * col("excess_e4"), lit(10000L))),
-          lit(10000L)))
+        decDiv(col("weight") *
+          dec(lit(10000L) + intDiv(lit(eta4) * col("excess_e4"), lit(10000L))),
+          dec(lit(10000L))))
     }
     afterSteps
+      // inputs are never null, so a null weight is exactly the decimal
+      // overflow — surface it instead of propagating nulls into shares
+      .withColumn("weight",
+        when(col("weight").isNull,
+          raise_error(lit("doremiSteps: weight overflowed decimal(38,0)")))
+          .otherwise(col("weight")))
       .withColumn("share_ppm",
-        intDiv(col("weight") * lit(1000000L), sum(col("weight")).over(w)))
+        decDiv(col("weight") * dec(lit(1000000L)), sum(col("weight")).over(w))
+          .cast("long"))
       .select(col("source"), col("loss_e4"), col("excess_e4"),
-        col("weight"), col("share_ppm"),
+        // the emitted weight keeps its historical BIGINT shape (oracle
+        // parity); values past Long range already errored above the
+        // moment they exceeded decimal(38,0), and this cast re-checks
+        // the Long boundary explicitly
+        when(col("weight") > dec(lit(Long.MaxValue)),
+          raise_error(lit("doremiSteps: weight exceeds BIGINT range")))
+          .otherwise(col("weight")).cast("long").as("weight"),
+        col("share_ppm"),
         (col("share_ppm") / lit(1000000.0)).as("mix_share"))
   }
 }

@@ -72,6 +72,27 @@ class PipelineSpec extends SparkSpec {
     assert(cc.toSeq == Seq(0L))
   }
 
+  test("connected components: pointer halving converges a 300-diameter path " +
+      "inside the default round budget (plain propagation would need 300)") {
+    // a 301-node path — the site→domain chain shape the r13 advice flagged:
+    // with O(diameter) propagation this needs 300 rounds and the old
+    // maxIters=25 cap would have SILENTLY returned partial labels; with
+    // label := labelOf(label) halving it converges in ~9 rounds
+    val pairs = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+    assert(cc.length == 301 && cc.forall(_.getLong(1) == 0L))
+  }
+
+  test("connected components THROW instead of returning non-converged labels") {
+    // diameter 40 cannot finish in 2 halving rounds; partial labels are
+    // wrong dedup decisions, so exhausting maxIters must be an error
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("survivors keep one doc per cluster plus all untouched docs") {
     val d = docsDF(Seq("a", "b", "c", "d", "e")) // ids 0..4
     val pairs = Seq((0L, 2L), (2L, 4L)).toDF("id_a", "id_b")

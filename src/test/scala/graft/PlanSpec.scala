@@ -530,7 +530,7 @@ class PlanSpec extends SparkSpec {
     import spark.implicits._
     val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
       .repartition(4)
-    val cc = graft.dedup.Dedup.connectedComponents(pairs, maxIters = 3)
+    val cc = graft.dedup.Dedup.connectedComponents(pairs, maxIters = 12)
     // rounds shuffle on node keys at the session's shuffle parallelism;
     // AQE may coalesce tiny test data, but nothing may DEMAND one
     // partition (that would serialize the corpus-scale label state)

@@ -725,6 +725,30 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) == (("MM", "b", 700L, 1L)))
   }
 
+  test("exif app1: fill bytes and standalone markers before APP1 still parse") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val base = Multimodal.jpegPayload(33, 22, Array[Byte](1, 2, 3))
+    val app1 = Multimodal.exifApp1("camA", 33L, 6, bigEndian = false)
+    // real-world header prefixes the old walk misparsed: 0xFF fill
+    // padding (no length field) and standalone TEM/RST markers (ditto) —
+    // each would have had its next two bytes read as a segment length,
+    // skipping right past the APP1
+    def splice(prefix: Array[Byte]): Array[Byte] =
+      base.take(2) ++ prefix ++ app1 ++ base.drop(2)
+    val rows = Seq(
+      // two fill bytes, then APP1's own 0xFF
+      Multimodal.MediaRow(1L, "jpeg",
+        splice(Array(0xff.toByte, 0xff.toByte)), 33, 22),
+      // TEM (standalone) then RST3 (standalone) then APP1
+      Multimodal.MediaRow(2L, "jpeg",
+        splice(Array(0xff.toByte, 0x01.toByte, 0xff.toByte, 0xd3.toByte)),
+        33, 22))
+    val got = Multimodal.exifMeta(rows.toDS()).collect()
+      .map(m => m.id -> ((m.byte_order, m.make, m.exif_width))).toMap
+    assert(got == Map(1L -> (("II", "camA", 33L)), 2L -> (("II", "camA", 33L))))
+  }
+
   test("hourly gapfill: missing hours get zero rows, forward fill steps") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
