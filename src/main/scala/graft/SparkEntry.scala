@@ -2990,13 +2990,17 @@ object SparkEntry {
     // narrow keys over-collide at larger corpora
     "dedup_simhash" -> ((s, d) => graft.dedup.SimHash.nearDupPairs(docs(s, d), 8)),
     // pairs → connected components → one kept doc per cluster: the
-    // decision layer of dedup (min-label propagation, O(diameter) rounds)
+    // decision layer of dedup. The whole family (cluster census, survivor
+    // election, quality election) reads ONE stored cluster-map artifact —
+    // MinHash banding + label propagation mine once per input, every
+    // decision query after that is a parquet read of the map (the r13
+    // verdict's storable-model ask; at 100 TB re-mining per consumer is
+    // absurd)
     "dedup_clusters" -> ((s, d) =>
-      graft.dedup.Dedup.connectedComponents(
-        graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5))),
+      graft.dedup.Dedup.clusterMapArtifact(docs(s, d), d)),
     "dedup_survivors" -> ((s, d) =>
-      graft.dedup.Dedup.survivors(docs(s, d),
-        graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5))
+      graft.dedup.Dedup.survivorsFromClusters(docs(s, d),
+        graft.dedup.Dedup.clusterMapArtifact(docs(s, d), d))
         .select(col("doc_id"))),
     // containment (asymmetric Jaccard): the excerpt/quote-inclusion
     // dedup symmetric near-dup misses — θ=0.9 on either direction
@@ -3009,10 +3013,9 @@ object SparkEntry {
       // the election only reads scores of CLUSTER MEMBERS (the inner
       // join in survivorsByQuality drops everything else), so the
       // quality pass runs over the semi-joined member set — cluster-
-      // map-sized, not corpus-sized — instead of scoring every doc
-      val cl = graft.dedup.Dedup.connectedComponents(
-        graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5))
-        .localCheckpoint(eager = false)
+      // map-sized, not corpus-sized — and the cluster map itself comes
+      // from the shared stored artifact, not a fresh mining pass
+      val cl = graft.dedup.Dedup.clusterMapArtifact(docs(s, d), d)
       graft.dedup.Dedup.survivorsByQuality(cl,
         graft.text.TextAnalysis.qualityGridScore(docs(s, d)
           .join(cl.select(col("doc_id")), Seq("doc_id"), "left_semi")))

@@ -625,4 +625,71 @@ object Dedup {
       .select(col("doc_id"))
     docs.join(dupes, Seq("doc_id"), "left_anti")
   }
+
+  /** [[survivors]] against an already-materialized cluster map (see
+    * [[clusterMapArtifact]]) — the decision layer without re-mining. */
+  def survivorsFromClusters(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("cluster_id") =!= col("doc_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+  /** The MinHash+CC cluster map as a WRITE-ONCE ARTIFACT: mine pairs →
+    * connected components exactly once per (input, params), persist the
+    * (doc_id, cluster_id) map to scratch parquet, and serve every
+    * downstream decision query (cluster census, survivor election,
+    * quality-ranked election) from the stored map. This is the zone-map/
+    * manifest posture and the only sane 100 TB shape — the cluster map is
+    * a MODEL of the corpus; re-running LSH banding + label propagation
+    * per downstream consumer multiplies the most expensive mining subtree
+    * in the whole dedup family by the number of consumers.
+    *
+    * Freshness: the artifact carries a fingerprint of the input table's
+    * file listing (name, length, mtime), the mining parameters, and the
+    * engine build (this class file's timestamp — a recompile conservatively
+    * re-mines, so a changed mining algorithm can never serve a stale map).
+    * Mismatch ⇒ rebuild; match ⇒ one parquet read, no mining at all.
+    */
+  def clusterMapArtifact(docs: DataFrame, inputDir: String, n: Int = 3,
+      k: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val params = s"n$n-k$k-b$bands-t$threshold"
+    val dir = graft.sources.Sources.rtDir("cluster_map_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(inputDir + "|" + params).toLong & 0xffffffffL))
+    val data = java.nio.file.Paths.get(dir, "map.parquet").toString
+    this.synchronized {
+      // freshness re-checked on every call (a file stat + tiny md5 —
+      // nanoseconds against any query): an input mutated even mid-session
+      // re-mines instead of serving the stale map
+      val fp = inputFingerprint(inputDir, params)
+      val marker = java.nio.file.Paths.get(dir, "_FINGERPRINT")
+      val fresh = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
+      if (!fresh) {
+        connectedComponents(minhashLshPairs(docs, n, k, bands, threshold))
+          .write.mode("overwrite").parquet(data)
+        java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+      }
+    }
+    spark.read.parquet(data)
+  }
+
+  /** Input identity for [[clusterMapArtifact]]: the documents table's
+    * file listing + params + the engine build stamp. */
+  private def inputFingerprint(inputDir: String, params: String): String = {
+    val table = new java.io.File(inputDir, "documents.parquet")
+    val files =
+      if (table.isDirectory)
+        Option(table.listFiles).toSeq.flatten.sortBy(_.getName)
+      else Seq(table)
+    val build = try {
+      val src = getClass.getProtectionDomain.getCodeSource
+      if (src != null) new java.io.File(src.getLocation.toURI).lastModified
+      else 0L
+    } catch { case _: Exception => 0L }
+    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(s"$params|$build|", ",", "")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 }

@@ -83,6 +83,42 @@ class PipelineSpec extends SparkSpec {
     assert(cc.length == 301 && cc.forall(_.getLong(1) == 0L))
   }
 
+  test("cluster-map artifact: mines once, serves reads, re-mines on stale input") {
+    import java.nio.file.{Files, Paths}
+    val inDir = Files.createTempDirectory("graft_cmap_in").toString
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nd = (1 to 38).map(i => s"w$i").mkString(" ") + " q1 q2"
+    val far = (200 to 240).map(i => s"u$i").mkString(" ")
+    docsDF(Seq(base, nd, far)).write.parquet(s"$inDir/documents.parquet")
+    val d = spark.read.parquet(s"$inDir/documents.parquet")
+    def mapFiles(): Set[(String, Long)] = {
+      val dir = new java.io.File(graft.sources.Sources.rtDir("cluster_map_" +
+        java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+          .stringHash(inDir + "|n3-k16-b8-t0.5").toLong & 0xffffffffL)),
+        "map.parquet")
+      Option(dir.listFiles).toSeq.flatten.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSet
+    }
+    // 1 — content identical to the direct mining path
+    val art = Dedup.clusterMapArtifact(d, inDir, 3, 16, 8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(d, 3, 16, 8, 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(art == direct && art.nonEmpty)
+    // 2 — a second call serves the STORED map: no rewrite, same files
+    val before = mapFiles()
+    assert(before.nonEmpty)
+    Dedup.clusterMapArtifact(d, inDir, 3, 16, 8, 0.5).count()
+    assert(mapFiles() == before)
+    // 3 — mutated input (new mtime) invalidates the fingerprint: the next
+    // call re-mines (overwrite writes fresh part files)
+    Option(new java.io.File(s"$inDir/documents.parquet").listFiles).toSeq
+      .flatten.foreach(f => assert(f.setLastModified(f.lastModified + 5000)))
+    Dedup.clusterMapArtifact(d, inDir, 3, 16, 8, 0.5).count()
+    assert(mapFiles() != before)
+  }
+
   test("connected components THROW instead of returning non-converged labels") {
     // diameter 40 cannot finish in 2 halving rounds; partial labels are
     // wrong dedup decisions, so exhausting maxIters must be an error
