@@ -3039,11 +3039,15 @@ object SparkEntry {
         nEstimate = embCount(s, d) * 26L / 25L,
         targetBucket = 16L, maxBucket = 0)),
     // the θ=0.4 low-threshold form kept as the declared STRESS entry:
-    // verify volume at θ=0.4 is intrinsically ~10× the θ=0.7 volume
-    // (r6-adjudicated); regressions judge against this name, envelopes
-    // against the headline above
+    // unique candidates at θ=0.4 approach ALL-PAIRS (measured 78% of
+    // n²/2 at sf0.1 — hyperplane bits barely separate cos 0.4 from
+    // random, so recall ≥0.993 forces near-total collision), which makes
+    // the dense-candidate carryVectors shape the right plan: verify
+    // fused into the band self-join, distinct only on survivors
+    // (r6-adjudication closed in r14 — 2.5 s → ~1.3 s, same pair set)
     "dedup_embedding_lsh_stress" -> ((s, d) =>
-      graft.ann.Similarity.nearDupPairsLsh(emb(s, d), 0.4)),
+      graft.ann.Similarity.nearDupPairsLsh(emb(s, d), 0.4,
+        carryVectors = true)),
     // ── corpus hygiene ─────────────────────────────────────────────────
     // benchmark decontamination: training docs sharing any 3-gram with a
     // held-out eval slice (deterministic doc_id-mod split so the oracle

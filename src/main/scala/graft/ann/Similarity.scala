@@ -913,10 +913,25 @@ object Similarity {
     * corpus grows) and bands from [[autoBands]] (recall re-pinned at
     * ≥0.993 for pairs at `threshold`). Explicit values override both —
     * the sf0.01 auto choice (7/125) ≈ the old fixed defaults (7/128).
+    *
+    * `carryVectors` picks the physical shape of the verify stage.
+    * Default (false): band on ids only, dedup candidate pairs, fetch
+    * vectors with two joins — right when true near-dups dominate the
+    * candidate stream (high θ), because each real pair collides in
+    * O(bands) tables and the distinct collapses that multiplicity before
+    * any vector bytes move. True: the band shuffle carries the vectors
+    * and the exact cosine evaluates INSIDE the self-join projection, with
+    * the distinct deferred to the (tiny) surviving pair set — right in
+    * the low-θ/dense-candidate regime, where unique candidates approach
+    * all-pairs (measured θ=0.4 multiplicity 2.1: the pair-distinct
+    * shuffle plus two pair-sized fetch joins move far more bytes than
+    * banding × dim ever does). Same pair set either way — only the plan
+    * changes (A/B at sf0.1 θ=0.4: 2.7 s → 1.3–1.8 s).
     */
   def nearDupPairsLsh(emb0: DataFrame, threshold: Double, dim: Int = 64,
       planes: Int = 0, bands: Int = 0, nEstimate: Long = 0L,
-      maxBucket: Int = 10000, targetBucket: Long = 64L): DataFrame = {
+      maxBucket: Int = 10000, targetBucket: Long = 64L,
+      carryVectors: Boolean = false): DataFrame = {
     // nEstimate > 0 sizes the auto-tuning without the eager count() job
     val np = if (planes > 0) planes
       else autoPlanes(if (nEstimate > 0) nEstimate else emb0.count(), targetBucket)
@@ -925,6 +940,31 @@ object Similarity {
     // the verify side feeds a hash-relation build, so it reads the scan
     // directly — two fewer round-robin exchanges
     val emb = graft.engine.Layout.ensureParallelism(emb0)
+    if (carryVectors) {
+      // dense-candidate shape: vectors ride the band shuffle, the exact
+      // cosine runs inside the self-join's codegen projection (the 3.3M
+      // candidate rows never materialize), and the only pair-keyed
+      // shuffle left is the distinct over ACCEPTED pairs
+      val banded = emb.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nm"),
+        posexplode(graft.functions.VectorExpressions.band_keys(
+          col("embedding"), dim, np, nb)).as(Seq("band", "bucket")))
+      val kept = if (maxBucket <= 0) banded else {
+        val hot = banded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__c")).filter(col("__c") > maxBucket)
+          .select(col("band"), col("bucket"))
+        banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      }
+      return kept.hint("shuffle_merge").as("a")
+        .join(kept.hint("shuffle_merge").as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(cosinePre(col("a.embedding"), col("b.embedding"),
+            col("a.nm"), col("b.nm")), 4).as("cos"))
+        .filter(col("cos") >= threshold)
+        .distinct()
+    }
     val withNorm = emb0.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nm"))
     // no checkpoint: the hot-list count and both self-join sides are

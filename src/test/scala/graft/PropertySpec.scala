@@ -718,7 +718,10 @@ class PropertySpec extends SparkSpec {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val exact = graft.ann.Similarity.nearDupPairs(emb, 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = graft.ann.Similarity.nearDupPairsLsh(emb, 0.4)
+    // carryVectors = the declared stress shape (verify fused into the
+    // band self-join — the dense-candidate plan at low θ)
+    val lsh = graft.ann.Similarity
+      .nearDupPairsLsh(emb, 0.4, carryVectors = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // precision is exact by construction (cosine verify); recall is the
     // banding guarantee: 1-(1-(1-θ/π)^4)^32 ≥ 0.996 at cos = 0.4
@@ -727,6 +730,12 @@ class PropertySpec extends SparkSpec {
       val recall = (lsh & exact).size.toDouble / exact.size
       assert(recall >= 0.95, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
     }
+    // the two physical shapes are the same OPERATOR: identical pair set
+    // (same planes/bands/hot-cut/verify — only the plan differs)
+    val lshDefault = graft.ann.Similarity.nearDupPairsLsh(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == lshDefault,
+      s"carryVectors changed the pair set: only-carry=${(lsh -- lshDefault).take(3)} only-default=${(lshDefault -- lsh).take(3)}")
   }
 
   test("embedding LSH headline θ=0.7: planted near-dups found, recall >= 0.95") {
