@@ -65,12 +65,22 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> ((times.min, times.max))
     }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v._1) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // per-query run spread (max/min across this session's runs) next to
+    // the min map: every map this round disagreed 1.3-2x on the tail
+    // purely from host noise, so the artifact itself now carries the
+    // evidence of how (un)stable each number was — a consumer can tell
+    // "this 2.1 swung 1.9-3.8 across runs" from the line alone, no
+    // second session needed. Separate top-level field so the `queries`
+    // name->seconds contract is untouched.
+    val spreads = results.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(if (v._1 > 0) v._2 / v._1 else 1.0)
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // ann_pq_build phase attribution (train vs encode) from the build's
     // driver-side receipt — a separate top-level field, NOT a queries
     // entry (its two phases are already inside ann_pq_build's total).
@@ -108,7 +118,7 @@ object Bench {
       round.map(r => s"bench_out_r$r.json") else None
     val mapField = benchMap.map(f => s""","bench_map":"$f"""").getOrElse("")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$buildSplit$mapField}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"sf":"$sfDir"$buildSplit$mapField}"""
     spark.stop()
     // The full per-query line is >2 KB (150+ queries), so a 2000-char
     // stdout tail cannot hold it whole. Survival strategy:
