@@ -3285,8 +3285,15 @@ object SparkEntry {
     // them — ONE corpus scan scores both roles
     "ann_triplets" -> ((s, d) =>
       graft.ann.Similarity.triplets(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
+    // planes PINNED (not self-tuned) so the whole single-table LSH serve
+    // is value-replayable: the hyperplane family is a pure md5 function,
+    // FloatVecDot accumulates float products in ascending-index double
+    // adds, and the oracle unrolls the identical 4×64 projection with
+    // exact double literals — bucket membership, candidates, ranking all
+    // ORACLED (r13 ask #5; production callers keep the autoPlanes form)
     "ann_lsh_topk" -> ((s, d) =>
-      graft.ann.Similarity.lshTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
+      graft.ann.Similarity.lshTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
+        planes = 4)),
     "ann_ivf_topk" -> ((s, d) =>
       graft.ann.Similarity.ivfTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     // one-time PQ/IVF-PQ index BUILD (train centroids + codebooks,
@@ -4546,11 +4553,17 @@ object SparkEntry {
       Histograms.histogramWithSingleton(prt(s, d),
         Histograms.numericBucket(col("p_retailprice"), 900.0, 2000.0, 40),
         col("p_partkey"))),
-    // SampleCorrelationSketch: correlation matrix over a seeded sample
-    // (rows-only gate; the exact form corr_matrix is the oracle twin)
+    // SampleCorrelationSketch: correlation matrix over a 20% sample.
+    // The sample is md5-hash MEMBERSHIP (the sample_rows_hash pattern),
+    // not an engine RNG: the sampled row set is a pure function of the
+    // keys, so the sampled correlation replays bit-stable in SQL and the
+    // query is fully ORACLED (r13 verdict ask #5) — and at corpus scale
+    // a hash sample is the reproducible/resumable choice anyway (rerun,
+    // different partitioning, different engine: same sample).
     "sample_corr" -> ((s, d) =>
       Stats.correlationMatrix(
-        li(s, d).sample(withReplacement = false, 0.2, 42L),
+        graft.pipeline.Pipeline.hashSample(li(s, d),
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")), 2000),
         Seq("l_discount", "l_extendedprice", "l_quantity"))),
     // SampleDistinctRowsSketch: uniform sample of distinct rows plus the
     // min/max row under the order (rows-only; sampled)
@@ -4922,6 +4935,45 @@ object SparkEntry {
        |  WHEN notdbl = 0 THEN 'Double'
        |  WHEN least(nd0, nd1, nd2, nd3, nd4) = 0 THEN 'Date'
        |  ELSE 'String' END AS kind FROM k""".stripMargin
+  }
+
+  /** Generated oracle for ann_lsh_topk: the declared query pins planes=4
+    * (seed 0, dim 64), so the hyperplane family is a FIXED md5 function
+    * and the whole serve replays in SQL. Each plane's projection unrolls
+    * to the identical computation FloatVecDot runs — CAST(f AS DOUBLE) *
+    * exact-double-coefficient products summed left-assoc in ascending
+    * index order (float×float→double is exact; the adds round the same
+    * way in both engines) — and the bucket is the same strict dot>0 sign
+    * word. Candidates (bucket equality), exclusion, cosine ranking and
+    * tie-break then follow the ann_topk oracle pattern verbatim.
+    */
+  private def annLshTopkOracleSql: String = {
+    def coefLit(p: Int, d: Int): String = {
+      // identical derivation to Similarity.lshBucket's coef (seed 0)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8"))
+      val x = java.nio.ByteBuffer.wrap(md).getInt(0)
+      val f = x.toFloat / Int.MaxValue.toFloat
+      // exact decimal expansion of the float's double value — parses back
+      // to the bit-identical double in any engine
+      "(" + new java.math.BigDecimal(f.toDouble).toPlainString + ")"
+    }
+    def dotSql(p: Int): String =
+      (0 until 64).map(d =>
+        s"CAST(embedding[${d + 1}] AS DOUBLE) * ${coefLit(p, d)}")
+        .mkString(" + ")
+    val bucketSql = (0 until 4).map(p =>
+      s"(CASE WHEN ${dotSql(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"""WITH bkt AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS INT) AS rank
+       |  FROM bkt a JOIN bkt b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -5870,6 +5922,33 @@ object SparkEntry {
       """WITH c AS (SELECT CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS d,
         |  CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS e,
         |  CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS q FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(d AS DECIMAL(20,0))) AS DOUBLE) AS s_d,
+        |  CAST(SUM(CAST(e AS DECIMAL(20,0))) AS DOUBLE) AS s_e,
+        |  CAST(SUM(CAST(q AS DECIMAL(20,0))) AS DOUBLE) AS s_q,
+        |  CAST(SUM(CAST(d*d AS DECIMAL(20,0))) AS DOUBLE) AS p_dd,
+        |  CAST(SUM(CAST(d*e AS DECIMAL(20,0))) AS DOUBLE) AS p_de,
+        |  CAST(SUM(CAST(d*q AS DECIMAL(20,0))) AS DOUBLE) AS p_dq,
+        |  CAST(SUM(CAST(e*e AS DECIMAL(20,0))) AS DOUBLE) AS p_ee,
+        |  CAST(SUM(CAST(e*q AS DECIMAL(20,0))) AS DOUBLE) AS p_eq,
+        |  CAST(SUM(CAST(q*q AS DECIMAL(20,0))) AS DOUBLE) AS p_qq
+        |  FROM c)
+        |SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+        |  round((p_de * n - s_d * s_e) / (sqrt(n * p_dd - s_d * s_d) * sqrt(n * p_ee - s_e * s_e)), 4) AS corr FROM m
+        |UNION ALL SELECT 'l_discount', 'l_quantity',
+        |  round((p_dq * n - s_d * s_q) / (sqrt(n * p_dd - s_d * s_d) * sqrt(n * p_qq - s_q * s_q)), 4) FROM m
+        |UNION ALL SELECT 'l_extendedprice', 'l_quantity',
+        |  round((p_eq * n - s_e * s_q) / (sqrt(n * p_ee - s_e * s_e) * sqrt(n * p_qq - s_q * s_q)), 4) FROM m""".stripMargin,
+    // the corr_matrix moments over the md5-membership 20% sample — the
+    // sample set is a pure key function, so the sampled correlation is
+    // value-replayable, not just rows-gated
+    "sample_corr" ->
+      """WITH c AS (SELECT CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS d,
+        |  CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS e,
+        |  CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS q FROM lineitem
+        |  WHERE CAST(('0x' || substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+        |    ), 1, 15)) AS BIGINT) % 10000 < 2000),
         |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
         |  CAST(SUM(CAST(d AS DECIMAL(20,0))) AS DOUBLE) AS s_d,
         |  CAST(SUM(CAST(e AS DECIMAL(20,0))) AS DOUBLE) AS s_e,
@@ -6919,6 +6998,7 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
         |  WHERE a.vec_id IN (0, 1, 2, 3, 4))
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_topk" -> annLshTopkOracleSql,
     "ann_hard_negatives" ->
       """SELECT query_id, rank, neighbor_id, cos FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -8392,6 +8472,50 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |SELECT p_partkey, round(p_size * v0 + p_retailprice * v1, 4) AS pc0,
         |  round(p_size * w0 + p_retailprice * w1, 4) AS pc1
         |FROM part CROSS JOIN w""".stripMargin,
+    // LAMP per-row closed form on the 4 pinned corner controls: every
+    // step of the UDF (inverse-square weights, weighted centroids, the
+    // 2×2 cross-covariance SVD via its eigen decomposition, the
+    // orthogonal map) is plain double arithmetic replayed here with the
+    // IDENTICAL expression grouping and accumulation order — lateral
+    // column aliases keep the chain readable. sqrt is IEEE-stable; the
+    // engine's hypot was rewritten to sqrt(t²+g01²) for exactly this.
+    "lamp_projection" ->
+      """SELECT p_partkey, round(p0, 4) AS lamp_x, round(p1, 4) AS lamp_y FROM (
+        |SELECT p_partkey,
+        |  CAST(p_size AS DOUBLE) AS x, p_retailprice AS y,
+        |  1.0/(1e-9 + (x - 1.0)*(x - 1.0) + (y - 900.0)*(y - 900.0)) AS a1,
+        |  1.0/(1e-9 + (x - 50.0)*(x - 50.0) + (y - 900.0)*(y - 900.0)) AS a2,
+        |  1.0/(1e-9 + (x - 1.0)*(x - 1.0) + (y - 2000.0)*(y - 2000.0)) AS a3,
+        |  1.0/(1e-9 + (x - 50.0)*(x - 50.0) + (y - 2000.0)*(y - 2000.0)) AS a4,
+        |  a1 + a2 + a3 + a4 AS asum,
+        |  (a1*1.0 + a2*50.0 + a3*1.0 + a4*50.0)/asum AS cbx,
+        |  (a1*900.0 + a2*900.0 + a3*2000.0 + a4*2000.0)/asum AS cby,
+        |  (a2 + a4)/asum AS y0,
+        |  (a3 + a4)/asum AS y1,
+        |  a1*(1.0 - cbx)*(0.0 - y0) + a2*(50.0 - cbx)*(1.0 - y0) + a3*(1.0 - cbx)*(0.0 - y0) + a4*(50.0 - cbx)*(1.0 - y0) AS bx0,
+        |  a1*(900.0 - cby)*(0.0 - y0) + a2*(900.0 - cby)*(1.0 - y0) + a3*(2000.0 - cby)*(0.0 - y0) + a4*(2000.0 - cby)*(1.0 - y0) AS by0,
+        |  a1*(1.0 - cbx)*(0.0 - y1) + a2*(50.0 - cbx)*(0.0 - y1) + a3*(1.0 - cbx)*(1.0 - y1) + a4*(50.0 - cbx)*(1.0 - y1) AS bx1,
+        |  a1*(900.0 - cby)*(0.0 - y1) + a2*(900.0 - cby)*(0.0 - y1) + a3*(2000.0 - cby)*(1.0 - y1) + a4*(2000.0 - cby)*(1.0 - y1) AS by1,
+        |  bx0*bx0 + by0*by0 AS g00,
+        |  bx0*bx1 + by0*by1 AS g01,
+        |  bx1*bx1 + by1*by1 AS g11,
+        |  g00 + g11 AS tr, g00*g11 - g01*g01 AS det,
+        |  sqrt(GREATEST(tr*tr/4 - det, 0.0)) AS disc,
+        |  GREATEST(tr/2 + disc, 1e-9) AS l0,
+        |  GREATEST(tr/2 - disc, 1e-9) AS l1,
+        |  l0 - g11 AS tt, sqrt(tt*tt + g01*g01) AS nn,
+        |  CASE WHEN abs(g01) > 1e-9 THEN tt/nn ELSE 1.0 END AS v00,
+        |  CASE WHEN abs(g01) > 1e-9 THEN g01/nn ELSE 0.0 END AS v10,
+        |  -v10 AS v01, v00 AS v11,
+        |  sqrt(l0) AS s0, sqrt(l1) AS s1,
+        |  x - cbx AS xr0, y - cby AS xr1,
+        |  xr0*bx0 + xr1*by0 AS xb0,
+        |  xr0*bx1 + xr1*by1 AS xb1,
+        |  xb0*v00 + xb1*v10 AS t0, xb0*v01 + xb1*v11 AS t1,
+        |  t0/s0 AS u0, t1/s1 AS u1,
+        |  u0*v00 + u1*v01 + y0 AS p0,
+        |  u0*v10 + u1*v11 + y1 AS p1
+        |FROM part)""".stripMargin,
     "hist_singleton_1d" ->
       """SELECT LEAST(CAST(FLOOR((p_retailprice - 900.0) / ((2000.0 - 900.0) / 40.0)) AS INT), 39) AS bucket,
         |count(*) AS cnt, CASE WHEN count(*) = 1 THEN min(p_partkey) END AS singleton
@@ -8589,7 +8713,6 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
     "ann_pq_topk" -> "PropertySpec 'PQ ANN: recall vs brute force, determinism, 32x compression' — recall@10 >= 0.7, run-to-run bit equality",
     "ann_ivf_topk" -> "PipelineSpec 'IVF topk: self-cell recall includes exact top-1 for most queries' — seeded centroids, deterministic",
     "ann_ivfpq_topk" -> "PropertySpec 'IVF-PQ ANN: recall with cell probing, scans only probed cells' — recall@10 >= 0.5 + PartitionFilters plan gate",
-    "ann_lsh_topk" -> "PipelineSpec 'LSH topk: scores consistent with brute force, ordered, strong matches found'",
     "bucket_quantiles_approx" -> "PropertySpec 'approx bucket quantiles within tolerance of exact, bounded-state plan' — rank error <= 1/accuracy vs ORACLED bucket_quantiles twin",
     "hist2d_quantiles_approx" -> "PropertySpec 'approx 2-D bucket quantiles within tolerance, bounded-state plan' — same gate, 2-D; ORACLED hist2d_quantiles twin",
     "quantiles_approx" -> "PropertySpec 'approx quantiles within relative error of exact' vs ORACLED quantiles_exact twin",
@@ -8611,11 +8734,9 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
     "heavy_sampled" -> "PropertySpec 'MG + exact verify equals exact heavy hitters on random data' family — sampled HH must contain every true heavy hitter at verify scale",
     "hll_distinct" -> "PropertySpec 'approx distinct count within HLL error of exact'",
     "hll_group_distinct" -> "PropertySpec 'grouped HLL distinct within 5% of exact per group'",
-    "lamp_projection" -> "OperatorSpec 'LAMP maps control points near their own targets' — anchor preservation on the planted control set",
     "multimodal_jpeg_features" -> "StreamingSpec 'jpeg decode: dims exact, mean inside the DC-preservation band'; exact fixture twin multimodal_jpeg_features_exact ORACLED",
     "quality_probe_train" -> "PipelineSpec 'logistic probe: converging loss, separable accuracy, correct signs'; calibration-curve consumer ORACLED",
     "row_at_position_sampled" -> "PropertySpec 'sampled row-at-position lands within N/res of the target rank'; exact twin row_at_position ORACLED",
-    "sample_corr" -> "OperatorSpec 'correlationMatrix pair matches single-pair correlation' on the seeded sample; full-data corr_matrix ORACLED",
     "sample_distinct_rows" -> "PropertySpec 'seeded sample size concentrates around rate and is deterministic'; carried exact distinct rows are the in-row ground truth",
     "sample_rows" -> "PropertySpec 'seeded sample size concentrates around rate and is deterministic'; hash-membership twin sample_rows_hash ORACLED",
     "sample_weighted" -> "PipelineSpec 'weighted sample is deterministic, sized, and weight-biased' + PlanSpec 'weighted sample plans TakeOrderedAndProject'",

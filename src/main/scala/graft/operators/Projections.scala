@@ -138,8 +138,12 @@ object Projections {
       val l1 = math.max(tr / 2 - disc, eps)
       // B = U Σ Vᵀ → M = U Vᵀ = B V Σ⁻¹ Vᵀ
       val (v00, v10) =
-        if (math.abs(g01) > eps) { val t = l0 - g11; val n = math.hypot(t, g01); (t / n, g01 / n) }
-        else (1.0, 0.0)
+        // sqrt(t²+g01²), not hypot: hypot's extra-precision path is not
+        // replayable in SQL; this exact form is what the oracle mirrors
+        // (overflow is impossible at these magnitudes)
+        if (math.abs(g01) > eps) {
+          val t = l0 - g11; val n = math.sqrt(t * t + g01 * g01); (t / n, g01 / n)
+        } else (1.0, 0.0)
       val (v01, v11) = (-v10, v00)
       val s0 = math.sqrt(l0); val s1 = math.sqrt(l1)
       val xr = new Array[Double](d)
