@@ -3998,6 +3998,19 @@ object SparkEntry {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_pretokens"),
           sum(col("__n")).as("n_tokens_bpe"))),
+    // the BYTE-LEVEL composition (r13 ask #3): pretokens map through the
+    // GPT-2 bytes-to-unicode alphabet, then greedy-match against the
+    // byte vocab (word entries + their Ġ-prefixed leading-space merges).
+    // " the" is ONE token; whitespace/control runs tokenize authentically
+    // (Ġ/Ċ fallback units) instead of the word path's documented 0-token
+    // deviation — every byte of the corpus is accounted for.
+    "text_tokens_bpe_bytes" -> ((s, d) =>
+      graft.text.TextAnalysis.pretokenize(docsPre(s, d))
+        .withColumn("__n",
+          graft.functions.BpeTokenizer.bpe_count_bytes(col("pretoken")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pretokens"),
+          sum(col("__n")).as("n_tokens_bpe_bytes"))),
     // invisible-char sanitization (Trojan Source / dedup evasion):
     // zero-width + bidi-control counts and the stripped text, one
     // regexp pass per class, zero shuffle
@@ -6659,6 +6672,47 @@ object SparkEntry {
          |  FROM ptk GROUP BY 1)
          |SELECT c.doc_id, c.n_pretokens, COALESCE(a.nb, 0) AS n_tokens_bpe
          |FROM cnt c LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // byte-level replay: pretokens → per-codepoint UTF-8 byte expansion
+    // (pure integer arithmetic) → the 256-entry GPT-2 bytes-to-unicode
+    // table as a list literal → greedy longest-match over the byte vocab
+    // with the same recursive step CTE the word path uses. Greedy ties
+    // can't desync: among prefix-matching entries one is a prefix of the
+    // other, so byte-longest ⟺ codepoint-longest.
+    "text_tokens_bpe_bytes" -> {
+      val mapList = graft.functions.BpeTokenizer.bytesToUnicode
+        .mkString("[", ", ", "]")
+      val bv = graft.functions.BpeTokenizer.vocabSqlList(
+        graft.functions.BpeTokenizer.byteVocab)
+      s"""WITH RECURSIVE
+         |dd AS MATERIALIZED ($preDocsSelect),
+         |${pretokCtes("dd")},
+         |ptk AS MATERIALIZED (SELECT doc_id, idx, tok FROM toks
+         |  WHERE tok IS NOT NULL),
+         |bm AS MATERIALIZED (SELECT doc_id, idx,
+         |  list_aggregate(list_transform(
+         |    flatten(list_transform(
+         |      list_transform(range(1, length(tok) + 1),
+         |        j -> unicode(substr(tok, CAST(j AS INT), 1))),
+         |      u -> CASE WHEN u < 128 THEN [u]
+         |        WHEN u < 2048 THEN [192 + u // 64, 128 + u % 64]
+         |        WHEN u < 65536 THEN [224 + u // 4096, 128 + (u // 64) % 64, 128 + u % 64]
+         |        ELSE [240 + u // 262144, 128 + (u // 4096) % 64, 128 + (u // 64) % 64, 128 + u % 64] END)),
+         |    b -> chr(($mapList)[CAST(b AS INT) + 1])), 'string_agg', '') AS bw
+         |  FROM ptk),
+         |ubw AS (SELECT DISTINCT bw FROM bm),
+         |step AS (
+         |  SELECT bw AS w, CAST(1 AS INTEGER) AS pos, CAST(0 AS BIGINT) AS n FROM ubw
+         |  UNION ALL
+         |  SELECT w, CAST(pos + GREATEST(m, 1) AS INTEGER), n + 1 FROM (
+         |    SELECT w, pos, n,
+         |      list_max(list_transform($bv,
+         |        v -> CASE WHEN substr(w, pos, len(v)) = v THEN len(v) ELSE 0 END)) AS m
+         |    FROM step WHERE pos <= len(w)) s),
+         |wt AS (SELECT w, max(n) AS toks FROM step GROUP BY w)
+         |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
+         |  CAST(sum(wt.toks) AS BIGINT) AS n_tokens_bpe_bytes
+         |FROM bm b JOIN wt ON wt.w = b.bw GROUP BY 1""".stripMargin
+    },
     "text_sanitize_invisible" ->
       s"""WITH dd AS MATERIALIZED ($invisDocsSelect)
          |SELECT doc_id,

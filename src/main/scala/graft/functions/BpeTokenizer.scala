@@ -85,6 +85,57 @@ object BpeTokenizer {
     * (e.g. a learned "n't" merge). */
   def vocabSqlList(vocab: Seq[String] = defaultVocab): String =
     vocab.map(v => "'" + v.replace("'", "''") + "'").mkString("[", ", ", "]")
+
+  // ── GPT-2 byte-level alphabet (Radford et al. 2019, encoder.py's
+  // bytes_to_unicode — public domain algorithm) ──────────────────────
+  //
+  // Every BYTE 0..255 gets a printable unicode stand-in: the three
+  // printable latin-1 ranges map to themselves ('!'..'~', '¡'..'¬',
+  // '®'..'ÿ') and the remaining 68 bytes (controls, space, DEL, …) map
+  // to 256+n in first-gap order — so ' ' becomes 'Ġ' (0x120), '\n'
+  // becomes 'Ċ', and EVERY byte sequence round-trips through ordinary
+  // strings. This is what lets real BPE vocabs carry whitespace inside
+  // tokens ("Ġthe") instead of dropping it at word boundaries.
+
+  /** mapped codepoint per byte value 0..255 */
+  val bytesToUnicode: Array[Int] = {
+    val out = new Array[Int](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      val printable = (b >= '!' && b <= '~') || (b >= 0xa1 && b <= 0xac) ||
+        (b >= 0xae && b <= 0xff)
+      if (printable) out(b) = b
+      else { out(b) = 256 + n; n += 1 }
+    }
+    out
+  }
+
+  /** byte-level encode of a string: each UTF-8 BYTE becomes its mapped
+    * unicode stand-in character (so a 2-byte é becomes two chars). */
+  def byteEncodeString(s: String): String = {
+    val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bs.length)
+    bs.foreach(b => sb.append(bytesToUnicode(b & 0xff).toChar))
+    sb.toString
+  }
+
+  /** The byte-level vocabulary: the word vocab in byte-alphabet space
+    * plus the leading-space ("Ġ"-prefixed) merge of every entry — the
+    * GPT-2 vocab shape, where " the" is ONE token "Ġthe". ASCII entries
+    * map to themselves, so ids 0..|V|-1 coincide with the word vocab's
+    * (the ASCII-agreement fuzz gate rides on exactly this). */
+  val byteVocab: Seq[String] =
+    defaultVocab.map(byteEncodeString) ++
+      defaultVocab.map(w => "Ġ" + byteEncodeString(w))
+
+  /** `byte_unicode(text)`: the byte-level encode as a column. */
+  def byte_unicode(text: Column): Column =
+    org.apache.spark.sql.graftshim.exprToColumn(
+      Utf8BytesToUnicode(org.apache.spark.sql.graftshim.columnToExpr(text)))
+
+  /** byte-level token count: byte-map then greedy trie over [[byteVocab]] */
+  def bpe_count_bytes(text: Column): Column =
+    bpe_count(byte_unicode(text), byteVocab)
 }
 
 /** UTF-8 BYTE-level trie for greedy longest-match (alphabet 256):
@@ -328,6 +379,37 @@ object BpeTrie {
   val LayoutFlat = 1
   /** Force the O(edges)-memory sorted-edge layout (tests). */
   val LayoutCompact = 2
+}
+
+/** Codegen expression: GPT-2 bytes-to-unicode encode — every UTF-8
+  * BYTE of the input becomes its printable stand-in character (see
+  * [[BpeTokenizer.bytesToUnicode]]). One primitive byte walk per row;
+  * mapped codepoints are ≤ 323, so the output is plain 1–2-byte UTF-8.
+  */
+case class Utf8BytesToUnicode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  def encodeBytes(v: UTF8String): UTF8String = {
+    val bs = v.getBytes
+    val sb = new java.lang.StringBuilder(bs.length)
+    var i = 0
+    while (i < bs.length) {
+      sb.append(BpeTokenizer.bytesToUnicode(bs(i) & 0xff).toChar); i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    encodeBytes(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteUni", this, classOf[Utf8BytesToUnicode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeBytes($c);")
+  }
+
+  override def prettyName: String = "byte_unicode"
+  override protected def withNewChildInternal(newChild: Expression): Utf8BytesToUnicode =
+    copy(child = newChild)
 }
 
 /** Codegen expression: subword-token count of a string under a literal

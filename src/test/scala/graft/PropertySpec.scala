@@ -1611,6 +1611,42 @@ class PropertySpec extends SparkSpec {
     assert(overlapping.encode("abcdx").toSeq == Seq(3, 8 + 'x'.toInt))
   }
 
+  test("byte-level BPE: GPT-2 alphabet bijection, leading-space merges, ASCII agreement") {
+    import graft.functions.BpeTokenizer
+    // the bytes-to-unicode table is a bijection onto printable stand-ins
+    val tbl = BpeTokenizer.bytesToUnicode
+    assert(tbl.distinct.length == 256)
+    assert(tbl('a'.toInt) == 'a'.toInt && tbl('!'.toInt) == '!'.toInt &&
+      tbl(0xff) == 0xff)
+    assert(tbl(' '.toInt) == 0x120 && tbl('\n'.toInt) == 0x10a) // Ġ, Ċ
+    // a 2-byte codepoint expands to one stand-in unit PER BYTE
+    assert(BpeTokenizer.byteEncodeString("é").length == 2)
+    val byteTrie = new graft.functions.BpeTrie(BpeTokenizer.byteVocab.toArray)
+    def bcount(s: String): Long =
+      byteTrie.count(BpeTokenizer.byteEncodeString(s))
+    // the leading-space merge: " the" is ONE token (Ġthe), the GPT-2
+    // vocab shape the word-level path could not express
+    assert(bcount(" the") == 1L)
+    // whitespace/control runs tokenize authentically — never 0 tokens
+    assert(bcount("   ") == 3L && bcount("\n") == 1L && bcount("\t\t") == 2L)
+    // ASCII-agreement fuzz (the r13 done-criterion): on space-free
+    // printable ASCII the byte alphabet is the identity and the Ġ-forms
+    // can never match, so the byte path must equal the word path exactly
+    val wordTrie = new graft.functions.BpeTrie(BpeTokenizer.defaultVocab.toArray)
+    val rnd = new scala.util.Random(414L)
+    (1 to 300).foreach { _ =>
+      val w = (1 to 1 + rnd.nextInt(12))
+        .map(_ => (33 + rnd.nextInt(94)).toChar).mkString
+      assert(bcount(w) == wordTrie.count(w), s"byte/word disagree on '$w'")
+    }
+    (1 to 100).foreach { _ =>
+      val w = (1 to 1 + rnd.nextInt(4)).map(_ =>
+        BpeTokenizer.defaultVocab(
+          rnd.nextInt(BpeTokenizer.defaultVocab.size))).mkString
+      assert(bcount(w) == wordTrie.count(w), s"byte/word disagree on '$w'")
+    }
+  }
+
   test("BPE tokenizer: UTF-8 vocab differential fuzz (multilingual entries, astral fallback)") {
     import graft.functions.BpeTokenizer
     // non-ASCII VOCAB entries at every UTF-8 width, plus overlap chains
