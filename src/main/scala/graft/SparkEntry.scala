@@ -2061,6 +2061,28 @@ object SparkEntry {
           "closure_sig", js, org.apache.spark.sql.types.StringType)
         .select(col("doc_id"), col("closure_sig"))
     }),
+    // `this` + accessors (the r13 boundary item, closed r14): a stateful
+    // accumulator object whose methods mutate through `this`, a setter
+    // that clamps, a getter that derives — the OO-gesture shape GraalVM
+    // runs; signature integer is SQL-replayable (n, floored total, avg)
+    "dynamic_udf_js_this" -> ((s, d) => {
+      val js = """function map(row) {
+        var ws = row.text.split(' ');
+        var acc = {
+          n: 0,
+          total: 0,
+          add: function (w) { this.n += 1; this.total += w.length; },
+          get avg10() { return Math.floor(this.total * 10 / this.n); },
+          set floor(v) { if (this.total < v) this.total = v; }
+        };
+        ws.forEach(function (w) { acc.add(w); });
+        acc.floor = 100;
+        return acc.n * 100000 + acc.total * 100 + acc.avg10 % 100;
+      }"""
+      graft.functions.JsGesture.withJsColumnTyped(docs(s, d),
+          "this_sig", js, org.apache.spark.sql.types.DoubleType)
+        .select(col("doc_id"), col("this_sig"))
+    }),
     // 2) while-loop digit sum as a filter verdict (casting out nines
     //    makes the loop's result SQL-checkable: digitsum(n)%9 == n%9)
     "dynamic_filter_js_loop" -> ((s, d) =>
@@ -5266,6 +5288,18 @@ object SparkEntry {
         |           ELSE length(w) END)) * 10000
         |    + len(list_filter(string_split(text, ' '),
         |        w -> length(w) > 6)) * 10 + 3 AS DOUBLE) AS score
+        |FROM documents""".stripMargin,
+    // the `this`-accumulator replay: n words, length total floored at
+    // 100 by the setter, the getter's floor(total*10/n) — all integer
+    "dynamic_udf_js_this" ->
+      """SELECT doc_id, CAST(
+        |  len(string_split(text, ' ')) * 100000
+        |  + GREATEST(CAST(list_sum(list_transform(string_split(text, ' '),
+        |      w -> length(w))) AS BIGINT), 100) * 100
+        |  + ((GREATEST(CAST(list_sum(list_transform(string_split(text, ' '),
+        |      w -> length(w))) AS BIGINT), 100) * 10)
+        |    // len(string_split(text, ' '))) % 100
+        |  AS DOUBLE) AS this_sig
         |FROM documents""".stripMargin,
     "dynamic_filter_js_loop" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders

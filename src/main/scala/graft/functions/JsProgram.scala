@@ -119,9 +119,18 @@ object JsProgram {
   final case class EUn(op: String, e: E) extends E
   final case class EBin(op: String, a: E, b: E) extends E
   final case class ETern(c: E, t: E, f: E) extends E
-  /** Method call / property on a receiver (string methods, array
-    * push/join/indexOf, .length). */
+  /** Property read on a receiver (.length, object fields) — parenless
+    * member access; also the node assignment re-reads as an LProp. */
   final case class EMeth(recv: E, name: String, args: Seq[E]) extends E
+  /** EXPLICIT method call `recv.name(args)` (parens present) — distinct
+    * from the property read so a zero-arg call is a CALL: on objects it
+    * resolves the member (through a getter if one is defined) and calls
+    * it with `this` bound to the receiver; on built-in receivers it
+    * dispatches to the built-in method table. */
+  final case class EMethCall(recv: E, name: String, args: Seq[E]) extends E
+  /** `this` — bound by method calls (`o.f()` sets it to `o`); null (JS
+    * strict-mode undefined) in plain calls and at the gesture top level. */
+  case object EThis extends E
   final case class EMath(name: String, args: Seq[E]) extends E
   /** Global builtins: Number, String, isNaN, String.fromCharCode. */
   final case class EGlobal(name: String, args: Seq[E]) extends E
@@ -183,8 +192,13 @@ object JsProgram {
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 
   /** Object literal `{a: 1, 'b': x}` — fields evaluate in source
-    * order into an insertion-ordered map. */
-  final case class EObj(fields: Seq[(String, E)]) extends E
+    * order into an insertion-ordered map. `getters`/`setters` carry
+    * accessor properties (`get x() {…}` / `set x(v) {…}`) as compiled
+    * function indexes; they close over the defining frame chain exactly
+    * like [[EFuncExpr]]. */
+  final case class EObj(fields: Seq[(String, E)],
+    getters: Seq[(String, Int)] = Nil,
+    setters: Seq[(String, Int)] = Nil) extends E
 
   /** JS plain-object runtime value: insertion-ordered string-keyed
     * mutable map. Plain `class`: object identity (two structurally
@@ -196,6 +210,11 @@ object JsProgram {
     * in a gesture). */
   final class JsObj(val m: scala.collection.mutable.LinkedHashMap[String, Any])
     extends Serializable {
+    /** accessor properties (null when none — the overwhelmingly common
+      * case pays zero allocation): name → JsFunc, invoked with `this`
+      * bound to this object */
+    var getters: scala.collection.mutable.LinkedHashMap[String, Any] = null
+    var setters: scala.collection.mutable.LinkedHashMap[String, Any] = null
     override def toString: String = "[object Object]"
   }
 
@@ -369,7 +388,7 @@ object JsProgram {
   private val Keywords = Set("function", "var", "let", "const", "if", "else",
     "while", "for", "return", "break", "continue", "true", "false", "null",
     "Math", "Number", "String", "isNaN", "throw", "try", "catch", "finally",
-    "new")
+    "new", "this")
 
   /** Per-function parse scope: slot table + the row parameter name (the
     * entry's single parameter; helpers have no row access — fields flow
@@ -683,7 +702,10 @@ object JsProgram {
           p.expect(")")
           a = a match {
             case RowMarker => p.fail("row has no methods; use row.field")
-            case r => EMeth(r, m, args.toSeq)
+            // parens present ⇒ an explicit CALL node, so zero-arg method
+            // calls are distinguishable from property reads and `this`
+            // binds to the receiver on object members
+            case r => EMethCall(r, m, args.toSeq)
           }
         } else a = a match {
           case RowMarker => ERow(b.fieldIx(m))
@@ -736,24 +758,49 @@ object JsProgram {
         p.expect("]")
         EArr(elems.toSeq)
       case Some('{') =>
-        // object literal: {key: expr, 'key': expr, ...}
+        // object literal: {key: expr, 'key': expr, get k() {…},
+        // set k(v) {…}, ...} — get/set are CONTEXTUAL: `{get: 1}` is a
+        // plain field, `{get x() {…}}` an accessor
         p.expect("{")
         val fields = scala.collection.mutable.ArrayBuffer.empty[(String, E)]
+        val getters = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+        val setters = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
         if (!p.peek("}")) {
+          def accessor(kind: String): Unit = {
+            val name = p.peekChar match {
+              case Some('\'') => p.stringLit('\'')
+              case Some('"') => p.stringLit('"')
+              case _ => p.ident()
+            }
+            p.expect("(")
+            val params = scala.collection.mutable.ArrayBuffer.empty[String]
+            if (kind == "set") params += p.ident()
+            p.expect(")")
+            p.expect("{")
+            // accessor bodies are ordinary inner functions: same closure
+            // capture as EFuncExpr, `this` bound at invocation
+            val inner = new Scope(None, Some(sc))
+            params.foreach(inner.declare(_))
+            val body = parseStmts(p, b, inner)
+            p.expect("}")
+            val ix = b.addInner(
+              Fn(s"<$kind ${name}>", params.size, inner.slots.size, body))
+            if (kind == "get") getters += name -> ix else setters += name -> ix
+          }
           def field(): Unit = {
             val k = p.peekChar match {
               case Some('\'') => p.stringLit('\'')
               case Some('"') => p.stringLit('"')
               case _ => p.ident()
             }
-            p.expect(":")
-            fields += k -> parseExpr(p, b, sc)
+            if ((k == "get" || k == "set") && !p.peek(":")) accessor(k)
+            else { p.expect(":"); fields += k -> parseExpr(p, b, sc) }
           }
           field()
           while (p.eat(",")) field()
         }
         p.expect("}")
-        EObj(fields.toSeq)
+        EObj(fields.toSeq, getters.toSeq, setters.toSeq)
       case Some('\'') => EStr(p.stringLit('\''))
       case Some('"') => EStr(p.stringLit('"'))
       case Some('/') =>
@@ -832,6 +879,7 @@ object JsProgram {
             p.expect(")")
             if (args.size > 7) p.fail("Date.UTC: too many arguments")
             EGlobal("DateUTC", args.toSeq)
+          case "this" => EThis
           case "function" =>
             // anonymous function EXPRESSION — the closure tier: body
             // compiles into the shared fn table; free identifiers
@@ -1024,14 +1072,19 @@ object JsProgram {
     val EmptyEnv = Array.empty[Array[Any]]
     def envOf(frame: Array[Any]): Array[Array[Any]] =
       frame(frame.length - 1).asInstanceOf[Array[Array[Any]]]
+    // `this` rides in the second trailing frame slot (env is the last):
+    // no local can collide (slots stop before), no extra parameter
+    // threads through every ev/exec site
+    def thisOf(frame: Array[Any]): Any = frame(frame.length - 2)
 
     def callFn(ix: Int, args: Array[Any], depth: Int,
-        env: Array[Array[Any]]): Any = {
+        env: Array[Array[Any]], thisv: Any = null): Any = {
       if (depth > MaxDepth)
         throw new IllegalStateException(s"JS gesture exceeded call depth $MaxDepth")
       val fn = prog.fns(ix)
-      val frame = new Array[Any](fn.nSlots + 1)
-      frame(fn.nSlots) = env
+      val frame = new Array[Any](fn.nSlots + 2)
+      frame(fn.nSlots) = thisv
+      frame(fn.nSlots + 1) = env
       System.arraycopy(args, 0, frame, 0, math.min(args.length, fn.nParams))
       exec(fn.body, frame, depth) match {
         case SigReturn(v) => v
@@ -1040,15 +1093,33 @@ object JsProgram {
     }
 
     /** Call a function VALUE (closure or top-level ref); missing args
-      * are JS undefined → null, extras ignored. */
-    def callValue(f: Any, args: Array[Any], depth: Int): Any = f match {
-      case jf: JsFunc => callFn(jf.fnIx, args, depth + 1, jf.env)
+      * are JS undefined → null, extras ignored. `thisv` binds `this`
+      * for method-style invocations (null = plain call, the strict-mode
+      * undefined). */
+    def callValue(f: Any, args: Array[Any], depth: Int,
+        thisv: Any = null): Any = f match {
+      case jf: JsFunc => callFn(jf.fnIx, args, depth + 1, jf.env, thisv)
       // calling null/undefined (a typo'd property, a missing callback) is
       // a TypeError, not a silent undefined — GraalVM throws "x is not a
       // function" here, and masking it as null hides gesture bugs
       case null => sys.error("null is not a function")
       case other => sys.error(s"$other is not a function")
     }
+
+    /** Object property READ through a getter when one is defined. */
+    def objGet(o: JsObj, k: String, depth: Int): Any =
+      if (o.getters != null && o.getters.contains(k))
+        callValue(o.getters(k), Array.empty[Any], depth, o)
+      else o.m.getOrElse(k, null)
+
+    /** Object property WRITE through a setter when one is defined; an
+      * accessor with only a getter swallows the write (the JS sloppy-
+      * mode no-op), it does NOT shadow the getter with a data field. */
+    def objSet(o: JsObj, k: String, v: Any, depth: Int): Unit =
+      if (o.setters != null && o.setters.contains(k)) {
+        callValue(o.setters(k), Array[Any](v), depth, o); ()
+      } else if (o.getters != null && o.getters.contains(k)) ()
+      else o.m(k) = v
 
     def exec(stmts: Vector[S], frame: Array[Any], depth: Int): Sig = {
       var i = 0
@@ -1077,11 +1148,14 @@ object JsProgram {
                 }
               case o: JsObj =>
                 // obj['k'] = v — computed property assignment; the key
-                // stringifies, exactly the JS property-key coercion
+                // stringifies, exactly the JS property-key coercion;
+                // reads/writes route through accessors when defined
                 val k = s(ev(ixE, frame, depth))
                 val v = ev(value, frame, depth)
                 if (k != null)
-                  o.m(k) = if (op == "=") v else binOp(op, o.m.getOrElse(k, null), v)
+                  objSet(o, k,
+                    if (op == "=") v else binOp(op, objGet(o, k, depth), v),
+                    depth)
               case null => () // null target: SQL propagation, no-op
               case other => sys.error(s"cannot index-assign into $other")
             }
@@ -1089,17 +1163,18 @@ object JsProgram {
             ev(objE, frame, depth) match {
               case o: JsObj =>
                 val v = ev(value, frame, depth)
-                o.m(name) = if (op == "=") v
-                  else binOp(op, o.m.getOrElse(name, null), v)
+                objSet(o, name,
+                  if (op == "=") v else binOp(op, objGet(o, name, depth), v),
+                  depth)
               case null => () // null target: SQL propagation, no-op
               case other => sys.error(s"cannot set property .$name on $other")
             }
           case SIncDec(LProp(objE, name), delta) =>
             ev(objE, frame, depth) match {
               case o: JsObj =>
-                val x = d(o.m.getOrElse(name, null))
-                o.m(name) = if (x == null) null
-                  else java.lang.Double.valueOf(x.doubleValue + delta)
+                val x = d(objGet(o, name, depth))
+                objSet(o, name, if (x == null) null
+                  else java.lang.Double.valueOf(x.doubleValue + delta), depth)
               case _ => ()
             }
           case SThrow(e) => throw JsThrown(ev(e, frame, depth))
@@ -1146,9 +1221,9 @@ object JsProgram {
               case o: JsObj =>
                 val k = s(ev(ixE, frame, depth))
                 if (k != null) {
-                  val x = d(o.m.getOrElse(k, null))
-                  o.m(k) = if (x == null) null
-                    else java.lang.Double.valueOf(x.doubleValue + delta)
+                  val x = d(objGet(o, k, depth))
+                  objSet(o, k, if (x == null) null
+                    else java.lang.Double.valueOf(x.doubleValue + delta), depth)
                 }
               case _ => ()
             }
@@ -1270,10 +1345,21 @@ object JsProgram {
           val ab = new scala.collection.mutable.ArrayBuffer[Any](elems.size)
           elems.foreach(x => ab += ev(x, frame, depth))
           ab
-        case EObj(fields) =>
+        case EObj(fields, gets, sets) =>
           val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
           fields.foreach { case (k, v) => m(k) = ev(v, frame, depth) }
-          new JsObj(m)
+          val o = new JsObj(m)
+          if (gets.nonEmpty) {
+            o.getters = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+            gets.foreach { case (k, ix) =>
+              o.getters(k) = new JsFunc(ix, frame +: envOf(frame)) }
+          }
+          if (sets.nonEmpty) {
+            o.setters = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+            sets.foreach { case (k, ix) =>
+              o.setters(k) = new JsFunc(ix, frame +: envOf(frame)) }
+          }
+          o
         case EIndex(arrE, ixE) =>
           // base evaluates BEFORE the subscript (JS order); the
           // subscript coerces per receiver — integer for arrays and
@@ -1283,7 +1369,7 @@ object JsProgram {
             case null => ev(ixE, frame, depth); null
             case o: JsObj =>
               val k = s(ev(ixE, frame, depth))
-              if (k == null) null else o.m.getOrElse(k, null)
+              if (k == null) null else objGet(o, k, depth)
             case a: scala.collection.mutable.ArrayBuffer[_] =>
               val ix = toIdx(ev(ixE, frame, depth))
               if (ix >= 0 && ix < a.size) a(ix) else null
@@ -1304,11 +1390,32 @@ object JsProgram {
           while (i < args.size) { vs(i) = ev(args(i), frame, depth); i += 1 }
           callValue(f, vs, depth)
         case EUp(level, slot) => envOf(frame)(level - 1)(slot)
+        case EThis => thisOf(frame)
         case EFuncRef(ix) => new JsFunc(ix, EmptyEnv)
         case EFuncExpr(ix) => new JsFunc(ix, frame +: envOf(frame))
         case EMeth(recvE, name, args) =>
           val recv = ev(recvE, frame, depth)
           evalMethod(recv, name, args, frame, depth)
+        case EMethCall(recvE, name, args) =>
+          val recv = ev(recvE, frame, depth)
+          recv match {
+            case o: JsObj if name == "hasOwnProperty" =>
+              val k = s(ev(args.head, frame, depth))
+              java.lang.Boolean.valueOf(k != null && (o.m.contains(k) ||
+                (o.getters != null && o.getters.contains(k)) ||
+                (o.setters != null && o.setters.contains(k))))
+            case o: JsObj =>
+              // resolve the member (through a getter if defined), then
+              // call with `this` = the receiver — JS method invocation
+              val f = objGet(o, name, depth)
+              val vs = new Array[Any](args.size)
+              var i = 0
+              while (i < args.size) { vs(i) = ev(args(i), frame, depth); i += 1 }
+              callValue(f, vs, depth, o)
+            // built-in receivers (arrays, strings, regex, dates) keep
+            // the built-in method table
+            case other => evalMethod(other, name, args, frame, depth)
+          }
         case EMath(name, args) =>
           val vs = args.map(a => d(ev(a, frame, depth)))
           if (vs.exists(_ == null)) null
@@ -1390,26 +1497,10 @@ object JsProgram {
       recv match {
         case null => null
         case o: JsObj =>
-          name match {
-            case "hasOwnProperty" =>
-              val k = s(ev(args.head, frame, depth))
-              java.lang.Boolean.valueOf(k != null && o.m.contains(k))
-            case _ if args.isEmpty =>
-              // property read; a missing key is JS undefined → null
-              o.m.getOrElse(name, null)
-            case other =>
-              o.m.getOrElse(other, null) match {
-                case jf: JsFunc =>
-                  // property holding a closure: called this-less (our
-                  // functions have no `this`), the JS-gesture use case
-                  val vs = new Array[Any](args.size)
-                  var i = 0
-                  while (i < args.size) { vs(i) = ev(args(i), frame, depth); i += 1 }
-                  callValue(jf, vs, depth)
-                case _ =>
-                  sys.error(s"object property .$other is not callable")
-              }
-          }
+          // parenful calls route through EMethCall (which binds `this`);
+          // this path only ever sees parenless PROPERTY READS — through
+          // a getter when one is defined
+          objGet(o, name, depth)
         case re: JsRegex =>
           name match {
             case "test" =>

@@ -701,6 +701,81 @@ class JsProgramSpec extends SparkSpec {
     }
   }
 
+  test("this: method calls bind the receiver; plain calls get null") {
+    val js = """function map(row) {
+      var c = {
+        n: 0,
+        bump: function (k) { this.n += k; return this.n; }
+      };
+      c.bump(2); c.bump(3);
+      var zero = c.bump(0);             // zero-arg-ish call still a CALL
+      var f = function () { return this === null; };
+      return '' + c.n + ':' + zero + ':' + f();
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame.limit(1), "r", js, StringType)
+      .select(col("r")).head().getString(0)
+    assert(got == "5:5:true", got)
+  }
+
+  test("this: getters and setters run with the receiver, accessors close over scope") {
+    val js = """function map(row) {
+      var base = 10;
+      var o = {
+        total: 0,
+        get doubled() { return this.total * 2 + base; },
+        set clamp(v) { if (this.total > v) this.total = v; }
+      };
+      o.total = 7;
+      var a = o.doubled;      // getter: 7*2+10 = 24
+      o.clamp = 5;            // setter: total -> 5
+      var b = o.doubled;      // 5*2+10 = 20
+      o['clamp'] = 3;         // computed-key write routes the setter too
+      var c = o['doubled'];   // computed-key read routes the getter
+      return '' + a + ':' + b + ':' + c + ':' + o.total;
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame.limit(1), "r", js, StringType)
+      .select(col("r")).head().getString(0)
+    assert(got == "24:20:16:3", got)
+  }
+
+  test("this: getter-only property swallows writes (sloppy-mode no-op), compound ops route accessors") {
+    val js = """function map(row) {
+      var o = {
+        x: 4,
+        get ro() { return this.x * 10; },
+        set bump(v) { this.x += v; }
+      };
+      o.ro = 99;              // no setter: write is a NO-OP, not a shadow
+      var a = o.ro;           // still 40
+      o.bump = 6;             // x -> 10
+      o.x += 5;               // plain data compound: x -> 15
+      var has = o.hasOwnProperty('ro') && o.hasOwnProperty('bump');
+      return '' + a + ':' + o.x + ':' + has;
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame.limit(1), "r", js, StringType)
+      .select(col("r")).head().getString(0)
+    assert(got == "40:15:true", got)
+  }
+
+  test("this: calling a missing method is a TypeError, {get: 1} stays a plain field") {
+    val js = """function map(row) {
+      var o = {get: 1, set: 2};
+      return o.get + o.set;
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame.limit(1), "r", js, DoubleType)
+      .select(col("r")).head().getDouble(0)
+    assert(got == 3.0)
+    val bad = """function map(row) {
+      var o = {a: 1};
+      return o.nope(3);
+    }"""
+    val e = intercept[Exception] {
+      JsGesture.withJsColumnTyped(frame.limit(1), "r", bad, DoubleType)
+        .select(col("r")).collect()
+    }
+    assert(e.getMessage != null) // "null is not a function" — engine-fatal
+  }
+
   test("closures: runaway callback recursion stays engine-fatal") {
     val js = """function map(row) {
       var f = function (x) { return f(x + 1); }; // unbounded self-call
