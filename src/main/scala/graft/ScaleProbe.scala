@@ -1190,6 +1190,46 @@ object ScaleProbe {
         .agg(sum(col("n_docs"))).head().getLong(0)
     }
 
+    // ── ×100 ADVERSARIAL-SKEW probes (r13 ask #7) ──────────────────
+    // The salted-duplicate regime above keeps keys uniform; these two
+    // plant the skew the guards exist for, at the decade that matters.
+
+    probe("dedup_jaccard_dfcut_hot", Seq(1, 100)) { c =>
+      // every doc gets the SAME unsalted 8-token boilerplate header, so
+      // its shingles have df = N (3,000 at ×1 → 300,000 at ×100): the
+      // posting-list self-join would blow up N² per hot shingle without
+      // the maxShingleDocs df-cut. Guard shape: the hot list comes from
+      // a map-side-combined groupBy (never a window over the hot key)
+      // + anti-join; pair volume after the cut ∝ the salted tails'
+      // constant true-dup density — wall-clock must stay ~linear in N.
+      val d = saltedDocs(c).withColumn("text",
+        concat(lit("terms of service apply all rights reserved notice "),
+          col("text")))
+      dedup.Dedup.jaccardPairs(d, 3, 0.5, maxShingleDocs = 2500L).count()
+    }
+
+    probe("dedup_embedding_lsh_hotband", Seq(1, 100)) { c =>
+      // 20% of vectors collapse onto ONE identical embedding: a
+      // degenerate cell holding 0.2·N members in EVERY band (400 at ×1
+      // → 40,000 at ×100 — m²/2 candidate pairs per band without the
+      // valve). maxBucket=300 keeps the cut active at BOTH decades.
+      // Geometry is PINNED to the ×100 scale (planes=14 ⇒ 16k cells, the
+      // autoPlanes answer for N=200k; bands=64) so both decades time the
+      // same plan, and the probe isolates the VALVE rather than folding
+      // in the recall-pinned band-count growth (auto bands=293 at ×100
+      // would make banding volume itself the story). carryVectors: the
+      // dense-candidate shape — cosine verifies inside the band
+      // self-join, no pair-sized distinct/fetch materialization.
+      val e = replicate(engine.Tables.embeddings(spark, sf), c,
+        Map("vec_id" -> 10000000L))
+      val constVec = array((0 until 64).map(_ => lit(0.5f)): _*)
+      val hot = e.withColumn("embedding",
+        when(pmod(col("vec_id"), lit(5L)) === 0L, constVec)
+          .otherwise(col("embedding")))
+      ann.Similarity.nearDupPairsLsh(hot, 0.7, planes = 14, bands = 64,
+        maxBucket = 300, carryVectors = true).count()
+    }
+
     probe("pipeline_end2end", Seq(1, 100)) { c =>
       val d = replicate(docs, c, Map("doc_id" -> 10000000L))
       val w = org.apache.spark.sql.expressions.Window
