@@ -3839,6 +3839,21 @@ object SparkEntry {
         graft.functions.BpeTokenizer.bpe_decode(
           graft.functions.BpeTokenizer.bpe_encode(lower(col("text"))))
           .as("detok"))),
+    // byte-level LOSSLESS round trip: byte-alphabet encode → ids →
+    // decode → inverse byte map equals the ORIGINAL text bit-exactly —
+    // case, spaces, control bytes, multibyte UTF-8 all survive (the
+    // word path round-trips only "minus spaces"). The tokenizer
+    // invertibility contract every byte-level stack relies on; the
+    // oracle needs no token knowledge at all.
+    "text_detokenize_bytes" -> ((s, d) =>
+      docsMl(s, d).select(col("doc_id"),
+        graft.functions.BpeTokenizer.byte_unicode_decode(
+          graft.functions.BpeTokenizer.bpe_decode(
+            graft.functions.BpeTokenizer.bpe_encode(
+              graft.functions.BpeTokenizer.byte_unicode(col("text")),
+              graft.functions.BpeTokenizer.byteVocab),
+            graft.functions.BpeTokenizer.byteVocab))
+          .as("detok"))),
     // MATERIALIZED packed training sequences: per (source, bin) the
     // concatenated input_ids in doc order — the artifact sequence
     // packing exists to produce; ORACLED on the bin geometry and the
@@ -5777,6 +5792,14 @@ object SparkEntry {
         |LEFT JOIN (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
         |  FROM orders GROUP BY 1, 2) g
         |ON c.p = g.o_orderpriority AND c.s = g.o_orderstatus""".stripMargin,
+    // Count-Min at the declared geometry is EXACT: 5 distinct keys in a
+    // width-2000 × depth-5 sketch — an estimate inflates only if another
+    // key collides in ALL 5 depth rows. The exact-regime pin lives in
+    // PropertySpec (est == exact per key), which would break on any
+    // hashing change BEFORE this oracle could silently drift.
+    "cms_freq" ->
+      """SELECT o_orderpriority, count(*) AS est_count
+        |FROM orders GROUP BY 1""".stripMargin,
     "quantiles_exact" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
         |round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
@@ -7958,6 +7981,10 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
     "text_detokenize" ->
       (s"WITH dml AS ($mlDocsSelect) " +
         "SELECT doc_id, replace(lower(text), ' ', '') AS detok FROM dml"),
+    // the byte-level round trip is the IDENTITY — the whole point
+    "text_detokenize_bytes" ->
+      (s"WITH dml AS ($mlDocsSelect) " +
+        "SELECT doc_id, text AS detok FROM dml"),
     "text_tokens_ids" ->
       withMlDocs(s"""WITH RECURSIVE ${bpeIdsCte("dml")}
          |SELECT d.doc_id,
@@ -8805,7 +8832,6 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
     "hist2d_quantiles_approx" -> "PropertySpec 'approx 2-D bucket quantiles within tolerance, bounded-state plan' — same gate, 2-D; ORACLED hist2d_quantiles twin",
     "quantiles_approx" -> "PropertySpec 'approx quantiles within relative error of exact' vs ORACLED quantiles_exact twin",
     "cluster_health" -> "engine introspection (executor/memory rows from the live session — no external ground truth exists); OperatorSpec all-queries smoke asserts shape + rows > 0",
-    "cms_freq" -> "PropertySpec 'count-min estimates are one-sided: exact <= est <= exact + eps*N'",
     "corpus_sketch_report" -> "PropertySpec 'theta sketch: exact regime, split bit-parity, sampled error bounds' — k exceeds verify-scale distincts so carried exact columns must equal estimates",
     "decontaminate_bloom" -> "PropertySpec 'bloom decontamination flags a superset of the exact join, FPs bounded' + PlanSpec 'probes without any corpus-side join'",
     "dedup_embedding_lsh" -> "PropertySpec 'embedding LSH headline theta=0.7: planted near-dups found, recall >= 0.95'",

@@ -133,6 +133,12 @@ object BpeTokenizer {
     org.apache.spark.sql.graftshim.exprToColumn(
       Utf8BytesToUnicode(org.apache.spark.sql.graftshim.columnToExpr(text)))
 
+  /** inverse of [[byte_unicode]]: mapped stand-in characters back to the
+    * original bytes — the decode half of the lossless round trip. */
+  def byte_unicode_decode(text: Column): Column =
+    org.apache.spark.sql.graftshim.exprToColumn(
+      Utf8BytesFromUnicode(org.apache.spark.sql.graftshim.columnToExpr(text)))
+
   /** byte-level token count: byte-map then greedy trie over [[byteVocab]] */
   def bpe_count_bytes(text: Column): Column =
     bpe_count(byte_unicode(text), byteVocab)
@@ -410,6 +416,53 @@ case class Utf8BytesToUnicode(child: Expression) extends UnaryExpression {
   override def prettyName: String = "byte_unicode"
   override protected def withNewChildInternal(newChild: Expression): Utf8BytesToUnicode =
     copy(child = newChild)
+}
+
+/** Codegen expression: the INVERSE byte-level map — every stand-in
+  * character becomes its original byte, so
+  * `from(to(x)) == x` bit-exactly for any input. A codepoint outside
+  * the 324-entry alphabet is a corrupted sequence and errors loudly
+  * (the [[BpeDecodeTokens]] convention, not silent skipping).
+  */
+case class Utf8BytesFromUnicode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  def decodeBytes(v: UTF8String): UTF8String = {
+    val str = v.toString
+    val out = new java.io.ByteArrayOutputStream(str.length)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.charAt(i).toInt // alphabet is BMP, ≤ 0x143
+      val b = Utf8BytesFromUnicode.inverse(
+        if (cp < Utf8BytesFromUnicode.inverse.length) cp else 0)
+      if (b < 0 || cp >= Utf8BytesFromUnicode.inverse.length)
+        throw new IllegalArgumentException(
+          s"byte_unicode_decode: codepoint $cp is not in the GPT-2 byte alphabet")
+      out.write(b); i += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    decodeBytes(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteUniDec", this, classOf[Utf8BytesFromUnicode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.decodeBytes($c);")
+  }
+
+  override def prettyName: String = "byte_unicode_decode"
+  override protected def withNewChildInternal(newChild: Expression): Utf8BytesFromUnicode =
+    copy(child = newChild)
+}
+
+object Utf8BytesFromUnicode {
+  /** mapped codepoint → original byte (−1 = not in the alphabet) */
+  private[functions] val inverse: Array[Int] = {
+    val inv = Array.fill(324)(-1)
+    (0 until 256).foreach(b => inv(BpeTokenizer.bytesToUnicode(b)) = b)
+    inv
+  }
 }
 
 /** Codegen expression: subword-token count of a string under a literal

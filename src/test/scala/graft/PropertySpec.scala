@@ -500,6 +500,13 @@ class PropertySpec extends SparkSpec {
       assert(est(v) >= e, s"$v under-estimated: ${est(v)} < $e")
       assert(est(v) <= e + math.ceil(0.001 * n).toLong * 3, s"$v over: ${est(v)} vs $e")
     }
+    // EXACT regime at the declared geometry (eps=0.001 ⇒ width 2000,
+    // depth 5, 5 distinct keys total): an estimate inflates only if some
+    // OTHER key collides in ALL 5 depth rows — this pin is what lets the
+    // declared cms_freq query carry a value oracle (exact counts); a
+    // Spark hashing change would fail here before it fails the oracle
+    items.foreach(v => assert(est(v) == exact(v),
+      s"$v: cms est ${est(v)} != exact ${exact(v)} — exact regime broken"))
   }
 
   test("privacy schema: sorted-key lookup, default fallback, zero rejected") {
@@ -1645,6 +1652,38 @@ class PropertySpec extends SparkSpec {
           rnd.nextInt(BpeTokenizer.defaultVocab.size))).mkString
       assert(bcount(w) == wordTrie.count(w), s"byte/word disagree on '$w'")
     }
+  }
+
+  test("byte-level BPE round trip is the identity on arbitrary byte content") {
+    import graft.functions.BpeTokenizer
+    import org.apache.spark.sql.types.StringType
+    import spark.implicits._
+    def roundTrip(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("t"),
+      BpeTokenizer.byte_unicode_decode(
+        BpeTokenizer.bpe_decode(
+          BpeTokenizer.bpe_encode(
+            BpeTokenizer.byte_unicode(col("t")), BpeTokenizer.byteVocab),
+          BpeTokenizer.byteVocab)).as("rt"))
+    val rnd = new scala.util.Random(909L)
+    val frags = Seq(" the", "  ", "\t", "\n", "Mixed CASE", "é", "日本",
+      "𝄞", "a'b", "the data", "", " x", "~!@#")
+    val texts = (0 until 200).map { _ =>
+      (0 until 1 + rnd.nextInt(6)).map(_ => frags(rnd.nextInt(frags.size)))
+        .mkString
+    } ++ frags
+    val out = roundTrip(texts.toDF("t")).collect()
+    out.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"round trip broke: '${r.getString(0)}' -> '${r.getString(1)}'")
+    }
+    // the decode side REJECTS codepoints outside the 324-char alphabet
+    // instead of silently skipping them
+    val e = intercept[Exception] {
+      Seq("ZZ").toDF("t")
+        .select(BpeTokenizer.byte_unicode_decode(lit("日")).as("x")).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("BPE tokenizer: UTF-8 vocab differential fuzz (multilingual entries, astral fallback)") {
