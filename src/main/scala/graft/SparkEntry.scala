@@ -5026,6 +5026,63 @@ object SparkEntry {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Generated oracle for the embedding-LSH near-dup queries: replays
+    * hyperplane banding VALUE-EXACTLY at the sf0.01 verify geometry.
+    * The coefficient matrix is the engine's own
+    * `HyperplaneBandKeys.planeMatrix` rendered as exact decimal
+    * doubles; projections replay FloatVecDot's ascending left-assoc
+    * double adds via `list_reduce` (its no-init fold IS the ascending
+    * left fold); the bucket is the same strict dot>0 bit word. Candidate
+    * membership (bucket equality in ≥1 band, deduped), the exact cosine
+    * verify, and the round-4 θ filter then mirror the engine — round-4
+    * cosine parity between `list_cosine_similarity` and the engine's
+    * cosinePre is already proven by the ORACLED all-pairs twin
+    * (`dedup_embedding`). Geometry (planes/bands) is the auto-tune
+    * answer AT VERIFY SCALE, computed here from the same formulas; the
+    * hot-bucket valve cannot fire at 500-row scale (bucket ≤ corpus ≪
+    * maxBucket), so the replay omits it.
+    */
+  private def embeddingLshOracleSql(nEstimate: Long, targetBucket: Long,
+      theta: Double, planted: Boolean): String = {
+    val planes = graft.ann.Similarity.autoPlanes(nEstimate, targetBucket)
+    val bands = graft.ann.Similarity.autoBands(planes, theta)
+    val m = graft.functions.HyperplaneBandKeys.planeMatrix(64, planes, bands)
+    val coefList = m.map(f =>
+      new java.math.BigDecimal(f.toDouble).toPlainString)
+      .mkString("[", ", ", "]")
+    val emb2 =
+      if (planted)
+        """SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 10000000, list_transform(embedding,
+          |      (x, i) -> CASE WHEN (i - 1) % 4 = 0
+          |        THEN CAST(0.0 AS FLOAT) ELSE x END)
+          |  FROM embeddings WHERE vec_id % 25 = 3""".stripMargin
+      else "SELECT vec_id, embedding FROM embeddings"
+    s"""WITH coefs AS (SELECT CAST($coefList AS DOUBLE[]) AS m),
+       |emb2 AS ($emb2),
+       |bb AS (
+       |  SELECT e.vec_id, t.b AS band,
+       |    list_reduce(list_transform(range(1, ${planes + 1}), p ->
+       |      CASE WHEN list_reduce(list_transform(range(1, 65), d ->
+       |          CAST(e.embedding[CAST(d AS INT)] AS DOUBLE)
+       |            * c.m[CAST(((t.b - 1) * $planes + (p - 1)) * 64 + d AS INT)]),
+       |        (a, x) -> a + x) > 0
+       |      THEN CAST(1 AS BIGINT) << CAST(p - 1 AS INT) ELSE CAST(0 AS BIGINT) END),
+       |      (a, x) -> a + x) AS bucket
+       |  FROM emb2 e CROSS JOIN coefs c, UNNEST(range(1, ${bands + 1})) t(b)),
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket
+       |    AND x.vec_id < y.vec_id)
+       |SELECT c.id_a, c.id_b,
+       |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+       |FROM cand c JOIN emb2 a ON a.vec_id = c.id_a
+       |  JOIN emb2 b ON b.vec_id = c.id_b
+       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |  CAST(b.embedding AS DOUBLE[])), 4) >= $theta""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt, $sumQty AS sum_qty,
@@ -7095,6 +7152,14 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= 8""".stripMargin,
+    // the sf0.01 auto-tune geometry: headline (planted, θ=0.7) resolves
+    // planes=6/bands=29 from nEstimate=520/targetBucket=16; stress
+    // (θ=0.4) resolves planes=4/bands=32 from n=500/targetBucket=64 —
+    // the generator recomputes via the SAME autoPlanes/autoBands
+    "dedup_embedding_lsh" ->
+      embeddingLshOracleSql(520L, 16L, 0.7, planted = true),
+    "dedup_embedding_lsh_stress" ->
+      embeddingLshOracleSql(500L, 64L, 0.4, planted = false),
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
@@ -8834,8 +8899,6 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
     "cluster_health" -> "engine introspection (executor/memory rows from the live session — no external ground truth exists); OperatorSpec all-queries smoke asserts shape + rows > 0",
     "corpus_sketch_report" -> "PropertySpec 'theta sketch: exact regime, split bit-parity, sampled error bounds' — k exceeds verify-scale distincts so carried exact columns must equal estimates",
     "decontaminate_bloom" -> "PropertySpec 'bloom decontamination flags a superset of the exact join, FPs bounded' + PlanSpec 'probes without any corpus-side join'",
-    "dedup_embedding_lsh" -> "PropertySpec 'embedding LSH headline theta=0.7: planted near-dups found, recall >= 0.95'",
-    "dedup_embedding_lsh_stress" -> "PropertySpec 'embedding LSH near-dup recall >= 0.95 vs exact all-pairs' + 'hot-bucket cut drops only the degenerate cell's pairs'",
     "dedup_embedding_semantic" -> "PipelineSpec 'semantic dedup: clone pairs found within clusters, subset of exact' — precision exact (every pair passes true cosine), recall gated",
     "dp_noisy_cdf" -> "PropertySpec 'dyadic noisy CDF: deterministic, monotone, O(log T) noise variables'",
     "dp_noisy_distinct" -> "PropertySpec 'noisy distinct: zero noise equals the bare sketch; radius composes' — zero-noise twin equals ORACLED hll path",
