@@ -3031,6 +3031,29 @@ object SparkEntry {
     // FineWeb-style survivor election: within each near-dup cluster
     // keep the HIGHEST-QUALITY copy (ties → lowest doc_id), not the
     // accidentally-first one
+    // the dedup DECISION REPORT — per-source accounting every pipeline
+    // publishes after a dedup pass (docs / clustered / dropped / keep
+    // rate), read straight off the stored cluster-map artifact: the
+    // report is a reporting-sized join, not a third mining pass
+    "dedup_report" -> ((s, d) => {
+      val cl = graft.dedup.Dedup.clusterMapArtifact(docs(s, d), d)
+      docs(s, d).select(col("doc_id"), col("source"))
+        .join(cl, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("cluster_id")).as("n_clustered"),
+          sum(when(col("cluster_id").isNotNull &&
+              col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L))
+            .as("n_dropped"))
+        .withColumn("keep_rate_e4", graft.text.TextAnalysis.intDiv(
+          (col("n_docs") - col("n_dropped")) * lit(10000L), col("n_docs")))
+    }),
+    // duplicate-cluster size distribution (the dedup-paper curve): how
+    // many clusters of each size — again a pure artifact consumer
+    "dedup_cluster_sizes" -> ((s, d) =>
+      graft.dedup.Dedup.clusterMapArtifact(docs(s, d), d)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))),
     "dedup_survivors_quality" -> ((s, d) => {
       // the election only reads scores of CLUSTER MEMBERS (the inner
       // join in survivorsByQuality drops everything else), so the
@@ -7088,6 +7111,21 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "dedup_clusters" -> (ccCte +
       "\nSELECT node AS doc_id, cluster_id FROM cc"),
+    "dedup_report" -> (ccCte + """
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(cc.cluster_id) AS BIGINT) AS n_clustered,
+      |  CAST(count(CASE WHEN cc.cluster_id IS NOT NULL
+      |    AND cc.cluster_id <> d.doc_id THEN 1 END) AS BIGINT) AS n_dropped,
+      |  ((CAST(count(*) AS BIGINT) - CAST(count(CASE WHEN cc.cluster_id IS NOT NULL
+      |    AND cc.cluster_id <> d.doc_id THEN 1 END) AS BIGINT)) * 10000)
+      |    // CAST(count(*) AS BIGINT) AS keep_rate_e4
+      |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+      |GROUP BY 1""".stripMargin),
+    "dedup_cluster_sizes" -> (ccCte + """,
+      |szs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+      |  FROM cc GROUP BY 1)
+      |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+      |FROM szs GROUP BY 1""".stripMargin),
     "dedup_containment" ->
       s"""WITH dc AS MATERIALIZED ($contDocsSelect),
          |w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
