@@ -1190,6 +1190,31 @@ object ScaleProbe {
         .agg(sum(col("n_docs"))).head().getLong(0)
     }
 
+    // ── r14 new-op probes (the new-op ×20 protocol) ────────────────
+
+    // byte-level BPE: pretokenize kernel + byte-map + byte-trie count —
+    // three narrow per-row kernels and ONE per-doc aggregation; the
+    // aggregate over the counts keeps Catalyst from pruning the kernels
+    probe("text_tokens_bpe_bytes", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.TextAnalysis.pretokenize(d)
+        .withColumn("__n",
+          functions.BpeTokenizer.bpe_count_bytes(col("pretoken")))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("__n")).as("n"))
+        .agg(sum(col("n"))).collect()(0).getLong(0)
+    }
+
+    // lossless byte round trip: encode → ids → decode → inverse map,
+    // all narrow (zero shuffle); checksum forces the whole chain
+    probe("text_detokenize_bytes", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      import graft.functions.BpeTokenizer._
+      d.select(byte_unicode_decode(bpe_decode(bpe_encode(
+          byte_unicode(col("text")), byteVocab), byteVocab)).as("rt"))
+        .agg(sum(length(col("rt")))).collect()(0).getLong(0)
+    }
+
     // ── ×100 ADVERSARIAL-SKEW probes (r13 ask #7) ──────────────────
     // The salted-duplicate regime above keeps keys uniform; these two
     // plant the skew the guards exist for, at the decade that matters.
