@@ -2061,6 +2061,30 @@ object SparkEntry {
           "closure_sig", js, org.apache.spark.sql.types.StringType)
         .select(col("doc_id"), col("closure_sig"))
     }),
+    // prototype mutation (the LAST documented GraalVM-boundary item,
+    // closed r14): a constructor function whose method table is built by
+    // mutating Ctor.prototype — instances share the live chain, `this`
+    // binds per call, chaining via `return this`
+    "dynamic_udf_js_proto" -> ((s, d) => {
+      val js = """function Acc(k) { this.k = k; this.n = 0; this.sum = 0; }
+      function map(row) {
+        Acc.prototype.add = function (x) {
+          this.n += 1; this.sum += x * this.k; return this;
+        };
+        Acc.prototype.mean10 = function () {
+          return Math.floor(this.sum * 10 / this.n);
+        };
+        var ws = row.text.split(' ');
+        var a = new Acc(2);
+        ws.forEach(function (w) { a.add(w.length); });
+        var b = new Acc(3);
+        b.add(5).add(7);
+        return a.n * 1000000 + a.mean10() * 100 + b.sum % 100;
+      }"""
+      graft.functions.JsGesture.withJsColumnTyped(docs(s, d),
+          "proto_sig", js, org.apache.spark.sql.types.DoubleType)
+        .select(col("doc_id"), col("proto_sig"))
+    }),
     // `this` + accessors (the r13 boundary item, closed r14): a stateful
     // accumulator object whose methods mutate through `this`, a setter
     // that clamps, a getter that derives — the OO-gesture shape GraalVM
@@ -5383,6 +5407,17 @@ object SparkEntry {
         |           ELSE length(w) END)) * 10000
         |    + len(list_filter(string_split(text, ' '),
         |        w -> length(w) > 6)) * 10 + 3 AS DOUBLE) AS score
+        |FROM documents""".stripMargin,
+    // the prototype-accumulator replay: n words, doubled length sum via
+    // the shared prototype method, floor mean on the integer grid, and
+    // the chained second instance contributes the constant 36
+    "dynamic_udf_js_proto" ->
+      """SELECT doc_id, CAST(
+        |  len(string_split(text, ' ')) * 1000000
+        |  + ((CAST(list_sum(list_transform(string_split(text, ' '),
+        |      w -> length(w) * 2)) AS BIGINT) * 10)
+        |    // len(string_split(text, ' '))) * 100
+        |  + 36 AS DOUBLE) AS proto_sig
         |FROM documents""".stripMargin,
     // the `this`-accumulator replay: n words, length total floored at
     // 100 by the setter, the getter's floor(total*10/n) — all integer

@@ -153,6 +153,11 @@ object JsProgram {
   final case class EIndex(arr: E, ix: E) extends E
   /** Regex literal, compiled once at parse time on the driver. */
   final case class ERegex(re: JsRegex) extends E
+  /** `new Ctor(args)` — constructor invocation: a fresh object whose
+    * prototype is the constructor's `.prototype`, the body run with
+    * `this` bound to it; an explicit OBJECT return overrides (the JS
+    * constructor-return rule), anything else yields the new object. */
+  final case class ENew(ctor: E, args: Seq[E]) extends E
 
   /** Compiled JS regex literal value (`/pattern/flags`). The dialect is
     * the Java-compatible subset of JS regex syntax — character classes,
@@ -215,6 +220,10 @@ object JsProgram {
       * bound to this object */
     var getters: scala.collection.mutable.LinkedHashMap[String, Any] = null
     var setters: scala.collection.mutable.LinkedHashMap[String, Any] = null
+    /** prototype link, fixed at creation (`new Ctor` instances). There
+      * is no `__proto__` accessor, so chains are creation-time DAGs —
+      * acyclic by construction (a defensive depth cap guards anyway). */
+    var proto: JsObj = null
     override def toString: String = "[object Object]"
   }
 
@@ -224,6 +233,11 @@ object JsProgram {
     * numeric coercion NaN. */
   final class JsFunc(val fnIx: Int, val env: Array[Array[Any]])
     extends Serializable {
+    /** `.prototype` object, auto-vivified on first access; per-row
+      * function identity (top-level refs memoize per evaluation) keeps
+      * mutations visible across all references WITHIN a row and
+      * isolated BETWEEN rows. */
+    var prototype: JsObj = null
     override def toString: String = "function"
   }
 
@@ -856,7 +870,6 @@ object JsProgram {
             EGlobal(if (f == "keys") "ObjectKeys" else "ObjectValues", Seq(a0))
           case "new" =>
             val ctor = p.ident()
-            if (ctor != "Date") p.fail(s"unsupported constructor 'new $ctor'")
             p.expect("(")
             val args = scala.collection.mutable.ArrayBuffer.empty[E]
             if (!p.peek(")")) {
@@ -864,11 +877,24 @@ object JsProgram {
               while (p.eat(",")) args += parseExpr(p, b, sc)
             }
             p.expect(")")
-            if (args.isEmpty) p.fail(
-              "new Date() reads the wall clock — gestures must be " +
-                "deterministic; pass epoch millis or Y/M/D components")
-            if (args.size > 7) p.fail("new Date: too many arguments")
-            ENewDate(args.toSeq)
+            if (ctor == "Date") {
+              if (args.isEmpty) p.fail(
+                "new Date() reads the wall clock — gestures must be " +
+                  "deterministic; pass epoch millis or Y/M/D components")
+              if (args.size > 7) p.fail("new Date: too many arguments")
+              ENewDate(args.toSeq)
+            } else {
+              // user constructor: the name resolves exactly like any
+              // identifier (local, upvalue, or top-level function)
+              val ctorE: E =
+                if (sc.resolve(ctor).isDefined) sc.resolve(ctor).get match {
+                  case (0, slot) => ELocal(slot)
+                  case (lvl, slot) => EUp(lvl, slot)
+                }
+                else if (b.fnNames.contains(ctor)) EFuncRef(b.fnNames(ctor))
+                else p.fail(s"unknown constructor 'new $ctor'")
+              ENew(ctorE, args.toSeq)
+            }
           case "Date" if p.peek(".") =>
             p.expect("."); val f = p.ident()
             if (f != "UTC") p.fail(s"unsupported Date.$f")
@@ -1077,6 +1103,24 @@ object JsProgram {
     // threads through every ev/exec site
     def thisOf(frame: Array[Any]): Any = frame(frame.length - 2)
 
+    // top-level function VALUES memoize per ROW evaluation: every
+    // reference to a declared function is the same object (GraalVM
+    // semantics — `F.prototype` mutations are visible through all refs
+    // within the row), and the per-row array keeps prototype state
+    // strictly row-isolated. Function EXPRESSIONS stay fresh per eval
+    // (each evaluation of a literal is a new object in JS too).
+    val fnVals = new Array[JsFunc](prog.fns.length)
+    def fnValOf(ix: Int): JsFunc = {
+      if (fnVals(ix) == null) fnVals(ix) = new JsFunc(ix, EmptyEnv)
+      fnVals(ix)
+    }
+    def protoOf(jf: JsFunc): JsObj = {
+      if (jf.prototype == null)
+        jf.prototype = new JsObj(
+          scala.collection.mutable.LinkedHashMap.empty[String, Any])
+      jf.prototype
+    }
+
     def callFn(ix: Int, args: Array[Any], depth: Int,
         env: Array[Array[Any]], thisv: Any = null): Any = {
       if (depth > MaxDepth)
@@ -1106,20 +1150,44 @@ object JsProgram {
       case other => sys.error(s"$other is not a function")
     }
 
-    /** Object property READ through a getter when one is defined. */
-    def objGet(o: JsObj, k: String, depth: Int): Any =
-      if (o.getters != null && o.getters.contains(k))
-        callValue(o.getters(k), Array.empty[Any], depth, o)
-      else o.m.getOrElse(k, null)
+    /** Object property READ: own getter → own data → up the prototype
+      * chain (proto getters run with `this` = the ORIGINAL receiver —
+      * the JS receiver rule). Chains are acyclic by construction (no
+      * `__proto__` accessor); the cap is defensive only. */
+    def objGet(o: JsObj, k: String, depth: Int): Any = {
+      var cur = o
+      var hops = 0
+      while (cur != null) {
+        if (hops > 64) sys.error("prototype chain too deep")
+        if (cur.getters != null && cur.getters.contains(k))
+          return callValue(cur.getters(k), Array.empty[Any], depth, o)
+        if (cur.m.contains(k)) return cur.m(k)
+        cur = cur.proto; hops += 1
+      }
+      null
+    }
 
-    /** Object property WRITE through a setter when one is defined; an
-      * accessor with only a getter swallows the write (the JS sloppy-
-      * mode no-op), it does NOT shadow the getter with a data field. */
-    def objSet(o: JsObj, k: String, v: Any, depth: Int): Unit =
-      if (o.setters != null && o.setters.contains(k)) {
-        callValue(o.setters(k), Array[Any](v), depth, o); ()
-      } else if (o.getters != null && o.getters.contains(k)) ()
-      else o.m(k) = v
+    /** Object property WRITE: an own or INHERITED setter intercepts
+      * (running with `this` = the receiver); an own or inherited
+      * getter-only accessor swallows the write (the JS sloppy-mode
+      * no-op); otherwise the write creates/updates an OWN data property
+      * — inherited data properties are shadowed, never mutated. */
+    def objSet(o: JsObj, k: String, v: Any, depth: Int): Unit = {
+      var cur = o
+      var hops = 0
+      while (cur != null) {
+        if (hops > 64) sys.error("prototype chain too deep")
+        if (cur.setters != null && cur.setters.contains(k)) {
+          callValue(cur.setters(k), Array[Any](v), depth, o); return
+        }
+        if (cur.getters != null && cur.getters.contains(k)) return
+        // an own DATA property stops the accessor search (it shadows
+        // anything inherited); inherited data properties do not
+        if ((cur eq o) && cur.m.contains(k)) { cur.m(k) = v; return }
+        cur = cur.proto; hops += 1
+      }
+      o.m(k) = v
+    }
 
     def exec(stmts: Vector[S], frame: Array[Any], depth: Int): Sig = {
       var i = 0
@@ -1166,6 +1234,14 @@ object JsProgram {
                 objSet(o, name,
                   if (op == "=") v else binOp(op, objGet(o, name, depth), v),
                   depth)
+              case jf: JsFunc if name == "prototype" && op == "=" =>
+                ev(value, frame, depth) match {
+                  // wholesale prototype replacement: future `new F`
+                  // instances link to the new object; existing instances
+                  // keep their creation-time chain (the JS rule)
+                  case po: JsObj => jf.prototype = po
+                  case other => sys.error(s"F.prototype must be an object, got $other")
+                }
               case null => () // null target: SQL propagation, no-op
               case other => sys.error(s"cannot set property .$name on $other")
             }
@@ -1391,8 +1467,26 @@ object JsProgram {
           callValue(f, vs, depth)
         case EUp(level, slot) => envOf(frame)(level - 1)(slot)
         case EThis => thisOf(frame)
-        case EFuncRef(ix) => new JsFunc(ix, EmptyEnv)
+        case EFuncRef(ix) => fnValOf(ix)
         case EFuncExpr(ix) => new JsFunc(ix, frame +: envOf(frame))
+        case ENew(ctorE, args) =>
+          ev(ctorE, frame, depth) match {
+            case jf: JsFunc =>
+              val o = new JsObj(
+                scala.collection.mutable.LinkedHashMap.empty[String, Any])
+              o.proto = protoOf(jf)
+              val vs = new Array[Any](args.size)
+              var i = 0
+              while (i < args.size) { vs(i) = ev(args(i), frame, depth); i += 1 }
+              callFn(jf.fnIx, vs, depth + 1, jf.env, o) match {
+                // the JS constructor-return rule: an explicit OBJECT
+                // return overrides; primitives/undefined yield the new
+                // instance
+                case ro: JsObj => ro
+                case _ => o
+              }
+            case other => sys.error(s"$other is not a constructor")
+          }
         case EMeth(recvE, name, args) =>
           val recv = ev(recvE, frame, depth)
           evalMethod(recv, name, args, frame, depth)
@@ -1501,6 +1595,10 @@ object JsProgram {
           // this path only ever sees parenless PROPERTY READS — through
           // a getter when one is defined
           objGet(o, name, depth)
+        case jf: JsFunc if name == "prototype" =>
+          // F.prototype — auto-vivified; mutations through it are what
+          // build the method table `new F` instances inherit
+          protoOf(jf)
         case re: JsRegex =>
           name match {
             case "test" =>

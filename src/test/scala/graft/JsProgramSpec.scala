@@ -776,6 +776,74 @@ class JsProgramSpec extends SparkSpec {
     assert(e.getMessage != null) // "null is not a function" — engine-fatal
   }
 
+  test("prototypes: constructor instances share live prototype methods") {
+    val js = """function Counter(step) { this.step = step; this.n = 0; }
+    function map(row) {
+      Counter.prototype.bump = function () { this.n += this.step; return this.n; };
+      var a = new Counter(2);
+      var b = new Counter(5);
+      a.bump(); a.bump(); b.bump();
+      // method added AFTER construction is visible (live chain)
+      Counter.prototype.peek = function () { return this.n * 10; };
+      return '' + a.n + ':' + b.n + ':' + a.peek() + ':' + b.peek() +
+        ':' + (Counter.prototype === Counter.prototype);
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame.limit(1), "r", js, StringType)
+      .select(col("r")).head().getString(0)
+    assert(got == "4:5:40:50:true", got)
+  }
+
+  test("prototypes: own properties shadow, writes never mutate the prototype") {
+    val js = """function T() {}
+    function map(row) {
+      T.prototype.x = 7;
+      var a = new T();
+      var b = new T();
+      var before = a.x;       // inherited 7
+      a.x = 99;               // own shadow on a ONLY
+      return '' + before + ':' + a.x + ':' + b.x + ':' + T.prototype.x +
+        ':' + a.hasOwnProperty('x') + ':' + b.hasOwnProperty('x');
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame.limit(1), "r", js, StringType)
+      .select(col("r")).head().getString(0)
+    assert(got == "7:99:7:7:true:false", got)
+  }
+
+  test("prototypes: constructor object-return override, accessors on the chain") {
+    val js = """function Boxed(v) { this.ignored = v; return {wrapped: v * 2}; }
+    function Plain(v) { this.v = v; return v; }
+    function P(v) { this.v = v; }
+    function map(row) {
+      P.prototype = {
+        get dbl() { return this.v * 2; },
+        set clamp(x) { if (this.v > x) this.v = x; }
+      };
+      var p = new P(9);
+      var viaGetter = p.dbl;    // proto getter, this = instance: 18
+      p.clamp = 4;              // proto setter intercepts: v -> 4
+      return '' + new Boxed(3).wrapped + ':' + new Plain(8).v +
+        ':' + viaGetter + ':' + p.v + ':' + p.dbl;
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame.limit(1), "r", js, StringType)
+      .select(col("r")).head().getString(0)
+    assert(got == "6:8:18:4:8", got)
+  }
+
+  test("prototypes: mutations are row-isolated (fresh function identity per row)") {
+    // appends to a prototype-held array: if prototype state leaked
+    // across rows the length would grow row over row
+    val js = """function K() {}
+    function map(row) {
+      if (!K.prototype.hasOwnProperty('log')) { K.prototype.log = []; }
+      var k = new K();
+      k.log.push(row.q);
+      return k.log.length;
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame, "r", js, DoubleType)
+      .select(col("r")).collect().map(_.getDouble(0))
+    assert(got.length == 60 && got.forall(_ == 1.0), got.take(5).toSeq.toString)
+  }
+
   test("closures: runaway callback recursion stays engine-fatal") {
     val js = """function map(row) {
       var f = function (x) { return f(x + 1); }; // unbounded self-call
