@@ -29,6 +29,13 @@ object Bench {
     // runs — only code paths (codegen, JIT) stay warm, the data is
     // re-read every run.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // The dedup_/ann_ family actually executes max(runs, 3) runs (see
+    // perQueryRuns below), so a top-level "runs" alone would misstate
+    // the denominator behind min/spread for exactly the noisiest family
+    // the spread field exists for. `runs_heavy` is emitted next to it:
+    // the two fields plus the name-prefix rule fully determine every
+    // query's run count.
+    val runsHeavy = math.max(runs, 3)
     // Cross-query hygiene (r5 verdict): `clearCache()` alone does not free
     // localCheckpoint RDD blocks, so the dedup family's checkpointed
     // signature RDDs stayed resident and inflated later measurements by
@@ -58,7 +65,7 @@ object Bench {
       // signatures, broadcast candidate sets); give it one extra run so a
       // single perturbed execution can't define the reported minimum.
       val heavyFamily = name.startsWith("dedup_") || name.startsWith("ann_")
-      val perQueryRuns = if (heavyFamily) math.max(runs, 3) else runs
+      val perQueryRuns = if (heavyFamily) math.max(runsHeavy, runs) else runs
       val times = (1 to perQueryRuns).map { _ =>
         quiesce()
         val t0 = System.nanoTime()
@@ -118,7 +125,7 @@ object Bench {
       round.map(r => s"bench_out_r$r.json") else None
     val mapField = benchMap.map(f => s""","bench_map":"$f"""").getOrElse("")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"sf":"$sfDir"$buildSplit$mapField}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"runs_heavy":$runsHeavy,"heavy_prefixes":["dedup_","ann_"],"queries":$qs,"spread":$spreads,"sf":"$sfDir"$buildSplit$mapField}"""
     spark.stop()
     // The full per-query line is >2 KB (150+ queries), so a 2000-char
     // stdout tail cannot hold it whole. Survival strategy:

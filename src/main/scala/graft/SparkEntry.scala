@@ -3043,10 +3043,19 @@ object SparkEntry {
     // verdict's storable-model ask; at 100 TB re-mining per consumer is
     // absurd)
     "dedup_clusters" -> ((s, d) =>
-      graft.dedup.Dedup.clusterMapArtifact(docs(s, d), d)),
+      graft.dedup.Dedup.clusterMapArtifact(s, d)),
+    // mining-cost observability twin (r15 advisor ask): dedup_clusters
+    // serves the stored artifact (the first run mines and writes, every
+    // later run is a parquet read), so its bench number no longer tracks
+    // LSH+CC mining regressions round over round. This twin ALWAYS runs
+    // the mining subtree — no artifact — keeping the most expensive
+    // dedup computation visible in the bench receipt.
+    "dedup_cluster_mine" -> ((s, d) =>
+      graft.dedup.Dedup.connectedComponents(
+        graft.dedup.Dedup.minhashLshPairs(docs(s, d)))),
     "dedup_survivors" -> ((s, d) =>
       graft.dedup.Dedup.survivorsFromClusters(docs(s, d),
-        graft.dedup.Dedup.clusterMapArtifact(docs(s, d), d))
+        graft.dedup.Dedup.clusterMapArtifact(s, d))
         .select(col("doc_id"))),
     // containment (asymmetric Jaccard): the excerpt/quote-inclusion
     // dedup symmetric near-dup misses — θ=0.9 on either direction
@@ -3060,7 +3069,7 @@ object SparkEntry {
     // rate), read straight off the stored cluster-map artifact: the
     // report is a reporting-sized join, not a third mining pass
     "dedup_report" -> ((s, d) => {
-      val cl = graft.dedup.Dedup.clusterMapArtifact(docs(s, d), d)
+      val cl = graft.dedup.Dedup.clusterMapArtifact(s, d)
       docs(s, d).select(col("doc_id"), col("source"))
         .join(cl, Seq("doc_id"), "left")
         .groupBy(col("source"))
@@ -3075,7 +3084,7 @@ object SparkEntry {
     // duplicate-cluster size distribution (the dedup-paper curve): how
     // many clusters of each size — again a pure artifact consumer
     "dedup_cluster_sizes" -> ((s, d) =>
-      graft.dedup.Dedup.clusterMapArtifact(docs(s, d), d)
+      graft.dedup.Dedup.clusterMapArtifact(s, d)
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))),
     "dedup_survivors_quality" -> ((s, d) => {
@@ -3084,7 +3093,7 @@ object SparkEntry {
       // quality pass runs over the semi-joined member set — cluster-
       // map-sized, not corpus-sized — and the cluster map itself comes
       // from the shared stored artifact, not a fresh mining pass
-      val cl = graft.dedup.Dedup.clusterMapArtifact(docs(s, d), d)
+      val cl = graft.dedup.Dedup.clusterMapArtifact(s, d)
       graft.dedup.Dedup.survivorsByQuality(cl,
         graft.text.TextAnalysis.qualityGridScore(docs(s, d)
           .join(cl.select(col("doc_id")), Seq("doc_id"), "left_semi")))
@@ -7145,6 +7154,10 @@ object SparkEntry {
         |  '(^|[^0-9.])((\d{1,3}\.){3}\d{1,3})([^0-9.]|$)', '\1<IP>\4', 'g') AS clean
         |FROM documents""".stripMargin,
     "dedup_clusters" -> (ccCte +
+      "\nSELECT node AS doc_id, cluster_id FROM cc"),
+    // the always-mine twin computes the identical map, so the oracle is
+    // the same recursive-CTE connected-components replay
+    "dedup_cluster_mine" -> (ccCte +
       "\nSELECT node AS doc_id, cluster_id FROM cc"),
     "dedup_report" -> (ccCte + """
       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,

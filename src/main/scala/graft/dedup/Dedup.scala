@@ -643,53 +643,146 @@ object Dedup {
     * per downstream consumer multiplies the most expensive mining subtree
     * in the whole dedup family by the number of consumers.
     *
+    * Input contract: the artifact is ALWAYS mined from the raw documents
+    * table of `inputDir`, loaded here — callers cannot hand in a frame at
+    * all, so a filtered/transformed view can never silently serve (or be
+    * served) the raw-table map. (r14 took a `docs` frame on the honor
+    * system; this signature makes the contract structural.)
+    *
     * Freshness: the artifact carries a fingerprint of the input table's
     * file listing (name, length, mtime), the mining parameters, and the
-    * engine build (this class file's timestamp — a recompile conservatively
-    * re-mines, so a changed mining algorithm can never serve a stale map).
-    * Mismatch ⇒ rebuild; match ⇒ one parquet read, no mining at all.
+    * engine build (an md5 of the mining classes' BYTECODE — a recompile
+    * that changes the mining algorithm re-mines even when running from a
+    * classes directory whose root mtime never moves). Mismatch ⇒ rebuild;
+    * match ⇒ one parquet read, no mining at all. Publication is atomic
+    * (fingerprint-addressed data dir, marker written last), so concurrent
+    * JVMs (bench + verify, parallel CI) can never observe a half-written
+    * map: see [[publishArtifact]].
     */
-  def clusterMapArtifact(docs: DataFrame, inputDir: String, n: Int = 3,
+  def clusterMapArtifact(spark: org.apache.spark.sql.SparkSession,
+      inputDir: String, n: Int = 3,
       k: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
-    val spark = docs.sparkSession
+    val docs = graft.engine.Tables.documents(spark, inputDir)
     val params = s"n$n-k$k-b$bands-t$threshold"
     val dir = graft.sources.Sources.rtDir("cluster_map_" +
       java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
         .stringHash(inputDir + "|" + params).toLong & 0xffffffffL))
-    val data = java.nio.file.Paths.get(dir, "map.parquet").toString
-    this.synchronized {
-      // freshness re-checked on every call (a file stat + tiny md5 —
-      // nanoseconds against any query): an input mutated even mid-session
-      // re-mines instead of serving the stale map
-      val fp = inputFingerprint(inputDir, params)
-      val marker = java.nio.file.Paths.get(dir, "_FINGERPRINT")
-      val fresh = java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
-      if (!fresh) {
-        connectedComponents(minhashLshPairs(docs, n, k, bands, threshold))
-          .write.mode("overwrite").parquet(data)
-        java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
-      }
+    // freshness re-checked on every call (a file stat + tiny md5 —
+    // nanoseconds against any query): an input mutated even mid-session
+    // re-mines instead of serving the stale map
+    val fp = md5Hex(s"$params|$buildStamp|" +
+      tableListing(new java.io.File(inputDir, "documents.parquet")))
+    serveOrBuild(spark, dir, fp) {
+      connectedComponents(minhashLshPairs(docs, n, k, bands, threshold))
     }
-    spark.read.parquet(data)
   }
 
-  /** Input identity for [[clusterMapArtifact]]: the documents table's
-    * file listing + params + the engine build stamp. */
-  private def inputFingerprint(inputDir: String, params: String): String = {
-    val table = new java.io.File(inputDir, "documents.parquet")
+  /** Serve the artifact under `dir` if its published fingerprint equals
+    * `fp`; otherwise build, publish atomically, and serve. The
+    * check-build-publish is JVM-serialized (`synchronized`) AND safe
+    * across JVMs: data dirs are fingerprint-addressed so a concurrent
+    * builder of a DIFFERENT fingerprint never touches the dir a reader
+    * is scanning, and a concurrent builder of the SAME fingerprint
+    * loses the atomic move and simply serves the winner's copy.
+    */
+  private def serveOrBuild(spark: org.apache.spark.sql.SparkSession,
+      dir: String, fp: String)(build: => DataFrame): DataFrame = {
+    val data = java.nio.file.Paths.get(dir, s"map_${md5Hex(fp)}.parquet")
+    this.synchronized {
+      val marker = java.nio.file.Paths.get(dir, "_FINGERPRINT")
+      val fresh = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp &&
+        java.nio.file.Files.exists(data)
+      if (!fresh) publishArtifact(dir, data, fp, build)
+    }
+    spark.read.parquet(data.toString)
+  }
+
+  /** Atomic artifact publication (the crash/concurrency contract):
+    *  1. the dataset is written to a hidden temp dir under the artifact
+    *     root, then ATOMIC_MOVEd into its fingerprint-addressed slot
+    *     (`map_<md5(fp)>.parquet`) — a reader can never list a
+    *     half-written data dir, and a concurrent same-fingerprint
+    *     builder that loses the move just discards its temp copy;
+    *  2. the `_FINGERPRINT` marker is written LAST, itself via
+    *     temp-file + ATOMIC_MOVE — the marker only ever points at a
+    *     fully-published data dir, so a crash between (1) and (2)
+    *     leaves the previous publication intact and the new data dir
+    *     an unreferenced orphan (re-published or GC'd next build);
+    *  3. superseded `map_*` dirs are garbage-collected best-effort
+    *     with a grace period, so a reader that loaded the old marker
+    *     moments before a re-publication can still finish its scan.
+    */
+  private def publishArtifact(dir: String, data: java.nio.file.Path,
+      fp: String, build: => DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val nonce = java.lang.Long.toHexString(System.nanoTime())
+    val tmp = Paths.get(dir, s".tmp_$nonce")
+    build.write.mode("overwrite").parquet(tmp.toString)
+    try Files.move(tmp, data, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // a concurrent JVM published the same fingerprint first — its
+      // copy is byte-equivalent for our purposes; drop ours
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException =>
+        deleteRecursively(tmp.toFile)
+    }
+    val mtmp = Paths.get(dir, s".marker_$nonce")
+    Files.write(mtmp, fp.getBytes("UTF-8"))
+    Files.move(mtmp, Paths.get(dir, "_FINGERPRINT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // GC superseded data dirs (grace period: an in-flight reader of the
+    // old publication gets 10 minutes to finish its scan)
+    val cutoff = System.currentTimeMillis() - 10 * 60 * 1000L
+    Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .filter(f => f.getName.startsWith("map_") && f.isDirectory &&
+        f.toPath != data && f.lastModified < cutoff)
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** File-listing identity of one parquet table (name, length, mtime of
+    * every part file, sorted) — the per-input component of artifact
+    * fingerprints.
+    */
+  private def tableListing(table: java.io.File): String = {
     val files =
       if (table.isDirectory)
         Option(table.listFiles).toSeq.flatten.sortBy(_.getName)
       else Seq(table)
-    val build = try {
-      val src = getClass.getProtectionDomain.getCodeSource
-      if (src != null) new java.io.File(src.getLocation.toURI).lastModified
-      else 0L
-    } catch { case _: Exception => 0L }
-    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString(s"$params|$build|", ",", "")
+    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
+  }
+
+  private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Engine build stamp for artifact fingerprints: md5 of the MINING
+    * CLASSES' bytecode, streamed from the classpath. The r14 stamp used
+    * the codeSource location's lastModified, but when running from a
+    * classes DIRECTORY (sbt test/run) the root dir's mtime does not
+    * change when a nested .class file is recompiled — a changed mining
+    * algorithm could silently serve a stale map. Hashing the bytes of
+    * the classes that implement the mining path (this object and the
+    * MinHash kernels) makes "a recompile conservatively re-mines" true
+    * under every deployment layout (jar or classes dir).
+    */
+  private lazy val buildStamp: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq("/graft/dedup/Dedup$.class", "/graft/dedup/Dedup.class",
+        "/graft/functions/MinHashExpression$.class",
+        "/graft/functions/MinHashExpression.class").foreach { name =>
+      val in = getClass.getResourceAsStream(name)
+      if (in != null) try {
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r > 0) { md.update(buf, 0, r); r = in.read(buf) }
+      } finally in.close()
+    }
+    md.digest().map("%02x".format(_)).mkString
   }
 }

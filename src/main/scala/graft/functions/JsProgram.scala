@@ -98,8 +98,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * (with and without seed)/some/every/sort (comparator or JS default
   * stringify order). Function values have identity `===`, stringify
   * as "function", coerce to NaN. Fuel/call-depth guards apply through
-  * closure calls, so callback-driven loops stay bounded. Still
-  * unsupported, by design: prototypes, getters/setters, `this`.
+  * closure calls, so callback-driven loops stay bounded.
+  *
+  * Objects (r14): the gesture boundary is CLOSED — method calls bind
+  * `this` through a dedicated frame slot, object literals may declare
+  * getter/setter accessors (routed through every read/write form), and
+  * prototypes work in full: `new Ctor(args)` with the constructor-return
+  * rule, auto-vivified live `.prototype` chains, own-property shadowing,
+  * inherited accessors, wholesale prototype replacement. Nothing of the
+  * reference's GraalVM gesture surface remains unsupported.
   */
 object JsProgram {
 
@@ -1506,6 +1513,15 @@ object JsProgram {
               var i = 0
               while (i < args.size) { vs(i) = ev(args(i), frame, depth); i += 1 }
               callValue(f, vs, depth, o)
+            case jf: JsFunc if name == "prototype" =>
+              // F.prototype(x): resolve the member like a read would
+              // (auto-vivifies, same as the parenless path), then fail
+              // the CALL — prototype objects are not callable, and
+              // falling through to the property-read path would silently
+              // discard the arguments instead of raising the TypeError
+              // every other non-callable call gets
+              protoOf(jf)
+              sys.error("prototype object is not a function")
             // built-in receivers (arrays, strings, regex, dates) keep
             // the built-in method table
             case other => evalMethod(other, name, args, frame, depth)

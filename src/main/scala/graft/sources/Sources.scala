@@ -200,10 +200,23 @@ object Sources {
   /** Fixed scratch directory per purpose (overwritten on reuse) — the
     * round-trip helpers run once per bench iteration, so per-invocation
     * fresh temp dirs would leak disk across long warm-run sweeps.
+    *
+    * The root is configurable via SPARK_GRAFT_RT_DIR because two very
+    * different object classes live here: throwaway round-trip scratch
+    * AND the engine's write-once ARTIFACTS (the dedup cluster map, the
+    * PQ/IVF index). On a real cluster the artifacts are exactly the
+    * objects that must live on the shared store (HDFS/S3 path via a
+    * mounted filesystem) so every executor and every session serves the
+    * same published model; the default driver-local tmpdir is only
+    * right for single-node use. Artifact writers publish atomically
+    * (data moved into a fingerprint-addressed dir first, marker written
+    * last — see Dedup.publishArtifact), so a crash mid-write can never
+    * leave a readable-but-partial artifact behind the marker.
     */
   def rtDir(name: String): String = {
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_rt", name)
+    val root = sys.env.getOrElse("SPARK_GRAFT_RT_DIR",
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_rt").toString)
+    val p = java.nio.file.Paths.get(root, name)
     java.nio.file.Files.createDirectories(p)
     p.toString
   }

@@ -91,16 +91,22 @@ class PipelineSpec extends SparkSpec {
     val far = (200 to 240).map(i => s"u$i").mkString(" ")
     docsDF(Seq(base, nd, far)).write.parquet(s"$inDir/documents.parquet")
     val d = spark.read.parquet(s"$inDir/documents.parquet")
+    // r15 layout: data dirs are FINGERPRINT-ADDRESSED (map_<h>.parquet)
+    // with a marker-last atomic publish, so "same files" and "fresh
+    // files" are observed across every map_* dir under the artifact root
     def mapFiles(): Set[(String, Long)] = {
-      val dir = new java.io.File(graft.sources.Sources.rtDir("cluster_map_" +
+      val root = new java.io.File(graft.sources.Sources.rtDir("cluster_map_" +
         java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
-          .stringHash(inDir + "|n3-k16-b8-t0.5").toLong & 0xffffffffL)),
-        "map.parquet")
-      Option(dir.listFiles).toSeq.flatten.filter(_.getName.endsWith(".parquet"))
-        .map(f => (f.getName, f.lastModified)).toSet
+          .stringHash(inDir + "|n3-k16-b8-t0.5").toLong & 0xffffffffL)))
+      Option(root.listFiles).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("map_"))
+        .flatMap(d => Option(d.listFiles).toSeq.flatten)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getParentFile.getName + "/" + f.getName, f.lastModified))
+        .toSet
     }
     // 1 — content identical to the direct mining path
-    val art = Dedup.clusterMapArtifact(d, inDir, 3, 16, 8, 0.5)
+    val art = Dedup.clusterMapArtifact(spark, inDir, 3, 16, 8, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val direct = Dedup.connectedComponents(
       Dedup.minhashLshPairs(d, 3, 16, 8, 0.5))
@@ -109,13 +115,13 @@ class PipelineSpec extends SparkSpec {
     // 2 — a second call serves the STORED map: no rewrite, same files
     val before = mapFiles()
     assert(before.nonEmpty)
-    Dedup.clusterMapArtifact(d, inDir, 3, 16, 8, 0.5).count()
+    Dedup.clusterMapArtifact(spark, inDir, 3, 16, 8, 0.5).count()
     assert(mapFiles() == before)
     // 3 — mutated input (new mtime) invalidates the fingerprint: the next
-    // call re-mines (overwrite writes fresh part files)
+    // call re-mines (a NEW fingerprint-addressed dir is published)
     Option(new java.io.File(s"$inDir/documents.parquet").listFiles).toSeq
       .flatten.foreach(f => assert(f.setLastModified(f.lastModified + 5000)))
-    Dedup.clusterMapArtifact(d, inDir, 3, 16, 8, 0.5).count()
+    Dedup.clusterMapArtifact(spark, inDir, 3, 16, 8, 0.5).count()
     assert(mapFiles() != before)
   }
 
