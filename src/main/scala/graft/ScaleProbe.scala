@@ -1255,6 +1255,35 @@ object ScaleProbe {
         maxBucket = 300, carryVectors = true).count()
     }
 
+    // ── r15: cluster-map artifact build vs serve ───────────────────
+    // The write-once artifact has two cost regimes and they must be
+    // probed separately (the ann_pq_build_split precedent): BUILD =
+    // LSH mining + CC + atomic publish, scaling with the corpus; SERVE
+    // = one parquet read of the stored model, which must stay ~flat
+    // across the decade (the whole point of the artifact is that the
+    // decision family's queries pay serve, never build).
+    def cmapInput(c: Int): String = {
+      val dir = sources.Sources.rtDir(s"probe_cmap_in_x$c")
+      val done = new java.io.File(dir, "_DONE")
+      if (!done.exists) {
+        replicate(docs, c, Map("doc_id" -> 10000000L))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        done.createNewFile()
+      }
+      dir
+    }
+    probe("cluster_map_build", Seq(1, 20)) { c =>
+      val in = cmapInput(c)
+      // force a re-mine each run: drop the published marker
+      // (fingerprint-addressed data dirs make this safe mid-flight)
+      dedup.Dedup.clusterMapInvalidate(in)
+      dedup.Dedup.clusterMapArtifact(spark, in).count()
+    }
+    probe("cluster_map_serve", Seq(1, 20)) { c =>
+      val in = cmapInput(c)
+      dedup.Dedup.clusterMapArtifact(spark, in).count()
+    }
+
     probe("pipeline_end2end", Seq(1, 100)) { c =>
       val d = replicate(docs, c, Map("doc_id" -> 10000000L))
       val w = org.apache.spark.sql.expressions.Window

@@ -3053,6 +3053,22 @@ object SparkEntry {
     "dedup_cluster_mine" -> ((s, d) =>
       graft.dedup.Dedup.connectedComponents(
         graft.dedup.Dedup.minhashLshPairs(docs(s, d)))),
+    // INCREMENTAL cluster-map maintenance (r15 headline): the corpus
+    // arrives as shards (here: documents split doc_id mod 3, written
+    // once to scratch); a base map is published over shards {0,1} only
+    // on first contact, then shard 2 is FOLDED in — delta×delta +
+    // delta×corpus banding, CC over (stored map edges ∪ new pairs) —
+    // never a corpus re-mine. The folded map is bit-identical to a full
+    // mine of the union, which is exactly what the oracle replays (the
+    // same recursive-CTE CC over the whole documents table).
+    "dedup_clusters_incremental" -> ((s, d) => {
+      val shards = graft.dedup.Dedup.ensureDocShards(s, d, 3)
+      val name = "docs_mod3_" + Integer.toHexString(d.hashCode)
+      if (!graft.dedup.Dedup.foldedArtifactExists(name))
+        graft.dedup.Dedup.clusterMapArtifactFolded(s, name, shards.take(2))
+          .count()
+      graft.dedup.Dedup.clusterMapArtifactFolded(s, name, shards)
+    }),
     "dedup_survivors" -> ((s, d) =>
       graft.dedup.Dedup.survivorsFromClusters(docs(s, d),
         graft.dedup.Dedup.clusterMapArtifact(s, d))
@@ -7158,6 +7174,12 @@ object SparkEntry {
     // the always-mine twin computes the identical map, so the oracle is
     // the same recursive-CTE connected-components replay
     "dedup_cluster_mine" -> (ccCte +
+      "\nSELECT node AS doc_id, cluster_id FROM cc"),
+    // fold ≡ full-mine: the incrementally-folded map over the 3-shard
+    // split must equal CC over the WHOLE table's pair mining — the
+    // oracle is deliberately the full-corpus replay, so any fold error
+    // (lost cross-shard pair, stale stored edge) breaks the value hash
+    "dedup_clusters_incremental" -> (ccCte +
       "\nSELECT node AS doc_id, cluster_id FROM cc"),
     "dedup_report" -> (ccCte + """
       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -677,6 +677,207 @@ object Dedup {
     }
   }
 
+  /** INCREMENTAL cluster-map maintenance (r15): the fold step that turns
+    * the write-once artifact into a month-over-month subsystem. Given
+    * the stored map of an existing corpus and a newly-arrived delta
+    * shard, the new map is
+    *
+    *   CC( storedMapAsEdges ∪ pairs(delta × delta) ∪ pairs(delta × corpus) )
+    *
+    * — model-sized + delta-sized work, never a corpus re-mine. This is
+    * EXACT, not approximate: MinHash signatures are per-document, so the
+    * banding candidate set of the union decomposes into corpus×corpus
+    * (already summarized by the stored map — star edges to the component
+    * minimum preserve connectivity exactly), delta×delta
+    * ([[minhashLshPairs]] over the shard), and delta×corpus
+    * ([[minhashLshAgainst]], candidate volume scaling with the delta).
+    * The folded map is therefore bit-identical to a full re-mine of the
+    * union — the equality the `dedup_clusters_incremental` oracle and
+    * the fold specs pin.
+    */
+  def clusterMapFold(storedMap: DataFrame, corpus: DataFrame,
+      delta: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    val dd = minhashLshPairs(delta, n, k, bands, threshold)
+      .select(col("id_a"), col("id_b"))
+    val dc = minhashLshAgainst(delta, corpus, n, k, bands, threshold)
+      .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+    // the stored map re-expressed as edges: every non-representative
+    // member links to its component minimum (a star — connectivity-
+    // preserving and already the shallowest possible shape for CC)
+    val oldEdges = storedMap.filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
+    connectedComponents(dd.union(dc).union(oldEdges))
+  }
+
+  /** The cluster-map artifact over an APPEND-ONLY SHARD LIST — the
+    * 100 TB ingestion posture: a corpus arrives as monthly/daily shard
+    * directories, and the published map is maintained by FOLDING new
+    * shards into the stored map ([[clusterMapFold]]) instead of
+    * re-mining the union.
+    *
+    * The marker records the full shard list with a per-shard file-
+    * listing fingerprint (plus params + the bytecode build stamp). On
+    * each call:
+    *  - exact marker match ⇒ serve the stored map (one parquet read);
+    *  - the published shard set is a strict subset of the request, every
+    *    published shard unchanged ⇒ FOLD the new shards in (delta-sized
+    *    mining + model-sized CC), publish, record `fold` provenance;
+    *  - anything else (first build, a mutated/removed shard, changed
+    *    params or engine build) ⇒ full mine of the union, `full`
+    *    provenance.
+    * Publication is atomic and fingerprint-addressed ([[publishArtifact]]);
+    * `name` scopes the artifact lineage (one lineage per logical corpus).
+    * doc_ids must be globally unique across shards — the standard
+    * contract of a sharded corpus.
+    */
+  def clusterMapArtifactFolded(spark: org.apache.spark.sql.SparkSession,
+      name: String, shardDirs: Seq[String], n: Int = 3, k: Int = 64,
+      bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val params = s"n$n-k$k-b$bands-t$threshold"
+    val dir = foldedArtifactDir(name, params)
+    def load(sd: String) = graft.engine.Tables.documents(spark, sd)
+    val shardFps = shardDirs.sorted.map(sd =>
+      sd -> md5Hex(tableListing(new java.io.File(sd, "documents.parquet"))))
+    val head = s"v1 params=$params build=$buildStamp"
+    val content = (head +: shardFps.map { case (sd, f) => s"$sd\t$f" })
+      .mkString("\n")
+    val data = Paths.get(dir, s"map_${md5Hex(content)}.parquet")
+    this.synchronized {
+      val marker = Paths.get(dir, "_FINGERPRINT")
+      val old = if (Files.exists(marker))
+        Some(new String(Files.readAllBytes(marker), "UTF-8")) else None
+      if (!(old.contains(content) && Files.exists(data))) {
+        val oldLines = old.toSeq.flatMap(_.linesIterator)
+        val oldShards = oldLines.drop(1).flatMap(_.split("\t", 2) match {
+          case Array(a, b) => Some(a -> b); case _ => None
+        })
+        val oldData = old.map(c => Paths.get(dir, s"map_${md5Hex(c)}.parquet"))
+        val newSet = shardFps.toSet
+        val canFold = oldLines.headOption.contains(head) &&
+          oldShards.nonEmpty && oldShards.forall(newSet.contains) &&
+          oldShards.size < shardFps.size && oldData.exists(Files.exists(_))
+        val built =
+          if (canFold) {
+            val oldSet = oldShards.map(_._1).toSet
+            val delta = shardDirs.filterNot(oldSet.contains).map(load)
+              .reduce(_ union _)
+            val corpus = shardDirs.filter(oldSet.contains).map(load)
+              .reduce(_ union _)
+            clusterMapFold(spark.read.parquet(oldData.get.toString),
+              corpus, delta, n, k, bands, threshold)
+          } else
+            connectedComponents(minhashLshPairs(
+              shardDirs.map(load).reduce(_ union _), n, k, bands, threshold))
+        publishArtifact(dir, data, content, built)
+        // provenance receipt (diagnostic, written after the atomic
+        // publish): lets an operator — and the fold specs — see whether
+        // the last publication folded or re-mined
+        val prov = if (canFold)
+          s"fold +${shardFps.size - oldShards.size} shard(s) onto ${oldShards.size}"
+        else s"full mine of ${shardFps.size} shard(s)"
+        Files.write(Paths.get(dir, "_PROVENANCE"), prov.getBytes("UTF-8"))
+      }
+    }
+    spark.read.parquet(data.toString)
+  }
+
+  /** Drop [[clusterMapArtifact]]'s published lineage for `inputDir`
+    * (marker AND fingerprint-addressed data dirs) so the next call
+    * re-mines from scratch — the operational "rebuild this model" knob
+    * (and the probe harness's build-cost lever). Marker first: a crash
+    * mid-delete leaves an unreferenced data dir, never a marker
+    * pointing at missing data. This is an explicit operator action —
+    * unlike re-publication it does delete bytes an in-flight reader of
+    * the SAME lineage could be scanning.
+    */
+  def clusterMapInvalidate(inputDir: String, n: Int = 3, k: Int = 64,
+      bands: Int = 32, threshold: Double = 0.5): Unit = {
+    val params = s"n$n-k$k-b$bands-t$threshold"
+    val dir = graft.sources.Sources.rtDir("cluster_map_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(inputDir + "|" + params).toLong & 0xffffffffL))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_FINGERPRINT"))
+    Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("map_"))
+      .foreach(deleteRecursively)
+  }
+
+  /** True iff a published map exists for this folded-artifact lineage —
+    * callers use it to seed a base map only on first contact instead of
+    * regressing an already-folded artifact to a subset.
+    */
+  def foldedArtifactExists(name: String, n: Int = 3, k: Int = 64,
+      bands: Int = 32, threshold: Double = 0.5): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(
+      foldedArtifactDir(name, s"n$n-k$k-b$bands-t$threshold"), "_FINGERPRINT"))
+
+  /** Last publication's provenance line for a folded-artifact lineage
+    * ("fold +k shard(s) onto m" / "full mine of n shard(s)"), if any. */
+  def foldedArtifactProvenance(name: String, n: Int = 3, k: Int = 64,
+      bands: Int = 32, threshold: Double = 0.5): Option[String] = {
+    val p = java.nio.file.Paths.get(
+      foldedArtifactDir(name, s"n$n-k$k-b$bands-t$threshold"), "_PROVENANCE")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    else None
+  }
+
+  private def foldedArtifactDir(name: String, params: String): String =
+    graft.sources.Sources.rtDir("cluster_map_fold_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(name + "|" + params).toLong & 0xffffffffL))
+
+  /** Materialize the documents table of `inputDir` as `parts` scratch
+    * shard directories (doc_id mod `parts`), each a `documents.parquet`
+    * readable by [[graft.engine.Tables.documents]] — the shard fixture
+    * behind the incremental-fold query. Written ONCE per (input
+    * fingerprint, parts): the shard set is fingerprint-addressed and
+    * published marker-last, so repeated calls are a file stat and
+    * re-runs never churn shard mtimes (which would needlessly invalidate
+    * downstream folded artifacts).
+    */
+  def ensureDocShards(spark: org.apache.spark.sql.SparkSession,
+      inputDir: String, parts: Int): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val root = graft.sources.Sources.rtDir("doc_shards_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(inputDir + "|p" + parts).toLong & 0xffffffffL))
+    val fp = md5Hex(s"v1|p$parts|" +
+      tableListing(new java.io.File(inputDir, "documents.parquet")))
+    val setDir = Paths.get(root, s"set_$fp")
+    this.synchronized {
+      val marker = Paths.get(root, "_FINGERPRINT")
+      val fresh = Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == fp &&
+        Files.exists(setDir)
+      if (!fresh) {
+        val docs = graft.engine.Tables.documents(spark, inputDir)
+        val nonce = java.lang.Long.toHexString(System.nanoTime())
+        val tmp = Paths.get(root, s".tmp_$nonce")
+        (0 until parts).foreach { i =>
+          docs.filter(col("doc_id") % parts === i)
+            .write.mode("overwrite")
+            .parquet(Paths.get(tmp.toString, s"shard_$i", "documents.parquet").toString)
+        }
+        try Files.move(tmp, setDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            deleteRecursively(tmp.toFile)
+        }
+        val mtmp = Paths.get(root, s".marker_$nonce")
+        Files.write(mtmp, fp.getBytes("UTF-8"))
+        Files.move(mtmp, marker,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    (0 until parts).map(i => Paths.get(setDir.toString, s"shard_$i").toString)
+  }
+
   /** Serve the artifact under `dir` if its published fingerprint equals
     * `fp`; otherwise build, publish atomically, and serve. The
     * check-build-publish is JVM-serialized (`synchronized`) AND safe
@@ -721,11 +922,17 @@ object Dedup {
     build.write.mode("overwrite").parquet(tmp.toString)
     try Files.move(tmp, data, StandardCopyOption.ATOMIC_MOVE)
     catch {
-      // a concurrent JVM published the same fingerprint first — its
-      // copy is byte-equivalent for our purposes; drop ours
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.DirectoryNotEmptyException =>
+      // the fingerprint-addressed slot is already populated (a
+      // concurrent JVM published the same fingerprint first, or a
+      // previous publication's data dir survived a dropped marker) —
+      // same fingerprint ⇒ equivalent content, so keep the existing
+      // copy and drop ours. rename(2) surfaces this as
+      // FileAlreadyExists for files and DirectoryNotEmpty OR a plain
+      // FileSystemException ("Directory not empty") for dirs.
+      case e: java.nio.file.FileSystemException if Files.exists(data) =>
         deleteRecursively(tmp.toFile)
+      case e: java.nio.file.FileSystemException =>
+        deleteRecursively(tmp.toFile); throw e
     }
     val mtmp = Paths.get(dir, s".marker_$nonce")
     Files.write(mtmp, fp.getBytes("UTF-8"))

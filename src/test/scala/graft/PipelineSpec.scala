@@ -125,6 +125,105 @@ class PipelineSpec extends SparkSpec {
     assert(mapFiles() != before)
   }
 
+  // ── incremental cluster-map fold (r15) ─────────────────────────────
+  // a 12-doc corpus with near-dup components deliberately SPANNING the
+  // doc_id-mod-3 shards: {0,1} (shards 0,1), {3,4,5} (0,1,2 — a chain
+  // crossing all three shards), {7,8} (1,2), and singletons elsewhere —
+  // so a fold that loses delta×corpus pairs or stored edges breaks
+  private def foldCorpus(): Seq[String] = {
+    def doc(words: Range, extra: String = "") =
+      words.map(i => s"w$i").mkString(" ") + extra
+    Seq(
+      doc(1 to 40),                    // 0 ~ 1
+      doc(1 to 38, " z1 z2"),          // 1
+      doc(200 to 240),                 // 2 singleton
+      doc(300 to 340),                 // 3 ~ 4 ~ 5 (chain across shards)
+      doc(300 to 338, " y1 y2"),       // 4
+      doc(302 to 340, " y1 y2"),       // 5
+      doc(500 to 540),                 // 6 singleton
+      doc(600 to 640),                 // 7 ~ 8
+      doc(600 to 638, " x1 x2"),       // 8
+      doc(700 to 740),                 // 9 singleton
+      doc(800 to 840),                 // 10 singleton
+      doc(900 to 940))                 // 11 singleton
+  }
+
+  private def writeShardDirs(texts: Seq[String], parts: Int,
+      tag: String): Seq[String] = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory(s"graft_fold_$tag").toString
+    val df = docsDF(texts)
+    (0 until parts).map { i =>
+      val sd = s"$root/shard_$i"
+      df.filter(col("doc_id") % parts === i)
+        .write.parquet(s"$sd/documents.parquet")
+      sd
+    }
+  }
+
+  test("incremental fold == full mine, and the artifact provenance says fold") {
+    val texts = foldCorpus()
+    val shards = writeShardDirs(texts, 3, "eq")
+    val name = "spec_fold_eq_" + System.nanoTime()
+    // base map over shards {0,1} (full mine), then shard 2 FOLDS in
+    Dedup.clusterMapArtifactFolded(spark, name, shards.take(2), 3, 16, 8, 0.5)
+      .count()
+    val folded = Dedup.clusterMapArtifactFolded(spark, name, shards, 3, 16, 8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docsDF(texts), 3, 16, 8, 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded == full && folded.nonEmpty)
+    // the cross-shard chain {3,4,5} must have collapsed to one cluster
+    assert(Set(3L, 4L, 5L).map(id => folded.find(_._1 == id).map(_._2))
+      .flatten == Set(3L))
+    val prov = Dedup.foldedArtifactProvenance(name, 3, 16, 8, 0.5)
+    assert(prov.exists(_.startsWith("fold +1 shard(s) onto 2")), prov)
+    // serving again is a pure read: provenance unchanged, same map
+    val again = Dedup.clusterMapArtifactFolded(spark, name, shards, 3, 16, 8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == folded &&
+      Dedup.foldedArtifactProvenance(name, 3, 16, 8, 0.5) == prov)
+  }
+
+  test("3-shard fold is order-independent: any base pair + folded third " +
+      "yields the identical map") {
+    val texts = foldCorpus()
+    val shards = writeShardDirs(texts, 3, "ord")
+    val maps = Seq(
+      Seq(0, 1, 2), Seq(1, 2, 0), Seq(2, 0, 1)).map { order =>
+      val name = s"spec_fold_ord_${order.mkString}_" + System.nanoTime()
+      Dedup.clusterMapArtifactFolded(spark, name,
+        order.take(2).map(shards), 3, 16, 8, 0.5).count()
+      Dedup.clusterMapArtifactFolded(spark, name,
+        order.map(shards), 3, 16, 8, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(maps.forall(_ == maps.head) && maps.head.nonEmpty)
+  }
+
+  test("mutated published shard forces a full re-mine, not a bogus fold") {
+    val texts = foldCorpus()
+    val shards = writeShardDirs(texts, 3, "stale")
+    val name = "spec_fold_stale_" + System.nanoTime()
+    Dedup.clusterMapArtifactFolded(spark, name, shards.take(2), 3, 16, 8, 0.5)
+      .count()
+    // mutate shard 0 (a published shard) — its fingerprint is now stale,
+    // so the stored map cannot be folded onto; requesting all 3 shards
+    // must full-mine
+    Option(new java.io.File(s"${shards(0)}/documents.parquet").listFiles)
+      .toSeq.flatten
+      .foreach(f => assert(f.setLastModified(f.lastModified + 5000)))
+    val m = Dedup.clusterMapArtifactFolded(spark, name, shards, 3, 16, 8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docsDF(texts), 3, 16, 8, 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == full)
+    assert(Dedup.foldedArtifactProvenance(name, 3, 16, 8, 0.5)
+      .exists(_.startsWith("full mine of 3")))
+  }
+
   test("connected components THROW instead of returning non-converged labels") {
     // diameter 40 cannot finish in 2 halving rounds; partial labels are
     // wrong dedup decisions, so exhausting maxIters must be an error
