@@ -28,6 +28,20 @@ import org.apache.spark.sql.types._
   */
 object PqIndex {
 
+  /** Side tables (codebooks, coarse centroids) of the most recently
+    * built or loaded index in this JVM. The serve-path oracles are
+    * rendered from these at Verify dump time — the ann_lsh_topk
+    * template: the trained quantizer (deterministic per corpus:
+    * hash-strided seeds, lexicographic tie-breaks; run-to-run bit
+    * equality is property-gated) is pinned as SQL literals and the
+    * WHOLE serve path — normalization, code assignment, ADC tables,
+    * scoring, probing, shortlist, exact re-rank — replays
+    * independently in DuckDB. Training is the only trusted stage;
+    * every downstream decision is re-derived by the oracle.
+    */
+  @volatile private[graft] var lastSide
+      : Option[(Array[Array[Array[Float]]], Array[(Array[Float], Int)])] = None
+
   /** Corpus → (vec_id, cell, codes): one narrow encode pass. `cents`
     * None ⇒ flat PQ (cell 0 everywhere, serve scans all codes). */
   private[ann] def encode(normed: DataFrame,
@@ -167,6 +181,7 @@ object PqIndex {
     val t0 = System.nanoTime()
     val cents = Similarity.kmeansCentroids(normed, nlist, refineIters)
     val cbs = Similarity.pqCodebooks(normed, m, ksub, refineIters)
+    lastSide = Some((cbs, cents))
     val trainS = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
     val d = cbs(0)(0).length
@@ -226,6 +241,7 @@ object PqIndex {
     val cents = spark.read.parquet(s"$dir/centroids").collect()
       .map(r => (r.getSeq[Float](1).toArray, r.getInt(0)))
       .sortBy(_._2)
+    lastSide = Some((cbs.map(_.toArray), cents))
     (cbs.map(_.toArray), cents)
   }
 

@@ -836,9 +836,18 @@ object Similarity {
     * bucketed write); queries probe the `nprobe` nearest cells only.
     * Centroid build: [[kmeansCentroids]].
     */
+  /** Coarse centroids of the most recent [[ivfTopK]] call in this JVM —
+    * the dump-time oracle render reads them (the PqIndex.lastSide
+    * pattern): training is trusted as pinned literals, the whole serve
+    * (cell assignment, probing, cosine ranking) replays independently.
+    */
+  @volatile private[graft] var lastIvfCentroids
+      : Option[Array[(Array[Float], Int)]] = None
+
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
       nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 1): DataFrame = {
     val centroids = kmeansCentroids(emb, nlist, refineIters)
+    lastIvfCentroids = Some(centroids)
     def nearestCells(v: Column, n: Int): Column =
       Similarity.nearestCells(centroids, v, n)
     val corpus = emb
