@@ -251,6 +251,39 @@ class TargetRegistry(val spark: SparkSession) {
   def sketch(id: String)(agg: DataFrame => DataFrame): Array[Row] =
     Memo.collectMemoized(agg(get(id).df))
 
+  /** Cancellable sketch — the reference's unsubscribe semantics
+    * (RemoteDataSet.java:285-296: an unsubscribed observer sends a
+    * cancellation up to the server, which kills the running sketch).
+    * The gesture's Spark jobs run in `group` (interrupt-on-cancel), so
+    * a concurrent [[cancelSketch]] aborts them MID-FLIGHT: the collect
+    * throws, and because [[graft.streaming.Memo.collectMemoized]] only
+    * records a COMPLETED collect, a cancelled gesture can never poison
+    * the memo cache — the next identical gesture computes fresh,
+    * returns the exact result, and from then on memo-hits as if the
+    * abort never happened (spec-pinned in TargetsSpec). The previous
+    * job-group assignment is restored on exit, not nulled, for the
+    * same reason Sessions.inPool restores the outer pool.
+    */
+  def sketchIn(id: String, group: String)(
+      agg: DataFrame => DataFrame): Array[Row] = {
+    val sc = spark.sparkContext
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+    sc.setJobGroup(group, s"sketch:$group", interruptOnCancel = true)
+    try sketch(id)(agg)
+    finally {
+      sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+      sc.setLocalProperty("spark.job.description", prevDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
+    }
+  }
+
+  /** Abort every active job of a [[sketchIn]] group — the unsubscribe
+    * RPC. Safe to call whether or not anything is running. */
+  def cancelSketch(group: String): Unit =
+    spark.sparkContext.cancelJobGroup(group)
+
   /** Entry-point B's gesture (TableTarget.getNextK). */
   def nextK(id: String, order: Seq[NextK.Order], k: Int,
       pivot: Option[Seq[Any]] = None,

@@ -34,6 +34,50 @@ class TargetsSpec extends SparkSpec {
       .foreach(m => assert(m == serial))
   }
 
+  test("unsubscribe: a cancelled sketch aborts mid-flight, the session " +
+      "stays healthy, and the memo cache is not poisoned") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val reg = new TargetRegistry(spark)
+    val docsId = reg.load("docs", Tables.documents(spark, sf)).id
+    // a deliberately slow gesture: a per-row ~2 ms UDF over the corpus
+    // (minutes if left alone) — the abort must land mid-flight
+    val slow = udf { (s: String) => Thread.sleep(2); if (s == null) 0 else s.length }
+    def slowAgg(df: org.apache.spark.sql.DataFrame) =
+      df.select(sum(slow(col("text"))).as("n"))
+    Memo.clear()
+    val group = "spec-unsubscribe"
+    val running = Future(reg.sketchIn(docsId, group)(slowAgg))
+    // wait until the gesture's jobs are actually active, then unsubscribe
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.currentTimeMillis() + 60000
+    while (tracker.getJobIdsForGroup(group).isEmpty && !running.isCompleted &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(!running.isCompleted,
+      s"slow sketch finished/failed before the abort: ${running.value}")
+    assert(tracker.getJobIdsForGroup(group).nonEmpty, "sketch never started")
+    reg.cancelSketch(group)
+    val aborted = intercept[Exception] { Await.result(running, 120.seconds) }
+    assert(aborted.getMessage != null)
+    // memo not poisoned: the aborted gesture recorded NOTHING
+    assert(Memo.size == 0, s"cancelled sketch left ${Memo.size} memo entries")
+    // session healthy + replay correct: the IDENTICAL gesture (cheap
+    // twin of the same shape) computes fresh, then memo-hits
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.select(sum(length(col("text"))).as("n"))
+    val expected = agg(Tables.documents(spark, sf)).collect()(0).getLong(0)
+    val h0 = Memo.hits
+    val first = reg.sketch(docsId)(agg)
+    assert(first(0).getLong(0) == expected)
+    val second = reg.sketch(docsId)(agg)
+    assert(second(0).getLong(0) == expected && Memo.hits == h0 + 1,
+      "identical gesture after an abort must memo-hit")
+    // and the original slow gesture's fingerprint is still absent until
+    // a COMPLETED run records it — no ghost entry from the abort
+    assert(Memo.size == 1)
+  }
+
   test("interactive() fails fast instead of silently reusing a FIFO context") {
     // this suite's shared session is FIFO; scheduler mode is frozen at
     // context creation, so interactive() must refuse rather than hand
