@@ -210,6 +210,31 @@ object SparkEntry {
     }.toDF("doc_id", "text", "lang", "source", "n_chars"))
   }
 
+  /** The boilerplate line list as a stored artifact — the second
+    * decision-layer model on the [[graft.engine.Artifacts]] pattern
+    * (after the dedup cluster map): detection
+    * ([[graft.text.TextAnalysis.boilerplateLines]] over the nl-planted
+    * corpus) runs once per (input, params, build) and the strip/gate
+    * consumers serve the published parquet. The fingerprint's build
+    * stamp covers BOTH the detection code (TextAnalysis) and this
+    * query layer's bytecode — the nl fixture lives here, so editing
+    * the planted rows re-mines (the same "recompile conservatively
+    * re-mines" contract as the cluster map).
+    */
+  private def boilerplateListArtifact(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.sources.Sources.rtDir("boilerplate_list_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(d + "|min2-raw").toLong & 0xffffffffL))
+    val stamp = graft.engine.Artifacts.classStamp(Seq(
+      "/graft/text/TextAnalysis$.class", "/graft/text/TextAnalysis.class",
+      "/graft/SparkEntry$.class"))
+    val fp = graft.engine.Artifacts.md5Hex("min2-raw|" + stamp + "|" +
+      graft.engine.Artifacts.tableListing(
+        new java.io.File(d, "documents.parquet")))
+    graft.engine.Artifacts.serveOrBuild(s, dir, fp)(
+      graft.text.TextAnalysis.boilerplateLines(docsNl(s, d), 2))
+  }
+
   /** The line fixture as a DuckDB CTE body (newlines via chr(10) so the
     * VALUES literals stay one-line). */
   private val nlDocsSelect: String = {
@@ -3539,15 +3564,19 @@ object SparkEntry {
     // here and ONLY here; reassembled text keeps the raw lines
     "text_remove_dup_lines_norm" -> ((s, d) =>
       graft.text.TextAnalysis.removeDupLines(docsNl(s, d), 2, normalized = true)),
-    // the train→serve loop in one query: detect boilerplate over the
-    // corpus, then strip EVERY occurrence against the frozen list (no
-    // keeper survival — the ingest-gate semantics; the list side
-    // broadcasts)
-    "text_strip_boilerplate" -> ((s, d) => {
-      val dnl = docsNl(s, d)
-      graft.text.TextAnalysis.stripKnownBoilerplate(dnl,
-        graft.text.TextAnalysis.boilerplateLines(dnl, 2))
-    }),
+    // the serve half of the line-dedup loop: strip EVERY occurrence
+    // against the FROZEN list (no keeper survival — the ingest-gate
+    // semantics; the list side broadcasts). r15: the list comes from
+    // the stored boilerplate-list ARTIFACT (the cluster-map pattern —
+    // detection runs once per (input, params, build) and every gate/
+    // strip consumer serves the published parquet), so this query's
+    // plan has NO detection subtree: one corpus scan + one broadcast
+    // join against a model-sized parquet read. The always-mine
+    // detection stays observable as text_boilerplate_lines. Oracle
+    // unchanged: the stored list IS boilerplateLines' output.
+    "text_strip_boilerplate" -> ((s, d) =>
+      graft.text.TextAnalysis.stripKnownBoilerplate(docsNl(s, d),
+        boilerplateListArtifact(s, d))),
     // domain link-graph centrality: integer-exact PageRank over the
     // distinct site→domain edge set (graph-sized, never corpus-sized);
     // one URL-extraction scan, one shuffle per iteration

@@ -878,118 +878,34 @@ object Dedup {
     (0 until parts).map(i => Paths.get(setDir.toString, s"shard_$i").toString)
   }
 
-  /** Serve the artifact under `dir` if its published fingerprint equals
-    * `fp`; otherwise build, publish atomically, and serve. The
-    * check-build-publish is JVM-serialized (`synchronized`) AND safe
-    * across JVMs: data dirs are fingerprint-addressed so a concurrent
-    * builder of a DIFFERENT fingerprint never touches the dir a reader
-    * is scanning, and a concurrent builder of the SAME fingerprint
-    * loses the atomic move and simply serves the winner's copy.
-    */
+  // artifact plumbing shared with the other stored models — see
+  // graft.engine.Artifacts for the mine-once / atomic-publish /
+  // cross-JVM contracts
   private def serveOrBuild(spark: org.apache.spark.sql.SparkSession,
-      dir: String, fp: String)(build: => DataFrame): DataFrame = {
-    val data = java.nio.file.Paths.get(dir, s"map_${md5Hex(fp)}.parquet")
-    this.synchronized {
-      val marker = java.nio.file.Paths.get(dir, "_FINGERPRINT")
-      val fresh = java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp &&
-        java.nio.file.Files.exists(data)
-      if (!fresh) publishArtifact(dir, data, fp, build)
-    }
-    spark.read.parquet(data.toString)
-  }
+      dir: String, fp: String)(build: => DataFrame): DataFrame =
+    graft.engine.Artifacts.serveOrBuild(spark, dir, fp)(build)
 
-  /** Atomic artifact publication (the crash/concurrency contract):
-    *  1. the dataset is written to a hidden temp dir under the artifact
-    *     root, then ATOMIC_MOVEd into its fingerprint-addressed slot
-    *     (`map_<md5(fp)>.parquet`) — a reader can never list a
-    *     half-written data dir, and a concurrent same-fingerprint
-    *     builder that loses the move just discards its temp copy;
-    *  2. the `_FINGERPRINT` marker is written LAST, itself via
-    *     temp-file + ATOMIC_MOVE — the marker only ever points at a
-    *     fully-published data dir, so a crash between (1) and (2)
-    *     leaves the previous publication intact and the new data dir
-    *     an unreferenced orphan (re-published or GC'd next build);
-    *  3. superseded `map_*` dirs are garbage-collected best-effort
-    *     with a grace period, so a reader that loaded the old marker
-    *     moments before a re-publication can still finish its scan.
-    */
   private def publishArtifact(dir: String, data: java.nio.file.Path,
-      fp: String, build: => DataFrame): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val nonce = java.lang.Long.toHexString(System.nanoTime())
-    val tmp = Paths.get(dir, s".tmp_$nonce")
-    build.write.mode("overwrite").parquet(tmp.toString)
-    try Files.move(tmp, data, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      // the fingerprint-addressed slot is already populated (a
-      // concurrent JVM published the same fingerprint first, or a
-      // previous publication's data dir survived a dropped marker) —
-      // same fingerprint ⇒ equivalent content, so keep the existing
-      // copy and drop ours. rename(2) surfaces this as
-      // FileAlreadyExists for files and DirectoryNotEmpty OR a plain
-      // FileSystemException ("Directory not empty") for dirs.
-      case e: java.nio.file.FileSystemException if Files.exists(data) =>
-        deleteRecursively(tmp.toFile)
-      case e: java.nio.file.FileSystemException =>
-        deleteRecursively(tmp.toFile); throw e
-    }
-    val mtmp = Paths.get(dir, s".marker_$nonce")
-    Files.write(mtmp, fp.getBytes("UTF-8"))
-    Files.move(mtmp, Paths.get(dir, "_FINGERPRINT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // GC superseded data dirs (grace period: an in-flight reader of the
-    // old publication gets 10 minutes to finish its scan)
-    val cutoff = System.currentTimeMillis() - 10 * 60 * 1000L
-    Option(new java.io.File(dir).listFiles).toSeq.flatten
-      .filter(f => f.getName.startsWith("map_") && f.isDirectory &&
-        f.toPath != data && f.lastModified < cutoff)
-      .foreach(deleteRecursively)
-  }
+      fp: String, build: => DataFrame): Unit =
+    graft.engine.Artifacts.publish(dir, data, fp, build)
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(deleteRecursively)
-    f.delete(); ()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.engine.Artifacts.deleteRecursively(f)
 
-  /** File-listing identity of one parquet table (name, length, mtime of
-    * every part file, sorted) — the per-input component of artifact
-    * fingerprints.
-    */
-  private def tableListing(table: java.io.File): String = {
-    val files =
-      if (table.isDirectory)
-        Option(table.listFiles).toSeq.flatten.sortBy(_.getName)
-      else Seq(table)
-    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
-  }
+  private def tableListing(table: java.io.File): String =
+    graft.engine.Artifacts.tableListing(table)
 
   private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    graft.engine.Artifacts.md5Hex(s)
 
-  /** Engine build stamp for artifact fingerprints: md5 of the MINING
-    * CLASSES' bytecode, streamed from the classpath. The r14 stamp used
-    * the codeSource location's lastModified, but when running from a
-    * classes DIRECTORY (sbt test/run) the root dir's mtime does not
-    * change when a nested .class file is recompiled — a changed mining
-    * algorithm could silently serve a stale map. Hashing the bytes of
-    * the classes that implement the mining path (this object and the
-    * MinHash kernels) makes "a recompile conservatively re-mines" true
-    * under every deployment layout (jar or classes dir).
+  /** Engine build stamp for the cluster-map fingerprints: md5 of the
+    * MINING CLASSES' bytecode (this object and the MinHash kernels) —
+    * see [[graft.engine.Artifacts.classStamp]] for why bytecode, not a
+    * codeSource mtime.
     */
-  private lazy val buildStamp: String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Seq("/graft/dedup/Dedup$.class", "/graft/dedup/Dedup.class",
-        "/graft/functions/MinHashExpression$.class",
-        "/graft/functions/MinHashExpression.class").foreach { name =>
-      val in = getClass.getResourceAsStream(name)
-      if (in != null) try {
-        val buf = new Array[Byte](8192)
-        var r = in.read(buf)
-        while (r > 0) { md.update(buf, 0, r); r = in.read(buf) }
-      } finally in.close()
-    }
-    md.digest().map("%02x".format(_)).mkString
-  }
+  private lazy val buildStamp: String =
+    graft.engine.Artifacts.classStamp(Seq(
+      "/graft/dedup/Dedup$.class", "/graft/dedup/Dedup.class",
+      "/graft/functions/MinHashExpression$.class",
+      "/graft/functions/MinHashExpression.class"))
 }

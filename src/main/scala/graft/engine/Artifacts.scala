@@ -1,0 +1,135 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The engine's write-once artifact layer — shared plumbing behind every
+  * stored model (the dedup cluster map, the boilerplate line list; the
+  * PQ/IVF index uses the same posture with its own layout). An artifact
+  * is a parquet dataset that is EXPENSIVE to mine and cheap to serve;
+  * the layer guarantees:
+  *
+  *  - **mine once per identity**: the caller supplies a fingerprint
+  *    covering the input's file listing, the mining parameters, and a
+  *    BYTECODE stamp of every class that shapes the builder closure
+  *    ([[classStamp]]) — so a mutated input, changed params, or a
+  *    recompiled mining algorithm re-mines, and nothing else does;
+  *  - **atomic publication**: data is written to a hidden temp dir and
+  *    ATOMIC_MOVEd into a fingerprint-addressed slot, and the
+  *    `_FINGERPRINT` marker is written LAST (itself via temp +
+  *    ATOMIC_MOVE). A reader can never list a half-written dataset; a
+  *    crash mid-publish leaves the previous publication intact and the
+  *    new data an unreferenced orphan;
+  *  - **cross-JVM safety**: fingerprint-addressed data dirs mean a
+  *    concurrent builder of a DIFFERENT fingerprint never touches bytes
+  *    a reader is scanning, and a same-fingerprint race is resolved by
+  *    the atomic move (the loser serves the winner's copy). Superseded
+  *    datasets are GC'd best-effort with a grace period.
+  *
+  * The artifact root ([[graft.sources.Sources.rtDir]]) is configurable
+  * via SPARK_GRAFT_RT_DIR — on a real cluster it must point at the
+  * shared store so every session serves the same published model.
+  */
+object Artifacts {
+
+  /** Serve the artifact under `dir` if its published fingerprint equals
+    * `fp`; otherwise build, publish atomically, and serve.
+    */
+  def serveOrBuild(spark: SparkSession, dir: String, fp: String)(
+      build: => DataFrame): DataFrame = {
+    val data = java.nio.file.Paths.get(dir, s"map_${md5Hex(fp)}.parquet")
+    this.synchronized {
+      val marker = java.nio.file.Paths.get(dir, "_FINGERPRINT")
+      val fresh = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp &&
+        java.nio.file.Files.exists(data)
+      if (!fresh) publish(dir, data, fp, build)
+    }
+    spark.read.parquet(data.toString)
+  }
+
+  /** The atomic publication protocol (see the object doc). */
+  def publish(dir: String, data: java.nio.file.Path, fp: String,
+      build: => DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val nonce = java.lang.Long.toHexString(System.nanoTime())
+    val tmp = Paths.get(dir, s".tmp_$nonce")
+    build.write.mode("overwrite").parquet(tmp.toString)
+    try Files.move(tmp, data, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // the fingerprint-addressed slot is already populated (concurrent
+      // same-fingerprint publish, or a surviving data dir behind a
+      // dropped marker) — same fingerprint ⇒ equivalent content, keep
+      // the existing copy. rename(2) surfaces this as FileAlreadyExists
+      // for files and DirectoryNotEmpty OR a plain FileSystemException
+      // ("Directory not empty") for dirs.
+      case e: java.nio.file.FileSystemException if Files.exists(data) =>
+        deleteRecursively(tmp.toFile)
+      case e: java.nio.file.FileSystemException =>
+        deleteRecursively(tmp.toFile); throw e
+    }
+    val mtmp = Paths.get(dir, s".marker_$nonce")
+    Files.write(mtmp, fp.getBytes("UTF-8"))
+    Files.move(mtmp, Paths.get(dir, "_FINGERPRINT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // GC superseded data dirs (grace period: an in-flight reader of the
+    // old publication gets 10 minutes to finish its scan)
+    val cutoff = System.currentTimeMillis() - 10 * 60 * 1000L
+    Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .filter(f => f.getName.startsWith("map_") && f.isDirectory &&
+        f.toPath != data && f.lastModified < cutoff)
+      .foreach(deleteRecursively)
+  }
+
+  /** Drop a lineage entirely (marker first, then data) so the next call
+    * re-mines from scratch — the operational rebuild knob. */
+  def invalidate(dir: String): Unit = {
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_FINGERPRINT"))
+    Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("map_"))
+      .foreach(deleteRecursively)
+  }
+
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** File-listing identity of one parquet table (name, length, mtime of
+    * every part file, sorted) — the per-input component of artifact
+    * fingerprints. */
+  def tableListing(table: java.io.File): String = {
+    val files =
+      if (table.isDirectory)
+        Option(table.listFiles).toSeq.flatten.sortBy(_.getName)
+      else Seq(table)
+    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
+  }
+
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Build stamp from CLASS BYTECODE, streamed off the classpath: an
+    * artifact fingerprint must cover every class that shapes its builder
+    * closure, and hashing the bytes makes "a recompile conservatively
+    * re-mines" true under every deployment layout — a codeSource-mtime
+    * stamp misses recompiles into a classes directory whose root mtime
+    * never moves. Resource names are `/pkg/Cls.class` paths; missing
+    * resources contribute nothing (e.g. a `$`-less companion that was
+    * never emitted).
+    */
+  def classStamp(resources: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    resources.foreach { name =>
+      val in = getClass.getResourceAsStream(name)
+      if (in != null) try {
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r > 0) { md.update(buf, 0, r); r = in.read(buf) }
+      } finally in.close()
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+}
