@@ -1284,6 +1284,51 @@ object ScaleProbe {
       dedup.Dedup.clusterMapArtifact(spark, in).count()
     }
 
+    // ── r15: incremental FOLD cost vs corpus size ──────────────────
+    // The 100 TB story of clusterMapArtifactFolded: a FIXED-size delta
+    // shard (the original corpus, ~60k docs) folds into a base corpus
+    // that is ×c bigger. Timed region = the fold only (base map is
+    // rebuilt untimed between measurements); compare against
+    // cluster_map_build at the same ×c — fold must stay delta-sized
+    // (delta×delta + delta×corpus banding + model-sized CC) while the
+    // full mine grows with the corpus.
+    if (wanted("cluster_map_fold")) Seq(1, 20).foreach { c =>
+      val root = sources.Sources.rtDir(s"probe_cmap_fold_x$c")
+      val done = new java.io.File(root, "_DONE")
+      val shards = Seq(s"$root/base0", s"$root/base1", s"$root/delta")
+      if (!done.exists) {
+        val base = replicate(docs, c, Map("doc_id" -> 10000000L))
+        base.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+          .write.mode("overwrite").parquet(s"${shards(0)}/documents.parquet")
+        base.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+          .write.mode("overwrite").parquet(s"${shards(1)}/documents.parquet")
+        // realistic ingest delta: ~95% NOVEL content (per-doc salt makes
+        // the text match nothing), ~5% true near-dups of the corpus —
+        // so the fold's touched-component set is delta-scaled, as it is
+        // in production. (An all-duplicate delta degenerates to "every
+        // cluster touched" and measures a corpus relabel, not a fold.)
+        docs.withColumn("doc_id", col("doc_id") + lit(900000000L))
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(20L)) === 0L, col("text"))
+              .otherwise(concat(col("text"),
+                lit(" novelsalt"), col("doc_id").cast("string"))))
+          .write.mode("overwrite").parquet(s"${shards(2)}/documents.parquet")
+        done.createNewFile()
+      }
+      val name = s"probe_fold_x$c"
+      def foldOnce(): Double = {
+        // reset to the 2-shard base (untimed: a deliberate full mine of
+        // the base — the published 3-shard map is not a subset source)
+        dedup.Dedup.clusterMapArtifactFolded(spark, name, shards.take(2))
+          .count()
+        time {
+          dedup.Dedup.clusterMapArtifactFolded(spark, name, shards).count()
+        }
+      }
+      val dt = math.min(foldOnce(), foldOnce())
+      println(f"PROBE cluster_map_fold     x$c%-3d ${dt}%7.2f s")
+    }
+
     probe("pipeline_end2end", Seq(1, 100)) { c =>
       val d = replicate(docs, c, Map("doc_id" -> 10000000L))
       val w = org.apache.spark.sql.expressions.Window

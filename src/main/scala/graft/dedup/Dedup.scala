@@ -702,12 +702,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     val dc = minhashLshAgainst(delta, corpus, n, k, bands, threshold)
       .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
-    // the stored map re-expressed as edges: every non-representative
-    // member links to its component minimum (a star — connectivity-
-    // preserving and already the shallowest possible shape for CC)
-    val oldEdges = storedMap.filter(col("cluster_id") =!= col("doc_id"))
+    // consumed three times (two touched-node projections + the CC
+    // union); pair volume is delta-scaled, so the checkpoint is small
+    val p = dd.union(dc).localCheckpoint(eager = false)
+    // Relabel ONLY components the new pairs touch. Two old components
+    // can merge only THROUGH a new pair, and a new minimum can only
+    // arrive through one — so every component with no member in a new
+    // pair keeps its labels verbatim, and the CC runs over (new pairs ∪
+    // star edges of touched components): delta-sized, not corpus-sized.
+    // The corpus-scale work left in a fold is therefore one narrow
+    // banding map over the corpus (candidate generation) and one
+    // broadcast-membership pass over the stored map — no iterative
+    // corpus-sized relabeling.
+    val touchedNodes = p.select(col("id_a").as("doc_id"))
+      .union(p.select(col("id_b").as("doc_id"))).distinct()
+    // delta-sized; broadcast so the model scan never shuffles
+    val touchedClusters = storedMap
+      .join(broadcast(touchedNodes), Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val affectedEdges = storedMap
+      .join(broadcast(touchedClusters), Seq("cluster_id"), "left_semi")
+      .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
-    connectedComponents(dd.union(dc).union(oldEdges))
+    // A/B against the naive fold (CC over new pairs ∪ ALL star edges),
+    // realistic mostly-novel delta, ×20 probe corpus: naive 8.49 s vs
+    // this 9.47 s — the touched-component pass costs ~1 s of broadcast
+    // membership scans at probe scale, but the naive CC pays ~3
+    // CORPUS-SIZED SHUFFLE rounds (star edges re-keyed per round) where
+    // this shape pays corpus-sized broadcast-filter SCANS and a
+    // delta-sized CC. At cluster scale shuffle volume is the cost that
+    // matters, so the scan-shaped fold is the keeper.
+    val relabeled = connectedComponents(p.union(affectedEdges))
+    val untouched = storedMap
+      .join(broadcast(touchedClusters), Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    untouched.union(relabeled)
   }
 
   /** The cluster-map artifact over an APPEND-ONLY SHARD LIST — the
