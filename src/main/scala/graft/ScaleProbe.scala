@@ -1329,6 +1329,35 @@ object ScaleProbe {
       println(f"PROBE cluster_map_fold     x$c%-3d ${dt}%7.2f s")
     }
 
+    if (wanted("fold_breakdown")) {
+      val c = 20
+      val root = sources.Sources.rtDir(s"probe_cmap_fold_x$c")
+      val shards = Seq(s"$root/base0", s"$root/base1", s"$root/delta")
+      val corpus = shards.take(2).map(sd => engine.Tables.documents(spark, sd))
+        .reduce(_ union _)
+      val delta = engine.Tables.documents(spark, shards(2))
+      val corpusBands = dedup.Dedup.bandFrame(corpus).localCheckpoint()
+      val oldMap = dedup.Dedup.clusterMapArtifactFolded(spark, s"probe_fold_x$c",
+        shards.take(2)).localCheckpoint()
+      def t(name: String)(body: => Long): Unit = {
+        val dt = time(body); println(f"BREAKDOWN $name%-18s ${dt}%7.2f s")
+      }
+      val dSig = dedup.Dedup.sigFrame(delta).localCheckpoint(eager = false)
+      t("delta_sigs") { dSig.count() }
+      t("dd_pairs") { dedup.Dedup.minhashLshPairsFromSigs(delta, dSig).count() }
+      t("corpus_band_read") { corpusBands.count() }
+      t("dc_pairs") { dedup.Dedup.lshAgainstBandsImpl(delta, dSig, corpus,
+        corpusBands, 3, 64, 32, 0.5, viaCache = false, broadcastNew = true)
+        ._1.count() }
+      t("dc_cand_only") { dedup.Dedup.lshAgainstBandsImpl(delta, dSig, corpus,
+        corpusBands, 3, 64, 32, 0.5, viaCache = false, broadcastNew = true)
+        ._2.count() }
+      t("corpus_text_scan") { corpus.select(length(col("text")))
+        .agg(sum(col("length(text)"))).collect()(0).getLong(0) }
+      t("full_fold") { dedup.Dedup.clusterMapFold(oldMap, corpus, delta,
+        corpusBands = Some(corpusBands), deltaSigs = Some(dSig)).count() }
+    }
+
     probe("pipeline_end2end", Seq(1, 100)) { c =>
       val d = replicate(docs, c, Map("doc_id" -> 10000000L))
       val w = org.apache.spark.sql.expressions.Window

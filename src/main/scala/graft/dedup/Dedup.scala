@@ -377,13 +377,31 @@ object Dedup {
     */
   def minhashLshPairs(
       docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 32,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
     // Signature build is a narrow map (MinHashSig expression) — no
     // shingle explode, no shuffle; the corpus is touched once.
+    minhashLshPairsFromSigs(docs, sigFrame(docs, n, k), n, k, bands, threshold)
+
+  /** The (doc_id, sig) MinHash signature frame of a documents table —
+    * the narrow map every LSH path starts from, and the per-shard
+    * dataset the folded artifact PERSISTS (so a fold never recomputes
+    * corpus signatures from text).
+    */
+  def sigFrame(docs: DataFrame, n: Int = 3, k: Int = 64): DataFrame = {
     val words = split(lower(col("text")), " ")
-    val sig = docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
         graft.functions.MinHashExpression.minhash_sig(words, n, k).as("sig"))
       .filter(size(col("sig")) > 0)
+  }
+
+  /** [[minhashLshPairs]] over a PRECOMPUTED signature frame (stored or
+    * freshly mapped — bit-identical either way, the expression is
+    * deterministic); `docs` is touched only for the candidate-restricted
+    * exact verify.
+    */
+  def minhashLshPairsFromSigs(docs: DataFrame, sig: DataFrame,
+      n: Int = 3, k: Int = 64, bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
     // materialize once: the pair list is consumed three times (two
     // semi-join sides and the verify join) — without it the band
     // self-join re-runs per consumer. Lazy localCheckpoint over cache()
@@ -393,19 +411,27 @@ object Dedup {
     // minhashLshAgainst).
     val cand = lshCandidatePairsFromSig(sig, k, bands)
       .localCheckpoint(eager = false)
-    // Exact verification re-shingles ONLY docs that appear in a banded
-    // candidate pair — typically a small fraction of the corpus. No
-    // distinct on the id list: the semi-join dedups, and skipping it
-    // saves a shuffle.
+    verifyPairs(docs, cand, n, threshold)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair list — the shared
+    * tail of every LSH mining path. Re-shingles ONLY docs that appear
+    * in a banded candidate pair (typically a small fraction of the
+    * corpus); no distinct on the id list — the semi-join dedups, and
+    * skipping it saves a shuffle. Per-doc sorted distinct shingle-hash
+    * ARRAYs are built row-locally (one narrow map — no shingle explode,
+    * no distinct shuffle, no sizes window); exact Jaccard is then a
+    * sorted-merge intersect on the two arrays. Join strategy is left to
+    * AQE: with few candidates it broadcasts at runtime; with
+    * corpus-scale candidate sets (where a forced broadcast would OOM
+    * the driver) it shuffles — both correct, picked from actual sizes.
+    * `cand` must already be materialized (checkpoint/cache) — it is
+    * consumed three times here.
+    */
+  private def verifyPairs(docs: DataFrame, cand: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
     val candDocs = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id")))
-    // Per-doc sorted distinct shingle-hash ARRAY, built row-locally (one
-    // narrow map — no shingle explode, no distinct shuffle, no sizes
-    // window); exact Jaccard is then array_intersect on the two arrays.
-    // Join strategy is left to AQE: with few candidates it broadcasts at
-    // runtime; with corpus-scale candidate sets (where a forced
-    // broadcast would OOM the driver) it shuffles — both correct, picked
-    // from actual sizes.
     val shs = docs.join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         graft.functions.MinHashExpression.shingle_set(
@@ -466,16 +492,42 @@ object Dedup {
     lshAgainstImpl(newDocs, corpus, n, k, bands, threshold, viaCache = true)
 
   private def lshAgainstImpl(newDocs: DataFrame, corpus: DataFrame, n: Int,
-      k: Int, bands: Int, threshold: Double, viaCache: Boolean): (DataFrame, DataFrame) = {
-    val words = split(lower(col("text")), " ")
-    def sig(df: DataFrame) = df.select(col("doc_id"),
-        graft.functions.MinHashExpression.minhash_sig(words, n, k).as("sig"))
-      .filter(size(col("sig")) > 0)
-    // both sides keep the shuffle_merge guard: post-explode row counts
-    // are bands× the planner's estimate, so a "small" side can still be
-    // a broadcast OOM at corpus scale
-    val cand0 = bandExplode(sig(newDocs), k, bands).as("a").hint("shuffle_merge")
-      .join(bandExplode(sig(corpus), k, bands).as("b").hint("shuffle_merge"),
+      k: Int, bands: Int, threshold: Double, viaCache: Boolean): (DataFrame, DataFrame) =
+    lshAgainstBandsImpl(newDocs, sigFrame(newDocs, n, k),
+      corpus, bandExplode(sigFrame(corpus, n, k), k, bands),
+      n, k, bands, threshold, viaCache)
+
+  /** The (doc_id, band, key) LSH band index of a documents table — what
+    * the folded artifact PERSISTS per shard: a fold's corpus-side
+    * candidate generation is then a flat scan of stored band keys (20
+    * bytes a row) instead of decoding signature arrays and re-hashing —
+    * let alone re-tokenizing text. This IS the production LSH index.
+    */
+  def bandFrame(docs: DataFrame, n: Int = 3, k: Int = 64,
+      bands: Int = 32): DataFrame =
+    bandExplode(sigFrame(docs, n, k), k, bands)
+
+  /** Cross-corpus banding with a PRECOMPUTED corpus band index — the
+    * fold path's form. */
+  private[graft] def lshAgainstBandsImpl(newDocs: DataFrame, newSig: DataFrame,
+      corpus: DataFrame, corpusBands: DataFrame, n: Int,
+      k: Int, bands: Int, threshold: Double, viaCache: Boolean,
+      broadcastNew: Boolean = false): (DataFrame, DataFrame) = {
+    // Default: both sides keep the shuffle_merge guard — post-explode
+    // row counts are bands× the planner's estimate, so a "small" side
+    // can still be a broadcast OOM at corpus scale. broadcastNew is the
+    // FOLD regime's override: there the new side is a delta shard that
+    // is by contract ≪ corpus, and broadcasting its exploded bands
+    // turns the candidate join into a STREAMED probe of the stored
+    // corpus band index — the corpus side is never shuffled or sorted.
+    // A delta too large to broadcast fails loudly — the operator's cue
+    // to full-mine instead.
+    val aSide0 = bandExplode(newSig, k, bands).as("a")
+    val aSide = if (broadcastNew) broadcast(aSide0) else aSide0.hint("shuffle_merge")
+    val bSide0 = corpusBands.as("b")
+    val bSide = if (broadcastNew) bSide0 else bSide0.hint("shuffle_merge")
+    val cand0 = aSide
+      .join(bSide,
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
       .distinct()
@@ -697,10 +749,21 @@ object Dedup {
     */
   def clusterMapFold(storedMap: DataFrame, corpus: DataFrame,
       delta: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 32,
-      threshold: Double = 0.5): DataFrame = {
-    val dd = minhashLshPairs(delta, n, k, bands, threshold)
+      threshold: Double = 0.5,
+      corpusBands: Option[DataFrame] = None,
+      deltaSigs: Option[DataFrame] = None): DataFrame = {
+    // the artifact passes its STORED corpus band index (and a shared
+    // delta signature frame) so a fold never re-tokenizes, re-hashes,
+    // or even re-bands corpus content — corpus-side candidate
+    // generation is a flat scan of stored (band, key, doc_id) rows.
+    // Absent (the bare-function callers, the specs), they're computed
+    // fresh — bit-identical, the expressions are deterministic.
+    val dSig = deltaSigs.getOrElse(sigFrame(delta, n, k))
+    val dd = minhashLshPairsFromSigs(delta, dSig, n, k, bands, threshold)
       .select(col("id_a"), col("id_b"))
-    val dc = minhashLshAgainst(delta, corpus, n, k, bands, threshold)
+    val dc = lshAgainstBandsImpl(delta, dSig,
+        corpus, corpusBands.getOrElse(bandFrame(corpus, n, k, bands)),
+        n, k, bands, threshold, viaCache = false, broadcastNew = true)._1
       .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
     // consumed three times (two touched-node projections + the CC
     // union); pair volume is delta-scaled, so the checkpoint is small
@@ -773,11 +836,23 @@ object Dedup {
     val content = (head +: shardFps.map { case (sd, f) => s"$sd\t$f" })
       .mkString("\n")
     val data = Paths.get(dir, s"map_${md5Hex(content)}.parquet")
+    // the artifact's LSH BAND INDEX: one IMMUTABLE (doc_id, band, key)
+    // dataset PER SHARD, keyed by the shard's own fingerprint — so a
+    // fold publishes only the DELTA shards' bands (delta-sized write)
+    // and the corpus side of candidate generation is a flat scan of
+    // stored 20-byte band rows: no re-tokenize, no re-hash, no
+    // signature-array decode. bands·~20 bytes per doc — the standard
+    // index storage trade; append-only by construction (a shard's
+    // index never rewrites unless the shard's own fingerprint changes).
+    def bandPath(sd: String, fp: String) = Paths.get(dir,
+      s"bands_${md5Hex(s"$sd|$fp|n$n-k$k-b$bands")}.parquet")
     this.synchronized {
       val marker = Paths.get(dir, "_FINGERPRINT")
       val old = if (Files.exists(marker))
         Some(new String(Files.readAllBytes(marker), "UTF-8")) else None
-      if (!(old.contains(content) && Files.exists(data))) {
+      val allBandsExist = shardFps.forall { case (sd, f) =>
+        Files.exists(bandPath(sd, f)) }
+      if (!(old.contains(content) && Files.exists(data) && allBandsExist)) {
         val oldLines = old.toSeq.flatMap(_.linesIterator)
         val oldShards = oldLines.drop(1).flatMap(_.split("\t", 2) match {
           case Array(a, b) => Some(a -> b); case _ => None
@@ -786,20 +861,50 @@ object Dedup {
         val newSet = shardFps.toSet
         val canFold = oldLines.headOption.contains(head) &&
           oldShards.nonEmpty && oldShards.forall(newSet.contains) &&
-          oldShards.size < shardFps.size && oldData.exists(Files.exists(_))
-        val built =
-          if (canFold) {
-            val oldSet = oldShards.map(_._1).toSet
-            val delta = shardDirs.filterNot(oldSet.contains).map(load)
-              .reduce(_ union _)
-            val corpus = shardDirs.filter(oldSet.contains).map(load)
-              .reduce(_ union _)
+          oldShards.size < shardFps.size && oldData.exists(Files.exists(_)) &&
+          oldShards.forall { case (sd, f) => Files.exists(bandPath(sd, f)) }
+        // ensure every shard's band index exists (delta-sized work on
+        // the fold path: published shards already have theirs)
+        shardFps.foreach { case (sd, f) =>
+          if (!Files.exists(bandPath(sd, f)))
+            graft.engine.Artifacts.publishDataset(dir, bandPath(sd, f),
+              bandFrame(load(sd), n, k, bands))
+        }
+        def bandsOf(dirs: Seq[String]): DataFrame = {
+          val byDir = shardFps.toMap
+          dirs.map(sd => spark.read.parquet(bandPath(sd, byDir(sd)).toString))
+            .reduce(_ unionByName _)
+        }
+        if (canFold) {
+          val oldSet = oldShards.map(_._1).toSet
+          val deltaDirs = shardDirs.filterNot(oldSet.contains)
+          val corpusDirs = shardDirs.filter(oldSet.contains)
+          val delta = deltaDirs.map(load).reduce(_ union _)
+          val corpus = corpusDirs.map(load).reduce(_ union _)
+          graft.engine.Artifacts.publishDataset(dir, data,
             clusterMapFold(spark.read.parquet(oldData.get.toString),
-              corpus, delta, n, k, bands, threshold)
-          } else
-            connectedComponents(minhashLshPairs(
-              shardDirs.map(load).reduce(_ union _), n, k, bands, threshold))
-        publishArtifact(dir, data, content, built)
+              corpus, delta, n, k, bands, threshold,
+              corpusBands = Some(bandsOf(corpusDirs))))
+        } else {
+          val all = shardDirs.map(load).reduce(_ union _)
+          // full mine reuses the published per-shard indexes for
+          // candidate generation (lshCandidatePairs over the flat band
+          // table), so even the full path signature-hashes each shard
+          // exactly once — at publish time
+          val cand = bandsOf(shardDirs).as("a").hint("shuffle_merge")
+            .join(bandsOf(shardDirs).as("b").hint("shuffle_merge"),
+              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+            .distinct()
+            .localCheckpoint(eager = false)
+          graft.engine.Artifacts.publishDataset(dir, data,
+            connectedComponents(verifyPairs(all, cand, n, threshold)))
+        }
+        // marker LAST — it gates on the map AND every shard's index
+        graft.engine.Artifacts.publishMarker(dir, content)
+        graft.engine.Artifacts.gcSuperseded(dir,
+          data +: shardFps.map { case (sd, f) => bandPath(sd, f) })
         // provenance receipt (diagnostic, written after the atomic
         // publish): lets an operator — and the fold specs — see whether
         // the last publication folded or re-mined

@@ -47,8 +47,23 @@ object Artifacts {
     spark.read.parquet(data.toString)
   }
 
-  /** The atomic publication protocol (see the object doc). */
+  /** The atomic publication protocol (see the object doc) for a
+    * single-dataset artifact. Multi-dataset artifacts (e.g. the folded
+    * cluster map's map + signature table) compose the pieces:
+    * [[publishDataset]] for each dataset, then [[publishMarker]] LAST,
+    * then [[gcSuperseded]] — a crash anywhere before the marker leaves
+    * the previous publication intact.
+    */
   def publish(dir: String, data: java.nio.file.Path, fp: String,
+      build: => DataFrame): Unit = {
+    publishDataset(dir, data, build)
+    publishMarker(dir, fp)
+    gcSuperseded(dir, Seq(data))
+  }
+
+  /** Write a dataset to a hidden temp dir and ATOMIC_MOVE it into its
+    * fingerprint-addressed slot. */
+  def publishDataset(dir: String, data: java.nio.file.Path,
       build: => DataFrame): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val nonce = java.lang.Long.toHexString(System.nanoTime())
@@ -67,16 +82,26 @@ object Artifacts {
       case e: java.nio.file.FileSystemException =>
         deleteRecursively(tmp.toFile); throw e
     }
-    val mtmp = Paths.get(dir, s".marker_$nonce")
+  }
+
+  /** Marker-last publication step (temp file + ATOMIC_MOVE). */
+  def publishMarker(dir: String, fp: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val mtmp = Paths.get(dir, s".marker_${java.lang.Long.toHexString(System.nanoTime())}")
     Files.write(mtmp, fp.getBytes("UTF-8"))
     Files.move(mtmp, Paths.get(dir, "_FINGERPRINT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // GC superseded data dirs (grace period: an in-flight reader of the
-    // old publication gets 10 minutes to finish its scan)
+  }
+
+  /** GC superseded dataset dirs (`map_*` / `sigs_*`) not in `keep`, with
+    * a grace period so an in-flight reader of the old publication gets
+    * 10 minutes to finish its scan. */
+  def gcSuperseded(dir: String, keep: Seq[java.nio.file.Path]): Unit = {
     val cutoff = System.currentTimeMillis() - 10 * 60 * 1000L
+    val keepSet = keep.toSet
     Option(new java.io.File(dir).listFiles).toSeq.flatten
-      .filter(f => f.getName.startsWith("map_") && f.isDirectory &&
-        f.toPath != data && f.lastModified < cutoff)
+      .filter(f => (f.getName.startsWith("map_") || f.getName.startsWith("sigs_")) &&
+        f.isDirectory && !keepSet.contains(f.toPath) && f.lastModified < cutoff)
       .foreach(deleteRecursively)
   }
 
@@ -86,7 +111,8 @@ object Artifacts {
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(dir, "_FINGERPRINT"))
     Option(new java.io.File(dir).listFiles).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("map_"))
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith("map_") || f.getName.startsWith("sigs_")))
       .foreach(deleteRecursively)
   }
 

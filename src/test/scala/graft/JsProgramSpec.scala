@@ -776,6 +776,33 @@ class JsProgramSpec extends SparkSpec {
     assert(e.getMessage != null) // "null is not a function" — engine-fatal
   }
 
+  test("prototypes: F.prototype(x) is a TypeError, not a silent property read") {
+    // r15 advisor fix: a parenful call on a function's prototype used to
+    // route through the property-read path and RETURN the prototype
+    // object, silently discarding the arguments — it must fail like
+    // every other non-callable call (prototype objects are not callable)
+    val js = """function F(v) { this.v = v; }
+    function map(row) {
+      F.prototype(3);
+      return 1;
+    }"""
+    val e = intercept[Exception] {
+      JsGesture.withJsColumnTyped(frame.limit(1), "r", js, DoubleType)
+        .select(col("r")).collect()
+    }
+    assert(e.getMessage != null) // "prototype object is not a function"
+    // the parenless read stays a live prototype handle
+    val ok = """function G(v) { this.v = v; }
+    function map(row) {
+      G.prototype.dbl = function () { return this.v * 2; };
+      var g = new G(21);
+      return g.dbl();
+    }"""
+    val got = JsGesture.withJsColumnTyped(frame.limit(1), "r", ok, DoubleType)
+      .select(col("r")).head().getDouble(0)
+    assert(got == 42.0)
+  }
+
   test("prototypes: constructor instances share live prototype methods") {
     val js = """function Counter(step) { this.step = step; this.n = 0; }
     function map(row) {
