@@ -3094,6 +3094,22 @@ object SparkEntry {
           .count()
       graft.dedup.Dedup.clusterMapArtifactFolded(s, name, shards)
     }),
+    // the SECOND folded model (r15): the line-dedup state maintained
+    // incrementally over the same 3-shard split — base state over
+    // shards {0,1} on first contact, shard 2's state FOLDED in by the
+    // exact (sum, sum, min) merge, list consumers filter n_docs >= 2.
+    // Fold ≡ batch scan, which is exactly what the oracle replays over
+    // the whole table (the raw corpus is single-line per doc, so the
+    // line state is the per-text census).
+    "text_boilerplate_folded" -> ((s, d) => {
+      val shards = graft.dedup.Dedup.ensureDocShards(s, d, 3)
+      val name = "docs_mod3_" + Integer.toHexString(d.hashCode)
+      if (!graft.text.TextAnalysis.boilerplateFoldedExists(name))
+        graft.text.TextAnalysis.boilerplateStateArtifactFolded(
+          s, name, shards.take(2)).count()
+      graft.text.TextAnalysis.boilerplateStateArtifactFolded(s, name, shards)
+        .filter(col("n_docs") >= 2)
+    }),
     "dedup_survivors" -> ((s, d) =>
       graft.dedup.Dedup.survivorsFromClusters(docs(s, d),
         graft.dedup.Dedup.clusterMapArtifact(s, d))
@@ -7420,6 +7436,14 @@ object SparkEntry {
     // (lost cross-shard pair, stale stored edge) breaks the value hash
     "dedup_clusters_incremental" -> (ccCte +
       "\nSELECT node AS doc_id, cluster_id FROM cc"),
+    // folded line state ≡ whole-table census (raw docs are single-line,
+    // so line = text): any fold error — double-counted shard, lost
+    // (sum,sum,min) merge key, stale stored state — breaks the hash
+    "text_boilerplate_folded" ->
+      """SELECT text AS line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences, min(doc_id) AS keeper
+        |FROM documents WHERE length(text) > 0 GROUP BY 1
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "dedup_report" -> (ccCte + """
       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(count(cc.cluster_id) AS BIGINT) AS n_clustered,

@@ -158,4 +158,74 @@ object Artifacts {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Generic FOLDED artifact over an append-only shard list — the
+    * reusable shape behind incrementally-maintained models whose state
+    * merges exactly (the boilerplate line-list state; the cluster map
+    * uses a specialized variant in Dedup that also maintains per-shard
+    * band indexes). The marker records `v1 params=.. build=..` plus one
+    * `shardDir\tfingerprint` line per shard:
+    *
+    *  - exact marker match ⇒ serve the stored dataset;
+    *  - published shard set ⊂ request, every published shard unchanged,
+    *    same params/build ⇒ `fold(oldData, corpusDirs, deltaDirs)` —
+    *    delta-sized work;
+    *  - anything else ⇒ `full` rebuild.
+    *
+    * Publication is marker-last atomic; `_PROVENANCE` records which
+    * path ran.
+    */
+  def serveFoldedShards(spark: SparkSession, dir: String, params: String,
+      buildStamp: String, shardFps: Seq[(String, String)])(
+      full: => DataFrame)(
+      fold: (DataFrame, Seq[String], Seq[String]) => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val head = s"v1 params=$params build=$buildStamp"
+    val content = (head +: shardFps.map { case (sd, f) => s"$sd\t$f" })
+      .mkString("\n")
+    val data = Paths.get(dir, s"map_${md5Hex(content)}.parquet")
+    this.synchronized {
+      val marker = Paths.get(dir, "_FINGERPRINT")
+      val old = if (Files.exists(marker))
+        Some(new String(Files.readAllBytes(marker), "UTF-8")) else None
+      if (!(old.contains(content) && Files.exists(data))) {
+        val oldLines = old.toSeq.flatMap(_.linesIterator)
+        val oldShards = oldLines.drop(1).flatMap(_.split("\t", 2) match {
+          case Array(a, b) => Some(a -> b); case _ => None
+        })
+        val oldData = old.map(c => Paths.get(dir, s"map_${md5Hex(c)}.parquet"))
+        val newSet = shardFps.toSet
+        val canFold = oldLines.headOption.contains(head) &&
+          oldShards.nonEmpty && oldShards.forall(newSet.contains) &&
+          oldShards.size < shardFps.size && oldData.exists(Files.exists(_))
+        val built =
+          if (canFold) {
+            val oldSet = oldShards.map(_._1).toSet
+            fold(spark.read.parquet(oldData.get.toString),
+              shardFps.map(_._1).filter(oldSet.contains),
+              shardFps.map(_._1).filterNot(oldSet.contains))
+          } else full
+        publishDataset(dir, data, built)
+        publishMarker(dir, content)
+        gcSuperseded(dir, Seq(data))
+        val prov = if (canFold)
+          s"fold +${shardFps.size - oldShards.size} shard(s) onto ${oldShards.size}"
+        else s"full mine of ${shardFps.size} shard(s)"
+        Files.write(Paths.get(dir, "_PROVENANCE"), prov.getBytes("UTF-8"))
+      }
+    }
+    spark.read.parquet(data.toString)
+  }
+
+  /** True iff a folded-shards lineage under `dir` has a publication. */
+  def foldedShardsExists(dir: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_FINGERPRINT"))
+
+  /** Last publication's provenance line under `dir`, if any. */
+  def foldedShardsProvenance(dir: String): Option[String] = {
+    val p = java.nio.file.Paths.get(dir, "_PROVENANCE")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    else None
+  }
 }

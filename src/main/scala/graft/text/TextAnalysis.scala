@@ -3287,6 +3287,55 @@ object TextAnalysis {
         sum(col("n_occurrences")).as("n_occurrences"),
         min(col("keeper")).as("keeper"))
 
+  /** The line-dedup state as an INCREMENTALLY-MAINTAINED folded
+    * artifact over an append-only shard list — the second model on the
+    * [[graft.engine.Artifacts.serveFoldedShards]] pattern (beside the
+    * cluster map): the published state is maintained by scanning ONLY
+    * newly-arrived shards and merging their states into the stored one
+    * ((sum, sum, min) per line key — exact for disjoint shards, the
+    * ingest-sharding contract), never re-scanning published data.
+    * Consumers filter `n_docs >= minDocs` for the boilerplate list.
+    * Fingerprinting/fold/full rules and atomic publication are the
+    * shared folded-artifact contract; `name` scopes the lineage.
+    */
+  def boilerplateStateArtifactFolded(spark: org.apache.spark.sql.SparkSession,
+      name: String, shardDirs: Seq[String],
+      normalized: Boolean = false): DataFrame = {
+    val params = s"norm$normalized"
+    val dir = boilerplateFoldDir(name, params)
+    def load(sd: String) = graft.engine.Tables.documents(spark, sd)
+    val shardFps = shardDirs.sorted.map(sd =>
+      sd -> graft.engine.Artifacts.md5Hex(graft.engine.Artifacts.tableListing(
+        new java.io.File(sd, "documents.parquet"))))
+    val stamp = graft.engine.Artifacts.classStamp(Seq(
+      "/graft/text/TextAnalysis$.class", "/graft/text/TextAnalysis.class"))
+    graft.engine.Artifacts.serveFoldedShards(spark, dir, params, stamp,
+      shardFps)(
+      boilerplateState(shardDirs.map(load).reduce(_ union _), normalized)) {
+      (oldState, _, deltaDirs) =>
+        mergeBoilerplateStates(oldState +:
+          deltaDirs.map(sd => boilerplateState(load(sd), normalized)))
+    }
+  }
+
+  /** Whether a [[boilerplateStateArtifactFolded]] lineage is published —
+    * callers seed a base state only on first contact. */
+  def boilerplateFoldedExists(name: String,
+      normalized: Boolean = false): Boolean =
+    graft.engine.Artifacts.foldedShardsExists(
+      boilerplateFoldDir(name, s"norm$normalized"))
+
+  /** Last publication's provenance for a boilerplate fold lineage. */
+  def boilerplateFoldedProvenance(name: String,
+      normalized: Boolean = false): Option[String] =
+    graft.engine.Artifacts.foldedShardsProvenance(
+      boilerplateFoldDir(name, s"norm$normalized"))
+
+  private def boilerplateFoldDir(name: String, params: String): String =
+    graft.sources.Sources.rtDir("boilerplate_state_fold_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(name + "|" + params).toLong & 0xffffffffL))
+
   /** Strip KNOWN boilerplate lines — the serve half of the line-dedup
     * train/serve split (detection: [[boilerplateLines]]). Unlike the
     * corpus-wide [[removeDupLines]] (whose keeper retains one copy),

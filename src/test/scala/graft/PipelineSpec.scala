@@ -202,6 +202,36 @@ class PipelineSpec extends SparkSpec {
     assert(maps.forall(_ == maps.head) && maps.head.nonEmpty)
   }
 
+  test("boilerplate folded state: fold == batch, any order, provenance") {
+    import java.nio.file.Files
+    // multi-line docs with boilerplate spanning the mod-3 shards
+    val b = "accept all cookies now"
+    val texts = Seq(
+      s"$b\nalpha body", "bravo body", s"$b\ncharlie body",
+      "delta body", s"$b\necho body", "foxtrot body")
+    val shards = writeShardDirs(texts, 3, "bp")
+    def stateOf(m: Set[(String, Long, Long, Long)]) = m
+    val batch = TextAnalysis.boilerplateState(docsDF(texts).select(
+        col("doc_id"), col("text")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val maps = Seq(Seq(0, 1, 2), Seq(2, 0, 1)).map { order =>
+      val name = s"spec_bpfold_${order.mkString}_" + System.nanoTime()
+      TextAnalysis.boilerplateStateArtifactFolded(spark, name,
+        order.take(2).map(shards)).count()
+      val m = TextAnalysis.boilerplateStateArtifactFolded(spark, name,
+          order.map(shards))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(TextAnalysis.boilerplateFoldedProvenance(name)
+        .exists(_.startsWith("fold +1 shard(s) onto 2")))
+      m
+    }
+    assert(maps.forall(_ == batch) && batch.nonEmpty)
+    // the spanning boilerplate line's census is cross-shard correct
+    assert(batch.contains((b, 3L, 3L, 0L)))
+  }
+
   test("mutated published shard forces a full re-mine, not a bogus fold") {
     val texts = foldCorpus()
     val shards = writeShardDirs(texts, 3, "stale")
