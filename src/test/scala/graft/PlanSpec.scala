@@ -135,6 +135,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("artifact consumers serve the stored model: no detection subtree " +
+      "in the plan") {
+    // r15 contract: the decision/strip queries read PUBLISHED artifacts;
+    // a regression that re-inlines mining would show up as the mining
+    // aggregates reappearing in the physical plan
+    val inc = SparkEntry.queries("dedup_clusters_incremental")(spark, sf)
+    val pInc = plan(inc)
+    assert(pInc.contains("cluster_map_fold_"),
+      "incremental cluster query must scan the folded artifact")
+    assert(!pInc.contains("xxhash64"),
+      "no LSH banding/minhash in the serve plan")
+    val strip = SparkEntry.queries("text_strip_boilerplate")(spark, sf)
+    val pStrip = plan(strip)
+    assert(pStrip.contains("boilerplate_list_"),
+      "strip query must scan the published line-list artifact")
+    assert(!pStrip.toLowerCase.contains("count(distinct") &&
+      !pStrip.contains("count(doc_id"),
+      "no line-census detection aggregate in the strip plan")
+    val bpf = SparkEntry.queries("text_boilerplate_folded")(spark, sf)
+    val pBpf = plan(bpf)
+    assert(pBpf.contains("boilerplate_state_fold_"),
+      "folded state query must scan the published state")
+  }
+
   test("filters are pushed down to the parquet scan") {
     val df = Tables.lineitem(spark, sf)
       .filter(Filters.range(col("l_extendedprice"), 1000.0, 5000.0))
