@@ -210,6 +210,38 @@ object SparkEntry {
     }.toDF("doc_id", "text", "lang", "source", "n_chars"))
   }
 
+  /** [[docsNl]] materialized once as a scratch `documents.parquet`
+    * input dir, so the folded-artifact queries can SHARD it
+    * (ensureDocShards reads a directory). Fingerprint = the source
+    * table's listing + this query layer's bytecode (the nl fixture
+    * lives here, so editing the planted rows re-materializes);
+    * marker-last publish, stable across runs.
+    */
+  private def nlInputDir(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = graft.sources.Sources.rtDir("docs_nl_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(d).toLong & 0xffffffffL))
+    val fp = graft.engine.Artifacts.md5Hex("v1|" +
+      graft.engine.Artifacts.classStamp(Seq("/graft/SparkEntry$.class")) + "|" +
+      graft.engine.Artifacts.tableListing(
+        new java.io.File(d, "documents.parquet")))
+    val setDir = Paths.get(root, s"set_$fp")
+    this.synchronized {
+      val marker = Paths.get(root, "_FINGERPRINT")
+      val fresh = Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == fp &&
+        Files.exists(setDir)
+      if (!fresh) {
+        Files.createDirectories(setDir)
+        graft.engine.Artifacts.publishDataset(root,
+          Paths.get(setDir.toString, "documents.parquet"), docsNl(s, d))
+        graft.engine.Artifacts.publishMarker(root, fp)
+      }
+    }
+    setDir.toString
+  }
+
   /** The boilerplate line list as a stored artifact — the second
     * decision-layer model on the [[graft.engine.Artifacts]] pattern
     * (after the dedup cluster map): detection
@@ -3095,15 +3127,16 @@ object SparkEntry {
       graft.dedup.Dedup.clusterMapArtifactFolded(s, name, shards)
     }),
     // the SECOND folded model (r15): the line-dedup state maintained
-    // incrementally over the same 3-shard split — base state over
-    // shards {0,1} on first contact, shard 2's state FOLDED in by the
-    // exact (sum, sum, min) merge, list consumers filter n_docs >= 2.
-    // Fold ≡ batch scan, which is exactly what the oracle replays over
-    // the whole table (the raw corpus is single-line per doc, so the
-    // line state is the per-text census).
+    // incrementally over a 3-shard split of the NL-PLANTED corpus (the
+    // planted boilerplate lines span all three doc_id-mod-3 residues,
+    // so the fold genuinely merges cross-shard censuses) — base state
+    // over shards {0,1} on first contact, shard 2's state FOLDED in by
+    // the exact (sum, sum, min) merge, list consumers filter
+    // n_docs >= 2. Fold ≡ batch scan, which is exactly what the oracle
+    // replays (the text_boilerplate_lines census verbatim).
     "text_boilerplate_folded" -> ((s, d) => {
-      val shards = graft.dedup.Dedup.ensureDocShards(s, d, 3)
-      val name = "docs_mod3_" + Integer.toHexString(d.hashCode)
+      val shards = graft.dedup.Dedup.ensureDocShards(s, nlInputDir(s, d), 3)
+      val name = "docsnl_mod3_" + Integer.toHexString(d.hashCode)
       if (!graft.text.TextAnalysis.boilerplateFoldedExists(name))
         graft.text.TextAnalysis.boilerplateStateArtifactFolded(
           s, name, shards.take(2)).count()
@@ -7436,14 +7469,17 @@ object SparkEntry {
     // (lost cross-shard pair, stale stored edge) breaks the value hash
     "dedup_clusters_incremental" -> (ccCte +
       "\nSELECT node AS doc_id, cluster_id FROM cc"),
-    // folded line state ≡ whole-table census (raw docs are single-line,
-    // so line = text): any fold error — double-counted shard, lost
-    // (sum,sum,min) merge key, stale stored state — breaks the hash
+    // folded line state ≡ the whole nl-corpus census (the
+    // text_boilerplate_lines oracle verbatim): any fold error —
+    // double-counted shard, lost (sum,sum,min) merge key, stale stored
+    // state — breaks the hash
     "text_boilerplate_folded" ->
-      """SELECT text AS line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      s"""WITH dnl AS ($nlDocsSelect),
+        |e AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM dnl)
+        |SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_occurrences, min(doc_id) AS keeper
-        |FROM documents WHERE length(text) > 0 GROUP BY 1
-        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+        |FROM e WHERE line <> ''
+        |GROUP BY line HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "dedup_report" -> (ccCte + """
       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(count(cc.cluster_id) AS BIGINT) AS n_clustered,
