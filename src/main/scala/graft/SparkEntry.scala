@@ -169,6 +169,36 @@ object SparkEntry {
       pool.take(cps.size))
   }
 
+  /** Batch bigram-LM training oracle, shared by `lm_model_incremental`
+    * and `lm_model_folded`: exact-sum state folds ≡ training on the
+    * union, so the oracle trains on the whole table directly — the
+    * equality IS the storable-state claim. */
+  private val lmModelTrainSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |    w -> w <> '') AS ws FROM documents),
+      |big AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+      |  WHERE len(ws) >= 2),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
+      |  FROM big GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1)
+      |SELECT c2.w1, c2.w2,
+      |  CAST(length(bin(n1)) - length(bin(n2)) AS BIGINT) AS surp
+      |FROM c2 JOIN c1 USING (w1)""".stripMargin
+
+  /** Batch langid-count oracle, shared by `langid_model_incremental`
+    * and `langid_model_folded` (same fold ≡ batch-counting claim). */
+  private def langidModelTrainSql: String =
+    s"""WITH dml AS MATERIALIZED ($mlDocsSelect),
+       |g AS (SELECT lang AS lang2,
+       |    unnest([substr(lower(text), CAST(i AS INTEGER), 2)
+       |      for i in range(1, length(lower(text)))]) AS g
+       |  FROM dml WHERE lang = 'en' OR source = 'planted_ml')
+       |SELECT lang2, g, CAST(count(*) AS BIGINT) AS c
+       |FROM g GROUP BY 1, 2""".stripMargin
+
   /** Inject the `dml` CTE into a generated `WITH RECURSIVE …` oracle
     * whose table references were pointed at `dml`. */
   private def withMlDocs(sql: String): String = {
@@ -241,6 +271,41 @@ object SparkEntry {
     }
     setDir.toString
   }
+
+  /** [[docsMl]] materialized once as a scratch documents.parquet input
+    * dir, so the langid folded-model query can SHARD the ml corpus
+    * (ensureDocShards reads a directory). Same fingerprint/publish
+    * contract as [[nlInputDir]] — the ml fixture lives in this class,
+    * so editing the planted rows re-materializes. */
+  private def mlInputDir(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = graft.sources.Sources.rtDir("docs_ml_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(d).toLong & 0xffffffffL))
+    val fp = graft.engine.Artifacts.md5Hex("v1|" +
+      graft.engine.Artifacts.classStamp(Seq("/graft/SparkEntry$.class")) + "|" +
+      graft.engine.Artifacts.tableListing(
+        new java.io.File(d, "documents.parquet")))
+    val setDir = Paths.get(root, s"set_$fp")
+    this.synchronized {
+      val marker = Paths.get(root, "_FINGERPRINT")
+      val fresh = Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == fp &&
+        Files.exists(setDir)
+      if (!fresh) {
+        Files.createDirectories(setDir)
+        graft.engine.Artifacts.publishDataset(root,
+          Paths.get(setDir.toString, "documents.parquet"), docsMl(s, d))
+        graft.engine.Artifacts.publishMarker(root, fp)
+      }
+    }
+    setDir.toString
+  }
+
+  /** The trusted-seed predicate of the langid model, as SQL — part of
+    * the folded langid artifact's identity (changing the trust contract
+    * re-mines). Must match the `text_langid_nb` seed Column. */
+  private val langidSeedSql = "lang = 'en' OR source = 'planted_ml'"
 
   /** The boilerplate line list as a stored artifact — the second
     * decision-layer model on the [[graft.engine.Artifacts]] pattern
@@ -3810,6 +3875,22 @@ object SparkEntry {
       graft.text.TextAnalysis.bigramModelFromStates(
         Seq(shards(2), shards(0), shards(1)))
     }),
+    // the LM count state maintained as a FOLDED ARTIFACT over the
+    // 3-shard split (serveFoldedShards, third stored model): base state
+    // over shards {0,1} on first contact, shard 2's counts folded in by
+    // exact sum — only the delta is ever scanned; the model derives
+    // from the SERVED state, bit-equal to batch training on the union,
+    // which is exactly what the oracle replays (the lm_model_incremental
+    // oracle verbatim)
+    "lm_model_folded" -> ((s, d) => {
+      val shards = graft.dedup.Dedup.ensureDocShards(s, d, 3)
+      val name = "docs_mod3_" + Integer.toHexString(d.hashCode)
+      if (!graft.text.TextAnalysis.bigramFoldedExists(name))
+        graft.text.TextAnalysis.bigramStateArtifactFolded(s, name,
+          shards.take(2)).count()
+      graft.text.TextAnalysis.bigramModelFromStates(Seq(
+        graft.text.TextAnalysis.bigramStateArtifactFolded(s, name, shards)))
+    }),
     // pairwise source TF-cosine (corpus drift / source redundancy —
     // the signal behind source-level dedup and mixture design): exact
     // integer dots and norms, one sqrt-based division rounded to 4
@@ -4060,6 +4141,21 @@ object SparkEntry {
         .langidCountState(dm.filter(pmod(col("doc_id"), lit(3)) === i), seed))
       graft.text.TextAnalysis.langidModelFromStates(
         Seq(shards(2), shards(0), shards(1)))
+    }),
+    // the langid model state as a FOLDED ARTIFACT (fourth stored model):
+    // the ml corpus materialized once as an input dir, sharded mod 3;
+    // base state over shards {0,1}, shard 2's seed counts folded by
+    // exact sum; the seed predicate is part of the artifact identity
+    // (changing the trust contract re-mines). Fold ≡ batch counting,
+    // the langid_model_incremental oracle verbatim
+    "langid_model_folded" -> ((s, d) => {
+      val shards = graft.dedup.Dedup.ensureDocShards(s, mlInputDir(s, d), 3)
+      val name = "docsml_mod3_" + Integer.toHexString(d.hashCode)
+      if (!graft.text.TextAnalysis.langidFoldedExists(name, langidSeedSql))
+        graft.text.TextAnalysis.langidStateArtifactFolded(s, name,
+          shards.take(2), langidSeedSql).count()
+      graft.text.TextAnalysis.langidStateArtifactFolded(s, name, shards,
+        langidSeedSql)
     }),
     // per-source sequence-length histogram in power-of-2 token buckets
     // — the distribution packing/batching is tuned against
@@ -5814,14 +5910,11 @@ object SparkEntry {
         |FROM pc GROUP BY 1""".stripMargin,
     // the fold is associative+commutative, so shard-split training
     // equals batch counting over the seed — the oracle is the batch
-    "langid_model_incremental" ->
-      s"""WITH dml AS MATERIALIZED ($mlDocsSelect),
-         |g AS (SELECT lang AS lang2,
-         |    unnest([substr(lower(text), CAST(i AS INTEGER), 2)
-         |      for i in range(1, length(lower(text)))]) AS g
-         |  FROM dml WHERE lang = 'en' OR source = 'planted_ml')
-         |SELECT lang2, g, CAST(count(*) AS BIGINT) AS c
-         |FROM g GROUP BY 1, 2""".stripMargin,
+    "langid_model_incremental" -> langidModelTrainSql,
+    // folded-artifact form: same equality claim, same batch oracle —
+    // any fold error (double-counted shard, stale stored state, lost
+    // sum key) breaks the hash
+    "langid_model_folded" -> langidModelTrainSql,
     "seq_len_histogram" ->
       """WITH t AS (SELECT source,
         |    CAST(len(list_filter(string_split(lower(text), ' '),
@@ -8284,20 +8377,9 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |GROUP BY doc_id""".stripMargin,
     // exact-sum fold ≡ counting the union: the oracle trains on the
     // whole table directly — equality IS the storable-state claim
-    "lm_model_incremental" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
-        |    w -> w <> '') AS ws FROM documents),
-        |big AS (
-        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
-        |  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
-        |  WHERE len(ws) >= 2),
-        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
-        |  FROM big GROUP BY 1, 2),
-        |c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1)
-        |SELECT c2.w1, c2.w2,
-        |  CAST(length(bin(n1)) - length(bin(n2)) AS BIGINT) AS surp
-        |FROM c2 JOIN c1 USING (w1)""".stripMargin,
+    "lm_model_incremental" -> lmModelTrainSql,
+    // folded-artifact form: fold ≡ union-train, same batch oracle
+    "lm_model_folded" -> lmModelTrainSql,
     // the three count orders and the per-level surrogate scores replayed
     // verbatim; the serve side is the planted-augmented corpus while
     // every model CTE reads only `documents`

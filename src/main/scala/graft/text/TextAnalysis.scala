@@ -2432,13 +2432,17 @@ object TextAnalysis {
       .groupBy(col("source"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n2"))
 
+  /** Exact-sum fold of [[bigramCountState]] shards into one state table
+    * — associative and commutative, so shards merge in any order. */
+  def mergeBigramStates(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n2")).as("n2"))
+
   /** Fold shard states (any order) and derive the SAME model the batch
     * trainer ships — bit-equal to [[bigramModel]] on the shard union
     * because counts are exact integers and the derivation is shared. */
   def bigramModelFromStates(states: Seq[DataFrame]): DataFrame =
-    deriveBigramModel(states.reduce(_ unionByName _)
-      .groupBy(col("w1"), col("w2")).agg(sum(col("n2")).as("n2"))
-      .localCheckpoint(false))
+    deriveBigramModel(mergeBigramStates(states).localCheckpoint(false))
 
   /** Score documents under a FROZEN bigram model (the serve half —
     * also the per-micro-batch body of the streaming scoring gate).
@@ -3333,6 +3337,89 @@ object TextAnalysis {
 
   private def boilerplateFoldDir(name: String, params: String): String =
     graft.sources.Sources.rtDir("boilerplate_state_fold_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(name + "|" + params).toLong & 0xffffffffL))
+
+  /** The bigram-LM count state as an incrementally-maintained folded
+    * artifact over an append-only shard list — the THIRD model on the
+    * [[graft.engine.Artifacts.serveFoldedShards]] pattern (after the
+    * cluster map and the boilerplate line state): a new corpus shard
+    * folds in by scanning ONLY the delta ([[bigramCountState]]) and
+    * merging counts by exact sum ([[mergeBigramStates]]), never
+    * re-scanning published shards. [[bigramModelFromStates]] over the
+    * served state derives a model bit-equal to batch training on the
+    * union — the equality the `lm_model_folded` oracle pins.
+    */
+  def bigramStateArtifactFolded(spark: org.apache.spark.sql.SparkSession,
+      name: String, shardDirs: Seq[String]): DataFrame = {
+    val dir = lmFoldDir(name)
+    def load(sd: String) = graft.engine.Tables.documents(spark, sd)
+    val shardFps = shardDirs.sorted.map(sd =>
+      sd -> graft.engine.Artifacts.md5Hex(graft.engine.Artifacts.tableListing(
+        new java.io.File(sd, "documents.parquet"))))
+    val stamp = graft.engine.Artifacts.classStamp(Seq(
+      "/graft/text/TextAnalysis$.class", "/graft/text/TextAnalysis.class"))
+    graft.engine.Artifacts.serveFoldedShards(spark, dir, "bigram-v1", stamp,
+      shardFps)(
+      bigramCountState(shardDirs.map(load).reduce(_ union _))) {
+      (oldState, _, deltaDirs) =>
+        mergeBigramStates(oldState +:
+          deltaDirs.map(sd => bigramCountState(load(sd))))
+    }
+  }
+
+  /** Whether a [[bigramStateArtifactFolded]] lineage is published. */
+  def bigramFoldedExists(name: String): Boolean =
+    graft.engine.Artifacts.foldedShardsExists(lmFoldDir(name))
+
+  /** Last publication's provenance for an LM-state fold lineage. */
+  def bigramFoldedProvenance(name: String): Option[String] =
+    graft.engine.Artifacts.foldedShardsProvenance(lmFoldDir(name))
+
+  private def lmFoldDir(name: String): String =
+    graft.sources.Sources.rtDir("lm_state_fold_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(name + "|bigram-v1").toLong & 0xffffffffL))
+
+  /** The langid-model count state as an incrementally-maintained folded
+    * artifact — the FOURTH folded model: per-shard (lang, gram, c) seed
+    * counts fold by exact sum ([[langidModelFromStates]]); the seed
+    * predicate (which rows are TRUSTED labels) is part of the artifact
+    * identity, so changing the trust contract re-mines. Derived scorers
+    * over the served state are bit-equal to batch training by
+    * construction ([[langidDenFromModel]] is shared).
+    */
+  def langidStateArtifactFolded(spark: org.apache.spark.sql.SparkSession,
+      name: String, shardDirs: Seq[String], seedSql: String): DataFrame = {
+    val params = "langid-v1 seed=" + seedSql
+    val dir = langidFoldDir(name, params)
+    def load(sd: String) = graft.engine.Tables.documents(spark, sd)
+    val shardFps = shardDirs.sorted.map(sd =>
+      sd -> graft.engine.Artifacts.md5Hex(graft.engine.Artifacts.tableListing(
+        new java.io.File(sd, "documents.parquet"))))
+    val stamp = graft.engine.Artifacts.classStamp(Seq(
+      "/graft/text/TextAnalysis$.class", "/graft/text/TextAnalysis.class"))
+    graft.engine.Artifacts.serveFoldedShards(spark, dir, params, stamp,
+      shardFps)(
+      langidCountState(shardDirs.map(load).reduce(_ union _), expr(seedSql))) {
+      (oldState, _, deltaDirs) =>
+        langidModelFromStates(oldState +:
+          deltaDirs.map(sd => langidCountState(load(sd), expr(seedSql))))
+    }
+  }
+
+  /** Whether a [[langidStateArtifactFolded]] lineage is published. */
+  def langidFoldedExists(name: String, seedSql: String): Boolean =
+    graft.engine.Artifacts.foldedShardsExists(
+      langidFoldDir(name, "langid-v1 seed=" + seedSql))
+
+  /** Last publication's provenance for a langid-state fold lineage. */
+  def langidFoldedProvenance(name: String, seedSql: String): Option[String] =
+    graft.engine.Artifacts.foldedShardsProvenance(
+      langidFoldDir(name, "langid-v1 seed=" + seedSql))
+
+  private def langidFoldDir(name: String, params: String): String =
+    graft.sources.Sources.rtDir("langid_state_fold_" +
       java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
         .stringHash(name + "|" + params).toLong & 0xffffffffL))
 

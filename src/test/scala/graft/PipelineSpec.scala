@@ -149,10 +149,13 @@ class PipelineSpec extends SparkSpec {
   }
 
   private def writeShardDirs(texts: Seq[String], parts: Int,
-      tag: String): Seq[String] = {
+      tag: String): Seq[String] =
+    writeShardDirsOf(docsDF(texts), parts, tag)
+
+  private def writeShardDirsOf(df: org.apache.spark.sql.DataFrame,
+      parts: Int, tag: String): Seq[String] = {
     import java.nio.file.Files
     val root = Files.createTempDirectory(s"graft_fold_$tag").toString
-    val df = docsDF(texts)
     (0 until parts).map { i =>
       val sd = s"$root/shard_$i"
       df.filter(col("doc_id") % parts === i)
@@ -230,6 +233,53 @@ class PipelineSpec extends SparkSpec {
     assert(maps.forall(_ == batch) && batch.nonEmpty)
     // the spanning boilerplate line's census is cross-shard correct
     assert(batch.contains((b, 3L, 3L, 0L)))
+  }
+
+  test("LM bigram folded state: fold == batch model, provenance") {
+    // bigrams spanning the mod-3 shards so the fold genuinely merges
+    // cross-shard counts ("a b" appears in shards 0, 2, and 0 again)
+    val texts = Seq("a b c a b", "c d e", "a b x", "y z a b", "d e f", "q r s")
+    val shards = writeShardDirs(texts, 3, "lm")
+    val batch = TextAnalysis.bigramModel(docsDF(texts))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val name = "spec_lmfold_" + System.nanoTime()
+    TextAnalysis.bigramStateArtifactFolded(spark, name, shards.take(2)).count()
+    val folded = TextAnalysis.bigramModelFromStates(Seq(
+        TextAnalysis.bigramStateArtifactFolded(spark, name, shards)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(folded == batch && folded.nonEmpty)
+    assert(TextAnalysis.bigramFoldedProvenance(name)
+      .exists(_.startsWith("fold +1 shard(s) onto 2")))
+  }
+
+  test("langid folded state: fold == batch counting, seed is part of " +
+      "the artifact identity") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "hello there world", "en", "seed"),
+      (1L, "bonjour le monde", "fr", "seed"),
+      (2L, "more english text here", "en", "seed"),
+      (3L, "salut encore le monde", "fr", "seed"),
+      (4L, "untrusted crawl row", "xx", "crawl"),
+      (5L, "encore du texte simple", "fr", "seed"))
+    val df = rows.toDF("doc_id", "text", "lang", "source")
+    val shards = writeShardDirsOf(df, 3, "lid")
+    val seed = "source = 'seed'"
+    val batch = TextAnalysis.langidCountState(df, expr(seed))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val name = "spec_lidfold_" + System.nanoTime()
+    TextAnalysis.langidStateArtifactFolded(spark, name, shards.take(2), seed)
+      .count()
+    val folded = TextAnalysis
+      .langidStateArtifactFolded(spark, name, shards, seed)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(folded == batch && folded.nonEmpty)
+    assert(TextAnalysis.langidFoldedProvenance(name, seed)
+      .exists(_.startsWith("fold +1 shard(s) onto 2")))
+    // the untrusted row's grams must not be in the model
+    assert(!folded.exists(_._1 == "xx"))
+    // a DIFFERENT seed predicate is a different lineage — no publication
+    assert(!TextAnalysis.langidFoldedExists(name, "lang = 'en'"))
   }
 
   test("mutated published shard forces a full re-mine, not a bogus fold") {
