@@ -3510,6 +3510,16 @@ object SparkEntry {
       graft.ann.Similarity.silhouetteExact(emb(s, d), 4, 2)),
     "embedding_kmeans_exact" -> ((s, d) =>
       graft.ann.Similarity.kmeansExact(emb(s, d), 4, 2)),
+    // topic labeling of the embedding clusters (BERTopic class-based
+    // TF-IDF): each exact-integer k-means cell pools its member docs
+    // into one class, scored per term by cluster TF × corpus IDF —
+    // the cross-modal curation dashboard (which WORDS characterize
+    // each embedding cell). Fully oracled: the kmeans CTE chain
+    // assigns, the tfidf replay ranks
+    "cluster_topic_terms" -> ((s, d) =>
+      graft.text.TextAnalysis.clusterTopicTerms(docs(s, d),
+        graft.ann.Similarity.kmeansExact(emb(s, d), 4, 2)
+          .select(col("vec_id"), col("cluster")), 5)),
     // SemDeDup with the float-free verdict: cos ≥ 2/5 decided as
     // 25·dot² ≥ 4·qq·cc in decimal — the pair SET is fully oracled
     "dedup_semantic_exact" -> ((s, d) =>
@@ -7478,6 +7488,26 @@ object SparkEntry {
         |${kmeansFinalAssignCte(2)}
         |SELECT vec_id, cell AS cluster, CAST(d2 AS BIGINT) AS d2
         |FROM kfin""".stripMargin,
+    // the kmeans assignment CTE chain feeding the tfidf_topterms replay
+    // grouped by cell — cluster membership AND term ranking both
+    // re-derived independently
+    "cluster_topic_terms" ->
+      s"""WITH ${kmeansSqlCtes(4, 2)},
+        |${kmeansFinalAssignCte(2)},
+        |tok AS (SELECT d.doc_id, kfin.cell AS cluster,
+        |    unnest(string_split(lower(d.text), ' ')) AS token
+        |  FROM documents d JOIN kfin ON kfin.vec_id = d.doc_id),
+        |tfx AS (SELECT cluster, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tfx.cluster, tfx.token, tfx.tf, dfq.df,
+        |    floor(tfx.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df) * 10000) / 10000
+        |      AS tfidf
+        |  FROM tfx JOIN dfq USING (token) CROSS JOIN nn)
+        |SELECT cluster, token, tf, df, tfidf, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+        |    ORDER BY tfidf DESC, token) AS INT) AS rank FROM sc)
+        |WHERE rank <= 5""".stripMargin,
     // pair verdict in HUGEINT — the engine's decimal(38,0) twin
     "dedup_semantic_exact" ->
       s"""WITH ${kmeansSqlCtes(4, 2)},

@@ -2337,22 +2337,50 @@ object TextAnalysis {
     * sources·K) rows, not every (source, token) pair. The doc count N is
     * a 1-row aggregate broadcast into the scoring join.
     */
-  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
-    val tok = docs.select(col("doc_id"), col("source"),
-      explode(tokens(col("text"))).as("token"))
-    val tf = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame =
+    tfidfTopTermsBy(
+      docs.select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("token")),
+      docs.agg(count(lit(1)).as("__n")), "source", k)
+
+  /** Shared TF-IDF ranking core: per-`group` term frequency × corpus
+    * IDF over a (doc_id, group, token) frame, top-K per group through
+    * the bounded-heap [[graft.plans.GroupTopK]] operator. */
+  private def tfidfTopTermsBy(tok: DataFrame, n: DataFrame,
+      group: String, k: Int): DataFrame = {
+    val tf = tok.groupBy(col(group), col("token")).agg(count(lit(1)).as("tf"))
     val dfq = tok.select(col("doc_id"), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("__n"))
     val scored = tf.join(dfq, Seq("token"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         floor(col("tf") * log(col("__n").cast("double") / col("df"))
           * lit(10000.0)) / lit(10000.0))
-      .select(col("source"), col("token"), col("tf"), col("df"), col("tfidf"))
-    graft.plans.GroupTopK.groupTopK(scored, Seq("source"),
+      .select(col(group), col("token"), col("tf"), col("df"), col("tfidf"))
+    graft.plans.GroupTopK.groupTopK(scored, Seq(group),
       Seq(("tfidf", false), ("token", true)), k)
   }
+
+  /** Topic labeling of EMBEDDING clusters by their distinguishing
+    * terms — the BERTopic class-based TF-IDF shape (Grootendorst 2022)
+    * over the engine's exact-integer k-means: each cluster's member
+    * documents pool into one "class", scored per-term by cluster TF ×
+    * corpus IDF, top-K per cluster. The cross-modal decision view of
+    * clustering: which WORDS characterize each embedding cell — the
+    * curation dashboard behind cluster-level keep/drop/mix decisions.
+    * `assign` is a (vec_id, cluster) frame (e.g. [[graft.ann.Similarity
+    * .kmeansExact]]); vec_id joins doc_id, the shared-identity contract
+    * of the documents/embeddings tables. Plan: one broadcast-sized
+    * assignment join + the tfidfTopTerms shape (data-sized tokenize,
+    * model-sized score join, bounded heaps under the exchange). */
+  def clusterTopicTerms(docs: DataFrame, assign: DataFrame,
+      k: Int = 5): DataFrame =
+    tfidfTopTermsBy(
+      docs.join(assign.select(col("vec_id").as("doc_id"), col("cluster")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("cluster"),
+          explode(tokens(col("text"))).as("token")),
+      docs.agg(count(lit(1)).as("__n")), "cluster", k)
 
   /** Bigram language-model surprisal — the CCNet-style "perplexity
     * filter" signal (Wenzek et al. 2020) computed IN-ENGINE: train

@@ -282,6 +282,33 @@ class PipelineSpec extends SparkSpec {
     assert(!TextAnalysis.langidFoldedExists(name, "lang = 'en'"))
   }
 
+  test("cluster topic terms rank each cluster's distinguishing vocabulary " +
+      "first (class-based TF-IDF)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha alpha shared"), (1L, "alpha shared shared"),
+      (2L, "beta beta shared"), (3L, "beta shared common"))
+      .toDF("doc_id", "text")
+    val assign = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1))
+      .toDF("vec_id", "cluster")
+    val out = TextAnalysis.clusterTopicTerms(docs, assign, 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    // k rows per cluster, ranks 1..k
+    assert(out.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._6).sorted.sameElements(1 to rs.length) && rs.length == 2 })
+    // the cluster-specific word wins each cluster; corpus-wide "shared"
+    // has idf ln(1) = 0 and can never outrank it
+    assert(out.filter(_._6 == 1).map(r => r._1 -> r._2).toMap ==
+      Map(0 -> "alpha", 1 -> "beta"))
+    // tf and df are the exact counts (alpha: 3 in cluster 0, 2 docs)
+    val alpha = out.find(r => r._1 == 0 && r._2 == "alpha").get
+    assert(alpha._3 == 3L && alpha._4 == 2L)
+    // cluster 1's runner-up is its own rare word, not the idf-0 filler
+    assert(out.find(r => r._1 == 1 && r._6 == 2).get._2 == "common")
+  }
+
   test("mutated published shard forces a full re-mine, not a bogus fold") {
     val texts = foldCorpus()
     val shards = writeShardDirs(texts, 3, "stale")
