@@ -1097,6 +1097,38 @@ object SparkEntry {
        |SELECT node, r AS rank_micro FROM r$iterations""".stripMargin
   }
 
+  /** The K-iteration integer HITS oracle, mechanically unrolled (same
+    * arithmetic as [[graft.graph.LinkGraph.hits]]): per round, raw
+    * authority sums over in-edges of the previous hubs, max-normalize,
+    * raw hub sums over out-edges of the NEW authorities, max-normalize.
+    */
+  private def linkHitsSql(iterations: Int): String = {
+    val steps = (1 to iterations).map { k =>
+      s"""ar$k AS (SELECT e.dst AS node, SUM(h${k - 1}.h) AS s
+         |  FROM e JOIN h${k - 1} ON e.src = h${k - 1}.node GROUP BY 1),
+         |a$k AS (SELECT n.node, CAST(COALESCE(ar$k.s, 0) * 1000000 //
+         |    GREATEST(1, COALESCE((SELECT MAX(s) FROM ar$k), 1)) AS BIGINT) AS a
+         |  FROM n LEFT JOIN ar$k USING (node)),
+         |hr$k AS (SELECT e.src AS node, SUM(a$k.a) AS s
+         |  FROM e JOIN a$k ON e.dst = a$k.node GROUP BY 1),
+         |h$k AS (SELECT n.node, CAST(COALESCE(hr$k.s, 0) * 1000000 //
+         |    GREATEST(1, COALESCE((SELECT MAX(s) FROM hr$k), 1)) AS BIGINT) AS h
+         |  FROM n LEFT JOIN hr$k USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH du AS ($urlGraphDocsSelect),
+       |e AS (SELECT DISTINCT source AS src, split_part(u, '//', 2) AS dst
+       |  FROM (SELECT source,
+       |      unnest(regexp_extract_all(text, 'https?://[a-z0-9.-]+')) AS u
+       |    FROM du)),
+       |n AS (SELECT DISTINCT source AS node FROM du
+       |  UNION SELECT DISTINCT dst FROM e),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM n),
+       |$steps
+       |SELECT h$iterations.node, h$iterations.h AS hub_micro,
+       |  a$iterations.a AS auth_micro
+       |FROM h$iterations JOIN a$iterations USING (node)""".stripMargin
+  }
+
   /** The integer-Lloyd k-means CTE chain, mechanically unrolled (same
     * arithmetic as [[graft.ann.Similarity.kmeansExactCentroids]]):
     * `kq` = 2^16-grid vectors, `kc0` = the k smallest-vec_id seeds,
@@ -3716,6 +3748,12 @@ object SparkEntry {
     }),
     "link_domain_rank" -> ((s, d) =>
       graft.graph.LinkGraph.domainRank(docsUrlGraph(s, d), 4)),
+    // HITS hubs/authorities over the SAME link graph — the two roles
+    // PageRank folds together (directory sites vs trusted targets);
+    // exact-integer mutual recursion with max-normalization on the
+    // 1e-6 grid, unrolled-CTE replayable like link_domain_rank
+    "link_hits" -> ((s, d) =>
+      graft.graph.LinkGraph.hits(docsUrlGraph(s, d), 3)),
     // C4 URL filter over in-text links: narrow regex map + literal
     // blocklist, zero shuffle
     "text_url_filter" -> ((s, d) =>
@@ -8046,6 +8084,9 @@ object SparkEntry {
         |  SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.node)
         |SELECT node, min(r) AS component FROM reach GROUP BY node""".stripMargin,
     "link_domain_rank" -> linkRankSql(4),
+    // the mutual-recursion fixed point replayed round by round (raw
+    // sums + max-normalization, all truncating integer arithmetic)
+    "link_hits" -> linkHitsSql(3),
     // C4 URL filter: same scheme+host regex, domain = after the '//'
     "text_url_filter" ->
       s"""WITH du AS ($urlDocsSelect),

@@ -70,4 +70,61 @@ object LinkGraph {
     }
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
+
+  /** HITS hubs and authorities (Kleinberg 1999) — the link-graph twin
+    * of [[domainRank]] for the two roles PageRank folds together: a
+    * good HUB links to many good authorities (the directory/portal
+    * signal crawl frontier schedulers use), a good AUTHORITY is linked
+    * from many good hubs (the trust signal source weighting uses).
+    *
+    * EXACT-INTEGER iteration on the 1e-6 grid: the classic mutual
+    * recursion a = Eᵀh, h = E·a with MAX-normalization replacing the
+    * L2 norm — `x'(v) = (raw(v)·scale) // max_u raw(u)` with truncating
+    * integer division, so K unrolled iterations replay bit-identically
+    * in SQL (the [[domainRank]] discipline; an L2 norm would need a
+    * cross-engine sqrt-of-sum per round and float division order).
+    * Nodes without the role's edges score 0; the max hub/authority
+    * each round sits exactly at `scale`. With ≥1 edge the round maxima
+    * never fall below `scale`, so no division-by-zero path exists (a
+    * `greatest(1, …)` guard still covers the edgeless-corpus case
+    * identically on both engines).
+    *
+    * Scale shape: same as [[domainRank]] — the URL scan runs once,
+    * each half-step is ONE shuffle over the graph-sized edge table,
+    * the per-round max is a 1-row broadcast, per-round checkpoints
+    * bound plan depth. Long bound: raw sums stay ≤ indeg·scale, so
+    * `raw·scale` requires indeg < 2^63/scale² ≈ 9·10⁶ at the default
+    * grid — pick a smaller scale for mega-hub graphs (ANSI mode throws
+    * loudly rather than wrapping).
+    */
+  def hits(docs: DataFrame, iterations: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    import graft.text.TextAnalysis.intDiv
+    require(iterations >= 1, "HITS needs at least one mutual-update round")
+    val edges = domainEdges(docs).localCheckpoint(eager = false)
+    val nodes = docs.select(col("source").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint(eager = false)
+    var hubs = nodes.select(col("node"), lit(scale).as("h"))
+    var auths = nodes.select(col("node"), lit(scale).as("a"))
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val m = raw.agg(greatest(lit(1L), coalesce(max(col("s")), lit(1L)))
+        .as("__m"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("node"),
+          intDiv(coalesce(col("s"), lit(0L)) * lit(scale), col("__m")).as(out))
+        .localCheckpoint(eager = false)
+    }
+    for (_ <- 1 to iterations) {
+      auths = normalized(edges
+        .join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s")), "a")
+      hubs = normalized(edges
+        .join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("s")), "h")
+    }
+    hubs.join(auths, Seq("node"))
+      .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
+  }
 }

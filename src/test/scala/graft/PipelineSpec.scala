@@ -1205,6 +1205,35 @@ class PipelineSpec extends SparkSpec {
     assert(r1("spam.farm") == 150000L + 850000L, r1)
   }
 
+  test("HITS: hub and authority roles separate, max-normalized, " +
+      "hand-checked round") {
+    import spark.implicits._
+    val d = Seq(
+      // alpha links to BOTH targets (the directory/portal hub);
+      // beta and gamma each link only to hub.site
+      (1L, "a https://hub.site/x b https://side.site/y c", "en", "alpha.site", 1L),
+      (2L, "see https://hub.site/z", "en", "beta.site", 1L),
+      (3L, "see https://hub.site/w", "en", "gamma.site", 1L),
+      (4L, "no links here", "en", "lonely.site", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.graph.LinkGraph.hits(d, 1)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    // round 1 authorities from uniform hubs: raw(hub.site) = 3e6 (max),
+    // raw(side.site) = 1e6 → a = 333333; sources/lonely get 0
+    assert(r("hub.site")._2 == 1000000L, r)
+    assert(r("side.site")._2 == 333333L, r)
+    assert(r("lonely.site")._2 == 0L && r("alpha.site")._2 == 0L, r)
+    // round 1 hubs from those authorities: raw(alpha) = 1e6 + 333333
+    // (max), raw(beta) = raw(gamma) = 1e6 → (1e6·1e6)//1333333 = 750000
+    assert(r("alpha.site")._1 == 1000000L, r)
+    assert(r("beta.site")._1 == 750000L && r("gamma.site")._1 == 750000L, r)
+    // targets emit nothing: hub score 0
+    assert(r("hub.site")._1 == 0L && r("side.site")._1 == 0L, r)
+    // the roles genuinely separate: the best hub is a zero authority
+    // and the best authority is a zero hub (PageRank cannot show this)
+  }
+
   test("filter funnel: monotone stage counts, each stage cuts the right docs") {
     import spark.implicits._
     val good = "the quick value of spark and merge join runs fine today"
