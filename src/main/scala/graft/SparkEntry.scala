@@ -56,9 +56,7 @@ object SparkEntry {
   // repeated builds reuse the same path instead of leaking a fresh
   // temp tree per bench iteration
   private[graft] def pqScratch(d: String): String =
-    graft.sources.Sources.rtDir("pq_index_" +
-      java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL))
+    graft.engine.Artifacts.lineageDir("pq_index", d)
   private def pqIndexDir(s: SparkSession, d: String): String =
     pqIndexDirs.computeIfAbsent(d, _ => {
       val dir = pqScratch(d)
@@ -240,18 +238,16 @@ object SparkEntry {
     }.toDF("doc_id", "text", "lang", "source", "n_chars"))
   }
 
-  /** [[docsNl]] materialized once as a scratch `documents.parquet`
-    * input dir, so the folded-artifact queries can SHARD it
-    * (ensureDocShards reads a directory). Fingerprint = the source
-    * table's listing + this query layer's bytecode (the nl fixture
-    * lives here, so editing the planted rows re-materializes);
-    * marker-last publish, stable across runs.
-    */
-  private def nlInputDir(s: SparkSession, d: String): String = {
+  /** A planted-fixture corpus materialized ONCE as a scratch
+    * `documents.parquet` input dir, so folded-artifact queries can
+    * SHARD it (ensureDocShards reads a directory). Fingerprint = the
+    * source table's listing + this query layer's bytecode (the planted
+    * fixtures live in this class, so editing them re-materializes);
+    * marker-last publish, stable across runs. */
+  private def materializedInputDir(prefix: String, d: String)(
+      build: => DataFrame): String = {
     import java.nio.file.{Files, Paths}
-    val root = graft.sources.Sources.rtDir("docs_nl_" +
-      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
-        .stringHash(d).toLong & 0xffffffffL))
+    val root = graft.engine.Artifacts.lineageDir(prefix, d)
     val fp = graft.engine.Artifacts.md5Hex("v1|" +
       graft.engine.Artifacts.classStamp(Seq("/graft/SparkEntry$.class")) + "|" +
       graft.engine.Artifacts.tableListing(
@@ -265,42 +261,20 @@ object SparkEntry {
       if (!fresh) {
         Files.createDirectories(setDir)
         graft.engine.Artifacts.publishDataset(root,
-          Paths.get(setDir.toString, "documents.parquet"), docsNl(s, d))
+          Paths.get(setDir.toString, "documents.parquet"), build)
         graft.engine.Artifacts.publishMarker(root, fp)
       }
     }
     setDir.toString
   }
 
-  /** [[docsMl]] materialized once as a scratch documents.parquet input
-    * dir, so the langid folded-model query can SHARD the ml corpus
-    * (ensureDocShards reads a directory). Same fingerprint/publish
-    * contract as [[nlInputDir]] — the ml fixture lives in this class,
-    * so editing the planted rows re-materializes. */
-  private def mlInputDir(s: SparkSession, d: String): String = {
-    import java.nio.file.{Files, Paths}
-    val root = graft.sources.Sources.rtDir("docs_ml_" +
-      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
-        .stringHash(d).toLong & 0xffffffffL))
-    val fp = graft.engine.Artifacts.md5Hex("v1|" +
-      graft.engine.Artifacts.classStamp(Seq("/graft/SparkEntry$.class")) + "|" +
-      graft.engine.Artifacts.tableListing(
-        new java.io.File(d, "documents.parquet")))
-    val setDir = Paths.get(root, s"set_$fp")
-    this.synchronized {
-      val marker = Paths.get(root, "_FINGERPRINT")
-      val fresh = Files.exists(marker) &&
-        new String(Files.readAllBytes(marker), "UTF-8") == fp &&
-        Files.exists(setDir)
-      if (!fresh) {
-        Files.createDirectories(setDir)
-        graft.engine.Artifacts.publishDataset(root,
-          Paths.get(setDir.toString, "documents.parquet"), docsMl(s, d))
-        graft.engine.Artifacts.publishMarker(root, fp)
-      }
-    }
-    setDir.toString
-  }
+  /** [[docsNl]] as a materialized input dir (the line-dedup folds). */
+  private def nlInputDir(s: SparkSession, d: String): String =
+    materializedInputDir("docs_nl", d)(docsNl(s, d))
+
+  /** [[docsMl]] as a materialized input dir (the langid fold). */
+  private def mlInputDir(s: SparkSession, d: String): String =
+    materializedInputDir("docs_ml", d)(docsMl(s, d))
 
   /** The trusted-seed predicate of the langid model, as SQL — part of
     * the folded langid artifact's identity (changing the trust contract
@@ -319,9 +293,8 @@ object SparkEntry {
     * re-mines" contract as the cluster map).
     */
   private def boilerplateListArtifact(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.sources.Sources.rtDir("boilerplate_list_" +
-      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
-        .stringHash(d + "|min2-raw").toLong & 0xffffffffL))
+    val dir = graft.engine.Artifacts.lineageDir("boilerplate_list",
+      d + "|min2-raw")
     val stamp = graft.engine.Artifacts.classStamp(Seq(
       "/graft/text/TextAnalysis$.class", "/graft/text/TextAnalysis.class",
       "/graft/SparkEntry$.class"))
@@ -5355,7 +5328,8 @@ object SparkEntry {
     * normal path always renders.
     */
   private def pqServeOracles: Map[String, String] =
-    graft.ann.PqIndex.lastSide match {
+    (if (graft.ann.PqIndex.sideConflict) None
+     else graft.ann.PqIndex.lastSide) match {
       case None => Map.empty
       case Some((cbs, cents)) =>
         val m = cbs.length                  // 8 subspaces
@@ -5462,7 +5436,8 @@ object SparkEntry {
     * replays cosine = dot/(‖a‖·‖b‖) with the ascending double folds.
     */
   private def ivfServeOracle: Map[String, String] =
-    graft.ann.Similarity.lastIvfCentroids match {
+    (if (graft.ann.Similarity.ivfConflict) None
+     else graft.ann.Similarity.lastIvfCentroids) match {
       case None => Map.empty
       case Some(cents) =>
         def lit(f: Float): String =
@@ -9456,11 +9431,13 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
     * an oracle and a gate at the same time (the OperatorSpec rule).
     */
   def rowsOnlyGates: Map[String, String] = rowsOnlyGatesStatic ++
-    (if (graft.ann.PqIndex.lastSide.isEmpty) Map(
+    (if (graft.ann.PqIndex.lastSide.isEmpty ||
+         graft.ann.PqIndex.sideConflict) Map(
       "ann_pq_topk" -> "PropertySpec 'PQ ANN: recall vs brute force, determinism, 32x compression' — recall@10 >= 0.7, run-to-run bit equality",
       "ann_ivfpq_topk" -> "PropertySpec 'IVF-PQ ANN: recall with cell probing, scans only probed cells' — recall@10 >= 0.5 + PartitionFilters plan gate")
      else Map.empty) ++
-    (if (graft.ann.Similarity.lastIvfCentroids.isEmpty) Map(
+    (if (graft.ann.Similarity.lastIvfCentroids.isEmpty ||
+         graft.ann.Similarity.ivfConflict) Map(
       "ann_ivf_topk" -> "PipelineSpec 'IVF topk: self-cell recall includes exact top-1 for most queries' — seeded centroids, deterministic")
      else Map.empty)
 

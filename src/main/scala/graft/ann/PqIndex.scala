@@ -42,6 +42,31 @@ object PqIndex {
   @volatile private[graft] var lastSide
       : Option[(Array[Array[Array[Float]]], Array[(Array[Float], Int)])] = None
 
+  /** True once two DIFFERENT side-table sets were stashed in this JVM
+    * before an oracle dump — the dumped query results and a
+    * last-writer-wins stash could then disagree on which model served,
+    * so the render declines the oracle and the property gate takes
+    * over (never both, never a wrong-model oracle). Same-model
+    * re-stashes (the deterministic re-train) never trip it. */
+  @volatile private[graft] var sideConflict: Boolean = false
+
+  private[graft] def stashSide(
+      s: (Array[Array[Array[Float]]], Array[(Array[Float], Int)])): Unit =
+    this.synchronized {
+      if (lastSide.exists(old => !sameSide(old, s))) sideConflict = true
+      lastSide = Some(s)
+    }
+
+  private def sameSide(
+      a: (Array[Array[Array[Float]]], Array[(Array[Float], Int)]),
+      b: (Array[Array[Array[Float]]], Array[(Array[Float], Int)])): Boolean =
+    a._1.length == b._1.length && a._1.indices.forall(j =>
+      a._1(j).length == b._1(j).length && a._1(j).indices.forall(k =>
+        java.util.Arrays.equals(a._1(j)(k), b._1(j)(k)))) &&
+      a._2.length == b._2.length && a._2.indices.forall(i =>
+        a._2(i)._2 == b._2(i)._2 &&
+          java.util.Arrays.equals(a._2(i)._1, b._2(i)._1))
+
   /** Corpus → (vec_id, cell, codes): one narrow encode pass. `cents`
     * None ⇒ flat PQ (cell 0 everywhere, serve scans all codes). */
   private[ann] def encode(normed: DataFrame,
@@ -181,7 +206,7 @@ object PqIndex {
     val t0 = System.nanoTime()
     val cents = Similarity.kmeansCentroids(normed, nlist, refineIters)
     val cbs = Similarity.pqCodebooks(normed, m, ksub, refineIters)
-    lastSide = Some((cbs, cents))
+    stashSide((cbs, cents))
     val trainS = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
     val d = cbs(0)(0).length
@@ -241,7 +266,7 @@ object PqIndex {
     val cents = spark.read.parquet(s"$dir/centroids").collect()
       .map(r => (r.getSeq[Float](1).toArray, r.getInt(0)))
       .sortBy(_._2)
-    lastSide = Some((cbs.map(_.toArray), cents))
+    stashSide((cbs.map(_.toArray), cents))
     (cbs.map(_.toArray), cents)
   }
 

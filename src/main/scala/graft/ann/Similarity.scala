@@ -844,10 +844,24 @@ object Similarity {
   @volatile private[graft] var lastIvfCentroids
       : Option[Array[(Array[Float], Int)]] = None
 
+  /** True once two DIFFERENT centroid sets were stashed in this JVM —
+    * the dump-time render then declines the oracle and the property
+    * gate takes over (the PqIndex.sideConflict rule). */
+  @volatile private[graft] var ivfConflict: Boolean = false
+
+  private def stashIvfCentroids(c: Array[(Array[Float], Int)]): Unit =
+    this.synchronized {
+      if (lastIvfCentroids.exists(old => old.length != c.length ||
+          old.indices.exists(i => old(i)._2 != c(i)._2 ||
+            !java.util.Arrays.equals(old(i)._1, c(i)._1))))
+        ivfConflict = true
+      lastIvfCentroids = Some(c)
+    }
+
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
       nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 1): DataFrame = {
     val centroids = kmeansCentroids(emb, nlist, refineIters)
-    lastIvfCentroids = Some(centroids)
+    stashIvfCentroids(centroids)
     def nearestCells(v: Column, n: Int): Column =
       Similarity.nearestCells(centroids, v, n)
     val corpus = emb

@@ -716,9 +716,8 @@ object Dedup {
       k: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     val docs = graft.engine.Tables.documents(spark, inputDir)
     val params = s"n$n-k$k-b$bands-t$threshold"
-    val dir = graft.sources.Sources.rtDir("cluster_map_" +
-      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
-        .stringHash(inputDir + "|" + params).toLong & 0xffffffffL))
+    val dir = graft.engine.Artifacts.lineageDir("cluster_map",
+      inputDir + "|" + params)
     // freshness re-checked on every call (a file stat + tiny md5 —
     // nanoseconds against any query): an input mutated even mid-session
     // re-mines instead of serving the stale map
@@ -832,6 +831,11 @@ object Dedup {
     def load(sd: String) = graft.engine.Tables.documents(spark, sd)
     val shardFps = shardDirs.sorted.map(sd =>
       sd -> md5Hex(tableListing(new java.io.File(sd, "documents.parquet"))))
+    // line-oriented marker: reject newlines/tabs in shard identities
+    // (the serveFoldedShards contract) rather than silently breaking
+    // the fold detection
+    require(shardDirs.forall(sd => !sd.contains('\n') && !sd.contains('\t')),
+      "shard dirs must be newline- and tab-free: the marker is line-oriented")
     val head = s"v1 params=$params build=$buildStamp"
     val content = (head +: shardFps.map { case (sd, f) => s"$sd\t$f" })
       .mkString("\n")
@@ -927,17 +931,9 @@ object Dedup {
     * the SAME lineage could be scanning.
     */
   def clusterMapInvalidate(inputDir: String, n: Int = 3, k: Int = 64,
-      bands: Int = 32, threshold: Double = 0.5): Unit = {
-    val params = s"n$n-k$k-b$bands-t$threshold"
-    val dir = graft.sources.Sources.rtDir("cluster_map_" +
-      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
-        .stringHash(inputDir + "|" + params).toLong & 0xffffffffL))
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(dir, "_FINGERPRINT"))
-    Option(new java.io.File(dir).listFiles).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("map_"))
-      .foreach(deleteRecursively)
-  }
+      bands: Int = 32, threshold: Double = 0.5): Unit =
+    graft.engine.Artifacts.invalidate(graft.engine.Artifacts.lineageDir(
+      "cluster_map", inputDir + "|" + s"n$n-k$k-b$bands-t$threshold"))
 
   /** True iff a published map exists for this folded-artifact lineage —
     * callers use it to seed a base map only on first contact instead of
@@ -960,9 +956,7 @@ object Dedup {
   }
 
   private def foldedArtifactDir(name: String, params: String): String =
-    graft.sources.Sources.rtDir("cluster_map_fold_" +
-      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
-        .stringHash(name + "|" + params).toLong & 0xffffffffL))
+    graft.engine.Artifacts.lineageDir("cluster_map_fold", name + "|" + params)
 
   /** Materialize the documents table of `inputDir` as `parts` scratch
     * shard directories (doc_id mod `parts`), each a `documents.parquet`
@@ -976,9 +970,8 @@ object Dedup {
   def ensureDocShards(spark: org.apache.spark.sql.SparkSession,
       inputDir: String, parts: Int): Seq[String] = {
     import java.nio.file.{Files, Paths}
-    val root = graft.sources.Sources.rtDir("doc_shards_" +
-      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
-        .stringHash(inputDir + "|p" + parts).toLong & 0xffffffffL))
+    val root = graft.engine.Artifacts.lineageDir("doc_shards",
+      inputDir + "|p" + parts)
     val fp = md5Hex(s"v1|p$parts|" +
       tableListing(new java.io.File(inputDir, "documents.parquet")))
     val setDir = Paths.get(root, s"set_$fp")
@@ -998,9 +991,15 @@ object Dedup {
         }
         try Files.move(tmp, setDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.DirectoryNotEmptyException =>
+          // same contract as Artifacts.publishDataset: rename(2) onto a
+          // populated dir can surface as FileAlreadyExists,
+          // DirectoryNotEmpty, OR a plain FileSystemException — if the
+          // slot exists, a concurrent same-fingerprint publisher won;
+          // serve its copy. Anything else is a real failure.
+          case e: java.nio.file.FileSystemException if Files.exists(setDir) =>
             deleteRecursively(tmp.toFile)
+          case e: java.nio.file.FileSystemException =>
+            deleteRecursively(tmp.toFile); throw e
         }
         val mtmp = Paths.get(root, s".marker_$nonce")
         Files.write(mtmp, fp.getBytes("UTF-8"))

@@ -93,16 +93,38 @@ object Artifacts {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** GC superseded dataset dirs (`map_*` / `sigs_*`) not in `keep`, with
-    * a grace period so an in-flight reader of the old publication gets
-    * 10 minutes to finish its scan. */
+  /** Dataset dirs the GC/invalidate sweeps recognize: fingerprint-
+    * addressed maps and per-shard band indexes, plus the pre-r15
+    * fixed-name map (so upgraded artifact roots don't carry it
+    * forever). */
+  private def isDatasetDir(f: java.io.File): Boolean =
+    f.isDirectory && (f.getName.startsWith("map_") ||
+      f.getName.startsWith("bands_") || f.getName == "map.parquet")
+
+  /** GC superseded dataset dirs not in `keep`, with a grace period
+    * measured from SUPERSESSION (not publication): the first publish
+    * that supersedes a dataset only stamps it (a hidden marker file
+    * inside the dir — parquet readers skip dotfiles), and a LATER
+    * publish deletes it once the stamp is 10+ minutes old — so an
+    * in-flight reader of a long-lived old publication still gets its
+    * grace window. Best-effort: garbage lingers until the next publish
+    * on the same lineage. */
   def gcSuperseded(dir: String, keep: Seq[java.nio.file.Path]): Unit = {
-    val cutoff = System.currentTimeMillis() - 10 * 60 * 1000L
+    val now = System.currentTimeMillis()
+    val cutoff = now - 10 * 60 * 1000L
     val keepSet = keep.toSet
     Option(new java.io.File(dir).listFiles).toSeq.flatten
-      .filter(f => (f.getName.startsWith("map_") || f.getName.startsWith("sigs_")) &&
-        f.isDirectory && !keepSet.contains(f.toPath) && f.lastModified < cutoff)
-      .foreach(deleteRecursively)
+      .filter(isDatasetDir)
+      .foreach { f =>
+        val stamp = new java.io.File(f, ".graft_superseded")
+        if (keepSet.contains(f.toPath)) {
+          // re-current (same-fingerprint re-publish): clear any stale
+          // supersession stamp so a future supersession restarts the clock
+          if (stamp.exists) { stamp.delete(); () }
+        } else if (stamp.exists && stamp.lastModified < cutoff)
+          deleteRecursively(f)
+        else if (!stamp.exists) { stamp.createNewFile(); () }
+      }
   }
 
   /** Drop a lineage entirely (marker first, then data) so the next call
@@ -111,10 +133,18 @@ object Artifacts {
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(dir, "_FINGERPRINT"))
     Option(new java.io.File(dir).listFiles).toSeq.flatten
-      .filter(f => f.isDirectory &&
-        (f.getName.startsWith("map_") || f.getName.startsWith("sigs_")))
+      .filter(isDatasetDir)
       .foreach(deleteRecursively)
   }
+
+  /** The canonical scratch location of an artifact lineage: one dir
+    * per (prefix, logical key) under the artifact root — the single
+    * definition every stored model shares (cluster map, folded states,
+    * materialized fixture inputs). */
+  def lineageDir(prefix: String, key: String): String =
+    graft.sources.Sources.rtDir(prefix + "_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(key).toLong & 0xffffffffL))
 
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(deleteRecursively)
@@ -179,6 +209,14 @@ object Artifacts {
       full: => DataFrame)(
       fold: (DataFrame, Seq[String], Seq[String]) => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
+    // the marker is line-oriented: an embedded newline (e.g. a caller's
+    // multi-line params string) would silently shift the shard lines
+    // and disable folding forever — fail loudly instead
+    require(!params.contains('\n') && !buildStamp.contains('\n') &&
+      shardFps.forall { case (sd, f) =>
+        !sd.contains('\n') && !sd.contains('\t') && !f.contains('\n') },
+      "folded-artifact params/build/shard identities must be single-line" +
+        " (and shard dirs tab-free): the marker format is line-oriented")
     val head = s"v1 params=$params build=$buildStamp"
     val content = (head +: shardFps.map { case (sd, f) => s"$sd\t$f" })
       .mkString("\n")

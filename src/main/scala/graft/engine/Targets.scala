@@ -279,10 +279,16 @@ class TargetRegistry(val spark: SparkSession) {
     }
   }
 
-  /** Abort every active job of a [[sketchIn]] group — the unsubscribe
-    * RPC. Safe to call whether or not anything is running. */
+  /** Abort a [[sketchIn]] group — the unsubscribe RPC. Cancels active
+    * jobs AND bars future ones in the group: a multi-job gesture (AQE
+    * re-plans issue several sequential jobs per collect) whose
+    * cancellation lands in the gap between two of its jobs must still
+    * abort, not silently run its remaining jobs to completion — group
+    * ids are per-gesture, so the permanent bar is exactly the
+    * unsubscribe contract. Safe to call whether or not anything is
+    * running. */
   def cancelSketch(group: String): Unit =
-    spark.sparkContext.cancelJobGroup(group)
+    spark.sparkContext.cancelJobGroupAndFutureJobs(group)
 
   /** Entry-point B's gesture (TableTarget.getNextK). */
   def nextK(id: String, order: Seq[NextK.Order], k: Int,

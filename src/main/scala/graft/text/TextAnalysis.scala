@@ -3364,9 +3364,8 @@ object TextAnalysis {
       boilerplateFoldDir(name, s"norm$normalized"))
 
   private def boilerplateFoldDir(name: String, params: String): String =
-    graft.sources.Sources.rtDir("boilerplate_state_fold_" +
-      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
-        .stringHash(name + "|" + params).toLong & 0xffffffffL))
+    graft.engine.Artifacts.lineageDir("boilerplate_state_fold",
+      name + "|" + params)
 
   /** The bigram-LM count state as an incrementally-maintained folded
     * artifact over an append-only shard list — the THIRD model on the
@@ -3405,9 +3404,7 @@ object TextAnalysis {
     graft.engine.Artifacts.foldedShardsProvenance(lmFoldDir(name))
 
   private def lmFoldDir(name: String): String =
-    graft.sources.Sources.rtDir("lm_state_fold_" +
-      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
-        .stringHash(name + "|bigram-v1").toLong & 0xffffffffL))
+    graft.engine.Artifacts.lineageDir("lm_state_fold", name + "|bigram-v1")
 
   /** The langid-model count state as an incrementally-maintained folded
     * artifact — the FOURTH folded model: per-shard (lang, gram, c) seed
@@ -3447,9 +3444,7 @@ object TextAnalysis {
       langidFoldDir(name, "langid-v1 seed=" + seedSql))
 
   private def langidFoldDir(name: String, params: String): String =
-    graft.sources.Sources.rtDir("langid_state_fold_" +
-      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
-        .stringHash(name + "|" + params).toLong & 0xffffffffL))
+    graft.engine.Artifacts.lineageDir("langid_state_fold", name + "|" + params)
 
   /** Strip KNOWN boilerplate lines — the serve half of the line-dedup
     * train/serve split (detection: [[boilerplateLines]]). Unlike the
