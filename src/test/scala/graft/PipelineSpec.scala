@@ -282,6 +282,42 @@ class PipelineSpec extends SparkSpec {
     assert(!TextAnalysis.langidFoldedExists(name, "lang = 'en'"))
   }
 
+  test("artifact GC grace period runs from supersession, not publication") {
+    import graft.engine.Artifacts
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gc_spec").toString
+    def dataDir(fp: String) =
+      new java.io.File(dir, s"map_${Artifacts.md5Hex(fp)}.parquet")
+    def build = Seq((1L, "x")).toDF("id", "v")
+    Artifacts.serveOrBuild(spark, dir, "fpA")(build).count()
+    val a = dataDir("fpA")
+    assert(a.isDirectory)
+    // make A an OLD publication — under the buggy publish-age clock
+    // this alone would make it instantly collectable
+    a.setLastModified(System.currentTimeMillis() - 60 * 60 * 1000L)
+    // B supersedes A: A must survive the publish, stamped not deleted
+    Artifacts.serveOrBuild(spark, dir, "fpB")(build).count()
+    assert(a.isDirectory, "old publication deleted with no grace window")
+    val stamp = new java.io.File(a, ".graft_superseded")
+    assert(stamp.exists, "superseded dataset not stamped")
+    // stamped dataset inside the window survives ANOTHER publish
+    Artifacts.serveOrBuild(spark, dir, "fpC")(build).count()
+    assert(a.isDirectory)
+    // age the supersession stamp past the window: the next publish
+    // finally collects A (and only A — C is current, B is in-window)
+    stamp.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L)
+    Artifacts.serveOrBuild(spark, dir, "fpD")(build).count()
+    assert(!a.exists, "aged superseded dataset not collected")
+    assert(dataDir("fpB").isDirectory && dataDir("fpD").isDirectory)
+    // re-publishing a previously-superseded fingerprint makes its
+    // dataset current again AND clears the stale supersession stamp,
+    // so a future supersession restarts the clock from zero
+    assert(new java.io.File(dataDir("fpB"), ".graft_superseded").exists)
+    Artifacts.serveOrBuild(spark, dir, "fpB")(build).count()
+    assert(!new java.io.File(dataDir("fpB"), ".graft_superseded").exists,
+      "stale stamp not cleared on re-publication")
+  }
+
   test("cluster topic terms rank each cluster's distinguishing vocabulary " +
       "first (class-based TF-IDF)") {
     import spark.implicits._
