@@ -1358,6 +1358,49 @@ object ScaleProbe {
         corpusBands = Some(corpusBands), deltaSigs = Some(dSig)).count() }
     }
 
+    // ── r15 s2: LM-state fold vs full-train cost across the decade ──
+    // The folded bigram state's 100 TB claim: a FIXED-size delta shard
+    // folds into a ×c base by scanning ONLY the delta (+ the stored
+    // model-sized state), while full training re-scans everything.
+    def lmFoldInput(c: Int): Seq[String] = {
+      val root = sources.Sources.rtDir(s"probe_lmfold_x$c")
+      val done = new java.io.File(root, "_DONE")
+      val shards = Seq(s"$root/base0", s"$root/base1", s"$root/delta")
+      if (!done.exists) {
+        val base = replicate(docs, c, Map("doc_id" -> 10000000L))
+        base.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+          .write.mode("overwrite").parquet(s"${shards(0)}/documents.parquet")
+        base.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+          .write.mode("overwrite").parquet(s"${shards(1)}/documents.parquet")
+        docs.withColumn("doc_id", col("doc_id") + lit(900000000L))
+          .write.mode("overwrite").parquet(s"${shards(2)}/documents.parquet")
+        done.createNewFile()
+      }
+      shards
+    }
+    if (wanted("lm_state_fold")) Seq(1, 20, 100).foreach { c =>
+      val shards = lmFoldInput(c)
+      val name = s"probe_lmfold_x$c"
+      def foldOnce(): Double = {
+        // reset to the 2-shard base (untimed full rebuild), then time
+        // the 3-shard call — the delta fold path
+        text.TextAnalysis.bigramStateArtifactFolded(spark, name,
+          shards.take(2)).count()
+        time {
+          text.TextAnalysis.bigramStateArtifactFolded(spark, name, shards)
+            .count()
+        }
+      }
+      val dt = math.min(foldOnce(), foldOnce())
+      println(f"PROBE lm_state_fold        x$c%-3d ${dt}%7.2f s")
+    }
+    probe("lm_state_full", Seq(1, 20, 100)) { c =>
+      val shards = lmFoldInput(c)
+      val union = shards.map(sd => engine.Tables.documents(spark, sd))
+        .reduce(_ union _)
+      text.TextAnalysis.bigramCountState(union).count()
+    }
+
     probe("pipeline_end2end", Seq(1, 100)) { c =>
       val d = replicate(docs, c, Map("doc_id" -> 10000000L))
       val w = org.apache.spark.sql.expressions.Window
