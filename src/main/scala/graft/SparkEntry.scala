@@ -2844,6 +2844,35 @@ object SparkEntry {
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy(col("lang"))
     }),
+    // the zone-map manifest maintained as a FOLDED ARTIFACT (fifth
+    // stored model — the Delta/Iceberg stats-file posture made
+    // incremental): per-shard mini-manifests fold by the exact
+    // (min, max, count-sum) merge, never rescanning published shards;
+    // the skip decision reads the STORED manifest. Conservative skip ⇒
+    // hash-equals the full scan — the zonemap_skip oracle verbatim
+    "zonemap_skip_folded" -> ((s, d) => {
+      import graft.engine.Skipping
+      val shards = graft.dedup.Dedup.ensureDocShards(s, d, 3)
+      val name = "docs_mod3_" + Integer.toHexString(d.hashCode)
+      val partSql = "CAST(floor(doc_id / 200) AS BIGINT)"
+      if (!Skipping.zoneMapFoldedExists(name, "batch", partSql, Seq("doc_id")))
+        Skipping.zoneMapArtifactFolded(s, name, shards.take(2), "batch",
+          partSql, Seq("doc_id")).count()
+      val zm = Skipping.zoneMapArtifactFolded(s, name, shards, "batch",
+        partSql, Seq("doc_id"))
+      val parts = Skipping.candidatePartitions(zm, "batch", "doc_id",
+        lit(100L), lit(299L))
+      val dd = shards.map(sd => graft.engine.Tables.documents(s, sd))
+        .reduce(_ unionByName _)
+        .withColumn("batch", expr(partSql))
+      (if (parts.isEmpty) dd.filter(lit(false))
+       else dd.filter(col("batch").isin(parts: _*))
+         .filter(col("doc_id") >= 100L && col("doc_id") <= 299L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    }),
     // hive-layout partitioned sink: write docs partitioned by lang,
     // re-read, aggregate — proves the layout preserves every row/value
     // (partition pruning on the re-read is plan-asserted in PlanSpec)
@@ -6502,6 +6531,15 @@ object SparkEntry {
     // zone-map skipping is conservative, so the skipped scan must equal
     // the full scan of the same range predicate
     "zonemap_skip" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id BETWEEN 100 AND 299
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same conservative-skip equality through the STORED folded
+    // manifest: any fold error that loses or widens a zone either
+    // changes the candidate set into dropping matching rows (hash
+    // breaks) or keeps the scan superset (result identical) — the
+    // conservative contract
+    "zonemap_skip_folded" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE doc_id BETWEEN 100 AND 299
         |GROUP BY 1 ORDER BY 1""".stripMargin,

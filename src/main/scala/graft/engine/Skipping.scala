@@ -59,6 +59,52 @@ object Skipping {
       .select(all.schema.fieldNames.map(col): _*) // original column order
   }
 
+  /** The zone-map manifest as an incrementally-maintained FOLDED
+    * artifact over an append-only shard list — the FIFTH model on the
+    * [[Artifacts.serveFoldedShards]] pattern, and the one that IS a
+    * table format's metadata layer (Delta/Iceberg keep exactly this
+    * stats file beside the data): a new ingest shard folds in by
+    * building ONLY its own mini-manifest ([[buildZoneMap]]) and
+    * merging ([[mergeZoneMaps]] — min/min, max/max, count-sum; gated
+    * byte-equal to the one-pass build), never rescanning published
+    * shards. `partSql` derives the partition column from the raw
+    * documents table and is part of the artifact identity. */
+  def zoneMapArtifactFolded(spark: SparkSession, name: String,
+      shardDirs: Seq[String], partCol: String, partSql: String,
+      statCols: Seq[String]): DataFrame = {
+    val params = s"part=$partCol<-$partSql stats=${statCols.mkString("+")}"
+    val dir = zoneMapFoldDir(name, params)
+    def load(sd: String) = Tables.documents(spark, sd)
+      .withColumn(partCol, expr(partSql))
+    val shardFps = shardDirs.sorted.map(sd =>
+      sd -> Artifacts.md5Hex(Artifacts.tableListing(
+        new java.io.File(sd, "documents.parquet"))))
+    val stamp = Artifacts.classStamp(Seq(
+      "/graft/engine/Skipping$.class", "/graft/engine/Skipping.class"))
+    Artifacts.serveFoldedShards(spark, dir, params, stamp, shardFps)(
+      buildZoneMap(shardDirs.map(load).reduce(_ union _), partCol, statCols)) {
+      (oldMap, _, deltaDirs) =>
+        mergeZoneMaps(oldMap +:
+          deltaDirs.map(sd => buildZoneMap(load(sd), partCol, statCols)),
+          partCol)
+    }
+  }
+
+  /** Whether a [[zoneMapArtifactFolded]] lineage is published. */
+  def zoneMapFoldedExists(name: String, partCol: String, partSql: String,
+      statCols: Seq[String]): Boolean =
+    Artifacts.foldedShardsExists(zoneMapFoldDir(name,
+      s"part=$partCol<-$partSql stats=${statCols.mkString("+")}"))
+
+  /** Last publication's provenance for a zone-map fold lineage. */
+  def zoneMapFoldedProvenance(name: String, partCol: String, partSql: String,
+      statCols: Seq[String]): Option[String] =
+    Artifacts.foldedShardsProvenance(zoneMapFoldDir(name,
+      s"part=$partCol<-$partSql stats=${statCols.mkString("+")}"))
+
+  private def zoneMapFoldDir(name: String, params: String): String =
+    Artifacts.lineageDir("zonemap_fold", name + "|" + params)
+
   /** Partition values whose zones MIGHT contain a row with
     * `statCol ∈ [lo, hi]` — the driver-side skip decision (zone-map
     * sized collect: one row per partition, never per data row). */

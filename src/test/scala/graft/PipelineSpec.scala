@@ -282,6 +282,33 @@ class PipelineSpec extends SparkSpec {
     assert(!TextAnalysis.langidFoldedExists(name, "lang = 'en'"))
   }
 
+  test("zone-map manifest folded state: fold == one-pass build, provenance") {
+    import graft.engine.Skipping
+    val texts = (0 until 12).map(i => s"doc number $i content")
+    val shards = writeShardDirs(texts, 3, "zm")
+    val partSql = "CAST(floor(doc_id / 4) AS BIGINT)"
+    val batch = Skipping
+      .buildZoneMap(docsDF(texts).withColumn("batch", expr(partSql)),
+        "batch", Seq("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val name = "spec_zmfold_" + System.nanoTime()
+    Skipping.zoneMapArtifactFolded(spark, name, shards.take(2), "batch",
+      partSql, Seq("doc_id")).count()
+    val folded = Skipping
+      .zoneMapArtifactFolded(spark, name, shards, "batch", partSql,
+        Seq("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // the mod-3 shards interleave every batch, so the fold genuinely
+    // merges min/max/count across shard mini-manifests
+    assert(folded == batch && folded.nonEmpty)
+    assert(Skipping.zoneMapFoldedProvenance(name, "batch", partSql,
+      Seq("doc_id")).exists(_.startsWith("fold +1 shard(s) onto 2")))
+  }
+
   test("artifact GC grace period runs from supersession, not publication") {
     import graft.engine.Artifacts
     import spark.implicits._
