@@ -970,6 +970,37 @@ object Events {
     * ([[graft.text.TextAnalysis.stripKnownBoilerplate]]), so per-doc
     * outputs are bit-equal by construction (gated in StreamingSpec).
     */
+  /** Streaming MAINTENANCE of a stored folded model — the bridge
+    * between the ingest stream and the artifact layer (every other
+    * gate scores under a FROZEN model; this one keeps the published
+    * model fresh): each micro-batch lands as an immutable shard dir
+    * under `shardRoot` (the append-only shard-list contract), then the
+    * folded bigram-LM state artifact
+    * ([[graft.text.TextAnalysis.bigramStateArtifactFolded]]) is
+    * re-served over the grown list — the stored artifact folds in
+    * JUST the new shard (delta-sized work per batch, never a re-scan
+    * of published data; the `_PROVENANCE` receipt proves it), and
+    * `onState` sees the SERVED state after each batch, bit-equal to
+    * batch counting over everything ingested so far (the fold
+    * contract, gated in StreamingSpec). `name` scopes the artifact
+    * lineage; restart-safe because both the shard dirs and the
+    * artifact are fingerprint-addressed and idempotent.
+    */
+  def lmFoldIngestGate(newDocs: DataFrame, shardRoot: String, name: String)(
+      onState: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        batch.toDF().write.mode("overwrite")
+          .parquet(s"$shardRoot/shard_$id/documents.parquet")
+        val shards = Option(new java.io.File(shardRoot).listFiles)
+          .toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("shard_"))
+          .map(_.toString).sorted
+        onState(graft.text.TextAnalysis
+          .bigramStateArtifactFolded(spark, name, shards))
+    }
+
   def boilerplateIngestGate(newDocs: DataFrame, boiler: DataFrame)(
       onVerdicts: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     newDocs.writeStream.foreachBatch {

@@ -252,6 +252,26 @@ class PipelineSpec extends SparkSpec {
       .exists(_.startsWith("fold +1 shard(s) onto 2")))
   }
 
+  test("generic folded artifact: a mutated published shard forces a " +
+      "full re-mine (serveFoldedShards staleness path)") {
+    // the cluster map's staleness spec covers its specialized
+    // implementation; this pins the SHARED serveFoldedShards path
+    val texts = Seq("a b c", "d e f", "a b g", "h i j", "j k l", "l m n")
+    val shards = writeShardDirs(texts, 3, "lmstale")
+    val name = "spec_lmstale_" + System.nanoTime()
+    TextAnalysis.bigramStateArtifactFolded(spark, name, shards.take(2)).count()
+    Option(new java.io.File(s"${shards(0)}/documents.parquet").listFiles)
+      .toSeq.flatten
+      .foreach(f => assert(f.setLastModified(f.lastModified + 5000)))
+    val m = TextAnalysis.bigramStateArtifactFolded(spark, name, shards)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = TextAnalysis.bigramCountState(docsDF(texts))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(m == batch && m.nonEmpty)
+    assert(TextAnalysis.bigramFoldedProvenance(name)
+      .exists(_.startsWith("full mine of 3")))
+  }
+
   test("langid folded state: fold == batch counting, seed is part of " +
       "the artifact identity") {
     import spark.implicits._

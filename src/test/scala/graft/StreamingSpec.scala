@@ -1181,6 +1181,52 @@ class StreamingSpec extends SparkSpec {
     assert(seen.head.map(key).toSet == wantFirst)
   }
 
+  test("LM fold ingest gate: the published model is maintained " +
+      "incrementally, every intermediate state == batch counting") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"), (2L, "c d e"), (3L, "a b x"),
+      (4L, "y z a b"), (5L, "d e f"), (6L, "q r s"))
+      .toDF("doc_id", "text")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_lmfold_in")
+    docs.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val shardRoot = java.nio.file.Files
+      .createTempDirectory("graft_lmfold_shards").toString
+    val name = "spec_lmgate_" + System.nanoTime()
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val states = new java.util.concurrent.ConcurrentLinkedQueue[
+      Set[(String, String, Long)]]()
+    val q = graft.streaming.Events.lmFoldIngestGate(stream, shardRoot, name)(
+        st => states.add(st.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val snaps = states.asScala.toSeq
+    assert(snaps.length == 3)
+    // every snapshot equals batch counting over the shards published
+    // so far — the stored model was correct after EVERY micro-batch
+    val shardDirs = Option(new java.io.File(shardRoot).listFiles)
+      .toSeq.flatten.filter(_.getName.startsWith("shard_"))
+      .map(_.toString).sorted
+    assert(shardDirs.length == 3)
+    snaps.zipWithIndex.foreach { case (snap, i) =>
+      val sofar = shardDirs.take(i + 1)
+        .map(sd => spark.read.parquet(s"$sd/documents.parquet"))
+        .reduce(_ unionByName _)
+      val expect = graft.text.TextAnalysis.bigramCountState(sofar)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(snap == expect, s"snapshot $i diverged from batch counting")
+    }
+    assert(snaps.last.nonEmpty)
+    // the ingest path FOLDED (delta-sized) rather than re-mined: the
+    // final publication's provenance says fold, not full
+    assert(graft.text.TextAnalysis.bigramFoldedProvenance(name)
+      .exists(_.startsWith("fold +1 shard(s) onto 2")))
+  }
+
   test("boilerplate strip gate: streamed cleanups bit-equal the batch serve half") {
     import spark.implicits._
     // a corpus with multi-line docs: known boilerplate + unique bodies
