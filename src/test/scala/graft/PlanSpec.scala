@@ -157,6 +157,25 @@ class PlanSpec extends SparkSpec {
     val pBpf = plan(bpf)
     assert(pBpf.contains("boilerplate_state_fold_"),
       "folded state query must scan the published state")
+    // the r15 s2 folded models: the SERVED state frame is a parquet
+    // scan of the published artifact — no corpus (documents.parquet)
+    // scan anywhere (the model DERIVATION over it is checkpointed, so
+    // the query plan shows an ExistingRDD; the contract lives here)
+    val shards = graft.dedup.Dedup.ensureDocShards(spark, sf, 3)
+    val name = "docs_mod3_" + Integer.toHexString(sf.hashCode)
+    val pLm = plan(graft.text.TextAnalysis
+      .bigramStateArtifactFolded(spark, name, shards))
+    assert(pLm.contains("lm_state_fold_"),
+      "LM fold must serve the published state")
+    assert(!pLm.contains("documents.parquet"),
+      "LM fold serve plan re-scans the corpus")
+    val partSql = "CAST(floor(doc_id / 200) AS BIGINT)"
+    val pZm = plan(graft.engine.Skipping.zoneMapArtifactFolded(spark, name,
+      shards, "batch", partSql, Seq("doc_id")))
+    assert(pZm.contains("zonemap_fold_"),
+      "zone-map fold must serve the published manifest")
+    assert(!pZm.contains("documents.parquet"),
+      "zone-map fold serve plan re-scans the corpus")
   }
 
   test("filters are pushed down to the parquet scan") {
