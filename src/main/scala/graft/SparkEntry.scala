@@ -3609,6 +3609,23 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, d) =>
       graft.ann.PqIndex.serve(emb(s, d), pqIndexDir(s, d),
         Seq(0L, 1L, 2L, 3L, 4L), 10, nprobe = 6)),
+    // the PQ index maintained as a FOLDED ARTIFACT over embedding
+    // shards (sixth stored model, custom layout): base index trained
+    // and encoded over shards {0,1} on first contact; shard 2 folds in
+    // by encoding ONLY its vectors under the PUBLISHED quantizer (the
+    // append contract) — delta-sized work, per-shard immutable code
+    // datasets hive-partitioned by cell, provenance-receipted. Fully
+    // ORACLED: the folded side tables render at dump time and DuckDB
+    // replays the whole probed serve (the ann_ivfpq_topk template)
+    "ann_pq_topk_folded" -> ((s, d) => {
+      val shards = graft.dedup.Dedup.ensureEmbShards(s, d, 3)
+      val name = "emb_mod3_" + Integer.toHexString(d.hashCode)
+      if (!graft.ann.PqIndex.foldedIndexExists(name))
+        graft.ann.PqIndex.foldedIndexServe(s, name, shards.take(2),
+          Seq(0L), 1).count()
+      graft.ann.PqIndex.foldedIndexServe(s, name, shards,
+        Seq(0L, 1L, 2L, 3L, 4L), 10, nprobe = 6)
+    }),
     "ann_topk_agg" -> ((s, d) =>
       graft.ann.Similarity.bruteForceTopKAgg(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)),
     "ann_topk_plan" -> ((s, d) =>
@@ -5356,11 +5373,29 @@ object SparkEntry {
     * PqIndex.lastSide]]); Verify runs queries before dumping, so the
     * normal path always renders.
     */
-  private def pqServeOracles: Map[String, String] =
-    (if (graft.ann.PqIndex.sideConflict) None
-     else graft.ann.PqIndex.lastSide) match {
-      case None => Map.empty
+  private def pqServeOracles: Map[String, String] = {
+    val main = (if (graft.ann.PqIndex.sideConflict) None
+      else graft.ann.PqIndex.lastSide) match {
+      case None => Map.empty[String, String]
       case Some((cbs, cents)) =>
+        val (flat, probed) = renderPqServeSql(cbs, cents)
+        Map("ann_pq_topk" -> flat, "ann_ivfpq_topk" -> probed)
+    }
+    // the folded-index serve renders from ITS OWN stash — the folded
+    // quantizer trains on the shard union and need not be bit-equal
+    // to the single-table build's (same decline-on-conflict rule)
+    val folded = (if (graft.ann.PqIndex.foldedConflict) None
+      else graft.ann.PqIndex.lastFoldedSide) match {
+      case None => Map.empty[String, String]
+      case Some((cbs, cents)) =>
+        Map("ann_pq_topk_folded" -> renderPqServeSql(cbs, cents)._2)
+    }
+    main ++ folded
+  }
+
+  /** (flat, probed) serve-replay SQL for one PQ side-table set. */
+  private def renderPqServeSql(cbs: Array[Array[Array[Float]]],
+      cents: Array[(Array[Float], Int)]): (String, String) = {
         val m = cbs.length                  // 8 subspaces
         val d = cbs(0)(0).length            // 8 dims per subspace
         def lit(f: Float): String =
@@ -5454,8 +5489,8 @@ object SparkEntry {
              |${epilogue(
                """JOIN cell ce ON ce.vec_id = cd.vec_id
                  |  JOIN probe p ON p.query_id = t.query_id AND p.ci = ce.cell""".stripMargin)}""".stripMargin
-        Map("ann_pq_topk" -> flat, "ann_ivfpq_topk" -> probed)
-    }
+        (flat, probed)
+  }
 
   /** Generated oracle for ann_ivf_topk — same template, simpler model:
     * the coarse centroids of the RAW-vector k-means (ivfTopK trains on
@@ -9473,6 +9508,10 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
          graft.ann.PqIndex.sideConflict) Map(
       "ann_pq_topk" -> "PropertySpec 'PQ ANN: recall vs brute force, determinism, 32x compression' — recall@10 >= 0.7, run-to-run bit equality",
       "ann_ivfpq_topk" -> "PropertySpec 'IVF-PQ ANN: recall with cell probing, scans only probed cells' — recall@10 >= 0.5 + PartitionFilters plan gate")
+     else Map.empty) ++
+    (if (graft.ann.PqIndex.lastFoldedSide.isEmpty ||
+         graft.ann.PqIndex.foldedConflict) Map(
+      "ann_pq_topk_folded" -> "PipelineSpec 'folded PQ index artifact: fold == append serve parity, provenance' — fold-vs-rebuilt-index result parity + fold provenance")
      else Map.empty) ++
     (if (graft.ann.Similarity.lastIvfCentroids.isEmpty ||
          graft.ann.Similarity.ivfConflict) Map(

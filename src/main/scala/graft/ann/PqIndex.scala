@@ -254,6 +254,164 @@ object PqIndex {
       .write.partitionBy("cell").mode("append").parquet(s"$dir/codes")
   }
 
+  /** Side tables of the most recent FOLDED-artifact index serve in
+    * this JVM — a SEPARATE stash from [[lastSide]]: the folded
+    * quantizer trains on the shard union, whose float means need not
+    * be bit-equal to the single-table build's, so each surface renders
+    * its own oracle (and declines it on conflict, like lastSide). */
+  @volatile private[graft] var lastFoldedSide
+      : Option[(Array[Array[Array[Float]]], Array[(Array[Float], Int)])] = None
+  @volatile private[graft] var foldedConflict: Boolean = false
+
+  private def stashFoldedSide(
+      s: (Array[Array[Array[Float]]], Array[(Array[Float], Int)])): Unit =
+    this.synchronized {
+      if (lastFoldedSide.exists(old => !sameSide(old, s))) foldedConflict = true
+      lastFoldedSide = Some(s)
+    }
+
+  /** The PQ index maintained as a FOLDED artifact over an append-only
+    * list of EMBEDDINGS shards — the SIXTH stored model, and the one
+    * with a custom layout: the quantizer (one `map_…` side dataset
+    * holding codebooks + coarse centroids) trains once per FULL build;
+    * each shard's codes are an IMMUTABLE `codes_…` dataset addressed by
+    * (shard fingerprint, quantizer identity) and hive-partitioned by
+    * cell (probing prunes partitions per shard dataset). A FOLD encodes
+    * ONLY the delta shards under the PUBLISHED quantizer — the
+    * [[append]] contract, delta-sized work, append-vs-rebuild serve
+    * parity spec-gated — while a mutated shard, changed params, or a
+    * recompiled build re-trains and re-encodes everything. Marker-last
+    * atomic publication throughout; `_PROVENANCE` records which path
+    * ran. Serving reads the published side dataset + the per-shard
+    * code datasets and runs the standard [[adcServe]].
+    */
+  def foldedIndexServe(spark: SparkSession, name: String,
+      shardDirs: Seq[String], queryIds: Seq[Long], k: Int,
+      nprobe: Int = 0, refine: Int = 8, m: Int = 8, ksub: Int = 32,
+      nlist: Int = 16, refineIters: Int = 1): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.engine.Artifacts
+    require(shardDirs.forall(sd => !sd.contains('\n') && !sd.contains('\t')),
+      "shard dirs must be newline- and tab-free: the marker is line-oriented")
+    val params = s"m$m-k$ksub-n$nlist-r$refineIters"
+    val dir = Artifacts.lineageDir("pq_index_fold", name + "|" + params)
+    Files.createDirectories(Paths.get(dir))
+    def loadEmb(sd: String) =
+      graft.engine.Tables.table(spark, sd, "embeddings")
+    val shardFps = shardDirs.sorted.map(sd =>
+      sd -> Artifacts.md5Hex(Artifacts.tableListing(
+        new java.io.File(sd, "embeddings.parquet"))))
+    val stamp = Artifacts.classStamp(Seq(
+      "/graft/ann/PqIndex$.class", "/graft/ann/PqIndex.class",
+      "/graft/ann/Similarity$.class", "/graft/ann/Similarity.class"))
+    val headPrefix = s"v1 params=$params build=$stamp side="
+    def codePath(sd: String, fp: String, side: String) = Paths.get(dir,
+      s"codes_${Artifacts.md5Hex(s"$sd|$fp|$side")}.parquet")
+    this.synchronized {
+      val marker = Paths.get(dir, "_FINGERPRINT")
+      val old = if (Files.exists(marker))
+        Some(new String(Files.readAllBytes(marker), "UTF-8")) else None
+      val oldLines = old.toSeq.flatMap(_.linesIterator).toSeq
+      val oldSide = oldLines.headOption
+        .filter(_.startsWith(headPrefix)).map(_.stripPrefix(headPrefix))
+      val oldShards = oldLines.drop(1).flatMap(_.split("\t", 2) match {
+        case Array(a, b) => Some(a -> b); case _ => None
+      })
+      def allPublished(side: String, fps: Seq[(String, String)]) =
+        Files.exists(Paths.get(dir, side)) &&
+          fps.forall { case (sd, f) => Files.exists(codePath(sd, f, side)) }
+      val exact = oldSide.exists(side =>
+        oldShards == shardFps && allPublished(side, shardFps))
+      if (!exact) {
+        val canFold = oldSide.exists { side =>
+          oldShards.nonEmpty && oldShards.forall(shardFps.toSet.contains) &&
+            oldShards.size < shardFps.size && allPublished(side, oldShards)
+        }
+        val side =
+          if (canFold) oldSide.get
+          else s"map_${Artifacts.md5Hex(s"side|$params|$stamp|" +
+            shardFps.map(_._2).mkString(","))}.parquet"
+        if (!canFold) {
+          val union = shardDirs.map(loadEmb).reduce(_ unionByName _)
+          val normed = Similarity.l2normalize(union)
+          val cents = Similarity.kmeansCentroids(normed, nlist, refineIters)
+          val cbs = Similarity.pqCodebooks(normed, m, ksub, refineIters)
+          import spark.implicits._
+          val sideRows =
+            (for (j <- cbs.indices; i <- cbs(j).indices)
+              yield ("cb", j, i, cbs(j)(i).toSeq)) ++
+              cents.map { case (c, i) => ("cent", i, 0, c.toSeq) }
+          Artifacts.publishDataset(dir, Paths.get(dir, side),
+            sideRows.toDF("kind", "a", "b", "vec"))
+        }
+        val (cbs, cents) = loadFoldedSide(spark, dir, side)
+        // encode every shard missing its code dataset — JUST the delta
+        // on the fold path (published shards already have theirs)
+        shardFps.foreach { case (sd, f) =>
+          val p = codePath(sd, f, side)
+          if (!Files.exists(p))
+            Artifacts.publishDataset(dir, p,
+              encode(Similarity.l2normalize(loadEmb(sd)), Some(cents), cbs),
+              partitionBy = Seq("cell"))
+        }
+        val content = ((headPrefix + side) +:
+          shardFps.map { case (sd, f) => s"$sd\t$f" }).mkString("\n")
+        Artifacts.publishMarker(dir, content)
+        Artifacts.gcSuperseded(dir, Paths.get(dir, side) +:
+          shardFps.map { case (sd, f) => codePath(sd, f, side) })
+        val prov = if (canFold)
+          s"fold +${shardFps.size - oldShards.size} shard(s) onto ${oldShards.size}"
+        else s"full mine of ${shardFps.size} shard(s)"
+        Files.write(Paths.get(dir, "_PROVENANCE"), prov.getBytes("UTF-8"))
+      }
+    }
+    val head = new String(Files.readAllBytes(
+      Paths.get(dir, "_FINGERPRINT")), "UTF-8").linesIterator.next()
+    val side = head.stripPrefix(headPrefix)
+    val (cbs, cents) = loadFoldedSide(spark, dir, side)
+    stashFoldedSide((cbs, cents))
+    val codes = shardFps.map { case (sd, f) =>
+      spark.read.parquet(codePath(sd, f, side).toString)
+    }.reduce(_ unionByName _)
+    val emb = shardDirs.map(loadEmb).reduce(_ unionByName _)
+    adcServe(codes, Similarity.l2normalize(emb), queryIds,
+      if (nprobe > 0) Some(cents) else None, cbs, k, nprobe, refine)
+  }
+
+  private def loadFoldedSide(spark: SparkSession, dir: String, side: String)
+      : (Array[Array[Array[Float]]], Array[(Array[Float], Int)]) = {
+    val rows = spark.read
+      .parquet(java.nio.file.Paths.get(dir, side).toString).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Float](3).toArray))
+    val cbRows = rows.filter(_._1 == "cb")
+    val m = cbRows.map(_._2).max + 1
+    val ksub = cbRows.map(_._3).max + 1
+    val cbs = Array.ofDim[Array[Float]](m, ksub)
+    cbRows.foreach { case (_, j, i, v) => cbs(j)(i) = v }
+    val cents = rows.filter(_._1 == "cent")
+      .map(r => (r._4, r._2)).sortBy(_._2)
+    (cbs.map(_.toArray), cents)
+  }
+
+  /** Whether a [[foldedIndexServe]] lineage is published. */
+  def foldedIndexExists(name: String, m: Int = 8, ksub: Int = 32,
+      nlist: Int = 16, refineIters: Int = 1): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(
+      graft.engine.Artifacts.lineageDir("pq_index_fold",
+        name + s"|m$m-k$ksub-n$nlist-r$refineIters"), "_FINGERPRINT"))
+
+  /** Last publication's provenance for a folded-index lineage. */
+  def foldedIndexProvenance(name: String, m: Int = 8, ksub: Int = 32,
+      nlist: Int = 16, refineIters: Int = 1): Option[String] = {
+    val p = java.nio.file.Paths.get(
+      graft.engine.Artifacts.lineageDir("pq_index_fold",
+        name + s"|m$m-k$ksub-n$nlist-r$refineIters"), "_PROVENANCE")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    else None
+  }
+
   /** Load the driver-side index artifacts (kilobytes). */
   private def loadSide(spark: SparkSession, dir: String)
       : (Array[Array[Array[Float]]], Array[(Array[Float], Int)]) = {

@@ -968,12 +968,23 @@ object Dedup {
     * downstream folded artifacts).
     */
   def ensureDocShards(spark: org.apache.spark.sql.SparkSession,
-      inputDir: String, parts: Int): Seq[String] = {
+      inputDir: String, parts: Int): Seq[String] =
+    ensureTableShards(spark, inputDir, parts, "documents", "doc_id")
+
+  /** [[ensureDocShards]] for the embeddings table (vec_id residues). */
+  def ensureEmbShards(spark: org.apache.spark.sql.SparkSession,
+      inputDir: String, parts: Int): Seq[String] =
+    ensureTableShards(spark, inputDir, parts, "embeddings", "vec_id")
+
+  private def ensureTableShards(spark: org.apache.spark.sql.SparkSession,
+      inputDir: String, parts: Int, table: String,
+      idCol: String): Seq[String] = {
     import java.nio.file.{Files, Paths}
-    val root = graft.engine.Artifacts.lineageDir("doc_shards",
+    val root = graft.engine.Artifacts.lineageDir(
+      if (table == "documents") "doc_shards" else s"${table}_shards",
       inputDir + "|p" + parts)
     val fp = md5Hex(s"v1|p$parts|" +
-      tableListing(new java.io.File(inputDir, "documents.parquet")))
+      tableListing(new java.io.File(inputDir, s"$table.parquet")))
     val setDir = Paths.get(root, s"set_$fp")
     this.synchronized {
       val marker = Paths.get(root, "_FINGERPRINT")
@@ -981,13 +992,13 @@ object Dedup {
         new String(Files.readAllBytes(marker), "UTF-8") == fp &&
         Files.exists(setDir)
       if (!fresh) {
-        val docs = graft.engine.Tables.documents(spark, inputDir)
+        val docs = graft.engine.Tables.table(spark, inputDir, table)
         val nonce = java.lang.Long.toHexString(System.nanoTime())
         val tmp = Paths.get(root, s".tmp_$nonce")
         (0 until parts).foreach { i =>
-          docs.filter(col("doc_id") % parts === i)
+          docs.filter(col(idCol) % parts === i)
             .write.mode("overwrite")
-            .parquet(Paths.get(tmp.toString, s"shard_$i", "documents.parquet").toString)
+            .parquet(Paths.get(tmp.toString, s"shard_$i", s"$table.parquet").toString)
         }
         try Files.move(tmp, setDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch {

@@ -62,13 +62,16 @@ object Artifacts {
   }
 
   /** Write a dataset to a hidden temp dir and ATOMIC_MOVE it into its
-    * fingerprint-addressed slot. */
+    * fingerprint-addressed slot. `partitionBy` hive-partitions the
+    * dataset (e.g. the folded PQ index's per-cell code layout — the
+    * partition pruning survives the atomic move). */
   def publishDataset(dir: String, data: java.nio.file.Path,
-      build: => DataFrame): Unit = {
+      build: => DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val nonce = java.lang.Long.toHexString(System.nanoTime())
     val tmp = Paths.get(dir, s".tmp_$nonce")
-    build.write.mode("overwrite").parquet(tmp.toString)
+    build.write.mode("overwrite").partitionBy(partitionBy: _*)
+      .parquet(tmp.toString)
     try Files.move(tmp, data, StandardCopyOption.ATOMIC_MOVE)
     catch {
       // the fingerprint-addressed slot is already populated (concurrent
@@ -99,7 +102,8 @@ object Artifacts {
     * forever). */
   private def isDatasetDir(f: java.io.File): Boolean =
     f.isDirectory && (f.getName.startsWith("map_") ||
-      f.getName.startsWith("bands_") || f.getName == "map.parquet")
+      f.getName.startsWith("bands_") || f.getName.startsWith("codes_") ||
+      f.getName == "map.parquet")
 
   /** GC superseded dataset dirs not in `keep`, with a grace period
     * measured from SUPERSESSION (not publication): the first publish

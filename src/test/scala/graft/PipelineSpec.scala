@@ -302,6 +302,55 @@ class PipelineSpec extends SparkSpec {
     assert(!TextAnalysis.langidFoldedExists(name, "lang = 'en'"))
   }
 
+  test("folded PQ index artifact: fold == append serve parity, provenance") {
+    import spark.implicits._
+    // deterministic small embeddings: dim 8, 30 vectors over 3 shards
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, (0 until 8).map(t => ((i * 7 + t * 3) % 13 - 6).toFloat / 6f),
+        i % 3)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val root = java.nio.file.Files.createTempDirectory("graft_pqfold").toString
+    val shards = (0 until 3).map { i =>
+      val sd = s"$root/shard_$i"
+      df.filter(col("vec_id") % 3 === i)
+        .write.parquet(s"$sd/embeddings.parquet")
+      sd
+    }
+    val name = "spec_pqfold_" + System.nanoTime()
+    // base index over shards {0,1}, then shard 2 FOLDS in (encode-only)
+    graft.ann.PqIndex.foldedIndexServe(spark, name, shards.take(2),
+      Seq(0L), 1, m = 4, ksub = 4, nlist = 4).count()
+    val folded = graft.ann.PqIndex.foldedIndexServe(spark, name, shards,
+        Seq(0L, 1L, 2L), 5, nprobe = 2, m = 4, ksub = 4, nlist = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(folded.nonEmpty)
+    assert(graft.ann.PqIndex.foldedIndexProvenance(name, m = 4, ksub = 4,
+      nlist = 4).exists(_.startsWith("fold +1 shard(s) onto 2")))
+    // parity with the classic build+append path over the same shards:
+    // train on the base union, append the delta, serve — same quantizer
+    // identity, same codes, same decisions
+    val base = shards.take(2)
+      .map(sd => spark.read.parquet(s"$sd/embeddings.parquet"))
+      .reduce(_ unionByName _)
+    val all = shards
+      .map(sd => spark.read.parquet(s"$sd/embeddings.parquet"))
+      .reduce(_ unionByName _)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_pqfold_ref").toString
+    graft.ann.PqIndex.build(base, dir2, m = 4, ksub = 4, nlist = 4)
+    graft.ann.PqIndex.append(
+      spark.read.parquet(s"${shards(2)}/embeddings.parquet"), dir2)
+    val appended = graft.ann.PqIndex.serve(all, dir2, Seq(0L, 1L, 2L), 5,
+        nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(folded == appended)
+  }
+
   test("zone-map manifest folded state: fold == one-pass build, provenance") {
     import graft.engine.Skipping
     val texts = (0 until 12).map(i => s"doc number $i content")
