@@ -1401,6 +1401,53 @@ object ScaleProbe {
       text.TextAnalysis.bigramCountState(union).count()
     }
 
+    // ── r15 s2: PQ-index fold vs full rebuild across the decade ─────
+    // The folded index's claim: a FIXED-size delta shard folds in by
+    // encoding ONLY itself under the published quantizer, while a full
+    // rebuild re-trains and re-encodes the whole ×c corpus.
+    def pqFoldInput(c: Int): Seq[String] = {
+      val root = sources.Sources.rtDir(s"probe_pqfold_x$c")
+      val done = new java.io.File(root, "_DONE")
+      val shards = Seq(s"$root/base0", s"$root/base1", s"$root/delta")
+      if (!done.exists) {
+        val embSrc = engine.Tables.embeddings(spark, sf)
+        val base = replicate(embSrc, c, Map("vec_id" -> 10000000L))
+        base.filter(pmod(col("vec_id"), lit(2L)) === 0L)
+          .write.mode("overwrite").parquet(s"${shards(0)}/embeddings.parquet")
+        base.filter(pmod(col("vec_id"), lit(2L)) === 1L)
+          .write.mode("overwrite").parquet(s"${shards(1)}/embeddings.parquet")
+        embSrc.withColumn("vec_id", col("vec_id") + lit(900000000L))
+          .write.mode("overwrite").parquet(s"${shards(2)}/embeddings.parquet")
+        done.createNewFile()
+      }
+      shards
+    }
+    if (wanted("pq_index_fold")) Seq(1, 20).foreach { c =>
+      val shards = pqFoldInput(c)
+      val name = s"probe_pqfold_x$c"
+      def foldOnce(): Double = {
+        ann.PqIndex.foldedIndexServe(spark, name, shards.take(2),
+          Seq(-1L), 1).count()
+        time {
+          ann.PqIndex.foldedIndexServe(spark, name, shards,
+            Seq(-1L), 1).count()
+        }
+      }
+      val dt = math.min(foldOnce(), foldOnce())
+      println(f"PROBE pq_index_fold        x$c%-3d ${dt}%7.2f s")
+    }
+    if (wanted("pq_index_full")) Seq(1, 20).foreach { c =>
+      val shards = pqFoldInput(c)
+      val union = shards
+        .map(sd => spark.read.parquet(s"$sd/embeddings.parquet"))
+        .reduce(_ unionByName _)
+      val dir = sources.Sources.rtDir(s"probe_pqfull_x$c")
+      val dt = math.min(
+        time(ann.PqIndex.build(union, dir).count()),
+        time(ann.PqIndex.build(union, dir).count()))
+      println(f"PROBE pq_index_full        x$c%-3d ${dt}%7.2f s")
+    }
+
     probe("pipeline_end2end", Seq(1, 100)) { c =>
       val d = replicate(docs, c, Map("doc_id" -> 10000000L))
       val w = org.apache.spark.sql.expressions.Window
