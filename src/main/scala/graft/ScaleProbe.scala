@@ -1426,6 +1426,12 @@ object ScaleProbe {
       val shards = pqFoldInput(c)
       val name = s"probe_pqfold_x$c"
       def foldOnce(): Double = {
+        // full reset: datasets are content-addressed, so a marker-only
+        // reset would let the timed call find the delta's codes already
+        // published and skip the encode — invalidate drops everything,
+        // the base rebuild below is untimed, and the timed call pays
+        // the genuine delta encode + publish
+        ann.PqIndex.foldedIndexInvalidate(name)
         ann.PqIndex.foldedIndexServe(spark, name, shards.take(2),
           Seq(-1L), 1).count()
         time {

@@ -3621,8 +3621,10 @@ object SparkEntry {
       val shards = graft.dedup.Dedup.ensureEmbShards(s, d, 3)
       val name = "emb_mod3_" + Integer.toHexString(d.hashCode)
       if (!graft.ann.PqIndex.foldedIndexExists(name))
+        // Seq(-1L) resolves no query vector, so the bootstrap publishes
+        // the base index without paying a throwaway ADC serve
         graft.ann.PqIndex.foldedIndexServe(s, name, shards.take(2),
-          Seq(0L), 1).count()
+          Seq(-1L), 1).count()
       graft.ann.PqIndex.foldedIndexServe(s, name, shards,
         Seq(0L, 1L, 2L, 3L, 4L), 10, nprobe = 6)
     }),

@@ -307,7 +307,11 @@ object PqIndex {
     val headPrefix = s"v1 params=$params build=$stamp side="
     def codePath(sd: String, fp: String, side: String) = Paths.get(dir,
       s"codes_${Artifacts.md5Hex(s"$sd|$fp|$side")}.parquet")
-    this.synchronized {
+    // the serve-side `side` resolves INSIDE the lock (the value this
+    // call just published or verified) — re-reading the marker after
+    // unlocking could observe a concurrent JVM's publication under a
+    // DIFFERENT build stamp, whose head this build cannot parse
+    val side = this.synchronized {
       val marker = Paths.get(dir, "_FINGERPRINT")
       val old = if (Files.exists(marker))
         Some(new String(Files.readAllBytes(marker), "UTF-8")) else None
@@ -322,7 +326,8 @@ object PqIndex {
           fps.forall { case (sd, f) => Files.exists(codePath(sd, f, side)) }
       val exact = oldSide.exists(side =>
         oldShards == shardFps && allPublished(side, shardFps))
-      if (!exact) {
+      if (exact) oldSide.get
+      else {
         val canFold = oldSide.exists { side =>
           oldShards.nonEmpty && oldShards.forall(shardFps.toSet.contains) &&
             oldShards.size < shardFps.size && allPublished(side, oldShards)
@@ -331,7 +336,12 @@ object PqIndex {
           if (canFold) oldSide.get
           else s"map_${Artifacts.md5Hex(s"side|$params|$stamp|" +
             shardFps.map(_._2).mkString(","))}.parquet"
-        if (!canFold) {
+        // the side name is content-addressed over (params, stamp, shard
+        // fingerprints): if the dataset already exists — e.g. a shard
+        // list that REGRESSED to a previously-published set — the
+        // quantizer is identical by construction; skip the corpus-sized
+        // retrain instead of training and discarding
+        if (!canFold && !Files.exists(Paths.get(dir, side))) {
           val union = shardDirs.map(loadEmb).reduce(_ unionByName _)
           val normed = Similarity.l2normalize(union)
           val cents = Similarity.kmeansCentroids(normed, nlist, refineIters)
@@ -363,11 +373,9 @@ object PqIndex {
           s"fold +${shardFps.size - oldShards.size} shard(s) onto ${oldShards.size}"
         else s"full mine of ${shardFps.size} shard(s)"
         Files.write(Paths.get(dir, "_PROVENANCE"), prov.getBytes("UTF-8"))
+        side
       }
     }
-    val head = new String(Files.readAllBytes(
-      Paths.get(dir, "_FINGERPRINT")), "UTF-8").linesIterator.next()
-    val side = head.stripPrefix(headPrefix)
     val (cbs, cents) = loadFoldedSide(spark, dir, side)
     stashFoldedSide((cbs, cents))
     val codes = shardFps.map { case (sd, f) =>
@@ -411,6 +419,14 @@ object PqIndex {
       Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
     else None
   }
+
+  /** Drop a [[foldedIndexServe]] lineage (marker + datasets) so the
+    * next call re-trains and re-encodes from scratch — the operational
+    * rebuild knob and the probe harness's build-cost lever. */
+  def foldedIndexInvalidate(name: String, m: Int = 8, ksub: Int = 32,
+      nlist: Int = 16, refineIters: Int = 1): Unit =
+    graft.engine.Artifacts.invalidate(graft.engine.Artifacts.lineageDir(
+      "pq_index_fold", name + s"|m$m-k$ksub-n$nlist-r$refineIters"))
 
   /** Load the driver-side index artifacts (kilobytes). */
   private def loadSide(spark: SparkSession, dir: String)

@@ -982,17 +982,27 @@ object Events {
     * of published data; the `_PROVENANCE` receipt proves it), and
     * `onState` sees the SERVED state after each batch, bit-equal to
     * batch counting over everything ingested so far (the fold
-    * contract, gated in StreamingSpec). `name` scopes the artifact
-    * lineage; restart-safe because both the shard dirs and the
-    * artifact are fingerprint-addressed and idempotent.
+    * contract, gated in StreamingSpec).
+    *
+    * Restart contract: run the query WITH a checkpointLocation. Under
+    * checkpointed restart a replayed batch id carries the same data,
+    * and an already-written shard dir is LEFT INTACT — re-writing it
+    * would churn its file mtimes, invalidate its published fingerprint
+    * in the marker, and silently degrade every later batch to a full
+    * corpus re-mine (the exact cost contract this gate exists to
+    * keep). Without a checkpoint a restarted query re-ingests from
+    * batch 0 with a fresh file-to-batch mapping — use a fresh
+    * `shardRoot`/`name` pair then.
     */
   def lmFoldIngestGate(newDocs: DataFrame, shardRoot: String, name: String)(
       onState: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     newDocs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
-        batch.toDF().write.mode("overwrite")
-          .parquet(s"$shardRoot/shard_$id/documents.parquet")
+        val shardDir = new java.io.File(s"$shardRoot/shard_$id")
+        if (!shardDir.exists)
+          batch.toDF().write
+            .parquet(s"$shardRoot/shard_$id/documents.parquet")
         val shards = Option(new java.io.File(shardRoot).listFiles)
           .toSeq.flatten
           .filter(f => f.isDirectory && f.getName.startsWith("shard_"))
