@@ -291,16 +291,12 @@ object PqIndex {
       nlist: Int = 16, refineIters: Int = 1): DataFrame = {
     import java.nio.file.{Files, Paths}
     import graft.engine.Artifacts
-    require(shardDirs.forall(sd => !sd.contains('\n') && !sd.contains('\t')),
-      "shard dirs must be newline- and tab-free: the marker is line-oriented")
     val params = s"m$m-k$ksub-n$nlist-r$refineIters"
     val dir = Artifacts.lineageDir("pq_index_fold", name + "|" + params)
     Files.createDirectories(Paths.get(dir))
     def loadEmb(sd: String) =
       graft.engine.Tables.table(spark, sd, "embeddings")
-    val shardFps = shardDirs.sorted.map(sd =>
-      sd -> Artifacts.md5Hex(Artifacts.tableListing(
-        new java.io.File(sd, "embeddings.parquet"))))
+    val shardFps = Artifacts.shardFingerprints(shardDirs, "embeddings")
     val stamp = Artifacts.classStamp(Seq(
       "/graft/ann/PqIndex$.class", "/graft/ann/PqIndex.class",
       "/graft/ann/Similarity$.class", "/graft/ann/Similarity.class"))
@@ -315,12 +311,9 @@ object PqIndex {
       val marker = Paths.get(dir, "_FINGERPRINT")
       val old = if (Files.exists(marker))
         Some(new String(Files.readAllBytes(marker), "UTF-8")) else None
-      val oldLines = old.toSeq.flatMap(_.linesIterator).toSeq
-      val oldSide = oldLines.headOption
+      val (oldHead, oldShards) = Artifacts.parseFoldMarker(old)
+      val oldSide = oldHead
         .filter(_.startsWith(headPrefix)).map(_.stripPrefix(headPrefix))
-      val oldShards = oldLines.drop(1).flatMap(_.split("\t", 2) match {
-        case Array(a, b) => Some(a -> b); case _ => None
-      })
       def allPublished(side: String, fps: Seq[(String, String)]) =
         Files.exists(Paths.get(dir, side)) &&
           fps.forall { case (sd, f) => Files.exists(codePath(sd, f, side)) }
@@ -329,8 +322,8 @@ object PqIndex {
       if (exact) oldSide.get
       else {
         val canFold = oldSide.exists { side =>
-          oldShards.nonEmpty && oldShards.forall(shardFps.toSet.contains) &&
-            oldShards.size < shardFps.size && allPublished(side, oldShards)
+          Artifacts.canFoldShards(oldShards, shardFps) &&
+            allPublished(side, oldShards)
         }
         val side =
           if (canFold) oldSide.get
@@ -364,15 +357,13 @@ object PqIndex {
               encode(Similarity.l2normalize(loadEmb(sd)), Some(cents), cbs),
               partitionBy = Seq("cell"))
         }
-        val content = ((headPrefix + side) +:
-          shardFps.map { case (sd, f) => s"$sd\t$f" }).mkString("\n")
-        Artifacts.publishMarker(dir, content)
+        Artifacts.publishMarker(dir,
+          Artifacts.foldMarkerContent(headPrefix + side, shardFps))
         Artifacts.gcSuperseded(dir, Paths.get(dir, side) +:
           shardFps.map { case (sd, f) => codePath(sd, f, side) })
-        val prov = if (canFold)
-          s"fold +${shardFps.size - oldShards.size} shard(s) onto ${oldShards.size}"
-        else s"full mine of ${shardFps.size} shard(s)"
-        Files.write(Paths.get(dir, "_PROVENANCE"), prov.getBytes("UTF-8"))
+        Files.write(Paths.get(dir, "_PROVENANCE"),
+          Artifacts.foldProvenance(canFold, oldShards.size, shardFps.size)
+            .getBytes("UTF-8"))
         side
       }
     }

@@ -829,16 +829,10 @@ object Dedup {
     val params = s"n$n-k$k-b$bands-t$threshold"
     val dir = foldedArtifactDir(name, params)
     def load(sd: String) = graft.engine.Tables.documents(spark, sd)
-    val shardFps = shardDirs.sorted.map(sd =>
-      sd -> md5Hex(tableListing(new java.io.File(sd, "documents.parquet"))))
-    // line-oriented marker: reject newlines/tabs in shard identities
-    // (the serveFoldedShards contract) rather than silently breaking
-    // the fold detection
-    require(shardDirs.forall(sd => !sd.contains('\n') && !sd.contains('\t')),
-      "shard dirs must be newline- and tab-free: the marker is line-oriented")
+    val shardFps = graft.engine.Artifacts.shardFingerprints(
+      shardDirs, "documents")
     val head = s"v1 params=$params build=$buildStamp"
-    val content = (head +: shardFps.map { case (sd, f) => s"$sd\t$f" })
-      .mkString("\n")
+    val content = graft.engine.Artifacts.foldMarkerContent(head, shardFps)
     val data = Paths.get(dir, s"map_${md5Hex(content)}.parquet")
     // the artifact's LSH BAND INDEX: one IMMUTABLE (doc_id, band, key)
     // dataset PER SHARD, keyed by the shard's own fingerprint — so a
@@ -857,15 +851,11 @@ object Dedup {
       val allBandsExist = shardFps.forall { case (sd, f) =>
         Files.exists(bandPath(sd, f)) }
       if (!(old.contains(content) && Files.exists(data) && allBandsExist)) {
-        val oldLines = old.toSeq.flatMap(_.linesIterator)
-        val oldShards = oldLines.drop(1).flatMap(_.split("\t", 2) match {
-          case Array(a, b) => Some(a -> b); case _ => None
-        })
+        val (oldHead, oldShards) = graft.engine.Artifacts.parseFoldMarker(old)
         val oldData = old.map(c => Paths.get(dir, s"map_${md5Hex(c)}.parquet"))
-        val newSet = shardFps.toSet
-        val canFold = oldLines.headOption.contains(head) &&
-          oldShards.nonEmpty && oldShards.forall(newSet.contains) &&
-          oldShards.size < shardFps.size && oldData.exists(Files.exists(_)) &&
+        val canFold = oldHead.contains(head) &&
+          graft.engine.Artifacts.canFoldShards(oldShards, shardFps) &&
+          oldData.exists(Files.exists(_)) &&
           oldShards.forall { case (sd, f) => Files.exists(bandPath(sd, f)) }
         // ensure every shard's band index exists (delta-sized work on
         // the fold path: published shards already have theirs)
@@ -912,10 +902,10 @@ object Dedup {
         // provenance receipt (diagnostic, written after the atomic
         // publish): lets an operator — and the fold specs — see whether
         // the last publication folded or re-mined
-        val prov = if (canFold)
-          s"fold +${shardFps.size - oldShards.size} shard(s) onto ${oldShards.size}"
-        else s"full mine of ${shardFps.size} shard(s)"
-        Files.write(Paths.get(dir, "_PROVENANCE"), prov.getBytes("UTF-8"))
+        Files.write(Paths.get(dir, "_PROVENANCE"),
+          graft.engine.Artifacts
+            .foldProvenance(canFold, oldShards.size, shardFps.size)
+            .getBytes("UTF-8"))
       }
     }
     spark.read.parquet(data.toString)

@@ -192,6 +192,53 @@ object Artifacts {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Line-oriented folded-shards marker codec — the ONE definition of
+    * the format every folded-artifact implementation shares (the
+    * generic [[serveFoldedShards]], the cluster map's band-index
+    * variant, the PQ index's side+codes variant): one head line + one
+    * `dir\tfp` line per shard. Heads differ per implementation; the
+    * codec owns the newline/tab guards and the shard-line round-trip,
+    * so the three state machines cannot drift on the format. */
+  def foldMarkerContent(head: String,
+      shardFps: Seq[(String, String)]): String = {
+    require(!head.contains('\n') &&
+      shardFps.forall { case (sd, f) =>
+        !sd.contains('\n') && !sd.contains('\t') && !f.contains('\n') },
+      "folded-artifact head/shard identities must be single-line" +
+        " (and shard dirs tab-free): the marker format is line-oriented")
+    (head +: shardFps.map { case (sd, f) => s"$sd\t$f" }).mkString("\n")
+  }
+
+  /** Inverse of [[foldMarkerContent]]: (head line, shard list). */
+  def parseFoldMarker(content: Option[String])
+      : (Option[String], Seq[(String, String)]) = {
+    val lines = content.toSeq.flatMap(_.linesIterator).toSeq
+    (lines.headOption, lines.drop(1).flatMap(_.split("\t", 2) match {
+      case Array(a, b) => Some(a -> b); case _ => None
+    }))
+  }
+
+  /** The subset-and-unchanged fold decision every folded artifact
+    * shares: published shards must be a non-empty STRICT subset of the
+    * request with identical per-shard fingerprints. (Callers AND this
+    * with their own "published datasets actually exist" checks.) */
+  def canFoldShards(oldShards: Seq[(String, String)],
+      newShards: Seq[(String, String)]): Boolean =
+    oldShards.nonEmpty && oldShards.forall(newShards.toSet.contains) &&
+      oldShards.size < newShards.size
+
+  /** The provenance receipt line for a fold/full publication. */
+  def foldProvenance(folded: Boolean, nOld: Int, nNew: Int): String =
+    if (folded) s"fold +${nNew - nOld} shard(s) onto $nOld"
+    else s"full mine of $nNew shard(s)"
+
+  /** Per-shard (dir → md5-of-table-listing) identities, sorted — the
+    * shard half of every folded-artifact fingerprint. */
+  def shardFingerprints(shardDirs: Seq[String],
+      table: String): Seq[(String, String)] =
+    shardDirs.sorted.map(sd => sd -> md5Hex(tableListing(
+      new java.io.File(sd, s"$table.parquet"))))
+
   /** Generic FOLDED artifact over an append-only shard list — the
     * reusable shape behind incrementally-maintained models whose state
     * merges exactly (the boilerplate line-list state; the cluster map
@@ -213,32 +260,21 @@ object Artifacts {
       full: => DataFrame)(
       fold: (DataFrame, Seq[String], Seq[String]) => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
-    // the marker is line-oriented: an embedded newline (e.g. a caller's
-    // multi-line params string) would silently shift the shard lines
-    // and disable folding forever — fail loudly instead
-    require(!params.contains('\n') && !buildStamp.contains('\n') &&
-      shardFps.forall { case (sd, f) =>
-        !sd.contains('\n') && !sd.contains('\t') && !f.contains('\n') },
-      "folded-artifact params/build/shard identities must be single-line" +
-        " (and shard dirs tab-free): the marker format is line-oriented")
+    require(!params.contains('\n') && !buildStamp.contains('\n'),
+      "folded-artifact params/build must be single-line:" +
+        " the marker format is line-oriented")
     val head = s"v1 params=$params build=$buildStamp"
-    val content = (head +: shardFps.map { case (sd, f) => s"$sd\t$f" })
-      .mkString("\n")
+    val content = foldMarkerContent(head, shardFps)
     val data = Paths.get(dir, s"map_${md5Hex(content)}.parquet")
     this.synchronized {
       val marker = Paths.get(dir, "_FINGERPRINT")
       val old = if (Files.exists(marker))
         Some(new String(Files.readAllBytes(marker), "UTF-8")) else None
       if (!(old.contains(content) && Files.exists(data))) {
-        val oldLines = old.toSeq.flatMap(_.linesIterator)
-        val oldShards = oldLines.drop(1).flatMap(_.split("\t", 2) match {
-          case Array(a, b) => Some(a -> b); case _ => None
-        })
+        val (oldHead, oldShards) = parseFoldMarker(old)
         val oldData = old.map(c => Paths.get(dir, s"map_${md5Hex(c)}.parquet"))
-        val newSet = shardFps.toSet
-        val canFold = oldLines.headOption.contains(head) &&
-          oldShards.nonEmpty && oldShards.forall(newSet.contains) &&
-          oldShards.size < shardFps.size && oldData.exists(Files.exists(_))
+        val canFold = oldHead.contains(head) &&
+          canFoldShards(oldShards, shardFps) && oldData.exists(Files.exists(_))
         val built =
           if (canFold) {
             val oldSet = oldShards.map(_._1).toSet
@@ -249,10 +285,9 @@ object Artifacts {
         publishDataset(dir, data, built)
         publishMarker(dir, content)
         gcSuperseded(dir, Seq(data))
-        val prov = if (canFold)
-          s"fold +${shardFps.size - oldShards.size} shard(s) onto ${oldShards.size}"
-        else s"full mine of ${shardFps.size} shard(s)"
-        Files.write(Paths.get(dir, "_PROVENANCE"), prov.getBytes("UTF-8"))
+        Files.write(Paths.get(dir, "_PROVENANCE"),
+          foldProvenance(canFold, oldShards.size, shardFps.size)
+            .getBytes("UTF-8"))
       }
     }
     spark.read.parquet(data.toString)

@@ -76,9 +76,7 @@ object Skipping {
     val dir = zoneMapFoldDir(name, params)
     def load(sd: String) = Tables.documents(spark, sd)
       .withColumn(partCol, expr(partSql))
-    val shardFps = shardDirs.sorted.map(sd =>
-      sd -> Artifacts.md5Hex(Artifacts.tableListing(
-        new java.io.File(sd, "documents.parquet"))))
+    val shardFps = Artifacts.shardFingerprints(shardDirs, "documents")
     val stamp = Artifacts.classStamp(Seq(
       "/graft/engine/Skipping$.class", "/graft/engine/Skipping.class"))
     Artifacts.serveFoldedShards(spark, dir, params, stamp, shardFps)(

@@ -3336,9 +3336,8 @@ object TextAnalysis {
     val params = s"norm$normalized"
     val dir = boilerplateFoldDir(name, params)
     def load(sd: String) = graft.engine.Tables.documents(spark, sd)
-    val shardFps = shardDirs.sorted.map(sd =>
-      sd -> graft.engine.Artifacts.md5Hex(graft.engine.Artifacts.tableListing(
-        new java.io.File(sd, "documents.parquet"))))
+    val shardFps = graft.engine.Artifacts.shardFingerprints(
+      shardDirs, "documents")
     val stamp = graft.engine.Artifacts.classStamp(Seq(
       "/graft/text/TextAnalysis$.class", "/graft/text/TextAnalysis.class"))
     graft.engine.Artifacts.serveFoldedShards(spark, dir, params, stamp,
@@ -3381,9 +3380,8 @@ object TextAnalysis {
       name: String, shardDirs: Seq[String]): DataFrame = {
     val dir = lmFoldDir(name)
     def load(sd: String) = graft.engine.Tables.documents(spark, sd)
-    val shardFps = shardDirs.sorted.map(sd =>
-      sd -> graft.engine.Artifacts.md5Hex(graft.engine.Artifacts.tableListing(
-        new java.io.File(sd, "documents.parquet"))))
+    val shardFps = graft.engine.Artifacts.shardFingerprints(
+      shardDirs, "documents")
     val stamp = graft.engine.Artifacts.classStamp(Seq(
       "/graft/text/TextAnalysis$.class", "/graft/text/TextAnalysis.class"))
     graft.engine.Artifacts.serveFoldedShards(spark, dir, "bigram-v1", stamp,
@@ -3419,9 +3417,8 @@ object TextAnalysis {
     val params = "langid-v1 seed=" + seedSql
     val dir = langidFoldDir(name, params)
     def load(sd: String) = graft.engine.Tables.documents(spark, sd)
-    val shardFps = shardDirs.sorted.map(sd =>
-      sd -> graft.engine.Artifacts.md5Hex(graft.engine.Artifacts.tableListing(
-        new java.io.File(sd, "documents.parquet"))))
+    val shardFps = graft.engine.Artifacts.shardFingerprints(
+      shardDirs, "documents")
     val stamp = graft.engine.Artifacts.classStamp(Seq(
       "/graft/text/TextAnalysis$.class", "/graft/text/TextAnalysis.class"))
     graft.engine.Artifacts.serveFoldedShards(spark, dir, params, stamp,
