@@ -3122,6 +3122,43 @@ object SparkEntry {
           concat(col("text"), lit(" zz common tail"))), 3, 0.5, 50L)),
     "dedup_minhash_lsh" -> ((s, d) =>
       graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5)),
+    // threshold-tuning curve: pair volume per 0.05 jaccard bucket with
+    // a cumulative pairs-at-or-above column — the "what would a θ of X
+    // cost me" dashboard a dedup threshold is chosen against; ONE
+    // banding+verify pass at the lowest θ, then a bounded ≤11-row
+    // bucket aggregate (the unpartitioned window runs over buckets,
+    // never pairs)
+    "dedup_threshold_curve" -> ((s, d) => {
+      val pairs = graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5)
+      pairs
+        .withColumn("theta_e2", (floor(col("jaccard") * 20) * 5).cast("long"))
+        .groupBy(col("theta_e2")).agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_pairs_ge", sum(col("n_pairs")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("theta_e2").desc)
+            .rowsBetween(Long.MinValue, 0)))
+    }),
+    // cross-source duplication matrix: which SOURCE PAIRS share
+    // near-dup content (the crawl-vs-wiki overlap question behind
+    // source-level dedup ordering); canonical (min, max) source pair,
+    // pair counts + mean jaccard on the exact 1e-4 grid — the pair set
+    // is the same banding pass, the matrix is #sources² rows
+    "dedup_source_matrix" -> ((s, d) => {
+      val pairs = graft.dedup.Dedup.minhashLshPairs(docs(s, d), 3, 64, 32, 0.5)
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")),
+          Seq("id_b"))
+        .select(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"),
+          (col("jaccard") * 10000).cast("long").as("__je4"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          graft.text.TextAnalysis.intDiv(sum(col("__je4")), count(lit(1)))
+            .as("mean_jaccard_e4"))
+    }),
     // ── UTF-8 twins of the similarity families over the ml-augmented
     // corpus: shingles are WORD n-grams (space-split), so the unit is
     // the word string — identical in Spark (UTF-16 strings) and DuckDB
@@ -6903,6 +6940,29 @@ object SparkEntry {
         |FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
         |WHERE round(shared / (sa.sz + sb.sz - shared), 4) >= 0.5""".stripMargin,
     "dedup_minhash_lsh" -> shingleCte,
+    // same exact-jaccard pair replay, bucketed; the cumulative window
+    // runs over <= 11 bucket rows on both engines
+    "dedup_threshold_curve" ->
+      s"""WITH pairs AS ($shingleCte),
+         |b AS (SELECT CAST(floor(jaccard * 20) * 5 AS BIGINT) AS theta_e2,
+         |    CAST(count(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY 1)
+         |SELECT theta_e2, n_pairs,
+         |  CAST(SUM(n_pairs) OVER (ORDER BY theta_e2 DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_pairs_ge
+         |FROM b""".stripMargin,
+    // the pair replay joined back to sources; identical double
+    // truncation (CAST toward zero) on both engines
+    "dedup_source_matrix" ->
+      s"""WITH pairs AS ($shingleCte)
+         |SELECT LEAST(da.source, db.source) AS source_a,
+         |  GREATEST(da.source, db.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CAST(jaccard * 10000 AS BIGINT)) // count(*) AS BIGINT)
+         |    AS mean_jaccard_e4
+         |FROM pairs JOIN documents da ON da.doc_id = pairs.id_a
+         |  JOIN documents db ON db.doc_id = pairs.id_b
+         |GROUP BY 1, 2""".stripMargin,
     // exhaustive regime ⇒ theta answers equal the true set counts; the
     // rate is one division of exact integers, rounded identically
     "dedup_delta_novelty" ->

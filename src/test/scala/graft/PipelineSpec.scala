@@ -302,6 +302,42 @@ class PipelineSpec extends SparkSpec {
     assert(!TextAnalysis.langidFoldedExists(name, "lang = 'en'"))
   }
 
+  test("dedup threshold curve and source matrix conserve the pair set") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h", "s1"), (2L, "a b c d e f g h", "s2"),
+      (3L, "a b c d e f g x", "s1"), (4L, "q w e r t y u i", "s2"),
+      (5L, "z x c v b n m k", "s1")).toDF("doc_id", "text", "source")
+    val pairs = Dedup.minhashLshPairs(df, 3, 16, 8, 0.5).cache()
+    val total = pairs.count()
+    assert(total >= 2) // the planted trio yields at least (1,2), (1,3)/(2,3)
+    val curve = pairs
+      .withColumn("theta_e2", (floor(col("jaccard") * 20) * 5).cast("long"))
+      .groupBy(col("theta_e2")).agg(count(lit(1)).as("n_pairs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // buckets partition the pair set, every bucket in [50, 100]
+    assert(curve.values.sum == total)
+    assert(curve.keys.forall(k => k >= 50 && k <= 100))
+    // the exact duplicate lands in the top bucket
+    assert(curve.contains(100L))
+    val src = df.select(col("doc_id"), col("source"))
+    val matrix = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("a"),
+        greatest(col("sa"), col("sb")).as("b"))
+      .groupBy(col("a"), col("b")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // the matrix partitions the pair set and the cross-source dup
+    // (docs 1 and 2) shows up in the (s1, s2) cell
+    assert(matrix.values.sum == total)
+    assert(matrix.getOrElse(("s1", "s2"), 0L) >= 1L)
+    pairs.unpersist()
+  }
+
   test("folded PQ index artifact: fold == append serve parity, provenance") {
     import spark.implicits._
     // deterministic small embeddings: dim 8, 30 vectors over 3 shards
