@@ -2873,6 +2873,19 @@ object SparkEntry {
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy(col("lang"))
     }),
+    // small-files compaction PLAN (the OPTIMIZE planner): docs land
+    // hive-partitioned by lang in ~8 small files per partition, then
+    // each file is assigned a compaction bin of ~8 KiB by cumulative
+    // size in name order — metadata-only (no data page read). Fully
+    // ORACLED: the dump-time oracle reads the SAME listing via
+    // DuckDB's read_blob and replays the offset binning
+    "sink_compaction_plan" -> ((s, d) => {
+      val dir = graft.engine.Artifacts.lineageDir("compaction_sink", d)
+      docs(s, d).repartition(8, col("doc_id")).write.partitionBy("lang")
+        .mode("overwrite").parquet(dir)
+      compactionSinkDir = Some(dir)
+      graft.engine.Layout.compactionPlan(s, dir, 8192L)
+    }),
     // hive-layout partitioned sink: write docs partitioned by lang,
     // re-read, aggregate — proves the layout preserves every row/value
     // (partition pruning on the re-read is plan-asserted in PlanSpec)
@@ -5432,6 +5445,31 @@ object SparkEntry {
     main ++ folded
   }
 
+  /** The compaction sink dir of this session's `sink_compaction_plan`
+    * run — the dump-time oracle reads the SAME file listing (names and
+    * sizes) through DuckDB's read_blob and replays the offset binning,
+    * so the plan is value-checked against the actual on-disk layout. */
+  @volatile private var compactionSinkDir: Option[String] = None
+
+  private def compactionOracle: Map[String, String] =
+    compactionSinkDir match {
+      case None => Map.empty
+      case Some(dir) =>
+        Map("sink_compaction_plan" ->
+          s"""WITH f AS (SELECT filename, size
+             |    FROM read_blob('$dir/lang=*/*.parquet')),
+             |p AS (SELECT regexp_extract(filename, 'lang=[^/]+', 0)
+             |      AS part_dir,
+             |    regexp_extract(filename, '[^/]+$$', 0) AS file,
+             |    CAST(size AS BIGINT) AS bytes FROM f),
+             |c AS (SELECT part_dir, file, bytes,
+             |    COALESCE(SUM(bytes) OVER (PARTITION BY part_dir
+             |      ORDER BY file ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS cumb FROM p)
+             |SELECT part_dir, file, bytes,
+             |  CAST(cumb // 8192 AS BIGINT) AS bin FROM c""".stripMargin)
+    }
+
   /** (flat, probed) serve-replay SQL for one PQ side-table set. */
   private def renderPqServeSql(cbs: Array[Array[Array[Float]]],
       cents: Array[(Array[Float], Int)]): (String, String) = {
@@ -5645,7 +5683,7 @@ object SparkEntry {
     * the render always sees the model the dumped results used.
     */
   def oracleSql: Map[String, String] =
-    oracleSqlStatic ++ pqServeOracles ++ ivfServeOracle
+    oracleSqlStatic ++ pqServeOracles ++ ivfServeOracle ++ compactionOracle
 
   private def oracleSqlStatic: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -9570,6 +9608,9 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
          graft.ann.PqIndex.sideConflict) Map(
       "ann_pq_topk" -> "PropertySpec 'PQ ANN: recall vs brute force, determinism, 32x compression' — recall@10 >= 0.7, run-to-run bit equality",
       "ann_ivfpq_topk" -> "PropertySpec 'IVF-PQ ANN: recall with cell probing, scans only probed cells' — recall@10 >= 0.5 + PartitionFilters plan gate")
+     else Map.empty) ++
+    (if (compactionSinkDir.isEmpty) Map(
+      "sink_compaction_plan" -> "LayoutSpec 'compaction plan bins files by cumulative size in name order' — hand-sized fixture bins + at-most-one-file overshoot")
      else Map.empty) ++
     (if (graft.ann.PqIndex.lastFoldedSide.isEmpty ||
          graft.ann.PqIndex.foldedConflict) Map(

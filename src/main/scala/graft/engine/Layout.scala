@@ -151,6 +151,40 @@ object Layout {
     * min-max zone maps at the 100 TB sink; best = min total (tie:
     * lexicographically-first key string). Keys must be non-null (the
     * engines' multi-column DISTINCT treat null tuples differently). */
+  /** Small-files compaction PLAN — the OPTIMIZE planner every table
+    * format ships (Delta OPTIMIZE / Iceberg rewrite_data_files): given
+    * a hive-partitioned dataset, assign each data file to a compaction
+    * bin of ~`targetBytes` by CUMULATIVE size in file-name order within
+    * its partition. Name order preserves the writer's clustering;
+    * offset binning `floor(bytes_before / target)` makes the plan a
+    * pure function of the listing (no sequential state, so the whole
+    * plan replays in SQL over the same listing); a bin exceeds the
+    * target by at most one file — the standard contract. The listing
+    * is driver-side METADATA (file-count sized, the
+    * candidatePartitions posture — no data page is read); the plan is
+    * what an executor fleet then executes partition-parallel.
+    */
+  def compactionPlan(spark: SparkSession, dir: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "compaction target must be positive")
+    import spark.implicits._
+    val parts = Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    val rows = for {
+      p <- parts.sortBy(_.getName)
+      f <- Option(p.listFiles).toSeq.flatten.sortBy(_.getName)
+      if f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")
+    } yield (p.getName, f.getName, f.length)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part_dir")).orderBy(col("file"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    rows.toDF("part_dir", "file", "bytes")
+      .withColumn("bin", graft.text.TextAnalysis.intDiv(
+        coalesce(sum(col("bytes")).over(w), lit(0L)), lit(targetBytes)))
+  }
+
   def rleLayoutAudit(df: DataFrame,
       keys: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(keys.size == 3, "audit expects exactly three candidate keys")

@@ -8,6 +8,35 @@ import org.apache.spark.sql.functions._
   */
 class LayoutSpec extends SparkSpec {
 
+  test("compaction plan bins files by cumulative size in name order") {
+    // hand-sized fake layout: partition a has files of 3k/3k/3k/5k —
+    // with an 8k target, offset binning puts f1(0) f2(3k) f3(6k) in
+    // bins 0,0,0 and f4 (cum-before 9k) in bin 1; partition b's single
+    // big file is alone in bin 0 (a bin exceeds the target by at most
+    // one file — the contract)
+    val root = java.nio.file.Files.createTempDirectory("graft_compact")
+    def put(part: String, name: String, size: Int): Unit = {
+      val pd = new java.io.File(root.toFile, part); pd.mkdirs()
+      java.nio.file.Files.write(new java.io.File(pd, name).toPath,
+        new Array[Byte](size))
+    }
+    put("k=a", "part-1.parquet", 3000); put("k=a", "part-2.parquet", 3000)
+    put("k=a", "part-3.parquet", 3000); put("k=a", "part-4.parquet", 5000)
+    put("k=b", "part-1.parquet", 20000)
+    put("k=a", ".hidden.parquet", 999)      // dotfiles never planned
+    put("k=a", "_SUCCESS", 0)               // non-parquet never planned
+    val plan = Layout.compactionPlan(spark, root.toString, 8192L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(plan == Set(
+      ("k=a", "part-1.parquet", 3000L, 0L),
+      ("k=a", "part-2.parquet", 3000L, 0L),
+      ("k=a", "part-3.parquet", 3000L, 0L),
+      ("k=a", "part-4.parquet", 5000L, 1L),
+      ("k=b", "part-1.parquet", 20000L, 0L)), plan)
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
