@@ -3296,6 +3296,20 @@ object SparkEntry {
       graft.dedup.Dedup.survivorsFromClusters(docs(s, d),
         graft.dedup.Dedup.clusterMapArtifact(s, d))
         .select(col("doc_id"))),
+    // the survivor election served from the FOLDED incremental map:
+    // the decision family consumes the folded lineage exactly as it
+    // consumes the full-mine artifact (fold ≡ full-mine), so the
+    // oracle is the dedup_survivors replay verbatim
+    "dedup_survivors_incremental" -> ((s, d) => {
+      val shards = graft.dedup.Dedup.ensureDocShards(s, d, 3)
+      val name = "docs_mod3_" + Integer.toHexString(d.hashCode)
+      if (!graft.dedup.Dedup.foldedArtifactExists(name))
+        graft.dedup.Dedup.clusterMapArtifactFolded(s, name, shards.take(2))
+          .count()
+      graft.dedup.Dedup.survivorsFromClusters(docs(s, d),
+        graft.dedup.Dedup.clusterMapArtifactFolded(s, name, shards))
+        .select(col("doc_id"))
+    }),
     // containment (asymmetric Jaccard): the excerpt/quote-inclusion
     // dedup symmetric near-dup misses — θ=0.9 on either direction
     "dedup_containment" -> ((s, d) =>
@@ -3804,6 +3818,20 @@ object SparkEntry {
     "text_strip_boilerplate" -> ((s, d) =>
       graft.text.TextAnalysis.stripKnownBoilerplate(docsNl(s, d),
         boilerplateListArtifact(s, d))),
+    // the strip consumer served from the FOLDED line state: folded
+    // (sum,sum,min) census ≡ whole-corpus census, so the frozen list
+    // (n_docs >= 2) and therefore the strip output are identical —
+    // the oracle is the text_strip_boilerplate replay verbatim
+    "text_strip_boilerplate_folded" -> ((s, d) => {
+      val shards = graft.dedup.Dedup.ensureDocShards(s, nlInputDir(s, d), 3)
+      val name = "docsnl_mod3_" + Integer.toHexString(d.hashCode)
+      if (!graft.text.TextAnalysis.boilerplateFoldedExists(name))
+        graft.text.TextAnalysis.boilerplateStateArtifactFolded(
+          s, name, shards.take(2)).count()
+      graft.text.TextAnalysis.stripKnownBoilerplate(docsNl(s, d),
+        graft.text.TextAnalysis.boilerplateStateArtifactFolded(s, name, shards)
+          .filter(col("n_docs") >= 2))
+    }),
     // domain link-graph centrality: integer-exact PageRank over the
     // distinct site→domain edge set (graph-sized, never corpus-sized);
     // one URL-extraction scan, one shuffle per iteration
@@ -5292,6 +5320,35 @@ object SparkEntry {
        |  flatten(list(wt.ids ORDER BY words.wi)) AS all_ids
        |  FROM words JOIN wt USING (w) GROUP BY words.doc_id)""".stripMargin
   }
+
+  /** Boilerplate-strip replay shared by the stored-list and folded-state
+    * serve paths (the folded (sum,sum,min) census ≡ the whole-corpus
+    * census, so both serve the same frozen line list). */
+  private lazy val stripBoilerplateSql: String =
+    s"""WITH dnl AS ($nlDocsSelect),
+      |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM dnl),
+      |e0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+      |    i -> {'p': i, 'line': ls[i]})) AS u FROM l0),
+      |e AS (SELECT doc_id, u.p AS p, u.line AS line FROM e0),
+      |dup AS (SELECT line FROM e WHERE line <> ''
+      |  GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+      |kept AS (SELECT e.doc_id, e.p, e.line FROM e LEFT JOIN dup
+      |    ON e.line = dup.line
+      |  WHERE dup.line IS NULL),
+      |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(line, chr(10) ORDER BY p) AS clean_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT l0.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+      |  COALESCE(n_kept, 0) AS n_kept,
+      |  COALESCE(clean_text, '') AS clean_text
+      |FROM l0 LEFT JOIN r USING (doc_id)""".stripMargin
+
+  /** Survivor-election replay shared by the full-mine and folded-map
+    * serve paths (fold ≡ full-mine is the artifact contract). */
+  private lazy val survivorsSql: String = ccCte +
+    """
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT node FROM cc WHERE cluster_id <> node)""".stripMargin
 
   private val ccCte =
     """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
@@ -7845,10 +7902,10 @@ object SparkEntry {
       |  CAST(b.bq AS DOUBLE) / CAST(10000 AS DOUBLE) AS survivor_quality
       |FROM b JOIN j ON j.cluster_id = b.cluster_id AND j.q_e4 = b.bq
       |GROUP BY b.cluster_id, b.n_members, b.bq""".stripMargin),
-    "dedup_survivors" -> (ccCte +
-      """
-        |SELECT doc_id FROM documents
-        |WHERE doc_id NOT IN (SELECT node FROM cc WHERE cluster_id <> node)""".stripMargin),
+    "dedup_survivors" -> survivorsSql,
+    // served from the FOLDED incremental map: fold ≡ full-mine, so the
+    // replay is identical — a fold error surfaces as a survivor diff
+    "dedup_survivors_incremental" -> survivorsSql,
     // brute-force simhash in SQL: same md5-derived 60-bit token hash and
     // majority-bit fingerprint as SimHash60, all pairs checked exactly —
     // verifies the Spark side's pigeonhole banding loses no pairs
@@ -8198,24 +8255,10 @@ object SparkEntry {
         |  COALESCE(clean_text, '') AS clean_text
         |FROM l0 LEFT JOIN r USING (doc_id)""".stripMargin,
     // the frozen-list strip: same staging, no keeper exception
-    "text_strip_boilerplate" ->
-      s"""WITH dnl AS ($nlDocsSelect),
-        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM dnl),
-        |e0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
-        |    i -> {'p': i, 'line': ls[i]})) AS u FROM l0),
-        |e AS (SELECT doc_id, u.p AS p, u.line AS line FROM e0),
-        |dup AS (SELECT line FROM e WHERE line <> ''
-        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
-        |kept AS (SELECT e.doc_id, e.p, e.line FROM e LEFT JOIN dup
-        |    ON e.line = dup.line
-        |  WHERE dup.line IS NULL),
-        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-        |    string_agg(line, chr(10) ORDER BY p) AS clean_text
-        |  FROM kept GROUP BY doc_id)
-        |SELECT l0.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
-        |  COALESCE(n_kept, 0) AS n_kept,
-        |  COALESCE(clean_text, '') AS clean_text
-        |FROM l0 LEFT JOIN r USING (doc_id)""".stripMargin,
+    "text_strip_boilerplate" -> stripBoilerplateSql,
+    // served from the FOLDED line state (folded census ≡ whole-corpus
+    // census, so the strip replay is identical)
+    "text_strip_boilerplate_folded" -> stripBoilerplateSql,
     // integer PageRank replayed with mechanically-unrolled iteration
     // CTEs — bit-identical // arithmetic at every step
     "link_components" ->
