@@ -284,6 +284,18 @@ object PqIndex {
     * atomic publication throughout; `_PROVENANCE` records which path
     * ran. Serving reads the published side dataset + the per-shard
     * code datasets and runs the standard [[adcServe]].
+    *
+    * This is deliberately NOT routed through
+    * [[graft.engine.Artifacts.serveFoldedShards]]: there the marker
+    * head is fixed before the fold decision, but here the head embeds
+    * the RESOLVED quantizer identity — the fold decision itself picks
+    * which quantizer the per-shard code datasets are addressed by (keep
+    * the published one on a fold, content-address a new one on a full
+    * build) — so head construction and the fold decision are mutually
+    * recursive. It composes the shared codec/decision/publication
+    * primitives ([[graft.engine.Artifacts.foldMarkerContent]],
+    * [[graft.engine.Artifacts.canFoldShards]], publishDataset/Marker,
+    * gcSuperseded) so the format and fold rule still cannot drift.
     */
   def foldedIndexServe(spark: SparkSession, name: String,
       shardDirs: Seq[String], queryIds: Seq[Long], k: Int,

@@ -817,23 +817,25 @@ object Dedup {
     *  - anything else (first build, a mutated/removed shard, changed
     *    params or engine build) ⇒ full mine of the union, `full`
     *    provenance.
-    * Publication is atomic and fingerprint-addressed ([[publishArtifact]]);
-    * `name` scopes the artifact lineage (one lineage per logical corpus).
+    * The serve/fold/full control flow is the generic
+    * [[graft.engine.Artifacts.serveFoldedShards]] with the per-shard
+    * band index supplied as a
+    * [[graft.engine.Artifacts.ShardDataset]] hook; publication is
+    * atomic and fingerprint-addressed throughout. `name` scopes the
+    * artifact lineage (one lineage per logical corpus).
     * doc_ids must be globally unique across shards — the standard
     * contract of a sharded corpus.
     */
   def clusterMapArtifactFolded(spark: org.apache.spark.sql.SparkSession,
       name: String, shardDirs: Seq[String], n: Int = 3, k: Int = 64,
       bands: Int = 32, threshold: Double = 0.5): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Paths
     val params = s"n$n-k$k-b$bands-t$threshold"
     val dir = foldedArtifactDir(name, params)
     def load(sd: String) = graft.engine.Tables.documents(spark, sd)
     val shardFps = graft.engine.Artifacts.shardFingerprints(
       shardDirs, "documents")
-    val head = s"v1 params=$params build=$buildStamp"
-    val content = graft.engine.Artifacts.foldMarkerContent(head, shardFps)
-    val data = Paths.get(dir, s"map_${md5Hex(content)}.parquet")
+    val fpByDir = shardFps.toMap
     // the artifact's LSH BAND INDEX: one IMMUTABLE (doc_id, band, key)
     // dataset PER SHARD, keyed by the shard's own fingerprint — so a
     // fold publishes only the DELTA shards' bands (delta-sized write)
@@ -842,73 +844,36 @@ object Dedup {
     // signature-array decode. bands·~20 bytes per doc — the standard
     // index storage trade; append-only by construction (a shard's
     // index never rewrites unless the shard's own fingerprint changes).
+    // Freshness, fold eligibility, ensure-exists publication, and GC of
+    // the index ride the generic's perShard hook.
     def bandPath(sd: String, fp: String) = Paths.get(dir,
       s"bands_${md5Hex(s"$sd|$fp|n$n-k$k-b$bands")}.parquet")
-    this.synchronized {
-      val marker = Paths.get(dir, "_FINGERPRINT")
-      val old = if (Files.exists(marker))
-        Some(new String(Files.readAllBytes(marker), "UTF-8")) else None
-      val allBandsExist = shardFps.forall { case (sd, f) =>
-        Files.exists(bandPath(sd, f)) }
-      if (!(old.contains(content) && Files.exists(data) && allBandsExist)) {
-        val (oldHead, oldShards) = graft.engine.Artifacts.parseFoldMarker(old)
-        val oldData = old.map(c => Paths.get(dir, s"map_${md5Hex(c)}.parquet"))
-        val canFold = oldHead.contains(head) &&
-          graft.engine.Artifacts.canFoldShards(oldShards, shardFps) &&
-          oldData.exists(Files.exists(_)) &&
-          oldShards.forall { case (sd, f) => Files.exists(bandPath(sd, f)) }
-        // ensure every shard's band index exists (delta-sized work on
-        // the fold path: published shards already have theirs)
-        shardFps.foreach { case (sd, f) =>
-          if (!Files.exists(bandPath(sd, f)))
-            graft.engine.Artifacts.publishDataset(dir, bandPath(sd, f),
-              bandFrame(load(sd), n, k, bands))
-        }
-        def bandsOf(dirs: Seq[String]): DataFrame = {
-          val byDir = shardFps.toMap
-          dirs.map(sd => spark.read.parquet(bandPath(sd, byDir(sd)).toString))
-            .reduce(_ unionByName _)
-        }
-        if (canFold) {
-          val oldSet = oldShards.map(_._1).toSet
-          val deltaDirs = shardDirs.filterNot(oldSet.contains)
-          val corpusDirs = shardDirs.filter(oldSet.contains)
-          val delta = deltaDirs.map(load).reduce(_ union _)
-          val corpus = corpusDirs.map(load).reduce(_ union _)
-          graft.engine.Artifacts.publishDataset(dir, data,
-            clusterMapFold(spark.read.parquet(oldData.get.toString),
-              corpus, delta, n, k, bands, threshold,
-              corpusBands = Some(bandsOf(corpusDirs))))
-        } else {
-          val all = shardDirs.map(load).reduce(_ union _)
-          // full mine reuses the published per-shard indexes for
-          // candidate generation (lshCandidatePairs over the flat band
-          // table), so even the full path signature-hashes each shard
-          // exactly once — at publish time
-          val cand = bandsOf(shardDirs).as("a").hint("shuffle_merge")
-            .join(bandsOf(shardDirs).as("b").hint("shuffle_merge"),
-              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-                col("a.doc_id") < col("b.doc_id"))
-            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-            .distinct()
-            .localCheckpoint(eager = false)
-          graft.engine.Artifacts.publishDataset(dir, data,
-            connectedComponents(verifyPairs(all, cand, n, threshold)))
-        }
-        // marker LAST — it gates on the map AND every shard's index
-        graft.engine.Artifacts.publishMarker(dir, content)
-        graft.engine.Artifacts.gcSuperseded(dir,
-          data +: shardFps.map { case (sd, f) => bandPath(sd, f) })
-        // provenance receipt (diagnostic, written after the atomic
-        // publish): lets an operator — and the fold specs — see whether
-        // the last publication folded or re-mined
-        Files.write(Paths.get(dir, "_PROVENANCE"),
-          graft.engine.Artifacts
-            .foldProvenance(canFold, oldShards.size, shardFps.size)
-            .getBytes("UTF-8"))
-      }
+    def bandsOf(dirs: Seq[String]): DataFrame =
+      dirs.map(sd => spark.read.parquet(bandPath(sd, fpByDir(sd)).toString))
+        .reduce(_ unionByName _)
+    val bandIndex = graft.engine.Artifacts.ShardDataset(
+      bandPath, sd => bandFrame(load(sd), n, k, bands))
+    graft.engine.Artifacts.serveFoldedShards(spark, dir, params, buildStamp,
+      shardFps, Seq(bandIndex)) {
+      val all = shardDirs.map(load).reduce(_ union _)
+      // full mine reuses the published per-shard indexes for candidate
+      // generation (lshCandidatePairs over the flat band table), so
+      // even the full path signature-hashes each shard exactly once —
+      // at publish time
+      val cand = bandsOf(shardDirs).as("a").hint("shuffle_merge")
+        .join(bandsOf(shardDirs).as("b").hint("shuffle_merge"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      connectedComponents(verifyPairs(all, cand, n, threshold))
+    } { (oldMap, corpusDirs, deltaDirs) =>
+      val delta = deltaDirs.map(load).reduce(_ union _)
+      val corpus = corpusDirs.map(load).reduce(_ union _)
+      clusterMapFold(oldMap, corpus, delta, n, k, bands, threshold,
+        corpusBands = Some(bandsOf(corpusDirs)))
     }
-    spark.read.parquet(data.toString)
   }
 
   /** Drop [[clusterMapArtifact]]'s published lineage for `inputDir`

@@ -239,24 +239,51 @@ object Artifacts {
     shardDirs.sorted.map(sd => sd -> md5Hex(tableListing(
       new java.io.File(sd, s"$table.parquet"))))
 
-  /** Generic FOLDED artifact over an append-only shard list — the
-    * reusable shape behind incrementally-maintained models whose state
-    * merges exactly (the boilerplate line-list state; the cluster map
-    * uses a specialized variant in Dedup that also maintains per-shard
-    * band indexes). The marker records `v1 params=.. build=..` plus one
-    * `shardDir\tfingerprint` line per shard:
+  /** A per-shard IMMUTABLE dataset a folded artifact maintains beside
+    * its main map — e.g. the cluster map's LSH band index. `path` is
+    * addressed by (shardDir, shard fingerprint): a fold publishes only
+    * the DELTA shards' datasets (delta-sized write), and a shard's
+    * dataset never rewrites unless the shard's own fingerprint changes.
+    * The serve/fold/full closures read the datasets back via the same
+    * `path` function — by the time either builder runs, every shard's
+    * dataset is guaranteed published. */
+  final case class ShardDataset(
+      path: (String, String) => java.nio.file.Path,
+      build: String => DataFrame,
+      partitionBy: Seq[String] = Nil)
+
+  /** Generic FOLDED artifact over an append-only shard list — the ONE
+    * control flow behind incrementally-maintained models whose state
+    * merges exactly (the boilerplate line-list state, the LM and langid
+    * count states, the zone-map manifest, and — via `perShard` band
+    * indexes — the dedup cluster map). The marker records
+    * `v1 params=.. build=..` plus one `shardDir\tfingerprint` line per
+    * shard:
     *
-    *  - exact marker match ⇒ serve the stored dataset;
-    *  - published shard set ⊂ request, every published shard unchanged,
-    *    same params/build ⇒ `fold(oldData, corpusDirs, deltaDirs)` —
-    *    delta-sized work;
+    *  - exact marker match (and every per-shard dataset present) ⇒
+    *    serve the stored dataset;
+    *  - published shard set ⊂ request, every published shard unchanged
+    *    (incl. its per-shard datasets), same params/build ⇒
+    *    `fold(oldData, corpusDirs, deltaDirs)` — delta-sized work;
     *  - anything else ⇒ `full` rebuild.
     *
-    * Publication is marker-last atomic; `_PROVENANCE` records which
-    * path ran.
+    * Before either builder runs, any missing `perShard` dataset is
+    * published (just the delta's on the fold path — published shards
+    * already have theirs), so builders may read them freely.
+    * Publication is marker-last atomic and gates on the map AND every
+    * per-shard dataset; `_PROVENANCE` records which path ran.
+    *
+    * The folded PQ index ([[graft.ann.PqIndex.foldedIndexServe]]) is
+    * the one stored model that does NOT ride this control flow, by
+    * design: its marker head embeds the RESOLVED quantizer identity
+    * (the fold decision picks which quantizer the per-shard code
+    * datasets are addressed by), so head construction and the fold
+    * decision are mutually recursive there — it composes this object's
+    * codec/decision/publication primitives instead.
     */
   def serveFoldedShards(spark: SparkSession, dir: String, params: String,
-      buildStamp: String, shardFps: Seq[(String, String)])(
+      buildStamp: String, shardFps: Seq[(String, String)],
+      perShard: Seq[ShardDataset] = Nil)(
       full: => DataFrame)(
       fold: (DataFrame, Seq[String], Seq[String]) => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
@@ -266,15 +293,24 @@ object Artifacts {
     val head = s"v1 params=$params build=$buildStamp"
     val content = foldMarkerContent(head, shardFps)
     val data = Paths.get(dir, s"map_${md5Hex(content)}.parquet")
+    def allShardDatasets(fps: Seq[(String, String)]): Boolean =
+      fps.forall { case (sd, f) =>
+        perShard.forall(p => Files.exists(p.path(sd, f))) }
     this.synchronized {
       val marker = Paths.get(dir, "_FINGERPRINT")
       val old = if (Files.exists(marker))
         Some(new String(Files.readAllBytes(marker), "UTF-8")) else None
-      if (!(old.contains(content) && Files.exists(data))) {
+      if (!(old.contains(content) && Files.exists(data) &&
+          allShardDatasets(shardFps))) {
         val (oldHead, oldShards) = parseFoldMarker(old)
         val oldData = old.map(c => Paths.get(dir, s"map_${md5Hex(c)}.parquet"))
         val canFold = oldHead.contains(head) &&
-          canFoldShards(oldShards, shardFps) && oldData.exists(Files.exists(_))
+          canFoldShards(oldShards, shardFps) &&
+          oldData.exists(Files.exists(_)) && allShardDatasets(oldShards)
+        // ensure every shard's side datasets exist (delta-sized on the
+        // fold path) BEFORE either builder constructs a plan over them
+        for (p <- perShard; (sd, f) <- shardFps if !Files.exists(p.path(sd, f)))
+          publishDataset(dir, p.path(sd, f), p.build(sd), p.partitionBy)
         val built =
           if (canFold) {
             val oldSet = oldShards.map(_._1).toSet
@@ -284,7 +320,8 @@ object Artifacts {
           } else full
         publishDataset(dir, data, built)
         publishMarker(dir, content)
-        gcSuperseded(dir, Seq(data))
+        gcSuperseded(dir, data +: (for (p <- perShard; (sd, f) <- shardFps)
+          yield p.path(sd, f)))
         Files.write(Paths.get(dir, "_PROVENANCE"),
           foldProvenance(canFold, oldShards.size, shardFps.size)
             .getBytes("UTF-8"))
