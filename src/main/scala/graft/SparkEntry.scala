@@ -238,6 +238,29 @@ object SparkEntry {
     }.toDF("doc_id", "text", "lang", "source", "n_chars"))
   }
 
+  /** Deterministic CDC feed over the orders snapshot, staged key-modulo
+    * so the DuckDB oracle derives the identical log: keys ≡1 (mod 7)
+    * get two updates (latest wins), ≡2 a tombstone, ≡3 an insert of a
+    * fresh key. (key, seq) is unique by construction — the [[Cdc]]
+    * contract. */
+  private def cdcFeed(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d)
+    val u1 = o.filter(col("o_orderkey") % 7 === 1)
+      .withColumn("o_orderstatus", lit("U1"))
+      .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+    val u2 = o.filter(col("o_orderkey") % 7 === 1)
+      .withColumn("o_orderstatus", lit("U2"))
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+    val del = o.filter(col("o_orderkey") % 7 === 2)
+      .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+    val ins = o.filter(col("o_orderkey") % 7 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+    u1.unionByName(u2).unionByName(del).unionByName(ins)
+  }
+
   /** A planted-fixture corpus materialized ONCE as a scratch
     * `documents.parquet` input dir, so folded-artifact queries can
     * SHARD it (ensureDocShards reads a directory). Fingerprint = the
@@ -5069,6 +5092,19 @@ object SparkEntry {
             size(split(col("text"), " ")).cast("long").as("n_tokens")),
           col("source"), col("doc_id"), col("n_tokens"), 2048L)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))),
+    // CDC maintenance: apply a deterministic upsert/delete/insert feed
+    // (derived key-modulo from orders, so both engines stage the same
+    // log) to the orders snapshot — MERGE INTO semantics, feed-sized
+    // shuffle only (the base rides a left-anti join, never reshuffled)
+    "cdc_merge_apply" -> ((s, d) =>
+      graft.pipeline.Cdc.mergeApply(ord(s, d), cdcFeed(s, d),
+        Seq("o_orderkey"))),
+    // SCD2 validity history of the same feed: base enters as version 0,
+    // each change opens an interval the key's next change closes, a
+    // tombstone closes without opening
+    "cdc_scd2_history" -> ((s, d) =>
+      graft.pipeline.Cdc.scd2(ord(s, d), cdcFeed(s, d),
+        Seq("o_orderkey"))),
     // full pipeline composition: quality gate → language gate → exact
     // dedup (keep lowest doc_id per content hash) → hash split → pack.
     // One dataflow, three shuffles (dedup window, split-free, pack
@@ -5342,6 +5378,23 @@ object SparkEntry {
       |  COALESCE(n_kept, 0) AS n_kept,
       |  COALESCE(clean_text, '') AS clean_text
       |FROM l0 LEFT JOIN r USING (doc_id)""".stripMargin
+
+  /** The CDC feed staging both cdc_* oracles share — the same
+    * key-modulo log [[cdcFeed]] builds on the Spark side. */
+  private lazy val cdcFeedSql: String =
+    """WITH feed AS (
+      |  SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority, 'U' AS op, CAST(1 AS BIGINT) AS seq
+      |  FROM orders WHERE o_orderkey % 7 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 'U2', o_totalprice + 10.0,
+      |    o_orderdate, o_orderpriority, 'U', 2 FROM orders WHERE o_orderkey % 7 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority, 'D', 1 FROM orders WHERE o_orderkey % 7 = 2
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+      |    o_orderdate, o_orderpriority, 'I', 1 FROM orders WHERE o_orderkey % 7 = 3)""".stripMargin
 
   /** Survivor-election replay shared by the full-mine and folded-map
     * serve paths (fold ≡ full-mine is the artifact contract). */
@@ -9516,6 +9569,36 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) - n_tokens) / 2048.0) AS BIGINT) AS bin
         |FROM (SELECT doc_id, source,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)""".stripMargin,
+    // MERGE INTO replay: the same key-modulo feed, latest-wins per key
+    // (seq DESC; (key,seq) unique by construction), tombstone deletes,
+    // untouched base rows pass through
+    "cdc_merge_apply" -> (cdcFeedSql +
+      """,
+        |w AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq DESC) AS rn FROM feed),
+        |winners AS (SELECT * FROM w WHERE rn = 1)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+        |  o.o_orderdate, o.o_orderpriority
+        |FROM orders o LEFT JOIN winners ww ON o.o_orderkey = ww.o_orderkey
+        |WHERE ww.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM winners WHERE op <> 'D'""".stripMargin),
+    // SCD2 replay: base as version 0, lead(seq) closes each interval
+    // (a tombstone closes the last one without opening a new row)
+    "cdc_scd2_history" -> (cdcFeedSql +
+      """,
+        |base0 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority,
+        |    'I' AS op, CAST(0 AS BIGINT) AS seq FROM orders),
+        |allr AS (SELECT * FROM base0 UNION ALL SELECT * FROM feed),
+        |iv AS (SELECT *, lead(seq) OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq) AS valid_to FROM allr)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, seq AS valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM iv WHERE op <> 'D'""".stripMargin),
     "pipeline_end2end" ->
       """WITH t AS (
         |  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

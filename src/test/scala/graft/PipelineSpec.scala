@@ -2417,4 +2417,43 @@ class PipelineSpec extends SparkSpec {
     // the decomposed form is byte-distinct BEFORE normalization
     assert("cafe\u0301" != "caf\u00e9")
   }
+
+  test("CDC mergeApply: latest wins, tombstone deletes, insert lands, " +
+      "untouched rows pass through") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "v")
+    val feed = Seq(
+      (1L, "a1", "U", 1L), (1L, "a2", "U", 2L), // two updates: seq 2 wins
+      (2L, "b", "D", 1L),                       // tombstone
+      (9L, "new", "I", 1L))                     // fresh key
+      .toDF("k", "v", "op", "seq")
+    val out = graft.pipeline.Cdc.mergeApply(base, feed, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a2"), (3L, "c"), (9L, "new")))
+    // an upsert tombstoned then re-inserted at a later seq survives
+    val feed2 = Seq((3L, "x", "D", 1L), (3L, "c2", "I", 2L))
+      .toDF("k", "v", "op", "seq")
+    val out2 = graft.pipeline.Cdc.mergeApply(base, feed2, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out2 == Set((1L, "a"), (2L, "b"), (3L, "c2")))
+  }
+
+  test("CDC scd2: base is version 0, intervals chain, tombstone closes " +
+      "without opening, is_current marks the open row") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val feed = Seq(
+      (1L, "a1", "U", 5L), (1L, "a2", "U", 9L), // 0\u21925\u21929, 9 open
+      (2L, "b", "D", 3L))                       // 0\u21923 closed, then gone
+      .toDF("k", "v", "op", "seq")
+    val out = graft.pipeline.Cdc.scd2(base, feed, Seq("k"))
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(out == Set(
+      (1L, "a", 0L, 5L, false), (1L, "a1", 5L, 9L, false),
+      (1L, "a2", 9L, -1L, true),
+      (2L, "b", 0L, 3L, false)))
+  }
 }
