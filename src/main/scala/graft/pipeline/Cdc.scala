@@ -33,6 +33,14 @@ object Cdc {
   /** MERGE INTO / upsert-apply: the post-feed snapshot. Latest feed row
     * per key wins; a winning tombstone deletes; keys untouched by the
     * feed pass through unshuffled.
+    *
+    * The winners subtree feeds two consumers (the anti-join's key set
+    * and the upsert union) and is deliberately left un-materialized, so
+    * the plan computes the feed window twice under different column
+    * pruning — two FEED-sized passes in exchange for never shuffling
+    * the base, the right trade in the CDC regime (plan-gated). Callers
+    * merging in a loop should localCheckpoint the result per step (see
+    * [[graft.streaming.Events.cdcMergeIngestGate]]).
     */
   def mergeApply(base: DataFrame, feed: DataFrame, keys: Seq[String],
       seqCol: String = "seq", opCol: String = "op"): DataFrame = {

@@ -1053,6 +1053,32 @@ object Events {
           batch.toDF(), model, den))
     }
 
+  /** CDC upsert ingest gate: each micro-batch of the change feed is
+    * MERGE-INTO-applied onto the maintained snapshot
+    * ([[graft.pipeline.Cdc.mergeApply]]) and the post-batch snapshot
+    * handed to `onSnapshot` — streaming upsert maintenance of a serving
+    * table. Contract: batches arrive in CDC-log order (within a key,
+    * later batches carry later sequence numbers — binlog/Debezium
+    * delivery order); under it every sequential snapshot equals the
+    * one-shot merge of the log so far (spec-gated in StreamingSpec).
+    * The snapshot is localCheckpoint'd per batch: merge-in-a-loop would
+    * otherwise grow the logical plan per batch (the
+    * connectedComponents plan-doubling lesson).
+    */
+  def cdcMergeIngestGate(feed: DataFrame, base: DataFrame,
+      keys: Seq[String])(
+      onSnapshot: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val state = new java.util.concurrent.atomic.AtomicReference(base)
+    feed.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val next = graft.pipeline.Cdc
+          .mergeApply(state.get(), batch.toDF(), keys)
+          .localCheckpoint()
+        state.set(next)
+        onSnapshot(next)
+    }
+  }
+
   /** Self-Instruct instruction-pool admission gate — the GROWING-POOL
     * form of [[graft.text.TextAnalysis.rougeDedup]], which is how the
     * published pipeline actually runs: each micro-batch of candidate

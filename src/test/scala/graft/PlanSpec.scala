@@ -748,6 +748,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("cdc merge: the base snapshot is never reshuffled — feed-sized " +
+      "exchanges only, anti-join broadcasts the winners") {
+    import spark.implicits._
+    val base = Tables.orders(spark, sf)
+    // a deltas-sized feed (the CDC regime): the only hash exchange in
+    // the plan must be the feed's latest-wins window; the base scan
+    // streams into a broadcast anti-join
+    val feed = Seq((1L, 1L, "U1", 1.0,
+        new java.sql.Timestamp(0L), "p", "U", 1L))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", "op", "seq")
+    val p = plan(graft.pipeline.Cdc.mergeApply(base, feed, Seq("o_orderkey")))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the winners subtree feeds two branches (anti-join keys + the
+    // upsert union) under different column pruning, so the feed's
+    // window exchange appears twice — BOTH are feed-sized; the base
+    // FileScan streams into the broadcast join with no exchange above
+    // it, which is the property that matters at 100 TB
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2, p)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1 &&
+      !p.linesIterator.takeWhile(!_.contains("Scan parquet"))
+        .exists(_.contains("Exchange hashpartitioning")), p)
+  }
+
   test("source cap: heap aggregator, no window and no sort of the corpus") {
     val df = graft.text.TextAnalysis.sourceCap(Tables.documents(spark, sf), 5)
     val p = plan(df)

@@ -1473,4 +1473,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty,
       s"stream ${streamed.size} rows vs batch ${batch.size}")
   }
+
+  test("CDC merge ingest gate: every post-batch snapshot equals the " +
+      "one-shot merge of the log so far") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Long)]
+    val feed = ms.toDF().toDF("k", "v", "op", "seq")
+    val snaps = new java.util.concurrent.ConcurrentLinkedQueue[
+      Set[(Long, String)]]()
+    val q = graft.streaming.Events.cdcMergeIngestGate(feed, base, Seq("k"))(
+        s => snaps.add(s.collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet))
+      .start()
+    // CDC-log order: seq increases across batches (binlog delivery)
+    val batches = Seq(
+      Seq((1L, "a1", "U", 1L), (2L, "b", "D", 2L)),
+      Seq((9L, "new", "I", 3L), (1L, "a2", "U", 4L)),
+      Seq((3L, "c", "D", 5L), (2L, "b2", "I", 6L)))
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = snaps.asScala.toSeq
+    assert(got.length == 3)
+    got.zipWithIndex.foreach { case (snap, i) =>
+      val log = batches.take(i + 1).flatten
+        .toDF("k", "v", "op", "seq")
+      val expect = graft.pipeline.Cdc.mergeApply(base, log, Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(snap == expect, s"snapshot $i diverged from one-shot merge")
+    }
+    assert(got.last == Set((1L, "a2"), (2L, "b2"), (9L, "new")))
+  }
 }
