@@ -291,6 +291,43 @@ object SparkEntry {
     setDir.toString
   }
 
+  /** Two orders shards materialized ONCE under EVOLVING schemas — v1
+    * (even keys): o_custkey narrowed to INT, o_totalprice to FLOAT; v2
+    * (odd keys): the wide originals plus a NEW o_channel column. The
+    * evolved-read query widens them back into one table. Fingerprint =
+    * orders listing + this class's bytecode; marker-last publish. */
+  private def evolvedShards(s: SparkSession, d: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val root = graft.engine.Artifacts.lineageDir("evolved_orders", d)
+    val fp = graft.engine.Artifacts.md5Hex("v1|" +
+      graft.engine.Artifacts.classStamp(Seq("/graft/SparkEntry$.class")) + "|" +
+      graft.engine.Artifacts.tableListing(
+        new java.io.File(d, "orders.parquet")))
+    val setDir = Paths.get(root, s"set_$fp")
+    this.synchronized {
+      val marker = Paths.get(root, "_FINGERPRINT")
+      val fresh = Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == fp &&
+        Files.exists(setDir)
+      if (!fresh) {
+        Files.createDirectories(setDir)
+        val o = ord(s, d)
+        graft.engine.Artifacts.publishDataset(root,
+          Paths.get(setDir.toString, "shard_v1.parquet"),
+          o.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), col("o_custkey").cast("int"),
+              col("o_totalprice").cast("float")))
+        graft.engine.Artifacts.publishDataset(root,
+          Paths.get(setDir.toString, "shard_v2.parquet"),
+          o.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"), lit("web").as("o_channel")))
+        graft.engine.Artifacts.publishMarker(root, fp)
+      }
+    }
+    Seq(s"$setDir/shard_v1.parquet", s"$setDir/shard_v2.parquet")
+  }
+
   /** [[docsNl]] as a materialized input dir (the line-dedup folds). */
   private def nlInputDir(s: SparkSession, d: String): String =
     materializedInputDir("docs_nl", d)(docsNl(s, d))
@@ -5105,6 +5142,12 @@ object SparkEntry {
     "cdc_scd2_history" -> ((s, d) =>
       graft.pipeline.Cdc.scd2(ord(s, d), cdcFeed(s, d),
         Seq("o_orderkey"))),
+    // schema evolution on ingest: two materialized orders shards — v1
+    // narrowed (int custkey, float price), v2 wide plus a NEW column —
+    // read back as ONE widened table (int→long, float→double, missing
+    // column null-fills); Spark's own mergeSchema rejects this read
+    "schema_evolution_read" -> ((s, d) =>
+      graft.sources.Sources.evolvedUnionRead(s, evolvedShards(s, d))),
     // full pipeline composition: quality gate → language gate → exact
     // dedup (keep lowest doc_id per content hash) → hash split → pack.
     // One dataflow, three shuffles (dedup window, split-free, pack
@@ -9585,6 +9628,18 @@ withMlDocs(s"""WITH RECURSIVE ${bpeCte("dml")}
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM winners WHERE op <> 'D'""".stripMargin),
+    // the evolved read replayed from the raw table: the narrow shard's
+    // values round-trip through their v1 types (REAL→DOUBLE is the
+    // exact float widening; INT→BIGINT exact), the missing column
+    // null-fills, the wide shard passes through
+    "schema_evolution_read" ->
+      """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice,
+        |  CAST(NULL AS VARCHAR) AS o_channel
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, 'web'
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
     // SCD2 replay: base as version 0, lead(seq) closes each interval
     // (a tombstone closes the last one without opening a new row)
     "cdc_scd2_history" -> (cdcFeedSql +

@@ -62,6 +62,64 @@ object Sources {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
   }
 
+  /** Numeric widening order of the evolution lattice. */
+  private val integralRank = Map[DataType, Int](
+    ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+
+  /** Least upper bound of two column types under SCHEMA EVOLUTION: a
+    * narrower integral widens to the wider one, any integral/fractional
+    * mix widens to Double (both exact: long→double only at |v|>2^53,
+    * far beyond evolved id/measure columns; float→double is exact).
+    * Anything else (string vs numeric, date vs numeric, …) THROWS —
+    * silent stringification would hide a real schema break.
+    */
+  def widenedType(a: DataType, b: DataType): DataType =
+    if (a == b) a
+    else (integralRank.get(a), integralRank.get(b)) match {
+      case (Some(x), Some(y)) => if (x >= y) a else b
+      case _ =>
+        def numeric(t: DataType) = integralRank.contains(t) ||
+          t == FloatType || t == DoubleType
+        if (numeric(a) && numeric(b)) DoubleType
+        else throw new IllegalArgumentException(
+          s"schema evolution cannot widen $a vs $b")
+    }
+
+  /** The widened target schema of a shard set: columns in first-seen
+    * order across shards, each type the [[widenedType]] lub of every
+    * shard that carries it, everything nullable (a column missing from
+    * any shard null-fills there).
+    */
+  def widenedSchema(schemas: Seq[StructType]): StructType = {
+    val order = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    for (sc <- schemas; f <- sc.fields)
+      order(f.name) = order.get(f.name)
+        .map(widenedType(_, f.dataType)).getOrElse(f.dataType)
+    StructType(order.map { case (n, t) =>
+      StructField(n, t, nullable = true) }.toSeq)
+  }
+
+  /** Read parquet shards written under EVOLVING schemas as one table —
+    * the month-over-month ingest reality Spark's own `mergeSchema`
+    * rejects (type conflicts throw there; here int→long / float→double
+    * widen through [[widenedType]], and added columns null-fill).
+    * Each shard keeps its own scan (schema read from its footer, casts
+    * codegen'd per shard), so column pruning and partition pruning
+    * still apply per shard at 100 TB; the driver pays one footer read
+    * per shard, never a data pass.
+    */
+  def evolvedUnionRead(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val frames = paths.map(p => spark.read.parquet(p))
+    val target = widenedSchema(frames.map(_.schema))
+    frames.map { f =>
+      val have = f.columns.toSet
+      f.select(target.fields.toSeq.map { fd =>
+        if (have(fd.name)) col(fd.name).cast(fd.dataType).as(fd.name)
+        else lit(null).cast(fd.dataType).as(fd.name)
+      }: _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** CSV with optional hillview schema file; without one, Spark's
     * inference approximates the reference's None→Integer→Double→String
     * lattice (GuessSchema.java:74-137).

@@ -2438,6 +2438,33 @@ class PipelineSpec extends SparkSpec {
     assert(out2 == Set((1L, "a"), (2L, "b"), (3L, "c2")))
   }
 
+  test("schema evolution: widening lattice, null-fill, first-seen column " +
+      "order; incompatible types throw") {
+    import org.apache.spark.sql.types._
+    import graft.sources.Sources
+    assert(Sources.widenedType(IntegerType, LongType) == LongType)
+    assert(Sources.widenedType(LongType, ShortType) == LongType)
+    assert(Sources.widenedType(FloatType, DoubleType) == DoubleType)
+    assert(Sources.widenedType(LongType, FloatType) == DoubleType)
+    assert(Sources.widenedType(StringType, StringType) == StringType)
+    intercept[IllegalArgumentException] {
+      Sources.widenedType(StringType, LongType) }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_evolve").toString
+    Seq((1L, 10, 1.5f)).toDF("k", "n", "x")
+      .write.parquet(s"$root/a.parquet")
+    Seq((2L, 20L, 2.5d, "w")).toDF("k", "n", "x", "c")
+      .write.parquet(s"$root/b.parquet")
+    val out = Sources.evolvedUnionRead(spark,
+      Seq(s"$root/a.parquet", s"$root/b.parquet"))
+    assert(out.columns.toSeq == Seq("k", "n", "x", "c"))
+    assert(out.schema("n").dataType == LongType &&
+      out.schema("x").dataType == DoubleType)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(rows == Set((1L, 10L, 1.5d, null), (2L, 20L, 2.5d, "w")))
+  }
+
   test("CDC scd2: base is version 0, intervals chain, tombstone closes " +
       "without opening, is_current marks the open row") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
