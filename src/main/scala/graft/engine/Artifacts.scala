@@ -87,13 +87,77 @@ object Artifacts {
     }
   }
 
-  /** Marker-last publication step (temp file + ATOMIC_MOVE). */
+  /** Marker-last publication step (temp file + ATOMIC_MOVE), plus the
+    * snapshot-log append ([[snapshotLog]]). */
   def publishMarker(dir: String, fp: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val mtmp = Paths.get(dir, s".marker_${java.lang.Long.toHexString(System.nanoTime())}")
     Files.write(mtmp, fp.getBytes("UTF-8"))
     Files.move(mtmp, Paths.get(dir, "_FINGERPRINT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    logSnapshot(dir, fp)
+  }
+
+  /** How many SUPERSEDED publications the GC retains per lineage for
+    * time travel, beyond the current one (default 0 = grace-window-only,
+    * the pre-snapshot behavior). Configurable via
+    * SPARK_GRAFT_RETAIN_SNAPSHOTS on a shared store. */
+  @volatile private[graft] var retainOverride: Option[Int] = None
+  private def retainSnapshots: Int = retainOverride.getOrElse(
+    sys.env.getOrElse("SPARK_GRAFT_RETAIN_SNAPSHOTS", "0").toInt)
+
+  /** Append this publication to the lineage's snapshot log: one
+    * `ts\tmd5` line in `_SNAPSHOTS` (skipped when re-publishing the
+    * current version) plus the full marker content under
+    * `_snapshots/<md5>`, so a superseded publication stays resolvable —
+    * its dataset name is `map_<md5>.parquet` for every map-shaped
+    * artifact, and multi-dataset markers (the PQ index) re-resolve via
+    * [[snapshotMarker]] + [[parseFoldMarker]]. Best-effort like GC: the
+    * log is operational metadata, never a correctness gate. */
+  private def logSnapshot(dir: String, content: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val md5 = md5Hex(content)
+    val side = Paths.get(dir, "_snapshots")
+    Files.createDirectories(side)
+    if (!Files.exists(side.resolve(md5)))
+      Files.write(side.resolve(md5), content.getBytes("UTF-8"))
+    if (!snapshotLog(dir).lastOption.map(_._2).contains(md5))
+      Files.write(Paths.get(dir, "_SNAPSHOTS"),
+        s"${System.currentTimeMillis()}\t$md5\n".getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** The lineage's publication history, oldest first: (epochMillis,
+    * version md5). The dataset of a version may or may not still be on
+    * disk — [[serveSnapshot]] answers that. */
+  def snapshotLog(dir: String): Seq[(Long, String)] = {
+    val p = java.nio.file.Paths.get(dir, "_SNAPSHOTS")
+    if (!java.nio.file.Files.exists(p)) Nil
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .linesIterator.flatMap(_.split("\t", 2) match {
+        case Array(ts, m) if ts.forall(_.isDigit) && ts.nonEmpty =>
+          Some(ts.toLong -> m)
+        case _ => None
+      }).toSeq
+  }
+
+  /** The full marker content of a logged version, if recorded. */
+  def snapshotMarker(dir: String, md5: String): Option[String] = {
+    val p = java.nio.file.Paths.get(dir, "_snapshots", md5)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    else None
+  }
+
+  /** Time travel: read a logged version's map dataset if it still
+    * exists (current, inside the GC grace window, or within the
+    * retention count). None once collected. */
+  def serveSnapshot(spark: SparkSession, dir: String,
+      md5: String): Option[DataFrame] = {
+    val data = java.nio.file.Paths.get(dir, s"map_$md5.parquet")
+    if (java.nio.file.Files.exists(data))
+      Some(spark.read.parquet(data.toString))
+    else None
   }
 
   /** Dataset dirs the GC/invalidate sweeps recognize: fingerprint-
@@ -111,12 +175,21 @@ object Artifacts {
     * inside the dir — parquet readers skip dotfiles), and a LATER
     * publish deletes it once the stamp is 10+ minutes old — so an
     * in-flight reader of a long-lived old publication still gets its
-    * grace window. Best-effort: garbage lingers until the next publish
-    * on the same lineage. */
+    * grace window. Versions inside the snapshot-retention window
+    * ([[retainSnapshots]]) are treated as keep — stamp CLEARED, never
+    * deleted — so retention beats the grace clock by construction, and
+    * a version falling out of retention starts its grace clock only
+    * then. Best-effort: garbage lingers until the next publish on the
+    * same lineage. */
   def gcSuperseded(dir: String, keep: Seq[java.nio.file.Path]): Unit = {
     val now = System.currentTimeMillis()
     val cutoff = now - 10 * 60 * 1000L
-    val keepSet = keep.toSet
+    // the last `retainSnapshots` SUPERSEDED versions (beyond whatever
+    // is current, which `keep` already covers) stay readable for time
+    // travel — their map datasets join the keep set
+    val retained = snapshotLog(dir).takeRight(retainSnapshots + 1)
+      .map { case (_, m) => java.nio.file.Paths.get(dir, s"map_$m.parquet") }
+    val keepSet = keep.toSet ++ retained
     Option(new java.io.File(dir).listFiles).toSeq.flatten
       .filter(isDatasetDir)
       .foreach { f =>
@@ -136,6 +209,9 @@ object Artifacts {
   def invalidate(dir: String): Unit = {
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(dir, "_FINGERPRINT"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_SNAPSHOTS"))
+    deleteRecursively(new java.io.File(dir, "_snapshots"))
     Option(new java.io.File(dir).listFiles).toSeq.flatten
       .filter(isDatasetDir)
       .foreach(deleteRecursively)

@@ -27,8 +27,12 @@ import org.apache.spark.sql.functions._
 object Cdc {
 
   private def feedAligned(base: DataFrame, feed: DataFrame,
-      seqCol: String, opCol: String): DataFrame =
+      seqCol: String, opCol: String): DataFrame = {
+    require(!base.columns.contains(seqCol) && !base.columns.contains(opCol),
+      s"base snapshot must not carry the CDC columns '$seqCol'/'$opCol'" +
+        " — pass different seqCol/opCol names")
     feed.select((base.columns.toSeq ++ Seq(opCol, seqCol)).map(col): _*)
+  }
 
   /** MERGE INTO / upsert-apply: the post-feed snapshot. Latest feed row
     * per key wins; a winning tombstone deletes; keys untouched by the

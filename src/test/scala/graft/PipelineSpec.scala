@@ -450,6 +450,57 @@ class PipelineSpec extends SparkSpec {
       "stale stamp not cleared on re-publication")
   }
 
+  test("artifact snapshot log: publication history, time travel within " +
+      "retention, GC honors retained versions, invalidate clears") {
+    import graft.engine.Artifacts
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString
+    def md5(fp: String) = Artifacts.md5Hex(fp)
+    def build(v: Long) = Seq((v, s"v$v")).toDF("id", "v")
+    try {
+      Artifacts.retainOverride = Some(1)
+      Artifacts.serveOrBuild(spark, dir, "fpA")(build(1)).count()
+      // re-serving the current version appends NO duplicate log entry
+      Artifacts.serveOrBuild(spark, dir, "fpA")(build(1)).count()
+      assert(Artifacts.snapshotLog(dir).map(_._2) == Seq(md5("fpA")))
+      Artifacts.serveOrBuild(spark, dir, "fpB")(build(2)).count()
+      Artifacts.serveOrBuild(spark, dir, "fpC")(build(3)).count()
+      assert(Artifacts.snapshotLog(dir).map(_._2) ==
+        Seq(md5("fpA"), md5("fpB"), md5("fpC")))
+      def mapDir(fp: String) =
+        new java.io.File(dir, s"map_${md5(fp)}.parquet")
+      def stamp(fp: String) =
+        new java.io.File(mapDir(fp), ".graft_superseded")
+      // at C's publish the retained window is (B, C): A carries a
+      // supersession stamp, B is retention-protected — NO stamp, so
+      // retention beats the grace clock by construction
+      assert(stamp("fpA").exists)
+      assert(!stamp("fpB").exists, "retained version must not be stamped")
+      stamp("fpA").setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L)
+      Artifacts.serveOrBuild(spark, dir, "fpD")(build(4)).count()
+      // the window shifted to (C, D): aged-out A collects, B falls out
+      // of retention and its supersession clock starts only NOW
+      assert(!mapDir("fpA").exists, "beyond-retention version not collected")
+      assert(Artifacts.serveSnapshot(spark, dir, md5("fpA")).isEmpty)
+      assert(mapDir("fpB").isDirectory && stamp("fpB").exists,
+        "fall-out version must start its grace clock")
+      // same age, different fates: B aged past grace collects on the
+      // next sweep while retained C survives stampless
+      stamp("fpB").setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L)
+      Artifacts.gcSuperseded(dir, Seq(
+        java.nio.file.Paths.get(dir, s"map_${md5("fpD")}.parquet")))
+      assert(!mapDir("fpB").exists)
+      assert(!stamp("fpC").exists)
+      val c = Artifacts.serveSnapshot(spark, dir, md5("fpC"))
+      assert(c.exists(_.collect().map(_.getLong(0)).toSeq == Seq(3L)),
+        "retained version not readable")
+      assert(Artifacts.snapshotMarker(dir, md5("fpC")).contains("fpC"))
+      Artifacts.invalidate(dir)
+      assert(Artifacts.snapshotLog(dir).isEmpty &&
+        Artifacts.serveSnapshot(spark, dir, md5("fpD")).isEmpty)
+    } finally Artifacts.retainOverride = None
+  }
+
   test("cluster topic terms rank each cluster's distinguishing vocabulary " +
       "first (class-based TF-IDF)") {
     import spark.implicits._
