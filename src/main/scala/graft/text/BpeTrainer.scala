@@ -50,16 +50,55 @@ object BpeTrainer {
     * spec-gated, and the declared continuation query shares the full
     * training oracle). Returns the FULL merge list, initial ++ learned.
     */
-  /** Positional pair counts of `symsCol` (multiset semantics — "aaa"
-    * contributes (a,a) twice), weighted by word count. Seeds the
-    * driver-side delta-maintained state below. */
-  private def pairCounts(df: DataFrame, symsCol: String): DataFrame =
-    df.filter(size(col(symsCol)) >= 2)
-      .select(col("cnt"), explode(expr(
-        s"transform(sequence(0, size($symsCol) - 2), " +
-          s"i -> struct($symsCol[i] AS a, $symsCol[i + 1] AS b))")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(sum(col("cnt")).as("c"))
+  /** Row-local merge on a plain symbol array — the same left-to-right
+    * non-overlapping scan as [[graft.functions.BpeMergeApply.merge]]
+    * (String equality ≡ UTF8String equality on valid UTF-8). Returns
+    * the input array UNCHANGED (eq-identical) when the merge does not
+    * fire, so callers can test touched-ness by reference. */
+  private[text] def mergeArr(in: Array[String], a: String, b: String,
+      m: String): Array[String] = {
+    var i = 0
+    var hit = false
+    while (!hit && i + 1 < in.length) {
+      if (in(i) == a && in(i + 1) == b) hit = true else i += 1
+    }
+    if (!hit) return in
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    out.sizeHint(in.length - 1)
+    var j = 0
+    while (j < in.length) {
+      if (j + 1 < in.length && in(j) == a && in(j + 1) == b) {
+        out += m; j += 2
+      } else { out += in(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Accumulate signed adjacent-pair counts of `syms` into `dm`
+    * (multiset semantics — "aaa" contributes (a,a) twice). */
+  private def addPairs(dm: scala.collection.mutable.HashMap[(String, String), Long],
+      syms: Array[String], c: Long): Unit = {
+    var i = 0
+    while (i + 1 < syms.length) {
+      val k = (syms(i), syms(i + 1))
+      val nv = dm.getOrElse(k, 0L) + c
+      if (nv == 0L) dm.remove(k) else dm.update(k, nv)
+      i += 1
+    }
+  }
+
+  /** Accumulate signed symbol counts (keyed with a null right column —
+    * the WordPiece likelihood denominator) into `dm`. */
+  private def addSyms(dm: scala.collection.mutable.HashMap[(String, String), Long],
+      syms: Array[String], c: Long): Unit = {
+    var i = 0
+    while (i < syms.length) {
+      val k = (syms(i), null: String)
+      val nv = dm.getOrElse(k, 0L) + c
+      if (nv == 0L) dm.remove(k) else dm.update(k, nv)
+      i += 1
+    }
+  }
 
   def continueMerges(docs: DataFrame, initial: Seq[(String, String)],
       nMore: Int, textCol: String = "text"): Seq[(String, String)] = {
@@ -68,25 +107,50 @@ object BpeTrainer {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), split(col("w"), "").as("syms"))
-    var words = initial.foldLeft(base) { case (d, (a, b)) =>
+    val withInit = initial.foldLeft(base) { case (d, (a, b)) =>
       d.select(col("cnt"), BpeMergeApply.apply_merge(col("syms"), a, b).as("syms"))
-    }.localCheckpoint(eager = false)
+    }
     // DELTA-maintained pair-count state (the fastBPE/Sennrich trainer
     // shape): the corpus vocabulary is pair-counted ONCE into a driver
     // map — O(distinct adjacent pairs), MBs at production vocabularies,
-    // the standard in-memory trainer state — and each merge step runs
-    // exactly ONE Spark job: a signed pair-count aggregation over only
-    // the TOUCHED words (those whose symbol run contracted under the
-    // merge). Per-step distributed input is ∝ touched words, not ∝
-    // corpus vocabulary — the posture that survives 30k merges at
-    // production scale; the argmax itself is a driver-side scan with
-    // UTF-8-byte tie-break, bit-identical to the previous distributed
-    // `ORDER BY c DESC, a, b LIMIT 1` (Spark and DuckDB both compare
-    // strings as unsigned UTF-8 bytes), so the learned merge sequence
-    // and every training oracle are unchanged.
+    // the standard in-memory trainer state. The vocabulary table itself
+    // is materialized ONCE as a persisted plain RDD, and each merge
+    // step is then exactly ONE single-stage RDD job: mapPartitions
+    // applies the merge row-locally and emits a per-partition signed
+    // pair-delta map over only the TOUCHED words (those whose symbol
+    // run contracted), merged on the driver. No Catalyst planning, no
+    // AQE round, no shuffle per step — the per-step latency is the
+    // scheduler floor, which is the term that bounds throughput at
+    // 30k-merge production depth because steps are inherently
+    // sequential (measured here: 22 jobs / 0.96 s of inter-job driver
+    // gaps for 8 merges under the per-step Catalyst shape → 9 jobs and
+    // ~0.1 s under this one, same merges). Per-step distributed input
+    // is the vocabulary table (scanned from block-manager memory); the
+    // delta OUTPUT is ∝ touched words. The argmax is a driver-side
+    // scan with UTF-8-byte tie-break, bit-identical to the previous
+    // distributed `ORDER BY c DESC, a, b LIMIT 1` (Spark and DuckDB
+    // both compare strings as unsigned UTF-8 bytes), so the learned
+    // merge sequence and every training oracle are unchanged.
+    var words = withInit.rdd
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // at most TWO step RDDs stay persisted: the current table (the next
+    // delta job's input) and its parent (the blocks the current table
+    // materializes from) — the grandparent is retired as soon as its
+    // child has been computed, so driver/block-manager state is O(1) in
+    // step count (the 30k-merge posture).
+    var parent: org.apache.spark.rdd.RDD[(Long, Array[String])] = null
+    // ONE seeding job: materializes the persist and emits per-partition
+    // pair-count partials (the old separate pairCounts aggregation)
     val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
-    pairCounts(words, "syms").collect()
-      .foreach(r => pc.update((r.getString(0), r.getString(1)), r.getLong(2)))
+    words.mapPartitions { it =>
+      val dm = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      it.foreach { case (cnt, syms) => addPairs(dm, syms, cnt) }
+      Iterator.single(dm)
+    }.collect().foreach(_.foreach { case (k, c) =>
+      val nv = pc.getOrElse(k, 0L) + c
+      if (nv == 0L) pc.remove(k) else pc.update(k, nv)
+    })
     lastPairMapPeak = pc.size
     // unsigned UTF-8 byte order — NOT String.compareTo (UTF-16 order
     // flips astral-vs-BMP comparisons)
@@ -109,49 +173,45 @@ object BpeTrainer {
             best = e
         }
         val (a, b) = best._1
+        val m = a + b
         merges += ((a, b))
-        // one narrow codegen pass applies the merge; a word is TOUCHED
-        // iff its symbol run contracted. The lazy (eager=false)
-        // per-step checkpoint materializes inside the delta job below
-        // (no extra Spark job) and bounds both recompute depth and
-        // logical-plan growth to ONE merge-apply regardless of step
-        // count — the invariant that holds at 30k-merge production
-        // scale. A/B'd against stacking lineage between every-4th /
-        // every-8th checkpoints: identical at sf0.1 (±0.1 s) and the
-        // stacked variants recompute the word table per extra depth in
-        // the ×20 probe (2.6× per-step vs 3.2-3.4× stacked).
-        val applied = words.select(col("cnt"), col("syms"),
-            BpeMergeApply.apply_merge(col("syms"), a, b).as("nsyms"))
-          .localCheckpoint(eager = false)
-        // ONE signed pass: each touched word emits its new adjacent
-        // pairs at +cnt and its old ones at -cnt in a single explode —
-        // a single scan subtree, so the (possibly lineage-stacked)
-        // merge-apply passes above it run once, not once per branch.
-        // Adjacent pairs come from arrays_zip over two slices (slice
-        // truncates at the end and yields [] on singletons, so no
-        // ANSI out-of-range access and no empty-array type games).
-        applied.filter(size(col("nsyms")) < size(col("syms")))
-          .select(explode(expr(
-            "concat(" +
-              "transform(arrays_zip(slice(nsyms, 1, size(nsyms) - 1), " +
-                "slice(nsyms, 2, size(nsyms))), " +
-                "p -> struct(p['0'] AS a, p['1'] AS b, cnt AS c)), " +
-              "transform(arrays_zip(slice(syms, 1, size(syms) - 1), " +
-                "slice(syms, 2, size(syms))), " +
-                "p -> struct(p['0'] AS a, p['1'] AS b, -cnt AS c)))")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("p.c")).as("c"))
-          .collect()
-          .foreach { r =>
-            val k = (r.getString(0), r.getString(1))
-            val c = pc.getOrElse(k, 0L) + r.getLong(2)
-            if (c == 0L) pc.remove(k) else pc.update(k, c)
+        // the next step's vocabulary: a lazy narrow map over the
+        // persisted parent, itself persisted — it materializes inside
+        // the NEXT step's delta job (no extra job), bounding recompute
+        // depth to one map regardless of step count. The grandparent
+        // is retired once its child is materialized.
+        val applied = words.map { case (cnt, syms) =>
+          (cnt, mergeArr(syms, a, b, m))
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // ONE single-stage signed pass: each touched word (array
+        // contracted ⇒ mergeArr returned a NEW array) contributes its
+        // new adjacent pairs at +cnt and its old ones at -cnt.
+        words.mapPartitions { it =>
+          val dm = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          it.foreach { case (cnt, syms) =>
+            val ns = mergeArr(syms, a, b, m)
+            if (ns ne syms) {
+              addPairs(dm, ns, cnt)
+              addPairs(dm, syms, -cnt)
+            }
           }
+          Iterator.single(dm)
+        }.collect().foreach(_.foreach { case (k, c) =>
+          val nv = pc.getOrElse(k, 0L) + c
+          if (nv == 0L) pc.remove(k) else pc.update(k, nv)
+        })
         if (pc.size > lastPairMapPeak) lastPairMapPeak = pc.size
-        words = applied.select(col("cnt"), col("nsyms").as("syms"))
+        // the delta job above just ran over `words`, so `words` is
+        // materialized — its parent's blocks are no longer needed
+        if (parent != null)
+          try parent.unpersist(blocking = false) catch { case _: Throwable => () }
+        parent = words
+        words = applied
         step += 1
       }
     }
+    Seq(parent, words).filter(_ != null).foreach(r =>
+      try r.unpersist(blocking = false) catch { case _: Throwable => () })
     merges.toSeq
   }
 
@@ -177,31 +237,39 @@ object BpeTrainer {
     */
   def trainWordpieceMerges(docs: DataFrame, nMerges: Int,
       textCol: String = "text"): Seq[(String, String)] = {
-    var words = docs
+    val base = docs
       .select(explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), expr(
         "transform(split(w, ''), (c, i) -> IF(i = 0, c, concat('##', c)))")
         .as("syms"))
-      .localCheckpoint(eager = false)
-    // ONE seeding job for both driver maps — pair rows plus symbol rows
-    // (null right column), the same shape the per-step delta job uses
+    // same single-stage-RDD step shape as [[continueMerges]] — ONE
+    // seeding job materializes the persisted vocabulary table and both
+    // driver maps (pair deltas plus symbol rows under a null right
+    // column), then each merge step is one mapPartitions job
+    var words = base.rdd
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var parent: org.apache.spark.rdd.RDD[(Long, Array[String])] = null
     val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val sc = scala.collection.mutable.HashMap.empty[String, Long]
-    words.select(explode(expr(
-        "concat(" +
-          "transform(arrays_zip(slice(syms, 1, size(syms) - 1), " +
-            "slice(syms, 2, size(syms))), " +
-            "p -> struct(p['0'] AS a, p['1'] AS b, cnt AS c)), " +
-          "transform(syms, s -> struct(s AS a, CAST(NULL AS STRING) AS b, cnt AS c)))")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(sum(col("p.c")).as("c"))
-      .collect()
-      .foreach { r =>
-        if (r.isNullAt(1)) sc.update(r.getString(0), r.getLong(2))
-        else pc.update((r.getString(0), r.getString(1)), r.getLong(2))
+    words.mapPartitions { it =>
+      val dm = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      it.foreach { case (cnt, syms) =>
+        addPairs(dm, syms, cnt)
+        addSyms(dm, syms, cnt)
       }
+      Iterator.single(dm)
+    }.collect().foreach(_.foreach { case ((a, b), c) =>
+      if (b == null) {
+        val nv = sc.getOrElse(a, 0L) + c
+        if (nv == 0L) sc.remove(a) else sc.update(a, nv)
+      } else {
+        val nv = pc.getOrElse((a, b), 0L) + c
+        if (nv == 0L) pc.remove((a, b)) else pc.update((a, b), nv)
+      }
+    })
     def bitlen(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
     def utf8Lt(x: String, y: String): Boolean =
       java.util.Arrays.compareUnsigned(
@@ -226,41 +294,40 @@ object BpeTrainer {
       require(b.startsWith("##"), s"continuation symbol lost its marker: $b")
       val m = a + b.substring(2)
       merges += ((a, b))
-      val applied = words.select(col("cnt"), col("syms"),
-          graft.functions.BpeMergeApply.apply_merge_as(col("syms"), a, b, m)
-            .as("nsyms"))
-        .localCheckpoint(eager = false)
-      // ONE signed pass over touched words: pair deltas plus symbol
-      // deltas (null right column) — the continueMerges job with two
-      // extra row-local transforms
-      applied.filter(size(col("nsyms")) < size(col("syms")))
-        .select(explode(expr(
-          "concat(" +
-            "transform(arrays_zip(slice(nsyms, 1, size(nsyms) - 1), " +
-              "slice(nsyms, 2, size(nsyms))), " +
-              "p -> struct(p['0'] AS a, p['1'] AS b, cnt AS c)), " +
-            "transform(arrays_zip(slice(syms, 1, size(syms) - 1), " +
-              "slice(syms, 2, size(syms))), " +
-              "p -> struct(p['0'] AS a, p['1'] AS b, -cnt AS c)), " +
-            "transform(nsyms, s -> struct(s AS a, CAST(NULL AS STRING) AS b, cnt AS c)), " +
-            "transform(syms, s -> struct(s AS a, CAST(NULL AS STRING) AS b, -cnt AS c)))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("p.c")).as("c"))
-        .collect()
-        .foreach { r =>
-          if (r.isNullAt(1)) {
-            val c = sc.getOrElse(r.getString(0), 0L) + r.getLong(2)
-            if (c == 0L) sc.remove(r.getString(0))
-            else sc.update(r.getString(0), c)
-          } else {
-            val k = (r.getString(0), r.getString(1))
-            val c = pc.getOrElse(k, 0L) + r.getLong(2)
-            if (c == 0L) pc.remove(k) else pc.update(k, c)
+      val applied = words.map { case (cnt, syms) =>
+        (cnt, mergeArr(syms, a, b, m))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ONE single-stage signed pass over touched words: pair deltas
+      // plus symbol deltas (null right column)
+      words.mapPartitions { it =>
+        val dm = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        it.foreach { case (cnt, syms) =>
+          val ns = mergeArr(syms, a, b, m)
+          if (ns ne syms) {
+            addPairs(dm, ns, cnt)
+            addPairs(dm, syms, -cnt)
+            addSyms(dm, ns, cnt)
+            addSyms(dm, syms, -cnt)
           }
         }
-      words = applied.select(col("cnt"), col("nsyms").as("syms"))
+        Iterator.single(dm)
+      }.collect().foreach(_.foreach { case ((ka, kb), c) =>
+        if (kb == null) {
+          val nv = sc.getOrElse(ka, 0L) + c
+          if (nv == 0L) sc.remove(ka) else sc.update(ka, nv)
+        } else {
+          val nv = pc.getOrElse((ka, kb), 0L) + c
+          if (nv == 0L) pc.remove((ka, kb)) else pc.update((ka, kb), nv)
+        }
+      })
+      if (parent != null)
+        try parent.unpersist(blocking = false) catch { case _: Throwable => () }
+      parent = words
+      words = applied
       step += 1
     }
+    Seq(parent, words).filter(_ != null).foreach(r =>
+      try r.unpersist(blocking = false) catch { case _: Throwable => () })
     merges.toSeq
   }
 
