@@ -2763,14 +2763,25 @@ object SparkEntry {
     // this is the difference between shuffling the fact table per join
     // and never shuffling it again
     "join_bucketed_colocated" -> ((s, d) => {
-      graft.engine.Layout.recreateBucketed(s,
-        li(s, d).select(col("l_orderkey"), col("l_extendedprice"),
-          col("l_discount")),
-        "graft_li_colo", Seq("l_orderkey"), 8)
-      graft.engine.Layout.recreateBucketed(s,
-        ord(s, d).select(col("o_orderkey").as("l_orderkey"),
-          col("o_orderpriority")),
-        "graft_ord_colo", Seq("l_orderkey"), 8)
+      // the two bucketed-table writes are independent jobs on different
+      // tables — submit them concurrently so the second write's tasks
+      // back-fill executors freed by the first's straggler tail
+      // (driver code is the only reason actions run sequentially); the
+      // join below still sees both tables only after both writes land
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val w1 = Future(graft.engine.Layout.recreateBucketed(s,
+          li(s, d).select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount")),
+          "graft_li_colo", Seq("l_orderkey"), 8))
+        val w2 = Future(graft.engine.Layout.recreateBucketed(s,
+          ord(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+          "graft_ord_colo", Seq("l_orderkey"), 8))
+        Await.result(w1, scala.concurrent.duration.Duration.Inf)
+        Await.result(w2, scala.concurrent.duration.Duration.Inf)
+      }
       s.table("graft_li_colo")
         .join(s.table("graft_ord_colo"), Seq("l_orderkey"))
         .groupBy(col("o_orderpriority"))
@@ -4910,16 +4921,29 @@ object SparkEntry {
     // deliberately corrupt quantity field — the try-cast lattice turns
     // it into null (PERMISSIVE), everything else parses exactly
     "fixedwidth_parse" -> ((s, d) => {
+      // right-justified 2-decimal render via decimal(12,2) cast + lpad
+      // (both codegen string ops) instead of format_string("%8.2f"):
+      // java.util.Formatter parses its pattern and allocates per ROW —
+      // it was ~70% of the render+write job's CPU at sf0.1. Identical
+      // bytes: the decimal cast rounds HALF_UP exactly like Formatter,
+      // renders both fraction digits, and quantities fit width 8.
       val qtyStr = when(pmod(col("l_orderkey"), lit(997L)) === 0L,
           lit("XXXXXX.X"))
-        .otherwise(format_string("%8.2f", col("l_quantity")))
+        .otherwise(lpad(col("l_quantity").cast("decimal(12,2)")
+          .cast("string"), 8, " "))
       val line = concat(
         rpad(col("l_orderkey").cast("string"), 12, " "),
         rpad(col("l_linenumber").cast("string"), 4, " "),
         qtyStr,
         col("l_returnflag"))
+      // the render+write is a CPU-heavy narrow map over a single-file
+      // scan (one task per row-group): split it across cores first —
+      // no-op at corpus scale where the scan already has enough splits
       graft.sources.Sources.fixedWidthRoundTrip(
-        li(s, d).select(line.as("value")),
+        graft.engine.Layout.ensureParallelism(li(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag")))
+          .select(line.as("value")),
         Seq(("l_orderkey", 1, 12, "bigint"), ("l_linenumber", 13, 4, "int"),
           ("l_quantity", 17, 8, "double"), ("l_returnflag", 25, 1, "string")))
     }),

@@ -44,7 +44,19 @@ object LinkGraph {
           u => substring_index(u, "//", -1))).as("dst"))
       .distinct()
 
-  /** Integer-exact domain PageRank; returns (node, rank_micro). */
+  /** Integer-exact domain PageRank; returns (node, rank_micro).
+    *
+    * Iteration state is SPARSE: only nodes with in-contributions carry
+    * a row (absent ⇒ cin 0 ⇒ rank = base, substituted by a left join
+    * on the EDGE side), so each round is exactly one graph-sized
+    * shuffle — the edges⋈contrib join + the per-dst sum. The previous
+    * shape re-joined the full node list and checkpointed a dense rank
+    * table every round: a second graph-sized shuffle per round that
+    * only re-attached zeros (first round: `ranks = scale` for every
+    * node — here round 1 contributes `scale` directly). The dense fill
+    * happens ONCE at the end. Values are unchanged — zero/absent
+    * contributions are additive identities in exact long arithmetic —
+    * so the unrolled-CTE oracle replays bit-identically. */
   def domainRank(docs: DataFrame, iterations: Int = 4,
       scale: Long = 1000000L): DataFrame = {
     val edges = domainEdges(docs).localCheckpoint(eager = false)
@@ -54,21 +66,29 @@ object LinkGraph {
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .localCheckpoint(eager = false)
     val base = 15L * scale / 100L
-    var ranks = nodes.select(col("node"), lit(scale).as("r"))
-    for (_ <- 1 to iterations) {
-      val contrib = edges
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+    // round 1 inlined: every node starts at `scale`, so the first
+    // contribution needs no rank join at all
+    var cin = edges
+      .join(outdeg, Seq("src"))
+      .select(col("dst").as("node"),
+        graft.text.TextAnalysis.intDiv(
+          lit(85L) * lit(scale), lit(100L) * col("od")).as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("cin"))
+      .localCheckpoint(eager = false)
+    for (_ <- 2 to iterations) {
+      cin = edges
+        .join(cin.withColumnRenamed("node", "src"), Seq("src"), "left")
         .join(outdeg, Seq("src"))
         .select(col("dst").as("node"),
           graft.text.TextAnalysis.intDiv(
-            lit(85L) * col("r"), lit(100L) * col("od")).as("c"))
+            lit(85L) * (lit(base) + coalesce(col("cin"), lit(0L))),
+            lit(100L) * col("od")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("cin"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + coalesce(col("cin"), lit(0L))).as("r"))
         .localCheckpoint(eager = false)
     }
-    ranks.select(col("node"), col("r").as("rank_micro"))
+    nodes.join(cin, Seq("node"), "left")
+      .select(col("node"),
+        (lit(base) + coalesce(col("cin"), lit(0L))).as("rank_micro"))
   }
 
   /** HITS hubs and authorities (Kleinberg 1999) — the link-graph twin
@@ -105,26 +125,40 @@ object LinkGraph {
     val nodes = docs.select(col("source").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
       .distinct().localCheckpoint(eager = false)
-    var hubs = nodes.select(col("node"), lit(scale).as("h"))
-    var auths = nodes.select(col("node"), lit(scale).as("a"))
-    def normalized(raw: DataFrame, out: String): DataFrame = {
-      val m = raw.agg(greatest(lit(1L), coalesce(max(col("s")), lit(1L)))
-        .as("__m"))
-      nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(m))
-        .select(col("node"),
-          intDiv(coalesce(col("s"), lit(0L)) * lit(scale), col("__m")).as(out))
-        .localCheckpoint(eager = false)
+    // Iteration state is SPARSE (only nodes with the role's edges carry
+    // a row — a zero score is an additive identity in the next
+    // half-step's sum, and the round max is unaffected because with ≥1
+    // edge it sits at ≥ scale ≥ any zero row): each half-step is ONE
+    // graph-sized shuffle (edge join + per-node sum) with the round max
+    // taken as a one-row collect over the same checkpointed sums. The
+    // previous shape paid, per half-step, a second graph-sized shuffle
+    // re-attaching every zero node plus a broadcast-exchange job for
+    // the max; dense zeros are filled ONCE at the end. Truncating
+    // integer arithmetic is unchanged — the unrolled-CTE oracle replays
+    // bit-identically.
+    var hubs: DataFrame = null // sparse (node, h); null ⇒ round 1 (all = scale)
+    var auths: DataFrame = null
+    def normalized(raw0: DataFrame, out: String): DataFrame = {
+      val raw = raw0.localCheckpoint(eager = false)
+      val m = raw.agg(greatest(lit(1L), coalesce(max(col("s")), lit(1L))))
+        .collect()(0).getLong(0)
+      raw.select(col("node"),
+        intDiv(col("s") * lit(scale), lit(m)).as(out))
     }
-    for (_ <- 1 to iterations) {
-      auths = normalized(edges
-        .join(hubs.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s")), "a")
+    for (i <- 1 to iterations) {
+      // round 1: every hub is `scale`, so the first authority sums need
+      // no score join at all
+      auths = normalized(
+        (if (i == 1) edges.select(col("dst"), lit(scale).as("h"))
+         else edges.join(hubs.withColumnRenamed("node", "src"), Seq("src")))
+          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s")), "a")
       hubs = normalized(edges
         .join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("s")), "h")
     }
-    hubs.join(auths, Seq("node"))
-      .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
+    nodes.join(hubs, Seq("node"), "left").join(auths, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("h"), lit(0L)).as("hub_micro"),
+        coalesce(col("a"), lit(0L)).as("auth_micro"))
   }
 }

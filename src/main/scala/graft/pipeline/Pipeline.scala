@@ -447,16 +447,41 @@ object Pipeline {
         case (f, i) => f.cast("long").as(s"__f${i + 1}")
       }): _*)
       .localCheckpoint(eager = false) // epochs + serve reuse one scan tree
+    // epochs are sequential, so per-epoch latency bounds training depth:
+    // each epoch is one single-stage mapPartitions job with a k-long
+    // accumulator over the checkpointed rows (the delta-trainer shape —
+    // replaces a per-epoch Catalyst agg whose planning+AQE round cost
+    // more than the gradient compute). Long sums are order-independent
+    // exact arithmetic — weights stay bit-identical to the unrolled-CTE
+    // oracle; addExact/multiplyExact keep the ANSI throw-on-overflow
+    // contract the agg expression had.
+    val baseRdd = base
+      .select((col("__y") +: (0 until k).map(i => col(s"__f$i"))): _*)
+      .rdd.map(r => (r.getLong(0), Array.tabulate(k)(i => r.getLong(i + 1))))
     var w = Array.fill(k)(0L)
     (1 to epochs).foreach { _ =>
-      def margin: Column =
-        (0 until k).map(i => lit(w(i)) * col(s"__f$i")).reduce(_ + _) * col("__y")
-      val aggs = (0 until k).map(i =>
-        sum(when(margin <= 0L, col("__y") * col(s"__f$i"))
-          .otherwise(lit(0L))).as(s"g$i"))
-      val gs = base.agg(aggs.head, aggs.tail: _*).head()
-      w = w.zipWithIndex.map { case (wi, i) =>
-        wi + (if (gs.isNullAt(i)) 0L else gs.getLong(i))
+      val wl = w
+      val partials = baseRdd.mapPartitions { it =>
+        val g = new Array[Long](wl.length)
+        it.foreach { case (y, f) =>
+          var m = 0L
+          var i = 0
+          while (i < wl.length) {
+            m = Math.addExact(m, Math.multiplyExact(wl(i), f(i))); i += 1
+          }
+          if (Math.multiplyExact(m, y) <= 0L) {
+            var j = 0
+            while (j < wl.length) {
+              g(j) = Math.addExact(g(j), Math.multiplyExact(y, f(j))); j += 1
+            }
+          }
+        }
+        Iterator.single(g)
+      }.collect()
+      w = w.clone()
+      partials.foreach { g =>
+        var i = 0
+        while (i < w.length) { w(i) = Math.addExact(w(i), g(i)); i += 1 }
       }
     }
     val score = (0 until k).map(i => lit(w(i)) * col(s"__f$i")).reduce(_ + _)
@@ -487,22 +512,46 @@ object Pipeline {
     }
     val w = Array.fill(k + 1)(0.0) // bias first
     val losses = Array.newBuilder[Double]
+    // same single-stage-RDD step shape as the perceptron trainer:
+    // gradient iterations are sequential, so each is one mapPartitions
+    // job with (k+2) double accumulators instead of a per-iteration
+    // Catalyst agg (planning+AQE latency >> the gradient compute). The
+    // sigmoid/log math is java.lang.Math — the same functions codegen
+    // called. Float sums remain partial-order-dependent exactly as the
+    // hash-agg was (per-partition row order, then a fixed merge order);
+    // this trainer is rows-only with accuracy/convergence gates.
+    val baseRdd = base.rdd
+      .map(r => (r.getDouble(0), Array.tabulate(k)(i => r.getDouble(i + 1))))
     (0 until iters).foreach { _ =>
-      val z = (0 until k).foldLeft(lit(w(0))) { (acc, i) =>
-        acc + lit(w(i + 1)) * ((col(s"__f$i") - lit(means(i))) / lit(stds(i)))
+      val wl = w.clone()
+      val partials = baseRdd.mapPartitions { it =>
+        val g = new Array[Double](k + 1)
+        var loss = 0.0
+        it.foreach { case (y, f) =>
+          var z = wl(0)
+          var i = 0
+          while (i < k) {
+            z += wl(i + 1) * ((f(i) - means(i)) / stds(i)); i += 1
+          }
+          val p = 1.0 / (1.0 + math.exp(-z))
+          val err = p - y
+          g(0) += err
+          var j = 0
+          while (j < k) { g(j + 1) += err * ((f(j) - means(j)) / stds(j)); j += 1 }
+          loss += -(y * math.log(math.max(p, 1e-12)) +
+            (1.0 - y) * math.log(math.max(1.0 - p, 1e-12)))
+        }
+        Iterator.single((g, loss))
+      }.collect()
+      val gt = new Array[Double](k + 1)
+      var lt = 0.0
+      partials.foreach { case (g, l) =>
+        var i = 0
+        while (i <= k) { gt(i) += g(i); i += 1 }
+        lt += l
       }
-      val p = lit(1.0) / (lit(1.0) + exp(-z))
-      val err = p - col("__y")
-      val row = base.agg(
-        sum(err).as("g0"),
-        ((0 until k).map(i => sum(err *
-          ((col(s"__f$i") - lit(means(i))) / lit(stds(i)))).as(s"g${i + 1}")) :+
-          // numerically-safe log-loss (clamped probabilities)
-          sum(-(col("__y") * log(greatest(p, lit(1e-12))) +
-            (lit(1.0) - col("__y")) *
-              log(greatest(lit(1.0) - p, lit(1e-12))))).as("loss")): _*).head()
-      (0 to k).foreach(i => w(i) -= lr * row.getDouble(i) / n)
-      losses += row.getDouble(k + 1) / n
+      (0 to k).foreach(i => w(i) -= lr * gt(i) / n)
+      losses += lt / n
     }
     (w, losses.result(), means, stds)
   }
