@@ -4936,14 +4936,8 @@ object SparkEntry {
         rpad(col("l_linenumber").cast("string"), 4, " "),
         qtyStr,
         col("l_returnflag"))
-      // the render+write is a CPU-heavy narrow map over a single-file
-      // scan (one task per row-group): split it across cores first —
-      // no-op at corpus scale where the scan already has enough splits
       graft.sources.Sources.fixedWidthRoundTrip(
-        graft.engine.Layout.ensureParallelism(li(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-            col("l_returnflag")))
-          .select(line.as("value")),
+        li(s, d).select(line.as("value")),
         Seq(("l_orderkey", 1, 12, "bigint"), ("l_linenumber", 13, 4, "int"),
           ("l_quantity", 17, 8, "double"), ("l_returnflag", 25, 1, "string")))
     }),

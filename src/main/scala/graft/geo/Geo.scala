@@ -2,6 +2,126 @@ package graft.geo
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** Row-local containment kernels — the same double arithmetic as the
+  * higher-order-function formulations they replace, in one primitive
+  * loop per row. Spark's array lambdas (filter/exists/zip_with/
+  * aggregate) are CodegenFallback: each edge test ran interpreted
+  * (~30 µs/row·feature measured at sf0.1, the dominant term of every
+  * geo query), where this walk is branch-and-multiply per edge. All
+  * products and comparisons are evaluated in the same order on the
+  * same doubles, so results are bit-identical and the geo oracles are
+  * unchanged.
+  */
+object GeoKernels {
+  /** Edge i pairs vertex i with vertex (i+1) mod n — the ringEdges
+    * wrap rule. */
+  def onEdge(vs: ArrayData, px: Double, py: Double): Boolean = {
+    val n = vs.numElements()
+    var i = 0
+    while (i < n) {
+      val a = vs.getStruct(i, 2)
+      val b = vs.getStruct(if (i + 1 < n) i + 1 else 0, 2)
+      val ax = a.getDouble(0); val ay = a.getDouble(1)
+      val bx = b.getDouble(0); val by = b.getDouble(1)
+      val cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+      if (cross == 0.0 &&
+        px >= math.min(ax, bx) && px <= math.max(ax, bx) &&
+        py >= math.min(ay, by) && py <= math.max(ay, by)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Rightward-ray crossing count under the half-open vertex rule. */
+  def crossings(vs: ArrayData, px: Double, py: Double): Int = {
+    val n = vs.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val a = vs.getStruct(i, 2)
+      val b = vs.getStruct(if (i + 1 < n) i + 1 else 0, 2)
+      val ax = a.getDouble(0); val ay = a.getDouble(1)
+      val bx = b.getDouble(0); val by = b.getDouble(1)
+      val num = (bx - ax) * (py - ay) - (px - ax) * (by - ay)
+      if (((ay > py) != (by > py)) && ((num > 0.0) == (by > ay))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def rayCast(vs: ArrayData, px: Double, py: Double): Boolean =
+    onEdge(vs, px, py) || crossings(vs, px, py) % 2 == 1
+
+  def convex(vs: ArrayData, px: Double, py: Double): Boolean = {
+    val n = vs.numElements()
+    var i = 0
+    while (i < n) {
+      val a = vs.getStruct(i, 2)
+      val b = vs.getStruct(if (i + 1 < n) i + 1 else 0, 2)
+      val ax = a.getDouble(0); val ay = a.getDouble(1)
+      val bx = b.getDouble(0); val by = b.getDouble(1)
+      if (!((bx - ax) * (py - ay) - (by - ay) * (px - ax) >= 0.0)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Even-odd across rings: any ring boundary is inside; otherwise
+    * total crossing parity over every ring's edges. */
+  def evenOdd(rings: ArrayData, px: Double, py: Double): Boolean = {
+    val n = rings.numElements()
+    var i = 0
+    while (i < n) {
+      if (onEdge(rings.getArray(i), px, py)) return true
+      i += 1
+    }
+    var total = 0
+    var j = 0
+    while (j < n) {
+      total += crossings(rings.getArray(j), px, py)
+      j += 1
+    }
+    total % 2 == 1
+  }
+}
+
+/** Codegen containment expression: mode ∈ convex | raycast | evenodd
+  * (evenodd takes `array<array<struct<x,y>>>` rings, the others a
+  * single vertex ring). */
+case class GeoContains(first: Expression, second: Expression,
+    third: Expression, mode: String) extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+
+  private def call(vs: ArrayData, px: Double, py: Double): Boolean = mode match {
+    case "convex"  => GeoKernels.convex(vs, px, py)
+    case "raycast" => GeoKernels.rayCast(vs, px, py)
+    case _         => GeoKernels.evenOdd(vs, px, py)
+  }
+
+  override def nullSafeEval(vs: Any, px: Any, py: Any): Any =
+    call(vs.asInstanceOf[ArrayData],
+      px.asInstanceOf[Double], py.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = mode match {
+      case "convex"  => "convex"
+      case "raycast" => "rayCast"
+      case _         => "evenOdd"
+    }
+    nullSafeCodeGen(ctx, ev, (vs, px, py) =>
+      s"${ev.value} = graft.geo.GeoKernels.$fn($vs, $px, $py);")
+  }
+
+  override def prettyName: String = s"geo_contains_$mode"
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
 
 /** Geo feature tagging — the reference's polygon metadata join
   * (geo/PolygonSet.java, TableTarget.java:146-154 getGeo): a small set
@@ -23,13 +143,11 @@ object Geo {
     * inside. Integer-valued coordinates evaluate exactly in doubles, so
     * the predicate is engine-portable.
     */
-  def containsPoint(verts: Column, px: Column, py: Column): Column = {
-    val nxt = concat(slice(verts, lit(2), size(verts)), slice(verts, 1, 1))
-    forall(
-      zip_with(verts, nxt, (a, b) =>
-        (b("x") - a("x")) * (py - a("y")) - (b("y") - a("y")) * (px - a("x")) >= 0),
-      ok => ok)
-  }
+  def containsPoint(verts: Column, px: Column, py: Column): Column =
+    org.apache.spark.sql.graftshim.exprToColumn(GeoContains(
+      org.apache.spark.sql.graftshim.columnToExpr(verts),
+      org.apache.spark.sql.graftshim.columnToExpr(px),
+      org.apache.spark.sql.graftshim.columnToExpr(py), "convex"))
 
   /** Point-in-polygon for an ARBITRARY simple polygon (convex or not,
     * either winding) by the even-odd ray-casting rule — the general
@@ -46,30 +164,11 @@ object Geo {
     * rule ((ay > py) ≠ (by > py)) counts a vertex-touching ray once.
     * Still a pure codegen'd array expression — no UDF, no JTS.
     */
-  private def ringEdges(verts: Column): Column = {
-    val nxt = concat(slice(verts, lit(2), size(verts)), slice(verts, 1, 1))
-    zip_with(verts, nxt, (a, b) =>
-      struct(a("x").as("ax"), a("y").as("ay"), b("x").as("bx"), b("y").as("by")))
-  }
-
-  private def onEdgeExpr(verts: Column, px: Column, py: Column): Column =
-    exists(ringEdges(verts), e => {
-      val cross = (e("bx") - e("ax")) * (py - e("ay")) -
-        (e("by") - e("ay")) * (px - e("ax"))
-      cross === 0 &&
-        px >= least(e("ax"), e("bx")) && px <= greatest(e("ax"), e("bx")) &&
-        py >= least(e("ay"), e("by")) && py <= greatest(e("ay"), e("by"))
-    })
-
-  private def crossingCountExpr(verts: Column, px: Column, py: Column): Column =
-    size(filter(ringEdges(verts), e => {
-      val num = (e("bx") - e("ax")) * (py - e("ay")) -
-        (px - e("ax")) * (e("by") - e("ay"))
-      ((e("ay") > py) =!= (e("by") > py)) && ((num > 0) === (e("by") > e("ay")))
-    }))
-
   def containsPointRayCast(verts: Column, px: Column, py: Column): Column =
-    onEdgeExpr(verts, px, py) || crossingCountExpr(verts, px, py) % 2 === 1
+    org.apache.spark.sql.graftshim.exprToColumn(GeoContains(
+      org.apache.spark.sql.graftshim.columnToExpr(verts),
+      org.apache.spark.sql.graftshim.columnToExpr(px),
+      org.apache.spark.sql.graftshim.columnToExpr(py), "raycast"))
 
   /** Point-in-polygon for a MULTI-RING feature (outer boundary plus
     * hole rings — the shapefile polygon record's native shape,
@@ -80,9 +179,10 @@ object Geo {
     * inside (closed-set semantics, matching the single-ring tests).
     * Still a pure codegen'd array expression. */
   def containsPointEvenOdd(rings: Column, px: Column, py: Column): Column =
-    exists(rings, r => onEdgeExpr(r, px, py)) ||
-      aggregate(rings, lit(0),
-        (acc, r) => acc + crossingCountExpr(r, px, py)) % 2 === 1
+    org.apache.spark.sql.graftshim.exprToColumn(GeoContains(
+      org.apache.spark.sql.graftshim.columnToExpr(rings),
+      org.apache.spark.sql.graftshim.columnToExpr(px),
+      org.apache.spark.sql.graftshim.columnToExpr(py), "evenodd"))
 
   /** Build the polygon metadata frame from (name, vertex list) pairs. */
   def polygonSet(spark: org.apache.spark.sql.SparkSession,
