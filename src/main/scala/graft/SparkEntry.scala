@@ -1777,22 +1777,34 @@ object SparkEntry {
         .join(Tables.nation(s, d).filter(col("n_name") === "NATION_3"),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"))
-      val l1 = li(s, d)
-        .join(ord(s, d).filter(col("o_orderstatus") === "F"),
+      // EXISTS/NOT-EXISTS folded into one per-order aggregate instead
+      // of semi+anti joins against two more full lineitem passes: with
+      // s always a member of the order's supplier set (and always late
+      // on an l1 row), "another supplier exists" ⇔ min≠max over the
+      // order's suppliers, and "no OTHER supplier is late" ⇔ the late
+      // min and max both equal s — plain partial-aggregating min/max,
+      // no count-distinct expand. At scale this replaces two extra
+      // lineitem shuffles (the semi/anti probes) with one narrow
+      // per-order aggregation; surviving l1 rows (and therefore
+      // numwait, which counts ROWS) are identical.
+      val loAll = li(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ord(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val stats = loAll.groupBy(col("l_orderkey").as("x_orderkey"))
+        .agg(min(col("l_suppkey")).as("min_s"),
+          max(col("l_suppkey")).as("max_s"),
+          min(when(late, col("l_suppkey"))).as("min_late"),
+          max(when(late, col("l_suppkey"))).as("max_late"))
+      val l1 = loAll.filter(late)
         .join(supps, col("l_suppkey") === col("s_suppkey"))
-        .select(col("l_orderkey"), col("l_suppkey"), col("o_orderdate"), col("s_name"))
-      val lAll = li(s, d).select(col("l_orderkey").as("x_orderkey"),
-        col("l_suppkey").as("x_suppkey"), col("l_shipdate").as("x_shipdate"))
-      l1.join(lAll,
-          col("l_orderkey") === col("x_orderkey") &&
-            col("l_suppkey") =!= col("x_suppkey"), "left_semi")
-        .join(lAll,
-          col("l_orderkey") === col("x_orderkey") &&
-            col("l_suppkey") =!= col("x_suppkey") &&
-            col("x_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
-          "left_anti")
+        .select(col("l_orderkey"), col("l_suppkey"), col("s_name"))
+      l1.join(stats, col("l_orderkey") === col("x_orderkey"))
+        .filter(col("min_s") =!= col("max_s") &&
+          col("min_late") === col("l_suppkey") &&
+          col("max_late") === col("l_suppkey"))
         .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)

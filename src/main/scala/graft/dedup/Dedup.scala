@@ -626,14 +626,17 @@ object Dedup {
         .select(stepped("node"),
           least(col("l1"), coalesce(col("pl"), col("l1"))).as("label"),
           (least(col("l1"), coalesce(col("pl"), col("l1"))) < col("l0")).as("__chg"))
-        // EAGER checkpoint, not persist: the halving join references
-        // `stepped` on BOTH sides, so without truncating the lineage the
-        // logical plan doubles every round — exponential plan growth that
-        // OOMs the driver around round 9 even though execution is cached.
-        // The checkpoint caps every round's plan at one join over two
-        // leaf scans; its materialization job + the convergence count are
-        // the round's two node-sized jobs.
-        .localCheckpoint()
+        // LAZY checkpoint materialized BY the convergence count below:
+        // the halving join references `stepped` on BOTH sides, so
+        // without truncating the lineage the logical plan doubles every
+        // round — exponential plan growth that OOMs the driver around
+        // round 9 even though execution is cached. The checkpoint caps
+        // every round's plan at one join over two leaf scans; making it
+        // lazy folds its materialization into the convergence count
+        // (one node-sized job per round instead of two — the count is
+        // the checkpoint's single first consumer, so there is no
+        // double-scan race).
+        .localCheckpoint(eager = false)
       converged = next.filter(col("__chg")).count() == 0L
       stepped.unpersist()
       labels = next.drop("__chg")
