@@ -411,12 +411,14 @@ class PlanSpec extends SparkSpec {
     // partial agg on lineitem feeds the join — at least two
     // HashAggregates (partial+final) appear below the join in the plan
     assert("HashAggregate".r.findAllIn(p18).size >= 2, p18)
-    // q21: EXISTS → LeftSemi and NOT EXISTS → LeftAnti, both hash/merge
-    // joins on l_orderkey with the supplier inequality as a residual —
-    // never a nested loop over lineitem
+    // q21: EXISTS / NOT EXISTS folded into ONE per-order min/max
+    // aggregate (partial+final HashAggregate pair keyed on l_orderkey)
+    // joined back to the candidate rows — no semi/anti probe passes
+    // over lineitem, and never a nested loop over it
     val p21 = plan(SparkEntry.queries("q21_waiting_supplier")(spark, sf))
-    assert(p21.contains("LeftSemi"), p21)
-    assert(p21.contains("LeftAnti"), p21)
+    assert(!p21.contains("LeftSemi") && !p21.contains("LeftAnti"), p21)
+    assert(p21.contains("min_late") && p21.contains("max_late"), p21)
+    assert("HashAggregate".r.findAllIn(p21).size >= 2, p21)
     assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"), p21)
   }
 
