@@ -204,8 +204,21 @@ object PqIndex {
       java.nio.file.Paths.get(dir, "build_receipt.json"))
     catch { case _: Throwable => () }
     val t0 = System.nanoTime()
-    val cents = Similarity.kmeansCentroids(normed, nlist, refineIters)
-    val cbs = Similarity.pqCodebooks(normed, m, ksub, refineIters)
+    // the coarse-centroid and codebook trainings are independent jobs
+    // over the same checkpointed scan — overlap them so the second's
+    // tasks back-fill the first's stragglers (each training is
+    // internally unchanged, so both remain run-to-run deterministic);
+    // materialize the shared checkpoint once first so the two don't
+    // race to populate the same blocks
+    normed.count()
+    val (cents, cbs) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fc = Future(Similarity.kmeansCentroids(normed, nlist, refineIters))
+      val fb = Future(Similarity.pqCodebooks(normed, m, ksub, refineIters))
+      (Await.result(fc, scala.concurrent.duration.Duration.Inf),
+        Await.result(fb, scala.concurrent.duration.Duration.Inf))
+    }
     stashSide((cbs, cents))
     val trainS = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
@@ -215,15 +228,25 @@ object PqIndex {
     // never touches unprobed cells' files), which is the IVF contract
     // made physical; at a billion vectors this is the difference
     // between scanning nprobe shards and scanning the table
-    encode(normed, Some(cents), cbs)
-      .repartition(nlist, col("cell")) // one clustered file per cell
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
-    cbs.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
-    }.toSeq.toDF("sub", "cell", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    cents.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // the two model-sized side writes are independent of the codes
+    // write — run all three concurrently (§2.6 back-fill; different
+    // output directories, no commit-protocol overlap)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val wCodes = Future(encode(normed, Some(cents), cbs)
+        .repartition(nlist, col("cell")) // one clustered file per cell
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes"))
+      val wCbs = Future(cbs.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+      }.toSeq.toDF("sub", "cell", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks"))
+      val wCents = Future(cents.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids"))
+      Seq(wCodes, wCbs, wCents)
+        .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    }
     val n = spark.read.parquet(s"$dir/codes").count()
     val encodeS = (System.nanoTime() - t1) / 1e9
     // Locale.ROOT: a comma-decimal default locale would write invalid
