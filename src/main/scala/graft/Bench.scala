@@ -121,8 +121,15 @@ object Bench {
         .collect { case re(n) => n.toInt }
       prev.maxOption.map(n => (n + 1).toString)
     }
+    // cpu-suffixed map files (r15 verdict #1): the driver's low-core
+    // SCALING run used to clobber the 32-core primary map (r15 lost its
+    // 32-core map to the 8-core rerun). Any run at a non-default core
+    // count now writes bench_out_c{cpus}.json / bench_out_r{N}_c{cpus}
+    // .json instead — the 32-core names are only ever written by 32-core
+    // runs, so the primary map survives the scaling pass.
+    val cpuSuffix = if (cpus == "32") "" else s"_c$cpus"
     val benchMap = if (only.isEmpty)
-      round.map(r => s"bench_out_r$r.json") else None
+      round.map(r => s"bench_out_r$r$cpuSuffix.json") else None
     val mapField = benchMap.map(f => s""","bench_map":"$f"""").getOrElse("")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"runs_heavy":$runsHeavy,"heavy_prefixes":["dedup_","ann_"],"queries":$qs,"spread":$spreads,"sf":"$sfDir"$buildSplit$mapField}"""
@@ -141,7 +148,7 @@ object Bench {
     //      end, nothing after it).
     println(json)
     if (only.isEmpty) {
-      val files = Seq(java.nio.file.Paths.get("bench_out.json")) ++
+      val files = Seq(java.nio.file.Paths.get(s"bench_out$cpuSuffix.json")) ++
         benchMap.map(java.nio.file.Paths.get(_))
       files.foreach { p =>
         try java.nio.file.Files.writeString(p, json + "\n")
