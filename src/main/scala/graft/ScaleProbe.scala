@@ -1454,6 +1454,35 @@ object ScaleProbe {
       println(f"PROBE pq_index_full        x$c%-3d ${dt}%7.2f s")
     }
 
+    // ── r16: depth/state receipts for the r15 RDD-step rewrites ──────
+    // the exact-integer Lloyd iteration (single-stage RDD delta jobs
+    // since r15): wall must scale ~linearly in corpus copies — the
+    // per-step work is distributed, only step COUNT is sequential
+    probe("embedding_kmeans_exact", Seq(1, 20)) { c =>
+      val e = replicate(engine.Tables.embeddings(spark, sf), c,
+        Map("vec_id" -> 10000000L))
+      ann.Similarity.kmeansExact(e, 4, 2).count()
+    }
+    // HITS under the r15 sparse-state iteration: one graph-sized
+    // shuffle per half-step, round max as a 1-row collect
+    probe("link_hits", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      graph.LinkGraph.hits(d, 3).count()
+    }
+    // DRIVER-STATE growth receipt for the delta-maintained BPE trainer:
+    // the pair-count map is O(distinct adjacent pairs of the evolving
+    // vocabulary) — replicating the corpus 20× must NOT grow it
+    // super-linearly (copies share the vocabulary, so it should be
+    // near-FLAT; a corpus-proportional peak here would falsify the
+    // 30k-merge production-depth posture)
+    probe("bpe_pairmap_state", Seq(1, 20)) { c =>
+      val d = replicate(docs, c, Map("doc_id" -> 10000000L))
+      text.BpeTrainer.trainMerges(d, 8)
+      val peak = text.BpeTrainer.lastPairMapPeak
+      println(f"  STATE bpe_pairmap_state x$c%-3d peak=$peak%d entries")
+      peak.toLong
+    }
+
     probe("pipeline_end2end", Seq(1, 100)) { c =>
       val d = replicate(docs, c, Map("doc_id" -> 10000000L))
       val w = org.apache.spark.sql.expressions.Window

@@ -4093,7 +4093,23 @@ object SparkEntry {
     // words force the backoff chain through levels 2, 1, and OOV;
     // integer bit-length surrogates throughout, so the per-level hit
     // counts and surprisal sums are bit-exact
-    "text_lm_backoff" -> ((s, d) =>
+    // served from the STORED trigram-LM artifact (r15 verdict #3): the
+    // model is trained once per input and published; this entry prices
+    // the SERVE — three vocab-sized broadcast joins + the per-doc fold.
+    // Scores are exact integers from a deterministic derivation, so the
+    // stored-model serve is bit-identical to training fresh (the
+    // unchanged oracle trains fresh and the always-train twin below
+    // keeps the build priced in the bench).
+    "text_lm_backoff" -> ((s, d) => {
+      val (s3, s2, s1, oov) =
+        graft.text.TextAnalysis.trigramModelArtifact(s, d)
+      graft.text.TextAnalysis.scoreTrigramBackoff(
+        docsLm(s, d), s3, s2, s1, oov)
+    }),
+    // training-cost observability twin (the dedup_cluster_mine pattern):
+    // ALWAYS trains the trigram LM from the corpus — no artifact — so
+    // the bench keeps pricing the model build round over round.
+    "text_lm_backoff_mine" -> ((s, d) =>
       graft.text.TextAnalysis.trigramBackoff(docs(s, d), docsLm(s, d))),
     // storable LM count state: per-shard bigram tables (sharded by
     // doc_id mod 3 here) merge by exact sum in a SHUFFLED order, then
@@ -4136,7 +4152,16 @@ object SparkEntry {
     // via grid-COUNTING thresholds (never a per-lang data-sized sort —
     // the cumulative window runs over the bounded 1e-4 grid table);
     // head = most fluent third, the slice training pipelines keep
+    // the perplexity model comes from the STORED bigram-LM artifact
+    // (r15 verdict #3); the per-doc scoring pass and the grid-counting
+    // tertile selection — the data-sized work — are what this entry
+    // prices. Deterministic integer model ⇒ bit-identical to training
+    // in-query (the oracle and the always-train twin below).
     "text_ccnet_buckets" -> ((s, d) =>
+      graft.text.TextAnalysis.ccnetBucketsWith(docs(s, d),
+        graft.text.TextAnalysis.bigramModelArtifact(s, d))),
+    // training-cost observability twin: always trains the bigram LM.
+    "text_ccnet_buckets_mine" -> ((s, d) =>
       graft.text.TextAnalysis.ccnetBuckets(docs(s, d))),
     // byte-entropy quality signal (the compression-ratio filter):
     // integer bit-length surrogate over the per-doc byte histogram —
@@ -4235,16 +4260,17 @@ object SparkEntry {
     "bpe_train_merges" -> ((s, d) =>
       graft.text.BpeTrainer.trainedMergesFrame(docsMl(s, d), 8)),
     // INCREMENTAL vocabulary update: train 4 merges, then CONTINUE
-    // with 4 more from the shipped list (initial merges replay as one
-    // lazy chain of codegen maps). Deterministic argmax makes
-    // continuation a pure suffix, so this query shares the FULL
-    // 8-stage training oracle — the oracle itself asserts
+    // with 4 more. r16: the continuation resumes from the first
+    // training's LIVE state (word table + pair-count map) instead of
+    // replaying the shipped list against a second corpus scan — the
+    // merge list is identical either way (deterministic argmax makes
+    // continuation a pure suffix; the replay path stays in
+    // continueMerges and is spec-gated), so this query still shares the
+    // FULL 8-stage training oracle — the oracle itself asserts
     // continue(train(4), +4) == train(8)
-    "bpe_train_continue" -> ((s, d) => {
-      val first = graft.text.BpeTrainer.trainMerges(docsMl(s, d), 4)
+    "bpe_train_continue" -> ((s, d) =>
       graft.text.BpeTrainer.mergesFrame(s,
-        graft.text.BpeTrainer.continueMerges(docsMl(s, d), first, 4))
-    }),
+        graft.text.BpeTrainer.trainThenContinueMerges(docsMl(s, d), 4, 4))),
     // TRUE merge-order BPE encode under the TRAINED vocabulary: apply
     // the 8 learned merges in rank order (chained codegen maps over
     // the distinct-word table), count final symbols per word, sum per
@@ -4939,8 +4965,21 @@ object SparkEntry {
       // it was ~70% of the render+write job's CPU at sf0.1. Identical
       // bytes: the decimal cast rounds HALF_UP exactly like Formatter,
       // renders both fraction digits, and quantities fit width 8.
+      // width-cliff guard (r15 advisor): lpad TRUNCATES a render wider
+      // than 8 chars where format_string("%8.2f") — the semantic
+      // reference — would widen the field. The split below is
+      // CONSERVATIVE and therefore byte-exact everywhere: any
+      // non-negative quantity under 99999.0 rounds to at most
+      // "99999.00" (8 chars), where lpad and format_string agree
+      // byte-for-byte; everything else (negative, huge, or near the
+      // rounding boundary) takes the Formatter branch, whose output is
+      // correct by definition. TPC-H quantities (1–50) always take the
+      // fast path, so the render job's CPU win is unchanged — the
+      // guard is one double comparison, not a second decimal cast.
       val qtyStr = when(pmod(col("l_orderkey"), lit(997L)) === 0L,
           lit("XXXXXX.X"))
+        .when(col("l_quantity") < 0.0 || col("l_quantity") >= 99999.0,
+          format_string("%8.2f", col("l_quantity")))
         .otherwise(lpad(col("l_quantity").cast("decimal(12,2)")
           .cast("string"), 8, " "))
       val line = concat(
@@ -5866,7 +5905,14 @@ object SparkEntry {
     * the render always sees the model the dumped results used.
     */
   def oracleSql: Map[String, String] =
-    oracleSqlStatic ++ pqServeOracles ++ ivfServeOracle ++ compactionOracle
+    oracleSqlStatic ++ pqServeOracles ++ ivfServeOracle ++ compactionOracle ++
+      // the always-train observability twins compute exactly what their
+      // artifact-served originals compute (deterministic integer models:
+      // stored-model serve ≡ fresh training), so they share the oracle
+      // replay verbatim
+      Map(
+        "text_lm_backoff_mine" -> oracleSqlStatic("text_lm_backoff"),
+        "text_ccnet_buckets_mine" -> oracleSqlStatic("text_ccnet_buckets"))
 
   private def oracleSqlStatic: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -235,23 +235,19 @@ object Dedup {
       .filter(size(col("ds")).between(2, maxWindowDocs))
     // The posting lists arrive (len, doc_id)-sorted from the collector,
     // so the length prefilter runs BEFORE pair materialization: in the
-    // sorted suffix y.len ≥ x.len, so the bound is a one-sided filter
-    // inside the lambda and a far-length pair never becomes a struct,
-    // an exploded row, or a shuffle row (the r6 shape emitted every
-    // pair and length-filtered after the explode — at heavy duplication
-    // most emitted pairs died in that filter). Surviving pairs are
-    // IDENTICAL, so the oracle is unchanged.
-    // slice is 1-based, transform's index 0-based — slice(ds, i+2, …)
-    // is exactly the strict suffix after x; len-sorted order loses the
-    // doc_id order, so pairs normalize via least/greatest
+    // sorted suffix y.len ≥ x.len, so the bound is a one-sided check
+    // and a far-length pair never becomes a struct, an exploded row, or
+    // a shuffle row (the r6 shape emitted every pair and length-filtered
+    // after the explode — at heavy duplication most emitted pairs died
+    // in that filter). r16: the pair generation is the PostingPairs
+    // codegen-free compiled kernel — one primitive walk per list with an
+    // early break on the sorted length bound — replacing an interpreted
+    // flatten/transform/filter/slice lambda forest (higher-order array
+    // functions are CodegenFallback: ~0.5 s of task CPU at sf0.1, and a
+    // per-anchor sub-array allocation). Emitted pairs are IDENTICAL (in
+    // the same order), so the oracle is unchanged.
     val ds = col("ds")
-    val pairsCol = flatten(transform(ds, (x, i) =>
-      transform(
-        filter(slice(ds, i + lit(2), size(ds)),
-          y => y("len") - x("len") <= maxDist),
-        y => struct(
-          least(x("doc_id"), y("doc_id")).as("id_a"),
-          greatest(x("doc_id"), y("doc_id")).as("id_b")))))
+    val pairsCol = graft.functions.BoundedCollect.postingPairs(ds, maxDist)
     val pairs = postings
       .select(explode(pairsCol).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
@@ -269,14 +265,41 @@ object Dedup {
         posexplode(array(col("id_a"), col("id_b"))).as(Seq("side", "doc_id")))
       .join(docs.select(col("doc_id"), lower(col("text")).as("__t")), "doc_id")
     sides
+      // The per-pair regroup exchange carries ~2 text rows per pair —
+      // small BYTES — while the stage after it runs the quadratic-CPU
+      // banded Levenshtein, so AQE's byte-based coalescing funnels the
+      // whole verify onto ONE task (measured at sf0.1: 0.63 s serial of
+      // a 1.38 s query; at corpus scale the same heuristic packs ~2 M
+      // pairs of Levenshtein behind one 64 MB advisory partition). An
+      // EXPLICIT repartition on the pair keys (user-specified counts
+      // are exempt from coalescing) replaces the planner's exchange —
+      // the groupBy's required clustering is then already satisfied, so
+      // the exchange count is unchanged and the verify runs spread.
+      // Rows and results are identical — this only places them.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(
         max(when(col("side") === 0, col("__t"))).as("__ta"),
         max(when(col("side") === 1, col("__t"))).as("__tb"))
-      .withColumn("edit_dist",
-        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
-      .filter(col("edit_dist") >= 0L)
-      .select(col("id_a"), col("id_b"), col("edit_dist"))
+      // single-evaluation verify: `withColumn + filter` lets Catalyst
+      // inline the alias into the Filter condition, so the Levenshtein
+      // kernel ran TWICE per surviving row (once in the Filter, once in
+      // the Project — no cross-operator subexpression elimination). The
+      // 1-element explode(filter(array(...))) computes it exactly once
+      // per pair and drops the -1 (past-the-band) rows in the same
+      // Generate; output rows are identical. The equality fast path
+      // matters on real near-dup corpora: candidate pairs are OFTEN
+      // byte-identical texts (that is what duplication looks like), and
+      // an equality memcmp is ~100× cheaper than the O(len·band) DP it
+      // replaces — levenshtein(x, x) = 0 exactly, so results cannot
+      // move.
+      .select(col("id_a"), col("id_b"),
+        explode(filter(
+          array(when(col("__ta") === col("__tb"), lit(0L))
+            .otherwise(levenshtein(col("__ta"), col("__tb"), maxDist)
+              .cast("long"))),
+          d => d >= 0L)).as("edit_dist"))
   }
 
   /** MinHash signature: per doc, the minimum of k independent 64-bit

@@ -97,6 +97,37 @@ case class GeoContains(first: Expression, second: Expression,
     third: Expression, mode: String) extends TernaryExpression {
   override def dataType: DataType = BooleanType
 
+  // the kernels read vertex-struct fields BY ORDINAL (0 = x, 1 = y) and
+  // assume doubles throughout; the interpreted lambdas this expression
+  // replaced resolved fields by name and coerced numerics, so a caller
+  // passing int coords or a reordered struct must fail in ANALYSIS, not
+  // as runtime garbage (r15 advisor). Field NAMES are deliberately not
+  // pinned — ordinal layout and double types are the actual contract.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types._
+    def isRing(t: DataType): Boolean = t match {
+      case ArrayType(StructType(Array(
+        StructField(_, DoubleType, _, _), StructField(_, DoubleType, _, _))), _) =>
+        true
+      case _ => false
+    }
+    val firstOk = first.dataType match {
+      case t if mode != "evenodd" => isRing(t)
+      case ArrayType(inner, _) => isRing(inner)
+      case _ => false
+    }
+    if (firstOk && second.dataType == DoubleType && third.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"geo_contains_$mode expects (" +
+          (if (mode == "evenodd") "array<array<struct<double,double>>>"
+           else "array<struct<double,double>>") +
+          ", double, double), got (" +
+          s"${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
+  }
+
   private def call(vs: ArrayData, px: Double, py: Double): Boolean = mode match {
     case "convex"  => GeoKernels.convex(vs, px, py)
     case "raycast" => GeoKernels.rayCast(vs, px, py)

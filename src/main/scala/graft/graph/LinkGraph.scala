@@ -59,6 +59,11 @@ object LinkGraph {
     * so the unrolled-CTE oracle replays bit-identically. */
   def domainRank(docs: DataFrame, iterations: Int = 4,
       scale: Long = 1000000L): DataFrame = {
+    // the sparse round-1 inlining computes the first contribution
+    // unconditionally, so iterations = 0 would silently return a
+    // 1-iteration result (pre-r15 it returned the all-at-scale initial
+    // state) — fail loudly instead of changing meaning (r15 advisor)
+    require(iterations >= 1, "domainRank needs at least one iteration")
     val edges = domainEdges(docs).localCheckpoint(eager = false)
     val nodes = docs.select(col("source").as("node"))
       .unionByName(edges.select(col("dst").as("node")))

@@ -102,12 +102,59 @@ object BpeTrainer {
 
   def continueMerges(docs: DataFrame, initial: Seq[(String, String)],
       nMore: Int, textCol: String = "text"): Seq[(String, String)] = {
-    val base = docs
+    val s = new TrainerSession(docs, initial, textCol)
+    try s.step(nMore) finally s.close()
+  }
+
+  /** Train `first` merges, then CONTINUE with `more` — resuming from
+    * the live trainer state (word table + pair-count map) instead of
+    * replaying the first list against a fresh corpus scan. The merge
+    * list is identical to the replay form (continuation is a pure
+    * suffix of a longer training — spec-gated), but the corpus is
+    * scanned and the pair map seeded exactly ONCE: the replay path paid
+    * a second base word count, the initial-merge map chain, and a
+    * second seeding job for the same bits. The stored-list replay path
+    * ([[continueMerges]] with a non-empty `initial`) remains the
+    * cross-session form. */
+  def trainThenContinueMerges(docs: DataFrame, first: Int, more: Int,
+      textCol: String = "text"): Seq[(String, String)] = {
+    val s = new TrainerSession(docs, Seq.empty, textCol)
+    try { s.step(first); s.step(more) } finally s.close()
+  }
+
+  /** Merge signed per-partition pair-count partials WITHOUT collecting
+    * them all: `RDD.reduce` hands the driver one task result at a time
+    * (merged incrementally as they arrive), so driver transient memory
+    * is O(2 maps), not O(#partitions maps) — the r15 advisor's
+    * seeding-pass amplification fix. No extra stage: reduce runs the
+    * same single job as collect. Zero entries are dropped in the merge
+    * so partial cancellation can't grow the maps. */
+  private def mergedPartials(
+      rdd: org.apache.spark.rdd.RDD[scala.collection.mutable.HashMap[(String, String), Long]])
+      : scala.collection.mutable.HashMap[(String, String), Long] =
+    if (rdd.partitions.isEmpty)
+      scala.collection.mutable.HashMap.empty
+    else rdd.reduce { (x, y) =>
+      val (into, from) = if (x.size >= y.size) (x, y) else (y, x)
+      from.foreach { case (k, c) =>
+        val nv = into.getOrElse(k, 0L) + c
+        if (nv == 0L) into.remove(k) else into.update(k, nv)
+      }
+      into
+    }
+
+  /** The delta-maintained trainer state (see [[continueMerges]] for the
+    * distributed shape): a persisted word-table RDD, the driver-side
+    * pair-count map, and the learned merge list — resumable, so a
+    * train→continue pipeline pays ONE seed. */
+  private[text] final class TrainerSession(docs: DataFrame,
+      initial: Seq[(String, String)], textCol: String) {
+    private val base = docs
       .select(explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), split(col("w"), "").as("syms"))
-    val withInit = initial.foldLeft(base) { case (d, (a, b)) =>
+    private val withInit = initial.foldLeft(base) { case (d, (a, b)) =>
       d.select(col("cnt"), BpeMergeApply.apply_merge(col("syms"), a, b).as("syms"))
     }
     // DELTA-maintained pair-count state (the fastBPE/Sennrich trainer
@@ -131,7 +178,7 @@ object BpeTrainer {
     // distributed `ORDER BY c DESC, a, b LIMIT 1` (Spark and DuckDB
     // both compare strings as unsigned UTF-8 bytes), so the learned
     // merge sequence and every training oracle are unchanged.
-    var words = withInit.rdd
+    private var words = withInit.rdd
       .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // at most TWO step RDDs stay persisted: the current table (the next
@@ -139,30 +186,33 @@ object BpeTrainer {
     // materializes from) — the grandparent is retired as soon as its
     // child has been computed, so driver/block-manager state is O(1) in
     // step count (the 30k-merge posture).
-    var parent: org.apache.spark.rdd.RDD[(Long, Array[String])] = null
+    private var parent: org.apache.spark.rdd.RDD[(Long, Array[String])] = null
     // ONE seeding job: materializes the persist and emits per-partition
-    // pair-count partials (the old separate pairCounts aggregation)
-    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
-    words.mapPartitions { it =>
+    // pair-count partials (the old separate pairCounts aggregation),
+    // merged incrementally on the driver (mergedPartials — never all
+    // partitions' maps at once)
+    private val pc = mergedPartials(words.mapPartitions { it =>
       val dm = scala.collection.mutable.HashMap.empty[(String, String), Long]
       it.foreach { case (cnt, syms) => addPairs(dm, syms, cnt) }
       Iterator.single(dm)
-    }.collect().foreach(_.foreach { case (k, c) =>
-      val nv = pc.getOrElse(k, 0L) + c
-      if (nv == 0L) pc.remove(k) else pc.update(k, nv)
     })
     lastPairMapPeak = pc.size
     // unsigned UTF-8 byte order — NOT String.compareTo (UTF-16 order
     // flips astral-vs-BMP comparisons)
-    def utf8Lt(x: String, y: String): Boolean =
+    private def utf8Lt(x: String, y: String): Boolean =
       java.util.Arrays.compareUnsigned(
         x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    private val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     merges ++= initial
-    var exhausted = false
-    var step = 0
-    while (step < nMore && !exhausted) {
+    private var exhausted = false
+
+    /** Learn up to `nMore` further merges; returns the FULL list so
+      * far (initial ++ learned). Idempotent across calls — the state
+      * advances, it is never rebuilt. */
+    def step(nMore: Int): Seq[(String, String)] = {
+      var step = 0
+      while (step < nMore && !exhausted) {
       if (pc.isEmpty) exhausted = true
       else {
         var best = pc.head
@@ -186,7 +236,7 @@ object BpeTrainer {
         // ONE single-stage signed pass: each touched word (array
         // contracted ⇒ mergeArr returned a NEW array) contributes its
         // new adjacent pairs at +cnt and its old ones at -cnt.
-        words.mapPartitions { it =>
+        mergedPartials(words.mapPartitions { it =>
           val dm = scala.collection.mutable.HashMap.empty[(String, String), Long]
           it.foreach { case (cnt, syms) =>
             val ns = mergeArr(syms, a, b, m)
@@ -196,10 +246,10 @@ object BpeTrainer {
             }
           }
           Iterator.single(dm)
-        }.collect().foreach(_.foreach { case (k, c) =>
+        }).foreach { case (k, c) =>
           val nv = pc.getOrElse(k, 0L) + c
           if (nv == 0L) pc.remove(k) else pc.update(k, nv)
-        })
+        }
         if (pc.size > lastPairMapPeak) lastPairMapPeak = pc.size
         // the delta job above just ran over `words`, so `words` is
         // materialized — its parent's blocks are no longer needed
@@ -209,10 +259,14 @@ object BpeTrainer {
         words = applied
         step += 1
       }
+      }
+      merges.toSeq
     }
-    Seq(parent, words).filter(_ != null).foreach(r =>
-      try r.unpersist(blocking = false) catch { case _: Throwable => () })
-    merges.toSeq
+
+    /** Release the persisted word-table RDDs. */
+    def close(): Unit =
+      Seq(parent, words).filter(_ != null).foreach(r =>
+        try r.unpersist(blocking = false) catch { case _: Throwable => () })
   }
 
   /** WordPiece vocabulary TRAINING (Schuster & Nakajima 2012 — the
@@ -254,14 +308,16 @@ object BpeTrainer {
     var parent: org.apache.spark.rdd.RDD[(Long, Array[String])] = null
     val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val sc = scala.collection.mutable.HashMap.empty[String, Long]
-    words.mapPartitions { it =>
+    // partials merged incrementally (mergedPartials) — the seeding pass
+    // never holds one map per partition on the driver
+    mergedPartials(words.mapPartitions { it =>
       val dm = scala.collection.mutable.HashMap.empty[(String, String), Long]
       it.foreach { case (cnt, syms) =>
         addPairs(dm, syms, cnt)
         addSyms(dm, syms, cnt)
       }
       Iterator.single(dm)
-    }.collect().foreach(_.foreach { case ((a, b), c) =>
+    }).foreach { case ((a, b), c) =>
       if (b == null) {
         val nv = sc.getOrElse(a, 0L) + c
         if (nv == 0L) sc.remove(a) else sc.update(a, nv)
@@ -269,7 +325,7 @@ object BpeTrainer {
         val nv = pc.getOrElse((a, b), 0L) + c
         if (nv == 0L) pc.remove((a, b)) else pc.update((a, b), nv)
       }
-    })
+    }
     def bitlen(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
     def utf8Lt(x: String, y: String): Boolean =
       java.util.Arrays.compareUnsigned(
@@ -299,7 +355,7 @@ object BpeTrainer {
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // ONE single-stage signed pass over touched words: pair deltas
       // plus symbol deltas (null right column)
-      words.mapPartitions { it =>
+      mergedPartials(words.mapPartitions { it =>
         val dm = scala.collection.mutable.HashMap.empty[(String, String), Long]
         it.foreach { case (cnt, syms) =>
           val ns = mergeArr(syms, a, b, m)
@@ -311,7 +367,7 @@ object BpeTrainer {
           }
         }
         Iterator.single(dm)
-      }.collect().foreach(_.foreach { case ((ka, kb), c) =>
+      }).foreach { case ((ka, kb), c) =>
         if (kb == null) {
           val nv = sc.getOrElse(ka, 0L) + c
           if (nv == 0L) sc.remove(ka) else sc.update(ka, nv)
@@ -319,7 +375,7 @@ object BpeTrainer {
           val nv = pc.getOrElse((ka, kb), 0L) + c
           if (nv == 0L) pc.remove((ka, kb)) else pc.update((ka, kb), nv)
         }
-      })
+      }
       if (parent != null)
         try parent.unpersist(blocking = false) catch { case _: Throwable => () }
       parent = words

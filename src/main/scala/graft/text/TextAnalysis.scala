@@ -2611,6 +2611,52 @@ object TextAnalysis {
     scoreTrigramBackoff(serve, s3, s2, s1, oov)
   }
 
+  /** The trained stupid-backoff trigram LM as a WRITE-ONCE ARTIFACT over
+    * `inputDir`'s documents table (the clusterMapArtifact posture, r15
+    * verdict #3): the three model-sized score frames plus the OOV
+    * constant are derived once per (input listing, params, builder
+    * bytecode) and published as ONE parquet frame
+    * (level, w1, w2, w3, s) — level 3/2/1 rows carry the scores, a
+    * single level-0 row carries the OOV constant. Every serve after
+    * publication reads vocab-sized parquet instead of re-counting the
+    * corpus. Scores are exact integers from a deterministic derivation,
+    * so serving the stored model is bit-identical to training fresh —
+    * which is exactly what the oracle replays. Input is loaded HERE from
+    * `inputDir` (never caller-supplied) so a filtered view can neither
+    * serve nor poison the raw-table model. */
+  def trigramModelArtifact(spark: org.apache.spark.sql.SparkSession,
+      inputDir: String): (DataFrame, DataFrame, DataFrame, Long) = {
+    val dir = graft.engine.Artifacts.lineageDir("lm_backoff",
+      inputDir + "|trigram-v1")
+    val stamp = graft.engine.Artifacts.classStamp(Seq(
+      "/graft/text/TextAnalysis$.class", "/graft/text/TextAnalysis.class"))
+    val fp = "trigram-v1|" + stamp + "|" + graft.engine.Artifacts
+      .tableListing(new java.io.File(inputDir, "documents.parquet"))
+    val nullS = lit(null).cast("string")
+    val art = graft.engine.Artifacts.serveOrBuild(spark, dir, fp) {
+      val (s3, s2, s1, oov) = trigramBackoffModel(
+        graft.engine.Tables.documents(spark, inputDir), materialize = false)
+      s3.select(lit(3).as("level"), col("w1"), col("w2"), col("w3"),
+          col("s3").as("s"))
+        .unionByName(s2.select(lit(2).as("level"), nullS.as("w1"),
+          col("w2"), col("w3"), col("s2").as("s")))
+        .unionByName(s1.select(lit(1).as("level"), nullS.as("w1"),
+          nullS.as("w2"), col("w3"), col("s1").as("s")))
+        .unionByName(spark.range(1).select(lit(0).as("level"),
+          nullS.as("w1"), nullS.as("w2"), nullS.as("w3"),
+          lit(oov).as("s")))
+    }
+    val s3 = art.filter(col("level") === 3)
+      .select(col("w1"), col("w2"), col("w3"), col("s").as("s3"))
+    val s2 = art.filter(col("level") === 2)
+      .select(col("w2"), col("w3"), col("s").as("s2"))
+    val s1 = art.filter(col("level") === 1)
+      .select(col("w3"), col("s").as("s1"))
+    val oov = art.filter(col("level") === 0)
+      .select(col("s")).collect()(0).getLong(0)
+    (s3, s2, s1, oov)
+  }
+
   /** CCNet head/middle/tail selection (the bucketing step that follows
     * the perplexity filter, Wenzek et al. 2020): split each language's
     * documents into surprisal tertiles — "head" = most fluent third,
@@ -2624,8 +2670,35 @@ object TextAnalysis {
     * broadcast join stamps every doc. Buckets are by VALUE threshold
     * (ties share a bucket) — integer-exact, order-free, fully oracled.
     */
-  def ccnetBuckets(docs: DataFrame): DataFrame = {
-    val scored = bigramSurprisal(docs)
+  def ccnetBuckets(docs: DataFrame): DataFrame =
+    ccnetBucketsWith(docs, bigramModel(docs))
+
+  /** The frozen bigram LM of `inputDir`'s documents table as a
+    * WRITE-ONCE ARTIFACT (w1, w2, surp) — the CCNet perplexity model is
+    * trained once per (input, builder bytecode) and served from
+    * vocab-sized parquet; the per-doc scoring pass and the tertile
+    * machinery (the data-sized work) stay in the consuming query.
+    * Deterministic integer derivation ⇒ serving ≡ retraining, the
+    * equality the unchanged oracle replays. Input loaded here from
+    * `inputDir` (the structural-contract rule all model artifacts
+    * follow). */
+  def bigramModelArtifact(spark: org.apache.spark.sql.SparkSession,
+      inputDir: String): DataFrame = {
+    val dir = graft.engine.Artifacts.lineageDir("ccnet_lm",
+      inputDir + "|bigram-model-v1")
+    val stamp = graft.engine.Artifacts.classStamp(Seq(
+      "/graft/text/TextAnalysis$.class", "/graft/text/TextAnalysis.class"))
+    val fp = "bigram-model-v1|" + stamp + "|" + graft.engine.Artifacts
+      .tableListing(new java.io.File(inputDir, "documents.parquet"))
+    graft.engine.Artifacts.serveOrBuild(spark, dir, fp) {
+      bigramModel(graft.engine.Tables.documents(spark, inputDir))
+    }
+  }
+
+  /** [[ccnetBuckets]] under a caller-supplied frozen bigram model (the
+    * artifact-served form; scoring + tertile selection unchanged). */
+  def ccnetBucketsWith(docs: DataFrame, model: DataFrame): DataFrame = {
+    val scored = scoreBigramSurprisal(docs, model)
     val g = scored
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"),

@@ -2534,4 +2534,67 @@ class PipelineSpec extends SparkSpec {
       (1L, "a2", 9L, -1L, true),
       (2L, "b", 0L, 3L, false)))
   }
+
+  test("fixedwidth render guard: wide and negative quantities take " +
+      "Formatter semantics (widen, never truncate); domain values are " +
+      "byte-identical to the fast lpad path") {
+    // the exact render expression the fixedwidth_parse entry uses
+    def render(q: org.apache.spark.sql.Column) =
+      when(q < 0.0 || q >= 99999.0, format_string("%8.2f", q))
+        .otherwise(lpad(q.cast("decimal(12,2)").cast("string"), 8, " "))
+    val df = Seq(1.0, 50.0, 99998.999, 99999.995, 123456.78, -7.5)
+      .toDF("q").select(col("q"), render(col("q")).as("r"))
+    val got = df.collect().map(r => (r.getDouble(0), r.getString(1))).toMap
+    // domain values: 8-char right-justified, same bytes as %8.2f
+    assert(got(1.0) == "    1.00" && got(50.0) == "   50.00")
+    assert(got(99998.999) == "99999.00")
+    // boundary and beyond: the Formatter branch WIDENS instead of
+    // silently dropping leading digits (the pre-guard lpad cliff)
+    assert(got(99999.995) == "100000.00")
+    assert(got(123456.78) == "123456.78")
+    assert(got(-7.5) == "   -7.50")
+  }
+
+  test("posting_pairs kernel: identical pair set and order to the " +
+      "lambda form, early break on the sorted length bound") {
+    import org.apache.spark.sql.functions.{transform => atransform}
+    // sorted by (len, doc_id) as the bounded collector guarantees
+    val ds = Seq((Seq((7L, 10), (3L, 11), (9L, 12), (1L, 40), (4L, 41))))
+      .toDF("ds")
+      .select(col("ds").cast("array<struct<doc_id:bigint,len:int>>").as("ds"))
+    val maxDist = 5
+    val kernel = ds.select(
+      graft.functions.BoundedCollect.postingPairs(col("ds"), maxDist).as("p"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the pre-r16 interpreted formulation, evaluated on the same list
+    val lambda = ds.select(flatten(atransform(col("ds"), (x, i) =>
+        atransform(
+          filter(slice(col("ds"), i + lit(2), size(col("ds"))),
+            y => y("len") - x("len") <= maxDist),
+          y => struct(
+            least(x("doc_id"), y("doc_id")).as("id_a"),
+            greatest(x("doc_id"), y("doc_id")).as("id_b"))))).as("p"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(kernel == lambda, s"kernel=$kernel lambda=$lambda")
+    // pairs within the band, normalized a < b; the (len 10..12) block
+    // pairs internally, the (40, 41) block pairs internally, and the
+    // cross-block pairs are out of band
+    assert(kernel == Seq((3L, 7L), (7L, 9L), (3L, 9L), (1L, 4L)))
+  }
+
+  test("trainer continuation resumes from live state: " +
+      "trainThenContinue(k, m) == trainMerges(k + m)") {
+    val docs = Seq("low lower lowest", "new newer newest", "low low new")
+      .toDF("text")
+    val resumed = graft.text.BpeTrainer.trainThenContinueMerges(docs, 4, 4)
+    val straight = graft.text.BpeTrainer.trainMerges(docs, 8)
+    assert(resumed == straight, s"resumed=$resumed straight=$straight")
+    // and the stored-list replay path still agrees (the cross-session
+    // continuation contract)
+    val first = graft.text.BpeTrainer.trainMerges(docs, 4)
+    val replayed = graft.text.BpeTrainer.continueMerges(docs, first, 4)
+    assert(replayed == straight, s"replayed=$replayed straight=$straight")
+  }
 }

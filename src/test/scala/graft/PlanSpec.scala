@@ -750,6 +750,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("backoff artifact serve: the plan scans the PUBLISHED model, " +
+      "never re-derives it from the corpus") {
+    val (s3, s2, s1, oov) =
+      graft.text.TextAnalysis.trigramModelArtifact(spark, sf)
+    val df = graft.text.TextAnalysis.scoreTrigramBackoff(
+      Tables.documents(spark, sf), s3, s2, s1, oov)
+    val p = plan(df)
+    // exactly four parquet scans: the scoring corpus plus the three
+    // model-frame reads of the stored artifact — if the model were
+    // re-derived in-plan there would be extra corpus scans and
+    // model-building aggregations above them
+    assert(p.split("Scan parquet").length - 1 == 4, p)
+    assert(p.contains("map_"), p) // the artifact's fingerprint-addressed file
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the artifact-served results are bit-identical to fresh training
+    // (deterministic integer scores) — the equality the bench serve
+    // entry and its always-train twin both rest on
+    val fresh = graft.text.TextAnalysis.trigramBackoff(
+      Tables.documents(spark, sf), Tables.documents(spark, sf))
+    val served = df.collect().map(_.toString).sorted
+    assert(served.sameElements(fresh.collect().map(_.toString).sorted))
+  }
+
+  test("ccnet artifact serve: the bucket plan reads the stored bigram " +
+      "model and matches in-query training bit-for-bit") {
+    val model = graft.text.TextAnalysis.bigramModelArtifact(spark, sf)
+    // the bucket plan truncates at the per-doc score checkpoint, so the
+    // stored-model property is asserted on the scoring spine (the part
+    // the checkpoint materializes): corpus scan + stored-model scan,
+    // no model-building aggregation over corpus bigrams
+    val sp = plan(graft.text.TextAnalysis.scoreBigramSurprisal(
+      Tables.documents(spark, sf), model))
+    assert(sp.contains("map_"), sp) // fingerprint-addressed model file
+    assert(sp.split("Scan parquet").length - 1 == 2, sp)
+    val df = graft.text.TextAnalysis.ccnetBucketsWith(
+      Tables.documents(spark, sf), model)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    val fresh = graft.text.TextAnalysis.ccnetBuckets(
+      Tables.documents(spark, sf))
+    assert(df.collect().map(_.toString).sorted
+      .sameElements(fresh.collect().map(_.toString).sorted))
+  }
+
   test("cdc merge: the base snapshot is never reshuffled — feed-sized " +
       "exchanges only, anti-join broadcasts the winners") {
     import spark.implicits._
