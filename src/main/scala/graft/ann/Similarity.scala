@@ -842,15 +842,22 @@ object Similarity {
     val assigned = q
       .withColumn("cluster", argminCellInt(cents, col("qe")))
       .withColumn("qq", vec_dot_int(col("qe"), col("qe")).cast("long"))
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // r16: the threshold check θd²·dot² ≥ θn²·qqa·qqb runs once per
+    // CANDIDATE PAIR; the decimal(38,0) form it replaces materialized
+    // three java.math.BigDecimal products per pair (precision-38
+    // decimals are BigDecimal-backed — the repo-measured hot-path
+    // trap). Cos2ThresholdGe compares the same exact integers in
+    // 128-bit arithmetic — bit-identical booleans, and the oracle's
+    // HUGEINT replay is unchanged.
     assigned.hint("shuffle_merge").as("a")
       .join(assigned.hint("shuffle_merge").as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("dot_q", vec_dot_int(col("a.qe"), col("b.qe")).cast("long"))
       .filter(col("a.qq") > 0L && col("b.qq") > 0L && col("dot_q") > 0L &&
-        dec(lit(thetaDen.toLong * thetaDen)) * dec(col("dot_q")) * dec(col("dot_q")) >=
-          dec(lit(thetaNum.toLong * thetaNum)) * dec(col("a.qq")) * dec(col("b.qq")))
+        graft.functions.VectorExpressions.cos2_threshold_ge(
+          col("dot_q"), col("a.qq"), col("b.qq"),
+          thetaNum.toLong, thetaDen.toLong))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         col("a.cluster").as("cluster"), col("dot_q"))
   }

@@ -17,9 +17,10 @@ object SimHash {
 
   private val Bits = 60 // 15 hex chars of md5 → fits a signed long
 
-  /** 60-bit token hash from md5 — reproducible on any engine. */
+  /** 60-bit token hash from md5 — reproducible on any engine (one
+    * kernel call; bit-identical to the conv/substring/md5 Column chain). */
   private def tokenHash(tok: Column): Column =
-    conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.SimHashExpression.md5Long60(tok)
 
   /** Per-row SimHash over the token multiset: bit j of the fingerprint is
     * 1 iff the sum over tokens of ±1 (by token-hash bit j) is positive.

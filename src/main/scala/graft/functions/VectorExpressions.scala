@@ -442,6 +442,152 @@ case class LongArrayPrefixOffsets(child: Expression) extends UnaryExpression {
   * single virtual call per row into one primitive JVM loop (the
   * HyperplaneBandKeys precedent).
   */
+/** Exact 128-bit unsigned integer helpers for the squared-cosine
+  * threshold check: products like dot² exceed a long (dot < 2^63 ⇒
+  * dot² < 2^126), and Spark's decimal(38,0) route materializes a
+  * java.math.BigDecimal PER PAIR on the dedup verify hot path (the
+  * repo-measured decimal-past-precision-18 trap). Both sides of the
+  * comparison fit comfortably in 128 bits, so two Math.multiplyHigh
+  * products and an unsigned compare replace three BigDecimal
+  * multiplications — bit-identical booleans (exact integer arithmetic
+  * either way, and the DuckDB oracle computes the same check in
+  * HUGEINT).
+  */
+object Int128 {
+  // unsigned high word of a*b for a >= 0 (sign-correction term for b<0
+  // only; callers pass non-negative a)
+  private def umulHi(a: Long, b: Long): Long =
+    Math.multiplyHigh(a, b) + ((a >> 63) & b) + ((b >> 63) & a)
+
+  /** θd²·dot² >= θn²·qqa·qqb over non-negative longs, exactly.
+    * Negative dot squares like the decimal form did (|dot|²). */
+  def cos2Ge(dot: Long, qqa: Long, qqb: Long, tn2: Long, td2: Long): Boolean = {
+    val d = math.abs(dot)
+    // left = td2 * d * d
+    var lHi = umulHi(d, d); var lLo = d * d
+    var carry = umulHi(lLo, td2)
+    lHi = lHi * td2 + carry; lLo = lLo * td2
+    // right = tn2 * qqa * qqb
+    var rHi = umulHi(qqa, qqb); var rLo = qqa * qqb
+    carry = umulHi(rLo, tn2)
+    rHi = rHi * tn2 + carry; rLo = rLo * tn2
+    val c = java.lang.Long.compareUnsigned(lHi, rHi)
+    c > 0 || (c == 0 && java.lang.Long.compareUnsigned(lLo, rLo) >= 0)
+  }
+}
+
+/** `θd²·dot² >= θn²·qqa·qqb` as one codegen'd static call per pair —
+  * see [[Int128]]. θ² factors are plan-time constants. */
+case class Cos2ThresholdGe(first: Expression, second: Expression,
+    third: Expression, thetaNum: Long, thetaDen: Long)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(thetaNum > 0 && thetaDen > 0 &&
+    thetaNum <= 3037000499L && thetaDen <= 3037000499L,
+    "theta factors must be positive and square into a long")
+  private val tn2 = thetaNum * thetaNum
+  private val td2 = thetaDen * thetaDen
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(first, second, third).forall(_.dataType ==
+        org.apache.spark.sql.types.LongType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "cos2_threshold_ge expects three bigint arguments, got (" +
+          s"${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
+
+  override def nullSafeEval(dot: Any, qqa: Any, qqb: Any): Any =
+    Int128.cos2Ge(dot.asInstanceOf[Long], qqa.asInstanceOf[Long],
+      qqb.asInstanceOf[Long], tn2, td2)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (dot, qqa, qqb) =>
+      s"${ev.value} = graft.functions.Int128.cos2Ge($dot, $qqa, $qqb, ${tn2}L, ${td2}L);")
+
+  override def prettyName: String = "cos2_threshold_ge"
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Merge duplicated-window START positions into disjoint maximal
+  * intervals — the shared tail of the dup-span family (dupSpans,
+  * dupSpansMaximal, removeDupSpans, the padded decontamination cut).
+  * Each start p covers [max(p − pad, 1), p + ext]; starts are sorted
+  * and a touching/overlapping cover extends the open interval, else a
+  * new one opens — exactly the `aggregate(array_sort(ps), …)` Catalyst
+  * fold this replaces. That fold was interpreted (higher-order
+  * functions are CodegenFallback) and re-built the accumulator array
+  * per element (slice + concat): O(|starts|²) allocation per document,
+  * worst exactly on the duplication-heavy documents the operator
+  * exists for. One sorted walk, identical intervals, oracle unchanged.
+  */
+case class MergeWindowIntervals(child: Expression, pad: Int, ext: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(pad >= 0 && ext >= 0, s"pad/ext must be >= 0, got $pad/$ext")
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("e",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"merge_window_intervals expects array<int>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val ps = new Array[Int](n)
+    var i = 0
+    while (i < n) { ps(i) = arr.getInt(i); i += 1 }
+    java.util.Arrays.sort(ps)
+    val out = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.catalyst.InternalRow]()
+    var curS = 0; var curE = -2; var open = false
+    i = 0
+    while (i < n) {
+      val p = ps(i)
+      val s = math.max(p - pad, 1)
+      val e = p + ext
+      if (open && s <= curE + 1) { if (e > curE) curE = e }
+      else {
+        if (open) out += new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](curS, curE))
+        curS = s; curE = e; open = true
+      }
+      i += 1
+    }
+    if (open) out += new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](curS, curE))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+
+  override def prettyName: String = "merge_window_intervals"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class TokenWindowHashes(child: Expression, w: Int)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -593,6 +739,8 @@ object VectorExpressions {
     column(LongArrayPrefixOffsets(expression(a)))
   def token_window_hashes(a: Column, w: Int): Column =
     column(TokenWindowHashes(expression(a), w))
+  def merge_window_intervals(starts: Column, pad: Int, ext: Int): Column =
+    column(MergeWindowIntervals(expression(starts), pad, ext))
   def vec_quantize_int8(a: Column): Column =
     column(Int8Quantize(expression(a)))
   def vec_q16(a: Column): Column =
@@ -600,6 +748,10 @@ object VectorExpressions {
   def vec_norm(a: Column): Column = column(FloatVecNorm(expression(a)))
   def vec_dot_int(a: Column, b: Column): Column =
     column(IntVecDot(expression(a), expression(b)))
+  def cos2_threshold_ge(dot: Column, qqa: Column, qqb: Column,
+      thetaNum: Long, thetaDen: Long): Column =
+    column(Cos2ThresholdGe(expression(dot), expression(qqa), expression(qqb),
+      thetaNum, thetaDen))
   def vec_norm_int(a: Column): Column = column(IntVecNorm(expression(a)))
   def band_keys(v: Column, dim: Int, planes: Int, bands: Int): Column =
     column(HyperplaneBandKeys(expression(v), dim, planes, bands))

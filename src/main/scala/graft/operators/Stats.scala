@@ -156,11 +156,16 @@ object Stats {
     val expectedCol = expected.foldLeft(lit(0L)) { case (acc, (d, e)) =>
       when(col("first_digit") === d.toLong, e).otherwise(acc)
     }
+    // materialize the ≤9-row digit counts once: `counts` feeds both the
+    // total and the final report, and without the checkpoint the whole
+    // scan + per-row regexp-extract subtree executed TWICE (measured at
+    // sf0.1: two ~full-scan stages, 0.47 s + 0.19 s, for one audit)
     val counts = df.filter(value > 0)
       .select(regexp_extract(value.cast("string"), "[1-9]", 0).as("__fd"))
       .filter(col("__fd") =!= "")
       .groupBy(col("__fd").cast("long").as("first_digit"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
     val tot = counts.agg(sum(col("n")).as("__t"))
     counts.crossJoin(broadcast(tot))
       .withColumn("__share_e4", expr("n * 10000 div __t"))

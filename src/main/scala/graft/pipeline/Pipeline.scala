@@ -21,8 +21,11 @@ object Pipeline {
     * as SimHash token hashes: identical in Spark and DuckDB SQL).
     */
   private def keyHash(key: Column): Column =
-    conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    // one kernel call (thread-local digest, 60 bits straight off the
+    // digest bytes) — bit-identical to the Column chain
+    // conv(substring(md5(...),1,15),16,10) it replaces, which paid a
+    // fresh MessageDigest + 32-char hex render + base-16 parse per row
+    graft.functions.SimHashExpression.md5Long60(key.cast("string"))
 
   /** Deterministic global shuffle: rank every row by a hash of its key.
     * The standard "shuffle the corpus before training" pass.

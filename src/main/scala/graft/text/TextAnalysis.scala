@@ -1289,14 +1289,12 @@ object TextAnalysis {
     * order-sensitive fingerprint; higher-order aggregate, no UDF.
     */
   def rollingHash(text: Column): Column =
-    aggregate(
-      tokens(text), lit(0L),
-      (acc, w) =>
-        // md5-derived 60-bit token hash (engine-portable); mod 2^31-1
-        // keeps acc*p + h < 2^63 (ANSI-safe, no overflow)
-        pmod(acc * lit(1000003L) +
-          conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long"),
-          lit(2147483647L)))
+    // one kernel pass (RollingFp60) instead of an interpreted
+    // aggregate() lambda re-evaluating an md5+conv expression tree per
+    // token; same md5-60bit token hash, same mod-2^31-1 fold, so the
+    // fingerprints and their list_reduce oracle replay bit-identically.
+    // lower() stays in Catalyst — the kernel sees pre-folded text.
+    graft.functions.SimHashExpression.rollingFp60(lower(text))
 
   def rollingFingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), rollingHash(col("text")).as("rhash"))
@@ -1948,17 +1946,13 @@ object TextAnalysis {
     // interval while the next start touches it, else open a new one.
     // Overlap-heavy folds keep the accumulator tiny (the expensive
     // case merges hardest). Coverage is identical ⇒ oracle unchanged.
-    val merged = aggregate(array_sort(ps),
-      array().cast("array<struct<s: int, e: int>>"),
-      (acc, p) => {
-        val last = element_at(acc, -1)
-        when(size(acc) > lit(0) && p <= last("e") + lit(1),
-          concat(slice(acc, lit(1), size(acc) - lit(1)),
-            array(struct(last("s").as("s"),
-              greatest(last("e"), p + lit(w - 1)).as("e")))))
-          .otherwise(concat(acc,
-            array(struct(p.as("s"), (p + lit(w - 1)).as("e")))))
-      })
+    // one compiled sorted walk (MergeWindowIntervals) — the Catalyst
+    // aggregate() fold it replaces was interpreted and rebuilt the
+    // accumulator array per element (O(|starts|²) per doc, worst on the
+    // duplication-heavy docs this operator exists for); intervals and
+    // oracle unchanged
+    val merged = graft.functions.VectorExpressions
+      .merge_window_intervals(ps, 0, w - 1)
     // projected to an attribute: lambda bodies get no CSE, so an inline
     // `merged` would re-run the whole fold once per token
     val ivA = col("__iv")
@@ -2026,17 +2020,10 @@ object TextAnalysis {
     // merge overlapping/touching cut windows into disjoint maximal
     // intervals (same fold as removeDupSpans — each start covers
     // [p, p+w−1]; extend while the next start touches, else open anew)
-    val merged = aggregate(array_sort(col("__ps")),
-      array().cast("array<struct<s: int, e: int>>"),
-      (acc, p) => {
-        val last = element_at(acc, -1)
-        when(size(acc) > lit(0) && p <= last("e") + lit(1),
-          concat(slice(acc, lit(1), size(acc) - lit(1)),
-            array(struct(last("s").as("s"),
-              greatest(last("e"), p + lit(w - 1)).as("e")))))
-          .otherwise(concat(acc,
-            array(struct(p.as("s"), (p + lit(w - 1)).as("e")))))
-      })
+    // compiled sorted walk; see MergeWindowIntervals (sorting an
+    // already-sorted list is harmless)
+    val merged = graft.functions.VectorExpressions
+      .merge_window_intervals(col("__ps"), 0, w - 1)
     starts
       .join(pre.select(col("doc_id"), ws), Seq("doc_id"))
       .select(col("doc_id"), ws, merged.as("__iv"))
@@ -2123,17 +2110,10 @@ object TextAnalysis {
         .agg(array_sort(collect_list(col("pos0") + lit(1))).as(out))
     }
     val base = dupStarts(w, "__ps")
-    val merged = aggregate(col("__ps"),
-      array().cast("array<struct<s: int, e: int>>"),
-      (acc, p) => {
-        val last = element_at(acc, -1)
-        when(size(acc) > lit(0) && p <= last("e") + lit(1),
-          concat(slice(acc, lit(1), size(acc) - lit(1)),
-            array(struct(last("s").as("s"),
-              greatest(last("e"), p + lit(w - 1)).as("e")))))
-          .otherwise(concat(acc,
-            array(struct(p.as("s"), (p + lit(w - 1)).as("e")))))
-      })
+    // compiled sorted walk; see MergeWindowIntervals (sorting an
+    // already-sorted list is harmless)
+    val merged = graft.functions.VectorExpressions
+      .merge_window_intervals(col("__ps"), 0, w - 1)
     val spans = base
       .join(pre.select(col("doc_id"), ws), Seq("doc_id"))
       .select(col("doc_id"), ws, col("__ps"), merged.as("__iv"))
@@ -2196,18 +2176,10 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(collect_list(col("pos0") + lit(1)).as("__ps"))
     val ps = coalesce(col("__ps"), array().cast("array<int>"))
-    val merged = aggregate(array_sort(ps),
-      array().cast("array<struct<s: int, e: int>>"),
-      (acc, p) => {
-        val s = greatest(p - lit(pad), lit(1))
-        val e = p + lit(n - 1 + pad)
-        val last = element_at(acc, -1)
-        when(size(acc) > lit(0) && s <= last("e") + lit(1),
-          concat(slice(acc, lit(1), size(acc) - lit(1)),
-            array(struct(last("s").as("s"),
-              greatest(last("e"), e).as("e")))))
-          .otherwise(concat(acc, array(struct(s.as("s"), e.as("e")))))
-      })
+    // compiled sorted walk with the decontamination padding folded in
+    // (s = max(p - pad, 1), e = p + n - 1 + pad); see MergeWindowIntervals
+    val merged = graft.functions.VectorExpressions
+      .merge_window_intervals(ps, pad, n - 1 + pad)
     val ivA = col("__iv")
     val kept = filter(ws, (t, j) =>
       !exists(ivA, iv => j + lit(1) >= iv("s") && j + lit(1) <= iv("e")))
@@ -2970,9 +2942,9 @@ object TextAnalysis {
       .filter(size(col("__ws")) > 0)
       .select(col("doc_id"), posexplode(col("__ws")).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
-      .withColumn("h", conv(substring(md5(
-          concat(col("doc_id").cast("string"), lit("_"),
-            col("pos").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("h", graft.functions.SimHashExpression.md5Long60(
+        concat(col("doc_id").cast("string"), lit("_"),
+          col("pos").cast("string"))))
       .withColumn("flag", pmod(col("h"), lit(denom.toLong)) < num.toLong)
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val marked = p
@@ -3018,7 +2990,7 @@ object TextAnalysis {
     */
   def fimTransform(docs: DataFrame): DataFrame = {
     def h60(key: Column): Column =
-      conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+      graft.functions.SimHashExpression.md5Long60(key)
     val ws = filter(split(lower(col("text")), " "), w => w =!= "")
     val base = docs.select(col("doc_id"), ws.as("__ws"))
       .filter(size(col("__ws")) > 0)
