@@ -2624,10 +2624,18 @@ object TextAnalysis {
       .select(col("w2"), col("w3"), col("s").as("s2"))
     val s1 = art.filter(col("level") === 1)
       .select(col("w3"), col("s").as("s1"))
-    val oov = art.filter(col("level") === 0)
-      .select(col("s")).collect()(0).getLong(0)
-    (s3, s2, s1, oov)
+    // the OOV constant is model state (one long); memoized per artifact
+    // FINGERPRINT (the trainedMerges precedent) so repeat serves skip
+    // its 1-row collect job — a re-mined artifact has a new fingerprint
+    // and re-reads
+    val oov = trigramOovMemo.computeIfAbsent(fp, _ =>
+      art.filter(col("level") === 0)
+        .select(col("s")).collect()(0).getLong(0))
+    (s3, s2, s1, oov.longValue)
   }
+
+  private val trigramOovMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** CCNet head/middle/tail selection (the bucketing step that follows
     * the perplexity filter, Wenzek et al. 2020): split each language's
