@@ -1864,10 +1864,16 @@ object TextAnalysis {
     // removeDupSpans' grams)
     val perDoc = pre.select(col("doc_id"), explode(windows).as("ghash"))
       .localCheckpoint(eager = false)
+    // "occurs in ≥2 distinct docs" ⇔ min(doc_id) ≠ max(doc_id): plain
+    // min/max partial-aggregate map-side into ONE exchange of (ghash,
+    // min, max) partials, where count_distinct planned as TWO exchanges
+    // — the first shipping the whole (ghash, doc_id)-deduped gram index
+    // (the q21 min≠max precedent; doc_id is non-null, so the predicates
+    // are equivalent and the surviving ghash set is identical)
     val dupHashes = perDoc
       .groupBy(col("ghash"))
-      .agg(count_distinct(col("doc_id")).as("__nd"))
-      .filter(col("__nd") >= 2)
+      .agg(min(col("doc_id")).as("__d0"), max(col("doc_id")).as("__d1"))
+      .filter(col("__d0") =!= col("__d1"))
       .select(col("ghash"))
     perDoc
       .join(dupHashes, Seq("ghash"), "left_semi")
@@ -1924,10 +1930,13 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(windows))
       .toDF("doc_id", "pos0", "ghash")
       .localCheckpoint(eager = false)
+    // ≥2 distinct docs ⇔ min ≠ max (the dupPassages rewrite): one
+    // partial-aggregated exchange instead of count_distinct's two, and
+    // the keeper IS the min — no extra aggregate
     val dup = grams
       .groupBy(col("ghash"))
-      .agg(count_distinct(col("doc_id")).as("__nd"), min(col("doc_id")).as("__keeper"))
-      .filter(col("__nd") >= 2)
+      .agg(min(col("doc_id")).as("__keeper"), max(col("doc_id")).as("__dmax"))
+      .filter(col("__keeper") =!= col("__dmax"))
       .select(col("ghash"), col("__keeper"))
     // 1-based start positions of windows to cut, per non-keeper document
     val starts = grams
@@ -2008,10 +2017,12 @@ object TextAnalysis {
         TokenGramHashes(graftshim.columnToExpr(col("text")), w))))
       .toDF("doc_id", "pos0", "gh")
       .localCheckpoint(eager = false)
+    // ≥2 distinct docs ⇔ min ≠ max (the dupPassages rewrite): one
+    // partial-aggregated exchange instead of count_distinct's two
     val dup = grams
       .groupBy(col("gh"))
-      .agg(count_distinct(col("doc_id")).as("__nd"))
-      .filter(col("__nd") >= 2)
+      .agg(min(col("doc_id")).as("__d0"), max(col("doc_id")).as("__d1"))
+      .filter(col("__d0") =!= col("__d1"))
       .select(col("gh"))
     val starts = grams
       .join(dup, Seq("gh"), "left_semi")
@@ -2101,9 +2112,11 @@ object TextAnalysis {
           TokenGramHashes(graftshim.columnToExpr(col("text")), width))))
         .toDF("doc_id", "pos0", "gh")
         .localCheckpoint(eager = false)
+      // ≥2 distinct docs ⇔ min ≠ max (the dupPassages rewrite) — ×3
+      // tiers, so this saves an exchange per tier
       val dup = grams.groupBy(col("gh"))
-        .agg(count_distinct(col("doc_id")).as("__nd"))
-        .filter(col("__nd") >= 2)
+        .agg(min(col("doc_id")).as("__d0"), max(col("doc_id")).as("__d1"))
+        .filter(col("__d0") =!= col("__d1"))
         .select(col("gh"))
       grams.join(dup, Seq("gh"), "left_semi")
         .groupBy(col("doc_id"))
@@ -3315,10 +3328,19 @@ object TextAnalysis {
       .select(col("doc_id"), col("x.p").as("p"),
         struct(col("x.h1").as("h1"), col("x.h2").as("h2")).as("lh"))
       .localCheckpoint(eager = false)
-    val dup = lines.groupBy(col("lh"))
-      .agg(count_distinct(col("doc_id")).as("__nd"),
-        min(col("doc_id")).as("__keeper"))
-      .filter(col("__nd") >= minDocs)
+    // minDocs == 2 (every declared caller): ≥2 distinct docs ⇔ min ≠
+    // max — one partial-aggregated exchange instead of count_distinct's
+    // two; other thresholds keep the exact distinct count
+    val dup = (if (minDocs == 2)
+        lines.groupBy(col("lh"))
+          .agg(min(col("doc_id")).as("__keeper"),
+            max(col("doc_id")).as("__dmax"))
+          .filter(col("__keeper") =!= col("__dmax"))
+      else
+        lines.groupBy(col("lh"))
+          .agg(count_distinct(col("doc_id")).as("__nd"),
+            min(col("doc_id")).as("__keeper"))
+          .filter(col("__nd") >= minDocs))
       .select(col("lh"), col("__keeper"))
     val cuts = lines.join(dup, Seq("lh"))
       .filter(col("doc_id") =!= col("__keeper"))
